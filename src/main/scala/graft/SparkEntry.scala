@@ -1,13 +1,682 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+import graft.operators._
+import graft.pipeline.{Pipeline, Uris}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Conventions that make the DuckDB oracle hash-match exactly:
+  *  - money/qty aggregates: cast each term to DECIMAL before SUM (exact,
+  *    order-independent), final cast to a fixed DECIMAL type both sides;
+  *  - ratios: raw doubles (identical IEEE arithmetic both sides);
+  *  - every query ends in an ORDER BY on a unique key;
+  *  - every computed column is aliased identically in Spark and SQL.
+  */
 object SparkEntry {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame = {
+    // the events table carries TIMESTAMP(NANOS) parquet, which Spark only
+    // reads as long when this legacy flag is on; evTs() converts ns → µs
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events.ts (long nanos) → TimestampType at µs precision (truncating,
+    * same as DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP)). */
+  private def evTs: Column = timestamp_micros(expr("ts div 1000"))
+
+  /** SUM of a per-row term, decimal-exact: cast term → DECIMAL(18,s),
+    * sum, cast → DECIMAL(38,s). */
+  private def dsum(term: Column, scale: Int): Column =
+    sum(term.cast(s"decimal(18,$scale)")).cast(s"decimal(38,$scale)")
+
+  private def revenueTerm: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q3_join_topn")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- relational core -----
+    "q1_agg" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsum(revenueTerm, 6).as("sum_disc_price"),
+          round(dsum(col("l_quantity"), 2).cast("double") / count(lit(1)), 4).as("avg_qty"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q2_pushdown" -> ((s, d) => {
+      // filter+project must reach the parquet scan (PushedFilters in explain)
+      T(s, d, "lineitem")
+        .filter(col("l_quantity") >= 48 && col("l_discount") >= 0.08)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q3_join_topn" -> ((s, d) => {
+      val cust = T(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      T(s, d, "lineitem")
+        .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(revenueTerm, 6).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+    "q4_semijoin" -> ((s, d) => {
+      val late = T(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+      T(s, d, "orders")
+        .join(late, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    "q5_multijoin" -> ((s, d) => {
+      val dims = broadcast(
+        T(s, d, "customer")
+          .join(broadcast(T(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(T(s, d, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("c_custkey", "n_name"))
+      T(s, d, "lineitem")
+        .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(dims, col("o_custkey") === col("c_custkey"))
+        .groupBy("n_name")
+        .agg(dsum(revenueTerm, 6).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+    "q6_selective_agg" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+    "q7_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    }),
+    "q8_distinct" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+    "q9_antijoin" -> ((s, d) => {
+      T(s, d, "customer")
+        .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_nationkey")
+    }),
+    "q10_topk" -> ((s, d) => {
+      T(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    }),
+    "q11_having" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .groupBy("l_partkey")
+        .agg(dsum(col("l_quantity"), 2).as("sum_qty"))
+        .filter(col("sum_qty") > 900)
+        .orderBy("l_partkey")
+    }),
+    "q12_case_agg" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_count"))
+        .orderBy("l_linestatus")
+    }),
+    "q13_outerjoin_agg" -> ((s, d) => {
+      T(s, d, "customer")
+        .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    "q14_union" -> ((s, d) => {
+      val e = T(s, d, "events")
+      e.filter(col("event_type").isin("click", "purchase"))
+        .unionByName(e.filter(col("event_type").isin("signup", "view")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+    "q15_rollup" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+    "q16_pivot" -> ((s, d) => {
+      T(s, d, "events")
+        .withColumn("cohort", pmod(col("user_id"), lit(10)))
+        .groupBy("cohort")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(dsum(col("value"), 2))
+        .orderBy("cohort")
+    }),
+    "q17_subquery" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("p_brand")
+      T(s, d, "part")
+        .withColumn("brand_avg", dsum(col("p_retailprice"), 2).over(w).cast("double") / count(lit(1)).over(w))
+        .filter(col("p_retailprice") > col("brand_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
+    "q19_percentile" -> ((s, d) => {
+      T(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"))
+        .orderBy("o_orderstatus")
+    }),
+    "q20_approx" -> ((s, d) => {
+      // approx sketches: rows-only check (algorithms differ across engines)
+      T(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5)").as("approx_p50"))
+        .orderBy("l_returnflag")
+    }),
+    "asof_join" -> ((s, d) => {
+      val orders = T(s, d, "orders")
+        .withColumn("cutoff", col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select("o_orderkey", "cutoff")
+      val line = T(s, d, "lineitem").select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"))
+      JoinOps
+        .asofBackward(orders, line, Seq("o_orderkey"), "cutoff", "l_shipdate",
+          Map("l_shipdate" -> "asof_shipdate"))
+        .select("o_orderkey", "asof_shipdate")
+        .orderBy("o_orderkey")
+    }),
+    "events_sessionize" -> ((s, d) => {
+      SessionOps
+        .sessionize(T(s, d, "events").withColumn("ts", evTs), "user_id", "ts", gapSeconds = 1800)
+        .orderBy("user_id", "session_idx")
+    }),
+    "events_window_agg" -> ((s, d) => {
+      T(s, d, "events")
+        .groupBy(date_trunc("hour", evTs).as("hour"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("sum_value"))
+        .orderBy("hour")
+    }),
+    "events_json" -> ((s, d) => {
+      T(s, d, "events")
+        .withColumn("k", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    }),
+
+    // ----- ETL pipeline surface -----
+    "pipeline_sql" -> ((s, _) => {
+      val (p, _) = Pipeline.fromArgs(Seq(
+        "--source", "values:///?header=a:int,b&values=1,x;2,y;3,x",
+        "--transform",
+        "sql:///" + java.net.URLEncoder.encode(
+          "SELECT b, CAST(SUM(a) AS BIGINT) AS sum_a FROM source GROUP BY b ORDER BY b", "UTF-8")))
+      p.resultView(s, "sink")
+    }),
+    "pipeline_sql_file" -> ((s, d) => {
+      val f = java.nio.file.Files.createTempFile("graft", ".sql")
+      java.nio.file.Files.writeString(
+        f, "SELECT l_returnflag, COUNT(*) AS n FROM source GROUP BY l_returnflag ORDER BY l_returnflag")
+      val (p, _) = Pipeline.fromArgs(Seq(
+        "--source", s"parquet://$d/lineitem.parquet",
+        "--transform", s"sql-file://$f"))
+      p.resultView(s, "sink")
+    }),
+    "pipeline_identity" -> ((s, d) => {
+      val (p, _) = Pipeline.fromArgs(Seq(
+        "--source", s"regions+parquet://$d/region.parquet",
+        "--transform", "regions+renamed+identity:///"))
+      p.resultView(s, "renamed").orderBy("r_regionkey")
+    }),
+    "pipeline_csv_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      val (write, _) = Pipeline.fromArgs(Seq(
+        "--source", s"parquet://$d/region.parquet",
+        "--transform", "source+sink+identity:///",
+        "--sink", s"text://$tmp/region.csv"))
+      write.run(s)
+      val (read, _) = Pipeline.fromArgs(Seq("--source", s"text://$tmp/region.csv"))
+      read.resultView(s, "source").orderBy("r_regionkey")
+    }),
+    "flatten_struct" -> ((s, d) => {
+      val nested = T(s, d, "events").select(
+        col("event_id"),
+        struct(col("event_type"), col("value"), struct(col("user_id")).as("u")).as("ev"))
+      FlattenOps.flatten(nested).orderBy("event_id")
+    }),
+    "flatten_explode" -> ((s, d) => {
+      val docs = T(s, d, "documents").select(TextFunctions.tokens(col("text")).as("token"))
+      FlattenOps
+        .flattenExplode(docs)
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }),
+    "diff_tables" -> ((s, d) => {
+      val left = T(s, d, "orders")
+      val right = left
+        .filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 100 === 0, col("o_totalprice") + 10).otherwise(col("o_totalprice")))
+        .withColumn("o_orderkey",
+          when(col("o_orderkey") % 500 === 0, col("o_orderkey") + 1000000).otherwise(col("o_orderkey")))
+      DiffOps
+        .onlyDifferences(DiffOps.diff(left, right, Seq("o_orderkey")))
+        .select("diff", "o_orderkey", "left_o_totalprice", "right_o_totalprice")
+        .orderBy("o_orderkey", "diff")
+    }),
+
+    // ----- LLM-pipeline: dedup -----
+    "dedup_exact" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
+      DedupOps.exact(doubled, "text", "doc_id").orderBy("keep_id")
+    }),
+    "dedup_minhash" -> ((s, d) => {
+      // xxhash64-based → rows-only for the driver; pinned by ScalaTest
+      DedupOps
+        .minhashDupPairs(T(s, d, "documents"), "text", "doc_id", threshold = 0.8)
+        .orderBy("a_id", "b_id")
+    }),
+    "dedup_simhash" -> ((s, d) => {
+      DedupOps
+        .simhashDupPairs(T(s, d, "documents"), "text", "doc_id", maxHamming = 3)
+        .orderBy("a_id", "b_id")
+    }),
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      DedupOps
+        .blockedJaccardPairs(docs, "text", "doc_id",
+          blockCols = Seq(element_at(TextFunctions.tokens(col("text")), 1)),
+          threshold = 0.8)
+        .orderBy("a_id", "b_id")
+    }),
+    "dedup_embedding" -> ((s, d) => {
+      val vecs = T(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+      val scaled = vecs
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("vec", transform(col("vec"), x => x * 1.001))
+      SimilarityOps
+        .embeddingDupPairs(vecs.unionByName(scaled), "vec_id", "vec", col("label"), threshold = 0.999)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // ----- LLM-pipeline: similarity search -----
+    "ann_bruteforce" -> ((s, d) => {
+      val vecs = T(s, d, "embeddings")
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+      SimilarityOps
+        .bruteForceTopK(vecs, vecs.filter(col("vec_id") < 8), "vec_id", "vec", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "ann_lsh" -> ((s, d) => {
+      val vecs = T(s, d, "embeddings")
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+      SimilarityOps
+        .lshTopK(vecs, vecs.filter(col("vec_id") < 8), "vec_id", "vec", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ----- LLM-pipeline: text analysis -----
+    "text_tokens" -> ((s, d) => {
+      T(s, d, "documents")
+        .select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_ws"),
+          TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+    "text_quality" -> ((s, d) => {
+      val t = col("text")
+      T(s, d, "documents")
+        .select(
+          col("doc_id"),
+          length(TextFunctions.normText(t)).cast("long").as("n_chars_norm"),
+          TextFunctions.punctCount(t).cast("long").as("punct_cnt"),
+          TextFunctions.qualityScore(t).as("quality_score"))
+        .orderBy("doc_id")
+    }),
+    "text_langid" -> ((s, d) => {
+      val t = col("text")
+      val langs = Seq("en", "de", "es", "fr", "zh")
+      T(s, d, "documents")
+        .select(
+          col("doc_id") +:
+            langs.map(l => TextFunctions.markerOverlap(t, TextFunctions.stopwords(l)).cast("long").as(s"s_$l")) :+
+            TextFunctions.langId(t).as("lang_guess"): _*)
+        .orderBy("doc_id")
+    }),
+    "text_fingerprint" -> ((s, d) => {
+      T(s, d, "documents")
+        .select(
+          col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fp"),
+          TextFunctions.minShingleFingerprint(col("text"), 3).as("min_shingle_fp"))
+        .orderBy("doc_id")
+    }),
+    "text_shingles" -> ((s, d) => {
+      val sh = TextFunctions.shingles(col("text"), 3)
+      T(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(sh).cast("long").as("n_shingles"),
+          size(array_distinct(sh)).cast("long").as("n_distinct_shingles"))
+        .orderBy("doc_id")
+    }),
+
+    // ----- LLM-pipeline: multimodal plumbing -----
+    "multimodal_features" -> ((s, d) => {
+      val withBin = T(s, d, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+      MultimodalOps
+        .fakeDecodeMeta(withBin, "bin")
+        .select(
+          col("doc_id"),
+          length(col("bin")).cast("long").as("byte_len"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"),
+          col("media_meta.n_frames").as("n_frames"),
+          md5(col("bin")).as("content_hash"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  /** DuckDB-dialect twins of `queries`, aligned column-for-column. Keys
+    * absent here (minhash/simhash/lsh/approx) get the driver's weaker
+    * rows-only check — their semantics are pinned by ScalaTest instead.
+    */
+  def oracleSql: Map[String, String] = {
+    // shared SQL fragments (DuckDB dialect)
+    val norm = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+    val toks = s"string_split($norm, ' ')"
+    def shingles(t: String) =
+      s"(CASE WHEN len($t) <= 3 THEN [array_to_string($t, ' ')] " +
+        s"ELSE list_transform(range(1, len($t)-1), i -> array_to_string($t[i:i+2], ' ')) END)"
+    val revenue = "CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6))"
+    val stopAll = TextFunctions.stopwords.values.flatten.toSeq.distinct.sorted
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    def markers(l: String) =
+      TextFunctions.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+    def sL(l: String) = s"len(list_intersect(list_distinct($toks), ${markers(l)}))"
+    val dotExpr = "list_reduce(list_transform(list_zip(a.vec, b.vec), p -> p[1]*p[2]), (x,y) -> x+y)"
+    def normExpr(side: String) =
+      s"sqrt(list_reduce(list_transform($side.vec, x -> x*x), (x,y) -> x+y))"
+
+    Map(
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+          | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+          | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
+          | ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)/COUNT(*), 4) AS avg_qty,
+          | COUNT(*) AS count_order
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      "q2_pushdown" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+          |WHERE l_quantity >= 48 AND l_discount >= 0.08 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      "q3_join_topn" ->
+        s"""SELECT o_orderkey, o_orderdate, $revenue AS revenue
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+      "q4_semijoin" ->
+        """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+          |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "q5_multijoin" ->
+        s"""SELECT n_name, $revenue AS revenue
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+      "q6_selective_agg" ->
+        """SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue,
+          | COUNT(*) AS n
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          | AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+      "q7_window" ->
+        """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+          | SELECT o_custkey, o_orderkey, o_totalprice,
+          |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+          | FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+      "q8_distinct" ->
+        """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+          | COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "q9_antijoin" ->
+        """SELECT c_nationkey, COUNT(*) AS n_customers FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+      "q10_topk" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+      "q11_having" ->
+        """SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+          |FROM lineitem GROUP BY l_partkey
+          |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) > 900
+          |ORDER BY l_partkey""".stripMargin,
+      "q12_case_agg" ->
+        """SELECT l_linestatus,
+          | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+          | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+      "q13_outerjoin_agg" ->
+        """SELECT c_count, COUNT(*) AS custdist FROM (
+          | SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          | FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          | GROUP BY c_custkey)
+          |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+      "q14_union" ->
+        """SELECT event_type, COUNT(*) AS n FROM (
+          | SELECT * FROM events WHERE event_type IN ('click','purchase')
+          | UNION ALL
+          | SELECT * FROM events WHERE event_type IN ('signup','view'))
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q15_rollup" ->
+        """SELECT l_returnflag, l_linestatus,
+          | CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+          | COUNT(*) AS n,
+          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+      "q16_pivot" ->
+        """SELECT user_id % 10 AS cohort,
+          | CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'click') AS DECIMAL(38,2)) AS click,
+          | CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'error') AS DECIMAL(38,2)) AS error,
+          | CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'purchase') AS DECIMAL(38,2)) AS purchase,
+          | CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'signup') AS DECIMAL(38,2)) AS signup,
+          | CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'view') AS DECIMAL(38,2)) AS view
+          |FROM events GROUP BY cohort ORDER BY cohort""".stripMargin,
+      "q17_subquery" ->
+        """SELECT p_partkey, p_brand, p_retailprice FROM (
+          | SELECT p_partkey, p_brand, p_retailprice,
+          |  CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) OVER (PARTITION BY p_brand) AS DECIMAL(38,2)) AS DOUBLE)
+          |   / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
+          | FROM part)
+          |WHERE p_retailprice > brand_avg ORDER BY p_partkey""".stripMargin,
+      "q19_percentile" ->
+        """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50,
+          | quantile_cont(o_totalprice, 0.9) AS p90
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      "asof_join" ->
+        """SELECT o_orderkey, MAX(l_shipdate) AS asof_shipdate
+          |FROM orders LEFT JOIN lineitem
+          | ON l_orderkey = o_orderkey AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+          |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+      "events_sessionize" ->
+        """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+          |w AS (SELECT user_id, us,
+          |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+          |        OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000 THEN 1 ELSE 0 END AS ns
+          | FROM e),
+          |s AS (SELECT user_id, us,
+          |  CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+          | FROM w)
+          |SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us
+          |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+      "events_window_agg" ->
+        """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, COUNT(*) AS n_events,
+          | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+          |FROM events GROUP BY hour ORDER BY hour""".stripMargin,
+      "events_json" ->
+        """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k, COUNT(*) AS n
+          |FROM events GROUP BY k ORDER BY k""".stripMargin,
+      "pipeline_sql" ->
+        """SELECT b, CAST(SUM(a) AS BIGINT) AS sum_a
+          |FROM (VALUES (1,'x'),(2,'y'),(3,'x')) t(a,b) GROUP BY b ORDER BY b""".stripMargin,
+      "pipeline_sql_file" ->
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+      "pipeline_identity" -> "SELECT * FROM region ORDER BY r_regionkey",
+      "pipeline_csv_roundtrip" -> "SELECT * FROM region ORDER BY r_regionkey",
+      "flatten_struct" ->
+        """SELECT event_id, event_type AS ev_event_type, value AS ev_value, user_id AS ev_u_user_id
+          |FROM events ORDER BY event_id""".stripMargin,
+      "flatten_explode" ->
+        s"""SELECT token, COUNT(*) AS n FROM (SELECT unnest($toks) AS token FROM documents)
+           |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+      "diff_tables" ->
+        """WITH r AS (
+          | SELECT CASE WHEN o_orderkey % 500 = 0 THEN o_orderkey + 1000000 ELSE o_orderkey END AS o_orderkey,
+          |  o_custkey, o_orderstatus,
+          |  CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 10 ELSE o_totalprice END AS o_totalprice,
+          |  o_orderdate, o_orderpriority
+          | FROM orders WHERE o_orderkey % 97 <> 0),
+          |d AS (
+          | SELECT CASE WHEN r.o_orderkey IS NULL THEN 'D' WHEN l.o_orderkey IS NULL THEN 'I'
+          |   WHEN (l.o_custkey IS DISTINCT FROM r.o_custkey) OR (l.o_orderstatus IS DISTINCT FROM r.o_orderstatus)
+          |     OR (l.o_totalprice IS DISTINCT FROM r.o_totalprice) OR (l.o_orderdate IS DISTINCT FROM r.o_orderdate)
+          |     OR (l.o_orderpriority IS DISTINCT FROM r.o_orderpriority) THEN 'C' ELSE 'N' END AS diff,
+          |  COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+          |  l.o_totalprice AS left_o_totalprice, r.o_totalprice AS right_o_totalprice
+          | FROM orders l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey)
+          |SELECT diff, o_orderkey, left_o_totalprice, right_o_totalprice FROM d
+          |WHERE diff <> 'N' ORDER BY o_orderkey, diff""".stripMargin,
+      "dedup_exact" ->
+        s"""WITH doubled AS (
+           | SELECT doc_id, text FROM documents
+           | UNION ALL SELECT doc_id + 1000000, text FROM documents)
+           |SELECT md5($norm) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+           |FROM doubled GROUP BY content_hash ORDER BY keep_id""".stripMargin,
+      "dedup_ngram_jaccard" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sh AS (SELECT doc_id, tk[1] AS tok1, list_distinct(${shingles("tk")}) AS s FROM t)
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           | len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jaccard
+           |FROM sh a JOIN sh b ON a.tok1 = b.tok1 AND a.doc_id < b.doc_id
+           |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8
+           |ORDER BY a_id, b_id""".stripMargin,
+      "dedup_embedding" ->
+        s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+           |both_t AS (
+           | SELECT vec_id, label, vec FROM base
+           | UNION ALL SELECT vec_id + 100000, label, list_transform(vec, x -> x*1.001) FROM base)
+           |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           | ROUND($dotExpr / (${normExpr("a")} * ${normExpr("b")}), 6) AS cosine
+           |FROM both_t a JOIN both_t b ON a.label = b.label AND a.vec_id < b.vec_id
+           |WHERE ROUND($dotExpr / (${normExpr("a")} * ${normExpr("b")}), 6) >= 0.999
+           |ORDER BY a_id, b_id""".stripMargin,
+      "ann_bruteforce" ->
+        s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+           |scored AS (
+           | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |  ROUND($dotExpr / (${normExpr("a")} * ${normExpr("b")}), 6) AS cosine
+           | FROM base a JOIN base b ON a.vec_id < 8 AND b.vec_id <> a.vec_id),
+           |ranked AS (
+           | SELECT query_id, neighbor_id, cosine,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+           | FROM scored)
+           |SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin,
+      "text_tokens" ->
+        s"""SELECT doc_id, len($toks) AS n_ws,
+           | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS n_bpe
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_quality" ->
+        s"""WITH q AS (SELECT doc_id,
+           |  len($norm) AS n_chars_norm,
+           |  len($norm) - len(regexp_replace($norm, '[^a-z0-9\\sà-ÿ一-鿿]', '', 'g')) AS punct_cnt,
+           |  len($toks) AS n_tok,
+           |  len(list_filter($toks, t -> list_contains($stopAll, t))) AS stop_hits
+           | FROM documents)
+           |SELECT doc_id, n_chars_norm, punct_cnt,
+           | 0.4 * least(n_tok/50.0, 1.0)
+           |  + 0.3 * (1.0 - (CASE WHEN n_chars_norm = 0 THEN 0.0 ELSE punct_cnt::DOUBLE/n_chars_norm END))
+           |  + 0.3 * (CASE WHEN n_tok = 0 THEN 0.0 ELSE stop_hits::DOUBLE/n_tok END) AS quality_score
+           |FROM q ORDER BY doc_id""".stripMargin,
+      "text_langid" ->
+        s"""WITH sc AS (SELECT doc_id,
+           |  ${sL("en")} AS s_en, ${sL("de")} AS s_de, ${sL("es")} AS s_es,
+           |  ${sL("fr")} AS s_fr, ${sL("zh")} AS s_zh
+           | FROM documents)
+           |SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+           | CASE
+           |  WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           |  WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           |  WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           |  WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+           |  WHEN s_zh > 0 THEN 'zh'
+           |  ELSE 'und' END AS lang_guess
+           |FROM sc ORDER BY doc_id""".stripMargin,
+      "text_fingerprint" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents)
+           |SELECT doc_id, md5(array_to_string(tk, ' ')) AS fp,
+           | list_aggregate(list_transform(${shingles("tk")}, s -> md5(s)), 'min') AS min_shingle_fp
+           |FROM t ORDER BY doc_id""".stripMargin,
+      "text_shingles" ->
+        s"""WITH t AS (SELECT doc_id, ${shingles(toks)} AS s FROM documents)
+           |SELECT doc_id, len(s) AS n_shingles, len(list_distinct(s)) AS n_distinct_shingles
+           |FROM t ORDER BY doc_id""".stripMargin,
+      "multimodal_features" ->
+        """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+          | CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+          | CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+          | CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames,
+          | md5(text) AS content_hash
+          |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  }
 }

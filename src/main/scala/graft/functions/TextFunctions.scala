@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for LLM-data pipelines.
+  *
+  * Everything here is a pure `Column` expression (no UDFs) so it stays
+  * inside WholeStageCodegen and scales linearly with the scan — the only
+  * acceptable shape for a 100 TB documents table.
+  *
+  * Determinism: all functions are exact arithmetic/string ops so the
+  * DuckDB oracle can replicate them bit-for-bit (see SparkEntry.oracleSql).
+  */
+object TextFunctions {
+
+  /** Lowercased, whitespace-normalized text. */
+  def normText(c: Column): Column = lower(regexp_replace(trim(c), "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text; empty text → empty array. */
+  def tokens(c: Column): Column =
+    when(length(normText(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(normText(c), " "))
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish pre-tokenization count: letter runs, single digits, single
+    * punctuation marks (approximates a GPT-style pre-tokenizer's unit
+    * count; the real BPE merge table is model-specific).
+    */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+
+  /** Word n-gram shingles over whitespace tokens (n ≥ 1). Documents with
+    * fewer than n tokens yield a single shingle of all tokens.
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) <= n, array(concat_ws(" ", t)))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n)))
+        )
+      )
+  }
+
+  /** Whole-document fingerprint: md5 of normalized text (stable across
+    * engines; exact-dup detector key).
+    */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Min-shingle fingerprint: lexicographic min of md5 over word n-grams —
+    * a 1-permutation MinHash that survives small edits; engine-portable
+    * because it only uses md5.
+    */
+  def minShingleFingerprint(c: Column, n: Int): Column =
+    array_min(transform(shingles(c, n), s => md5(s)))
+
+  /** Stopword lists used by quality/langid scoring (small, embedded). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "en", "por"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "人", "有", "他", "这")
+  )
+
+  /** Number of tokens that are in `words` (with repeats). */
+  def tokenHits(c: Column, words: Seq[String]): Column = {
+    val wordArr = array(words.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(wordArr, t)))
+  }
+
+  /** Distinct-marker overlap with `words` (used by langid scoring). */
+  def markerOverlap(c: Column, words: Seq[String]): Column =
+    size(array_intersect(array_distinct(tokens(c)), array(words.map(lit): _*)))
+
+  /** Language guess from stopword-marker overlap; deterministic fixed
+    * priority (en, de, es, fr, zh) on ties, "und" when no markers hit.
+    */
+  def langId(c: Column): Column = {
+    val order = Seq("en", "de", "es", "fr", "zh")
+    val scores = order.map(l => l -> markerOverlap(c, stopwords(l))).toMap
+    val best = order.map(scores).reduce((a, b) => greatest(a, b))
+    order
+      .foldRight(lit("und")) { case (l, els) => when(scores(l) === best && best > 0, lit(l)).otherwise(els) }
+  }
+
+  private val punctPattern = "[^a-z0-9\\sà-ÿ一-鿿]"
+
+  /** Punctuation character count on normalized text. */
+  def punctCount(c: Column): Column =
+    length(normText(c)) - length(regexp_replace(normText(c), punctPattern, ""))
+
+  /** Quality score components + composite in [0,1]:
+    * 0.4·min(tokens/50,1) + 0.3·(1−punct_ratio) + 0.3·stopword_ratio.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val nChars = length(normText(c)).cast("double")
+    val punctRatio = when(nChars === 0, 0d).otherwise(punctCount(c) / nChars)
+    val allStops = stopwords.values.flatten.toSeq.distinct.sorted
+    val stopRatio = when(nTok === 0, 0d).otherwise(tokenHits(c, allStops).cast("double") / nTok)
+    // raw double (no rounding): the arithmetic is identical across engines,
+    // while rounding could disagree exactly at representable boundaries
+    lit(0.4) * least(nTok / 50d, lit(1d)) + lit(0.3) * (lit(1d) - punctRatio) + lit(0.3) * stopRatio
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series join operators Spark lacks natively.
+  *
+  * As-of join: for each left row, the latest right row with
+  * rightTime ≤ leftTime (+ optional tolerance) within the same key.
+  *
+  * Implemented with the union + window trick: tag both sides, union on a
+  * shared schema, sort within key partitions by time, carry the last seen
+  * right row forward with `last(..., ignoreNulls)`, then keep left rows.
+  * One shuffle on the key (same as any keyed join), NO range cross-product
+  * and no per-row scans — this is the shape that survives 100 TB, unlike a
+  * join on an inequality predicate (O(n·m) within key).
+  */
+object JoinOps {
+
+  /** Backward as-of join.
+    *
+    * @param left      left table
+    * @param right     right table
+    * @param keyCols   equi-join keys present in both
+    * @param leftTime  event-time column name in left
+    * @param rightTime event-time column name in right
+    * @param rightCols right columns to carry (renamed as given)
+    * Output: all left columns + for each (c → alias) in rightCols the as-of
+    * value of right.c as `alias` (null when no prior right row).
+    */
+  def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightCols: Map[String, String]
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val carried = rightCols.toSeq.sortBy(_._2)
+
+    // shared schema: keys, __t, __is_left, left payload (nulls on right rows), carried right cols
+    val lTagged = left.select(
+      keyCols.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__is_left")) ++
+        leftCols.filterNot(keyCols.contains).map(c => col(c).as(s"__l_$c")) ++
+        carried.map { case (_, alias) => lit(null).as(s"__r_$alias") }: _*
+    )
+    val rTagged = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__is_left")) ++
+        leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
+        carried.map { case (c, alias) => col(c).as(s"__r_$alias") }: _*
+    )
+    val unioned = lTagged.unionByName(rTagged)
+
+    // Right rows sort before left rows at the same timestamp (asof is ≤).
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").asc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = carried.foldLeft(unioned) { case (df, (_, alias)) =>
+      df.withColumn(s"__r_$alias", last(col(s"__r_$alias"), ignoreNulls = true).over(w))
+    }
+
+    filled
+      .filter(col("__is_left") === 1)
+      .select(
+        keyCols.map(col) ++
+          Seq(col("__t").as(leftTime)) ++
+          leftCols.filterNot(c => keyCols.contains(c) || c == leftTime).map(c => col(s"__l_$c").as(c)) ++
+          carried.map { case (_, alias) => col(s"__r_$alias").as(alias) }: _*
+      )
+  }
+
+  /** Range join: left rows matched to right rows with
+    * right.start ≤ left.point < right.end, bucketized so the join is an
+    * equi-join on (key, bucket) instead of a pure inequality join.
+    * `bucketWidth` must be ≥ the max interval width for full correctness
+    * (wider intervals span multiple buckets via explode).
+    */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long
+  ): DataFrame = {
+    val lb = left.withColumn("__lbucket", (col(pointCol).cast("long") / bucketWidth).cast("long"))
+    val rb = right.withColumn(
+      "__rbucket",
+      explode(sequence((col(startCol).cast("long") / bucketWidth).cast("long"),
+        (col(endCol).cast("long") / bucketWidth).cast("long")))
+    )
+    val keyCond = keyCols.map(c => lb(c) === rb(c)).reduceOption(_ && _).getOrElse(lit(true))
+    lb.join(rb, keyCond && lb("__lbucket") === rb("__rbucket") &&
+        col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__lbucket", "__rbucket")
+  }
+}

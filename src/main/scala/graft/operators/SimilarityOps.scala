@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale posture: brute force is the exact baseline — `broadcast(queries)
+  * × corpus` so the corpus scan stays partition-local (no corpus shuffle,
+  * linear in corpus size, parallel across partitions). The LSH variant
+  * buckets both sides with random-hyperplane signatures and probes only
+  * matching buckets: corpus shuffles once on bucket id, queries broadcast;
+  * at 100 TB this is the path — candidate count per query is bucket-sized,
+  * not corpus-sized.
+  */
+object SimilarityOps {
+
+  /** Exact top-k cosine neighbors for each query vector (brute force).
+    *
+    * @param corpus   (idCol, vecCol) table — arbitrarily large
+    * @param queries  small table of query vectors — broadcast
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c
+      .join(broadcast(q), if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("cosine", round(cosine(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** LSH-bucketed ANN: random-hyperplane signature with `nBits` bits and
+    * `nTables` independent tables (ORed probes → higher recall). Corpus is
+    * shuffled once on (table, bucket); queries broadcast. Exact cosine is
+    * computed only inside matching buckets, then global top-k per query.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nBits: Int = 12,
+      nTables: Int = 4,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(
+        col(idCol).as(id),
+        col(vecCol).as(vec),
+        explode(array((0 until nTables).map { t =>
+          struct(lit(t).as("table_id"), hyperplaneBucket(col(vecCol), nBits, seed = t).as("bucket"))
+        }: _*)).as("tb")
+      ).select(col(id), col(vec), col("tb.table_id"), col("tb.bucket"))
+
+    val c = bucketed(corpus, "neighbor_id", "c_vec")
+    val q = bucketed(queries, "query_id", "q_vec")
+    val scored = c
+      .join(broadcast(q), Seq("table_id", "bucket"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"), round(cosine(col("q_vec"), col("c_vec")), 6).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ τ within blocks. Blocks keep
+    * pair generation bounded (at scale: LSH bucket; here: any grouping
+    * column such as a cluster label or coarse quantization cell).
+    */
+  def embeddingDupPairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: Column,
+      threshold: Double
+  ): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"), blockCol.as("block"))
+    v.as("a")
+      .join(v.as("b"), col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("a_id"),
+        col("b.id").as("b_id"),
+        round(cosine(col("a.vec"), col("b.vec")), 6).as("cosine")
+      )
+      .filter(col("cosine") >= threshold)
+  }
+}

