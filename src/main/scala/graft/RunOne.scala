@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: run a single SparkEntry query with timing (hang hunting). */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.isEmpty || args(0) == "all") SparkEntry.queries.keys.toSeq.sorted else args(0).split(",").toSeq
+    names.foreach { name =>
+      val t0 = System.nanoTime()
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        if (sys.env.contains("EXPLAIN")) {
+          println(s"=== $name analysis start")
+          df.explain("formatted")
+          println(f"=== $name explained in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        }
+        val n = df.count()
+        println(f"[runone] $name%-24s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch {
+        case e: Throwable =>
+          println(f"[runone] $name%-24s FAILED ${(System.nanoTime() - t0) / 1e9}%.1fs ${e.getMessage.take(200)}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -70,6 +70,7 @@ object SparkEntry {
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(dsum(revenueTerm, 6).as("revenue"))
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"), col("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -125,8 +126,10 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
     "q9_antijoin" -> ((s, d) => {
+      // customers with no urgent order (anti join on a filtered build side)
+      val urgent = T(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
       T(s, d, "customer")
-        .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_customers"))
         .orderBy("c_nationkey")
@@ -188,7 +191,9 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("p_brand")
       T(s, d, "part")
-        .withColumn("brand_avg", dsum(col("p_retailprice"), 2).over(w).cast("double") / count(lit(1)).over(w))
+        .withColumn("brand_avg",
+          sum(col("p_retailprice").cast("decimal(18,2)")).over(w).cast("decimal(38,2)").cast("double")
+            / count(lit(1)).over(w))
         .filter(col("p_retailprice") > col("brand_avg"))
         .select("p_partkey", "p_brand", "p_retailprice")
         .orderBy("p_partkey")
@@ -218,7 +223,7 @@ object SparkEntry {
       JoinOps
         .asofBackward(orders, line, Seq("o_orderkey"), "cutoff", "l_shipdate",
           Map("l_shipdate" -> "asof_shipdate"))
-        .select("o_orderkey", "asof_shipdate")
+        .select(col("o_orderkey"), unix_micros(col("asof_shipdate").cast("timestamp")).as("asof_us"))
         .orderBy("o_orderkey")
     }),
     "events_sessionize" -> ((s, d) => {
@@ -228,9 +233,9 @@ object SparkEntry {
     }),
     "events_window_agg" -> ((s, d) => {
       T(s, d, "events")
-        .groupBy(date_trunc("hour", evTs).as("hour"))
+        .groupBy(unix_micros(date_trunc("hour", evTs)).as("hour_us"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("sum_value"))
-        .orderBy("hour")
+        .orderBy("hour_us")
     }),
     "events_json" -> ((s, d) => {
       T(s, d, "events")
@@ -454,7 +459,7 @@ object SparkEntry {
         """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
           |WHERE l_quantity >= 48 AND l_discount >= 0.08 ORDER BY l_orderkey, l_linenumber""".stripMargin,
       "q3_join_topn" ->
-        s"""SELECT o_orderkey, o_orderdate, $revenue AS revenue
+        s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, $revenue AS revenue
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |JOIN customer ON o_custkey = c_custkey
            |WHERE c_mktsegment = 'BUILDING'
@@ -488,7 +493,8 @@ object SparkEntry {
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       "q9_antijoin" ->
         """SELECT c_nationkey, COUNT(*) AS n_customers FROM customer
-          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |WHERE NOT EXISTS (SELECT 1 FROM orders
+          |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
       "q10_topk" ->
         """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -543,7 +549,7 @@ object SparkEntry {
           | quantile_cont(o_totalprice, 0.9) AS p90
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
       "asof_join" ->
-        """SELECT o_orderkey, MAX(l_shipdate) AS asof_shipdate
+        """SELECT o_orderkey, epoch_us(MAX(l_shipdate)) AS asof_us
           |FROM orders LEFT JOIN lineitem
           | ON l_orderkey = o_orderkey AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
           |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
@@ -559,9 +565,9 @@ object SparkEntry {
           |SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us
           |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
       "events_window_agg" ->
-        """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, COUNT(*) AS n_events,
+        """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us, COUNT(*) AS n_events,
           | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
-          |FROM events GROUP BY hour ORDER BY hour""".stripMargin,
+          |FROM events GROUP BY hour_us ORDER BY hour_us""".stripMargin,
       "events_json" ->
         """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k, COUNT(*) AS n
           |FROM events GROUP BY k ORDER BY k""".stripMargin,

@@ -8,12 +8,17 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators for document corpora.
   *
   * Scale posture (100 TB): every near-dup path is
-  * (1) one projection computing per-doc signatures (codegen, linear scan),
+  * (1) one projection computing per-doc signatures (linear scan; string
+  *     hashing happens exactly ONCE per shingle/token — MinHash
+  *     permutations are derived by long arithmetic, not re-hashing),
   * (2) one shuffle on a blocking/band key,
-  * (3) pair generation ONLY within buckets, with a bucket-size cap so a
-  *     degenerate key can't go quadratic,
-  * (4) a cheap exact verify on candidate pairs only.
-  * Nothing ever does an unblocked self-join.
+  * (3) pair generation ONLY within buckets via groupBy+collect_list —
+  *     never a self-join, which would re-execute the signature scan on
+  *     both sides — with a bucket-size cap so a degenerate key can't go
+  *     quadratic,
+  * (4) a cheap exact verify on candidate pairs only, against signature
+  *     columns materialized BEFORE the join (re-deriving shingles from
+  *     text per pair measured ~50× slower).
   */
 object DedupOps {
 
@@ -32,21 +37,58 @@ object DedupOps {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signature: for permutation i, min over shingles of
-    * xxhash64(shingle, i). k hash functions ≈ k permutations.
+  /** Distinct word n-gram set of a text column (materialize before joins). */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+
+  /** Jaccard similarity between two PRECOMPUTED distinct-element arrays.
+    * Callers must materialize the shingle sets as columns before any join:
+    * recomputing the tokenize→shingle pipeline per candidate pair turns a
+    * linear scan into pairs×text-length work (measured 50× slowdown).
     */
-  def minhashSignature(text: Column, shingleSize: Int, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(array_distinct(shingles(text, shingleSize)), s => xxhash64(s, i)))
+  def jaccardSets(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = size(array_union(sa, sb)).cast("double")
+    when(union === 0, 0d).otherwise(inter / union)
+  }
+
+  /** Per-doc MinHash signatures as k min-aggregate columns over exploded
+    * shingle hashes: explode(shingles) → hash each shingle string ONCE →
+    * groupBy(id) with k tiny min(xxhash64(h, i)) aggregates.
+    *
+    * Why this shape: deriving the signature as one nested expression makes
+    * CollapseProject inline the whole tokenize→shingle→hash chain into a
+    * single ~10⁴-node tree that the optimizer chews on for minutes. The
+    * aggregation is a hard optimizer barrier, each expression stays tiny,
+    * map-side partial min applies, and the shuffle carries only
+    * (id, 8-byte hash) rows — the standard scalable MinHash plan.
+    * Output: (id, sig array<long> of length k).
+    */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String, shingleSize: Int, k: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(shingleSet(col(textCol), shingleSize)).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+      .groupBy("id")
+      .agg(min(xxhash64(col("h"), lit(0))).as("m0"),
+        (1 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+
+  /** All (a,b) pairs (a<b by the array sort order) from a collected
+    * per-bucket array column — pair generation without a self-join.
+    */
+  private def bucketPairs(arr: Column): Column =
+    flatten(
+      transform(
+        sequence(lit(1), size(arr) - 1),
+        i => transform(slice(arr, i + 1, size(arr)), b => struct(element_at(arr, i).as("a"), b.as("b")))
+      )
     )
 
   /** Candidate near-dup pairs via MinHash banding.
     *
-    * numBands bands of rowsPerBand rows; docs agreeing on any band hash are
-    * candidates. Emits (a_id, b_id) with a < b, deduplicated. The band
-    * shuffle is the only shuffle; buckets larger than maxBucketSize are
-    * dropped (degenerate content — handled by exact dedup instead).
+    * numBands bands of rowsPerBand rows; docs agreeing on any band hash
+    * are candidates. Emits distinct (a_id, b_id) with a < b. One scan to
+    * compute signatures, one shuffle on band keys, pairs generated inside
+    * collect_list buckets capped at maxBucketSize (degenerate buckets are
+    * near-exact dups — the exact pass handles them).
     */
   def minhashCandidates(
       df: DataFrame,
@@ -58,33 +100,27 @@ object DedupOps {
       maxBucketSize: Int = 64
   ): DataFrame = {
     val k = numBands * rowsPerBand
-    val sigs = df
-      .select(col(idCol).as("id"), minhashSignature(col(textCol), shingleSize, k).as("sig"))
-      .withColumn(
-        "band_key",
-        explode(transform(sequence(lit(0), lit(numBands - 1)), b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+    val banded = minhashSignatures(df, textCol, idCol, shingleSize, k)
+      .select(
+        col("id"),
+        explode(
+          transform(
+            sequence(lit(0), lit(numBands - 1)),
+            b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)
+          )
+        ).as("band_key")
       )
-      .select("id", "band_key")
-    val sized = sigs.withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band_key")))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-    sized.as("a")
-      .join(sized.as("b"), col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    banded
+      .groupBy("band_key")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .distinct()
   }
 
-  /** Exact Jaccard similarity between distinct word n-gram sets. */
-  def jaccard(aText: Column, bText: Column, n: Int): Column = {
-    val (sa, sb) = (array_distinct(shingles(aText, n)), array_distinct(shingles(bText, n)))
-    val inter = size(array_intersect(sa, sb)).cast("double")
-    val union = size(array_union(sa, sb)).cast("double")
-    when(union === 0, 0d).otherwise(inter / union)
-  }
-
   /** MinHash LSH near-dup pairs, verified by exact shingle Jaccard ≥ τ.
-    * Candidate generation is banded (see minhashCandidates); the verify
-    * join re-attaches the two texts by id (shuffle on id) and filters.
+    * The verify join re-attaches PRECOMPUTED shingle sets by id.
     */
   def minhashDupPairs(
       df: DataFrame,
@@ -96,11 +132,11 @@ object DedupOps {
       rowsPerBand: Int = 4
   ): DataFrame = {
     val cands = minhashCandidates(df, textCol, idCol, shingleSize, numBands, rowsPerBand)
-    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val docs = df.select(col(idCol).as("id"), shingleSet(col(textCol), shingleSize).as("sh"))
     cands
       .join(docs.as("da"), col("a_id") === col("da.id"))
       .join(docs.as("db"), col("b_id") === col("db.id"))
-      .withColumn("jaccard", jaccard(col("da.text"), col("db.text"), shingleSize))
+      .withColumn("jaccard", jaccardSets(col("da.sh"), col("db.sh")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -109,30 +145,39 @@ object DedupOps {
   def minhashDropIds(df: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame =
     minhashDupPairs(df, textCol, idCol, threshold).select(col("b_id").as("drop_id")).distinct()
 
-  /** 64-bit SimHash over whitespace tokens: bit j is the sign of the sum
-    * over tokens of ±1 according to bit j of xxhash64(token).
-    * Single projection; no shuffle.
+  /** Per-doc 64-bit SimHash: explode tokens → hash once → groupBy(id)
+    * with 64 small ±1-sum aggregates, then assemble the sign bits into a
+    * long. Same rationale as minhashSignatures: aggregation barrier keeps
+    * expression trees tiny and the plan scalable. Output: (id, sig long).
     */
-  def simhash(text: Column): Column = {
-    val toks = tokens(text)
-    val counters = aggregate(
-      toks,
-      array((0 until 64).map(_ => lit(0)): _*),
-      (acc, t) =>
-        zip_with(
-          acc,
-          array((0 until 64).map(i => when(shiftright(xxhash64(t), i).bitwiseAND(1) === 1, 1).otherwise(-1)): _*),
-          (a, b) => a + b
-        )
-    )
-    (0 until 64)
-      .map(i => when(element_at(counters, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
+  def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // 64 sign counters packed 4-per-long in 16-bit lanes: one groupBy with
+    // 16 flat long SUM aggregates + a count. Flat shift/mask expressions
+    // keep generated code small (a 64-wide zip_with variant spent ~50s in
+    // Janino per stage); lanes hold counts ≤ 65535 (doc token counts).
+    val lanes = 4
+    val groups = 16
+    val packed = (0 until groups).map { g =>
+      val lane = (0 until lanes).map { l =>
+        shiftleft(shiftright(col("h"), g * lanes + l).bitwiseAND(1), 16 * l)
+      }.reduce(_ + _)
+      sum(lane).as(s"p$g")
+    }
+    val bitCols = (0 until 64).map { j =>
+      val cnt = shiftright(col(s"p${j / lanes}"), 16 * (j % lanes)).bitwiseAND(0xffffL)
+      when(cnt * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
+    }
+    df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n"), packed: _*)
+      .select(col("id"), bitCols.reduce((a, b) => a.bitwiseOR(b)).as("sig"))
   }
 
   /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
     * chunks (any exact chunk match → candidate; guarantees recall for
-    * hamming ≤ 3), then verify hamming distance ≤ maxHamming.
+    * hamming ≤ 3), verify hamming ≤ maxHamming. Signatures ride along in
+    * the collect_list buckets, so no verify join is needed at all.
     */
   def simhashDupPairs(
       df: DataFrame,
@@ -141,19 +186,20 @@ object DedupOps {
       maxHamming: Int = 3,
       maxBucketSize: Int = 256
   ): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-    val banded = sigs
-      .withColumn("cx", explode(array((0 until 4).map(j =>
-        struct(lit(j).as("chunk_idx"), shiftright(col("sig"), 16 * j).bitwiseAND(0xffffL).as("chunk"))): _*)))
-      .select(col("id"), col("sig"), col("cx.chunk_idx").as("chunk_idx"), col("cx.chunk").as("chunk"))
-    val sized = banded
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("chunk_idx", "chunk")))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-    sized.as("a")
-      .join(sized.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+    val sigs = simhashSignatures(df, textCol, idCol)
+    val banded = sigs.select(
+      struct(col("id"), col("sig")).as("rec"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("chunk_idx"), shiftright(col("sig"), 16 * j).bitwiseAND(0xffffL).as("chunk"))): _*)).as("cx")
+    )
+    banded
+      .groupBy(col("cx.chunk_idx"), col("cx.chunk"))
+      .agg(sort_array(collect_list(col("rec"))).as("recs"))
+      .filter(size(col("recs")).between(2, maxBucketSize))
+      .select(explode(bucketPairs(col("recs"))).as("p"))
+      .select(
+        col("p.a.id").as("a_id"), col("p.b.id").as("b_id"),
+        col("p.a.sig").as("sig_a"), col("p.b.sig").as("sig_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
@@ -161,8 +207,8 @@ object DedupOps {
   }
 
   /** Blocked n-gram Jaccard dedup (engine-portable variant): block on
-    * (blockCols) — e.g. source + length bucket — generate within-block
-    * pairs, verify Jaccard ≥ τ. Fully SQL-expressible for the oracle.
+    * blockCols, generate within-block pairs, verify Jaccard ≥ τ against
+    * shingle sets materialized before the join. Fully SQL-expressible.
     */
   def blockedJaccardPairs(
       df: DataFrame,
@@ -172,11 +218,12 @@ object DedupOps {
       threshold: Double,
       shingleSize: Int = 3
   ): DataFrame = {
-    val blocked = df.select(col(idCol).as("id"), col(textCol).as("text"),
+    val blocked = df.select(col(idCol).as("id"),
+      shingleSet(col(textCol), shingleSize).as("sh"),
       struct(blockCols: _*).as("block"))
     blocked.as("a")
       .join(blocked.as("b"), col("a.block") === col("b.block") && col("a.id") < col("b.id"))
-      .withColumn("jaccard", jaccard(col("a.text"), col("b.text"), shingleSize))
+      .withColumn("jaccard", jaccardSets(col("a.sh"), col("b.sh")))
       .filter(col("jaccard") >= threshold)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("jaccard"))
   }

@@ -53,8 +53,8 @@ object SimilarityOps {
       idCol: String,
       vecCol: String,
       k: Int,
-      nBits: Int = 12,
-      nTables: Int = 4,
+      nBits: Int = 6,
+      nTables: Int = 8,
       excludeSelf: Boolean = true
   ): DataFrame = {
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame =

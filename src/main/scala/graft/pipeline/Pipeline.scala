@@ -137,7 +137,12 @@ object EtlCli {
     val (pipeline, opts) = Pipeline.fromArgs(args.toIndexedSeq)
     val builder0 = SparkSession.builder().appName(opts.getOrElse("app-name", "graft-etl"))
     val builder1 = SourceRegistry.sparkConfigs.foldLeft(builder0) { case (b, (k, v)) => b.config(k, v) }
-    val builder = opts.get("master").fold(builder1)(builder1.master)
+    // default to local[*] when neither --master nor spark-submit set one
+    val master = opts.get("master")
+      .orElse(sys.props.get("spark.master"))
+      .orElse(sys.env.get("SPARK_MASTER"))
+      .getOrElse("local[*]")
+    val builder = builder1.master(master)
     val spark = builder.getOrCreate()
     val ok = pipeline.run(spark)
     println(if (ok) "Write successful" else "Writing to sink failed")

@@ -286,10 +286,15 @@ object KafkaProvider extends SchemeProvider {
   * jar absent here → UnsupportedSourceInEnv at I/O time. */
 object DeltaProvider extends SchemeProvider {
   val schemes = Seq("delta", "delta-stream")
-  override def sparkConfigs: Map[String, String] = Map(
-    "spark.sql.extensions" -> "io.delta.sql.DeltaSparkSessionExtension",
-    "spark.sql.catalog.spark_catalog" -> "org.apache.spark.sql.delta.catalog.DeltaCatalog"
-  )
+  override def sparkConfigs: Map[String, String] =
+    // only inject the Delta session extension when the connector exists —
+    // otherwise every CLI startup logs a ClassNotFoundException
+    if (scala.util.Try(Class.forName("io.delta.sql.DeltaSparkSessionExtension")).isSuccess)
+      Map(
+        "spark.sql.extensions" -> "io.delta.sql.DeltaSparkSessionExtension",
+        "spark.sql.catalog.spark_catalog" -> "org.apache.spark.sql.delta.catalog.DeltaCatalog"
+      )
+    else Map.empty
   override def apply(uri: ParsedUri): SparkSession => DfSource with DfSink = { spark =>
     val inner = new FormatEndpoint(
       spark, "delta", uri.path, uri.queryParams, isStream = uri.scheme.endsWith("-stream"))

@@ -1,0 +1,297 @@
+package graft
+
+import graft.operators._
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+class DiffOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("diff classifies N/C/I/D on id columns") {
+    val left = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("id", "v", "w")
+    val right = Seq((1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)).toDF("id", "v", "w")
+    val d = DiffOps.diff(left, right, Seq("id")).orderBy("id").collect()
+    assert(d.map(r => (r.getInt(1), r.getString(0))).toSeq ==
+      Seq((1, "N"), (2, "C"), (3, "D"), (4, "I")))
+    // left_/right_ value columns present
+    val cols = DiffOps.diff(left, right, Seq("id")).columns.toSeq
+    assert(cols == Seq("diff", "id", "left_v", "right_v", "left_w", "right_w"))
+  }
+
+  test("ignored columns are carried but not compared") {
+    val left = Seq((1, "a", 1.0)).toDF("id", "v", "ts")
+    val right = Seq((1, "a", 2.0)).toDF("id", "v", "ts")
+    val d = DiffOps.diff(left, right, Seq("id"), ignoreColumns = Seq("ts")).collect().head
+    assert(d.getString(0) == "N")
+  }
+
+  test("null-safe comparison: null == null is unchanged") {
+    val left = Seq((1, Option.empty[String]), (2, Some("x"))).toDF("id", "v")
+    val right = Seq((1, Option.empty[String]), (2, Option.empty[String])).toDF("id", "v")
+    val d = DiffOps.diff(left, right, Seq("id")).orderBy("id").collect()
+    assert(d.map(_.getString(0)).toSeq == Seq("N", "C"))
+  }
+
+  test("failOnDifferences throws when rows differ") {
+    val left = Seq((1, "a")).toDF("id", "v")
+    val right = Seq((1, "b")).toDF("id", "v")
+    intercept[RuntimeException] {
+      DiffOps.failOnDifferences(DiffOps.diff(left, right, Seq("id")))
+    }
+  }
+}
+
+class FlattenOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flatten produces underscore-joined leaf columns") {
+    val df = Seq((1, ("x", (2.5, true)))).toDF("id", "s")
+      .select(col("id"), col("s._1").as("a"), struct(col("s._1").as("a"), struct(col("s._2._1").as("d"), col("s._2._2").as("b")).as("n")).as("st"))
+    val flat = FlattenOps.flatten(df.select(col("id"), col("st")))
+    assert(flat.columns.toSeq == Seq("id", "st_a", "st_n_d", "st_n_b"))
+  }
+
+  test("flattenExplode explodes arrays of structs and flattens them") {
+    val df = spark.sql(
+      "SELECT 1 AS id, array(named_struct('a', 1, 'b', named_struct('c', 'x')), named_struct('a', 2, 'b', named_struct('c', 'y'))) AS arr")
+    val out = FlattenOps.flattenExplode(df).orderBy("arr_a")
+    assert(out.columns.toSeq == Seq("id", "arr_a", "arr_b_c"))
+    assert(out.collect().map(r => (r.getInt(1), r.getString(2))).toSeq == Seq((1, "x"), (2, "y")))
+  }
+
+  test("flattenExplode explodes primitive arrays in place") {
+    val df = spark.sql("SELECT 7 AS id, array(1, 2, 3) AS xs")
+    val out = FlattenOps.flattenExplode(df)
+    assert(out.columns.toSeq == Seq("id", "xs"))
+    assert(out.collect().map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3))
+  }
+}
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "completely different content about spark dataframes and shuffles in clusters"),
+      (3L, "the quick brown fox jumps over the lazy dog and runs far away house"), // near-dup of 1
+      (4L, "yet another unrelated document mentioning minhash banding and lsh buckets"),
+      (5L, "the quick brown fox jumps over the lazy dog and runs far away home") // exact dup of 1
+    )
+    base.toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min id with counts") {
+    val d = DedupOps.exact(corpus, "text", "doc_id").orderBy("keep_id").collect()
+    assert(d.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+    val kept = DedupOps.exactKeepFirst(corpus, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = DedupOps.minhashDupPairs(corpus, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L)), "exact dup must be found")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((3L, 5L)), "near dup should be found")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc must not pair")
+  }
+
+  test("simhash finds exact dup with hamming 0") {
+    val pairs = DedupOps.simhashDupPairs(corpus, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 5L)).contains(0))
+    assert(!pairs.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("blocked jaccard pairs returns exact similarity") {
+    val pairs = DedupOps.blockedJaccardPairs(
+      corpus, "text", "doc_id",
+      blockCols = Seq(element_at(TextFunctions.tokens(col("text")), 1)),
+      threshold = 0.5
+    ).collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 5L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) < 1.0 && pairs((1L, 3L)) > 0.5)
+  }
+
+  test("minhash candidate buckets respect the size cap") {
+    val many = (0L until 200L).map(i => (i, "identical text repeated here exactly the same tokens forever")).toDF("doc_id", "text")
+    // all 200 docs share every band; cap of 64 drops those degenerate buckets
+    val cands = DedupOps.minhashCandidates(many, "text", "doc_id", maxBucketSize = 64)
+    assert(cands.count() == 0)
+  }
+}
+
+class SimilarityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine/dot/norm basics") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("c_orth"),
+      VectorFunctions.cosine(col("a"), col("a")).as("c_self"),
+      VectorFunctions.dot(col("a"), col("b")).as("d"),
+      VectorFunctions.norm(col("a")).as("n")).collect().head
+    assert(math.abs(r.getDouble(0)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 1.0)
+  }
+
+  test("bruteForceTopK ranks by cosine with deterministic tie-break") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0)),
+      (1L, Array(0.9, 0.1)),
+      (2L, Array(0.0, 1.0)),
+      (3L, Array(1.0, 0.05))
+    ).toDF("vec_id", "vec")
+    val top = SimilarityOps.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id", "vec", k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(top.toSeq == Seq((1, 3L), (2, 1L))) // 3 closer than 1; 2 orthogonal
+  }
+
+  test("lsh finds planted duplicates (identical sign pattern)") {
+    val base = (0L until 50L).map(i => (i, Array.tabulate(16)(d => math.sin(i * 31 + d * 7)))).toDF("vec_id", "vec")
+    val withDup = base.unionByName(
+      base.filter(col("vec_id") === 7).select(lit(999L).as("vec_id"), col("vec")))
+    val res = SimilarityOps.lshTopK(withDup, withDup.filter(col("vec_id") === 999L), "vec_id", "vec", k = 3)
+      .collect()
+    assert(res.nonEmpty && res.head.getLong(2) == 7L && math.abs(res.head.getDouble(3) - 1.0) < 1e-9,
+      s"dup must be found as nearest; got ${res.mkString(",")}")
+  }
+
+  test("embeddingDupPairs finds scaled copies within blocks") {
+    val vecs = Seq(
+      (1L, 0, Array(1.0, 2.0, 3.0)),
+      (2L, 0, Array(2.0, 4.0, 6.0)),  // scaled copy of 1 → cosine 1
+      (3L, 0, Array(-3.0, 1.0, 0.5)),
+      (4L, 1, Array(1.0, 2.0, 3.0))   // same direction but different block
+    ).toDF("vec_id", "label", "vec")
+    val pairs = SimilarityOps.embeddingDupPairs(vecs, "vec_id", "vec", col("label"), 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+}
+
+class JoinOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofBackward picks latest right row ≤ left time per key") {
+    val left = Seq(("k1", 10L, "e1"), ("k1", 20L, "e2"), ("k2", 5L, "e3")).toDF("k", "t", "tag")
+    val right = Seq(("k1", 8L, 100.0), ("k1", 15L, 200.0), ("k1", 25L, 300.0), ("k3", 1L, 999.0))
+      .toDF("k", "rt", "price")
+    val out = JoinOps.asofBackward(left, right, Seq("k"), "t", "rt", Map("price" -> "asof_price"))
+      .orderBy("k", "t").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Double]))).toSeq ==
+      Seq(("k1", 10L, Some(100.0)), ("k1", 20L, Some(200.0)), ("k2", 5L, None)))
+  }
+
+  test("asofBackward includes right rows at exactly the left time (≤)") {
+    val left = Seq(("k", 10L, "x")).toDF("k", "t", "tag")
+    val right = Seq(("k", 10L, 1.0)).toDF("k", "rt", "v")
+    val out = JoinOps.asofBackward(left, right, Seq("k"), "t", "rt", Map("v" -> "av")).collect().head
+    assert(out.getAs[Double]("av") == 1.0)
+  }
+
+  test("rangeJoin matches point-in-interval with bucketization") {
+    val points = Seq(("a", 5L), ("a", 15L), ("b", 5L)).toDF("k", "p")
+    val intervals = Seq(("a", 0L, 10L, "i1"), ("a", 10L, 20L, "i2")).toDF("k", "s", "e", "tag")
+    val out = JoinOps.rangeJoin(points, intervals, Seq("k"), "p", "s", "e", bucketWidth = 10L)
+      .select("p", "tag").orderBy("p").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((5L, "i1"), (15L, "i2")))
+  }
+}
+
+class SessionOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gap sessionization splits on gaps > threshold") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Long) = new java.sql.Timestamp(base.getTime + m * 60000)
+    val df = Seq(
+      (1L, ts(0)), (1L, ts(10)), (1L, ts(50)), // gap 40min > 30min → new session
+      (2L, ts(0))
+    ).toDF("user_id", "ts")
+    val out = SessionOps.sessionize(df, "user_id", "ts", gapSeconds = 1800)
+      .orderBy("user_id", "session_idx").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq("Hello,  world! 42 foo").toDF("text")
+    val r = df.select(
+      TextFunctions.tokenCount(col("text")).as("ws"),
+      TextFunctions.bpeTokenCount(col("text")).as("bpe")).collect().head
+    assert(r.getInt(0) == 4)
+    // hello , world ! 4 2 foo → 7
+    assert(r.getInt(1) == 7)
+  }
+
+  test("shingles of short and long docs") {
+    val df = Seq("a b", "a b c d e").toDF("text")
+    val r = df.select(TextFunctions.shingles(col("text"), 3).as("s")).collect()
+    assert(r(0).getSeq[String](0) == Seq("a b"))
+    assert(r(1).getSeq[String](0) == Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("langId picks the language with most marker overlap") {
+    val df = Seq(
+      "the cat and the dog of it",
+      "der hund und die katze ist nicht da",
+      "el gato y el perro es una cosa",
+      "xyzzy qwerty").toDF("text")
+    val langs = df.select(TextFunctions.langId(col("text"))).collect().map(_.getString(0)).toSeq
+    assert(langs == Seq("en", "de", "es", "und"))
+  }
+
+  test("fingerprint is whitespace/case-normalized") {
+    val df = Seq(("A  b\tC", "a b c")).toDF("t1", "t2")
+    val r = df.select(
+      TextFunctions.fingerprint(col("t1")) === TextFunctions.fingerprint(col("t2"))).collect().head
+    assert(r.getBoolean(0))
+  }
+
+  test("quality score is in [0,1] and favors stopword-rich text") {
+    val df = Seq(
+      "the cat and the dog of it was that in is it a to", // stopword-rich
+      "%%% ^^^ &&& *** ((( )))").toDF("text")
+    val scores = df.select(TextFunctions.qualityScore(col("text"))).collect().map(_.getDouble(0))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1))
+  }
+}
+
+class MultimodalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partition-local decode emits deterministic fake metadata") {
+    val df = Seq(("doc1", "hello world")).toDF("id", "text")
+      .select(col("id"), encode(col("text"), "UTF-8").as("bin"))
+    val out = MultimodalOps.decodePartitionLocal(df, "bin").collect().head
+    val meta = out.getStruct(out.fieldIndex("media_meta"))
+    assert(meta.getString(0) == "application/x-fake")
+    assert(meta.getInt(1) == 11 % 640 + 1 && meta.getInt(2) == 11 % 480 + 1)
+  }
+
+  test("expression fake decode matches the partition-local kernel") {
+    val df = Seq(("a", "some bytes here")).toDF("id", "text")
+      .select(col("id"), encode(col("text"), "UTF-8").as("bin"))
+    val a = MultimodalOps.fakeDecodeMeta(df, "bin").select("media_meta.width", "media_meta.n_frames").collect().head
+    val b = MultimodalOps.decodePartitionLocal(df, "bin").select("media_meta.width", "media_meta.n_frames").collect().head
+    assert(a == b)
+  }
+
+  test("resize and frame sampling rewrite the plan metadata") {
+    val df = Seq(("a", "0123456789")).toDF("id", "text")
+      .select(col("id"), encode(col("text"), "UTF-8").as("bin"))
+    val decoded = MultimodalOps.fakeDecodeMeta(df, "bin")
+    val resized = MultimodalOps.resizeMeta(decoded, 224, 224).select("media_meta.width").collect().head
+    assert(resized.getInt(0) == 224)
+    val sampled = MultimodalOps.frameSamplePlan(decoded, stride = 2).select("sampled_frames").collect().head
+    assert(sampled.getSeq[Int](0) == Seq(0, 2, 4, 6, 8, 10))
+  }
+}

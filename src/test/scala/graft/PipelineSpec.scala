@@ -1,0 +1,130 @@
+package graft
+
+import graft.pipeline.{Pipeline, Uris}
+import graft.sources.{Serde, SourceRegistry, UnsupportedSourceInEnv}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class UrisSpec extends SparkSpec {
+  test("scheme+name splitting matches reference CLI semantics") {
+    val (name, uri) = Uris.sourceOrSinkUri("employees+kafka-stream://broker:9092/topic?serde=json", "source")
+    assert(name == "employees")
+    assert(uri.scheme == "kafka-stream")
+    assert(uri.host.contains("broker") && uri.port == 9092)
+    assert(uri.pathParts == Seq("topic"))
+    assert(uri.queryParams == Map("serde" -> "json"))
+  }
+
+  test("default names and dash normalization") {
+    val (n1, _) = Uris.sourceOrSinkUri("parquet:///tmp/x", "source")
+    assert(n1 == "source")
+    val (n2, _) = Uris.sourceOrSinkUri("my-df+console://x", "sink")
+    assert(n2 == "my_df")
+    val (in, out, u) = Uris.transformUri("a+b+sql:///SELECT%201")
+    assert(in == "a" && out == "b" && u.scheme == "sql")
+    val (in2, out2, _) = Uris.transformUri("only+identity:///")
+    assert(in2 == "only" && out2 == "sink")
+    val (in3, out3, _) = Uris.transformUri("identity:///")
+    assert(in3 == "source" && out3 == "sink")
+  }
+
+  test("unknown scheme raises with the supported list") {
+    val ex = intercept[IllegalArgumentException] {
+      SourceRegistry.forUri(Uris.ParsedUri(java.net.URI.create("nope://x")))
+    }
+    assert(ex.getMessage.contains("nope"))
+  }
+}
+
+class PipelineSpec extends SparkSpec {
+  test("values source → sql transform → named view") {
+    val (p, _) = Pipeline.fromArgs(Seq(
+      "--source", "values:///?header=a:int,b&values=1,x;2,y;3,x",
+      "--transform",
+      "sql:///" + java.net.URLEncoder.encode("SELECT b, SUM(a) AS s FROM source GROUP BY b ORDER BY b", "UTF-8")))
+    val rows = p.resultView(spark, "sink").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("x", 4L), ("y", 2L)))
+  }
+
+  test("typed values header: int, long, double, boolean") {
+    val (p, _) = Pipeline.fromArgs(Seq(
+      "--source", "t+values:///?header=i:int,l:long,d:double,f:boolean,s&values=1,2,1.5,true,z"))
+    val row = p.resultView(spark, "t").collect().head
+    assert(row.getInt(0) == 1 && row.getLong(1) == 2L && row.getDouble(2) == 1.5 &&
+      row.getBoolean(3) && row.getString(4) == "z")
+  }
+
+  test("implicit source→sink identity when no transforms (reference ETL.run)") {
+    val (p, _) = Pipeline.fromArgs(Seq("--source", "values:///?header=a:int&values=7"))
+    assert(p.resultView(spark, "sink").collect().map(_.getInt(0)).toSeq == Seq(7))
+  }
+
+  test("csv sink+source roundtrip via text:// with tsv delimiter") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-test-csv").toString
+    val (w, _) = Pipeline.fromArgs(Seq(
+      "--source", "values:///?header=a:int,b&values=1,x;2,y",
+      "--sink", s"text://$tmp/out.tsv"))
+    assert(w.run(spark))
+    val (r, _) = Pipeline.fromArgs(Seq("--source", s"text://$tmp/out.tsv"))
+    val back = r.resultView(spark, "source").orderBy("a").collect()
+    assert(back.map(x => (x.getInt(0), x.getString(1))).toSeq == Seq((1, "x"), (2, "y")))
+  }
+
+  test("diff transform via pipeline URI with filter") {
+    val (p, _) = Pipeline.fromArgs(Seq(
+      "--source", "left+values:///?header=id:int,v&values=1,a;2,b;3,c",
+      "--source", "right+values:///?header=id:int,v&values=1,a;2,B;4,d",
+      "--transform", "left+out+diff:///right?id=id&handleDifferences=filter"))
+    val out = p.resultView(spark, "out").orderBy("id").collect()
+    assert(out.map(r => (r.getInt(1), r.getString(0))).toSeq == Seq((2, "C"), (3, "D"), (4, "I")))
+  }
+
+  test("sql-file transform reads the file") {
+    val f = java.nio.file.Files.createTempFile("graft-test", ".sql")
+    java.nio.file.Files.writeString(f, "SELECT COUNT(*) AS n FROM source")
+    val (p, _) = Pipeline.fromArgs(Seq(
+      "--source", "values:///?header=a:int&values=1;2;3",
+      "--transform", s"sql-file://$f"))
+    assert(p.resultView(spark, "sink").collect().head.getLong(0) == 3L)
+  }
+
+  test("unavailable connectors degrade with UnsupportedSourceInEnv") {
+    val (p, _) = Pipeline.fromArgs(Seq("--source", "solr:///collection"))
+    intercept[UnsupportedSourceInEnv] { p.resultView(spark, "source") }
+  }
+
+  test("sink failure stops the sink chain and run returns false") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-test-sink").toString
+    val (p, _) = Pipeline.fromArgs(Seq(
+      "--source", "values:///?header=a:int&values=1",
+      "--sink", "solr:///c",
+      "--sink", s"text://$tmp/never.csv"))
+    intercept[UnsupportedSourceInEnv] { p.run(spark) }
+  }
+}
+
+class SerdeSpec extends SparkSpec {
+  test("json serde roundtrip with schema") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val schema = df.schema
+    val serde = Serde(s"json:${java.net.URLEncoder.encode(schema.json, "UTF-8")}")
+    val back = serde.deserialize(serde.serialize(df)).orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("json serde without schema infers from data (batch)") {
+    import spark.implicits._
+    val df = Seq((5L, "x")).toDF("id", "name")
+    val serde = Serde("json")
+    val back = serde.deserialize(serde.serialize(df)).collect().head
+    assert(back.getAs[Long]("id") == 5L && back.getAs[String]("name") == "x")
+  }
+
+  test("none serde is identity; avro serde reports missing connector") {
+    import spark.implicits._
+    val df = Seq(1).toDF("a")
+    assert(Serde("none").serialize(df) eq df)
+    intercept[UnsupportedSourceInEnv] { Serde("avro") }
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stateful streaming sessionization closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.SessionEvent]
+    val out = StreamOps.sessionizeStream(input.toDS(), gapSeconds = 60)
+    val q = out.writeStream.format("memory").queryName("sessions_out").outputMode("append").start()
+    try {
+      // two events 10s apart (one session), then one 120s later → closes it
+      input.addData(StreamOps.SessionEvent(1L, 0L), StreamOps.SessionEvent(1L, 10000000L))
+      q.processAllAvailable()
+      input.addData(StreamOps.SessionEvent(1L, 130000000L))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_out").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getAs[Long]("key") == 1L && r.getAs[Long]("n_events") == 2L &&
+        r.getAs[Long]("start_us") == 0L && r.getAs[Long]("end_us") == 10000000L)
+    } finally q.stop()
+  }
+
+  test("streaming windowed aggregation with watermark emits closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "value")
+    val out = StreamOps.windowedAgg(df, "ts", "value", "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    try {
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+      input.addData((ts(1), 1L, 1.0), (ts(2), 2L, 2.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first window
+      input.addData((ts(40), 3L, 3.0))
+      q.processAllAvailable()
+      input.addData((ts(55), 4L, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out").collect()
+      assert(rows.exists(r => r.getAs[Long]("n_events") == 2L && r.getAs[Double]("sum_value") == 3.0))
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark drops repeated keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "id")
+    val out = StreamOps.dedupWithinWatermark(df, "ts", "10 minutes", Seq("id"))
+    val q = out.writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+      input.addData((t0, 1L), (t1, 1L), (t0, 2L))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+      assert(rows.map(_.getAs[Long]("id")).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("file replay stream reads a batch frame as a stream") {
+    val df = spark.range(5).toDF("id").withColumn("ts", current_timestamp())
+    val stream = StreamOps.replayAsStream(spark, df, "ts")
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("replay_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("replay_out").count() == 5)
+    } finally q.stop()
+  }
+}
