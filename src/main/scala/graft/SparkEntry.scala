@@ -29,6 +29,15 @@ object SparkEntry {
     * same as DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP)). */
   private def evTs: Column = timestamp_micros(expr("ts div 1000"))
 
+  /** Compute-heavy scans over the small single-file documents/embeddings
+    * tables: repartition to the session's parallelism so hashing/vector
+    * work uses every core (one parquet file = one scan task otherwise).
+    * At production scale the scan has natural file parallelism and this
+    * shuffle of raw rows is unnecessary — it exists for single-file input.
+    */
+  private def TP(s: SparkSession, dir: String, name: String): DataFrame =
+    T(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+
   /** SUM of a per-row term, decimal-exact: cast term → DECIMAL(18,s),
     * sum, cast → DECIMAL(38,s). */
   private def dsum(term: Column, scale: Int): Column =
@@ -310,31 +319,33 @@ object SparkEntry {
 
     // ----- LLM-pipeline: dedup -----
     "dedup_exact" -> ((s, d) => {
-      val docs = T(s, d, "documents")
+      val docs = TP(s, d, "documents")
       val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
       DedupOps.exact(doubled, "text", "doc_id").orderBy("keep_id")
     }),
     "dedup_minhash" -> ((s, d) => {
       // xxhash64-based → rows-only for the driver; pinned by ScalaTest
       DedupOps
-        .minhashDupPairs(T(s, d, "documents"), "text", "doc_id", threshold = 0.8)
+        .minhashDupPairs(TP(s, d, "documents"), "text", "doc_id", threshold = 0.8)
         .orderBy("a_id", "b_id")
     }),
     "dedup_simhash" -> ((s, d) => {
       DedupOps
-        .simhashDupPairs(T(s, d, "documents"), "text", "doc_id", maxHamming = 3)
+        .simhashDupPairs(TP(s, d, "documents"), "text", "doc_id", maxHamming = 3)
         .orderBy("a_id", "b_id")
     }),
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val docs = T(s, d, "documents")
+      val docs = TP(s, d, "documents")
       DedupOps
         .blockedJaccardPairs(docs, "text", "doc_id",
           blockCols = Seq(element_at(TextFunctions.tokens(col("text")), 1)),
-          threshold = 0.8)
+          threshold = 0.8,
+          carryCols = Seq("n_chars"),
+          pairFilter = abs(col("a.n_chars") - col("b.n_chars")) <= 30)
         .orderBy("a_id", "b_id")
     }),
     "dedup_embedding" -> ((s, d) => {
-      val vecs = T(s, d, "embeddings")
+      val vecs = TP(s, d, "embeddings")
         .select(col("vec_id"), col("label"), VectorFunctions.asDouble(col("embedding")).as("vec"))
       val scaled = vecs
         .withColumn("vec_id", col("vec_id") + 100000)
@@ -346,14 +357,14 @@ object SparkEntry {
 
     // ----- LLM-pipeline: similarity search -----
     "ann_bruteforce" -> ((s, d) => {
-      val vecs = T(s, d, "embeddings")
+      val vecs = TP(s, d, "embeddings")
         .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
       SimilarityOps
         .bruteForceTopK(vecs, vecs.filter(col("vec_id") < 8), "vec_id", "vec", k = 5)
         .orderBy("query_id", "rank")
     }),
     "ann_lsh" -> ((s, d) => {
-      val vecs = T(s, d, "embeddings")
+      val vecs = TP(s, d, "embeddings")
         .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
       SimilarityOps
         .lshTopK(vecs, vecs.filter(col("vec_id") < 8), "vec_id", "vec", k = 5)
@@ -362,7 +373,7 @@ object SparkEntry {
 
     // ----- LLM-pipeline: text analysis -----
     "text_tokens" -> ((s, d) => {
-      T(s, d, "documents")
+      TP(s, d, "documents")
         .select(
           col("doc_id"),
           TextFunctions.tokenCount(col("text")).cast("long").as("n_ws"),
@@ -371,7 +382,7 @@ object SparkEntry {
     }),
     "text_quality" -> ((s, d) => {
       val t = col("text")
-      T(s, d, "documents")
+      TP(s, d, "documents")
         .select(
           col("doc_id"),
           length(TextFunctions.normText(t)).cast("long").as("n_chars_norm"),
@@ -382,7 +393,7 @@ object SparkEntry {
     "text_langid" -> ((s, d) => {
       val t = col("text")
       val langs = Seq("en", "de", "es", "fr", "zh")
-      T(s, d, "documents")
+      TP(s, d, "documents")
         .select(
           col("doc_id") +:
             langs.map(l => TextFunctions.markerOverlap(t, TextFunctions.stopwords(l)).cast("long").as(s"s_$l")) :+
@@ -390,7 +401,7 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "text_fingerprint" -> ((s, d) => {
-      T(s, d, "documents")
+      TP(s, d, "documents")
         .select(
           col("doc_id"),
           TextFunctions.fingerprint(col("text")).as("fp"),
@@ -399,7 +410,7 @@ object SparkEntry {
     }),
     "text_shingles" -> ((s, d) => {
       val sh = TextFunctions.shingles(col("text"), 3)
-      T(s, d, "documents")
+      TP(s, d, "documents")
         .select(
           col("doc_id"),
           size(sh).cast("long").as("n_shingles"),
@@ -608,11 +619,12 @@ object SparkEntry {
            |SELECT md5($norm) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
            |FROM doubled GROUP BY content_hash ORDER BY keep_id""".stripMargin,
       "dedup_ngram_jaccard" ->
-        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-           |sh AS (SELECT doc_id, tk[1] AS tok1, list_distinct(${shingles("tk")}) AS s FROM t)
+        s"""WITH t AS (SELECT doc_id, n_chars, $toks AS tk FROM documents),
+           |sh AS (SELECT doc_id, n_chars, tk[1] AS tok1, list_distinct(${shingles("tk")}) AS s FROM t)
            |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            | len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jaccard
            |FROM sh a JOIN sh b ON a.tok1 = b.tok1 AND a.doc_id < b.doc_id
+           | AND abs(a.n_chars - b.n_chars) <= 30
            |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8
            |ORDER BY a_id, b_id""".stripMargin,
       "dedup_embedding" ->

@@ -210,19 +210,29 @@ object DedupOps {
     * blockCols, generate within-block pairs, verify Jaccard ≥ τ against
     * shingle sets materialized before the join. Fully SQL-expressible.
     */
+  /** @param pairFilter extra predicate over `a.*`/`b.*` carried columns
+    *        (e.g. a length-proximity guard) applied BEFORE the Jaccard
+    *        verify — high-Jaccard pairs are necessarily similar in length,
+    *        so this prunes most of the within-block pair enumeration.
+    * @param carryCols columns (from df) kept on each side for pairFilter
+    */
   def blockedJaccardPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       blockCols: Seq[Column],
       threshold: Double,
-      shingleSize: Int = 3
+      shingleSize: Int = 3,
+      carryCols: Seq[String] = Seq.empty,
+      pairFilter: Column = lit(true)
   ): DataFrame = {
-    val blocked = df.select(col(idCol).as("id"),
-      shingleSet(col(textCol), shingleSize).as("sh"),
-      struct(blockCols: _*).as("block"))
+    val blocked = df.select(
+      Seq(col(idCol).as("id"),
+        shingleSet(col(textCol), shingleSize).as("sh"),
+        struct(blockCols: _*).as("block")) ++ carryCols.map(col): _*)
     blocked.as("a")
-      .join(blocked.as("b"), col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .join(blocked.as("b"),
+        col("a.block") === col("b.block") && col("a.id") < col("b.id") && pairFilter)
       .withColumn("jaccard", jaccardSets(col("a.sh"), col("b.sh")))
       .filter(col("jaccard") >= threshold)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("jaccard"))

@@ -91,13 +91,18 @@ object SimilarityOps {
       blockCol: Column,
       threshold: Double
   ): DataFrame = {
+    // normalize ONCE per row so the per-pair work is a single dot product
+    // (norms recomputed per pair tripled the hot-loop cost)
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"), blockCol.as("block"))
+      .withColumn("nrm", norm(col("vec")))
+      .withColumn("unit", when(col("nrm") === 0, col("vec")).otherwise(transform(col("vec"), x => x / col("nrm"))))
+      .select("id", "unit", "block")
     v.as("a")
       .join(v.as("b"), col("a.block") === col("b.block") && col("a.id") < col("b.id"))
       .select(
         col("a.id").as("a_id"),
         col("b.id").as("b_id"),
-        round(cosine(col("a.vec"), col("b.vec")), 6).as("cosine")
+        round(dot(col("a.unit"), col("b.unit")), 6).as("cosine")
       )
       .filter(col("cosine") >= threshold)
   }
