@@ -263,6 +263,13 @@ object SparkEntry {
           "SELECT b, CAST(SUM(a) AS BIGINT) AS sum_a FROM source GROUP BY b ORDER BY b", "UTF-8")))
       p.resultView(s, "sink")
     }),
+    "pipeline_values" -> ((s, _) => {
+      // unnamed source defaults to view "source"; the implicit identity
+      // transform renames it to "sink" (reference ETL.run behavior)
+      val (p, _) = Pipeline.fromArgs(Seq(
+        "--source", "values:///?header=id:int,name,score:double&values=1,ada,9.5;2,bob,7.25"))
+      p.resultView(s, "sink").orderBy("id")
+    }),
     "pipeline_sql_file" -> ((s, d) => {
       val f = java.nio.file.Files.createTempFile("graft", ".sql")
       java.nio.file.Files.writeString(
@@ -585,6 +592,8 @@ object SparkEntry {
       "pipeline_sql" ->
         """SELECT b, CAST(SUM(a) AS BIGINT) AS sum_a
           |FROM (VALUES (1,'x'),(2,'y'),(3,'x')) t(a,b) GROUP BY b ORDER BY b""".stripMargin,
+      "pipeline_values" ->
+        """SELECT * FROM (VALUES (1,'ada',9.5),(2,'bob',7.25)) t(id, name, score) ORDER BY id""",
       "pipeline_sql_file" ->
         "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
       "pipeline_identity" -> "SELECT * FROM region ORDER BY r_regionkey",
