@@ -101,9 +101,20 @@ class FormatEndpoint(
   }
 }
 
-class FileFormatProvider(format: String, val schemes: Seq[String]) extends SchemeProvider {
+class FileFormatProvider(format: String, val schemes: Seq[String], guarded: Boolean = false)
+    extends SchemeProvider {
   override def apply(uri: ParsedUri): SparkSession => DfSource with DfSink = { spark =>
-    new FormatEndpoint(spark, format, uri.path, uri.queryParams, isStream = uri.scheme.endsWith("-stream"))
+    val inner = new FormatEndpoint(spark, format, uri.path, uri.queryParams, isStream = uri.scheme.endsWith("-stream"))
+    if (!guarded) inner
+    else
+      new DfSource with DfSink {
+        override def read(): DataFrame =
+          try inner.read()
+          catch { case scala.util.control.NonFatal(e) if isMissingClass(e) => throw new UnsupportedSourceInEnv(uri.scheme, e) }
+        override def write(df: DataFrame): Boolean =
+          try inner.write(df)
+          catch { case scala.util.control.NonFatal(e) if isMissingClass(e) => throw new UnsupportedSourceInEnv(uri.scheme, e) }
+      }
   }
 }
 
@@ -348,7 +359,7 @@ object SourceRegistry {
     new FileFormatProvider("parquet", Seq("parquet", "parquet-stream")),
     new FileFormatProvider("json", Seq("jsonfile", "jsonfile-stream")),
     new FileFormatProvider("orc", Seq("orc", "orc-stream")),
-    new FileFormatProvider("avro", Seq("avro", "avro-stream")),
+    new FileFormatProvider("avro", Seq("avro", "avro-stream"), guarded = true),
     new FileFormatProvider("csv", Seq("csv")),
     new FileFormatProvider("binaryFile", Seq("binary")),
     CatalogProvider,
