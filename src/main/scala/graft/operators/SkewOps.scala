@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers for keyed shuffles.
+  *
+  * AQE's skew-join handling covers sort-merge joins at runtime; these
+  * helpers cover the cases AQE doesn't: skewed AGGREGATIONS and
+  * broadcast-ineligible skewed joins, via explicit salting.
+  */
+object SkewOps {
+
+  /** Two-phase skewed aggregation: group by (key, salt) first (splits a
+    * hot key across `salt` reducers, map-side partial agg still applies),
+    * then re-aggregate per key. Works for any commutative re-aggregable
+    * set of (partial expression, final expression) pairs.
+    *
+    * Example: saltedAgg(df, Seq("k"), 16,
+    *   Seq(sum("v").as("s"), count(lit(1)).as("n")),
+    *   Seq(sum("s").as("s"), sum("n").as("n")))
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keyCols: Seq[String],
+      saltBuckets: Int,
+      partialAggs: Seq[Column],
+      finalAggs: Seq[Column]
+  ): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    salted
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(finalAggs.head, finalAggs.tail: _*)
+  }
+
+  /** Salted join of a skewed fact table against a dimension: the fact side
+    * gets a random-ish salt in [0, saltBuckets); the dim side is exploded
+    * ×saltBuckets so every (key, salt) bucket finds its dim row. The
+    * shuffle then spreads each hot key over saltBuckets reducers.
+    * Dim-side blowup is saltBuckets×|dim| — use for small-to-medium dims
+    * that exceed the broadcast threshold but have hot fact keys.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      keyCol: String,
+      saltBuckets: Int
+  ): DataFrame = {
+    val saltedFact = fact.withColumn(
+      "__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)).cast("int"))
+    val explodedDim = dim
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+      .withColumn("__salt", col("__salt").cast("int"))
+    saltedFact
+      .join(explodedDim, Seq(keyCol, "__salt"))
+      .drop("__salt")
+  }
+}

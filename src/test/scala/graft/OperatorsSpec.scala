@@ -295,3 +295,29 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(sampled.getSeq[Int](0) == Seq(0, 2, 4, 6, 8, 10))
   }
 }
+
+class SkewOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedAgg equals plain agg on skewed keys") {
+    val df = (Seq.fill(500)(("hot", 1.0)) ++ Seq(("cold", 2.0), ("cold", 3.0))).toDF("k", "v")
+    val out = SkewOps.saltedAgg(df, Seq("k"), 8,
+      partialAggs = Seq(org.apache.spark.sql.functions.sum("v").as("s"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n")),
+      finalAggs = Seq(org.apache.spark.sql.functions.sum("s").as("s"),
+        org.apache.spark.sql.functions.sum("n").as("n")))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ==
+      Seq(("cold", 5.0, 2L), ("hot", 500.0, 500L)))
+  }
+
+  test("saltedJoin equals plain join") {
+    val fact = (Seq.fill(200)(("hot", 1)) ++ Seq(("cold", 2))).toDF("k", "x")
+    val dim = Seq(("hot", "H"), ("cold", "C"), ("unused", "U")).toDF("k", "label")
+    val salted = SkewOps.saltedJoin(fact, dim, "k", 8)
+    val plain = fact.join(dim, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(salted.groupBy("label").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap ==
+      Map("H" -> 200L, "C" -> 1L))
+  }
+}
