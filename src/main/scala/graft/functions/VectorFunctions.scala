@@ -15,13 +15,22 @@ object VectorFunctions {
   /** Elementwise cast to double. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Σ aᵢ·bᵢ (left-to-right). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ (left-to-right) — native codegen'd expression (the HOF
+    * `aggregate(zip_with(...))` form is interpreted per element; the
+    * native loop is the hot path of ANN search and embedding dedup).
+    * Identical summation order → bit-identical results.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.GraftColumns
+    GraftColumns.column(DotProduct(GraftColumns.expression(asDouble(a)), GraftColumns.expression(asDouble(b))))
+  }
 
   /** ‖v‖₂. */
-  def norm(v: Column): Column =
-    sqrt(aggregate(transform(asDouble(v), x => x * x), lit(0.0), (acc, x) => acc + x))
+  def norm(v: Column): Column = {
+    import org.apache.spark.sql.graft.GraftColumns
+    val vd = GraftColumns.expression(asDouble(v))
+    sqrt(GraftColumns.column(DotProduct(vd, vd)))
+  }
 
   /** Cosine similarity; 0 when either vector is all-zero. */
   def cosine(a: Column, b: Column): Column = {

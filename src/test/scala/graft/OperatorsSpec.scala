@@ -321,3 +321,32 @@ class SkewOpsSpec extends SparkSpec {
       Map("H" -> 200L, "C" -> 1L))
   }
 }
+
+class DotProductExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native dot product matches HOF computation bit-for-bit") {
+    val df = Seq((Array(1.1, -2.2, 3.3), Array(0.5, 4.0, -1.25))).toDF("a", "b")
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+      .collect().head.getDouble(0)
+    val native = df.select(VectorFunctions.dot(col("a"), col("b"))).collect().head.getDouble(0)
+    assert(native == hof)
+    assert(native == 1.1 * 0.5 + -2.2 * 4.0 + 3.3 * -1.25)
+  }
+
+  test("graft_dot registers as a SQL function via SparkSessionExtensions") {
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions {})
+    // direct registry injection on the live session for the test
+    spark.sessionState.functionRegistry.registerFunction(
+      GraftExtensions.dotFunction._1, GraftExtensions.dotFunction._2, GraftExtensions.dotFunction._3)
+    val r = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect().head
+    assert(r.getDouble(0) == 11.0)
+  }
+
+  test("null and length-mismatch semantics") {
+    val df = spark.sql("SELECT CAST(NULL AS ARRAY<DOUBLE>) AS a, array(1.0d) AS b, array(1.0d, 2.0d) AS c")
+    assert(df.select(VectorFunctions.dot(col("a"), col("b"))).collect().head.isNullAt(0))
+    assert(df.select(VectorFunctions.dot(col("b"), col("c"))).collect().head.getDouble(0) == 1.0)
+  }
+}
