@@ -21,6 +21,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def runOnce(name: String): Double = {
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0 }

@@ -24,8 +24,13 @@ object RunOne {
           df.explain("formatted")
           println(f"=== $name explained in ${(System.nanoTime() - t0) / 1e9}%.1fs")
         }
-        val n = df.count()
-        println(f"[runone] $name%-24s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        if (sys.env.contains("NOOP")) {
+          df.write.format("noop").mode("overwrite").save()
+          println(f"[runone] $name%-24s noop     ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        } else {
+          val n = df.count()
+          println(f"[runone] $name%-24s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        }
       } catch {
         case e: Throwable =>
           println(f"[runone] $name%-24s FAILED ${(System.nanoTime() - t0) / 1e9}%.1fs ${e.getMessage.take(200)}")

@@ -344,11 +344,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => {
       val docs = TP(s, d, "documents")
       DedupOps
-        .blockedJaccardPairs(docs, "text", "doc_id",
-          blockCols = Seq(element_at(TextFunctions.tokens(col("text")), 1)),
-          threshold = 0.8,
-          carryCols = Seq("n_chars"),
-          pairFilter = abs(col("a.n_chars") - col("b.n_chars")) <= 30)
+        .lengthBandedJaccardPairs(docs, "text", "doc_id",
+          blockCol = element_at(TextFunctions.tokens(col("text")), 1),
+          lengthCol = "n_chars", maxLenDiff = 30, threshold = 0.8)
         .orderBy("a_id", "b_id")
     }),
     "dedup_embedding" -> ((s, d) => {
