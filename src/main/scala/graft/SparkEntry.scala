@@ -38,10 +38,14 @@ object SparkEntry {
   private def TP(s: SparkSession, dir: String, name: String): DataFrame =
     T(s, dir, name).repartition(s.sparkContext.defaultParallelism)
 
-  /** SUM of a per-row term, decimal-exact: cast term → DECIMAL(18,s),
-    * sum, cast → DECIMAL(38,s). */
+  /** SUM of a per-row term, decimal-exact internally (cast term →
+    * DECIMAL(18,s), sum — order-independent, bit-exact), emitted as DOUBLE:
+    * the decimal→double conversion is correctly rounded and deterministic
+    * in both Spark (BigDecimal.doubleValue) and DuckDB, so hashes agree,
+    * whereas DECIMAL output canonicalizes differently between a Spark
+    * parquet dump and a DuckDB result (round-1 driver hash failures). */
   private def dsum(term: Column, scale: Int): Column =
-    sum(term.cast(s"decimal(18,$scale)")).cast(s"decimal(38,$scale)")
+    sum(term.cast(s"decimal(18,$scale)")).cast(s"decimal(38,$scale)").cast("double")
 
   private def revenueTerm: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
@@ -452,7 +456,8 @@ object SparkEntry {
     def shingles(t: String) =
       s"(CASE WHEN len($t) <= 3 THEN [array_to_string($t, ' ')] " +
         s"ELSE list_transform(range(1, len($t)-1), i -> array_to_string($t[i:i+2], ' ')) END)"
-    val revenue = "CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6))"
+    val revenue =
+      "CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)"
     val stopAll = TextFunctions.stopwords.values.flatten.toSeq.distinct.sorted
       .map(w => s"'$w'").mkString("[", ", ", "]")
     def markers(l: String) =
@@ -465,9 +470,9 @@ object SparkEntry {
     Map(
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
-          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-          | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-          | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
+          | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+          | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+          | CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
           | ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)/COUNT(*), 4) AS avg_qty,
           | COUNT(*) AS count_order
           |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -493,7 +498,7 @@ object SparkEntry {
            |WHERE r_name = 'ASIA'
            |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
       "q6_selective_agg" ->
-        """SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue,
+        """SELECT CAST(CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
           | COUNT(*) AS n
           |FROM lineitem
           |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -516,9 +521,9 @@ object SparkEntry {
         """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
       "q11_having" ->
-        """SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        """SELECT l_partkey, CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
           |FROM lineitem GROUP BY l_partkey
-          |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) > 900
+          |HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) > 900
           |ORDER BY l_partkey""".stripMargin,
       "q12_case_agg" ->
         """SELECT l_linestatus,
@@ -542,16 +547,16 @@ object SparkEntry {
         """SELECT l_returnflag, l_linestatus,
           | CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
           | COUNT(*) AS n,
-          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+          | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
           |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
       "q16_pivot" ->
         """SELECT user_id % 10 AS cohort,
-          | CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'click') AS DECIMAL(38,2)) AS click,
-          | CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'error') AS DECIMAL(38,2)) AS error,
-          | CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'purchase') AS DECIMAL(38,2)) AS purchase,
-          | CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'signup') AS DECIMAL(38,2)) AS signup,
-          | CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'view') AS DECIMAL(38,2)) AS view
+          | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'click') AS DECIMAL(38,2)) AS DOUBLE) AS click,
+          | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'error') AS DECIMAL(38,2)) AS DOUBLE) AS error,
+          | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'purchase') AS DECIMAL(38,2)) AS DOUBLE) AS purchase,
+          | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'signup') AS DECIMAL(38,2)) AS DOUBLE) AS signup,
+          | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'view') AS DECIMAL(38,2)) AS DOUBLE) AS view
           |FROM events GROUP BY cohort ORDER BY cohort""".stripMargin,
       "q17_subquery" ->
         """SELECT p_partkey, p_brand, p_retailprice FROM (
@@ -582,7 +587,7 @@ object SparkEntry {
           |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
       "events_window_agg" ->
         """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us, COUNT(*) AS n_events,
-          | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+          | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
           |FROM events GROUP BY hour_us ORDER BY hour_us""".stripMargin,
       "events_json" ->
         """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k, COUNT(*) AS n

@@ -49,6 +49,19 @@ for name in sorted(oracle):
         c, i, x, y = mismatch
         print(f"VALUE    {name}: col={c} row={i} spark={x!r} duck={y!r} (types {type(x).__name__}/{type(y).__name__})")
         fail += 1
+        continue
+    # strict: value types must match too — the driver hashes a canonical
+    # serialization, so Decimal-vs-float or str-repr drift fails there even
+    # when pandas == succeeds (round-1 lesson: 8 DECIMAL queries)
+    twarn = []
+    for c in sc:
+        ax = next((v for v in a[c] if v is not None), None)
+        bx = next((v for v in b[c] if v is not None), None)
+        if ax is not None and bx is not None and type(ax).__name__ != type(bx).__name__:
+            twarn.append((c, type(ax).__name__, type(bx).__name__))
+    if twarn:
+        print(f"TYPEWARN {name}: {twarn} (values equal, repr may hash-differ in driver)")
+        fail += 1
     else:
         print(f"OK       {name} ({len(spark_df)} rows)"); ok += 1
 print(f"\n{ok} ok, {fail} fail; rows-only (no oracle): ", end="")
