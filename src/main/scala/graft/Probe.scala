@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.DedupOps
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: count MinHash candidate pairs / bucket-size distribution for
+  * a parameter combination (candidate-explosion hunting).
+  * Usage: Probe <sfDir> <shingleSize> <numBands> <rowsPerBand> */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, sh, nb, rpb) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val m = si.taskMetrics
+        println(f"[stage ${si.stageId}%3d] tasks=${si.numTasks}%3d run=${m.executorRunTime / 1000.0}%8.1fs " +
+          f"cpu=${m.executorCpuTime / 1e9}%8.1fs deser=${m.executorDeserializeTime / 1000.0}%6.1fs " +
+          f"${si.name.take(60)}")
+      }
+    })
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val t0 = System.nanoTime()
+    val cands = DedupOps.minhashCandidates(docs, "text", "doc_id", sh.toInt, nb.toInt, rpb.toInt)
+    println(s"candidates=${cands.count()} in ${(System.nanoTime() - t0) / 1e9}s")
+    val t1 = System.nanoTime()
+    val pairs = DedupOps.minhashDupPairs(docs, "text", "doc_id", 0.7, sh.toInt, nb.toInt, rpb.toInt)
+    println(s"verified=${pairs.count()} in ${(System.nanoTime() - t1) / 1e9}s")
+    if (sys.env.contains("EXPLAIN")) pairs.explain("formatted")
+    import org.apache.spark.sql.functions._
+    val sigs = DedupOps.minhashSignatures(docs, "text", "doc_id", sh.toInt, nb.toInt * rpb.toInt)
+      .select(col("id"), explode(transform(sequence(lit(0), lit(nb.toInt - 1)),
+        b => xxhash64(slice(col("sig"), b * rpb.toInt + 1, lit(rpb.toInt)), b))).as("band_key"))
+    val dist = sigs.groupBy("band_key").count()
+      .selectExpr("CASE WHEN count >= 64 THEN 64 ELSE count END AS sz")
+      .groupBy("sz").count().orderBy(org.apache.spark.sql.functions.desc("sz"))
+    dist.show(20, false)
+    spark.stop()
+  }
+}

@@ -15,7 +15,15 @@ object RunOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.isEmpty || args(0) == "all") SparkEntry.queries.keys.toSeq.sorted else args(0).split(",").toSeq
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def jitMs: Long = ManagementFactory.getCompilationMXBean.getTotalCompilationTime
+    def cpuMs: Long =
+      ManagementFactory.getOperatingSystemMXBean.asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        .getProcessCpuTime / 1000000
     names.foreach { name =>
+      val (gc0, jit0, cpu0) = (gcMs, jitMs, cpuMs)
       val t0 = System.nanoTime()
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
@@ -26,7 +34,8 @@ object RunOne {
         }
         if (sys.env.contains("NOOP")) {
           df.write.format("noop").mode("overwrite").save()
-          println(f"[runone] $name%-24s noop     ${(System.nanoTime() - t0) / 1e9}%.1fs")
+          println(f"[runone] $name%-24s noop     ${(System.nanoTime() - t0) / 1e9}%.1fs " +
+            f"gc=${(gcMs - gc0) / 1000.0}%.1fs jit=${(jitMs - jit0) / 1000.0}%.1fs cpu=${(cpuMs - cpu0) / 1000.0}%.1fs")
         } else {
           val n = df.count()
           println(f"[runone] $name%-24s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%.1fs")

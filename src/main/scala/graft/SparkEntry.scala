@@ -335,9 +335,14 @@ object SparkEntry {
       DedupOps.exact(doubled, "text", "doc_id").orderBy("keep_id")
     }),
     "dedup_minhash" -> ((s, d) => {
-      // xxhash64-based → rows-only for the driver; pinned by ScalaTest
+      // SQL-oracled: banding recall at j≥0.7 with 32 bands × 3 rows is
+      // 1-(1-0.7³)^32 ≈ 1-1.4e-6 per pair, so the verified output equals
+      // the full quadratic Jaccard pair set the DuckDB oracle computes.
+      // rows=2 was too loose here: background 2-gram jaccard ≈ 0.1 made
+      // ~10% of ALL pairs candidates (measured 91s/1778s CPU at sf0.1)
       DedupOps
-        .minhashDupPairs(TP(s, d, "documents"), "text", "doc_id", threshold = 0.8)
+        .minhashDupPairs(TP(s, d, "documents"), "text", "doc_id", threshold = 0.7,
+          shingleSize = 2, numBands = 32, rowsPerBand = 3)
         .orderBy("a_id", "b_id")
     }),
     "dedup_simhash" -> ((s, d) => {
@@ -346,21 +351,27 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val docs = TP(s, d, "documents")
+      // candidates from MinHash bands (no self-join, no skewed metadata
+      // block key), verified by exact 3-gram Jaccard ≥ 0.8; band recall
+      // 1-(1-0.8³)^16 ≈ 1-1e-5 per pair → output equals the quadratic
+      // Jaccard pair set the oracle computes
       DedupOps
-        .lengthBandedJaccardPairs(docs, "text", "doc_id",
-          blockCol = element_at(TextFunctions.tokens(col("text")), 1),
-          lengthCol = "n_chars", maxLenDiff = 30, threshold = 0.8)
+        .minhashDupPairs(TP(s, d, "documents"), "text", "doc_id", threshold = 0.8,
+          shingleSize = 3, numBands = 16, rowsPerBand = 3)
         .orderBy("a_id", "b_id")
     }),
     "dedup_embedding" -> ((s, d) => {
+      // LSH-bucket blocking (no label/metadata dependence): near-parallel
+      // vectors keep identical hyperplane signs, so every cosine≥0.999
+      // pair lands in a shared bucket and the output equals the quadratic
+      // cosine pair set the oracle computes
       val vecs = TP(s, d, "embeddings")
-        .select(col("vec_id"), col("label"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
       val scaled = vecs
         .withColumn("vec_id", col("vec_id") + 100000)
         .withColumn("vec", transform(col("vec"), x => x * 1.001))
       SimilarityOps
-        .embeddingDupPairs(vecs.unionByName(scaled), "vec_id", "vec", col("label"), threshold = 0.999)
+        .embeddingDupPairsLsh(vecs.unionByName(scaled), "vec_id", "vec", threshold = 0.999)
         .orderBy("a_id", "b_id")
     }),
 
@@ -381,49 +392,69 @@ object SparkEntry {
     }),
 
     // ----- LLM-pipeline: text analysis -----
+    // All text queries materialize (norm, tokens) ONCE as aliased columns
+    // in a staged select: an alias referenced more than once is not
+    // re-inlined by CollapseProject, so the regexp tokenizer runs once per
+    // row instead of once per use site and codegen classes stay small
+    // (round 1 inlined it up to ~10×/row).
     "text_tokens" -> ((s, d) => {
       TP(s, d, "documents")
+        .select(col("doc_id"), col("text"), TextFunctions.normText(col("text")).as("norm"))
+        .select(col("doc_id"), col("text"), TextFunctions.tokensFromNorm(col("norm")).as("tk"))
         .select(
           col("doc_id"),
-          TextFunctions.tokenCount(col("text")).cast("long").as("n_ws"),
+          size(col("tk")).cast("long").as("n_ws"),
           TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
         .orderBy("doc_id")
     }),
     "text_quality" -> ((s, d) => {
-      val t = col("text")
       TP(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.normText(col("text")).as("norm"))
+        .select(col("doc_id"), col("norm"), TextFunctions.tokensFromNorm(col("norm")).as("tk"))
         .select(
           col("doc_id"),
-          length(TextFunctions.normText(t)).cast("long").as("n_chars_norm"),
-          TextFunctions.punctCount(t).cast("long").as("punct_cnt"),
-          TextFunctions.qualityScore(t).as("quality_score"))
+          length(col("norm")).cast("long").as("n_chars_norm"),
+          TextFunctions.punctCountFromNorm(col("norm")).cast("long").as("punct_cnt"),
+          size(col("tk")).as("n_tok"),
+          TextFunctions.tokenHitsFromTokens(col("tk"), TextFunctions.allStopwords).as("stop_hits"))
+        .select(
+          col("doc_id"), col("n_chars_norm"), col("punct_cnt"),
+          TextFunctions.qualityScoreFrom(col("n_tok"), col("n_chars_norm"), col("punct_cnt"), col("stop_hits"))
+            .as("quality_score"))
         .orderBy("doc_id")
     }),
     "text_langid" -> ((s, d) => {
-      val t = col("text")
       val langs = Seq("en", "de", "es", "fr", "zh")
       TP(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.normText(col("text")).as("norm"))
+        .select(col("doc_id"), array_distinct(TextFunctions.tokensFromNorm(col("norm"))).as("dtk"))
         .select(
           col("doc_id") +:
-            langs.map(l => TextFunctions.markerOverlap(t, TextFunctions.stopwords(l)).cast("long").as(s"s_$l")) :+
-            TextFunctions.langId(t).as("lang_guess"): _*)
+            langs.map(l =>
+              TextFunctions.markerOverlapFromDistinct(col("dtk"), TextFunctions.stopwords(l))
+                .cast("long").as(s"s_$l")): _*)
+        .withColumn("lang_guess", TextFunctions.langIdFromScores(langs.map(l => l -> col(s"s_$l"))))
         .orderBy("doc_id")
     }),
     "text_fingerprint" -> ((s, d) => {
       TP(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.normText(col("text")).as("norm"))
+        .select(col("doc_id"), col("norm"), TextFunctions.tokensFromNorm(col("norm")).as("tk"))
         .select(
           col("doc_id"),
-          TextFunctions.fingerprint(col("text")).as("fp"),
-          TextFunctions.minShingleFingerprint(col("text"), 3).as("min_shingle_fp"))
+          md5(col("norm")).as("fp"),
+          array_min(transform(TextFunctions.shinglesFromTokens(col("tk"), 3), x => md5(x))).as("min_shingle_fp"))
         .orderBy("doc_id")
     }),
     "text_shingles" -> ((s, d) => {
-      val sh = TextFunctions.shingles(col("text"), 3)
       TP(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.normText(col("text")).as("norm"))
+        .select(col("doc_id"), TextFunctions.tokensFromNorm(col("norm")).as("tk"))
+        .select(col("doc_id"), TextFunctions.shinglesFromTokens(col("tk"), 3).as("sh"))
         .select(
           col("doc_id"),
-          size(sh).cast("long").as("n_shingles"),
-          size(array_distinct(sh)).cast("long").as("n_distinct_shingles"))
+          size(col("sh")).cast("long").as("n_shingles"),
+          size(array_distinct(col("sh"))).cast("long").as("n_distinct_shingles"))
         .orderBy("doc_id")
     }),
 
@@ -453,9 +484,20 @@ object SparkEntry {
     // shared SQL fragments (DuckDB dialect)
     val norm = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
     val toks = s"string_split($norm, ' ')"
-    def shingles(t: String) =
-      s"(CASE WHEN len($t) <= 3 THEN [array_to_string($t, ' ')] " +
-        s"ELSE list_transform(range(1, len($t)-1), i -> array_to_string($t[i:i+2], ' ')) END)"
+    // word n-gram shingles of token list t (DuckDB slice t[a:b] is
+    // 1-based inclusive; range(x, y) excludes y) — mirrors
+    // TextFunctions.shinglesFromTokens for any n
+    def shingles(t: String, n: Int = 3) =
+      s"(CASE WHEN len($t) <= $n THEN [array_to_string($t, ' ')] " +
+        s"ELSE list_transform(range(1, len($t)-${n - 2}), i -> array_to_string($t[i:i+${n - 1}], ' ')) END)"
+    def jaccardPairsSql(n: Int, threshold: Double) =
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(${shingles("tk", n)}) AS s FROM t)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         | ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 4) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= $threshold
+         |ORDER BY a_id, b_id""".stripMargin
     val revenue =
       "CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)"
     val stopAll = TextFunctions.stopwords.values.flatten.toSeq.distinct.sorted
@@ -630,23 +672,16 @@ object SparkEntry {
            | UNION ALL SELECT doc_id + 1000000, text FROM documents)
            |SELECT md5($norm) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
            |FROM doubled GROUP BY content_hash ORDER BY keep_id""".stripMargin,
-      "dedup_ngram_jaccard" ->
-        s"""WITH t AS (SELECT doc_id, n_chars, $toks AS tk FROM documents),
-           |sh AS (SELECT doc_id, n_chars, tk[1] AS tok1, list_distinct(${shingles("tk")}) AS s FROM t)
-           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           | len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jaccard
-           |FROM sh a JOIN sh b ON a.tok1 = b.tok1 AND a.doc_id < b.doc_id
-           | AND abs(a.n_chars - b.n_chars) <= 30
-           |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8
-           |ORDER BY a_id, b_id""".stripMargin,
+      "dedup_minhash" -> jaccardPairsSql(n = 2, threshold = 0.7),
+      "dedup_ngram_jaccard" -> jaccardPairsSql(n = 3, threshold = 0.8),
       "dedup_embedding" ->
-        s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+        s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
            |both_t AS (
-           | SELECT vec_id, label, vec FROM base
-           | UNION ALL SELECT vec_id + 100000, label, list_transform(vec, x -> x*1.001) FROM base)
+           | SELECT vec_id, vec FROM base
+           | UNION ALL SELECT vec_id + 100000, list_transform(vec, x -> x*1.001) FROM base)
            |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            | ROUND($dotExpr / (${normExpr("a")} * ${normExpr("b")}), 6) AS cosine
-           |FROM both_t a JOIN both_t b ON a.label = b.label AND a.vec_id < b.vec_id
+           |FROM both_t a JOIN both_t b ON a.vec_id < b.vec_id
            |WHERE ROUND($dotExpr / (${normExpr("a")} * ${normExpr("b")}), 6) >= 0.999
            |ORDER BY a_id, b_id""".stripMargin,
       "ann_bruteforce" ->

@@ -25,14 +25,18 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot"
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType) = t match {
-      case ArrayType(DoubleType, _) => true
-      case _                        => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    if (SketchExpressions.isVec(left.dataType) && SketchExpressions.isVec(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_dot requires two array<double> arguments, got ${left.dataType.sql} and ${right.dataType.sql}")
+      s"graft_dot requires two array<float|double> arguments, got ${left.dataType.sql} and ${right.dataType.sql}")
   }
+
+  // accepting float arrays directly matters: wrapping the hot path in a
+  // `transform(v, cast)` HOF puts an interpreted per-element allocation on
+  // EVERY candidate pair once the similarity filter is pushed into a join
+  // condition (measured ~266 µs/pair vs ~0.1 µs for this loop)
+  private lazy val leftFloat = SketchExpressions.isFloatVec(left.dataType)
+  private lazy val rightFloat = SketchExpressions.isFloatVec(right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -41,7 +45,9 @@ case class DotProduct(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += x.getDouble(i) * y.getDouble(i)
+      val xi = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xi * yi
       i += 1
     }
     s
@@ -52,11 +58,13 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val gx = if (leftFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val gy = if (rightFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |  $s += $gx * $gy;
          |}
          |${ev.value} = $s;
        """.stripMargin

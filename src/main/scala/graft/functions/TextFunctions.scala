@@ -17,10 +17,17 @@ object TextFunctions {
   /** Lowercased, whitespace-normalized text. */
   def normText(c: Column): Column = lower(regexp_replace(trim(c), "\\s+", " "))
 
+  /** Whitespace tokens of an ALREADY-normalized text column. Queries that
+    * need several token-derived outputs should materialize `normText` once
+    * (an alias referenced more than once is not re-inlined by
+    * CollapseProject — the regexp pipeline then runs once per row instead
+    * of once per use site, and the per-column expression trees stay small
+    * enough that codegen classes don't bloat). */
+  def tokensFromNorm(norm: Column): Column =
+    when(length(norm) === 0, array().cast("array<string>")).otherwise(split(norm, " "))
+
   /** Whitespace tokens of the normalized text; empty text → empty array. */
-  def tokens(c: Column): Column =
-    when(length(normText(c)) === 0, array().cast("array<string>"))
-      .otherwise(split(normText(c), " "))
+  def tokens(c: Column): Column = tokensFromNorm(normText(c))
 
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
@@ -32,11 +39,8 @@ object TextFunctions {
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
 
-  /** Word n-gram shingles over whitespace tokens (n ≥ 1). Documents with
-    * fewer than n tokens yield a single shingle of all tokens.
-    */
-  def shingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
+  /** Word n-gram shingles over a PRECOMPUTED token array column. */
+  def shinglesFromTokens(t: Column, n: Int): Column =
     when(size(t) <= n, array(concat_ws(" ", t)))
       .otherwise(
         transform(
@@ -44,7 +48,11 @@ object TextFunctions {
           i => concat_ws(" ", slice(t, i, lit(n)))
         )
       )
-  }
+
+  /** Word n-gram shingles over whitespace tokens (n ≥ 1). Documents with
+    * fewer than n tokens yield a single shingle of all tokens.
+    */
+  def shingles(c: Column, n: Int): Column = shinglesFromTokens(tokens(c), n)
 
   /** Whole-document fingerprint: md5 of normalized text (stable across
     * engines; exact-dup detector key).
@@ -67,44 +75,69 @@ object TextFunctions {
     "zh" -> Seq("的", "了", "是", "我", "不", "在", "人", "有", "他", "这")
   )
 
-  /** Number of tokens that are in `words` (with repeats). */
-  def tokenHits(c: Column, words: Seq[String]): Column = {
+  /** Number of elements of a precomputed token array in `words`. */
+  def tokenHitsFromTokens(t: Column, words: Seq[String]): Column = {
     val wordArr = array(words.map(lit): _*)
-    size(filter(tokens(c), t => array_contains(wordArr, t)))
+    size(filter(t, x => array_contains(wordArr, x)))
   }
+
+  /** Number of tokens that are in `words` (with repeats). */
+  def tokenHits(c: Column, words: Seq[String]): Column =
+    tokenHitsFromTokens(tokens(c), words)
+
+  /** Distinct-marker overlap with `words` over a precomputed DISTINCT
+    * token array (langid computes 5 overlaps — distinct once, not 5×). */
+  def markerOverlapFromDistinct(dt: Column, words: Seq[String]): Column =
+    size(array_intersect(dt, array(words.map(lit): _*)))
 
   /** Distinct-marker overlap with `words` (used by langid scoring). */
   def markerOverlap(c: Column, words: Seq[String]): Column =
-    size(array_intersect(array_distinct(tokens(c)), array(words.map(lit): _*)))
+    markerOverlapFromDistinct(array_distinct(tokens(c)), words)
+
+  /** Language guess from PRECOMPUTED per-language marker-overlap columns,
+    * in (language, score) order; deterministic fixed priority on ties,
+    * "und" when no markers hit. */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((l, s), els) => when(s === best && best > 0, lit(l)).otherwise(els) }
+  }
 
   /** Language guess from stopword-marker overlap; deterministic fixed
     * priority (en, de, es, fr, zh) on ties, "und" when no markers hit.
     */
   def langId(c: Column): Column = {
     val order = Seq("en", "de", "es", "fr", "zh")
-    val scores = order.map(l => l -> markerOverlap(c, stopwords(l))).toMap
-    val best = order.map(scores).reduce((a, b) => greatest(a, b))
-    order
-      .foldRight(lit("und")) { case (l, els) => when(scores(l) === best && best > 0, lit(l)).otherwise(els) }
+    langIdFromScores(order.map(l => l -> markerOverlap(c, stopwords(l))))
   }
 
   private val punctPattern = "[^a-z0-9\\sà-ÿ一-鿿]"
 
+  /** Punctuation character count on a precomputed normalized-text column. */
+  def punctCountFromNorm(norm: Column): Column =
+    length(norm) - length(regexp_replace(norm, punctPattern, ""))
+
   /** Punctuation character count on normalized text. */
-  def punctCount(c: Column): Column =
-    length(normText(c)) - length(regexp_replace(normText(c), punctPattern, ""))
+  def punctCount(c: Column): Column = punctCountFromNorm(normText(c))
+
+  /** Composite quality score from PRECOMPUTED component columns:
+    * 0.4·min(tokens/50,1) + 0.3·(1−punct_ratio) + 0.3·stopword_ratio.
+    * Raw double (no rounding): identical arithmetic across engines. */
+  def qualityScoreFrom(nTok: Column, nChars: Column, punct: Column, stopHits: Column): Column = {
+    val nT = nTok.cast("double")
+    val nC = nChars.cast("double")
+    val punctRatio = when(nC === 0, 0d).otherwise(punct.cast("double") / nC)
+    val stopRatio = when(nT === 0, 0d).otherwise(stopHits.cast("double") / nT)
+    lit(0.4) * least(nT / 50d, lit(1d)) + lit(0.3) * (lit(1d) - punctRatio) + lit(0.3) * stopRatio
+  }
 
   /** Quality score components + composite in [0,1]:
     * 0.4·min(tokens/50,1) + 0.3·(1−punct_ratio) + 0.3·stopword_ratio.
     */
   def qualityScore(c: Column): Column = {
-    val nTok = tokenCount(c).cast("double")
-    val nChars = length(normText(c)).cast("double")
-    val punctRatio = when(nChars === 0, 0d).otherwise(punctCount(c) / nChars)
     val allStops = stopwords.values.flatten.toSeq.distinct.sorted
-    val stopRatio = when(nTok === 0, 0d).otherwise(tokenHits(c, allStops).cast("double") / nTok)
-    // raw double (no rounding): the arithmetic is identical across engines,
-    // while rounding could disagree exactly at representable boundaries
-    lit(0.4) * least(nTok / 50d, lit(1d)) + lit(0.3) * (lit(1d) - punctRatio) + lit(0.3) * stopRatio
+    qualityScoreFrom(tokenCount(c), length(normText(c)), punctCount(c), tokenHits(c, allStops))
   }
+
+  /** All embedded stopwords (the quality score's marker list). */
+  def allStopwords: Seq[String] = stopwords.values.flatten.toSeq.distinct.sorted
 }

@@ -18,17 +18,20 @@ object VectorFunctions {
   /** Σ aᵢ·bᵢ (left-to-right) — native codegen'd expression (the HOF
     * `aggregate(zip_with(...))` form is interpreted per element; the
     * native loop is the hot path of ANN search and embedding dedup).
-    * Identical summation order → bit-identical results.
+    * Accepts array<float|double> directly — no `transform` cast wrapper,
+    * which would run interpreted per candidate PAIR once a similarity
+    * filter is pushed into a join condition. Identical summation order →
+    * bit-identical results across engines.
     */
   def dot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.GraftColumns
-    GraftColumns.column(DotProduct(GraftColumns.expression(asDouble(a)), GraftColumns.expression(asDouble(b))))
+    GraftColumns.column(DotProduct(GraftColumns.expression(a), GraftColumns.expression(b)))
   }
 
   /** ‖v‖₂. */
   def norm(v: Column): Column = {
     import org.apache.spark.sql.graft.GraftColumns
-    val vd = GraftColumns.expression(asDouble(v))
+    val vd = GraftColumns.expression(v)
     sqrt(GraftColumns.column(DotProduct(vd, vd)))
   }
 
@@ -40,24 +43,14 @@ object VectorFunctions {
 
   /** Random-hyperplane LSH bucket: `nBits`-bit signature from the sign of
     * projections onto pseudo-random hyperplanes. The "hyperplanes" are
-    * derived deterministically from (bit, dim) via a hash → [-1,1) weight,
-    * so executors need no broadcast state and replays are stable.
+    * derived deterministically from (seed, bit, dim) via a hash → [-1,1)
+    * weight, so executors need no broadcast state and replays are stable.
+    * Native expression (SketchKernels.hyperplaneBucket): the HOF
+    * formulation evaluated nBits×nTables interpreted projections with a
+    * per-element xxhash64 Column chain — ~48 interpreted passes per row.
     */
   def hyperplaneBucket(v: Column, nBits: Int, seed: Int = 0): Column = {
-    val vd = asDouble(v)
-    val bits = (0 until nBits).map { b =>
-      // projection = Σ_i w(seed,b,i)·v_i with w in [-1,1) from xxhash64
-      val proj = aggregate(
-        zip_with(
-          vd,
-          sequence(lit(0), size(vd) - 1),
-          (x, i) => x * (pmod(xxhash64(lit(seed), lit(b), i), lit(2000001L)).cast("double") / 1000000d - 1d)
-        ),
-        lit(0.0),
-        (acc, x) => acc + x
-      )
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    import org.apache.spark.sql.graft.GraftColumns
+    GraftColumns.column(HyperplaneBucket(GraftColumns.expression(v), nBits, seed))
   }
 }

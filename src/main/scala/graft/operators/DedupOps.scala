@@ -1,9 +1,11 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
+import graft.functions.{HashedShingles, MinHashSignature, SimHash64}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftColumns
 
 /** Deduplication operators for document corpora.
   *
@@ -42,10 +44,12 @@ object DedupOps {
 
   /** Distinct shingle set as 64-bit hashes: set operations on longs are
     * ~an order of magnitude cheaper than on shingle strings, and |A∩B| is
-    * preserved (64-bit collisions are ~1e-9 at corpus scale).
+    * preserved (64-bit collisions are ~1e-9 at corpus scale). Native
+    * kernel — the token chain is evaluated once per row, not once per
+    * shingle as the nested-HOF formulation did under interpretation.
     */
   def hashedShingleSet(text: Column, n: Int): Column =
-    array_distinct(transform(shingles(text, n), s => xxhash64(s)))
+    GraftColumns.column(HashedShingles(GraftColumns.expression(tokens(text)), n))
 
   /** Jaccard similarity between two PRECOMPUTED distinct-element arrays.
     * Callers must materialize the shingle sets as columns before any join:
@@ -58,30 +62,31 @@ object DedupOps {
     when(union === 0, 0d).otherwise(inter / union)
   }
 
-  /** Per-doc MinHash signatures as k min-aggregate columns over exploded
-    * shingle hashes: explode(shingles) → hash each shingle string ONCE →
-    * groupBy(id) with k tiny min(xxhash64(h, i)) aggregates.
+  /** Per-doc MinHash signature via the native `MinHashSignature`
+    * expression over the hashed shingle set: one map-side projection, NO
+    * shuffle and no explode — each doc's k-minima are computed in a tight
+    * precompiled loop (SketchKernels.minhashSig).
     *
-    * Why this shape: deriving the signature as one nested expression makes
-    * CollapseProject inline the whole tokenize→shingle→hash chain into a
-    * single ~10⁴-node tree that the optimizer chews on for minutes. The
-    * aggregation is a hard optimizer barrier, each expression stays tiny,
-    * map-side partial min applies, and the shuffle carries only
-    * (id, 8-byte hash) rows — the standard scalable MinHash plan.
-    * Output: (id, sig array<long> of length k).
+    * History: round 1 used explode→groupBy(id) with k min-aggregates to
+    * defeat CollapseProject's ~10⁴-node inlining; that shape was correct
+    * but its k-wide generated aggregate code backed up HotSpot's C2 queue
+    * badly enough to slow unrelated queries in the same JVM. The native
+    * expression keeps the plan a pure scan→project (the ideal 100 TB
+    * shape) AND keeps generated code one line. Output: (id, sig).
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String, shingleSize: Int, k: Int): DataFrame =
-    df.select(col(idCol).as("id"), explode(shingleSet(col(textCol), shingleSize)).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
-      .groupBy("id")
-      .agg(min(xxhash64(col("h"), lit(0))).as("m0"),
-        (1 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
-      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    df.select(col(idCol).as("id"), hashedShingleSet(col(textCol), shingleSize).as("sh"))
+      .select(col("id"), minhashSigCol(col("sh"), k).as("sig"))
+
+  /** Native MinHash signature column over a precomputed array<long> of
+    * element hashes. */
+  def minhashSigCol(hashedSet: Column, k: Int): Column =
+    GraftColumns.column(MinHashSignature(GraftColumns.expression(hashedSet), k))
 
   /** All (a,b) pairs (a<b by the array sort order) from a collected
     * per-bucket array column — pair generation without a self-join.
     */
-  private def bucketPairs(arr: Column): Column =
+  private[operators] def bucketPairs(arr: Column): Column =
     flatten(
       transform(
         sequence(lit(1), size(arr) - 1),
@@ -152,34 +157,15 @@ object DedupOps {
   def minhashDropIds(df: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame =
     minhashDupPairs(df, textCol, idCol, threshold).select(col("b_id").as("drop_id")).distinct()
 
-  /** Per-doc 64-bit SimHash: explode tokens → hash once → groupBy(id)
-    * with 64 small ±1-sum aggregates, then assemble the sign bits into a
-    * long. Same rationale as minhashSignatures: aggregation barrier keeps
-    * expression trees tiny and the plan scalable. Output: (id, sig long).
+  /** Per-doc 64-bit SimHash via the native `SimHash64` expression: one
+    * map-side projection, no explode/groupBy shuffle, tight precompiled
+    * loop (SketchKernels.simhash — int counters, so the round-1 16-bit
+    * lane-overflow caveat is gone). Output: (id, sig long).
     */
-  def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // 64 sign counters packed 4-per-long in 16-bit lanes: one groupBy with
-    // 16 flat long SUM aggregates + a count. Flat shift/mask expressions
-    // keep generated code small (a 64-wide zip_with variant spent ~50s in
-    // Janino per stage); lanes hold counts ≤ 65535 (doc token counts).
-    val lanes = 4
-    val groups = 16
-    val packed = (0 until groups).map { g =>
-      val lane = (0 until lanes).map { l =>
-        shiftleft(shiftright(col("h"), g * lanes + l).bitwiseAND(1), 16 * l)
-      }.reduce(_ + _)
-      sum(lane).as(s"p$g")
-    }
-    val bitCols = (0 until 64).map { j =>
-      val cnt = shiftright(col(s"p${j / lanes}"), 16 * (j % lanes)).bitwiseAND(0xffffL)
-      when(cnt * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
-    }
-    df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-      .groupBy("id")
-      .agg(count(lit(1)).as("n"), packed: _*)
-      .select(col("id"), bitCols.reduce((a, b) => a.bitwiseOR(b)).as("sig"))
-  }
+  def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      GraftColumns.column(SimHash64(GraftColumns.expression(tokens(col(textCol))))).as("sig"))
 
   /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
     * chunks (any exact chunk match → candidate; guarantees recall for

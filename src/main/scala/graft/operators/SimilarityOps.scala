@@ -80,9 +80,59 @@ object SimilarityOps {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Unit-normalized (id, unit) projection: normalize ONCE per row so all
+    * per-pair work downstream is a single native dot product. */
+  private def unitVectors(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", norm(col("vec")))
+      .withColumn("unit", when(col("nrm") === 0, col("vec")).otherwise(transform(col("vec"), x => x / col("nrm"))))
+      .select("id", "unit")
+
+  /** Embedding near-duplicate pairs blocked by random-hyperplane LSH —
+    * the 100 TB path: no self-join, no label/metadata dependence.
+    *
+    * Plan shape: (1) one scan computing unit vectors + nTables native
+    * bucket signatures; (2) one shuffle on (table, bucket); (3) pair
+    * generation inside collect_list buckets (capped); (4) distinct
+    * candidate edges verified by ONE native dot product per pair against
+    * unit vectors re-attached by id. Near-parallel pairs (cosine ≥ ~0.99)
+    * keep identical sign patterns under scaling, so recall at dedup
+    * thresholds is effectively total; raise nTables for looser τ.
+    */
+  def embeddingDupPairsLsh(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nBits: Int = 12,
+      nTables: Int = 4,
+      maxBucketSize: Int = 1024
+  ): DataFrame = {
+    val v = unitVectors(vectors, idCol, vecCol)
+    val banded = v.select(
+      col("id"),
+      explode(array((0 until nTables).map { t =>
+        struct(lit(t).as("tbl"), hyperplaneBucket(col("unit"), nBits, seed = t).as("bkt"))
+      }: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl"), col("tb.bkt"))
+    val cands = banded
+      .groupBy("tbl", "bkt")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(DedupOps.bucketPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .distinct()
+    cands
+      .join(v.select(col("id").as("a_id"), col("unit").as("ua")), "a_id")
+      .join(v.select(col("id").as("b_id"), col("unit").as("ub")), "b_id")
+      .withColumn("cosine", round(dot(col("ua"), col("ub")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ τ within blocks. Blocks keep
-    * pair generation bounded (at scale: LSH bucket; here: any grouping
-    * column such as a cluster label or coarse quantization cell).
+    * pair generation bounded (at scale: use `embeddingDupPairsLsh`; this
+    * variant suits an existing cluster label or coarse quantization cell).
     */
   def embeddingDupPairs(
       vectors: DataFrame,
