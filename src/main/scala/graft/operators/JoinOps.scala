@@ -37,21 +37,31 @@ object JoinOps {
       rightTime: String,
       rightCols: Map[String, String]
   ): DataFrame = {
+    import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
     val leftCols = left.columns.toSeq
     val carried = rightCols.toSeq.sortBy(_._2)
 
-    // shared schema: keys, __t, __is_left, left payload (nulls on right rows), carried right cols
+    // All carried right columns travel as ONE nullable struct (plus an
+    // always-true presence flag) so a single last(ignoreNulls) fill is
+    // row-atomic: a right row whose carried values are genuinely NULL is
+    // still "the latest row ≤ t" (the flag keeps its struct non-null), and
+    // multiple carried columns can never mix values from different rows.
+    val rStructType = StructType(
+      StructField("__present", BooleanType, nullable = false) +:
+        carried.map { case (c, alias) => right.schema(c).copy(name = alias) })
+
+    // shared schema: keys, __t, __is_left, left payload (nulls on right rows), carried struct
     val lTagged = left.select(
       keyCols.map(col) ++
         Seq(col(leftTime).as("__t"), lit(1).as("__is_left")) ++
-        leftCols.filterNot(keyCols.contains).map(c => col(c).as(s"__l_$c")) ++
-        carried.map { case (_, alias) => lit(null).as(s"__r_$alias") }: _*
+        leftCols.filterNot(keyCols.contains).map(c => col(c).as(s"__l_$c")) :+
+        lit(null).cast(rStructType).as("__r"): _*
     )
     val rTagged = right.select(
       keyCols.map(col) ++
         Seq(col(rightTime).as("__t"), lit(0).as("__is_left")) ++
-        leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
-        carried.map { case (c, alias) => col(c).as(s"__r_$alias") }: _*
+        leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) :+
+        struct(lit(true).as("__present") +: carried.map { case (c, alias) => col(c).as(alias) }: _*).as("__r"): _*
     )
     val unioned = lTagged.unionByName(rTagged)
 
@@ -61,17 +71,14 @@ object JoinOps {
       .orderBy(col("__t").asc, col("__is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = carried.foldLeft(unioned) { case (df, (_, alias)) =>
-      df.withColumn(s"__r_$alias", last(col(s"__r_$alias"), ignoreNulls = true).over(w))
-    }
-
-    filled
+    unioned
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__is_left") === 1)
       .select(
         keyCols.map(col) ++
           Seq(col("__t").as(leftTime)) ++
           leftCols.filterNot(c => keyCols.contains(c) || c == leftTime).map(c => col(s"__l_$c").as(c)) ++
-          carried.map { case (_, alias) => col(s"__r_$alias").as(alias) }: _*
+          carried.map { case (_, alias) => col(s"__r.$alias").as(alias) }: _*
       )
   }
 

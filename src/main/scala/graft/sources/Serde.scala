@@ -38,15 +38,18 @@ final class JsonSerde(schema: Option[StructType]) extends Serde {
 }
 
 object Serde {
-  /** `json`, `json:<json-encoded StructType>`, `none`. Avro requires the
-    * spark-avro connector (absent in this container) → clear error. */
+  /** `json`, `json:<json-encoded StructType>`, `avro:<schema file or
+    * inline JSON>`, `none`. The avro schema parses and plans everywhere;
+    * its binary codec needs the spark-avro connector module and degrades
+    * to UnsupportedSourceInEnv when absent. */
   def apply(name: String): Serde = name.split(":", 2) match {
     case Array("none")         => NoneSerde
     case Array("json")         => new JsonSerde(None)
     case Array("json", schema) =>
       new JsonSerde(Some(DataType.fromJson(graft.pipeline.Uris.decode(schema)).asInstanceOf[StructType]))
-    case Array("avro", _*) =>
-      throw new UnsupportedSourceInEnv("serde=avro (spark-avro connector not on classpath)")
+    case Array("avro", spec)   => AvroSchemaSerde(spec)
+    case Array("avro") =>
+      throw new IllegalArgumentException("serde=avro requires a schema: avro:<path.avsc|url-encoded json>")
     case _ => throw new IllegalArgumentException(s"unknown serde '$name'")
   }
 }

@@ -82,23 +82,36 @@ class FormatEndpoint(
       spark.read.format(format).options(passOptions).load(path)
     }
 
-  override def write(df: DataFrame): Boolean = {
-    if (df.isStreaming) {
-      val w0 = df.writeStream.format(format).options(passOptions)
-      val w = options.get("trigger-interval").foldLeft(w0) { (w, iv) =>
-        w.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(iv))
+  override def write(df: DataFrame): Boolean =
+    // non-fatal write failure → false, so the ETL runner can report
+    // "Writing to sink failed" and stop at the first failing sink instead
+    // of crashing (reference ParquetDataFrameIO.write:1-20 contract);
+    // missing-connector errors still escalate to UnsupportedSourceInEnv
+    // in the guarded providers, which wrap BEFORE this catch
+    try {
+      if (df.isStreaming) {
+        val w0 = df.writeStream.format(format).options(passOptions)
+        val w = options.get("trigger-interval").foldLeft(w0) { (w, iv) =>
+          w.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(iv))
+        }
+        w.start(path)
+      } else {
+        val w0 = df.write.mode(writeMode).format(format).options(passOptions)
+        val w = options.get("partitionBy") match {
+          case Some(cols) => w0.partitionBy(cols.split(",").toIndexedSeq: _*)
+          case None       => w0
+        }
+        w.save(path)
       }
-      w.start(path)
-    } else {
-      val w0 = df.write.mode(writeMode).format(format).options(passOptions)
-      val w = options.get("partitionBy") match {
-        case Some(cols) => w0.partitionBy(cols.split(",").toIndexedSeq: _*)
-        case None       => w0
-      }
-      w.save(path)
+      true
+    } catch {
+      case e: UnsupportedSourceInEnv => throw e
+      case scala.util.control.NonFatal(e) if UnsupportedSourceInEnv.isMissingClass(e) =>
+        throw e // guarded providers rewrap as UnsupportedSourceInEnv
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] write to $format://$path failed: ${e.getMessage}")
+        false
     }
-    true
-  }
 }
 
 class FileFormatProvider(format: String, val schemes: Seq[String], guarded: Boolean = false)
@@ -168,6 +181,12 @@ object ValuesProvider extends SchemeProvider {
     new DfSource with DfSink {
       override def read(): DataFrame = {
         val schema = StructType(header)
+        rows.zipWithIndex.foreach { case (r, i) =>
+          // zip would silently truncate a short row → Row arity below the
+          // declared schema → a confusing downstream failure; fail up front
+          require(r.length == header.length,
+            s"values row ${i + 1} has ${r.length} fields but header declares ${header.length}: '${r.mkString(",")}'")
+        }
         val typed = rows.map { r =>
           Row.fromSeq(header.zip(r).map { case (f, v) =>
             f.dataType match {
@@ -335,18 +354,6 @@ object ExcelProvider extends SchemeProvider {
       override def write(df: DataFrame): Boolean =
         try inner.write(df)
         catch { case e: Throwable => throw new UnsupportedSourceInEnv(uri.scheme, e) }
-    }
-  }
-}
-
-/** solr:///collection?batchSize=n — Solr client absent; plumbing kept
-  * (ref SolrDataFrameSourceSink.scala writes batched docs per partition). */
-object SolrProvider extends SchemeProvider {
-  val schemes = Seq("solr")
-  override def apply(uri: ParsedUri): SparkSession => DfSource with DfSink = { _ =>
-    new DfSource with DfSink {
-      override def read(): DataFrame = throw new UnsupportedSourceInEnv("solr")
-      override def write(df: DataFrame): Boolean = throw new UnsupportedSourceInEnv("solr")
     }
   }
 }

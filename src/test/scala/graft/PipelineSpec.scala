@@ -121,10 +121,10 @@ class SerdeSpec extends SparkSpec {
     assert(back.getAs[Long]("id") == 5L && back.getAs[String]("name") == "x")
   }
 
-  test("none serde is identity; avro serde reports missing connector") {
+  test("none serde is identity; avro serde requires a schema spec") {
     import spark.implicits._
     val df = Seq(1).toDF("a")
     assert(Serde("none").serialize(df) eq df)
-    intercept[UnsupportedSourceInEnv] { Serde("avro") }
+    intercept[IllegalArgumentException] { Serde("avro") }
   }
 }
