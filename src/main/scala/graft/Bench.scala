@@ -32,10 +32,19 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // Each query runs twice: the first run carries its one-time plan/
+    // codegen/JIT cost ("cold" — the round-1 comparable number), the
+    // second is steady-state ("warm" — what a long-lived cluster session
+    // pays per query). Headline total stays the cold sum.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(n => (n, runOnce(n), runOnce(n)))
+    def jmap(f: ((String, Double, Double)) => Double) =
+      results.map(r => "\"" + r._1 + "\":" + f"${f(r)}%.3f").mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalWarm = results.map(_._3).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+      s""""queries":${jmap(_._2)},"queries_warm":${jmap(_._3)},""" +
+      s""""total_warm":${f"$totalWarm%.3f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -220,12 +220,29 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
     "q20_approx" -> ((s, d) => {
-      // approx sketches: rows-only check (algorithms differ across engines)
-      T(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          expr("approx_percentile(l_extendedprice, 0.5)").as("approx_p50"))
+      // approx sketch values differ across engines, so the DRIVER-checked
+      // output is (exact count distinct, sketch-within-bounds booleans):
+      // the exact column is fully SQL-verifiable and the booleans pin the
+      // sketches against their own error guarantees (HLL rsd 5% → 15%
+      // margin; approx_percentile at default accuracy → p40..p60 window)
+      // two separate aggregations joined on the group key: mixing
+      // countDistinct with multiple percentile buffers in ONE agg forces
+      // the distinct-rewrite Expand through the object-hash aggregate
+      // (measured 375s at sf0.1); split, each is a normal 1-2s shape
+      val li = T(s, d, "lineitem")
+      val counts = li.groupBy("l_returnflag").agg(
+        countDistinct(col("l_partkey")).as("n_parts_exact"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      val pcts = li.groupBy("l_returnflag").agg(
+        expr("approx_percentile(l_extendedprice, 0.5)").as("approx_p50"),
+        expr("percentile(l_extendedprice, 0.40)").as("p40"),
+        expr("percentile(l_extendedprice, 0.60)").as("p60"))
+      counts.join(pcts, "l_returnflag")
+        .select(
+          col("l_returnflag"),
+          col("n_parts_exact"),
+          (abs(col("approx_parts") - col("n_parts_exact")) <= col("n_parts_exact") * 0.15).as("parts_ok"),
+          col("approx_p50").between(col("p40"), col("p60")).as("p50_ok"))
         .orderBy("l_returnflag")
     }),
     "asof_join" -> ((s, d) => {
@@ -384,11 +401,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     "ann_lsh" -> ((s, d) => {
+      // LSH result rows depend on the hash buckets (not SQL-replicable),
+      // so the DRIVER-checked output is the recall-vs-brute-force
+      // invariant as data: one row the DuckDB oracle states as constants.
+      // Exact top-k rows are exercised by the ScalaTest recall spec.
       val vecs = TP(s, d, "embeddings")
         .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
-      SimilarityOps
-        .lshTopK(vecs, vecs.filter(col("vec_id") < 8), "vec_id", "vec", k = 5)
-        .orderBy("query_id", "rank")
+      val queries = vecs.filter(col("vec_id") < 8)
+      val k = 5
+      val bf = SimilarityOps.bruteForceTopK(vecs, queries, "vec_id", "vec", k)
+        .select("query_id", "neighbor_id")
+      // nBits=5/nTables=12: measured recall 0.65 (sf0.01) / 0.70 (sf0.1)
+      // on this corpus's ~0.4-cosine neighbor geometry; 0.5 has margin
+      val lsh = SimilarityOps.lshTopK(vecs, queries, "vec_id", "vec", k, nBits = 5, nTables = 12)
+        .select("query_id", "neighbor_id")
+      bf.join(lsh, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(
+          lit(8L).as("n_queries"),
+          (col("hits").cast("double") / (8 * k) >= 0.5).as("recall_ok"))
     }),
 
     // ----- LLM-pipeline: text analysis -----
@@ -607,6 +638,12 @@ object SparkEntry {
           |   / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
           | FROM part)
           |WHERE p_retailprice > brand_avg ORDER BY p_partkey""".stripMargin,
+      "q20_approx" ->
+        """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts_exact,
+          | true AS parts_ok, true AS p50_ok
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "ann_lsh" ->
+        "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
       "q19_percentile" ->
         """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50,
           | quantile_cont(o_totalprice, 0.9) AS p90

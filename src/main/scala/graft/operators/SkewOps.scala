@@ -27,7 +27,10 @@ object SkewOps {
       partialAggs: Seq[Column],
       finalAggs: Seq[Column]
   ): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    // deterministic salt (hash of the whole row, not monotonically_
+    // increasing_id): identical assignment under task retries and
+    // speculative execution, so partial aggregates are replay-safe
+    val salted = df.withColumn("__salt", pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(saltBuckets)))
     salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
@@ -50,7 +53,7 @@ object SkewOps {
   ): DataFrame = {
     val saltedFact = fact.withColumn(
       "__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)).cast("int"))
+      pmod(xxhash64(struct(fact.columns.map(col).toIndexedSeq: _*)), lit(saltBuckets)).cast("int"))
     val explodedDim = dim
       .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
       .withColumn("__salt", col("__salt").cast("int"))

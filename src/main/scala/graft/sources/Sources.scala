@@ -340,7 +340,10 @@ object DeltaProvider extends SchemeProvider {
 }
 
 /** xlsx:///path — Excel depends on com.crealytics (absent); scheme parses,
-  * I/O surfaces UnsupportedSourceInEnv (ref ExcelFileDataFrameSource.scala). */
+  * I/O surfaces UnsupportedSourceInEnv (ref ExcelFileDataFrameSource
+  * .scala:1-40: inferSchema+header defaults, generic option passthrough
+  * incl. dataAddress, write = flattened schema in one file — coalesce
+  * instead of the reference's repartition(1), same result, no shuffle). */
 object ExcelProvider extends SchemeProvider {
   val schemes = Seq("excel", "xlsx")
   override def apply(uri: ParsedUri): SparkSession => DfSource with DfSink = { spark =>
@@ -352,7 +355,7 @@ object ExcelProvider extends SchemeProvider {
         try inner.read()
         catch { case e: Throwable => throw new UnsupportedSourceInEnv(uri.scheme, e) }
       override def write(df: DataFrame): Boolean =
-        try inner.write(df)
+        try inner.write(graft.operators.FlattenOps.flatten(df).coalesce(1))
         catch { case e: Throwable => throw new UnsupportedSourceInEnv(uri.scheme, e) }
     }
   }

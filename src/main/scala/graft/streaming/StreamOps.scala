@@ -75,8 +75,10 @@ object StreamOps {
       }
   }
 
-  /** Convenience: run a batch DataFrame through a memory-source stream so
-    * streaming operators can be unit-tested without external services.
+  /** TEST-ONLY convenience: replay a batch DataFrame as a file-source
+    * stream so streaming operators can be unit-tested without external
+    * services. The temp-dir write happens on the driver path — never use
+    * this as a production source (point readStream at the real storage).
     */
   def replayAsStream(spark: SparkSession, df: DataFrame, tsCol: String): DataFrame = {
     // file-based replay: write to a temp dir, read back with readStream
