@@ -25,15 +25,20 @@ object Probe {
           f"${si.name.take(60)}")
       }
     })
-    if (sh == "recall") {
+    if (sh == "recall" || sh == "recall_ivf") {
       import org.apache.spark.sql.functions._
       val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), graft.functions.VectorFunctions.asDouble(col("embedding")).as("vec"))
       val q = vecs.filter(col("vec_id") < 8)
       val bf = graft.operators.SimilarityOps.bruteForceTopK(vecs, q, "vec_id", "vec", 5).select("query_id", "neighbor_id")
-      val lsh = graft.operators.SimilarityOps.lshTopK(vecs, q, "vec_id", "vec", 5,
-        nBits = nb.toInt, nTables = rpb.toInt).select("query_id", "neighbor_id")
-      val hits = bf.join(lsh, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val approx =
+        if (sh == "recall_ivf")
+          graft.operators.SimilarityOps.ivfTopK(vecs, q, "vec_id", "vec", 5,
+            nCells = nb.toInt, nProbe = rpb.toInt).select("query_id", "neighbor_id")
+        else
+          graft.operators.SimilarityOps.lshTopK(vecs, q, "vec_id", "vec", 5,
+            nBits = nb.toInt, nTables = rpb.toInt).select("query_id", "neighbor_id")
+      val hits = bf.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
       println(s"recall=${hits.toDouble / 40} hits=$hits")
       spark.stop(); return
     }

@@ -39,6 +39,7 @@ object RunOne {
         } else {
           val n = df.count()
           println(f"[runone] $name%-24s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%.1fs")
+          if (sys.env.contains("SHOW")) df.show(50, truncate = false)
         }
       } catch {
         case e: Throwable =>

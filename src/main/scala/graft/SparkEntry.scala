@@ -421,6 +421,24 @@ object SparkEntry {
           lit(8L).as("n_queries"),
           (col("hits").cast("double") / (8 * k) >= 0.5).as("recall_ok"))
     }),
+    "ann_ivf" -> ((s, d) => {
+      // IVF coarse-quantization ANN (the nProbe/nCells scan-fraction knob);
+      // like ann_lsh, driver-checked via the recall-vs-brute-force
+      // invariant; exact rows pinned by the ScalaTest recall spec
+      val vecs = TP(s, d, "embeddings")
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+      val queries = vecs.filter(col("vec_id") < 8)
+      val k = 5
+      val bf = SimilarityOps.bruteForceTopK(vecs, queries, "vec_id", "vec", k)
+        .select("query_id", "neighbor_id")
+      val ivf = SimilarityOps.ivfTopK(vecs, queries, "vec_id", "vec", k, nCells = 16, nProbe = 6)
+        .select("query_id", "neighbor_id")
+      bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(
+          lit(8L).as("n_queries"),
+          (col("hits").cast("double") / (8 * k) >= 0.6).as("recall_ok"))
+    }),
 
     // ----- LLM-pipeline: text analysis -----
     // All text queries materialize (norm, tokens) ONCE as aliased columns
@@ -643,6 +661,8 @@ object SparkEntry {
           | true AS parts_ok, true AS p50_ok
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       "ann_lsh" ->
+        "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+      "ann_ivf" ->
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
       "q19_percentile" ->
         """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50,

@@ -80,6 +80,104 @@ object SimilarityOps {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  // ----- IVF (inverted-file) ANN — the coarse-quantization scale path -----
+
+  /** Per-row array of (score, cell) structs against the trained centroids:
+    * nCells native dot products, pure projection (no shuffle, no broadcast
+    * state — centroids ride in the plan as literals; they are tiny by
+    * construction: nCells × dim doubles).
+    */
+  private def cellScores(vec: Column, cents: Array[Array[Double]]): Column =
+    array(cents.zipWithIndex.map { case (ct, i) =>
+      struct(dot(vec, typedLit(ct.toSeq)).as("s"), lit(i).as("c"))
+    }: _*)
+
+  /** Nearest-centroid id (argmax dot). `array_max` over (score, cell)
+    * structs compares score first then cell — deterministic ties. */
+  def assignCell(vec: Column, cents: Array[Array[Double]]): Column =
+    array_max(cellScores(vec, cents)).getField("c")
+
+  /** The `nProbe` nearest cells, best first (query-side fan-out). */
+  def probeCells(vec: Column, cents: Array[Array[Double]], nProbe: Int): Column =
+    transform(slice(sort_array(cellScores(vec, cents), asc = false), 1, nProbe), x => x.getField("c"))
+
+  /** Spherical k-means centroids for IVF. Init = deterministic hash-order
+    * sample (TakeOrderedAndProject — no full sort); each Lloyd iteration is
+    * one distributed pass: assign via `assignCell` projection, mean via
+    * posexplode + groupBy(cell, pos), normalize on the driver (the collect
+    * is nCells × dim — bounded regardless of corpus size). Training reads
+    * at most `trainCap` vectors (hash-ordered, deterministic), because
+    * centroid quality needs a sample, not the corpus.
+    */
+  def trainCentroids(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      iters: Int = 2,
+      trainCap: Int = 100000
+  ): Array[Array[Double]] = {
+    val v = unitVectors(vectors, idCol, vecCol)
+      .orderBy(xxhash64(col("id"))).limit(trainCap)
+      .select("id", "unit")
+    var cents: Array[Array[Double]] = v.orderBy(xxhash64(col("id"), lit(1))).limit(nCells)
+      .collect().map(_.getSeq[Double](1).toArray)
+    for (_ <- 0 until iters) {
+      val means = v
+        .withColumn("cell", assignCell(col("unit"), cents))
+        .select(col("cell"), posexplode(col("unit")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cell").agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), col("pm.m").as("mean"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        val cell = r.getInt(0)
+        val m = r.getSeq[Double](1).toArray
+        val n = math.sqrt(m.map(x => x * x).sum)
+        if (n > 0) next(cell) = m.map(_ / n) // empty cells keep their old centroid
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** IVF ANN: corpus vectors are assigned to their nearest centroid cell
+    * (pure projection — the corpus never shuffles for indexing); each query
+    * probes its `nProbe` nearest cells and broadcasts; exact dot products
+    * run only inside probed cells. Scan fraction ≈ nProbe/nCells of the
+    * corpus per query batch — the knob a 100 TB deployment turns.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 2,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val cents = trainCentroids(corpus, idCol, vecCol, nCells, iters)
+    val c = unitVectors(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("unit").as("c_vec"))
+      .withColumn("cell", assignCell(col("c_vec"), cents))
+    val q = unitVectors(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("unit").as("q_vec"))
+      .withColumn("cell", explode(probeCells(col("q_vec"), cents, nProbe)))
+    val scored = c
+      .join(broadcast(q), Seq("cell"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"), round(dot(col("q_vec"), col("c_vec")), 6).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Unit-normalized (id, unit) projection: normalize ONCE per row so all
     * per-pair work downstream is a single native dot product. */
   private def unitVectors(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =

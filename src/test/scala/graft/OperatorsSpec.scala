@@ -159,6 +159,35 @@ class SimilarityOpsSpec extends SparkSpec {
       s"dup must be found as nearest; got ${res.mkString(",")}")
   }
 
+  test("ivf recall vs brute force on a clustered corpus") {
+    // 3 well-separated direction clusters with jitter: IVF cells align
+    // with clusters, so probing nearest cells recovers true neighbors
+    val centers = Seq(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0), Array(0.0, 0.0, 1.0, 0.0))
+    val corpus = (0L until 90L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.zipWithIndex.map { case (x, d) => x + 0.05 * math.sin(i * 13 + d * 5) })
+    }.toDF("vec_id", "vec")
+    val queries = corpus.filter(col("vec_id") < 6)
+    val bf = SimilarityOps.bruteForceTopK(corpus, queries, "vec_id", "vec", k = 4)
+      .select("query_id", "neighbor_id")
+    val ivf = SimilarityOps.ivfTopK(corpus, queries, "vec_id", "vec", k = 4, nCells = 3, nProbe = 1, iters = 3)
+      .select("query_id", "neighbor_id")
+    val hits = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(hits >= 20, s"recall ${hits / 24.0} below 0.83 on separable clusters") // 24 = 6 queries × k
+  }
+
+  test("ivf assignCell is a pure projection (no shuffle in the corpus scan)") {
+    val vecs = (0L until 20L).map(i => (i, Array(math.cos(i * 0.7), math.sin(i * 0.7)))).toDF("vec_id", "vec")
+    val cents = SimilarityOps.trainCentroids(vecs, "vec_id", "vec", nCells = 4, iters = 1)
+    assert(cents.length == 4 && cents.forall(c => math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9))
+    val assigned = vecs.withColumn("cell", SimilarityOps.assignCell(col("vec"), cents))
+    // projection-only plan: no Exchange below the scan
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"cell assignment must not shuffle:\n$plan")
+    val cells = assigned.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf((0 until 4).toSet))
+  }
+
   test("embeddingDupPairs finds scaled copies within blocks") {
     val vecs = Seq(
       (1L, 0, Array(1.0, 2.0, 3.0)),
