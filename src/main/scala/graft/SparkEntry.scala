@@ -507,6 +507,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_repetition" -> ((s, d) => {
+      // Gopher-style repetition signal: duplicate word-2-gram fraction
+      TP(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.normText(col("text")).as("norm"))
+        .select(col("doc_id"), TextFunctions.tokensFromNorm(col("norm")).as("tk"))
+        .select(
+          col("doc_id"),
+          size(col("tk")).cast("long").as("n_tok"),
+          TextFunctions.repetitionRatioFromTokens(col("tk"), 2).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+    "text_pii" -> ((s, d) => {
+      // the corpus has no natural PII, so augment each doc with
+      // deterministic doc_id-derived spans — both engines compute the
+      // same augmented text, making the scrub/count oracle substantive
+      val aug = concat(
+        col("text"), lit(" contact-"), col("doc_id").cast("string"),
+        lit("@example.com see https://ex.org/d/"), col("doc_id").cast("string"),
+        lit(" ref 9876543210"))
+      TP(s, d, "documents")
+        .select(col("doc_id"), aug.as("t2"))
+        .select(
+          col("doc_id"),
+          TextFunctions.piiCounts(col("t2")).as("pc"),
+          md5(TextFunctions.scrubPii(col("t2"))).as("scrub_hash"))
+        .select(
+          col("doc_id"),
+          col("pc.emails").as("n_emails"),
+          col("pc.urls").as("n_urls"),
+          col("pc.long_numbers").as("n_long_nums"),
+          col("scrub_hash"))
+        .orderBy("doc_id")
+    }),
+
     // ----- LLM-pipeline: multimodal plumbing -----
     "multimodal_features" -> ((s, d) => {
       val withBin = T(s, d, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
@@ -792,6 +826,26 @@ object SparkEntry {
         s"""WITH t AS (SELECT doc_id, ${shingles(toks)} AS s FROM documents)
            |SELECT doc_id, len(s) AS n_shingles, len(list_distinct(s)) AS n_distinct_shingles
            |FROM t ORDER BY doc_id""".stripMargin,
+      "text_repetition" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           | s AS (SELECT doc_id, len(tk) AS n_tok, ${shingles("tk", 2)} AS sh FROM t)
+           |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           | CASE WHEN n_tok <= 2 THEN 0.0
+           |  ELSE 1.0 - len(list_distinct(sh))::DOUBLE / len(sh) END AS rep_ratio
+           |FROM s ORDER BY doc_id""".stripMargin,
+      "text_pii" ->
+        """WITH t AS (SELECT doc_id,
+          |  text || ' contact-' || doc_id::VARCHAR || '@example.com see https://ex.org/d/'
+          |   || doc_id::VARCHAR || ' ref 9876543210' AS t2 FROM documents)
+          |SELECT doc_id,
+          | CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          | CAST(len(regexp_extract_all(t2, 'https?://[^ \t\n]+')) AS BIGINT) AS n_urls,
+          | CAST(len(regexp_extract_all(t2, '[0-9]{9,}')) AS BIGINT) AS n_long_nums,
+          | md5(regexp_replace(regexp_replace(regexp_replace(t2,
+          |   'https?://[^ \t\n]+', '<URL>', 'g'),
+          |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |   '[0-9]{9,}', '<NUM>', 'g')) AS scrub_hash
+          |FROM t ORDER BY doc_id""".stripMargin,
       "multimodal_features" ->
         """SELECT doc_id, octet_length(encode(text)) AS byte_len,
           | CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,

@@ -140,4 +140,42 @@ object TextFunctions {
 
   /** All embedded stopwords (the quality score's marker list). */
   def allStopwords: Seq[String] = stopwords.values.flatten.toSeq.distinct.sorted
+
+  /** Duplicate word-n-gram fraction over a PRECOMPUTED token array:
+    * 1 − distinct_ngrams/total_ngrams (the Gopher-style repetition
+    * signal — boilerplate and generation loops score high). Raw double;
+    * docs shorter than n tokens score 0.
+    */
+  def repetitionRatioFromTokens(t: Column, n: Int): Column = {
+    val sh = shinglesFromTokens(t, n)
+    when(size(t) <= n, 0d)
+      .otherwise(lit(1d) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+  }
+
+  /** Duplicate word-n-gram fraction of the whitespace-tokenized text. */
+  def repetitionRatio(c: Column, n: Int = 2): Column =
+    repetitionRatioFromTokens(tokens(c), n)
+
+  // PII patterns kept to syntax that Java regex and RE2 (DuckDB) parse
+  // identically, so the oracle can replicate the scrub bit-for-bit
+  private val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val urlPattern = "https?://[^ \\t\\n]+"
+  private val longNumPattern = "[0-9]{9,}"
+
+  /** Count of email-shaped / url-shaped / long-digit-run matches. */
+  def piiCounts(c: Column): Column = struct(
+    size(regexp_extract_all(c, lit(emailPattern), lit(0))).cast("long").as("emails"),
+    size(regexp_extract_all(c, lit(urlPattern), lit(0))).cast("long").as("urls"),
+    size(regexp_extract_all(c, lit(longNumPattern), lit(0))).cast("long").as("long_numbers"))
+
+  /** Text with PII-shaped spans replaced by typed placeholders. Order
+    * matters: urls first (emails can appear inside urls), then emails,
+    * then long digit runs.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, urlPattern, "<URL>"),
+        emailPattern, "<EMAIL>"),
+      longNumPattern, "<NUM>")
 }

@@ -94,7 +94,12 @@ class FormatEndpoint(
         val w = options.get("trigger-interval").foldLeft(w0) { (w, iv) =>
           w.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(iv))
         }
-        w.start(path)
+        val q = w.start(path)
+        // by default stream sinks only START the query (reference
+        // semantics — the CLI exits after the first microbatch schedules);
+        // await-timeout=<ms> blocks up to that long so a CLI invocation
+        // can actually drain a bounded replay before the JVM exits
+        options.get("await-timeout").foreach(ms => q.awaitTermination(ms.toLong))
       } else {
         val w0 = df.write.mode(writeMode).format(format).options(passOptions)
         val w = options.get("partitionBy") match {

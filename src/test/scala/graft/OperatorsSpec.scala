@@ -284,6 +284,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.getBoolean(0))
   }
 
+  test("repetition ratio flags looping text, zero for short/unique docs") {
+    val df = Seq(
+      "buy now buy now buy now buy now", // 2-grams heavily repeated
+      "one two three four five six",     // all 2-grams unique
+      "a b").toDF("text")                // too short → 0
+    val r = df.select(TextFunctions.repetitionRatio(col("text"), 2)).collect().map(_.getDouble(0))
+    assert(r(0) > 0.5, s"looping text must score high, got ${r(0)}")
+    assert(r(1) == 0.0 && r(2) == 0.0)
+  }
+
+  test("pii scrub replaces emails, urls and long digit runs; counts match") {
+    val df = Seq("mail a.b+c@foo-bar.org or visit https://x.io/p?q=1 acct 1234567890 done").toDF("text")
+    val r = df.select(
+      TextFunctions.scrubPii(col("text")).as("s"),
+      TextFunctions.piiCounts(col("text")).as("c")).collect().head
+    assert(r.getString(0) == "mail <EMAIL> or visit <URL> acct <NUM> done")
+    val c = r.getStruct(1)
+    assert(c.getLong(0) == 1 && c.getLong(1) == 1 && c.getLong(2) == 1)
+  }
+
   test("quality score is in [0,1] and favors stopword-rich text") {
     val df = Seq(
       "the cat and the dog of it was that in is it a to", // stopword-rich
