@@ -88,7 +88,7 @@ object SimilarityOps {
     * construction: nCells × dim doubles).
     */
   private def cellScores(vec: Column, cents: Array[Array[Double]]): Column =
-    array(cents.zipWithIndex.map { case (ct, i) =>
+    array(cents.zipWithIndex.toIndexedSeq.map { case (ct, i) =>
       struct(dot(vec, typedLit(ct.toSeq)).as("s"), lit(i).as("c"))
     }: _*)
 

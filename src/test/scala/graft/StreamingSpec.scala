@@ -62,6 +62,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kafka-shaped stream: binary value -> json serde decode -> watermark window agg") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("user_id", LongType), StructField("value", DoubleType)))
+    val input = MemoryStream[String]
+    // the kafka wire shape: an opaque binary `value` column
+    val wire = input.toDF().select(col("value").cast("binary").as("value"))
+    val decoded = new graft.sources.JsonSerde(Some(schema)).deserialize(wire)
+    assert(decoded.isStreaming, "schema-driven json serde must stay streaming-safe")
+    val out = StreamOps.windowedAgg(decoded, "ts", "value", "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("kafka_out").outputMode("append").start()
+    try {
+      def rec(min: Int, uid: Long, v: Double) =
+        f"""{"ts":"2024-01-01T00:$min%02d:00.000Z","user_id":$uid,"value":$v}"""
+      input.addData(rec(1, 1L, 1.0), rec(2, 2L, 2.0))
+      q.processAllAvailable()
+      input.addData(rec(40, 3L, 3.0)) // advance watermark past the first window
+      q.processAllAvailable()
+      input.addData(rec(55, 4L, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("kafka_out").collect()
+      assert(rows.exists(r => r.getAs[Long]("n_events") == 2L && r.getAs[Double]("sum_value") == 3.0),
+        s"first window must close with both decoded events: ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("file replay stream reads a batch frame as a stream") {
     val df = spark.range(5).toDF("id").withColumn("ts", current_timestamp())
     val stream = StreamOps.replayAsStream(spark, df, "ts")
