@@ -120,26 +120,30 @@ object SimilarityOps {
     val v = unitVectors(vectors, idCol, vecCol)
       .orderBy(xxhash64(col("id"))).limit(trainCap)
       .select("id", "unit")
-    var cents: Array[Array[Double]] = v.orderBy(xxhash64(col("id"), lit(1))).limit(nCells)
-      .collect().map(_.getSeq[Double](1).toArray)
-    for (_ <- 0 until iters) {
-      val means = v
-        .withColumn("cell", assignCell(col("unit"), cents))
-        .select(col("cell"), posexplode(col("unit")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
-        .groupBy("cell").agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), col("pm.m").as("mean"))
-        .collect()
-      val next = cents.map(_.clone())
-      means.foreach { r =>
-        val cell = r.getInt(0)
-        val m = r.getSeq[Double](1).toArray
-        val n = math.sqrt(m.map(x => x * x).sum)
-        if (n > 0) next(cell) = m.map(_ / n) // empty cells keep their old centroid
+      .cache() // ≤ trainCap rows; read once per Lloyd pass, not re-scanned
+    try {
+      var cents: Array[Array[Double]] = v.orderBy(xxhash64(col("id"), lit(1))).limit(nCells)
+        .collect().map(_.getSeq[Double](1).toArray)
+      val dim = cents.head.length
+      for (_ <- 0 until iters) {
+        // one shuffle per pass; the collect is nCells × dim (cell, pos,
+        // mean) rows — bounded regardless of corpus size
+        val means = v
+          .withColumn("cell", assignCell(col("unit"), cents))
+          .select(col("cell"), posexplode(col("unit")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+          .collect()
+        val sums = Array.fill(nCells)(new Array[Double](dim))
+        val seen = new Array[Boolean](nCells)
+        means.foreach { r => seen(r.getInt(0)) = true; sums(r.getInt(0))(r.getInt(1)) = r.getDouble(2) }
+        cents = cents.zipWithIndex.map { case (old, cIx) =>
+          val m = sums(cIx)
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (seen(cIx) && n > 0) m.map(_ / n) else old // empty cells keep their old centroid
+        }
       }
-      cents = next
-    }
-    cents
+      cents
+    } finally v.unpersist()
   }
 
   /** IVF ANN: corpus vectors are assigned to their nearest centroid cell
