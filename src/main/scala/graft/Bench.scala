@@ -36,14 +36,25 @@ object Bench {
     // codegen/JIT cost ("cold" — the round-1 comparable number), the
     // second is steady-state ("warm" — what a long-lived cluster session
     // pays per query). Headline total stays the cold sum.
+    // per-query GC seconds (cold+warm combined): a query whose time is
+    // dominated by gc — or a late-run cliff with flat gc — tells apart
+    // memory pressure from external contention when a number looks off
+    import scala.jdk.CollectionConverters._
+    def gcSec: Double =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum / 1000.0
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => (n, runOnce(n), runOnce(n)))
-    def jmap(f: ((String, Double, Double)) => Double) =
+    val results = names.map { n =>
+      val g0 = gcSec
+      val r = (n, runOnce(n), runOnce(n), 0.0)
+      r.copy(_4 = gcSec - g0)
+    }
+    def jmap(f: ((String, Double, Double, Double)) => Double) =
       results.map(r => "\"" + r._1 + "\":" + f"${f(r)}%.3f").mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalWarm = results.map(_._3).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
-      s""""queries":${jmap(_._2)},"queries_warm":${jmap(_._3)},""" +
+      s""""queries":${jmap(_._2)},"queries_warm":${jmap(_._3)},"queries_gc":${jmap(_._4)},""" +
       s""""total_warm":${f"$totalWarm%.3f"},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -245,6 +245,23 @@ object SparkEntry {
           col("approx_p50").between(col("p40"), col("p60")).as("p50_ok"))
         .orderBy("l_returnflag")
     }),
+    "events_range_join" -> ((s, d) => {
+      // point-in-interval attribution via the bucketized range join (no
+      // cross product): 50 deterministic overlapping 21h windows stepped
+      // every 14h across the events month, built identically in DuckDB
+      val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z
+      val stepUs = 50400000000L      // 14 h
+      val lenUs = 75600000000L       // 21 h
+      val iv = s.range(50).select(
+        col("id").as("interval_id"),
+        (lit(baseUs) + col("id") * stepUs).as("s_us"),
+        (lit(baseUs) + col("id") * stepUs + lenUs).as("e_us"))
+      val ev = T(s, d, "events").select(expr("ts div 1000").as("ts_us"), col("value"))
+      JoinOps.rangeJoin(ev, iv, Nil, "ts_us", "s_us", "e_us", bucketWidth = lenUs)
+        .groupBy("interval_id")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("sum_value"))
+        .orderBy("interval_id")
+    }),
     "asof_join" -> ((s, d) => {
       val orders = T(s, d, "orders")
         .withColumn("cutoff", col("o_orderdate") + expr("INTERVAL 60 DAYS"))
@@ -718,6 +735,16 @@ object SparkEntry {
           | FROM w)
           |SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us
           |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+      "events_range_join" ->
+        """WITH iv AS (SELECT i AS interval_id,
+          |  1704067200000000 + i*50400000000 AS s_us,
+          |  1704067200000000 + i*50400000000 + 75600000000 AS e_us
+          | FROM range(50) t(i)),
+          |ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events)
+          |SELECT interval_id, COUNT(*) AS n_events,
+          | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+          |FROM iv JOIN ev ON ts_us >= s_us AND ts_us < e_us
+          |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
       "events_window_agg" ->
         """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us, COUNT(*) AS n_events,
           | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value

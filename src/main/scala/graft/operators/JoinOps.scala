@@ -97,11 +97,15 @@ object JoinOps {
       endCol: String,
       bucketWidth: Long
   ): DataFrame = {
-    val lb = left.withColumn("__lbucket", (col(pointCol).cast("long") / bucketWidth).cast("long"))
+    // integer division (`div`), NOT double division: at epoch-µs
+    // magnitudes (~1e15) a double quotient can round across the bucket
+    // edge and silently drop a boundary match
+    val lb = left.withColumn("__lbucket", expr(s"CAST($pointCol AS BIGINT) div $bucketWidth"))
     val rb = right.withColumn(
       "__rbucket",
-      explode(sequence((col(startCol).cast("long") / bucketWidth).cast("long"),
-        (col(endCol).cast("long") / bucketWidth).cast("long")))
+      explode(sequence(
+        expr(s"CAST($startCol AS BIGINT) div $bucketWidth"),
+        expr(s"CAST($endCol AS BIGINT) div $bucketWidth")))
     )
     val keyCond = keyCols.map(c => lb(c) === rb(c)).reduceOption(_ && _).getOrElse(lit(true))
     lb.join(rb, keyCond && lb("__lbucket") === rb("__rbucket") &&

@@ -40,6 +40,21 @@ object UnsupportedSourceInEnv {
     }
 }
 
+/** Shared write-side flatten: top-level complex columns become JSON
+  * strings (ref DataFrameUtils.flattenSchema:1-15 — used by the text and
+  * excel sinks, which target flat tabular consumers). */
+object WriteFlatten {
+  def jsonFlatten(df: DataFrame): DataFrame = {
+    val flat = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType => to_json(col(f.name)).as(f.name)
+        case _                                         => col(f.name)
+      }
+    }
+    df.select(flat.toIndexedSeq: _*)
+  }
+}
+
 /** A scheme provider: parses a URI into a source+sink factory. */
 trait SchemeProvider {
   def schemes: Seq[String]
@@ -232,13 +247,7 @@ object TextProvider extends SchemeProvider {
           .options(Map("header" -> header.toString, "delimiter" -> delim, "inferSchema" -> "true"))
           .csv(path)
       override def write(df: DataFrame): Boolean = {
-        val flat = df.schema.fields.map { f =>
-          f.dataType match {
-            case _: StructType | _: ArrayType | _: MapType => to_json(col(f.name)).as(f.name)
-            case _                                         => col(f.name)
-          }
-        }
-        df.select(flat.toIndexedSeq: _*)
+        WriteFlatten.jsonFlatten(df)
           .coalesce(1)
           .write
           .mode(SaveMode.Overwrite)
@@ -347,8 +356,9 @@ object DeltaProvider extends SchemeProvider {
 /** xlsx:///path — Excel depends on com.crealytics (absent); scheme parses,
   * I/O surfaces UnsupportedSourceInEnv (ref ExcelFileDataFrameSource
   * .scala:1-40: inferSchema+header defaults, generic option passthrough
-  * incl. dataAddress, write = flattened schema in one file — coalesce
-  * instead of the reference's repartition(1), same result, no shuffle). */
+  * incl. dataAddress, write = json-flattened schema in one file — the
+  * reference's DataFrameUtils.flattenSchema (complex cols → JSON strings)
+  * + coalesce instead of repartition(1), same result, no shuffle). */
 object ExcelProvider extends SchemeProvider {
   val schemes = Seq("excel", "xlsx")
   override def apply(uri: ParsedUri): SparkSession => DfSource with DfSink = { spark =>
@@ -360,7 +370,7 @@ object ExcelProvider extends SchemeProvider {
         try inner.read()
         catch { case e: Throwable => throw new UnsupportedSourceInEnv(uri.scheme, e) }
       override def write(df: DataFrame): Boolean =
-        try inner.write(graft.operators.FlattenOps.flatten(df).coalesce(1))
+        try inner.write(WriteFlatten.jsonFlatten(df).coalesce(1))
         catch { case e: Throwable => throw new UnsupportedSourceInEnv(uri.scheme, e) }
     }
   }

@@ -228,6 +228,19 @@ class JoinOpsSpec extends SparkSpec {
       .select("p", "tag").orderBy("p").collect()
     assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((5L, "i1"), (15L, "i2")))
   }
+
+  test("rangeJoin is exact at epoch-microsecond magnitudes (integer bucketing)") {
+    // at ~1.7e15 a double-division bucket can round across the edge and
+    // drop a boundary match; `div` bucketing must keep these exact
+    val b = 75600000000L                  // 21h bucket
+    val t0 = 1704067200000000L           // 2024-01-01T00:00:00Z in µs
+    val edge = (t0 / b + 1) * b          // first bucket boundary after t0
+    val points = Seq(edge - 1, edge, edge + 1).map(Tuple1(_)).toDF("p")
+    val intervals = Seq((edge - 10L, edge + 10L, "win")).toDF("s", "e", "tag")
+    val out = JoinOps.rangeJoin(points, intervals, Nil, "p", "s", "e", bucketWidth = b)
+      .select("p").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(edge - 1, edge, edge + 1), s"boundary points lost: ${out.mkString(",")}")
+  }
 }
 
 class SessionOpsSpec extends SparkSpec {
