@@ -535,6 +535,19 @@ object SparkEntry {
           TextFunctions.repetitionRatioFromTokens(col("tk"), 2).as("rep_ratio"))
         .orderBy("doc_id")
     }),
+    "text_chunks" -> ((s, d) => {
+      // LLM pre-training chunking: 32-token windows, 8-token overlap
+      TP(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.normText(col("text")).as("norm"))
+        .select(col("doc_id"), TextFunctions.tokensFromNorm(col("norm")).as("tk"))
+        .select(col("doc_id"), explode(TextFunctions.chunkTokens(col("tk"), 32, 8)).as("c"))
+        .select(
+          col("doc_id"),
+          col("c.chunk_idx").as("chunk_idx"),
+          col("c.n_tokens").as("n_tokens"),
+          md5(col("c.chunk_text")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
     "text_pii" -> ((s, d) => {
       // the corpus has no natural PII, so augment each doc with
       // deterministic doc_id-derived spans — both engines compute the
@@ -860,6 +873,15 @@ object SparkEntry {
            | CASE WHEN n_tok <= 2 THEN 0.0
            |  ELSE 1.0 - len(list_distinct(sh))::DOUBLE / len(sh) END AS rep_ratio
            |FROM s ORDER BY doc_id""".stripMargin,
+      "text_chunks" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |w AS (SELECT doc_id, tk,
+           |       unnest(range(0, CAST(greatest(ceil((greatest(len(tk),1) - 8)/24.0), 1) AS BIGINT))) AS chunk_idx
+           |      FROM t),
+           |c AS (SELECT doc_id, chunk_idx, tk[chunk_idx*24+1 : chunk_idx*24+32] AS slc FROM w)
+           |SELECT doc_id, chunk_idx, CAST(len(slc) AS BIGINT) AS n_tokens,
+           | md5(array_to_string(slc, ' ')) AS chunk_hash
+           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
       "text_pii" ->
         """WITH t AS (SELECT doc_id,
           |  text || ' contact-' || doc_id::VARCHAR || '@example.com see https://ex.org/d/'

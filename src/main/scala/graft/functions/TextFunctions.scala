@@ -156,6 +156,31 @@ object TextFunctions {
   def repetitionRatio(c: Column, n: Int = 2): Column =
     repetitionRatioFromTokens(tokens(c), n)
 
+  /** Overlapping fixed-size token windows over a PRECOMPUTED token array:
+    * window w starts at token w·(size−overlap). The standard LLM
+    * pre-training chunking shape (split long docs, keep `overlap` tokens
+    * of context). Returns array<struct<chunk_idx, chunk_text, n_tokens>>
+    * — explode downstream. Docs with ≤ size tokens yield one chunk; the
+    * last window is the remainder (≥ 1 token, may be shorter).
+    */
+  def chunkTokens(t: Column, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    val stride = size - overlap
+    // number of windows so the last one starts before the end: ceil((n - overlap) / stride), min 1
+    val n = org.apache.spark.sql.functions.greatest(org.apache.spark.sql.functions.size(t), lit(1))
+    val nChunks = org.apache.spark.sql.functions.greatest(ceil((n - lit(overlap)).cast("double") / stride).cast("int"), lit(1))
+    transform(
+      sequence(lit(0), nChunks - 1),
+      w => {
+        val slc = slice(t, w * stride + 1, lit(size))
+        struct(
+          w.cast("long").as("chunk_idx"),
+          concat_ws(" ", slc).as("chunk_text"),
+          org.apache.spark.sql.functions.size(slc).cast("long").as("n_tokens"))
+      }
+    )
+  }
+
   // PII patterns kept to syntax that Java regex and RE2 (DuckDB) parse
   // identically, so the oracle can replicate the scrub bit-for-bit
   private val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -307,6 +307,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(1) == 0.0 && r(2) == 0.0)
   }
 
+  test("chunkTokens windows with overlap; short docs yield one chunk") {
+    val df = Seq(
+      "a b c d e f g h i j", // 10 tokens, size 4 overlap 1 → starts 0,3,6,9
+      "a b").toDF("text")
+    val r = df.select(TextFunctions.chunkTokens(TextFunctions.tokens(col("text")), 4, 1).as("c"))
+      .collect()
+    val long = r(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(long.map(_.getString(1)) == Seq("a b c d", "d e f g", "g h i j"))
+    assert(long.map(_.getLong(2)) == Seq(4L, 4L, 4L))
+    val short = r(1).getSeq[org.apache.spark.sql.Row](0)
+    assert(short.map(_.getString(1)) == Seq("a b") && short.head.getLong(0) == 0L)
+  }
+
   test("pii scrub replaces emails, urls and long digit runs; counts match") {
     val df = Seq("mail a.b+c@foo-bar.org or visit https://x.io/p?q=1 acct 1234567890 done").toDF("text")
     val r = df.select(
