@@ -82,6 +82,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(BucketOps.countExchanges(j) == 0, s"broadcast join must not shuffle the big side:\n$plan")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    val dir = java.nio.file.Files.createTempDirectory("bloom-audit").toString
+    (0L until 200000L).map(i => (i, i % 1000, i * 1.0)).toDF("id", "k", "v")
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    (0L until 1000L).map(i => (i, s"d$i")).toDF("k", "name")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    // force the SMJ + runtime-filter path at toy scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter(col("name") === "d7")
+      val j = fact.join(dim, "k")
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("bloom"),
+        s"expected a runtime bloom filter on the fact scan:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    }
+  }
+
   test("minhash signature pass is shuffle-free (map-side sketching)") {
     val docs = (0L until 200L).map(i => (i, s"some text body number $i repeated words")).toDF("doc_id", "text")
     val sigs = graft.operators.DedupOps.minhashSignatures(docs, "text", "doc_id", shingleSize = 3, k = 64)
