@@ -535,6 +535,19 @@ object SparkEntry {
           TextFunctions.repetitionRatioFromTokens(col("tk"), 2).as("rep_ratio"))
         .orderBy("doc_id")
     }),
+    "data_split" -> ((s, d) => {
+      // deterministic md5-bucket train/val/test split (12/2/2 of 16):
+      // same doc → same split on every run and engine — the property that
+      // prevents train↔test leakage across reprocessing at corpus scale
+      TP(s, d, "documents")
+        .select(
+          col("doc_id"),
+          TextFunctions.tokens(col("text")).as("tk"),
+          SplitOps.assignSplit(col("doc_id")).as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(size(col("tk")).cast("long")).as("n_tokens"))
+        .orderBy("split")
+    }),
     "text_chunks" -> ((s, d) => {
       // LLM pre-training chunking: 32-token windows, 8-token overlap
       TP(s, d, "documents")
@@ -873,6 +886,13 @@ object SparkEntry {
            | CASE WHEN n_tok <= 2 THEN 0.0
            |  ELSE 1.0 - len(list_distinct(sh))::DOUBLE / len(sh) END AS rep_ratio
            |FROM s ORDER BY doc_id""".stripMargin,
+      "data_split" ->
+        s"""WITH s AS (SELECT doc_id, len($toks) AS n_tok,
+           |            substr(md5(doc_id::VARCHAR), 1, 1) AS b FROM documents),
+           |a AS (SELECT CASE WHEN b <= 'b' THEN 'train' WHEN b <= 'd' THEN 'val'
+           |             ELSE 'test' END AS split, n_tok FROM s)
+           |SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+           |FROM a GROUP BY split ORDER BY split""".stripMargin,
       "text_chunks" ->
         s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
            |w AS (SELECT doc_id, tk,

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines.
+  *
+  * The split is a pure function of the row's key — no randomness, no
+  * state: the same document lands in the same split on every run, on any
+  * engine, at any scale (the property that matters for 100 TB corpora
+  * where "the test set" must be stable across reprocessing and dedup
+  * must never leak train↔test). Buckets come from the md5 of the key
+  * (uniform, engine-portable — DuckDB computes the identical value),
+  * not from Spark-only hashes.
+  */
+object SplitOps {
+
+  /** 16-way bucket id (0-15) from the first hex nibble of md5(key). */
+  def bucket16(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 1), 16, 10).cast("int")
+
+  /** Named split from bucket16: buckets [0, trainBuckets) → "train",
+    * [trainBuckets, trainBuckets+valBuckets) → "val", rest → "test".
+    * Defaults 12/2/2 ≈ 75/12.5/12.5.
+    */
+  def assignSplit(key: Column, trainBuckets: Int = 12, valBuckets: Int = 2): Column = {
+    require(trainBuckets > 0 && valBuckets >= 0 && trainBuckets + valBuckets <= 16)
+    val b = bucket16(key)
+    when(b < trainBuckets, "train")
+      .when(b < trainBuckets + valBuckets, "val")
+      .otherwise("test")
+  }
+
+  /** df + a `split` column; pure projection (no shuffle, no sampling). */
+  def withSplit(df: DataFrame, keyCol: String, trainBuckets: Int = 12, valBuckets: Int = 2): DataFrame =
+    df.withColumn("split", assignSplit(col(keyCol), trainBuckets, valBuckets))
+}

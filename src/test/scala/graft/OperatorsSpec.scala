@@ -243,6 +243,25 @@ class JoinOpsSpec extends SparkSpec {
   }
 }
 
+class SplitOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.SplitOps
+
+  test("split is deterministic, exhaustive, and roughly proportioned") {
+    val df = spark.range(2000).toDF("id")
+    val a = SplitOps.withSplit(df, "id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = SplitOps.withSplit(df, "id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, "split must be stable across runs")
+    assert(a.keySet == Set("train", "val", "test") && a.values.sum == 2000)
+    assert(a("train") > 1300 && a("train") < 1700, s"train ~75%: $a") // 12/16 ± slack
+    // no shuffle: assignment is a pure projection
+    val plan = SplitOps.withSplit(df, "id").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split must not shuffle:\n$plan")
+  }
+}
+
 class SessionOpsSpec extends SparkSpec {
   import spark.implicits._
 
