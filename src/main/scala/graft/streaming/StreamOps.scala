@@ -38,6 +38,31 @@ object StreamOps {
   def dedupWithinWatermark(df: DataFrame, tsCol: String, delay: String, keyCols: Seq[String]): DataFrame =
     df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols.toArray)
 
+  /** Stream-stream inner equi-join with a bounded time condition: right
+    * rows match left rows whose timestamp is within [leftTs, leftTs +
+    * maxDelay]. Both sides carry watermarks, so state for either side is
+    * dropped once the watermark passes the join window — bounded state,
+    * the only stream-stream join shape that survives unbounded inputs.
+    * Column names must be disjoint apart from `keyCols`.
+    */
+  def streamStreamJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      watermarkDelay: String,
+      maxDelay: String
+  ): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermarkDelay)
+    val r = right.withWatermark(rightTsCol, watermarkDelay)
+    val keyCond = keyCols.map(c => l(c) === r(c)).reduce(_ && _)
+    val timeCond =
+      r(rightTsCol) >= l(leftTsCol) &&
+        r(rightTsCol) <= l(leftTsCol) + expr(s"INTERVAL $maxDelay")
+    keyCols.foldLeft(l.join(r, keyCond && timeCond, "inner"))((df, c) => df.drop(r(c)))
+  }
+
   final case class SessionEvent(key: Long, ts_us: Long)
   final case class SessionState(sessionIdx: Long, lastUs: Long, startUs: Long, nEvents: Long)
   final case class SessionOut(key: Long, session_idx: Long, n_events: Long, start_us: Long, end_us: Long)

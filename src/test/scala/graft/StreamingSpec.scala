@@ -62,6 +62,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches within the time bound, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val l = clicks.toDF().toDF("click_ts", "user")
+    val r = buys.toDF().toDF("buy_ts", "user", "amount")
+    val joined = StreamOps.streamStreamJoin(
+      l, r, Seq("user"), "click_ts", "buy_ts",
+      watermarkDelay = "10 minutes", maxDelay = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_out").outputMode("append").start()
+    try {
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+      clicks.addData((ts(1), 1L), (ts(1), 2L))
+      buys.addData((ts(3), 1L, 9.99), (ts(30), 2L, 5.0)) // user 2 buys too late (29 min > 5)
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").collect()
+      assert(rows.length == 1 && rows.head.getAs[Long]("user") == 1L &&
+        rows.head.getAs[Double]("amount") == 9.99,
+        s"only user 1's in-window buy must join: ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("kafka-shaped stream: binary value -> json serde decode -> watermark window agg") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.types._
