@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver runs `sbt "runMain graft.Bench"` and parses the LAST
+// ~2000 chars of output for one bare JSON line. Two things broke that in
+// rounds 1-2: sbt's default LoggedOutput prefixes forked stdout with
+// "[info] ", and "[success] Total time..." trails the JSON. Forward the
+// forked process's stdout verbatim and drop the success banner so the
+// bench JSON is the literal last line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
