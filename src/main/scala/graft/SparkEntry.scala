@@ -548,6 +548,53 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(size(col("tk")).cast("long")).as("n_tokens"))
         .orderBy("split")
     }),
+    "dedup_simhash_check" -> ((s, d) => {
+      // driver-checkable SimHash invariant (hamming over 64-bit xxhash
+      // signatures has no DuckDB twin, so the pair list itself stays
+      // rows-only): on a corpus where every doc is duplicated, every
+      // exact-dup pair MUST surface with hamming 0. n_exact_pairs is
+      // data-derived identically in both engines; all_covered pins the
+      // banding + bucket plumbing (a dropped bucket or band bug flips it)
+      val docs = TP(s, d, "documents")
+      val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
+      val exact = DedupOps.exactDupPairs(doubled, "text", "doc_id")
+      val sims0 = DedupOps.simhashDupPairs(doubled, "text", "doc_id", maxHamming = 3)
+        .filter(col("hamming") === 0).select("a_id", "b_id")
+      val miss = exact.join(sims0, Seq("a_id", "b_id"), "left_anti")
+        .agg(count(lit(1)).as("n_missing"))
+      exact.agg(count(lit(1)).as("n_exact_pairs")).crossJoin(miss)
+        .select(col("n_exact_pairs"), (col("n_missing") === 0).as("all_covered"))
+    }),
+    "dedup_clusters" -> ((s, d) => {
+      // pair detection → duplicate CLUSTERS: connected components over
+      // the verified minhash pair set (same parameters as dedup_minhash);
+      // cluster_id = min member id = the canonical keeper
+      val pairs = DedupOps.minhashDupPairs(TP(s, d, "documents"), "text", "doc_id",
+        threshold = 0.7, shingleSize = 2, numBands = 32, rowsPerBand = 3)
+      GraphOps.connectedComponents(pairs, "a_id", "b_id").orderBy("id")
+    }),
+    "data_sample" -> ((s, d) => {
+      // deterministic 2/16 sample: a pure md5-bucket filter — stable under
+      // retries and reprocessing, reproducible in any engine (df.sample is
+      // partitioning-dependent and would never oracle-match)
+      SplitOps.deterministicSample(TP(s, d, "documents"), "doc_id", keepBuckets = 2)
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+        .orderBy("doc_id")
+    }),
+    "text_topterms" -> ((s, d) => {
+      // most frequent non-stopword token per doc (integer-only tf ranking
+      // — no float idf, so the oracle matches bit-for-bit); the classic
+      // explode → groupBy wordcount shape with map-side combine
+      import org.apache.spark.sql.expressions.Window
+      val toks = TP(s, d, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "" && !col("token").isin(TextFunctions.allStopwords: _*))
+      val counts = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("token").asc)
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("token").as("top_term"), col("tf"))
+        .orderBy("doc_id")
+    }),
     "text_chunks" -> ((s, d) => {
       // LLM pre-training chunking: 32-token windows, 8-token overlap
       TP(s, d, "documents")
@@ -608,8 +655,13 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = {
     // shared SQL fragments (DuckDB dialect)
-    val norm = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
-    val toks = s"string_split($norm, ' ')"
+    // collapse-then-trim, mirroring TextFunctions.normText (trim strips
+    // only spaces, so the order matters for tab-edged documents)
+    val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    // empty-doc alignment (round-2 advisor): DuckDB string_split('', ' ')
+    // yields [''] where Spark tokensFromNorm yields [] — the CASE makes
+    // every token-derived oracle column agree on empty/whitespace docs
+    val toks = s"(CASE WHEN len($norm) = 0 THEN []::VARCHAR[] ELSE string_split($norm, ' ') END)"
     // word n-gram shingles of token list t (DuckDB slice t[a:b] is
     // 1-based inclusive; range(x, y) excludes y) — mirrors
     // TextFunctions.shinglesFromTokens for any n
@@ -817,6 +869,35 @@ object SparkEntry {
            |SELECT md5($norm) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
            |FROM doubled GROUP BY content_hash ORDER BY keep_id""".stripMargin,
       "dedup_minhash" -> jaccardPairsSql(n = 2, threshold = 0.7),
+      "dedup_simhash_check" ->
+        s"""WITH doubled AS (
+           | SELECT doc_id, text FROM documents
+           | UNION ALL SELECT doc_id + 1000000, text FROM documents),
+           |g AS (SELECT md5($norm) AS h, COUNT(*) AS m FROM doubled GROUP BY h)
+           |SELECT CAST(SUM((m*(m-1))//2) AS BIGINT) AS n_exact_pairs, true AS all_covered FROM g""".stripMargin,
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7),
+           |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+           |reach(id, r) AS (
+           | SELECT DISTINCT a AS id, a AS r FROM e
+           | UNION
+           | SELECT e.b AS id, reach.r AS r FROM reach JOIN e ON e.a = reach.id)
+           |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+      "data_sample" ->
+        s"""SELECT doc_id, len($toks) AS n_tok FROM documents
+           |WHERE substr(md5(doc_id::VARCHAR), 1, 1) IN ('0','1') ORDER BY doc_id""".stripMargin,
+      "text_topterms" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+           |f AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           |      WHERE token <> '' AND NOT list_contains($stopAll, token)
+           |      GROUP BY doc_id, token),
+           |r AS (SELECT doc_id, token, tf,
+           |       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, token) AS rn FROM f)
+           |SELECT doc_id, token AS top_term, tf FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
       "dedup_ngram_jaccard" -> jaccardPairsSql(n = 3, threshold = 0.8),
       "dedup_embedding" ->
         s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),

@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lowercased, whitespace-normalized text. */
-  def normText(c: Column): Column = lower(regexp_replace(trim(c), "\\s+", " "))
+  /** Lowercased, whitespace-normalized text. Collapse runs FIRST, then
+    * trim: `trim` strips only 0x20 spaces, so trimming first would leave
+    * a tab-only document as " " (→ two empty tokens after split) instead
+    * of "". The DuckDB oracle mirrors the same operation order. */
+  def normText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
 
   /** Whitespace tokens of an ALREADY-normalized text column. Queries that
     * need several token-derived outputs should materialize `normText` once

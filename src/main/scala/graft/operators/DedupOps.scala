@@ -16,8 +16,10 @@ import org.apache.spark.sql.graft.GraftColumns
   * (2) one shuffle on a blocking/band key,
   * (3) pair generation ONLY within buckets via groupBy+collect_list —
   *     never a self-join, which would re-execute the signature scan on
-  *     both sides — with a bucket-size cap so a degenerate key can't go
-  *     quadratic,
+  *     both sides; buckets over `maxBucketSize` take a distributed
+  *     overflow join over the exploded bucket rows (above the bucket
+  *     Exchange — no signature recompute, no m²-struct task, no dropped
+  *     pairs),
   * (4) a cheap exact verify on candidate pairs only, against signature
   *     columns materialized BEFORE the join (re-deriving shingles from
   *     text per pair measured ~50× slower).
@@ -32,6 +34,19 @@ object DedupOps {
     df.select(fingerprint(col(textCol)).as("content_hash"), col(idCol))
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** All exact-duplicate pairs (identical normalized content), a < b:
+    * one groupBy on the content hash, pairs within hash buckets (the
+    * overflow path covers degenerate hashes with >maxBucketSize rows).
+    */
+  def exactDupPairs(df: DataFrame, textCol: String, idCol: String, maxBucketSize: Int = 64): DataFrame = {
+    val buckets = df
+      .select(fingerprint(col(textCol)).as("h"), col(idCol).as("id"))
+      .groupBy("h")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    allBucketPairs(buckets, Seq("h"), "ids", maxBucketSize)
+      .select(col("a").as("a_id"), col("b").as("b_id"))
+  }
 
   /** Keep-first exact dedup: returns the deduplicated rows themselves. */
   def exactKeepFirst(df: DataFrame, textCol: String, idCol: String): DataFrame = {
@@ -94,13 +109,46 @@ object DedupOps {
       )
     )
 
+  /** Within-bucket pairs (a < b) over `(keyCols..., itemsCol)` bucket rows,
+    * with NO silently dropped buckets: buckets up to `maxBucketSize` use
+    * in-row `bucketPairs` generation (one task, zero join); larger buckets
+    * fall back to a distributed equi-join on the bucket key OVER THE
+    * EXPLODED BUCKET ROWS ONLY (ids/sigs — the upstream signature scan is
+    * below the bucket aggregation's Exchange, so it is not re-executed),
+    * so no single task materializes m² structs and the output provably
+    * equals the full within-bucket pair set. Round-2 advisor finding: the
+    * old cap dropped every pair of an oversized bucket, making the output
+    * a strict subset of the quadratic oracle's pair set on clusters of
+    * >maxBucketSize near-identical docs.
+    */
+  private[operators] def allBucketPairs(
+      buckets: DataFrame,
+      keyCols: Seq[String],
+      itemsCol: String,
+      maxBucketSize: Int
+  ): DataFrame = {
+    val sized = buckets.withColumn("__sz", size(col(itemsCol)))
+    val small = sized
+      .filter(col("__sz").between(2, maxBucketSize))
+      .select(explode(bucketPairs(col(itemsCol))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val bigItems = sized
+      .filter(col("__sz") > maxBucketSize)
+      .select(keyCols.map(col) :+ explode(col(itemsCol)).as("it"): _*)
+    val big = bigItems.as("x")
+      .join(bigItems.as("y"),
+        keyCols.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) && col("x.it") < col("y.it"))
+      .select(col("x.it").as("a"), col("y.it").as("b"))
+    small.unionByName(big)
+  }
+
   /** Candidate near-dup pairs via MinHash banding.
     *
     * numBands bands of rowsPerBand rows; docs agreeing on any band hash
     * are candidates. Emits distinct (a_id, b_id) with a < b. One scan to
     * compute signatures, one shuffle on band keys, pairs generated inside
-    * collect_list buckets capped at maxBucketSize (degenerate buckets are
-    * near-exact dups — the exact pass handles them).
+    * collect_list buckets up to maxBucketSize; oversized buckets take the
+    * distributed overflow path in `allBucketPairs` (no dropped pairs).
     */
   def minhashCandidates(
       df: DataFrame,
@@ -122,12 +170,11 @@ object DedupOps {
           )
         ).as("band_key")
       )
-    banded
+    val buckets = banded
       .groupBy("band_key")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
-      .select(explode(bucketPairs(col("ids"))).as("p"))
-      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+    allBucketPairs(buckets, Seq("band_key"), "ids", maxBucketSize)
+      .select(col("a").as("a_id"), col("b").as("b_id"))
       .distinct()
   }
 
@@ -185,14 +232,13 @@ object DedupOps {
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("chunk_idx"), shiftright(col("sig"), 16 * j).bitwiseAND(0xffffL).as("chunk"))): _*)).as("cx")
     )
-    banded
-      .groupBy(col("cx.chunk_idx"), col("cx.chunk"))
+    val buckets = banded
+      .groupBy(col("cx.chunk_idx").as("chunk_idx"), col("cx.chunk").as("chunk"))
       .agg(sort_array(collect_list(col("rec"))).as("recs"))
-      .filter(size(col("recs")).between(2, maxBucketSize))
-      .select(explode(bucketPairs(col("recs"))).as("p"))
+    allBucketPairs(buckets, Seq("chunk_idx", "chunk"), "recs", maxBucketSize)
       .select(
-        col("p.a.id").as("a_id"), col("p.b.id").as("b_id"),
-        col("p.a.sig").as("sig_a"), col("p.b.sig").as("sig_b"))
+        col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)

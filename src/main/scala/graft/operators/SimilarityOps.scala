@@ -193,13 +193,19 @@ object SimilarityOps {
   /** Embedding near-duplicate pairs blocked by random-hyperplane LSH —
     * the 100 TB path: no self-join, no label/metadata dependence.
     *
-    * Plan shape: (1) one scan computing unit vectors + nTables native
-    * bucket signatures; (2) one shuffle on (table, bucket); (3) pair
-    * generation inside collect_list buckets (capped); (4) distinct
-    * candidate edges verified by ONE native dot product per pair against
-    * unit vectors re-attached by id. Near-parallel pairs (cosine ≥ ~0.99)
-    * keep identical sign patterns under scaling, so recall at dedup
-    * thresholds is effectively total; raise nTables for looser τ.
+    * Plan shape: (1) one scan computing nTables native bucket signatures
+    * (on the RAW vectors — hyperplane signs are invariant to positive
+    * scaling, so normalization buys nothing here); (2) one shuffle on
+    * (table, bucket); (3) pair generation inside collect_list buckets,
+    * with the distributed overflow path for oversized buckets (no
+    * silently dropped pairs — round-2 advisor finding); (4) distinct
+    * candidate edges verified by `cosine` over the ORIGINAL vectors
+    * re-attached by id — dot/(‖a‖·‖b‖) in the same operation order as the
+    * DuckDB oracle, so a rounded value can never straddle a rounding
+    * boundary between engines (pre-normalized per-element division
+    * changes the floating-point result). Near-parallel pairs (cosine ≥
+    * ~0.99) keep identical sign patterns, so recall at dedup thresholds
+    * is effectively total; raise nTables for looser τ.
     */
   def embeddingDupPairsLsh(
       vectors: DataFrame,
@@ -210,24 +216,23 @@ object SimilarityOps {
       nTables: Int = 4,
       maxBucketSize: Int = 1024
   ): DataFrame = {
-    val v = unitVectors(vectors, idCol, vecCol)
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val banded = v.select(
       col("id"),
       explode(array((0 until nTables).map { t =>
-        struct(lit(t).as("tbl"), hyperplaneBucket(col("unit"), nBits, seed = t).as("bkt"))
+        struct(lit(t).as("tbl"), hyperplaneBucket(col("vec"), nBits, seed = t).as("bkt"))
       }: _*)).as("tb"))
       .select(col("id"), col("tb.tbl"), col("tb.bkt"))
-    val cands = banded
+    val buckets = banded
       .groupBy("tbl", "bkt")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
-      .select(explode(DedupOps.bucketPairs(col("ids"))).as("p"))
-      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+    val cands = DedupOps.allBucketPairs(buckets, Seq("tbl", "bkt"), "ids", maxBucketSize)
+      .select(col("a").as("a_id"), col("b").as("b_id"))
       .distinct()
     cands
-      .join(v.select(col("id").as("a_id"), col("unit").as("ua")), "a_id")
-      .join(v.select(col("id").as("b_id"), col("unit").as("ub")), "b_id")
-      .withColumn("cosine", round(dot(col("ua"), col("ub")), 6))
+      .join(v.select(col("id").as("a_id"), col("vec").as("va")), "a_id")
+      .join(v.select(col("id").as("b_id"), col("vec").as("vb")), "b_id")
+      .withColumn("cosine", round(cosine(col("va"), col("vb")), 6))
       .filter(col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")
   }

@@ -20,17 +20,27 @@ object SkewOps {
     *   Seq(sum("v").as("s"), count(lit(1)).as("n")),
     *   Seq(sum("s").as("s"), sum("n").as("n")))
     */
+  /** @param discriminator optional extra column mixed into the salt hash
+    *        (e.g. a unique id, or `spark_partition_id()`): byte-identical
+    *        duplicate rows all hash to the SAME salt bucket — exactly the
+    *        duplicate-heavy-hitter workload salting exists for regains its
+    *        skew without one. `spark_partition_id()` is replay-safe here
+    *        because partial aggregates are re-derived from the same input
+    *        partition on retry.
+    */
   def saltedAgg(
       df: DataFrame,
       keyCols: Seq[String],
       saltBuckets: Int,
       partialAggs: Seq[Column],
-      finalAggs: Seq[Column]
+      finalAggs: Seq[Column],
+      discriminator: Option[Column] = None
   ): DataFrame = {
     // deterministic salt (hash of the whole row, not monotonically_
     // increasing_id): identical assignment under task retries and
     // speculative execution, so partial aggregates are replay-safe
-    val salted = df.withColumn("__salt", pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(saltBuckets)))
+    val saltInputs = df.columns.map(col).toIndexedSeq ++ discriminator
+    val salted = df.withColumn("__salt", pmod(xxhash64(struct(saltInputs: _*)), lit(saltBuckets)))
     salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)

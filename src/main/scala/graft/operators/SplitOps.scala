@@ -34,4 +34,13 @@ object SplitOps {
   /** df + a `split` column; pure projection (no shuffle, no sampling). */
   def withSplit(df: DataFrame, keyCol: String, trainBuckets: Int = 12, valBuckets: Int = 2): DataFrame =
     df.withColumn("split", assignSplit(col(keyCol), trainBuckets, valBuckets))
+
+  /** Deterministic `keepBuckets`/16 sample by key: a pure filter pushed
+    * to the scan — no shuffle, no RNG, stable under retries/reprocessing
+    * and reproducible in any engine that has md5 (unlike `df.sample`,
+    * whose output depends on partitioning). */
+  def deterministicSample(df: DataFrame, keyCol: String, keepBuckets: Int): DataFrame = {
+    require(keepBuckets > 0 && keepBuckets <= 16)
+    df.filter(bucket16(col(keyCol)) < keepBuckets)
+  }
 }

@@ -114,11 +114,31 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) < 1.0 && pairs((1L, 3L)) > 0.5)
   }
 
-  test("minhash candidate buckets respect the size cap") {
+  test("oversized buckets take the overflow path: no pair is dropped") {
+    // all 200 docs share every band → one bucket of 200 ≫ cap of 64; the
+    // distributed overflow join must still emit the full C(200,2) pair set
+    // (round-2 advisor: the old cap silently dropped oversized buckets,
+    // making the output a strict subset of the quadratic oracle)
     val many = (0L until 200L).map(i => (i, "identical text repeated here exactly the same tokens forever")).toDF("doc_id", "text")
-    // all 200 docs share every band; cap of 64 drops those degenerate buckets
     val cands = DedupOps.minhashCandidates(many, "text", "doc_id", maxBucketSize = 64)
-    assert(cands.count() == 0)
+    assert(cands.count() == 200L * 199 / 2)
+    // and the small-bucket path still dedups with the overflow path's output
+    val verified = DedupOps.minhashDupPairs(many, "text", "doc_id", threshold = 0.9)
+    assert(verified.count() == 200L * 199 / 2)
+  }
+
+  test("exactDupPairs enumerates identical-content pairs across hash buckets") {
+    val df = Seq(
+      (1L, "same doc"), (2L, "same doc"), (3L, "same doc"),
+      (4L, "other"), (5L, "  SAME   doc "), (6L, "unique text")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.exactDupPairs(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // {1,2,3,5} are identical after normalization → C(4,2)=6 pairs
+    assert(pairs == Set((1L, 2L), (1L, 3L), (1L, 5L), (2L, 3L), (2L, 5L), (3L, 5L)))
+    // oversized-bucket path: 100 identical docs with cap 8 → full pair set
+    val many = (0L until 100L).map(i => (i, "dup")).toDF("doc_id", "text")
+    assert(DedupOps.exactDupPairs(many, "text", "doc_id", maxBucketSize = 8).count() == 100L * 99 / 2)
   }
 }
 
@@ -260,6 +280,48 @@ class SplitOpsSpec extends SparkSpec {
     val plan = SplitOps.withSplit(df, "id").queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"split must not shuffle:\n$plan")
   }
+
+  test("deterministicSample is a stable subset with no shuffle") {
+    val df = spark.range(2000).toDF("id")
+    val s1 = SplitOps.deterministicSample(df, "id", 2).collect().map(_.getLong(0)).toSet
+    val s2 = SplitOps.deterministicSample(df, "id", 2).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "sample must be stable across runs")
+    assert(s1.size > 150 && s1.size < 350, s"2/16 of 2000 ± slack: ${s1.size}")
+    val s4 = SplitOps.deterministicSample(df, "id", 4).collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s4), "larger keep-rate must contain the smaller sample")
+    val plan = SplitOps.deterministicSample(df, "id", 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+}
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.GraphOps
+
+  test("connected components: min-id labels, chains and isolated pairs") {
+    // components: {1,2,3,4} via chain, {7,9}, {10,11,12} via triangle
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (9L, 7L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("a_id", "b_id")
+    val cc = GraphOps.connectedComponents(edges, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("dupClusters groups members under the min-id keeper") {
+    val edges = Seq((1L, 5L), (5L, 9L), (2L, 4L)).toDF("a_id", "b_id")
+    val out = GraphOps.dupClusters(edges, "a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSet
+    assert(out == Set((1L, Seq(1L, 5L, 9L), 3L), (2L, Seq(2L, 4L), 2L)))
+  }
+
+  test("long path converges within maxIter via propagation") {
+    // a 12-node path: worst case for min-propagation (diameter 11)
+    val edges = (0L until 11L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val cc = GraphOps.connectedComponents(edges, "a_id", "b_id")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(cc == Set(0L))
+  }
 }
 
 class SessionOpsSpec extends SparkSpec {
@@ -337,6 +399,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(long.map(_.getLong(2)) == Seq(4L, 4L, 4L))
     val short = r(1).getSeq[org.apache.spark.sql.Row](0)
     assert(short.map(_.getString(1)) == Seq("a b") && short.head.getLong(0) == 0L)
+  }
+
+  test("empty/whitespace docs: zero tokens, one empty chunk, zero ratios") {
+    // pins the empty-doc convention the DuckDB oracles mirror with the
+    // CASE WHEN len(norm)=0 THEN [] guard (round-2 advisor finding)
+    val df = Seq("", "   \t  ").toDF("text")
+    val r = df.select(
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.chunkTokens(TextFunctions.tokens(col("text")), 32, 8).as("c"),
+      TextFunctions.repetitionRatio(col("text"), 2).as("rep"),
+      TextFunctions.qualityScore(col("text")).as("q")).collect()
+    r.foreach { row =>
+      assert(row.getInt(0) == 0)
+      val chunks = row.getSeq[org.apache.spark.sql.Row](1)
+      assert(chunks.size == 1 && chunks.head.getString(1) == "" && chunks.head.getLong(2) == 0L)
+      assert(row.getDouble(2) == 0.0)
+      assert(row.getDouble(3) == 0.3) // only the punct-free term contributes
+    }
   }
 
   test("pii scrub replaces emails, urls and long digit runs; counts match") {

@@ -12,7 +12,7 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-ok = fail = 0
+ok = fail = warn = 0
 for name in sorted(oracle):
     files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
     if not files:
@@ -52,18 +52,23 @@ for name in sorted(oracle):
         continue
     # strict: value types must match too — the driver hashes a canonical
     # serialization, so Decimal-vs-float or str-repr drift fails there even
-    # when pandas == succeeds (round-1 lesson: 8 DECIMAL queries)
+    # when pandas == succeeds (round-1 lesson: 8 DECIMAL queries). Checked
+    # over the WHOLE column (a column whose early values coincide in type
+    # but drifts later — mixed object dtype — must not pass), and counted
+    # as its own warning category with a distinct exit code, not a VALUE
+    # failure (round-2 advisor).
     twarn = []
     for c in sc:
-        ax = next((v for v in a[c] if v is not None), None)
-        bx = next((v for v in b[c] if v is not None), None)
-        if ax is not None and bx is not None and type(ax).__name__ != type(bx).__name__:
-            twarn.append((c, type(ax).__name__, type(bx).__name__))
+        at = {type(v).__name__ for v in a[c] if v is not None}
+        bt = {type(v).__name__ for v in b[c] if v is not None}
+        if at != bt:
+            twarn.append((c, sorted(at), sorted(bt)))
     if twarn:
         print(f"TYPEWARN {name}: {twarn} (values equal, repr may hash-differ in driver)")
-        fail += 1
+        warn += 1
     else:
         print(f"OK       {name} ({len(spark_df)} rows)"); ok += 1
-print(f"\n{ok} ok, {fail} fail; rows-only (no oracle): ", end="")
+print(f"\n{ok} ok, {fail} fail, {warn} typewarn; rows-only (no oracle): ", end="")
 all_q = {os.path.basename(p) for p in glob.glob(os.path.join(out_dir,'*')) if os.path.isdir(p)}
 print(sorted(all_q - set(oracle)))
+sys.exit(1 if fail else (2 if warn else 0))
