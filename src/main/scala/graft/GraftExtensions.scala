@@ -14,8 +14,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *          graft_hyperplane_bucket(vec, 12, 0) FROM ...
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // point-in-interval joins become bucketized equi-joins when
+    // spark.graft.rangeJoin.bucketWidth is set (see RangeJoinBucketing)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketing)
+  }
 }
 
 object GraftExtensions {

@@ -233,10 +233,15 @@ object SparkEntry {
       val counts = li.groupBy("l_returnflag").agg(
         countDistinct(col("l_partkey")).as("n_parts_exact"),
         approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      // ONE exact-percentile buffer for both bounds (array percentile):
+      // each percentile(...) agg keeps its own per-group value-counts map
+      // through the ObjectHashAggregate — two maps doubled the allocation
+      // churn for no information gain
       val pcts = li.groupBy("l_returnflag").agg(
         expr("approx_percentile(l_extendedprice, 0.5)").as("approx_p50"),
-        expr("percentile(l_extendedprice, 0.40)").as("p40"),
-        expr("percentile(l_extendedprice, 0.60)").as("p60"))
+        expr("percentile(l_extendedprice, array(0.40, 0.60))").as("p4060"))
+        .select(col("l_returnflag"), col("approx_p50"),
+          col("p4060")(0).as("p40"), col("p4060")(1).as("p60"))
       counts.join(pcts, "l_returnflag")
         .select(
           col("l_returnflag"),
