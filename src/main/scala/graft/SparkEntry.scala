@@ -586,6 +586,26 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
         .orderBy("doc_id")
     }),
+    "data_decontam" -> ((s, d) => {
+      // benchmark decontamination: every 50th doc stands in for an eval
+      // set; docs sharing any word 8-gram with it are contaminated
+      // (benchmark members trivially hit themselves — kept; the oracle
+      // computes the same). Bench shingles broadcast; corpus scans once.
+      val docs = TP(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 50 === 0).select(col("text"))
+      DecontamOps.contaminationHits(docs, "text", "doc_id", bench, "text", n = 8)
+        .orderBy("doc_id")
+    }),
+    "data_stratified" -> ((s, d) => {
+      // per-stratum deterministic downsampling (keep all purchases, 1/8
+      // of clicks, 1/16 of views, 1/4 of the rest) — the curation shape
+      // for rebalancing training mixtures, still a pure pushed filter
+      val sampled = SplitOps.stratifiedSample(T(s, d, "events"), "event_id", "event_type",
+        Map("click" -> 2, "purchase" -> 16, "view" -> 1), defaultBuckets = 4)
+      sampled.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
     "text_topterms" -> ((s, d) => {
       // most frequent non-stopword token per doc (integer-only tf ranking
       // — no float idf, so the oracle matches bit-for-bit); the classic
@@ -895,6 +915,22 @@ object SparkEntry {
       "data_sample" ->
         s"""SELECT doc_id, len($toks) AS n_tok FROM documents
            |WHERE substr(md5(doc_id::VARCHAR), 1, 1) IN ('0','1') ORDER BY doc_id""".stripMargin,
+      "data_decontam" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |shl AS (SELECT doc_id, unnest(list_distinct(${shingles("tk", 8)})) AS s FROM t),
+           |b AS (SELECT DISTINCT s FROM shl WHERE doc_id % 50 = 0)
+           |SELECT doc_id, COUNT(*) AS n_hits FROM shl JOIN b USING (s)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "data_stratified" ->
+        """WITH f AS (SELECT event_type, value FROM events
+          | WHERE CASE event_type
+          |  WHEN 'click' THEN substr(md5(event_id::VARCHAR),1,1) < '2'
+          |  WHEN 'purchase' THEN true
+          |  WHEN 'view' THEN substr(md5(event_id::VARCHAR),1,1) < '1'
+          |  ELSE substr(md5(event_id::VARCHAR),1,1) < '4' END)
+          |SELECT event_type, COUNT(*) AS n,
+          | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+          |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
       "text_topterms" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
            |f AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok

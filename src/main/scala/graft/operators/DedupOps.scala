@@ -127,7 +127,17 @@ object DedupOps {
       itemsCol: String,
       maxBucketSize: Int
   ): DataFrame = {
-    val sized = buckets.withColumn("__sz", size(col(itemsCol)))
+    // The bucket table feeds three consumers (small path, both sides of
+    // the overflow join). Column pruning gives each branch a different
+    // required-column set, so their Exchanges don't canonicalize equal and
+    // ReuseExchange does NOT kick in — without materialization the whole
+    // upstream signature scan would run three times (observed in the
+    // physical plan as three parquet scans). The bucket table is only ids/
+    // sigs grouped by bucket key — far smaller than the corpus — so a lazy
+    // local checkpoint (computed on first use inside the same action) is
+    // the right trade at 100 TB. Caveat: executor loss invalidates local
+    // checkpoint blocks; on a shared cluster prefer reliable checkpointing.
+    val sized = buckets.withColumn("__sz", size(col(itemsCol))).localCheckpoint(eager = false)
     val small = sized
       .filter(col("__sz").between(2, maxBucketSize))
       .select(explode(bucketPairs(col(itemsCol))).as("p"))

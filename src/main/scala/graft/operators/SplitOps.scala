@@ -43,4 +43,24 @@ object SplitOps {
     require(keepBuckets > 0 && keepBuckets <= 16)
     df.filter(bucket16(col(keyCol)) < keepBuckets)
   }
+
+  /** Stratified deterministic sample: per-stratum keep rates in 16ths
+    * (strata not listed keep `defaultBuckets`/16). Same md5-bucket
+    * determinism as `deterministicSample`, still a pure filter — the
+    * standard downsample-the-boilerplate / keep-the-rare-class shape for
+    * training-data curation (e.g. keep all code, 1/8 of web crawl).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      keepBuckets: Map[String, Int],
+      defaultBuckets: Int = 0
+  ): DataFrame = {
+    require((keepBuckets.values ++ Seq(defaultBuckets)).forall(k => k >= 0 && k <= 16))
+    val keep = keepBuckets.foldLeft(lit(defaultBuckets)) { case (acc, (s, k)) =>
+      when(col(strataCol) === s, lit(k)).otherwise(acc)
+    }
+    df.filter(bucket16(col(keyCol)) < keep)
+  }
 }

@@ -281,6 +281,19 @@ class SplitOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"split must not shuffle:\n$plan")
   }
 
+  test("stratifiedSample applies per-stratum rates deterministically") {
+    val df = spark.range(4000).toDF("id")
+      .withColumn("stratum", org.apache.spark.sql.functions.expr("CASE id % 4 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END"))
+    val out = SplitOps.stratifiedSample(df, "id", "stratum", Map("a" -> 16, "b" -> 2), defaultBuckets = 0)
+    val counts = out.groupBy("stratum").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("a") == 1000, "rate 16/16 keeps the whole stratum")
+    assert(counts.getOrElse("c", 0L) == 0, "default 0 drops unlisted strata")
+    assert(counts("b") > 60 && counts("b") < 200, s"2/16 of 1000 ± slack: ${counts("b")}")
+    val again = SplitOps.stratifiedSample(df, "id", "stratum", Map("a" -> 16, "b" -> 2))
+      .groupBy("stratum").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == again)
+  }
+
   test("deterministicSample is a stable subset with no shuffle") {
     val df = spark.range(2000).toDF("id")
     val s1 = SplitOps.deterministicSample(df, "id", 2).collect().map(_.getLong(0)).toSet
@@ -291,6 +304,36 @@ class SplitOpsSpec extends SparkSpec {
     assert(s1.subsetOf(s4), "larger keep-rate must contain the smaller sample")
     val plan = SplitOps.deterministicSample(df, "id", 2).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+}
+
+class DecontamOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.DecontamOps
+
+  test("docs sharing an n-gram with the benchmark are flagged with hit counts") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),  // contains the bench 3-gram twice-distinct? once
+      (2L, "totally unrelated words here now"),
+      (3L, "x y alpha beta gamma z"),          // shares "alpha beta gamma"
+      (4L, "beta gamma delta words words")     // shares "beta gamma delta"
+    ).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta").toDF("text") // 3-grams: {alpha beta gamma, beta gamma delta}
+    val hits = DecontamOps.contaminationHits(docs, "text", "doc_id", bench, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
+    val clean = DecontamOps.decontaminated(docs, "text", "doc_id", bench, "text", n = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L))
+  }
+
+  test("benchmark side broadcasts (no corpus shuffle before the hit agg)") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val bench = Seq("a b c").toDF("text")
+    val plan = DecontamOps.contaminationHits(docs, "text", "doc_id", bench, "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"bench side must broadcast:\n$plan")
   }
 }
 
