@@ -278,6 +278,19 @@ object SparkEntry {
         .select(col("o_orderkey"), unix_micros(col("asof_shipdate").cast("timestamp")).as("asof_us"))
         .orderBy("o_orderkey")
     }),
+    "asof_join_fwd" -> ((s, d) => {
+      // forward direction of the same as-of machinery: earliest shipment
+      // at-or-after the cutoff per order (DuckDB twin: MIN over >= join)
+      val orders = T(s, d, "orders")
+        .withColumn("cutoff", col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select("o_orderkey", "cutoff")
+      val line = T(s, d, "lineitem").select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"))
+      JoinOps
+        .asofForward(orders, line, Seq("o_orderkey"), "cutoff", "l_shipdate",
+          Map("l_shipdate" -> "asof_shipdate"))
+        .select(col("o_orderkey"), unix_micros(col("asof_shipdate").cast("timestamp")).as("asof_us"))
+        .orderBy("o_orderkey")
+    }),
     "events_sessionize" -> ((s, d) => {
       SessionOps
         .sessionize(T(s, d, "events").withColumn("ts", evTs), "user_id", "ts", gapSeconds = 1800)
@@ -826,6 +839,11 @@ object SparkEntry {
         """SELECT o_orderkey, epoch_us(MAX(l_shipdate)) AS asof_us
           |FROM orders LEFT JOIN lineitem
           | ON l_orderkey = o_orderkey AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+          |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+      "asof_join_fwd" ->
+        """SELECT o_orderkey, epoch_us(MIN(l_shipdate)) AS asof_us
+          |FROM orders LEFT JOIN lineitem
+          | ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
           |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
       "events_sessionize" ->
         """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

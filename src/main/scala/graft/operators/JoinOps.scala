@@ -36,6 +36,37 @@ object JoinOps {
       leftTime: String,
       rightTime: String,
       rightCols: Map[String, String]
+  ): DataFrame = asofJoin(left, right, keyCols, leftTime, rightTime, rightCols, forward = false, tolerance = None)
+
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * rightTime ≥ leftTime within the same key (DuckDB `ASOF JOIN ...
+    * ON t >= ...` mirrored; same union+window shape run on the reversed
+    * time order). */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightCols: Map[String, String]
+  ): DataFrame = asofJoin(left, right, keyCols, leftTime, rightTime, rightCols, forward = true, tolerance = None)
+
+  /** As-of join with direction and an optional tolerance: matches whose
+    * |leftTime − rightTime| exceeds `tolerance` are nulled out (pandas
+    * merge_asof semantics). Times must be directly comparable; tolerance
+    * applies to their difference cast to long — seconds for timestamp
+    * columns, native units for numerics (feed unix_micros columns for µs
+    * tolerances).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightCols: Map[String, String],
+      forward: Boolean,
+      tolerance: Option[Long]
   ): DataFrame = {
     import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
     val leftCols = left.columns.toSeq
@@ -48,6 +79,7 @@ object JoinOps {
     // multiple carried columns can never mix values from different rows.
     val rStructType = StructType(
       StructField("__present", BooleanType, nullable = false) +:
+        StructField("__rt", right.schema(rightTime).dataType, nullable = true) +:
         carried.map { case (c, alias) => right.schema(c).copy(name = alias) })
 
     // shared schema: keys, __t, __is_left, left payload (nulls on right rows), carried struct
@@ -61,15 +93,30 @@ object JoinOps {
       keyCols.map(col) ++
         Seq(col(rightTime).as("__t"), lit(0).as("__is_left")) ++
         leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) :+
-        struct(lit(true).as("__present") +: carried.map { case (c, alias) => col(c).as(alias) }: _*).as("__r"): _*
+        struct(
+          lit(true).as("__present") +:
+            col(rightTime).as("__rt") +:
+            carried.map { case (c, alias) => col(c).as(alias) }: _*).as("__r"): _*
     )
     val unioned = lTagged.unionByName(rTagged)
 
-    // Right rows sort before left rows at the same timestamp (asof is ≤).
+    // Right rows sort before left rows at the same timestamp (asof is
+    // inclusive on both directions); forward = the same fill run over the
+    // reversed time order.
+    val timeOrder = if (forward) col("__t").desc else col("__t").asc
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t").asc, col("__is_left").asc)
+      .orderBy(timeOrder, col("__is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    // tolerance (pandas merge_asof-style): a matched row further than
+    // `tolerance` from the left time yields nulls, exactly like no match.
+    // Units are the time columns' long cast (seconds for timestamps —
+    // feed unix_micros columns for µs tolerances).
+    val withinTol = tolerance match {
+      case Some(t) => abs(col("__t").cast("long") - col("__r.__rt").cast("long")) <= t
+      case None => lit(true)
+    }
 
     unioned
       .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
@@ -78,7 +125,9 @@ object JoinOps {
         keyCols.map(col) ++
           Seq(col("__t").as(leftTime)) ++
           leftCols.filterNot(c => keyCols.contains(c) || c == leftTime).map(c => col(s"__l_$c").as(c)) ++
-          carried.map { case (_, alias) => col(s"__r.$alias").as(alias) }: _*
+          carried.map { case (c, alias) =>
+            when(withinTol, col(s"__r.$alias")).otherwise(lit(null).cast(right.schema(c).dataType)).as(alias)
+          }: _*
       )
   }
 

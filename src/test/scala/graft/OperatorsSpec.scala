@@ -241,6 +241,26 @@ class JoinOpsSpec extends SparkSpec {
     assert(out.getAs[Double]("av") == 1.0)
   }
 
+  test("asofForward picks earliest right row ≥ left time per key") {
+    val left = Seq(("k1", 10L, "e1"), ("k1", 20L, "e2"), ("k2", 5L, "e3")).toDF("k", "t", "tag")
+    val right = Seq(("k1", 8L, 100.0), ("k1", 15L, 200.0), ("k1", 25L, 300.0), ("k2", 1L, 999.0))
+      .toDF("k", "rt", "price")
+    val out = JoinOps.asofForward(left, right, Seq("k"), "t", "rt", Map("price" -> "asof_price"))
+      .orderBy("k", "t").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Double]))).toSeq ==
+      Seq(("k1", 10L, Some(200.0)), ("k1", 20L, Some(300.0)), ("k2", 5L, None)))
+  }
+
+  test("asof tolerance nulls matches beyond the window (pandas merge_asof)") {
+    val left = Seq(("k", 10L, "a"), ("k", 100L, "b")).toDF("k", "t", "tag")
+    val right = Seq(("k", 8L, 1.0)).toDF("k", "rt", "v")
+    val out = JoinOps.asofJoin(left, right, Seq("k"), "t", "rt", Map("v" -> "av"),
+      forward = false, tolerance = Some(5L))
+      .orderBy("t").collect()
+    assert(Option(out(0).get(3)).contains(1.0), "within tolerance → matched")
+    assert(out(1).get(3) == null, "92 > 5 → nulled out")
+  }
+
   test("rangeJoin matches point-in-interval with bucketization") {
     val points = Seq(("a", 5L), ("a", 15L), ("b", 5L)).toDF("k", "p")
     val intervals = Seq(("a", 0L, 10L, "i1"), ("a", 10L, 20L, "i2")).toDF("k", "s", "e", "tag")
