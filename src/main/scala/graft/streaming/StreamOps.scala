@@ -100,6 +100,45 @@ object StreamOps {
       }
   }
 
+  /** Idempotent `foreachBatch` writer for non-transactional sinks.
+    *
+    * Structured Streaming replays the last uncommitted micro-batch after
+    * a restart, so a naive foreachBatch double-writes. This wrapper keeps
+    * a marker file per committed batch id: a replayed id is skipped
+    * entirely. The marker is written AFTER `writeBatch` returns, so the
+    * guarantee is exactly-once as long as `writeBatch` is atomic-or-
+    * idempotent per batch (e.g. overwrite of a batch-keyed location —
+    * see `exactlyOnceParquetSink`); otherwise at-least-once.
+    */
+  def idempotentForeachBatch(
+      commitDir: String,
+      writeBatch: (DataFrame, Long) => Unit
+  ): (DataFrame, Long) => Unit = { (df, batchId) =>
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(commitDir)
+    val fs = dir.getFileSystem(hconf)
+    val marker = new org.apache.hadoop.fs.Path(dir, s"batch-$batchId")
+    if (!fs.exists(marker)) {
+      writeBatch(df, batchId)
+      fs.mkdirs(dir)
+      fs.create(marker, true).close()
+    }
+  }
+
+  /** Exactly-once parquet sink via foreachBatch: each micro-batch
+    * overwrites its own `__batch_id=<n>` partition (idempotent per batch)
+    * and the commit marker suppresses replays. Pass the result to
+    * `writeStream.foreachBatch(...)`.
+    */
+  def exactlyOnceParquetSink(outDir: String, commitDir: String): (DataFrame, Long) => Unit =
+    idempotentForeachBatch(commitDir, { (df, batchId) =>
+      df.withColumn("__batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(outDir)
+    })
+
   /** TEST-ONLY convenience: replay a batch DataFrame as a file-source
     * stream so streaming operators can be unit-tested without external
     * services. The temp-dir write happens on the driver path — never use

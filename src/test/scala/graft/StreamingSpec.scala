@@ -111,6 +111,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("idempotent foreachBatch sink skips replayed batch ids (exactly-once)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-eo-out").toString
+    val commits = java.nio.file.Files.createTempDirectory("graft-eo-commits").toString
+    val sink = StreamOps.exactlyOnceParquetSink(out, commits)
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    sink(batch, 0L)
+    sink(batch, 0L) // restart replay of the same micro-batch: must be a no-op
+    sink(batch, 1L)
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 4, "batch 0 written once, batch 1 once")
+    assert(rows.select("__batch_id").distinct().count() == 2)
+    // end-to-end through a real streaming query
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val q = input.toDF().writeStream
+      .foreachBatch(StreamOps.exactlyOnceParquetSink(
+        java.nio.file.Files.createTempDirectory("graft-eo-out2").toString,
+        java.nio.file.Files.createTempDirectory("graft-eo-commits2").toString))
+      .start()
+    try { input.addData(1L, 2L, 3L); q.processAllAvailable() } finally q.stop()
+  }
+
   test("file replay stream reads a batch frame as a stream") {
     val df = spark.range(5).toDF("id").withColumn("ts", current_timestamp())
     val stream = StreamOps.replayAsStream(spark, df, "ts")
