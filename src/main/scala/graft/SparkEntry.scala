@@ -669,6 +669,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "pipeline_curation" -> ((s, d) => {
+      // the engine's purpose in one verified flow: exact-dedup keep-first
+      // → benchmark decontamination → quality filter → deterministic
+      // split → chunk counting. Every stage is the already-oracled
+      // operator; the composition itself is what this query pins.
+      val docs = TP(s, d, "documents")
+      val deduped = DedupOps.exactKeepFirst(docs, "text", "doc_id")
+      val bench = docs.filter(col("doc_id") % 50 === 0).select(col("text"))
+      val clean = DecontamOps.decontaminated(deduped, "text", "doc_id", bench, "text", n = 8)
+      val scored = clean
+        .select(col("doc_id"), TextFunctions.normText(col("text")).as("norm"))
+        .select(col("doc_id"), col("norm"), TextFunctions.tokensFromNorm(col("norm")).as("tk"))
+        .select(col("doc_id"), col("tk"),
+          TextFunctions.qualityScoreFrom(
+            size(col("tk")), length(col("norm")),
+            TextFunctions.punctCountFromNorm(col("norm")),
+            TextFunctions.tokenHitsFromTokens(col("tk"), TextFunctions.allStopwords)).as("q"))
+        .filter(col("q") >= 0.5)
+      scored
+        .withColumn("split", SplitOps.assignSplit(col("doc_id")))
+        .withColumn("n_chunks", size(TextFunctions.chunkTokens(col("tk"), 32, 8)).cast("long"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("tk")).cast("long")).as("n_tokens"),
+          sum(col("n_chunks")).as("n_chunks"))
+        .orderBy("split")
+    }),
+
     // ----- LLM-pipeline: multimodal plumbing -----
     "multimodal_features" -> ((s, d) => {
       val withBin = T(s, d, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
@@ -1055,6 +1083,35 @@ object SparkEntry {
           |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
           |   '[0-9]{9,}', '<NUM>', 'g')) AS scrub_hash
           |FROM t ORDER BY doc_id""".stripMargin,
+      "pipeline_curation" ->
+        s"""WITH dedup AS (
+           | SELECT doc_id, text FROM (
+           |  SELECT doc_id, text, ROW_NUMBER() OVER (PARTITION BY md5($norm) ORDER BY doc_id) AS rn
+           |  FROM documents) WHERE rn = 1),
+           |dt AS (SELECT doc_id, $toks AS tk FROM dedup),
+           |dsh AS (SELECT doc_id, unnest(list_distinct(${shingles("tk", 8)})) AS s FROM dt),
+           |bt AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id % 50 = 0),
+           |b AS (SELECT DISTINCT unnest(list_distinct(${shingles("tk", 8)})) AS s FROM bt),
+           |contaminated AS (SELECT DISTINCT doc_id FROM dsh JOIN b USING (s)),
+           |clean AS (SELECT doc_id, text FROM dedup
+           |          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+           |q AS (SELECT doc_id, $toks AS tk,
+           |       len($norm) AS nc,
+           |       len($norm) - len(regexp_replace($norm, '[^a-z0-9\\sà-ÿ一-鿿]', '', 'g')) AS pc,
+           |       len(list_filter($toks, t -> list_contains($stopAll, t))) AS shits
+           |      FROM clean),
+           |f AS (SELECT doc_id, tk FROM q
+           |      WHERE 0.4 * least(len(tk)/50.0, 1.0)
+           |        + 0.3 * (1.0 - (CASE WHEN nc = 0 THEN 0.0 ELSE pc::DOUBLE/nc END))
+           |        + 0.3 * (CASE WHEN len(tk) = 0 THEN 0.0 ELSE shits::DOUBLE/len(tk) END) >= 0.5),
+           |sp AS (SELECT doc_id, tk,
+           |        CASE WHEN substr(md5(doc_id::VARCHAR),1,1) <= 'b' THEN 'train'
+           |             WHEN substr(md5(doc_id::VARCHAR),1,1) <= 'd' THEN 'val' ELSE 'test' END AS split,
+           |        CAST(greatest(ceil((greatest(len(tk),1) - 8)/24.0), 1) AS BIGINT) AS n_chunks
+           |       FROM f)
+           |SELECT split, COUNT(*) AS n_docs, CAST(SUM(len(tk)) AS BIGINT) AS n_tokens,
+           | CAST(SUM(n_chunks) AS BIGINT) AS n_chunks
+           |FROM sp GROUP BY split ORDER BY split""".stripMargin,
       "multimodal_features" ->
         """SELECT doc_id, octet_length(encode(text)) AS byte_len,
           | CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
