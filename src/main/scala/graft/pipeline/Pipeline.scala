@@ -142,7 +142,9 @@ object EtlCli {
       .orElse(sys.props.get("spark.master"))
       .orElse(sys.env.get("SPARK_MASTER"))
       .getOrElse("local[*]")
-    val builder = builder1.master(master)
+    // graft's native SQL functions (graft_dot, graft_minhash_sig, ...) and
+    // the range-join bucketing rule are part of the CLI's sql:// surface
+    val builder = builder1.master(master).withExtensions(new graft.GraftExtensions)
     val spark = builder.getOrCreate()
     val ok = pipeline.run(spark)
     println(if (ok) "Write successful" else "Writing to sink failed")
