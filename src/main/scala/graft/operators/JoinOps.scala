@@ -102,11 +102,16 @@ object JoinOps {
 
     // Right rows sort before left rows at the same timestamp (asof is
     // inclusive on both directions); forward = the same fill run over the
-    // reversed time order.
+    // reversed time order. The carried struct itself is the final sort
+    // key: without it, several right rows at the SAME (key, time) would
+    // be filled in partition-dependent order and the result would be
+    // nondeterministic across runs — with it, the greatest carried tuple
+    // wins, deterministically. (Carried columns must be orderable; maps
+    // are not.)
     val timeOrder = if (forward) col("__t").desc else col("__t").asc
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(timeOrder, col("__is_left").asc)
+      .orderBy(timeOrder, col("__is_left").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     // tolerance (pandas merge_asof-style): a matched row further than

@@ -100,6 +100,32 @@ object StreamOps {
       }
   }
 
+  /** Streaming near-duplicate dedup: drop documents whose MinHash
+    * signature (map-side native expression — no state, no shuffle to
+    * compute) collides with one already seen inside the watermark
+    * horizon. Exact dups always collide; near-dups collide when all k
+    * minima agree (tune k down for looser matching: k=16 at jaccard 0.9
+    * collides with p ≈ 0.9^16 ≈ 0.19 per signature — this operator is
+    * the streaming guard against duplicate floods, not a replacement for
+    * the batch LSH pass, which still owns recall).
+    *
+    * State is bounded by the watermark: signatures older than the delay
+    * are dropped (`dropDuplicatesWithinWatermark` semantics).
+    */
+  def dedupNearWithinWatermark(
+      df: DataFrame,
+      textCol: String,
+      tsCol: String,
+      delay: String,
+      k: Int = 16
+  ): DataFrame = {
+    import graft.operators.DedupOps
+    df.withColumn("__sig", DedupOps.minhashSigCol(DedupOps.hashedShingleSet(col(textCol), 3), k))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__sig")
+      .drop("__sig")
+  }
+
   /** Idempotent `foreachBatch` writer for non-transactional sinks.
     *
     * Structured Streaming replays the last uncommitted micro-batch after

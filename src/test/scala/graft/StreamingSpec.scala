@@ -111,6 +111,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup drops repeated content within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "text")
+    val out = StreamOps.dedupNearWithinWatermark(df, "text", "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("neardup_out").outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+      input.addData(
+        (ts(1), "the quick brown fox jumps over the lazy dog"),
+        (ts(2), "the quick brown fox jumps over the lazy dog"), // exact dup → dropped
+        (ts(3), "a completely different document about spark"))
+      q.processAllAvailable()
+      val texts = spark.table("neardup_out").collect().map(_.getString(1))
+      assert(texts.length == 2, s"exact dup must be dropped: ${texts.mkString("|")}")
+      assert(texts.count(_.contains("quick brown fox")) == 1)
+    } finally q.stop()
+  }
+
   test("idempotent foreachBatch sink skips replayed batch ids (exactly-once)") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-eo-out").toString
