@@ -376,9 +376,31 @@ object ExcelProvider extends SchemeProvider {
   }
 }
 
+/** synth://?rows=N&partitions=P — deterministic synthetic scale-test
+  * rows from the DataSource V2 implementation
+  * (graft.sources.v2.SyntheticTableProvider): id-range filters push down
+  * into the generator bounds (pruning input partitions at the source)
+  * and column pruning skips unrequested generators. Read-only.
+  */
+object SynthProvider extends SchemeProvider {
+  val schemes = Seq("synth")
+  override def apply(uri: ParsedUri): SparkSession => DfSource with DfSink = { spark =>
+    new DfSource with DfSink {
+      override def read(): DataFrame =
+        spark.read.format("graft.sources.v2.SyntheticTableProvider")
+          .options(uri.queryParams).load()
+      override def write(df: DataFrame): Boolean = {
+        System.err.println("[graft] synth:// is a read-only source")
+        false
+      }
+    }
+  }
+}
+
 object SourceRegistry {
   val providers: Seq[SchemeProvider] = Seq(
     ConsoleProvider,
+    SynthProvider,
     ValuesProvider,
     TextProvider,
     new FileFormatProvider("parquet", Seq("parquet", "parquet-stream")),

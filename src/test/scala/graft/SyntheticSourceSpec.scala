@@ -1,0 +1,57 @@
+package graft
+
+import graft.pipeline.Pipeline
+import graft.sources.v2.SyntheticTable
+import org.apache.spark.sql.functions._
+
+class SyntheticSourceSpec extends SparkSpec {
+
+  private val fmt = "graft.sources.v2.SyntheticTableProvider"
+  private def synth(rows: Long, parts: Int) =
+    spark.read.format(fmt).option("rows", rows.toString).option("partitions", parts.toString).load()
+
+  test("generates exactly `rows` deterministic rows") {
+    val df = synth(10000, 8)
+    assert(df.count() == 10000)
+    val r = df.filter(col("id") === 4321L).collect().head
+    assert(r.getInt(1) == SyntheticTable.bucketOf(4321L))
+    assert(r.getDouble(2) == SyntheticTable.valueOf(4321L))
+    assert(r.getString(3) == SyntheticTable.tagOf(4321L))
+    // stable across reads
+    assert(synth(10000, 8).agg(sum("value")).collect().head.getDouble(0) ==
+      df.agg(sum("value")).collect().head.getDouble(0))
+  }
+
+  test("id-range filters prune input partitions at the source") {
+    val df = synth(100000, 100) // 1000 ids per partition
+    assert(df.rdd.getNumPartitions == 100)
+    val narrow = df.filter(col("id") < 1000)
+    assert(narrow.rdd.getNumPartitions == 1,
+      s"id<1000 must plan 1 of 100 partitions, got ${narrow.rdd.getNumPartitions}")
+    assert(narrow.count() == 1000)
+    val mid = df.filter(col("id") >= 50000L && col("id") < 52000L)
+    assert(mid.rdd.getNumPartitions == 2)
+    assert(mid.count() == 2000)
+    // non-id filters stay residual and still evaluate correctly
+    val resid = df.filter(col("id") < 3000 && col("bucket") === 7)
+    assert(resid.rdd.getNumPartitions == 3)
+    assert(resid.count() == 3000 / 32 + (if (7 < 3000 % 32) 1 else 0))
+  }
+
+  test("column pruning reaches the generator") {
+    val df = synth(5000, 4).select("bucket")
+    assert(df.distinct().count() == 32)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("tag"), s"pruned column must not be read:\n$plan")
+  }
+
+  test("synth:// URI scheme reads through the pipeline") {
+    val (p, _) = Pipeline.fromArgs(Seq(
+      "--source", "synth:///?rows=500&partitions=4",
+      "--transform",
+      "sql:///" + java.net.URLEncoder.encode(
+        "SELECT bucket, COUNT(*) AS n FROM source GROUP BY bucket ORDER BY bucket", "UTF-8")))
+    val out = p.resultView(spark, "sink").collect()
+    assert(out.length == 32 && out.map(_.getLong(1)).sum == 500)
+  }
+}
