@@ -267,6 +267,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("sum_value"))
         .orderBy("interval_id")
     }),
+    "events_range_join_rule" -> ((s, d) => {
+      // the RangeJoinBucketing optimizer rule, driver-verified: this is
+      // the PLAIN inequality-join SQL (which Spark would nested-loop);
+      // the injected rule rewrites it to the bucketized equi-join at
+      // optimization time and the result must still hash-match the same
+      // DuckDB oracle as the hand-bucketized events_range_join. The conf
+      // stays set for the session: the rule's pattern guard makes it a
+      // no-op for every other query shape (incl. the manual rangeJoin,
+      // whose __graft_* bucket columns mark it already-bucketized).
+      if (!s.experimental.extraOptimizations.contains(graft.plans.RangeJoinBucketing))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.RangeJoinBucketing
+      s.conf.set(graft.plans.RangeJoinBucketing.WidthConf, "75600000000")
+      val baseUs = 1704067200000000L
+      val stepUs = 50400000000L
+      val lenUs = 75600000000L
+      s.range(50).select(
+        col("id").as("interval_id"),
+        (lit(baseUs) + col("id") * stepUs).as("s_us"),
+        (lit(baseUs) + col("id") * stepUs + lenUs).as("e_us"))
+        .createOrReplaceTempView("graft_rj_iv")
+      T(s, d, "events").select(expr("ts div 1000").as("ts_us"), col("value"))
+        .createOrReplaceTempView("graft_rj_ev")
+      s.sql("""SELECT interval_id, COUNT(*) AS n_events,
+              | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+              |FROM graft_rj_iv JOIN graft_rj_ev ON ts_us >= s_us AND ts_us < e_us
+              |GROUP BY interval_id ORDER BY interval_id""".stripMargin)
+    }),
     "asof_join" -> ((s, d) => {
       val orders = T(s, d, "orders")
         .withColumn("cutoff", col("o_orderdate") + expr("INTERVAL 60 DAYS"))
@@ -884,6 +912,16 @@ object SparkEntry {
           | FROM w)
           |SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us
           |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+      "events_range_join_rule" ->
+        """WITH iv AS (SELECT i AS interval_id,
+          |  1704067200000000 + i*50400000000 AS s_us,
+          |  1704067200000000 + i*50400000000 + 75600000000 AS e_us
+          | FROM range(50) t(i)),
+          |ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events)
+          |SELECT interval_id, COUNT(*) AS n_events,
+          | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+          |FROM iv JOIN ev ON ts_us >= s_us AND ts_us < e_us
+          |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
       "events_range_join" ->
         """WITH iv AS (SELECT i AS interval_id,
           |  1704067200000000 + i*50400000000 AS s_us,

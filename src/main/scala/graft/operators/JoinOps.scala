@@ -153,17 +153,19 @@ object JoinOps {
   ): DataFrame = {
     // integer division (`div`), NOT double division: at epoch-µs
     // magnitudes (~1e15) a double quotient can round across the bucket
-    // edge and silently drop a boundary match
-    val lb = left.withColumn("__lbucket", expr(s"CAST($pointCol AS BIGINT) div $bucketWidth"))
+    // edge and silently drop a boundary match. The __graft_ prefix also
+    // tells the RangeJoinBucketing optimizer rule this join is already
+    // bucketized (its guard skips conditions referencing __graft_*).
+    val lb = left.withColumn("__graft_lbucket", expr(s"CAST($pointCol AS BIGINT) div $bucketWidth"))
     val rb = right.withColumn(
-      "__rbucket",
+      "__graft_rbucket",
       explode(sequence(
         expr(s"CAST($startCol AS BIGINT) div $bucketWidth"),
         expr(s"CAST($endCol AS BIGINT) div $bucketWidth")))
     )
     val keyCond = keyCols.map(c => lb(c) === rb(c)).reduceOption(_ && _).getOrElse(lit(true))
-    lb.join(rb, keyCond && lb("__lbucket") === rb("__rbucket") &&
+    lb.join(rb, keyCond && lb("__graft_lbucket") === rb("__graft_rbucket") &&
         col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
-      .drop("__lbucket", "__rbucket")
+      .drop("__graft_lbucket", "__graft_rbucket")
   }
 }
