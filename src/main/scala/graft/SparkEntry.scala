@@ -455,6 +455,23 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    "vec_quantize" -> ((s, d) => {
+      // int8 scalar quantization of the embedding table (4× storage cut)
+      // + reconstruction error, both engines computing the identical
+      // arithmetic: per-vector min/max, codes = round((x-lo)·255/range),
+      // max |x − dequant(x)| per vector
+      val vecs = TP(s, d, "embeddings")
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+      val q = vecs.withColumn("q", VectorFunctions.quantize8(col("vec")))
+      q.select(
+        col("vec_id"),
+        col("q.lo").as("lo"),
+        col("q.hi").as("hi"),
+        array_max(zip_with(col("vec"), VectorFunctions.dequantize8(col("q")),
+          (a, b) => abs(a - b))).as("max_abs_err"))
+        .orderBy("vec_id")
+    }),
+
     // ----- LLM-pipeline: similarity search -----
     "ann_bruteforce" -> ((s, d) => {
       val vecs = TP(s, d, "embeddings")
@@ -1034,6 +1051,20 @@ object SparkEntry {
            |FROM both_t a JOIN both_t b ON a.vec_id < b.vec_id
            |WHERE ROUND($dotExpr / (${normExpr("a")} * ${normExpr("b")}), 6) >= 0.999
            |ORDER BY a_id, b_id""".stripMargin,
+      "vec_quantize" ->
+        """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+          |q AS (SELECT vec_id, vec, list_min(vec) AS lo, list_max(vec) AS hi FROM v),
+          |c AS (SELECT vec_id, vec, lo, hi,
+          |  list_transform(vec, x -> CASE WHEN hi - lo = 0 THEN 0
+          |    ELSE CAST(round((x - lo) * 255 / (hi - lo)) AS INT) END) AS codes FROM q),
+          |r AS (SELECT vec_id, lo, hi,
+          |  list_aggregate(
+          |   list_transform(
+          |    list_zip(vec, list_transform(codes, cc -> CASE WHEN hi - lo = 0 THEN lo
+          |      ELSE lo + cc::DOUBLE * (hi - lo) / 255 END)),
+          |    p -> abs(p[1] - p[2])), 'max') AS max_abs_err
+          | FROM c)
+          |SELECT vec_id, lo, hi, max_abs_err FROM r ORDER BY vec_id""".stripMargin,
       "ann_bruteforce" ->
         s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
            |scored AS (

@@ -41,6 +41,31 @@ object VectorFunctions {
     when(denom === 0, 0.0).otherwise(dot(a, b) / denom)
   }
 
+  /** Per-vector scalar int8 quantization: codes[i] = round((x[i]−lo)·255/
+    * (hi−lo)) with (lo, hi) = the vector's own min/max — the standard
+    * 4×-compression storage layout for embedding tables (codes ride as
+    * array<int> for engine-portable arithmetic; a production sink would
+    * pack to binary). Constant vectors (hi = lo) map to code 0.
+    * Returns struct(lo, hi, codes). Pure Column arithmetic in a fixed
+    * operation order, so an oracle reproduces it bit-for-bit.
+    */
+  def quantize8(v: Column): Column = {
+    val lo = array_min(v)
+    val hi = array_max(v)
+    val scale = hi - lo
+    val codes = transform(v, x =>
+      when(scale === 0d, 0).otherwise(round((x - lo) * 255d / scale).cast("int")))
+    struct(lo.as("lo"), hi.as("hi"), codes.as("codes"))
+  }
+
+  /** Reconstruction of `quantize8` output: x̂[i] = lo + codes[i]·(hi−lo)/255. */
+  def dequantize8(q: Column): Column = {
+    val lo = q.getField("lo")
+    val scale = q.getField("hi") - lo
+    transform(q.getField("codes"), c =>
+      when(scale === 0d, lo).otherwise(lo + c.cast("double") * scale / 255d))
+  }
+
   /** Random-hyperplane LSH bucket: `nBits`-bit signature from the sign of
     * projections onto pseudo-random hyperplanes. The "hyperplanes" are
     * derived deterministically from (seed, bit, dim) via a hash → [-1,1)

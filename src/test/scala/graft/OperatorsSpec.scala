@@ -157,6 +157,28 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 1.0)
   }
 
+  test("quantize8/dequantize8 roundtrip within half a quantization step") {
+    val df = Seq(
+      Array(0.0, 1.0, 0.5, 0.25),
+      Array(-3.0, 3.0, 0.1, 2.9),
+      Array(7.0, 7.0, 7.0, 7.0) // constant vector → codes 0, exact recon
+    ).map(Tuple1(_)).toDF("vec")
+    val out = df.select(
+      VectorFunctions.quantize8(col("vec")).as("q"),
+      array_max(zip_with(col("vec"),
+        VectorFunctions.dequantize8(VectorFunctions.quantize8(col("vec"))),
+        (a, b) => abs(a - b))).as("err")).collect()
+    out.foreach { r =>
+      val q = r.getStruct(0)
+      val (lo, hi) = (q.getDouble(0), q.getDouble(1))
+      val step = if (hi == lo) 0.0 else (hi - lo) / 255.0
+      assert(r.getDouble(1) <= step / 2 + 1e-12, s"err ${r.getDouble(1)} > half-step $step")
+      assert(q.getSeq[Int](2).forall(c => c >= 0 && c <= 255))
+    }
+    val const = out(2)
+    assert(const.getDouble(1) == 0.0 && const.getStruct(0).getSeq[Int](2).forall(_ == 0))
+  }
+
   test("bruteForceTopK ranks by cosine with deterministic tie-break") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0)),
