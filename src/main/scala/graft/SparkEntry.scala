@@ -408,6 +408,24 @@ object SparkEntry {
         .orderBy("o_orderkey", "diff")
     }),
 
+    "merge_upsert" -> ((s, d) => {
+      // CDC apply over orders: keys %100 get a price bump (update), keys
+      // %97 are tombstoned (delete), keys %500 re-insert under +2000000
+      // (insert); the merged snapshot is aggregated for a compact oracle
+      val base = T(s, d, "orders")
+      val mods = base
+        .filter(col("o_orderkey") % 100 === 0 || col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10)
+        .withColumn("__delete", col("o_orderkey") % 97 === 0)
+      val inserts = base.filter(col("o_orderkey") % 500 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 2000000)
+        .withColumn("__delete", lit(false))
+      DiffOps.merge(base, mods.unionByName(inserts), Seq("o_orderkey"), deleteCol = Some("__delete"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ----- LLM-pipeline: dedup -----
     "dedup_exact" -> ((s, d) => {
       val docs = TP(s, d, "documents")
@@ -988,6 +1006,23 @@ object SparkEntry {
           | FROM orders l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey)
           |SELECT diff, o_orderkey, left_o_totalprice, right_o_totalprice FROM d
           |WHERE diff <> 'N' ORDER BY o_orderkey, diff""".stripMargin,
+      "merge_upsert" ->
+        """WITH upd AS (
+          | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 10 AS o_totalprice,
+          |        o_orderdate, o_orderpriority, o_orderkey % 97 = 0 AS del
+          | FROM orders WHERE o_orderkey % 100 = 0 OR o_orderkey % 97 = 0
+          | UNION ALL
+          | SELECT o_orderkey + 2000000, o_custkey, o_orderstatus, o_totalprice,
+          |        o_orderdate, o_orderpriority, false
+          | FROM orders WHERE o_orderkey % 500 = 0),
+          |merged AS (
+          | SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd WHERE NOT del
+          | UNION ALL
+          | SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM orders b
+          | WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+          |SELECT o_orderstatus, COUNT(*) AS n,
+          | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
+          |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
       "dedup_exact" ->
         s"""WITH doubled AS (
            | SELECT doc_id, text FROM documents

@@ -68,4 +68,34 @@ object DiffOps {
       throw new RuntimeException(s"Differences found (first ${diffs.length}): ${diffs.mkString(", ")}")
     diffed
   }
+
+  /** MERGE INTO for plain tables (diff's inverse — CDC apply):
+    * `updates` rows override base rows sharing `keyCols`, new keys
+    * insert, and rows whose optional `deleteCol` is true drop the key.
+    * An update's NULL value column OVERRIDES the base value (presence is
+    * tracked by a marker, not by coalesce — the distinction MERGE
+    * semantics require). Updates must be unique per key.
+    *
+    * Scale: one full-outer shuffle join on the key — the snapshot-refresh
+    * shape for formats without transactional MERGE; write the result
+    * back partitioned and the refresh parallelizes trivially.
+    */
+  def merge(
+      base: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      deleteCol: Option[String] = None
+  ): DataFrame = {
+    val dataCols = base.columns.toSeq.filterNot(keyCols.contains)
+    val u = updates.withColumn("__upd", lit(true))
+    val joined = base.as("b").join(u.as("u"),
+      keyCols.map(k => col(s"b.`$k`") <=> col(s"u.`$k`")).reduce(_ && _), "full_outer")
+    val isUpd = coalesce(col("__upd"), lit(false))
+    val keep = deleteCol
+      .map(dc => !(isUpd && coalesce(col(s"u.`$dc`"), lit(false))))
+      .getOrElse(lit(true))
+    joined.filter(keep).select(
+      keyCols.map(k => coalesce(col(s"u.`$k`"), col(s"b.`$k`")).as(k)) ++
+        dataCols.map(c => when(isUpd, col(s"u.`$c`")).otherwise(col(s"b.`$c`")).as(c)): _*)
+  }
 }

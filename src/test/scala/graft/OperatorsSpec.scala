@@ -67,6 +67,28 @@ class FlattenOpsSpec extends SparkSpec {
   }
 }
 
+class MergeOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.DiffOps
+
+  test("merge applies updates, inserts, deletes; NULL updates override") {
+    val base = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0), (3L, Some("c"), 30.0))
+      .toDF("id", "tag", "v")
+    val updates = Seq(
+      (2L, None: Option[String], 21.0, false), // update with NULL tag → must override, not coalesce
+      (3L, Some("x"), 0.0, true),              // delete key 3
+      (4L, Some("d"), 40.0, false)             // insert key 4
+    ).toDF("id", "tag", "v", "del")
+    val out = DiffOps.merge(base, updates, Seq("id"), deleteCol = Some("del"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSeq
+    assert(out == Seq(
+      (1L, Some("a"), 10.0),
+      (2L, None, 21.0),
+      (4L, Some("d"), 40.0)))
+  }
+}
+
 class DedupOpsSpec extends SparkSpec {
   import spark.implicits._
 
