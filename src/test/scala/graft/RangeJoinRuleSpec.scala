@@ -54,6 +54,22 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("guard: the already-bucketized manual rangeJoin is not re-rewritten") {
+    import graft.operators.JoinOps
+    val points = Seq(("a", 5L), ("a", 15L)).toDF("k", "p")
+    val ivs = Seq(("a", 0L, 10L, "i1"), ("a", 10L, 20L, "i2")).toDF("k", "s", "e", "tag")
+    withRule(Some(10L)) {
+      val df = JoinOps.rangeJoin(points, ivs, Seq("k"), "p", "s", "e", bucketWidth = 10L)
+      val out = df.select("p", "tag").orderBy("p")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(out == Seq((5L, "i1"), (15L, "i2")))
+      // exactly ONE Generate (the manual bucket explode): the rule's
+      // __graft_ guard must not stack a second bucketization on top
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.split("Generate").length - 1 == 1, s"double bucketization:\n$plan")
+    }
+  }
+
   test("extra equi conjuncts survive and narrow the bucket join") {
     val pts = Seq((1L, "k1", 15L), (2L, "k2", 15L)).toDF("pid", "key", "p")
     val ivs = Seq((10L, "k1", 10L, 20L)).toDF("iid", "key", "s", "e")
