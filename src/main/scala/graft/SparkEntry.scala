@@ -250,6 +250,43 @@ object SparkEntry {
           col("approx_p50").between(col("p40"), col("p60")).as("p50_ok"))
         .orderBy("l_returnflag")
     }),
+    "q18_skewjoin" -> ((s, d) => {
+      // skew-resilient aggregation: three grouping keys cover the whole
+      // fact table (the hot-key shape); SkewOps.saltedAgg splits each key
+      // over 32 salt buckets before the per-key re-aggregation, so no
+      // single reducer sees a whole hot group. Result must be identical
+      // to the plain groupBy — the oracle computes the plain form.
+      SkewOps.saltedAgg(
+        T(s, d, "lineitem").select("l_returnflag", "l_quantity"),
+        Seq("l_returnflag"),
+        saltBuckets = 32,
+        partialAggs = Seq(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("ps"),
+          count(lit(1)).as("pn")),
+        finalAggs = Seq(
+          sum("ps").cast("decimal(38,2)").cast("double").as("sum_qty"),
+          sum("pn").as("n")))
+        .orderBy("l_returnflag")
+    }),
+    "q21_cube" -> ((s, d) => {
+      // CUBE: all four grouping-set combinations in one pass (Expand +
+      // single shuffle), gid disambiguates the null-vs-subtotal rows
+      T(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+    "q22_setops" -> ((s, d) => {
+      // INTERSECT / EXCEPT (distinct set semantics, same as SQL): which
+      // customers have BOTH open and finished orders vs open-only. Both
+      // ops plan as hash aggregates + one shuffle on the compared column.
+      val o = T(s, d, "orders")
+      val open = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      val fin = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      open.intersect(fin).withColumn("op", lit("both"))
+        .unionByName(open.except(fin).withColumn("op", lit("open_only")))
+        .orderBy("op", "o_custkey")
+    }),
     "events_range_join" -> ((s, d) => {
       // point-in-interval attribution via the bucketized range join (no
       // cross product): 50 deterministic overlapping 21h windows stepped
@@ -696,6 +733,30 @@ object SparkEntry {
         .select(col("doc_id"), col("token").as("top_term"), col("tf"))
         .orderBy("doc_id")
     }),
+    "text_vocab" -> ((s, d) => {
+      // corpus vocabulary: top-100 tokens by total tf with document
+      // frequency — two-level agg, no count-distinct Expand (distinct
+      // (doc, token) IS the first grouping level)
+      CorpusOps.vocabulary(TP(s, d, "documents"), "doc_id", "text", topV = 100)
+        .orderBy(col("tf").desc, col("token").asc)
+    }),
+    "text_tfidf" -> ((s, d) => {
+      // per-doc top tf-idf term: corpus df table (vocab-sized) broadcast
+      // back onto the per-doc term counts; score = tf·N/df as ONE IEEE
+      // division on integer-exact inputs (log-free → bit-identical
+      // cross-engine, monotone in tf and 1/df which is all ranking needs)
+      CorpusOps.tfidfTopTerms(TP(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    "data_domain_cap" -> ((s, d) => {
+      // per-domain document cap (web-crawl "max N docs per domain"):
+      // two-phase top-k — per-(domain, salt) local cap bounds the final
+      // per-domain reducer input to saltBuckets·k rows under any skew
+      CorpusOps.capPerKey(
+          TP(s, d, "documents").select("doc_id", "source", "n_chars"),
+          "source", Seq(col("n_chars").desc, col("doc_id").asc), k = 20)
+        .orderBy("source", "rn")
+    }),
     "text_chunks" -> ((s, d) => {
       // LLM pre-training chunking: 32-token windows, 8-token overlap
       TP(s, d, "documents")
@@ -1075,6 +1136,50 @@ object SparkEntry {
            |r AS (SELECT doc_id, token, tf,
            |       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, token) AS rn FROM f)
            |SELECT doc_id, token AS top_term, tf FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      "q18_skewjoin" ->
+        """SELECT l_returnflag,
+          | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+          | COUNT(*) AS n
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "q21_cube" ->
+        """SELECT l_returnflag, l_linestatus,
+          | CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+          | COUNT(*) AS n,
+          | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+          |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+      "q22_setops" ->
+        """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+          |b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+          |i AS (SELECT o_custkey, 'both' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)),
+          |e AS (SELECT o_custkey, 'open_only' AS op FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+          |SELECT o_custkey, op FROM i UNION ALL SELECT o_custkey, op FROM e
+          |ORDER BY op, o_custkey""".stripMargin,
+      "text_vocab" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+           |f AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           |      WHERE token <> '' AND NOT list_contains($stopAll, token)
+           |      GROUP BY doc_id, token),
+           |v AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS tf, COUNT(*) AS df FROM f GROUP BY token)
+           |SELECT token, tf, df FROM v ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+      "text_tfidf" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+           |f AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           |      WHERE token <> '' AND NOT list_contains($stopAll, token)
+           |      GROUP BY doc_id, token),
+           |dft AS (SELECT token, COUNT(*) AS df FROM f GROUP BY token),
+           |nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+           |sc AS (SELECT f.doc_id, f.token, f.tf, dft.df,
+           |       CAST(f.tf * nn.n_docs AS DOUBLE)/dft.df AS score
+           |       FROM f JOIN dft USING (token) CROSS JOIN nn),
+           |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn FROM sc)
+           |SELECT doc_id, token AS term, tf, df, score FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      "data_domain_cap" ->
+        """WITH r AS (SELECT doc_id, source, n_chars,
+          |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+          |  FROM documents)
+          |SELECT doc_id, source, n_chars, rn FROM r WHERE rn <= 20
+          |ORDER BY source, rn""".stripMargin,
       "dedup_ngram_jaccard" -> jaccardPairsSql(n = 3, threshold = 0.8),
       "dedup_embedding" ->
         s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics and per-key capping — the curation operators
+  * that need GLOBAL state (document frequency, corpus size, per-domain
+  * counts) rather than per-row functions.
+  *
+  * Scale posture (100 TB):
+  *  - vocabulary/df: explode → two-level aggregation; the first groupBy
+  *    (token, doc) has map-side partial aggregation, the second is
+  *    vocab-sized (≪ corpus). No countDistinct Expand — distinct-per-doc
+  *    is the first grouping level.
+  *  - tf-idf join: the df table is vocab-sized → broadcast; the corpus
+  *    side never shuffles for the join (only for its own token agg).
+  *  - capPerKey: two-phase top-k (per-salt-bucket window, then per-key
+  *    window over ≤ saltBuckets·k survivors) so a hot key (one domain =
+  *    half the crawl) never funnels all its rows through one reducer.
+  */
+object CorpusOps {
+
+  /** Keep at most `k` rows per key, by a total order. Two-phase: a
+    * per-(key, salt) local top-k bounds the final per-key reducer input
+    * to saltBuckets·k rows regardless of key skew. `orderCols` must be a
+    * total order within a key (tie-break on a unique id) or the kept set
+    * is nondeterministic.
+    */
+  def capPerKey(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[Column],
+      k: Int,
+      saltBuckets: Int = 32
+  ): DataFrame = {
+    val salted = df.withColumn(
+      "__salt",
+      pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(saltBuckets)))
+    val local = salted
+      .withColumn("__lrn",
+        row_number().over(Window.partitionBy(col(keyCol), col("__salt")).orderBy(orderCols: _*)))
+      .filter(col("__lrn") <= k)
+      .drop("__salt", "__lrn")
+    local
+      .withColumn("rn", row_number().over(Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)))
+      .filter(col("rn") <= k)
+  }
+
+  /** Per-(doc, token) counts with stopwords and empty tokens removed —
+    * the shared first stage of vocabulary and tf-idf. Map-side combine
+    * applies (count over an exploded projection). */
+  def docTermCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "" && !col("token").isin(TextFunctions.allStopwords: _*))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus vocabulary: top `topV` tokens by total term frequency with
+    * document frequency, deterministic tie-break on the token. The
+    * second aggregation re-uses the (doc, token) grouping as the
+    * distinct-doc count, so no count-distinct Expand is planned. */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String, topV: Int): DataFrame =
+    docTermCounts(docs, idCol, textCol)
+      .groupBy("token")
+      .agg(sum("tf").as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(topV)
+
+  /** Per-document top term by a log-free tf-idf score: tf·N/df computed
+    * as CAST(tf·N AS DOUBLE)/df — one IEEE division on integer-exact
+    * inputs, so the value is bit-identical in any engine (a log-based
+    * idf would differ across libm implementations). Monotone in tf and
+    * 1/df, which is all a ranking needs. N rides in as a 1-row broadcast
+    * (no driver-side action). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = docTermCounts(docs, idCol, textCol)
+    val dfTable = terms.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = terms
+      .join(broadcast(dfTable), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("token").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("token").as("term"), col("tf"), col("df"), col("score"))
+  }
+}

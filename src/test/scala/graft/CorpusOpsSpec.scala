@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.CorpusOps
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("capPerKey equals the single-window brute force under skew") {
+    // one hot key (80% of rows) + two cold ones; small salt count so
+    // several salt buckets actually overlap per key
+    val rows = (1 to 400).map(i => (if (i <= 320) "hot" else if (i <= 360) "warm" else "cold", i))
+    val df = rows.toDF("k", "id")
+    val got = CorpusOps.capPerKey(df, "k", Seq(col("id").desc), k = 7, saltBuckets = 4)
+      .select("k", "id", "rn").orderBy("k", "rn")
+      .as[(String, Int, Int)].collect().toSeq
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+      rs.map(_._2).sorted(Ordering[Int].reverse).take(7).zipWithIndex.map { case (id, i) => (k, id, i + 1) }
+    }.sortBy(r => (r._1, r._3))
+    assert(got == expected)
+  }
+
+  test("capPerKey keeps all rows when a key has fewer than k") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "id")
+    val got = CorpusOps.capPerKey(df, "k", Seq(col("id").asc), k = 10, saltBuckets = 8)
+    assert(got.count() == 3)
+  }
+
+  test("vocabulary: tf sums repeats, df counts distinct docs, stopwords dropped") {
+    val docs = Seq(
+      (1L, "alpha alpha beta the"),
+      (2L, "alpha gamma gamma gamma"),
+      (3L, "beta and alpha")
+    ).toDF("doc_id", "text")
+    val v = CorpusOps.vocabulary(docs, "doc_id", "text", topV = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    // ordered by tf desc, token asc; "the"/"and" are stopwords
+    assert(v == Seq(("alpha", 4L, 3L), ("gamma", 3L, 1L), ("beta", 2L, 2L)))
+  }
+
+  test("tfidf top term prefers rare-but-frequent tokens; ties break on token") {
+    val docs = Seq(
+      (1L, "common rare rare"),   // rare: tf=2 df=1 → 2*3/1=6 ; common: tf=1 df=3 → 1
+      (2L, "common common zz zz"), // both tf=2; zz df=1 → 6, common df=3 → 2
+      (3L, "common aa bb")         // aa/bb tf=1 df=1 → 3 each; tie → aa
+    ).toDF("doc_id", "text")
+    val top = CorpusOps.tfidfTopTerms(docs, "doc_id", "text")
+      .select("doc_id", "term").orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(top == Seq((1L, "rare"), (2L, "zz"), (3L, "aa")))
+  }
+}
