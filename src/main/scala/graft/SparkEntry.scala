@@ -748,6 +748,24 @@ object SparkEntry {
       CorpusOps.tfidfTopTerms(TP(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "dedup_spans" -> ((s, d) => {
+      // substring-dedup approximation at 8-gram granularity (the Lee
+      // et al. duplicated-span signal): per doc, how many distinct
+      // 8-grams occur in ≥2 docs. One shingle scan; df via count window
+      // over the hash (no df-table join → no second scan of the
+      // tokenize→shingle pipeline)
+      CorpusOps.duplicatedSpanStats(TP(s, d, "documents"), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+    "text_clean" -> ((s, d) => {
+      // crawled-text cleanup: strip tags, decode entities, straighten
+      // curly punctuation, collapse whitespace — md5 pins the exact
+      // cleaned string against the DuckDB twin
+      val cleaned = TextFunctions.cleanHtml(col("text"))
+      TP(s, d, "documents")
+        .select(col("doc_id"), length(cleaned).as("clean_chars"), md5(cleaned).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
     "data_domain_cap" -> ((s, d) => {
       // per-domain document cap (web-crawl "max N docs per domain"):
       // two-phase top-k — per-(domain, salt) local cap bounds the final
@@ -1174,6 +1192,27 @@ object SparkEntry {
            |       FROM f JOIN dft USING (token) CROSS JOIN nn),
            |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn FROM sc)
            |SELECT doc_id, token AS term, tf, df, score FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      "dedup_spans" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sh AS (SELECT doc_id, unnest(list_distinct(${shingles("tk", 8)})) AS s FROM t),
+           |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+           |agg AS (SELECT doc_id, COUNT(*) AS n_ngrams,
+           |        CAST(COUNT(*) FILTER (df >= 2) AS BIGINT) AS n_dup
+           |        FROM sh JOIN dfq USING (s) GROUP BY doc_id)
+           |SELECT doc_id, n_ngrams, n_dup, CAST(n_dup AS DOUBLE)/n_ngrams AS dup_fraction
+           |FROM agg ORDER BY doc_id""".stripMargin,
+      "text_clean" ->
+        """WITH c AS (SELECT doc_id,
+          | trim(regexp_replace(
+          |  replace(replace(replace(replace(replace(replace(
+          |  replace(replace(replace(replace(replace(replace(
+          |   regexp_replace(text, '<[^>]*>', ' ', 'g'),
+          |   '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&'),
+          |   '“','"'),'”','"'),'‘',''''),'’',''''),'–','-'),'—','-'),
+          |  '\s+', ' ', 'g')) AS t
+          | FROM documents)
+          |SELECT doc_id, length(t) AS clean_chars, md5(t) AS clean_md5
+          |FROM c ORDER BY doc_id""".stripMargin,
       "data_domain_cap" ->
         """WITH r AS (SELECT doc_id, source, n_chars,
           |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn

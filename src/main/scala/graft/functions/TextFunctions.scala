@@ -32,6 +32,31 @@ object TextFunctions {
   /** Whitespace tokens of the normalized text; empty text → empty array. */
   def tokens(c: Column): Column = tokensFromNorm(normText(c))
 
+  /** HTML/markup cleanup for crawled text: strip tags, decode the common
+    * entities, straighten curly quotes/dashes, collapse whitespace.
+    * Entity order matters — `&amp;` is decoded LAST so `&amp;lt;` yields
+    * the literal `&lt;` (not `<`), matching what the author wrote. Pure
+    * string ops (replace/regexp_replace), so the DuckDB twin is exact:
+    * the tag regex `<[^>]*>` has identical semantics in Java regex and
+    * RE2, and `replace` is plain substring substitution in both engines.
+    */
+  def cleanHtml(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val entities = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (acc, (k, v)) =>
+      replace(acc, lit(k), lit(v))
+    }
+    val punct = Seq(
+      "“" -> "\"", "”" -> "\"", "‘" -> "'", "’" -> "'",
+      "–" -> "-", "—" -> "-")
+    val straightened = punct.foldLeft(decoded) { case (acc, (k, v)) =>
+      replace(acc, lit(k), lit(v))
+    }
+    trim(regexp_replace(straightened, "\\s+", " "))
+  }
+
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
 

@@ -69,6 +69,37 @@ object CorpusOps {
       .orderBy(col("tf").desc, col("token").asc)
       .limit(topV)
 
+  /** Cross-document duplicated-span statistics (the n-gram-granularity
+    * approximation of substring training-data dedup): for each document,
+    * how many of its distinct word n-grams also occur in ≥ `minDf`
+    * documents, and the duplicated fraction.
+    *
+    * Shape: ONE scan computes hashed shingle sets (native kernel, hashed
+    * once); the per-shingle document frequency is a count window over the
+    * hash — one shuffle, no df-table join, and crucially no second scan
+    * of the tokenize→shingle pipeline (a join against a separately
+    * aggregated df table re-executes the scan on both sides). The per-doc
+    * rollup is the second and last shuffle.
+    */
+  def duplicatedSpanStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDf: Int = 2
+  ): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("doc_id"),
+      explode(DedupOps.hashedShingleSet(col(textCol), n)).as("h"))
+    val withDf = sh.withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+    withDf
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_fraction", col("n_dup").cast("double") / col("n_ngrams"))
+  }
+
   /** Per-document top term by a log-free tf-idf score: tf·N/df computed
     * as CAST(tf·N AS DOUBLE)/df — one IEEE division on integer-exact
     * inputs, so the value is bit-identical in any engine (a log-based
