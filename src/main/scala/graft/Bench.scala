@@ -81,7 +81,15 @@ object Bench {
     def fmt(v: Double) = f"$v%.2f"
     val total = results.map(_.coldBest).filter(_ >= 0).sum
     val totalWarm = results.map(_.warmBest).filter(_ >= 0).sum
-    val qmap = results.map(r => "\"" + r.name + "\":" + fmt(r.coldBest)).mkString("{", ",", "}")
+    // the driver parses only the last ~2000 chars of the log: as the query
+    // count grows, drop per-query precision before the line can overflow
+    // (full precision is always in BENCH_DETAIL.json)
+    def buildQmap(prec: String) =
+      results.map(r => "\"" + r.name + "\":" + prec.format(r.coldBest)).mkString("{", ",", "}")
+    val qmap = {
+      val full = buildQmap("%.2f")
+      if (full.length <= 1600) full else buildQmap("%.1f")
+    }
 
     // full detail for audit (warm/gc/original cold/reruns per query)
     val detail = results.map { r =>

@@ -287,6 +287,35 @@ object SparkEntry {
         .unionByName(open.except(fin).withColumn("op", lit("open_only")))
         .orderBy("op", "o_custkey")
     }),
+    "q23_histogram" -> ((s, d) => {
+      // fixed-width histogram: one narrow projection + tiny groupBy —
+      // the profiling primitive for choosing bucket/partition bounds
+      T(s, d, "lineitem")
+        .select(floor(col("l_extendedprice") / lit(5000d)).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+        .withColumn("lo", (col("bin") * 5000).cast("double"))
+        .orderBy("bin")
+    }),
+    "q24_stats" -> ((s, d) => {
+      // deterministic corr/stddev: decimal-exact moment sums (order-
+      // independent), closed-form combine in a FIXED double expression
+      // the oracle mirrors token-for-token. Spark's native corr/stddev
+      // accumulate doubles in partition order → not oracle-able.
+      StatsOps.exactStats(T(s, d, "lineitem"), Seq("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"), scale = 2)
+        .orderBy("l_returnflag")
+    }),
+    "events_resample" -> ((s, d) => {
+      // per-user hourly resample with forward fill (pandas asfreq/ffill,
+      // time_bucket_gapfill): grid generated from per-key bounds — never
+      // a calendar cross-join against the fact table
+      val ev = T(s, d, "events").filter(col("user_id") % 10 === 0)
+      ResampleOps.resampleFfill(ev, "user_id",
+          expr("ts div 1000 div 3600000000"),
+          Seq("sum_value" -> dsum(col("value"), 2)))
+        .select("user_id", "bucket", "n", "sum_value", "gap")
+        .orderBy("user_id", "bucket")
+    }),
     "events_range_join" -> ((s, d) => {
       // point-in-interval attribution via the bucketized range join (no
       // cross product): 50 deterministic overlapping 21h windows stepped
@@ -885,7 +914,7 @@ object SparkEntry {
          |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= $threshold
          |ORDER BY a_id, b_id""".stripMargin
     val revenue =
-      "CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)"
+      "CAST(CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)"
     val stopAll = TextFunctions.stopwords.values.flatten.toSeq.distinct.sorted
       .map(w => s"'$w'").mkString("[", ", ", "]")
     def markers(l: String) =
@@ -898,10 +927,10 @@ object SparkEntry {
     Map(
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
-          | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
-          | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
-          | CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
-          | ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)/COUNT(*), 4) AS avg_qty,
+          | CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty,
+          | CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+          | CAST(CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+          | ROUND(CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)/COUNT(*), 4) AS avg_qty,
           | COUNT(*) AS count_order
           |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
       "q2_pushdown" ->
@@ -926,7 +955,7 @@ object SparkEntry {
            |WHERE r_name = 'ASIA'
            |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
       "q6_selective_agg" ->
-        """SELECT CAST(CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+        """SELECT CAST(CAST(CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS revenue,
           | COUNT(*) AS n
           |FROM lineitem
           |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -949,9 +978,9 @@ object SparkEntry {
         """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
       "q11_having" ->
-        """SELECT l_partkey, CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+        """SELECT l_partkey, CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty
           |FROM lineitem GROUP BY l_partkey
-          |HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) > 900
+          |HAVING CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) > 900
           |ORDER BY l_partkey""".stripMargin,
       "q12_case_agg" ->
         """SELECT l_linestatus,
@@ -975,21 +1004,21 @@ object SparkEntry {
         """SELECT l_returnflag, l_linestatus,
           | CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
           | COUNT(*) AS n,
-          | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+          | CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty
           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
           |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
       "q16_pivot" ->
         """SELECT user_id % 10 AS cohort,
-          | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'click') AS DECIMAL(38,2)) AS DOUBLE) AS click,
-          | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'error') AS DECIMAL(38,2)) AS DOUBLE) AS error,
-          | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'purchase') AS DECIMAL(38,2)) AS DOUBLE) AS purchase,
-          | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'signup') AS DECIMAL(38,2)) AS DOUBLE) AS signup,
-          | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'view') AS DECIMAL(38,2)) AS DOUBLE) AS view
+          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'click') AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS click,
+          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'error') AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS error,
+          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'purchase') AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS purchase,
+          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'signup') AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS signup,
+          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'view') AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS view
           |FROM events GROUP BY cohort ORDER BY cohort""".stripMargin,
       "q17_subquery" ->
         """SELECT p_partkey, p_brand, p_retailprice FROM (
           | SELECT p_partkey, p_brand, p_retailprice,
-          |  CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) OVER (PARTITION BY p_brand) AS DECIMAL(38,2)) AS DOUBLE)
+          |  CAST(CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) OVER (PARTITION BY p_brand) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
           |   / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
           | FROM part)
           |WHERE p_retailprice > brand_avg ORDER BY p_partkey""".stripMargin,
@@ -1033,7 +1062,7 @@ object SparkEntry {
           | FROM range(50) t(i)),
           |ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events)
           |SELECT interval_id, COUNT(*) AS n_events,
-          | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value
           |FROM iv JOIN ev ON ts_us >= s_us AND ts_us < e_us
           |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
       "events_range_join" ->
@@ -1043,12 +1072,12 @@ object SparkEntry {
           | FROM range(50) t(i)),
           |ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events)
           |SELECT interval_id, COUNT(*) AS n_events,
-          | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value
           |FROM iv JOIN ev ON ts_us >= s_us AND ts_us < e_us
           |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
       "events_window_agg" ->
         """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us, COUNT(*) AS n_events,
-          | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value
           |FROM events GROUP BY hour_us ORDER BY hour_us""".stripMargin,
       "events_json" ->
         """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k, COUNT(*) AS n
@@ -1100,7 +1129,7 @@ object SparkEntry {
           | SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM orders b
           | WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd))
           |SELECT o_orderstatus, COUNT(*) AS n,
-          | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
+          | CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_price
           |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
       "dedup_exact" ->
         s"""WITH doubled AS (
@@ -1144,7 +1173,7 @@ object SparkEntry {
           |  WHEN 'view' THEN substr(md5(event_id::VARCHAR),1,1) < '1'
           |  ELSE substr(md5(event_id::VARCHAR),1,1) < '4' END)
           |SELECT event_type, COUNT(*) AS n,
-          | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value
           |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
       "text_topterms" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
@@ -1156,14 +1185,14 @@ object SparkEntry {
            |SELECT doc_id, token AS top_term, tf FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
       "q18_skewjoin" ->
         """SELECT l_returnflag,
-          | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+          | CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty,
           | COUNT(*) AS n
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       "q21_cube" ->
         """SELECT l_returnflag, l_linestatus,
           | CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
           | COUNT(*) AS n,
-          | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+          | CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty
           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
           |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
       "q22_setops" ->
@@ -1192,6 +1221,39 @@ object SparkEntry {
            |       FROM f JOIN dft USING (token) CROSS JOIN nn),
            |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn FROM sc)
            |SELECT doc_id, token AS term, tf, df, score FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      "q23_histogram" ->
+        """WITH b AS (SELECT CAST(FLOOR(l_extendedprice/5000) AS BIGINT) AS bin FROM lineitem)
+          |SELECT bin, COUNT(*) AS n, CAST(bin*5000 AS DOUBLE) AS lo
+          |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+      "q24_stats" ->
+        """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+          | CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sx,
+          | CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sy,
+          | CAST(CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sxx,
+          | CAST(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS syy,
+          | CAST(CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sxy
+          | FROM lineitem GROUP BY l_returnflag)
+          |SELECT l_returnflag, n,
+          | sx / CAST(n AS DOUBLE) AS mean_x,
+          | sqrt((sxx - sx*sx/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS stddev_x,
+          | (CAST(n AS DOUBLE)*sxy - sx*sy) /
+          |   sqrt((CAST(n AS DOUBLE)*sxx - sx*sx) * (CAST(n AS DOUBLE)*syy - sy*sy)) AS corr_xy
+          |FROM m ORDER BY l_returnflag""".stripMargin,
+      "events_resample" ->
+        """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket, value
+          |           FROM events WHERE user_id % 10 = 0),
+          |pb AS (SELECT user_id, bucket, COUNT(*) AS n,
+          |       CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value
+          |       FROM e GROUP BY user_id, bucket),
+          |bounds AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM pb GROUP BY user_id),
+          |grid AS (SELECT user_id, unnest(range(lo, hi+1)) AS bucket FROM bounds),
+          |j AS (SELECT g.user_id, g.bucket, pb.n, pb.sum_value
+          |      FROM grid g LEFT JOIN pb USING (user_id, bucket))
+          |SELECT user_id, bucket, COALESCE(n, 0) AS n,
+          | LAST_VALUE(sum_value IGNORE NULLS) OVER
+          |  (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value,
+          | n IS NULL AS gap
+          |FROM j ORDER BY user_id, bucket""".stripMargin,
       "dedup_spans" ->
         s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
            |sh AS (SELECT doc_id, unnest(list_distinct(${shingles("tk", 8)})) AS s FROM t),

@@ -57,6 +57,56 @@ object GraphOps {
     labels
   }
 
+  /** PageRank over (src, dst) edge rows — the crawl-graph quality signal
+    * (rank a domain/URL graph, weight documents by source authority).
+    *
+    * DETERMINISTIC by construction: ranks are DECIMAL(38,18), so the
+    * per-iteration contribution sums are exact and order-independent —
+    * a double-based PageRank returns different last bits on every run
+    * (partition merge order), which breaks replay-stable curation
+    * decisions downstream (a doc on the keep/drop boundary must not
+    * flip between retries). Division rounds HALF_UP at scale 18, which
+    * is a fixed rule, not an accumulation order.
+    *
+    * Dangling nodes (no out-edges) leak their mass — acceptable for a
+    * relative quality signal; iterations is fixed (no convergence scan).
+    * One join + one aggregation per iteration, both hash-partitioned on
+    * node id; edges/degrees are checkpointed once and reused.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 5,
+      damping: BigDecimal = BigDecimal("0.85")
+  ): DataFrame = {
+    val dec = "decimal(38,18)"
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    val base = (BigDecimal(1) - damping) / BigDecimal(n) // scale-18 default is plenty
+    var ranks = nodes.withColumn("rank", lit((BigDecimal(1) / BigDecimal(n)).setScale(18, BigDecimal.RoundingMode.HALF_UP)).cast(dec))
+    var i = 0
+    while (i < iterations) {
+      val contribs = e.join(ranks, e("src") === ranks("id"))
+        .join(deg, "src")
+        .select(col("dst"), (col("rank") / col("deg")).cast(dec).as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).cast(dec).as("in_sum"))
+      ranks = nodes.join(contribs, nodes("id") === contribs("dst"), "left")
+        .select(col("id"),
+          (lit(base.setScale(18, BigDecimal.RoundingMode.HALF_UP)).cast(dec) +
+            (lit(damping).cast("decimal(3,2)") * coalesce(col("in_sum"), lit(0).cast(dec))).cast(dec))
+            .cast(dec).as("rank"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks
+  }
+
   /** One row per duplicate cluster: (cluster_id, members array sorted,
     * n_members). cluster_id doubles as the canonical keeper id. */
   def dupClusters(edges: DataFrame, aCol: String, bCol: String): DataFrame =

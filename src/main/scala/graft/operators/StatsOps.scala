@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic second-order statistics (variance/stddev/correlation)
+  * via DECIMAL-exact moment sums.
+  *
+  * Spark's built-in `corr`/`stddev` aggregates accumulate doubles, so the
+  * result depends on partition merge order — re-running the same query
+  * can flip last bits, and no cross-engine oracle can pin it. Summing the
+  * moments (Σx, Σx², Σxy …) as decimals instead is exact and
+  * order-independent; the closed-form combination into corr/stddev is
+  * then a FIXED sequence of IEEE double ops on identical inputs →
+  * bit-identical on any engine that mirrors the expression. One ordinary
+  * hash aggregate (map-side partial), same cost shape as a plain sum.
+  */
+object StatsOps {
+
+  /** Per-group n, mean, sample stddev of `x`, and Pearson correlation of
+    * (x, y), all deterministic. `scale` = input decimal scale (2 for
+    * money-like columns).
+    */
+  def exactStats(
+      df: DataFrame,
+      groupCols: Seq[String],
+      x: Column,
+      y: Column,
+      scale: Int = 2
+  ): DataFrame = {
+    val xd = x.cast(s"decimal(18,$scale)")
+    val yd = y.cast(s"decimal(18,$scale)")
+    val s2 = scale * 2
+    val moments = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(xd).cast("decimal(38," + scale + ")").cast("double").as("sx"),
+        sum(yd).cast("decimal(38," + scale + ")").cast("double").as("sy"),
+        sum((xd * xd).cast(s"decimal(38,$s2)")).cast(s"decimal(38,$s2)").cast("double").as("sxx"),
+        sum((yd * yd).cast(s"decimal(38,$s2)")).cast(s"decimal(38,$s2)").cast("double").as("syy"),
+        sum((xd * yd).cast(s"decimal(38,$s2)")).cast(s"decimal(38,$s2)").cast("double").as("sxy"))
+    val n = col("n").cast("double")
+    // fixed operation order — the DuckDB oracle mirrors this expression
+    // token for token (see SparkEntry.oracleSql q24_stats)
+    moments.select(
+      (groupCols.map(col) ++ Seq(
+        col("n"),
+        (col("sx") / n).as("mean_x"),
+        sqrt((col("sxx") - col("sx") * col("sx") / n) / (n - lit(1d))).as("stddev_x"),
+        ((n * col("sxy") - col("sx") * col("sy")) /
+          sqrt((n * col("sxx") - col("sx") * col("sx")) * (n * col("syy") - col("sy") * col("sy"))))
+          .as("corr_xy"))): _*)
+  }
+}

@@ -108,6 +108,63 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("tfidf: the df-table join is a broadcast, the corpus side never shuffles for it") {
+    val dir = java.nio.file.Files.createTempDirectory("tfidf-audit").toString
+    (0L until 500L).map(i => (i, s"alpha beta w$i gamma")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val q = graft.operators.CorpusOps.tfidfTopTerms(spark.read.parquet(dir), "doc_id", "text")
+    q.collect()
+    val plan = executedPlan(q)
+    assert(plan.contains("BroadcastHashJoin"), s"df join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffle join expected:\n$plan")
+  }
+
+  test("vocabulary: no count-distinct Expand is planned") {
+    val docs = (0L until 200L).map(i => (i, s"alpha beta w${i % 20}")).toDF("doc_id", "text")
+    val q = graft.operators.CorpusOps.vocabulary(docs, "doc_id", "text", 50)
+    q.collect()
+    val plan = executedPlan(q)
+    assert(!plan.contains("Expand"), s"df must come from the two-level agg, not Expand:\n$plan")
+  }
+
+  test("duplicatedSpanStats reads its input exactly once (df via window, no df-table join)") {
+    val dir = java.nio.file.Files.createTempDirectory("spans-audit").toString
+    (0L until 300L).map(i => (i, s"one two three four five six seven w$i")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    // AQE wraps stages so plan.collect can't see the scans — turn it off
+    // for the shape assertion (the shape is AQE-independent)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.operators.CorpusOps.duplicatedSpanStats(spark.read.parquet(dir), "doc_id", "text", 3)
+      q.collect()
+      val scans = q.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.length == 1,
+        s"the tokenize->shingle scan must run once, found ${scans.length}:\n${executedPlan(q)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("capPerKey: two-phase plan (salted window then key window), bounded exchanges") {
+    val df = (0L until 1000L).map(i => (s"k${i % 5}", i)).toDF("k", "id")
+    val q = graft.operators.CorpusOps.capPerKey(df, "k", Seq(col("id").desc), k = 3, saltBuckets = 4)
+    q.collect()
+    val plan = executedPlan(q)
+    assert(plan.contains("Window"), s"expected window ops:\n$plan")
+    assert(BucketOps.countExchanges(q) <= 2,
+      s"two-phase top-k needs at most 2 shuffles:\n$plan")
+  }
+
+  test("zorderBy: range partitioning on the z-value with in-partition sort") {
+    val df = (0 until 1024).map(i => (i % 32, i / 32)).toDF("x", "y")
+    val q = graft.operators.WriteOps.zorderBy(df, "x", "y", numFiles = 4)
+    q.collect()
+    val plan = executedPlan(q)
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"),
+      s"z-order must range-partition on the z-value:\n$plan")
+    assert(plan.contains("Sort"), s"z-order must sort within partitions:\n$plan")
+  }
+
   test("minhash signature pass is shuffle-free (map-side sketching)") {
     val docs = (0L until 200L).map(i => (i, s"some text body number $i repeated words")).toDF("doc_id", "text")
     val sigs = graft.operators.DedupOps.minhashSignatures(docs, "text", "doc_id", shingleSize = 3, k = 64)
