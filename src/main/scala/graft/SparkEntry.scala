@@ -316,6 +316,53 @@ object SparkEntry {
         .select("user_id", "bucket", "n", "sum_value", "gap")
         .orderBy("user_id", "bucket")
     }),
+    "q25_ntile" -> ((s, d) => {
+      // equi-height bucketing via NTILE — deterministic because the
+      // window order is total (acctbal desc, custkey tie-break)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      T(s, d, "customer")
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(count(lit(1)).as("n"), min("c_acctbal").as("min_bal"), max("c_acctbal").as("max_bal"))
+        .orderBy("c_mktsegment", "quartile")
+    }),
+    "q26_fuzzy" -> ((s, d) => {
+      // blocked fuzzy string matching: edit-distance pairs within a
+      // blocking key (nation). The self-join is over a raw dim-table
+      // scan (cheap, no recomputed pipeline) — at corpus scale the
+      // block key is what bounds the pair space, same as LSH buckets
+      val c = T(s, d, "customer").select("c_custkey", "c_name", "c_nationkey")
+      c.as("a").join(c.as("b"),
+          col("a.c_nationkey") === col("b.c_nationkey") &&
+            col("a.c_custkey") < col("b.c_custkey"))
+        .withColumn("dist", levenshtein(col("a.c_name"), col("b.c_name")).cast("long"))
+        .filter(col("dist") <= 1)
+        .select(col("a.c_custkey").as("a_id"), col("b.c_custkey").as("b_id"), col("dist"))
+        .orderBy("a_id", "b_id")
+    }),
+    "q27_hof" -> ((s, d) => {
+      // array higher-order functions: per-order quantity vector, then
+      // filter/aggregate lambdas (codegen-free HOFs but integer-exact,
+      // so the oracle can compute the equivalent FILTER aggregation)
+      T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity").cast("int").as("q"))
+        .groupBy("l_orderkey").agg(sort_array(collect_list("q")).as("qs"))
+        .select(
+          col("l_orderkey"),
+          size(col("qs")).cast("long").as("n_items"),
+          aggregate(filter(col("qs"), _ > 25), lit(0L), (acc, x) => acc + x).as("sum_hi"),
+          size(filter(col("qs"), _ > 25)).cast("long").as("n_hi"))
+        .orderBy("l_orderkey")
+    }),
+    "q28_datetime" -> ((s, d) => {
+      // temporal rollup: year/month extraction + decimal-exact sums
+      T(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy("yr", "mo")
+    }),
     "events_range_join" -> ((s, d) => {
       // point-in-interval attribution via the bucketized range join (no
       // cross product): 50 deterministic overlapping 21h windows stepped
@@ -1183,6 +1230,32 @@ object SparkEntry {
            |r AS (SELECT doc_id, token, tf,
            |       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, token) AS rn FROM f)
            |SELECT doc_id, token AS top_term, tf FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      "q25_ntile" ->
+        """WITH r AS (SELECT c_mktsegment, c_acctbal,
+          |  NTILE(4) OVER (PARTITION BY c_mktsegment
+          |                 ORDER BY c_acctbal DESC, c_custkey) AS quartile
+          | FROM customer)
+          |SELECT c_mktsegment, quartile, COUNT(*) AS n,
+          | MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+          |FROM r GROUP BY c_mktsegment, quartile ORDER BY c_mktsegment, quartile""".stripMargin,
+      "q26_fuzzy" ->
+        """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+          | CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+          |FROM customer a JOIN customer b
+          | ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+          |WHERE levenshtein(a.c_name, b.c_name) <= 1
+          |ORDER BY a_id, b_id""".stripMargin,
+      "q27_hof" ->
+        """SELECT l_orderkey, COUNT(*) AS n_items,
+          | CAST(COALESCE(SUM(CAST(l_quantity AS INT)) FILTER (CAST(l_quantity AS INT) > 25), 0) AS BIGINT) AS sum_hi,
+          | CAST(COUNT(*) FILTER (CAST(l_quantity AS INT) > 25) AS BIGINT) AS n_hi
+          |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+      "q28_datetime" ->
+        """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+          | CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+          | COUNT(*) AS n,
+          | CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_price
+          |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
       "q18_skewjoin" ->
         """SELECT l_returnflag,
           | CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty,
