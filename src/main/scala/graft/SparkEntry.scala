@@ -842,6 +842,15 @@ object SparkEntry {
         .select(col("doc_id"), length(cleaned).as("clean_chars"), md5(cleaned).as("clean_md5"))
         .orderBy("doc_id")
     }),
+    "data_funnel" -> ((s, d) => {
+      // curation filter funnel: first-failing-rule attribution, the
+      // drop-reason report every pipeline run ships with
+      CorpusOps.filterFunnel(TP(s, d, "documents"), Seq(
+          "too_short" -> (size(TextFunctions.tokens(col("text"))) < 20),
+          "too_long" -> (col("n_chars") > 450),
+          "non_english" -> (col("lang") =!= "en")))
+        .orderBy("verdict")
+    }),
     "data_domain_cap" -> ((s, d) => {
       // per-domain document cap (web-crawl "max N docs per domain"):
       // two-phase top-k — per-(domain, salt) local cap bounds the final
@@ -1348,6 +1357,13 @@ object SparkEntry {
           | FROM documents)
           |SELECT doc_id, length(t) AS clean_chars, md5(t) AS clean_md5
           |FROM c ORDER BY doc_id""".stripMargin,
+      "data_funnel" ->
+        s"""WITH v AS (SELECT CASE
+           | WHEN len($toks) < 20 THEN 'too_short'
+           | WHEN n_chars > 450 THEN 'too_long'
+           | WHEN lang <> 'en' THEN 'non_english'
+           | ELSE 'kept' END AS verdict FROM documents)
+           |SELECT verdict, COUNT(*) AS n_docs FROM v GROUP BY verdict ORDER BY verdict""".stripMargin,
       "data_domain_cap" ->
         """WITH r AS (SELECT doc_id, source, n_chars,
           |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn

@@ -69,6 +69,18 @@ object CorpusOps {
       .orderBy(col("tf").desc, col("token").asc)
       .limit(topV)
 
+  /** Curation filter funnel: ordered rules, each document attributed to
+    * its FIRST failing rule (or "kept"), per-verdict counts. The
+    * attribution is one coalesce-of-whens projection — a single scan,
+    * one tiny aggregation, and the funnel report every curation run
+    * needs (which rule is dropping the data?). */
+  def filterFunnel(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val verdict = coalesce(rules.map { case (n, c) => when(c, lit(n)) } :+ lit("kept"): _*)
+    df.withColumn("verdict", verdict)
+      .groupBy("verdict")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Cross-document duplicated-span statistics (the n-gram-granularity
     * approximation of substring training-data dedup): for each document,
     * how many of its distinct word n-grams also occur in ≥ `minDf`

@@ -165,6 +165,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Sort"), s"z-order must sort within partitions:\n$plan")
   }
 
+  test("join strategy hints reach the physical plan (merge / shuffle_hash)") {
+    val a = (0L until 2000L).map(i => (i, i * 2)).toDF("k", "va")
+    val b = (0L until 2000L).map(i => (i, i * 3)).toDF("k", "vb")
+    val smj = a.hint("merge").join(b, "k")
+    smj.collect()
+    assert(executedPlan(smj).contains("SortMergeJoin"),
+      s"merge hint must force SMJ:\n${executedPlan(smj)}")
+    val shj = a.hint("shuffle_hash").join(b, "k")
+    shj.collect()
+    assert(executedPlan(shj).contains("ShuffledHashJoin"),
+      s"shuffle_hash hint must force SHJ:\n${executedPlan(shj)}")
+  }
+
+  test("hive-style partitioned writes prune partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("part-audit").toString
+    (0L until 2000L).map(i => (i, s"p${i % 8}", i * 1.0)).toDF("id", "part", "v")
+      .write.partitionBy("part").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("part") === "p3")
+    assert(q.count() == 250)
+    val scan = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("p3"),
+      s"partition filter must prune at the scan: ${scan.metadata}")
+    // only the one matching directory is read
+    assert(scan.inputRDDs().head.partitions.nonEmpty)
+    val selected = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+    assert(selected.map(_.files.size).sum == new java.io.File(s"$dir/part=p3")
+      .listFiles().count(_.getName.endsWith(".parquet")))
+  }
+
   test("minhash signature pass is shuffle-free (map-side sketching)") {
     val docs = (0L until 200L).map(i => (i, s"some text body number $i repeated words")).toDF("doc_id", "text")
     val sigs = graft.operators.DedupOps.minhashSignatures(docs, "text", "doc_id", shingleSize = 3, k = 64)
