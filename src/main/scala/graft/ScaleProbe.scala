@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{CorpusOps, SkewOps, StatsOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe: run the shuffle-bearing operator cores over the
+  * `synth://` DSv2 source at increasing row counts and report per-row
+  * throughput. The claim under test is the §5 posture — each operator is
+  * one/two hash-partitioned shuffles with map-side reduction, so per-row
+  * cost must stay FLAT across a 10× scale-up (no super-linear term from
+  * self-joins, windows over whole tables, or driver collects). Zero-I/O
+  * input isolates operator cost from storage.
+  *
+  * Usage: `tools/runjava.sh graft.ScaleProbe [rowsA rowsB ...]`
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scales = if (args.nonEmpty) args.map(_.toLong).toSeq else Seq(2000000L, 20000000L)
+
+    def synth(rows: Long): DataFrame =
+      spark.read.format("graft.sources.v2.SyntheticTableProvider")
+        .option("rows", rows).option("partitions", cpus.toInt * 4).load()
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    val probes: Seq[(String, Long => Long)] = Seq(
+      "exact_dedup_groupby" -> { rows =>
+        synth(rows).groupBy("tag").agg(min("id").as("keep")).count()
+      },
+      "cap_per_key_topk" -> { rows =>
+        CorpusOps.capPerKey(synth(rows).select("id", "bucket", "value"),
+          "bucket", Seq(col("value").desc, col("id").asc), k = 10).count()
+      },
+      "salted_agg" -> { rows =>
+        SkewOps.saltedAgg(synth(rows).select("bucket", "value"), Seq("bucket"), 32,
+          Seq(sum("value").as("ps"), count(lit(1)).as("pn")),
+          Seq(sum("ps").as("sv"), sum("pn").as("n"))).count()
+      },
+      "exact_stats_moments" -> { rows =>
+        StatsOps.exactStats(synth(rows).select(col("bucket"), col("value"),
+          (col("value") * 0.5).as("v2")), Seq("bucket"), col("value"), col("v2")).count()
+      })
+
+    // JVM/codegen warmup at small scale
+    probes.foreach { case (_, f) => f(100000L) }
+
+    println(f"${"operator"}%-22s ${scales.map(s => f"${s / 1000000}%dM rows/s").mkString("  ")}")
+    val lines = probes.map { case (name, f) =>
+      val rates = scales.map { s =>
+        val (sec, _) = time(f(s))
+        s / sec / 1e6 // M rows/sec
+      }
+      val ratio = rates.last / rates.head
+      println(f"$name%-22s ${rates.map(r => f"$r%8.1f M/s").mkString("  ")}  (10x ratio ${ratio}%.2f)")
+      (name, rates, ratio)
+    }
+    val worst = lines.minBy(_._3)
+    println(f"[scaleprobe] worst per-row throughput retention across ${scales.last / scales.head}x: " +
+      f"${worst._1} ${worst._3 * 100}%.0f%%")
+    spark.stop()
+  }
+}

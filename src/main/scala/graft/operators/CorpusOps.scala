@@ -16,37 +16,31 @@ import org.apache.spark.sql.functions._
   *    is the first grouping level.
   *  - tf-idf join: the df table is vocab-sized → broadcast; the corpus
   *    side never shuffles for the join (only for its own token agg).
-  *  - capPerKey: two-phase top-k (per-salt-bucket window, then per-key
-  *    window over ≤ saltBuckets·k survivors) so a hot key (one domain =
-  *    half the crawl) never funnels all its rows through one reducer.
+  *  - capPerKey: one row_number window; InferWindowGroupLimit prunes to
+  *    a map-side top-k heap before the shuffle, so a hot key (one domain
+  *    = half the crawl) never funnels all its rows through one reducer.
   */
 object CorpusOps {
 
-  /** Keep at most `k` rows per key, by a total order. Two-phase: a
-    * per-(key, salt) local top-k bounds the final per-key reducer input
-    * to saltBuckets·k rows regardless of key skew. `orderCols` must be a
-    * total order within a key (tie-break on a unique id) or the kept set
-    * is nondeterministic.
+  /** Keep at most `k` rows per key, by a total order. A single
+    * `row_number ≤ k` window: Spark ≥3.5's InferWindowGroupLimit rewrites
+    * this into Partial WindowGroupLimit BEFORE the shuffle (map-side
+    * bounded top-k heap per key), so each reducer receives at most
+    * inputPartitions·k rows per key regardless of key skew — the same
+    * bound a manual salt+two-window phase gives, without its second
+    * shuffle (measured 2× faster and scale-flat at 100M rows, see
+    * SURVEY §8 scale probe; the plan shape is pinned by PlanAuditSpec).
+    * `orderCols` must be a total order within a key (tie-break on a
+    * unique id) or the kept set is nondeterministic.
     */
   def capPerKey(
       df: DataFrame,
       keyCol: String,
       orderCols: Seq[Column],
-      k: Int,
-      saltBuckets: Int = 32
-  ): DataFrame = {
-    val salted = df.withColumn(
-      "__salt",
-      pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(saltBuckets)))
-    val local = salted
-      .withColumn("__lrn",
-        row_number().over(Window.partitionBy(col(keyCol), col("__salt")).orderBy(orderCols: _*)))
-      .filter(col("__lrn") <= k)
-      .drop("__salt", "__lrn")
-    local
-      .withColumn("rn", row_number().over(Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)))
+      k: Int
+  ): DataFrame =
+    df.withColumn("rn", row_number().over(Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)))
       .filter(col("rn") <= k)
-  }
 
   /** Per-(doc, token) counts with stopwords and empty tokens removed —
     * the shared first stage of vocabulary and tf-idf. Map-side combine

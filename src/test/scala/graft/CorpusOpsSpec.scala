@@ -11,7 +11,7 @@ class CorpusOpsSpec extends SparkSpec {
     // several salt buckets actually overlap per key
     val rows = (1 to 400).map(i => (if (i <= 320) "hot" else if (i <= 360) "warm" else "cold", i))
     val df = rows.toDF("k", "id")
-    val got = CorpusOps.capPerKey(df, "k", Seq(col("id").desc), k = 7, saltBuckets = 4)
+    val got = CorpusOps.capPerKey(df, "k", Seq(col("id").desc), k = 7)
       .select("k", "id", "rn").orderBy("k", "rn")
       .as[(String, Int, Int)].collect().toSeq
     val expected = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
@@ -22,7 +22,7 @@ class CorpusOpsSpec extends SparkSpec {
 
   test("capPerKey keeps all rows when a key has fewer than k") {
     val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "id")
-    val got = CorpusOps.capPerKey(df, "k", Seq(col("id").asc), k = 10, saltBuckets = 8)
+    val got = CorpusOps.capPerKey(df, "k", Seq(col("id").asc), k = 10)
     assert(got.count() == 3)
   }
 

@@ -145,14 +145,19 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("capPerKey: two-phase plan (salted window then key window), bounded exchanges") {
+  test("capPerKey: WindowGroupLimit prunes map-side, single shuffle") {
     val df = (0L until 1000L).map(i => (s"k${i % 5}", i)).toDF("k", "id")
-    val q = graft.operators.CorpusOps.capPerKey(df, "k", Seq(col("id").desc), k = 3, saltBuckets = 4)
-    q.collect()
-    val plan = executedPlan(q)
-    assert(plan.contains("Window"), s"expected window ops:\n$plan")
-    assert(BucketOps.countExchanges(q) <= 2,
-      s"two-phase top-k needs at most 2 shuffles:\n$plan")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // AQE hides nodes from plan.collect
+    try {
+      val q = graft.operators.CorpusOps.capPerKey(df, "k", Seq(col("id").desc), k = 3)
+      q.collect()
+      val plan = executedPlan(q)
+      assert(plan.contains("WindowGroupLimit"),
+        s"row_number<=k must trigger the group-limit rewrite (map-side top-k heap):\n$plan")
+      assert(plan.contains("Partial"),
+        s"the group limit must run map-side BEFORE the shuffle:\n$plan")
+      assert(BucketOps.countExchanges(q) == 1, s"top-k per key needs exactly 1 shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("zorderBy: range partitioning on the z-value with in-partition sort") {
