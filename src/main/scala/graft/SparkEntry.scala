@@ -571,6 +571,14 @@ object SparkEntry {
           shingleSize = 3, numBands = 16, rowsPerBand = 3)
         .orderBy("a_id", "b_id")
     }),
+    "dedup_containment" -> ((s, d) => {
+      // asymmetric doc-in-doc duplication: containment = |A∩B|/min sizes,
+      // rare-shingle inverted-index blocking (complete for any pair
+      // sharing a df≤20 shingle; the oracle replicates the same rule)
+      DedupOps.containmentPairs(TP(s, d, "documents"), "text", "doc_id",
+          threshold = 0.9, shingleSize = 3, maxDf = 20)
+        .orderBy("a_id", "b_id")
+    }),
     "dedup_embedding" -> ((s, d) => {
       // LSH-bucket blocking (no label/metadata dependence): near-parallel
       // vectors keep identical hyperplane signs, so every cosine≥0.999
@@ -1370,6 +1378,19 @@ object SparkEntry {
           |  FROM documents)
           |SELECT doc_id, source, n_chars, rn FROM r WHERE rn <= 20
           |ORDER BY source, rn""".stripMargin,
+      "dedup_containment" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 3)}) AS s FROM t),
+           |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+           |dfq AS (SELECT g, COUNT(*) AS df FROM e GROUP BY g),
+           |rare AS (SELECT e.doc_id, e.g FROM e JOIN dfq USING (g) WHERE df <= 20),
+           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |         FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id),
+           |v AS (SELECT a_id, b_id,
+           |      len(list_intersect(sa.s, sb.s))::DOUBLE / LEAST(len(sa.s), len(sb.s)) AS containment
+           |      FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
+           |SELECT a_id, b_id, ROUND(containment, 4) AS containment
+           |FROM v WHERE containment >= 0.9 ORDER BY a_id, b_id""".stripMargin,
       "dedup_ngram_jaccard" -> jaccardPairsSql(n = 3, threshold = 0.8),
       "dedup_embedding" ->
         s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),

@@ -210,6 +210,50 @@ object DedupOps {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Asymmetric containment pairs: C(A,B) = |A∩B| / min(|A|,|B|) over
+    * shingle sets — detects a document embedded inside another (quoted
+    * article + boilerplate wrapper), which Jaccard misses because the
+    * size imbalance dilutes the union.
+    *
+    * Blocking: rare-shingle inverted index. Any pair sharing at least
+    * one shingle with document frequency ≤ `maxDf` becomes a candidate —
+    * a deterministic, engine-replicable rule (the DuckDB oracle computes
+    * the same candidate set on shingle STRINGS), unlike MinHash bands
+    * whose recall for containment is poor precisely in the interesting
+    * case (small-in-large ⇒ low Jaccard ⇒ bands miss). Common shingles
+    * (df > maxDf) are boilerplate by definition and excluded from
+    * BLOCKING (not from the verify): a contained pair shares its rare
+    * content n-grams. Same bucket-pair machinery as MinHash (overflow
+    * path, no self-join over the shingle scan).
+    */
+  def containmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      shingleSize: Int = 3,
+      maxDf: Int = 20,
+      maxBucketSize: Int = 64
+  ): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), hashedShingleSet(col(textCol), shingleSize).as("sh"))
+    val sh = docs.select(col("id"), explode(col("sh")).as("h"))
+    val rare = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= maxDf)
+    val buckets = rare.groupBy("h").agg(sort_array(collect_list(col("id"))).as("ids"))
+    val cands = allBucketPairs(buckets, Seq("h"), "ids", maxBucketSize)
+      .select(col("a").as("a_id"), col("b").as("b_id"))
+      .distinct()
+    cands
+      .join(docs.as("da"), col("a_id") === col("da.id"))
+      .join(docs.as("db"), col("b_id") === col("db.id"))
+      .withColumn("containment",
+        size(array_intersect(col("da.sh"), col("db.sh"))).cast("double") /
+          least(size(col("da.sh")), size(col("db.sh"))))
+      .filter(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("containment"), 4).as("containment"))
+  }
+
   /** Docs to drop under greedy keep-smallest-id near-dup policy. */
   def minhashDropIds(df: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame =
     minhashDupPairs(df, textCol, idCol, threshold).select(col("b_id").as("drop_id")).distinct()

@@ -38,6 +38,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(v == Seq(("alpha", 4L, 3L), ("gamma", 3L, 1L), ("beta", 2L, 2L)))
   }
 
+  test("containmentPairs finds a small doc embedded in a large one (Jaccard misses it)") {
+    val inner = "quick brown foxes jump over lazy dogs near rivers"
+    val wrapper = ("header menu login " * 8) + inner + (" footer contact terms privacy" * 8)
+    val docs = Seq((1L, inner), (2L, wrapper), (3L, "totally unrelated content about ships"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.DedupOps
+      .containmentPairs(docs, "text", "doc_id", threshold = 0.9, shingleSize = 3, maxDf = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+    // jaccard on the same pair is far below any dedup threshold
+    val jac = graft.operators.DedupOps
+      .minhashDupPairs(docs, "text", "doc_id", threshold = 0.5)
+      .count()
+    assert(jac == 0)
+  }
+
   test("tfidf top term prefers rare-but-frequent tokens; ties break on token") {
     val docs = Seq(
       (1L, "common rare rare"),   // rare: tf=2 df=1 → 2*3/1=6 ; common: tf=1 df=3 → 1
