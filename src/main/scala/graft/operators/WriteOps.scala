@@ -44,6 +44,24 @@ object WriteOps {
       .sortWithinPartitions("__z")
       .drop("__z")
 
+  /** Write with piggybacked metrics: named aggregates (row counts, null
+    * counts, sums…) computed BY THE WRITE JOB itself via `observe` — no
+    * second pass over the data, which at 100 TB is the difference between
+    * "free observability" and "double the pipeline cost". Returns the
+    * metric map after the write completes. */
+  def writeWithMetrics(
+      df: DataFrame,
+      path: String,
+      metrics: (String, Column)*
+  ): Map[String, Any] = {
+    require(metrics.nonEmpty, "pass at least one (name, aggregate) metric")
+    val obs = new org.apache.spark.sql.Observation()
+    val named = metrics.map { case (n, c) => c.as(n) }
+    df.observe(obs, named.head, named.tail: _*)
+      .write.mode("overwrite").parquet(path)
+    obs.get
+  }
+
   /** Rewrite to `numFiles` output files, optionally capping rows per file
     * (maxRecordsPerFile splits oversized partitions at write time — the
     * knob that keeps file sizes bounded when partition sizes are skewed).

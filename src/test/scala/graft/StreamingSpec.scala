@@ -154,6 +154,22 @@ class StreamingSpec extends SparkSpec {
     try { input.addData(1L, 2L, 3L); q.processAllAvailable() } finally q.stop()
   }
 
+  test("stream-static join enriches a stream against a batch dimension") {
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
+    val in = MemoryStream[(Long, Double)]
+    val joined = in.toDF().toDF("uid", "amt")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("uid"), "left")
+    in.addData((1L, 5.0), (2L, 7.0), (9L, 1.0))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(30000)
+    val rows = spark.table("ss_join").orderBy("uid")
+      .collect().map(r => (r.getLong(0), Option(r.getString(2)).getOrElse("none"))).toSeq
+    assert(rows == Seq((1L, "gold"), (2L, "silver"), (9L, "none")))
+  }
+
   test("file replay stream reads a batch frame as a stream") {
     val df = spark.range(5).toDF("id").withColumn("ts", current_timestamp())
     val stream = StreamOps.replayAsStream(spark, df, "ts")

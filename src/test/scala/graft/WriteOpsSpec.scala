@@ -38,6 +38,17 @@ class WriteOpsSpec extends SparkSpec {
     ranges.foreach { r => assert(r._3 - r._2 <= domain / 4) }
   }
 
+  test("writeWithMetrics: aggregates ride the write job, no second scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-obs").toString
+    val df = Seq((1, Some(2.0)), (2, None), (3, Some(4.0))).toDF("id", "v")
+    val m = WriteOps.writeWithMetrics(df, tmp,
+      "n" -> count(lit(1)),
+      "nulls_v" -> sum(when(col("v").isNull, 1L).otherwise(0L)),
+      "sum_v" -> sum("v"))
+    assert(m("n") == 3L && m("nulls_v") == 1L && m("sum_v") == 6.0)
+    assert(spark.read.parquet(tmp).count() == 3)
+  }
+
   test("compact: exact output file count and row preservation") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val df = (1 to 1000).toDF("v")
