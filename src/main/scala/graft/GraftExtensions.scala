@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, HyperplaneBucket, MinHashSignature, SimHash64}
+import graft.functions.{DotProduct, HashedShingles, HyperplaneBucket, MinHashSignature, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -52,6 +52,15 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_simhash(tokens) takes one array<string> argument")
         SimHash64(children.head)
+      }
+    ),
+    (
+      FunctionIdentifier("graft_hashed_shingles"),
+      new ExpressionInfo(classOf[HashedShingles].getName, "graft_hashed_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_hashed_shingles(tokens, n) takes an array<string> and an int literal")
+        HashedShingles(children.head, intArg(children(1), "n"))
       }
     ),
     (
