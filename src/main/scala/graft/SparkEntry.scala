@@ -329,17 +329,13 @@ object SparkEntry {
         .orderBy("c_mktsegment", "quartile")
     }),
     "q26_fuzzy" -> ((s, d) => {
-      // blocked fuzzy string matching: edit-distance pairs within a
-      // blocking key (nation). The self-join is over a raw dim-table
-      // scan (cheap, no recomputed pipeline) — at corpus scale the
-      // block key is what bounds the pair space, same as LSH buckets
-      val c = T(s, d, "customer").select("c_custkey", "c_name", "c_nationkey")
-      c.as("a").join(c.as("b"),
-          col("a.c_nationkey") === col("b.c_nationkey") &&
-            col("a.c_custkey") < col("b.c_custkey"))
-        .withColumn("dist", levenshtein(col("a.c_name"), col("b.c_name")).cast("long"))
-        .filter(col("dist") <= 1)
-        .select(col("a.c_custkey").as("a_id"), col("b.c_custkey").as("b_id"), col("dist"))
+      // fuzzy string matching via deletion-neighborhood blocking
+      // (FastSS/SymSpell): complete for edit distance ≤ 1, linear in
+      // total string length — the block-join-with-levenshtein-condition
+      // alternative measured 50s at sf0.1 (distance evaluated per
+      // in-block pair); this runs in under a second and needs no
+      // metadata block key at all, so the oracle is the FULL quadratic
+      DedupOps.editDistancePairs(T(s, d, "customer"), "c_name", "c_custkey")
         .orderBy("a_id", "b_id")
     }),
     "q27_hof" -> ((s, d) => {
@@ -1258,8 +1254,7 @@ object SparkEntry {
       "q26_fuzzy" ->
         """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
           | CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-          |FROM customer a JOIN customer b
-          | ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+          |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
           |WHERE levenshtein(a.c_name, b.c_name) <= 1
           |ORDER BY a_id, b_id""".stripMargin,
       "q27_hof" ->

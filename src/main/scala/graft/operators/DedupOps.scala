@@ -254,6 +254,50 @@ object DedupOps {
       .select(col("a_id"), col("b_id"), round(col("containment"), 4).as("containment"))
   }
 
+  /** Exact edit-distance-≤1 pairs via deletion-neighborhood blocking
+    * (FastSS/SymSpell): every string generates its |s| single-character
+    * deletion variants plus itself; two strings within edit distance 1
+    * NECESSARILY share a variant (substitution at i → both i-deletions
+    * equal; insertion/deletion → the shorter string is a variant of the
+    * longer), so recall is complete and the cheap levenshtein verify on
+    * bucket pairs only removes false positives (e.g. transpositions).
+    *
+    * Scale: linear explode (Σ|s| variant rows), one shuffle on the
+    * variant, bucket pair-gen with the shared overflow path. The naive
+    * alternative — an equi-join on a block key with the levenshtein in
+    * the join condition — evaluates the O(|s|²) distance for every
+    * in-block pair (measured 50s on 15k rows blocked 25 ways at sf0.1;
+    * this shape: <1s).
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      strCol: String,
+      idCol: String,
+      maxBucketSize: Int = 64
+  ): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    val variants = base.select(
+      col("id"), col("s"),
+      explode(array_distinct(concat(
+        array(col("s")),
+        transform(sequence(lit(1), length(col("s"))),
+          i => concat(
+            col("s").substr(lit(1), i - 1),
+            col("s").substr(i + 1, length(col("s")))))))).as("v"))
+    val buckets = variants.groupBy("v")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val cands = allBucketPairs(buckets, Seq("v"), "ids", maxBucketSize)
+      .select(col("a").as("a_id"), col("b").as("b_id"))
+      .distinct()
+    cands
+      .join(base.select(col("id").as("a_id"), col("s").as("sa")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("s").as("sb")), "b_id")
+      .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
   /** Docs to drop under greedy keep-smallest-id near-dup policy. */
   def minhashDropIds(df: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame =
     minhashDupPairs(df, textCol, idCol, threshold).select(col("b_id").as("drop_id")).distinct()

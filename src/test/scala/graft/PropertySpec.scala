@@ -39,6 +39,86 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs equals the quadratic reference with the same rare-shingle rule") {
+    val wordGen = Gen.oneOf((1 to 30).map(i => s"w$i"))
+    val docGen = Gen.chooseNum(3, 14).flatMap(len => Gen.listOfN(len, wordGen).map(_.mkString(" ")))
+    for (seed <- 1L to 3L) {
+      val texts = sample(docGen, 40, seed * 5000)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val n = 3; val maxDf = 8; val thr = 0.5
+      // reference: shingle sets on strings, rare-shingle candidates, exact containment
+      def sh(t: String): Set[String] = {
+        val tk = t.split(" ").toSeq
+        if (tk.length <= n) Set(tk.mkString(" "))
+        else tk.sliding(n).map(_.mkString(" ")).toSet
+      }
+      val sets = texts.zipWithIndex.map { case (t, i) => (i.toLong, sh(t)) }
+      val df = sets.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+      val expected = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        shared = sa intersect sb
+        if shared.exists(g => df(g) <= maxDf)
+        c = shared.size.toDouble / math.min(sa.size, sb.size)
+        if c >= thr
+      } yield (a, b)).toSet
+      val got = DedupOps.containmentPairs(docs, "text", "doc_id", thr, n, maxDf)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"seed $seed: containment diverged (got ${got.size} vs ${expected.size})")
+    }
+  }
+
+  test("editDistancePairs equals quadratic levenshtein on random near-collision strings") {
+    // alphabet of 3 chars and short lengths force many distance-1 pairs,
+    // plus transposition false-candidates the verify must reject
+    val strGen = Gen.chooseNum(2, 6).flatMap(l => Gen.listOfN(l, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) => if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (seed <- 1L to 3L) {
+      val strs = sample(strGen, 60, seed * 4000).distinct
+      val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+      val expected = (for {
+        (a, ia) <- strs.zipWithIndex; (b, ib) <- strs.zipWithIndex
+        if ia < ib && lev(a, b) <= 1
+      } yield (ia.toLong, ib.toLong)).toSet
+      val got = DedupOps.editDistancePairs(df, "s", "id")
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"seed $seed: got ${got.size} expected ${expected.size}")
+    }
+  }
+
+  test("resampleFfill equals a sequential reference on random sparse series") {
+    val evGen = for {
+      k <- Gen.chooseNum(1L, 4L)
+      b <- Gen.chooseNum(100L, 140L)
+      v <- Gen.chooseNum(1, 50)
+    } yield (k, b, v.toDouble)
+    for (seed <- 1L to 3L) {
+      val rows = sample(evGen, 60, seed * 9000)
+      val df = rows.toDF("k", "b", "v")
+      val got = graft.operators.ResampleOps
+        .resampleFfill(df, "k", col("b"), Seq("sv" -> sum("v")))
+        .select("k", "bucket", "n", "sv", "gap").orderBy("k", "bucket")
+        .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+      val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (k, rs) =>
+        val byB = rs.groupBy(_._2).view.mapValues(g => (g.size.toLong, g.map(_._3).sum)).toMap
+        val (lo, hi) = (rs.map(_._2).min, rs.map(_._2).max)
+        var lastSum = 0.0
+        (lo to hi).map { b =>
+          byB.get(b) match {
+            case Some((cnt, s)) => lastSum = s; (k, b, cnt, s, false)
+            case None => (k, b, 0L, lastSum, true)
+          }
+        }
+      }
+      assert(got == expected, s"seed $seed: resample diverged")
+    }
+  }
+
   test("asofBackward/Forward equal brute-force nearest-row lookups") {
     val rowGen = for {
       k <- Gen.oneOf("k1", "k2", "k3")
