@@ -226,6 +226,13 @@ object DedupOps {
     * content n-grams. Same bucket-pair machinery as MinHash (overflow
     * path, no self-join over the shingle scan).
     */
+  /** @param materializeSignatures checkpoint the (id, shingles) table so
+    *        the blocking explode and the two verify joins read it once
+    *        instead of re-running tokenize→shingle three times (the
+    *        bucket-table lesson: differently-pruned consumers defeat
+    *        ReuseExchange). Storage ∝ corpus shingle mass — right on a
+    *        single node and most clusters; flip off when recompute is
+    *        cheaper than materializing (storage-starved executors). */
   def containmentPairs(
       df: DataFrame,
       textCol: String,
@@ -233,9 +240,11 @@ object DedupOps {
       threshold: Double,
       shingleSize: Int = 3,
       maxDf: Int = 20,
-      maxBucketSize: Int = 64
+      maxBucketSize: Int = 64,
+      materializeSignatures: Boolean = true
   ): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), hashedShingleSet(col(textCol), shingleSize).as("sh"))
+    val docs0 = df.select(col(idCol).as("id"), hashedShingleSet(col(textCol), shingleSize).as("sh"))
+    val docs = if (materializeSignatures) docs0.localCheckpoint(false) else docs0
     val sh = docs.select(col("id"), explode(col("sh")).as("h"))
     val rare = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
