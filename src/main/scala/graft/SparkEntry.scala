@@ -855,6 +855,14 @@ object SparkEntry {
           "non_english" -> (col("lang") =!= "en")))
         .orderBy("verdict")
     }),
+    "data_mixture" -> ((s, d) => {
+      // rebalance to a target language mixture: binding stratum caps the
+      // output (fr here — its rate lands exactly 1.0, exercising the
+      // thr≥65536 keep-all edge); per-lang kept counts are the output
+      val kept = SplitOps.mixtureSample(TP(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.1))
+      kept.groupBy("lang").agg(count(lit(1)).as("n_kept")).orderBy("lang")
+    }),
     "data_domain_cap" -> ((s, d) => {
       // per-domain document cap (web-crawl "max N docs per domain"):
       // two-phase top-k — per-(domain, salt) local cap bounds the final
@@ -1360,6 +1368,20 @@ object SparkEntry {
           | FROM documents)
           |SELECT doc_id, length(t) AS clean_chars, md5(t) AS clean_md5
           |FROM c ORDER BY doc_id""".stripMargin,
+      "data_mixture" ->
+        """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents
+          |           WHERE lang IN ('en','de','fr','zh') GROUP BY lang),
+          |t AS (SELECT lang, cnt, CASE lang
+          |        WHEN 'en' THEN CAST(0.5 AS DOUBLE) WHEN 'de' THEN CAST(0.2 AS DOUBLE)
+          |        WHEN 'fr' THEN CAST(0.2 AS DOUBLE) WHEN 'zh' THEN CAST(0.1 AS DOUBLE) END AS tf
+          |      FROM c),
+          |n AS (SELECT MIN(CAST(cnt AS DOUBLE) / tf) AS n_total FROM t),
+          |r AS (SELECT lang, CAST(FLOOR(LEAST(CAST(1 AS DOUBLE), tf * n.n_total / CAST(cnt AS DOUBLE)) * 65536) AS INT) AS thr
+          |      FROM t, n),
+          |k AS (SELECT d.lang FROM documents d JOIN r USING (lang)
+          |      WHERE r.thr >= 65536
+          |         OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', r.thr))
+          |SELECT lang, COUNT(*) AS n_kept FROM k GROUP BY lang ORDER BY lang""".stripMargin,
       "data_funnel" ->
         s"""WITH v AS (SELECT CASE
            | WHEN len($toks) < 20 THEN 'too_short'

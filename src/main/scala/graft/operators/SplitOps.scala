@@ -63,4 +63,43 @@ object SplitOps {
     }
     df.filter(bucket16(col(keyCol)) < keep)
   }
+
+  /** Downsample to a TARGET MIXTURE: given target fractions per stratum
+    * (e.g. en 0.5, de 0.2, fr 0.2, zh 0.1), find the largest output the
+    * data supports (the binding stratum is argmin count/target) and keep
+    * exactly rate = target·N/count of each stratum via 65536-grain md5
+    * buckets — deterministic, retry-stable, and engine-replicable (the
+    * DuckDB oracle computes the identical rates and md5 threshold).
+    * Strata absent from `targets` are dropped.
+    *
+    * Scale: one tiny counts aggregation (stratum-cardinality rows),
+    * rates broadcast back, then a pure filter on the scan — the corpus
+    * never shuffles. The rate arithmetic is double with a fixed
+    * operation order (count→double ÷ target, min, ×, floor) so the
+    * kept set is bit-stable across engines.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      targets: Map[String, Double]
+  ): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(t => t > 0))
+    val tCol = targets.foldLeft(lit(null).cast("double")) { case (acc, (s, t)) =>
+      when(col(strataCol) === s, lit(t)).otherwise(acc)
+    }
+    val counts = df
+      .filter(col(strataCol).isin(targets.keys.toSeq: _*))
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("cnt"))
+      .withColumn("t", tCol)
+    val nTotal = counts.agg(min(col("cnt").cast("double") / col("t")).as("n_total"))
+    val rates = counts.crossJoin(broadcast(nTotal))
+      .withColumn("thr",
+        floor(least(lit(1d), col("t") * col("n_total") / col("cnt").cast("double")) * 65536).cast("int"))
+      .select(col(strataCol), col("thr"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(col("thr") >= 65536 ||
+        substring(md5(col(keyCol).cast("string")), 1, 4) < format_string("%04x", col("thr")))
+      .drop("thr")
+  }
 }

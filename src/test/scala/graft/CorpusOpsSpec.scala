@@ -26,6 +26,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.count() == 3)
   }
 
+  test("mixtureSample: binding stratum keeps everything, others downsample toward targets") {
+    val rows = (1 to 800).map(i =>
+      (i.toLong, if (i <= 500) "web" else if (i <= 700) "code" else "math"))
+    val df = rows.toDF("id", "src")
+    // targets: math is binding (100/0.25 = 400 < web 500/0.5=1000, code 200/0.25=800)
+    val kept = graft.operators.SplitOps
+      .mixtureSample(df, "id", "src", Map("web" -> 0.5, "code" -> 0.25, "math" -> 0.25))
+    val counts = kept.groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // math: rate 1.0 → ALL 100 rows kept (thr>=65536 edge)
+    assert(counts("math") == 100L)
+    // web target: 0.5*400=200 of 500 → rate 0.4; md5 buckets approximate it
+    assert(math.abs(counts("web") - 200L) < 40, s"web kept ${counts("web")}")
+    assert(math.abs(counts("code") - 100L) < 30, s"code kept ${counts("code")}")
+    // deterministic: same input → identical kept set
+    val again = graft.operators.SplitOps
+      .mixtureSample(df, "id", "src", Map("web" -> 0.5, "code" -> 0.25, "math" -> 0.25))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again == kept.select("id").as[Long].collect().sorted.toSeq)
+  }
+
   test("vocabulary: tf sums repeats, df counts distinct docs, stopwords dropped") {
     val docs = Seq(
       (1L, "alpha alpha beta the"),
