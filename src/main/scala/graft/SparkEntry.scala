@@ -359,6 +359,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("sum_price"))
         .orderBy("yr", "mo")
     }),
+    "events_intervals" -> ((s, d) => {
+      // interval union per user (gaps-and-islands): each event opens a
+      // 10-minute activity window; overlapping windows collapse into
+      // maximal spans — one sort, two window passes, one aggregation
+      val iv = T(s, d, "events").filter(col("user_id") % 10 === 0)
+        .select(col("user_id"),
+          expr("ts div 1000").as("s_us"),
+          (expr("ts div 1000") + lit(600000000L)).as("e_us"))
+      IntervalOps.mergeIntervals(iv, "user_id", "s_us", "e_us")
+        .select(col("user_id"), col("island"), col("s").as("s_us"), col("e").as("e_us"), col("n"))
+        .orderBy("user_id", "island")
+    }),
     "events_range_join" -> ((s, d) => {
       // point-in-interval attribution via the bucketized range join (no
       // cross product): 50 deterministic overlapping 21h windows stepped
@@ -1332,6 +1344,21 @@ object SparkEntry {
           | (CAST(n AS DOUBLE)*sxy - sx*sy) /
           |   sqrt((CAST(n AS DOUBLE)*sxx - sx*sx) * (CAST(n AS DOUBLE)*syy - sy*sy)) AS corr_xy
           |FROM m ORDER BY l_returnflag""".stripMargin,
+      "events_intervals" ->
+        """WITH iv AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+          |            epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS e
+          |            FROM events WHERE user_id % 10 = 0),
+          |t AS (SELECT user_id, s, e,
+          |      MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+          |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+          |      FROM iv),
+          |t2 AS (SELECT user_id, s, e,
+          |       SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END) OVER
+          |        (PARTITION BY user_id ORDER BY s, e
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          |       FROM t)
+          |SELECT user_id, CAST(island AS BIGINT) AS island, MIN(s) AS s_us, MAX(e) AS e_us, COUNT(*) AS n
+          |FROM t2 GROUP BY user_id, island ORDER BY user_id, island""".stripMargin,
       "events_resample" ->
         """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket, value
           |           FROM events WHERE user_id % 10 = 0),

@@ -91,6 +91,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mergeIntervals (window form) equals the typed flatMapGroups twin on random intervals") {
+    import graft.operators.IntervalOps
+    val ivGen = for {
+      k <- Gen.chooseNum(1L, 5L)
+      s <- Gen.chooseNum(0L, 300L)
+      len <- Gen.chooseNum(1L, 60L)
+    } yield IntervalOps.Interval(k, s, s + len)
+    for (seed <- 1L to 3L) {
+      val ivs = sample(ivGen, 120, seed * 1700)
+      val df = ivs.toDF("k", "s", "e")
+      val window = IntervalOps.mergeIntervals(df, "k", "s", "e")
+        .select("k", "island", "s", "e", "n").orderBy("k", "island")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      implicit val sp = spark
+      val typed = IntervalOps.mergeIntervalsTyped(ivs.toDS())
+        .collect().sortBy(m => (m.k, m.island))
+        .map(m => (m.k, m.island, m.s, m.e, m.n)).toSeq
+      assert(window == typed, s"seed $seed: window and typed interval merge diverged")
+    }
+  }
+
   test("resampleFfill equals a sequential reference on random sparse series") {
     val evGen = for {
       k <- Gen.chooseNum(1L, 4L)
