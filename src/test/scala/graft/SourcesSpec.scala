@@ -58,6 +58,41 @@ class SourcesSpec extends SparkSpec {
     assert(ok)
   }
 
+  test("malformed JSON: PERMISSIVE keeps rows with a corrupt-record column, FAILFAST throws") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"id": 1, "v": "ok"}
+        |{"id": oops not json
+        |{"id": 3, "v": "fine"}
+        |""".stripMargin)
+    val schema = "id LONG, v STRING, _corrupt_record STRING"
+    // Spark refuses to filter on the corrupt column straight off raw
+    // files (SPARK-21610) — cache first, the documented workaround
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir).cache()
+    try {
+      val rows = permissive.collect()
+      assert(rows.length == 3)
+      assert(rows.count(r => !r.isNullAt(2)) == 1, "exactly one row is corrupt")
+      assert(permissive.filter("_corrupt_record IS NULL").count() == 2)
+    } finally permissive.unpersist()
+    val failfast = spark.read.schema("id LONG, v STRING").option("mode", "FAILFAST").json(dir)
+    intercept[org.apache.spark.SparkException] { failfast.collect() }
+  }
+
+  test("malformed CSV row: PERMISSIVE null-fills, DROPMALFORMED removes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-badcsv").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.csv"),
+      "id,v\n1,alpha\nnot_a_number,beta\n3,gamma\n")
+    val schema = "id LONG, v STRING"
+    val permissive = spark.read.schema(schema).option("header", "true").csv(dir)
+    assert(permissive.count() == 3 && permissive.filter("id IS NULL").count() == 1)
+    val dropped = spark.read.schema(schema).option("header", "true")
+      .option("mode", "DROPMALFORMED").csv(dir)
+    assert(dropped.filter("id IS NOT NULL").count() == 2)
+  }
+
   test("binary file scheme plans a binaryFile read") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bin")
     java.nio.file.Files.write(dir.resolve("x.bin"), Array[Byte](1, 2, 3))
