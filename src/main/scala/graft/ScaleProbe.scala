@@ -35,7 +35,22 @@ object ScaleProbe {
       val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    // deterministic synthetic documents: 24 pseudo-words drawn from a
+    // 5000-word vocabulary by id arithmetic — text-pipeline probes get
+    // realistic shingle mass with zero I/O
+    def synthDocs(rows: Long): DataFrame =
+      synth(rows).select(col("id"), concat_ws(" ",
+        transform(sequence(lit(1), lit(24)),
+          i => concat(lit("w"), pmod(col("id") * i, lit(5000)).cast("string")))).as("text"))
+
     val probes: Seq[(String, Long => Long)] = Seq(
+      "minhash_signatures" -> { rows =>
+        graft.operators.DedupOps
+          .minhashSignatures(synthDocs(rows), "text", "id", shingleSize = 3, k = 32).count()
+      },
+      "dup_span_stats" -> { rows =>
+        CorpusOps.duplicatedSpanStats(synthDocs(rows), "id", "text", n = 8).count()
+      },
       "exact_dedup_groupby" -> { rows =>
         synth(rows).groupBy("tag").agg(min("id").as("keep")).count()
       },
