@@ -359,6 +359,48 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("sum_price"))
         .orderBy("yr", "mo")
     }),
+    "q29_nullsafe" -> ((s, d) => {
+      // null-safe equality join (<=>): the null bucket matches the null
+      // dim row instead of disappearing — the classic silent-data-loss
+      // gap between = and IS NOT DISTINCT FROM
+      import s.implicits._
+      val e = T(s, d, "events")
+        .withColumn("bucket", expr("nullif(pmod(user_id, 4), 3)"))
+      val dim = Seq((Option(0L), "a"), (Option(1L), "b"), (Option(2L), "c"), (Option.empty[Long], "nul"))
+        .toDF("bucket", "tag")
+      e.join(broadcast(dim), e("bucket") <=> dim("bucket"))
+        .groupBy("tag")
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+        .orderBy("tag")
+    }),
+    "q30_stragg" -> ((s, d) => {
+      // ordered string aggregation (LISTAGG): deterministic via sorted
+      // distinct set — one shuffle, tiny output
+      T(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+    "data_weighted" -> ((s, d) => {
+      // quality-weighted deterministic sampling: keep probability
+      // ∝ n_chars (md5-uniform u < weight) — retry-stable, no RNG state
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long").cast("double") / lit(4294967296.0)
+      val w = least(lit(1.0), col("n_chars").cast("double") / lit(600.0))
+      TP(s, d, "documents").filter(u < w)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+    "data_topk_sample" -> ((s, d) => {
+      // exact-k deterministic uniform sample: global top-k by md5 order
+      // (TakeOrdered — per-partition heads then one merge, no full sort)
+      TP(s, d, "documents")
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+        .orderBy("h").limit(100)
+        .orderBy("doc_id")
+    }),
     "events_intervals" -> ((s, d) => {
       // interval union per user (gaps-and-islands): each event opens a
       // 10-minute activity window; overlapping windows collapse into
@@ -1344,6 +1386,27 @@ object SparkEntry {
           | (CAST(n AS DOUBLE)*sxy - sx*sy) /
           |   sqrt((CAST(n AS DOUBLE)*sxx - sx*sx) * (CAST(n AS DOUBLE)*syy - sy*sy)) AS corr_xy
           |FROM m ORDER BY l_returnflag""".stripMargin,
+      "q29_nullsafe" ->
+        """WITH e AS (SELECT NULLIF(user_id % 4, 3) AS bucket, value FROM events),
+          |d AS (SELECT * FROM (VALUES (0, 'a'), (1, 'b'), (2, 'c'), (NULL, 'nul')) AS t(bucket, tag))
+          |SELECT tag, COUNT(*) AS n,
+          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value
+          |FROM e JOIN d ON e.bucket IS NOT DISTINCT FROM d.bucket
+          |GROUP BY tag ORDER BY tag""".stripMargin,
+      "q30_stragg" ->
+        """SELECT l_returnflag,
+          | string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+          | COUNT(*) AS n
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "data_weighted" ->
+        """SELECT doc_id, n_chars FROM documents
+          |WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0
+          |      < LEAST(CAST(1 AS DOUBLE), CAST(n_chars AS DOUBLE) / 600.0)
+          |ORDER BY doc_id""".stripMargin,
+      "data_topk_sample" ->
+        """SELECT doc_id, h FROM (
+          |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents ORDER BY h LIMIT 100)
+          |ORDER BY doc_id""".stripMargin,
       "events_intervals" ->
         """WITH iv AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
           |            epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS e
