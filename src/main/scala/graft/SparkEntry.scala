@@ -359,6 +359,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("sum_price"))
         .orderBy("yr", "mo")
     }),
+    "q31_rangeframe" -> ((s, d) => {
+      // RANGE window frame: per-user trailing-hour running sum — value
+      // depends on the ORDER-key distance, not row count (peers share
+      // the frame, so ties are deterministic by construction)
+      import org.apache.spark.sql.expressions.Window
+      val e = T(s, d, "events").filter(col("user_id") % 20 === 0)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000000000").as("ts_s"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_s")).rangeBetween(-3600, 0)
+      e.withColumn("w_sum",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("decimal(38,2)").cast("double"))
+        .withColumn("w_n", count(lit(1)).over(w))
+        .drop("value")
+        .orderBy("user_id", "ts_s", "event_id")
+    }),
     "q29_nullsafe" -> ((s, d) => {
       // null-safe equality join (<=>): the null bucket matches the null
       // dim row instead of disappearing — the classic silent-data-loss
@@ -1386,6 +1400,15 @@ object SparkEntry {
           | (CAST(n AS DOUBLE)*sxy - sx*sy) /
           |   sqrt((CAST(n AS DOUBLE)*sxx - sx*sx) * (CAST(n AS DOUBLE)*syy - sy*sy)) AS corr_xy
           |FROM m ORDER BY l_returnflag""".stripMargin,
+      "q31_rangeframe" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_s, value
+          |           FROM events WHERE user_id % 20 = 0)
+          |SELECT user_id, event_id, ts_s,
+          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS w_sum,
+          | COUNT(*) OVER w AS w_n
+          |FROM e
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+          |ORDER BY user_id, ts_s, event_id""".stripMargin,
       "q29_nullsafe" ->
         """WITH e AS (SELECT NULLIF(user_id % 4, 3) AS bucket, value FROM events),
           |d AS (SELECT * FROM (VALUES (0, 'a'), (1, 'b'), (2, 'c'), (NULL, 'nul')) AS t(bucket, tag))
