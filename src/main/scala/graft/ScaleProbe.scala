@@ -63,6 +63,22 @@ object ScaleProbe {
           Seq(sum("value").as("ps"), count(lit(1)).as("pn")),
           Seq(sum("ps").as("sv"), sum("pn").as("n"))).count()
       },
+      "curation_pipeline" -> { rows =>
+        // composed end-to-end shape: funnel-filter → exact dedup →
+        // duplicated-span stats → per-stratum cap, chained as one plan
+        val docs = synthDocs(rows).withColumn("stratum", pmod(col("id"), lit(50)))
+        val kept = docs.filter(length(col("text")) > 40)
+        val wDedup = org.apache.spark.sql.expressions.Window.partitionBy("__h").orderBy("id")
+        val deduped = kept
+          .withColumn("__h", xxhash64(col("text")))
+          .withColumn("__rn", row_number().over(wDedup))
+          .filter(col("__rn") === 1).drop("__h", "__rn")
+        val spans = CorpusOps.duplicatedSpanStats(deduped, "id", "text", n = 8)
+        val lowDup = deduped.join(spans.filter(col("dup_fraction") < 0.5).select("doc_id"),
+          deduped("id") === col("doc_id"))
+        CorpusOps.capPerKey(lowDup.select("id", "stratum", "text"),
+          "stratum", Seq(col("id").asc), k = 100000).count()
+      },
       "exact_stats_moments" -> { rows =>
         StatsOps.exactStats(synth(rows).select(col("bucket"), col("value"),
           (col("value") * 0.5).as("v2")), Seq("bucket"), col("value"), col("v2")).count()
