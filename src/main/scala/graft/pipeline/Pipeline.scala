@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.operators.{DiffOps, FlattenOps}
 import graft.sources.SourceRegistry
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
 
 /** A declared ETL pipeline: named sources → named transforms → named sinks.
   *
@@ -92,9 +93,86 @@ object Pipeline {
           case _              => diffed
         }
       }
+    // ---- curation transformer schemes (beyond the reference surface):
+    // the library operators exposed as URI pipeline steps, so a CLI user
+    // can run a full training-data curation pass with no Scala at all.
+    case "dedup" =>
+      df => {
+        val p = uri.queryParams
+        val text = p.getOrElse("text", "text")
+        val id = p.getOrElse("id", "id")
+        p.getOrElse("method", "exact").toLowerCase match {
+          case "exact" =>
+            graft.operators.DedupOps.exactKeepFirst(df, text, id)
+          case "minhash" =>
+            val thr = p.getOrElse("threshold", "0.8").toDouble
+            val drops = graft.operators.DedupOps.minhashDropIds(df, text, id, thr)
+            df.join(drops, df(id) === drops("drop_id"), "left_anti")
+          case other =>
+            throw new IllegalArgumentException(s"dedup method '$other' not in: exact, minhash")
+        }
+      }
+    case "split" =>
+      df => {
+        val p = uri.queryParams
+        graft.operators.SplitOps.withSplit(df, p.getOrElse("id", "id"),
+          p.getOrElse("train", "12").toInt, p.getOrElse("val", "2").toInt)
+      }
+    case "sample" =>
+      df => {
+        val p = uri.queryParams
+        graft.operators.SplitOps.deterministicSample(df, p.getOrElse("id", "id"),
+          p.getOrElse("keep", "2").toInt)
+      }
+    case "decontam" =>
+      df => {
+        val p = uri.queryParams
+        val benchView = uri.relPath
+        require(benchView.nonEmpty, "decontam: benchmark view path is empty")
+        graft.operators.DecontamOps.decontaminated(df,
+          p.getOrElse("text", "text"), p.getOrElse("id", "id"),
+          df.sparkSession.table(benchView), p.getOrElse("benchText", p.getOrElse("text", "text")),
+          p.getOrElse("n", "8").toInt)
+      }
+    case "quality" =>
+      df => {
+        val p = uri.queryParams
+        val text = p.getOrElse("text", "text")
+        val scored = df
+          .withColumn("quality", graft.functions.TextFunctions.qualityScore(F.col(text)))
+          .withColumn("lang", graft.functions.TextFunctions.langId(F.col(text)))
+        p.get("min").map(m => scored.filter(F.col("quality") >= m.toDouble)).getOrElse(scored)
+      }
+    case "cap" =>
+      df => {
+        val p = uri.queryParams
+        val order = p.getOrElse("order", p.getOrElse("id", "id")).split(",").toSeq.map { spec =>
+          spec.split(":") match {
+            case Array(c, "desc") => F.col(c).desc
+            case Array(c, _)      => F.col(c).asc
+            case Array(c)         => F.col(c).asc
+            case _ => throw new IllegalArgumentException(s"cap: bad order spec '$spec'")
+          }
+        }
+        graft.operators.CorpusOps.capPerKey(df, p("key"), order, p.getOrElse("k", "1000").toInt)
+          .drop("rn")
+      }
+    case "chunk" =>
+      df => {
+        val p = uri.queryParams
+        val text = p.getOrElse("text", "text")
+        val id = p.getOrElse("id", "id")
+        val tf = graft.functions.TextFunctions
+        df.select(F.col(id),
+            F.explode(tf.chunkTokens(tf.tokens(F.col(text)),
+              p.getOrElse("size", "512").toInt, p.getOrElse("overlap", "64").toInt)).as("c"))
+          .select(F.col(id), F.col("c.chunk_idx").as("chunk_idx"),
+            F.col("c.chunk_text").as("chunk_text"), F.col("c.n_tokens").as("n_tokens"))
+      }
     case other =>
       throw new IllegalArgumentException(
-        s"transform scheme '$other' not in: identity, sql, sql-file, flatten, flatten-explode, diff")
+        s"transform scheme '$other' not in: identity, sql, sql-file, flatten, flatten-explode, " +
+          "diff, dedup, split, sample, decontam, quality, cap, chunk")
   }
 
   /** Parse reference-style CLI args:

@@ -59,6 +59,43 @@ class PipelineSpec extends SparkSpec {
     assert(p.resultView(spark, "sink").collect().map(_.getInt(0)).toSeq == Seq(7))
   }
 
+  test("curation transformer schemes: dedup -> quality -> split -> chunk as URI steps") {
+    val values = (1 to 30)
+      .map(i => s"$i,common%20words%20here%20plus%20token$i").mkString(";")
+    val (p, _) = Pipeline.fromArgs(Seq(
+      "--source", s"d+values:///?header=id:int,text&values=$values",
+      "--transform", "d+dd+dedup:///?method=exact&text=text&id=id",
+      "--transform", "dd+q+quality:///?text=text",
+      "--transform", "q+sp+split:///?id=id",
+      "--transform", "sp+out+chunk:///?text=text&id=id&size=4&overlap=1"))
+    val out = p.resultView(spark, "out")
+    assert(out.columns.toSeq == Seq("id", "chunk_idx", "chunk_text", "n_tokens"))
+    assert(out.count() > 30) // 5-token docs chunked at size 4 stride 3 → 2 chunks each
+    // intermediate views registered and enriched
+    val q = spark.table("q")
+    assert(q.columns.contains("quality") && q.columns.contains("lang"))
+    val sp = spark.table("sp")
+    assert(sp.select("split").distinct().collect().map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("dedup:///?method=exact drops byte-identical duplicate rows") {
+    val (p, _) = Pipeline.fromArgs(Seq(
+      "--source", "values:///?header=id:int,text&values=1,same%20text;2,same%20text;3,other",
+      "--transform", "dedup:///?method=exact&text=text&id=id"))
+    val rows = p.resultView(spark, "sink").orderBy("id").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 3))
+  }
+
+  test("cap:///?key=... keeps k rows per key through the URI step") {
+    val values = (1 to 20).map(i => s"$i,k${i % 2},${i * 10}").mkString(";")
+    val (p, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?header=id:int,grp,score:int&values=$values",
+      "--transform", "cap:///?key=grp&order=score:desc,id:asc&k=3"))
+    val rows = p.resultView(spark, "sink").orderBy("grp", "id").collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getInt(2)).forall(_ >= 150)) // top-3 scores per parity group
+  }
+
   test("csv sink+source roundtrip via text:// with tsv delimiter") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-test-csv").toString
     val (w, _) = Pipeline.fromArgs(Seq(
