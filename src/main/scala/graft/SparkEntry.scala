@@ -496,6 +496,20 @@ object SparkEntry {
         .select(col("o_orderkey"), unix_micros(col("asof_shipdate").cast("timestamp")).as("asof_us"))
         .orderBy("o_orderkey")
     }),
+    "asof_join_tol" -> ((s, d) => {
+      // merge_asof tolerance, driver-oracled: latest shipment ≤ cutoff is
+      // nulled when >30d before it — equivalently (backward direction ⇒
+      // monotone distance) the MAX over the [cutoff−30d, cutoff] window,
+      // which a plain SQL LEFT JOIN + MAX expresses exactly
+      val orders = T(s, d, "orders")
+        .withColumn("cutoff", col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select("o_orderkey", "cutoff")
+      val line = T(s, d, "lineitem").select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"))
+      JoinOps.asofJoin(orders, line, Seq("o_orderkey"), "cutoff", "l_shipdate",
+          Map("l_shipdate" -> "asof_shipdate"), forward = false, tolerance = Some(30L * 86400))
+        .select(col("o_orderkey"), unix_micros(col("asof_shipdate").cast("timestamp")).as("asof_us"))
+        .orderBy("o_orderkey")
+    }),
     "events_sessionize" -> ((s, d) => {
       SessionOps
         .sessionize(T(s, d, "events").withColumn("ts", evTs), "user_id", "ts", gapSeconds = 1800)
@@ -1179,6 +1193,13 @@ object SparkEntry {
         """SELECT o_orderkey, epoch_us(MIN(l_shipdate)) AS asof_us
           |FROM orders LEFT JOIN lineitem
           | ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+          |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+      "asof_join_tol" ->
+        """SELECT o_orderkey, epoch_us(MAX(l_shipdate)) AS asof_us
+          |FROM orders LEFT JOIN lineitem
+          | ON l_orderkey = o_orderkey
+          | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+          | AND l_shipdate >= o_orderdate + INTERVAL 90 DAY - INTERVAL 30 DAY
           |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
       "events_sessionize" ->
         """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

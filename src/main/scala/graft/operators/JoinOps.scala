@@ -118,8 +118,17 @@ object JoinOps {
     // `tolerance` from the left time yields nulls, exactly like no match.
     // Units are the time columns' long cast (seconds for timestamps —
     // feed unix_micros columns for µs tolerances).
+    // TIMESTAMP_NTZ has no direct long cast — route it through TIMESTAMP
+    // (session TZ), keeping seconds as the tolerance unit for all
+    // timestamp flavors
+    def asLong(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+      case org.apache.spark.sql.types.TimestampNTZType => c.cast("timestamp").cast("long")
+      case _ => c.cast("long")
+    }
     val withinTol = tolerance match {
-      case Some(t) => abs(col("__t").cast("long") - col("__r.__rt").cast("long")) <= t
+      case Some(t) =>
+        abs(asLong(col("__t"), left.schema(leftTime).dataType) -
+          asLong(col("__r.__rt"), right.schema(rightTime).dataType)) <= t
       case None => lit(true)
     }
 
