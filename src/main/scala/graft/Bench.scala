@@ -88,7 +88,11 @@ object Bench {
       results.map(r => "\"" + r.name + "\":" + prec.format(r.coldBest)).mkString("{", ",", "}")
     val qmap = {
       val full = buildQmap("%.2f")
-      if (full.length <= 1600) full else buildQmap("%.1f")
+      if (full.length <= 1600) full
+      else {
+        val one = buildQmap("%.1f")
+        if (one.length <= 1850) one else buildQmap("%.0f")
+      }
     }
 
     // full detail for audit (warm/gc/original cold/reruns per query)
