@@ -373,6 +373,19 @@ object SparkEntry {
         .drop("value")
         .orderBy("user_id", "ts_s", "event_id")
     }),
+    "q32_lateral" -> ((s, d) => {
+      // LATERAL correlated subquery: per nation, its top-2 customers by
+      // balance — the SQL-level form of per-key top-k (same semantics
+      // capPerKey gives the DataFrame API)
+      T(s, d, "nation").createOrReplaceTempView("graft_nation")
+      T(s, d, "customer").createOrReplaceTempView("graft_customer")
+      s.sql("""SELECT n.n_name, t.c_custkey, t.c_acctbal
+              |FROM graft_nation n,
+              | LATERAL (SELECT c_custkey, c_acctbal FROM graft_customer c
+              |          WHERE c.c_nationkey = n.n_nationkey
+              |          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+              |ORDER BY n.n_name, t.c_custkey""".stripMargin)
+    }),
     "q29_nullsafe" -> ((s, d) => {
       // null-safe equality join (<=>): the null bucket matches the null
       // dim row instead of disappearing — the classic silent-data-loss
@@ -1430,6 +1443,13 @@ object SparkEntry {
           |FROM e
           |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
           |ORDER BY user_id, ts_s, event_id""".stripMargin,
+      "q32_lateral" ->
+        """SELECT n.n_name, t.c_custkey, t.c_acctbal
+          |FROM nation n,
+          | LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+          |          WHERE c.c_nationkey = n.n_nationkey
+          |          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          |ORDER BY n.n_name, t.c_custkey""".stripMargin,
       "q29_nullsafe" ->
         """WITH e AS (SELECT NULLIF(user_id % 4, 3) AS bucket, value FROM events),
           |d AS (SELECT * FROM (VALUES (0, 'a'), (1, 'b'), (2, 'c'), (NULL, 'nul')) AS t(bucket, tag))
