@@ -201,6 +201,32 @@ class PlanAuditSpec extends SparkSpec {
       .listFiles().count(_.getName.endsWith(".parquet")))
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    val dir = java.nio.file.Files.createTempDirectory("skew-audit").toString
+    // key 0 carries ~90% of the fact side
+    (0L until 200000L).map(i => (if (i % 10 == 0) i % 50 else 0L, i))
+      .toDF("k", "v").write.mode("overwrite").parquet(s"$dir/fact")
+    (0L until 50L).map(i => (i, s"d$i")).toDF("k", "name")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100KB")
+    try {
+      val j = spark.read.parquet(s"$dir/fact").join(spark.read.parquet(s"$dir/dim"), "k")
+      assert(j.collect().length == 200000) // collect() runs j's own execution → AQE final plan
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("isSkew=true") || plan.contains("skew=true"),
+        s"expected AQE to mark/split the skewed join partition:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    }
+  }
+
   test("minhash signature pass is shuffle-free (map-side sketching)") {
     val docs = (0L until 200L).map(i => (i, s"some text body number $i repeated words")).toDF("doc_id", "text")
     val sigs = graft.operators.DedupOps.minhashSignatures(docs, "text", "doc_id", shingleSize = 3, k = 64)
