@@ -264,7 +264,10 @@ object DedupOps {
   }
 
   /** Exact edit-distance-≤1 pairs via deletion-neighborhood blocking
-    * (FastSS/SymSpell): every string generates its |s| single-character
+    * (FastSS/SymSpell): a SHORT-STRING operator (names, titles, codes) —
+    * the variant explode is |s| rows of |s| bytes per string, quadratic
+    * in string length; use the shingle family for document-scale text.
+    * Every string generates its |s| single-character
     * deletion variants plus itself; two strings within edit distance 1
     * NECESSARILY share a variant (substitution at i → both i-deletions
     * equal; insertion/deletion → the shorter string is a variant of the

@@ -27,11 +27,18 @@ object ResampleOps {
     * @param aggs (alias → aggregate column) evaluated per (key, bucket);
     *             each is forward-filled independently.
     */
+  /** @param maxBucketsPerKey guard against pathological keys whose
+    *        [min, max] span would explode the grid (one stray 1970
+    *        timestamp in an hourly resample = a 480k-element sequence
+    *        per key). Keys over the cap are DROPPED from the output —
+    *        the caller decides whether to clean or route them; silently
+    *        truncating their grid would misreport gap structure. */
   def resampleFfill(
       df: DataFrame,
       keyCol: String,
       bucketCol: Column,
-      aggs: Seq[(String, Column)]
+      aggs: Seq[(String, Column)],
+      maxBucketsPerKey: Long = 1000000L
   ): DataFrame = {
     val perBucket = df
       .withColumn("bucket", bucketCol)
@@ -40,6 +47,7 @@ object ResampleOps {
     val grid = perBucket
       .groupBy(col(keyCol))
       .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      .filter(col("hi") - col("lo") < maxBucketsPerKey)
       .select(col(keyCol), explode(sequence(col("lo"), col("hi"))).as("bucket"))
     val joined = grid.join(perBucket, Seq(keyCol, "bucket"), "left")
     val w = Window.partitionBy(keyCol).orderBy("bucket")
