@@ -428,6 +428,37 @@ object SparkEntry {
         .orderBy("h").limit(100)
         .orderBy("doc_id")
     }),
+    "events_scd2" -> ((s, d) => {
+      // SCD2 history compression: per-user state intervals from an event
+      // log — change rows survive (lag filter), validity closes at the
+      // next change (lead after the filter). Two windows over one sort.
+      import org.apache.spark.sql.expressions.Window
+      val e = T(s, d, "events").filter(col("user_id") % 10 === 0)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val changes = e
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      changes
+        .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+        .select(col("user_id"), col("event_type"), col("ts_us").as("valid_from"), col("valid_to"))
+        .orderBy("user_id", "valid_from")
+    }),
+    "events_funnel_conv" -> ((s, d) => {
+      // funnel conversion: first click → earliest purchase at-or-after
+      // it, per user. One tiny agg per stage + a key join — no window
+      // over the raw log, no cross product.
+      val e = T(s, d, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+      val fc = e.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min("ts_us").as("first_click_us"))
+      val p = e.filter(col("event_type") === "purchase").select(col("user_id"), col("ts_us").as("pts"))
+      fc.join(p, fc("user_id") === p("user_id") && col("pts") >= col("first_click_us"), "left")
+        .groupBy(fc("user_id"), col("first_click_us"))
+        .agg(min("pts").as("first_purchase_us"))
+        .withColumn("converted", col("first_purchase_us").isNotNull)
+        .orderBy("user_id")
+    }),
     "events_intervals" -> ((s, d) => {
       // interval union per user (gaps-and-islands): each event opens a
       // 10-minute activity window; overlapping windows collapse into
@@ -1471,6 +1502,27 @@ object SparkEntry {
         """SELECT doc_id, h FROM (
           |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents ORDER BY h LIMIT 100)
           |ORDER BY doc_id""".stripMargin,
+      "events_scd2" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+          |           FROM events WHERE user_id % 10 = 0),
+          |c AS (SELECT user_id, event_id, ts_us, event_type,
+          |       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+          |      FROM e),
+          |f AS (SELECT user_id, event_id, ts_us, event_type FROM c
+          |      WHERE prev IS NULL OR prev <> event_type)
+          |SELECT user_id, event_type, ts_us AS valid_from,
+          | lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to
+          |FROM f ORDER BY user_id, valid_from""".stripMargin,
+      "events_funnel_conv" ->
+        """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type FROM events),
+          |fc AS (SELECT user_id, MIN(ts_us) AS first_click_us FROM e
+          |       WHERE event_type = 'click' GROUP BY user_id),
+          |j AS (SELECT fc.user_id, fc.first_click_us, p.ts_us AS pts
+          |      FROM fc LEFT JOIN e p
+          |       ON p.user_id = fc.user_id AND p.event_type = 'purchase' AND p.ts_us >= fc.first_click_us)
+          |SELECT user_id, first_click_us, MIN(pts) AS first_purchase_us,
+          | MIN(pts) IS NOT NULL AS converted
+          |FROM j GROUP BY user_id, first_click_us ORDER BY user_id""".stripMargin,
       "events_intervals" ->
         """WITH iv AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
           |            epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS e
