@@ -43,7 +43,20 @@ object ScaleProbe {
         transform(sequence(lit(1), lit(24)),
           i => concat(lit("w"), pmod(col("id") * i, lit(5000)).cast("string")))).as("text"))
 
+    // deterministic synthetic embeddings: 64 floats from id arithmetic
+    def synthVecs(rows: Long): DataFrame =
+      synth(rows).select(col("id"),
+        transform(sequence(lit(1), lit(64)),
+          i => (pmod(col("id") * i, lit(1000)).cast("double") / 500.0 - 1.0)).as("vec"))
+
     val probes: Seq[(String, Long => Long)] = Seq(
+      "hyperplane_buckets" -> { rows =>
+        // map-side LSH bucket assignment (native expression) + tiny agg —
+        // the corpus-side shape of vector dedup/ANN indexing
+        synthVecs(rows)
+          .select(graft.functions.VectorFunctions.hyperplaneBucket(col("vec"), nBits = 12, seed = 0).as("b"))
+          .groupBy("b").count().count()
+      },
       "minhash_signatures" -> { rows =>
         graft.operators.DedupOps
           .minhashSignatures(synthDocs(rows), "text", "id", shingleSize = 3, k = 32).count()
