@@ -91,7 +91,7 @@ object Bench {
       if (full.length <= 1600) full
       else {
         val one = buildQmap("%.1f")
-        if (one.length <= 1850) one else buildQmap("%.0f")
+        if (one.length <= 1800) one else buildQmap("%.0f")
       }
     }
 
