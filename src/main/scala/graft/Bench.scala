@@ -86,14 +86,6 @@ object Bench {
     // (full precision is always in BENCH_DETAIL.json)
     def buildQmap(prec: String) =
       results.map(r => "\"" + r.name + "\":" + prec.format(r.coldBest)).mkString("{", ",", "}")
-    val qmap = {
-      val full = buildQmap("%.2f")
-      if (full.length <= 1600) full
-      else {
-        val one = buildQmap("%.1f")
-        if (one.length <= 1800) one else buildQmap("%.0f")
-      }
-    }
 
     // full detail for audit (warm/gc/original cold/reruns per query)
     val detail = results.map { r =>
@@ -107,7 +99,15 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
 
     spark.stop()
-    // the one line the driver parses — keep it LAST and < ~1800 chars
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qmap,"total_warm":${fmt(totalWarm)},"sf":"$sfDir"}""")
+    // the one line the driver parses — keep it LAST and well inside the
+    // ~2000-char log tail; degrade per-query precision on the WHOLE-line
+    // length until it fits
+    def line(qmap: String) =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qmap,"total_warm":${fmt(totalWarm)},"sf":"$sfDir"}"""
+    val out = Seq("%.2f", "%.1f", "%.0f")
+      .map(p => line(buildQmap(p)))
+      .find(_.length <= 1900)
+      .getOrElse(line("{}")) // paranoia backstop: totals always fit
+    println(out)
   }
 }
