@@ -140,6 +140,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mixtureSample keeps exactly the md5-threshold set a sequential reference computes") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val keyGen = Gen.chooseNum(1L, 100000L)
+    for (seed <- 1L to 3L) {
+      val ids = sample(keyGen, 300, seed * 7700).distinct
+      val rows = ids.map(id => (id, s"s${(id % 3).toInt}"))
+      val df = rows.toDF("id", "src")
+      val targets = Map("s0" -> 0.5, "s1" -> 0.3, "s2" -> 0.2)
+      val got = graft.operators.SplitOps.mixtureSample(df, "id", "src", targets)
+        .select("id").as[Long].collect().toSet
+      // sequential replication of the operator contract
+      val counts = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      val nTotal = targets.map { case (s, t) => counts.getOrElse(s, 0).toDouble / t }.min
+      val thr = targets.map { case (s, t) =>
+        s -> math.floor(math.min(1.0, t * nTotal / counts(s)) * 65536).toInt
+      }
+      val expected = rows.filter { case (id, s) =>
+        thr(s) >= 65536 || md5hex(id.toString).substring(0, 4) < "%04x".format(thr(s))
+      }.map(_._1).toSet
+      assert(got == expected, s"seed $seed: kept ${got.size} expected ${expected.size}")
+    }
+  }
+
   test("asofBackward/Forward equal brute-force nearest-row lookups") {
     val rowGen = for {
       k <- Gen.oneOf("k1", "k2", "k3")
