@@ -49,6 +49,33 @@ object ScaleProbe {
         transform(sequence(lit(1), lit(64)),
           i => (pmod(col("id") * i, lit(1000)).cast("double") / 500.0 - 1.0)).as("vec"))
 
+    // 90%-boilerplate corpus: 9 of 10 docs share a fixed 16-word prefix, so
+    // its 8-gram shingles each occur in 0.9·rows documents — the hot-key
+    // stress dedup_spans' df computation must stay flat under
+    def synthHotDocs(rows: Long): DataFrame = {
+      val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
+      val tail = concat_ws(" ",
+        transform(sequence(lit(1), lit(8)),
+          i => concat(lit("u"), (col("id") * 8 + i).cast("string"))))
+      synth(rows).select(col("id"),
+        when(pmod(col("id"), lit(10)) < 9, concat(lit(boiler + " "), tail))
+          .otherwise(tail).as("text"))
+    }
+
+    // near-unique token stream: distinct-token count ≈ row count (typo/id
+    // long tail) — the regime where a broadcast-hinted df table OOMs
+    def synthWideVocabDocs(rows: Long): DataFrame =
+      synth(rows).select(col("id"), concat_ws(" ",
+        transform(sequence(lit(1), lit(12)),
+          i => concat(lit("w"), pmod(col("id") * i, lit(rows)).cast("string")))).as("text"))
+
+    // 50% byte-identical rows (one duplicated heavy hitter) — the workload
+    // where row-hash salting alone collapses back to one salt bucket
+    def synthDupRows(rows: Long): DataFrame =
+      synth(rows).select(
+        when(pmod(col("id"), lit(2)) === 0, lit(42L)).otherwise(pmod(col("id"), lit(1000))).as("bucket"),
+        when(pmod(col("id"), lit(2)) === 0, lit(0.0)).otherwise(col("value")).as("value"))
+
     val probes: Seq[(String, Long => Long)] = Seq(
       "hyperplane_buckets" -> { rows =>
         // map-side LSH bucket assignment (native expression) + tiny agg —
@@ -64,6 +91,17 @@ object ScaleProbe {
       "dup_span_stats" -> { rows =>
         CorpusOps.duplicatedSpanStats(synthDocs(rows), "id", "text", n = 8).count()
       },
+      "dup_span_stats_hot" -> { rows =>
+        // 90% of docs share one boilerplate prefix: per-row throughput must
+        // stay near the uniform dup_span_stats case (the count-window shape
+        // this replaced funneled 0.9·rows through ONE reducer here)
+        CorpusOps.duplicatedSpanStats(synthHotDocs(rows), "id", "text", n = 8).count()
+      },
+      "tfidf_wide_vocab" -> { rows =>
+        // distinct-token count ≈ rows: the df table CANNOT be broadcast;
+        // flat throughput here certifies the unhinted shuffle-join path
+        CorpusOps.tfidfTopTerms(synthWideVocabDocs(rows), "id", "text").count()
+      },
       "exact_dedup_groupby" -> { rows =>
         synth(rows).groupBy("tag").agg(min("id").as("keep")).count()
       },
@@ -75,6 +113,22 @@ object ScaleProbe {
         SkewOps.saltedAgg(synth(rows).select("bucket", "value"), Seq("bucket"), 32,
           Seq(sum("value").as("ps"), count(lit(1)).as("pn")),
           Seq(sum("ps").as("sv"), sum("pn").as("n"))).count()
+      },
+      "salted_agg_dup50" -> { rows =>
+        // 50% byte-identical rows, row-hash salt only: the duplicated heavy
+        // hitter collapses to ONE salt bucket — the baseline the
+        // discriminator variant below is measured against
+        SkewOps.saltedAgg(synthDupRows(rows), Seq("bucket"), 32,
+          Seq(sum("value").as("ps"), count(lit(1)).as("pn")),
+          Seq(sum("ps").as("sv"), sum("pn").as("n"))).count()
+      },
+      "salted_agg_dup50_disc" -> { rows =>
+        // same workload + spark_partition_id() discriminator: identical
+        // rows from different input partitions spread across salt buckets
+        SkewOps.saltedAgg(synthDupRows(rows), Seq("bucket"), 32,
+          Seq(sum("value").as("ps"), count(lit(1)).as("pn")),
+          Seq(sum("ps").as("sv"), sum("pn").as("n")),
+          discriminator = Some(spark_partition_id())).count()
       },
       "curation_pipeline" -> { rows =>
         // composed end-to-end shape: funnel-filter → exact dedup →

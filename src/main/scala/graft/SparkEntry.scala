@@ -947,19 +947,20 @@ object SparkEntry {
         .orderBy(col("tf").desc, col("token").asc)
     }),
     "text_tfidf" -> ((s, d) => {
-      // per-doc top tf-idf term: corpus df table (vocab-sized) broadcast
-      // back onto the per-doc term counts; score = tf·N/df as ONE IEEE
-      // division on integer-exact inputs (log-free → bit-identical
-      // cross-engine, monotone in tf and 1/df which is all ranking needs)
+      // per-doc top tf-idf term: the distinct-token df table is unbounded
+      // at corpus scale, so it is NOT broadcast-hinted — AQE broadcasts
+      // when small, else shuffle join on token (skew-splittable); score =
+      // tf·N/df as ONE IEEE division on integer-exact inputs (log-free →
+      // bit-identical cross-engine, monotone in tf and 1/df)
       CorpusOps.tfidfTopTerms(TP(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
     "dedup_spans" -> ((s, d) => {
       // substring-dedup approximation at 8-gram granularity (the Lee
       // et al. duplicated-span signal): per doc, how many distinct
-      // 8-grams occur in ≥2 docs. One shingle scan; df via count window
-      // over the hash (no df-table join → no second scan of the
-      // tokenize→shingle pipeline)
+      // 8-grams occur in ≥2 docs. df via two-level groupBy on the hash
+      // (map-side partial agg bounds hot boilerplate shingles) joined
+      // back without a hint so AQE can broadcast or skew-split
       CorpusOps.duplicatedSpanStats(TP(s, d, "documents"), "doc_id", "text", n = 8)
         .orderBy("doc_id")
     }),
@@ -995,7 +996,7 @@ object SparkEntry {
       // per-domain reducer input to saltBuckets·k rows under any skew
       CorpusOps.capPerKey(
           TP(s, d, "documents").select("doc_id", "source", "n_chars"),
-          "source", Seq(col("n_chars").desc, col("doc_id").asc), k = 20)
+          "source", Seq(col("n_chars").desc, col("doc_id").asc), k = 20, rankCol = Some("rn"))
         .orderBy("source", "rn")
     }),
     "text_chunks" -> ((s, d) => {

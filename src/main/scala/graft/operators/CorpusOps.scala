@@ -14,13 +14,21 @@ import org.apache.spark.sql.functions._
   *    (token, doc) has map-side partial aggregation, the second is
   *    vocab-sized (≪ corpus). No countDistinct Expand — distinct-per-doc
   *    is the first grouping level.
-  *  - tf-idf join: the df table is vocab-sized → broadcast; the corpus
-  *    side never shuffles for the join (only for its own token agg).
+  *  - tf-idf join: the df table is UNBOUNDED at web scale (typos, ids,
+  *    numbers run the distinct-token set to billions), so it is NOT
+  *    broadcast-hinted — AQE converts the join to broadcast when the
+  *    table is actually small and keeps a skew-splittable shuffle join
+  *    otherwise. A guaranteed-bounded broadcast variant joins against
+  *    `vocabulary(topV)` instead (`tfidfTopTermsCapped`).
   *  - capPerKey: one row_number window; InferWindowGroupLimit prunes to
   *    a map-side top-k heap before the shuffle, so a hot key (one domain
   *    = half the crawl) never funnels all its rows through one reducer.
   */
 object CorpusOps {
+
+  /** Internal helper-column name — collision-safe against caller schemas
+    * (a user column literally named "rn" must survive capPerKey). */
+  private val RankCol = "__graft_rn"
 
   /** Keep at most `k` rows per key, by a total order. A single
     * `row_number ≤ k` window: Spark ≥3.5's InferWindowGroupLimit rewrites
@@ -32,15 +40,23 @@ object CorpusOps {
     * SURVEY §8 scale probe; the plan shape is pinned by PlanAuditSpec).
     * `orderCols` must be a total order within a key (tie-break on a
     * unique id) or the kept set is nondeterministic.
+    *
+    * The rank rides in a collision-safe internal column and is dropped
+    * before returning; pass `rankCol = Some(name)` to keep it (e.g. a
+    * per-domain cap report that wants the within-key position).
     */
   def capPerKey(
       df: DataFrame,
       keyCol: String,
       orderCols: Seq[Column],
-      k: Int
-  ): DataFrame =
-    df.withColumn("rn", row_number().over(Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)))
-      .filter(col("rn") <= k)
+      k: Int,
+      rankCol: Option[String] = None
+  ): DataFrame = {
+    val ranked = df
+      .withColumn(RankCol, row_number().over(Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)))
+      .filter(col(RankCol) <= k)
+    rankCol.fold(ranked.drop(RankCol))(n => ranked.withColumnRenamed(RankCol, n))
+  }
 
   /** Per-(doc, token) counts with stopwords and empty tokens removed —
     * the shared first stage of vocabulary and tf-idf. Map-side combine
@@ -70,8 +86,9 @@ object CorpusOps {
     * needs (which rule is dropping the data?). */
   def filterFunnel(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     val verdict = coalesce(rules.map { case (n, c) => when(c, lit(n)) } :+ lit("kept"): _*)
-    df.withColumn("verdict", verdict)
-      .groupBy("verdict")
+    // group directly on the expression — no injected column, so a caller
+    // column that happens to be named "verdict" can't be clobbered
+    df.groupBy(verdict.as("verdict"))
       .agg(count(lit(1)).as("n_docs"))
   }
 
@@ -80,12 +97,19 @@ object CorpusOps {
     * how many of its distinct word n-grams also occur in ≥ `minDf`
     * documents, and the duplicated fraction.
     *
-    * Shape: ONE scan computes hashed shingle sets (native kernel, hashed
-    * once); the per-shingle document frequency is a count window over the
-    * hash — one shuffle, no df-table join, and crucially no second scan
-    * of the tokenize→shingle pipeline (a join against a separately
-    * aggregated df table re-executes the scan on both sides). The per-doc
-    * rollup is the second and last shuffle.
+    * Shape: the per-shingle document frequency is a two-level groupBy on
+    * the shingle hash — map-side partial aggregation bounds every hot
+    * shingle's shuffle contribution to one row per map partition, so a
+    * boilerplate n-gram shared by 10⁸ documents (site footers, license
+    * headers — exactly what this operator exists to find) costs the same
+    * as a rare one. The df table is joined back onto the shingle rows
+    * WITHOUT a broadcast hint: AQE broadcasts it when small and otherwise
+    * keeps a shuffle join whose hot-h partitions OptimizeSkewedJoin
+    * splits. (A count window over `h` — the previous shape — funnels
+    * every row of a hot shingle through ONE reducer with no partial-agg
+    * or skew-split escape; probed 90%-hot vs uniform in ScaleProbe.)
+    * Price: the tokenize→shingle scan runs on both join sides; cache or
+    * localCheckpoint upstream if the scan dominates.
     */
   def duplicatedSpanStats(
       docs: DataFrame,
@@ -97,8 +121,8 @@ object CorpusOps {
     val sh = docs.select(
       col(idCol).as("doc_id"),
       explode(DedupOps.hashedShingleSet(col(textCol), n)).as("h"))
-    val withDf = sh.withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-    withDf
+    val dfTable = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    sh.join(dfTable, "h")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_ngrams"),
@@ -111,19 +135,45 @@ object CorpusOps {
     * inputs, so the value is bit-identical in any engine (a log-based
     * idf would differ across libm implementations). Monotone in tf and
     * 1/df, which is all a ranking needs. N rides in as a 1-row broadcast
-    * (no driver-side action). */
+    * (no driver-side action).
+    *
+    * The distinct-token df table is deliberately NOT broadcast-hinted:
+    * at web-corpus scale the distinct-token set (typos, numbers, code
+    * identifiers) is unbounded and a forced broadcast is a guaranteed
+    * driver/executor OOM. AQE converts the join to broadcast when the
+    * table is actually small; otherwise it stays a shuffle join on
+    * `token` whose expensive shared subtree — the (doc, token) partial
+    * aggregation exchange — is planned once via ReuseExchange. For a
+    * bounded-vocabulary ranking use `tfidfTopTermsCapped`. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val terms = docTermCounts(docs, idCol, textCol)
     val dfTable = terms.groupBy("token").agg(count(lit(1)).as("df"))
+    tfidfRank(docs, idCol, terms, dfTable)
+  }
+
+  /** `tfidfTopTerms` restricted to the top-`topV` vocabulary: the df side
+    * is bounded by construction (≤ topV rows whatever the corpus), so the
+    * broadcast hint is safe and the corpus side never shuffles for the
+    * join — the shape a 100 TB run wants when a capped vocabulary is
+    * acceptable (it usually is: out-of-vocab tokens are noise by
+    * definition of the cap). Documents whose every term is out-of-vocab
+    * drop out. */
+  def tfidfTopTermsCapped(docs: DataFrame, idCol: String, textCol: String, topV: Int): DataFrame = {
+    val terms = docTermCounts(docs, idCol, textCol)
+    val dfTable = vocabulary(docs, idCol, textCol, topV).select("token", "df")
+    tfidfRank(docs, idCol, terms, broadcast(dfTable))
+  }
+
+  private def tfidfRank(docs: DataFrame, idCol: String, terms: DataFrame, dfTable: DataFrame): DataFrame = {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = terms
-      .join(broadcast(dfTable), "token")
+      .join(dfTable, "token")
       .crossJoin(broadcast(n))
       .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("token").asc)
     scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .withColumn(RankCol, row_number().over(w))
+      .filter(col(RankCol) === 1)
       .select(col(idCol), col("token").as("term"), col("tf"), col("df"), col("score"))
   }
 }

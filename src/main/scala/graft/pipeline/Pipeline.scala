@@ -148,14 +148,17 @@ object Pipeline {
         val p = uri.queryParams
         val order = p.getOrElse("order", p.getOrElse("id", "id")).split(",").toSeq.map { spec =>
           spec.split(":") match {
-            case Array(c, "desc") => F.col(c).desc
-            case Array(c, _)      => F.col(c).asc
-            case Array(c)         => F.col(c).asc
+            case Array(c, dir) => dir.toLowerCase match {
+              case "desc" => F.col(c).desc
+              case "asc"  => F.col(c).asc
+              case other =>
+                throw new IllegalArgumentException(s"cap: order direction '$other' not in: asc, desc")
+            }
+            case Array(c) => F.col(c).asc
             case _ => throw new IllegalArgumentException(s"cap: bad order spec '$spec'")
           }
         }
         graft.operators.CorpusOps.capPerKey(df, p("key"), order, p.getOrElse("k", "1000").toInt)
-          .drop("rn")
       }
     case "chunk" =>
       df => {

@@ -11,7 +11,7 @@ class CorpusOpsSpec extends SparkSpec {
     // several salt buckets actually overlap per key
     val rows = (1 to 400).map(i => (if (i <= 320) "hot" else if (i <= 360) "warm" else "cold", i))
     val df = rows.toDF("k", "id")
-    val got = CorpusOps.capPerKey(df, "k", Seq(col("id").desc), k = 7)
+    val got = CorpusOps.capPerKey(df, "k", Seq(col("id").desc), k = 7, rankCol = Some("rn"))
       .select("k", "id", "rn").orderBy("k", "rn")
       .as[(String, Int, Int)].collect().toSeq
     val expected = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
@@ -24,6 +24,23 @@ class CorpusOpsSpec extends SparkSpec {
     val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "id")
     val got = CorpusOps.capPerKey(df, "k", Seq(col("id").asc), k = 10)
     assert(got.count() == 3)
+  }
+
+  test("capPerKey is collision-safe: a caller column named rn survives untouched") {
+    val df = Seq(("a", 1, 99), ("a", 2, 98), ("b", 3, 97)).toDF("k", "id", "rn")
+    val got = CorpusOps.capPerKey(df, "k", Seq(col("id").asc), k = 1)
+    assert(got.columns.toSeq == Seq("k", "id", "rn"))
+    assert(got.orderBy("k").select("rn").as[Int].collect().toSeq == Seq(99, 97))
+  }
+
+  test("filterFunnel does not clobber a caller column named verdict") {
+    val df = Seq((1L, "x", 5), (2L, "y", 50)).toDF("id", "verdict", "len")
+    // a rule may even READ the caller's verdict column
+    val out = CorpusOps.filterFunnel(df, Seq(
+        "short" -> (col("len") < 10),
+        "was_x" -> (col("verdict") === "x")))
+      .orderBy("verdict").as[(String, Long)].collect().toSeq
+    assert(out == Seq(("kept", 1L), ("short", 1L)))
   }
 
   test("mixtureSample: binding stratum keeps everything, others downsample toward targets") {
@@ -83,5 +100,24 @@ class CorpusOpsSpec extends SparkSpec {
     val top = CorpusOps.tfidfTopTerms(docs, "doc_id", "text")
       .select("doc_id", "term").orderBy("doc_id").as[(Long, String)].collect().toSeq
     assert(top == Seq((1L, "rare"), (2L, "zz"), (3L, "aa")))
+  }
+
+  test("tfidfTopTermsCapped restricts ranking to the top-V vocabulary") {
+    val docs = Seq(
+      (1L, "common rare rare"),
+      (2L, "common common zz"),
+      (3L, "onlyoov")
+    ).toDF("doc_id", "text")
+    // topV=1 keeps just "common" (tf=3); rare/zz become out-of-vocab and
+    // doc 3 (all OOV) drops out entirely
+    val top = CorpusOps.tfidfTopTermsCapped(docs, "doc_id", "text", topV = 1)
+      .select("doc_id", "term").orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(top == Seq((1L, "common"), (2L, "common")))
+    // with a non-binding cap the capped variant equals the full one
+    val full = CorpusOps.tfidfTopTerms(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val capped = CorpusOps.tfidfTopTermsCapped(docs, "doc_id", "text", topV = 100)
+      .orderBy("doc_id").collect().toSeq
+    assert(capped == full)
   }
 }

@@ -127,22 +127,59 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Expand"), s"df must come from the two-level agg, not Expand:\n$plan")
   }
 
-  test("duplicatedSpanStats reads its input exactly once (df via window, no df-table join)") {
+  test("duplicatedSpanStats: df via partial-aggregated groupBy + unhinted join (no hot-key window)") {
     val dir = java.nio.file.Files.createTempDirectory("spans-audit").toString
     (0L until 300L).map(i => (i, s"one two three four five six seven w$i")).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(dir)
-    // AQE wraps stages so plan.collect can't see the scans — turn it off
-    // for the shape assertion (the shape is AQE-independent)
+    // AQE wraps stages so plan.collect can't see nodes — off for the shape
+    // assertion; autoBroadcast off proves no broadcast HINT forces the df
+    // table onto the driver (AQE may still choose broadcast at runtime,
+    // which is exactly the desired small-input behavior)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val q = graft.operators.CorpusOps.duplicatedSpanStats(spark.read.parquet(dir), "doc_id", "text", 3)
       q.collect()
-      val scans = q.queryExecution.executedPlan.collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-      }
-      assert(scans.length == 1,
-        s"the tokenize->shingle scan must run once, found ${scans.length}:\n${executedPlan(q)}")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val plan = executedPlan(q)
+      // the previous shape funneled every row of a hot shingle through one
+      // reducer via count().over(Window.partitionBy(h)) — must be gone
+      assert(!plan.contains("Window"),
+        s"per-shingle df must not use a window over h (hot-key funnel):\n$plan")
+      assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+        s"the df table must not be broadcast-hinted (unbounded at scale):\n$plan")
+      // partial aggregation must bound a hot shingle's shuffle contribution
+      // to one row per map partition
+      assert(plan.contains("partial_count") || plan.contains("Partial"),
+        s"df groupBy must have map-side partial aggregation:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("tfidfTopTerms: unbounded df table carries no broadcast hint; capped variant does") {
+    val docs = (0L until 200L).map(i => (i, s"alpha beta w$i w${i % 7}")).toDF("doc_id", "text")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = graft.operators.CorpusOps.tfidfTopTerms(docs, "doc_id", "text")
+      q.collect()
+      val plan = executedPlan(q)
+      // with auto-broadcast disabled, only HINTED broadcasts survive: the
+      // 1-row corpus count may broadcast, the token-keyed df join must not
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"the unbounded df table must not be broadcast-hinted:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"df join must be a shuffle join AQE can skew-split:\n$plan")
+      // the bounded-by-construction variant SHOULD broadcast its ≤topV table
+      val qc = graft.operators.CorpusOps.tfidfTopTermsCapped(docs, "doc_id", "text", topV = 50)
+      qc.collect()
+      assert(executedPlan(qc).contains("BroadcastHashJoin"),
+        s"capped df table (≤topV rows) must broadcast:\n${executedPlan(qc)}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("capPerKey: WindowGroupLimit prunes map-side, single shuffle") {
