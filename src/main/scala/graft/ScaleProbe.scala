@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * self-joins, windows over whole tables, or driver collects). Zero-I/O
   * input isolates operator cost from storage.
   *
-  * Usage: `tools/runjava.sh graft.ScaleProbe [rowsA rowsB ...]`
+  * Usage: `tools/runjava.sh graft.ScaleProbe [only=p1,p2] [rowsA rowsB ...]`
   */
 object ScaleProbe {
-  def main(args: Array[String]): Unit = {
+  def main(rawArgs: Array[String]): Unit = {
+    val (onlyArgs, args) = rawArgs.partition(_.startsWith("only="))
+    val only: Option[Set[String]] = onlyArgs.headOption.map(_.stripPrefix("only=").split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -76,7 +78,7 @@ object ScaleProbe {
         when(pmod(col("id"), lit(2)) === 0, lit(42L)).otherwise(pmod(col("id"), lit(1000))).as("bucket"),
         when(pmod(col("id"), lit(2)) === 0, lit(0.0)).otherwise(col("value")).as("value"))
 
-    val probes: Seq[(String, Long => Long)] = Seq(
+    val allProbes: Seq[(String, Long => Long)] = Seq(
       "hyperplane_buckets" -> { rows =>
         // map-side LSH bucket assignment (native expression) + tiny agg —
         // the corpus-side shape of vector dedup/ANN indexing
@@ -150,6 +152,8 @@ object ScaleProbe {
         StatsOps.exactStats(synth(rows).select(col("bucket"), col("value"),
           (col("value") * 0.5).as("v2")), Seq("bucket"), col("value"), col("v2")).count()
       })
+
+    val probes = only.fold(allProbes)(names => allProbes.filter(p => names.contains(p._1)))
 
     // JVM/codegen warmup at small scale
     probes.foreach { case (_, f) => f(100000L) }

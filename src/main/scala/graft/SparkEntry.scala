@@ -428,6 +428,32 @@ object SparkEntry {
         .orderBy("h").limit(100)
         .orderBy("doc_id")
     }),
+    "write_zorder_check" -> ((s, d) => {
+      // driver-checkable z-order WRITE-LAYOUT invariant (the dedup_simhash
+      // _check pattern — the write itself has no DuckDB twin, but its
+      // data-skipping guarantee does): after zorderBy into 4 files, the
+      // per-file z-ranges must be pairwise DISJOINT (that disjointness IS
+      // the min/max pruning property readers skip files by) and no rows
+      // may be lost. The oracle states n_files/disjointness as constants
+      // and derives n_rows from the table.
+      import org.apache.spark.sql.expressions.Window
+      val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+      val base = T(s, d, "part").select(
+        pmod(col("p_partkey"), lit(256)).cast("int").as("za"),
+        pmod(col("p_size"), lit(256)).cast("int").as("zb"))
+      WriteOps.zorderBy(base, "za", "zb", numFiles = 4, bits = 8)
+        .write.mode("overwrite").parquet(dir)
+      val perFile = s.read.parquet(dir)
+        .withColumn("z", WriteOps.interleaveBits(col("za"), col("zb"), 8))
+        .groupBy(input_file_name().as("f"))
+        .agg(min("z").as("zmin"), max("z").as("zmax"), count(lit(1)).as("n"))
+      perFile
+        .withColumn("next_min", lead("zmin", 1).over(Window.orderBy("zmin")))
+        .agg(
+          count(lit(1)).as("n_files"),
+          bool_and(col("next_min").isNull || col("zmax") < col("next_min")).as("ranges_disjoint"),
+          sum("n").as("n_rows"))
+    }),
     "events_scd2" -> ((s, d) => {
       // SCD2 history compression: per-user state intervals from an event
       // log — change rows survive (lag filter), validity closes at the
@@ -752,15 +778,19 @@ object SparkEntry {
       val k = 5
       val bf = SimilarityOps.bruteForceTopK(vecs, queries, "vec_id", "vec", k)
         .select("query_id", "neighbor_id")
-      // nBits=5/nTables=12: measured recall 0.65 (sf0.01) / 0.70 (sf0.1)
-      // on this corpus's ~0.4-cosine neighbor geometry; 0.5 has margin
-      val lsh = SimilarityOps.lshTopK(vecs, queries, "vec_id", "vec", k, nBits = 5, nTables = 12)
+      // Hamming-1 multi-probe at nBits=5/nTables=8: per-table hit prob
+      // rises p⁵ → p⁵+5p⁴(1-p), so FEWER tables than the old single-probe
+      // nTables=12 while recall clears 0.8 with margin (measured ≥0.9 at
+      // sf0.01/sf0.1, ≥0.97 at sf0.001, on this corpus's ~0.4-cosine
+      // neighbor geometry; the old setup measured 0.65-0.70 vs a 0.5 bar)
+      val lsh = SimilarityOps.lshTopK(vecs, queries, "vec_id", "vec", k,
+          nBits = 5, nTables = 8, multiProbe = true)
         .select("query_id", "neighbor_id")
       bf.join(lsh, Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
         .select(
           lit(8L).as("n_queries"),
-          (col("hits").cast("double") / (8 * k) >= 0.5).as("recall_ok"))
+          (col("hits").cast("double") / (8 * k) >= 0.8).as("recall_ok"))
     }),
     "ann_ivf" -> ((s, d) => {
       // IVF coarse-quantization ANN (the nProbe/nCells scan-fraction knob);
@@ -1346,6 +1376,9 @@ object SparkEntry {
            | UNION ALL SELECT doc_id + 1000000, text FROM documents),
            |g AS (SELECT md5($norm) AS h, COUNT(*) AS m FROM doubled GROUP BY h)
            |SELECT CAST(SUM((m*(m-1))//2) AS BIGINT) AS n_exact_pairs, true AS all_covered FROM g""".stripMargin,
+      "write_zorder_check" ->
+        """SELECT CAST(4 AS BIGINT) AS n_files, true AS ranges_disjoint,
+          | (SELECT COUNT(*) FROM part) AS n_rows""".stripMargin,
       "dedup_clusters" ->
         s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
            |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
@@ -1545,7 +1578,8 @@ object SparkEntry {
           |pb AS (SELECT user_id, bucket, COUNT(*) AS n,
           |       CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value
           |       FROM e GROUP BY user_id, bucket),
-          |bounds AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM pb GROUP BY user_id),
+          |bounds AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM pb GROUP BY user_id
+          |           HAVING MAX(bucket) - MIN(bucket) < 1000000),
           |grid AS (SELECT user_id, unnest(range(lo, hi+1)) AS bucket FROM bounds),
           |j AS (SELECT g.user_id, g.bucket, pb.n, pb.sum_value
           |      FROM grid g LEFT JOIN pb USING (user_id, bucket))

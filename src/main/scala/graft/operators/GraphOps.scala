@@ -10,16 +10,21 @@ import org.apache.spark.sql.functions._
   * over-deletes when clusters overlap: a-b and b-c with keep-min would
   * drop b and c; the component view keeps exactly one doc per cluster).
   *
-  * Scale posture: min-label propagation, one equi-join + one aggregation
-  * per round, converging in O(cluster diameter) rounds — near-dup
-  * clusters are shallow (a dup cluster's diameter is bounded by its edit
-  * chain, typically ≤ 3-4), so rounds stay small; each round's state is
+  * Scale posture: min-label propagation with a POINTER-JUMPING step each
+  * round (label := label of one's label), one equi-join + one aggregation
+  * + one label self-join per round. Hooking alone converges in O(cluster
+  * diameter) rounds — fine for shallow near-dup clusters, but a
+  * degenerate giant component (the "boilerplate page" chain) has
+  * diameter ∝ size; the jump step halves the remaining label-tree depth
+  * every round, so convergence is O(log diameter) and the default
+  * maxIter=20 covers components of diameter ~10⁶. Each round's state is
   * `localCheckpoint`ed to cut lineage and the loop stops at the first
-  * round with zero label changes. Degenerate giant components (the
-  * "boilerplate page" cluster) cost rounds ∝ their diameter, not their
-  * size — the per-round join is still hash-partitioned and linear.
+  * round with zero label changes; hitting maxIter without convergence
+  * logs a warning instead of returning silently-partial clusters.
   */
 object GraphOps {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.operators.GraphOps")
 
   /** Connected components of the undirected graph given by (aCol, bCol)
     * edge rows. Returns (id, cluster_id) for every node that appears in
@@ -41,11 +46,22 @@ object GraphOps {
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
+      // hook: pull the minimum label from the 1-hop neighborhood
       val nbrMin = und.join(labels, col("dst") === col("id"))
         .groupBy("src")
         .agg(min("cluster_id").as("nbr_min"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      val hooked = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"), least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint() // consumed twice by the jump self-join: don't re-run the hook join
+
+      // jump: adopt the label OF the label (labels only ever decrease, so
+      // the parent's label is ≤ ours; this halves label-tree depth and
+      // turns O(diameter) convergence into O(log diameter))
+      val next = hooked.as("l")
+        .join(hooked.select(col("id").as("pid"), col("cluster_id").as("pcid")).as("p"),
+          col("l.cluster_id") === col("pid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.cluster_id"), coalesce(col("pcid"), col("l.cluster_id"))).as("cluster_id"))
         .localCheckpoint()
       val changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.cluster_id") =!= col("o.cluster_id"))
@@ -54,6 +70,9 @@ object GraphOps {
       converged = changed == 0
       it += 1
     }
+    if (!converged)
+      log.warn(s"connectedComponents did not converge in $maxIter rounds — " +
+        "labels may span partially-merged components; raise maxIter")
     labels
   }
 

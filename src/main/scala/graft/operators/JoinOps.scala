@@ -118,17 +118,25 @@ object JoinOps {
     // `tolerance` from the left time yields nulls, exactly like no match.
     // Units are the time columns' long cast (seconds for timestamps —
     // feed unix_micros columns for µs tolerances).
-    // TIMESTAMP_NTZ has no direct long cast — route it through TIMESTAMP
-    // (session TZ), keeping seconds as the tolerance unit for all
-    // timestamp flavors
-    def asLong(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
-      case org.apache.spark.sql.types.TimestampNTZType => c.cast("timestamp").cast("long")
-      case _ => c.cast("long")
-    }
+    import org.apache.spark.sql.types.TimestampNTZType
     val withinTol = tolerance match {
       case Some(t) =>
-        abs(asLong(col("__t"), left.schema(leftTime).dataType) -
-          asLong(col("__r.__rt"), right.schema(rightTime).dataType)) <= t
+        val diff = (left.schema(leftTime).dataType, right.schema(rightTime).dataType) match {
+          case (TimestampNTZType, TimestampNTZType) =>
+            // NTZ−NTZ is a pure wall-clock difference computed directly —
+            // never routed through an epoch conversion, so the distance
+            // cannot depend on spark.sql.session.timeZone or shrink/grow
+            // across a DST transition
+            expr("timestampdiff(SECOND, __r.__rt, __t)")
+          case (TimestampNTZType, _) | (_, TimestampNTZType) =>
+            throw new IllegalArgumentException(
+              "asofJoin tolerance: left/right time columns mix TIMESTAMP_NTZ with " +
+                "another type — align the flavors before joining (a mixed distance " +
+                "has no timezone-independent meaning)")
+          case _ =>
+            col("__t").cast("long") - col("__r.__rt").cast("long")
+        }
+        abs(diff) <= t
       case None => lit(true)
     }
 

@@ -46,6 +46,14 @@ object SimilarityOps {
     * `nTables` independent tables (ORed probes → higher recall). Corpus is
     * shuffled once on (table, bucket); queries broadcast. Exact cosine is
     * computed only inside matching buckets, then global top-k per query.
+    *
+    * `multiProbe = true` additionally probes, PER QUERY, every bucket at
+    * Hamming distance 1 from the query's own (each hyperplane bit
+    * flipped once) — the standard multi-probe LSH trade: per-table hit
+    * probability rises from p^b to p^b + b·p^(b-1)(1-p), so the same
+    * recall needs FEWER tables, which at 100 TB means fewer corpus
+    * replicas in the index shuffle (probing is query-side only and
+    * queries broadcast — the corpus side is untouched).
     */
   def lshTopK(
       corpus: DataFrame,
@@ -55,19 +63,28 @@ object SimilarityOps {
       k: Int,
       nBits: Int = 6,
       nTables: Int = 8,
-      excludeSelf: Boolean = true
+      excludeSelf: Boolean = true,
+      multiProbe: Boolean = false
   ): DataFrame = {
-    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
+    def bucketed(df: DataFrame, id: String, vec: String, probe: Boolean): DataFrame =
       df.select(
+        // per-table buckets computed ONCE into an aliased array (multi-
+        // referenced alias → CollapseProject won't re-inline the kernel)
         col(idCol).as(id),
         col(vecCol).as(vec),
-        explode(array((0 until nTables).map { t =>
-          struct(lit(t).as("table_id"), hyperplaneBucket(col(vecCol), nBits, seed = t).as("bucket"))
+        array((0 until nTables).map(t => hyperplaneBucket(col(vecCol), nBits, seed = t)): _*).as("bks")
+      ).select(
+        col(id),
+        col(vec),
+        explode(array((0 until nTables).flatMap { t =>
+          val base = col("bks")(t)
+          val probes = base +: (if (probe) (0 until nBits).map(i => base.bitwiseXOR(lit(1 << i))) else Nil)
+          probes.map(b => struct(lit(t).as("table_id"), b.as("bucket")))
         }: _*)).as("tb")
       ).select(col(id), col(vec), col("tb.table_id"), col("tb.bucket"))
 
-    val c = bucketed(corpus, "neighbor_id", "c_vec")
-    val q = bucketed(queries, "query_id", "q_vec")
+    val c = bucketed(corpus, "neighbor_id", "c_vec", probe = false)
+    val q = bucketed(queries, "query_id", "q_vec", probe = multiProbe)
     val scored = c
       .join(broadcast(q), Seq("table_id", "bucket"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))

@@ -20,6 +20,11 @@ object StatsOps {
   /** Per-group n, mean, sample stddev of `x`, and Pearson correlation of
     * (x, y), all deterministic. `scale` = input decimal scale (2 for
     * money-like columns).
+    *
+    * NULL handling: complete-case — a row where EITHER x or y is null is
+    * excluded from n and every moment (the SQL-standard CORR contract).
+    * Counting all rows while the sums skip nulls would silently compute
+    * mean/stddev/corr with an inconsistent n.
     */
   def exactStats(
       df: DataFrame,
@@ -28,13 +33,14 @@ object StatsOps {
       y: Column,
       scale: Int = 2
   ): DataFrame = {
-    val xd = x.cast(s"decimal(18,$scale)")
-    val yd = y.cast(s"decimal(18,$scale)")
+    val bothPresent = x.isNotNull && y.isNotNull
+    val xd = when(bothPresent, x).cast(s"decimal(18,$scale)")
+    val yd = when(bothPresent, y).cast(s"decimal(18,$scale)")
     val s2 = scale * 2
     val moments = df
       .groupBy(groupCols.map(col): _*)
       .agg(
-        count(lit(1)).as("n"),
+        count(when(bothPresent, 1)).as("n"),
         sum(xd).cast("decimal(38," + scale + ")").cast("double").as("sx"),
         sum(yd).cast("decimal(38," + scale + ")").cast("double").as("sy"),
         sum((xd * xd).cast(s"decimal(38,$s2)")).cast(s"decimal(38,$s2)").cast("double").as("sxx"),

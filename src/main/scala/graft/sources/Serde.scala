@@ -39,9 +39,10 @@ final class JsonSerde(schema: Option[StructType]) extends Serde {
 
 object Serde {
   /** `json`, `json:<json-encoded StructType>`, `avro:<schema file or
-    * inline JSON>`, `none`. The avro schema parses and plans everywhere;
-    * its binary codec needs the spark-avro connector module and degrades
-    * to UnsupportedSourceInEnv when absent. */
+    * inline JSON>`, `avro-registry[:<topic>]` (schema-registry lookup —
+    * topic defaults to `schema.topic.name`), `none`. The avro schemas
+    * parse and plan everywhere; the binary codecs need the spark-avro
+    * connector module and degrade to UnsupportedSourceInEnv when absent. */
   def apply(name: String): Serde = name.split(":", 2) match {
     case Array("none")         => NoneSerde
     case Array("json")         => new JsonSerde(None)
@@ -50,6 +51,9 @@ object Serde {
     case Array("avro", spec)   => AvroSchemaSerde(spec)
     case Array("avro") =>
       throw new IllegalArgumentException("serde=avro requires a schema: avro:<path.avsc|url-encoded json>")
+    case Array("avro-registry")        => new AvroRegistrySerde(None)
+    case Array("avro-registry", topic) =>
+      new AvroRegistrySerde(Some(graft.pipeline.Uris.decode(topic)))
     case _ => throw new IllegalArgumentException(s"unknown serde '$name'")
   }
 }

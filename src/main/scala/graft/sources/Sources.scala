@@ -293,7 +293,11 @@ object KafkaProvider extends SchemeProvider {
     val broker = s"${uri.host.getOrElse("localhost")}:${uri.port}"
     val topic = uri.pathParts.headOption.getOrElse("topic")
     val serdeName = uri.queryParams.getOrElse("serde", "json")
-    val serde = graft.sources.Serde(serdeName)
+    // topic-name strategy: a bare serde=avro-registry resolves its schema
+    // subject from THIS uri's topic (reference wires sparkConfig the same
+    // way — the registry serde follows the topic it rides on)
+    val serde = graft.sources.Serde(
+      if (serdeName == "avro-registry") s"avro-registry:$topic" else serdeName)
     val extra = uri.queryParams - "serde"
     val isStream = uri.scheme == "kafka-stream"
     new DfSource with DfSink {

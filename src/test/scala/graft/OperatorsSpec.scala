@@ -305,6 +305,42 @@ class JoinOpsSpec extends SparkSpec {
     assert(out(1).get(3) == null, "92 > 5 → nulled out")
   }
 
+  test("asof NTZ tolerance is wall-clock: unchanged across session timezones and DST gaps") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    def ntz(s: String) = java.time.LocalDateTime.parse(s)
+    // 01:30 → 03:30 on the US 2024 spring-forward date: wall-clock
+    // distance 7200s, but only 3600s of real time elapse in
+    // America/New_York — an epoch-routed conversion would flip the match
+    val left = Seq(("k", ntz("2024-03-10T03:30:00"), "x")).toDF("k", "t", "tag")
+      .withColumn("t", col("t").cast(TimestampNTZType))
+    val right = Seq(("k", ntz("2024-03-10T01:30:00"), 1.0)).toDF("k", "rt", "v")
+      .withColumn("rt", col("rt").cast(TimestampNTZType))
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      for (tz <- Seq("UTC", "America/New_York")) {
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        val out = JoinOps.asofJoin(left, right, Seq("k"), "t", "rt", Map("v" -> "av"),
+          forward = false, tolerance = Some(7000L)).collect().head
+        assert(out.getAs[Any]("av") == null,
+          s"tz=$tz: wall-clock distance 7200s > 7000s must stay unmatched")
+        val in = JoinOps.asofJoin(left, right, Seq("k"), "t", "rt", Map("v" -> "av"),
+          forward = false, tolerance = Some(7200L)).collect().head
+        assert(in.getAs[Double]("av") == 1.0, s"tz=$tz: 7200s ≤ 7200s must match")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("asof tolerance rejects mixed NTZ/instant time columns") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val left = Seq(("k", java.time.LocalDateTime.parse("2024-01-01T00:00:00"), "x"))
+      .toDF("k", "t", "tag").withColumn("t", col("t").cast(TimestampNTZType))
+    val right = Seq(("k", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0)).toDF("k", "rt", "v")
+    val e = intercept[IllegalArgumentException](
+      JoinOps.asofJoin(left, right, Seq("k"), "t", "rt", Map("v" -> "av"),
+        forward = false, tolerance = Some(10L)))
+    assert(e.getMessage.contains("TIMESTAMP_NTZ"))
+  }
+
   test("rangeJoin matches point-in-interval with bucketization") {
     val points = Seq(("a", 5L), ("a", 15L), ("b", 5L)).toDF("k", "p")
     val intervals = Seq(("a", 0L, 10L, "i1"), ("a", 10L, 20L, "i2")).toDF("k", "s", "e", "tag")
@@ -422,10 +458,14 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == Set((1L, Seq(1L, 5L, 9L), 3L), (2L, Seq(2L, 4L), 2L)))
   }
 
-  test("long path converges within maxIter via propagation") {
-    // a 12-node path: worst case for min-propagation (diameter 11)
-    val edges = (0L until 11L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val cc = GraphOps.connectedComponents(edges, "a_id", "b_id")
+  test("100-node path converges within the O(log diameter) pointer-jump bound") {
+    // a path graph is the worst case for plain min-propagation (needs
+    // diameter≈99 rounds); hook+jump closes a label deficit of 2^(r+1)-2
+    // after r rounds, so 99 edges need ceil(log2(101))-1 = 6 rounds plus
+    // one to observe convergence — maxIter=8 proves the jump step works
+    // (plain propagation would return partially-merged labels here)
+    val edges = (0L until 99L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val cc = GraphOps.connectedComponents(edges, "a_id", "b_id", maxIter = 8)
       .collect().map(r => r.getLong(1)).toSet
     assert(cc == Set(0L))
   }

@@ -29,6 +29,25 @@ class StatsResampleSpec extends SparkSpec {
     assert(math.abs(got.find(_._1 == "b").get._5 - 1.0) < 1e-12)
   }
 
+  test("exactStats is complete-case on nullable inputs: n counts non-null pairs") {
+    val rows = Seq(
+      ("a", Some(1.0), Some(2.0)), ("a", Some(3.0), Some(4.0)),
+      ("a", None, Some(9.0)), ("a", Some(9.0), None)) // half-null rows excluded entirely
+    val got = StatsOps.exactStats(rows.toDF("g", "x", "y"), Seq("g"), col("x"), col("y"))
+      .as[(String, Long, Double, Double, Double)].head()
+    assert(got._2 == 2L, "n must count complete pairs only")
+    assert(got._3 == 2.0, "mean over complete pairs (1+3)/2")
+  }
+
+  test("resampleFfill drops a key whose bucket span exceeds the cap (mirrored in the oracle)") {
+    val df = Seq((1L, 10L, 1.0), (1L, 12L, 2.0), (2L, 0L, 1.0), (2L, 500L, 2.0))
+      .toDF("k", "b", "v")
+    val got = ResampleOps.resampleFfill(df, "k", col("b"), Seq("sv" -> sum("v")),
+        maxBucketsPerKey = 100L)
+      .select("k").distinct().as[Long].collect().toSet
+    assert(got == Set(1L), "key 2 spans 501 buckets > cap 100 and must be dropped, not truncated")
+  }
+
   test("resampleFfill densifies the grid, forward-fills, flags gaps") {
     val df = Seq((1L, 10L, 5.0), (1L, 10L, 3.0), (1L, 13L, 7.0), (2L, 100L, 1.0))
       .toDF("k", "b", "v")
