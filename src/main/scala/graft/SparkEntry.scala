@@ -580,6 +580,20 @@ object SparkEntry {
         .select(col("o_orderkey"), unix_micros(col("asof_shipdate").cast("timestamp")).as("asof_us"))
         .orderBy("o_orderkey")
     }),
+    "asof_join_nearest" -> ((s, d) => {
+      // nearest as-of (pandas direction='nearest'): closest shipment to
+      // the cutoff in EITHER direction, ties → backward; composed from
+      // the two directional union+window passes — still two keyed
+      // shuffles, zero range cross-products
+      val orders = T(s, d, "orders")
+        .withColumn("cutoff", col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select("o_orderkey", "cutoff")
+      val line = T(s, d, "lineitem").select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"))
+      JoinOps.asofNearest(orders, line, Seq("o_orderkey"), "cutoff", "l_shipdate",
+          Map("l_shipdate" -> "asof_shipdate"))
+        .select(col("o_orderkey"), unix_micros(col("asof_shipdate").cast("timestamp")).as("asof_us"))
+        .orderBy("o_orderkey")
+    }),
     "events_sessionize" -> ((s, d) => {
       SessionOps
         .sessionize(T(s, d, "events").withColumn("ts", evTs), "user_id", "ts", gapSeconds = 1800)
@@ -901,6 +915,37 @@ object SparkEntry {
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum(size(col("tk")).cast("long")).as("n_tokens"))
         .orderBy("split")
+    }),
+    "data_packing" -> ((s, d) => {
+      // sequence-packing plan: concatenate-then-chop documents into
+      // 512-token context windows across 16 md5 shards — per-doc
+      // placement is one running sum per shard over a portable hash, so
+      // the training-batch layout reproduces in any engine; `div` (not
+      // double /) keeps window ids exact past 2^53 token offsets
+      val docs = TP(s, d, "documents")
+      PackingOps.packSequences(docs, "doc_id",
+          TextFunctions.tokenCount(col("text")), windowTokens = 512L,
+          shardCol = SplitOps.bucket16(col("doc_id")))
+        .orderBy("doc_id")
+    }),
+    "text_postings" -> ((s, d) => {
+      // rare-3-gram inverted index (df ≤ 2): the blocking structure
+      // containment dedup / contamination tracing query; df filtered
+      // BEFORE collect_list so no boilerplate gram ever materializes a
+      // giant posting buffer
+      CorpusOps.rarePostings(TP(s, d, "documents"), "doc_id", "text", n = 3, maxDf = 2)
+        .orderBy("gram")
+    }),
+    "q33_zscore" -> ((s, d) => {
+      // per-group z-score standardization: decimal-exact (n, Σx, Σx²)
+      // moments + one join back; the per-row standardization is a fixed
+      // IEEE expression mirrored token-for-token by the oracle
+      StatsOps.zscore(
+          T(s, d, "customer").filter(col("c_custkey") % 10 === 0)
+            .select("c_custkey", "c_mktsegment", "c_acctbal"),
+          Seq("c_mktsegment"), col("c_acctbal"))
+        .select("c_custkey", "c_mktsegment", "z")
+        .orderBy("c_custkey")
     }),
     "dedup_simhash_check" -> ((s, d) => {
       // driver-checkable SimHash invariant (hamming over 64-bit xxhash
@@ -1276,6 +1321,22 @@ object SparkEntry {
           | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
           | AND l_shipdate >= o_orderdate + INTERVAL 90 DAY - INTERVAL 30 DAY
           |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+      "asof_join_nearest" ->
+        """WITH b AS (SELECT o_orderkey, MAX(l_shipdate) AS bt
+          |           FROM orders LEFT JOIN lineitem
+          |            ON l_orderkey = o_orderkey AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+          |           GROUP BY o_orderkey),
+          |f AS (SELECT o_orderkey, MIN(l_shipdate) AS ft
+          |      FROM orders LEFT JOIN lineitem
+          |       ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+          |      GROUP BY o_orderkey),
+          |j AS (SELECT o.o_orderkey, o.o_orderdate + INTERVAL 60 DAY AS cutoff, b.bt, f.ft
+          |      FROM orders o JOIN b USING (o_orderkey) JOIN f USING (o_orderkey))
+          |SELECT o_orderkey,
+          | epoch_us(CASE WHEN ft IS NULL THEN bt
+          |               WHEN bt IS NULL THEN ft
+          |               WHEN cutoff - bt <= ft - cutoff THEN bt ELSE ft END) AS asof_us
+          |FROM j ORDER BY o_orderkey""".stripMargin,
       "events_sessionize" ->
         """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
           |w AS (SELECT user_id, us,
@@ -1379,6 +1440,42 @@ object SparkEntry {
       "write_zorder_check" ->
         """SELECT CAST(4 AS BIGINT) AS n_files, true AS ranges_disjoint,
           | (SELECT COUNT(*) FROM part) AS n_rows""".stripMargin,
+      "data_packing" ->
+        s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tok,
+           |  CAST(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1 AS INT) AS shard
+           |  FROM documents),
+           |c AS (SELECT doc_id, shard, n_tok,
+           |  CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+           |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+           |  FROM t),
+           |p AS (SELECT doc_id, shard, n_tok, end_off - n_tok AS start_off,
+           |  (end_off - n_tok) // 512 AS first_win,
+           |  CASE WHEN n_tok = 0 THEN (end_off - n_tok) // 512 ELSE (end_off - 1) // 512 END AS last_win
+           |  FROM c)
+           |SELECT doc_id, shard, n_tok, start_off, first_win, last_win,
+           | last_win - first_win + 1 AS n_windows
+           |FROM p ORDER BY doc_id""".stripMargin,
+      "text_postings" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |g AS (SELECT DISTINCT doc_id, gram FROM
+           |  (SELECT doc_id, unnest(${shingles("tk", 3)}) AS gram FROM t) WHERE gram <> ''),
+           |r AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram HAVING COUNT(*) <= 2)
+           |SELECT gram, df,
+           | array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+           |FROM g JOIN r USING (gram)
+           |GROUP BY gram, df ORDER BY gram""".stripMargin,
+      "q33_zscore" ->
+        """WITH fl AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_custkey % 10 = 0),
+          |m AS (SELECT c_mktsegment,
+          | COUNT(CASE WHEN c_acctbal IS NOT NULL THEN 1 END) AS n,
+          | CAST(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sx,
+          | CAST(CAST(CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sxx
+          | FROM fl GROUP BY c_mktsegment),
+          |s AS (SELECT c_mktsegment, sx / CAST(n AS DOUBLE) AS mean,
+          |      sqrt((sxx - sx*sx/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS sd FROM m)
+          |SELECT c_custkey, c_mktsegment,
+          | CASE WHEN sd > 0 THEN (CAST(c_acctbal AS DOUBLE) - mean) / sd END AS z
+          |FROM fl JOIN s USING (c_mktsegment) ORDER BY c_custkey""".stripMargin,
       "dedup_clusters" ->
         s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
            |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),

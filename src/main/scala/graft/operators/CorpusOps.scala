@@ -142,11 +142,21 @@ object CorpusOps {
     * identifiers) is unbounded and a forced broadcast is a guaranteed
     * driver/executor OOM. AQE converts the join to broadcast when the
     * table is actually small; otherwise it stays a shuffle join on
-    * `token` whose expensive shared subtree — the (doc, token) partial
-    * aggregation exchange — is planned once via ReuseExchange. For a
-    * bounded-vocabulary ranking use `tfidfTopTermsCapped`. */
-  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val terms = docTermCounts(docs, idCol, textCol)
+    * `token` that OptimizeSkewedJoin can split. The tokenize scan feeds
+    * both join sides and is NOT auto-reused (Catalyst column-prunes the
+    * df branch to a distinct, so the subtrees differ — verified by plan
+    * audit); `checkpointTerms = true` materializes the (doc, token)
+    * counts once for both consumers, the lever to pull when the
+    * tokenizer dominates. For a bounded-vocabulary ranking use
+    * `tfidfTopTermsCapped`. */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      checkpointTerms: Boolean = false
+  ): DataFrame = {
+    val terms0 = docTermCounts(docs, idCol, textCol)
+    val terms = if (checkpointTerms) terms0.localCheckpoint() else terms0
     val dfTable = terms.groupBy("token").agg(count(lit(1)).as("df"))
     tfidfRank(docs, idCol, terms, dfTable)
   }
@@ -162,6 +172,37 @@ object CorpusOps {
     val terms = docTermCounts(docs, idCol, textCol)
     val dfTable = vocabulary(docs, idCol, textCol, topV).select("token", "df")
     tfidfRank(docs, idCol, terms, broadcast(dfTable))
+  }
+
+  /** Rare-n-gram inverted index: posting list (sorted doc ids, joined to
+    * one string) per word n-gram with document frequency ≤ `maxDf` — the
+    * retrieval-side blocking structure containment dedup and
+    * contamination tracing use (n = 1 indexes single tokens).
+    *
+    * Order of operations is the scale guard: df is computed FIRST (two-
+    * level groupBy, map-side partial agg) and only grams surviving the
+    * `maxDf` filter are collected — a `collect_list` before the filter
+    * would materialize a boilerplate gram's 10⁸-doc posting list in one
+    * aggregation buffer just to throw it away. Post-filter, every list
+    * is ≤ maxDf elements by construction.
+    */
+  def rarePostings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxDf: Int
+  ): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), explode(TextFunctions.shingles(col(textCol), n)).as("gram"))
+      .filter(col("gram") =!= "")
+      .distinct()
+    val rare = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    grams.join(rare, "gram")
+      .groupBy("gram", "df")
+      .agg(array_join(
+        transform(sort_array(collect_list(col("doc_id"))), _.cast("string")), ",").as("postings"))
   }
 
   private def tfidfRank(docs: DataFrame, idCol: String, terms: DataFrame, dfTable: DataFrame): DataFrame = {

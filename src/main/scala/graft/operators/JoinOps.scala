@@ -153,6 +153,57 @@ object JoinOps {
       )
   }
 
+  /** Nearest as-of join (pandas merge_asof direction='nearest'): for each
+    * left row, whichever of the backward (latest ≤ t) and forward
+    * (earliest ≥ t) candidates is closer in time; ties prefer the
+    * backward row. Composed as the two directional passes — each the
+    * union+window shape, so still two keyed shuffles and zero range
+    * cross-products — with a per-row distance pick. `tolerance` bounds
+    * both directions (seconds for timestamps, native units for numerics,
+    * same contract as [[asofJoin]]).
+    */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightCols: Map[String, String],
+      tolerance: Option[Long] = None
+  ): DataFrame = {
+    // the matched right TIME must ride along for the distance pick; when
+    // the caller already carries rightTime its alias is reused (a Map
+    // can't carry one source column under two aliases)
+    val bMap = rightCols.map { case (c, a) => (c, s"__b_$a") }
+    val fMap = rightCols.map { case (c, a) => (c, s"__f_$a") }
+    val bRt = bMap.getOrElse(rightTime, "__b___rt_near")
+    val fRt = fMap.getOrElse(rightTime, "__f___rt_near")
+    val bCols = bMap + (rightTime -> bRt)
+    val fCols = fMap + (rightTime -> fRt)
+    val back = asofJoin(left, right, keyCols, leftTime, rightTime, bCols, forward = false, tolerance)
+    val both = asofJoin(back, right, keyCols, leftTime, rightTime, fCols, forward = true, tolerance)
+
+    import org.apache.spark.sql.types.TimestampNTZType
+    val anyNtz = left.schema(leftTime).dataType == TimestampNTZType ||
+      right.schema(rightTime).dataType == TimestampNTZType
+    val ntz = left.schema(leftTime).dataType == TimestampNTZType &&
+      right.schema(rightTime).dataType == TimestampNTZType
+    require(ntz || !anyNtz,
+      "asofNearest: mixed TIMESTAMP_NTZ/instant time columns — align the flavors first")
+    def dist(rt: String): Column =
+      if (ntz) abs(expr(s"timestampdiff(SECOND, `$rt`, `$leftTime`)"))
+      else abs(col(leftTime).cast("long") - col(rt).cast("long"))
+    val bd = dist(bRt)
+    val fd = dist(fRt)
+    // null distance = no candidate in that direction (or beyond tolerance)
+    val useBack = fd.isNull || (bd.isNotNull && bd <= fd)
+    val picked = rightCols.toSeq.sortBy(_._2).map { case (_, a) =>
+      when(useBack, col(s"__b_$a")).otherwise(col(s"__f_$a")).as(a)
+    }
+    val keep = both.columns.filterNot(c => c.startsWith("__b_") || c.startsWith("__f_"))
+    both.select(keep.map(col).toIndexedSeq ++ picked: _*)
+  }
+
   /** Range join: left rows matched to right rows with
     * right.start ≤ left.point < right.end, bucketized so the join is an
     * equi-join on (key, bucket) instead of a pure inequality join.

@@ -58,4 +58,41 @@ object StatsOps {
           sqrt((n * col("sxx") - col("sx") * col("sx")) * (n * col("syy") - col("sy") * col("sy"))))
           .as("corr_xy"))): _*)
   }
+
+  /** Per-group z-score standardization (feature scaling): two passes —
+    * decimal-exact (n, Σx, Σx²) per group, then one join back and a FIXED
+    * IEEE expression per row, so the standardized value is deterministic
+    * and cross-engine exact (Spark's stddev aggregate is partition-order
+    * dependent; these moment sums are not). Group count ≪ rows, so the
+    * moments side is tiny — no broadcast hint needed, AQE picks it.
+    * Sample (n-1) stddev; single-row groups get z = NULL (0/0 guarded).
+    */
+  def zscore(
+      df: DataFrame,
+      groupCols: Seq[String],
+      x: Column,
+      outCol: String = "z",
+      scale: Int = 2
+  ): DataFrame = {
+    val xd = x.cast(s"decimal(18,$scale)")
+    val s2 = scale * 2
+    val moments = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(when(x.isNotNull, 1)).as("__n"),
+        sum(xd).cast(s"decimal(38,$scale)").cast("double").as("__sx"),
+        sum((xd * xd).cast(s"decimal(38,$s2)")).cast(s"decimal(38,$s2)").cast("double").as("__sxx"))
+    val n = col("__n").cast("double")
+    // ANSI-safe: n ≤ 1 has no sample stddev (and n = 0 no mean) — yield
+    // null instead of a divide-by-zero
+    val withStats = moments.select(
+      (groupCols.map(col) ++ Seq(
+        when(col("__n") > 0, col("__sx") / n).as("__mean"),
+        when(col("__n") > 1,
+          sqrt((col("__sxx") - col("__sx") * col("__sx") / n) / (n - lit(1d)))).as("__sd"))): _*)
+    df.join(withStats, groupCols)
+      .withColumn(outCol,
+        when(col("__sd") > 0, (x.cast("double") - col("__mean")) / col("__sd")))
+      .drop("__mean", "__sd")
+  }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{CorpusOps, JoinOps, PackingOps, StatsOps}
+import org.apache.spark.sql.functions._
+
+/** Round-4 additions: sequence packing, z-score, rare postings, nearest
+  * as-of. */
+class PackingStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSequences equals a sequential per-shard packer (concatenate-then-chop)") {
+    val rows = (1L to 200L).map(i => (i, (i * 7 % 90).toInt))
+    val df = rows.toDF("id", "n")
+    val got = PackingOps.packSequences(df, "id", col("n"), windowTokens = 64L,
+        shardCol = pmod(col("id"), lit(4)))
+      .select("id", "shard", "start_off", "first_win", "last_win")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // sequential reference: per shard in id order, running offset
+    val offsets = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    rows.sortBy(_._1).foreach { case (id, n) =>
+      val shard = id % 4
+      val start = offsets(shard)
+      val end = start + n
+      val firstWin = start / 64
+      val lastWin = if (n == 0) firstWin else (end - 1) / 64
+      val g = got(id)
+      assert((g._2, g._3, g._4, g._5) == (shard, start, firstWin, lastWin), s"doc $id")
+      offsets(shard) = end
+    }
+  }
+
+  test("packSequences: empty docs occupy zero tokens and never shift the stream") {
+    val df = Seq((1L, 10), (2L, 0), (3L, 10)).toDF("id", "n")
+    val got = PackingOps.packSequences(df, "id", col("n"), windowTokens = 16L, shardCol = lit(0))
+      .orderBy("id").select("start_off", "first_win", "last_win", "n_windows")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L, 0L, 1L), (10L, 0L, 0L, 1L), (10L, 0L, 1L, 2L)))
+  }
+
+  test("zscore standardizes per group; degenerate groups yield null") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0)).toDF("g", "x")
+    val got = StatsOps.zscore(df, Seq("g"), col("x"))
+      .orderBy("g", "x").select("g", "x", "z")
+      .as[(String, Double, Option[Double])].collect().toSeq
+    // group a: mean 2, sample sd sqrt(2) → z = ±1/sqrt(2)
+    val z = 1.0 / math.sqrt(2.0)
+    assert(got(0)._3.get == -z && got(1)._3.get == z)
+    assert(got(2)._3.isEmpty, "single-row group has sd 0 → z null")
+    // null x rows are excluded from moments and get z null
+    val withNull = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("a", None)).toDF("g", "x")
+    val g2 = StatsOps.zscore(withNull, Seq("g"), col("x"))
+      .filter(col("x").isNull).select("z").as[Option[Double]].collect()
+    assert(g2.toSeq == Seq(None))
+  }
+
+  test("rarePostings: df filter precedes collection; lists are sorted and bounded") {
+    val docs = Seq(
+      (3L, "x y z common common2"),
+      (1L, "x y z other words"),
+      (2L, "totally different text here")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.rarePostings(docs, "doc_id", "text", n = 3, maxDf = 2)
+      .as[(String, Long, String)].collect().map(g => g._1 -> (g._2, g._3)).toMap
+    // "x y z" appears in docs 1 and 3 → df=2, postings sorted ascending
+    assert(got("x y z") == (2L, "1,3"))
+    // every list bounded by maxDf
+    assert(got.values.forall(_._2.split(",").length <= 2))
+  }
+
+  test("asofNearest picks the closer direction, ties prefer backward") {
+    val left = Seq(("k", 100L, "a"), ("k", 210L, "b"), ("k", 305L, "c")).toDF("k", "t", "tag")
+    val right = Seq(("k", 90L, 1.0), ("k", 200L, 2.0), ("k", 300L, 3.0), ("k", 310L, 4.0))
+      .toDF("k", "rt", "v")
+    val got = JoinOps.asofNearest(left, right, Seq("k"), "t", "rt", Map("v" -> "nv"))
+      .orderBy("t").select("t", "nv").as[(Long, Double)].collect().toSeq
+    // t=100: back 90 (d=10) vs fwd 200 (d=100) → 1.0
+    // t=210: back 200 (d=10) vs fwd 300 (d=90) → 2.0
+    // t=305: back 300 (d=5) vs fwd 310 (d=5) → tie → backward 3.0
+    assert(got == Seq((100L, 1.0), (210L, 2.0), (305L, 3.0)))
+  }
+
+  test("asofNearest tolerance bounds both directions") {
+    val left = Seq(("k", 100L, "a")).toDF("k", "t", "tag")
+    val right = Seq(("k", 10L, 1.0), ("k", 250L, 2.0)).toDF("k", "rt", "v")
+    val out = JoinOps.asofNearest(left, right, Seq("k"), "t", "rt", Map("v" -> "nv"),
+      tolerance = Some(50L)).collect().head
+    assert(out.getAs[Any]("nv") == null, "both candidates beyond 50 → null")
+    val in = JoinOps.asofNearest(left, right, Seq("k"), "t", "rt", Map("v" -> "nv"),
+      tolerance = Some(95L)).collect().head
+    assert(in.getAs[Double]("nv") == 1.0, "back at d=90 within 95, fwd at 150 out → back")
+  }
+
+  test("asofNearest reuses a caller-carried right-time column for the distance") {
+    val left = Seq(("k", 100L, "a")).toDF("k", "t", "tag")
+    val right = Seq(("k", 90L, 1.0), ("k", 300L, 2.0)).toDF("k", "rt", "v")
+    val out = JoinOps.asofNearest(left, right, Seq("k"), "t", "rt",
+      Map("v" -> "nv", "rt" -> "matched_rt")).collect().head
+    assert(out.getAs[Double]("nv") == 1.0 && out.getAs[Long]("matched_rt") == 90L)
+  }
+}

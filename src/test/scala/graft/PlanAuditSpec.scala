@@ -108,15 +108,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("tfidf: the df-table join is a broadcast, the corpus side never shuffles for it") {
+  test("tfidf: a small df table still broadcasts — chosen by size estimate, not by hint") {
     val dir = java.nio.file.Files.createTempDirectory("tfidf-audit").toString
     (0L until 500L).map(i => (i, s"alpha beta w$i gamma")).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(dir)
     val q = graft.operators.CorpusOps.tfidfTopTerms(spark.read.parquet(dir), "doc_id", "text")
     q.collect()
     val plan = executedPlan(q)
-    assert(plan.contains("BroadcastHashJoin"), s"df join must broadcast:\n$plan")
-    assert(!plan.contains("SortMergeJoin"), s"no shuffle join expected:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"small df join should auto-broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffle join expected at this size:\n$plan")
   }
 
   test("vocabulary: no count-distinct Expand is planned") {
@@ -171,6 +171,16 @@ class PlanAuditSpec extends SparkSpec {
         s"the unbounded df table must not be broadcast-hinted:\n$plan")
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
         s"df join must be a shuffle join AQE can skew-split:\n$plan")
+      // Catalyst prunes the df branch to a distinct, so the two (doc,
+      // token) subtrees differ and the tokenizer runs on both join
+      // sides (no ReusedExchange — verified, not assumed). The
+      // checkpointTerms lever materializes the term counts once: the
+      // whole tokenize→explode pipeline must then appear ZERO times in
+      // the executed plan (both consumers read the checkpoint).
+      val qc2 = graft.operators.CorpusOps.tfidfTopTerms(docs, "doc_id", "text", checkpointTerms = true)
+      qc2.collect()
+      assert(!executedPlan(qc2).contains("Generate explode"),
+        s"with checkpointTerms the tokenizer must not re-run:\n${executedPlan(qc2)}")
       // the bounded-by-construction variant SHOULD broadcast its ≤topV table
       val qc = graft.operators.CorpusOps.tfidfTopTermsCapped(docs, "doc_id", "text", topV = 50)
       qc.collect()
