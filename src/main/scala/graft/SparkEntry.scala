@@ -428,6 +428,47 @@ object SparkEntry {
         .orderBy("h").limit(100)
         .orderBy("doc_id")
     }),
+    "graph_pagerank_check" -> ((s, d) => {
+      // driver-checkable PageRank invariants (decimal ranks have no cheap
+      // DuckDB twin — replicating Spark's decimal-division rounding in
+      // another engine is exactly the nondeterminism PageRank here
+      // avoids): on a deterministic graph derived from customer,
+      // (a) node coverage is data-derived identically in both engines,
+      // (b) every rank is positive, (c) total mass ≤ 1 (dangling nodes
+      // leak, never create, mass), (d) a SECOND independent run returns
+      // bit-identical ranks — the replay-stability property the decimal
+      // arithmetic exists for (a double PageRank fails this).
+      val edges = T(s, d, "customer")
+        .select((col("c_custkey") % 25).as("src"), col("c_nationkey").cast("long").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val pr1 = GraphOps.pageRank(edges, "src", "dst", iterations = 3)
+      val pr2 = GraphOps.pageRank(edges, "src", "dst", iterations = 3)
+      val drift = pr1.join(pr2, Seq("id", "rank"), "left_anti")
+        .agg(count(lit(1)).as("n_drift"))
+      pr1.agg(
+          count(lit(1)).as("n_nodes"),
+          bool_and(col("rank") > 0).as("all_positive"),
+          // ≤ 1 + rounding slack: each scale-18 HALF_UP division can round
+          // up by 5e-19, so total mass may exceed 1 by a few ULPs even
+          // though the dangling leak only ever removes mass
+          (sum(col("rank")) <= lit(BigDecimal("1.000000001")).cast("decimal(38,18)")).as("mass_bounded"))
+        .crossJoin(drift)
+        .select(col("n_nodes"), col("all_positive"), col("mass_bounded"),
+          (col("n_drift") === 0).as("replay_stable"))
+    }),
+    "write_metrics_check" -> ((s, d) => {
+      // observe-metrics write (row 90): the metrics the WRITE JOB itself
+      // reports (no second scan) must equal what the oracle computes from
+      // the table — n_rows and a decimal-exact price sum
+      val dir = java.nio.file.Files.createTempDirectory("graft-obs").toString
+      val m = WriteOps.writeWithMetrics(
+        T(s, d, "orders").select("o_orderkey", "o_totalprice"), dir,
+        "n_rows" -> count(lit(1)),
+        "sum_price" -> dsum(col("o_totalprice"), 2))
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long], m("sum_price").asInstanceOf[Double]))
+        .toDF("n_rows", "sum_price")
+    }),
     "write_zorder_check" -> ((s, d) => {
       // driver-checkable z-order WRITE-LAYOUT invariant (the dedup_simhash
       // _check pattern — the write itself has no DuckDB twin, but its
@@ -1440,6 +1481,16 @@ object SparkEntry {
            | UNION ALL SELECT doc_id + 1000000, text FROM documents),
            |g AS (SELECT md5($norm) AS h, COUNT(*) AS m FROM doubled GROUP BY h)
            |SELECT CAST(SUM((m*(m-1))//2) AS BIGINT) AS n_exact_pairs, true AS all_covered FROM g""".stripMargin,
+      "graph_pagerank_check" ->
+        """WITH e AS (SELECT DISTINCT c_custkey % 25 AS src, CAST(c_nationkey AS BIGINT) AS dst
+          |           FROM customer WHERE c_custkey % 25 <> c_nationkey),
+          |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
+          |SELECT (SELECT COUNT(*) FROM n) AS n_nodes,
+          | true AS all_positive, true AS mass_bounded, true AS replay_stable""".stripMargin,
+      "write_metrics_check" ->
+        """SELECT COUNT(*) AS n_rows,
+          | CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_price
+          |FROM orders""".stripMargin,
       "write_zorder_check" ->
         """SELECT CAST(4 AS BIGINT) AS n_files, true AS ranges_disjoint,
           | (SELECT COUNT(*) FROM part) AS n_rows""".stripMargin,

@@ -22,11 +22,19 @@ object SkewOps {
     */
   /** @param discriminator optional extra column mixed into the salt hash
     *        (e.g. a unique id, or `spark_partition_id()`): byte-identical
-    *        duplicate rows all hash to the SAME salt bucket — exactly the
-    *        duplicate-heavy-hitter workload salting exists for regains its
-    *        skew without one. `spark_partition_id()` is replay-safe here
-    *        because partial aggregates are re-derived from the same input
-    *        partition on retry.
+    *        duplicate rows all hash to the SAME salt bucket.
+    *        SCOPE (measured, ScaleProbe `salted_agg_dup50[_disc]`): for
+    *        ALGEBRAIC aggregates (sum/count/min/max) this does not matter
+    *        — map-side partial aggregation already collapses identical
+    *        rows to one row per (key, salt) per map partition before the
+    *        shuffle, and the probe shows no wall-clock separation at 50%
+    *        duplicate rows (44.9 vs 44.1 M rows/s at 10M). Reach for the
+    *        discriminator only with HOLISTIC partials (collect_list-like
+    *        state map-side combine cannot shrink), where every copy of
+    *        the hot row reaches one reducer without it.
+    *        `spark_partition_id()` is replay-safe here because partial
+    *        aggregates are re-derived from the same input partition on
+    *        retry.
     */
   def saltedAgg(
       df: DataFrame,
