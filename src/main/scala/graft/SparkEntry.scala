@@ -469,6 +469,21 @@ object SparkEntry {
       Seq((m("n_rows").asInstanceOf[Long], m("sum_price").asInstanceOf[Double]))
         .toDF("n_rows", "sum_price")
     }),
+    "write_compact_check" -> ((s, d) => {
+      // compaction write-layout invariant (row 79's second half): rewrite
+      // to exactly 3 round-robin files, no rows lost, every file within
+      // the maxRecordsPerFile cap — the small-file-problem remedy as a
+      // driver-checkable row
+      val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+      WriteOps.compact(T(s, d, "orders").select("o_orderkey", "o_totalprice"),
+        dir, numFiles = 3, maxRecordsPerFile = 1000000L)
+      s.read.parquet(dir)
+        .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum("n").as("n_rows"),
+          bool_and(col("n") <= 1000000L).as("within_cap"))
+    }),
     "write_zorder_check" -> ((s, d) => {
       // driver-checkable z-order WRITE-LAYOUT invariant (the dedup_simhash
       // _check pattern — the write itself has no DuckDB twin, but its
@@ -1491,6 +1506,9 @@ object SparkEntry {
         """SELECT COUNT(*) AS n_rows,
           | CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_price
           |FROM orders""".stripMargin,
+      "write_compact_check" ->
+        """SELECT CAST(3 AS BIGINT) AS n_files,
+          | (SELECT COUNT(*) FROM orders) AS n_rows, true AS within_cap""".stripMargin,
       "write_zorder_check" ->
         """SELECT CAST(4 AS BIGINT) AS n_files, true AS ranges_disjoint,
           | (SELECT COUNT(*) FROM part) AS n_rows""".stripMargin,

@@ -96,6 +96,22 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.getInt(2)).forall(_ >= 150)) // top-3 scores per parity group
   }
 
+  test("cap order direction is case-insensitive; unknown directions are rejected") {
+    val values = (1 to 6).map(i => s"$i,k,${i * 10}").mkString(";")
+    // DESC uppercase must sort descending (used to silently fall through
+    // to ascending and cap the WRONG rows)
+    val (p, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?header=id:int,grp,score:int&values=$values",
+      "--transform", "cap:///?key=grp&order=score:DESC,id:asc&k=2"))
+    val kept = p.resultView(spark, "sink").collect().map(_.getInt(2)).sorted.toSeq
+    assert(kept == Seq(50, 60), s"DESC must keep the top scores, got $kept")
+    val (bad, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?header=id:int,grp,score:int&values=$values",
+      "--transform", "cap:///?key=grp&order=score:dsc&k=2"))
+    val e = intercept[IllegalArgumentException](bad.resultView(spark, "sink").collect())
+    assert(e.getMessage.contains("asc"))
+  }
+
   test("csv sink+source roundtrip via text:// with tsv delimiter") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-test-csv").toString
     val (w, _) = Pipeline.fromArgs(Seq(
