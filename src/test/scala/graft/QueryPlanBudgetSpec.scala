@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.BucketOps
+
+/** Shuffle-budget regression guard: the number of Exchange operators in
+  * each headline query's physical plan is pinned, so a refactor that
+  * silently adds a shuffle (the round-1 ngram self-join class of bug)
+  * fails CI instead of the bench. Counts are taken with AQE off (AQE
+  * hides exchanges inside query stages); planning only — nothing
+  * executes. Budgets are exact (=, not ≤): a DROP in shuffles is also
+  * worth noticing, since it usually means a plan changed shape.
+  */
+class QueryPlanBudgetSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // query → exact Exchange count (includes the final ORDER BY's range
+  // exchange and, for documents-based queries, TP's explicit single-file
+  // parallelism repartition)
+  private val budgets = Map(
+    "q1_agg" -> 2,            // agg + final ORDER BY
+    "q3_join_topn" -> 1,      // broadcast join (no shuffle) + agg; topN is TakeOrdered
+    "q5_multijoin" -> 2,      // 5-table join: dims broadcast, agg + ORDER BY only
+    "q6_selective_agg" -> 1,  // global agg single-partition exchange
+    "q10_topk" -> 0,          // TakeOrderedAndProject — no exchange at all
+    "dedup_exact" -> 3,       // TP repartition + hash agg + ORDER BY
+    "events_window_agg" -> 2, // hour agg + ORDER BY
+    "data_split" -> 3,        // TP repartition + split agg + ORDER BY
+    "text_topterms" -> 4,     // TP + (doc,token) agg + per-doc window + ORDER BY
+    "data_domain_cap" -> 3    // TP + group-limit window + ORDER BY
+  )
+
+  test("headline queries match their pinned shuffle counts") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val report = budgets.toSeq.sortBy(_._1).map { case (q, budget) =>
+        val df = SparkEntry.queries(q)(spark, sfDir)
+        (q, BucketOps.countExchanges(df), budget)
+      }
+      val off = report.filter { case (_, n, b) => n != b }
+      assert(off.isEmpty,
+        off.map { case (q, n, b) => s"$q: planned $n shuffles, pinned $b" }.mkString("; "))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
