@@ -193,10 +193,13 @@ object CorpusOps {
       n: Int,
       maxDf: Int
   ): DataFrame = {
+    // per-doc dedup happens MAP-SIDE (array_distinct before the explode),
+    // so (doc_id, gram) rows are unique by construction — a .distinct()
+    // here would be a corpus-sized extra shuffle for nothing
     val grams = docs
-      .select(col(idCol).as("doc_id"), explode(TextFunctions.shingles(col(textCol), n)).as("gram"))
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("gram"))
       .filter(col("gram") =!= "")
-      .distinct()
     val rare = grams.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     grams.join(rare, "gram")
