@@ -100,6 +100,47 @@ object StreamOps {
       }
   }
 
+  final case class KeyedValue(key: Long, value: Double)
+  final case class RunningStats(key: Long, n: Long, sum_value: Double)
+
+  /** Per-key running aggregates on the arbitrary-state v2 API
+    * (`transformWithState`, the Spark 4 successor of
+    * mapGroupsWithState): ValueState survives across micro-batches and
+    * each batch emits one row per touched key with its LIFETIME
+    * count/sum — the "enrich events with lifetime stats" streaming
+    * shape. State is one fixed-size tuple per key; production retention
+    * is bounded with the TTL argument (NONE here so the spec is
+    * deterministic).
+    */
+  class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, KeyedValue, RunningStats] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var state: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)](
+        "agg", Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[KeyedValue],
+        timerValues: TimerValues
+    ): Iterator[RunningStats] = {
+      var (n, s) = Option(state.get()).getOrElse((0L, 0.0))
+      rows.foreach { r => n += 1; s += r.value }
+      state.update((n, s))
+      Iterator.single(RunningStats(key, n, s))
+    }
+  }
+
+  /** Wire a keyed stream through [[RunningStatsProcessor]]. */
+  def runningStats(events: Dataset[KeyedValue]): Dataset[RunningStats] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.key)
+      .transformWithState(new RunningStatsProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming near-duplicate dedup: drop documents whose MinHash
     * signature (map-side native expression — no state, no shuffle to
     * compute) collides with one already seen inside the watermark

@@ -26,6 +26,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState keeps per-key lifetime aggregates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // the v2 arbitrary-state API needs the RocksDB state store
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamOps.KeyedValue]
+    val out = StreamOps.runningStats(input.toDS())
+    val q = out.writeStream.format("memory").queryName("running_out").outputMode("append").start()
+    try {
+      input.addData(StreamOps.KeyedValue(1L, 2.0), StreamOps.KeyedValue(1L, 3.0), StreamOps.KeyedValue(2L, 5.0))
+      q.processAllAvailable()
+      input.addData(StreamOps.KeyedValue(1L, 10.0))
+      q.processAllAvailable()
+      val rows = spark.table("running_out").collect()
+        .map(r => (r.getAs[Long]("key"), r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+      // batch 1: key 1 → (2, 5.0), key 2 → (1, 5.0); batch 2 resumes key 1's
+      // ValueState → (3, 15.0): the lifetime carries across micro-batches
+      assert(rows == Set((1L, 2L, 5.0), (2L, 1L, 5.0), (1L, 3L, 15.0)))
+    } finally {
+      q.stop()
+      if (prev.isEmpty) spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
+  }
+
   test("streaming windowed aggregation with watermark emits closed windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
