@@ -246,9 +246,15 @@ object DedupOps {
     val docs0 = df.select(col(idCol).as("id"), hashedShingleSet(col(textCol), shingleSize).as("sh"))
     val docs = if (materializeSignatures) docs0.localCheckpoint(false) else docs0
     val sh = docs.select(col("id"), explode(col("sh")).as("h"))
-    val rare = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("df") <= maxDf)
+    // per-shingle df via two-level groupBy — map-side partial aggregation
+    // bounds a hot boilerplate shingle to one row per map partition. (The
+    // previous count-window over h funneled EVERY copy of a hot shingle
+    // through one reducer just to filter it out — the dedup_spans hazard,
+    // same fix.) The ≤maxDf set rides back as a semi join: AQE broadcasts
+    // it when small, skew-splits the shuffle when not; the shingle table
+    // is checkpointed so no re-tokenize on either side.
+    val rareH = sh.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+    val rare = sh.join(rareH.select("h"), Seq("h"), "left_semi")
     val buckets = rare.groupBy("h").agg(sort_array(collect_list(col("id"))).as("ids"))
     val cands = allBucketPairs(buckets, Seq("h"), "ids", maxBucketSize)
       .select(col("a").as("a_id"), col("b").as("b_id"))
