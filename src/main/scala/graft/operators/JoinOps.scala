@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   * One shuffle on the key (same as any keyed join), NO range cross-product
   * and no per-row scans — this is the shape that survives 100 TB, unlike a
   * join on an inequality predicate (O(n·m) within key).
+  *
+  * Skew boundary (stated, not hidden): a window has no AQE skew-split, so
+  * ONE key holding a large fraction of both sides serializes through one
+  * reducer's sort. That is inherent to as-of semantics (the key's merged
+  * timeline must be ordered somewhere); if a hot key dominates, pre-split
+  * it by coarse time range (as-of within each range + a boundary
+  * carry-in row per range) before calling this.
   */
 object JoinOps {
 
