@@ -99,6 +99,13 @@ object ScaleProbe {
         // this replaced funneled 0.9·rows through ONE reducer here)
         CorpusOps.duplicatedSpanStats(synthHotDocs(rows), "id", "text", n = 8).count()
       },
+      "containment_hot" -> { rows =>
+        // 90%-boilerplate corpus through containment blocking: the hot
+        // shingles must die in the partial-agged df filter, never a
+        // one-reducer window (the round-4 de-skew fix)
+        graft.operators.DedupOps.containmentPairs(synthHotDocs(rows), "text", "id",
+          threshold = 0.9, shingleSize = 3, maxDf = 20).count()
+      },
       "tfidf_wide_vocab" -> { rows =>
         // distinct-token count ≈ rows: the df table CANNOT be broadcast;
         // flat throughput here certifies the unhinted shuffle-join path
