@@ -995,6 +995,23 @@ object SparkEntry {
       CorpusOps.rarePostings(TP(s, d, "documents"), "doc_id", "text", n = 3, maxDf = 2)
         .orderBy("gram")
     }),
+    "q34_unpivot" -> ((s, d) => {
+      // UNPIVOT / melt (the inverse of q16_pivot): wide metric columns →
+      // long (metric, value) rows — a pure per-row Expand projection, no
+      // shuffle except the final ORDER BY; metrics pre-cast to one type
+      // (unpivot requires it, and raw-value double casts are correctly
+      // rounded in both engines)
+      T(s, d, "lineitem").filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber").cast("int").as("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"),
+          col("l_discount").cast("double").as("discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric", "value")
+    }),
     "q33_zscore" -> ((s, d) => {
       // per-group z-score standardization: decimal-exact (n, Σx, Σx²)
       // moments + one join back; the per-row standardization is a fixed
@@ -1536,6 +1553,15 @@ object SparkEntry {
            | array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
            |FROM g JOIN r USING (gram)
            |GROUP BY gram, df ORDER BY gram""".stripMargin,
+      "q34_unpivot" ->
+        """WITH b AS (SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+          |  CAST(l_quantity AS DOUBLE) AS quantity,
+          |  CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+          |  CAST(l_discount AS DOUBLE) AS discount
+          |  FROM lineitem WHERE l_orderkey <= 100)
+          |SELECT l_orderkey, l_linenumber, metric, value FROM b
+          |UNPIVOT (value FOR metric IN (quantity, extendedprice, discount))
+          |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
       "q33_zscore" ->
         """WITH fl AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_custkey % 10 = 0),
           |m AS (SELECT c_mktsegment,
