@@ -178,6 +178,8 @@ object JoinOps {
       rightCols: Map[String, String],
       tolerance: Option[Long] = None
   ): DataFrame = {
+    require(!left.columns.exists(c => c.startsWith("__b_") || c.startsWith("__f_")),
+      "asofNearest reserves the __b_/__f_ column prefixes")
     // the matched right TIME must ride along for the distance pick; when
     // the caller already carries rightTime its alias is reused (a Map
     // can't carry one source column under two aliases)

@@ -90,7 +90,13 @@ object StatsOps {
         when(col("__n") > 0, col("__sx") / n).as("__mean"),
         when(col("__n") > 1,
           sqrt((col("__sxx") - col("__sx") * col("__sx") / n) / (n - lit(1d)))).as("__sd"))): _*)
-    df.join(withStats, groupCols)
+    // NULL-SAFE join back: groupBy treats null as a group, but an equi
+    // join would drop null-keyed rows (null ≠ null) — <=> keeps them
+    val l = df.alias("__zl")
+    val r = withStats.alias("__zr")
+    val cond = groupCols.map(c => col(s"__zl.$c") <=> col(s"__zr.$c")).reduce(_ && _)
+    l.join(r, cond)
+      .select((df.columns.map(c => col(s"__zl.$c")) :+ col("__mean") :+ col("__sd")): _*)
       .withColumn(outCol,
         when(col("__sd") > 0, (x.cast("double") - col("__mean")) / col("__sd")))
       .drop("__mean", "__sd")

@@ -53,6 +53,15 @@ class PackingStatsSpec extends SparkSpec {
     assert(g2.toSeq == Seq(None))
   }
 
+  test("zscore keeps null-keyed groups (null-safe join back)") {
+    val df = Seq((Some("a"), 1.0), (Some("a"), 3.0), (None, 5.0), (None, 7.0))
+      .toDF("g", "x")
+    val got = StatsOps.zscore(df, Seq("g"), col("x"))
+    assert(got.count() == 4, "null group rows must survive the join back")
+    val z = got.filter(col("g").isNull).orderBy("x").select("z").as[Double].collect()
+    assert(math.abs(z(0) + 1.0 / math.sqrt(2)) < 1e-12, "null group standardized within itself")
+  }
+
   test("rarePostings: df filter precedes collection; lists are sorted and bounded") {
     val docs = Seq(
       (3L, "x y z common common2"),
