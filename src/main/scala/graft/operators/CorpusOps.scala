@@ -52,6 +52,8 @@ object CorpusOps {
       k: Int,
       rankCol: Option[String] = None
   ): DataFrame = {
+    rankCol.foreach(n => require(!df.columns.contains(n),
+      s"capPerKey rankCol '$n' already exists in the input — pick another name"))
     val ranked = df
       .withColumn(RankCol, row_number().over(Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)))
       .filter(col(RankCol) <= k)

@@ -30,6 +30,9 @@ object PackingOps {
     *
     * @param tokenCountCol per-document token count (integral)
     * @param windowTokens  context length in tokens (e.g. 2048)
+    *
+    * `idCol` must be unique (it is the within-shard concatenation order);
+    * duplicate ids would make the layout nondeterministic across runs.
     * @param shardCol      deterministic shard assignment — pass an
     *                      engine-portable hash (e.g. `SplitOps.bucket16`)
     *                      so the layout is reproducible anywhere, never a
