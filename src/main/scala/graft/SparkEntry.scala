@@ -975,6 +975,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(size(col("tk")).cast("long")).as("n_tokens"))
         .orderBy("split")
     }),
+    "vec_meanpool" -> ((s, d) => {
+      // chunk embeddings → document embedding by deterministic mean
+      // pooling (decimal-exact per-position sums → replay-stable vector);
+      // the oracle checks dim/count plus two sampled positions (array
+      // outputs don't hash portably — scalars do)
+      val pooled = SimilarityOps.meanPool(
+        TP(s, d, "embeddings").select(pmod(col("vec_id"), lit(50)).as("grp"), col("embedding")),
+        "grp", "embedding")
+      pooled.select(
+          col("grp"),
+          size(col("mean_vec")).cast("long").as("dim"),
+          col("n_vectors").as("n_chunks"),
+          element_at(col("mean_vec"), 1).as("v0"),
+          element_at(col("mean_vec"), 32).as("v31"))
+        .orderBy("grp")
+    }),
     "data_packing" -> ((s, d) => {
       // sequence-packing plan: concatenate-then-chop documents into
       // 512-token context windows across 16 md5 shards — per-doc
@@ -1529,6 +1545,17 @@ object SparkEntry {
       "write_zorder_check" ->
         """SELECT CAST(4 AS BIGINT) AS n_files, true AS ranges_disjoint,
           | (SELECT COUNT(*) FROM part) AS n_rows""".stripMargin,
+      "vec_meanpool" ->
+        """WITH pe AS (SELECT vec_id % 50 AS grp,
+          |  generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x
+          |  FROM embeddings),
+          |m AS (SELECT grp, pos, COUNT(*) AS n,
+          |  CAST(CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS sx
+          |  FROM pe GROUP BY grp, pos)
+          |SELECT grp, COUNT(*) AS dim, MAX(n) AS n_chunks,
+          | MAX(CASE WHEN pos = 0 THEN sx / CAST(n AS DOUBLE) END) AS v0,
+          | MAX(CASE WHEN pos = 31 THEN sx / CAST(n AS DOUBLE) END) AS v31
+          |FROM m GROUP BY grp ORDER BY grp""".stripMargin,
       "data_packing" ->
         s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tok,
            |  CAST(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1 AS INT) AS shard

@@ -199,6 +199,38 @@ object SimilarityOps {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Deterministic mean pooling: element-wise mean of each group's
+    * vectors (chunk embeddings → one document embedding). Per-position
+    * sums are DECIMAL-exact — order-independent, so the pooled embedding
+    * is REPLAY-STABLE (a plain double sum differs in last bits with
+    * partition merge order, and a doc embedding on a dedup threshold
+    * boundary must not flip between runs); the single division happens
+    * in double with a fixed operation order.
+    *
+    * Shape: posexplode → groupBy (group, pos) with map-side partial
+    * aggregation (a group with millions of chunks still contributes one
+    * row per position per map partition) → one dim-bounded collect_list
+    * per group reassembled in position order.
+    */
+  def meanPool(
+      vectors: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      scale: Int = 12
+  ): DataFrame = {
+    val pe = vectors.select(col(groupCol).as("grp"),
+      posexplode(col(vecCol)).as(Seq("pos", "x")))
+    val xd = col("x").cast("double").cast(s"decimal(28,$scale)")
+    pe.groupBy("grp", "pos")
+      .agg(count(lit(1)).as("n"), sum(xd).cast(s"decimal(38,$scale)").cast("double").as("sx"))
+      .withColumn("m", col("sx") / col("n").cast("double"))
+      .groupBy("grp")
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))), p => p.getField("m"))
+          .as("mean_vec"),
+        max("n").as("n_vectors"))
+  }
+
   /** Unit-normalized (id, unit) projection: normalize ONCE per row so all
     * per-pair work downstream is a single native dot product. */
   private def unitVectors(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =

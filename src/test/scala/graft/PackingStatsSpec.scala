@@ -76,6 +76,25 @@ class PackingStatsSpec extends SparkSpec {
     assert(got.values.forall(_._2.split(",").length <= 2))
   }
 
+  test("meanPool equals a sequential per-position mean and is repartition-stable") {
+    val rows = (1 to 60).map(i => (i % 4, Array.tabulate(8)(j => (i * 31 + j * 7) % 100 / 100.0)))
+    val df = rows.toDF("grp", "vec")
+    def run(parts: Int) = graft.operators.SimilarityOps
+      .meanPool(df.repartition(parts), "grp", "vec")
+      .orderBy("grp")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    val got = run(4)
+    val ref = rows.groupBy(_._1).view.mapValues { vs =>
+      (0 until 8).map(j => vs.map(_._2(j)).sum / vs.size)
+    }.toMap
+    got.foreach { case (g, vec) =>
+      vec.zip(ref(g)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9, s"group $g") }
+    }
+    // decimal sums are order-independent: different partitioning must
+    // give BIT-identical pooled vectors (replay stability)
+    assert(run(1) == got && run(13) == got)
+  }
+
   test("asofNearest picks the closer direction, ties prefer backward") {
     val left = Seq(("k", 100L, "a"), ("k", 210L, "b"), ("k", 305L, "c")).toDF("k", "t", "tag")
     val right = Seq(("k", 90L, 1.0), ("k", 200L, 2.0), ("k", 300L, 3.0), ("k", 310L, 4.0))
