@@ -650,6 +650,23 @@ object SparkEntry {
         .select(col("o_orderkey"), unix_micros(col("asof_shipdate").cast("timestamp")).as("asof_us"))
         .orderBy("o_orderkey")
     }),
+    "events_retention" -> ((s, d) => {
+      // cohort retention matrix (cohort week × week offset → active
+      // fraction): two partial-agged aggregations + user-keyed join, the
+      // cohort-size table rides back small (AQE broadcast) — no
+      // self-join over the raw log, no window
+      val uw = T(s, d, "events")
+        .select(col("user_id"), expr("ts div 1000 div 604800000000").as("week"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+      val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("n_cohort"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, "cohort_week")
+        .withColumn("retention", col("n_active").cast("double") / col("n_cohort").cast("double"))
+        .orderBy("cohort_week", "week_offset")
+    }),
     "events_sessionize" -> ((s, d) => {
       SessionOps
         .sessionize(T(s, d, "events").withColumn("ts", evTs), "user_id", "ts", gapSeconds = 1800)
@@ -1429,6 +1446,17 @@ object SparkEntry {
           |               WHEN bt IS NULL THEN ft
           |               WHEN cutoff - bt <= ft - cutoff THEN bt ELSE ft END) AS asof_us
           |FROM j ORDER BY o_orderkey""".stripMargin,
+      "events_retention" ->
+        """WITH uw AS (SELECT DISTINCT user_id,
+          |  epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week FROM events),
+          |c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id),
+          |sz AS (SELECT cohort_week, COUNT(*) AS n_cohort FROM c GROUP BY cohort_week),
+          |act AS (SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset, COUNT(*) AS n_active
+          |        FROM uw JOIN c USING (user_id) GROUP BY c.cohort_week, week_offset)
+          |SELECT cohort_week, week_offset, n_active, n_cohort,
+          | CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention
+          |FROM act JOIN sz USING (cohort_week)
+          |ORDER BY cohort_week, week_offset""".stripMargin,
       "events_sessionize" ->
         """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
           |w AS (SELECT user_id, us,
