@@ -74,6 +74,14 @@ object StatsOps {
       outCol: String = "z",
       scale: Int = 2
   ): DataFrame = {
+    // the helper columns below are injected into the caller's frame and
+    // dropped again — a caller column with one of these names would be
+    // silently overwritten (same guard style as capPerKey/asofNearest)
+    val reserved = Set("__n", "__sx", "__sxx", "__mean", "__sd", "__zl", "__zr")
+    val clash = df.columns.filter(c => reserved(c))
+    require(clash.isEmpty,
+      s"zscore: input columns collide with reserved helper names: ${clash.mkString(", ")}")
+    require(!reserved(outCol), s"zscore: outCol '$outCol' is a reserved helper name")
     val xd = x.cast(s"decimal(18,$scale)")
     val s2 = scale * 2
     val moments = df

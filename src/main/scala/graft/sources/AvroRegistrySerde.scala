@@ -105,13 +105,17 @@ object AvroRegistrySerde {
 
   /** Avro body of a Confluent-framed record; throws on a record that does
     * not start with the 0x00 magic byte (same contract as the Confluent
-    * deserializer — silently decoding garbage is worse than failing). */
+    * deserializer — silently decoding garbage is worse than failing).
+    * A NULL record value is a Kafka tombstone (routine in compacted
+    * topics) and passes through as NULL — without the short-circuit the
+    * magic-byte comparison is NULL and assert_true would throw. */
   def confluentPayload(value: Column): Column = {
     val magicOk = assert_true(
       substring(value, 1, 1) === lit(Magic),
       lit("avro-registry: record does not start with Confluent magic byte 0x00"))
     // assert_true returns NULL (or throws): the `when` keeps it in the plan
-    when(magicOk.isNull, substring(value, 6, Int.MaxValue))
+    when(value.isNull, lit(null).cast("binary"))
+      .otherwise(when(magicOk.isNull, substring(value, 6, Int.MaxValue)))
   }
 
   /** int32-BE writer schema id embedded at bytes 2-5 of a framed record. */

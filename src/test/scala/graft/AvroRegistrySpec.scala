@@ -48,6 +48,17 @@ class AvroRegistrySpec extends SparkSpec {
     assert(e.getMessage.contains("magic"))
   }
 
+  test("NULL kafka value (tombstone) passes through confluentPayload as null, not an assert throw") {
+    val framed = AvroRegistrySerde.confluentWrap(7, lit(Array[Byte](9)))
+    val df = Seq(true, false).toDF("present")
+      .select(when(col("present"), framed).as("value"))
+    val out = df.select(AvroRegistrySerde.confluentPayload(col("value")).as("body"))
+      .as[Option[Array[Byte]]].collect()
+    assert(out.length == 2)
+    assert(out.count(_.isEmpty) == 1)
+    assert(out.flatten.head.toSeq == Seq(9.toByte))
+  }
+
   test("registry lookup uses the topic-name strategy subject and passes both config key forms") {
     withRegistryConf() {
       val serde = Serde("avro-registry:events").asInstanceOf[AvroRegistrySerde]

@@ -53,6 +53,15 @@ class PackingStatsSpec extends SparkSpec {
     assert(g2.toSeq == Seq(None))
   }
 
+  test("zscore rejects input columns that collide with its reserved helper names") {
+    val df = Seq(("a", 1.0, 0.0)).toDF("g", "x", "__mean")
+    val e = intercept[IllegalArgumentException](StatsOps.zscore(df, Seq("g"), col("x")))
+    assert(e.getMessage.contains("__mean"))
+    val e2 = intercept[IllegalArgumentException](
+      StatsOps.zscore(Seq(("a", 1.0)).toDF("g", "x"), Seq("g"), col("x"), outCol = "__sd"))
+    assert(e2.getMessage.contains("__sd"))
+  }
+
   test("zscore keeps null-keyed groups (null-safe join back)") {
     val df = Seq((Some("a"), 1.0), (Some("a"), 3.0), (None, 5.0), (None, 7.0))
       .toDF("g", "x")
