@@ -492,7 +492,6 @@ object SparkEntry {
       // the min/max pruning property readers skip files by) and no rows
       // may be lost. The oracle states n_files/disjointness as constants
       // and derives n_rows from the table.
-      import org.apache.spark.sql.expressions.Window
       val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
       val base = T(s, d, "part").select(
         pmod(col("p_partkey"), lit(256)).cast("int").as("za"),
@@ -503,12 +502,18 @@ object SparkEntry {
         .withColumn("z", WriteOps.interleaveBits(col("za"), col("zb"), 8))
         .groupBy(input_file_name().as("f"))
         .agg(min("z").as("zmin"), max("z").as("zmax"), count(lit(1)).as("n"))
-      perFile
-        .withColumn("next_min", lead("zmin", 1).over(Window.orderBy("zmin")))
-        .agg(
-          count(lit(1)).as("n_files"),
-          bool_and(col("next_min").isNull || col("zmax") < col("next_min")).as("ranges_disjoint"),
-          sum("n").as("n_rows"))
+      // pairwise-disjoint via a tiny self-join on the ONE-ROW-PER-FILE
+      // frame (4 rows → broadcast NLJ) instead of a lead() over a global
+      // Window, which emitted the "moving all data to a single partition"
+      // warning into the driver-parsed log tail on every bench run
+      val a = perFile.select(col("f").as("af"), col("zmin").as("amin"), col("zmax").as("amax"))
+      val b = perFile.select(col("f").as("bf"), col("zmin").as("bmin"), col("zmax").as("bmax"))
+      val overlaps = a.join(b,
+          col("af") < col("bf") && col("amin") <= col("bmax") && col("bmin") <= col("amax"))
+        .agg(count(lit(1)).as("n_overlap"))
+      perFile.agg(count(lit(1)).as("n_files"), sum("n").as("n_rows"))
+        .crossJoin(overlaps) // 1-row × 1-row scalar attach
+        .select(col("n_files"), (col("n_overlap") === 0).as("ranges_disjoint"), col("n_rows"))
     }),
     "events_scd2" -> ((s, d) => {
       // SCD2 history compression: per-user state intervals from an event
