@@ -796,6 +796,21 @@ object SparkEntry {
           shingleSize = 2, numBands = 32, rowsPerBand = 3)
         .orderBy("a_id", "b_id")
     }),
+    "dedup_incremental" -> ((s, d) => {
+      // incremental dedup (daily-delta shape): base corpus (¾ of docs)
+      // indexed ONCE into bucketed band/sig tables, then the new batch
+      // (doc_id % 4 == 0) probed against the index — pairs touching at
+      // least one new doc. Same band params as dedup_minhash, so the
+      // verified output equals the quadratic oracle restricted to
+      // new×all (per-pair recall 1-(1-0.7³)^32 ≈ 1-1.4e-6).
+      val docs = TP(s, d, "documents")
+      val isNew = col("doc_id") % 4 === 0
+      val idx = IncrementalDedupOps.buildIndex(docs.filter(!isNew), "text", "doc_id",
+        prefix = "graft_inc_idx", numBuckets = 8, shingleSize = 2, numBands = 32, rowsPerBand = 3)
+      IncrementalDedupOps.probe(docs.filter(isNew), "text", "doc_id", idx, threshold = 0.7,
+          shingleSize = 2, numBands = 32, rowsPerBand = 3)
+        .orderBy("a_id", "b_id")
+    }),
     "dedup_simhash" -> ((s, d) => {
       DedupOps
         .simhashDupPairs(TP(s, d, "documents"), "text", "doc_id", maxHamming = 3)
@@ -1289,13 +1304,14 @@ object SparkEntry {
     def shingles(t: String, n: Int = 3) =
       s"(CASE WHEN len($t) <= $n THEN [array_to_string($t, ' ')] " +
         s"ELSE list_transform(range(1, len($t)-${n - 2}), i -> array_to_string($t[i:i+${n - 1}], ' ')) END)"
-    def jaccardPairsSql(n: Int, threshold: Double) =
+    def jaccardPairsSql(n: Int, threshold: Double, extraWhere: String = "") =
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
          |sh AS (SELECT doc_id, list_distinct(${shingles("tk", n)}) AS s FROM t)
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          | ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 4) AS jaccard
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= $threshold
+         |$extraWhere
          |ORDER BY a_id, b_id""".stripMargin
     val revenue =
       "CAST(CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)"
@@ -1556,6 +1572,10 @@ object SparkEntry {
            |SELECT md5($norm) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
            |FROM doubled GROUP BY content_hash ORDER BY keep_id""".stripMargin,
       "dedup_minhash" -> jaccardPairsSql(n = 2, threshold = 0.7),
+      // the incremental probe returns exactly the quadratic pair set
+      // restricted to pairs touching at least one NEW doc (doc_id%4=0)
+      "dedup_incremental" -> jaccardPairsSql(n = 2, threshold = 0.7,
+        extraWhere = "AND (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)"),
       "dedup_simhash_check" ->
         s"""WITH doubled AS (
            | SELECT doc_id, text FROM documents

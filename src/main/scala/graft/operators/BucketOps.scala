@@ -30,10 +30,24 @@ object BucketOps {
       keys: Seq[String],
       sortKeys: Seq[String] = Nil
   ): Unit = {
+    dropTable(df.sparkSession, table)
     val w0 = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
     val w = if (sortKeys.nonEmpty) w0.sortBy(sortKeys.head, sortKeys.tail: _*) else w0
     w.saveAsTable(table)
+  }
+
+  /** Drop `table` AND clear an orphaned managed-table location a previous
+    * session may have left behind: the dir survives the JVM while the
+    * in-memory catalog entry does not, and saveAsTable refuses to reuse
+    * the location even in Overwrite mode (LOCATION_ALREADY_EXISTS).
+    */
+  def dropTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
   }
 
   /** Join two same-bucketed catalog tables on their bucket key — with

@@ -98,6 +98,17 @@ object DedupOps {
   def minhashSigCol(hashedSet: Column, k: Int): Column =
     GraftColumns.column(MinHashSignature(GraftColumns.expression(hashedSet), k))
 
+  /** The numBands LSH band keys of a k = numBands×rowsPerBand signature:
+    * band b's key hashes rows [b·r, (b+1)·r) with the band index as a
+    * second hash input so identical row-slices in different bands cannot
+    * collide into one bucket. Shared by the batch candidate path and the
+    * persisted incremental index so both sides of an incremental probe
+    * derive IDENTICAL keys. */
+  def bandKeys(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(numBands - 1)),
+      b => xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b))
+
   /** All (a,b) pairs (a<b by the array sort order) from a collected
     * per-bucket array column — pair generation without a self-join.
     */
@@ -171,15 +182,7 @@ object DedupOps {
   ): DataFrame = {
     val k = numBands * rowsPerBand
     val banded = minhashSignatures(df, textCol, idCol, shingleSize, k)
-      .select(
-        col("id"),
-        explode(
-          transform(
-            sequence(lit(0), lit(numBands - 1)),
-            b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)
-          )
-        ).as("band_key")
-      )
+      .select(col("id"), explode(bandKeys(col("sig"), numBands, rowsPerBand)).as("band_key"))
     val buckets = banded
       .groupBy("band_key")
       .agg(sort_array(collect_list(col("id"))).as("ids"))

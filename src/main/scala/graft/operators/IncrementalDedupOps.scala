@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental near-duplicate detection: a daily NEW BATCH probed against
+  * a PERSISTED MinHash index of the already-kept corpus — the most common
+  * production dedup shape (crawl delta vs 100 TB of base documents),
+  * where re-signaturing the base corpus per batch is the cost to kill.
+  *
+  * Scale posture (100 TB base, ~GB-scale daily delta):
+  *  - the base corpus is signatured ONCE, at index-build time; the index
+  *    is two bucketed catalog tables — `<prefix>_bands` (band_key, id)
+  *    bucketed by band_key and `<prefix>_sigs` (id, hashed shingle set)
+  *    bucketed by id — so the daily probe job's band join needs NO
+  *    Exchange on the index side (the 100 TB side): only the small new
+  *    batch shuffles to meet the bucket layout (or broadcasts; AQE picks);
+  *  - new×base candidates come from that one band-key join; new×new
+  *    candidates reuse the in-bucket pair generation (`allBucketPairs`,
+  *    overflow-safe) over the new batch's own band buckets;
+  *  - verification joins PRECOMPUTED shingle sets by id (base side from
+  *    the sigs table, new side from one localCheckpointed scan of the
+  *    batch) — the base corpus TEXT is never read again.
+  *
+  * Band parameters are part of the index contract: a probe must use the
+  * same (shingleSize, numBands, rowsPerBand) the index was built with —
+  * [[DedupOps.bandKeys]] is shared by both paths so the keys agree.
+  */
+object IncrementalDedupOps {
+
+  /** Catalog table names of a persisted MinHash index. */
+  final case class IndexTables(bands: String, sigs: String)
+
+  /** Signature one batch of documents: (id, sh) with sh = hashed distinct
+    * shingle set. Shared by index build and probe. */
+  private def signatured(df: DataFrame, textCol: String, idCol: String, shingleSize: Int): DataFrame =
+    df.select(col(idCol).as("id"), DedupOps.hashedShingleSet(col(textCol), shingleSize).as("sh"))
+
+  /** Build (overwrite) the persisted index for `base`. One pass computes
+    * shingle sets + signatures; two bucketed writes lay out the band table
+    * (by band_key — the probe join key) and the signature table (by id —
+    * the verify join key). `numBuckets` should target per-task sort memory
+    * at the deployment's base-corpus size (see BucketOps scaladoc).
+    */
+  def buildIndex(
+      base: DataFrame,
+      textCol: String,
+      idCol: String,
+      prefix: String,
+      numBuckets: Int,
+      shingleSize: Int = 3,
+      numBands: Int = 8,
+      rowsPerBand: Int = 4
+  ): IndexTables = {
+    val k = numBands * rowsPerBand
+    // two writers below (bands, sigs) would each re-run the shingle scan;
+    // the signatured table is the thing to compute once
+    val docs = signatured(base, textCol, idCol, shingleSize).localCheckpoint(eager = false)
+    val bands = docs.select(
+      col("id"),
+      explode(DedupOps.bandKeys(DedupOps.minhashSigCol(col("sh"), k), numBands, rowsPerBand))
+        .as("band_key"))
+    val t = IndexTables(s"${prefix}_bands", s"${prefix}_sigs")
+    BucketOps.writeBucketed(bands.select("band_key", "id"), t.bands, numBuckets,
+      keys = Seq("band_key"), sortKeys = Seq("band_key"))
+    BucketOps.writeBucketed(docs, t.sigs, numBuckets, keys = Seq("id"), sortKeys = Seq("id"))
+    t
+  }
+
+  /** Verified near-dup pairs (a_id < b_id, exact Jaccard ≥ threshold)
+    * between `newBatch` and the indexed base corpus PLUS within the new
+    * batch itself — i.e. every pair involving at least one new document.
+    * Ids must be disjoint from base ids (same-id re-crawls are filtered
+    * from the cross candidates; handle true updates by rebuilding or
+    * compacting the index). Band parameters must match the index build.
+    */
+  def probe(
+      newBatch: DataFrame,
+      textCol: String,
+      idCol: String,
+      index: IndexTables,
+      threshold: Double,
+      shingleSize: Int = 3,
+      numBands: Int = 8,
+      rowsPerBand: Int = 4,
+      maxBucketSize: Int = 64
+  ): DataFrame = {
+    val spark = newBatch.sparkSession
+    val k = numBands * rowsPerBand
+    // one scan of the (small) new batch feeds band keys + both verify sides
+    val newDocs = signatured(newBatch, textCol, idCol, shingleSize).localCheckpoint(eager = false)
+    val newBands = newDocs.select(
+      col("id"),
+      explode(DedupOps.bandKeys(DedupOps.minhashSigCol(col("sh"), k), numBands, rowsPerBand))
+        .as("band_key"))
+    // new×base: ONE equi-join on band_key; the index side is bucketed on
+    // band_key so its scan plans with no Exchange
+    val crossCands = newBands.as("n")
+      .join(spark.table(index.bands).as("b"), col("n.band_key") === col("b.band_key"))
+      .filter(col("n.id") =!= col("b.id"))
+      .select(least(col("n.id"), col("b.id")).as("a"), greatest(col("n.id"), col("b.id")).as("b"))
+    // new×new: in-bucket pair generation over the batch's own band buckets
+    val newBuckets = newBands.groupBy("band_key").agg(sort_array(collect_list(col("id"))).as("ids"))
+    val newCands = DedupOps.allBucketPairs(newBuckets, Seq("band_key"), "ids", maxBucketSize)
+    val cands = crossCands.unionByName(newCands.select(col("a"), col("b"))).distinct()
+    // verify on precomputed shingle sets: base side from the sigs table,
+    // new side from the checkpointed batch scan — base text is never
+    // re-read. Ids are disjoint across the two sources, so each pair
+    // column takes two LEFT joins + coalesce rather than one join against
+    // a union: unioning newDocs with the sigs table would discard the
+    // table's bucketing and shuffle the full index side per probe, while
+    // the left joins keep the sigs scan Exchange-free (the small
+    // candidate side shuffles to the bucket layout instead).
+    val baseSh = spark.table(index.sigs)
+    def attach(pairs: DataFrame, key: String, out: String): DataFrame =
+      pairs
+        .join(baseSh.select(col("id").as(s"__${key}bi"), col("sh").as(s"__${key}bs")),
+          col(key) === col(s"__${key}bi"), "left")
+        .join(newDocs.select(col("id").as(s"__${key}ni"), col("sh").as(s"__${key}ns")),
+          col(key) === col(s"__${key}ni"), "left")
+        .withColumn(out, coalesce(col(s"__${key}bs"), col(s"__${key}ns")))
+        .drop(s"__${key}bi", s"__${key}bs", s"__${key}ni", s"__${key}ns")
+    attach(attach(cands, "a", "sh_a"), "b", "sh_b")
+      .withColumn("jaccard", DedupOps.jaccardSets(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a").as("a_id"), col("b").as("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+}

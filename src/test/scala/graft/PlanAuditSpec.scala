@@ -281,4 +281,74 @@ class PlanAuditSpec extends SparkSpec {
     assert(BucketOps.countExchanges(sigs) == 0,
       s"signature computation must be pure scan->project:\n${executedPlan(sigs)}")
   }
+
+  test("incremental dedup probe: the persisted index side scans with no Exchange") {
+    import graft.operators.IncrementalDedupOps
+    // overlapping shingle content so the probe produces real pairs
+    val base = (0L until 300L).map(i => (i * 2 + 1, s"alpha beta gamma delta tok${i % 40} epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = (0L until 60L).map(i => (i * 2, s"alpha beta gamma delta tok${i % 40} epsilon zeta"))
+      .toDF("doc_id", "text")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // AQE hides nodes from plan.collect
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // bucket layout must carry the joins
+    try {
+      val idx = IncrementalDedupOps.buildIndex(base, "text", "doc_id", "inc_audit",
+        numBuckets = 4, shingleSize = 2, numBands = 8, rowsPerBand = 2)
+      val probed = IncrementalDedupOps.probe(batch, "text", "doc_id", idx, threshold = 0.8,
+        shingleSize = 2, numBands = 8, rowsPerBand = 2)
+      assert(probed.count() > 0, "probe should find near-dup pairs in this corpus")
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      // the daily-job invariant: an index-table scan reaches its consuming
+      // join with NO Exchange in between — only the small new-batch /
+      // candidate side may move to meet the bucket layout. (An Exchange
+      // ABOVE the join's output is fine; it repartitions join results,
+      // not the index.)
+      def leafPaths(p: SparkPlan, above: List[SparkPlan]): Seq[List[SparkPlan]] = {
+        val here = p :: above // head = deepest node
+        if (p.children.isEmpty) Seq(here) else p.children.flatMap(c => leafPaths(c, here))
+      }
+      val idxPaths = leafPaths(probed.queryExecution.executedPlan, Nil).filter(_.head match {
+        case f: FileSourceScanExec => f.tableIdentifier.exists(_.table.startsWith("inc_audit"))
+        case _ => false
+      })
+      idxPaths.foreach { path =>
+        val toJoin = path.takeWhile(!_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+        assert(!toJoin.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+          s"index scan shuffled before its join:\n${toJoin.mkString("\n")}")
+      }
+      // not vacuous: both index tables are actually scanned in the plan
+      val all = idxPaths.map(_.head.asInstanceOf[FileSourceScanExec].tableIdentifier.get.table)
+      assert(all.count(_ == "inc_audit_bands") >= 1 && all.count(_ == "inc_audit_sigs") >= 1,
+        s"expected scans of both index tables, saw: $all")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS inc_audit_bands")
+      spark.sql("DROP TABLE IF EXISTS inc_audit_sigs")
+    }
+  }
+
+  test("incremental dedup probe equals the one-shot batch pair set on the union corpus") {
+    import graft.operators.{DedupOps, IncrementalDedupOps}
+    val base = (0L until 80L).map(i => (i * 2 + 1, s"the quick brown fox w${i % 10} jumps over"))
+      .toDF("doc_id", "text")
+    val batch = (0L until 20L).map(i => (i * 2, s"the quick brown fox w${i % 10} jumps over"))
+      .toDF("doc_id", "text")
+    val idx = IncrementalDedupOps.buildIndex(base, "text", "doc_id", "inc_eq",
+      numBuckets = 2, shingleSize = 2, numBands = 16, rowsPerBand = 2)
+    try {
+      val inc = IncrementalDedupOps.probe(batch, "text", "doc_id", idx, threshold = 0.7,
+          shingleSize = 2, numBands = 16, rowsPerBand = 2)
+        .select("a_id", "b_id", "jaccard").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val full = DedupOps.minhashDupPairs(base.unionByName(batch), "text", "doc_id", threshold = 0.7,
+          shingleSize = 2, numBands = 16, rowsPerBand = 2)
+        .filter(col("a_id") % 2 === 0 || col("b_id") % 2 === 0)
+        .select("a_id", "b_id", "jaccard").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(inc == full, s"incremental pair set must equal batch new×all pairs; inc-only=${inc -- full}, batch-only=${full -- inc}")
+      assert(inc.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS inc_eq_bands")
+      spark.sql("DROP TABLE IF EXISTS inc_eq_sigs")
+    }
+  }
 }
