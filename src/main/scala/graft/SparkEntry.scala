@@ -1040,6 +1040,37 @@ object SparkEntry {
           shardCol = SplitOps.bucket16(col("doc_id")))
         .orderBy("doc_id")
     }),
+    "data_shuffle" -> ((s, d) => {
+      // deterministic training shuffle: seeded engine-portable global
+      // permutation (md5("42:"||doc_id) sort key, id tiebreak) — position
+      // computed bucket-parallel (no global window), so the batch order a
+      // training run sees reproduces on any engine from (seed, ids) alone
+      ExportOps.permutation(TP(s, d, "documents").select("doc_id"), "doc_id", seed = "42")
+        .select("doc_id", "pos")
+        .orderBy("pos")
+    }),
+    "data_shuffle_check" -> ((s, d) => {
+      // chunked-export write invariant (the write_compact_check pattern):
+      // after exportShuffled at 1000 rows/file, the re-read layout must
+      // show ceil(n/1000) chunks, one file per chunk, every chunk exactly
+      // the contiguous position range [chunk·1000+1, chunk·1000+n_k] —
+      // which pins the full permutation→file assignment, not just counts
+      val dir = java.nio.file.Files.createTempDirectory("graft-shuffle").toString
+      ExportOps.exportShuffled(TP(s, d, "documents").select("doc_id", "lang"),
+        "doc_id", seed = "42", dir, rowsPerFile = 1000L)
+      val back = s.read.parquet(dir)
+        .select(col("chunk").cast("long").as("chunk"), col("pos"), input_file_name().as("f"))
+      back.groupBy(col("chunk"))
+        .agg(count(lit(1)).as("n"), min("pos").as("minp"), max("pos").as("maxp"),
+          countDistinct(col("f")).as("nf"))
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum("n").as("n_rows"),
+          bool_and(col("n") <= 1000L).as("within_cap"),
+          bool_and(col("minp") === col("chunk") * 1000L + 1 &&
+            col("maxp") === col("chunk") * 1000L + col("n")).as("ranges_contiguous"),
+          bool_and(col("nf") === 1).as("one_file_per_chunk"))
+    }),
     "text_postings" -> ((s, d) => {
       // rare-3-gram inverted index (df ≤ 2): the blocking structure
       // containment dedup / contamination tracing query; df filtered
@@ -1624,6 +1655,14 @@ object SparkEntry {
            |SELECT doc_id, shard, n_tok, start_off, first_win, last_win,
            | last_win - first_win + 1 AS n_windows
            |FROM p ORDER BY doc_id""".stripMargin,
+      "data_shuffle" ->
+        """SELECT doc_id,
+          | ROW_NUMBER() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+          |FROM documents ORDER BY pos""".stripMargin,
+      "data_shuffle_check" ->
+        """SELECT CAST(CEIL(COUNT(*) / 1000.0) AS BIGINT) AS n_files, COUNT(*) AS n_rows,
+          | true AS within_cap, true AS ranges_contiguous, true AS one_file_per_chunk
+          |FROM documents""".stripMargin,
       "text_postings" ->
         s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
            |g AS (SELECT DISTINCT doc_id, gram FROM

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic training-data shuffle + chunked export: the step after
+  * packing (PackingOps) that turns a curated corpus into a training run's
+  * input — a SEEDED global permutation, engine-portable and reproducible
+  * anywhere, chopped into fixed-size files so any reader sees the same
+  * batch order.
+  *
+  * Permutation key = md5(seed ":" id): a keyed pseudo-random total order
+  * any engine can replicate (same idiom as SplitOps' md5-grain splits —
+  * no rand(), no partition-order dependence). The global POSITION is
+  * computed scalably: a global `row_number()` window would funnel 100 TB
+  * through one partition, so instead
+  *   (1) rows bucket by the first `bucketHexChars` of the key — the
+  *       bucket prefix order IS the key order's prefix, so bucket-major
+  *       ordering equals global ordering;
+  *   (2) `row_number` ranks within each bucket (4096-way parallel);
+  *   (3) per-bucket counts (one column-pruned pass) turn into bucket
+  *       offsets via a tiny 4096² self-join — no global window, no
+  *       single-partition stage, no driver collect;
+  *   (4) position = bucket offset + in-bucket rank, broadcast-joined back.
+  */
+object ExportOps {
+
+  /** Append a 1-based global permutation position (`outCol`) ordered by
+    * md5(seed ":" id), ties broken by id. Deterministic across engines,
+    * partitionings, and re-runs.
+    */
+  def permutation(
+      df: DataFrame,
+      idCol: String,
+      seed: String,
+      outCol: String = "pos",
+      bucketHexChars: Int = 3
+  ): DataFrame = {
+    val reserved = Set("__k", "__b", "__r", "__n", "__off")
+    val clash = df.columns.filter(c => reserved(c))
+    require(clash.isEmpty,
+      s"permutation: input columns collide with reserved helper names: ${clash.mkString(", ")}")
+    require(bucketHexChars >= 1 && bucketHexChars <= 8, "bucketHexChars in [1,8]")
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val keyed = df.withColumn("__k", key).withColumn("__b", substring(col("__k"), 1, bucketHexChars))
+    val ranked = keyed
+      .withColumn("__r", row_number().over(Window.partitionBy("__b").orderBy(col("__k"), col(idCol))))
+    // per-bucket counts: a second, column-pruned pass over (id only) —
+    // cheaper than materializing the keyed corpus just to count buckets
+    val counts = df.select(substring(key, 1, bucketHexChars).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__n"))
+    // offsets without a global window (the zorder lesson: Window.orderBy
+    // with no partition funnels everything through one partition and
+    // warns in the log): a ≤4096² broadcast self-join running-sum
+    val offs = counts.as("x")
+      .join(counts.as("y"), col("y.__b") < col("x.__b"), "left")
+      .groupBy(col("x.__b"))
+      .agg(coalesce(sum(col("y.__n")), lit(0L)).as("__off"))
+    ranked
+      .join(broadcast(offs), "__b")
+      .withColumn(outCol, col("__off") + col("__r"))
+      .drop("__k", "__b", "__r", "__off")
+  }
+
+  /** Shuffle `df` by the seeded permutation and write it chunked: file k
+    * holds positions [k·rowsPerFile+1, (k+1)·rowsPerFile], sorted, ONE
+    * file per chunk — so a training reader streaming chunk 0, 1, 2, …
+    * reproduces the exact batch order on any engine, any day.
+    * Returns the chunked frame (id, pos, chunk + original columns).
+    */
+  def exportShuffled(
+      df: DataFrame,
+      idCol: String,
+      seed: String,
+      dir: String,
+      rowsPerFile: Long,
+      bucketHexChars: Int = 3
+  ): DataFrame = {
+    require(rowsPerFile > 0, "rowsPerFile must be positive")
+    val p = permutation(df, idCol, seed, bucketHexChars = bucketHexChars)
+    // `div` (not `/`) — exact long division past 2^53 positions
+    val chunked = p.withColumn("chunk", expr(s"(pos - 1) div $rowsPerFile"))
+    chunked
+      .repartition(col("chunk"))
+      .sortWithinPartitions("chunk", "pos")
+      .write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(dir)
+    chunked
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CorpusOps, JoinOps, PackingOps, StatsOps}
+import graft.operators.{CorpusOps, ExportOps, JoinOps, PackingOps, StatsOps}
 import org.apache.spark.sql.functions._
 
 /** Round-4 additions: sequence packing, z-score, rare postings, nearest
@@ -35,6 +35,50 @@ class PackingStatsSpec extends SparkSpec {
       .orderBy("id").select("start_off", "first_win", "last_win", "n_windows")
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((0L, 0L, 0L, 1L), (10L, 0L, 0L, 1L), (10L, 0L, 1L, 2L)))
+  }
+
+  test("permutation equals a driver-side sort by md5 key; stable across partitionings") {
+    val ids = (0L until 300L).toSeq
+    val df = ids.toDF("id")
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val expected = ids.sortBy(i => (md5hex(s"7:$i"), i)).zipWithIndex
+      .map { case (id, i) => (id, i + 1L) }.toMap
+    val got = ExportOps.permutation(df, "id", seed = "7")
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    // bucket-parallel position assignment must not depend on layout
+    val re = ExportOps.permutation(df.repartition(7), "id", seed = "7", bucketHexChars = 1)
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(re == expected)
+    // a different seed is a different permutation (not identity-correlated)
+    val other = ExportOps.permutation(df, "id", seed = "8")
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(other != expected)
+  }
+
+  test("permutation rejects reserved helper column names") {
+    val df = Seq((1L, "x")).toDF("id", "__k")
+    val e = intercept[IllegalArgumentException](ExportOps.permutation(df, "id", "s"))
+    assert(e.getMessage.contains("__k"))
+  }
+
+  test("exportShuffled: one file per chunk, contiguous position ranges, rows conserved") {
+    val dir = java.nio.file.Files.createTempDirectory("export-spec").toString
+    val df = (0L until 250L).map(i => (i, s"doc$i")).toDF("id", "body")
+    ExportOps.exportShuffled(df, "id", seed = "42", dir, rowsPerFile = 100L)
+    val back = spark.read.parquet(dir)
+      .select(col("chunk").cast("long").as("chunk"), col("pos"), input_file_name().as("f"))
+    val layout = back.groupBy("chunk")
+      .agg(count(lit(1)).as("n"), min("pos").as("minp"), max("pos").as("maxp"),
+        countDistinct(col("f")).as("nf"))
+      .orderBy("chunk")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(layout == Seq((0L, 100L, 1L, 100L, 1L), (1L, 100L, 101L, 200L, 1L), (2L, 50L, 201L, 250L, 1L)))
+    // original columns survive the export
+    assert(spark.read.parquet(dir).columns.toSet == Set("id", "body", "pos", "chunk"))
   }
 
   test("zscore standardizes per group; degenerate groups yield null") {
