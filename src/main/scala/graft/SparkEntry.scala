@@ -4,6 +4,7 @@ import graft.functions.TextFunctions
 import graft.functions.VectorFunctions
 import graft.operators._
 import graft.pipeline.{Pipeline, Uris}
+import graft.streaming.StreamOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -682,6 +683,24 @@ object SparkEntry {
         .groupBy(unix_micros(date_trunc("hour", evTs)).as("hour_us"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("sum_value"))
         .orderBy("hour_us")
+    }),
+    "events_stream_join_twin" -> ((s, d) => {
+      // batch twin of StreamOps.streamStreamJoin — the SAME code path
+      // (batch analysis eliminates the watermark nodes), so the driver
+      // oracle pins the time-bounded join semantics and the streaming
+      // spec keeps the incremental/state side: purchases within 1 hour
+      // at-or-after a click by the same user
+      val e = T(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), evTs.as("click_ts"), col("event_id").as("click_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), evTs.as("purchase_ts"), col("event_id").as("purchase_id"))
+      StreamOps.streamStreamJoin(clicks, purchases, Seq("user_id"),
+          "click_ts", "purchase_ts", watermarkDelay = "10 minutes", maxDelay = "1 hour")
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purchase_ts")).as("purchase_us"))
+        .orderBy("user_id", "click_id", "purchase_id")
     }),
     "events_json" -> ((s, d) => {
       T(s, d, "events")
@@ -1547,6 +1566,15 @@ object SparkEntry {
       "events_json" ->
         """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k, COUNT(*) AS n
           |FROM events GROUP BY k ORDER BY k""".stripMargin,
+      "events_stream_join_twin" ->
+        """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us
+          |  FROM events WHERE event_type = 'click'),
+          |p AS (SELECT user_id, event_id AS purchase_id, epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us
+          |  FROM events WHERE event_type = 'purchase')
+          |SELECT c.user_id AS user_id, click_id, purchase_id, click_us, purchase_us
+          |FROM c JOIN p ON c.user_id = p.user_id
+          | AND purchase_us >= click_us AND purchase_us <= click_us + 3600000000
+          |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
       "pipeline_sql" ->
         """SELECT b, CAST(SUM(a) AS BIGINT) AS sum_a
           |FROM (VALUES (1,'x'),(2,'y'),(3,'x')) t(a,b) GROUP BY b ORDER BY b""".stripMargin,
