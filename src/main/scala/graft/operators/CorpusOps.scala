@@ -110,19 +110,24 @@ object CorpusOps {
     * splits. (A count window over `h` — the previous shape — funnels
     * every row of a hot shingle through ONE reducer with no partial-agg
     * or skew-split escape; probed 90%-hot vs uniform in ScaleProbe.)
-    * Price: the tokenize→shingle scan runs on both join sides; cache or
-    * localCheckpoint upstream if the scan dominates.
+    * Price: the tokenize→shingle scan runs on both join sides —
+    * `materializeSignatures` (the same lever containmentPairs carries)
+    * lazily localCheckpoints the (doc_id, h) table so the scan runs
+    * once; flip off when recompute is cheaper than materializing the
+    * shingle mass (storage-starved executors).
     */
   def duplicatedSpanStats(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      minDf: Int = 2
+      minDf: Int = 2,
+      materializeSignatures: Boolean = false
   ): DataFrame = {
-    val sh = docs.select(
+    val sh0 = docs.select(
       col(idCol).as("doc_id"),
       explode(DedupOps.hashedShingleSet(col(textCol), n)).as("h"))
+    val sh = if (materializeSignatures) sh0.localCheckpoint(eager = false) else sh0
     val dfTable = sh.groupBy("h").agg(count(lit(1)).as("df"))
     sh.join(dfTable, "h")
       .groupBy("doc_id")

@@ -192,6 +192,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("duplicatedSpanStats: materializeSignatures runs the shingle scan once") {
+    val docs = (0L until 150L).map(i => (i, s"common boiler plate text w$i tail")).toDF("doc_id", "text")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // AQE hides nodes from plan.collect
+    try {
+      // default shape: the (doc_id, h) explode feeds BOTH join sides
+      val off = graft.operators.CorpusOps.duplicatedSpanStats(docs, "doc_id", "text", n = 3)
+      off.collect()
+      assert("Generate explode".r.findAllIn(executedPlan(off)).size == 2,
+        s"unmaterialized shape tokenizes both sides:\n${executedPlan(off)}")
+      // with the lever on, the whole tokenize→shingle pipeline must appear
+      // ZERO times (both consumers read the lazy local checkpoint)
+      val on = graft.operators.CorpusOps.duplicatedSpanStats(docs, "doc_id", "text", n = 3,
+        materializeSignatures = true)
+      val got = on.collect()
+      assert(!executedPlan(on).contains("Generate explode"),
+        s"with materializeSignatures the shingle scan must not re-run:\n${executedPlan(on)}")
+      // same result either way
+      val expected = off.orderBy("doc_id").collect().toSeq
+      assert(on.orderBy("doc_id").collect().toSeq == expected)
+      assert(got.nonEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("capPerKey: WindowGroupLimit prunes map-side, single shuffle") {
     val df = (0L until 1000L).map(i => (s"k${i % 5}", i)).toDF("k", "id")
     spark.conf.set("spark.sql.adaptive.enabled", "false") // AQE hides nodes from plan.collect
