@@ -158,6 +158,16 @@ object ScaleProbe {
       "exact_stats_moments" -> { rows =>
         StatsOps.exactStats(synth(rows).select(col("bucket"), col("value"),
           (col("value") * 0.5).as("v2")), Seq("bucket"), col("value"), col("v2")).count()
+      },
+      "cc_clusters" -> { rows =>
+        // chained dup pairs in size-8 clusters (the realistic near-dup
+        // component shape): per-round cost of hook+jump+convergence-check;
+        // the round-5 change reads convergence off the round's checkpoint
+        // blocks instead of a next×labels shuffle join
+        val edges = synth(rows)
+          .filter(pmod(col("id"), lit(8)) =!= 7)
+          .select(col("id").as("a"), (col("id") + 1).as("b"))
+        graft.operators.GraphOps.connectedComponents(edges, "a", "b").count()
       })
 
     val probes = only.fold(allProbes)(names => allProbes.filter(p => names.contains(p._1)))

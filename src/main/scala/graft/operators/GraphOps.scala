@@ -46,28 +46,32 @@ object GraphOps {
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      // hook: pull the minimum label from the 1-hop neighborhood
+      // hook: pull the minimum label from the 1-hop neighborhood; the
+      // round's STARTING label rides along as old_cid so convergence can
+      // be read off the materialized result instead of re-joined later
       val nbrMin = und.join(labels, col("dst") === col("id"))
         .groupBy("src")
         .agg(min("cluster_id").as("nbr_min"))
       val hooked = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"), least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .select(col("id"), col("cluster_id").as("old_cid"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint() // consumed twice by the jump self-join: don't re-run the hook join
 
       // jump: adopt the label OF the label (labels only ever decrease, so
       // the parent's label is ≤ ours; this halves label-tree depth and
       // turns O(diameter) convergence into O(log diameter))
+      val jumped = least(col("l.cluster_id"), coalesce(col("pcid"), col("l.cluster_id")))
       val next = hooked.as("l")
         .join(hooked.select(col("id").as("pid"), col("cluster_id").as("pcid")).as("p"),
           col("l.cluster_id") === col("pid"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.cluster_id"), coalesce(col("pcid"), col("l.cluster_id"))).as("cluster_id"))
+        .select(col("l.id").as("id"), jumped.as("cluster_id"),
+          (jumped =!= col("l.old_cid")).as("__chg"))
         .localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .count()
-      labels = next
-      converged = changed == 0
+      // convergence check over the checkpoint blocks just written — a
+      // pure local scan with early exit, not the next×labels shuffle
+      // join the previous shape paid per round (round-5 verdict item)
+      converged = next.filter(col("__chg")).isEmpty
+      labels = next.drop("__chg")
       it += 1
     }
     if (!converged)
