@@ -1,56 +1,43 @@
 package graft
 
-import graft.operators.DedupOps
+import graft.functions.VectorFunctions
+import graft.operators.SimilarityOps
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev scratch main: timing of dedup sub-stages (not part of the API). */
+/** Dev scratch main: IVF recall sweep across (nCells, nProbe, iters)
+  * sizing rules at each SF (not part of the API). */
 object DevProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.wholeStage", sys.env.getOrElse("WSCG", "true"))
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    spark.sparkContext.setLogLevel("ERROR")
 
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.1fs"); r
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val vecs = spark.read.parquet(s"/root/testdata/sf$sf/embeddings.parquet")
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+      val n = vecs.count()
+      val queries = vecs.filter(col("vec_id") < 8)
+      val k = 5
+      val bf = SimilarityOps.bruteForceTopK(vecs, queries, "vec_id", "vec", k)
+        .select("query_id", "neighbor_id").cache()
+      bf.count()
+      for ((cells, probe, iters) <- Seq(
+          (16, 8, 2), // current driver setting
+          (math.max(4, math.sqrt(n).toInt), math.max(2, math.sqrt(n).toInt / 2), 2),
+          (math.max(4, math.sqrt(n).toInt), math.max(2, math.sqrt(n).toInt / 2), 4),
+          (math.max(4, (n / 64).toInt min math.sqrt(n).toInt), math.max(2, ((n / 64).toInt min math.sqrt(n).toInt) / 2), 4))) {
+        val ivf = SimilarityOps.ivfTopK(vecs, queries, "vec_id", "vec", k,
+          nCells = cells, nProbe = probe, iters = iters)
+          .select("query_id", "neighbor_id")
+        val hits = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
+        println(f"[ivf] sf=$sf n=$n cells=$cells probe=$probe iters=$iters recall=${hits.toDouble / (8 * k)}%.3f")
+      }
+      bf.unpersist()
     }
-
-    val sigs = DedupOps.simhashSignatures(docs, "text", "doc_id").persist()
-    time("simhash signatures")(println("sigs=" + sigs.count()))
-
-    val banded = sigs.select(
-      struct(col("id"), col("sig")).as("rec"),
-      explode(array((0 until 4).map(j =>
-        struct(lit(j).as("chunk_idx"), shiftright(col("sig"), 16 * j).bitwiseAND(0xffffL).as("chunk"))): _*)).as("cx")
-    ).persist()
-    time("banded")(println("banded=" + banded.count()))
-
-    val buckets = banded
-      .groupBy(col("cx.chunk_idx"), col("cx.chunk"))
-      .agg(sort_array(collect_list(col("rec"))).as("recs"))
-      .filter(size(col("recs")).between(2, 256)).persist()
-    time("buckets")(println("buckets=" + buckets.count()))
-
-    val prs = buckets.select(explode(org.apache.spark.sql.functions.flatten(
-      transform(
-        sequence(lit(1), size(col("recs")) - 1),
-        i => transform(slice(col("recs"), i + 1, size(col("recs"))),
-          b => struct(element_at(col("recs"), i).as("a"), b.as("b")))
-      ))).as("p")).persist()
-    time("pairs explode")(println("prs=" + prs.count()))
-
-    val fin = prs.select(col("p.a.id").as("a_id"), col("p.b.id").as("b_id"),
-        col("p.a.sig").as("sig_a"), col("p.b.sig").as("sig_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= 3)
-    time("final")(println("fin=" + fin.count()))
     spark.stop()
   }
 }

@@ -922,22 +922,23 @@ object SparkEntry {
       // IVF coarse-quantization ANN (the nProbe/nCells scan-fraction knob);
       // like ann_lsh, driver-checked via the recall-vs-brute-force
       // invariant; exact rows pinned by the ScalaTest recall spec.
-      // nProbe 6→8 raised measured recall to ≥0.8 at sf0.01/sf0.1 and
-      // [0.7, 0.8) at sf0.001 (500 vectors / 16 cells = noisy centroids);
-      // invariant raised 0.6 → 0.7 green at all SFs
+      // Round 5: √n adaptive sizing (ivfTopKAuto) replaced the fixed
+      // 16-cell index whose centroids were noisy at 500 vectors —
+      // measured recall@5 0.825/0.95/0.85 at sf0.001/0.01/0.1
+      // (deterministic), so the invariant rises 0.7 → 0.8
       val vecs = TP(s, d, "embeddings")
         .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
       val queries = vecs.filter(col("vec_id") < 8)
       val k = 5
       val bf = SimilarityOps.bruteForceTopK(vecs, queries, "vec_id", "vec", k)
         .select("query_id", "neighbor_id")
-      val ivf = SimilarityOps.ivfTopK(vecs, queries, "vec_id", "vec", k, nCells = 16, nProbe = 8)
+      val ivf = SimilarityOps.ivfTopKAuto(vecs, queries, "vec_id", "vec", k)
         .select("query_id", "neighbor_id")
       bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
         .select(
           lit(8L).as("n_queries"),
-          (col("hits").cast("double") / (8 * k) >= 0.7).as("recall_ok"))
+          (col("hits").cast("double") / (8 * k) >= 0.8).as("recall_ok"))
     }),
 
     // ----- LLM-pipeline: text analysis -----
