@@ -119,6 +119,22 @@ class AvroRegistrySpec extends SparkSpec {
     assert(ew.getMessage.toLowerCase.contains("kafka") || ew.getMessage.toLowerCase.contains("avro"))
   }
 
+  test("CLI e2e: Pipeline.fromArgs kafka sink with serde=avro-registry runs the full uri→serde→framing path") {
+    withRegistryConf() {
+      val (p, _) = graft.pipeline.Pipeline.fromArgs(Seq(
+        "--source", "values:///?header=id:long&values=1;2",
+        "--sink", "kafka://broker:9092/orders?serde=avro-registry"))
+      // run() materializes the sink: serialize → registry lookup (fake
+      // factory) → Confluent framing → avro codec, which degrades
+      // honestly in this connector-less container
+      val e = intercept[UnsupportedSourceInEnv](p.run(spark))
+      assert(e.getMessage.toLowerCase.contains("avro") || e.getMessage.toLowerCase.contains("kafka"))
+      // the registry WAS consulted, with the subject derived from the
+      // sink URI's topic under the topic-name strategy
+      assert(FakeRegistryFactory.subjects.toSeq == Seq("orders-value"))
+    }
+  }
+
   test("kafka uri with bare serde=avro-registry adopts the uri topic (topic-name strategy)") {
     withRegistryConf() {
       val uri = graft.pipeline.Uris.ParsedUri(new java.net.URI("kafka://broker:9092/clicks?serde=avro-registry"))
