@@ -1336,810 +1336,8 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- oracles
 
-  /** DuckDB-dialect twins of `queries`, aligned column-for-column. Keys
-    * absent here (minhash/simhash/lsh/approx) get the driver's weaker
-    * rows-only check — their semantics are pinned by ScalaTest instead.
-    */
-  def oracleSql: Map[String, String] = {
-    // shared SQL fragments (DuckDB dialect)
-    // collapse-then-trim, mirroring TextFunctions.normText (trim strips
-    // only spaces, so the order matters for tab-edged documents)
-    val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
-    // empty-doc alignment (round-2 advisor): DuckDB string_split('', ' ')
-    // yields [''] where Spark tokensFromNorm yields [] — the CASE makes
-    // every token-derived oracle column agree on empty/whitespace docs
-    val toks = s"(CASE WHEN len($norm) = 0 THEN []::VARCHAR[] ELSE string_split($norm, ' ') END)"
-    // word n-gram shingles of token list t (DuckDB slice t[a:b] is
-    // 1-based inclusive; range(x, y) excludes y) — mirrors
-    // TextFunctions.shinglesFromTokens for any n
-    def shingles(t: String, n: Int = 3) =
-      s"(CASE WHEN len($t) <= $n THEN [array_to_string($t, ' ')] " +
-        s"ELSE list_transform(range(1, len($t)-${n - 2}), i -> array_to_string($t[i:i+${n - 1}], ' ')) END)"
-    def jaccardPairsSql(n: Int, threshold: Double, extraWhere: String = "") =
-      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-         |sh AS (SELECT doc_id, list_distinct(${shingles("tk", n)}) AS s FROM t)
-         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         | ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 4) AS jaccard
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= $threshold
-         |$extraWhere
-         |ORDER BY a_id, b_id""".stripMargin
-    val revenue =
-      "CAST(CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)"
-    val stopAll = TextFunctions.stopwords.values.flatten.toSeq.distinct.sorted
-      .map(w => s"'$w'").mkString("[", ", ", "]")
-    def markers(l: String) =
-      TextFunctions.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
-    def sL(l: String) = s"len(list_intersect(list_distinct($toks), ${markers(l)}))"
-    val dotExpr = "list_reduce(list_transform(list_zip(a.vec, b.vec), p -> p[1]*p[2]), (x,y) -> x+y)"
-    def normExpr(side: String) =
-      s"sqrt(list_reduce(list_transform($side.vec, x -> x*x), (x,y) -> x+y))"
-
-    Map(
-      "q1_agg" ->
-        """SELECT l_returnflag, l_linestatus,
-          | CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty,
-          | CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_base_price,
-          | CAST(CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
-          | ROUND(CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)/COUNT(*), 4) AS avg_qty,
-          | COUNT(*) AS count_order
-          |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
-      "q2_pushdown" ->
-        """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
-          |WHERE l_quantity >= 48 AND l_discount >= 0.08 ORDER BY l_orderkey, l_linenumber""".stripMargin,
-      "q3_join_topn" ->
-        s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, $revenue AS revenue
-           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-           |JOIN customer ON o_custkey = c_custkey
-           |WHERE c_mktsegment = 'BUILDING'
-           |GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
-      "q4_semijoin" ->
-        """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
-          |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
-          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-      "q5_multijoin" ->
-        s"""SELECT n_name, $revenue AS revenue
-           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-           |JOIN customer ON o_custkey = c_custkey
-           |JOIN nation ON c_nationkey = n_nationkey
-           |JOIN region ON n_regionkey = r_regionkey
-           |WHERE r_name = 'ASIA'
-           |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
-      "q6_selective_agg" ->
-        """SELECT CAST(CAST(CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS revenue,
-          | COUNT(*) AS n
-          |FROM lineitem
-          |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-          | AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
-      "q7_window" ->
-        """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
-          | SELECT o_custkey, o_orderkey, o_totalprice,
-          |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
-          | FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
-      "q8_distinct" ->
-        """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
-          | COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
-          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-      "q9_antijoin" ->
-        """SELECT c_nationkey, COUNT(*) AS n_customers FROM customer
-          |WHERE NOT EXISTS (SELECT 1 FROM orders
-          |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
-      "q10_topk" ->
-        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
-      "q11_having" ->
-        """SELECT l_partkey, CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty
-          |FROM lineitem GROUP BY l_partkey
-          |HAVING CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) > 900
-          |ORDER BY l_partkey""".stripMargin,
-      "q12_case_agg" ->
-        """SELECT l_linestatus,
-          | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
-          | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_count
-          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-          |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
-      "q13_outerjoin_agg" ->
-        """SELECT c_count, COUNT(*) AS custdist FROM (
-          | SELECT c_custkey, COUNT(o_orderkey) AS c_count
-          | FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
-          | GROUP BY c_custkey)
-          |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
-      "q14_union" ->
-        """SELECT event_type, COUNT(*) AS n FROM (
-          | SELECT * FROM events WHERE event_type IN ('click','purchase')
-          | UNION ALL
-          | SELECT * FROM events WHERE event_type IN ('signup','view'))
-          |GROUP BY event_type ORDER BY event_type""".stripMargin,
-      "q15_rollup" ->
-        """SELECT l_returnflag, l_linestatus,
-          | CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
-          | COUNT(*) AS n,
-          | CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty
-          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-          |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
-      "q16_pivot" ->
-        """SELECT user_id % 10 AS cohort,
-          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'click') AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS click,
-          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'error') AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS error,
-          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'purchase') AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS purchase,
-          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'signup') AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS signup,
-          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'view') AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS view
-          |FROM events GROUP BY cohort ORDER BY cohort""".stripMargin,
-      "q17_subquery" ->
-        """SELECT p_partkey, p_brand, p_retailprice FROM (
-          | SELECT p_partkey, p_brand, p_retailprice,
-          |  CAST(CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) OVER (PARTITION BY p_brand) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
-          |   / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
-          | FROM part)
-          |WHERE p_retailprice > brand_avg ORDER BY p_partkey""".stripMargin,
-      "q20_approx" ->
-        """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts_exact,
-          | true AS parts_ok, true AS p50_ok
-          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-      "ann_lsh" ->
-        "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
-      "ann_ivf" ->
-        "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
-      "q19_percentile" ->
-        """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50,
-          | quantile_cont(o_totalprice, 0.9) AS p90
-          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
-      "asof_join" ->
-        """SELECT o_orderkey, epoch_us(MAX(l_shipdate)) AS asof_us
-          |FROM orders LEFT JOIN lineitem
-          | ON l_orderkey = o_orderkey AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
-          |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
-      "asof_join_fwd" ->
-        """SELECT o_orderkey, epoch_us(MIN(l_shipdate)) AS asof_us
-          |FROM orders LEFT JOIN lineitem
-          | ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
-          |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
-      "asof_join_tol" ->
-        """SELECT o_orderkey, epoch_us(MAX(l_shipdate)) AS asof_us
-          |FROM orders LEFT JOIN lineitem
-          | ON l_orderkey = o_orderkey
-          | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
-          | AND l_shipdate >= o_orderdate + INTERVAL 90 DAY - INTERVAL 30 DAY
-          |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
-      "asof_join_nearest" ->
-        """WITH b AS (SELECT o_orderkey, MAX(l_shipdate) AS bt
-          |           FROM orders LEFT JOIN lineitem
-          |            ON l_orderkey = o_orderkey AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
-          |           GROUP BY o_orderkey),
-          |f AS (SELECT o_orderkey, MIN(l_shipdate) AS ft
-          |      FROM orders LEFT JOIN lineitem
-          |       ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
-          |      GROUP BY o_orderkey),
-          |j AS (SELECT o.o_orderkey, o.o_orderdate + INTERVAL 60 DAY AS cutoff, b.bt, f.ft
-          |      FROM orders o JOIN b USING (o_orderkey) JOIN f USING (o_orderkey))
-          |SELECT o_orderkey,
-          | epoch_us(CASE WHEN ft IS NULL THEN bt
-          |               WHEN bt IS NULL THEN ft
-          |               WHEN cutoff - bt <= ft - cutoff THEN bt ELSE ft END) AS asof_us
-          |FROM j ORDER BY o_orderkey""".stripMargin,
-      "events_retention" ->
-        """WITH uw AS (SELECT DISTINCT user_id,
-          |  epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week FROM events),
-          |c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id),
-          |sz AS (SELECT cohort_week, COUNT(*) AS n_cohort FROM c GROUP BY cohort_week),
-          |act AS (SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset, COUNT(*) AS n_active
-          |        FROM uw JOIN c USING (user_id) GROUP BY c.cohort_week, week_offset)
-          |SELECT cohort_week, week_offset, n_active, n_cohort,
-          | CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention
-          |FROM act JOIN sz USING (cohort_week)
-          |ORDER BY cohort_week, week_offset""".stripMargin,
-      "events_sessionize" ->
-        """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-          |w AS (SELECT user_id, us,
-          |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
-          |        OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000 THEN 1 ELSE 0 END AS ns
-          | FROM e),
-          |s AS (SELECT user_id, us,
-          |  CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-          | FROM w)
-          |SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us
-          |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
-      "events_range_join_rule" ->
-        """WITH iv AS (SELECT i AS interval_id,
-          |  1704067200000000 + i*50400000000 AS s_us,
-          |  1704067200000000 + i*50400000000 + 75600000000 AS e_us
-          | FROM range(50) t(i)),
-          |ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events)
-          |SELECT interval_id, COUNT(*) AS n_events,
-          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value
-          |FROM iv JOIN ev ON ts_us >= s_us AND ts_us < e_us
-          |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
-      "events_range_join" ->
-        """WITH iv AS (SELECT i AS interval_id,
-          |  1704067200000000 + i*50400000000 AS s_us,
-          |  1704067200000000 + i*50400000000 + 75600000000 AS e_us
-          | FROM range(50) t(i)),
-          |ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events)
-          |SELECT interval_id, COUNT(*) AS n_events,
-          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value
-          |FROM iv JOIN ev ON ts_us >= s_us AND ts_us < e_us
-          |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
-      "events_window_agg" ->
-        """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us, COUNT(*) AS n_events,
-          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value
-          |FROM events GROUP BY hour_us ORDER BY hour_us""".stripMargin,
-      "events_json" ->
-        """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k, COUNT(*) AS n
-          |FROM events GROUP BY k ORDER BY k""".stripMargin,
-      "events_stream_join_twin" ->
-        """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us
-          |  FROM events WHERE event_type = 'click'),
-          |p AS (SELECT user_id, event_id AS purchase_id, epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us
-          |  FROM events WHERE event_type = 'purchase')
-          |SELECT c.user_id AS user_id, click_id, purchase_id, click_us, purchase_us
-          |FROM c JOIN p ON c.user_id = p.user_id
-          | AND purchase_us >= click_us AND purchase_us <= click_us + 3600000000
-          |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
-      "pipeline_sql" ->
-        """SELECT b, CAST(SUM(a) AS BIGINT) AS sum_a
-          |FROM (VALUES (1,'x'),(2,'y'),(3,'x')) t(a,b) GROUP BY b ORDER BY b""".stripMargin,
-      "pipeline_values" ->
-        """SELECT * FROM (VALUES (1,'ada',9.5),(2,'bob',7.25)) t(id, name, score) ORDER BY id""",
-      "pipeline_sql_file" ->
-        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
-      "pipeline_identity" -> "SELECT * FROM region ORDER BY r_regionkey",
-      "pipeline_csv_roundtrip" -> "SELECT * FROM region ORDER BY r_regionkey",
-      "flatten_struct" ->
-        """SELECT event_id, event_type AS ev_event_type, value AS ev_value, user_id AS ev_u_user_id
-          |FROM events ORDER BY event_id""".stripMargin,
-      "flatten_explode" ->
-        s"""SELECT token, COUNT(*) AS n FROM (SELECT unnest($toks) AS token FROM documents)
-           |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
-      "diff_tables" ->
-        """WITH r AS (
-          | SELECT CASE WHEN o_orderkey % 500 = 0 THEN o_orderkey + 1000000 ELSE o_orderkey END AS o_orderkey,
-          |  o_custkey, o_orderstatus,
-          |  CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 10 ELSE o_totalprice END AS o_totalprice,
-          |  o_orderdate, o_orderpriority
-          | FROM orders WHERE o_orderkey % 97 <> 0),
-          |d AS (
-          | SELECT CASE WHEN r.o_orderkey IS NULL THEN 'D' WHEN l.o_orderkey IS NULL THEN 'I'
-          |   WHEN (l.o_custkey IS DISTINCT FROM r.o_custkey) OR (l.o_orderstatus IS DISTINCT FROM r.o_orderstatus)
-          |     OR (l.o_totalprice IS DISTINCT FROM r.o_totalprice) OR (l.o_orderdate IS DISTINCT FROM r.o_orderdate)
-          |     OR (l.o_orderpriority IS DISTINCT FROM r.o_orderpriority) THEN 'C' ELSE 'N' END AS diff,
-          |  COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
-          |  l.o_totalprice AS left_o_totalprice, r.o_totalprice AS right_o_totalprice
-          | FROM orders l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey)
-          |SELECT diff, o_orderkey, left_o_totalprice, right_o_totalprice FROM d
-          |WHERE diff <> 'N' ORDER BY o_orderkey, diff""".stripMargin,
-      "merge_upsert" ->
-        """WITH upd AS (
-          | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 10 AS o_totalprice,
-          |        o_orderdate, o_orderpriority, o_orderkey % 97 = 0 AS del
-          | FROM orders WHERE o_orderkey % 100 = 0 OR o_orderkey % 97 = 0
-          | UNION ALL
-          | SELECT o_orderkey + 2000000, o_custkey, o_orderstatus, o_totalprice,
-          |        o_orderdate, o_orderpriority, false
-          | FROM orders WHERE o_orderkey % 500 = 0),
-          |merged AS (
-          | SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd WHERE NOT del
-          | UNION ALL
-          | SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM orders b
-          | WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd))
-          |SELECT o_orderstatus, COUNT(*) AS n,
-          | CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_price
-          |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
-      "dedup_exact" ->
-        s"""WITH doubled AS (
-           | SELECT doc_id, text FROM documents
-           | UNION ALL SELECT doc_id + 1000000, text FROM documents)
-           |SELECT md5($norm) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
-           |FROM doubled GROUP BY content_hash ORDER BY keep_id""".stripMargin,
-      "dedup_minhash" -> jaccardPairsSql(n = 2, threshold = 0.7),
-      // the incremental probe returns exactly the quadratic pair set
-      // restricted to pairs touching at least one NEW doc (doc_id%4=0)
-      "dedup_incremental" -> jaccardPairsSql(n = 2, threshold = 0.7,
-        extraWhere = "AND (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)"),
-      "dedup_simhash_check" ->
-        s"""WITH doubled AS (
-           | SELECT doc_id, text FROM documents
-           | UNION ALL SELECT doc_id + 1000000, text FROM documents),
-           |g AS (SELECT md5($norm) AS h, COUNT(*) AS m FROM doubled GROUP BY h)
-           |SELECT CAST(SUM((m*(m-1))//2) AS BIGINT) AS n_exact_pairs, true AS all_covered FROM g""".stripMargin,
-      "graph_pagerank_check" ->
-        """WITH e AS (SELECT DISTINCT c_custkey % 25 AS src, CAST(c_nationkey AS BIGINT) AS dst
-          |           FROM customer WHERE c_custkey % 25 <> c_nationkey),
-          |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
-          |SELECT (SELECT COUNT(*) FROM n) AS n_nodes,
-          | true AS all_positive, true AS mass_bounded, true AS replay_stable""".stripMargin,
-      "write_metrics_check" ->
-        """SELECT COUNT(*) AS n_rows,
-          | CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_price
-          |FROM orders""".stripMargin,
-      "write_compact_check" ->
-        """SELECT CAST(3 AS BIGINT) AS n_files,
-          | (SELECT COUNT(*) FROM orders) AS n_rows, true AS within_cap""".stripMargin,
-      "write_zorder_check" ->
-        """SELECT CAST(4 AS BIGINT) AS n_files, true AS ranges_disjoint,
-          | (SELECT COUNT(*) FROM part) AS n_rows""".stripMargin,
-      "vec_meanpool" ->
-        """WITH pe AS (SELECT vec_id % 50 AS grp,
-          |  generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x
-          |  FROM embeddings),
-          |m AS (SELECT grp, pos, COUNT(*) AS n,
-          |  CAST(CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE) AS sx
-          |  FROM pe GROUP BY grp, pos)
-          |SELECT grp, COUNT(*) AS dim, MAX(n) AS n_chunks,
-          | MAX(CASE WHEN pos = 0 THEN sx / CAST(n AS DOUBLE) END) AS v0,
-          | MAX(CASE WHEN pos = 31 THEN sx / CAST(n AS DOUBLE) END) AS v31
-          |FROM m GROUP BY grp ORDER BY grp""".stripMargin,
-      "data_packing" ->
-        s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tok,
-           |  CAST(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1 AS INT) AS shard
-           |  FROM documents),
-           |c AS (SELECT doc_id, shard, n_tok,
-           |  CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-           |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
-           |  FROM t),
-           |p AS (SELECT doc_id, shard, n_tok, end_off - n_tok AS start_off,
-           |  (end_off - n_tok) // 512 AS first_win,
-           |  CASE WHEN n_tok = 0 THEN (end_off - n_tok) // 512 ELSE (end_off - 1) // 512 END AS last_win
-           |  FROM c)
-           |SELECT doc_id, shard, n_tok, start_off, first_win, last_win,
-           | last_win - first_win + 1 AS n_windows
-           |FROM p ORDER BY doc_id""".stripMargin,
-      "data_shuffle" ->
-        """SELECT doc_id,
-          | ROW_NUMBER() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
-          |FROM documents ORDER BY pos""".stripMargin,
-      "data_shuffle_check" ->
-        """SELECT CAST(CEIL(COUNT(*) / 1000.0) AS BIGINT) AS n_files, COUNT(*) AS n_rows,
-          | true AS within_cap, true AS ranges_contiguous, true AS one_file_per_chunk
-          |FROM documents""".stripMargin,
-      "text_postings" ->
-        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-           |g AS (SELECT DISTINCT doc_id, gram FROM
-           |  (SELECT doc_id, unnest(${shingles("tk", 3)}) AS gram FROM t) WHERE gram <> ''),
-           |r AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram HAVING COUNT(*) <= 2)
-           |SELECT gram, df,
-           | array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
-           |FROM g JOIN r USING (gram)
-           |GROUP BY gram, df ORDER BY gram""".stripMargin,
-      "q34_unpivot" ->
-        """WITH b AS (SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
-          |  CAST(l_quantity AS DOUBLE) AS quantity,
-          |  CAST(l_extendedprice AS DOUBLE) AS extendedprice,
-          |  CAST(l_discount AS DOUBLE) AS discount
-          |  FROM lineitem WHERE l_orderkey <= 100)
-          |SELECT l_orderkey, l_linenumber, metric, value FROM b
-          |UNPIVOT (value FOR metric IN (quantity, extendedprice, discount))
-          |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
-      "q33_zscore" ->
-        """WITH fl AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_custkey % 10 = 0),
-          |m AS (SELECT c_mktsegment,
-          | COUNT(CASE WHEN c_acctbal IS NOT NULL THEN 1 END) AS n,
-          | CAST(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sx,
-          | CAST(CAST(CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sxx
-          | FROM fl GROUP BY c_mktsegment),
-          |s AS (SELECT c_mktsegment, sx / CAST(n AS DOUBLE) AS mean,
-          |      sqrt((sxx - sx*sx/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS sd FROM m)
-          |SELECT c_custkey, c_mktsegment,
-          | CASE WHEN sd > 0 THEN (CAST(c_acctbal AS DOUBLE) - mean) / sd END AS z
-          |FROM fl JOIN s USING (c_mktsegment) ORDER BY c_custkey""".stripMargin,
-      "dedup_clusters" ->
-        s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
-           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
-           |p AS (SELECT a.doc_id AS a, b.doc_id AS b
-           |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           |      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7),
-           |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
-           |reach(id, r) AS (
-           | SELECT DISTINCT a AS id, a AS r FROM e
-           | UNION
-           | SELECT e.b AS id, reach.r AS r FROM reach JOIN e ON e.a = reach.id)
-           |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
-      "data_sample" ->
-        s"""SELECT doc_id, len($toks) AS n_tok FROM documents
-           |WHERE substr(md5(doc_id::VARCHAR), 1, 1) IN ('0','1') ORDER BY doc_id""".stripMargin,
-      "data_decontam" ->
-        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-           |shl AS (SELECT doc_id, unnest(list_distinct(${shingles("tk", 8)})) AS s FROM t),
-           |b AS (SELECT DISTINCT s FROM shl WHERE doc_id % 50 = 0)
-           |SELECT doc_id, COUNT(*) AS n_hits FROM shl JOIN b USING (s)
-           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-      "data_stratified" ->
-        """WITH f AS (SELECT event_type, value FROM events
-          | WHERE CASE event_type
-          |  WHEN 'click' THEN substr(md5(event_id::VARCHAR),1,1) < '2'
-          |  WHEN 'purchase' THEN true
-          |  WHEN 'view' THEN substr(md5(event_id::VARCHAR),1,1) < '1'
-          |  ELSE substr(md5(event_id::VARCHAR),1,1) < '4' END)
-          |SELECT event_type, COUNT(*) AS n,
-          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value
-          |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
-      "text_topterms" ->
-        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
-           |f AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
-           |      WHERE token <> '' AND NOT list_contains($stopAll, token)
-           |      GROUP BY doc_id, token),
-           |r AS (SELECT doc_id, token, tf,
-           |       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, token) AS rn FROM f)
-           |SELECT doc_id, token AS top_term, tf FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-      "q25_ntile" ->
-        """WITH r AS (SELECT c_mktsegment, c_acctbal,
-          |  NTILE(4) OVER (PARTITION BY c_mktsegment
-          |                 ORDER BY c_acctbal DESC, c_custkey) AS quartile
-          | FROM customer)
-          |SELECT c_mktsegment, quartile, COUNT(*) AS n,
-          | MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
-          |FROM r GROUP BY c_mktsegment, quartile ORDER BY c_mktsegment, quartile""".stripMargin,
-      "q26_fuzzy" ->
-        """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
-          | CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-          |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-          |WHERE levenshtein(a.c_name, b.c_name) <= 1
-          |ORDER BY a_id, b_id""".stripMargin,
-      "q27_hof" ->
-        """SELECT l_orderkey, COUNT(*) AS n_items,
-          | CAST(COALESCE(SUM(CAST(l_quantity AS INT)) FILTER (CAST(l_quantity AS INT) > 25), 0) AS BIGINT) AS sum_hi,
-          | CAST(COUNT(*) FILTER (CAST(l_quantity AS INT) > 25) AS BIGINT) AS n_hi
-          |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
-      "q28_datetime" ->
-        """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
-          | CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
-          | COUNT(*) AS n,
-          | CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_price
-          |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
-      "q18_skewjoin" ->
-        """SELECT l_returnflag,
-          | CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty,
-          | COUNT(*) AS n
-          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-      "q21_cube" ->
-        """SELECT l_returnflag, l_linestatus,
-          | CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
-          | COUNT(*) AS n,
-          | CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty
-          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-          |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
-      "q22_setops" ->
-        """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
-          |b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
-          |i AS (SELECT o_custkey, 'both' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)),
-          |e AS (SELECT o_custkey, 'open_only' AS op FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
-          |SELECT o_custkey, op FROM i UNION ALL SELECT o_custkey, op FROM e
-          |ORDER BY op, o_custkey""".stripMargin,
-      "text_vocab" ->
-        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
-           |f AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
-           |      WHERE token <> '' AND NOT list_contains($stopAll, token)
-           |      GROUP BY doc_id, token),
-           |v AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS tf, COUNT(*) AS df FROM f GROUP BY token)
-           |SELECT token, tf, df FROM v ORDER BY tf DESC, token LIMIT 100""".stripMargin,
-      "text_tfidf" ->
-        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
-           |f AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
-           |      WHERE token <> '' AND NOT list_contains($stopAll, token)
-           |      GROUP BY doc_id, token),
-           |dft AS (SELECT token, COUNT(*) AS df FROM f GROUP BY token),
-           |nn AS (SELECT COUNT(*) AS n_docs FROM documents),
-           |sc AS (SELECT f.doc_id, f.token, f.tf, dft.df,
-           |       CAST(f.tf * nn.n_docs AS DOUBLE)/dft.df AS score
-           |       FROM f JOIN dft USING (token) CROSS JOIN nn),
-           |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn FROM sc)
-           |SELECT doc_id, token AS term, tf, df, score FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-      "q23_histogram" ->
-        """WITH b AS (SELECT CAST(FLOOR(l_extendedprice/5000) AS BIGINT) AS bin FROM lineitem)
-          |SELECT bin, COUNT(*) AS n, CAST(bin*5000 AS DOUBLE) AS lo
-          |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
-      "q24_stats" ->
-        """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
-          | CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sx,
-          | CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sy,
-          | CAST(CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sxx,
-          | CAST(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS syy,
-          | CAST(CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sxy
-          | FROM lineitem GROUP BY l_returnflag)
-          |SELECT l_returnflag, n,
-          | sx / CAST(n AS DOUBLE) AS mean_x,
-          | sqrt((sxx - sx*sx/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS stddev_x,
-          | (CAST(n AS DOUBLE)*sxy - sx*sy) /
-          |   sqrt((CAST(n AS DOUBLE)*sxx - sx*sx) * (CAST(n AS DOUBLE)*syy - sy*sy)) AS corr_xy
-          |FROM m ORDER BY l_returnflag""".stripMargin,
-      "q31_rangeframe" ->
-        """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_s, value
-          |           FROM events WHERE user_id % 20 = 0)
-          |SELECT user_id, event_id, ts_s,
-          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS w_sum,
-          | COUNT(*) OVER w AS w_n
-          |FROM e
-          |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-          |ORDER BY user_id, ts_s, event_id""".stripMargin,
-      "q32_lateral" ->
-        """SELECT n.n_name, t.c_custkey, t.c_acctbal
-          |FROM nation n,
-          | LATERAL (SELECT c_custkey, c_acctbal FROM customer c
-          |          WHERE c.c_nationkey = n.n_nationkey
-          |          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
-          |ORDER BY n.n_name, t.c_custkey""".stripMargin,
-      "q29_nullsafe" ->
-        """WITH e AS (SELECT NULLIF(user_id % 4, 3) AS bucket, value FROM events),
-          |d AS (SELECT * FROM (VALUES (0, 'a'), (1, 'b'), (2, 'c'), (NULL, 'nul')) AS t(bucket, tag))
-          |SELECT tag, COUNT(*) AS n,
-          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value
-          |FROM e JOIN d ON e.bucket IS NOT DISTINCT FROM d.bucket
-          |GROUP BY tag ORDER BY tag""".stripMargin,
-      "q30_stragg" ->
-        """SELECT l_returnflag,
-          | string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
-          | COUNT(*) AS n
-          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-      "data_weighted" ->
-        """SELECT doc_id, n_chars FROM documents
-          |WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0
-          |      < LEAST(CAST(1 AS DOUBLE), CAST(n_chars AS DOUBLE) / 600.0)
-          |ORDER BY doc_id""".stripMargin,
-      "data_topk_sample" ->
-        """SELECT doc_id, h FROM (
-          |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents ORDER BY h LIMIT 100)
-          |ORDER BY doc_id""".stripMargin,
-      "events_scd2" ->
-        """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
-          |           FROM events WHERE user_id % 10 = 0),
-          |c AS (SELECT user_id, event_id, ts_us, event_type,
-          |       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
-          |      FROM e),
-          |f AS (SELECT user_id, event_id, ts_us, event_type FROM c
-          |      WHERE prev IS NULL OR prev <> event_type)
-          |SELECT user_id, event_type, ts_us AS valid_from,
-          | lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to
-          |FROM f ORDER BY user_id, valid_from""".stripMargin,
-      "events_funnel_conv" ->
-        """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type FROM events),
-          |fc AS (SELECT user_id, MIN(ts_us) AS first_click_us FROM e
-          |       WHERE event_type = 'click' GROUP BY user_id),
-          |j AS (SELECT fc.user_id, fc.first_click_us, p.ts_us AS pts
-          |      FROM fc LEFT JOIN e p
-          |       ON p.user_id = fc.user_id AND p.event_type = 'purchase' AND p.ts_us >= fc.first_click_us)
-          |SELECT user_id, first_click_us, MIN(pts) AS first_purchase_us,
-          | MIN(pts) IS NOT NULL AS converted
-          |FROM j GROUP BY user_id, first_click_us ORDER BY user_id""".stripMargin,
-      "events_intervals" ->
-        """WITH iv AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
-          |            epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS e
-          |            FROM events WHERE user_id % 10 = 0),
-          |t AS (SELECT user_id, s, e,
-          |      MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
-          |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
-          |      FROM iv),
-          |t2 AS (SELECT user_id, s, e,
-          |       SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END) OVER
-          |        (PARTITION BY user_id ORDER BY s, e
-          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-          |       FROM t)
-          |SELECT user_id, CAST(island AS BIGINT) AS island, MIN(s) AS s_us, MAX(e) AS e_us, COUNT(*) AS n
-          |FROM t2 GROUP BY user_id, island ORDER BY user_id, island""".stripMargin,
-      "events_resample" ->
-        """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket, value
-          |           FROM events WHERE user_id % 10 = 0),
-          |pb AS (SELECT user_id, bucket, COUNT(*) AS n,
-          |       CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value
-          |       FROM e GROUP BY user_id, bucket),
-          |bounds AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM pb GROUP BY user_id
-          |           HAVING MAX(bucket) - MIN(bucket) < 1000000),
-          |grid AS (SELECT user_id, unnest(range(lo, hi+1)) AS bucket FROM bounds),
-          |j AS (SELECT g.user_id, g.bucket, pb.n, pb.sum_value
-          |      FROM grid g LEFT JOIN pb USING (user_id, bucket))
-          |SELECT user_id, bucket, COALESCE(n, 0) AS n,
-          | LAST_VALUE(sum_value IGNORE NULLS) OVER
-          |  (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value,
-          | n IS NULL AS gap
-          |FROM j ORDER BY user_id, bucket""".stripMargin,
-      "dedup_spans" ->
-        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-           |sh AS (SELECT doc_id, unnest(list_distinct(${shingles("tk", 8)})) AS s FROM t),
-           |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
-           |agg AS (SELECT doc_id, COUNT(*) AS n_ngrams,
-           |        CAST(COUNT(*) FILTER (df >= 2) AS BIGINT) AS n_dup
-           |        FROM sh JOIN dfq USING (s) GROUP BY doc_id)
-           |SELECT doc_id, n_ngrams, n_dup, CAST(n_dup AS DOUBLE)/n_ngrams AS dup_fraction
-           |FROM agg ORDER BY doc_id""".stripMargin,
-      "text_clean" ->
-        """WITH c AS (SELECT doc_id,
-          | trim(regexp_replace(
-          |  replace(replace(replace(replace(replace(replace(
-          |  replace(replace(replace(replace(replace(replace(
-          |   regexp_replace(text, '<[^>]*>', ' ', 'g'),
-          |   '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&'),
-          |   '“','"'),'”','"'),'‘',''''),'’',''''),'–','-'),'—','-'),
-          |  '\s+', ' ', 'g')) AS t
-          | FROM documents)
-          |SELECT doc_id, length(t) AS clean_chars, md5(t) AS clean_md5
-          |FROM c ORDER BY doc_id""".stripMargin,
-      "data_mixture" ->
-        """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents
-          |           WHERE lang IN ('en','de','fr','zh') GROUP BY lang),
-          |t AS (SELECT lang, cnt, CASE lang
-          |        WHEN 'en' THEN CAST(0.5 AS DOUBLE) WHEN 'de' THEN CAST(0.2 AS DOUBLE)
-          |        WHEN 'fr' THEN CAST(0.2 AS DOUBLE) WHEN 'zh' THEN CAST(0.1 AS DOUBLE) END AS tf
-          |      FROM c),
-          |n AS (SELECT MIN(CAST(cnt AS DOUBLE) / tf) AS n_total FROM t),
-          |r AS (SELECT lang, CAST(FLOOR(LEAST(CAST(1 AS DOUBLE), tf * n.n_total / CAST(cnt AS DOUBLE)) * 65536) AS INT) AS thr
-          |      FROM t, n),
-          |k AS (SELECT d.lang FROM documents d JOIN r USING (lang)
-          |      WHERE r.thr >= 65536
-          |         OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', r.thr))
-          |SELECT lang, COUNT(*) AS n_kept FROM k GROUP BY lang ORDER BY lang""".stripMargin,
-      "data_funnel" ->
-        s"""WITH v AS (SELECT CASE
-           | WHEN len($toks) < 20 THEN 'too_short'
-           | WHEN n_chars > 450 THEN 'too_long'
-           | WHEN lang <> 'en' THEN 'non_english'
-           | ELSE 'kept' END AS verdict FROM documents)
-           |SELECT verdict, COUNT(*) AS n_docs FROM v GROUP BY verdict ORDER BY verdict""".stripMargin,
-      "data_domain_cap" ->
-        """WITH r AS (SELECT doc_id, source, n_chars,
-          |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
-          |  FROM documents)
-          |SELECT doc_id, source, n_chars, rn FROM r WHERE rn <= 20
-          |ORDER BY source, rn""".stripMargin,
-      "dedup_containment" ->
-        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 3)}) AS s FROM t),
-           |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
-           |dfq AS (SELECT g, COUNT(*) AS df FROM e GROUP BY g),
-           |rare AS (SELECT e.doc_id, e.g FROM e JOIN dfq USING (g) WHERE df <= 20),
-           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |         FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id),
-           |v AS (SELECT a_id, b_id,
-           |      len(list_intersect(sa.s, sb.s))::DOUBLE / LEAST(len(sa.s), len(sb.s)) AS containment
-           |      FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
-           |SELECT a_id, b_id, ROUND(containment, 4) AS containment
-           |FROM v WHERE containment >= 0.9 ORDER BY a_id, b_id""".stripMargin,
-      "dedup_ngram_jaccard" -> jaccardPairsSql(n = 3, threshold = 0.8),
-      "dedup_embedding" ->
-        s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-           |both_t AS (
-           | SELECT vec_id, vec FROM base
-           | UNION ALL SELECT vec_id + 100000, list_transform(vec, x -> x*1.001) FROM base)
-           |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           | ROUND($dotExpr / (${normExpr("a")} * ${normExpr("b")}), 6) AS cosine
-           |FROM both_t a JOIN both_t b ON a.vec_id < b.vec_id
-           |WHERE ROUND($dotExpr / (${normExpr("a")} * ${normExpr("b")}), 6) >= 0.999
-           |ORDER BY a_id, b_id""".stripMargin,
-      "vec_quantize" ->
-        """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-          |q AS (SELECT vec_id, vec, list_min(vec) AS lo, list_max(vec) AS hi FROM v),
-          |c AS (SELECT vec_id, vec, lo, hi,
-          |  list_transform(vec, x -> CASE WHEN hi - lo = 0 THEN 0
-          |    ELSE CAST(round((x - lo) * 255 / (hi - lo)) AS INT) END) AS codes FROM q),
-          |r AS (SELECT vec_id, lo, hi,
-          |  list_aggregate(
-          |   list_transform(
-          |    list_zip(vec, list_transform(codes, cc -> CASE WHEN hi - lo = 0 THEN lo
-          |      ELSE lo + cc::DOUBLE * (hi - lo) / 255 END)),
-          |    p -> abs(p[1] - p[2])), 'max') AS max_abs_err
-          | FROM c)
-          |SELECT vec_id, lo, hi, max_abs_err FROM r ORDER BY vec_id""".stripMargin,
-      "ann_bruteforce" ->
-        s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-           |scored AS (
-           | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-           |  ROUND($dotExpr / (${normExpr("a")} * ${normExpr("b")}), 6) AS cosine
-           | FROM base a JOIN base b ON a.vec_id < 8 AND b.vec_id <> a.vec_id),
-           |ranked AS (
-           | SELECT query_id, neighbor_id, cosine,
-           |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-           | FROM scored)
-           |SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
-           |ORDER BY query_id, rank""".stripMargin,
-      "text_tokens" ->
-        s"""SELECT doc_id, len($toks) AS n_ws,
-           | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS n_bpe
-           |FROM documents ORDER BY doc_id""".stripMargin,
-      "text_quality" ->
-        s"""WITH q AS (SELECT doc_id,
-           |  len($norm) AS n_chars_norm,
-           |  len($norm) - len(regexp_replace($norm, '[^a-z0-9\\sà-ÿ一-鿿]', '', 'g')) AS punct_cnt,
-           |  len($toks) AS n_tok,
-           |  len(list_filter($toks, t -> list_contains($stopAll, t))) AS stop_hits
-           | FROM documents)
-           |SELECT doc_id, n_chars_norm, punct_cnt,
-           | 0.4 * least(n_tok/50.0, 1.0)
-           |  + 0.3 * (1.0 - (CASE WHEN n_chars_norm = 0 THEN 0.0 ELSE punct_cnt::DOUBLE/n_chars_norm END))
-           |  + 0.3 * (CASE WHEN n_tok = 0 THEN 0.0 ELSE stop_hits::DOUBLE/n_tok END) AS quality_score
-           |FROM q ORDER BY doc_id""".stripMargin,
-      "text_langid" ->
-        s"""WITH sc AS (SELECT doc_id,
-           |  ${sL("en")} AS s_en, ${sL("de")} AS s_de, ${sL("es")} AS s_es,
-           |  ${sL("fr")} AS s_fr, ${sL("zh")} AS s_zh
-           | FROM documents)
-           |SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
-           | CASE
-           |  WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-           |  WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-           |  WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
-           |  WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
-           |  WHEN s_zh > 0 THEN 'zh'
-           |  ELSE 'und' END AS lang_guess
-           |FROM sc ORDER BY doc_id""".stripMargin,
-      "text_fingerprint" ->
-        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents)
-           |SELECT doc_id, md5(array_to_string(tk, ' ')) AS fp,
-           | list_aggregate(list_transform(${shingles("tk")}, s -> md5(s)), 'min') AS min_shingle_fp
-           |FROM t ORDER BY doc_id""".stripMargin,
-      "text_shingles" ->
-        s"""WITH t AS (SELECT doc_id, ${shingles(toks)} AS s FROM documents)
-           |SELECT doc_id, len(s) AS n_shingles, len(list_distinct(s)) AS n_distinct_shingles
-           |FROM t ORDER BY doc_id""".stripMargin,
-      "text_repetition" ->
-        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-           | s AS (SELECT doc_id, len(tk) AS n_tok, ${shingles("tk", 2)} AS sh FROM t)
-           |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-           | CASE WHEN n_tok <= 2 THEN 0.0
-           |  ELSE 1.0 - len(list_distinct(sh))::DOUBLE / len(sh) END AS rep_ratio
-           |FROM s ORDER BY doc_id""".stripMargin,
-      "data_split" ->
-        s"""WITH s AS (SELECT doc_id, len($toks) AS n_tok,
-           |            substr(md5(doc_id::VARCHAR), 1, 1) AS b FROM documents),
-           |a AS (SELECT CASE WHEN b <= 'b' THEN 'train' WHEN b <= 'd' THEN 'val'
-           |             ELSE 'test' END AS split, n_tok FROM s)
-           |SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
-           |FROM a GROUP BY split ORDER BY split""".stripMargin,
-      "text_chunks" ->
-        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-           |w AS (SELECT doc_id, tk,
-           |       unnest(range(0, CAST(greatest(ceil((greatest(len(tk),1) - 8)/24.0), 1) AS BIGINT))) AS chunk_idx
-           |      FROM t),
-           |c AS (SELECT doc_id, chunk_idx, tk[chunk_idx*24+1 : chunk_idx*24+32] AS slc FROM w)
-           |SELECT doc_id, chunk_idx, CAST(len(slc) AS BIGINT) AS n_tokens,
-           | md5(array_to_string(slc, ' ')) AS chunk_hash
-           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
-      "text_pii" ->
-        """WITH t AS (SELECT doc_id,
-          |  text || ' contact-' || doc_id::VARCHAR || '@example.com see https://ex.org/d/'
-          |   || doc_id::VARCHAR || ' ref 9876543210' AS t2 FROM documents)
-          |SELECT doc_id,
-          | CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-          | CAST(len(regexp_extract_all(t2, 'https?://[^ \t\n]+')) AS BIGINT) AS n_urls,
-          | CAST(len(regexp_extract_all(t2, '[0-9]{9,}')) AS BIGINT) AS n_long_nums,
-          | md5(regexp_replace(regexp_replace(regexp_replace(t2,
-          |   'https?://[^ \t\n]+', '<URL>', 'g'),
-          |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-          |   '[0-9]{9,}', '<NUM>', 'g')) AS scrub_hash
-          |FROM t ORDER BY doc_id""".stripMargin,
-      "pipeline_curation" ->
-        s"""WITH dedup AS (
-           | SELECT doc_id, text FROM (
-           |  SELECT doc_id, text, ROW_NUMBER() OVER (PARTITION BY md5($norm) ORDER BY doc_id) AS rn
-           |  FROM documents) WHERE rn = 1),
-           |dt AS (SELECT doc_id, $toks AS tk FROM dedup),
-           |dsh AS (SELECT doc_id, unnest(list_distinct(${shingles("tk", 8)})) AS s FROM dt),
-           |bt AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id % 50 = 0),
-           |b AS (SELECT DISTINCT unnest(list_distinct(${shingles("tk", 8)})) AS s FROM bt),
-           |contaminated AS (SELECT DISTINCT doc_id FROM dsh JOIN b USING (s)),
-           |clean AS (SELECT doc_id, text FROM dedup
-           |          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-           |q AS (SELECT doc_id, $toks AS tk,
-           |       len($norm) AS nc,
-           |       len($norm) - len(regexp_replace($norm, '[^a-z0-9\\sà-ÿ一-鿿]', '', 'g')) AS pc,
-           |       len(list_filter($toks, t -> list_contains($stopAll, t))) AS shits
-           |      FROM clean),
-           |f AS (SELECT doc_id, tk FROM q
-           |      WHERE 0.4 * least(len(tk)/50.0, 1.0)
-           |        + 0.3 * (1.0 - (CASE WHEN nc = 0 THEN 0.0 ELSE pc::DOUBLE/nc END))
-           |        + 0.3 * (CASE WHEN len(tk) = 0 THEN 0.0 ELSE shits::DOUBLE/len(tk) END) >= 0.5),
-           |sp AS (SELECT doc_id, tk,
-           |        CASE WHEN substr(md5(doc_id::VARCHAR),1,1) <= 'b' THEN 'train'
-           |             WHEN substr(md5(doc_id::VARCHAR),1,1) <= 'd' THEN 'val' ELSE 'test' END AS split,
-           |        CAST(greatest(ceil((greatest(len(tk),1) - 8)/24.0), 1) AS BIGINT) AS n_chunks
-           |       FROM f)
-           |SELECT split, COUNT(*) AS n_docs, CAST(SUM(len(tk)) AS BIGINT) AS n_tokens,
-           | CAST(SUM(n_chunks) AS BIGINT) AS n_chunks
-           |FROM sp GROUP BY split ORDER BY split""".stripMargin,
-      "multimodal_features" ->
-        """SELECT doc_id, octet_length(encode(text)) AS byte_len,
-          | CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
-          | CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
-          | CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames,
-          | md5(text) AS content_hash
-          |FROM documents ORDER BY doc_id""".stripMargin
-    )
-  }
+  /** DuckDB-dialect twins of `queries` — body lives in [[Oracles]] so
+    * the query map and the oracle map stay reviewable as separate files
+    * (round-5 verdict item 10). */
+  def oracleSql: Map[String, String] = Oracles.sql
 }
