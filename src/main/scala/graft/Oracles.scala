@@ -310,6 +310,11 @@ object Oracles {
       // restricted to pairs touching at least one NEW doc (doc_id%4=0)
       "dedup_incremental" -> jaccardPairsSql(n = 2, threshold = 0.7,
         extraWhere = "AND (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)"),
+      // two-generation run: pairs touching day1 (%4=3) or day2 (%4=0) —
+      // day1 pairs come from the pre-append probe, day2 pairs see
+      // base∪day1 through the appended index
+      "dedup_incremental_2day" -> jaccardPairsSql(n = 2, threshold = 0.7,
+        extraWhere = "AND (a.doc_id % 4 IN (0, 3) OR b.doc_id % 4 IN (0, 3))"),
       "dedup_simhash_check" ->
         s"""WITH doubled AS (
            | SELECT doc_id, text FROM documents

@@ -830,6 +830,29 @@ object SparkEntry {
           shingleSize = 2, numBands = 32, rowsPerBand = 3)
         .orderBy("a_id", "b_id")
     }),
+    "dedup_incremental_2day" -> ((s, d) => {
+      // two GENERATIONS of the daily job: day-1 batch probed then
+      // APPENDED to the index (bucket-spec-preserving), day-2 batch
+      // probed against base∪day1. The union of both probes must equal
+      // the quadratic pair set touching day1∪day2 — which fails if the
+      // append loses rows or breaks the band layout. base = doc_id%4∈
+      // {1,2}, day1 = %4==3, day2 = %4==0.
+      val docs = TP(s, d, "documents")
+      val m4 = col("doc_id") % 4
+      val idx = IncrementalDedupOps.buildIndex(docs.filter(m4.isin(1, 2)), "text", "doc_id",
+        prefix = "graft_inc2_idx", numBuckets = 8, shingleSize = 2, numBands = 32, rowsPerBand = 3)
+      val day1 = docs.filter(m4 === 3)
+      val pairs1 = IncrementalDedupOps.probe(day1, "text", "doc_id", idx, threshold = 0.7,
+        shingleSize = 2, numBands = 32, rowsPerBand = 3)
+      // materialize day-1 pairs BEFORE the append mutates the index the
+      // lazy plan would re-read
+      val p1 = pairs1.localCheckpoint()
+      IncrementalDedupOps.appendToIndex(day1, "text", "doc_id", idx,
+        numBuckets = 8, shingleSize = 2, numBands = 32, rowsPerBand = 3)
+      val pairs2 = IncrementalDedupOps.probe(docs.filter(m4 === 0), "text", "doc_id", idx,
+        threshold = 0.7, shingleSize = 2, numBands = 32, rowsPerBand = 3)
+      p1.unionByName(pairs2).orderBy("a_id", "b_id")
+    }),
     "dedup_simhash" -> ((s, d) => {
       DedupOps
         .simhashDupPairs(TP(s, d, "documents"), "text", "doc_id", maxHamming = 3)

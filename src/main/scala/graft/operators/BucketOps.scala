@@ -37,6 +37,26 @@ object BucketOps {
     w.saveAsTable(table)
   }
 
+  /** Append to an existing bucketed table with a MATCHING bucket spec:
+    * new files land inside each bucket (Spark unions a bucket's files
+    * into one scan partition, so later joins on the bucket key still
+    * plan with no Exchange; the per-bucket sorted-scan guarantee holds
+    * per file, so a join may re-sort in place — no shuffle either way).
+    * A mismatched spec fails analysis rather than corrupting the layout.
+    */
+  def appendBucketed(
+      df: DataFrame,
+      table: String,
+      numBuckets: Int,
+      keys: Seq[String],
+      sortKeys: Seq[String] = Nil
+  ): Unit = {
+    val w0 = df.write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+    val w = if (sortKeys.nonEmpty) w0.sortBy(sortKeys.head, sortKeys.tail: _*) else w0
+    w.saveAsTable(table)
+  }
+
   /** Drop `table` AND clear an orphaned managed-table location a previous
     * session may have left behind: the dir survives the JVM while the
     * in-memory catalog entry does not, and saveAsTable refuses to reuse

@@ -67,6 +67,34 @@ object IncrementalDedupOps {
     t
   }
 
+  /** Index maintenance — the other half of the daily job: after a batch
+    * is probed and its keepers decided, fold it into the index so
+    * TOMORROW's batch dedups against it too. Same signature pass as the
+    * build; rows append WITH the tables' bucket spec (appendBucketed), so
+    * the probe-side join stays Exchange-free on the index side after any
+    * number of appends. Band parameters must match the original build.
+    */
+  def appendToIndex(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      index: IndexTables,
+      numBuckets: Int,
+      shingleSize: Int = 3,
+      numBands: Int = 8,
+      rowsPerBand: Int = 4
+  ): Unit = {
+    val k = numBands * rowsPerBand
+    val docs = signatured(batch, textCol, idCol, shingleSize).localCheckpoint(eager = false)
+    val bands = docs.select(
+      col("id"),
+      explode(DedupOps.bandKeys(DedupOps.minhashSigCol(col("sh"), k), numBands, rowsPerBand))
+        .as("band_key"))
+    BucketOps.appendBucketed(bands.select("band_key", "id"), index.bands, numBuckets,
+      keys = Seq("band_key"), sortKeys = Seq("band_key"))
+    BucketOps.appendBucketed(docs, index.sigs, numBuckets, keys = Seq("id"), sortKeys = Seq("id"))
+  }
+
   /** Verified near-dup pairs (a_id < b_id, exact Jaccard ≥ threshold)
     * between `newBatch` and the indexed base corpus PLUS within the new
     * batch itself — i.e. every pair involving at least one new document.

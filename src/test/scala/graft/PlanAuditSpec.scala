@@ -374,4 +374,58 @@ class PlanAuditSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS inc_eq_sigs")
     }
   }
+
+  test("appendToIndex: day-2 probe equals a fresh rebuild over base∪day1, still Exchange-free") {
+    import graft.operators.IncrementalDedupOps
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val base = (0L until 60L).map(i => (i * 3 + 1, s"the quick brown fox w${i % 10} jumps over"))
+      .toDF("doc_id", "text")
+    val day1 = (0L until 30L).map(i => (i * 3 + 2, s"the quick brown fox w${i % 10} jumps over"))
+      .toDF("doc_id", "text")
+    val day2 = (0L until 20L).map(i => (i * 3, s"the quick brown fox w${i % 10} jumps over"))
+      .toDF("doc_id", "text")
+    val idx = IncrementalDedupOps.buildIndex(base, "text", "doc_id", "inc_app",
+      numBuckets = 2, shingleSize = 2, numBands = 16, rowsPerBand = 2)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      IncrementalDedupOps.appendToIndex(day1, "text", "doc_id", idx,
+        numBuckets = 2, shingleSize = 2, numBands = 16, rowsPerBand = 2)
+      val probed = IncrementalDedupOps.probe(day2, "text", "doc_id", idx, threshold = 0.7,
+        shingleSize = 2, numBands = 16, rowsPerBand = 2)
+      val viaAppend = pairs(probed)
+      // equality vs an index built from scratch over base∪day1
+      val fresh = IncrementalDedupOps.buildIndex(base.unionByName(day1), "text", "doc_id",
+        "inc_app_fresh", numBuckets = 2, shingleSize = 2, numBands = 16, rowsPerBand = 2)
+      val viaFresh = pairs(IncrementalDedupOps.probe(day2, "text", "doc_id", fresh,
+        threshold = 0.7, shingleSize = 2, numBands = 16, rowsPerBand = 2))
+      assert(viaAppend == viaFresh,
+        s"append-only=${viaAppend -- viaFresh}, fresh-only=${viaFresh -- viaAppend}")
+      assert(viaAppend.nonEmpty)
+      // the appended (multi-file-per-bucket) index still reaches its joins
+      // with no Exchange on the index side
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      def leafPaths(p: SparkPlan, above: List[SparkPlan]): Seq[List[SparkPlan]] = {
+        val here = p :: above
+        if (p.children.isEmpty) Seq(here) else p.children.flatMap(c => leafPaths(c, here))
+      }
+      val idxPaths = leafPaths(probed.queryExecution.executedPlan, Nil).filter(_.head match {
+        case f: FileSourceScanExec => f.tableIdentifier.exists(_.table.startsWith("inc_app_"))
+        case _ => false
+      })
+      assert(idxPaths.nonEmpty)
+      idxPaths.foreach { path =>
+        val toJoin = path.takeWhile(!_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+        assert(!toJoin.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+          s"appended index scan shuffled before its join:\n${toJoin.mkString("\n")}")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      Seq("inc_app_bands", "inc_app_sigs", "inc_app_fresh_bands", "inc_app_fresh_sigs")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
