@@ -401,6 +401,21 @@ object Oracles {
           |SELECT c_custkey, c_mktsegment,
           | CASE WHEN sd > 0 THEN (CAST(c_acctbal AS DOUBLE) - mean) / sd END AS z
           |FROM fl JOIN s USING (c_mktsegment) ORDER BY c_custkey""".stripMargin,
+      "data_survivors" ->
+        s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7),
+           |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+           |reach(id, r) AS (
+           | SELECT DISTINCT a AS id, a AS r FROM e
+           | UNION
+           | SELECT e.b AS id, reach.r AS r FROM reach JOIN e ON e.a = reach.id),
+           |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+           |SELECT d.doc_id FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
+           |WHERE lab.id IS NULL OR lab.cluster_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
       "dedup_clusters" ->
         s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
            |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),

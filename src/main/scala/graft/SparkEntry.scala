@@ -830,6 +830,17 @@ object SparkEntry {
           shingleSize = 2, numBands = 32, rowsPerBand = 3)
         .orderBy("a_id", "b_id")
     }),
+    "data_survivors" -> ((s, d) => {
+      // the apply side of dedup: verified minhash pairs → connected
+      // components → keep min-id per cluster → surviving rows. Output is
+      // the kept doc_ids, which the recursive-CTE oracle recomputes from
+      // the quadratic pair set.
+      val docs = TP(s, d, "documents")
+      val pairs = DedupOps.minhashDupPairs(docs, "text", "doc_id", threshold = 0.7,
+        shingleSize = 2, numBands = 32, rowsPerBand = 3)
+      DedupOps.applyPairDedup(docs, "doc_id", pairs)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "dedup_incremental_2day" -> ((s, d) => {
       // two GENERATIONS of the daily job: day-1 batch probed then
       // APPENDED to the index (bucket-spec-preserving), day-2 batch

@@ -213,6 +213,28 @@ object DedupOps {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** The APPLY side of near-dup dedup — from verified pairs to surviving
+    * ROWS: each duplicate cluster (connected component over the pair
+    * graph) keeps exactly its minimum-id member; documents in no pair
+    * survive untouched. Dropping `b_id` of every pair instead
+    * over-deletes on overlapping clusters (a-b + b-c would drop b AND c);
+    * the component view is the correct keep-one-per-cluster rule.
+    * Cost: the CC rounds on the PAIR graph (tiny vs the corpus) + one
+    * left-anti join on the id.
+    */
+  def applyPairDedup(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id"
+  ): DataFrame = {
+    val drops = GraphOps.connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("__drop_id"))
+    docs.join(drops, docs(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** Asymmetric containment pairs: C(A,B) = |A∩B| / min(|A|,|B|) over
     * shingle sets — detects a document embedded inside another (quoted
     * article + boilerplate wrapper), which Jaccard misses because the

@@ -458,6 +458,18 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == Set((1L, Seq(1L, 5L, 9L), 3L), (2L, Seq(2L, 4L), 2L)))
   }
 
+  test("applyPairDedup keeps one doc per cluster (min id) and all singletons") {
+    import graft.operators.DedupOps
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // overlapping pairs 1-5, 5-9 form ONE cluster {1,5,9}: naive drop-b
+    // of every pair would drop 5 and 9 AND leave 1 — correct here, but
+    // chain 2-4 plus 4-2 ordering and singleton 3 pin the general rule
+    val pairs = Seq((1L, 5L), (5L, 9L), (2L, 4L)).toDF("a_id", "b_id")
+    val kept = DedupOps.applyPairDedup(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
   test("100-node path converges within the O(log diameter) pointer-jump bound") {
     // a path graph is the worst case for plain min-propagation (needs
     // diameter≈99 rounds); hook+jump closes a label deficit of 2^(r+1)-2
