@@ -371,6 +371,10 @@ object Oracles {
         """SELECT CAST(CEIL(COUNT(*) / 1000.0) AS BIGINT) AS n_files, COUNT(*) AS n_rows,
           | true AS within_cap, true AS ranges_contiguous, true AS one_file_per_chunk
           |FROM documents""".stripMargin,
+      "data_export_manifest_check" ->
+        """SELECT CAST(CEIL(COUNT(*) / 1000.0) AS BIGINT) AS n_files, COUNT(*) AS n_rows,
+          | true AS manifest_matches, true AS committed
+          |FROM documents""".stripMargin,
       "text_postings" ->
         s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
            |g AS (SELECT DISTINCT doc_id, gram FROM

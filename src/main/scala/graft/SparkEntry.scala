@@ -1125,6 +1125,36 @@ object SparkEntry {
             col("maxp") === col("chunk") * 1000L + col("n")).as("ranges_contiguous"),
           bool_and(col("nf") === 1).as("one_file_per_chunk"))
     }),
+    "data_export_manifest_check" -> ((s, d) => {
+      // committed-snapshot invariant: after exportWithManifest, the
+      // distributed per-chunk manifest must agree row-for-row with the
+      // re-read data (count, position range, content fingerprint), the
+      // _COMMIT totals must agree with both, and the marker must exist —
+      // the atomic-publish contract a training reader relies on
+      val dir = java.nio.file.Files.createTempDirectory("graft-export").toString
+      ExportOps.exportWithManifest(TP(s, d, "documents").select("doc_id", "lang"),
+        "doc_id", seed = "42", dir, rowsPerFile = 1000L)
+      val markerPath = java.nio.file.Paths.get(dir, "_COMMIT")
+      val committed = java.nio.file.Files.exists(markerPath)
+      // the marker is one JSON line; Spark's FileIndex hides _-prefixed
+      // files (that hiding is WHY the marker can't be mistaken for data),
+      // so it is parsed driver-side
+      val marker = java.nio.file.Files.readString(markerPath)
+      def markerLong(key: String): Long =
+        s""""$key":(\\d+)""".r.findFirstMatchIn(marker).map(_.group(1).toLong).getOrElse(-1L)
+      val man = s.read.json(dir + "/_manifest")
+        .select(col("chunk"), col("n").as("man_n"), col("min_pos").as("man_min"),
+          col("max_pos").as("man_max"), col("fp").as("man_fp"))
+      val re = ExportOps.chunkStats(s.read.parquet(dir + "/data"), "doc_id")
+      man.join(re, Seq("chunk"), "full_outer")
+        .agg(bool_and(col("man_n") === col("n") && col("man_min") === col("min_pos") &&
+          col("man_max") === col("max_pos") && col("man_fp") === col("fp")).as("mm"),
+          count(lit(1)).as("n_files"), sum("n").as("n_rows"))
+        .select(col("n_files"), col("n_rows"),
+          (col("mm") && col("n_files") === lit(markerLong("n_chunks")) &&
+            col("n_rows") === lit(markerLong("n_rows"))).as("manifest_matches"),
+          lit(committed).as("committed"))
+    }),
     "text_postings" -> ((s, d) => {
       // rare-3-gram inverted index (df ≤ 2): the blocking structure
       // containment dedup / contamination tracing query; df filtered

@@ -87,4 +87,48 @@ object ExportOps {
       .write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(dir)
     chunked
   }
+
+  /** Per-chunk integrity stats of an exported dataset: row count,
+    * position range, and an order-independent content fingerprint
+    * (bit_xor of xxhash64(pos, id) — commutative, so partition order
+    * cannot change it; NOT cross-engine portable, and doesn't need to
+    * be: it ties a manifest to THIS export's bytes).
+    */
+  def chunkStats(data: DataFrame, idCol: String): DataFrame =
+    data.groupBy(col("chunk").cast("long").as("chunk"))
+      .agg(count(lit(1)).as("n"), min("pos").as("min_pos"), max("pos").as("max_pos"),
+        expr(s"bit_xor(xxhash64(pos, $idCol))").as("fp"))
+
+  /** [[exportShuffled]] + an atomically COMMITTED manifest — the batch
+    * twin of the streaming exactly-once sink: a training run must never
+    * read a half-written snapshot. Layout:
+    *   dir/data/chunk=k/…  the shuffled corpus (exportShuffled)
+    *   dir/_manifest/      per-chunk (n, min_pos, max_pos, fp) — written
+    *                       DISTRIBUTED (json), so a 10⁶-chunk manifest
+    *                       never funnels through the driver
+    *   dir/_COMMIT         one-line totals marker, written to a temp
+    *                       name and ATOMIC_MOVE'd last — readers treat
+    *                       its presence as the commit point
+    * Stats are computed from the data as WRITTEN (read-back), so the
+    * manifest certifies what actually landed, not what was planned.
+    */
+  def exportWithManifest(
+      df: DataFrame,
+      idCol: String,
+      seed: String,
+      dir: String,
+      rowsPerFile: Long
+  ): Unit = {
+    val spark = df.sparkSession
+    exportShuffled(df, idCol, seed, s"$dir/data", rowsPerFile)
+    val back = spark.read.parquet(s"$dir/data")
+    chunkStats(back, idCol).write.mode(SaveMode.Overwrite).json(s"$dir/_manifest")
+    val t = back.agg(count(lit(1)).as("n_rows"), countDistinct(col("chunk")).as("n_chunks"))
+      .collect()(0)
+    val marker = s"""{"n_rows":${t.getLong(0)},"n_chunks":${t.getLong(1)},"rows_per_file":$rowsPerFile,"seed":"$seed"}\n"""
+    val tmp = java.nio.file.Paths.get(dir, "_COMMIT.tmp")
+    java.nio.file.Files.writeString(tmp, marker)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "_COMMIT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 }

@@ -81,6 +81,25 @@ class PackingStatsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).columns.toSet == Set("id", "body", "pos", "chunk"))
   }
 
+  test("exportWithManifest: commit marker lands last and the manifest detects a lost file") {
+    val dir = java.nio.file.Files.createTempDirectory("export-manifest").toString
+    val df = (0L until 250L).map(i => (i, s"doc$i")).toDF("id", "body")
+    ExportOps.exportWithManifest(df, "id", seed = "42", dir, rowsPerFile = 100L)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_COMMIT")))
+    def recompute() = ExportOps.chunkStats(spark.read.parquet(s"$dir/data"), "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val manifest = spark.read.json(s"$dir/_manifest")
+      .select("chunk", "n", "min_pos", "max_pos", "fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(manifest == recompute() && manifest.size == 3)
+    // drop one chunk's parquet file: the re-read stats must now disagree
+    val lost = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+      .filter(p => p.toString.contains("chunk=1") && p.toString.endsWith(".parquet"))
+      .findFirst().get()
+    java.nio.file.Files.delete(lost)
+    assert(manifest != recompute(), "a lost data file must break the manifest match")
+  }
+
   test("zscore standardizes per group; degenerate groups yield null") {
     val df = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0)).toDF("g", "x")
     val got = StatsOps.zscore(df, Seq("g"), col("x"))
