@@ -420,6 +420,26 @@ object Oracles {
            |SELECT d.doc_id FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
            |WHERE lab.id IS NULL OR lab.cluster_id = d.doc_id
            |ORDER BY d.doc_id""".stripMargin,
+      "data_survivors_quality" ->
+        s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7),
+           |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+           |reach(id, r) AS (
+           | SELECT DISTINCT a AS id, a AS r FROM e
+           | UNION
+           | SELECT e.b AS id, reach.r AS r FROM reach JOIN e ON e.a = reach.id),
+           |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+           |m AS (SELECT t.doc_id, lab.cluster_id, len(t.tk) AS sc
+           |      FROM t JOIN lab ON lab.id = t.doc_id),
+           |k AS (SELECT doc_id FROM (
+           |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY sc DESC, doc_id) AS rn
+           |  FROM m) WHERE rn = 1)
+           |SELECT d.doc_id FROM documents d LEFT JOIN lab ON lab.id = d.doc_id WHERE lab.id IS NULL
+           |UNION ALL SELECT doc_id FROM k
+           |ORDER BY doc_id""".stripMargin,
       "dedup_clusters" ->
         s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
            |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),

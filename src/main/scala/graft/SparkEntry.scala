@@ -841,6 +841,17 @@ object SparkEntry {
       DedupOps.applyPairDedup(docs, "doc_id", pairs)
         .select("doc_id").orderBy("doc_id")
     }),
+    "data_survivors_quality" -> ((s, d) => {
+      // quality-preferred dedup apply: each cluster keeps its LONGEST
+      // member (token count, ties to min id) — the canonical-page rule.
+      // The oracle recomputes components and the argmax from scratch.
+      val docs = TP(s, d, "documents")
+      val pairs = DedupOps.minhashDupPairs(docs, "text", "doc_id", threshold = 0.7,
+        shingleSize = 2, numBands = 32, rowsPerBand = 3)
+      DedupOps.applyPairDedupPreferring(docs, "doc_id", pairs,
+          score = TextFunctions.tokenCount(col("text")))
+        .select("doc_id").orderBy("doc_id")
+    }),
     "dedup_incremental_2day" -> ((s, d) => {
       // two GENERATIONS of the daily job: day-1 batch probed then
       // APPENDED to the index (bucket-spec-preserving), day-2 batch

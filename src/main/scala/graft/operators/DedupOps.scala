@@ -235,6 +235,33 @@ object DedupOps {
     docs.join(drops, docs(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** [[applyPairDedup]] with a QUALITY preference: each cluster keeps its
+    * highest-`score` member (deterministic tie-break: lowest id) instead
+    * of blindly the min id — the production rule when near-dups differ
+    * in cleanliness (keep the canonical page, drop the mirror with ads).
+    * Cluster membership still comes from connected components; the
+    * keeper pick is one row_number()≤1 window per cluster, which Spark
+    * rewrites to a map-side WindowGroupLimit top-1 heap — no cluster's
+    * members all funnel through one reducer unsorted.
+    */
+  def applyPairDedupPreferring(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      score: Column,
+      aCol: String = "a_id",
+      bCol: String = "b_id"
+  ): DataFrame = {
+    val labels = GraphOps.connectedComponents(pairs, aCol, bCol)
+    val members = docs.join(labels, docs(idCol) === labels("id"), "inner")
+    val w = Window.partitionBy("cluster_id").orderBy(score.desc, col(idCol).asc)
+    val keepers = members
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(docs.columns.map(docs(_)): _*)
+    val singletons = docs.join(labels, docs(idCol) === labels("id"), "left_anti")
+    singletons.unionByName(keepers)
+  }
+
   /** Asymmetric containment pairs: C(A,B) = |A∩B| / min(|A|,|B|) over
     * shingle sets — detects a document embedded inside another (quoted
     * article + boilerplate wrapper), which Jaccard misses because the

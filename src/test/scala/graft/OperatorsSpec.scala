@@ -470,6 +470,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 3L))
   }
 
+  test("applyPairDedupPreferring keeps the highest-score member, ties to min id") {
+    import graft.operators.DedupOps
+    val docs = Seq((1L, 2.0), (5L, 9.0), (9L, 9.0), (2L, 1.0), (4L, 3.0), (7L, 0.0))
+      .toDF("doc_id", "q")
+    val pairs = Seq((1L, 5L), (5L, 9L), (2L, 4L)).toDF("a_id", "b_id")
+    val kept = DedupOps.applyPairDedupPreferring(docs, "doc_id", pairs, score = col("q"))
+      .select("doc_id").as[Long].collect().toSet
+    // cluster {1,5,9}: 5 and 9 tie at q=9 → keep 5; cluster {2,4}: keep 4; singleton 7 stays
+    assert(kept == Set(5L, 4L, 7L))
+  }
+
   test("100-node path converges within the O(log diameter) pointer-jump bound") {
     // a path graph is the worst case for plain min-propagation (needs
     // diameter≈99 rounds); hook+jump closes a label deficit of 2^(r+1)-2
