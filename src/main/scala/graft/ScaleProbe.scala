@@ -159,6 +159,12 @@ object ScaleProbe {
         StatsOps.exactStats(synth(rows).select(col("bucket"), col("value"),
           (col("value") * 0.5).as("v2")), Seq("bucket"), col("value"), col("v2")).count()
       },
+      "shuffle_permutation" -> { rows =>
+        // seeded global permutation position assignment: bucket-parallel
+        // ranks + broadcast offsets — flat throughput certifies there is
+        // no global-window single-partition funnel in the position path
+        graft.operators.ExportOps.permutation(synth(rows).select("id"), "id", seed = "probe").count()
+      },
       "cc_clusters" -> { rows =>
         // chained dup pairs in size-8 clusters (the realistic near-dup
         // component shape): per-round cost of hook+jump+convergence-check;

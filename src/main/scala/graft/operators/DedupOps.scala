@@ -229,6 +229,8 @@ object DedupOps {
       aCol: String = "a_id",
       bCol: String = "b_id"
   ): DataFrame = {
+    require(!docs.columns.contains("__drop_id"),
+      "applyPairDedup: input column __drop_id collides with a reserved helper name")
     val drops = GraphOps.connectedComponents(pairs, aCol, bCol)
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("__drop_id"))
@@ -252,6 +254,13 @@ object DedupOps {
       aCol: String = "a_id",
       bCol: String = "b_id"
   ): DataFrame = {
+    // the labels join injects id/cluster_id and the keeper pick injects
+    // __rn — a caller column with one of those names would be silently
+    // shadowed (same guard family as zscore/capPerKey/asofNearest)
+    val reserved = Set("id", "cluster_id", "__rn") - idCol
+    val clash = docs.columns.filter(c => reserved(c))
+    require(clash.isEmpty,
+      s"applyPairDedupPreferring: input columns collide with reserved names: ${clash.mkString(", ")}")
     val labels = GraphOps.connectedComponents(pairs, aCol, bCol)
     val members = docs.join(labels, docs(idCol) === labels("id"), "inner")
     val w = Window.partitionBy("cluster_id").orderBy(score.desc, col(idCol).asc)

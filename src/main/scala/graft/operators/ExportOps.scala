@@ -28,7 +28,11 @@ object ExportOps {
 
   /** Append a 1-based global permutation position (`outCol`) ordered by
     * md5(seed ":" id), ties broken by id. Deterministic across engines,
-    * partitionings, and re-runs.
+    * partitionings, and re-runs — PROVIDED ids are unique and non-null:
+    * duplicate ids share a sort key with an unresolvable tie, and
+    * concat_ws drops a NULL id so every null row would collide on
+    * md5(seed) (validate upstream; a full uniqueness scan here would
+    * double the operator's cost for a contract the caller owns).
     */
   def permutation(
       df: DataFrame,
@@ -41,6 +45,8 @@ object ExportOps {
     val clash = df.columns.filter(c => reserved(c))
     require(clash.isEmpty,
       s"permutation: input columns collide with reserved helper names: ${clash.mkString(", ")}")
+    require(!df.columns.contains(outCol),
+      s"permutation: outCol '$outCol' already exists in the input")
     require(bucketHexChars >= 1 && bucketHexChars <= 8, "bucketHexChars in [1,8]")
     val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
     val keyed = df.withColumn("__k", key).withColumn("__b", substring(col("__k"), 1, bucketHexChars))
@@ -78,6 +84,8 @@ object ExportOps {
       bucketHexChars: Int = 3
   ): DataFrame = {
     require(rowsPerFile > 0, "rowsPerFile must be positive")
+    require(!df.columns.contains("chunk"),
+      "exportShuffled: input column 'chunk' collides with the chunk-file column")
     val p = permutation(df, idCol, seed, bucketHexChars = bucketHexChars)
     // `div` (not `/`) — exact long division past 2^53 positions
     val chunked = p.withColumn("chunk", expr(s"(pos - 1) div $rowsPerFile"))

@@ -33,8 +33,10 @@ object IncrementalDedupOps {
 
   /** Signature one batch of documents: (id, sh) with sh = hashed distinct
     * shingle set. Shared by index build and probe. */
-  private def signatured(df: DataFrame, textCol: String, idCol: String, shingleSize: Int): DataFrame =
+  private def signatured(df: DataFrame, textCol: String, idCol: String, shingleSize: Int): DataFrame = {
+    require(idCol != "sh", "incremental dedup: id column may not be named 'sh' (reserved)")
     df.select(col(idCol).as("id"), DedupOps.hashedShingleSet(col(textCol), shingleSize).as("sh"))
+  }
 
   /** Build (overwrite) the persisted index for `base`. One pass computes
     * shingle sets + signatures; two bucketed writes lay out the band table

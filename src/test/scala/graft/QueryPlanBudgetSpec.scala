@@ -27,7 +27,8 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "events_window_agg" -> 2, // hour agg + ORDER BY
     "data_split" -> 3,        // TP repartition + split agg + ORDER BY
     "text_topterms" -> 4,     // TP + (doc,token) agg + per-doc window + ORDER BY
-    "data_domain_cap" -> 3    // TP + group-limit window + ORDER BY
+    "data_domain_cap" -> 3,   // TP + group-limit window + ORDER BY
+    "data_shuffle" -> 5       // TP + bucket window + count agg (2: partial/final over pruned scan) + ORDER BY; offsets ride a broadcast NLJ
   )
 
   test("headline queries match their pinned shuffle counts") {
