@@ -461,6 +461,23 @@ object Oracles {
            |b AS (SELECT DISTINCT s FROM shl WHERE doc_id % 50 = 0)
            |SELECT doc_id, COUNT(*) AS n_hits FROM shl JOIN b USING (s)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "data_token_budget" ->
+        s"""WITH t AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS tok FROM documents),
+           |c AS (SELECT doc_id, lang,
+           |  CAST(SUM(tok) OVER (PARTITION BY lang
+           |    ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           |  FROM t)
+           |SELECT doc_id, lang, cum_tokens FROM c WHERE cum_tokens <= 2000
+           |ORDER BY doc_id""".stripMargin,
+      "data_contam_report" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |shl AS (SELECT doc_id, unnest(list_distinct(${shingles("tk", 8)})) AS s FROM t),
+           |d AS (SELECT doc_id, s FROM shl WHERE doc_id % 50 <> 0),
+           |b AS (SELECT doc_id AS bench_id, s FROM shl WHERE doc_id % 50 = 0)
+           |SELECT bench_id, COUNT(DISTINCT d.doc_id) AS n_contaminating_docs,
+           | COUNT(DISTINCT s) AS n_shared_grams
+           |FROM b JOIN d USING (s) GROUP BY bench_id ORDER BY bench_id""".stripMargin,
       "data_stratified" ->
         """WITH f AS (SELECT event_type, value FROM events
           | WHERE CASE event_type

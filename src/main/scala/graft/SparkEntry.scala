@@ -1235,6 +1235,24 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
         .orderBy("doc_id")
     }),
+    "data_token_budget" -> ((s, d) => {
+      // per-language token budget: admit docs in seeded md5 order per
+      // lang until ~2000 tokens — mixture control in the unit training
+      // actually consumes (tokens, not rows)
+      SplitOps.tokenBudgetSample(TP(s, d, "documents"), "doc_id", "lang",
+          tokens = TextFunctions.tokenCount(col("text")), budget = 2000L, seed = "7")
+        .orderBy("doc_id")
+    }),
+    "data_contam_report" -> ((s, d) => {
+      // per-eval-item contamination audit: every 50th doc is the eval
+      // set, the REST are training docs; for each eval item, count the
+      // training docs and distinct 8-grams leaking into it
+      val all = TP(s, d, "documents")
+      val isBench = col("doc_id") % 50 === 0
+      DecontamOps.contaminationReport(all.filter(!isBench), "text", "doc_id",
+          all.filter(isBench), "text", "doc_id", n = 8)
+        .orderBy("bench_id")
+    }),
     "data_decontam" -> ((s, d) => {
       // benchmark decontamination: every 50th doc stands in for an eval
       // set; docs sharing any word 8-gram with it are contaminated

@@ -40,6 +40,34 @@ object DecontamOps {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Per-BENCHMARK-ITEM contamination report — the audit artifact an
+    * eval owner needs: for each benchmark item, how many training docs
+    * share at least one word n-gram with it, and how many distinct
+    * grams leak. Same scale shape as [[contaminationHits]] (bench side
+    * broadcasts, corpus scans once); the aggregation flips to the bench
+    * id, which is small by nature, so the final groupBy is tiny.
+    */
+  def contaminationReport(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      benchIdCol: String,
+      n: Int,
+      broadcastBench: Boolean = true
+  ): DataFrame = {
+    val dSh = docs.select(col(idCol).as("doc_id"),
+      explode(DedupOps.hashedShingleSet(col(textCol), n)).as("h"))
+    val bSh0 = bench.select(col(benchIdCol).as("bench_id"),
+      explode(DedupOps.hashedShingleSet(col(benchTextCol), n)).as("h"))
+    val bSh = if (broadcastBench) broadcast(bSh0) else bSh0
+    dSh.join(bSh, "h")
+      .groupBy("bench_id")
+      .agg(countDistinct(col("doc_id")).as("n_contaminating_docs"),
+        countDistinct(col("h")).as("n_shared_grams"))
+  }
+
   /** Training rows with benchmark overlap removed (anti join on hits). */
   def decontaminated(
       docs: DataFrame,

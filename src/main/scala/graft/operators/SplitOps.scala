@@ -102,4 +102,31 @@ object SplitOps {
         substring(md5(col(keyCol).cast("string")), 1, 4) < format_string("%04x", col("thr")))
       .drop("thr")
   }
+
+  /** Deterministic per-stratum TOKEN budget: docs are admitted in seeded
+    * md5 order within each stratum until the stratum's running token
+    * total would pass `budget` — "give me ~N tokens per language",
+    * the unit a training mixture is actually specified in (row-count
+    * sampling over-weights strata with short docs). Greedy prefix in a
+    * keyed pseudo-random order: engine-portable, replayable, and one
+    * window per stratum (parallel across strata — no global sort).
+    * Returns (id, stratum, cum_tokens) of admitted docs.
+    */
+  def tokenBudgetSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      tokens: Column,
+      budget: Long,
+      seed: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val w = Window.partitionBy(stratumCol).orderBy(key, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(stratumCol), tokens.cast("long").as("__tok"))
+      .withColumn("cum_tokens", sum(col("__tok")).over(w).cast("long"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col(stratumCol), col("cum_tokens"))
+  }
 }

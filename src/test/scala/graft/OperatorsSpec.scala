@@ -427,6 +427,45 @@ class DecontamOpsSpec extends SparkSpec {
     assert(clean == Set(2L))
   }
 
+  test("contaminationReport aggregates per eval item with distinct doc and gram counts") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // shares both bench-10 3-grams
+      (2L, "totally unrelated words here now"),
+      (3L, "x y alpha beta gamma z"),           // shares one with bench 10
+      (4L, "p q r mango nectar orange")         // shares one with bench 20
+    ).toDF("doc_id", "text")
+    val bench = Seq((10L, "alpha beta gamma delta"), (20L, "mango nectar orange"), (30L, "nothing matches this"))
+      .toDF("bid", "text")
+    val rep = DecontamOps.contaminationReport(docs, "text", "doc_id", bench, "text", "bid", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // bench 10: docs {1,3}, grams {alpha beta gamma, beta gamma delta};
+    // bench 20: doc {4}, gram {mango nectar orange}; bench 30: no row
+    assert(rep == Set((10L, 2L, 2L), (20L, 1L, 1L)))
+  }
+
+  test("tokenBudgetSample admits a stable prefix per stratum within the budget") {
+    import graft.operators.SplitOps
+    val df = (0L until 40L).map(i => (i, if (i % 2 == 0) "en" else "fr", "w ".repeat(10).trim))
+      .toDF("doc_id", "lang", "text")
+    val out = SplitOps.tokenBudgetSample(df, "doc_id", "lang",
+      tokens = org.apache.spark.sql.functions.lit(10L), budget = 55L, seed = "s")
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // 10 tokens/doc, budget 55 → exactly 5 docs per stratum, cum ≤ 50
+    val byLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang == Map("en" -> 5, "fr" -> 5))
+    assert(got.map(_._3).max == 50L)
+    // replay-stable
+    val again = SplitOps.tokenBudgetSample(df, "doc_id", "lang",
+      tokens = org.apache.spark.sql.functions.lit(10L), budget = 55L, seed = "s")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // a different seed admits a different prefix
+    val other = SplitOps.tokenBudgetSample(df, "doc_id", "lang",
+      tokens = org.apache.spark.sql.functions.lit(10L), budget = 55L, seed = "t")
+      .collect().map(_.getLong(0)).toSet
+    assert(other != got.map(_._1).toSet)
+  }
+
   test("benchmark side broadcasts (no corpus shuffle before the hit agg)") {
     val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
     val bench = Seq("a b c").toDF("text")
