@@ -167,6 +167,55 @@ object StreamOps {
       .drop("__sig")
   }
 
+  /** Streaming incremental dedup probe: a STREAM of new documents
+    * checked against the PERSISTED MinHash index
+    * (graft.operators.IncrementalDedupOps) as it arrives — the
+    * stream-static shape: signature + band keys are a pure map-side
+    * projection on each micro-batch, the band join and the verify join
+    * read the static bucketed tables, and no streaming state is kept
+    * (the index IS the state, maintained by the batch appendToIndex
+    * job). Covers the new×base half of the daily probe; duplicates
+    * WITHIN the stream are the job of `dedupNearWithinWatermark`
+    * upstream. Emits (new_id, base_id, jaccard) — one row PER AGREEING
+    * BAND (a pair matching 3 bands emits 3 identical rows): collapsing
+    * them would need a streaming aggregation whose state never expires,
+    * and the rows are idempotent for any dedup consumer; per-micro-batch
+    * exact-once consumers dedup in foreachBatch, where it is a cheap
+    * batch `dropDuplicates`.
+    */
+  def streamingIndexProbe(
+      stream: DataFrame,
+      textCol: String,
+      idCol: String,
+      bandsTable: String,
+      sigsTable: String,
+      threshold: Double,
+      shingleSize: Int = 3,
+      numBands: Int = 8,
+      rowsPerBand: Int = 4
+  ): DataFrame = {
+    import graft.operators.DedupOps
+    val spark = stream.sparkSession
+    val k = numBands * rowsPerBand
+    val newSh = stream.select(
+      col(idCol).as("new_id"),
+      DedupOps.hashedShingleSet(col(textCol), shingleSize).as("new_sh"))
+    val newBands = newSh.select(
+      col("new_id"), col("new_sh"),
+      explode(DedupOps.bandKeys(DedupOps.minhashSigCol(col("new_sh"), k), numBands, rowsPerBand))
+        .as("band_key"))
+    val baseBands = spark.table(bandsTable).select(col("band_key"), col("id").as("base_id"))
+    val baseSh = spark.table(sigsTable).select(col("id").as("base_id"), col("sh").as("base_sh"))
+    newBands
+      .join(baseBands, "band_key")
+      .filter(col("new_id") =!= col("base_id"))
+      .select("new_id", "new_sh", "base_id")
+      .join(baseSh, "base_id")
+      .withColumn("jaccard", DedupOps.jaccardSets(col("new_sh"), col("base_sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("base_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Idempotent `foreachBatch` writer for non-transactional sinks.
     *
     * Structured Streaming replays the last uncommitted micro-batch after

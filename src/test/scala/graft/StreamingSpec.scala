@@ -110,6 +110,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming index probe: docs stream matches the persisted index statelessly across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.IncrementalDedupOps
+    val base = (0L until 40L).map(i => (i * 2 + 1, s"shared prefix text w${i % 8} suffix tail"))
+      .toDF("doc_id", "text")
+    val idx = IncrementalDedupOps.buildIndex(base, "text", "doc_id", "inc_stream",
+      numBuckets = 2, shingleSize = 2, numBands = 16, rowsPerBand = 2)
+    val input = MemoryStream[(Long, String)]
+    val probed = StreamOps.streamingIndexProbe(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      idx.bands, idx.sigs, threshold = 0.7, shingleSize = 2, numBands = 16, rowsPerBand = 2)
+    assert(probed.isStreaming, "stream-static probe must stay a streaming plan")
+    val q = probed.writeStream.format("memory").queryName("inc_probe_out").outputMode("append").start()
+    try {
+      // two micro-batches: matches must come from the static index alone
+      input.addData((0L, "shared prefix text w0 suffix tail"))
+      q.processAllAvailable()
+      input.addData((2L, "shared prefix text w1 suffix tail"), (4L, "completely different content"))
+      q.processAllAvailable()
+      val rows = spark.table("inc_probe_out")
+        .select("new_id", "base_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet // band-duplicate rows collapse
+      val expected = IncrementalDedupOps.probe(
+          Seq((0L, "shared prefix text w0 suffix tail"), (2L, "shared prefix text w1 suffix tail"),
+            (4L, "completely different content")).toDF("doc_id", "text"),
+          "text", "doc_id", idx, threshold = 0.7, shingleSize = 2, numBands = 16, rowsPerBand = 2)
+        .filter(col("b_id") % 2 === 1 || col("a_id") % 2 === 1) // new×base half only
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .map { case (a, b, j) => if (a % 2 == 0) (a, b, j) else (b, a, j) }.toSet
+      assert(rows == expected, s"stream-only=${rows -- expected}, batch-only=${expected -- rows}")
+      assert(rows.nonEmpty)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS inc_stream_bands")
+      spark.sql("DROP TABLE IF EXISTS inc_stream_sigs")
+    }
+  }
+
   test("kafka-shaped stream: binary value -> json serde decode -> watermark window agg") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.types._
