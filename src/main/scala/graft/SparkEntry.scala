@@ -825,7 +825,7 @@ object SparkEntry {
       val docs = TP(s, d, "documents")
       val isNew = col("doc_id") % 4 === 0
       val idx = IncrementalDedupOps.buildIndex(docs.filter(!isNew), "text", "doc_id",
-        prefix = "graft_inc_idx", numBuckets = 8, shingleSize = 2, numBands = 32, rowsPerBand = 3)
+        prefix = "graft_inc_idx", numBuckets = 4, shingleSize = 2, numBands = 32, rowsPerBand = 3)
       IncrementalDedupOps.probe(docs.filter(isNew), "text", "doc_id", idx, threshold = 0.7,
           shingleSize = 2, numBands = 32, rowsPerBand = 3)
         .orderBy("a_id", "b_id")
@@ -862,7 +862,7 @@ object SparkEntry {
       val docs = TP(s, d, "documents")
       val m4 = col("doc_id") % 4
       val idx = IncrementalDedupOps.buildIndex(docs.filter(m4.isin(1, 2)), "text", "doc_id",
-        prefix = "graft_inc2_idx", numBuckets = 8, shingleSize = 2, numBands = 32, rowsPerBand = 3)
+        prefix = "graft_inc2_idx", numBuckets = 4, shingleSize = 2, numBands = 32, rowsPerBand = 3)
       val day1 = docs.filter(m4 === 3)
       val pairs1 = IncrementalDedupOps.probe(day1, "text", "doc_id", idx, threshold = 0.7,
         shingleSize = 2, numBands = 32, rowsPerBand = 3)
@@ -870,7 +870,7 @@ object SparkEntry {
       // lazy plan would re-read
       val p1 = pairs1.localCheckpoint()
       IncrementalDedupOps.appendToIndex(day1, "text", "doc_id", idx,
-        numBuckets = 8, shingleSize = 2, numBands = 32, rowsPerBand = 3)
+        numBuckets = 4, shingleSize = 2, numBands = 32, rowsPerBand = 3)
       val pairs2 = IncrementalDedupOps.probe(docs.filter(m4 === 0), "text", "doc_id", idx,
         threshold = 0.7, shingleSize = 2, numBands = 32, rowsPerBand = 3)
       p1.unionByName(pairs2).orderBy("a_id", "b_id")

@@ -22,16 +22,26 @@ object BucketOps {
   /** Write `df` as a catalog table bucketed (and sorted) by `keys` into
     * `numBuckets` buckets. Sorting within buckets makes the later
     * SortMergeJoin skip its per-task sort too.
+    *
+    * `repartitionFirst` (default true) shuffles onto the bucket hash
+    * before writing so each bucket is written by exactly ONE task → one
+    * file per bucket. Without it a bucketed write emits up to
+    * tasks×buckets files (100k tasks × 16k buckets at 100 TB is a
+    * catastrophic small-file explosion, and every reader pays the
+    * listing). The shuffle is the one-time write cost bucketing exists
+    * to amortize; flip off only when the input is already co-partitioned.
     */
   def writeBucketed(
       df: DataFrame,
       table: String,
       numBuckets: Int,
       keys: Seq[String],
-      sortKeys: Seq[String] = Nil
+      sortKeys: Seq[String] = Nil,
+      repartitionFirst: Boolean = true
   ): Unit = {
     dropTable(df.sparkSession, table)
-    val w0 = df.write.mode(SaveMode.Overwrite).format("parquet")
+    val src = if (repartitionFirst) df.repartition(numBuckets, keys.map(df(_)): _*) else df
+    val w0 = src.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
     val w = if (sortKeys.nonEmpty) w0.sortBy(sortKeys.head, sortKeys.tail: _*) else w0
     w.saveAsTable(table)
@@ -49,9 +59,11 @@ object BucketOps {
       table: String,
       numBuckets: Int,
       keys: Seq[String],
-      sortKeys: Seq[String] = Nil
+      sortKeys: Seq[String] = Nil,
+      repartitionFirst: Boolean = true
   ): Unit = {
-    val w0 = df.write.mode(SaveMode.Append).format("parquet")
+    val src = if (repartitionFirst) df.repartition(numBuckets, keys.map(df(_)): _*) else df
+    val w0 = src.write.mode(SaveMode.Append).format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
     val w = if (sortKeys.nonEmpty) w0.sortBy(sortKeys.head, sortKeys.tail: _*) else w0
     w.saveAsTable(table)
