@@ -1,42 +1,58 @@
 package graft
 
-import graft.functions.VectorFunctions
-import graft.operators.SimilarityOps
+import graft.operators.IncrementalDedupOps
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev scratch main: IVF recall sweep across (nCells, nProbe, iters)
-  * sizing rules at each SF (not part of the API). */
+/** Dev scratch main: stage timing of the incremental-dedup index build
+  * and probe across scales (not part of the API). */
 object DevProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
 
-    for (sf <- Seq("0.001", "0.01", "0.1")) {
-      val vecs = spark.read.parquet(s"/root/testdata/sf$sf/embeddings.parquet")
-        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
-      val n = vecs.count()
-      val queries = vecs.filter(col("vec_id") < 8)
-      val k = 5
-      val bf = SimilarityOps.bruteForceTopK(vecs, queries, "vec_id", "vec", k)
-        .select("query_id", "neighbor_id").cache()
-      bf.count()
-      for ((cells, probe, iters) <- Seq(
-          (16, 8, 2), // current driver setting
-          (math.max(4, math.sqrt(n).toInt), math.max(2, math.sqrt(n).toInt / 2), 2),
-          (math.max(4, math.sqrt(n).toInt), math.max(2, math.sqrt(n).toInt / 2), 4),
-          (math.max(4, (n / 64).toInt min math.sqrt(n).toInt), math.max(2, ((n / 64).toInt min math.sqrt(n).toInt) / 2), 4))) {
-        val ivf = SimilarityOps.ivfTopK(vecs, queries, "vec_id", "vec", k,
-          nCells = cells, nProbe = probe, iters = iters)
-          .select("query_id", "neighbor_id")
-        val hits = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
-        println(f"[ivf] sf=$sf n=$n cells=$cells probe=$probe iters=$iters recall=${hits.toDouble / (8 * k)}%.3f")
-      }
-      bf.unpersist()
+    def textOf(seed: org.apache.spark.sql.Column, vocab: Long) = concat_ws(" ",
+      ((0 until 23).map(j => concat(lit("w"), pmod(seed * (j + 7) + j, lit(vocab)))) :+
+        concat(lit("u"), seed)): _*)
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label%-34s ${(System.nanoTime() - t0) / 1e9}%.1fs"); r
+    }
+
+    for (rows <- Seq(500000L, 2000000L)) {
+      val nBuckets = math.max(8, (rows / 125000).toInt)
+      val base = spark.range(rows).select(col("id"), textOf(col("id"), rows).as("text"))
+      val batch = spark.range(rows / 20).select(
+        (col("id") + 3000000000L).as("id"),
+        when(pmod(col("id"), lit(2)) === 0, textOf(pmod(col("id") * 37, lit(rows)), rows))
+          .otherwise(textOf(col("id") + 2000000000L, rows)).as("text"))
+      val idx = time(s"buildIndex rows=$rows b=$nBuckets")(
+        IncrementalDedupOps.buildIndex(base, "text", "id", "dev_inc_idx",
+          numBuckets = nBuckets, shingleSize = 3, numBands = 8, rowsPerBand = 4))
+      val n = time(s"probe rows=${rows / 20}")(
+        IncrementalDedupOps.probe(batch, "text", "id", idx,
+          threshold = 0.9, shingleSize = 3, numBands = 8, rowsPerBand = 4).count())
+      println(s"[probe] pairs=$n")
+      // stage decomposition
+      import graft.operators.DedupOps
+      val k = 32
+      val newDocs = batch.select(col("id"), DedupOps.hashedShingleSet(col("text"), 3).as("sh")).localCheckpoint()
+      val newBands = newDocs.select(col("id"),
+        explode(DedupOps.bandKeys(DedupOps.minhashSigCol(col("sh"), k), 8, 4)).as("band_key"))
+      time("  newBands count")(newBands.count())
+      val cross = newBands.as("n").join(spark.table(idx.bands).as("b"), col("n.band_key") === col("b.band_key"))
+        .filter(col("n.id") =!= col("b.id"))
+        .select(least(col("n.id"), col("b.id")).as("a"), greatest(col("n.id"), col("b.id")).as("b"))
+      time("  crossCands count")(cross.count())
+      time("  crossCands distinct")(cross.distinct().count())
+      val sigsJoin = cross.distinct().join(spark.table(idx.sigs).withColumnRenamed("id", "sid"), col("a") === col("sid"), "left")
+      time("  one sigs left-join")(sigsJoin.count())
     }
     spark.stop()
   }

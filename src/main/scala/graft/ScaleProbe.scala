@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{CorpusOps, SkewOps, StatsOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale probe: run the shuffle-bearing operator cores over the
@@ -158,6 +158,33 @@ object ScaleProbe {
       "exact_stats_moments" -> { rows =>
         StatsOps.exactStats(synth(rows).select(col("bucket"), col("value"),
           (col("value") * 0.5).as("v2")), Seq("bucket"), col("value"), col("v2")).count()
+      },
+      "incremental_probe" -> { rows =>
+        // daily-delta shape at ratio 1:20 — index build once per probe
+        // call (the dominant cost is honest: signature + bucketed
+        // write), then the delta probed Exchange-free. Two scale rules a
+        // deployment would also apply: bucket count grows with the
+        // corpus (one file per bucket ⇒ buckets ARE the write
+        // parallelism), and the corpus has BOUNDED duplicate classes —
+        // filler vocabulary ∝ rows so distinct seeds are dissimilar,
+        // each batch doc matches O(1) base docs, and the true pair count
+        // is linear in the batch. (A small fixed vocabulary makes every
+        // doc a 0.9-jaccard near-dup of rows/vocab others — quadratic
+        // pair output BY CONSTRUCTION, measuring the corpus, not the
+        // operator; found the hard way at 5000 words.)
+        def textOf(seed: Column) = concat_ws(" ",
+          ((0 until 23).map(j => concat(lit("w"), pmod(seed * (j + 7) + j, lit(rows)))) :+
+            concat(lit("u"), seed)): _*)
+        val base = synth(rows).select(col("id"), textOf(col("id")).as("text"))
+        val batch = synth(rows / 20).select(
+          (col("id") + 3000000000L).as("id"),
+          when(pmod(col("id"), lit(2)) === 0, textOf(pmod(col("id") * 37, lit(rows))))
+            .otherwise(textOf(col("id") + 2000000000L)).as("text"))
+        val nBuckets = math.max(8, (rows / 125000).toInt)
+        val idx = graft.operators.IncrementalDedupOps.buildIndex(base, "text", "id",
+          "probe_inc_idx", numBuckets = nBuckets, shingleSize = 3, numBands = 8, rowsPerBand = 4)
+        graft.operators.IncrementalDedupOps.probe(batch, "text", "id", idx,
+          threshold = 0.9, shingleSize = 3, numBands = 8, rowsPerBand = 4).count()
       },
       "shuffle_permutation" -> { rows =>
         // seeded global permutation position assignment: bucket-parallel
