@@ -826,6 +826,19 @@ object Oracles {
            |SELECT doc_id, chunk_idx, CAST(len(slc) AS BIGINT) AS n_tokens,
            | md5(array_to_string(slc, ' ')) AS chunk_hash
            |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+      "text_pii_report" ->
+        """WITH t AS (SELECT doc_id, lang, text ||
+          |  CASE WHEN doc_id % 3 = 0 THEN ' contact-' || doc_id::VARCHAR || '@example.com' ELSE '' END ||
+          |  CASE WHEN doc_id % 5 = 0 THEN ' ref 9876543210' ELSE '' END AS t2 FROM documents),
+          |c AS (SELECT lang,
+          |  CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS e,
+          |  CAST(len(regexp_extract_all(t2, 'https?://[^ \t\n]+')) AS BIGINT) AS u,
+          |  CAST(len(regexp_extract_all(t2, '[0-9]{9,}')) AS BIGINT) AS n FROM t)
+          |SELECT lang, COUNT(*) AS n_docs,
+          | CAST(SUM(CASE WHEN e + u + n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+          | CAST(SUM(e) AS BIGINT) AS n_emails, CAST(SUM(u) AS BIGINT) AS n_urls,
+          | CAST(SUM(n) AS BIGINT) AS n_long_nums
+          |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
       "text_pii" ->
         """WITH t AS (SELECT doc_id,
           |  text || ' contact-' || doc_id::VARCHAR || '@example.com see https://ex.org/d/'

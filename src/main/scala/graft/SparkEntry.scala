@@ -1360,6 +1360,28 @@ object SparkEntry {
           md5(col("c.chunk_text")).as("chunk_hash"))
         .orderBy("doc_id", "chunk_idx")
     }),
+    "text_pii_report" -> ((s, d) => {
+      // corpus-level PII audit: per language — docs scanned, docs with
+      // any PII span, spans by type. The compliance summary a release
+      // review asks for (per-doc detail is text_pii). PII is injected
+      // deterministically into a doc_id-derived subset so the counts
+      // vary and both engines agree.
+      val aug0 = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact-"), col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(col("text"))
+      val aug = when(col("doc_id") % 5 === 0, concat(aug0, lit(" ref 9876543210"))).otherwise(aug0)
+      TP(s, d, "documents")
+        .select(col("lang"), TextFunctions.piiCounts(aug).as("pc"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("pc.emails") + col("pc.urls") + col("pc.long_numbers") > 0, 1L)
+            .otherwise(0L)).as("docs_with_pii"),
+          sum(col("pc.emails")).as("n_emails"),
+          sum(col("pc.urls")).as("n_urls"),
+          sum(col("pc.long_numbers")).as("n_long_nums"))
+        .orderBy("lang")
+    }),
     "text_pii" -> ((s, d) => {
       // the corpus has no natural PII, so augment each doc with
       // deterministic doc_id-derived spans — both engines compute the
