@@ -30,6 +30,15 @@ object BucketOps {
     * catastrophic small-file explosion, and every reader pays the
     * listing). The shuffle is the one-time write cost bucketing exists
     * to amortize; flip off only when the input is already co-partitioned.
+    *
+    * The rebuild is STAGED: data lands in `<table>__staging` first, and
+    * only after that write succeeds is the old table dropped and the
+    * staging table renamed into place — a failed rebuild leaves the
+    * previous table intact instead of destroying an index with nothing
+    * to replace it (the rename window is short; it is not a
+    * transaction). The evaluation of `df` must not itself read `table`,
+    * or stage-then-swap would deadlock on the catalog — read the old
+    * generation into a checkpoint first if rewriting an index in place.
     */
   def writeBucketed(
       df: DataFrame,
@@ -39,12 +48,16 @@ object BucketOps {
       sortKeys: Seq[String] = Nil,
       repartitionFirst: Boolean = true
   ): Unit = {
-    dropTable(df.sparkSession, table)
+    val spark = df.sparkSession
+    val staging = s"${table}__staging"
+    dropTable(spark, staging)
     val src = if (repartitionFirst) df.repartition(numBuckets, keys.map(df(_)): _*) else df
     val w0 = src.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
     val w = if (sortKeys.nonEmpty) w0.sortBy(sortKeys.head, sortKeys.tail: _*) else w0
-    w.saveAsTable(table)
+    w.saveAsTable(staging)
+    dropTable(spark, table)
+    spark.sql(s"ALTER TABLE ${quoted(staging)} RENAME TO ${quoted(table)}")
   }
 
   /** Append to an existing bucketed table with a MATCHING bucket spec:
@@ -69,17 +82,48 @@ object BucketOps {
     w.saveAsTable(table)
   }
 
-  /** Drop `table` AND clear an orphaned managed-table location a previous
-    * session may have left behind: the dir survives the JVM while the
-    * in-memory catalog entry does not, and saveAsTable refuses to reuse
-    * the location even in Overwrite mode (LOCATION_ALREADY_EXISTS).
+  /** `db.tbl` → `` `db`.`tbl` `` — backticking the whole string would
+    * turn a qualified name into one illegal identifier. */
+  private def quoted(table: String): String =
+    table.split('.').map(p => s"`$p`").mkString(".")
+
+  /** Drop `table` AND clear whatever directory could block a rebuild:
+    *  - the table's REAL location, resolved from the catalog while the
+    *    metadata still exists (a qualified `db.tbl` lives at
+    *    `<warehouse>/db.db/tbl`, and a custom LOCATION lives wherever it
+    *    was declared — guessing `<warehouse>/<name>` deletes the wrong
+    *    dir for both). Only deleted when under the warehouse: external
+    *    custom-location data is the user's, not this helper's.
+    *  - the DEFAULT managed location for the name, even when the
+    *    catalog has no entry: the dir survives the JVM while an
+    *    in-memory catalog entry does not, and saveAsTable refuses to
+    *    reuse the location even in Overwrite mode
+    *    (LOCATION_ALREADY_EXISTS).
     */
   def dropTable(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val conf = spark.sparkContext.hadoopConfiguration
     val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
-    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase(java.util.Locale.ROOT))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    val whFs = wh.getFileSystem(conf)
+    val whQual = whFs.makeQualified(wh).toString
+    val resolved: Option[org.apache.hadoop.fs.Path] =
+      if (spark.catalog.tableExists(table)) {
+        val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+        Option(spark.sessionState.catalog.getTableMetadata(ident).location)
+          .map(u => new org.apache.hadoop.fs.Path(u))
+      } else None
+    spark.sql(s"DROP TABLE IF EXISTS ${quoted(table)}")
+    val parts = table.split('.').map(_.toLowerCase(java.util.Locale.ROOT))
+    val default = parts match {
+      case Array(db, t) if db != "default" =>
+        new org.apache.hadoop.fs.Path(wh, s"$db.db/$t")
+      case _ => new org.apache.hadoop.fs.Path(wh, parts.last)
+    }
+    val targets = (resolved.toSeq :+ default).distinct
+      .filter(p => whFs.makeQualified(p).toString.startsWith(whQual))
+    targets.foreach { loc =>
+      val fs = loc.getFileSystem(conf)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
   }
 
   /** Join two same-bucketed catalog tables on their bucket key — with

@@ -33,14 +33,24 @@ object ExportOps {
     * concat_ws drops a NULL id so every null row would collide on
     * md5(seed) (validate upstream; a full uniqueness scan here would
     * double the operator's cost for a contract the caller owns).
+    *
+    * The input must also be DETERMINISTIC under re-evaluation: the rank
+    * pass and the (column-pruned) bucket-count pass scan it once each,
+    * and a frame derived from `sample`/`limit`/`rand` can disagree
+    * between the two scans — wrong offsets, silently duplicated or
+    * skipped positions. Either pass such a frame through
+    * `materializeInput = true` (one localCheckpoint, both passes read
+    * the pinned blocks) or materialize it upstream.
     */
   def permutation(
       df: DataFrame,
       idCol: String,
       seed: String,
       outCol: String = "pos",
-      bucketHexChars: Int = 3
+      bucketHexChars: Int = 3,
+      materializeInput: Boolean = false
   ): DataFrame = {
+    val src = if (materializeInput) df.localCheckpoint(eager = false) else df
     val reserved = Set("__k", "__b", "__r", "__n", "__off")
     val clash = df.columns.filter(c => reserved(c))
     require(clash.isEmpty,
@@ -49,12 +59,13 @@ object ExportOps {
       s"permutation: outCol '$outCol' already exists in the input")
     require(bucketHexChars >= 1 && bucketHexChars <= 8, "bucketHexChars in [1,8]")
     val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
-    val keyed = df.withColumn("__k", key).withColumn("__b", substring(col("__k"), 1, bucketHexChars))
+    val keyed = src.withColumn("__k", key).withColumn("__b", substring(col("__k"), 1, bucketHexChars))
     val ranked = keyed
       .withColumn("__r", row_number().over(Window.partitionBy("__b").orderBy(col("__k"), col(idCol))))
     // per-bucket counts: a second, column-pruned pass over (id only) —
     // cheaper than materializing the keyed corpus just to count buckets
-    val counts = df.select(substring(key, 1, bucketHexChars).as("__b"))
+    // (with materializeInput both passes read the same pinned blocks)
+    val counts = src.select(substring(key, 1, bucketHexChars).as("__b"))
       .groupBy("__b").agg(count(lit(1)).as("__n"))
     // offsets without a global window (the zorder lesson: Window.orderBy
     // with no partition funnels everything through one partition and
@@ -115,8 +126,14 @@ object ExportOps {
     *                       DISTRIBUTED (json), so a 10⁶-chunk manifest
     *                       never funnels through the driver
     *   dir/_COMMIT         one-line totals marker, written to a temp
-    *                       name and ATOMIC_MOVE'd last — readers treat
-    *                       its presence as the commit point
+    *                       name and rename()d last — readers treat its
+    *                       presence as the commit point. The marker goes
+    *                       through the session's Hadoop FileSystem (the
+    *                       same FS the data landed on — local, HDFS,
+    *                       s3a), NOT java.nio, so the contract holds on
+    *                       any store; rename is atomic on HDFS-like
+    *                       filesystems, best-effort (non-atomic but
+    *                       still last-step) on object stores.
     * Stats are computed from the data as WRITTEN (read-back), so the
     * manifest certifies what actually landed, not what was planned.
     */
@@ -134,9 +151,15 @@ object ExportOps {
     val t = back.agg(count(lit(1)).as("n_rows"), countDistinct(col("chunk")).as("n_chunks"))
       .collect()(0)
     val marker = s"""{"n_rows":${t.getLong(0)},"n_chunks":${t.getLong(1)},"rows_per_file":$rowsPerFile,"seed":"$seed"}\n"""
-    val tmp = java.nio.file.Paths.get(dir, "_COMMIT.tmp")
-    java.nio.file.Files.writeString(tmp, marker)
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "_COMMIT"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(base, "_COMMIT.tmp")
+    val dst = new org.apache.hadoop.fs.Path(base, "_COMMIT")
+    val out = fs.create(tmp, true)
+    try out.write(marker.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"exportWithManifest: could not publish $dst")
   }
 }

@@ -103,6 +103,16 @@ object IncrementalDedupOps {
     * Ids must be disjoint from base ids (same-id re-crawls are filtered
     * from the cross candidates; handle true updates by rebuilding or
     * compacting the index). Band parameters must match the index build.
+    *
+    * `enforceDisjointIds` (default true) actually checks that contract
+    * instead of trusting it: the verify step coalesces the base-table
+    * signature first, so a re-crawled id with CHANGED text would be
+    * silently scored against its stale base signature — exactly the
+    * failure that must surface loudly, not skew thresholds. The check is
+    * one semi-join count of the small batch against the id-bucketed sigs
+    * table (Exchange-free on the index side); flip off only when an
+    * upstream gate already guarantees disjointness and the probe is in a
+    * latency-critical path.
     */
   def probe(
       newBatch: DataFrame,
@@ -113,12 +123,22 @@ object IncrementalDedupOps {
       shingleSize: Int = 3,
       numBands: Int = 8,
       rowsPerBand: Int = 4,
-      maxBucketSize: Int = 64
+      maxBucketSize: Int = 64,
+      enforceDisjointIds: Boolean = true
   ): DataFrame = {
     val spark = newBatch.sparkSession
     val k = numBands * rowsPerBand
     // one scan of the (small) new batch feeds band keys + both verify sides
     val newDocs = signatured(newBatch, textCol, idCol, shingleSize).localCheckpoint(eager = false)
+    if (enforceDisjointIds) {
+      val overlap = newDocs.select("id")
+        .join(spark.table(index.sigs).select("id"), Seq("id"), "left_semi")
+      val sample = overlap.limit(5).collect().map(_.get(0))
+      require(sample.isEmpty,
+        s"incremental probe: ${sample.length}+ new-batch ids already exist in index '${index.sigs}' " +
+          s"(e.g. ${sample.mkString(", ")}) — re-crawled ids would be verified against their STALE " +
+          "base signatures; rebuild or compact the index, or drop the overlapping ids upstream")
+    }
     val newBands = newDocs.select(
       col("id"),
       explode(DedupOps.bandKeys(DedupOps.minhashSigCol(col("sh"), k), numBands, rowsPerBand))
