@@ -881,6 +881,80 @@ object Oracles {
            |SELECT split, COUNT(*) AS n_docs, CAST(SUM(len(tk)) AS BIGINT) AS n_tokens,
            | CAST(SUM(n_chunks) AS BIGINT) AS n_chunks
            |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+      "text_line_dedup" -> {
+        // non-overlapping 3-token segments, mirror of
+        // TextFunctions.segmentsFromTokens (DuckDB // is integer div;
+        // slice t[a:b] is 1-based inclusive)
+        val segs3 = s"(CASE WHEN len(tk) = 0 THEN []::VARCHAR[] ELSE " +
+          "list_transform(range(0, (len(tk)+2)//3), i -> array_to_string(tk[i*3+1 : i*3+3], ' ')) END)"
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |g AS (SELECT doc_id, $segs3 AS segs FROM t),
+           |s AS (SELECT doc_id, unnest(segs) AS seg, generate_subscripts(segs, 1) AS pos FROM g),
+           |d AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM s GROUP BY seg),
+           |k AS (SELECT s.doc_id, s.pos, s.seg FROM s JOIN d USING (seg) WHERE d.df <= 2),
+           |r AS (SELECT doc_id, COUNT(*) AS n_kept,
+           |      string_agg(seg, ' ' ORDER BY pos) AS clean_text FROM k GROUP BY doc_id)
+           |SELECT g.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+           | CAST(len(g.segs) AS BIGINT) AS n_seg, COALESCE(r.n_kept, 0) AS n_kept
+           |FROM g LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin
+      },
+      "text_para_dedup" -> {
+        val segs2 = s"(CASE WHEN len(tk) = 0 THEN []::VARCHAR[] ELSE " +
+          "list_transform(range(0, (len(tk)+1)//2), i -> array_to_string(tk[i*2+1 : i*2+2], ' ')) END)"
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |g AS (SELECT doc_id, $segs2 AS segs FROM t),
+           |dd AS (SELECT doc_id, segs,
+           |       list_filter(segs, (x, i) -> list_position(segs, x) = i) AS kept FROM g)
+           |SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
+           | CAST(len(segs) AS BIGINT) AS n_seg, CAST(len(kept) AS BIGINT) AS n_kept
+           |FROM dd ORDER BY doc_id""".stripMargin
+      },
+      "data_decontam_ngram" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 5)}) AS s FROM t),
+           |e AS (SELECT doc_id AS bench_id, s AS es FROM sh WHERE doc_id % 97 = 0)
+           |SELECT c.doc_id, e.bench_id,
+           | CAST(len(list_intersect(c.s, e.es)) AS BIGINT) AS n_shared,
+           | CAST(len(e.es) AS BIGINT) AS bench_n,
+           | ROUND(len(list_intersect(c.s, e.es))::DOUBLE / len(e.es), 4) AS overlap
+           |FROM sh c JOIN e ON len(list_intersect(c.s, e.es))::DOUBLE / len(e.es) >= 0.5
+           |ORDER BY doc_id, bench_id""".stripMargin,
+      "quality_calibrate" ->
+        s"""WITH q AS (SELECT doc_id, source,
+           |  len($norm) AS nc,
+           |  len($norm) - len(regexp_replace($norm, '[^a-z0-9\\sà-ÿ一-鿿]', '', 'g')) AS pc,
+           |  len($toks) AS nt,
+           |  len(list_filter($toks, t -> list_contains($stopAll, t))) AS shits
+           | FROM documents),
+           |sc AS (SELECT doc_id, source,
+           |  0.4 * least(nt/50.0, 1.0)
+           |   + 0.3 * (1.0 - (CASE WHEN nc = 0 THEN 0.0 ELSE pc::DOUBLE/nc END))
+           |   + 0.3 * (CASE WHEN nt = 0 THEN 0.0 ELSE shits::DOUBLE/nt END) AS quality_score
+           | FROM q),
+           |r AS (SELECT doc_id, source, quality_score,
+           |  percent_rank() OVER (PARTITION BY source ORDER BY quality_score, doc_id) AS pct_rank
+           | FROM sc)
+           |SELECT doc_id, source, quality_score, pct_rank,
+           | CAST(CASE WHEN pct_rank >= 0.8 THEN 1 ELSE 0 END AS INT) AS kept
+           |FROM r ORDER BY doc_id""".stripMargin,
+      "text_bm25" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+           |f AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           |      WHERE token <> '' AND NOT list_contains($stopAll, token)
+           |      GROUP BY doc_id, token),
+           |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM f GROUP BY doc_id),
+           |q AS (SELECT * FROM f WHERE token IN ('merge', 'join', 'window')),
+           |dft AS (SELECT token, COUNT(*) AS df FROM q GROUP BY token),
+           |tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS tot FROM f),
+           |nn AS (SELECT COUNT(*) AS n FROM documents),
+           |sc AS (SELECT q.doc_id,
+           |   ROUND(((CAST(nn.n AS DOUBLE) - dft.df + 0.5) / (dft.df + 0.5)) *
+           |         ((q.tf * 2.2) / (q.tf + 1.2 * (0.25 + 0.75 * dl.dl / (tot.tot / nn.n)))), 4) AS c
+           | FROM q JOIN dft USING (token) CROSS JOIN tot CROSS JOIN nn JOIN dl USING (doc_id)),
+           |agg AS (SELECT doc_id, COUNT(*) AS n_terms,
+           |   CAST(CAST(CAST(SUM(CAST(c AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS score
+           | FROM sc GROUP BY doc_id)
+           |SELECT doc_id, n_terms, score FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
       "multimodal_features" ->
         """SELECT doc_id, octet_length(encode(text)) AS byte_len,
           | CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,

@@ -1433,6 +1433,66 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    "text_line_dedup" -> ((s, d) => {
+      // CCNet-style boilerplate removal: this corpus has no newline
+      // structure, so the "line" unit is a non-overlapping 3-token
+      // segment; segments occurring in >2 distinct docs (shared spans of
+      // near-dup classes, frequent trigrams) are dropped corpus-wide
+      val segs = TP(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.segmentsFromTokens(TextFunctions.tokens(col("text")), 3).as("segs"))
+      CorpusOps.removeBoilerplateSegments(segs, "doc_id", "segs", maxDf = 2)
+        .orderBy("doc_id")
+    }),
+    "text_para_dedup" -> ((s, d) => {
+      // within-document repeated-segment removal (keep-first) — a pure
+      // projection, zero shuffles at any corpus size
+      TP(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.segmentsFromTokens(TextFunctions.tokens(col("text")), 2).as("segs"))
+        .select(col("doc_id"), col("segs"), TextFunctions.dedupSegments(col("segs")).as("kept"))
+        .select(
+          col("doc_id"),
+          concat_ws(" ", col("kept")).as("clean_text"),
+          size(col("segs")).cast("long").as("n_seg"),
+          size(col("kept")).cast("long").as("n_kept"))
+        .orderBy("doc_id")
+    }),
+    "data_decontam_ngram" -> ((s, d) => {
+      // fractional n-gram-overlap contamination (GPT-3/PaLM-style):
+      // benchmark = every 97th doc; flag corpus docs sharing ≥50% of an
+      // item's distinct 5-grams (the item itself scores 1.0 — that IS
+      // the verbatim-inclusion signal)
+      val docs = TP(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id").as("bid"), col("text"))
+      DecontamOps.ngramContamination(docs, "text", "doc_id", bench, "text", "bid",
+          n = 5, minOverlap = 0.5)
+        .orderBy("doc_id", "bench_id")
+    }),
+    "quality_calibrate" -> ((s, d) => {
+      // per-source percent_rank of the quality score: "keep the top 20%"
+      // applied uniformly across sources with different score profiles
+      val scored = TP(s, d, "documents")
+        .select(col("doc_id"), col("source"), TextFunctions.normText(col("text")).as("norm"))
+        .select(col("doc_id"), col("source"), col("norm"),
+          TextFunctions.tokensFromNorm(col("norm")).as("tk"))
+        .select(col("doc_id"), col("source"),
+          TextFunctions.qualityScoreFrom(
+            size(col("tk")), length(col("norm")),
+            TextFunctions.punctCountFromNorm(col("norm")),
+            TextFunctions.tokenHitsFromTokens(col("tk"), TextFunctions.allStopwords))
+            .as("quality_score"))
+      CorpusOps.calibrateByKey(scored, "source", "quality_score", "doc_id")
+        .withColumn("kept", (col("pct_rank") >= 0.8).cast("int"))
+        .orderBy("doc_id")
+    }),
+    "text_bm25" -> ((s, d) => {
+      // corpus search: top-20 BM25 matches for a 3-term query (log-free
+      // odds-ratio idf, decimal-summed contributions — replay-stable)
+      CorpusOps.bm25TopK(TP(s, d, "documents"), "doc_id", "text",
+        Seq("merge", "join", "window"), k = 20)
+    }),
+
     // ----- LLM-pipeline: multimodal plumbing -----
     "multimodal_features" -> ((s, d) => {
       val withBin = T(s, d, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))

@@ -82,6 +82,32 @@ object TextFunctions {
     */
   def shingles(c: Column, n: Int): Column = shinglesFromTokens(tokens(c), n)
 
+  /** Non-overlapping `w`-token segments of a PRECOMPUTED token array —
+    * the "line" unit for corpora without newline structure (tokens
+    * [0,w), [w,2w), …; the final segment may be shorter). Line-granular
+    * operators (boilerplate removal, within-doc dedup) take the segment
+    * array rather than re-deciding segmentation, so a corpus WITH real
+    * lines passes `split(text, '\n')` instead. Pure slice+join — any
+    * engine replicates it exactly.
+    */
+  def segmentsFromTokens(t: Column, w: Int): Column = {
+    require(w >= 1, "segment width must be >= 1")
+    when(size(t) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((size(t) + lit(w - 1)) / lit(w)).cast("int") - 1),
+        i => concat_ws(" ", slice(t, i * w + 1, lit(w)))))
+  }
+
+  /** Keep the FIRST occurrence of each distinct element of an array —
+    * within-document repeated-segment removal (navigation blocks, chorus
+    * lines, copy-pasted paragraphs) as a PURE PROJECTION: no shuffle, no
+    * corpus state, linear scan at any corpus size. Quadratic in the
+    * per-document segment count (array_position rescans the array), which
+    * is bounded by document length, not corpus size.
+    */
+  def dedupSegments(segs: Column): Column =
+    filter(segs, (s, i) => array_position(segs, s) === (i + lit(1)))
+
   /** Whole-document fingerprint: md5 of normalized text (stable across
     * engines; exact-dup detector key).
     */

@@ -215,6 +215,137 @@ object CorpusOps {
         transform(sort_array(collect_list(col("doc_id"))), _.cast("string")), ",").as("postings"))
   }
 
+  /** CCNet-style boilerplate removal at line/segment granularity: drop
+    * every segment that occurs in MORE than `maxDf` distinct documents
+    * (site footers, cookie banners, license headers), rebuild each
+    * document from its surviving segments in original order.
+    *
+    * Input: (idCol, segsCol: array<string>) — the caller picks the
+    * segmentation (real `split(text, '\n')` lines, or
+    * [[graft.functions.TextFunctions.segmentsFromTokens]] for corpora
+    * without line structure).
+    *
+    * Scale shape mirrors [[duplicatedSpanStats]]: segment df is a
+    * two-level groupBy ((doc, seg) partial-agg first, so a segment shared
+    * by 10⁸ docs contributes one row per map partition, never a hot-key
+    * funnel), the boilerplate set joins back as an UNHINTED left-anti
+    * (AQE broadcasts it when small — it usually is: boilerplate is rare
+    * in DISTINCT terms — and keeps a skew-splittable shuffle join
+    * otherwise). `materializeSegments` localCheckpoints the exploded
+    * (doc, pos, seg) table so the segment scan feeds both join sides
+    * without re-tokenizing. The per-doc rebuild is a collect_list bounded
+    * by document length. Docs whose every segment was boilerplate (or
+    * that had none) survive with empty text — dropping them is the
+    * caller's policy decision, not this operator's.
+    */
+  def removeBoilerplateSegments(
+      docs: DataFrame,
+      idCol: String,
+      segsCol: String,
+      maxDf: Int,
+      materializeSegments: Boolean = false
+  ): DataFrame = {
+    require(maxDf >= 1, "maxDf must be >= 1")
+    val seg0 = docs.select(col(idCol), posexplode(col(segsCol)).as(Seq("__pos", "__seg")))
+    val seg = if (materializeSegments) seg0.localCheckpoint(eager = false) else seg0
+    val boiler = seg
+      .groupBy(col(idCol), col("__seg")).agg(count(lit(1)).as("__c"))
+      .groupBy("__seg").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select("__seg")
+    val rebuilt = seg.join(boiler, Seq("__seg"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("__nk"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos").as("p"), col("__seg").as("s")))),
+            x => x.getField("s")),
+          " ").as("__txt"))
+    docs.select(col(idCol), size(col(segsCol)).cast("long").as("n_seg"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("__txt"), lit("")).as("clean_text"),
+        col("n_seg"),
+        coalesce(col("__nk"), lit(0L)).as("n_kept"))
+  }
+
+  /** BM25 top-k retrieval over the corpus for a bag of query terms — the
+    * search/inspection primitive a curation pipeline uses to audit what
+    * the corpus contains ("show me the strongest matches for X").
+    *
+    * Log-free variant: the idf factor is the raw odds ratio
+    * `(N - df + 0.5)/(df + 0.5)` instead of its logarithm — monotone in
+    * df like the classic form, but bit-identical across engines (ln()
+    * differs across libm implementations; same reasoning as
+    * [[tfidfTopTerms]]'s log-free score). Per-term contributions are
+    * rounded to 4 decimals and summed as DECIMAL so the per-document
+    * score is independent of summation order — replay-stable.
+    *
+    * Scale: the term scan filters to query terms BEFORE any shuffle (the
+    * isin pushes into the scan-side aggregation), df and corpus totals
+    * are tiny broadcast frames, and the only per-doc state is the doc
+    * length table, met with an unhinted equi-join on the id. Top-k is a
+    * global orderBy+limit — TakeOrderedAndProject, a per-partition heap
+    * plus a driver merge of k rows, no global sort.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val terms = docTermCounts(docs, idCol, textCol)
+    val dl = terms.groupBy(col(idCol)).agg(sum("tf").as("__dl"))
+    val q = terms.filter(col("token").isin(queryTerms: _*))
+    val dfTable = q.groupBy("token").agg(count(lit(1)).as("__df"))
+    val totals = terms.agg(sum("tf").cast("double").as("__tot"))
+      .crossJoin(docs.agg(count(lit(1)).as("__n")))
+    val contrib =
+      ((col("__n").cast("double") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))) *
+        ((col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / (col("__tot") / col("__n")))))
+    q.join(broadcast(dfTable), "token")
+      .crossJoin(broadcast(totals))
+      .join(dl, Seq(idCol))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(round(contrib, 4).cast("decimal(18,4)")).cast("decimal(38,4)").cast("double").as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Per-key score calibration: exact percent_rank of `scoreCol` within
+    * each `keyCol` group (ties broken by `tieCol` for a total order), so
+    * one global threshold like "keep the top 20%" applies uniformly
+    * across domains with different score distributions — the standard
+    * fix for quality classifiers that systematically favor one domain.
+    *
+    * Exact ranks need a per-key sort: fine when keys are plentiful
+    * (domains ≫ executors); a single key holding half the corpus funnels
+    * that half through one reducer's external sort. For that regime
+    * compute approximate per-key thresholds (approx_percentile over
+    * groupBy — partial-aggregated, no sort) and broadcast-join them
+    * instead; this operator is the exact, oracle-checkable form.
+    */
+  def calibrateByKey(
+      df: DataFrame,
+      keyCol: String,
+      scoreCol: String,
+      tieCol: String,
+      outCol: String = "pct_rank"
+  ): DataFrame = {
+    require(!df.columns.contains(outCol), s"calibrateByKey: outCol '$outCol' already exists")
+    df.withColumn(outCol,
+      percent_rank().over(Window.partitionBy(col(keyCol)).orderBy(col(scoreCol), col(tieCol))))
+  }
+
   private def tfidfRank(docs: DataFrame, idCol: String, terms: DataFrame, dfTable: DataFrame): DataFrame = {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = terms

@@ -68,6 +68,48 @@ object DecontamOps {
         countDistinct(col("h")).as("n_shared_grams"))
   }
 
+  /** Pairwise n-gram-overlap contamination (the GPT-3/PaLM-style check):
+    * for each (training doc, benchmark item) pair sharing enough of the
+    * ITEM's distinct word n-grams, report the containment fraction
+    * |grams(doc) ∩ grams(item)| / |grams(item)|. Unlike
+    * [[contaminationHits]] (any single shared gram flags the doc), the
+    * fraction separates verbatim inclusion (≈1.0) from incidental
+    * phrase collisions, so the eval owner can set a defensible
+    * threshold.
+    *
+    * Same scale posture as the rest of this file: the benchmark side is
+    * small by nature → its (item, gram) rows and per-item gram counts
+    * broadcast; the corpus scans once; the only shuffle is the
+    * (doc, item) hit aggregation, whose size is bounded by matches
+    * against the small eval side, not by the corpus.
+    */
+  def ngramContamination(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      benchIdCol: String,
+      n: Int,
+      minOverlap: Double,
+      broadcastBench: Boolean = true
+  ): DataFrame = {
+    val dSh = docs.select(col(idCol).as("doc_id"),
+      explode(DedupOps.hashedShingleSet(col(textCol), n)).as("h"))
+    val bSh0 = bench.select(col(benchIdCol).as("bench_id"),
+      explode(DedupOps.hashedShingleSet(col(benchTextCol), n)).as("h"))
+    val bSh = if (broadcastBench) broadcast(bSh0) else bSh0
+    val bN0 = bSh0.groupBy("bench_id").agg(count(lit(1)).as("bench_n"))
+    val bN = if (broadcastBench) broadcast(bN0) else bN0
+    dSh.join(bSh, "h")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(bN, "bench_id")
+      .filter(col("n_shared").cast("double") / col("bench_n") >= minOverlap)
+      .select(col("doc_id"), col("bench_id"), col("n_shared"), col("bench_n"),
+        round(col("n_shared").cast("double") / col("bench_n"), 4).as("overlap"))
+  }
+
   /** Training rows with benchmark overlap removed (anti join on hits). */
   def decontaminated(
       docs: DataFrame,

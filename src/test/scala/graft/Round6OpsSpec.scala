@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{BucketOps, CorpusOps, DecontamOps}
+import org.apache.spark.sql.functions._
+
+/** Round-6 operators: segment-granular dedup (boilerplate lines,
+  * within-doc repeats), fractional n-gram decontamination, per-key score
+  * calibration, BM25 retrieval.
+  */
+class Round6OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("segmentsFromTokens: non-overlapping windows, short tail, empty doc") {
+    val df = Seq("a b c d e f g", "a b", "").toDF("text")
+      .select(TextFunctions.segmentsFromTokens(TextFunctions.tokens(col("text")), 3).as("segs"))
+    val got = df.as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("a b c", "d e f", "g"), Seq("a b"), Seq()))
+  }
+
+  test("dedupSegments keeps first occurrence, zero shuffles") {
+    // segments of "x y x y z z x y" at w=2: [x y][x y][z z][x y] → kept [x y][z z]
+    val df = Seq("x y x y z z x y").toDF("text")
+      .select(TextFunctions.segmentsFromTokens(TextFunctions.tokens(col("text")), 2).as("segs"))
+      .select(TextFunctions.dedupSegments(col("segs")).as("kept"))
+    assert(df.as[Seq[String]].collect().head == Seq("x y", "z z"))
+    df.collect()
+    assert(BucketOps.countExchanges(df) == 0,
+      "within-doc segment dedup must be a pure projection")
+  }
+
+  test("removeBoilerplateSegments drops high-df segments and preserves order") {
+    // "common one" appears in 3 docs; maxDf=2 removes it everywhere
+    val docs = Seq(
+      (1L, Seq("common one", "rare a", "rare b")),
+      (2L, Seq("rare c", "common one")),
+      (3L, Seq("common one")),
+      (4L, Seq())
+    ).toDF("id", "segs")
+    val got = CorpusOps.removeBoilerplateSegments(docs, "id", "segs", maxDf = 2)
+      .orderBy("id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "rare a rare b", 3L, 2L),
+      (2L, "rare c", 2L, 1L),
+      (3L, "", 1L, 0L),
+      (4L, "", 0L, 0L)))
+  }
+
+  test("removeBoilerplateSegments df counts distinct docs, not occurrences") {
+    // "rep" occurs 3 times but only in ONE doc → df=1 → survives maxDf=2
+    val docs = Seq((1L, Seq("rep", "rep", "rep")), (2L, Seq("solo"))).toDF("id", "segs")
+    val got = CorpusOps.removeBoilerplateSegments(docs, "id", "segs", maxDf = 2)
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, "rep rep rep", 3L, 3L), (2L, "solo", 1L, 1L)))
+  }
+
+  test("ngramContamination: verbatim inclusion scores 1.0, disjoint text filtered") {
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "totally different words appear here instead"),
+      (12L, "prefix words alpha beta gamma delta epsilon zeta suffix tail")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("bid", "text")
+    val got = DecontamOps.ngramContamination(docs, "text", "doc_id", bench, "text", "bid",
+        n = 3, minOverlap = 0.5)
+      .orderBy("doc_id")
+      .select("doc_id", "overlap").as[(Long, Double)].collect().toSeq
+    // doc 10 contains every bench 3-gram (1.0); doc 12 contains them all too
+    assert(got.map(_._1) == Seq(10L, 12L))
+    assert(got.forall(_._2 == 1.0))
+  }
+
+  test("calibrateByKey: exact percent_rank per key, collision rejected") {
+    val df = Seq(("a", 1L, 0.1), ("a", 2L, 0.5), ("a", 3L, 0.9),
+      ("b", 4L, 0.7), ("b", 5L, 0.2)).toDF("k", "id", "s")
+    val got = CorpusOps.calibrateByKey(df, "k", "s", "id")
+      .orderBy("id").select("id", "pct_rank").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 0.0, 2L -> 0.5, 3L -> 1.0, 4L -> 1.0, 5L -> 0.0))
+    val e = intercept[IllegalArgumentException](CorpusOps.calibrateByKey(df, "k", "s", "id", outCol = "s"))
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("bm25TopK: more matched terms and rarer terms rank higher; k respected") {
+    val docs = Seq(
+      (1L, "merge join window merge join window"), // all 3 query terms, high tf
+      (2L, "merge row row row row row"),           // one query term
+      (3L, "row scan value hash part batch"),      // no query terms
+      (4L, "merge join row scan value hash")       // two query terms
+    ) ++ (5L to 30L).map(i => (i, "row scan value hash part batch"))
+    val df = docs.toDF("doc_id", "text")
+    val got = CorpusOps.bm25TopK(df, "doc_id", "text", Seq("merge", "join", "window"), k = 3)
+      .select("doc_id", "n_terms", "score")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.size == 3)
+    assert(got.head._1 == 1L && got.head._2 == 3L, s"doc 1 should win: $got")
+    assert(got.map(_._1).toSet == Set(1L, 2L, 4L))
+    assert(got == got.sortBy(r => (-r._3, r._1)), "output ordered by score desc")
+  }
+}
