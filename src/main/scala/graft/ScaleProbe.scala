@@ -93,6 +93,23 @@ object ScaleProbe {
       "dup_span_stats" -> { rows =>
         CorpusOps.duplicatedSpanStats(synthDocs(rows), "id", "text", n = 8).count()
       },
+      "line_dedup_hot" -> { rows =>
+        // 90%-boilerplate corpus through segment-granular boilerplate
+        // removal: the shared prefix makes a handful of segments carry
+        // df≈0.9·rows — they must die in the two-level partial-agged df
+        // groupBy and an anti join, never a per-segment hot window
+        val segs = synthHotDocs(rows).select(col("id"),
+          graft.functions.TextFunctions.segmentsFromTokens(
+            graft.functions.TextFunctions.tokens(col("text")), 3).as("segs"))
+        CorpusOps.removeBoilerplateSegments(segs, "id", "segs", maxDf = 20).count()
+      },
+      "bm25_topk" -> { rows =>
+        // retrieval over the synthetic vocabulary: cost must track the
+        // token scan (query-term filter collapses the joined side long
+        // before the per-doc aggregation)
+        CorpusOps.bm25TopK(synthDocs(rows), "id", "text",
+          Seq("w1", "w2", "w3"), k = 50).count()
+      },
       "dup_span_stats_hot" -> { rows =>
         // 90% of docs share one boilerplate prefix: per-row throughput must
         // stay near the uniform dup_span_stats case (the count-window shape

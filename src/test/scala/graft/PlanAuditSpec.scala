@@ -127,6 +127,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Expand"), s"df must come from the two-level agg, not Expand:\n$plan")
   }
 
+  test("removeBoilerplateSegments: two-level df agg, no Expand, no Window") {
+    val docs = (0L until 200L).map(i => (i, Seq(s"seg a $i", "common one", s"seg b $i")))
+      .toDF("id", "segs")
+    val q = graft.operators.CorpusOps.removeBoilerplateSegments(docs, "id", "segs", maxDf = 10)
+    q.collect()
+    val plan = executedPlan(q)
+    assert(!plan.contains("Expand"), s"segment df must be the two-level agg, not countDistinct Expand:\n$plan")
+    assert(!plan.contains("Window"), s"boilerplate removal must not plan a window:\n$plan")
+  }
+
+  test("bm25TopK: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val docs = (0L until 300L).map(i => (i, s"merge join w${i % 30} row value")).toDF("doc_id", "text")
+    val q = graft.operators.CorpusOps.bm25TopK(docs, "doc_id", "text", Seq("merge", "join"), k = 5)
+    q.collect()
+    val plan = executedPlan(q)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must be the heap-based top-k operator:\n$plan")
+  }
+
   test("duplicatedSpanStats: df via partial-aggregated groupBy + unhinted join (no hot-key window)") {
     val dir = java.nio.file.Files.createTempDirectory("spans-audit").toString
     (0L until 300L).map(i => (i, s"one two three four five six seven w$i")).toDF("doc_id", "text")
