@@ -1,11 +1,11 @@
 package graft
 
-import graft.operators.IncrementalDedupOps
+import graft.functions.TextFunctions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev scratch main: stage timing of the incremental-dedup index build
-  * and probe across scales (not part of the API). */
+/** Dev scratch main: warm-JVM stage decomposition of text_line_dedup with
+  * FRESH plans per measurement (no stage-skip reuse). */
 object DevProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -14,46 +14,43 @@ object DevProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-
-    def textOf(seed: org.apache.spark.sql.Column, vocab: Long) = concat_ws(" ",
-      ((0 until 23).map(j => concat(lit("w"), pmod(seed * (j + 7) + j, lit(vocab)))) :+
-        concat(lit("u"), seed)): _*)
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
-      println(f"[probe] $label%-34s ${(System.nanoTime() - t0) / 1e9}%.1fs"); r
+      println(f"[probe] $label%-44s ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
     }
 
-    for (rows <- Seq(500000L, 2000000L)) {
-      val nBuckets = math.max(8, (rows / 125000).toInt)
-      val base = spark.range(rows).select(col("id"), textOf(col("id"), rows).as("text"))
-      val batch = spark.range(rows / 20).select(
-        (col("id") + 3000000000L).as("id"),
-        when(pmod(col("id"), lit(2)) === 0, textOf(pmod(col("id") * 37, lit(rows)), rows))
-          .otherwise(textOf(col("id") + 2000000000L, rows)).as("text"))
-      val idx = time(s"buildIndex rows=$rows b=$nBuckets")(
-        IncrementalDedupOps.buildIndex(base, "text", "id", "dev_inc_idx",
-          numBuckets = nBuckets, shingleSize = 3, numBands = 8, rowsPerBand = 4))
-      val n = time(s"probe rows=${rows / 20}")(
-        IncrementalDedupOps.probe(batch, "text", "id", idx,
-          threshold = 0.9, shingleSize = 3, numBands = 8, rowsPerBand = 4).count())
-      println(s"[probe] pairs=$n")
-      // stage decomposition
-      import graft.operators.DedupOps
-      val k = 32
-      val newDocs = batch.select(col("id"), DedupOps.hashedShingleSet(col("text"), 3).as("sh")).localCheckpoint()
-      val newBands = newDocs.select(col("id"),
-        explode(DedupOps.bandKeys(DedupOps.minhashSigCol(col("sh"), k), 8, 4)).as("band_key"))
-      time("  newBands count")(newBands.count())
-      val cross = newBands.as("n").join(spark.table(idx.bands).as("b"), col("n.band_key") === col("b.band_key"))
-        .filter(col("n.id") =!= col("b.id"))
-        .select(least(col("n.id"), col("b.id")).as("a"), greatest(col("n.id"), col("b.id")).as("b"))
-      time("  crossCands count")(cross.count())
-      time("  crossCands distinct")(cross.distinct().count())
-      val sigsJoin = cross.distinct().join(spark.table(idx.sigs).withColumnRenamed("id", "sid"), col("a") === col("sid"), "left")
-      time("  one sigs left-join")(sigsJoin.count())
-    }
-    spark.stop()
+    val d = "/root/testdata/sf0.1"
+    // fresh lineage every call — defeats shuffle stage skipping
+    def segs() = spark.read.parquet(s"$d/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), TextFunctions.normText(col("text")).as("norm"))
+      .select(col("doc_id"), TextFunctions.tokensFromNorm(col("norm")).as("tk"))
+      .select(col("doc_id"), TextFunctions.segmentsFromTokens(col("tk"), 3).as("segs"))
+    def seg() = segs().select(col("doc_id"), posexplode(col("segs")).as(Seq("__pos", "__seg")))
+    def dfT(s: org.apache.spark.sql.DataFrame) =
+      s.groupBy(col("doc_id"), col("__seg")).agg(count(lit(1)).as("__c"))
+        .groupBy("__seg").agg(count(lit(1)).as("__df"))
+
+    time("warm tfidf")(SparkEntry.queries("text_tfidf")(spark, d).collect().length)
+    time("segs project only (fresh)")(segs().select(size(col("segs"))).agg(sum("size(segs)")).collect())
+    time("explode count (fresh)")(seg().count())
+    time("explode count again (fresh)")(seg().count())
+    time("df two-level (fresh)")(dfT(seg()).count())
+    val s3 = seg()
+    val boiler = dfT(s3).filter(col("__df") > 2).select("__seg")
+    time("anti join (fresh, shares seg frame)")(s3.join(boiler, Seq("__seg"), "left_anti").count())
+    val s4 = seg()
+    val k4 = s4.join(dfT(s4).filter(col("__df") > 2).select("__seg"), Seq("__seg"), "left_anti")
+    time("rebuild (fresh)")(
+      k4.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("__nk"),
+          array_join(transform(array_sort(collect_list(struct(col("__pos").as("p"), col("__seg").as("s")))),
+            x => x.getField("s")), " ").as("__txt")).count())
+    time("full line_dedup run1 (fresh plan)")(SparkEntry.queries("text_line_dedup")(spark, d).collect().length)
+    time("full line_dedup run2 (fresh plan)")(SparkEntry.queries("text_line_dedup")(spark, d).collect().length)
+    time("full para_dedup (fresh plan)")(SparkEntry.queries("text_para_dedup")(spark, d).collect().length)
+    time("full bm25 (fresh plan)")(SparkEntry.queries("text_bm25")(spark, d).collect().length)
+    time("full decontam_ngram (fresh plan)")(SparkEntry.queries("data_decontam_ngram")(spark, d).collect().length)
   }
 }

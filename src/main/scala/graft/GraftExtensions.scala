@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, HashedShingles, HyperplaneBucket, MinHashSignature, SimHash64}
+import graft.functions.{DotProduct, HashedShingles, HyperplaneBucket, MinHashSignature, SimHash64, TokenSegments}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -61,6 +61,15 @@ object GraftExtensions {
         require(children.length == 2,
           "graft_hashed_shingles(tokens, n) takes an array<string> and an int literal")
         HashedShingles(children.head, intArg(children(1), "n"))
+      }
+    ),
+    (
+      FunctionIdentifier("graft_token_segments"),
+      new ExpressionInfo(classOf[TokenSegments].getName, "graft_token_segments"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_token_segments(tokens, w) takes an array<string> and an int literal")
+        TokenSegments(children.head, intArg(children(1), "w"))
       }
     ),
     (

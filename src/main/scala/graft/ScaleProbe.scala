@@ -98,9 +98,10 @@ object ScaleProbe {
         // removal: the shared prefix makes a handful of segments carry
         // df≈0.9·rows — they must die in the two-level partial-agged df
         // groupBy and an anti join, never a per-segment hot window
-        val segs = synthHotDocs(rows).select(col("id"),
-          graft.functions.TextFunctions.segmentsFromTokens(
-            graft.functions.TextFunctions.tokens(col("text")), 3).as("segs"))
+        val segs = synthHotDocs(rows)
+          .select(col("id"), graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+          .select(col("id"),
+            graft.functions.TextFunctions.segmentsFromTokens(col("tk"), 3).as("segs"))
         CorpusOps.removeBoilerplateSegments(segs, "id", "segs", maxDf = 20).count()
       },
       "bm25_topk" -> { rows =>

@@ -1438,9 +1438,14 @@ object SparkEntry {
       // structure, so the "line" unit is a non-overlapping 3-token
       // segment; segments occurring in >2 distinct docs (shared spans of
       // near-dup classes, frequent trigrams) are dropped corpus-wide
+      // staged projections: norm → tokens → segments, so the regex
+      // tokenizer runs once per row instead of once per slice reference
+      // (segmentsFromTokens references its token array ~n_seg times;
+      // CollapseProject keeps multiply-referenced aliases materialized)
       val segs = TP(s, d, "documents")
-        .select(col("doc_id"),
-          TextFunctions.segmentsFromTokens(TextFunctions.tokens(col("text")), 3).as("segs"))
+        .select(col("doc_id"), TextFunctions.normText(col("text")).as("norm"))
+        .select(col("doc_id"), TextFunctions.tokensFromNorm(col("norm")).as("tk"))
+        .select(col("doc_id"), TextFunctions.segmentsFromTokens(col("tk"), 3).as("segs"))
       CorpusOps.removeBoilerplateSegments(segs, "doc_id", "segs", maxDf = 2)
         .orderBy("doc_id")
     }),
@@ -1448,8 +1453,9 @@ object SparkEntry {
       // within-document repeated-segment removal (keep-first) — a pure
       // projection, zero shuffles at any corpus size
       TP(s, d, "documents")
-        .select(col("doc_id"),
-          TextFunctions.segmentsFromTokens(TextFunctions.tokens(col("text")), 2).as("segs"))
+        .select(col("doc_id"), TextFunctions.normText(col("text")).as("norm"))
+        .select(col("doc_id"), TextFunctions.tokensFromNorm(col("norm")).as("tk"))
+        .select(col("doc_id"), TextFunctions.segmentsFromTokens(col("tk"), 2).as("segs"))
         .select(col("doc_id"), col("segs"), TextFunctions.dedupSegments(col("segs")).as("kept"))
         .select(
           col("doc_id"),

@@ -61,6 +61,31 @@ object SketchKernels {
     * re-runs trim+regexp+lower+split per ELEMENT (measured 21 ms/row —
     * ~50× re-evaluation). Here the token array is evaluated exactly once
     * as the expression's child. */
+  /** Non-overlapping w-token segments of a token array: [0,w), [w,2w), …
+    * (final segment may be shorter); empty input → empty array. The
+    * segment unit for line-granular operators on corpora without newline
+    * structure — native for the same reason as the sketch kernels: a
+    * `transform(sequence, slice+concat_ws)` HOF tree is CodegenFallback,
+    * and exploding it measured ~6× the cost of this kernel at sf0.1. */
+  def tokenSegments(tokens: ArrayData, w: Int): ArrayData = {
+    val nt = tokens.numElements()
+    if (nt == 0) return new GenericArrayData(Array.empty[Any])
+    val space = UTF8String.fromString(" ")
+    val nSeg = (nt + w - 1) / w
+    val out = new Array[Any](nSeg)
+    var s = 0
+    while (s < nSeg) {
+      val start = s * w
+      val len = math.min(w, nt - start)
+      val win = new Array[UTF8String](len)
+      var j = 0
+      while (j < len) { win(j) = tokens.getUTF8String(start + j); j += 1 }
+      out(s) = UTF8String.concatWs(space, win: _*)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def hashedShingles(tokens: ArrayData, n: Int): ArrayData = {
     val nt = tokens.numElements()
     val space = UTF8String.fromString(" ")
@@ -184,6 +209,27 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
 
 /** Distinct hashed word n-gram shingles (array<long>) of an
   * array<string> token column. */
+/** Non-overlapping w-token segments of an array<string> token column. */
+case class TokenSegments(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_token_segments"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if w > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_token_segments requires array<string> and w > 0, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.tokenSegments(input.asInstanceOf[ArrayData], w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.tokenSegments($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenSegments =
+    copy(child = newChild)
+}
+
 case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_hashed_shingles"

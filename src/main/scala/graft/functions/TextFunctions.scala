@@ -89,13 +89,16 @@ object TextFunctions {
     * array rather than re-deciding segmentation, so a corpus WITH real
     * lines passes `split(text, '\n')` instead. Pure slice+join — any
     * engine replicates it exactly.
+    *
+    * Native kernel ([[SketchKernels.tokenSegments]]): the equivalent
+    * `transform(sequence, slice+concat_ws)` HOF tree is CodegenFallback
+    * and measured ~6× slower when exploded at sf0.1 — same codegen-size
+    * lesson as the sketch kernels.
     */
   def segmentsFromTokens(t: Column, w: Int): Column = {
     require(w >= 1, "segment width must be >= 1")
-    when(size(t) === 0, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), floor((size(t) + lit(w - 1)) / lit(w)).cast("int") - 1),
-        i => concat_ws(" ", slice(t, i * w + 1, lit(w)))))
+    org.apache.spark.sql.graft.GraftColumns.column(
+      TokenSegments(org.apache.spark.sql.graft.GraftColumns.expression(t), w))
   }
 
   /** Keep the FIRST occurrence of each distinct element of an array —
