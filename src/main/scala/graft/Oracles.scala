@@ -955,6 +955,29 @@ object Oracles {
            |   CAST(CAST(CAST(SUM(CAST(c AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS score
            | FROM sc GROUP BY doc_id)
            |SELECT doc_id, n_terms, score FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+      "data_quarantine" ->
+        s"""SELECT doc_id, CASE
+           | WHEN len($toks) < 20 THEN 'too_short'
+           | WHEN n_chars > 450 THEN 'too_long'
+           | WHEN lang <> 'en' THEN 'non_english'
+           | ELSE 'kept' END AS verdict
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "vec_hash_features" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+           |f AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           |      WHERE token <> '' AND NOT list_contains($stopAll, token)
+           |      GROUP BY doc_id, token),
+           |b AS (SELECT doc_id,
+           |      CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 16 AS INT) AS bucket, tf
+           |      FROM f)
+           |SELECT doc_id, bucket, CAST(SUM(tf) AS BIGINT) AS tf FROM b GROUP BY doc_id, bucket
+           |ORDER BY doc_id, bucket""".stripMargin,
+      "write_partition_overwrite_check" ->
+        """WITH b AS (SELECT event_id, user_id, CAST(event_id % 5 AS INT) AS day
+          |           FROM events WHERE user_id % 10 = 0)
+          |SELECT (SELECT COUNT(DISTINCT day) FROM b) AS n_parts,
+          | (SELECT COUNT(*) FROM b WHERE day = 2 AND user_id % 3 = 0) AS rows_replaced,
+          | (SELECT COUNT(*) FROM b WHERE day <> 2) AS rows_other""".stripMargin,
       "multimodal_features" ->
         """SELECT doc_id, octet_length(encode(text)) AS byte_len,
           | CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,

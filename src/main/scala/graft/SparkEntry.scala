@@ -1499,6 +1499,45 @@ object SparkEntry {
         Seq("merge", "join", "window"), k = 20)
     }),
 
+    "data_quarantine" -> ((s, d) => {
+      // apply side of data_funnel: every row leaves with an attributed
+      // verdict (first failing rule or "kept") — the DQ-gate routing
+      // column a quarantine sink filters on
+      CorpusOps.quarantineTag(
+          TP(s, d, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars"),
+              TextFunctions.tokens(col("text")).as("tk")),
+          Seq(
+            "too_short" -> (size(col("tk")) < 20),
+            "too_long" -> (col("n_chars") > 450),
+            "non_english" -> (col("lang") =!= "en")))
+        .select("doc_id", "verdict")
+        .orderBy("doc_id")
+    }),
+    "vec_hash_features" -> ((s, d) => {
+      // hashing-trick featurization: 16-dim sparse COO vectors with no
+      // vocabulary state (md5-bucketed, engine-portable)
+      CorpusOps.hashedFeatures(TP(s, d, "documents"), "doc_id", "text", dim = 16)
+        .orderBy("doc_id", "bucket")
+    }),
+    "write_partition_overwrite_check" -> ((s, d) => {
+      // idempotent daily-rerun invariant: write events partitioned by a
+      // derived day, then dynamically overwrite ONE day with a corrected
+      // subset — the other days' rows must survive byte-for-byte and the
+      // replaced day must hold exactly the corrected batch
+      val dir = java.nio.file.Files.createTempDirectory("graft-dynpart").toString
+      val base = T(s, d, "events").filter(col("user_id") % 10 === 0)
+        .select(col("event_id"), col("user_id"), pmod(col("event_id"), lit(5)).cast("int").as("day"))
+      WriteOps.overwritePartitions(base, dir, Seq("day"))
+      val corrected = base.filter(col("day") === 2 && col("user_id") % 3 === 0)
+      WriteOps.overwritePartitions(corrected, dir, Seq("day"))
+      s.read.parquet(dir)
+        .agg(
+          countDistinct(col("day")).as("n_parts"),
+          sum(when(col("day") === 2, 1L).otherwise(0L)).as("rows_replaced"),
+          sum(when(col("day") =!= 2, 1L).otherwise(0L)).as("rows_other"))
+    }),
+
     // ----- LLM-pipeline: multimodal plumbing -----
     "multimodal_features" -> ((s, d) => {
       val withBin = T(s, d, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))

@@ -81,17 +81,37 @@ object CorpusOps {
       .orderBy(col("tf").desc, col("token").asc)
       .limit(topV)
 
+  /** First-failing-rule verdict expression shared by the funnel report
+    * and the row-level quarantine tagger. */
+  private def verdictExpr(rules: Seq[(String, Column)]): Column =
+    coalesce(rules.map { case (n, c) => when(c, lit(n)) } :+ lit("kept"): _*)
+
   /** Curation filter funnel: ordered rules, each document attributed to
     * its FIRST failing rule (or "kept"), per-verdict counts. The
     * attribution is one coalesce-of-whens projection — a single scan,
     * one tiny aggregation, and the funnel report every curation run
     * needs (which rule is dropping the data?). */
   def filterFunnel(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
-    val verdict = coalesce(rules.map { case (n, c) => when(c, lit(n)) } :+ lit("kept"): _*)
     // group directly on the expression — no injected column, so a caller
     // column that happens to be named "verdict" can't be clobbered
-    df.groupBy(verdict.as("verdict"))
+    df.groupBy(verdictExpr(rules).as("verdict"))
       .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Row-level side of [[filterFunnel]]: every row tagged with its first
+    * failing rule (or "kept") — the apply step that routes failing rows
+    * to a quarantine sink instead of silently dropping them (the DQ-gate
+    * contract: nothing leaves the pipeline without an attributed reason).
+    * A pure projection; split the result with two filters and both sinks
+    * share one scan.
+    */
+  def quarantineTag(
+      df: DataFrame,
+      rules: Seq[(String, Column)],
+      outCol: String = "verdict"
+  ): DataFrame = {
+    require(!df.columns.contains(outCol), s"quarantineTag: outCol '$outCol' already exists")
+    df.withColumn(outCol, verdictExpr(rules))
   }
 
   /** Cross-document duplicated-span statistics (the n-gram-granularity
@@ -319,6 +339,30 @@ object CorpusOps {
         sum(round(contrib, 4).cast("decimal(18,4)")).cast("decimal(38,4)").cast("double").as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Feature-hashed (hashing-trick) document vectors in sparse COO form:
+    * (doc, bucket, tf) with bucket = md5-derived hash of the token mod
+    * `dim` — fixed-dimension featurization with NO vocabulary table, the
+    * only featurizer that needs zero corpus-global state (no fit step, no
+    * broadcast, no OOV handling) and therefore composes with streaming
+    * and incremental batches unchanged. Sparse rows rather than dense
+    * arrays: downstream aggregation (mean pooling, linear scoring) works
+    * directly on COO, and a 10⁶-dim space costs only the nonzeros.
+    * md5-prefix hashing (not xxhash) so any engine reproduces the
+    * bucketing bit-for-bit — same idiom as SplitOps' md5 grains.
+    * One explode + one map-side-combined groupBy; ≤ min(tokens, dim)
+    * rows per doc by construction.
+    */
+  def hashedFeatures(docs: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, "dim must be >= 1")
+    docTermCounts(docs, idCol, textCol)
+      .select(col(idCol),
+        pmod(conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"), lit(dim))
+          .cast("int").as("bucket"),
+        col("tf"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum("tf").as("tf"))
   }
 
   /** Per-key score calibration: exact percent_rank of `scoreCol` within

@@ -62,6 +62,25 @@ object WriteOps {
     obs.get
   }
 
+  /** Idempotent daily-rerun write: DYNAMIC partition overwrite replaces
+    * only the partitions present in `df` and leaves every other partition
+    * untouched — the primitive that makes "re-run yesterday's failed
+    * batch" safe. (Static overwrite mode — Spark's default — would drop
+    * the ENTIRE table first; at 100 TB that is the difference between
+    * rewriting one day and destroying three years.) The mode is set for
+    * this write and restored after, so a session's other writes keep
+    * their configured semantics.
+    */
+  def overwritePartitions(df: DataFrame, path: String, partCols: Seq[String]): Unit = {
+    require(partCols.nonEmpty, "overwritePartitions needs at least one partition column")
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+    finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
   /** Rewrite to `numFiles` output files, optionally capping rows per file
     * (maxRecordsPerFile splits oversized partitions at write time — the
     * knob that keeps file sizes bounded when partition sizes are skewed).

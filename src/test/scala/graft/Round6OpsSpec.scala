@@ -81,6 +81,42 @@ class Round6OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("already exists"))
   }
 
+  test("quarantineTag: first failing rule wins, kept otherwise, collision rejected") {
+    val df = Seq((1L, 5, "en"), (2L, 100, "de"), (3L, 600, "de"), (4L, 100, "en"))
+      .toDF("id", "n", "lang")
+    val rules = Seq(
+      "too_small" -> (col("n") < 10),
+      "too_big" -> (col("n") > 450),
+      "non_english" -> (col("lang") =!= "en"))
+    val got = CorpusOps.quarantineTag(df, rules).orderBy("id")
+      .select("id", "verdict").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "too_small"), (2L, "non_english"), (3L, "too_big"), (4L, "kept")))
+    // routing splits share one verdict definition with the funnel counts
+    val funnel = CorpusOps.filterFunnel(df, rules)
+      .as[(String, Long)].collect().toMap
+    assert(funnel == got.groupBy(_._2).view.mapValues(_.size.toLong).toMap)
+    val e = intercept[IllegalArgumentException](
+      CorpusOps.quarantineTag(df.withColumnRenamed("lang", "verdict"), rules.take(2)))
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("hashedFeatures: buckets in range, tf conserved, layout-independent") {
+    val df = Seq((1L, "alpha beta alpha gamma"), (2L, "beta beta delta"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.hashedFeatures(df, "doc_id", "text", dim = 4)
+      .orderBy("doc_id", "bucket")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got.forall { case (_, b, _) => b >= 0 && b < 4 })
+    // total tf = total non-stopword tokens (4 + 3 + 0)
+    assert(got.map(_._3).sum == 7L)
+    // empty doc contributes no rows
+    assert(!got.exists(_._1 == 3L))
+    // no corpus state: bucketing is per-token, so any partitioning agrees
+    val re = CorpusOps.hashedFeatures(df.repartition(5), "doc_id", "text", dim = 4)
+      .orderBy("doc_id", "bucket").as[(Long, Int, Long)].collect().toSeq
+    assert(re == got)
+  }
+
   test("bm25TopK: more matched terms and rarer terms rank higher; k respected") {
     val docs = Seq(
       (1L, "merge join window merge join window"), // all 3 query terms, high tf

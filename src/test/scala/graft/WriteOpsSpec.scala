@@ -4,6 +4,8 @@ import graft.operators.{CorpusOps, WriteOps}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 class WriteOpsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -65,10 +67,28 @@ class WriteOpsSpec extends SparkSpec {
     assert(files.length == 4)
     assert(spark.read.parquet(tmp).count() == 1000)
   }
-}
-
-class CleanSpanSpec extends SparkSpec {
-  import spark.implicits._
+  test("overwritePartitions: dynamic mode replaces only the written partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("dynpart-spec").toString
+    val base = (0L until 100L).map(i => (i, (i % 4).toInt)).toDF("id", "day")
+    WriteOps.overwritePartitions(base, dir, Seq("day"))
+    def filesOf(day: Int): Set[String] = {
+      val p = java.nio.file.Paths.get(dir, s"day=$day")
+      java.nio.file.Files.list(p).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    }
+    val beforeDay1 = filesOf(1)
+    // rerun day 2 only, with a corrected (smaller) batch
+    val corrected = base.filter(col("day") === 2 && col("id") < 20)
+    WriteOps.overwritePartitions(corrected, dir, Seq("day"))
+    val back = spark.read.parquet(dir)
+    // other partitions byte-identical (same file names), day 2 replaced
+    assert(filesOf(1) == beforeDay1, "untouched partition files must survive the rerun")
+    val counts = back.groupBy("day").count().as[(Int, Long)].collect().toMap
+    assert(counts == Map(0 -> 25L, 1 -> 25L, 3 -> 25L, 2 -> 5L))
+    // the session's overwrite mode is restored afterwards
+    assert(!spark.conf.getOption("spark.sql.sources.partitionOverwriteMode").contains("dynamic") ||
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode").isEmpty)
+  }
 
   test("cleanHtml strips tags, decodes entities in the right order, straightens punctuation") {
     val rows = Seq(
