@@ -955,6 +955,12 @@ object Oracles {
            |   CAST(CAST(CAST(SUM(CAST(c AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS score
            | FROM sc GROUP BY doc_id)
            |SELECT doc_id, n_terms, score FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+      "events_sketch_union" ->
+        """WITH e AS (SELECT CAST(event_id % 7 AS INT) AS day, user_id FROM events),
+          |d AS (SELECT day, COUNT(DISTINCT user_id) AS nd FROM e GROUP BY day)
+          |SELECT (SELECT COUNT(*) FROM d) AS n_days,
+          | (SELECT COUNT(DISTINCT user_id) FROM e) AS exact_total,
+          | true AS total_ok, true AS days_ok""".stripMargin,
       "data_quarantine" ->
         s"""SELECT doc_id, CASE
            | WHEN len($toks) < 20 THEN 'too_short'

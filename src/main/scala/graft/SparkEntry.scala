@@ -1538,6 +1538,31 @@ object SparkEntry {
           sum(when(col("day") =!= 2, 1L).otherwise(0L)).as("rows_other"))
     }),
 
+    "events_sketch_union" -> ((s, d) => {
+      // mergeable-sketch invariant: build the per-day HLL sketch table a
+      // daily job would persist, then check (a) each day's estimate and
+      // (b) the MERGED all-days estimate — computed from sketch rows
+      // alone, no raw re-scan — against exact distincts within the
+      // sketch's error bound (lgK=12 ⇒ ~1.6% rsd; 5%+1 margin)
+      val ev = T(s, d, "events")
+        .select(pmod(col("event_id"), lit(7)).cast("int").as("day"), col("user_id"))
+      val sk = StatsOps.distinctSketches(ev, "day", "user_id")
+      val perDay = sk.withColumn("est", hll_sketch_estimate(col("sketch")))
+      val exactDay = ev.groupBy("day").agg(countDistinct(col("user_id")).as("exact"))
+      val dayOk = perDay.join(exactDay, "day")
+        .agg(
+          count(lit(1)).as("n_days"),
+          bool_and(abs(col("est") - col("exact")) <= col("exact") * 0.05 + lit(1)).as("days_ok"))
+      val total = StatsOps.unionDistinctEstimate(sk)
+      val exactTotal = ev.agg(countDistinct(col("user_id")).as("exact_total"))
+      dayOk.crossJoin(broadcast(total)).crossJoin(broadcast(exactTotal))
+        .select(
+          col("n_days"), col("exact_total"),
+          (abs(col("est_distinct") - col("exact_total")) <= col("exact_total") * 0.05 + lit(1))
+            .as("total_ok"),
+          col("days_ok"))
+    }),
+
     // ----- LLM-pipeline: multimodal plumbing -----
     "multimodal_features" -> ((s, d) => {
       val withBin = T(s, d, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))

@@ -109,4 +109,21 @@ object StatsOps {
         when(col("__sd") > 0, (x.cast("double") - col("__mean")) / col("__sd")))
       .drop("__mean", "__sd")
   }
+
+  /** Per-key MERGEABLE distinct sketches (DataSketches HLL): the
+    * incremental-analytics primitive — build one sketch row per key (per
+    * day/partition) ONCE, persist the tiny table, and answer "distinct
+    * over any key range" later by merging sketches, never rescanning the
+    * raw 100 TB. `lgK = 12` ⇒ ~1.6 % standard error in ~4 KB per sketch;
+    * a year of daily sketches is ~1.5 MB. Unlike
+    * `approx_count_distinct`'s per-query sketch, these rows COMPOSE:
+    * union is associative, so daily jobs append and any window query
+    * merges. */
+  def distinctSketches(df: DataFrame, keyCol: String, valCol: String, lgK: Int = 12): DataFrame =
+    df.groupBy(col(keyCol)).agg(hll_sketch_agg(col(valCol), lit(lgK)).as("sketch"))
+
+  /** Merged distinct estimate over a (filtered) sketch table — the query
+    * side of [[distinctSketches]]. One tiny aggregation over sketch rows. */
+  def unionDistinctEstimate(sketches: DataFrame, sketchCol: String = "sketch"): DataFrame =
+    sketches.agg(hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(false))).as("est_distinct"))
 }

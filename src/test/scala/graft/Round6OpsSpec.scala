@@ -117,6 +117,33 @@ class Round6OpsSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("distinctSketches: estimates track exact counts, merge survives parquet persistence") {
+    import graft.operators.StatsOps
+    val df = (0L until 20000L).map(i => ((i % 7).toInt, i % 1500)).toDF("day", "uid")
+    val sk = StatsOps.distinctSketches(df, "day", "uid")
+    // per-day estimate within the lgK=12 error bound of the exact count
+    val est = sk.select(col("day"), hll_sketch_estimate(col("sketch")).as("est"))
+      .as[(Int, Long)].collect().toMap
+    val exact = df.distinct().groupBy("day").count().as[(Int, Long)].collect().toMap
+    exact.foreach { case (day, ex) =>
+      assert(math.abs(est(day) - ex) <= ex * 0.05 + 1, s"day $day: est ${est(day)} vs exact $ex")
+    }
+    // the persisted-table workflow: sketch rows written to parquet, read
+    // back, merged — estimate must match the exact global distinct
+    val dir = java.nio.file.Files.createTempDirectory("sketch-spec").toString
+    sk.write.mode("overwrite").parquet(dir)
+    val merged = StatsOps.unionDistinctEstimate(spark.read.parquet(dir))
+      .as[Long].collect().head
+    val exactTotal = df.select("uid").distinct().count()
+    assert(math.abs(merged - exactTotal) <= exactTotal * 0.05 + 1,
+      s"merged $merged vs exact $exactTotal")
+    // merging a filtered subset answers range queries without raw data
+    val merged3 = StatsOps.unionDistinctEstimate(spark.read.parquet(dir).filter(col("day") < 3))
+      .as[Long].collect().head
+    val exact3 = df.filter(col("day") < 3).select("uid").distinct().count()
+    assert(math.abs(merged3 - exact3) <= exact3 * 0.05 + 1)
+  }
+
   test("bm25TopK: more matched terms and rarer terms rank higher; k respected") {
     val docs = Seq(
       (1L, "merge join window merge join window"), // all 3 query terms, high tf
