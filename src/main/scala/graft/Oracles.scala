@@ -984,6 +984,26 @@ object Oracles {
           |SELECT (SELECT COUNT(DISTINCT day) FROM b) AS n_parts,
           | (SELECT COUNT(*) FROM b WHERE day = 2 AND user_id % 3 = 0) AS rows_replaced,
           | (SELECT COUNT(*) FROM b WHERE day <> 2) AS rows_other""".stripMargin,
+      "dedup_bloom_probe" ->
+        """WITH mem AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
+          |p AS (SELECT GREATEST(32, ((16 * COUNT(*) + 31) // 32) * 32) AS mbits FROM mem),
+          |ks AS (SELECT unnest(range(7)) AS i),
+          |mpos AS (SELECT CAST(('0x' || substr(md5(i::VARCHAR || ':' || h), 1, 15)) AS BIGINT) % mbits AS pos
+          |         FROM mem, p, ks),
+          |idx AS (SELECT pos // 32 AS word, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+          |        FROM mpos GROUP BY 1),
+          |pr AS (SELECT doc_id,
+          |         CASE WHEN doc_id % 3 = 0 THEN md5(text) ELSE md5(text || '::absent') END AS h,
+          |         CAST(doc_id % 3 = 0 AS INT) AS is_member
+          |       FROM documents WHERE doc_id % 3 <= 1),
+          |ppos AS (SELECT doc_id, is_member,
+          |           CAST(('0x' || substr(md5(i::VARCHAR || ':' || h), 1, 15)) AS BIGINT) % mbits AS pos
+          |         FROM pr, p, ks),
+          |hit AS (SELECT doc_id, is_member,
+          |          bool_and((COALESCE(idx.bits, 0) & (1::BIGINT << CAST(pos % 32 AS INT))) <> 0) AS might_contain
+          |        FROM ppos LEFT JOIN idx ON ppos.pos // 32 = idx.word
+          |        GROUP BY doc_id, is_member)
+          |SELECT doc_id, is_member, might_contain FROM hit ORDER BY doc_id""".stripMargin,
       "multimodal_features" ->
         """SELECT doc_id, octet_length(encode(text)) AS byte_len,
           | CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,

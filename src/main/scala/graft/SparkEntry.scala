@@ -1563,6 +1563,26 @@ object SparkEntry {
           col("days_ok"))
     }),
 
+    "dedup_bloom_probe" -> ((s, d) => {
+      // membership fast path: build the Bloom index a daily job would
+      // persist over the kept docs' content hashes, then probe a batch
+      // of half members / half absent hashes — every verdict is
+      // engine-portable (md5-derived bits), so the oracle replays the
+      // exact filter; the spec additionally pins zero false negatives
+      val docs = TP(s, d, "documents")
+      val members = docs.filter(col("doc_id") % 3 === 0).select(md5(col("text")).as("h"))
+      val index = BloomOps.bloomIndex(members, "h", k = 7, bitsPerValue = 16)
+      val probes = docs.filter(col("doc_id") % 3 <= 1)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, md5(col("text")))
+            .otherwise(md5(concat(col("text"), lit("::absent")))).as("h"),
+          (col("doc_id") % 3 === 0).cast("int").as("is_member"))
+      BloomOps.bloomProbe(index, probes, "doc_id", "h", k = 7)
+        .join(probes.select("doc_id", "is_member"), "doc_id")
+        .select("doc_id", "is_member", "might_contain")
+        .orderBy("doc_id")
+    }),
+
     // ----- LLM-pipeline: multimodal plumbing -----
     "multimodal_features" -> ((s, d) => {
       val withBin = T(s, d, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))

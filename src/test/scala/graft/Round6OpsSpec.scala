@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.operators.{BucketOps, CorpusOps, DecontamOps}
+import graft.operators.{BloomOps, BucketOps, CorpusOps, DecontamOps}
 import org.apache.spark.sql.functions._
 
 /** Round-6 operators: segment-granular dedup (boilerplate lines,
@@ -159,5 +159,42 @@ class Round6OpsSpec extends SparkSpec {
     assert(got.head._1 == 1L && got.head._2 == 3L, s"doc 1 should win: $got")
     assert(got.map(_._1).toSet == Set(1L, 2L, 4L))
     assert(got == got.sortBy(r => (-r._3, r._1)), "output ordered by score desc")
+  }
+
+  test("bloom index: zero false negatives, bounded false positives, null handling") {
+    val members = (1L to 300L).map(i => s"doc-$i").toDF("v")
+    val idx = BloomOps.bloomIndex(members, "v", k = 7, bitsPerValue = 16)
+    // every member must probe true — the structural guarantee
+    val memProbe = BloomOps.bloomProbe(idx, members.withColumn("id", col("v")), "id", "v", k = 7)
+    assert(memProbe.filter(!col("might_contain")).count() == 0, "bloom false negative")
+    // non-members: FPR at 16 bits/value, k=7 is ~7e-4; 300 probes ≫ bound 5
+    val absent = (1L to 300L).map(i => s"other-$i").toDF("v").withColumn("id", col("v"))
+    val fp = BloomOps.bloomProbe(idx, absent, "id", "v", k = 7)
+      .filter(col("might_contain")).count()
+    assert(fp <= 5, s"false-positive count $fp out of 300 non-members")
+    // null probe value → null verdict (not false, not true)
+    val nullProbe = BloomOps.bloomProbe(idx,
+      Seq(("a", Option("doc-1")), ("b", Option.empty[String])).toDF("id", "v"), "id", "v", k = 7)
+      .orderBy("id").as[(String, Option[Boolean])].collect()
+    assert(nullProbe(0)._2.contains(true) && nullProbe(1)._2.isEmpty)
+  }
+
+  test("bloom mergeIndexes == single build at fixed geometry; mixed-m probe refused") {
+    val a = (1L to 150L).map(i => s"doc-$i").toDF("v")
+    val b = (151L to 300L).map(i => s"doc-$i").toDF("v")
+    val m = Some(8192L)
+    val merged = BloomOps.mergeIndexes(
+      BloomOps.bloomIndex(a, "v", fixedBits = m), BloomOps.bloomIndex(b, "v", fixedBits = m))
+    val whole = BloomOps.bloomIndex(a.union(b), "v", fixedBits = m)
+    // the relational bitmap is bit-identical, not just probe-equivalent
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "merged shards differ from the single-pass build")
+    // shards with different geometry must be refused at probe time
+    val mixed = BloomOps.bloomIndex(a, "v", fixedBits = Some(4096L)).unionByName(
+      BloomOps.bloomIndex(b, "v", fixedBits = m))
+    val ex = intercept[Exception] {
+      BloomOps.bloomProbe(mixed, a.withColumn("id", col("v")), "id", "v").collect()
+    }
+    assert(ex.getMessage.contains("mbits") || ex.getCause != null)
   }
 }
