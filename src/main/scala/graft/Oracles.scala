@@ -1004,6 +1004,111 @@ object Oracles {
           |        FROM ppos LEFT JOIN idx ON ppos.pos // 32 = idx.word
           |        GROUP BY doc_id, is_member)
           |SELECT doc_id, is_member, might_contain FROM hit ORDER BY doc_id""".stripMargin,
+      "text_ngram_topk" ->
+        s"""WITH tok AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sh AS (SELECT doc_id, unnest(${shingles("tk", 3)}) AS gram FROM tok),
+           |pg AS (SELECT doc_id, gram, COUNT(*) AS occ FROM sh GROUP BY doc_id, gram),
+           |g AS (SELECT gram, CAST(SUM(occ) AS BIGINT) AS occurrences, COUNT(*) AS df
+           |      FROM pg GROUP BY gram)
+           |SELECT gram, occurrences, df FROM g ORDER BY occurrences DESC, gram LIMIT 25""".stripMargin,
+      "data_drift" ->
+        s"""WITH tok AS (SELECT lang, unnest($toks) AS token FROM documents WHERE lang IN ('en','de')),
+           |f AS (SELECT lang, token, COUNT(*) AS tf FROM tok
+           |      WHERE token <> '' AND NOT list_contains($stopAll, token)
+           |      GROUP BY lang, token),
+           |a AS (SELECT token, tf AS tf_ref FROM f WHERE lang = 'en'),
+           |b AS (SELECT token, tf AS tf_cur FROM f WHERE lang = 'de'),
+           |ta AS (SELECT CAST(SUM(tf_ref) AS BIGINT) AS tot_ref FROM a),
+           |tb AS (SELECT CAST(SUM(tf_cur) AS BIGINT) AS tot_cur FROM b),
+           |j AS (SELECT COALESCE(a.token, b.token) AS token,
+           |        COALESCE(tf_ref, 0) AS tf_ref, COALESCE(tf_cur, 0) AS tf_cur
+           |      FROM a FULL OUTER JOIN b ON a.token = b.token),
+           |dd AS (SELECT token, CAST(tf_ref AS BIGINT) AS tf_ref, CAST(tf_cur AS BIGINT) AS tf_cur,
+           |        abs(CAST(tf_ref AS HUGEINT) * tot_cur - CAST(tf_cur AS HUGEINT) * tot_ref) AS ds,
+           |        CASE WHEN CAST(tf_cur AS HUGEINT) * tot_ref > CAST(tf_ref AS HUGEINT) * tot_cur
+           |          THEN 'up' ELSE 'down' END AS direction
+           |       FROM j, ta, tb)
+           |SELECT token, tf_ref, tf_cur, CAST(ds AS DOUBLE) AS delta_scaled, direction
+           |FROM dd ORDER BY ds DESC, token LIMIT 20""".stripMargin,
+      "quality_model_score" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+           |f AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           |      WHERE token <> '' AND NOT list_contains($stopAll, token)
+           |      GROUP BY doc_id, token),
+           |b AS (SELECT doc_id,
+           |      CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 64 AS INT) AS bucket, tf
+           |      FROM f),
+           |fb AS (SELECT doc_id, bucket, CAST(SUM(tf) AS BIGINT) AS tf FROM b GROUP BY doc_id, bucket),
+           |w AS (SELECT doc_id, tf,
+           |      CAST(('0x' || substr(md5('w:' || bucket::VARCHAR), 1, 8)) AS BIGINT) % 2001 - 1000 AS w
+           |      FROM fb)
+           |SELECT doc_id, CAST(SUM(tf * w) AS BIGINT) AS score_milli, SUM(tf * w) > 0 AS kept
+           |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "corpus_overlap_est" ->
+        s"""WITH tok AS (SELECT lang AS slice, unnest($toks) AS token FROM documents
+           |             WHERE lang IN ('en','de','fr','es')),
+           |f AS (SELECT DISTINCT slice, token FROM tok
+           |      WHERE token <> '' AND NOT list_contains($stopAll, token)),
+           |ks AS (SELECT unnest(range(200)) AS seed),
+           |h AS (SELECT slice, seed,
+           |        min(CAST(('0x' || substr(md5(seed::VARCHAR || ':' || token), 1, 15)) AS BIGINT)) AS min_h
+           |      FROM f, ks GROUP BY slice, seed),
+           |est AS (SELECT x.slice AS slice_a, y.slice AS slice_b,
+           |          ROUND(SUM(CASE WHEN x.min_h = y.min_h THEN 1 ELSE 0 END)::DOUBLE / 200, 4) AS est_jaccard
+           |        FROM h x JOIN h y ON x.seed = y.seed AND x.slice < y.slice GROUP BY 1, 2),
+           |sz AS (SELECT slice, COUNT(*) AS n FROM f GROUP BY slice),
+           |it AS (SELECT p.slice AS slice_a, q.slice AS slice_b, COUNT(*) AS n_int
+           |       FROM f p JOIN f q ON p.token = q.token AND p.slice < q.slice GROUP BY 1, 2),
+           |ex AS (SELECT slice_a, slice_b,
+           |         ROUND(n_int::DOUBLE / (a.n + b.n - n_int), 4) AS exact_jaccard
+           |       FROM it JOIN sz a ON a.slice = it.slice_a JOIN sz b ON b.slice = it.slice_b)
+           |SELECT e.slice_a, e.slice_b, e.est_jaccard,
+           | COALESCE(ex.exact_jaccard, 0.0) AS exact_jaccard,
+           | abs(e.est_jaccard - COALESCE(ex.exact_jaccard, 0.0)) <= 0.15 AS ok
+           |FROM est e LEFT JOIN ex ON e.slice_a = ex.slice_a AND e.slice_b = ex.slice_b
+           |ORDER BY e.slice_a, e.slice_b""".stripMargin,
+      "text_hybrid_retrieval" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+           |f AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           |      WHERE token <> '' AND NOT list_contains($stopAll, token)
+           |      GROUP BY doc_id, token),
+           |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM f GROUP BY doc_id),
+           |q AS (SELECT * FROM f WHERE token IN ('merge', 'join', 'window')),
+           |dft AS (SELECT token, COUNT(*) AS df FROM q GROUP BY token),
+           |tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS tot FROM f),
+           |nn AS (SELECT COUNT(*) AS n FROM documents),
+           |sc AS (SELECT q.doc_id,
+           |   ROUND(((CAST(nn.n AS DOUBLE) - dft.df + 0.5) / (dft.df + 0.5)) *
+           |         ((q.tf * 2.2) / (q.tf + 1.2 * (0.25 + 0.75 * dl.dl / (tot.tot / nn.n)))), 4) AS c
+           | FROM q JOIN dft USING (token) CROSS JOIN tot CROSS JOIN nn JOIN dl USING (doc_id)),
+           |agg AS (SELECT doc_id, CAST(CAST(CAST(SUM(CAST(c AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS score
+           | FROM sc GROUP BY doc_id),
+           |bm AS (SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT 20),
+           |bmr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank FROM bm),
+           |base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+           |vsc AS (SELECT b.vec_id AS doc_id,
+           |          ROUND($dotExpr / (${normExpr("a")} * ${normExpr("b")}), 6) AS cosine
+           |        FROM base a JOIN base b ON a.vec_id = 0 AND b.vec_id <> 0),
+           |vrall AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS INT) AS rank FROM vsc),
+           |vr AS (SELECT doc_id, rank FROM vrall WHERE rank <= 20),
+           |u AS (SELECT doc_id, CAST(ROUND(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS c FROM bmr
+           |      UNION ALL
+           |      SELECT doc_id, CAST(ROUND(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS c FROM vr)
+           |SELECT doc_id, COUNT(*) AS n_lists,
+           | CAST(CAST(CAST(SUM(c) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS rrf
+           |FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
+      "events_agg_maint" ->
+        """SELECT user_id, COUNT(*) AS cnt,
+          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_v,
+          | MIN(value) AS min_v, MAX(value) AS max_v
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "q35_mad" ->
+        """WITH m AS (SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med
+          |           FROM orders GROUP BY 1),
+          |j AS (SELECT o.o_orderstatus, m.med, abs(o.o_totalprice - m.med) AS dev
+          |      FROM orders o JOIN m USING (o_orderstatus))
+          |SELECT o_orderstatus, MIN(med) AS med, quantile_cont(dev, 0.5) AS mad
+          |FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
       "multimodal_features" ->
         """SELECT doc_id, octet_length(encode(text)) AS byte_len,
           | CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,

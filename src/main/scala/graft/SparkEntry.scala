@@ -540,9 +540,14 @@ object SparkEntry {
         .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
       val fc = e.filter(col("event_type") === "click")
         .groupBy("user_id").agg(min("ts_us").as("first_click_us"))
-      val p = e.filter(col("event_type") === "purchase").select(col("user_id"), col("ts_us").as("pts"))
-      fc.join(p, fc("user_id") === p("user_id") && col("pts") >= col("first_click_us"), "left")
-        .groupBy(fc("user_id"), col("first_click_us"))
+      // purchase side carries a renamed key: both frames descend from `e`,
+      // so fc("user_id") === p("user_id") resolves to the SAME attribute
+      // (trivially-true predicate + a WARN per run); distinct names make
+      // the equi-join unambiguous
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts_us").as("pts"))
+      fc.join(p, col("user_id") === col("p_uid") && col("pts") >= col("first_click_us"), "left")
+        .groupBy(col("user_id"), col("first_click_us"))
         .agg(min("pts").as("first_purchase_us"))
         .withColumn("converted", col("first_purchase_us").isNotNull)
         .orderBy("user_id")
@@ -1153,7 +1158,7 @@ object SparkEntry {
       val marker = java.nio.file.Files.readString(markerPath)
       def markerLong(key: String): Long =
         s""""$key":(\\d+)""".r.findFirstMatchIn(marker).map(_.group(1).toLong).getOrElse(-1L)
-      val man = s.read.json(dir + "/_manifest")
+      val man = s.read.json(dir + "/manifest")
         .select(col("chunk"), col("n").as("man_n"), col("min_pos").as("man_min"),
           col("max_pos").as("man_max"), col("fp").as("man_fp"))
       val re = ExportOps.chunkStats(s.read.parquet(dir + "/data"), "doc_id")
@@ -1581,6 +1586,75 @@ object SparkEntry {
         .join(probes.select("doc_id", "is_member"), "doc_id")
         .select("doc_id", "is_member", "might_contain")
         .orderBy("doc_id")
+    }),
+
+    "text_ngram_topk" -> ((s, d) => {
+      // boilerplate/watermark miner: the 25 most repeated exact 3-grams
+      // across the corpus with occurrence + doc-frequency counts
+      CorpusOps.ngramTopK(TP(s, d, "documents"), "doc_id", "text", n = 3, k = 25)
+    }),
+    "data_drift" -> ((s, d) => {
+      // distribution-drift monitor: top token movers between the en and
+      // de slices, ordered by integer cross-multiplied |Δfreq| (no float
+      // division anywhere — bit-identical on any engine)
+      // ordering happens on the exact DECIMAL inside tokenDrift; only
+      // the OUTPUT column goes through the string→double idiom (the
+      // q1_agg convention for decimal/engine-numeric alignment)
+      DriftOps.tokenDrift(TP(s, d, "documents"), "text", "lang",
+        ref = "en", cur = "de", topK = 20)
+        .withColumn("delta_scaled", col("delta_scaled").cast("string").cast("double"))
+    }),
+    "quality_model_score" -> ((s, d) => {
+      // linear quality-model inference over hashed features: exact
+      // integer milli-scores from md5-derived weights, sign-threshold
+      // verdict — the apply side of a fastText-style filter
+      CorpusOps.linearModelScore(TP(s, d, "documents"), "doc_id", "text", dim = 64)
+        .orderBy("doc_id")
+    }),
+    "corpus_overlap_est" -> ((s, d) => {
+      // corpus-overlap audit: mergeable per-slice MinHash signatures →
+      // pairwise Jaccard estimates, checked inline against the exact
+      // token-set Jaccard (est is md5-deterministic, so the oracle
+      // replays it bit-for-bit; ok bounds the sampling error at k=200)
+      DriftOps.overlapEstimates(
+        TP(s, d, "documents").filter(col("lang").isin("en", "de", "fr", "es")),
+        "text", "lang", k = 200, bound = 0.15)
+    }),
+    "text_hybrid_retrieval" -> ((s, d) => {
+      // hybrid retrieval: BM25 top-20 ⊕ embedding-cosine top-20 fused
+      // by reciprocal rank (c=60) — rank-based, so lexical and vector
+      // scores need no cross-calibration; fusion cost is depth-bounded
+      val bm25 = CorpusOps.bm25TopK(TP(s, d, "documents"), "doc_id", "text",
+        Seq("merge", "join", "window"), k = 20)
+      val bmRanks = CorpusOps.rankFromScore(bm25, "doc_id", "score")
+      val vecs = TP(s, d, "embeddings")
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+      val vecRanks = SimilarityOps
+        .bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id", "vec", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      CorpusOps.rrfFuse(Seq(bmRanks, vecRanks), "doc_id", "rank", k = 15)
+    }),
+    "events_agg_maint" -> ((s, d) => {
+      // incremental aggregate maintenance: fold day-5 and day-6 deltas
+      // into the day-0..4 state table (full-outer merge of mergeable
+      // components) — the oracle recomputes from ALL raw days, so hash
+      // equality proves state-fold ≡ full rescan
+      val ev = T(s, d, "events")
+        .select(col("user_id"), col("value"), pmod(col("event_id"), lit(7)).cast("int").as("day"))
+      val base = MaintOps.aggState(ev.filter(col("day") <= 4), Seq("user_id"), "value")
+      val d5 = MaintOps.aggState(ev.filter(col("day") === 5), Seq("user_id"), "value")
+      val d6 = MaintOps.aggState(ev.filter(col("day") === 6), Seq("user_id"), "value")
+      val st = MaintOps.mergeState(MaintOps.mergeState(base, d5, Seq("user_id")), d6, Seq("user_id"))
+      st.select(col("user_id"), col("cnt"),
+          col("sum_v").cast("string").cast("double").as("sum_v"),
+          col("min_v"), col("max_v"))
+        .orderBy("user_id")
+    }),
+    "q35_mad" -> ((s, d) => {
+      // robust spread: per-status median absolute deviation (two exact
+      // percentile passes; the outlier gate stddev can't provide)
+      StatsOps.madByKey(T(s, d, "orders"), "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderstatus")
     }),
 
     // ----- LLM-pipeline: multimodal plumbing -----

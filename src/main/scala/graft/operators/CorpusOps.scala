@@ -365,6 +365,106 @@ object CorpusOps {
       .agg(sum("tf").as("tf"))
   }
 
+  /** Corpus-wide top-`k` word n-grams by total occurrence count, with
+    * document frequency — the boilerplate/watermark miner ("which exact
+    * phrases repeat across the crawl"). Same two-level aggregation shape
+    * as [[vocabulary]]: the (doc, gram) grouping has map-side combine
+    * and doubles as the distinct-doc count, so no countDistinct Expand;
+    * the second groupBy is gram-vocabulary-sized. Top-k is
+    * TakeOrderedAndProject (per-partition heap + k-row driver merge).
+    * Shingles come from the SAME kernel the dedup family uses
+    * (TextFunctions.shinglesFromTokens), so a phrase this report
+    * surfaces is literally a key the containment/span operators block
+    * on.
+    */
+  def ngramTopK(docs: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(TextFunctions.shinglesFromTokens(TextFunctions.tokens(col(textCol)), n))
+          .as("gram"))
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy("gram")
+      .agg(sum("occ").as("occurrences"), count(lit(1)).as("df"))
+      .orderBy(col("occurrences").desc, col("gram").asc)
+      .limit(k)
+
+  /** Linear-model inference over hashed features — the apply side of a
+    * fastText-style quality classifier, run at corpus scale with ZERO
+    * model state in the plan: weights are derived per-bucket from
+    * md5("w:" bucket), so the score is engine-portable and the oracle
+    * replays it exactly. In production the `when`-derived weight column
+    * becomes a broadcast join against a real weight table (dim rows —
+    * always broadcastable since dim is the model's fixed width); the
+    * plan shape is identical.
+    *
+    * Scores are INTEGER milli-units: weight w(b) ∈ [-1000, 1000] (md5
+    * mod 2001, centered), score_milli = Σ tf·w(b) — exact bigint
+    * arithmetic, no float summation order to stabilize. `kept` is the
+    * sign-threshold verdict. One explode + two map-side-combined
+    * groupBys (the hashedFeatures shape) — no corpus-global state, so
+    * it composes with streaming/incremental batches unchanged.
+    */
+  def linearModelScore(docs: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame =
+    hashedFeatures(docs, idCol, textCol, dim)
+      .withColumn("w",
+        pmod(conv(substring(md5(concat_ws(":", lit("w"), col("bucket"))), 1, 8), 16, 10)
+          .cast("long"), lit(2001L)) - 1000L)
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * col("w")).as("score_milli"))
+      .withColumn("kept", col("score_milli") > 0L)
+
+  /** 1-based dense rank of an ALREADY-TRUNCATED result list (≤ fusion
+    * depth rows) by `scoreCol` desc, ties broken by `idCol` asc —
+    * computed with a count-of-better self-join instead of a global
+    * `row_number` window, because `Window.orderBy` with no partition
+    * funnels through one partition AND warns in the log on every run
+    * (the zorder lesson). On a depth-bounded frame the nested-loop join
+    * is depth² ≪ any shuffle; do NOT use this on an unbounded frame.
+    */
+  def rankFromScore(df: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+    val x = df.select(col(idCol), col(scoreCol))
+    x.as("a")
+      .join(x.as("b"),
+        col(s"b.$scoreCol") > col(s"a.$scoreCol") ||
+          (col(s"b.$scoreCol") === col(s"a.$scoreCol") && col(s"b.$idCol") < col(s"a.$idCol")),
+        "left")
+      .groupBy(col(s"a.$idCol").as(idCol))
+      .agg((count(col(s"b.$idCol")) + 1).cast("int").as("rank"))
+  }
+
+  /** Reciprocal-rank fusion of N ranked lists: score(id) =
+    * Σ_lists 1/(c + rank). The standard hybrid-retrieval combiner
+    * (lexical BM25 rank ⊕ embedding cosine rank) — rank-based, so the
+    * two scores need no calibration against each other. Per-list
+    * contributions are rounded to 6 decimals and summed as DECIMAL so
+    * the fused score is independent of union/partition order (the
+    * bm25TopK idiom). Inputs are (idCol, rankCol) frames that are
+    * ALREADY top-depth truncated — the union is lists·depth rows, a
+    * driver-negligible frame at any corpus size (fusion cost is bounded
+    * by depth, not corpus).
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      idCol: String,
+      rankCol: String,
+      k: Int,
+      c: Int = 60
+  ): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contribs = rankings.map { r =>
+      r.select(col(idCol),
+        round(lit(1.0) / (lit(c) + col(rankCol)), 6).cast("decimal(18,6)").as("__c"))
+    }.reduce(_ union _)
+    contribs
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lists"),
+        sum("__c").cast("decimal(38,6)").cast("string").cast("double").as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Per-key score calibration: exact percent_rank of `scoreCol` within
     * each `keyCol` group (ties broken by `tieCol` for a total order), so
     * one global threshold like "keep the top 20%" applies uniformly

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-comparison operators: token-distribution drift between two
+  * corpus slices, and corpus-level set-overlap estimation via mergeable
+  * MinHash signatures. These are the monitoring primitives of a rolling
+  * crawl pipeline — "did today's batch shift vocabulary?" and "how much
+  * does source A overlap source B?" — and both are designed so the daily
+  * job touches only per-slice aggregates, never a cross-slice row join.
+  *
+  * Reference scope: the reference engine ships generic SQL transforms
+  * (core/src/main/scala/dev/mauch/spark/etl — no corpus-diff operator);
+  * these extend the same curation surface the way its diff transformer
+  * (DiffTransformer.scala) extends row-level comparison.
+  */
+object DriftOps {
+
+  /** Per-(slice, token) term counts — stopwords and empties removed, so
+    * drift reports rank CONTENT movement, not `the`/`of` noise. One
+    * explode + one map-side-combined groupBy. */
+  def sliceTokenCounts(docs: DataFrame, textCol: String, sliceCol: String): DataFrame =
+    docs
+      .select(col(sliceCol).as("slice"), explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "" && !col("token").isin(TextFunctions.allStopwords: _*))
+      .groupBy("slice", "token")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-`topK` tokens by absolute relative-frequency movement between
+    * slice `ref` and slice `cur`.
+    *
+    * The movement |tf_ref/tot_ref - tf_cur/tot_cur| is ordered WITHOUT
+    * floating division: cross-multiplied
+    *   delta_scaled = |tf_ref·tot_cur - tf_cur·tot_ref|
+    * is an integer (DECIMAL(38,0) — bigint·bigint overflows past ~10⁹
+    * tokens/slice, a 100 TB certainty), monotone in the true delta, and
+    * bit-identical on any engine — no rounding epsilon to tune.
+    *
+    * Scale: each slice reduces to (token, tf) with map-side combine; the
+    * drift join is token-keyed between two ALREADY-AGGREGATED frames
+    * (vocab-sized, not corpus-sized), totals ride in as two one-row
+    * broadcast frames, and top-k is TakeOrderedAndProject. Nothing in
+    * the plan scans raw text twice.
+    */
+  def tokenDrift(
+      docs: DataFrame,
+      textCol: String,
+      sliceCol: String,
+      ref: String,
+      cur: String,
+      topK: Int
+  ): DataFrame = {
+    val counts = sliceTokenCounts(
+      docs.filter(col(sliceCol).isin(ref, cur)), textCol, sliceCol)
+    val a = counts.filter(col("slice") === ref).select(col("token"), col("tf").as("tf_ref"))
+    val b = counts.filter(col("slice") === cur).select(col("token"), col("tf").as("tf_cur"))
+    val totA = a.agg(sum("tf_ref").as("tot_ref"))
+    val totB = b.agg(sum("tf_cur").as("tot_cur"))
+    val dec = "decimal(38,0)"
+    a.join(b, Seq("token"), "full_outer")
+      .na.fill(0L, Seq("tf_ref", "tf_cur"))
+      .crossJoin(broadcast(totA))
+      .crossJoin(broadcast(totB))
+      .withColumn("delta_scaled",
+        abs(col("tf_ref").cast(dec) * col("tot_cur").cast(dec)
+          - col("tf_cur").cast(dec) * col("tot_ref").cast(dec)))
+      .withColumn("direction",
+        when(col("tf_cur").cast(dec) * col("tot_ref").cast(dec)
+          > col("tf_ref").cast(dec) * col("tot_cur").cast(dec), lit("up")).otherwise(lit("down")))
+      .select("token", "tf_ref", "tf_cur", "delta_scaled", "direction")
+      .orderBy(col("delta_scaled").desc, col("token").asc)
+      .limit(topK)
+  }
+
+  /** Per-slice MinHash signature of the slice's DISTINCT-token set:
+    * `k` rows (seed, min-hash) per slice, hash = first 15 hex chars of
+    * md5(seed ":" token) — engine-portable (same md5 idiom as SplitOps'
+    * grains), and MERGEABLE: the signature of slice A ∪ B is the
+    * elementwise min of their signatures, so a daily job persists k rows
+    * per day and any date-range overlap question is answered from
+    * signatures alone, exactly like StatsOps.distinctSketches for
+    * counts. Cost: one distinct-token pass, then a k-way explode of the
+    * DEDUPLICATED (slice, token) frame — map-side min-combine collapses
+    * it to slices·k rows before the shuffle.
+    */
+  def corpusSignatures(
+      docs: DataFrame,
+      textCol: String,
+      sliceCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    sliceTokenCounts(docs, textCol, sliceCol)
+      .select(col("slice"), col("token"))
+      .select(col("slice"), col("token"), explode(sequence(lit(0), lit(k - 1))).as("seed"))
+      .select(col("slice"), col("seed"),
+        conv(substring(md5(concat_ws(":", col("seed"), col("token"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("slice", "seed")
+      .agg(min("h").as("min_h"))
+  }
+
+  /** Pairwise token-set Jaccard between slices: the MinHash ESTIMATE
+    * (fraction of agreeing signature components — computable from
+    * persisted signatures alone) next to the EXACT Jaccard (one
+    * token-keyed join of the distinct-token frames) with an `ok` bound
+    * check. At 100 TB the exact column is the expensive audit you run
+    * once to qualify `k`; the estimate is what the daily job reports.
+    * Both are deterministic — the estimate is md5-derived, so an oracle
+    * replays it bit-for-bit; `bound` covers the estimator's sampling
+    * error (≈3σ = 1.5/√k for worst-case J=0.5).
+    */
+  def overlapEstimates(
+      docs: DataFrame,
+      textCol: String,
+      sliceCol: String,
+      k: Int,
+      bound: Double
+  ): DataFrame = {
+    val sigs = corpusSignatures(docs, textCol, sliceCol, k)
+    val est = sigs.as("x")
+      .join(sigs.as("y"), col("x.seed") === col("y.seed") && col("x.slice") < col("y.slice"))
+      .groupBy(col("x.slice").as("slice_a"), col("y.slice").as("slice_b"))
+      .agg(round(sum(when(col("x.min_h") === col("y.min_h"), 1).otherwise(0))
+        .cast("double") / k, 4).as("est_jaccard"))
+    val toks = sliceTokenCounts(docs, textCol, sliceCol).select("slice", "token")
+    val sizes = toks.groupBy("slice").agg(count(lit(1)).as("n_tok"))
+    val inter = toks.as("p")
+      .join(toks.as("q"), col("p.token") === col("q.token") && col("p.slice") < col("q.slice"))
+      .groupBy(col("p.slice").as("slice_a"), col("q.slice").as("slice_b"))
+      .agg(count(lit(1)).as("n_int"))
+    val exact = inter
+      .join(sizes.select(col("slice").as("slice_a"), col("n_tok").as("na")), "slice_a")
+      .join(sizes.select(col("slice").as("slice_b"), col("n_tok").as("nb")), "slice_b")
+      .withColumn("exact_jaccard",
+        round(col("n_int").cast("double") / (col("na") + col("nb") - col("n_int")), 4))
+      .select("slice_a", "slice_b", "exact_jaccard")
+    est.join(exact, Seq("slice_a", "slice_b"), "full_outer")
+      .na.fill(0.0, Seq("est_jaccard", "exact_jaccard"))
+      .withColumn("ok", abs(col("est_jaccard") - col("exact_jaccard")) <= bound)
+      .select("slice_a", "slice_b", "est_jaccard", "exact_jaccard", "ok")
+      .orderBy("slice_a", "slice_b")
+  }
+}

@@ -122,9 +122,15 @@ object ExportOps {
     * twin of the streaming exactly-once sink: a training run must never
     * read a half-written snapshot. Layout:
     *   dir/data/chunk=k/…  the shuffled corpus (exportShuffled)
-    *   dir/_manifest/      per-chunk (n, min_pos, max_pos, fp) — written
+    *   dir/manifest/       per-chunk (n, min_pos, max_pos, fp) — written
     *                       DISTRIBUTED (json), so a 10⁶-chunk manifest
-    *                       never funnels through the driver
+    *                       never funnels through the driver. NOT
+    *                       underscore-prefixed: data lives under its own
+    *                       dir/data subtree so there is nothing to hide
+    *                       from, and `_`-named paths trip Spark's
+    *                       hidden-file filter (a WARN per read, and a
+    *                       reader passing dir/_manifest explicitly would
+    *                       race the filter's semantics)
     *   dir/_COMMIT         one-line totals marker, written to a temp
     *                       name and rename()d last — readers treat its
     *                       presence as the commit point. The marker goes
@@ -147,7 +153,7 @@ object ExportOps {
     val spark = df.sparkSession
     exportShuffled(df, idCol, seed, s"$dir/data", rowsPerFile)
     val back = spark.read.parquet(s"$dir/data")
-    chunkStats(back, idCol).write.mode(SaveMode.Overwrite).json(s"$dir/_manifest")
+    chunkStats(back, idCol).write.mode(SaveMode.Overwrite).json(s"$dir/manifest")
     val t = back.agg(count(lit(1)).as("n_rows"), countDistinct(col("chunk")).as("n_chunks"))
       .collect()(0)
     val marker = s"""{"n_rows":${t.getLong(0)},"n_chunks":${t.getLong(1)},"rows_per_file":$rowsPerFile,"seed":"$seed"}\n"""

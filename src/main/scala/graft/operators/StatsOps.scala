@@ -110,6 +110,28 @@ object StatsOps {
       .drop("__mean", "__sd")
   }
 
+  /** Per-key median absolute deviation — the robust spread statistic
+    * outlier gates use where stddev is poisoned by the very outliers
+    * being hunted: mad = median(|x - median(x)|). Two exact-percentile
+    * passes: per-key medians first (partial-aggregated percentile, no
+    * sort shuffle of raw rows beyond the agg), broadcast-or-shuffle
+    * joined back (unhinted — key cardinality is the caller's regime,
+    * AQE decides), then the deviation percentile. Exact percentile holds
+    * per-key value multisets in the aggregation buffer — fine while a
+    * single key's row count fits an executor (the same caveat as
+    * `q19_percentile`); at hot-key scale swap `percentile` for
+    * `approx_percentile` with identical plan shape.
+    */
+  def madByKey(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val med = df.groupBy(col(keyCol))
+      .agg(expr(s"percentile($valCol, 0.5)").as("med"))
+    df.join(med, keyCol :: Nil)
+      .groupBy(col(keyCol))
+      .agg(
+        first(col("med")).as("med"),
+        expr(s"percentile(abs($valCol - med), 0.5)").as("mad"))
+  }
+
   /** Per-key MERGEABLE distinct sketches (DataSketches HLL): the
     * incremental-analytics primitive — build one sketch row per key (per
     * day/partition) ONCE, persist the tiny table, and answer "distinct

@@ -88,7 +88,7 @@ class PackingStatsSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_COMMIT")))
     def recompute() = ExportOps.chunkStats(spark.read.parquet(s"$dir/data"), "id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
-    val manifest = spark.read.json(s"$dir/_manifest")
+    val manifest = spark.read.json(s"$dir/manifest")
       .select("chunk", "n", "min_pos", "max_pos", "fp")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
     assert(manifest == recompute() && manifest.size == 3)
