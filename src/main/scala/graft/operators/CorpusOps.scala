@@ -379,9 +379,14 @@ object CorpusOps {
     */
   def ngramTopK(docs: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame =
     docs
+      // tokens MATERIALIZED in their own projection before the explode:
+      // inlined into Generate, the tokenize regex re-runs once per
+      // expression reference — and inside transform's lambda, once per
+      // SHINGLE (O(tokens²) regex work per document). The plan must show
+      // Project(__tk) under Generate, not split() inside the generator.
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__tk"))
       .select(col(idCol),
-        explode(TextFunctions.shinglesFromTokens(TextFunctions.tokens(col(textCol)), n))
-          .as("gram"))
+        explode(TextFunctions.shinglesFromTokens(col("__tk"), n)).as("gram"))
       .groupBy(col(idCol), col("gram"))
       .agg(count(lit(1)).as("occ"))
       .groupBy("gram")
