@@ -39,11 +39,12 @@ object DriftOps {
     * tokens/slice, a 100 TB certainty), monotone in the true delta, and
     * bit-identical on any engine — no rounding epsilon to tune.
     *
-    * Scale: each slice reduces to (token, tf) with map-side combine; the
-    * drift join is token-keyed between two ALREADY-AGGREGATED frames
-    * (vocab-sized, not corpus-sized), totals ride in as two one-row
-    * broadcast frames, and top-k is TakeOrderedAndProject. Nothing in
-    * the plan scans raw text twice.
+    * Scale: the corpus reduces to one (token, tf_ref, tf_cur) row per
+    * token in a single map-side-combined conditional aggregation (no
+    * per-slice join — absence is a zero in the same row), totals ride in
+    * as a one-row broadcast frame off the checkpointed vocab-sized
+    * aggregate, and top-k is TakeOrderedAndProject. The raw text is
+    * scanned exactly once.
     */
   def tokenDrift(
       docs: DataFrame,
@@ -53,17 +54,25 @@ object DriftOps {
       cur: String,
       topK: Int
   ): DataFrame = {
-    val counts = sliceTokenCounts(
-      docs.filter(col(sliceCol).isin(ref, cur)), textCol, sliceCol)
-    val a = counts.filter(col("slice") === ref).select(col("token"), col("tf").as("tf_ref"))
-    val b = counts.filter(col("slice") === cur).select(col("token"), col("tf").as("tf_cur"))
-    val totA = a.agg(sum("tf_ref").as("tot_ref"))
-    val totB = b.agg(sum("tf_cur").as("tot_cur"))
+    // ONE conditional aggregation covers both slices — a token absent
+    // from a slice is a zero count in the same row, so there is no
+    // full-outer token join and no second corpus scan (the join shape
+    // planned 8 exchanges and scanned the corpus once per side; this
+    // shape plans 3). The per-token frame is vocab-sized; pinning it
+    // with a lazy localCheckpoint lets the one-row totals frame read
+    // the SAME blocks instead of re-deriving the aggregation subtree.
+    val counts = docs.filter(col(sliceCol).isin(ref, cur))
+      .select(col(sliceCol).as("slice"), explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "" && !col("token").isin(TextFunctions.allStopwords: _*))
+      .groupBy("token")
+      .agg(
+        sum(when(col("slice") === ref, 1L).otherwise(0L)).as("tf_ref"),
+        sum(when(col("slice") === cur, 1L).otherwise(0L)).as("tf_cur"))
+      .localCheckpoint(eager = false)
+    val totals = counts.agg(sum("tf_ref").as("tot_ref"), sum("tf_cur").as("tot_cur"))
     val dec = "decimal(38,0)"
-    a.join(b, Seq("token"), "full_outer")
-      .na.fill(0L, Seq("tf_ref", "tf_cur"))
-      .crossJoin(broadcast(totA))
-      .crossJoin(broadcast(totB))
+    counts
+      .crossJoin(broadcast(totals))
       .withColumn("delta_scaled",
         abs(col("tf_ref").cast(dec) * col("tot_cur").cast(dec)
           - col("tf_cur").cast(dec) * col("tot_ref").cast(dec)))

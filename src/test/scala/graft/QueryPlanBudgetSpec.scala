@@ -28,7 +28,16 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "data_split" -> 3,        // TP repartition + split agg + ORDER BY
     "text_topterms" -> 4,     // TP + (doc,token) agg + per-doc window + ORDER BY
     "data_domain_cap" -> 3,   // TP + group-limit window + ORDER BY
-    "data_shuffle" -> 5       // TP + bucket window + count agg (2: partial/final over pruned scan) + ORDER BY; offsets ride a broadcast NLJ
+    "data_shuffle" -> 5,      // TP + bucket window + count agg (2: partial/final over pruned scan) + ORDER BY; offsets ride a broadcast NLJ
+    "text_ngram_topk" -> 3,   // TP + (doc,gram) agg + gram agg; top-k is TakeOrdered
+    "quality_model_score" -> 5, // TP + (doc,token) agg + (doc,bucket) agg + doc agg + ORDER BY
+    "data_drift" -> 1,        // totals agg only: the vocab-sized conditional agg sits behind
+                              // a lazy localCheckpoint (its TP + token-agg exchanges run once
+                              // at materialization, outside this measured plan); a count > 1
+                              // here means the single-scan shape regressed to a join
+    "events_agg_maint" -> 5,  // 3 day-slice aggs + one merge-side exchange + ORDER BY;
+                              // both full-outer merges otherwise reuse the aggs' hash partitioning
+    "q35_mad" -> 3            // median agg + deviation agg (med table broadcast back) + ORDER BY
   )
 
   test("headline queries match their pinned shuffle counts") {
