@@ -1102,6 +1102,81 @@ object Oracles {
           | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_v,
           | MIN(value) AS min_v, MAX(value) AS max_v
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "q36_groupingsets" ->
+        """SELECT o_orderstatus, o_orderpriority,
+          | CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+          | COUNT(*) AS n,
+          | CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_price
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+          |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+      "data_winsorize" ->
+        """WITH q AS (SELECT o_orderstatus,
+          |             quantile_cont(o_totalprice, 0.05) AS qlo,
+          |             quantile_cont(o_totalprice, 0.95) AS qhi
+          |           FROM orders GROUP BY 1)
+          |SELECT o_orderkey, o.o_orderstatus, o_totalprice,
+          | CASE WHEN o_totalprice < qlo THEN qlo
+          |      WHEN o_totalprice > qhi THEN qhi
+          |      ELSE o_totalprice END AS v_w
+          |FROM orders o JOIN q ON o.o_orderstatus = q.o_orderstatus
+          |ORDER BY o_orderkey""".stripMargin,
+      "data_diversity_sample" ->
+        """WITH b AS (SELECT vec_id,
+          |    CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+          |       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+          |       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+          |       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+          |       + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END) AS INT) AS bucket,
+          |    md5('42:' || vec_id::VARCHAR) AS k
+          |  FROM embeddings),
+          |r AS (SELECT vec_id, bucket,
+          |        CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY k, vec_id) AS INT) AS rank
+          |      FROM b)
+          |SELECT vec_id, bucket, rank FROM r WHERE rank <= 3 ORDER BY bucket, rank""".stripMargin,
+      "vec_project" ->
+        """WITH e AS (SELECT vec_id, unnest(range(len(embedding))) AS i, embedding FROM embeddings),
+          |x AS (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x FROM e),
+          |j AS (SELECT unnest(range(4)) AS j),
+          |p AS (SELECT vec_id, j.j,
+          |        ROUND(x * (CASE WHEN CAST(('0x' || substr(md5('rp:' || i::VARCHAR || ':' || j.j::VARCHAR), 1, 8)) AS BIGINT) % 2 = 0
+          |                   THEN 1.0 ELSE -1.0 END), 6) AS c
+          |      FROM x, j)
+          |SELECT vec_id, CAST(j AS INT) AS j,
+          | CAST(CAST(CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS comp
+          |FROM p GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin,
+      "data_padding_waste" ->
+        s"""WITH t AS (SELECT len($toks) AS n_tok FROM documents),
+           |b AS (SELECT LEAST(CAST(n_tok AS BIGINT), 256) AS eff,
+           |        LEAST(GREATEST(((n_tok + 31) // 32) * 32, 32), 256) AS bucket_len
+           |      FROM t),
+           |g AS (SELECT bucket_len, COUNT(*) AS n_docs, CAST(SUM(eff) AS BIGINT) AS real_tokens
+           |      FROM b GROUP BY bucket_len)
+           |SELECT bucket_len, n_docs, real_tokens,
+           | n_docs * bucket_len AS padded_slots,
+           | n_docs * bucket_len - real_tokens AS waste,
+           | ROUND((n_docs * bucket_len - real_tokens)::DOUBLE / (n_docs * bucket_len), 4) AS waste_ratio,
+           | n_docs * 256 - real_tokens AS naive_waste
+           |FROM g ORDER BY bucket_len""".stripMargin,
+      "data_curriculum" ->
+        s"""WITH q AS (SELECT doc_id, lang,
+           |  len($norm) AS nc,
+           |  len($norm) - len(regexp_replace($norm, '[^a-z0-9\\sà-ÿ一-鿿]', '', 'g')) AS pc,
+           |  len($toks) AS nt,
+           |  len(list_filter($toks, t -> list_contains($stopAll, t))) AS shits
+           | FROM documents),
+           |sc AS (SELECT doc_id, lang,
+           |  0.4 * least(nt/50.0, 1.0)
+           |   + 0.3 * (1.0 - (CASE WHEN nc = 0 THEN 0.0 ELSE pc::DOUBLE/nc END))
+           |   + 0.3 * (CASE WHEN nt = 0 THEN 0.0 ELSE shits::DOUBLE/nt END) AS quality_score
+           | FROM q),
+           |r AS (SELECT doc_id, lang,
+           |        percent_rank() OVER (PARTITION BY lang ORDER BY quality_score, doc_id) AS pct_rank
+           |      FROM sc)
+           |SELECT doc_id, lang,
+           | CAST(LEAST(FLOOR(pct_rank * 3), 2) AS INT) AS stage,
+           | md5('cur:' || doc_id::VARCHAR) AS sort_key
+           |FROM r ORDER BY stage, sort_key, doc_id""".stripMargin,
       "q35_mad" ->
         """WITH m AS (SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med
           |           FROM orders GROUP BY 1),

@@ -1650,6 +1650,69 @@ object SparkEntry {
           col("min_v"), col("max_v"))
         .orderBy("user_id")
     }),
+    "q36_groupingsets" -> ((s, d) => {
+      // GROUPING SETS: the asymmetric subset cube/rollup can't express —
+      // (status, priority), (status), and grand total, one Expand pass
+      T(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          dsum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+    "data_winsorize" -> ((s, d) => {
+      // outlier clipping: per-status [p5, p95] winsorization — rows kept,
+      // leverage bounded; quantiles from one exact-percentile agg
+      StatsOps.winsorizeByKey(T(s, d, "orders"), "o_orderstatus", "o_totalprice", 0.05, 0.95)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("v_w"))
+        .orderBy("o_orderkey")
+    }),
+    "data_diversity_sample" -> ((s, d) => {
+      // cluster-balanced subsample: ≤3 vectors per sign-pattern cell
+      // (2^5 cells over the first 5 dims), seeded md5 order — keeps
+      // regions, not density; cap rides map-side WindowGroupLimit
+      SimilarityOps.diversitySample(TP(s, d, "embeddings"), "vec_id", "embedding",
+          signDims = 5, perBucket = 3, seed = "42")
+        .orderBy("bucket", "rank")
+    }),
+    "vec_project" -> ((s, d) => {
+      // Rademacher random projection 64 → 4 dims: md5-signed sums,
+      // decimal-stable components — deterministic on any engine
+      SimilarityOps.randomProjection(TP(s, d, "embeddings"), "vec_id", "embedding",
+          outDims = 4, seed = "rp")
+        .orderBy("vec_id", "j")
+    }),
+    "data_padding_waste" -> ((s, d) => {
+      // pad-vs-pack accounting: token-length buckets (step 32, context
+      // 256), per-bucket padded slots / waste / naive-padding waste
+      PackingOps.paddingWaste(
+        TP(s, d, "documents")
+          .select(size(TextFunctions.tokens(col("text"))).as("n_tok")),
+        "n_tok", contextLen = 256, step = 32)
+    }),
+    "data_curriculum" -> ((s, d) => {
+      // curriculum staging: per-lang calibrated quality percentile →
+      // 3 stages (low→high), deterministic within-stage order key —
+      // the schedule a staged training run consumes
+      val scored = TP(s, d, "documents")
+        .select(col("doc_id"), col("lang"), TextFunctions.normText(col("text")).as("norm"))
+        .select(col("doc_id"), col("lang"), col("norm"),
+          TextFunctions.tokensFromNorm(col("norm")).as("tk"))
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScoreFrom(
+            size(col("tk")), length(col("norm")),
+            TextFunctions.punctCountFromNorm(col("norm")),
+            TextFunctions.tokenHitsFromTokens(col("tk"), TextFunctions.allStopwords))
+            .as("quality_score"))
+      CorpusOps.calibrateByKey(scored, "lang", "quality_score", "doc_id")
+        .withColumn("stage", least(floor(col("pct_rank") * 3), lit(2L)).cast("int"))
+        .withColumn("sort_key", md5(concat_ws(":", lit("cur"), col("doc_id").cast("string"))))
+        .select("doc_id", "lang", "stage", "sort_key")
+        .orderBy("stage", "sort_key", "doc_id")
+    }),
     "q35_mad" -> ((s, d) => {
       // robust spread: per-status median absolute deviation (two exact
       // percentile passes; the outlier gate stddev can't provide)

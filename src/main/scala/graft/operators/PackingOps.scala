@@ -62,4 +62,39 @@ object PackingOps {
       .withColumn("n_windows", col("last_win") - col("first_win") + lit(1L))
       .select(idCol, "shard", "n_tok", "start_off", "first_win", "last_win", "n_windows")
   }
+
+  /** Padding-waste accounting for length-bucketed batching — the report
+    * that decides between padding and packing (packSequences) for a
+    * corpus: bucket documents by token length rounded UP to a multiple
+    * of `step` (capped at `contextLen`; longer docs truncate to the cap,
+    * so their overflow is TRUNCATION, not padding), then per bucket
+    * report document count, real tokens, padded slots, waste, and the
+    * waste a naive pad-everything-to-context policy would pay. All
+    * integer arithmetic except the final rounded ratio. One projection
+    * + one bucket-keyed aggregation (≤ contextLen/step groups).
+    */
+  def paddingWaste(
+      tokenCounts: DataFrame,
+      nTokCol: String,
+      contextLen: Int,
+      step: Int
+  ): DataFrame = {
+    require(contextLen > 0 && step > 0 && contextLen % step == 0,
+      "need contextLen > 0, step > 0, contextLen a multiple of step")
+    val eff = least(col(nTokCol).cast("long"), lit(contextLen.toLong))
+    tokenCounts
+      .select(eff.as("__eff"),
+        least(greatest(expr(s"((cast(${nTokCol} as bigint) + ${step - 1}) div $step) * $step"),
+          lit(step.toLong)), lit(contextLen.toLong)).as("bucket_len"))
+      .groupBy("bucket_len")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__eff")).as("real_tokens"))
+      .withColumn("padded_slots", col("n_docs") * col("bucket_len"))
+      .withColumn("waste", col("padded_slots") - col("real_tokens"))
+      .withColumn("waste_ratio",
+        round(col("waste").cast("double") / col("padded_slots"), 4))
+      .withColumn("naive_waste", col("n_docs") * lit(contextLen.toLong) - col("real_tokens"))
+      .orderBy("bucket_len")
+  }
 }

@@ -338,4 +338,66 @@ object SimilarityOps {
       )
       .filter(col("cosine") >= threshold)
   }
+
+  /** Diversity-preserving subsample: bucket vectors by the sign pattern
+    * of their first `signDims` components (a deterministic, engine-
+    * portable coarse quantization — 2^signDims cells), then keep at most
+    * `perBucket` per cell in seeded md5 order. Uniform sampling keeps
+    * the corpus's density profile (dense clusters stay dense); this
+    * keeps REGIONS — the cheap version of cluster-balanced sampling a
+    * training mix wants when one mode dominates the crawl. The per-cell
+    * cap rides CorpusOps.capPerKey's map-side WindowGroupLimit, so a
+    * mega-cell never funnels its rows to one reducer; everything else
+    * is a projection.
+    */
+  def diversitySample(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      signDims: Int,
+      perBucket: Int,
+      seed: String
+  ): DataFrame = {
+    require(signDims >= 1 && signDims <= 20, "signDims in [1,20]")
+    val bucket = (0 until signDims)
+      .map(i => when(element_at(col(vecCol), i + 1) >= 0d, lit(1 << i)).otherwise(lit(0)))
+      .reduce((a, b) => a + b)
+    val keyed = vectors
+      .select(col(idCol), bucket.cast("int").as("bucket"),
+        md5(concat_ws(":", lit(seed), col(idCol).cast("string"))).as("__k"))
+    CorpusOps.capPerKey(keyed, "bucket", Seq(col("__k"), col(idCol)), perBucket,
+      rankCol = Some("rank"))
+      .select(col(idCol), col("bucket"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Signed (Rademacher) random projection to `outDims` dimensions:
+    * out[j] = Σ_i v[i] · s(i,j), s(i,j) = ±1 derived from
+    * md5(seed ":" i ":" j) — the dimensionality-reduction step before
+    * a cheaper ANN index or a drift monitor, deterministic on any
+    * engine (no RNG, no stored projection matrix; the "matrix" IS the
+    * hash). Per-product contributions are rounded to 6 decimals and
+    * summed as DECIMAL, so components are replay- and partition-order-
+    * stable — the same property meanPool guarantees. Cost is the dense
+    * n·dim·outDims explode; outDims is small by construction (it's a
+    * REDUCTION), and the explode feeds a map-side-combined groupBy.
+    */
+  def randomProjection(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      outDims: Int,
+      seed: String
+  ): DataFrame = {
+    require(outDims >= 1, "outDims must be >= 1")
+    vectors
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .select(col(idCol), col("i"), col("x"),
+        explode(sequence(lit(0), lit(outDims - 1))).as("j"))
+      .withColumn("sign",
+        when(conv(substring(md5(concat_ws(":", lit(seed), col("i"), col("j"))), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, lit(1.0)).otherwise(lit(-1.0)))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(round(col("x").cast("double") * col("sign"), 6).cast("decimal(18,6)"))
+        .cast("decimal(38,6)").cast("string").cast("double").as("comp"))
+  }
 }

@@ -132,6 +132,38 @@ object StatsOps {
         expr(s"percentile(abs($valCol - med), 0.5)").as("mad"))
   }
 
+  /** Per-key winsorization: clip `valCol` to its key-local [lo, hi]
+    * quantiles — the outlier treatment that keeps rows (unlike a filter)
+    * while bounding the leverage any single value has on downstream
+    * means/models. Quantiles per key come from ONE exact-percentile
+    * aggregation (vocab-of-keys-sized result), rejoined unhinted so AQE
+    * broadcasts when keys are few and shuffle-joins when they aren't;
+    * the clip itself is a pure projection. Same hot-key caveat as
+    * [[madByKey]]: exact percentile buffers one key's values in the
+    * aggregation buffer — swap in approx_percentile past that regime.
+    */
+  def winsorizeByKey(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      lo: Double,
+      hi: Double,
+      outCol: String = "v_w"
+  ): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
+    require(!df.columns.contains(outCol), s"winsorizeByKey: outCol '$outCol' already exists")
+    val q = df.groupBy(col(keyCol))
+      .agg(
+        expr(s"percentile($valCol, $lo)").as("__qlo"),
+        expr(s"percentile($valCol, $hi)").as("__qhi"))
+    df.join(q, keyCol :: Nil)
+      .withColumn(outCol,
+        when(col(valCol) < col("__qlo"), col("__qlo"))
+          .when(col(valCol) > col("__qhi"), col("__qhi"))
+          .otherwise(col(valCol).cast("double")))
+      .drop("__qlo", "__qhi")
+  }
+
   /** Per-key MERGEABLE distinct sketches (DataSketches HLL): the
     * incremental-analytics primitive — build one sketch row per key (per
     * day/partition) ONCE, persist the tiny table, and answer "distinct

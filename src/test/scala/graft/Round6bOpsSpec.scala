@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{BucketOps, CorpusOps, DriftOps, MaintOps, StatsOps}
+import graft.operators.{BucketOps, CorpusOps, DriftOps, MaintOps, PackingOps, SimilarityOps, StatsOps}
 import org.apache.spark.sql.functions._
 
 /** Round-6 batch 2: corpus drift/overlap, linear-model scoring, n-gram
@@ -117,6 +117,58 @@ class Round6bOpsSpec extends SparkSpec {
     val a = StatsOps.madByKey(d, "k", "v").orderBy("k").collect()
     assert(a(0).getString(0) == "a" && a(0).getDouble(1) == 2.5 && a(0).getDouble(2) == 1.0)
     assert(a(1).getString(0) == "b" && a(1).getDouble(1) == 5.0 && a(1).getDouble(2) == 0.0)
+  }
+
+  test("winsorizeByKey: values clipped to key-local quantiles, rows conserved") {
+    val d = Seq(("a", 0.0), ("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 1000.0),
+      ("b", 5.0)).toDF("k", "v")
+    val out = StatsOps.winsorizeByKey(d, "k", "v", 0.25, 0.75)
+    assert(out.count() == 6, "winsorize must keep every row")
+    val a = out.filter(col("k") === "a").select("v", "v_w")
+      .as[(Double, Double)].collect().toMap
+    // key a quantiles: p25 = 10, p75 = 30 → 0 clips up to 10, 1000 down to 30
+    assert(a(0.0) == 10.0 && a(1000.0) == 30.0 && a(20.0) == 20.0)
+    val b = out.filter(col("k") === "b").select("v_w").as[Double].collect()
+    assert(b.toSeq == Seq(5.0), "single-value key clips to itself")
+  }
+
+  test("diversitySample: cell cap respected, deterministic, bucket = sign code") {
+    val vecs = Seq(
+      (1, Array(1.0, 1.0)), (2, Array(1.0, 1.0)), (3, Array(1.0, 1.0)),
+      (4, Array(-1.0, 1.0)), (5, Array(1.0, -1.0))
+    ).toDF("id", "vec")
+    val out = SimilarityOps.diversitySample(vecs, "id", "vec", signDims = 2, perBucket = 2, seed = "s")
+      .as[(Int, Int, Int)].collect().toSeq.sortBy(r => (r._2, r._3))
+    // bucket 3 (both positive) holds ids 1,2,3 → capped at 2; others keep 1 each
+    assert(out.count(_._2 == 3) == 2)
+    assert(out.count(_._2 == 2) == 1 && out.count(_._2 == 1) == 1)
+    val again = SimilarityOps.diversitySample(vecs.repartition(5), "id", "vec", 2, 2, "s")
+      .as[(Int, Int, Int)].collect().toSeq.sortBy(r => (r._2, r._3))
+    assert(again == out, "seeded sample must be partitioning-independent")
+  }
+
+  test("randomProjection: linearity in the input and replay stability") {
+    val vecs = Seq((1, Array(1.0f, 2.0f, 0.0f)), (2, Array(2.0f, 4.0f, 0.0f))).toDF("id", "vec")
+    val out = SimilarityOps.randomProjection(vecs, "id", "vec", outDims = 3, seed = "t")
+      .as[(Int, Int, Double)].collect().toSeq
+    assert(out.size == 6)
+    val m = out.map { case (id, j, c) => (id, j) -> c }.toMap
+    // vec 2 = 2 × vec 1 → every component doubles (signs cancel identically)
+    (0 until 3).foreach(j => assert(math.abs(m((2, j)) - 2 * m((1, j))) < 1e-9))
+    val re = SimilarityOps.randomProjection(vecs.repartition(4), "id", "vec", 3, "t")
+      .as[(Int, Int, Double)].collect().toSeq
+    assert(re.toSet == out.toSet, "components must be partition-order stable")
+  }
+
+  test("paddingWaste: integer accounting, truncation at context, bucket floors") {
+    val d = Seq(3, 32, 33, 500).toDF("n_tok") // buckets: 32, 32, 64, 256(trunc)
+    val got = PackingOps.paddingWaste(d, "n_tok", contextLen = 256, step = 32)
+      .select("bucket_len", "n_docs", "real_tokens", "padded_slots", "waste", "naive_waste")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (32L, 2L, 35L, 64L, 29L, 477L),   // 3+32 real; naive: 2*256-35
+      (64L, 1L, 33L, 64L, 31L, 223L),
+      (256L, 1L, 256L, 256L, 0L, 0L)))  // 500 truncates to 256 → zero pad waste
   }
 
   test("ngramTopK: occurrences vs df, tie-break, whole-doc shingle for short docs") {
