@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CorpusOps, SkewOps, StatsOps}
+import graft.operators.{CorpusOps, DriftOps, MaintOps, SimilarityOps, SkewOps, StatsOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -219,6 +219,34 @@ object ScaleProbe {
           .filter(pmod(col("id"), lit(8)) =!= 7)
           .select(col("id").as("a"), (col("id") + 1).as("b"))
         graft.operators.GraphOps.connectedComponents(edges, "a", "b").count()
+      },
+      "token_drift" -> { rows =>
+        // two-slice drift through the single-scan conditional agg: flat
+        // throughput certifies the corpus is scanned once and no
+        // full-outer token join crept back in
+        val sliced = synthDocs(rows).withColumn("slice",
+          when(pmod(col("id"), lit(2)) === 0, lit("ref")).otherwise(lit("cur")))
+        DriftOps.tokenDrift(sliced, "text", "slice", "ref", "cur", topK = 50).count()
+      },
+      "corpus_signatures" -> { rows =>
+        // mergeable per-slice minhash, 10 slices × k=64: the k-way
+        // explode runs on the DEDUPLICATED (slice, token) frame, so
+        // md5 mass tracks vocabulary (bounded), not the corpus
+        val sliced = synthDocs(rows).withColumn("slice", pmod(col("id"), lit(10)).cast("string"))
+        DriftOps.corpusSignatures(sliced, "text", "slice", k = 64).count()
+      },
+      "random_projection" -> { rows =>
+        // zero-shuffle literal-sign projection 64→8: cost must track the
+        // pure per-row multiply-fold (no hashing in the row path)
+        SimilarityOps.randomProjection(synthVecs(rows), "id", "vec",
+          dim = 64, outDims = 8, seed = "p").count()
+      },
+      "agg_maint_merge" -> { rows =>
+        // daily maintenance shape: state(rows) ⊕ delta(rows/20) — cost
+        // tracks the two agg scans + one key join, never raw history
+        val st = MaintOps.aggState(synth(rows).select("bucket", "value"), Seq("bucket"), "value")
+        val delta = MaintOps.aggState(synth(rows / 20).select("bucket", "value"), Seq("bucket"), "value")
+        MaintOps.mergeState(st, delta, Seq("bucket")).count()
       })
 
     val probes = only.fold(allProbes)(names => allProbes.filter(p => names.contains(p._1)))

@@ -1682,7 +1682,7 @@ object SparkEntry {
       // Rademacher random projection 64 → 4 dims: md5-signed sums,
       // decimal-stable components — deterministic on any engine
       SimilarityOps.randomProjection(TP(s, d, "embeddings"), "vec_id", "embedding",
-          outDims = 4, seed = "rp")
+          dim = 64, outDims = 4, seed = "rp")
         .orderBy("vec_id", "j")
     }),
     "data_padding_waste" -> ((s, d) => {

@@ -371,33 +371,53 @@ object SimilarityOps {
   }
 
   /** Signed (Rademacher) random projection to `outDims` dimensions:
-    * out[j] = Σ_i v[i] · s(i,j), s(i,j) = ±1 derived from
-    * md5(seed ":" i ":" j) — the dimensionality-reduction step before
-    * a cheaper ANN index or a drift monitor, deterministic on any
-    * engine (no RNG, no stored projection matrix; the "matrix" IS the
-    * hash). Per-product contributions are rounded to 6 decimals and
-    * summed as DECIMAL, so components are replay- and partition-order-
-    * stable — the same property meanPool guarantees. Cost is the dense
-    * n·dim·outDims explode; outDims is small by construction (it's a
-    * REDUCTION), and the explode feeds a map-side-combined groupBy.
+    * out[j] = Σ_i v[i] · s(i,j), s(i,j) = ±1 from the parity of the
+    * first 8 hex chars of md5(seed ":" i ":" j) — the dimensionality-
+    * reduction step before a cheaper ANN index or a drift monitor,
+    * deterministic on any engine (no RNG, no stored projection matrix;
+    * the "matrix" IS the hash, and any engine's md5 re-derives it).
+    *
+    * The sign matrix is only dim·outDims values, so it is computed ONCE
+    * driver-side (JVM md5 ≡ SQL md5) and embedded as literal arrays —
+    * the IVF literal-centroid idiom — making the whole operator a pure
+    * per-row projection: zip-multiply + decimal fold per output dim,
+    * ZERO shuffle, no per-element hashing (a first cut hashed
+    * md5(i,j) per row·element·dim — n·dim·outDims md5 calls that
+    * dwarfed the actual arithmetic). Per-product contributions are
+    * rounded to 6 decimals and folded as DECIMAL in fixed index order,
+    * so components are replay- and partition-order-stable — the same
+    * property meanPool guarantees.
+    *
+    * Every vector must have exactly `dim` components (a short vector
+    * zips against missing signs → null component, surfacing the
+    * contract violation rather than silently truncating).
     */
   def randomProjection(
       vectors: DataFrame,
       idCol: String,
       vecCol: String,
+      dim: Int,
       outDims: Int,
       seed: String
   ): DataFrame = {
-    require(outDims >= 1, "outDims must be >= 1")
+    require(dim >= 1 && outDims >= 1, "dim and outDims must be >= 1")
+    def sign(i: Int, j: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 8 hex chars = first 4 bytes big-endian; parity = low bit of byte 3
+      if ((h(3) & 1) == 0) 1.0 else -1.0
+    }
+    val zero = lit(new java.math.BigDecimal("0.000000")).cast("decimal(38,6)")
+    val comps = array((0 until outDims).map { j =>
+      val signs = array((0 until dim).map(i => lit(sign(i, j))): _*)
+      aggregate(
+        zip_with(col(vecCol).cast("array<double>"), signs,
+          (x, s) => round(x * s, 6).cast("decimal(18,6)")),
+        zero,
+        (acc, c) => (acc + c).cast("decimal(38,6)"))
+    }: _*)
     vectors
-      .select(col(idCol), posexplode(col(vecCol)).as(Seq("i", "x")))
-      .select(col(idCol), col("i"), col("x"),
-        explode(sequence(lit(0), lit(outDims - 1))).as("j"))
-      .withColumn("sign",
-        when(conv(substring(md5(concat_ws(":", lit(seed), col("i"), col("j"))), 1, 8), 16, 10)
-          .cast("long") % 2 === 0, lit(1.0)).otherwise(lit(-1.0)))
-      .groupBy(col(idCol), col("j"))
-      .agg(sum(round(col("x").cast("double") * col("sign"), 6).cast("decimal(18,6)"))
-        .cast("decimal(38,6)").cast("string").cast("double").as("comp"))
+      .select(col(idCol), posexplode(comps).as(Seq("j", "__c")))
+      .select(col(idCol), col("j"), col("__c").cast("string").cast("double").as("comp"))
   }
 }

@@ -149,15 +149,17 @@ class Round6bOpsSpec extends SparkSpec {
 
   test("randomProjection: linearity in the input and replay stability") {
     val vecs = Seq((1, Array(1.0f, 2.0f, 0.0f)), (2, Array(2.0f, 4.0f, 0.0f))).toDF("id", "vec")
-    val out = SimilarityOps.randomProjection(vecs, "id", "vec", outDims = 3, seed = "t")
+    val out = SimilarityOps.randomProjection(vecs, "id", "vec", dim = 3, outDims = 3, seed = "t")
       .as[(Int, Int, Double)].collect().toSeq
     assert(out.size == 6)
     val m = out.map { case (id, j, c) => (id, j) -> c }.toMap
     // vec 2 = 2 × vec 1 → every component doubles (signs cancel identically)
     (0 until 3).foreach(j => assert(math.abs(m((2, j)) - 2 * m((1, j))) < 1e-9))
-    val re = SimilarityOps.randomProjection(vecs.repartition(4), "id", "vec", 3, "t")
+    val re = SimilarityOps.randomProjection(vecs.repartition(4), "id", "vec", 3, 3, "t")
       .as[(Int, Int, Double)].collect().toSeq
     assert(re.toSet == out.toSet, "components must be partition-order stable")
+    assert(BucketOps.countExchanges(SimilarityOps.randomProjection(vecs, "id", "vec", 3, 3, "t")) == 0,
+      "projection must plan zero shuffles")
   }
 
   test("paddingWaste: integer accounting, truncation at context, bucket floors") {
