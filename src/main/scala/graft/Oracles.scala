@@ -1190,7 +1190,98 @@ object Oracles {
           | CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
           | CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames,
           | md5(text) AS content_hash
-          |FROM documents ORDER BY doc_id""".stripMargin
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "events_hopping" ->
+        """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 300000000 AS slot, value FROM events),
+          |w AS (SELECT (slot - i) * 300 AS window_start_s, value
+          |      FROM e CROSS JOIN (SELECT unnest([0, 1]) AS i) u)
+          |SELECT window_start_s, COUNT(*) AS n_events,
+          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value
+          |FROM w GROUP BY window_start_s ORDER BY window_start_s""".stripMargin,
+      "events_debounce" ->
+        """WITH x AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+          |  lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+          |    PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
+          |  FROM events)
+          |SELECT event_id FROM x WHERE prev IS NULL OR us - prev > 172800000000
+          |ORDER BY event_id""".stripMargin,
+      "events_cooccurrence" ->
+        """WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+          |SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_users
+          |FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+          |GROUP BY type_a, type_b ORDER BY type_a, type_b""".stripMargin,
+      "q37_mode" ->
+        """WITH c AS (SELECT user_id, event_type AS mode_type, COUNT(*) AS mode_cnt
+          |           FROM events GROUP BY user_id, event_type),
+          |r AS (SELECT *, row_number() OVER (
+          |        PARTITION BY user_id ORDER BY mode_cnt DESC, mode_type ASC) AS rn FROM c)
+          |SELECT user_id, mode_type, mode_cnt FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+      "data_skew_report" ->
+        """WITH c AS (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+          |t AS (SELECT COUNT(*) AS total FROM lineitem)
+          |SELECT l_suppkey, cnt, (cnt * 1000000) // total AS share_ppm
+          |FROM c CROSS JOIN t ORDER BY cnt DESC, l_suppkey ASC LIMIT 20""".stripMargin,
+      "text_bpe_pairs" ->
+        s"""WITH tk AS (SELECT unnest($toks) AS tok FROM documents),
+           |v AS (SELECT tok, COUNT(*) AS tf FROM tk WHERE tok <> '' GROUP BY tok),
+           |p AS (SELECT unnest(list_transform(range(1, len(tok)),
+           |        i -> substr(tok, i, 1) || ' ' || substr(tok, i + 1, 1))) AS pair, tf, tok
+           |      FROM v)
+           |SELECT pair, CAST(SUM(tf) AS BIGINT) AS weighted_count,
+           | COUNT(DISTINCT tok) AS n_word_types
+           |FROM p GROUP BY pair ORDER BY weighted_count DESC, pair ASC LIMIT 30""".stripMargin,
+      "vec_kmeans_step" ->
+        """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |c AS (SELECT vec_id AS cid, v AS cv FROM v ORDER BY vec_id LIMIT 8),
+          |d AS (SELECT v.vec_id, c.cid, v.v AS v,
+          |  round(list_reduce(list_transform(list_zip(v.v, c.cv),
+          |    p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS dist
+          |  FROM v CROSS JOIN c),
+          |a AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d)
+          |SELECT cid AS cluster_id, COUNT(*) AS n_members,
+          | CAST(CAST(CAST(SUM(CAST(v[1] AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)
+          |   / COUNT(*) AS c0,
+          | CAST(CAST(CAST(SUM(CAST(v[2] AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)
+          |   / COUNT(*) AS c1
+          |FROM a WHERE rn = 1 GROUP BY cid ORDER BY cluster_id""".stripMargin,
+      "dedup_cluster_stats" ->
+        s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7),
+           |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+           |reach(id, r) AS (
+           | SELECT DISTINCT a AS id, a AS r FROM e
+           | UNION
+           | SELECT e.b AS id, reach.r AS r FROM reach JOIN e ON e.a = reach.id),
+           |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+           |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id),
+           |h AS (SELECT cluster_size, COUNT(*) AS n_clusters FROM sz GROUP BY cluster_size),
+           |s1 AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+           |        (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM comp) AS n_clusters)
+           |SELECT cluster_size, n_clusters FROM h
+           |UNION ALL SELECT cluster_size, n_clusters FROM s1 WHERE n_clusters > 0
+           |ORDER BY cluster_size""".stripMargin,
+      "data_grouped_split" ->
+        s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7),
+           |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+           |reach(id, r) AS (
+           | SELECT DISTINCT a AS id, a AS r FROM e
+           | UNION
+           | SELECT e.b AS id, reach.r AS r FROM reach JOIN e ON e.a = reach.id),
+           |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+           |x AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS rep_id
+           |      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+           |SELECT doc_id, rep_id,
+           | CASE WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+           |      WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+           |      ELSE 'test' END AS split
+           |FROM x ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -1733,6 +1733,100 @@ object SparkEntry {
           col("media_meta.n_frames").as("n_frames"),
           md5(col("bin")).as("content_hash"))
         .orderBy("doc_id")
+    }),
+
+    // ----- events: hopping windows, debounce, co-occurrence, mode -----
+    "events_hopping" -> ((s, d) => {
+      // sliding/hopping window (width 600s, slide 300s): each event lands
+      // in width/slide = 2 windows; Spark's window() generator is a
+      // projection (2 rows per event), then one map-side-combined groupBy
+      T(s, d, "events")
+        .groupBy(window(evTs, "600 seconds", "300 seconds").as("w"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("sum_value"))
+        .select(col("w.start").cast("long").as("window_start_s"),
+          col("n_events"), col("sum_value"))
+        .orderBy("window_start_s")
+    }),
+    "events_debounce" -> ((s, d) => {
+      // throttle repeated signals: keep an event only if the PREVIOUS
+      // event of the same (user, type) is more than 2 days older (or
+      // absent). One lag window per key; integer-µs math, no float time.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      T(s, d, "events")
+        .withColumn("us", expr("ts div 1000"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .filter(col("prev_us").isNull || col("us") - col("prev_us") > lit(172800000000L))
+        .select("event_id")
+        .orderBy("event_id")
+    }),
+    "events_cooccurrence" -> ((s, d) => {
+      // event-type co-occurrence: for each unordered type pair, how many
+      // users emit BOTH. collect_set per user is bounded by the type
+      // domain (small by nature); pair expansion is an in-row HOF over
+      // that set — no distinct×distinct self-join, one groupBy each side.
+      val pairs = flatten(transform(col("t"), a =>
+        filter(transform(col("t"), b => struct(a.as("type_a"), b.as("type_b"))),
+          p => p.getField("type_a") < p.getField("type_b"))))
+      T(s, d, "events")
+        .groupBy("user_id")
+        .agg(sort_array(collect_set("event_type")).as("t"))
+        .select(explode(pairs).as("p"))
+        .groupBy(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("type_a", "type_b")
+    }),
+    "q37_mode" -> ((s, d) => {
+      // per-user modal event type, deterministic tie-break on the
+      // lexicographically smallest type (SQL MODE() leaves ties
+      // implementation-defined — this pins them)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("mode_cnt").desc, col("mode_type").asc)
+      T(s, d, "events")
+        .groupBy(col("user_id"), col("event_type").as("mode_type"))
+        .agg(count(lit(1)).as("mode_cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "mode_type", "mode_cnt")
+        .orderBy("user_id")
+    }),
+
+    // ----- ops tooling: join-key skew report -----
+    "data_skew_report" -> ((s, d) => {
+      // heavy-hitter report for a join key: top keys by row count with
+      // exact parts-per-million share (integer div — no float drift).
+      // One map-side-combined groupBy + a one-row broadcast total;
+      // top-k is TakeOrderedAndProject, never a global sort.
+      val counts = T(s, d, "lineitem").groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+      val total = T(s, d, "lineitem").agg(count(lit(1)).as("total"))
+      counts.crossJoin(broadcast(total))
+        .select(col("l_suppkey"), col("cnt"),
+          expr("(cnt * 1000000L) div total").as("share_ppm"))
+        .orderBy(col("cnt").desc, col("l_suppkey").asc)
+        .limit(20)
+    }),
+
+    // ----- LLM-pipeline: clustering layer -----
+    "text_bpe_pairs" -> ((s, d) =>
+      CorpusOps.bpePairCounts(TP(s, d, "documents"), "text", topK = 30)),
+    "vec_kmeans_step" -> ((s, d) =>
+      ClusterOps.kmeansStep(TP(s, d, "embeddings"), "vec_id", "embedding", k = 8)),
+    "dedup_cluster_stats" -> ((s, d) => {
+      // same pair parameters as dedup_clusters → component sizes →
+      // histogram with the singleton (unique-doc) row included
+      val docs = TP(s, d, "documents")
+      val pairs = DedupOps.minhashDupPairs(docs, "text", "doc_id",
+        threshold = 0.7, shingleSize = 2, numBands = 32, rowsPerBand = 3)
+      ClusterOps.clusterSizeStats(docs, GraphOps.connectedComponents(pairs, "a_id", "b_id"))
+    }),
+    "data_grouped_split" -> ((s, d) => {
+      val docs = TP(s, d, "documents")
+      val pairs = DedupOps.minhashDupPairs(docs, "text", "doc_id",
+        threshold = 0.7, shingleSize = 2, numBands = 32, rowsPerBand = 3)
+      ClusterOps.groupedSplit(docs, "doc_id", GraphOps.connectedComponents(pairs, "a_id", "b_id"))
+        .orderBy("doc_id")
     })
   )
 

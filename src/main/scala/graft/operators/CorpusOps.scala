@@ -495,6 +495,38 @@ object CorpusOps {
       percent_rank().over(Window.partitionBy(col(keyCol)).orderBy(col(scoreCol), col(tieCol))))
   }
 
+  /** BPE merge-step candidates: the top-`topK` adjacent CHARACTER pairs
+    * across the corpus, weighted by word frequency — the statistic the
+    * first iteration of byte-pair-encoding tokenizer training maximizes.
+    *
+    * Scale: the corpus is scanned ONCE to build the (token, tf) vocab
+    * (map-side-combined groupBy); the character-pair explode then runs
+    * over the VOCAB (≪ corpus — the whole point of training BPE on a
+    * word-count table rather than raw text). A pair repeated inside one
+    * word ("aaa" → "a a" twice) counts per occurrence, matching the
+    * classic algorithm.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val vocab = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"))
+    // sequence(1, len-1) would generate a DESCENDING [1,0] for 1-char
+    // tokens (Spark sequence semantics) — guard to an empty pair list
+    val pairs = transform(
+      sequence(lit(1), length(col("tok")) - 1),
+      i => concat(col("tok").substr(i, lit(1)), lit(" "), col("tok").substr(i + 1, lit(1))))
+    vocab
+      .select(col("tok"), col("tf"),
+        explode(when(length(col("tok")) >= 2, pairs)
+          .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy("pair")
+      .agg(sum("tf").as("weighted_count"), countDistinct("tok").as("n_word_types"))
+      .orderBy(col("weighted_count").desc, col("pair").asc)
+      .limit(topK)
+  }
+
   private def tfidfRank(docs: DataFrame, idCol: String, terms: DataFrame, dfTable: DataFrame): DataFrame = {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = terms
