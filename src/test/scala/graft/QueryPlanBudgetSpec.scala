@@ -37,7 +37,15 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // here means the single-scan shape regressed to a join
     "events_agg_maint" -> 5,  // 3 day-slice aggs + one merge-side exchange + ORDER BY;
                               // both full-outer merges otherwise reuse the aggs' hash partitioning
-    "q35_mad" -> 3            // median agg + deviation agg (med table broadcast back) + ORDER BY
+    "q35_mad" -> 3,           // median agg + deviation agg (med table broadcast back) + ORDER BY
+    "events_hopping" -> 2,    // window() is a generator (projection) — agg + ORDER BY only
+    "events_debounce" -> 2,   // per-key lag window + ORDER BY
+    "events_cooccurrence" -> 3, // user agg + pair agg + ORDER BY (pair expansion is in-row)
+    "data_skew_report" -> 2,  // key agg + one-row total agg; top-k is TakeOrdered
+    "text_bpe_pairs" -> 3,    // TP + vocab agg + pair agg; top-k is TakeOrdered
+    "vec_kmeans_step" -> 4    // TP ×2 (corpus + centroid subtree) + 1-row collect agg +
+                              // k-row update agg; assignment rides BroadcastExchange (not counted),
+                              // init top-k is TakeOrdered, final ORDER BY reuses the agg exchange
   )
 
   test("headline queries match their pinned shuffle counts") {
