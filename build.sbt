@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Oracles.scala is DuckDB oracle SQL consumed only by the Verify
+// correctness dump — test scaffolding, not engine code. It lives in a
+// tools/ source set (round-6 advisor item 7) so `src/main` holds only
+// the engine; it still compiles into the Compile scope because the
+// driver contract pins `SparkEntry.oracleSql` (a main-scope API) as the
+// oracle transport.
+Compile / unmanagedSourceDirectories += baseDirectory.value / "tools" / "oracle-src"
 // The round driver runs `sbt "runMain graft.Bench"` and parses the LAST
 // ~2000 chars of output for one bare JSON line. Two things broke that in
 // rounds 1-2: sbt's default LoggedOutput prefixes forked stdout with

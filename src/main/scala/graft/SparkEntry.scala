@@ -19,16 +19,39 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  private def T(s: SparkSession, dir: String, name: String): DataFrame = {
-    // the events table carries TIMESTAMP(NANOS) parquet, which Spark only
-    // reads as long when this legacy flag is on; evTs() converts ns → µs
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
-  }
 
-  /** events.ts (long nanos) → TimestampType at µs precision (truncating,
-    * same as DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP)). */
-  private def evTs: Column = timestamp_micros(expr("ts div 1000"))
+  /** events reader, adaptive to the table's physical `ts` type — the
+    * driver has shipped both µs TIMESTAMP / TIMESTAMP_NTZ (current) and
+    * TIMESTAMP(NANOS)-as-INT64 (legacy, readable only behind the
+    * nanosAsLong flag, which is set ONLY when that path is taken).
+    * Normalizes to the two columns every event-time query uses:
+    * `ts` TimestampType (µs instant) and `ts_us` BIGINT µs-since-epoch —
+    * the same value DuckDB's `epoch_us(CAST(ts AS TIMESTAMP))` yields on
+    * the same file. All graft sessions pin spark.sql.session.timeZone=UTC,
+    * so the NTZ→timestamp cast is the naive-as-UTC reading DuckDB uses. */
+  private def EV(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType => TsType}
+    val path = s"$dir/events.parquet"
+    val raw =
+      try s.read.parquet(path)
+      catch {
+        case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          s.read.parquet(path)
+      }
+    raw.schema("ts").dataType match {
+      case LongType => // ns since epoch; truncate to µs like DuckDB's NS→US cast
+        raw.withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TsType))
+          .withColumn("ts_us", unix_micros(col("ts")))
+      case _ => // already a µs instant
+        raw.withColumn("ts_us", unix_micros(col("ts")))
+    }
+  }
 
   /** Compute-heavy scans over the small single-file documents/embeddings
     * tables: repartition to the session's parallelism so hashing/vector
@@ -180,7 +203,7 @@ object SparkEntry {
         .orderBy(col("custdist").desc, col("c_count").desc)
     }),
     "q14_union" -> ((s, d) => {
-      val e = T(s, d, "events")
+      val e = EV(s, d)
       e.filter(col("event_type").isin("click", "purchase"))
         .unionByName(e.filter(col("event_type").isin("signup", "view")))
         .groupBy("event_type")
@@ -194,7 +217,7 @@ object SparkEntry {
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
     "q16_pivot" -> ((s, d) => {
-      T(s, d, "events")
+      EV(s, d)
         .withColumn("cohort", pmod(col("user_id"), lit(10)))
         .groupBy("cohort")
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
@@ -310,9 +333,9 @@ object SparkEntry {
       // per-user hourly resample with forward fill (pandas asfreq/ffill,
       // time_bucket_gapfill): grid generated from per-key bounds — never
       // a calendar cross-join against the fact table
-      val ev = T(s, d, "events").filter(col("user_id") % 10 === 0)
+      val ev = EV(s, d).filter(col("user_id") % 10 === 0)
       ResampleOps.resampleFfill(ev, "user_id",
-          expr("ts div 1000 div 3600000000"),
+          expr("ts_us div 3600000000"),
           Seq("sum_value" -> dsum(col("value"), 2)))
         .select("user_id", "bucket", "n", "sum_value", "gap")
         .orderBy("user_id", "bucket")
@@ -365,8 +388,8 @@ object SparkEntry {
       // depends on the ORDER-key distance, not row count (peers share
       // the frame, so ties are deterministic by construction)
       import org.apache.spark.sql.expressions.Window
-      val e = T(s, d, "events").filter(col("user_id") % 20 === 0)
-        .select(col("user_id"), col("event_id"), expr("ts div 1000000000").as("ts_s"), col("value"))
+      val e = EV(s, d).filter(col("user_id") % 20 === 0)
+        .select(col("user_id"), col("event_id"), expr("ts_us div 1000000").as("ts_s"), col("value"))
       val w = Window.partitionBy("user_id").orderBy(col("ts_s")).rangeBetween(-3600, 0)
       e.withColumn("w_sum",
           sum(col("value").cast("decimal(18,2)")).over(w).cast("decimal(38,2)").cast("double"))
@@ -392,7 +415,7 @@ object SparkEntry {
       // dim row instead of disappearing — the classic silent-data-loss
       // gap between = and IS NOT DISTINCT FROM
       import s.implicits._
-      val e = T(s, d, "events")
+      val e = EV(s, d)
         .withColumn("bucket", expr("nullif(pmod(user_id, 4), 3)"))
       val dim = Seq((Option(0L), "a"), (Option(1L), "b"), (Option(2L), "c"), (Option.empty[Long], "nul"))
         .toDF("bucket", "tag")
@@ -521,8 +544,8 @@ object SparkEntry {
       // log — change rows survive (lag filter), validity closes at the
       // next change (lead after the filter). Two windows over one sort.
       import org.apache.spark.sql.expressions.Window
-      val e = T(s, d, "events").filter(col("user_id") % 10 === 0)
-        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+      val e = EV(s, d).filter(col("user_id") % 10 === 0)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
       val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       val changes = e
         .withColumn("prev", lag(col("event_type"), 1).over(w))
@@ -536,8 +559,8 @@ object SparkEntry {
       // funnel conversion: first click → earliest purchase at-or-after
       // it, per user. One tiny agg per stage + a key join — no window
       // over the raw log, no cross product.
-      val e = T(s, d, "events")
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+      val e = EV(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_type"))
       val fc = e.filter(col("event_type") === "click")
         .groupBy("user_id").agg(min("ts_us").as("first_click_us"))
       // purchase side carries a renamed key: both frames descend from `e`,
@@ -556,12 +579,28 @@ object SparkEntry {
       // interval union per user (gaps-and-islands): each event opens a
       // 10-minute activity window; overlapping windows collapse into
       // maximal spans — one sort, two window passes, one aggregation
-      val iv = T(s, d, "events").filter(col("user_id") % 10 === 0)
+      val iv = EV(s, d).filter(col("user_id") % 10 === 0)
         .select(col("user_id"),
-          expr("ts div 1000").as("s_us"),
-          (expr("ts div 1000") + lit(600000000L)).as("e_us"))
+          col("ts_us").as("s_us"),
+          (col("ts_us") + lit(600000000L)).as("e_us"))
       IntervalOps.mergeIntervals(iv, "user_id", "s_us", "e_us")
         .select(col("user_id"), col("island"), col("s").as("s_us"), col("e").as("e_us"), col("n"))
+        .orderBy("user_id", "island")
+    }),
+    "events_intervals_typed" -> ((s, d) => {
+      // typed-Dataset twin of events_intervals (SURVEY §2 row 94),
+      // driver-oracled against the SAME SQL: pins groupByKey/
+      // flatMapGroups + case-class Encoders result-identical to the
+      // window/Column form (previously only a ScalaTest cross-check)
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val iv = EV(s, d).filter(col("user_id") % 10 === 0)
+        .select(col("user_id").as("k"), col("ts_us").as("s"),
+          (col("ts_us") + lit(600000000L)).as("e"))
+        .as[IntervalOps.Interval]
+      IntervalOps.mergeIntervalsTyped(iv).toDF()
+        .select(col("k").as("user_id"), col("island"),
+          col("s").as("s_us"), col("e").as("e_us"), col("n"))
         .orderBy("user_id", "island")
     }),
     "events_range_join" -> ((s, d) => {
@@ -575,7 +614,7 @@ object SparkEntry {
         col("id").as("interval_id"),
         (lit(baseUs) + col("id") * stepUs).as("s_us"),
         (lit(baseUs) + col("id") * stepUs + lenUs).as("e_us"))
-      val ev = T(s, d, "events").select(expr("ts div 1000").as("ts_us"), col("value"))
+      val ev = EV(s, d).select(col("ts_us"), col("value"))
       JoinOps.rangeJoin(ev, iv, Nil, "ts_us", "s_us", "e_us", bucketWidth = lenUs)
         .groupBy("interval_id")
         .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("sum_value"))
@@ -602,7 +641,7 @@ object SparkEntry {
         (lit(baseUs) + col("id") * stepUs).as("s_us"),
         (lit(baseUs) + col("id") * stepUs + lenUs).as("e_us"))
         .createOrReplaceTempView("graft_rj_iv")
-      T(s, d, "events").select(expr("ts div 1000").as("ts_us"), col("value"))
+      EV(s, d).select(col("ts_us"), col("value"))
         .createOrReplaceTempView("graft_rj_ev")
       s.sql("""SELECT interval_id, COUNT(*) AS n_events,
               | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
@@ -666,8 +705,8 @@ object SparkEntry {
       // fraction): two partial-agged aggregations + user-keyed join, the
       // cohort-size table rides back small (AQE broadcast) — no
       // self-join over the raw log, no window
-      val uw = T(s, d, "events")
-        .select(col("user_id"), expr("ts div 1000 div 604800000000").as("week"))
+      val uw = EV(s, d)
+        .select(col("user_id"), expr("ts_us div 604800000000").as("week"))
         .distinct()
       val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
       val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("n_cohort"))
@@ -680,12 +719,12 @@ object SparkEntry {
     }),
     "events_sessionize" -> ((s, d) => {
       SessionOps
-        .sessionize(T(s, d, "events").withColumn("ts", evTs), "user_id", "ts", gapSeconds = 1800)
+        .sessionize(EV(s, d), "user_id", "ts", gapSeconds = 1800)
         .orderBy("user_id", "session_idx")
     }),
     "events_window_agg" -> ((s, d) => {
-      T(s, d, "events")
-        .groupBy(unix_micros(date_trunc("hour", evTs)).as("hour_us"))
+      EV(s, d)
+        .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("sum_value"))
         .orderBy("hour_us")
     }),
@@ -695,11 +734,11 @@ object SparkEntry {
       // oracle pins the time-bounded join semantics and the streaming
       // spec keeps the incremental/state side: purchases within 1 hour
       // at-or-after a click by the same user
-      val e = T(s, d, "events")
+      val e = EV(s, d)
       val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), evTs.as("click_ts"), col("event_id").as("click_id"))
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
       val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), evTs.as("purchase_ts"), col("event_id").as("purchase_id"))
+        .select(col("user_id"), col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
       StreamOps.streamStreamJoin(clicks, purchases, Seq("user_id"),
           "click_ts", "purchase_ts", watermarkDelay = "10 minutes", maxDelay = "1 hour")
         .select(col("user_id"), col("click_id"), col("purchase_id"),
@@ -708,7 +747,7 @@ object SparkEntry {
         .orderBy("user_id", "click_id", "purchase_id")
     }),
     "events_json" -> ((s, d) => {
-      T(s, d, "events")
+      EV(s, d)
         .withColumn("k", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int"))
         .groupBy("k")
         .agg(count(lit(1)).as("n"))
@@ -757,7 +796,7 @@ object SparkEntry {
       read.resultView(s, "source").orderBy("r_regionkey")
     }),
     "flatten_struct" -> ((s, d) => {
-      val nested = T(s, d, "events").select(
+      val nested = EV(s, d).select(
         col("event_id"),
         struct(col("event_type"), col("value"), struct(col("user_id")).as("u")).as("ev"))
       FlattenOps.flatten(nested).orderBy("event_id")
@@ -1272,7 +1311,7 @@ object SparkEntry {
       // per-stratum deterministic downsampling (keep all purchases, 1/8
       // of clicks, 1/16 of views, 1/4 of the rest) — the curation shape
       // for rebalancing training mixtures, still a pure pushed filter
-      val sampled = SplitOps.stratifiedSample(T(s, d, "events"), "event_id", "event_type",
+      val sampled = SplitOps.stratifiedSample(EV(s, d), "event_id", "event_type",
         Map("click" -> 2, "purchase" -> 16, "view" -> 1), defaultBuckets = 4)
       sampled.groupBy("event_type")
         .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
@@ -1531,7 +1570,7 @@ object SparkEntry {
       // subset — the other days' rows must survive byte-for-byte and the
       // replaced day must hold exactly the corrected batch
       val dir = java.nio.file.Files.createTempDirectory("graft-dynpart").toString
-      val base = T(s, d, "events").filter(col("user_id") % 10 === 0)
+      val base = EV(s, d).filter(col("user_id") % 10 === 0)
         .select(col("event_id"), col("user_id"), pmod(col("event_id"), lit(5)).cast("int").as("day"))
       WriteOps.overwritePartitions(base, dir, Seq("day"))
       val corrected = base.filter(col("day") === 2 && col("user_id") % 3 === 0)
@@ -1549,7 +1588,7 @@ object SparkEntry {
       // (b) the MERGED all-days estimate — computed from sketch rows
       // alone, no raw re-scan — against exact distincts within the
       // sketch's error bound (lgK=12 ⇒ ~1.6% rsd; 5%+1 margin)
-      val ev = T(s, d, "events")
+      val ev = EV(s, d)
         .select(pmod(col("event_id"), lit(7)).cast("int").as("day"), col("user_id"))
       val sk = StatsOps.distinctSketches(ev, "day", "user_id")
       val perDay = sk.withColumn("est", hll_sketch_estimate(col("sketch")))
@@ -1639,7 +1678,7 @@ object SparkEntry {
       // into the day-0..4 state table (full-outer merge of mergeable
       // components) — the oracle recomputes from ALL raw days, so hash
       // equality proves state-fold ≡ full rescan
-      val ev = T(s, d, "events")
+      val ev = EV(s, d)
         .select(col("user_id"), col("value"), pmod(col("event_id"), lit(7)).cast("int").as("day"))
       val base = MaintOps.aggState(ev.filter(col("day") <= 4), Seq("user_id"), "value")
       val d5 = MaintOps.aggState(ev.filter(col("day") === 5), Seq("user_id"), "value")
@@ -1740,8 +1779,8 @@ object SparkEntry {
       // sliding/hopping window (width 600s, slide 300s): each event lands
       // in width/slide = 2 windows; Spark's window() generator is a
       // projection (2 rows per event), then one map-side-combined groupBy
-      T(s, d, "events")
-        .groupBy(window(evTs, "600 seconds", "300 seconds").as("w"))
+      EV(s, d)
+        .groupBy(window(col("ts"), "600 seconds", "300 seconds").as("w"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("sum_value"))
         .select(col("w.start").cast("long").as("window_start_s"),
           col("n_events"), col("sum_value"))
@@ -1754,8 +1793,8 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id", "event_type")
         .orderBy(col("ts").asc, col("event_id").asc)
-      T(s, d, "events")
-        .withColumn("us", expr("ts div 1000"))
+      EV(s, d)
+        .withColumn("us", col("ts_us"))
         .withColumn("prev_us", lag(col("us"), 1).over(w))
         .filter(col("prev_us").isNull || col("us") - col("prev_us") > lit(172800000000L))
         .select("event_id")
@@ -1769,7 +1808,7 @@ object SparkEntry {
       val pairs = flatten(transform(col("t"), a =>
         filter(transform(col("t"), b => struct(a.as("type_a"), b.as("type_b"))),
           p => p.getField("type_a") < p.getField("type_b"))))
-      T(s, d, "events")
+      EV(s, d)
         .groupBy("user_id")
         .agg(sort_array(collect_set("event_type")).as("t"))
         .select(explode(pairs).as("p"))
@@ -1784,7 +1823,7 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id")
         .orderBy(col("mode_cnt").desc, col("mode_type").asc)
-      T(s, d, "events")
+      EV(s, d)
         .groupBy(col("user_id"), col("event_type").as("mode_type"))
         .agg(count(lit(1)).as("mode_cnt"))
         .withColumn("rn", row_number().over(w))
@@ -1827,7 +1866,116 @@ object SparkEntry {
         threshold = 0.7, shingleSize = 2, numBands = 32, rowsPerBand = 3)
       ClusterOps.groupedSplit(docs, "doc_id", GraphOps.connectedComponents(pairs, "a_id", "b_id"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // ----- round 7: event-time + corpus additions -----
+    "events_time_split" -> ((s, d) => {
+      // temporal train/embargo/test split with a 2-day gap: the
+      // time-axis leakage guard (hash split → data_split, cluster split
+      // → data_grouped_split, time split → here). Pure pushed
+      // projection; report shape per split.
+      SplitOps.timeSplit(EV(s, d), "ts_us",
+          trainEndUs = 1705795200000000L,  // 2024-01-21T00:00Z
+          testStartUs = 1705968000000000L) // 2024-01-23T00:00Z
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min("ts_us").as("min_us"), max("ts_us").as("max_us"))
+        .orderBy("split")
+    }),
+    "events_burst" -> ((s, d) => {
+      // burst detection: per user, the max event count in any trailing
+      // 10-minute window — a RANGE frame (value-distance peers, so ties
+      // are deterministic by construction), one keyed shuffle
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-600000000L, 0)
+      EV(s, d).select(col("user_id"), col("ts_us"))
+        .withColumn("w_n", count(lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), max("w_n").as("max_burst"))
+        .withColumn("bursty", col("max_burst") >= 2)
+        .orderBy("user_id")
+    }),
+    "events_gap_stats" -> ((s, d) => {
+      // per-user inter-event gap distribution, integer-exact: lower
+      // median and ceil(0.9·n) discrete p90 via ranked self-positions
+      // (no FP interpolation — engines disagree on lerp order at the
+      // ulp level), avg as exact-int sum / count (gap sums < 2^53)
+      import org.apache.spark.sql.expressions.Window
+      val wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val gaps = EV(s, d).select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("prev", lag(col("ts_us"), 1).over(wo))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap", col("ts_us") - col("prev"))
+      val ranked = gaps
+        .withColumn("rn", row_number().over(Window.partitionBy("user_id").orderBy("gap")))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("user_id")))
+      ranked.groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          max("gap").as("max_gap"),
+          (sum("gap").cast("double") / count(lit(1))).as("avg_gap"),
+          max(when(expr("rn = (cnt + 1) div 2"), col("gap"))).as("med_gap"),
+          max(when(expr("rn = (9 * cnt + 9) div 10"), col("gap"))).as("p90_gap"))
+        .orderBy("user_id")
+    }),
+    "events_churn" -> ((s, d) => {
+      // inactivity/churn flag: users whose last event is >7 days before
+      // the corpus frontier; the frontier rides back as a broadcast
+      // 1-row scalar (no window over the log)
+      val e = EV(s, d).select(col("user_id"), col("ts_us"))
+      val last = e.groupBy("user_id")
+        .agg(max("ts_us").as("last_us"), count(lit(1)).as("n_events"))
+      val mx = e.agg(max("ts_us").as("corpus_max_us"))
+      last.crossJoin(broadcast(mx)) // 1-row scalar attach
+        .select(col("user_id"), col("last_us"), col("n_events"),
+          (col("corpus_max_us") - col("last_us") > lit(7L * 86400000000L)).as("churned"))
+        .orderBy("user_id")
+    }),
+    "events_interval_overlap" -> ((s, d) => {
+      // interval×interval overlap join: 50 deterministic report windows
+      // against per-user merged activity spans (mergeIntervals output) —
+      // bucketized with emit-once anchoring, so no cross product AND no
+      // distinct pass over the pair set
+      val baseUs = 1704067200000000L // 2024-01-01T00:00Z
+      val stepUs = 50400000000L      // 14 h
+      val lenUs = 75600000000L       // 21 h
+      val iv = s.range(50).select(
+        col("id").as("interval_id"),
+        (lit(baseUs) + col("id") * stepUs).as("s_us"),
+        (lit(baseUs) + col("id") * stepUs + lenUs).as("e_us"))
+      val spans = IntervalOps.mergeIntervals(
+        EV(s, d).filter(col("user_id") % 10 === 0)
+          .select(col("user_id"), col("ts_us").as("s0"),
+            (col("ts_us") + lit(600000000L)).as("e0")),
+        "user_id", "s0", "e0")
+        .select(col("user_id"), col("s"), col("e"))
+      JoinOps.intervalOverlapJoin(iv, spans, Nil, "s_us", "e_us", "s", "e", bucketWidth = lenUs)
+        .groupBy("interval_id")
+        .agg(count(lit(1)).as("n_spans"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("interval_id")
+    }),
+    "events_rolling_distinct" -> ((s, d) => {
+      // 7-day rolling distinct users from MERGEABLE daily HLL sketches:
+      // the rolling series is computed from one sketch row per day —
+      // never rescanning the log — and checked day-by-day against the
+      // exact rolling distinct within the sketch's error bound
+      val e = EV(s, d).select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+      val est = StatsOps.rollingDistinctEstimate(e, "day", "user_id", window = 7)
+      val uw = e.distinct()
+      val exact = uw.select(col("day")).distinct()
+        .join(uw.select(col("day").as("src_day"), col("user_id")),
+          col("src_day") >= col("day") - 6 && col("src_day") <= col("day"))
+        .groupBy("day").agg(countDistinct(col("user_id")).as("exact7"))
+      est.join(exact, "day")
+        .select(col("day"), col("exact7"),
+          (abs(col("est") - col("exact7")) <= col("exact7") * 0.05 + lit(1)).as("ok"))
+        .orderBy("day")
+    }),
+    "quality_oov" -> ((s, d) =>
+      CorpusOps.oovRate(TP(s, d, "documents"), "doc_id", "text", topV = 20)
+        .orderBy("doc_id"))
   )
 
   // ---------------------------------------------------------------- oracles

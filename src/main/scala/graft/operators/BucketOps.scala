@@ -65,7 +65,10 @@ object BucketOps {
     * into one scan partition, so later joins on the bucket key still
     * plan with no Exchange; the per-bucket sorted-scan guarantee holds
     * per file, so a join may re-sort in place — no shuffle either way).
-    * A mismatched spec fails analysis rather than corrupting the layout.
+    * A mismatched spec is REJECTED up front (explicit catalog check, not
+    * just Spark's own analysis error): mixing bucket counts in one table
+    * would silently break the Exchange-free probe every later reader
+    * relies on — the failure must be loud and immediate.
     */
   def appendBucketed(
       df: DataFrame,
@@ -75,6 +78,18 @@ object BucketOps {
       sortKeys: Seq[String] = Nil,
       repartitionFirst: Boolean = true
   ): Unit = {
+    val spark = df.sparkSession
+    if (spark.catalog.tableExists(table)) {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      spark.sessionState.catalog.getTableMetadata(ident).bucketSpec.foreach { spec =>
+        require(
+          spec.numBuckets == numBuckets && spec.bucketColumnNames == keys,
+          s"appendBucketed: bucket spec mismatch for $table — existing " +
+            s"${spec.numBuckets} buckets on (${spec.bucketColumnNames.mkString(",")}), " +
+            s"append requested $numBuckets on (${keys.mkString(",")}); a mixed spec " +
+            "would silently lose the co-located layout")
+      }
+    }
     val src = if (repartitionFirst) df.repartition(numBuckets, keys.map(df(_)): _*) else df
     val w0 = src.write.mode(SaveMode.Append).format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)

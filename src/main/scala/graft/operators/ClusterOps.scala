@@ -31,6 +31,30 @@ import org.apache.spark.sql.functions._
   */
 object ClusterOps {
 
+  /** Compute the near-dup component frame ONCE and pin it
+    * (localCheckpoint) so the whole apply side of dedup reuses it
+    * instead of re-running the pointer-jumping loop per consumer — the
+    * `materializeSignatures` idiom lifted to the cluster level. A real
+    * pipeline computes this once per corpus snapshot and fans out:
+    * {{{
+    * val comp = ClusterOps.materializeComponents(pairs)  // CC runs once
+    * val kept  = DedupOps.applyPairDedup(docs, "doc_id", pairs, components = Some(comp))
+    * val stats = ClusterOps.clusterSizeStats(docs, comp)
+    * val folds = ClusterOps.groupedSplit(docs, "doc_id", comp)
+    * }}}
+    * The driver queries (`data_survivors`, `dedup_cluster_stats`,
+    * `data_grouped_split`) each rebuild their own frame because every
+    * oracle-checked query must be self-contained — which is why three
+    * bench queries each pay the CC loop; this helper is the lever a user
+    * pulls to pay it once.
+    */
+  def materializeComponents(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id"
+  ): DataFrame =
+    GraphOps.connectedComponents(pairs, aCol, bCol).localCheckpoint()
+
   /** One Lloyd iteration of k-means over `vecCol`, fully relational and
     * engine-exact: initial centroids are the `k` vectors with smallest
     * `idCol` (deterministic, no RNG), assignment distance is squared

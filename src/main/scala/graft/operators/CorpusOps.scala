@@ -81,6 +81,29 @@ object CorpusOps {
       .orderBy(col("tf").desc, col("token").asc)
       .limit(topV)
 
+  /** Per-document out-of-vocabulary rate against the corpus top-`topV`
+    * vocabulary — the tokenizer-fit / domain-shift signal (a doc whose
+    * content words mostly miss the training vocab is either foreign,
+    * noisy, or from an unseen domain). Measured over CONTENT tokens (the
+    * same stopword-filtered stream [[vocabulary]] is built from), so a
+    * stopword-only document drops out rather than scoring 0/0.
+    *
+    * Scale shape: tokens are pre-aggregated per (doc, token) before the
+    * vocab membership test, and the vocab is `topV` rows — an explicit
+    * broadcast LEFT ANTI join, so the corpus-sized side never shuffles
+    * for membership; the only wide exchanges are the per-doc aggs.
+    */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String, topV: Int): DataFrame = {
+    val terms = docTermCounts(docs, idCol, textCol) // (id, token, tf)
+    val vocab = vocabulary(docs, idCol, textCol, topV).select("token")
+    val nTok = terms.groupBy(idCol).agg(sum("tf").as("n_tokens"))
+    val nOov = terms.join(broadcast(vocab), Seq("token"), "left_anti")
+      .groupBy(idCol).agg(sum("tf").as("n_oov"))
+    nTok.join(nOov, Seq(idCol), "left")
+      .withColumn("n_oov", coalesce(col("n_oov"), lit(0L)))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** First-failing-rule verdict expression shared by the funnel report
     * and the row-level quarantine tagger. */
   private def verdictExpr(rules: Seq[(String, Column)]): Column =

@@ -227,11 +227,12 @@ object DedupOps {
       idCol: String,
       pairs: DataFrame,
       aCol: String = "a_id",
-      bCol: String = "b_id"
+      bCol: String = "b_id",
+      components: Option[DataFrame] = None
   ): DataFrame = {
     require(!docs.columns.contains("__drop_id"),
       "applyPairDedup: input column __drop_id collides with a reserved helper name")
-    val drops = GraphOps.connectedComponents(pairs, aCol, bCol)
+    val drops = components.getOrElse(GraphOps.connectedComponents(pairs, aCol, bCol))
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("__drop_id"))
     docs.join(drops, docs(idCol) === col("__drop_id"), "left_anti")
@@ -252,7 +253,8 @@ object DedupOps {
       pairs: DataFrame,
       score: Column,
       aCol: String = "a_id",
-      bCol: String = "b_id"
+      bCol: String = "b_id",
+      components: Option[DataFrame] = None
   ): DataFrame = {
     // the labels join injects id/cluster_id and the keeper pick injects
     // __rn — a caller column with one of those names would be silently
@@ -261,7 +263,7 @@ object DedupOps {
     val clash = docs.columns.filter(c => reserved(c))
     require(clash.isEmpty,
       s"applyPairDedupPreferring: input columns collide with reserved names: ${clash.mkString(", ")}")
-    val labels = GraphOps.connectedComponents(pairs, aCol, bCol)
+    val labels = components.getOrElse(GraphOps.connectedComponents(pairs, aCol, bCol))
     val members = docs.join(labels, docs(idCol) === labels("id"), "inner")
     val w = Window.partitionBy("cluster_id").orderBy(score.desc, col(idCol).asc)
     val keepers = members

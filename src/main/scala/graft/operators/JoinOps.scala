@@ -245,4 +245,51 @@ object JoinOps {
         col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__graft_lbucket", "__graft_rbucket")
   }
+
+  /** Interval×interval overlap join — [lS,lE) vs [rS,rE) half-open — with
+    * the same bucketization discipline as [[rangeJoin]], so the cross
+    * product never forms: each side explodes to the fixed-width buckets
+    * its span covers and pairs equi-join on the bucket id.
+    *
+    * The usual bucketized-interval problem is that a pair overlapping
+    * across b shared buckets matches b times and needs a DISTINCT pass
+    * over the (potentially huge) pair set. Here every overlapping pair is
+    * emitted EXACTLY ONCE by construction: the join keeps a pair only in
+    * the bucket that contains the overlap's START, `greatest(lS, rS) div
+    * width` — a bucket both sides provably cover — so no dedup shuffle
+    * exists at all.
+    *
+    * Column names must be disjoint across the two frames (same contract
+    * as rangeJoin). 100 TB: one shuffle per side on (keys, bucket); a
+    * span covering b buckets replicates b× — pick `bucketWidth` near the
+    * typical span length to keep b small.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftStartCol: String,
+      leftEndCol: String,
+      rightStartCol: String,
+      rightEndCol: String,
+      bucketWidth: Long
+  ): DataFrame = {
+    val lb = left.withColumn(
+      "__graft_lbucket",
+      explode(sequence(
+        expr(s"CAST($leftStartCol AS BIGINT) div $bucketWidth"),
+        expr(s"CAST($leftEndCol AS BIGINT) div $bucketWidth"))))
+    val rb = right.withColumn(
+      "__graft_rbucket",
+      explode(sequence(
+        expr(s"CAST($rightStartCol AS BIGINT) div $bucketWidth"),
+        expr(s"CAST($rightEndCol AS BIGINT) div $bucketWidth"))))
+    val keyCond = keyCols.map(c => lb(c) === rb(c)).reduceOption(_ && _).getOrElse(lit(true))
+    val overlaps = col(leftStartCol) < col(rightEndCol) && col(rightStartCol) < col(leftEndCol)
+    // emit-once anchor: only the bucket holding max(lS, rS)
+    val anchor = lb("__graft_lbucket") ===
+      expr(s"greatest(CAST($leftStartCol AS BIGINT), CAST($rightStartCol AS BIGINT)) div $bucketWidth")
+    lb.join(rb, keyCond && lb("__graft_lbucket") === rb("__graft_rbucket") && overlaps && anchor)
+      .drop("__graft_lbucket", "__graft_rbucket")
+  }
 }

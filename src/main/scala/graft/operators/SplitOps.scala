@@ -129,4 +129,23 @@ object SplitOps {
       .filter(col("cum_tokens") <= budget)
       .select(col(idCol), col(stratumCol), col("cum_tokens"))
   }
+
+  /** Leakage-safe TEMPORAL split with an embargo gap: `train` takes event
+    * time strictly before `trainEndUs`, `test` takes at-or-after
+    * `testStartUs`, and rows inside [trainEndUs, testStartUs) are labeled
+    * `embargo` — excluded from both sides, so boundary leakage (sessions
+    * straddling the cutoff, delayed labels, clock skew) lands in the gap
+    * instead of contaminating eval. The time-axis sibling of the hash
+    * split ([[assignSplit]]) and the cluster split
+    * ([[ClusterOps.groupedSplit]]). Pure projection — no shuffle, and the
+    * split predicate pushes down to a partition filter on a
+    * date-partitioned table. */
+  def timeSplit(df: DataFrame, tsUsCol: String, trainEndUs: Long, testStartUs: Long): DataFrame = {
+    require(trainEndUs <= testStartUs,
+      s"timeSplit: trainEndUs ($trainEndUs) must be <= testStartUs ($testStartUs)")
+    df.withColumn("split",
+      when(col(tsUsCol) < trainEndUs, "train")
+        .when(col(tsUsCol) < testStartUs, "embargo")
+        .otherwise("test"))
+  }
 }

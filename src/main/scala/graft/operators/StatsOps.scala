@@ -180,4 +180,28 @@ object StatsOps {
     * side of [[distinctSketches]]. One tiny aggregation over sketch rows. */
   def unionDistinctEstimate(sketches: DataFrame, sketchCol: String = "sketch"): DataFrame =
     sketches.agg(hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(false))).as("est_distinct"))
+
+  /** Rolling `window`-key distinct estimate from the mergeable per-key
+    * sketch table (e.g. 7-day rolling distinct users from daily HLL
+    * rows): for each key, union the sketches of [key-window+1, key] and
+    * estimate. This is THE reason the sketch table exists — the rolling
+    * series comes from KEY-COUNT-sized rows (one per day), never from
+    * rescanning the raw events. The range self-join is over two
+    * day-count-sized frames (a year = 365 rows), a broadcast
+    * nested-loop at any corpus scale; `keyCol` must be integral. */
+  def rollingDistinctEstimate(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      window: Int,
+      lgK: Int = 12
+  ): DataFrame = {
+    val sk = distinctSketches(df, keyCol, valCol, lgK)
+    val src = sk.select(col(keyCol).as("__src_key"), col("sketch"))
+    sk.select(col(keyCol))
+      .join(src,
+        col("__src_key") >= col(keyCol) - (window - 1) && col("__src_key") <= col(keyCol))
+      .groupBy(keyCol)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false))).as("est"))
+  }
 }

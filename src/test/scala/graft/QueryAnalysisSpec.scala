@@ -1,0 +1,48 @@
+package graft
+
+/** Schema-drift guard (round-6 verdict item 2): the driver regenerates
+  * /root/testdata between rounds and has already changed a column's
+  * physical type once (events.ts TIMESTAMP(NANOS)-as-INT64 → µs
+  * TIMESTAMP, round 6), which silently broke 13 queries — they simply
+  * vanished from CORRECTNESS instead of failing anywhere in the repo.
+  * This spec analyzes EVERY declared query against the actual on-disk
+  * testdata schema, so the next physical-type drift fails HERE with a
+  * per-query message.
+  *
+  * `queryExecution.analyzed` resolves every column reference and
+  * expression type against the real parquet footers without running a
+  * job. A handful of query bodies do eager sf0.001 work at construction
+  * time (pipeline_* / write_* / dedup_incremental*); their construction
+  * throwing on a schema change is exactly the same drift signal.
+  */
+class QueryAnalysisSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("every declared query analyzes against the on-disk testdata schema") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).queryExecution.analyzed
+        None
+      } catch {
+        case e: Throwable =>
+          val msg = String.valueOf(e.getMessage).linesIterator.take(3).mkString(" | ")
+          Some(s"$name: ${e.getClass.getSimpleName} $msg")
+      }
+    }
+    assert(
+      failures.isEmpty,
+      s"${failures.size} queries fail analysis against $sfDir — " +
+        s"likely the driver regenerated testdata with a new schema:\n${failures.mkString("\n")}")
+  }
+
+  test("every query has an oracle twin or is documented rows-only") {
+    // the driver records a weaker rows-only check for queries absent from
+    // oracleSql — keep that set explicit so a forgotten oracle is caught
+    val rowsOnlyByDesign = Set("dedup_simhash")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
+    assert(missing.isEmpty, s"queries without an oracle twin: ${missing.toSeq.sorted.mkString(", ")}")
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracles without a query: ${orphaned.toSeq.sorted.mkString(", ")}")
+  }
+}

@@ -49,7 +49,7 @@ object Oracles {
     def normExpr(side: String) =
       s"sqrt(list_reduce(list_transform($side.vec, x -> x*x), (x,y) -> x+y))"
 
-    Map(
+    val m = Map(
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
           | CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty,
@@ -1281,7 +1281,87 @@ object Oracles {
            | CASE WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
            |      WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
            |      ELSE 'test' END AS split
-           |FROM x ORDER BY doc_id""".stripMargin
+           |FROM x ORDER BY doc_id""".stripMargin,
+
+      // ----- round 7: event-time + corpus additions -----
+      "events_time_split" ->
+        """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+          |SELECT CASE WHEN us < 1705795200000000 THEN 'train'
+          |            WHEN us < 1705968000000000 THEN 'embargo'
+          |            ELSE 'test' END AS split,
+          | COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+          | MIN(us) AS min_us, MAX(us) AS max_us
+          |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+      "events_burst" ->
+        """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+          |w AS (SELECT user_id, COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+          |      RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS w_n FROM e)
+          |SELECT user_id, COUNT(*) AS n_events, MAX(w_n) AS max_burst,
+          | MAX(w_n) >= 2 AS bursty
+          |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "events_gap_stats" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+          |g AS (SELECT user_id, us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+          |      FROM e),
+          |gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+          |r AS (SELECT user_id, gap,
+          |      row_number() OVER (PARTITION BY user_id ORDER BY gap) AS rn,
+          |      COUNT(*) OVER (PARTITION BY user_id) AS cnt FROM gg)
+          |SELECT user_id, COUNT(*) AS n_gaps, MAX(gap) AS max_gap,
+          | CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS avg_gap,
+          | MAX(CASE WHEN rn = (cnt + 1) // 2 THEN gap END) AS med_gap,
+          | MAX(CASE WHEN rn = (9 * cnt + 9) // 10 THEN gap END) AS p90_gap
+          |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "events_churn" ->
+        """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+          |l AS (SELECT user_id, MAX(us) AS last_us, COUNT(*) AS n_events FROM e GROUP BY user_id),
+          |m AS (SELECT MAX(us) AS mx FROM e)
+          |SELECT user_id, last_us, n_events, m.mx - last_us > 604800000000 AS churned
+          |FROM l, m ORDER BY user_id""".stripMargin,
+      "events_interval_overlap" ->
+        """WITH iv AS (SELECT unnest(range(0, 50)) AS interval_id),
+          |win AS (SELECT interval_id, 1704067200000000 + interval_id * 50400000000 AS s_us,
+          |        1704067200000000 + interval_id * 50400000000 + 75600000000 AS e_us FROM iv),
+          |sp0 AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+          |        epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS e
+          |        FROM events WHERE user_id % 10 = 0),
+          |t AS (SELECT user_id, s, e,
+          |      MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+          |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+          |      FROM sp0),
+          |t2 AS (SELECT user_id, s, e,
+          |       SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END) OVER
+          |        (PARTITION BY user_id ORDER BY s, e
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          |       FROM t),
+          |sp AS (SELECT user_id, MIN(s) AS s, MAX(e) AS e FROM t2 GROUP BY user_id, island)
+          |SELECT w.interval_id, COUNT(*) AS n_spans, COUNT(DISTINCT sp.user_id) AS n_users
+          |FROM win w JOIN sp ON w.s_us < sp.e AND sp.s < w.e_us
+          |GROUP BY w.interval_id ORDER BY w.interval_id""".stripMargin,
+      "events_rolling_distinct" ->
+        """WITH uw AS (SELECT DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, user_id
+          |            FROM events),
+          |d AS (SELECT DISTINCT day FROM uw)
+          |SELECT d.day, COUNT(DISTINCT uw.user_id) AS exact7, TRUE AS ok
+          |FROM d JOIN uw ON uw.day BETWEEN d.day - 6 AND d.day
+          |GROUP BY d.day ORDER BY d.day""".stripMargin,
+      "quality_oov" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+           |f AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           |      WHERE token <> '' AND NOT list_contains($stopAll, token)
+           |      GROUP BY doc_id, token),
+           |v AS (SELECT token FROM (SELECT token, CAST(SUM(tf) AS BIGINT) AS tf FROM f GROUP BY token)
+           |      ORDER BY tf DESC, token LIMIT 20),
+           |nt AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens FROM f GROUP BY doc_id),
+           |no AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_oov FROM f
+           |       WHERE token NOT IN (SELECT token FROM v) GROUP BY doc_id)
+           |SELECT nt.doc_id, nt.n_tokens, COALESCE(no.n_oov, 0) AS n_oov,
+           | CAST(COALESCE(no.n_oov, 0) AS DOUBLE) / nt.n_tokens AS oov_rate
+           |FROM nt LEFT JOIN no ON nt.doc_id = no.doc_id ORDER BY nt.doc_id""".stripMargin
     )
+    // the typed Dataset interval twin (SURVEY §2 row 94) shares the
+    // Column-form query's oracle verbatim: identical output contract is
+    // exactly what the twin pins
+    m + ("events_intervals_typed" -> m("events_intervals"))
   }
 }
