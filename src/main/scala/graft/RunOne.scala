@@ -32,7 +32,14 @@ object RunOne {
           df.explain("formatted")
           println(f"=== $name explained in ${(System.nanoTime() - t0) / 1e9}%.1fs")
         }
-        if (sys.env.contains("NOOP")) {
+        if (sys.env.contains("SHUFFLES")) {
+          // planned Exchange count with AQE off — the QueryPlanBudgetSpec
+          // metric, for picking a pin before writing the spec entry
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+          val fresh = SparkEntry.queries(name)(spark, sfDir)
+          println(s"[runone] $name shuffles=${graft.operators.BucketOps.countExchanges(fresh)}")
+          spark.conf.set("spark.sql.adaptive.enabled", "true")
+        } else if (sys.env.contains("NOOP")) {
           df.write.format("noop").mode("overwrite").save()
           println(f"[runone] $name%-24s noop     ${(System.nanoTime() - t0) / 1e9}%.1fs " +
             f"gc=${(gcMs - gc0) / 1000.0}%.1fs jit=${(jitMs - jit0) / 1000.0}%.1fs cpu=${(cpuMs - cpu0) / 1000.0}%.1fs")

@@ -95,12 +95,19 @@ object CorpusOps {
     */
   def oovRate(docs: DataFrame, idCol: String, textCol: String, topV: Int): DataFrame = {
     val terms = docTermCounts(docs, idCol, textCol) // (id, token, tf)
-    val vocab = vocabulary(docs, idCol, textCol, topV).select("token")
-    val nTok = terms.groupBy(idCol).agg(sum("tf").as("n_tokens"))
-    val nOov = terms.join(broadcast(vocab), Seq("token"), "left_anti")
-      .groupBy(idCol).agg(sum("tf").as("n_oov"))
-    nTok.join(nOov, Seq(idCol), "left")
-      .withColumn("n_oov", coalesce(col("n_oov"), lit(0L)))
+    val vocab = terms.groupBy("token").agg(sum("tf").as("tf"))
+      .orderBy(col("tf").desc, col("token").asc).limit(topV)
+      .select(col("token"), lit(1).as("__in_vocab"))
+    // ONE pass over the term table: vocab membership is a broadcast left
+    // join marker, n_tokens and n_oov fold in the same aggregation (the
+    // anti-join + re-agg + re-join alternative scans terms three times;
+    // the shared terms subtree here also ReuseExchange-dedupes with the
+    // vocab computation at runtime)
+    terms.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(idCol)
+      .agg(
+        sum("tf").as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, col("tf")).otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens").cast("double"))
   }
 

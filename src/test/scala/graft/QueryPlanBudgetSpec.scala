@@ -43,6 +43,14 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "events_cooccurrence" -> 3, // user agg + pair agg + ORDER BY (pair expansion is in-row)
     "data_skew_report" -> 2,  // key agg + one-row total agg; top-k is TakeOrdered
     "text_bpe_pairs" -> 3,    // TP + vocab agg + pair agg; top-k is TakeOrdered
+    "events_time_split" -> 3, // countDistinct expand pair + ORDER BY; the split itself is a projection
+    "events_burst" -> 2,      // user-keyed RANGE window (groupBy reuses it) + ORDER BY
+    "events_gap_stats" -> 2,  // one user-keyed sort serves lag + rank + count windows + agg; ORDER BY
+    "events_churn" -> 3,      // user agg + 1-row frontier agg + ORDER BY; frontier rides broadcast
+    "events_interval_overlap" -> 3, // events window shuffle + interval_id agg + ORDER BY;
+                              // the 50-interval side is a BroadcastExchange (not counted)
+    "quality_oov" -> 5,       // TP + term agg (ReuseExchange-shared with the vocab subtree)
+                              // + vocab token agg + doc agg + ORDER BY; membership rides broadcast
     "vec_kmeans_step" -> 4    // TP ×2 (corpus + centroid subtree) + 1-row collect agg +
                               // k-row update agg; assignment rides BroadcastExchange (not counted),
                               // init top-k is TakeOrdered, final ORDER BY reuses the agg exchange
