@@ -1975,7 +1975,90 @@ object SparkEntry {
     }),
     "quality_oov" -> ((s, d) =>
       CorpusOps.oovRate(TP(s, d, "documents"), "doc_id", "text", topV = 20)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    "dedup_source_matrix" -> ((s, d) => {
+      // cross-source duplication matrix: verified near-dup pairs joined
+      // back to each side's source label, canonicalized to an unordered
+      // (src_lo, src_hi) cell — "which crawls mirror each other". Two
+      // keyed joins against the DUP-SIZED pair set (never corpus²); the
+      // matrix itself is |sources|² at most.
+      val docs = TP(s, d, "documents")
+      val pairs = DedupOps.minhashDupPairs(docs, "text", "doc_id", threshold = 0.7,
+        shingleSize = 2, numBands = 32, rowsPerBand = 3)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("a_id"), col("source").as("source_a")), "a_id")
+        .join(src.select(col("doc_id").as("b_id"), col("source").as("source_b")), "b_id")
+        .select(least(col("source_a"), col("source_b")).as("src_lo"),
+          greatest(col("source_a"), col("source_b")).as("src_hi"))
+        .groupBy("src_lo", "src_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src_lo", "src_hi")
+    }),
+    "text_zipf" -> ((s, d) => {
+      // rank-frequency (Zipf) curve with cumulative corpus share — the
+      // tokenizer-planning table ("how many vocab entries cover 95% of
+      // tokens"). Two aggs; the running sum is a single-partition window
+      // over the VOCAB-sized table (not the corpus), and the total rides
+      // back as a broadcast 1-row scalar.
+      import org.apache.spark.sql.expressions.Window
+      val tok = CorpusOps.docTermCounts(TP(s, d, "documents"), "doc_id", "text")
+        .groupBy("token").agg(sum("tf").as("tf"))
+      val total = tok.agg(sum("tf").as("total"))
+      val byFreq = Window.orderBy(col("tf").desc, col("token").asc)
+      tok
+        .withColumn("rank", row_number().over(byFreq).cast("long"))
+        .withColumn("cum_tf",
+          sum("tf").over(byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(total)) // 1-row scalar attach
+        .select(col("rank"), col("token"), col("tf"),
+          (col("cum_tf").cast("double") / col("total").cast("double")).as("cum_share"))
+        .orderBy("rank")
+    }),
+    "vec_norm_audit" -> ((s, d) => {
+      // embedding hygiene report: per-vector L2 norm with a FIXED
+      // left-fold operation order (identical IEEE sequence in DuckDB's
+      // list_reduce), bucketed into zero/small/unit/large. Projection +
+      // one tiny agg — the norm never leaves the map side.
+      val v = TP(s, d, "embeddings").select(col("vec_id"),
+        VectorFunctions.asDouble(col("embedding")).as("v"))
+      val norm = sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))
+      v.select(col("vec_id"), norm.as("norm"))
+        .withColumn("bucket",
+          when(col("norm") === 0.0, "zero")
+            .when(col("norm") < 0.5, "small")
+            .when(col("norm") <= 2.0, "unit")
+            .otherwise("large"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("norm").as("min_norm"), max("norm").as("max_norm"))
+        .orderBy("bucket")
+    }),
+    "events_ewma" -> ((s, d) => {
+      // per-user exponentially-weighted moving value (α = 1/2, bounded
+      // at the last 16 events): every weight 2^-k is a power of two, so
+      // v·2^-k is EXACT in IEEE double and the fixed left-to-right chain
+      // sum is bit-identical across engines — the usual "EWMA is
+      // FP-recursive and engine-divergent" objection disappears by
+      // construction. One keyed sort serves all 16 lag terms; only the
+      // per-user LATEST row is emitted.
+      import org.apache.spark.sql.expressions.Window
+      val K = 16
+      val wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val woDesc = Window.partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
+      val e = EV(s, d).select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+      val lags = (0 until K).map(k => lag(col("value"), k).over(wo))
+      val num = lags.zipWithIndex
+        .map { case (l, k) => coalesce(l * lit(math.pow(0.5, k)), lit(0.0)) }
+        .reduce(_ + _)
+      val den = lags.zipWithIndex
+        .map { case (l, k) => when(l.isNotNull, lit(math.pow(0.5, k))).otherwise(lit(0.0)) }
+        .reduce(_ + _)
+      e.withColumn("ewma16", num / den)
+        .withColumn("__rn", row_number().over(woDesc))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("ts_us").as("last_us"), col("ewma16"))
+        .orderBy("user_id")
+    })
   )
 
   // ---------------------------------------------------------------- oracles

@@ -51,6 +51,10 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // the 50-interval side is a BroadcastExchange (not counted)
     "quality_oov" -> 5,       // TP + term agg (ReuseExchange-shared with the vocab subtree)
                               // + vocab token agg + doc agg + ORDER BY; membership rides broadcast
+    "text_zipf" -> 5,         // TP + term agg + token agg + vocab-sized single-partition
+                              // window + ORDER BY; corpus total rides a broadcast NLJ
+    "vec_norm_audit" -> 3,    // TP + bucket agg + ORDER BY — norms stay map-side
+    "events_ewma" -> 2,       // one user-keyed sort serves all 16 lags + latest-row pick; ORDER BY
     "vec_kmeans_step" -> 4    // TP ×2 (corpus + centroid subtree) + 1-row collect agg +
                               // k-row update agg; assignment rides BroadcastExchange (not counted),
                               // init top-k is TakeOrdered, final ORDER BY reuses the agg exchange

@@ -1357,7 +1357,55 @@ object Oracles {
            |       WHERE token NOT IN (SELECT token FROM v) GROUP BY doc_id)
            |SELECT nt.doc_id, nt.n_tokens, COALESCE(no.n_oov, 0) AS n_oov,
            | CAST(COALESCE(no.n_oov, 0) AS DOUBLE) / nt.n_tokens AS oov_rate
-           |FROM nt LEFT JOIN no ON nt.doc_id = no.doc_id ORDER BY nt.doc_id""".stripMargin
+           |FROM nt LEFT JOIN no ON nt.doc_id = no.doc_id ORDER BY nt.doc_id""".stripMargin,
+      "dedup_source_matrix" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7)
+           |SELECT least(da.source, db.source) AS src_lo,
+           | greatest(da.source, db.source) AS src_hi, COUNT(*) AS n_pairs
+           |FROM p JOIN documents da ON da.doc_id = p.a_id
+           |       JOIN documents db ON db.doc_id = p.b_id
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "text_zipf" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+           |f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+           |      WHERE token <> '' AND NOT list_contains($stopAll, token) GROUP BY token),
+           |r AS (SELECT token, tf,
+           |      row_number() OVER (ORDER BY tf DESC, token) AS rank,
+           |      CAST(SUM(tf) OVER (ORDER BY tf DESC, token
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tf,
+           |      CAST(SUM(tf) OVER () AS BIGINT) AS total FROM f)
+           |SELECT rank, token, tf, CAST(cum_tf AS DOUBLE) / total AS cum_share
+           |FROM r ORDER BY rank""".stripMargin,
+      "vec_norm_audit" ->
+        """WITH n AS (SELECT vec_id,
+          | sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+          |   (a, b) -> a + b)) AS norm
+          | FROM embeddings),
+          |b AS (SELECT CASE WHEN norm = 0.0 THEN 'zero' WHEN norm < 0.5 THEN 'small'
+          |             WHEN norm <= 2.0 THEN 'unit' ELSE 'large' END AS bucket, norm FROM n)
+          |SELECT bucket, COUNT(*) AS n, MIN(norm) AS min_norm, MAX(norm) AS max_norm
+          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+      "events_ewma" -> {
+        // weights 2^-k as exact decimal literals (each parses to the
+        // exact power-of-two double; v·2^-k is then an exact FP product)
+        def w(k: Int) =
+          java.math.BigDecimal.ONE.divide(new java.math.BigDecimal(2).pow(k)).toPlainString
+        val num = (0 until 16)
+          .map(k => s"COALESCE(lag(value, $k) OVER win * ${w(k)}, 0.0)").mkString(" + ")
+        val den = (0 until 16)
+          .map(k => s"(CASE WHEN lag(value, $k) OVER win IS NOT NULL THEN ${w(k)} ELSE 0.0 END)")
+          .mkString(" + ")
+        s"""WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+           |           FROM events),
+           |x AS (SELECT user_id, us, ($num) / ($den) AS ewma16,
+           |      row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+           |      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id))
+           |SELECT user_id, us AS last_us, ewma16 FROM x WHERE rn = 1 ORDER BY user_id""".stripMargin
+      }
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
