@@ -2058,7 +2058,65 @@ object SparkEntry {
         .filter(col("__rn") === 1)
         .select(col("user_id"), col("ts_us").as("last_us"), col("ewma16"))
         .orderBy("user_id")
-    })
+    }),
+    "events_anomaly" -> ((s, d) => {
+      // trailing-20-event z-score anomalies per user: decimal window
+      // moments + the exactStats closed-form double contract, windowed
+      StatsOps.rollingZScore(
+          EV(s, d).select(col("user_id"), col("event_id"), col("ts_us"), col("value")),
+          "user_id", Seq("ts_us", "event_id"), "value",
+          window = 20, minN = 10, zThresh = 2.0)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("z"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+    "events_dwell" -> ((s, d) => {
+      // time-in-state: the gap to the user's next event attributed to
+      // the current event's type (classic telemetry dwell report); one
+      // keyed sort, integer-exact sums
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      EV(s, d).select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .withColumn("dwell", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .filter(col("dwell").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_spans"),
+          sum("dwell").as("total_dwell_us"), max("dwell").as("max_dwell_us"))
+        .orderBy("event_type")
+    }),
+    "events_transitions" -> ((s, d) => {
+      // first-order Markov transition matrix over per-user event
+      // sequences: lag pairs → counts → per-from row-normalized
+      // probability (the window sum rides the same from_type hash)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      EV(s, d).select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          col("n").cast("double") / sum("n").over(Window.partitionBy("from_type")).cast("double"))
+        .orderBy("from_type", "to_type")
+    }),
+    "text_ngram_novelty" -> ((s, d) => {
+      // per-doc novelty: fraction of its distinct 3-gram shingles whose
+      // FIRST owner (min doc_id) is the doc itself — the dedup-ROI curve
+      // ("how much of each new crawl is genuinely new text"). First
+      // ownership is a min window on the shingle hash — one shuffle,
+      // no gram×gram join.
+      import org.apache.spark.sql.expressions.Window
+      TP(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextFunctions.shingles(col("text"), 3))).as("g"))
+        .withColumn("first_doc", min("doc_id").over(Window.partitionBy("g")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty", col("n_novel").cast("double") / col("n_grams").cast("double"))
+        .orderBy("doc_id")
+    }),
+    "vec_power_iteration" -> ((s, d) =>
+      LinAlgOps.powerIterationStep(TP(s, d, "embeddings"), "vec_id", "embedding"))
   )
 
   // ---------------------------------------------------------------- oracles

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic second-order statistics (variance/stddev/correlation)
@@ -180,6 +181,40 @@ object StatsOps {
     * side of [[distinctSketches]]. One tiny aggregation over sketch rows. */
   def unionDistinctEstimate(sketches: DataFrame, sketchCol: String = "sketch"): DataFrame =
     sketches.agg(hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(false))).as("est_distinct"))
+
+  /** Trailing-window z-score anomaly flags, engine-exact: the rolling
+    * moments are DECIMAL window sums (order-independent, so replay- and
+    * engine-stable), and mean/var/z are a FIXED closed-form double
+    * expression the oracle mirrors token-for-token — the windowed
+    * sibling of [[exactStats]]. One keyed sort serves both moment
+    * windows. Returns rows with |z| > `zThresh` whose window holds at
+    * least `minN` points (small windows flag everything; a cold key
+    * must earn its baseline first).
+    */
+  def rollingZScore(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      valCol: String,
+      window: Int,
+      minN: Int,
+      zThresh: Double
+  ): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val vdec = col(valCol).cast("decimal(18,2)")
+    val s1 = sum(vdec).over(w).cast("decimal(38,2)").cast("double")
+    val s2 = sum((vdec * vdec).cast("decimal(37,4)")).over(w).cast("decimal(38,4)").cast("double")
+    val n = count(lit(1)).over(w).cast("double")
+    df.withColumn("__s1", s1).withColumn("__s2", s2).withColumn("__n", n)
+      .withColumn("mean", col("__s1") / col("__n"))
+      .withColumn("variance", col("__s2") / col("__n") - col("mean") * col("mean"))
+      .withColumn("z",
+        (vdec.cast("double") - col("mean")) / sqrt(greatest(col("variance"), lit(1e-12))))
+      .filter(col("__n") >= minN && abs(col("z")) > zThresh)
+      .drop("__s1", "__s2", "__n")
+  }
 
   /** Rolling `window`-key distinct estimate from the mergeable per-key
     * sketch table (e.g. 7-day rolling distinct users from daily HLL

@@ -55,6 +55,11 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // window + ORDER BY; corpus total rides a broadcast NLJ
     "vec_norm_audit" -> 3,    // TP + bucket agg + ORDER BY — norms stay map-side
     "events_ewma" -> 2,       // one user-keyed sort serves all 16 lags + latest-row pick; ORDER BY
+    "events_anomaly" -> 2,    // one user-keyed sort serves both moment windows; ORDER BY
+    "events_dwell" -> 3,      // user window + type agg + ORDER BY
+    "events_transitions" -> 4, // user window + (from,to) agg + per-from window + ORDER BY
+    "text_ngram_novelty" -> 4, // TP + shingle-hash window + doc agg + ORDER BY
+    "vec_power_iteration" -> 4, // TP + v0-seed single-row + component-index agg + dim-row collect
     "vec_kmeans_step" -> 4    // TP ×2 (corpus + centroid subtree) + 1-row collect agg +
                               // k-row update agg; assignment rides BroadcastExchange (not counted),
                               // init top-k is TakeOrdered, final ORDER BY reuses the agg exchange

@@ -83,6 +83,114 @@ class Round7OpsSpec extends SparkSpec {
     } finally BucketOps.dropTable(spark, "graft_r7_bspec")
   }
 
+  test("intervalOverlapJoin: equals the naive quadratic join, each pair exactly once") {
+    // randomized-but-seeded spans; the bucketized emit-once join must
+    // match a plain theta join on the half-open overlap predicate
+    val rnd = new scala.util.Random(7)
+    val left = (1L to 40L).map { i =>
+      val s = rnd.nextInt(1000).toLong; (i, s, s + 1 + rnd.nextInt(120))
+    }.toDF("lid", "ls", "le")
+    val right = (1L to 40L).map { i =>
+      val s = rnd.nextInt(1000).toLong; (i, s, s + 1 + rnd.nextInt(120))
+    }.toDF("rid", "rs", "re")
+    val got = graft.operators.JoinOps
+      .intervalOverlapJoin(left, right, Nil, "ls", "le", "rs", "re", bucketWidth = 64L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    val naive = left.join(right, col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(got.size == got.distinct.size, "a pair was emitted more than once")
+    assert(got.toSet == naive.toSet)
+    assert(got.size == naive.size)
+  }
+
+  test("intervalOverlapJoin: key columns scope the match; touching spans don't overlap") {
+    val l = Seq((1L, 0L, 10L), (2L, 0L, 10L)).toDF("k1", "ls", "le")
+    val r = Seq((1L, 10L, 20L), (1L, 9L, 20L), (2L, 5L, 6L)).toDF("k2", "rs", "re")
+    val got = graft.operators.JoinOps
+      .intervalOverlapJoin(l, r.withColumnRenamed("k2", "k1"), Seq("k1"),
+        "ls", "le", "rs", "re", bucketWidth = 8L)
+      .select(col("rs"), col("re")).as[(Long, Long)].collect().toSeq.sorted
+    // [0,10) vs [10,20): touch, NOT overlap; key 1 [0,10) vs [9,20):
+    // overlap; key 2 [0,10) only matches its own [5,6)
+    assert(got == Seq((5L, 6L), (9L, 20L)))
+  }
+
+  test("timeSplit: strict boundaries — trainEnd goes to embargo, testStart to test") {
+    val df = Seq((1L, 99L), (2L, 100L), (3L, 150L), (4L, 200L), (5L, 201L)).toDF("id", "us")
+    val got = graft.operators.SplitOps.timeSplit(df, "us", 100L, 200L)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "train", 2L -> "embargo", 3L -> "embargo", 4L -> "test", 5L -> "test"))
+    intercept[IllegalArgumentException] {
+      graft.operators.SplitOps.timeSplit(df, "us", 300L, 200L)
+    }
+  }
+
+  test("oovRate: in-vocab doc scores 0, all-OOV doc scores 1, stopword-only doc drops out") {
+    val docs = Seq(
+      (1L, "alpha alpha alpha beta"), // alpha, beta in top-2 vocab
+      (2L, "gamma delta"),            // both OOV vs top-2
+      (3L, "the and of")              // stopwords only → no content tokens
+    ).toDF("doc_id", "text")
+    val got = graft.operators.CorpusOps.oovRate(docs, "doc_id", "text", topV = 2)
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, 4L, 0L, 0.0), (2L, 2L, 2L, 1.0)))
+  }
+
+  test("rollingDistinctEstimate: exact at tiny cardinalities, windows compose day rows") {
+    val df = Seq(
+      (1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L), (5L, 13L)
+    ).toDF("day", "uid")
+    val got = graft.operators.StatsOps.rollingDistinctEstimate(df, "day", "uid", window = 2)
+      .as[(Long, Double)].collect().toMap
+    // day 1: {10,11}=2; day 2: day1∪day2 {10,11,12}=3; day 5: {13}=1 (4 is empty, not a row)
+    assert(got == Map(1L -> 2.0, 2L -> 3.0, 5L -> 1.0))
+  }
+
+  test("rollingZScore: constant baseline flags the spike, cold window stays silent") {
+    // key 1: nine 10.0s then a 200.0 — window n reaches 10 at the spike,
+    // variance floor keeps z finite; key 2: only 3 events → below minN
+    val rows = (1 to 9).map(i => (1L, i.toLong, i.toLong * 10, 10.0)) ++
+      Seq((1L, 10L, 100L, 200.0)) ++
+      (1 to 3).map(i => (2L, (10 + i).toLong, i.toLong * 10, 999.0))
+    val df = rows.toDF("user_id", "event_id", "ts_us", "value")
+    val got = graft.operators.StatsOps
+      .rollingZScore(df, "user_id", Seq("ts_us", "event_id"), "value",
+        window = 20, minN = 10, zThresh = 2.0)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L)))
+  }
+
+  test("rollingZScore: exact z value for a hand-computable window") {
+    val rows = (1 to 10).map(i => (1L, i.toLong, i.toLong, if (i == 10) 110.0 else 10.0))
+    val df = rows.toDF("user_id", "event_id", "ts_us", "value")
+    val z = graft.operators.StatsOps
+      .rollingZScore(df, "user_id", Seq("ts_us", "event_id"), "value",
+        window = 20, minN = 10, zThresh = 2.0)
+      .select("z").as[Double].collect().head
+    // window: nine 10s + one 110 → mean 20, var = (9·100 + 12100)/10 − 400 = 900 → z = 90/30 = 3
+    assert(math.abs(z - 3.0) < 1e-12)
+  }
+
+  test("powerIterationStep: recovers the dominant axis of an axis-aligned corpus") {
+    // vectors hug e1 with a small e2 component; one step from the v0 seed
+    // must land (normalized) overwhelmingly on c0, and lambda_est > 0
+    val d = Seq(
+      (1L, Seq(10.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Seq(9.0f, -1.0f, 0.0f, 0.0f)),
+      (3L, Seq(11.0f, 0.5f, 0.0f, 0.0f)),
+      (4L, Seq(10.5f, -0.5f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = graft.operators.LinAlgOps.powerIterationStep(d, "vec_id", "embedding")
+      .as[(Long, Double, Double, Double, Double, Double)].collect().head
+    val (dim, lam, c0, c1, c2, c3) = r
+    assert(dim == 4L && lam > 0.0)
+    assert(math.abs(c0) > 0.99, s"c0=$c0 should dominate")
+    assert(math.abs(c1) < 0.15 && c2 == 0.0 && c3 == 0.0)
+    // unit-norm head: components are of v1/||v1||
+    assert(c0 * c0 + c1 * c1 + c2 * c2 + c3 * c3 <= 1.0 + 1e-9)
+  }
+
   test("mergeIntervalsTyped matches mergeIntervals on overlap/touch/disjoint shapes") {
     implicit val s = spark
     val rows = Seq(

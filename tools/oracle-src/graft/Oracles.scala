@@ -1405,7 +1405,67 @@ object Oracles {
            |      row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
            |      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id))
            |SELECT user_id, us AS last_us, ewma16 FROM x WHERE rn = 1 ORDER BY user_id""".stripMargin
-      }
+      },
+      "events_anomaly" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+          |           CAST(value AS DECIMAL(18,2)) AS vd FROM events),
+          |w AS (SELECT user_id, event_id, us,
+          |      CAST(CAST(SUM(vd) OVER win AS DECIMAL(38,2)) AS DOUBLE) AS s1,
+          |      CAST(CAST(SUM(CAST(vd * vd AS DECIMAL(37,4))) OVER win AS DECIMAL(38,4)) AS DOUBLE) AS s2,
+          |      CAST(COUNT(*) OVER win AS DOUBLE) AS n, CAST(vd AS DOUBLE) AS v
+          |      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+          |        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+          |x AS (SELECT user_id, event_id, us, n,
+          |      (v - s1 / n) / sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 1e-12)) AS z FROM w)
+          |SELECT user_id, event_id, us AS ts_us, z FROM x
+          |WHERE n >= 10 AND abs(z) > 2.0 ORDER BY user_id, ts_us, event_id""".stripMargin,
+      "events_dwell" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+          |           FROM events),
+          |t AS (SELECT event_type, lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+          |      AS dwell FROM e)
+          |SELECT event_type, COUNT(*) AS n_spans, CAST(SUM(dwell) AS BIGINT) AS total_dwell_us,
+          | MAX(dwell) AS max_dwell_us
+          |FROM t WHERE dwell IS NOT NULL GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "events_transitions" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+          |           FROM events),
+          |t AS (SELECT event_type AS to_type,
+          |      lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS from_type
+          |      FROM e),
+          |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM t WHERE from_type IS NOT NULL
+          |      GROUP BY 1, 2)
+          |SELECT from_type, to_type, n,
+          | CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+          |FROM c ORDER BY from_type, to_type""".stripMargin,
+      "text_ngram_novelty" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sh AS (SELECT doc_id, unnest(list_distinct(${shingles("tk", 3)})) AS g FROM t),
+           |f AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY g) AS first_doc FROM sh)
+           |SELECT doc_id, COUNT(*) AS n_grams,
+           | CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           | CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+           |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "vec_power_iteration" ->
+        """WITH x AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS x
+          |           FROM embeddings),
+          |v00 AS (SELECT x FROM x ORDER BY vec_id LIMIT 1),
+          |v0 AS (SELECT list_transform(x, e -> e / n0) AS v0
+          |       FROM (SELECT x, sqrt(list_reduce(list_transform(x, e -> e * e), (a, b) -> a + b)) AS n0
+          |             FROM v00)),
+          |yy AS (SELECT x.x AS x,
+          |       list_reduce(list_transform(list_zip(x.x, v0.v0), p -> p[1] * p[2]), (a, b) -> a + b) AS y
+          |       FROM x CROSS JOIN v0),
+          |dims AS (SELECT unnest(range(0, (SELECT len(x) FROM v00))) AS j),
+          |c AS (SELECT d.j AS j,
+          |      CAST(CAST(SUM(CAST(yy.x[d.j + 1] * yy.y AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS DOUBLE) AS vj
+          |      FROM yy CROSS JOIN dims d GROUP BY d.j),
+          |v1 AS (SELECT list(vj ORDER BY j) AS v1 FROM c),
+          |fin AS (SELECT v1, sqrt(list_reduce(list_transform(v1, e -> e * e), (a, b) -> a + b)) AS norm
+          |        FROM v1)
+          |SELECT CAST(len(v1) AS BIGINT) AS dim, norm AS lambda_est,
+          | v1[1] / norm AS c0, v1[2] / norm AS c1, v1[3] / norm AS c2, v1[4] / norm AS c3
+          |FROM fin""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
