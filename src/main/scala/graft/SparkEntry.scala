@@ -2116,7 +2116,92 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "vec_power_iteration" -> ((s, d) =>
-      LinAlgOps.powerIterationStep(TP(s, d, "embeddings"), "vec_id", "embedding"))
+      LinAlgOps.powerIterationStep(TP(s, d, "embeddings"), "vec_id", "embedding")),
+    "text_langid_eval" -> ((s, d) => {
+      // language-ID quality against the corpus's labeled lang column:
+      // the (label, guess) confusion matrix — row-normalized recall per
+      // label cell. Pure projection + one tiny agg.
+      TP(s, d, "documents")
+        .select(col("lang"), TextFunctions.langId(col("text")).as("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("recall",
+          col("n").cast("double") /
+            sum("n").over(org.apache.spark.sql.expressions.Window.partitionBy("lang")).cast("double"))
+        .orderBy("lang", "lang_guess")
+    }),
+    "data_profile" -> ((s, d) => {
+      // relational schema-profiling: null count, exact distinct count,
+      // numeric min/max per column in ONE scan (a 4-way count-distinct
+      // Expand — the profile op every ingestion pipeline runs first).
+      // Dates profile as epoch days; strings profile nulls+distincts.
+      val li = T(s, d, "lineitem")
+      val cols = Seq(
+        ("l_quantity", col("l_quantity").cast("double")),
+        ("l_discount", col("l_discount").cast("double")),
+        ("l_shipdate", datediff(col("l_shipdate"), lit("1970-01-01")).cast("double")),
+        ("l_returnflag", lit(null).cast("double")))
+      val agg = li.agg(
+        count(lit(1)).as("n_rows"),
+        cols.flatMap { case (n, c) =>
+          val src = col(n)
+          Seq(
+            sum(when(src.isNull, 1L).otherwise(0L)).as(s"nn_$n"),
+            countDistinct(src).as(s"nd_$n"),
+            min(c).as(s"mn_$n"), max(c).as(s"mx_$n"))
+        }: _*)
+      agg.select(expr(
+        "stack(" + cols.size + ", " +
+          cols.map { case (n, _) => s"'$n', n_rows, nn_$n, nd_$n, mn_$n, mx_$n" }.mkString(", ") +
+          ") AS (column_name, n_rows, n_nulls, n_distinct, min_d, max_d)"))
+        .orderBy("column_name")
+    }),
+    "events_heatmap" -> ((s, d) => {
+      // hour-of-day × day-of-week activity heatmap in PURE integer
+      // arithmetic (epoch-day + 4 mod 7 ⇒ Sunday=0) — engines disagree
+      // on calendar dow conventions, integers don't
+      EV(s, d)
+        .select(
+          expr("(ts_us div 86400000000 + 4) % 7").as("dow"),
+          expr("(ts_us % 86400000000) div 3600000000").as("hour"),
+          col("value"))
+        .groupBy("dow", "hour")
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+        .orderBy("dow", "hour")
+    }),
+    "events_late_audit" -> ((s, d) => {
+      // watermark planning: per user, events whose event time lags the
+      // running frontier (max prior ts in ARRIVAL order = event_id) by
+      // more than the candidate 10-min delay — i.e. what a watermark
+      // would drop. One keyed sort; frontier is a running-max window.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      EV(s, d).select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("frontier", max("ts_us").over(w))
+        .withColumn("late",
+          col("frontier").isNotNull && col("ts_us") < col("frontier") - lit(600000000L))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+        .withColumn("late_rate", col("n_late").cast("double") / col("n_events").cast("double"))
+        .orderBy("user_id")
+    }),
+    "dedup_threshold_sweep" -> ((s, d) => {
+      // dedup ROI preview: verified pair counts + affected-doc counts per
+      // similarity band from ONE candidate pass (candidates generated at
+      // the lowest threshold, banded by exact jaccard) — the sweep a
+      // curation team runs before picking the production threshold
+      val pairs = DedupOps.minhashDupPairs(TP(s, d, "documents"), "text", "doc_id",
+        threshold = 0.7, shingleSize = 2, numBands = 32, rowsPerBand = 3)
+      val banded = pairs.withColumn("band",
+        when(col("jaccard") >= 0.9, "0.9").when(col("jaccard") >= 0.8, "0.8").otherwise("0.7"))
+      banded
+        .select(col("band"), explode(array(col("a_id"), col("b_id"))).as("doc"))
+        .groupBy("band")
+        .agg((count(lit(1)) / 2).cast("long").as("n_pairs"), countDistinct(col("doc")).as("n_docs"))
+        .orderBy("band")
+    })
   )
 
   // ---------------------------------------------------------------- oracles

@@ -60,6 +60,10 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "events_transitions" -> 4, // user window + (from,to) agg + per-from window + ORDER BY
     "text_ngram_novelty" -> 4, // TP + shingle-hash window + doc agg + ORDER BY
     "vec_power_iteration" -> 4, // TP + v0-seed single-row + component-index agg + dim-row collect
+    "data_profile" -> 2,      // one scan, 4-way countDistinct Expand pair; ORDER BY
+    "events_heatmap" -> 2,    // (dow,hour) agg + ORDER BY — pure integer projection beneath
+    "events_late_audit" -> 2, // user-keyed running-max window (agg reuses it) + ORDER BY
+    "text_langid_eval" -> 4,  // TP + (lang,guess) agg + per-lang window + ORDER BY
     "vec_kmeans_step" -> 4    // TP ×2 (corpus + centroid subtree) + 1-row collect agg +
                               // k-row update agg; assignment rides BroadcastExchange (not counted),
                               // init top-k is TakeOrdered, final ORDER BY reuses the agg exchange

@@ -1465,7 +1465,72 @@ object Oracles {
           |        FROM v1)
           |SELECT CAST(len(v1) AS BIGINT) AS dim, norm AS lambda_est,
           | v1[1] / norm AS c0, v1[2] / norm AS c1, v1[3] / norm AS c2, v1[4] / norm AS c3
-          |FROM fin""".stripMargin
+          |FROM fin""".stripMargin,
+      "text_langid_eval" ->
+        s"""WITH sc AS (SELECT doc_id, lang,
+           |  ${sL("en")} AS s_en, ${sL("de")} AS s_de, ${sL("es")} AS s_es,
+           |  ${sL("fr")} AS s_fr, ${sL("zh")} AS s_zh
+           | FROM documents),
+           |g AS (SELECT lang,
+           | CASE
+           |  WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           |  WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           |  WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           |  WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+           |  WHEN s_zh > 0 THEN 'zh'
+           |  ELSE 'und' END AS lang_guess
+           | FROM sc),
+           |c AS (SELECT lang, lang_guess, COUNT(*) AS n FROM g GROUP BY 1, 2)
+           |SELECT lang, lang_guess, n,
+           | CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE) AS recall
+           |FROM c ORDER BY lang, lang_guess""".stripMargin,
+      "data_profile" -> {
+        def prof(c: String, minmax: Boolean, dateCol: Boolean = false) = {
+          val mn =
+            if (dateCol) s"CAST(MIN(datediff('day', DATE '1970-01-01', $c)) AS DOUBLE)"
+            else if (minmax) s"CAST(MIN($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+          val mx =
+            if (dateCol) s"CAST(MAX(datediff('day', DATE '1970-01-01', $c)) AS DOUBLE)"
+            else if (minmax) s"CAST(MAX($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+          s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+             | CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             | COUNT(DISTINCT $c) AS n_distinct, $mn AS min_d, $mx AS max_d
+             |FROM lineitem""".stripMargin
+        }
+        Seq(prof("l_quantity", minmax = true), prof("l_discount", minmax = true),
+          prof("l_shipdate", minmax = false, dateCol = true),
+          prof("l_returnflag", minmax = false))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+      },
+      "events_heatmap" ->
+        """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events)
+          |SELECT (us // 86400000000 + 4) % 7 AS dow, (us % 86400000000) // 3600000000 AS hour,
+          | COUNT(*) AS n,
+          | CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value
+          |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "events_late_audit" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+          |w AS (SELECT user_id, us,
+          |      MAX(us) OVER (PARTITION BY user_id ORDER BY event_id
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS frontier FROM e)
+          |SELECT user_id, COUNT(*) AS n_events,
+          | CAST(SUM(CASE WHEN frontier IS NOT NULL AND us < frontier - 600000000
+          |       THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+          | CAST(SUM(CASE WHEN frontier IS NOT NULL AND us < frontier - 600000000
+          |       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS late_rate
+          |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "dedup_threshold_sweep" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |      ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 4) AS j
+           |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7),
+           |pb AS (SELECT CASE WHEN j >= 0.9 THEN '0.9' WHEN j >= 0.8 THEN '0.8' ELSE '0.7' END AS band,
+           |       a_id, b_id FROM p),
+           |e AS (SELECT band, a_id AS doc FROM pb UNION ALL SELECT band, b_id AS doc FROM pb)
+           |SELECT band, CAST(COUNT(*) / 2 AS BIGINT) AS n_pairs, COUNT(DISTINCT doc) AS n_docs
+           |FROM e GROUP BY band ORDER BY band""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
