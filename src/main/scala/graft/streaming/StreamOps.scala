@@ -141,6 +141,67 @@ object StreamOps {
       .transformWithState(new RunningStatsProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  final case class SeqValue(key: Long, seq: Long, value: Double)
+  final case class AnomalyFlag(key: Long, seq: Long, z: Double)
+
+  /** Streaming twin of [[graft.operators.StatsOps.rollingZScore]]: the
+    * trailing-`window` moments live as per-key ValueState (a bounded
+    * most-recent-first ring of value cents — integer exact, ≤ window-1
+    * longs per key), and the z closed form replays the batch operator's
+    * decimal/double contract EXACTLY: s1 in cents and s2 in cent² are
+    * the same integers the batch DECIMAL(38,2)/(38,4) window sums hold,
+    * and the double expression is token-identical — so a row flagged by
+    * the stream carries the bit-identical z the batch job would have
+    * computed (StreamingSpec pins this across micro-batches).
+    */
+  class RollingZScoreProcessor(window: Int, minN: Int, zThresh: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SeqValue, AnomalyFlag] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var ring: ValueState[List[Long]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      ring = getHandle.getValueState[List[Long]]("ring", Encoders.kryo[List[Long]], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[SeqValue],
+        timerValues: TimerValues
+    ): Iterator[AnomalyFlag] = {
+      var prior = Option(ring.get()).getOrElse(Nil) // most-recent-first cents
+      val out = List.newBuilder[AnomalyFlag]
+      rows.foreach { r =>
+        // the batch contract's DECIMAL(18,2) cast, as integer cents
+        val cents = BigDecimal(r.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .underlying.unscaledValue.longValueExact
+        val win = (cents :: prior).take(window)
+        val n = win.size.toDouble
+        val s1 = win.sum.toDouble / 100.0                  // Σ v, scale 2
+        val s2 = win.map(c => c * c).sum.toDouble / 10000.0 // Σ v², scale 4
+        val mean = s1 / n
+        val variance = s2 / n - mean * mean
+        val z = (cents.toDouble / 100.0 - mean) / math.sqrt(math.max(variance, 1e-12))
+        if (win.size >= minN && math.abs(z) > zThresh) out += AnomalyFlag(key, r.seq, z)
+        prior = (cents :: prior).take(window - 1)
+      }
+      ring.update(prior)
+      out.result().iterator
+    }
+  }
+
+  /** Wire a keyed stream through [[RollingZScoreProcessor]]. */
+  def streamingAnomalies(
+      events: Dataset[SeqValue],
+      window: Int,
+      minN: Int,
+      zThresh: Double
+  ): Dataset[AnomalyFlag] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.key)
+      .transformWithState(new RollingZScoreProcessor(window, minN, zThresh),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming near-duplicate dedup: drop documents whose MinHash
     * signature (map-side native expression — no state, no shuffle to
     * compute) collides with one already seen inside the watermark

@@ -244,4 +244,38 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("replay_out").count() == 5)
     } finally q.stop()
   }
+
+  test("streaming rolling z-score flags the SAME rows with the SAME z as the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // key 1: flat baseline then a spike in the SECOND micro-batch (state
+    // must carry the first batch's ring across); key 2: stays quiet
+    val base = (1 to 9).map(i => StreamOps.SeqValue(1L, i.toLong, 10.0 + (i % 3)))
+    val spike = Seq(StreamOps.SeqValue(1L, 10L, 250.0), StreamOps.SeqValue(2L, 11L, 10.0))
+    val input = MemoryStream[StreamOps.SeqValue]
+    val out = StreamOps.streamingAnomalies(input.toDS(), window = 20, minN = 10, zThresh = 2.0)
+    val q = out.writeStream.format("memory").queryName("anomaly_out").outputMode("append").start()
+    try {
+      input.addData(base: _*)
+      q.processAllAvailable()
+      input.addData(spike: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("anomaly_out")
+        .as[StreamOps.AnomalyFlag].collect().toSeq.sortBy(f => (f.key, f.seq))
+      val batch = graft.operators.StatsOps
+        .rollingZScore((base ++ spike).toDF("user_id", "seq", "value"),
+          "user_id", Seq("seq"), "value", window = 20, minN = 10, zThresh = 2.0)
+        .select(col("user_id"), col("seq"), col("z"))
+        .as[(Long, Long, Double)].collect().toSeq.sortBy(f => (f._1, f._2))
+      assert(streamed.map(f => (f.key, f.seq, f.z)) == batch,
+        s"stream=$streamed batch=$batch")
+      assert(streamed.nonEmpty && streamed.head.seq == 10L)
+    } finally {
+      q.stop()
+      if (prev.nonEmpty)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
+  }
 }
