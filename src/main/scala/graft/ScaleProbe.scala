@@ -247,6 +247,44 @@ object ScaleProbe {
         val st = MaintOps.aggState(synth(rows).select("bucket", "value"), Seq("bucket"), "value")
         val delta = MaintOps.aggState(synth(rows / 20).select("bucket", "value"), Seq("bucket"), "value")
         MaintOps.mergeState(st, delta, Seq("bucket")).count()
+      },
+      "interval_overlap" -> { rows =>
+        // bucketized interval×interval join, spans ≈ bucket width so
+        // replication stays O(1): per-row cost must track the explode +
+        // one hash join, never a cross product or a dedup pass
+        val l = synth(rows).select(col("id").as("lid"),
+          (col("id") * 1000L).as("ls"), (col("id") * 1000L + 800L).as("le"))
+        val r = synth(rows / 10).select(col("id").as("rid"),
+          (col("id") * 10000L).as("rs"), (col("id") * 10000L + 5000L).as("re"))
+        graft.operators.JoinOps
+          .intervalOverlapJoin(l, r, Nil, "ls", "le", "rs", "re", bucketWidth = 1000L).count()
+      },
+      "rolling_zscore" -> { rows =>
+        // decimal window moments over 1000 keys: one keyed sort, both
+        // moment windows ride it — flat per-row cost certifies no
+        // second shuffle crept in
+        StatsOps.rollingZScore(
+          synth(rows).select(col("bucket").as("k"), col("id"), col("value")),
+          "k", Seq("id"), "value", window = 20, minN = 10, zThresh = 3.0).count()
+      },
+      "oov_rate" -> { rows =>
+        // per-doc OOV against a top-1000 vocab: terms pre-agged once,
+        // membership rides a broadcast — cost tracks the token scan
+        CorpusOps.oovRate(synthDocs(rows), "id", "text", topV = 1000).count()
+      },
+      "ngram_novelty" -> { rows =>
+        // min-owner window on the shingle hash: the one shuffle is the
+        // shingle repartition; no gram×gram join may appear
+        import org.apache.spark.sql.expressions.Window
+        synthDocs(rows)
+          .select(col("id"),
+            explode(array_distinct(
+              graft.functions.TextFunctions.shingles(col("text"), 3))).as("g"))
+          .withColumn("first_doc", min("id").over(Window.partitionBy("g")))
+          .groupBy("id")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("first_doc") === col("id"), 1L).otherwise(0L)).as("nn"))
+          .count()
       })
 
     val probes = only.fold(allProbes)(names => allProbes.filter(p => names.contains(p._1)))
