@@ -2187,6 +2187,84 @@ object SparkEntry {
         .withColumn("late_rate", col("n_late").cast("double") / col("n_events").cast("double"))
         .orderBy("user_id")
     }),
+    "data_forget" -> ((s, d) => {
+      // right-to-be-forgotten propagation audit: a deterministic forget
+      // list (custkey/user_id % 17 == 3) anti-joined through the
+      // user-keyed tables, INCLUDING the FK cascade (forgotten customers
+      // take their orders with them), with one audit row per table —
+      // the deletion manifest a compliance job must emit. Forget lists
+      // are tiny and broadcast; each table pays one anti join.
+      def audit(name: String, before: DataFrame, after: DataFrame): DataFrame =
+        before.agg(count(lit(1)).as("rows_before"))
+          .crossJoin(after.agg(count(lit(1)).as("rows_after"))) // 1-row × 1-row
+          .select(lit(name).as("table_name"), col("rows_before"), col("rows_after"),
+            (col("rows_before") - col("rows_after")).as("rows_dropped"))
+      val e = EV(s, d)
+      val eKept = e.filter(col("user_id") % 17 =!= 3)
+      val cust = T(s, d, "customer")
+      val fc = cust.filter(col("c_custkey") % 17 === 3).select(col("c_custkey"))
+      val cKept = cust.join(broadcast(fc), Seq("c_custkey"), "left_anti")
+      val ord = T(s, d, "orders")
+      val oKept = ord.join(broadcast(fc.select(col("c_custkey").as("o_custkey"))),
+        Seq("o_custkey"), "left_anti")
+      audit("customer", cust, cKept)
+        .unionByName(audit("events", e, eKept))
+        .unionByName(audit("orders", ord, oKept))
+        .orderBy("table_name")
+    }),
+    "events_sequences" -> ((s, d) => {
+      // frequent 3-event sequences per user stream (sequence mining's
+      // bread and butter): two lags over one keyed sort, top-20 via
+      // TakeOrdered — no self-joins
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      EV(s, d).select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .withColumn("t1", lag(col("event_type"), 2).over(w))
+        .withColumn("t2", lag(col("event_type"), 1).over(w))
+        .filter(col("t1").isNotNull)
+        .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(20)
+    }),
+    "data_contrastive_pairs" -> ((s, d) => {
+      // contrastive training pairs: positives = verified near-dup pairs,
+      // negatives = the md5-ring partner (each doc paired with its
+      // neighbor in seeded-hash order WITHIN a 16-way prefix partition —
+      // deterministic, uniform, and never a global sort), minus any ring
+      // pair that happens to be a true near-dup
+      import org.apache.spark.sql.expressions.Window
+      val docs = TP(s, d, "documents")
+      val pos = DedupOps.minhashDupPairs(docs, "text", "doc_id", threshold = 0.7,
+          shingleSize = 2, numBands = 32, rowsPerBand = 3)
+        .select(col("a_id"), col("b_id"), lit(1).as("label"))
+      val h = md5(concat(lit("neg:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(substring(h, 1, 1)).orderBy(h, col("doc_id"))
+      val neg = docs.select(col("doc_id"))
+        .withColumn("nb", lead(col("doc_id"), 1).over(w))
+        .filter(col("nb").isNotNull)
+        .select(least(col("doc_id"), col("nb")).as("a_id"),
+          greatest(col("doc_id"), col("nb")).as("b_id"))
+        .join(pos.select("a_id", "b_id"), Seq("a_id", "b_id"), "left_anti")
+        .select(col("a_id"), col("b_id"), lit(0).as("label"))
+      pos.unionByName(neg).orderBy("label", "a_id", "b_id")
+    }),
+    "q38_keyset_pagination" -> ((s, d) => {
+      // keyset (seek-method) pagination: the cursor predicate pushes to
+      // the scan and the page is a TakeOrdered — OFFSET pagination
+      // re-reads everything before the page; this reads only past the
+      // cursor. Page 100 after (1000, 2).
+      T(s, d, "lineitem")
+        .filter(col("l_orderkey") > 1000 ||
+          (col("l_orderkey") === 1000 && col("l_linenumber") > 2))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          datediff(col("l_shipdate"), lit("1970-01-01")).as("ship_day"))
+        // the synthetic lineitem has duplicate (orderkey, linenumber)
+        // pairs — order by EVERY output column so any residual tie is an
+        // exact duplicate row and the page is deterministic as a multiset
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "ship_day")
+        .limit(100)
+    }),
     "dedup_threshold_sweep" -> ((s, d) => {
       // dedup ROI preview: verified pair counts + affected-doc counts per
       // similarity band from ONE candidate pass (candidates generated at

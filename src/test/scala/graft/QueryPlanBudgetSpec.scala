@@ -64,6 +64,8 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "events_heatmap" -> 2,    // (dow,hour) agg + ORDER BY — pure integer projection beneath
     "events_late_audit" -> 2, // user-keyed running-max window (agg reuses it) + ORDER BY
     "text_langid_eval" -> 4,  // TP + (lang,guess) agg + per-lang window + ORDER BY
+    "q38_keyset_pagination" -> 0, // cursor filter pushed to scan + TakeOrderedAndProject — NO exchange
+    "events_sequences" -> 2,  // user-keyed sort serves both lags + (t1,t2,t3) agg; top-k is TakeOrdered
     "vec_kmeans_step" -> 4    // TP ×2 (corpus + centroid subtree) + 1-row collect agg +
                               // k-row update agg; assignment rides BroadcastExchange (not counted),
                               // init top-k is TakeOrdered, final ORDER BY reuses the agg exchange

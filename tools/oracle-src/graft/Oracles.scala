@@ -1519,6 +1519,51 @@ object Oracles {
           | CAST(SUM(CASE WHEN frontier IS NOT NULL AND us < frontier - 600000000
           |       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS late_rate
           |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "data_forget" ->
+        """WITH f AS (SELECT c_custkey FROM customer WHERE c_custkey % 17 = 3)
+          |SELECT 'customer' AS table_name, (SELECT COUNT(*) FROM customer) AS rows_before,
+          | (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM f)) AS rows_after,
+          | (SELECT COUNT(*) FROM customer) -
+          | (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM f)) AS rows_dropped
+          |UNION ALL
+          |SELECT 'events', (SELECT COUNT(*) FROM events),
+          | (SELECT COUNT(*) FROM events WHERE user_id % 17 <> 3),
+          | (SELECT COUNT(*) FROM events) - (SELECT COUNT(*) FROM events WHERE user_id % 17 <> 3)
+          |UNION ALL
+          |SELECT 'orders', (SELECT COUNT(*) FROM orders),
+          | (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM f)),
+          | (SELECT COUNT(*) FROM orders) -
+          | (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM f))
+          |ORDER BY table_name""".stripMargin,
+      "events_sequences" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+          |           FROM events),
+          |t AS (SELECT event_type AS t3,
+          |      lag(event_type, 2) OVER win AS t1, lag(event_type, 1) OVER win AS t2
+          |      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id))
+          |SELECT t1, t2, t3, COUNT(*) AS n FROM t WHERE t1 IS NOT NULL
+          |GROUP BY t1, t2, t3 ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
+      "data_contrastive_pairs" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |pos AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, 1 AS label
+           |        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |        WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7),
+           |h AS (SELECT doc_id, md5('neg:' || CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+           |r AS (SELECT doc_id, lead(doc_id) OVER
+           |      (PARTITION BY substr(hh, 1, 1) ORDER BY hh, doc_id) AS nb FROM h),
+           |neg AS (SELECT least(doc_id, nb) AS a_id, greatest(doc_id, nb) AS b_id, 0 AS label
+           |        FROM r WHERE nb IS NOT NULL
+           |        AND NOT EXISTS (SELECT 1 FROM pos p
+           |             WHERE p.a_id = least(doc_id, nb) AND p.b_id = greatest(doc_id, nb)))
+           |SELECT a_id, b_id, label FROM pos
+           |UNION ALL SELECT a_id, b_id, label FROM neg
+           |ORDER BY label, a_id, b_id""".stripMargin,
+      "q38_keyset_pagination" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity,
+          | datediff('day', DATE '1970-01-01', l_shipdate) AS ship_day FROM lineitem
+          |WHERE l_orderkey > 1000 OR (l_orderkey = 1000 AND l_linenumber > 2)
+          |ORDER BY l_orderkey, l_linenumber, l_quantity, ship_day LIMIT 100""".stripMargin,
       "dedup_threshold_sweep" ->
         s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
            |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
