@@ -2117,6 +2117,30 @@ object SparkEntry {
     }),
     "vec_power_iteration" -> ((s, d) =>
       LinAlgOps.powerIterationStep(TP(s, d, "embeddings"), "vec_id", "embedding")),
+    "ann_ivf_index" -> ((s, d) => {
+      // the PERSISTED IVF index (vector twin of dedup_incremental's
+      // bucketed band index): build → catalog tables → probe with the
+      // index side bucket-pruned and Exchange-free; same √n sizing and
+      // recall-vs-brute-force invariant as ann_ivf
+      val vecs = TP(s, d, "embeddings")
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+      val n = vecs.count()
+      val nCells = math.max(4, math.sqrt(n.toDouble).toInt)
+      val nProbe = math.max(2, nCells / 2)
+      val idx = VectorIndexOps.buildIvfIndex(vecs, "vec_id", "vec", "graft_ivf_idx",
+        nCells, numBuckets = 4)
+      val queries = vecs.filter(col("vec_id") < 8)
+      val k = 5
+      val bf = SimilarityOps.bruteForceTopK(vecs, queries, "vec_id", "vec", k)
+        .select("query_id", "neighbor_id")
+      val got = VectorIndexOps.probeIvf(s, queries, "vec_id", "vec", idx, k, nProbe)
+        .select("query_id", "neighbor_id")
+      bf.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(
+          lit(8L).as("n_queries"),
+          (col("hits").cast("double") / (8 * k) >= 0.8).as("recall_ok"))
+    }),
     "text_langid_eval" -> ((s, d) => {
       // language-ID quality against the corpus's labeled lang column:
       // the (label, guess) confusion matrix — row-normalized recall per

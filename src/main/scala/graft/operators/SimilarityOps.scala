@@ -259,7 +259,7 @@ object SimilarityOps {
 
   /** Unit-normalized (id, unit) projection: normalize ONCE per row so all
     * per-pair work downstream is a single native dot product. */
-  private def unitVectors(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[operators] def unitVectors(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
     vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", norm(col("vec")))
       .withColumn("unit", when(col("nrm") === 0, col("vec")).otherwise(transform(col("vec"), x => x / col("nrm"))))

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PERSISTED IVF ANN index — the vector-side mirror of the incremental
+  * dedup index ([[IncrementalDedupOps]]): train centroids and assign the
+  * corpus ONCE, land it as a catalog table bucketed by cell, then serve
+  * every later query batch from the index with no corpus re-scan and no
+  * index-side shuffle.
+  *
+  * Layout (two catalog tables):
+  *  - `<prefix>_cells` (neighbor_id, unit, cell) — bucketBy(cell) +
+  *    sortBy(cell): the probe's `cell IN (probed)` filter bucket-prunes
+  *    the scan to only the probed cells' files, and the broadcast-hash
+  *    join on cell needs no Exchange on the index side.
+  *  - `<prefix>_centroids` (cell, centroid) — nCells rows; readback is
+  *    the one bounded collect a probe pays (nCells × dim, corpus-size
+  *    independent — the same budget ivfTopK's in-query training has).
+  *
+  * 100 TB posture: the index build is the one-time corpus pass + one
+  * bucketed write (write parallelism = bucket count); a query batch then
+  * reads ≈ nProbe/nCells of the index and nothing else. Append of a new
+  * vector generation is [[BucketOps.appendBucketed]] with the SAME
+  * bucket spec (mismatch is rejected loudly).
+  */
+object VectorIndexOps {
+
+  final case class IvfIndex(cellsTable: String, centroidsTable: String, nCells: Int)
+
+  /** Train √n-style centroids, assign every corpus vector map-side
+    * (broadcast-centroid argmax — the corpus never shuffles to be
+    * indexed except the one bucketed-write repartition), persist both
+    * tables. Rebuild is staged table-swap via [[BucketOps.writeBucketed]].
+    */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      prefix: String,
+      nCells: Int,
+      numBuckets: Int,
+      iters: Int = 4
+  ): IvfIndex = {
+    val spark = corpus.sparkSession
+    val cents = SimilarityOps.trainCentroids(corpus, idCol, vecCol, nCells, iters)
+    val assigned = SimilarityOps.unitVectors(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("unit"),
+        SimilarityOps.assignCell(col("unit"), cents).cast("int").as("cell"))
+    BucketOps.writeBucketed(assigned, s"${prefix}_cells", numBuckets, Seq("cell"),
+      sortKeys = Seq("cell"))
+    import spark.implicits._
+    val centDf = cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+    BucketOps.dropTable(spark, s"${prefix}_centroids")
+    centDf.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(s"${prefix}_centroids")
+    IvfIndex(s"${prefix}_cells", s"${prefix}_centroids", nCells)
+  }
+
+  /** Top-k cosine neighbors for a query batch against the PERSISTED
+    * index: queries fan out to their `nProbe` nearest cells and
+    * broadcast; the index scan is bucket-pruned to the probed cells
+    * (distinct probed cells ≤ nCells — the bounded driver collect that
+    * buys the file pruning); exact dot products run only inside probed
+    * cells. Same scoring contract as [[SimilarityOps.ivfTopK]]
+    * (round-6 cosine, id tie-break).
+    */
+  def probeIvf(
+      spark: SparkSession,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: IvfIndex,
+      k: Int,
+      nProbe: Int,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val cents: Array[Array[Double]] = spark.table(index.centroidsTable)
+      .orderBy("cell").collect() // nCells × dim — bounded, corpus-size independent
+      .map(_.getSeq[Double](1).toArray)
+    val q = SimilarityOps.unitVectors(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("unit").as("q_vec"))
+      .withColumn("cell", explode(SimilarityOps.probeCells(col("q_vec"), cents, nProbe)))
+    val probedCells = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val c = spark.table(index.cellsTable).filter(col("cell").isin(probedCells.toSeq: _*))
+    val dotQ = aggregate(zip_with(col("q_vec"), col("unit"), (a, b) => a * b),
+      lit(0.0), (s, e) => s + e)
+    val scored = c
+      .join(broadcast(q), Seq("cell"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"), round(dotQ, 6).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+}

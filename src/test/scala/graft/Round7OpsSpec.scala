@@ -191,6 +191,40 @@ class Round7OpsSpec extends SparkSpec {
     assert(c0 * c0 + c1 * c1 + c2 * c2 + c3 * c3 <= 1.0 + 1e-9)
   }
 
+  test("persisted IVF index: full-probe equals brute force, scan is bucket-pruned, append lands") {
+    import graft.operators.{BucketOps, SimilarityOps, VectorIndexOps}
+    val rnd = new scala.util.Random(11)
+    def vec() = Seq.fill(8)(rnd.nextDouble() * 2 - 1)
+    val corpus = (1L to 60L).map(i => (i, vec())).toDF("vec_id", "vec")
+    val idx = VectorIndexOps.buildIvfIndex(corpus, "vec_id", "vec", "graft_r7_ivf",
+      nCells = 4, numBuckets = 4)
+    try {
+      val queries = corpus.filter(col("vec_id") <= 3)
+      // probing ALL cells makes IVF exhaustive — must equal brute force
+      val full = VectorIndexOps.probeIvf(spark, queries, "vec_id", "vec", idx, k = 5, nProbe = 4)
+        .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+      val bf = SimilarityOps.bruteForceTopK(corpus, queries, "vec_id", "vec", 5)
+        .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+      assert(full == bf)
+      // a 1-cell probe must bucket-prune the index scan
+      val pruned = VectorIndexOps.probeIvf(spark, queries.limit(1), "vec_id", "vec", idx,
+        k = 5, nProbe = 1)
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"), s"no bucket pruning in plan:\n$plan")
+      assert(!plan.contains("SelectedBucketsCount: 4 out of 4"), "probe read every bucket")
+      // append a new generation with the SAME spec; the probe must see it
+      // (1,0,…) is already unit-norm — append it straight into cell 0
+      val assigned2 = Seq((1000L, Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0), 0))
+        .toDF("neighbor_id", "unit", "cell")
+      BucketOps.appendBucketed(assigned2, idx.cellsTable, numBuckets = 4, keys = Seq("cell"),
+        sortKeys = Seq("cell"))
+      assert(spark.table(idx.cellsTable).filter(col("neighbor_id") === 1000L).count() == 1)
+    } finally {
+      BucketOps.dropTable(spark, idx.cellsTable)
+      BucketOps.dropTable(spark, idx.centroidsTable)
+    }
+  }
+
   test("mergeIntervalsTyped matches mergeIntervals on overlap/touch/disjoint shapes") {
     implicit val s = spark
     val rows = Seq(
