@@ -2273,6 +2273,26 @@ object SparkEntry {
         .select(col("a_id"), col("b_id"), lit(0).as("label"))
       pos.unionByName(neg).orderBy("label", "a_id", "b_id")
     }),
+    "q39_basket_affinity" -> ((s, d) => {
+      // market-basket affinity: part pairs co-ordered in one order,
+      // expanded IN-ROW from the per-order part list (orders are
+      // bounded-small) — the events_cooccurrence idiom at order
+      // granularity; never a lineitem×lineitem self-join. Top-25 by
+      // support via TakeOrdered.
+      val baskets = T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(array_distinct(collect_list(col("l_partkey")))).as("parts"))
+      baskets
+        .select(explode(flatten(transform(col("parts"), a =>
+          filter(transform(col("parts"), b => struct(a.as("part_a"), b.as("part_b"))),
+            p => p.getField("part_a") < p.getField("part_b"))))).as("p"))
+        .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(25)
+    }),
     "q38_keyset_pagination" -> ((s, d) => {
       // keyset (seek-method) pagination: the cursor predicate pushes to
       // the scan and the page is a TakeOrdered — OFFSET pagination

@@ -1561,6 +1561,12 @@ object Oracles {
            |SELECT a_id, b_id, label FROM pos
            |UNION ALL SELECT a_id, b_id, label FROM neg
            |ORDER BY label, a_id, b_id""".stripMargin,
+      "q39_basket_affinity" ->
+        """WITH o AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+          |      FROM o a JOIN o b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+          |SELECT part_a, part_b, COUNT(*) AS n_orders FROM p
+          |GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 25""".stripMargin,
       "q38_keyset_pagination" ->
         """SELECT l_orderkey, l_linenumber, l_quantity,
           | datediff('day', DATE '1970-01-01', l_shipdate) AS ship_day FROM lineitem
