@@ -2042,21 +2042,13 @@ object SparkEntry {
       // construction. One keyed sort serves all 16 lag terms; only the
       // per-user LATEST row is emitted.
       import org.apache.spark.sql.expressions.Window
-      val K = 16
-      val wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       val woDesc = Window.partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
-      val e = EV(s, d).select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
-      val lags = (0 until K).map(k => lag(col("value"), k).over(wo))
-      val num = lags.zipWithIndex
-        .map { case (l, k) => coalesce(l * lit(math.pow(0.5, k)), lit(0.0)) }
-        .reduce(_ + _)
-      val den = lags.zipWithIndex
-        .map { case (l, k) => when(l.isNotNull, lit(math.pow(0.5, k))).otherwise(lit(0.0)) }
-        .reduce(_ + _)
-      e.withColumn("ewma16", num / den)
+      StatsOps
+        .boundedEwma(EV(s, d).select(col("user_id"), col("event_id"), col("ts_us"), col("value")),
+          "user_id", Seq("ts_us", "event_id"), "value", k = 16)
         .withColumn("__rn", row_number().over(woDesc))
         .filter(col("__rn") === 1)
-        .select(col("user_id"), col("ts_us").as("last_us"), col("ewma16"))
+        .select(col("user_id"), col("ts_us").as("last_us"), col("ewma").as("ewma16"))
         .orderBy("user_id")
     }),
     "events_anomaly" -> ((s, d) => {

@@ -182,6 +182,34 @@ object StatsOps {
   def unionDistinctEstimate(sketches: DataFrame, sketchCol: String = "sketch"): DataFrame =
     sketches.agg(hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(false))).as("est_distinct"))
 
+  /** Bounded exponentially-weighted moving value (α = 1/2 over the last
+    * `k` rows per key, k ≤ 63): every weight 2⁻ʲ is a power of two, so
+    * v·2⁻ʲ is EXACT in IEEE double and the fixed left-to-right chain sum
+    * is bit-identical across engines and replays — the usual "EWMA is
+    * FP-recursive and engine-divergent" objection disappears by
+    * construction. One keyed sort serves all k lag terms. Adds an
+    * `ewma` column; rows keep their identity (callers pick latest-row,
+    * threshold, etc.).
+    */
+  def boundedEwma(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      valCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1 && k <= 63, s"boundedEwma: k must be in [1, 63], got $k")
+    val wo = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+    val lags = (0 until k).map(j => lag(col(valCol), j).over(wo))
+    val num = lags.zipWithIndex
+      .map { case (l, j) => coalesce(l * lit(math.pow(0.5, j)), lit(0.0)) }
+      .reduce(_ + _)
+    val den = lags.zipWithIndex
+      .map { case (l, j) => when(l.isNotNull, lit(math.pow(0.5, j))).otherwise(lit(0.0)) }
+      .reduce(_ + _)
+    df.withColumn("ewma", num / den)
+  }
+
   /** Trailing-window z-score anomaly flags, engine-exact: the rolling
     * moments are DECIMAL window sums (order-independent, so replay- and
     * engine-stable), and mean/var/z are a FIXED closed-form double

@@ -225,6 +225,28 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("boundedEwma: bit-identical to the naive fixed-order fold on random series") {
+    // the determinism claim is EXACT double equality, not approximate:
+    // weights are powers of two and the chain order is fixed
+    val rnd = new scala.util.Random(13)
+    val rows = for (key <- 1L to 5L; i <- 1L to 40L) yield (key, i, rnd.nextDouble() * 1000 - 500)
+    val got = graft.operators.StatsOps
+      .boundedEwma(rows.toDF("k", "seq", "v"), "k", Seq("seq"), "v", k = 16)
+      .select("k", "seq", "ewma").as[(Long, Long, Double)].collect()
+      .map { case (k, s, e) => (k, s) -> e }.toMap
+    val byKey = rows.groupBy(_._1)
+    for (((k, seq), ewma) <- got) {
+      val series = byKey(k).filter(_._2 <= seq).sortBy(-_._2).take(16).map(_._3)
+      var num = 0.0
+      var den = 0.0
+      for ((v, j) <- series.zipWithIndex) {
+        num += v * math.pow(0.5, j) // += replays Spark's left-to-right chain
+        den += math.pow(0.5, j)
+      }
+      assert(ewma == num / den, s"key $k seq $seq: $ewma != ${num / den}")
+    }
+  }
+
   test("mergeIntervalsTyped matches mergeIntervals on overlap/touch/disjoint shapes") {
     implicit val s = spark
     val rows = Seq(
