@@ -2265,6 +2265,36 @@ object SparkEntry {
         .select(col("a_id"), col("b_id"), lit(0).as("label"))
       pos.unionByName(neg).orderBy("label", "a_id", "b_id")
     }),
+    "text_readability" -> ((s, d) => {
+      // reading-ease proxy on deterministic features (words/sentence,
+      // chars/word — no syllable dictionaries, engine-portable): the
+      // quality-score sibling every curation stack carries
+      val toks = TextFunctions.tokens(col("text"))
+      val nS = size(filter(split(col("text"), "[.!?]"), x => length(trim(x)) > 0)).cast("long")
+      val nW = size(toks).cast("long")
+      val nC = aggregate(transform(toks, t => length(t)), lit(0), (a, b) => a + b).cast("long")
+      TP(s, d, "documents")
+        .select(col("doc_id"), nS.as("n_sentences"), nW.as("n_words"), nC.as("n_chars"))
+        .withColumn("words_per_sentence",
+          col("n_words").cast("double") / greatest(col("n_sentences"), lit(1L)).cast("double"))
+        .withColumn("chars_per_word",
+          col("n_chars").cast("double") / greatest(col("n_words"), lit(1L)).cast("double"))
+        .orderBy("doc_id")
+    }),
+    "events_streaks" -> ((s, d) => {
+      // longest consecutive-active-day streak per user — gaps-and-islands
+      // on the DISTINCT day table (day − row_number is constant within a
+      // run of consecutive days); the distinct is day-count-sized
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val ud = EV(s, d).select(col("user_id"), expr("ts_us div 86400000000").as("day")).distinct()
+      ud.withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("streak"))
+        .groupBy("user_id")
+        .agg(sum("streak").as("n_active_days"), max("streak").as("max_streak"))
+        .orderBy("user_id")
+    }),
     "q39_basket_affinity" -> ((s, d) => {
       // market-basket affinity: part pairs co-ordered in one order,
       // expanded IN-ROW from the per-order part list (orders are

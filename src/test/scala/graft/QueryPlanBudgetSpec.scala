@@ -67,6 +67,8 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "q38_keyset_pagination" -> 0, // cursor filter pushed to scan + TakeOrderedAndProject — NO exchange
     "events_sequences" -> 2,  // user-keyed sort serves both lags + (t1,t2,t3) agg; top-k is TakeOrdered
     "q39_basket_affinity" -> 2, // order-basket agg + pair agg (in-row expansion); top-k is TakeOrdered
+    "text_readability" -> 2,  // TP + ORDER BY — every feature is a map-side projection
+    "events_streaks" -> 3,    // (user,day) distinct + streak agg reusing the island sort + ORDER BY
     "vec_kmeans_step" -> 4    // TP ×2 (corpus + centroid subtree) + 1-row collect agg +
                               // k-row update agg; assignment rides BroadcastExchange (not counted),
                               // init top-k is TakeOrdered, final ORDER BY reuses the agg exchange

@@ -1561,6 +1561,24 @@ object Oracles {
            |SELECT a_id, b_id, label FROM pos
            |UNION ALL SELECT a_id, b_id, label FROM neg
            |ORDER BY label, a_id, b_id""".stripMargin,
+      "text_readability" ->
+        s"""WITH f AS (SELECT doc_id,
+           | CAST(len(list_filter(string_split_regex(text, '[.!?]'), x -> len(trim(x)) > 0)) AS BIGINT) AS n_sentences,
+           | CAST(len($toks) AS BIGINT) AS n_words,
+           | CAST(list_reduce(list_prepend(0, list_transform($toks, x -> len(x))), (a, b) -> a + b) AS BIGINT) AS n_chars
+           | FROM documents)
+           |SELECT doc_id, n_sentences, n_words, n_chars,
+           | CAST(n_words AS DOUBLE) / greatest(n_sentences, 1) AS words_per_sentence,
+           | CAST(n_chars AS DOUBLE) / greatest(n_words, 1) AS chars_per_word
+           |FROM f ORDER BY doc_id""".stripMargin,
+      "events_streaks" ->
+        """WITH ud AS (SELECT DISTINCT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+          |            FROM events),
+          |g AS (SELECT user_id, day,
+          |      day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM ud),
+          |st AS (SELECT user_id, grp, COUNT(*) AS streak FROM g GROUP BY user_id, grp)
+          |SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_active_days, MAX(streak) AS max_streak
+          |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
       "q39_basket_affinity" ->
         """WITH o AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
           |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
