@@ -2281,6 +2281,21 @@ object SparkEntry {
           col("n_chars").cast("double") / greatest(col("n_words"), lit(1L)).cast("double"))
         .orderBy("doc_id")
     }),
+    "events_wow_change" -> ((s, d) => {
+      // week-over-week deltas: weekly decimal-exact totals + lag over
+      // the week-count-sized aggregate (the period-over-period report
+      // every ops dashboard carries); pct change is one double division
+      import org.apache.spark.sql.expressions.Window
+      val wk = EV(s, d)
+        .groupBy(expr("ts_us div 604800000000").as("week"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value"), 2).as("sum_value"))
+      val w = Window.orderBy("week")
+      wk.withColumn("prev_n", lag(col("n_events"), 1).over(w))
+        .withColumn("wow_events_pct",
+          (col("n_events") - col("prev_n")).cast("double") / col("prev_n").cast("double"))
+        .select("week", "n_events", "sum_value", "wow_events_pct")
+        .orderBy("week")
+    }),
     "events_streaks" -> ((s, d) => {
       // longest consecutive-active-day streak per user — gaps-and-islands
       // on the DISTINCT day table (day − row_number is constant within a

@@ -69,6 +69,7 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "q39_basket_affinity" -> 2, // order-basket agg + pair agg (in-row expansion); top-k is TakeOrdered
     "text_readability" -> 2,  // TP + ORDER BY — every feature is a map-side projection
     "events_streaks" -> 3,    // (user,day) distinct + streak agg reusing the island sort + ORDER BY
+    "events_wow_change" -> 2, // week agg + week-count-sized lag window (ORDER BY reuses its sort)
     "vec_kmeans_step" -> 4    // TP ×2 (corpus + centroid subtree) + 1-row collect agg +
                               // k-row update agg; assignment rides BroadcastExchange (not counted),
                               // init top-k is TakeOrdered, final ORDER BY reuses the agg exchange

@@ -1571,6 +1571,15 @@ object Oracles {
            | CAST(n_words AS DOUBLE) / greatest(n_sentences, 1) AS words_per_sentence,
            | CAST(n_chars AS DOUBLE) / greatest(n_words, 1) AS chars_per_word
            |FROM f ORDER BY doc_id""".stripMargin,
+      "events_wow_change" ->
+        """WITH wk AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week,
+          |  COUNT(*) AS n_events,
+          |  CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value
+          |  FROM events GROUP BY 1)
+          |SELECT week, n_events, sum_value,
+          | CAST(n_events - lag(n_events) OVER (ORDER BY week) AS DOUBLE)
+          |  / CAST(lag(n_events) OVER (ORDER BY week) AS DOUBLE) AS wow_events_pct
+          |FROM wk ORDER BY week""".stripMargin,
       "events_streaks" ->
         """WITH ud AS (SELECT DISTINCT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
           |            FROM events),
