@@ -2281,6 +2281,38 @@ object SparkEntry {
           col("n_chars").cast("double") / greatest(col("n_words"), lit(1L)).cast("double"))
         .orderBy("doc_id")
     }),
+    "data_label_balance" -> ((s, d) => {
+      // class balance + inverse-frequency loss weights over the labeled
+      // embedding set: weight = total / (n_classes · n) — the class-
+      // imbalance prep step for any classifier head; integer-exact until
+      // one double division each
+      val e = TP(s, d, "embeddings")
+      val counts = e.groupBy("label").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum("n").as("total"), count(lit(1)).as("n_classes"))
+      counts.crossJoin(broadcast(tot)) // 1-row scalar attach
+        .select(col("label"), col("n"),
+          (col("n").cast("double") / col("total").cast("double")).as("share"),
+          (col("total").cast("double") / (col("n_classes") * col("n")).cast("double"))
+            .as("class_weight"))
+        .orderBy("label")
+    }),
+    "events_pareto" -> ((s, d) => {
+      // activity concentration (Pareto report): per-user event counts
+      // ranked desc, cumulative share of total — "do 20% of users
+      // produce 80% of events". The running sum is a window over the
+      // USER-count-sized aggregate; total rides back broadcast.
+      import org.apache.spark.sql.expressions.Window
+      val uc = EV(s, d).groupBy("user_id").agg(count(lit(1)).as("n"))
+      val tot = uc.agg(sum("n").as("total"))
+      val byN = Window.orderBy(col("n").desc, col("user_id").asc)
+      uc.withColumn("rank", row_number().over(byN).cast("long"))
+        .withColumn("cum_n",
+          sum("n").over(byN.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot)) // 1-row scalar attach
+        .select(col("rank"), col("user_id"), col("n"),
+          (col("cum_n").cast("double") / col("total").cast("double")).as("cum_share"))
+        .orderBy("rank")
+    }),
     "events_wow_change" -> ((s, d) => {
       // week-over-week deltas: weekly decimal-exact totals + lag over
       // the week-count-sized aggregate (the period-over-period report

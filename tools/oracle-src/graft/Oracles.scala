@@ -1571,6 +1571,21 @@ object Oracles {
            | CAST(n_words AS DOUBLE) / greatest(n_sentences, 1) AS words_per_sentence,
            | CAST(n_chars AS DOUBLE) / greatest(n_words, 1) AS chars_per_word
            |FROM f ORDER BY doc_id""".stripMargin,
+      "data_label_balance" ->
+        """WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+          |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_classes FROM c)
+          |SELECT label, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+          | CAST(total AS DOUBLE) / CAST(n_classes * n AS DOUBLE) AS class_weight
+          |FROM c, t ORDER BY label""".stripMargin,
+      "events_pareto" ->
+        """WITH uc AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+          |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM uc),
+          |r AS (SELECT user_id, n, row_number() OVER (ORDER BY n DESC, user_id) AS rank,
+          |      CAST(SUM(n) OVER (ORDER BY n DESC, user_id
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+          |      FROM uc)
+          |SELECT rank, user_id, n, CAST(cum_n AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+          |FROM r, t ORDER BY rank""".stripMargin,
       "events_wow_change" ->
         """WITH wk AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week,
           |  COUNT(*) AS n_events,
