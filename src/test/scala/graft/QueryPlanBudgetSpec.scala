@@ -70,6 +70,9 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "text_readability" -> 2,  // TP + ORDER BY — every feature is a map-side projection
     "events_streaks" -> 3,    // (user,day) distinct + streak agg reusing the island sort + ORDER BY
     "events_wow_change" -> 2, // week agg + week-count-sized lag window (ORDER BY reuses its sort)
+    "events_pareto" -> 3,     // user agg + user-count-sized rank window + 1-row total agg;
+                              // ORDER BY reuses the window's single-partition sort
+    "data_label_balance" -> 4, // TP + label agg + 1-row total agg + ORDER BY; total rides broadcast
     "vec_kmeans_step" -> 4    // TP ×2 (corpus + centroid subtree) + 1-row collect agg +
                               // k-row update agg; assignment rides BroadcastExchange (not counted),
                               // init top-k is TakeOrdered, final ORDER BY reuses the agg exchange
