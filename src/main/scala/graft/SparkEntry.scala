@@ -2392,6 +2392,88 @@ object SparkEntry {
         .groupBy("band")
         .agg((count(lit(1)) / 2).cast("long").as("n_pairs"), countDistinct(col("doc")).as("n_docs"))
         .orderBy("band")
+    }),
+    "q40_rfm" -> ((s, d) => {
+      // RFM customer segmentation: recency (days since last order vs the
+      // corpus max day), frequency (order count), monetary (decimal-exact
+      // spend), each quartiled by ntile(4) with a custkey tiebreak so the
+      // tiling is a total order (deterministic across engines). The
+      // windows run over the CUSTOMER-count-sized aggregate, not orders.
+      import org.apache.spark.sql.expressions.Window
+      val perCust = T(s, d, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(max(datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")))
+               .as("last_day"),
+             count(lit(1)).as("f_orders"),
+             dsum(col("o_totalprice"), 2).as("m_total"))
+      val maxDay = perCust.agg(max("last_day").as("max_day"))
+      perCust.crossJoin(broadcast(maxDay)) // 1-row scalar attach
+        .withColumn("r_days", (col("max_day") - col("last_day")).cast("long"))
+        .withColumn("r_q", ntile(4).over(Window.orderBy(col("r_days").asc, col("custkey").asc)))
+        .withColumn("f_q", ntile(4).over(Window.orderBy(col("f_orders").desc, col("custkey").asc)))
+        .withColumn("m_q", ntile(4).over(Window.orderBy(col("m_total").desc, col("custkey").asc)))
+        .select(col("custkey"), col("r_days"), col("f_orders"), col("m_total"),
+          col("r_q"), col("f_q"), col("m_q"),
+          concat(col("r_q"), col("f_q"), col("m_q")).as("segment"))
+        .orderBy("custkey")
+    }),
+    "events_trend" -> ((s, d) => {
+      // per-user activity trend: least-squares slope of daily event counts
+      // over the user's observed days, computed ENTIRELY in BIGINT moments
+      // (n, Σx, Σy, Σxy, Σx²  →  num = nΣxy−ΣxΣy, den = nΣx²−(Σx)²) —
+      // exact and order-independent; the only double is the final ratio.
+      // Both aggs are partial-agged map-side, so the (user,day) and user
+      // shuffles move pre-combined rows, never raw events — cheaper at
+      // 100 TB than forcing a single user-only shuffle of raw rows.
+      val daily = EV(s, d)
+        .groupBy(col("user_id"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("y"))
+      daily
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+             sum(col("day")).as("sx"),
+             sum(col("y")).as("sy"),
+             sum(col("day") * col("y")).as("sxy"),
+             sum(col("day") * col("day")).as("sxx"))
+        .filter(col("n") >= 2)
+        .select(col("user_id"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+        .withColumn("slope",
+          col("slope_num").cast("double") / col("slope_den").cast("double"))
+        .orderBy("user_id")
+    }),
+    "data_kanonymity" -> ((s, d) => {
+      // k-anonymity audit over quasi-identifiers (market segment × nation
+      // × account-balance band): every equivalence class with its size and
+      // an at-risk flag (n < k ⇒ rows re-identifiable within the class).
+      // One shuffle on the QI tuple; class count is bounded by the QI
+      // domain, not the row count.
+      val k = 5
+      T(s, d, "customer")
+        .groupBy(col("c_mktsegment").as("segment"),
+                 col("c_nationkey").cast("long").as("nation"),
+                 floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("at_risk", (col("n") < k).cast("boolean"))
+        .orderBy("segment", "nation", "bal_band")
+    }),
+    "text_fertility" -> ((s, d) => {
+      // tokenizer-fertility report by language: chars per token and tokens
+      // per doc — the compression-ratio lens a tokenizer team uses to spot
+      // languages the vocab underserves. Single scan, lang-sized output.
+      val nToks = size(TextFunctions.tokens(col("text"))).cast("long")
+      TP(s, d, "documents")
+        .select(col("lang"), col("n_chars"), nToks.as("n_toks"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_toks").as("sum_tokens"),
+             sum("n_chars").as("sum_chars"))
+        .withColumn("chars_per_token",
+          col("sum_chars").cast("double") / col("sum_tokens").cast("double"))
+        .withColumn("tokens_per_doc",
+          col("sum_tokens").cast("double") / col("n_docs").cast("double"))
+        .orderBy("lang")
     })
   )
 

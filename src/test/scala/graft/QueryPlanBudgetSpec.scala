@@ -73,6 +73,12 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "events_pareto" -> 3,     // user agg + user-count-sized rank window + 1-row total agg;
                               // ORDER BY reuses the window's single-partition sort
     "data_label_balance" -> 4, // TP + label agg + 1-row total agg + ORDER BY; total rides broadcast
+    "q40_rfm" -> 4,           // custkey agg + 1-row max agg + shared single-partition window
+                              // exchange (3 ntile sorts) + ORDER BY; max rides broadcast
+    "events_trend" -> 3,      // (user,day) agg + user moment agg + ORDER BY — both aggs
+                              // partial-agged so each shuffle moves combined rows
+    "data_kanonymity" -> 2,   // QI-tuple agg + ORDER BY; class count bounded by QI domain
+    "text_fertility" -> 3,    // TP + lang agg + ORDER BY — token counting is map-side
     "vec_kmeans_step" -> 4    // TP ×2 (corpus + centroid subtree) + 1-row collect agg +
                               // k-row update agg; assignment rides BroadcastExchange (not counted),
                               // init top-k is TakeOrdered, final ORDER BY reuses the agg exchange

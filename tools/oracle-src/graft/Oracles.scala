@@ -1625,7 +1625,44 @@ object Oracles {
            |       a_id, b_id FROM p),
            |e AS (SELECT band, a_id AS doc FROM pb UNION ALL SELECT band, b_id AS doc FROM pb)
            |SELECT band, CAST(COUNT(*) / 2 AS BIGINT) AS n_pairs, COUNT(DISTINCT doc) AS n_docs
-           |FROM e GROUP BY band ORDER BY band""".stripMargin
+           |FROM e GROUP BY band ORDER BY band""".stripMargin,
+      "q40_rfm" ->
+        """WITH pc AS (SELECT o_custkey AS custkey,
+          |  MAX(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS last_day,
+          |  COUNT(*) AS f_orders,
+          |  CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS m_total
+          |  FROM orders GROUP BY 1),
+          |mx AS (SELECT MAX(last_day) AS max_day FROM pc),
+          |q AS (SELECT custkey, CAST(max_day - last_day AS BIGINT) AS r_days, f_orders, m_total,
+          |  ntile(4) OVER (ORDER BY max_day - last_day ASC, custkey ASC) AS r_q,
+          |  ntile(4) OVER (ORDER BY f_orders DESC, custkey ASC) AS f_q,
+          |  ntile(4) OVER (ORDER BY m_total DESC, custkey ASC) AS m_q
+          |  FROM pc, mx)
+          |SELECT custkey, r_days, f_orders, m_total, r_q, f_q, m_q,
+          | CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR) AS segment
+          |FROM q ORDER BY custkey""".stripMargin,
+      "events_trend" ->
+        """WITH daily AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+          |  COUNT(*) AS y FROM events GROUP BY 1, 2),
+          |m AS (SELECT user_id, COUNT(*) AS n, CAST(SUM(day) AS BIGINT) AS sx,
+          |  CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(day * y) AS BIGINT) AS sxy,
+          |  CAST(SUM(day * day) AS BIGINT) AS sxx
+          |  FROM daily GROUP BY user_id HAVING COUNT(*) >= 2)
+          |SELECT user_id, n, n * sxy - sx * sy AS slope_num, n * sxx - sx * sx AS slope_den,
+          | CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+          |FROM m ORDER BY user_id""".stripMargin,
+      "data_kanonymity" ->
+        """SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nation,
+          | CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band, COUNT(*) AS n,
+          | COUNT(*) < 5 AS at_risk
+          |FROM customer GROUP BY 1, 2, 3 ORDER BY segment, nation, bal_band""".stripMargin,
+      "text_fertility" ->
+        s"""WITH t AS (SELECT lang, n_chars, len($toks) AS n_toks FROM documents)
+           |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+           | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           | CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_toks) AS DOUBLE) AS chars_per_token,
+           | CAST(SUM(n_toks) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS tokens_per_doc
+           |FROM t GROUP BY lang ORDER BY lang""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
