@@ -2474,6 +2474,57 @@ object SparkEntry {
         .withColumn("tokens_per_doc",
           col("sum_tokens").cast("double") / col("n_docs").cast("double"))
         .orderBy("lang")
+    }),
+    "graph_triangles" -> ((s, d) => {
+      // triangle census of the part co-order graph (two parts linked when
+      // some order contains both): edges via in-row basket expansion (the
+      // q39 idiom — never a lineitem×lineitem self-join), triangles via
+      // degree-ordered wedge counting (GraphOps.triangleStats) — each
+      // triangle counted once at its min-(deg,id) vertex, out-degrees
+      // O(√m) under the orientation so the wedge join has no hot key.
+      val edges = T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(array_distinct(collect_list(col("l_partkey")))).as("parts"))
+        .select(explode(flatten(transform(col("parts"), a =>
+          filter(transform(col("parts"), b => struct(a.as("pa"), b.as("pb"))),
+            p => p.getField("pa") < p.getField("pb"))))).as("p"))
+        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      GraphOps.triangleStats(edges, "pa", "pb")
+    }),
+    "dedup_prefix_filter" -> ((s, d) => {
+      // the dedup_ngram_jaccard output contract (exact 3-gram Jaccard
+      // ≥ 0.8 pair set) via a DIFFERENT exact algorithm: AllPairs prefix
+      // filtering — candidates join only on each doc's globally-RAREST
+      // shingles, zero false negatives by the prefix lemma (no LSH recall
+      // bound), exact verify from materialized sets. Both paths hash-match
+      // the same quadratic oracle.
+      DedupOps.prefixFilterJaccardPairs(TP(s, d, "documents"), "text", "doc_id",
+          threshold = 0.8, shingleSize = 3)
+        .orderBy("a_id", "b_id")
+    }),
+    "q41_hotkey_join" -> ((s, d) => {
+      // manual hot-key split join: fact keys with > H rows take a
+      // broadcast path (the hot-key dim slice is small by construction),
+      // the long tail takes the ordinary shuffle path, and the union is
+      // invisible to the oracle (= plain join + agg). The pattern for
+      // skew KNOWN ahead of time — bucketed/pre-shuffled inputs AQE
+      // cannot re-split, or a maintained skewed-key stats table.
+      val H = 4
+      val li = T(s, d, "lineitem").select(col("l_orderkey"), revenueTerm.as("rev"))
+      val hotKeys = li.groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") > H).select("l_orderkey")
+      val dim = T(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      val hotDim = dim.join(broadcast(hotKeys),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      val hot = li.join(broadcast(hotKeys), Seq("l_orderkey"), "left_semi")
+        .join(broadcast(hotDim), col("l_orderkey") === col("o_orderkey"))
+      val cold = li.join(broadcast(hotKeys), Seq("l_orderkey"), "left_anti")
+        .join(dim.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      hot.unionByName(cold)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("rev"), 6).as("revenue"))
+        .orderBy("o_orderpriority")
     })
   )
 

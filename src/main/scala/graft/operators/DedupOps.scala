@@ -493,4 +493,57 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("jaccard"))
   }
+
+  /** EXACT Jaccard self-join via prefix filtering (AllPairs / SSJoin —
+    * Bayardo et al. WWW'07, Chaudhuri et al. ICDE'06): order every doc's
+    * shingle set by GLOBAL rarity (corpus document frequency asc, hash
+    * asc) and join only on each doc's first |s| − ⌈τ·|s|⌉ + 1 shingles.
+    * If J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉, and by the prefix
+    * lemma the two rarity-prefixes must share ≥1 shingle — so unlike
+    * MinHash-LSH this candidate generator has ZERO false negatives (no
+    * probabilistic recall bound) while still joining only on RARE keys:
+    * the corpus-hot shingles are precisely the ones the prefixes exclude,
+    * which kills the boilerplate-shingle hot bucket by construction.
+    * Exact Jaccard is then verified from the full materialized sets, so
+    * the output is literally the quadratic pair set.
+    *
+    * ⌈τ·n⌉ is computed in integer arithmetic ((n·round(τ·10⁶)+10⁶−1) div
+    * 10⁶) — a double multiply that rounds up past an integer boundary
+    * would silently shorten a prefix and drop pairs.
+    */
+  def prefixFilterJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      shingleSize: Int = 3,
+      maxBucketSize: Int = 256
+  ): DataFrame = {
+    val tn = math.round(threshold * 1e6)
+    val docs = df
+      .select(col(idCol).as("id"), hashedShingleSet(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      // consumed 3×: prefix generation + both verify sides
+      .localCheckpoint(eager = false)
+    val dfreq = docs.select(explode(col("sh")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    val prefixes = docs
+      .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
+      .join(dfreq, Seq("g")) // co-partitioned on g with dfreq's agg output
+      .groupBy("id", "n")
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ord"))
+      .withColumn("plen", (col("n") - expr(s"(n * ${tn}L + 999999) div 1000000") + 1).cast("int"))
+      .select(col("id"), explode(expr("transform(slice(ord, 1, plen), x -> x.g)")).as("g"))
+    val buckets = prefixes
+      .groupBy("g").agg(sort_array(collect_list(struct(col("id")))).as("recs"))
+    val cands = allBucketPairs(buckets, Seq("g"), "recs", maxBucketSize)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    cands
+      .join(docs.select(col("id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
+      .join(docs.select(col("id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
+      .withColumn("jaccard", jaccardSets(col("sha"), col("shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
 }

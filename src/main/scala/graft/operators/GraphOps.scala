@@ -136,4 +136,62 @@ object GraphOps {
     connectedComponents(edges, aCol, bCol)
       .groupBy("cluster_id")
       .agg(sort_array(collect_list(col("id"))).as("members"), count(lit(1)).as("n_members"))
+
+  /** Global triangle census of an undirected graph, via degree-ordered
+    * wedge counting (the standard distributed algorithm — Suri & Vassilvitskii,
+    * WWW'11 "Counting Triangles and the Curse of the Last Reducer").
+    *
+    * Every edge is oriented from its lower-(degree, id) endpoint to the
+    * higher one; a triangle {u,v,w} is then counted EXACTLY once, as a
+    * wedge at its minimum vertex closed by the (v,w) edge. The payoff at
+    * scale: under this orientation every out-degree is O(√m) on ANY
+    * graph (including power-law graphs, where a naive wedge join at the
+    * hub vertex is quadratic in the hub degree) — so the wedge self-join
+    * has no hot key and the "last reducer" never materializes.
+    * Vertex ordering uses struct(deg, id) comparison — no packed-key
+    * overflow assumption on id ranges.
+    *
+    * Input: edge rows (aCol, bCol); duplicates/orientation/self-loops are
+    * normalized away. Output: ONE row — n_nodes, n_edges, n_wedges
+    * (Σ C(deg,2) — all center-vertex paths), n_triangles, and the global
+    * clustering coefficient 3·T/W.
+    */
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges
+      .filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .distinct()
+      // feeds the degree agg, the orientation join, and the closing join —
+      // materialize once instead of re-deriving the pair pipeline 3×
+      .localCheckpoint(eager = false)
+    val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDegs = e
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), Seq("b"))
+    def key(d: String, n: String) = struct(col(d).as("kd"), col(n).as("kn"))
+    val aFirst = key("da", "a") < key("db", "b")
+    val oriented = withDegs.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, key("db", "b")).otherwise(key("da", "a")).as("kv"))
+      .localCheckpoint(eager = false) // wedge join reads it twice + closing join once
+    val wedges = oriented.as("o1")
+      .join(oriented.as("o2"), col("o1.u") === col("o2.u") && col("o1.kv") < col("o2.kv"))
+      .select(col("o1.v").as("wa"), col("o2.v").as("wb"))
+    // semi join FILTERS wedge rows (no dedup): distinct centers u sharing
+    // the same (v,w) endpoints are distinct wedge rows, so each closed
+    // wedge row is exactly one triangle
+    val tri = wedges
+      .join(oriented.select(col("u").as("wa"), col("v").as("wb")), Seq("wa", "wb"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val totals = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum(deg) div 2").as("n_edges"),
+      sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+    totals.crossJoin(broadcast(tri)) // 1-row × 1-row
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        (lit(3.0) * col("n_triangles").cast("double") / col("n_wedges").cast("double"))
+          .as("global_clustering"))
+  }
 }

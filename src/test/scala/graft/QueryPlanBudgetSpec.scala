@@ -73,6 +73,13 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "events_pareto" -> 3,     // user agg + user-count-sized rank window + 1-row total agg;
                               // ORDER BY reuses the window's single-partition sort
     "data_label_balance" -> 4, // TP + label agg + 1-row total agg + ORDER BY; total rides broadcast
+    "graph_triangles" -> 3,   // basket agg + degree agg + wedge/closing joins downstream of
+                              // the lazily-checkpointed edge/oriented frames (their exchanges
+                              // sit below the checkpoint truncation, as in the dedup pins)
+    "dedup_prefix_filter" -> 2, // df agg + prefix re-collect; candidate + verify joins hang off
+                              // the checkpointed docs/bucket frames
+    "q41_hotkey_join" -> 5,   // hot-key count agg + cold-path SMJ (2 sorts) + final agg +
+                              // ORDER BY; hot path is all BroadcastHashJoin (not counted)
     "q40_rfm" -> 4,           // custkey agg + 1-row max agg + shared single-partition window
                               // exchange (3 ntile sorts) + ORDER BY; max rides broadcast
     "events_trend" -> 3,      // (user,day) agg + user moment agg + ORDER BY — both aggs
@@ -94,6 +101,16 @@ class QueryPlanBudgetSpec extends SparkSpec {
       val off = report.filter { case (_, n, b) => n != b }
       assert(off.isEmpty,
         off.map { case (q, n, b) => s"$q: planned $n shuffles, pinned $b" }.mkString("; "))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q41_hotkey_join plans both a broadcast hot path and a shuffle cold path") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q41_hotkey_join")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"hot path must broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"cold path must stay a shuffle join:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }

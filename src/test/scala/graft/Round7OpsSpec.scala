@@ -263,4 +263,42 @@ class Round7OpsSpec extends SparkSpec {
     assert(typed.map(m => (m.k, m.s, m.e, m.n)) ==
       Seq((1L, 0L, 20L, 3L), (1L, 30L, 40L, 1L), (2L, 100L, 110L, 1L)))
   }
+
+  test("prefixFilterJaccardPairs equals the quadratic pair set (zero false negatives)") {
+    // 60 docs around 6 templates with word-level perturbations — enough
+    // near-dup structure that a broken prefix bound would drop pairs
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val docs = (0 until 60).map { i =>
+      val base = (0 until 12).map(j => words((i / 10 + j) % words.length))
+      val mut = if (i % 10 < 5) base else base.updated(i % 12, words((i * 7) % words.length))
+      (i.toLong, mut.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = DedupOps.prefixFilterJaccardPairs(docs, "text", "doc_id",
+        threshold = 0.6, shingleSize = 2)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val sh = docs.select(col("doc_id"), DedupOps.hashedShingleSet(col("text"), 2).as("sh"))
+    val want = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jaccard", DedupOps.jaccardSets(col("a.sh"), col("b.sh")))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("a.doc_id"), col("b.doc_id"), round(col("jaccard"), 4))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(want.nonEmpty, "test corpus must actually contain near-dup pairs")
+    assert(got == want)
+  }
+
+  test("triangleStats equals brute-force triangle count on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 400).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.toDF("x", "y")
+    val row = GraphOps.triangleStats(edges, "x", "y").collect().head
+    val e = edges.select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val tri = e.as("ab").join(e.as("bc"), col("ab.b") === col("bc.a"))
+      .join(e.as("ac"), col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+      .count()
+    assert(row.getAs[Long]("n_triangles") == tri)
+    assert(row.getAs[Long]("n_edges") == e.count())
+    // 3·T ≤ W always (every triangle contributes 3 closed wedges)
+    assert(3 * row.getAs[Long]("n_triangles") <= row.getAs[Long]("n_wedges"))
+  }
 }

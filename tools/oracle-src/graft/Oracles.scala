@@ -1662,11 +1662,33 @@ object Oracles {
            | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            | CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_toks) AS DOUBLE) AS chars_per_token,
            | CAST(SUM(n_toks) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS tokens_per_doc
-           |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+           |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+      "graph_triangles" ->
+        """WITH o AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          |e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+          |      FROM o a JOIN o b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+          |deg AS (SELECT node, COUNT(*) AS d
+          |        FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) GROUP BY node),
+          |t AS (SELECT COUNT(*) AS n_triangles
+          |      FROM e ab JOIN e bc ON ab.b = bc.a JOIN e ac ON ac.a = ab.a AND ac.b = bc.b)
+          |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+          | (SELECT COUNT(*) FROM e) AS n_edges,
+          | (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
+          | n_triangles,
+          | 3.0 * n_triangles / (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) FROM deg)
+          |   AS global_clustering
+          |FROM t""".stripMargin,
+      "q41_hotkey_join" ->
+        s"""SELECT o_orderpriority, COUNT(*) AS n, $revenue AS revenue
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
     // exactly what the twin pins
-    m + ("events_intervals_typed" -> m("events_intervals"))
+    m + ("events_intervals_typed" -> m("events_intervals")) +
+      // different exact algorithm (AllPairs prefix filter vs MinHash-band
+      // candidates), same output contract: the shared oracle IS the claim
+      ("dedup_prefix_filter" -> m("dedup_ngram_jaccard"))
   }
 }
