@@ -2525,6 +2525,81 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), dsum(col("rev"), 6).as("revenue"))
         .orderBy("o_orderpriority")
+    }),
+    "text_heavy_tokens" -> ((s, d) => {
+      // frequent-token mining WITHOUT shuffling the token domain: pass 1
+      // folds each partition into a Misra-Gries summary (k=256 counters,
+      // native mergeable TypedImperativeAggregate) — the only shuffle is
+      // the 1-row sketch merge; pass 2 exact-counts ONLY the ≤256
+      // candidates (broadcast semi filter). φ=0.5% support: n·φ > n/257,
+      // so the sketch provably holds every qualifying token and the exact
+      // verify makes the output literally the full-groupBy answer — the
+      // two-scan shape that works when the distinct-gram domain is
+      // billions and a global groupBy would be the bottleneck.
+      import graft.functions.SketchAggregates
+      val toks = TP(s, d, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val sketch = toks
+        .agg(SketchAggregates.misraGries(col("tok"), 256).as("mg"),
+          count(lit(1)).as("total"))
+        .localCheckpoint(eager = false) // feeds candidates + total
+      val cands = sketch.select(explode(map_keys(col("mg"))).as("tok"))
+      toks.join(broadcast(cands), Seq("tok"), "left_semi")
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(sketch.select(col("total")))) // 1-row scalar attach
+        .filter(col("n") * 200 > col("total"))
+        .select(col("tok"), col("n"))
+        .orderBy("tok")
+    }),
+    "vec_centroid_affinity" -> ((s, d) => {
+      // label-centroid affinity matrix, EXACT until two final double ops:
+      // per-(label,pos) component sums in DECIMAL(18,9) (order-independent
+      // across the shuffle), dot/norms as exact decimal sums of products
+      // (a float dot-product fold is NOT replay-stable cross-engine —
+      // measured 8e-16 drift vs DuckDB), and since cosine is scale-
+      // invariant and dot-of-means = dotsum/(na·nb), the mean division
+      // never happens in FP. The corpus is touched ONCE (posexplode →
+      // partial agg); everything after is label×dim-sized.
+      val moments = TP(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(sum(col("x").cast("double").cast("decimal(18,9)"))
+               .cast("decimal(18,9)").as("sx"),
+             count(lit(1)).as("nv"))
+        .localCheckpoint(eager = false) // feeds norms + both pair sides
+      val norms = moments.groupBy("label")
+        .agg(sum(col("sx") * col("sx")).cast("decimal(38,18)").cast("string")
+               .cast("double").as("norm2"),
+             max(col("nv")).as("nv"))
+      val pairs = moments.as("a")
+        .join(broadcast(moments.as("b")),
+          col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+        .agg(sum(col("a.sx") * col("b.sx")).cast("decimal(38,18)").cast("string")
+               .cast("double").as("dotsum"))
+      pairs
+        .join(broadcast(norms.select(col("label").as("label_a"),
+          col("norm2").as("na2"), col("nv").as("na"))), Seq("label_a"))
+        .join(broadcast(norms.select(col("label").as("label_b"),
+          col("norm2").as("nb2"), col("nv").as("nb"))), Seq("label_b"))
+        .select(col("label_a"), col("label_b"),
+          (col("dotsum") / (col("na") * col("nb")).cast("double")).as("dot"),
+          (col("dotsum") / (sqrt(col("na2")) * sqrt(col("nb2")))).as("cosine"))
+        .orderBy("label_a", "label_b")
+    }),
+    "events_ohlc" -> ((s, d) => {
+      // OHLC bar downsampling (time-series render reduction): per
+      // (event_type, hour) opening/closing/extreme values — open/close
+      // picked by min_by/max_by on the (ts_us, event_id) struct so
+      // timestamp ties resolve deterministically. ONE partial-agged
+      // shuffle; the output is bar-count-sized, never point-sized.
+      EV(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 3600000000").as("hour"))
+        .agg(count(lit(1)).as("n"),
+          min_by(col("value"), struct(col("ts_us"), col("event_id"))).as("open"),
+          max_by(col("value"), struct(col("ts_us"), col("event_id"))).as("close"),
+          max(col("value")).as("high"), min(col("value")).as("low"))
+        .orderBy("event_type", "hour")
     })
   )
 

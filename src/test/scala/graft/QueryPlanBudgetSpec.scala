@@ -80,6 +80,12 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // the checkpointed docs/bucket frames
     "q41_hotkey_join" -> 5,   // hot-key count agg + cold-path SMJ (2 sorts) + final agg +
                               // ORDER BY; hot path is all BroadcastHashJoin (not counted)
+    "text_heavy_tokens" -> 3, // TP + exact-count agg + ORDER BY; the MG sketch pass and its
+                              // 1-row merge hang off the checkpointed sketch frame, and the
+                              // candidate filter rides BroadcastExchange (not counted)
+    "vec_centroid_affinity" -> 4, // TP + (label,pos) moment agg; norm/pair aggs + final ORDER BY
+                              // hang off the checkpointed label×dim moments frame
+    "events_ohlc" -> 2,       // (type,hour) partial-agged shuffle + ORDER BY
     "q40_rfm" -> 4,           // custkey agg + 1-row max agg + shared single-partition window
                               // exchange (3 ntile sorts) + ORDER BY; max rides broadcast
     "events_trend" -> 3,      // (user,day) agg + user moment agg + ORDER BY — both aggs

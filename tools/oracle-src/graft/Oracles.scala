@@ -1681,7 +1681,37 @@ object Oracles {
       "q41_hotkey_join" ->
         s"""SELECT o_orderpriority, COUNT(*) AS n, $revenue AS revenue
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "text_heavy_tokens" ->
+        s"""WITH t AS (SELECT unnest($toks) AS tok FROM documents),
+           |c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok),
+           |s AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+           |SELECT tok, n FROM c, s WHERE n * 200 > total ORDER BY tok""".stripMargin,
+      "vec_centroid_affinity" ->
+        """WITH pe AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+          |  unnest(embedding) AS x FROM embeddings),
+          |m AS (SELECT label, pos,
+          |  CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS sx,
+          |  COUNT(*) AS nv
+          |  FROM pe GROUP BY label, pos),
+          |n AS (SELECT label,
+          |  CAST(CAST(CAST(SUM(sx * sx) AS DECIMAL(38,18)) AS VARCHAR) AS DOUBLE) AS norm2,
+          |  MAX(nv) AS nv FROM m GROUP BY label),
+          |p AS (SELECT a.label AS label_a, b.label AS label_b,
+          |  CAST(CAST(CAST(SUM(a.sx * b.sx) AS DECIMAL(38,18)) AS VARCHAR) AS DOUBLE) AS dotsum
+          |  FROM m a JOIN m b ON a.pos = b.pos AND a.label < b.label GROUP BY 1, 2)
+          |SELECT label_a, label_b,
+          | dotsum / CAST(na.nv * nb.nv AS DOUBLE) AS dot,
+          | dotsum / (sqrt(na.norm2) * sqrt(nb.norm2)) AS cosine
+          |FROM p JOIN n na ON na.label = label_a JOIN n nb ON nb.label = label_b
+          |ORDER BY label_a, label_b""".stripMargin,
+      "events_ohlc" ->
+        """SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour,
+          | COUNT(*) AS n,
+          | first(value ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS open,
+          | last(value ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS close,
+          | MAX(value) AS high, MIN(value) AS low
+          |FROM events GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
