@@ -272,6 +272,37 @@ object ScaleProbe {
         // membership rides a broadcast — cost tracks the token scan
         CorpusOps.oovRate(synthDocs(rows), "id", "text", topV = 1000).count()
       },
+      "prefix_filter" -> { rows =>
+        // AllPairs prefix-filter join on a corpus with BOUNDED duplicate
+        // classes (adjacent ids share a seed ⇒ linear true-pair count,
+        // vocabulary ∝ rows ⇒ bounded shingle df): per-row cost must
+        // track the df agg + prefix re-collect, never a pair blow-up
+        def textOf(seed: Column) = concat_ws(" ",
+          (0 until 16).map(j => concat(lit("w"), pmod(seed * (j + 5) + j, lit(rows)))): _*)
+        val docs = synth(rows).select(col("id"),
+          concat_ws(" ", textOf(expr("id div 2")),
+            when(pmod(col("id"), lit(2)) === 0, lit("even")).otherwise(lit("odd"))).as("text"))
+        graft.operators.DedupOps.prefixFilterJaccardPairs(docs, "text", "id",
+          threshold = 0.8, shingleSize = 3).count()
+      },
+      "triangle_census" -> { rows =>
+        // bounded-degree triangle chain (edges i→i+1, i→i+2 ⇒ ~rows
+        // triangles, max degree 4): cost must track the edge scan +
+        // wedge join, with no hot-vertex fanout by construction
+        val e1 = synth(rows).select(col("id").as("x"), (col("id") + 1L).as("y"))
+        val e2 = synth(rows).select(col("id").as("x"), (col("id") + 2L).as("y"))
+        graft.operators.GraphOps.triangleStats(e1.unionAll(e2), "x", "y")
+          .head().getAs[Long]("n_triangles")
+      },
+      "misra_gries" -> { rows =>
+        // zipf-ish key stream (key j freq ∝ 1/j) through the k=256 MG
+        // sketch: map-side fold + 1-row merge — per-row cost must be flat
+        // (the sketch never shuffles the key domain)
+        synth(rows)
+          .select(concat(lit("k"), expr(s"$rows div (pmod(id, $rows) + 1)")).as("tok"))
+          .agg(graft.functions.SketchAggregates.misraGries(col("tok"), 256).as("mg"))
+          .select(size(map_keys(col("mg"))).cast("long").as("n")).head().getAs[Long]("n")
+      },
       "ngram_novelty" -> { rows =>
         // min-owner window on the shingle hash: the one shuffle is the
         // shingle repartition; no gram×gram join may appear

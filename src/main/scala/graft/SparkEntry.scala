@@ -2600,6 +2600,46 @@ object SparkEntry {
           max_by(col("value"), struct(col("ts_us"), col("event_id"))).as("close"),
           max(col("value")).as("high"), min(col("value")).as("low"))
         .orderBy("event_type", "hour")
+    }),
+    "data_dense_ids" -> ((s, d) => {
+      // global contiguous row numbering WITHOUT the classic scale trap (a
+      // single-partition row_number over the corpus): two-level banding on
+      // (n_chars, doc_id div 1024) caps every within-band window at 1024
+      // rows regardless of corpus size or n_chars skew; band offsets are a
+      // running sum over the band-COUNT-sized frame (1024× smaller than
+      // the corpus — at exabyte scale you'd recurse the banding once
+      // more) broadcast back onto the rows. Total order (n_chars, doc_id)
+      // is preserved exactly: band sort + in-band rank = global rank.
+      import org.apache.spark.sql.expressions.Window
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), expr("doc_id div 1024").as("sub"))
+      val offsets = docs.groupBy("n_chars", "sub").agg(count(lit(1)).as("bn"))
+        .withColumn("offset", coalesce(
+          sum("bn").over(Window.orderBy("n_chars", "sub")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val wBand = Window.partitionBy("n_chars", "sub").orderBy("doc_id")
+      docs.join(broadcast(offsets.select("n_chars", "sub", "offset")), Seq("n_chars", "sub"))
+        .select(col("doc_id"), col("n_chars"),
+          (col("offset") + row_number().over(wBand)).as("dense_id"))
+        .orderBy("dense_id")
+    }),
+    "events_attribution" -> ((s, d) => {
+      // first-/last-touch attribution: for every purchase, the first and
+      // most recent preceding non-purchase touchpoint of that user plus
+      // the touch count — ONE user-keyed sort serves all three windows
+      // (identical partitioning+ordering ⇒ one Exchange, one Sort).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      EV(s, d)
+        .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+        .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+        .withColumn("n_touches", count(touch).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("first_touch"), col("last_touch"), col("n_touches"))
+        .orderBy("event_id")
     })
   )
 

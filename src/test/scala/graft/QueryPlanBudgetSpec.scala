@@ -80,6 +80,9 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // the checkpointed docs/bucket frames
     "q41_hotkey_join" -> 5,   // hot-key count agg + cold-path SMJ (2 sorts) + final agg +
                               // ORDER BY; hot path is all BroadcastHashJoin (not counted)
+    "data_dense_ids" -> 4,    // band-count agg + band-sized offset window + in-band window
+                              // (1024-row cap) + ORDER BY; offsets ride BroadcastExchange
+    "events_attribution" -> 2, // ONE user-keyed sort serves all three windows + ORDER BY
     "text_heavy_tokens" -> 3, // TP + exact-count agg + ORDER BY; the MG sketch pass and its
                               // 1-row merge hang off the checkpointed sketch frame, and the
                               // candidate filter rides BroadcastExchange (not counted)

@@ -1711,7 +1711,25 @@ object Oracles {
           | first(value ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS open,
           | last(value ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS close,
           | MAX(value) AS high, MIN(value) AS low
-          |FROM events GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin
+          |FROM events GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin,
+      "data_dense_ids" ->
+        """SELECT doc_id, n_chars,
+          | CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS dense_id
+          |FROM documents ORDER BY dense_id""".stripMargin,
+      "events_attribution" ->
+        """WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+          |  event_type, CASE WHEN event_type <> 'purchase' THEN event_type END AS touch
+          |  FROM events),
+          |w AS (SELECT event_id, user_id, ts_us, event_type,
+          |  last_value(touch IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch,
+          |  first_value(touch IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+          |  COUNT(touch) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_touches
+          |  FROM e)
+          |SELECT event_id, user_id, ts_us, first_touch, last_touch, n_touches
+          |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
