@@ -2640,6 +2640,50 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts_us"),
           col("first_touch"), col("last_touch"), col("n_touches"))
         .orderBy("event_id")
+    }),
+    "data_fk_audit" -> ((s, d) => {
+      // referential-integrity audit over the full FK graph: each fact
+      // side collapses to DISTINCT keys BEFORE the parent join (the
+      // shuffle carries the key domain, never the fact rows), parents
+      // are pk-projected and AQE-broadcast — 7 edges, 7 1-row reports
+      AuditOps.fkAudit(AuditOps.tpchFkEdges(s, d))
+    }),
+    "quality_model_auc" -> ((s, d) => {
+      // exact ROC-AUC of the hashed linear quality model at predicting
+      // English, per source: Mann-Whitney pair identity on the integer
+      // milli-score DISTRIBUTION — no global rank sort ever happens
+      // (StatsOps.aucExact); one doc_id-keyed join carries the labels
+      val docs = TP(s, d, "documents")
+      val scored = CorpusOps.linearModelScore(docs, "doc_id", "text", dim = 64)
+      val labeled = docs
+        .select(col("doc_id"), col("source"), (col("lang") === "en").as("is_en"))
+        .join(scored.select("doc_id", "score_milli"), Seq("doc_id"))
+      StatsOps.aucExact(labeled, "source", "score_milli", "is_en")
+    }),
+    "data_ks_drift" -> ((s, d) => {
+      // exact per-source Kolmogorov-Smirnov distance of the doc-length
+      // distribution vs the whole corpus — integer CDF cross-products
+      // on the (source × length-domain) grid, one row shuffle total
+      DriftOps.ksDistance(
+        T(s, d, "documents").select("source", "n_chars"), "source", "n_chars")
+    }),
+    "q42_moments" -> ((s, d) => {
+      // distribution-shape report: skewness + excess kurtosis per order
+      // status from integer-cent power sums — one hash aggregate with
+      // map-side partials, closed-form doubles (StatsOps.momentsReport)
+      StatsOps.momentsReport(T(s, d, "orders"), "o_orderstatus", "o_totalprice")
+    }),
+    "q43_percentrank" -> ((s, d) => {
+      // rank-distribution window family: percent_rank + cume_dist of
+      // supplier balance WITHIN nation (nation-bounded frames, no
+      // global sort); both are exact integer-ratio doubles
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("s_nationkey").orderBy("s_acctbal")
+      T(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .orderBy("s_suppkey")
     })
   )
 

@@ -153,4 +153,53 @@ object DriftOps {
       .select("slice_a", "slice_b", "est_jaccard", "exact_jaccard", "ok")
       .orderBy("slice_a", "slice_b")
   }
+
+  /** EXACT two-sample Kolmogorov-Smirnov distance of each slice's
+    * `valCol` distribution against the whole corpus, in pure integer
+    * arithmetic: at every jump point t of the pooled empirical CDFs,
+    *
+    *   |F_slice(t) − F_all(t)| = |cum_s(t)·n_all − cum_all(t)·n_s| / (n_s·n_all)
+    *
+    * so the max runs over DECIMAL(38,0) cross-products (BIGINT overflows
+    * at ~10^10 rows) with ONE double division at the end. Scale shape:
+    * one shuffle collapses rows to (slice, value) counts; everything
+    * after runs on the VALUE-DOMAIN-sized grid (distinct `valCol` values
+    * — use a discretized/bucketed column for continuous data), window
+    * frames are per-slice over that grid, and the slice×grid expansion
+    * is a broadcast of the grid aggregate — never of rows. */
+  def ksDistance(df: DataFrame, sliceCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val counts = df
+      .groupBy(col(sliceCol).as("slice"), col(valCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // grid + per-slice counts + totals all read it
+    val grid = counts.groupBy("v").agg(sum("c").as("cg"))
+      .withColumn("cum_all",
+        sum("cg").over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val nAll = grid.agg(sum("cg").cast("bigint").as("n_all"))
+    val slices = counts.groupBy("slice").agg(sum("c").cast("bigint").as("n_s"))
+    val wS = Window.partitionBy("slice").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sliceCounts = counts
+      .select(col("slice").as("slice2"), col("v").as("v2"), col("c"))
+    slices
+      // bounded expansion: n_slices × value-domain grid, both aggregates
+      .crossJoin(broadcast(grid.select("v", "cum_all")))
+      .join(sliceCounts,
+        col("slice") === col("slice2") && col("v") === col("v2"), "left_outer")
+      .drop("slice2", "v2")
+      .withColumn("cum_s", coalesce(sum(coalesce(col("c"), lit(0L))).over(wS), lit(0L)))
+      .crossJoin(broadcast(nAll)) // 1-row scalar attach
+      .withColumn("diff",
+        abs(col("cum_s").cast(d38) * col("n_all").cast(d38) -
+          col("cum_all").cast(d38) * col("n_s").cast(d38)).cast(d38))
+      .groupBy("slice")
+      .agg(first("n_s").as("n"), first("n_all").as("n_all"), max("diff").as("ks_num"))
+      .select(col("slice"), col("n"),
+        (col("ks_num").cast("double") /
+          (col("n").cast(d38) * col("n_all").cast(d38)).cast("double")).as("ks"))
+      .orderBy("slice")
+  }
 }

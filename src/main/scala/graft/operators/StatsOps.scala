@@ -267,4 +267,84 @@ object StatsOps {
       .groupBy(keyCol)
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false))).as("est"))
   }
+
+  /** Exact ROC-AUC per group, computed WITHOUT the textbook global
+    * rank sort (a single-partition window over every scored row — the
+    * classic scale trap). Uses the Mann-Whitney pair identity on the
+    * SCORE DISTRIBUTION instead:
+    *
+    *   AUC = [Σ_s pos(s)·negBelow(s) + ½·Σ_s pos(s)·neg(s)] / (P·N)
+    *
+    * One shuffle aggregates rows to (group, score) counts; the
+    * cumulative pass runs over the distinct-score domain (integer
+    * milli-scores → thousands of rows per group, independent of corpus
+    * size). All counting in DECIMAL(38,0) — P·N overflows BIGINT at
+    * ~10^10 rows — with ONE double division at the end, so the value is
+    * replay-stable and cross-engine exact (ties handled by the ½ term,
+    * identical to averaged ranks).
+    */
+  def aucExact(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      labelCol: String // boolean: true = positive
+  ): DataFrame = {
+    val counts = df
+      .groupBy(col(groupCol), col(scoreCol).as("s"))
+      .agg(
+        count(when(col(labelCol), 1)).as("p"),
+        count(when(!col(labelCol), 1)).as("q"))
+    val w = Window.partitionBy(groupCol).orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val d38 = "decimal(38,0)"
+    counts
+      .withColumn("q_below", coalesce(sum("q").over(w), lit(0L)))
+      .groupBy(groupCol)
+      .agg(
+        sum("p").cast("bigint").as("n_pos"),
+        sum("q").cast("bigint").as("n_neg"),
+        sum((col("p").cast(d38) * lit(2) * col("q_below").cast(d38) +
+          col("p").cast(d38) * col("q").cast(d38)).cast(d38)).cast(d38).as("num2"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        (col("num2").cast("double") /
+          (col("n_pos").cast(d38) * lit(2) * col("n_neg").cast(d38)).cast("double"))
+          .as("auc"))
+      .orderBy(groupCol)
+  }
+
+  /** Per-group skewness and excess kurtosis from integer-exact power
+    * sums: the value is scaled to integer cents, Σc, Σc², Σc³, Σc⁴
+    * accumulate in DECIMAL(38,0) (order-independent, so the shuffle
+    * merge order can't flip bits), and the standardized moments are a
+    * FIXED closed-form double expression on those exact sums — skew and
+    * kurtosis are scale-invariant, so the cents scaling cancels and no
+    * double rescale is ever applied. Cross-engine exact: the DuckDB twin
+    * mirrors the expression token for token (HUGEINT sums there).
+    * Single hash aggregate with map-side partials; no window, no sort.
+    */
+  def momentsReport(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cents = (col(valCol).cast("decimal(18,2)") * 100).cast(d38)
+    val moments = df
+      .withColumn("c", cents)
+      .groupBy(groupCol)
+      .agg(
+        count(col("c")).as("n"),
+        sum(col("c")).cast(d38).cast("double").as("s1"),
+        sum((col("c") * col("c")).cast(d38)).cast(d38).cast("double").as("s2"),
+        sum((col("c") * col("c") * col("c")).cast(d38)).cast(d38).cast("double").as("s3"),
+        sum((col("c") * col("c") * col("c") * col("c")).cast(d38)).cast(d38).cast("double").as("s4"))
+    // fixed IEEE op order, mirrored verbatim by the oracle
+    moments.selectExpr(
+      groupCol, "n",
+      "s1 / n AS mean_cents",
+      "s2 / n - (s1 / n) * (s1 / n) AS m2",
+      "s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3",
+      "s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n) - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4")
+      .selectExpr(
+        groupCol, "n",
+        "m3 / (m2 * sqrt(m2)) AS skewness",
+        "m4 / (m2 * m2) - 3.0 AS kurtosis_excess")
+      .orderBy(groupCol)
+  }
 }

@@ -95,9 +95,18 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // partial-agged so each shuffle moves combined rows
     "data_kanonymity" -> 2,   // QI-tuple agg + ORDER BY; class count bounded by QI domain
     "text_fertility" -> 3,    // TP + lang agg + ORDER BY — token counting is map-side
-    "vec_kmeans_step" -> 4    // TP ×2 (corpus + centroid subtree) + 1-row collect agg +
+    "vec_kmeans_step" -> 4,   // TP ×2 (corpus + centroid subtree) + 1-row collect agg +
                               // k-row update agg; assignment rides BroadcastExchange (not counted),
                               // init top-k is TakeOrdered, final ORDER BY reuses the agg exchange
+    "data_fk_audit" -> 3,     // ONE join for all 7 FK edges: stacked (edge,key) agg + parent
+                              // union shuffle + ORDER BY — fact tables scanned once, edges in-row
+    "quality_model_auc" -> 8, // TP×2 (docs reread for labels) + score chain (token/bucket/doc
+                              // aggs) + label join + (source,score) agg + ORDER BY; the
+                              // per-source cumulative runs on the score-domain frame
+    "data_ks_drift" -> 6,     // (slice,v) agg + grid agg + slice totals + grid×slice join +
+                              // per-slice cum window + ORDER BY — all value-domain sized
+    "q42_moments" -> 2,       // one hash agg with map-side partials + ORDER BY
+    "q43_percentrank" -> 2    // nation-keyed window sort + ORDER BY
   )
 
   test("headline queries match their pinned shuffle counts") {

@@ -1729,7 +1729,98 @@ object Oracles {
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_touches
           |  FROM e)
           |SELECT event_id, user_id, ts_us, first_touch, last_touch, n_touches
-          |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+          |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+      "data_fk_audit" -> {
+        def edge(child: String, fk: String, parent: String, pk: String) =
+          s"""SELECT '$child.$fk->$parent.$pk' AS fk,
+             | (SELECT CAST(COUNT(*) AS BIGINT) FROM $child WHERE $fk IS NOT NULL) AS n_rows,
+             | (SELECT CAST(COUNT(*) AS BIGINT) FROM $child c
+             |    LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p ON c.$fk = p.$pk
+             |  WHERE c.$fk IS NOT NULL AND p.$pk IS NULL) AS n_orphans""".stripMargin
+        Seq(
+          edge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+          edge("lineitem", "l_partkey", "part", "p_partkey"),
+          edge("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          edge("orders", "o_custkey", "customer", "c_custkey"),
+          edge("customer", "c_nationkey", "nation", "n_nationkey"),
+          edge("supplier", "s_nationkey", "nation", "n_nationkey"),
+          edge("nation", "n_regionkey", "region", "r_regionkey"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+      },
+      "quality_model_auc" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+           |f AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           |      WHERE token <> '' AND NOT list_contains($stopAll, token)
+           |      GROUP BY doc_id, token),
+           |b AS (SELECT doc_id,
+           |      CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 64 AS INT) AS bucket, tf
+           |      FROM f),
+           |fb AS (SELECT doc_id, bucket, CAST(SUM(tf) AS BIGINT) AS tf FROM b GROUP BY doc_id, bucket),
+           |w AS (SELECT doc_id, tf,
+           |      CAST(('0x' || substr(md5('w:' || bucket::VARCHAR), 1, 8)) AS BIGINT) % 2001 - 1000 AS w
+           |      FROM fb),
+           |sc AS (SELECT doc_id, CAST(SUM(tf * w) AS BIGINT) AS s FROM w GROUP BY doc_id),
+           |lab AS (SELECT d.source, sc.s, (d.lang = 'en') AS pos
+           |        FROM documents d JOIN sc ON d.doc_id = sc.doc_id),
+           |cnt AS (SELECT source, s, COUNT(*) FILTER (pos) AS p, COUNT(*) FILTER (NOT pos) AS q
+           |        FROM lab GROUP BY source, s),
+           |cum AS (SELECT source, p, q,
+           |        COALESCE(SUM(q) OVER (PARTITION BY source ORDER BY s
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS q_below
+           |        FROM cnt),
+           |agg AS (SELECT source, CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(q) AS BIGINT) AS n_neg,
+           |        SUM(CAST(p AS HUGEINT) * 2 * CAST(q_below AS HUGEINT)
+           |            + CAST(p AS HUGEINT) * CAST(q AS HUGEINT)) AS num2
+           |        FROM cum GROUP BY source)
+           |SELECT source, n_pos, n_neg,
+           | CAST(CAST(num2 AS VARCHAR) AS DOUBLE)
+           |  / CAST(CAST(CAST(n_pos AS HUGEINT) * 2 * CAST(n_neg AS HUGEINT) AS VARCHAR) AS DOUBLE) AS auc
+           |FROM agg ORDER BY source""".stripMargin,
+      "data_ks_drift" ->
+        """WITH cnt AS (SELECT source AS slice, n_chars AS v, COUNT(*) AS c
+          |             FROM documents GROUP BY 1, 2),
+          |grid AS (SELECT v, SUM(SUM(c)) OVER (ORDER BY v
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+          |         FROM cnt GROUP BY v),
+          |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM cnt),
+          |sl AS (SELECT slice, CAST(SUM(c) AS BIGINT) AS n_s FROM cnt GROUP BY slice),
+          |ex AS (SELECT sl.slice, sl.n_s, grid.v, grid.cum_all,
+          |         COALESCE(SUM(COALESCE(cnt.c, 0)) OVER (PARTITION BY sl.slice ORDER BY grid.v
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cum_s
+          |       FROM sl CROSS JOIN grid
+          |       LEFT JOIN cnt ON cnt.slice = sl.slice AND cnt.v = grid.v),
+          |d AS (SELECT slice, n_s,
+          |        abs(CAST(cum_s AS HUGEINT) * (SELECT n_all FROM tot)
+          |            - CAST(cum_all AS HUGEINT) * n_s) AS diff
+          |      FROM ex)
+          |SELECT slice, n_s AS n,
+          | CAST(CAST(MAX(diff) AS VARCHAR) AS DOUBLE)
+          |  / CAST(CAST(CAST(n_s AS HUGEINT) * (SELECT n_all FROM tot) AS VARCHAR) AS DOUBLE) AS ks
+          |FROM d GROUP BY slice, n_s ORDER BY slice""".stripMargin,
+      "q42_moments" ->
+        """WITH c AS (SELECT o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS c
+          |           FROM orders),
+          |mo AS (SELECT o_orderstatus, COUNT(c) AS n,
+          |       CAST(CAST(SUM(c) AS VARCHAR) AS DOUBLE) AS s1,
+          |       CAST(CAST(SUM(c*c) AS VARCHAR) AS DOUBLE) AS s2,
+          |       CAST(CAST(SUM(c*c*c) AS VARCHAR) AS DOUBLE) AS s3,
+          |       CAST(CAST(SUM(c*c*c*c) AS VARCHAR) AS DOUBLE) AS s4
+          |       FROM c GROUP BY o_orderstatus),
+          |mm AS (SELECT o_orderstatus, n,
+          |       s2 / n - (s1 / n) * (s1 / n) AS m2,
+          |       s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+          |       s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n) - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+          |       FROM mo)
+          |SELECT o_orderstatus, n,
+          | m3 / (m2 * sqrt(m2)) AS skewness,
+          | m4 / (m2 * m2) - 3.0 AS kurtosis_excess
+          |FROM mm ORDER BY o_orderstatus""".stripMargin,
+      "q43_percentrank" ->
+        """SELECT s_suppkey, s_nationkey, s_acctbal,
+          | percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+          |FROM supplier
+          |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal)
+          |ORDER BY s_suppkey""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
