@@ -2673,6 +2673,67 @@ object SparkEntry {
       // map-side partials, closed-form doubles (StatsOps.momentsReport)
       StatsOps.momentsReport(T(s, d, "orders"), "o_orderstatus", "o_totalprice")
     }),
+    "events_quantile_sketch" -> ((s, d) => {
+      // mergeable quantile sketches WITHOUT randomness: per-day q-digest
+      // rows (deterministic, ≤3k nodes) union into corpus p50/p90/p99
+      // whose rank error is provably ≤ W·n/k UNDER ANY MERGE TREE — the
+      // sketch-table shape of events_sketch_union, for quantiles. The
+      // checked contract: count(≤ est) ≥ qn − εn and count(< est) ≤
+      // qn + εn with ε = W/k ≈ 3.9%, verified against the raw data.
+      import graft.functions.QuantileSketch._
+      val W = 20; val K = 512
+      val ev = EV(s, d).select(
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        expr("ts_us div 86400000000").as("day"))
+      val daily = ev.groupBy("day").agg(qdigest(col("cents"), W, K).as("sk"))
+      val est = daily.agg(qdigestMerge(col("sk"), W, K).as("sk"))
+        .select(
+          qdigestQuantile(col("sk"), 0.5, W).as("e50"),
+          qdigestQuantile(col("sk"), 0.9, W).as("e90"),
+          qdigestQuantile(col("sk"), 0.99, W).as("e99"))
+      val eps = lit(W.toDouble / K) * col("n")
+      def okCols(q: Double, e: String) =
+        (col(s"le_$e") >= lit(q) * col("n") - eps) &&
+          (col(s"lt_$e") <= lit(q) * col("n") + eps)
+      ev.crossJoin(broadcast(est)) // 1-row estimate attach
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("cents") <= col("e50"), 1L).otherwise(0L)).as("le_e50"),
+          sum(when(col("cents") < col("e50"), 1L).otherwise(0L)).as("lt_e50"),
+          sum(when(col("cents") <= col("e90"), 1L).otherwise(0L)).as("le_e90"),
+          sum(when(col("cents") < col("e90"), 1L).otherwise(0L)).as("lt_e90"),
+          sum(when(col("cents") <= col("e99"), 1L).otherwise(0L)).as("le_e99"),
+          sum(when(col("cents") < col("e99"), 1L).otherwise(0L)).as("lt_e99"))
+        .select(col("n"),
+          okCols(0.5, "e50").as("p50_ok"),
+          okCols(0.9, "e90").as("p90_ok"),
+          okCols(0.99, "e99").as("p99_ok"))
+    }),
+    "events_cms_check" -> ((s, d) => {
+      // count-min frequency index: per-day CMS rows (4×2048 counters)
+      // merge element-wise into corpus key frequencies — kilobytes of
+      // state answer "how often does key X appear" with the
+      // DETERMINISTIC one-sided guarantee est ≥ true (collisions only
+      // add); probed here for the 10 heaviest users against exact
+      // counts, upper slack 3n/w
+      import graft.functions.CountMinSketch._
+      val D = 4; val Wd = 2048
+      val ev = EV(s, d).select(col("user_id"),
+        expr("ts_us div 86400000000").as("day"))
+      val daily = ev.groupBy("day").agg(
+        cms(col("user_id"), D, Wd).as("sk"), count(col("user_id")).as("nd"))
+      val merged = daily.agg(
+        cmsMerge(col("sk"), D, Wd).as("sk"), sum("nd").as("n"))
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("user_id")).limit(10)
+      top.crossJoin(broadcast(merged)) // 1-row sketch attach
+        .withColumn("est", cmsEstimate(col("sk"), col("user_id"), D, Wd))
+        .agg(
+          count(lit(1)).cast("bigint").as("n_probes"),
+          first(col("n")).cast("bigint").as("n"),
+          bool_and(col("est") >= col("c")).as("lower_ok"),
+          bool_and(col("est") <= col("c") + lit(3.0) * col("n") / lit(Wd)).as("upper_ok"))
+    }),
     "q43_percentrank" -> ((s, d) => {
       // rank-distribution window family: percent_rank + cume_dist of
       // supplier balance WITHIN nation (nation-bounded frames, no

@@ -106,7 +106,11 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "data_ks_drift" -> 6,     // (slice,v) agg + grid agg + slice totals + grid×slice join +
                               // per-slice cum window + ORDER BY — all value-domain sized
     "q42_moments" -> 2,       // one hash agg with map-side partials + ORDER BY
-    "q43_percentrank" -> 2    // nation-keyed window sort + ORDER BY
+    "q43_percentrank" -> 2,   // nation-keyed window sort + ORDER BY
+    "events_quantile_sketch" -> 3, // day-sketch agg + 1-row merge + rank-check agg;
+                              // the 1-row estimate rides a broadcast NLJ (not counted)
+    "events_cms_check" -> 3   // day-sketch agg + 1-row merge + exact top-10 agg
+                              // (TakeOrdered); the sketch rides broadcast
   )
 
   test("headline queries match their pinned shuffle counts") {

@@ -1815,6 +1815,13 @@ object Oracles {
           | m3 / (m2 * sqrt(m2)) AS skewness,
           | m4 / (m2 * m2) - 3.0 AS kurtosis_excess
           |FROM mm ORDER BY o_orderstatus""".stripMargin,
+      "events_quantile_sketch" ->
+        """SELECT (SELECT COUNT(*) FROM events) AS n,
+          | true AS p50_ok, true AS p90_ok, true AS p99_ok""".stripMargin,
+      "events_cms_check" ->
+        """SELECT CAST(10 AS BIGINT) AS n_probes,
+          | (SELECT COUNT(user_id) FROM events) AS n,
+          | true AS lower_ok, true AS upper_ok""".stripMargin,
       "q43_percentrank" ->
         """SELECT s_suppkey, s_nationkey, s_acctbal,
           | percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
