@@ -2734,6 +2734,55 @@ object SparkEntry {
           bool_and(col("est") >= col("c")).as("lower_ok"),
           bool_and(col("est") <= col("c") + lit(3.0) * col("n") / lit(Wd)).as("upper_ok"))
     }),
+    "q44_joinsize" -> ((s, d) => {
+      // planner statistics from sketches: |lineitem ⋈ orders| estimated
+      // as the CMS inner product of two per-table sketch rows (min over
+      // rows of the counter dot product — NEVER an underestimate,
+      // overshoot ≤ n_l·n_o/w per row). The exact count cross-checks it
+      // via domain-sized key-count frames (never the join itself): Σ
+      // c_l(k)·c_o(k). At 100 TB the estimate path reads two kilobyte
+      // sketch rows; no join, no scan.
+      import graft.functions.CountMinSketch._
+      val D = 4; val Wd = 32768
+      val li = T(s, d, "lineitem").select(col("l_orderkey").as("k"))
+      val ord = T(s, d, "orders").select(col("o_orderkey").as("k"))
+      val skL = li.agg(cms(col("k"), D, Wd).as("sk_l"))
+      val skO = ord.agg(cms(col("k"), D, Wd).as("sk_o"))
+      val est = skL.crossJoin(broadcast(skO)) // 1-row × 1-row
+        .select(cmsInnerProduct(col("sk_l"), col("sk_o"), D, Wd).as("est"))
+      val stats = li.groupBy("k").agg(count(lit(1)).as("cl"))
+        .join(ord.groupBy("k").agg(count(lit(1)).as("co")), Seq("k"), "full_outer")
+        .agg(
+          sum(coalesce(col("cl"), lit(0L)) * coalesce(col("co"), lit(0L)))
+            .cast("bigint").as("exact"),
+          sum(coalesce(col("cl"), lit(0L))).cast("double").as("nl"),
+          sum(coalesce(col("co"), lit(0L))).cast("double").as("no"))
+      est.crossJoin(broadcast(stats))
+        .select(col("exact"),
+          (col("est") >= col("exact")).as("lower_ok"),
+          (col("est") <= col("exact") + lit(3.0) * col("nl") * col("no") / lit(Wd))
+            .as("upper_ok"))
+    }),
+    "events_autocorr" -> ((s, d) => {
+      // lag-1 autocorrelation of daily revenue per event type: daily
+      // totals are decimal-exact (order-independent), consecutive days
+      // pair by a day+1 equi-join over the DAY-COUNT-sized aggregate,
+      // and the correlation is the exactStats closed-form double — the
+      // raw events shuffle once (into daily totals), everything after
+      // is calendar-sized
+      val daily = EV(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
+          .cast("double").as("tot"))
+        .localCheckpoint(eager = false) // both pair sides read it
+      val nxt = daily.select(col("event_type").as("et2"),
+        (col("day") - 1).as("day2"), col("tot").as("tot_next"))
+      val pairs = daily.join(nxt,
+        col("event_type") === col("et2") && col("day") === col("day2"))
+      StatsOps.exactStats(pairs, Seq("event_type"), col("tot"), col("tot_next"))
+        .select(col("event_type"), col("n"), col("corr_xy").as("acf1"))
+        .orderBy("event_type")
+    }),
     "q43_percentrank" -> ((s, d) => {
       // rank-distribution window family: percent_rank + cume_dist of
       // supplier balance WITHIN nation (nation-bounded frames, no

@@ -166,6 +166,37 @@ case class CmsEstimate(left: Expression, right: Expression, d: Int, w: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** `cms_inner_product(sketchA, sketchB)` → BIGINT estimate of the
+  * equi-join cardinality |A ⋈ B| = Σ_key freqA(key)·freqB(key), taken
+  * as min over rows of the per-row counter dot product (Cormode &
+  * Muthukrishnan §4.2). NEVER an underestimate (collisions only add
+  * cross terms); expected overshoot ≤ n_A·n_B/w per row. This is the
+  * planner-statistics primitive: join sizes for any pair of 100 TB
+  * tables from kilobyte sketch rows, no scan of either side. */
+case class CmsInnerProduct(left: Expression, right: Expression, d: Int, w: Int)
+  extends BinaryExpression with BinaryLike[Expression] with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cms_inner_product"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toLongArray()
+    val y = b.asInstanceOf[ArrayData].toLongArray()
+    require(x.length == d * w && y.length == d * w, "sketch shape mismatch")
+    var min = Long.MaxValue
+    var r = 0
+    while (r < d) {
+      var dot = 0L
+      var c = 0
+      while (c < w) { dot += x(r * w + c) * y(r * w + c); c += 1 }
+      if (dot < min) min = dot
+      r += 1
+    }
+    min
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsInnerProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 object CountMinSketch {
   def cms(c: Column, d: Int, w: Int): Column =
     GraftColumns.column(Cms(GraftColumns.expression(c), d, w).toAggregateExpression())
@@ -174,4 +205,7 @@ object CountMinSketch {
   def cmsEstimate(sketch: Column, key: Column, d: Int, w: Int): Column =
     GraftColumns.column(CmsEstimate(
       GraftColumns.expression(sketch), GraftColumns.expression(key), d, w))
+  def cmsInnerProduct(a: Column, b: Column, d: Int, w: Int): Column =
+    GraftColumns.column(CmsInnerProduct(
+      GraftColumns.expression(a), GraftColumns.expression(b), d, w))
 }

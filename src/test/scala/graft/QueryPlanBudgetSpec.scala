@@ -109,8 +109,12 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "q43_percentrank" -> 2,   // nation-keyed window sort + ORDER BY
     "events_quantile_sketch" -> 3, // day-sketch agg + 1-row merge + rank-check agg;
                               // the 1-row estimate rides a broadcast NLJ (not counted)
-    "events_cms_check" -> 3   // day-sketch agg + 1-row merge + exact top-10 agg
+    "events_cms_check" -> 3,  // day-sketch agg + 1-row merge + exact top-10 agg
                               // (TakeOrdered); the sketch rides broadcast
+    "q44_joinsize" -> 5,      // 2 sketch 1-row aggs + 2 key-count aggs + full-outer
+                              // stats agg (reuses count partitioning); est rides broadcast
+    "events_autocorr" -> 2    // daily-totals agg (behind lazy checkpoint feeding both
+                              // pair sides) + ORDER BY; the day+1 join is calendar-sized
   )
 
   test("headline queries match their pinned shuffle counts") {

@@ -1822,6 +1822,26 @@ object Oracles {
         """SELECT CAST(10 AS BIGINT) AS n_probes,
           | (SELECT COUNT(user_id) FROM events) AS n,
           | true AS lower_ok, true AS upper_ok""".stripMargin,
+      "q44_joinsize" ->
+        """SELECT (SELECT COUNT(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+          |  AS exact, true AS lower_ok, true AS upper_ok""".stripMargin,
+      "events_autocorr" ->
+        """WITH daily AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+          |  CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS tot
+          |  FROM events GROUP BY 1, 2),
+          |pairs AS (SELECT a.event_type, a.tot AS x, b.tot AS y
+          |  FROM daily a JOIN daily b ON a.event_type = b.event_type AND b.day = a.day + 1),
+          |mo AS (SELECT event_type, COUNT(*) AS n,
+          |  CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sx,
+          |  CAST(CAST(CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sy,
+          |  CAST(CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sxx,
+          |  CAST(CAST(CAST(SUM(CAST(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS syy,
+          |  CAST(CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sxy
+          |  FROM pairs GROUP BY event_type)
+          |SELECT event_type, n,
+          | (CAST(n AS DOUBLE)*sxy - sx*sy) /
+          |   sqrt((CAST(n AS DOUBLE)*sxx - sx*sx) * (CAST(n AS DOUBLE)*syy - sy*sy)) AS acf1
+          |FROM mo ORDER BY event_type""".stripMargin,
       "q43_percentrank" ->
         """SELECT s_suppkey, s_nationkey, s_acctbal,
           | percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
