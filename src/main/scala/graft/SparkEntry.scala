@@ -2734,6 +2734,31 @@ object SparkEntry {
           bool_and(col("est") >= col("c")).as("lower_ok"),
           bool_and(col("est") <= col("c") + lit(3.0) * col("n") / lit(Wd)).as("upper_ok"))
     }),
+    "maint_join_view" -> ((s, d) => {
+      // incremental JOIN-view maintenance: the persisted base view
+      // (written to parquet here, standing in for yesterday's
+      // materialization) is scanned and unioned with two delta joins —
+      // V' = V ∪ (Δli ⋈ orders') ∪ (li_base ⋈ Δorders) — the base-base
+      // join is never recomputed and both delta joins broadcast their
+      // delta side. Oracle = the full join of the updated tables.
+      val cols = Seq("l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus")
+      val li = T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"))
+      val ord = T(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val (liBase, liDelta) = (li.filter(expr("l_orderkey % 5 != 0")),
+        li.filter(expr("l_orderkey % 5 = 0")))
+      val (ordBase, ordDelta) = (ord.filter(expr("l_orderkey % 7 != 0")),
+        ord.filter(expr("l_orderkey % 7 = 0")))
+      val dir = java.nio.file.Files.createTempDirectory("graft-jview").toString
+      liBase.join(ordBase, Seq("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$dir/view0")
+      val view0 = s.read.parquet(s"$dir/view0")
+      MaintOps.maintainJoinView(view0, liBase, liDelta, ord, ordDelta,
+          Seq("l_orderkey"))
+        .select(cols.map(col): _*)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     "q44_joinsize" -> ((s, d) => {
       // planner statistics from sketches: |lineitem ⋈ orders| estimated
       // as the CMS inner product of two per-table sketch rows (min over

@@ -65,4 +65,29 @@ object MaintOps {
   def withDerived(state: DataFrame): DataFrame =
     state.withColumn("avg_v",
       (col("sum_v") / col("cnt")).cast("decimal(38,6)"))
+
+  /** Incremental maintenance of an APPEND-ONLY JOIN view V = A ⋈ B
+    * (inner, equi-keys): with ΔA, ΔB the day's appends and B' = B ∪ ΔB,
+    *
+    *   V' = V  ∪  (ΔA ⋈ B')  ∪  (A ⋈ ΔB)
+    *
+    * — the algebraic delta-join expansion (ΔA⋈ΔB lands inside ΔA⋈B').
+    * The 100 TB point: the base-base join A⋈B is NEVER recomputed; the
+    * persisted view is only SCANNED and unioned, and every delta join
+    * has a delta-sized side that AQE broadcasts. Daily cost is
+    * O(|Δ| + |view scan|) instead of O(|A⋈B| shuffle).
+    *
+    * Append-only contract: rows are never updated or deleted (deletes
+    * need the CDC MERGE path, DiffOps.applyCdc). `view` must be the
+    * previously-persisted A⋈B result with the same projected columns
+    * this call produces.
+    */
+  def maintainJoinView(
+      view: DataFrame,
+      aOld: DataFrame, deltaA: DataFrame,
+      bNew: DataFrame, deltaB: DataFrame,
+      keys: Seq[String]): DataFrame =
+    view
+      .unionByName(deltaA.join(bNew, keys))
+      .unionByName(aOld.join(deltaB, keys))
 }

@@ -113,8 +113,10 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // (TakeOrdered); the sketch rides broadcast
     "q44_joinsize" -> 5,      // 2 sketch 1-row aggs + 2 key-count aggs + full-outer
                               // stats agg (reuses count partitioning); est rides broadcast
-    "events_autocorr" -> 2    // daily-totals agg (behind lazy checkpoint feeding both
+    "events_autocorr" -> 2,   // daily-totals agg (behind lazy checkpoint feeding both
                               // pair sides) + ORDER BY; the day+1 join is calendar-sized
+    "maint_join_view" -> 1    // persisted-view scan + TWO broadcast delta joins + ORDER BY
+                              // only — the base-base join is never in this plan
   )
 
   test("headline queries match their pinned shuffle counts") {

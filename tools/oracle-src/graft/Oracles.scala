@@ -1822,6 +1822,10 @@ object Oracles {
         """SELECT CAST(10 AS BIGINT) AS n_probes,
           | (SELECT COUNT(user_id) FROM events) AS n,
           | true AS lower_ok, true AS upper_ok""".stripMargin,
+      "maint_join_view" ->
+        """SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
       "q44_joinsize" ->
         """SELECT (SELECT COUNT(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
           |  AS exact, true AS lower_ok, true AS upper_ok""".stripMargin,
