@@ -24,6 +24,12 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // TypedImperativeAggregate partials (q-digest/CMS/MG sketches) fall
+      // back to SORT-based aggregation once >128 groups live in a task's
+      // hash map — a full row sort that dwarfs the sketch fold. Raising
+      // the threshold keeps the object-hash path for slice counts any
+      // real per-day/per-shard sketch build sees.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -316,6 +322,70 @@ object ScaleProbe {
           .agg(count(lit(1)).as("n"),
             sum(when(col("first_doc") === col("id"), 1L).otherwise(0L)).as("nn"))
           .count()
+      },
+      "qdigest_sketch" -> { rows =>
+        // per-slice q-digest rows merged to corpus quantiles: map-side
+        // sketch fold, slice-count merge — the key domain (distinct
+        // values) never shuffles, so per-row cost must be flat
+        import graft.functions.QuantileSketch._
+        synth(rows)
+          // 32 slices = the daily-sketch-rows realism point; a dense
+          // sketch per (task x slice) partial is the memory cost driver,
+          // so slice cardinality per task stays modest by design
+          .select(pmod(col("id"), lit(32)).as("slice"),
+            pmod(col("id") * 2654435761L, lit(1000000L)).as("v"))
+          .groupBy("slice").agg(qdigest(col("v"), 20, 512).as("sk"))
+          .agg(qdigestMerge(col("sk"), 20, 512).as("sk"))
+          .select(qdigestQuantile(col("sk"), 0.5, 20).as("q"))
+          .head().getAs[Long]("q")
+      },
+      "cms_sketch" -> { rows =>
+        // per-slice CMS rows merged element-wise: the 4×2048 counter
+        // array is the only state that moves
+        import graft.functions.CountMinSketch._
+        synth(rows)
+          .select(pmod(col("id"), lit(32)).as("slice"),
+            pmod(col("id") * 31L, lit(rows)).as("k"))
+          .groupBy("slice").agg(cms(col("k"), 4, 2048).as("sk"))
+          .agg(cmsMerge(col("sk"), 4, 2048).as("sk"))
+          .select(cmsEstimate(col("sk"), lit(7L), 4, 2048).as("e"))
+          .head().getAs[Long]("e")
+      },
+      "fk_audit_stacked" -> { rows =>
+        // the fk-audit core: stacked (edge,key) pairs from one scan,
+        // key-domain groupBy, left join against a parent key set with
+        // 10% orphans — cost tracks the key domain, not fact rows
+        val child = synth(rows).select(
+          inline(array(
+            struct(lit("e1").as("fk"), pmod(col("id"), lit(rows / 10 + 1)).as("k")),
+            struct(lit("e2").as("fk"), pmod(col("id") * 7, lit(1000L)).as("k")))))
+        val parents = synth(rows / 10 + 1).select(lit("e1").as("fk"), col("id").as("k"))
+          .filter(pmod(col("k"), lit(10)) =!= 0)
+          .unionAll(synth(1000L).select(lit("e2").as("fk"), col("id").as("k")))
+          .withColumn("hit", lit(1))
+        child.groupBy("fk", "k").agg(count(lit(1)).as("c"))
+          .join(parents, Seq("fk", "k"), "left")
+          .groupBy("fk")
+          .agg(sum("c").as("n_rows"),
+            coalesce(sum(when(col("hit").isNull, col("c"))), lit(0L)).as("n_orphans"))
+          .count()
+      },
+      "ks_drift" -> { rows =>
+        // exact KS over 64 slices × 1000-value domain: one row shuffle
+        // into (slice,v) counts, then value-domain-grid windows only
+        DriftOps.ksDistance(
+          synth(rows).select(pmod(col("id"), lit(64)).cast("string").as("src"),
+            pmod(col("id") * 13L, lit(1000L)).as("v")),
+          "src", "v").count()
+      },
+      "auc_exact" -> { rows =>
+        // Mann-Whitney AUC over a 2000-point score domain, 8 groups: the
+        // only row-sized shuffle is the (group,score) count agg
+        StatsOps.aucExact(
+          synth(rows).select(pmod(col("id"), lit(8)).cast("string").as("g"),
+            pmod(col("id") * 17L, lit(2000L)).as("s"),
+            (pmod(col("id"), lit(3)) === 0).as("lab")),
+          "g", "s", "lab").count()
       })
 
     val probes = only.fold(allProbes)(names => allProbes.filter(p => names.contains(p._1)))

@@ -25,6 +25,13 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
   * Fully deterministic: hashes are Murmur3_x86_32 with row-index seeds;
   * same data → same sketch bits, so specs and oracles replay exactly.
   * Emitted as array<bigint> of length d·w (row-major).
+  *
+  * Cost model: the buffer is DENSE (d·w longs, ~64 KB at 4×2048)
+  * regardless of how few rows a group saw, and map-side partial
+  * aggregation keeps one buffer per (task × group). Build sketch rows
+  * over coarse slices (days, shards — tens to hundreds of groups), not
+  * fine keys; for per-key frequencies, the sketch IS the index — probe
+  * it, don't group by key.
   */
 object CmsKernel {
   def bucket(key: Long, row: Int, w: Int): Int = {

@@ -150,7 +150,11 @@ case class QDigest(
 
   override def merge(b1: mutable.HashMap[Long, Long], b2: mutable.HashMap[Long, Long]): mutable.HashMap[Long, Long] = {
     b2.foreach { case (id, c) => b1(id) = b1.getOrElse(id, 0L) + c }
-    QDigestKernel.compress(b1, w, k)
+    // compress lazily (same 6k high-water mark as update): an eager
+    // compress per partial-merge is O(size*W) x thousands of merges and
+    // dominated the 20M-row scale probe; the bound only needs compression
+    // to happen SOMETIME before eval
+    if (b1.size > 6 * k) QDigestKernel.compress(b1, w, k)
     b1
   }
 
@@ -197,13 +201,17 @@ case class QDigestMerge(
     val counts = m.valueArray.toLongArray()
     var i = 0
     while (i < ids.length) { buf(ids(i)) = buf.getOrElse(ids(i), 0L) + counts(i); i += 1 }
-    QDigestKernel.compress(buf, w, k)
+    if (buf.size > 6 * k) QDigestKernel.compress(buf, w, k)
     buf
   }
 
   override def merge(b1: mutable.HashMap[Long, Long], b2: mutable.HashMap[Long, Long]): mutable.HashMap[Long, Long] = {
     b2.foreach { case (id, c) => b1(id) = b1.getOrElse(id, 0L) + c }
-    QDigestKernel.compress(b1, w, k)
+    // compress lazily (same 6k high-water mark as update): an eager
+    // compress per partial-merge is O(size*W) x thousands of merges and
+    // dominated the 20M-row scale probe; the bound only needs compression
+    // to happen SOMETIME before eval
+    if (b1.size > 6 * k) QDigestKernel.compress(b1, w, k)
     b1
   }
 
