@@ -1774,6 +1774,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "multimodal_framesample" -> ((s, d) => {
+      // video-style frame sampling over opaque binary payloads: the
+      // decode runs PARTITION-LOCAL via mapPartitions (the real-codec
+      // shape — MultimodalOps.decodeKernel is the documented env stub),
+      // every stride-th frame index expands in-row, per-frame features
+      // are deterministic signatures, and the binary column is projected
+      // out BEFORE the only shuffle (final ORDER BY moves ids+sigs only)
+      val withBin = T(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+      val dec = MultimodalOps.decodePartitionLocal(withBin, "bin")
+      MultimodalOps.frameSamplePlan(dec, stride = 4)
+        .select(col("doc_id"), length(col("bin")).cast("long").as("bl"),
+          explode(col("sampled_frames")).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
+          md5(concat_ws(":", col("bl"), col("frame_idx"))).as("frame_sig"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // ----- events: hopping windows, debounce, co-occurrence, mode -----
     "events_hopping" -> ((s, d) => {
       // sliding/hopping window (width 600s, slide 300s): each event lands

@@ -115,8 +115,10 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // stats agg (reuses count partitioning); est rides broadcast
     "events_autocorr" -> 2,   // daily-totals agg (behind lazy checkpoint feeding both
                               // pair sides) + ORDER BY; the day+1 join is calendar-sized
-    "maint_join_view" -> 1    // persisted-view scan + TWO broadcast delta joins + ORDER BY
+    "maint_join_view" -> 1,   // persisted-view scan + TWO broadcast delta joins + ORDER BY
                               // only — the base-base join is never in this plan
+    "multimodal_framesample" -> 1 // partition-local decode + in-row frame expand; the one
+                              // shuffle (ORDER BY) moves ids+sigs — binary never shuffles
   )
 
   test("headline queries match their pinned shuffle counts") {

@@ -278,4 +278,32 @@ class StreamingSpec extends SparkSpec {
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     }
   }
+
+  test("streaming CMS equals the batch sketch bit-for-bit after 2 micro-batches") {
+    // count-min is ORDER-INDEPENDENT (element-wise counter adds), so the
+    // streaming aggregation's incremental state after any micro-batch
+    // split must equal the one-shot batch sketch exactly — the property
+    // that lets a live frequency index be checkpointed and resumed
+    // without drift
+    import graft.functions.CountMinSketch._
+    implicit val sqlCtx = spark.sqlContext
+    val d = 2; val w = 64
+    val batch1 = (1 to 40).map(i => (i % 7).toLong)
+    val batch2 = (1 to 25).map(i => (i % 4).toLong)
+    val input = MemoryStream[Long]
+    val out = input.toDS().toDF("k").groupBy()
+      .agg(cms(col("k"), d, w).as("sk"))
+    val q = out.writeStream.format("memory").queryName("cms_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cms_out").as[Seq[Long]].head()
+      val batch = (batch1 ++ batch2).toDF("k")
+        .agg(cms(col("k"), d, w).as("sk")).as[Seq[Long]].head()
+      assert(streamed == batch, "streaming CMS state must equal the batch sketch")
+    } finally q.stop()
+  }
 }

@@ -1193,6 +1193,12 @@ object Oracles {
           | CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames,
           | md5(text) AS content_hash
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "multimodal_framesample" ->
+        """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS bl FROM documents),
+          |f AS (SELECT doc_id, bl, unnest(range(0, bl % 30 + 1, 4)) AS frame_idx FROM b)
+          |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+          | md5(CAST(bl AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)) AS frame_sig
+          |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
       "events_hopping" ->
         """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 300000000 AS slot, value FROM events),
           |w AS (SELECT (slot - i) * 300 AS window_start_s, value
