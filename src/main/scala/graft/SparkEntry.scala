@@ -2777,6 +2777,111 @@ object SparkEntry {
         .select(cols.map(col): _*)
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    "data_expectations" -> ((s, d) => {
+      // declarative data contract: five expectations evaluated in ONE
+      // scan (a single aggregate computes every measured value; rule
+      // rows are an in-row stack) — the gate a pipeline runs before
+      // publishing a 100 TB batch
+      import AuditOps.Expectation
+      AuditOps.expectations(T(s, d, "orders"), Seq(
+        Expectation("key_not_null",
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)), _ === 0.0),
+        Expectation("key_unique",
+          count(lit(1)) - countDistinct(col("o_orderkey")), _ === 0.0),
+        Expectation("price_in_range",
+          sum(when(col("o_totalprice") < 0 || col("o_totalprice") > 1000000, 1L)
+            .otherwise(0L)), _ === 0.0),
+        Expectation("status_domain",
+          sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L)),
+          _ === 0.0),
+        Expectation("row_count_min", count(lit(1)), _ >= 1000.0)))
+    }),
+    "data_neyman_alloc" -> ((s, d) => {
+      // Neyman-optimal stratified-sampling allocation: n_h ∝ N_h·S_h
+      // with EXACT largest-remainder rounding — stddev comes from the
+      // decimal-exact moment sums (the q24_stats contract), the one
+      // double product is floored into integer micro-weights, and every
+      // remaining step (shares, floors, remainder ranks) is integer
+      // arithmetic on the STRATUM-COUNT-sized frame. The sampling-design
+      // op a 1000-stratum corpus needs before drawing a fixed budget.
+      import org.apache.spark.sql.expressions.Window
+      val budget = 1000L
+      val vd = col("o_totalprice").cast("decimal(18,2)")
+      val m = T(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("stratum"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(vd).cast("decimal(38,2)").cast("double").as("sx"),
+          sum((vd * vd).cast("decimal(38,4)")).cast("decimal(38,4)").cast("double").as("sxx"))
+        .withColumn("sd", sqrt((col("sxx") - col("sx") * col("sx") / col("n_rows").cast("double"))
+          / (col("n_rows").cast("double") - lit(1d))))
+        .withColumn("w_micro",
+          floor(col("n_rows").cast("double") * col("sd") * lit(1e6)).cast("decimal(38,0)"))
+      val tot = m.agg(sum("w_micro").cast("decimal(38,0)").as("w_tot"))
+      val alloc = m.crossJoin(broadcast(tot)) // stratum-count × 1 row
+        // integral division + exact remainder in DECIMAL(38,0) — a
+        // decimal `/` would ROUND at its result scale and can differ
+        // from the oracle's integer `//` on knife-edge quotients
+        .withColumn("base", expr(s"CAST(($budget * w_micro) div w_tot AS BIGINT)"))
+        .withColumn("rem", lit(budget) * col("w_micro") - col("base") * col("w_tot"))
+      val w = Window.orderBy(col("rem").desc, col("stratum"))
+      val wAll = Window.orderBy("stratum")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      alloc
+        .withColumn("leftover", lit(budget) - sum("base").over(wAll))
+        .withColumn("rk", row_number().over(w))
+        .select(col("stratum"), col("n_rows"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .cast("bigint").as("n_alloc"))
+        .orderBy("stratum")
+    }),
+    "data_benford" -> ((s, d) => {
+      // Benford first-digit audit: the leading digit comes from the
+      // INTEGER cents rendered as a string (no log10 on data — the only
+      // doubles are the shared literal expectations), per-digit counts
+      // in one hash agg, corpus total attached as a broadcast scalar
+      val expected = array(Seq(
+        0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+        0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+        0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+        .map(lit): _*)
+      val counts = T(s, d, "orders")
+        .select(substring((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("bigint").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_d"))
+      val tot = counts.agg(sum("n_d").cast("double").as("n"))
+      counts.crossJoin(broadcast(tot)) // 1-row scalar attach
+        .select(col("digit"), col("n_d"),
+          (col("n_d").cast("double") / col("n")).as("share"),
+          element_at(expected, col("digit")).as("expected"))
+        .withColumn("abs_dev", abs(col("share") - col("expected")))
+        .orderBy("digit")
+    }),
+    "events_gini" -> ((s, d) => {
+      // Gini concentration of spend across users: integer-exact
+      // numerator Σ(2i−n−1)·x_i over the USER-COUNT-sized ranked
+      // aggregate (the events_pareto window precedent) — invariant to
+      // tie order, one double division at the end
+      import org.apache.spark.sql.expressions.Window
+      val d38 = "decimal(38,0)"
+      val totals = EV(s, d)
+        .groupBy("user_id")
+        .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+          .cast(d38).cast("bigint").as("x"))
+      val w = Window.orderBy("x", "user_id")
+      val wAll = Window.orderBy("x", "user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      totals
+        .withColumn("i", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .agg(
+          first(col("n")).cast("bigint").as("n_users"),
+          sum(((col("i") * 2 - col("n") - 1)).cast(d38) * col("x").cast(d38))
+            .cast(d38).as("num"),
+          sum(col("x").cast(d38)).cast(d38).as("sx"))
+        .select(col("n_users"),
+          (col("num").cast("double") /
+            (col("n_users").cast(d38) * col("sx")).cast("double")).as("gini"))
+    }),
     "q44_joinsize" -> ((s, d) => {
       // planner statistics from sketches: |lineitem ⋈ orders| estimated
       // as the CMS inner product of two per-table sketch rows (min over

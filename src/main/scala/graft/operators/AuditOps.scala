@@ -62,6 +62,30 @@ object AuditOps {
       .orderBy("fk")
   }
 
+  /** One declarative data-quality expectation: `measured` is any
+    * aggregate expression over the table; `ok` is a predicate on the
+    * measured value. */
+  final case class Expectation(name: String, measured: org.apache.spark.sql.Column,
+      ok: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+
+  /** Data-contract check: evaluate every expectation in ONE scan (a
+    * single aggregate computes all measured values; the per-rule rows
+    * are an in-row stack of that 1-row frame) and emit
+    * (rule, measured DOUBLE, ok BOOLEAN) — the pass/fail report a
+    * pipeline gates a publish step on. 100 TB cost = one pass over the
+    * table regardless of rule count. */
+  def expectations(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    val measured = df.agg(
+      rules.head.measured.cast("double").as("m0"),
+      rules.tail.zipWithIndex.map { case (r, i) =>
+        r.measured.cast("double").as(s"m${i + 1}") }: _*)
+    val stacked = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"), col(s"m$i").as("measured"),
+        r.ok(col(s"m$i")).as("ok"))
+    }
+    measured.select(inline(array(stacked: _*))).orderBy("rule")
+  }
+
   /** The full TPC-H-ish FK graph over the driver testdata tables. */
   def tpchFkEdges(s: SparkSession, dir: String): Seq[FkEdge] = {
     def t(n: String) = s.read.parquet(s"$dir/$n.parquet")

@@ -117,8 +117,15 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // pair sides) + ORDER BY; the day+1 join is calendar-sized
     "maint_join_view" -> 1,   // persisted-view scan + TWO broadcast delta joins + ORDER BY
                               // only — the base-base join is never in this plan
-    "multimodal_framesample" -> 1 // partition-local decode + in-row frame expand; the one
+    "multimodal_framesample" -> 1, // partition-local decode + in-row frame expand; the one
                               // shuffle (ORDER BY) moves ids+sigs — binary never shuffles
+    "data_expectations" -> 2, // ONE scan: countDistinct expand pair; rule rows are an
+                              // in-row stack of the 1-row aggregate
+    "data_neyman_alloc" -> 3, // stratum moment agg + 1-row weight total + stratum-count
+                              // windows + ORDER BY sharing the tiny frame's sort
+    "data_benford" -> 3,      // digit agg + 1-row total agg + ORDER BY; total rides broadcast
+    "events_gini" -> 2        // user totals agg + user-count-sized rank window (the
+                              // pareto precedent); final agg is 1 row
   )
 
   test("headline queries match their pinned shuffle counts") {

@@ -1832,6 +1832,65 @@ object Oracles {
         """SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      "data_expectations" ->
+        """WITH m AS (SELECT COUNT(*) AS n,
+          |  COUNT(*) - COUNT(DISTINCT o_orderkey) AS dupk,
+          |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nullk,
+          |  SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS oor,
+          |  SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS badst
+          |  FROM orders)
+          |SELECT * FROM (
+          |  SELECT 'key_not_null' AS rule, CAST(nullk AS DOUBLE) AS measured, nullk = 0 AS ok FROM m
+          |  UNION ALL SELECT 'key_unique', CAST(dupk AS DOUBLE), dupk = 0 FROM m
+          |  UNION ALL SELECT 'price_in_range', CAST(oor AS DOUBLE), oor = 0 FROM m
+          |  UNION ALL SELECT 'status_domain', CAST(badst AS DOUBLE), badst = 0 FROM m
+          |  UNION ALL SELECT 'row_count_min', CAST(n AS DOUBLE), n >= 1000 FROM m)
+          |ORDER BY rule""".stripMargin,
+      "data_neyman_alloc" ->
+        """WITH m AS (SELECT o_orderpriority AS stratum, COUNT(*) AS n_rows,
+          |  CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sx,
+          |  CAST(CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sxx
+          |  FROM orders GROUP BY o_orderpriority),
+          |sdv AS (SELECT stratum, n_rows,
+          |  sqrt((sxx - sx * sx / CAST(n_rows AS DOUBLE)) / (CAST(n_rows AS DOUBLE) - 1)) AS sd
+          |  FROM m),
+          |wm AS (SELECT stratum, n_rows,
+          |  CAST(floor(CAST(n_rows AS DOUBLE) * sd * 1e6) AS HUGEINT) AS w_micro FROM sdv),
+          |t AS (SELECT SUM(w_micro) AS w_tot FROM wm),
+          |a AS (SELECT stratum, n_rows, (1000 * w_micro) // w_tot AS base,
+          |  1000 * w_micro - ((1000 * w_micro) // w_tot) * w_tot AS rem
+          |  FROM wm, t),
+          |r AS (SELECT stratum, n_rows, base,
+          |  row_number() OVER (ORDER BY rem DESC, stratum) AS rk,
+          |  1000 - SUM(base) OVER () AS leftover
+          |  FROM a)
+          |SELECT stratum, n_rows,
+          | CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+          |FROM r ORDER BY stratum""".stripMargin,
+      "data_benford" ->
+        """WITH d AS (SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+          |  FROM orders),
+          |c AS (SELECT digit, COUNT(*) AS n_d FROM d GROUP BY digit),
+          |t AS (SELECT CAST(SUM(n_d) AS DOUBLE) AS n FROM c),
+          |-- e-notation forces direct DOUBLE parsing: a plain decimal literal
+          |-- routes through DECIMAL(19,17) whose double cast is NOT correctly
+          |-- rounded (off-by-one-ulp vs Spark's lit() on digit 3)
+          |e AS (SELECT [3.010299956639812e-1, 1.7609125905568124e-1, 1.2493873660829993e-1,
+          |  9.691001300805642e-2, 7.918124604762482e-2, 6.694678963061322e-2,
+          |  5.799194697768673e-2, 5.115252244738129e-2, 4.575749056067514e-2] AS ex)
+          |SELECT digit, n_d, CAST(n_d AS DOUBLE) / n AS share, ex[digit] AS expected,
+          | abs(CAST(n_d AS DOUBLE) / n - ex[digit]) AS abs_dev
+          |FROM c, t, e ORDER BY digit""".stripMargin,
+      "events_gini" ->
+        """WITH x AS (SELECT user_id,
+          |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS BIGINT) AS x
+          |  FROM events GROUP BY user_id),
+          |r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i,
+          |  COUNT(*) OVER () AS n FROM x)
+          |SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+          | CAST(CAST(SUM(CAST(2 * i - n - 1 AS HUGEINT) * x) AS VARCHAR) AS DOUBLE)
+          |  / CAST(CAST(CAST(MAX(n) AS HUGEINT) * SUM(CAST(x AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS gini
+          |FROM r""".stripMargin,
       "q44_joinsize" ->
         """SELECT (SELECT COUNT(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
           |  AS exact, true AS lower_ok, true AS upper_ok""".stripMargin,
