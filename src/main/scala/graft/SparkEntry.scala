@@ -2777,6 +2777,114 @@ object SparkEntry {
         .select(cols.map(col): _*)
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    "events_twap" -> ((s, d) => {
+      // time-weighted average price per event type: each observation is
+      // weighted by how long it stayed current (the dwell span to the
+      // user's next event) — Σ(cents·µs)/Σµs in DECIMAL(38,0) (a cents×µs
+      // product overflows BIGINT at day-long spans), one user-keyed sort
+      import org.apache.spark.sql.expressions.Window
+      val d38 = "decimal(38,0)"
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      EV(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"),
+          (col("value").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+        .withColumn("dur", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .filter(col("dur").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_spans"),
+          sum((col("cents").cast(d38) * col("dur").cast(d38)).cast(d38))
+            .cast(d38).cast("double").as("num"),
+          sum(col("dur").cast(d38)).cast(d38).cast("double").as("den"))
+        .select(col("event_type"), col("n_spans"),
+          (col("num") / col("den") / lit(100.0)).as("twap"))
+        .orderBy("event_type")
+    }),
+    "data_bootstrap_ci" -> ((s, d) => {
+      // bootstrap CI for the mean WITHOUT randomness: row multiplicity in
+      // resample b is Poisson(1) read off a 48-bit md5(b:key) integer
+      // against PRECOMPUTED integer CDF thresholds (identical literals in
+      // the oracle → bit-exact replay). One ×64 in-row expand, one
+      // groupBy(b), then rank-picks on the 64-row mean frame. The
+      // resampling pattern that gives error bars on any 100 TB aggregate
+      // in a single pass — no per-resample scans.
+      import org.apache.spark.sql.expressions.Window
+      val B = 64
+      val d38 = "decimal(38,0)"
+      val rows = T(s, d, "orders").select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+        .select(col("o_orderkey"), col("cents"),
+          explode(sequence(lit(1), lit(B))).as("b"))
+        .withColumn("u", conv(substring(
+          md5(concat_ws(":", col("b"), col("o_orderkey"))), 1, 12), 16, 10).cast("bigint"))
+      val m = when(col("u") < 103548857136060L, 0L)
+        .when(col("u") < 207097714272121L, 1L)
+        .when(col("u") < 258872142840152L, 2L)
+        .when(col("u") < 276130285696162L, 3L)
+        .otherwise(4L)
+      val means = rows.withColumn("m", m)
+        .groupBy("b")
+        .agg((sum((col("m").cast(d38) * col("cents").cast(d38)).cast(d38)).cast(d38)
+          .cast("double") / sum(col("m")).cast("double") / lit(100.0)).as("mean_b"))
+      val ranked = means.withColumn("rk",
+        row_number().over(Window.orderBy("mean_b"))) // 64-row frame
+      ranked.agg(
+        count(lit(1)).cast("bigint").as("n_resamples"),
+        min(when(col("rk") === 2, col("mean_b"))).as("ci_lo"),
+        min(when(col("rk") === B - 1, col("mean_b"))).as("ci_hi"))
+    }),
+    "dedup_best_match" -> ((s, d) => {
+      // entity-resolution pairing: from the verified near-dup pairs,
+      // keep only MUTUAL best matches (each side is the other's highest-
+      // jaccard neighbor; ties to the smaller id) — the post-processor
+      // that turns a candidate soup into 1:1 merge decisions. Windows
+      // run per-doc over candidate lists (bounded by the band recall),
+      // never over the corpus.
+      import org.apache.spark.sql.expressions.Window
+      val pairs = DedupOps
+        .minhashDupPairs(TP(s, d, "documents"), "text", "doc_id", threshold = 0.8,
+          shingleSize = 3, numBands = 16, rowsPerBand = 3)
+        .localCheckpoint(eager = false) // both symmetric halves read it
+      val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"), col("jaccard"))
+        .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst"), col("jaccard")))
+      val w = Window.partitionBy("src").orderBy(col("jaccard").desc, col("dst"))
+      val best = sym.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).drop("rk")
+      val other = best.select(col("src").as("src2"), col("dst").as("dst2"))
+      best.join(other, col("dst") === col("src2") && col("src") === col("dst2"))
+        .filter(col("src") < col("dst"))
+        .select(col("src").as("a_id"), col("dst").as("b_id"), col("jaccard"))
+        .orderBy("a_id")
+    }),
+    "events_calendar_gaps" -> ((s, d) => {
+      // time-series completeness audit: hourly slots with NO events per
+      // type — the dense hour grid is generated in-row from the 1-row
+      // min/max bounds (never materialized from data), crossed with the
+      // type list (both broadcast), and observed slots anti-join away.
+      // At 100 TB the grid is calendar×types-sized, the observed set is
+      // one distinct-agg of the log.
+      val ev = EV(s, d).select(col("event_type"),
+        expr("ts_us div 3600000000").as("hour"))
+      val bounds = ev.agg(min("hour").as("h0"), max("hour").as("h1"))
+      val types = ev.select("event_type").distinct()
+      val grid = types.crossJoin(broadcast(bounds)) // types × 1 row
+        .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+      grid.join(ev.distinct(), Seq("event_type", "hour"), "left_anti")
+        .orderBy("event_type", "hour")
+    }),
+    "data_ldiversity" -> ((s, d) => {
+      // l-diversity audit (the k-anonymity complement): per
+      // quasi-identifier class, the count of DISTINCT sensitive values —
+      // a class can be k-anonymous yet leak everything if all its rows
+      // share one sensitive value. One shuffle on the QI tuple.
+      val l = 3
+      T(s, d, "customer")
+        .groupBy(col("c_nationkey").cast("long").as("nation"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("c_mktsegment")).as("l_div"))
+        .withColumn("at_risk", (col("l_div") < l).cast("boolean"))
+        .orderBy("nation", "bal_band")
+    }),
     "data_expectations" -> ((s, d) => {
       // declarative data contract: five expectations evaluated in ONE
       // scan (a single aggregate computes every measured value; rule

@@ -124,8 +124,17 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "data_neyman_alloc" -> 3, // stratum moment agg + 1-row weight total + stratum-count
                               // windows + ORDER BY sharing the tiny frame's sort
     "data_benford" -> 3,      // digit agg + 1-row total agg + ORDER BY; total rides broadcast
-    "events_gini" -> 2        // user totals agg + user-count-sized rank window (the
+    "events_gini" -> 2,       // user totals agg + user-count-sized rank window (the
                               // pareto precedent); final agg is 1 row
+    "events_twap" -> 3,       // user-keyed dwell sort + type agg + ORDER BY
+    "data_bootstrap_ci" -> 2, // ×64 in-row expand + ONE groupBy(b); rank picks run on
+                              // the 64-row mean frame (final agg reuses its sort)
+    "dedup_best_match" -> 5,  // minhash band agg + bucket pair-gen + symmetric-union
+                              // best window + mutual self-join + ORDER BY, all off the
+                              // checkpointed pair frame
+    "events_calendar_gaps" -> 4, // distinct types + 1-row bounds + observed distinct +
+                              // ORDER BY; grid explodes in-row off broadcast bounds
+    "data_ldiversity" -> 3    // QI agg with countDistinct expand pair + ORDER BY
   )
 
   test("headline queries match their pinned shuffle counts") {

@@ -1832,6 +1832,62 @@ object Oracles {
         """SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      "events_twap" ->
+        """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+          |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+          |t AS (SELECT event_type, cents,
+          |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dur FROM e)
+          |SELECT event_type, COUNT(*) AS n_spans,
+          | CAST(CAST(SUM(CAST(cents AS HUGEINT) * dur) AS VARCHAR) AS DOUBLE)
+          |  / CAST(CAST(SUM(CAST(dur AS HUGEINT)) AS VARCHAR) AS DOUBLE) / 100.0 AS twap
+          |FROM t WHERE dur IS NOT NULL GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "data_bootstrap_ci" ->
+        """WITH r AS (SELECT o_orderkey,
+          |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+          |  unnest(range(1, 65)) AS b FROM orders),
+          |u AS (SELECT cents, b,
+          |  CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT) AS u
+          |  FROM r),
+          |m AS (SELECT cents, b,
+          |  CASE WHEN u < 103548857136060 THEN 0 WHEN u < 207097714272121 THEN 1
+          |       WHEN u < 258872142840152 THEN 2 WHEN u < 276130285696162 THEN 3
+          |       ELSE 4 END AS m FROM u),
+          |mb AS (SELECT b,
+          |  CAST(CAST(SUM(CAST(m AS HUGEINT) * cents) AS VARCHAR) AS DOUBLE)
+          |   / CAST(SUM(m) AS DOUBLE) / 100.0 AS mean_b
+          |  FROM m GROUP BY b),
+          |rk AS (SELECT mean_b, row_number() OVER (ORDER BY mean_b) AS rk FROM mb)
+          |SELECT CAST(COUNT(*) AS BIGINT) AS n_resamples,
+          | MIN(CASE WHEN rk = 2 THEN mean_b END) AS ci_lo,
+          | MIN(CASE WHEN rk = 63 THEN mean_b END) AS ci_hi
+          |FROM rk""".stripMargin,
+      "dedup_best_match" ->
+        s"""WITH p AS (${jaccardPairsSql(3, 0.8)}),
+           |sym AS (SELECT a_id AS src, b_id AS dst, jaccard FROM p
+           |        UNION ALL SELECT b_id, a_id, jaccard FROM p),
+           |best AS (SELECT src, dst, jaccard,
+           |         row_number() OVER (PARTITION BY src ORDER BY jaccard DESC, dst) AS rk
+           |         FROM sym),
+           |b1 AS (SELECT src, dst, jaccard FROM best WHERE rk = 1)
+           |SELECT x.src AS a_id, x.dst AS b_id, x.jaccard
+           |FROM b1 x JOIN b1 y ON x.dst = y.src AND y.dst = x.src AND x.src < y.src
+           |ORDER BY a_id""".stripMargin,
+      "events_calendar_gaps" ->
+        """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour
+          |           FROM events),
+          |b AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM e),
+          |t AS (SELECT DISTINCT event_type FROM e),
+          |g AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS hour FROM t, b),
+          |o AS (SELECT DISTINCT event_type, hour FROM e)
+          |SELECT g.event_type AS event_type, g.hour AS hour
+          |FROM g LEFT JOIN o ON g.event_type = o.event_type AND g.hour = o.hour
+          |WHERE o.event_type IS NULL ORDER BY g.event_type, g.hour""".stripMargin,
+      "data_ldiversity" ->
+        """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+          | CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+          | COUNT(*) AS n, COUNT(DISTINCT c_mktsegment) AS l_div,
+          | COUNT(DISTINCT c_mktsegment) < 3 AS at_risk
+          |FROM customer GROUP BY 1, 2 ORDER BY nation, bal_band""".stripMargin,
       "data_expectations" ->
         """WITH m AS (SELECT COUNT(*) AS n,
           |  COUNT(*) - COUNT(DISTINCT o_orderkey) AS dupk,
