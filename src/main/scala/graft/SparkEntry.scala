@@ -2777,6 +2777,83 @@ object SparkEntry {
         .select(cols.map(col): _*)
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    "vec_pq" -> ((s, d) => {
+      // product quantization: 64 dims → 8 subspaces × 8 dims, each coded
+      // to the nearest of 16 codebook centroids — 64 floats become 8
+      // small codes (the 32× compression ANN recall tables ride on).
+      // The codebook is a LITERAL 1024-double array (md5-derived, so the
+      // oracle rebuilds it bit-for-bit via SQL md5), assignment is pure
+      // map-side in-row HOF arithmetic — the corpus never shuffles, and
+      // the only exchange is the final ORDER BY. Distances fold in fixed
+      // k-order with a +0.0 seed, so qerr doubles replay cross-engine.
+      val J = 8; val C = 16; val K = 8
+      def cent(j: Int, c: Int, k: Int): Double = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"pq:$j:$c:$k".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2001 - 1000) / 1000.0
+      }
+      val cents = array((for (j <- 0 until J; c <- 0 until C; k <- 0 until K)
+        yield lit(cent(j, c, k))): _*)
+      TP(s, d, "embeddings")
+        .select(col("vec_id"),
+          VectorFunctions.asDouble(col("embedding")).as("v"))
+        .withColumn("cent", cents)
+        .select(col("vec_id"), posexplode(expr(
+          s"""transform(sequence(0, ${J - 1}), j ->
+             |  transform(sequence(0, ${C - 1}), c ->
+             |    aggregate(sequence(1, $K), cast(0.0 as double), (acc, k) ->
+             |      acc + (element_at(v, j*$K + k) - element_at(cent, (j*$C + c)*$K + k))
+             |          * (element_at(v, j*$K + k) - element_at(cent, (j*$C + c)*$K + k)))))
+             |""".stripMargin)).as(Seq("sub_j", "dists")))
+        .select(col("vec_id"), col("sub_j"),
+          (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int").as("code"),
+          array_min(col("dists")).as("qerr"))
+        .orderBy("vec_id", "sub_j")
+    }),
+    "q46_equidepth" -> ((s, d) => {
+      // equi-DEPTH histogram (the q23 equi-width complement) WITHOUT a
+      // global row sort: rows collapse to the (value → count) domain
+      // aggregate, the cumulative runs over that domain-sized grid, and
+      // bucket = floor(cum_before·nb / n) — exact integer assignment,
+      // deterministic bucket boundaries emitted as min/max per bucket
+      import org.apache.spark.sql.expressions.Window
+      val nb = 10
+      val counts = T(s, d, "orders")
+        .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("v") // value-domain-sized frame
+      val tot = counts.agg(sum("c").cast("bigint").as("n"))
+      counts
+        .withColumn("cum_before", coalesce(sum("c").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .crossJoin(broadcast(tot)) // 1-row scalar attach
+        .withColumn("bucket", expr(s"CAST((cum_before * $nb) div n AS INT)"))
+        .groupBy("bucket")
+        .agg(min("v").as("lo_cents"), max("v").as("hi_cents"),
+          sum("c").cast("bigint").as("n_rows"))
+        .orderBy("bucket")
+    }),
+    "data_kanon_suppress" -> ((s, d) => {
+      // k-anonymity ENFORCEMENT (the audit's apply side): rows in
+      // quasi-identifier classes smaller than k get their QI columns
+      // suppressed — one QI-keyed aggregate joined back (AQE broadcasts
+      // the class table: bounded by the QI domain, not rows)
+      val k = 5
+      val cust = T(s, d, "customer").select(col("c_custkey"),
+        col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("long").as("nation"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+      val classes = cust.groupBy("segment", "nation", "bal_band")
+        .agg(count(lit(1)).as("n"))
+      cust.join(broadcast(classes), Seq("segment", "nation", "bal_band"))
+        .select(col("c_custkey"),
+          when(col("n") >= k, col("segment")).otherwise(lit("*")).as("segment_out"),
+          when(col("n") >= k, col("nation")).otherwise(lit(-1L)).as("nation_out"),
+          when(col("n") >= k, col("bal_band")).otherwise(lit(-1L)).as("band_out"),
+          (col("n") < k).as("suppressed"))
+        .orderBy("c_custkey")
+    }),
     "events_twap" -> ((s, d) => {
       // time-weighted average price per event type: each observation is
       // weighted by how long it stayed current (the dwell span to the

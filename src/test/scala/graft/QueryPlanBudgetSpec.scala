@@ -134,7 +134,12 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // checkpointed pair frame
     "events_calendar_gaps" -> 4, // distinct types + 1-row bounds + observed distinct +
                               // ORDER BY; grid explodes in-row off broadcast bounds
-    "data_ldiversity" -> 3    // QI agg with countDistinct expand pair + ORDER BY
+    "data_ldiversity" -> 3,   // QI agg with countDistinct expand pair + ORDER BY
+    "vec_pq" -> 2,            // TP + ORDER BY — codebook is a literal array, assignment
+                              // is in-row HOF arithmetic; the corpus never shuffles
+    "q46_equidepth" -> 3,     // value-domain agg + 1-row total + bucket agg (ORDER BY
+                              // reuses the domain window's single-partition sort)
+    "data_kanon_suppress" -> 2 // QI class agg (broadcast back) + ORDER BY
   )
 
   test("headline queries match their pinned shuffle counts") {

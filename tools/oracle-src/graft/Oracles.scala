@@ -1832,6 +1832,48 @@ object Oracles {
         """SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      "vec_pq" ->
+        """WITH idx AS (SELECT t1.range AS j, t2.range AS c, t3.range AS k
+          |  FROM range(8) t1, range(16) t2, range(8) t3),
+          |ct AS (SELECT j, c, k,
+          |  (CAST(('0x' || substr(md5('pq:' || j || ':' || c || ':' || k), 1, 8)) AS BIGINT)
+          |    % 2001 - 1000) / 1000.0 AS cent FROM idx),
+          |cl AS (SELECT j, c, list(cent ORDER BY k) AS cl FROM ct GROUP BY j, c),
+          |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |      FROM embeddings),
+          |dist AS (SELECT vec_id, j, c,
+          |  list_reduce(list_transform(range(1, 9), k ->
+          |    (v[CAST(j*8 + k AS INT)] - cl[CAST(k AS INT)])
+          |      * (v[CAST(j*8 + k AS INT)] - cl[CAST(k AS INT)])), (x, y) -> x + y) AS dst
+          |  FROM e CROSS JOIN cl),
+          |best AS (SELECT vec_id, j, c, dst,
+          |  row_number() OVER (PARTITION BY vec_id, j ORDER BY dst, c) AS rk FROM dist)
+          |SELECT vec_id, CAST(j AS INT) AS sub_j, CAST(c AS INT) AS code, dst AS qerr
+          |FROM best WHERE rk = 1 ORDER BY vec_id, sub_j""".stripMargin,
+      "q46_equidepth" ->
+        """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          |           FROM orders),
+          |c AS (SELECT v, COUNT(*) AS c FROM v GROUP BY v),
+          |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+          |g AS (SELECT v, c,
+          |  COALESCE(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |    AS cum_before FROM c),
+          |b AS (SELECT CAST((cum_before * 10) // n AS INT) AS bucket, v, c FROM g, t)
+          |SELECT bucket, MIN(v) AS lo_cents, MAX(v) AS hi_cents, CAST(SUM(c) AS BIGINT) AS n_rows
+          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+      "data_kanon_suppress" ->
+        """WITH cust AS (SELECT c_custkey, c_mktsegment AS segment,
+          |  CAST(c_nationkey AS BIGINT) AS nation,
+          |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band FROM customer),
+          |cl AS (SELECT segment, nation, bal_band, COUNT(*) AS n FROM cust GROUP BY 1, 2, 3)
+          |SELECT c_custkey,
+          | CASE WHEN n >= 5 THEN cust.segment ELSE '*' END AS segment_out,
+          | CASE WHEN n >= 5 THEN cust.nation ELSE -1 END AS nation_out,
+          | CASE WHEN n >= 5 THEN cust.bal_band ELSE -1 END AS band_out,
+          | n < 5 AS suppressed
+          |FROM cust JOIN cl ON cust.segment = cl.segment AND cust.nation = cl.nation
+          |  AND cust.bal_band = cl.bal_band
+          |ORDER BY c_custkey""".stripMargin,
       "events_twap" ->
         """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
           |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
