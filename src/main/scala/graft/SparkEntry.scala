@@ -2777,6 +2777,53 @@ object SparkEntry {
         .select(cols.map(col): _*)
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    "events_quantile_by_type" -> ((s, d) => {
+      // per-key quantile sketch TABLE: (type, day) q-digest rows merge
+      // into per-type medians — the persisted-sketch layout where daily
+      // jobs append rows and readers merge per key without touching raw
+      // history; each type's estimate is rank-checked against the raw
+      // data with the W/k bound
+      import graft.functions.QuantileSketch._
+      val W = 20; val K = 512
+      val ev = EV(s, d).select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        expr("ts_us div 86400000000").as("day"))
+      val est = ev.groupBy("event_type", "day")
+        .agg(qdigest(col("cents"), W, K).as("sk"))
+        .groupBy("event_type")
+        .agg(qdigestMerge(col("sk"), W, K).as("sk"))
+        .select(col("event_type").as("et2"),
+          qdigestQuantile(col("sk"), 0.5, W).as("e50"))
+      ev.join(broadcast(est), col("event_type") === col("et2"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cents") <= col("e50"), 1L).otherwise(0L)).as("le"),
+          sum(when(col("cents") < col("e50"), 1L).otherwise(0L)).as("lt"))
+        .select(col("event_type"), col("n"),
+          ((col("le") >= lit(0.5) * col("n") - lit(W.toDouble / K) * col("n")) &&
+            (col("lt") <= lit(0.5) * col("n") + lit(W.toDouble / K) * col("n")))
+            .as("p50_ok"))
+        .orderBy("event_type")
+    }),
+    "pipeline_schema_evolution" -> ((s, d) => {
+      // schema evolution across parquet generations: gen1 lacks the
+      // price column, gen2 carries it; a mergeSchema read unions both
+      // layouts (old rows null-fill the new column) — the
+      // append-only-with-widening contract a long-lived 100 TB dataset
+      // lives by. Plan: two file-source scans union, one 1-row agg.
+      val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+      val ord = T(s, d, "orders")
+      ord.filter(expr("o_orderkey % 2 = 0"))
+        .select(col("o_orderkey"), col("o_custkey"))
+        .write.mode("overwrite").parquet(s"$dir/gen1")
+      ord.filter(expr("o_orderkey % 2 = 1"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$dir/gen2")
+      s.read.option("mergeSchema", "true").parquet(s"$dir/gen1", s"$dir/gen2")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("n_old_layout"),
+          sum(when(col("o_totalprice").isNotNull, 1L).otherwise(0L)).as("n_new_layout"))
+    }),
     "vec_pq" -> ((s, d) => {
       // product quantization: 64 dims → 8 subspaces × 8 dims, each coded
       // to the nearest of 16 codebook centroids — 64 floats become 8

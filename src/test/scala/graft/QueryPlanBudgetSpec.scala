@@ -139,7 +139,10 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // is in-row HOF arithmetic; the corpus never shuffles
     "q46_equidepth" -> 3,     // value-domain agg + 1-row total + bucket agg (ORDER BY
                               // reuses the domain window's single-partition sort)
-    "data_kanon_suppress" -> 2 // QI class agg (broadcast back) + ORDER BY
+    "data_kanon_suppress" -> 2, // QI class agg (broadcast back) + ORDER BY
+    "events_quantile_by_type" -> 4, // (type,day) sketch agg + per-type merge + rank-check
+                              // agg + ORDER BY; the 5-row estimate rides broadcast
+    "pipeline_schema_evolution" -> 1 // two-generation mergeSchema union scan + 1-row agg
   )
 
   test("headline queries match their pinned shuffle counts") {

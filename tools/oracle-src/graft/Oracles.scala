@@ -1832,6 +1832,14 @@ object Oracles {
         """SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      "events_quantile_by_type" ->
+        """SELECT event_type, COUNT(*) AS n, true AS p50_ok
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "pipeline_schema_evolution" ->
+        """SELECT COUNT(*) AS n_rows,
+          | CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old_layout,
+          | CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new_layout
+          |FROM orders""".stripMargin,
       "vec_pq" ->
         """WITH idx AS (SELECT t1.range AS j, t2.range AS c, t3.range AS k
           |  FROM range(8) t1, range(16) t2, range(8) t3),
