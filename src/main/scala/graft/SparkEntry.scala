@@ -2777,6 +2777,64 @@ object SparkEntry {
         .select(cols.map(col): _*)
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    "data_oversample" -> ((s, d) => {
+      // minority-class oversampling: integer replication factors
+      // ceil(max_n/n) from the label histogram (broadcast back), rows
+      // replicated by an in-row sequence explode — deterministic, no
+      // sampling randomness, and the explode factor is bounded by the
+      // imbalance ratio. Report: class sizes before/after.
+      val labels = TP(s, d, "embeddings").select(col("vec_id"), col("label"))
+      val hist = labels.groupBy("label").agg(count(lit(1)).as("n_before"))
+        .localCheckpoint(eager = false) // max side + factor side both read it
+      val maxN = hist.agg(max("n_before").as("max_n"))
+      val factors = hist.crossJoin(broadcast(maxN)) // label-count × 1 row
+        .withColumn("factor", ceil(col("max_n").cast("double") / col("n_before").cast("double")).cast("int"))
+      labels.join(broadcast(factors.select("label", "n_before", "factor")), Seq("label"))
+        .select(col("label"), col("n_before"), col("factor"),
+          explode(sequence(lit(1), col("factor"))).as("rep"))
+        .groupBy("label")
+        .agg(first("n_before").as("n_before"), first("factor").as("factor"),
+          count(lit(1)).as("n_after"))
+        .orderBy("label")
+    }),
+    "text_vocab_coverage" -> ((s, d) => {
+      // tokenizer-design curve: share of all token OCCURRENCES covered by
+      // the top-k vocabulary, at k checkpoints — token counts rank on the
+      // VOCAB-sized frame (the text_zipf window precedent), cumulative
+      // share is integer sums until one double division per checkpoint
+      import org.apache.spark.sql.expressions.Window
+      val checkpoints = Seq(5, 10, 20, 30) // synthetic corpus vocab is ~31 tokens
+      val counts = TP(s, d, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("c").desc, col("tok")) // vocab-sized frame
+      val ranked = counts
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cum", sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      val tot = counts.agg(sum("c").cast("bigint").as("n_occ"),
+        count(lit(1)).cast("bigint").as("n_vocab"))
+      ranked.filter(col("rk").isin(checkpoints.map(Integer.valueOf): _*))
+        .crossJoin(broadcast(tot)) // 1-row scalar attach
+        .select(col("rk").cast("int").as("vocab_size"), col("n_vocab"),
+          (col("cum").cast("double") / col("n_occ").cast("double")).as("coverage"))
+        .orderBy("vocab_size")
+    }),
+    "q47_setops_all" -> ((s, d) => {
+      // bag-semantics set operations (INTERSECT ALL / EXCEPT ALL keep
+      // multiplicities — no distinct pass anywhere): customer nations of
+      // high- vs low-balance halves, tagged and unioned into one report
+      val cust = T(s, d, "customer")
+      val hi = cust.filter(col("c_acctbal") >= 0).select(col("c_nationkey"))
+      val lo = cust.filter(col("c_acctbal") < 0).select(col("c_nationkey"))
+      hi.intersectAll(lo).groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect_all"))
+        .unionAll(
+          hi.exceptAll(lo).groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+            .withColumn("op", lit("except_all")))
+        .select(col("op"), col("c_nationkey").cast("long").as("nation"), col("n"))
+        .orderBy("op", "nation")
+    }),
     "events_quantile_by_type" -> ((s, d) => {
       // per-key quantile sketch TABLE: (type, day) q-digest rows merge
       // into per-type medians — the persisted-sketch layout where daily

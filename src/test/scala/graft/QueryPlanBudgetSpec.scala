@@ -142,7 +142,13 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "data_kanon_suppress" -> 2, // QI class agg (broadcast back) + ORDER BY
     "events_quantile_by_type" -> 4, // (type,day) sketch agg + per-type merge + rank-check
                               // agg + ORDER BY; the 5-row estimate rides broadcast
-    "pipeline_schema_evolution" -> 1 // two-generation mergeSchema union scan + 1-row agg
+    "pipeline_schema_evolution" -> 1, // two-generation mergeSchema union scan + 1-row agg
+    "data_oversample" -> 4,   // TP + label join + final agg + ORDER BY; the histogram
+                              // (behind a lazy checkpoint) feeds max + factors once
+    "text_vocab_coverage" -> 4, // TP + token agg + vocab-sized rank window + ORDER BY;
+                              // totals ride a broadcast NLJ
+    "q47_setops_all" -> 3     // intersectAll/exceptAll share one hash partitioning;
+                              // per-branch aggs reuse it — 2 branch aggs + ORDER BY
   )
 
   test("headline queries match their pinned shuffle counts") {

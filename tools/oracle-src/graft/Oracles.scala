@@ -1832,6 +1832,35 @@ object Oracles {
         """SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      "data_oversample" ->
+        """WITH h AS (SELECT label, COUNT(*) AS n_before FROM embeddings GROUP BY label),
+          |m AS (SELECT MAX(n_before) AS max_n FROM h),
+          |f AS (SELECT label, n_before,
+          |  CAST(ceil(CAST(max_n AS DOUBLE) / CAST(n_before AS DOUBLE)) AS INT) AS factor
+          |  FROM h, m)
+          |SELECT label, n_before, factor, CAST(n_before * factor AS BIGINT) AS n_after
+          |FROM f ORDER BY label""".stripMargin,
+      "text_vocab_coverage" ->
+        s"""WITH tok AS (SELECT unnest($toks) AS tok FROM documents),
+           |c AS (SELECT tok, COUNT(*) AS c FROM tok WHERE tok <> '' GROUP BY tok),
+           |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk,
+           |  SUM(c) OVER (ORDER BY c DESC, tok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM c),
+           |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_occ, CAST(COUNT(*) AS BIGINT) AS n_vocab FROM c)
+           |SELECT CAST(rk AS INT) AS vocab_size, n_vocab,
+           | CAST(cum AS DOUBLE) / CAST(n_occ AS DOUBLE) AS coverage
+           |FROM r, t WHERE rk IN (5, 10, 20, 30) ORDER BY vocab_size""".stripMargin,
+      "q47_setops_all" ->
+        """WITH hi AS (SELECT c_nationkey FROM customer WHERE c_acctbal >= 0),
+          |lo AS (SELECT c_nationkey FROM customer WHERE c_acctbal < 0),
+          |ia AS (SELECT c_nationkey FROM hi INTERSECT ALL SELECT c_nationkey FROM lo),
+          |ea AS (SELECT c_nationkey FROM hi EXCEPT ALL SELECT c_nationkey FROM lo)
+          |SELECT * FROM (
+          |  SELECT 'intersect_all' AS op, CAST(c_nationkey AS BIGINT) AS nation, COUNT(*) AS n
+          |  FROM ia GROUP BY 2
+          |  UNION ALL
+          |  SELECT 'except_all', CAST(c_nationkey AS BIGINT), COUNT(*) FROM ea GROUP BY 2)
+          |ORDER BY op, nation""".stripMargin,
       "events_quantile_by_type" ->
         """SELECT event_type, COUNT(*) AS n, true AS p50_ok
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
