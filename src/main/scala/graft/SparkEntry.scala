@@ -2777,6 +2777,37 @@ object SparkEntry {
         .select(cols.map(col): _*)
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    "ann_pq_adc" -> ((s, d) => {
+      // PQ-compressed ANN: corpus → 8 codes/vector (sampled codebook),
+      // queries rank by asymmetric distance to the reconstructions.
+      // Like ann_lsh/ann_ivf, driver-checked via the recall-vs-L2-brute-
+      // force invariant (codebook-dependent rows aren't SQL-replicable).
+      import org.apache.spark.sql.expressions.Window
+      val vecs = TP(s, d, "embeddings")
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+      val queries = vecs.filter(col("vec_id") < 8)
+      val k = 5
+      val q = queries.select(col("vec_id").as("query_id"), col("vec").as("q_vec"))
+      val bfw = Window.partitionBy("query_id").orderBy(col("l2"), col("neighbor_id"))
+      val bf = vecs.select(col("vec_id").as("neighbor_id"), col("vec").as("c_vec"))
+        .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .withColumn("l2", expr(
+          """aggregate(zip_with(q_vec, c_vec, (x, y) -> (x - y) * (x - y)),
+            | cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin))
+        .withColumn("rk", row_number().over(bfw)).filter(col("rk") <= k)
+        .select("query_id", "neighbor_id")
+      // candidate budget = corpus/4 (the scan-fraction knob): codes prune
+      // 75% of full-precision reads; recall@5 measured 0.775/0.925/0.85
+      // at sf0.001/0.01/0.1 (deterministic) — invariant bar 0.6 with margin
+      val n = vecs.count()
+      val pq = SimilarityOps.pqAdcRerankTopK(vecs, queries, "vec_id", "vec", k,
+          nCandidates = math.max(64, (n / 4).toInt))
+        .select("query_id", "neighbor_id")
+      bf.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(8L).as("n_queries"),
+          (col("hits").cast("double") / (8 * k) >= 0.6).as("recall_ok"))
+    }),
     "data_oversample" -> ((s, d) => {
       // minority-class oversampling: integer replication factors
       // ceil(max_n/n) from the label histogram (broadcast back), rows

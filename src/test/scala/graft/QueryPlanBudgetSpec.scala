@@ -147,8 +147,11 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // (behind a lazy checkpoint) feeds max + factors once
     "text_vocab_coverage" -> 4, // TP + token agg + vocab-sized rank window + ORDER BY;
                               // totals ride a broadcast NLJ
-    "q47_setops_all" -> 3     // intersectAll/exceptAll share one hash partitioning;
+    "q47_setops_all" -> 3,    // intersectAll/exceptAll share one hash partitioning;
                               // per-branch aggs reuse it — 2 branch aggs + ORDER BY
+    "ann_pq_adc" -> 7         // TP×2 (codes + rerank fetch) + per-query ADC window +
+                              // candidate join + rerank window + hit agg; queries/
+                              // candidates ride broadcast
   )
 
   test("headline queries match their pinned shuffle counts") {

@@ -157,6 +157,8 @@ object Oracles {
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
       "ann_ivf_index" ->
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+      "ann_pq_adc" ->
+        "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
       "q19_percentile" ->
         """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50,
           | quantile_cont(o_totalprice, 0.9) AS p90
