@@ -2777,6 +2777,51 @@ object SparkEntry {
         .select(cols.map(col): _*)
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    "events_ab_test" -> ((s, d) => {
+      // A/B experiment readout: users split 50/50 by md5 (deterministic,
+      // the data_split contract), per-arm mean/variance from
+      // decimal-exact moments, Welch's t statistic as the fixed
+      // closed-form double — one scan, a 2-row aggregate, no window
+      val arm = when(
+        conv(substring(md5(concat(lit("ab:"), col("user_id"))), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, "A").otherwise("B")
+      val vd = col("value").cast("decimal(18,2)")
+      val m = EV(s, d)
+        .select(arm.as("arm"), vd.as("v"))
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).cast("decimal(38,2)").cast("double").as("sx"),
+          sum((col("v") * col("v")).cast("decimal(38,4)")).cast("decimal(38,4)")
+            .cast("double").as("sxx"))
+        .selectExpr("arm", "n", "sx / n AS mean",
+          "(sxx - sx * sx / n) / (n - 1) / n AS se2") // s²/n, Welch term
+      val a = m.filter(col("arm") === "A")
+        .select(col("n").as("n_a"), col("mean").as("mean_a"), col("se2").as("se2_a"))
+      val b = m.filter(col("arm") === "B")
+        .select(col("n").as("n_b"), col("mean").as("mean_b"), col("se2").as("se2_b"))
+      a.crossJoin(broadcast(b)) // 1-row × 1-row
+        .selectExpr("n_a", "n_b", "mean_a", "mean_b",
+          "(mean_a - mean_b) / sqrt(se2_a + se2_b) AS t_welch")
+    }),
+    "write_bin_packing" -> ((s, d) => {
+      // write planning: pack per-key byte totals into target-sized output
+      // bins with a greedy running-sum cut (bin = cum_before div target) —
+      // the file-count planner a compaction job runs over the KEY-DOMAIN
+      // aggregate before any data moves. Integer-exact, one domain window.
+      import org.apache.spark.sql.expressions.Window
+      val target = 512 * 1024L // 512 KiB per output bin
+      val sizes = T(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("key"))
+        .agg(sum(lit(96) + length(col("l_returnflag"))).as("bytes")) // est row cost
+      val w = Window.orderBy("key") // key-domain-sized frame
+      sizes
+        .withColumn("cum_before", coalesce(sum("bytes").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("bin", expr(s"CAST(cum_before div ${target}L AS INT)"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_keys"), sum("bytes").cast("bigint").as("bin_bytes"))
+        .orderBy("bin")
+    }),
     "ann_pq_adc" -> ((s, d) => {
       // PQ-compressed ANN: corpus → 8 codes/vector (sampled codebook),
       // queries rank by asymmetric distance to the reconstructions.

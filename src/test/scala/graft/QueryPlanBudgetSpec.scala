@@ -149,9 +149,12 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // totals ride a broadcast NLJ
     "q47_setops_all" -> 3,    // intersectAll/exceptAll share one hash partitioning;
                               // per-branch aggs reuse it — 2 branch aggs + ORDER BY
-    "ann_pq_adc" -> 7         // TP×2 (codes + rerank fetch) + per-query ADC window +
+    "ann_pq_adc" -> 7,        // TP×2 (codes + rerank fetch) + per-query ADC window +
                               // candidate join + rerank window + hit agg; queries/
                               // candidates ride broadcast
+    "events_ab_test" -> 2,    // one 2-row moment agg; arms meet in a 1×1 broadcast NLJ
+    "write_bin_packing" -> 2  // key-size agg + bin agg (ORDER BY reuses the domain
+                              // window's single-partition sort)
   )
 
   test("headline queries match their pinned shuffle counts") {

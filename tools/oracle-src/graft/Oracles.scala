@@ -157,6 +157,26 @@ object Oracles {
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
       "ann_ivf_index" ->
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+      "events_ab_test" ->
+        """WITH e AS (SELECT CASE WHEN CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+          |    THEN 'A' ELSE 'B' END AS arm, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+          |m AS (SELECT arm, COUNT(*) AS n,
+          |  CAST(CAST(CAST(SUM(v) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sx,
+          |  CAST(CAST(CAST(SUM(CAST(v * v AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sxx
+          |  FROM e GROUP BY arm),
+          |x AS (SELECT arm, n, sx / n AS mean, (sxx - sx * sx / n) / (n - 1) / n AS se2 FROM m)
+          |SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+          | (a.mean - b.mean) / sqrt(a.se2 + b.se2) AS t_welch
+          |FROM x a, x b WHERE a.arm = 'A' AND b.arm = 'B'""".stripMargin,
+      "write_bin_packing" ->
+        """WITH s AS (SELECT l_orderkey AS key, SUM(96 + length(l_returnflag)) AS bytes
+          |           FROM lineitem GROUP BY 1),
+          |c AS (SELECT key, bytes,
+          |  COALESCE(SUM(bytes) OVER (ORDER BY key ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |    AS cum_before FROM s)
+          |SELECT CAST(cum_before // 524288 AS INT) AS bin, COUNT(*) AS n_keys,
+          | CAST(SUM(bytes) AS BIGINT) AS bin_bytes
+          |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
       "ann_pq_adc" ->
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
       "q19_percentile" ->
