@@ -2777,6 +2777,13 @@ object SparkEntry {
         .select(cols.map(col): _*)
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    "text_rake" -> ((s, d) => {
+      // RAKE keyphrase extraction: stopword-delimited candidate phrases,
+      // corpus word freq/degree, integer ratio-of-sums scores — see
+      // CorpusOps.rakePhrases for the scale shape (doc-bounded windows,
+      // vocab-sized stats, TakeOrdered top-k)
+      CorpusOps.rakePhrases(TP(s, d, "documents"), "doc_id", "text", topK = 20)
+    }),
     "events_ab_test" -> ((s, d) => {
       // A/B experiment readout: users split 50/50 by md5 (deterministic,
       // the data_split contract), per-arm mean/variance from

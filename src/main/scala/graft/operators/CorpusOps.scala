@@ -569,4 +569,48 @@ object CorpusOps {
       .filter(col(RankCol) === 1)
       .select(col(idCol), col("token").as("term"), col("tf"), col("df"), col("score"))
   }
+
+  /** RAKE-style keyphrase extraction (Rose et al. 2010), ratio-of-sums
+    * scoring: candidate phrases are maximal non-stopword token runs
+    * (split in-row by a per-doc cumulative stopword count — doc-bounded
+    * windows only); each word's corpus freq (occurrences in phrases)
+    * and degree (Σ length of phrases containing it) aggregate once; a
+    * phrase scores Σdeg/Σfreq over its words — the INTEGER sums keep
+    * the score a single exact division (classic RAKE sums per-word
+    * ratios, which would add doubles in data order). Top-k by
+    * (score desc, phrase) is a TakeOrdered, not a sort.
+    */
+  def rakePhrases(docs: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
+    import graft.functions.TextFunctions
+    val stopArr = array(TextFunctions.allStopwords.map(lit): _*)
+    val toks = docs
+      .select(col(idCol).as("doc"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("is_stop", array_contains(stopArr, col("tok")))
+    val w = Window.partitionBy("doc").orderBy("pos")
+    val phrases = toks
+      .withColumn("gid", sum(col("is_stop").cast("int")).over(w))
+      .filter(!col("is_stop"))
+      .groupBy("doc", "gid")
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("pt"))
+      .select(col("doc"),
+        expr("transform(pt, x -> x.tok)").as("words"),
+        size(col("pt")).as("plen"))
+      .filter(size(col("words")) >= 2) // single words are freq noise in RAKE
+      .localCheckpoint(eager = false) // word-stat side + phrase side read it
+    val wordStats = phrases
+      .select(explode(col("words")).as("word"), col("plen"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("degree"))
+    phrases
+      .select(col("doc"), concat_ws(" ", col("words")).as("phrase"),
+        explode(col("words")).as("word"))
+      .join(wordStats, Seq("word"))
+      .groupBy("phrase")
+      .agg(countDistinct(col("doc")).as("n_docs"),
+        (sum("degree").cast("double") / sum("freq").cast("double")).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(topK)
+  }
 }

@@ -157,6 +157,25 @@ object Oracles {
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
       "ann_ivf_index" ->
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+      "text_rake" ->
+        s"""WITH tk AS (SELECT doc_id, $toks AS tk FROM documents),
+           |tok AS (SELECT doc_id, tk[CAST(i AS INT)] AS tok, i AS pos
+           |        FROM tk, unnest(range(1, len(tk) + 1)) AS r(i)
+           |        WHERE tk[CAST(i AS INT)] <> ''),
+           |tagged AS (SELECT doc_id, tok, pos, list_contains($stopAll, tok) AS is_stop FROM tok),
+           |g AS (SELECT doc_id, tok, pos, is_stop,
+           |      SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+           |      FROM tagged),
+           |ph AS (SELECT doc_id, gid, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+           |       COUNT(*) AS plen, list(tok ORDER BY pos) AS words
+           |       FROM g WHERE NOT is_stop GROUP BY doc_id, gid HAVING COUNT(*) >= 2),
+           |ws AS (SELECT w AS word, COUNT(*) AS freq, SUM(plen) AS degree
+           |       FROM (SELECT unnest(words) AS w, plen FROM ph) GROUP BY w),
+           |pw AS (SELECT doc_id, phrase, unnest(words) AS word FROM ph),
+           |sc AS (SELECT phrase, COUNT(DISTINCT doc_id) AS n_docs,
+           |       CAST(SUM(degree) AS DOUBLE) / CAST(SUM(freq) AS DOUBLE) AS score
+           |       FROM pw JOIN ws ON pw.word = ws.word GROUP BY phrase)
+           |SELECT phrase, n_docs, score FROM sc ORDER BY score DESC, phrase LIMIT 20""".stripMargin,
       "events_ab_test" ->
         """WITH e AS (SELECT CASE WHEN CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
           |    THEN 'A' ELSE 'B' END AS arm, CAST(value AS DECIMAL(18,2)) AS v FROM events),
