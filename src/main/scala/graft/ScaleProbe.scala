@@ -378,6 +378,29 @@ object ScaleProbe {
             pmod(col("id") * 13L, lit(1000L)).as("v")),
           "src", "v").count()
       },
+      "pq_assign" -> { rows =>
+        // PQ code assignment via the NATIVE codegen kernel (PqKernel) —
+        // pure map-side; per-row cost must be flat and ~100x the
+        // interpreted-HOF form this replaced
+        val J = 8; val C = 16; val K = 8
+        val cb = (for (j <- 0 until J; c <- 0 until C; kk <- 0 until K)
+          yield ((j * 37 + c * 11 + kk) % 2001 - 1000) / 1000.0).toArray
+        synthVecs(rows)
+          .select(graft.functions.PqFunctions.pqCodes(col("vec"), cb, J, C).as("codes"))
+          .select(expr("aggregate(codes, 0L, (a, x) -> a + x)").as("codesum"))
+          .groupBy("codesum").count().count()
+      },
+      "bootstrap_resample" -> { rows =>
+        // x16 in-row multiplicity expand + ONE groupBy(b): the one-pass
+        // resampling shape; cost must track rows x B, no per-resample scan
+        synth(rows)
+          .select(col("id"), col("value"),
+            explode(sequence(lit(1), lit(16))).as("b"))
+          .withColumn("m", pmod(col("id") * col("b") * 2654435761L, lit(4L)))
+          .groupBy("b")
+          .agg(sum(col("m") * col("value")).as("s"), sum("m").as("n"))
+          .count()
+      },
       "auc_exact" -> { rows =>
         // Mann-Whitney AUC over a 2000-point score domain, 8 groups: the
         // only row-sized shuffle is the (group,score) count agg

@@ -453,38 +453,22 @@ object SimilarityOps {
     val dim = sample.head.length
     require(dim % subspaces == 0, "dim must divide into subspaces")
     val sub = dim / subspaces
-    // flattened codebook: cent[((j*codes + c)*sub + kk)] = sample(c)(j*sub+kk)
-    val centArr = array((for (j <- 0 until subspaces; c <- 0 until codes; kk <- 0 until sub)
-      yield lit(sample(c)(j * sub + kk))): _*)
-    val J = subspaces; val C = codes; val K = sub
+    // flattened codebook: cb[((j*codes + c)*sub + kk)] = sample(c)(j*sub+kk),
+    // shipped as a plan reference object into the native PQ expressions
+    // (graft.functions.PqKernel — tight codegen loops; the HOF form of the
+    // same math lives in the SQL-mirrorable `vec_pq` driver query)
+    val cbFlat = (for (j <- 0 until subspaces; c <- 0 until codes; kk <- 0 until sub)
+      yield sample(c)(j * sub + kk)).toArray
     val coded = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .withColumn("cent", centArr)
-      .withColumn("codes", expr(
-        s"""transform(sequence(0, ${J - 1}), j ->
-           |  array_position(
-           |    transform(sequence(0, ${C - 1}), c ->
-           |      aggregate(sequence(1, $K), cast(0.0 as double), (acc, kk) ->
-           |        acc + (element_at(c_vec, j*$K + kk) - element_at(cent, (j*$C + c)*$K + kk))
-           |            * (element_at(c_vec, j*$K + kk) - element_at(cent, (j*$C + c)*$K + kk)))),
-           |    array_min(transform(sequence(0, ${C - 1}), c ->
-           |      aggregate(sequence(1, $K), cast(0.0 as double), (acc, kk) ->
-           |        acc + (element_at(c_vec, j*$K + kk) - element_at(cent, (j*$C + c)*$K + kk))
-           |            * (element_at(c_vec, j*$K + kk) - element_at(cent, (j*$C + c)*$K + kk)))))
-           |  ) - 1)
-           |""".stripMargin))
-      .select(col("neighbor_id"), col("cent"), col("codes"))
+      .withColumn("codes",
+        graft.functions.PqFunctions.pqCodes(col("c_vec"), cbFlat, subspaces, codes))
+      .select("neighbor_id", "codes")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val scored = coded
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("adc", expr(
-        s"""aggregate(sequence(0, ${J - 1}), cast(0.0 as double), (acc, j) ->
-           |  acc + aggregate(sequence(1, $K), cast(0.0 as double), (a2, kk) ->
-           |    a2 + (element_at(q_vec, j*$K + kk)
-           |          - element_at(cent, cast((j*$C + element_at(codes, j + 1))*$K + kk as int)))
-           |       * (element_at(q_vec, j*$K + kk)
-           |          - element_at(cent, cast((j*$C + element_at(codes, j + 1))*$K + kk as int)))))
-           |""".stripMargin))
+      .withColumn("adc",
+        graft.functions.PqFunctions.pqAdc(col("q_vec"), col("codes"), cbFlat, subspaces, codes))
     val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
     scored
       .withColumn("rk", row_number().over(w))
