@@ -2777,6 +2777,31 @@ object SparkEntry {
         .select(cols.map(col): _*)
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    "events_forecast_baseline" -> ((s, d) => {
+      // forecast-baseline backtest: seasonal-naive ŷ(day) = y(day−7) per
+      // event type, scored by MAE/bias in integer cents over the
+      // calendar-sized daily aggregate — the sanity bar any forecasting
+      // model must beat, computed exactly (one day-keyed join, no FP
+      // until the final ratios)
+      val daily = EV(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+          .cast("decimal(38,0)").cast("bigint").as("cents"))
+        .localCheckpoint(eager = false) // actual + lag-7 sides both read it
+      val lag7 = daily.select(col("event_type").as("et2"),
+        (col("day") + 7).as("day2"), col("cents").as("pred"))
+      daily.join(lag7,
+          col("event_type") === col("et2") && col("day") === col("day2"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("cents") - col("pred"))).cast("bigint").as("abs_err"),
+          sum(col("cents") - col("pred")).cast("bigint").as("bias_cents"))
+        .select(col("event_type"), col("n_days"),
+          (col("abs_err").cast("double") / col("n_days").cast("double") / lit(100.0))
+            .as("mae"),
+          col("bias_cents"))
+        .orderBy("event_type")
+    }),
     "text_rake" -> ((s, d) => {
       // RAKE keyphrase extraction: stopword-delimited candidate phrases,
       // corpus word freq/degree, integer ratio-of-sums scores — see

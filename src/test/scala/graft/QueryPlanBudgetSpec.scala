@@ -155,9 +155,11 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "events_ab_test" -> 2,    // one 2-row moment agg; arms meet in a 1×1 broadcast NLJ
     "write_bin_packing" -> 2, // key-size agg + bin agg (ORDER BY reuses the domain
                               // window's single-partition sort)
-    "text_rake" -> 3          // TP + doc-keyed phrase window/agg + phrase score agg;
+    "text_rake" -> 3,         // TP + doc-keyed phrase window/agg + phrase score agg;
                               // word stats ride an AQE join off the checkpointed
                               // phrase frame, top-k is TakeOrdered
+    "events_forecast_baseline" -> 2 // daily agg (lazy checkpoint feeds actual + lag-7
+                              // sides) + ORDER BY; the day+7 join is calendar-sized
   )
 
   test("headline queries match their pinned shuffle counts") {

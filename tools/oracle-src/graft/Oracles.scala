@@ -157,6 +157,17 @@ object Oracles {
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
       "ann_ivf_index" ->
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+      "events_forecast_baseline" ->
+        """WITH daily AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+          |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS BIGINT) AS cents
+          |  FROM events GROUP BY 1, 2),
+          |j AS (SELECT a.event_type, a.cents, b.cents AS pred
+          |      FROM daily a JOIN daily b
+          |      ON a.event_type = b.event_type AND a.day = b.day + 7)
+          |SELECT event_type, COUNT(*) AS n_days,
+          | CAST(SUM(abs(cents - pred)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS mae,
+          | CAST(SUM(cents - pred) AS BIGINT) AS bias_cents
+          |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
       "text_rake" ->
         s"""WITH tk AS (SELECT doc_id, $toks AS tk FROM documents),
            |tok AS (SELECT doc_id, tk[CAST(i AS INT)] AS tok, i AS pos
