@@ -2777,6 +2777,72 @@ object SparkEntry {
         .select(cols.map(col): _*)
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    "dedup_tf_cosine" -> ((s, d) => {
+      // EXACT tf-vector cosine similarity join: candidates from shared
+      // RARE terms (df-bounded inverted index — the containment-blocking
+      // contract: common terms never generate pairs), then the FULL dot
+      // product in integer tf arithmetic over two keyed posting joins,
+      // norms from per-doc Σtf² — the one division per pair is the only
+      // FP op, so pairs replay bit-for-bit vs the quadratic oracle
+      val maxDf = 20
+      val threshold = 0.9
+      val docs = TP(s, d, "documents")
+      val terms = CorpusOps.docTermCounts(docs, "doc_id", "text")
+        .localCheckpoint(eager = false) // both dot sides + norms read it
+      // blocking on rare word 3-GRAMS, not tokens: the unigram vocab is
+      // dense (every token common), but shingles are selective — the
+      // dedup_containment blocking contract; verification below is the
+      // FULL token-tf cosine, so blocking only bounds the pair set
+      val sh = docs.select(col("doc_id"),
+        explode(array_distinct(TextFunctions.shingles(col("text"), 3))).as("g"))
+      val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf)
+      val postings = sh.join(rare.select("g"), Seq("g"), "left_semi")
+      val cands = postings.select(col("g"), col("doc_id").as("a_id"))
+        .join(postings.select(col("g"), col("doc_id").as("b_id")), Seq("g"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val dots = cands
+        .join(terms.select(col("doc_id").as("a_id"), col("token"), col("tf").as("tf_a")),
+          Seq("a_id"))
+        .join(terms.select(col("doc_id").as("b_id"), col("token"), col("tf").as("tf_b")),
+          Seq("b_id", "token"))
+        .groupBy("a_id", "b_id")
+        .agg(sum(col("tf_a") * col("tf_b")).cast("bigint").as("dot"))
+      val norms = terms.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+      dots
+        .join(norms.select(col("doc_id").as("a_id"), col("n2").as("n2a")), Seq("a_id"))
+        .join(norms.select(col("doc_id").as("b_id"), col("n2").as("n2b")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (col("dot").cast("double") /
+            (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
+            .as("cosine"))
+        .filter(col("cosine") >= threshold)
+        .orderBy("a_id", "b_id")
+    }),
+    "data_dataset_card" -> ((s, d) => {
+      // dataset-card generator: the summary block a curated release
+      // ships with — size, dedup rate, language mix, token mass — all
+      // from ONE scan (single aggregate incl. the distinct-hash expand;
+      // metric rows are an in-row stack)
+      val docs = TP(s, d, "documents")
+      val m = docs.agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("chars"),
+        countDistinct(md5(TextFunctions.normText(col("text")))).as("n_uniq"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(size(TextFunctions.tokens(col("text")))).as("toks"))
+      m.select(inline(array(
+        struct(lit("n_docs").as("metric"), col("n").cast("double").as("value")),
+        struct(lit("total_chars").as("metric"), col("chars").cast("double").as("value")),
+        struct(lit("exact_dup_rate").as("metric"),
+          ((col("n") - col("n_uniq")).cast("double") / col("n").cast("double")).as("value")),
+        struct(lit("share_en").as("metric"),
+          (col("n_en").cast("double") / col("n").cast("double")).as("value")),
+        struct(lit("mean_tokens").as("metric"),
+          (col("toks").cast("double") / col("n").cast("double")).as("value")))))
+        .orderBy("metric")
+    }),
     "events_forecast_baseline" -> ((s, d) => {
       // forecast-baseline backtest: seasonal-naive ŷ(day) = y(day−7) per
       // event type, scored by MAE/bias in integer cents over the

@@ -158,8 +158,12 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "text_rake" -> 3,         // TP + doc-keyed phrase window/agg + phrase score agg;
                               // word stats ride an AQE join off the checkpointed
                               // phrase frame, top-k is TakeOrdered
-    "events_forecast_baseline" -> 2 // daily agg (lazy checkpoint feeds actual + lag-7
+    "events_forecast_baseline" -> 2, // daily agg (lazy checkpoint feeds actual + lag-7
                               // sides) + ORDER BY; the day+7 join is calendar-sized
+    "dedup_tf_cosine" -> 7,   // TP + shingle df agg + pair-distinct agg + two posting
+                              // joins + dot agg + ORDER BY off the checkpointed terms
+    "data_dataset_card" -> 3  // TP + ONE agg (distinct-hash expand pair) + ORDER BY;
+                              // metric rows are an in-row stack
   )
 
   test("headline queries match their pinned shuffle counts") {

@@ -157,6 +157,40 @@ object Oracles {
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
       "ann_ivf_index" ->
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+      "dedup_tf_cosine" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+           |f AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           |      WHERE token <> '' AND NOT list_contains($stopAll, token)
+           |      GROUP BY doc_id, token),
+           |tk AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sh AS (SELECT doc_id, unnest(list_distinct(${shingles("tk", 3)})) AS g FROM tk),
+           |dfx AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g),
+           |p AS (SELECT sh.g, sh.doc_id FROM sh JOIN dfx USING (g) WHERE dfx.df <= 20),
+           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |         FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id),
+           |dot AS (SELECT c.a_id, c.b_id, CAST(SUM(x.tf * y.tf) AS BIGINT) AS dot
+           |        FROM cand c JOIN f x ON x.doc_id = c.a_id
+           |        JOIN f y ON y.doc_id = c.b_id AND y.token = x.token
+           |        GROUP BY c.a_id, c.b_id),
+           |n2 AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM f GROUP BY doc_id)
+           |SELECT a_id, b_id,
+           | CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+           |FROM dot JOIN n2 na ON na.doc_id = a_id JOIN n2 nb ON nb.doc_id = b_id
+           |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.9
+           |ORDER BY a_id, b_id""".stripMargin,
+      "data_dataset_card" ->
+        s"""WITH m AS (SELECT COUNT(*) AS n, SUM(n_chars) AS chars,
+           |  COUNT(DISTINCT md5($norm)) AS n_uniq,
+           |  SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+           |  SUM(len(list_filter($toks, t -> t <> ''))) AS toks
+           |  FROM documents)
+           |SELECT * FROM (
+           |  SELECT 'n_docs' AS metric, CAST(n AS DOUBLE) AS value FROM m
+           |  UNION ALL SELECT 'total_chars', CAST(chars AS DOUBLE) FROM m
+           |  UNION ALL SELECT 'exact_dup_rate', CAST(n - n_uniq AS DOUBLE) / CAST(n AS DOUBLE) FROM m
+           |  UNION ALL SELECT 'share_en', CAST(n_en AS DOUBLE) / CAST(n AS DOUBLE) FROM m
+           |  UNION ALL SELECT 'mean_tokens', CAST(toks AS DOUBLE) / CAST(n AS DOUBLE) FROM m)
+           |ORDER BY metric""".stripMargin,
       "events_forecast_baseline" ->
         """WITH daily AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
           |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0)) AS BIGINT) AS cents
