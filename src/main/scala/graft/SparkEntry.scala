@@ -2777,6 +2777,50 @@ object SparkEntry {
         .select(cols.map(col): _*)
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    "q48_cohort_ltv" -> ((s, d) => {
+      // cohort lifetime-value curve: customers grouped by first-order
+      // month, cumulative revenue per cohort over month age — decimal-
+      // exact sums; the cumulative runs on the cohort×age aggregate
+      // (calendar² rows), one customer-keyed min and one month rollup
+      import org.apache.spark.sql.expressions.Window
+      val ord = T(s, d, "orders").select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"),
+        col("o_totalprice").cast("decimal(18,2)").as("v"))
+        .localCheckpoint(eager = false) // cohort min + revenue rollup read it
+      val cohorts = ord.groupBy("o_custkey").agg(min("m").as("cohort_m"))
+      val cells = ord.join(cohorts, Seq("o_custkey"))
+        .groupBy(col("cohort_m"), (col("m") - col("cohort_m")).as("age"))
+        .agg(sum(col("v")).cast("decimal(38,2)").as("rev"))
+      val w = Window.partitionBy("cohort_m").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("cum_rev",
+          sum(col("rev")).over(w).cast("decimal(38,2)").cast("double"))
+        .select(col("cohort_m"), col("age"),
+          col("rev").cast("double").as("rev"), col("cum_rev"))
+        .orderBy("cohort_m", "age")
+    }),
+    "q49_otif" -> ((s, d) => {
+      // supplier on-time scorecard: ship-lag ≤ 90 days counts as
+      // on-time; volume, revenue (decimal-exact) and on-time share per
+      // supplier — the fact-to-fact join on orderkey with a supplier
+      // rollup; integer ratio, one double division
+      val li = T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          revenueTerm.as("rev_term"))
+      val ord = T(s, d, "orders").select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderdate"))
+      li.join(ord, Seq("l_orderkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(datediff(col("l_shipdate"), col("o_orderdate")) <= 90, 1L)
+            .otherwise(0L)).as("n_ontime"),
+          dsum(col("rev_term"), 6).as("revenue"))
+        .select(col("l_suppkey"), col("n_lines"),
+          (col("n_ontime").cast("double") / col("n_lines").cast("double")).as("otif"),
+          col("revenue"))
+        .orderBy("l_suppkey")
+    }),
     "dedup_tf_cosine" -> ((s, d) => {
       // EXACT tf-vector cosine similarity join: candidates from shared
       // RARE terms (df-bounded inverted index — the containment-blocking

@@ -162,8 +162,13 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // sides) + ORDER BY; the day+7 join is calendar-sized
     "dedup_tf_cosine" -> 7,   // TP + shingle df agg + pair-distinct agg + two posting
                               // joins + dot agg + ORDER BY off the checkpointed terms
-    "data_dataset_card" -> 3  // TP + ONE agg (distinct-hash expand pair) + ORDER BY;
+    "data_dataset_card" -> 3, // TP + ONE agg (distinct-hash expand pair) + ORDER BY;
                               // metric rows are an in-row stack
+    "q48_cohort_ltv" -> 4,    // customer cohort agg + cell agg + cohort-month window +
+                              // ORDER BY, off the checkpointed order projection
+    "q49_otif" -> 2           // fact-fact SMJ reuses the supplier agg exchange? no —
+                              // orderkey join shuffles once + supplier agg; ORDER BY
+                              // reuses; lineitem side AQE-planned
   )
 
   test("headline queries match their pinned shuffle counts") {

@@ -157,6 +157,26 @@ object Oracles {
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
       "ann_ivf_index" ->
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+      "q48_cohort_ltv" ->
+        """WITH o AS (SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) AS m,
+          |  CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders),
+          |c AS (SELECT o_custkey, MIN(m) AS cohort_m FROM o GROUP BY 1),
+          |cells AS (SELECT cohort_m, m - cohort_m AS age, CAST(SUM(v) AS DECIMAL(38,2)) AS rev
+          |          FROM o JOIN c USING (o_custkey) GROUP BY 1, 2),
+          |x AS (SELECT cohort_m, age, rev,
+          |      CAST(SUM(rev) OVER (PARTITION BY cohort_m ORDER BY age
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS cum
+          |      FROM cells)
+          |SELECT cohort_m, age, CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS rev,
+          | CAST(CAST(cum AS VARCHAR) AS DOUBLE) AS cum_rev
+          |FROM x ORDER BY cohort_m, age""".stripMargin,
+      "q49_otif" ->
+        s"""SELECT l_suppkey, COUNT(*) AS n_lines,
+           | CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 1 ELSE 0 END) AS DOUBLE)
+           |  / CAST(COUNT(*) AS DOUBLE) AS otif,
+           | $revenue AS revenue
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
       "dedup_tf_cosine" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
            |f AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
