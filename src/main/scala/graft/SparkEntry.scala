@@ -2777,6 +2777,36 @@ object SparkEntry {
         .select(cols.map(col): _*)
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    "dedup_lsh_tuner" -> ((s, d) => {
+      // LSH parameter planner: for every (bands, rows) within the k=64
+      // signature budget, the S-curve catch probability 1-(1-s^r)^b at
+      // the FP guard (s=0.6) and TP target (s=0.9) — powers computed by
+      // REPEATED MULTIPLICATION folds (libm pow() is not cross-engine
+      // reproducible; left-fold products are), feasibility + the chosen
+      // minimal-cost config flagged on the 100-row grid in-row. The
+      // planning step that sizes dedup_minhash before touching data.
+      import org.apache.spark.sql.expressions.Window
+      def scurve(sLit: String) = expr(
+        s"""1.0 - aggregate(sequence(1, b), cast(1.0 as double), (acc, i) ->
+           |  acc * (1.0 - aggregate(sequence(1, r), cast(1.0 as double), (a2, j) ->
+           |    a2 * $sLit)))""".stripMargin)
+      val grid = s.range(1, 17).toDF("b")
+        .select(col("b").cast("int").as("b"),
+          explode(expr("sequence(1, 8)")).as("r"))
+        .filter(col("b") * col("r") <= 64)
+      val probs = grid
+        .withColumn("k", (col("b") * col("r")).cast("int"))
+        .withColumn("p_low", scurve("0.6"))
+        .withColumn("p_high", scurve("0.9"))
+        .withColumn("feasible", col("p_high") >= 0.95 && col("p_low") <= 0.2)
+      probs // chosen: min-cost feasible config, deterministic tie-break
+        .withColumn("chosen",
+          col("feasible") &&
+            row_number().over(Window.orderBy(
+              (!col("feasible")).cast("int"), col("k"), col("p_high").desc, col("b"))) === 1)
+        .select("b", "r", "k", "p_low", "p_high", "feasible", "chosen")
+        .orderBy("b", "r")
+    }),
     "q48_cohort_ltv" -> ((s, d) => {
       // cohort lifetime-value curve: customers grouped by first-order
       // month, cumulative revenue per cohort over month age — decimal-

@@ -166,9 +166,10 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // metric rows are an in-row stack
     "q48_cohort_ltv" -> 4,    // customer cohort agg + cell agg + cohort-month window +
                               // ORDER BY, off the checkpointed order projection
-    "q49_otif" -> 2           // fact-fact SMJ reuses the supplier agg exchange? no —
-                              // orderkey join shuffles once + supplier agg; ORDER BY
-                              // reuses; lineitem side AQE-planned
+    "q49_otif" -> 2,          // orderkey fact-fact join shuffle + supplier agg;
+                              // ORDER BY reuses the agg partitioning
+    "dedup_lsh_tuner" -> 1    // 100-row in-row grid + S-curve folds; the single
+                              // exchange is the grid window's tiny sort
   )
 
   test("headline queries match their pinned shuffle counts") {

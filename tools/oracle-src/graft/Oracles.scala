@@ -157,6 +157,21 @@ object Oracles {
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
       "ann_ivf_index" ->
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+      "dedup_lsh_tuner" ->
+        """WITH g AS (SELECT b.range AS b, r.range AS r FROM range(1, 17) b, range(1, 9) r
+          |           WHERE b.range * r.range <= 64),
+          |p AS (SELECT CAST(b AS INT) AS b, CAST(r AS INT) AS r, CAST(b * r AS INT) AS k,
+          |  1.0 - list_reduce(list_transform(range(1, b + 1), i ->
+          |    1.0 - list_reduce(list_transform(range(1, r + 1), j -> 6.0e-1), (x, y) -> x * y)),
+          |    (x, y) -> x * y) AS p_low,
+          |  1.0 - list_reduce(list_transform(range(1, b + 1), i ->
+          |    1.0 - list_reduce(list_transform(range(1, r + 1), j -> 9.0e-1), (x, y) -> x * y)),
+          |    (x, y) -> x * y) AS p_high
+          |  FROM g),
+          |f AS (SELECT *, p_high >= 0.95 AND p_low <= 0.2 AS feasible FROM p),
+          |c AS (SELECT *, feasible AND row_number() OVER (
+          |        ORDER BY CAST(NOT feasible AS INT), k, p_high DESC, b) = 1 AS chosen FROM f)
+          |SELECT b, r, k, p_low, p_high, feasible, chosen FROM c ORDER BY b, r""".stripMargin,
       "q48_cohort_ltv" ->
         """WITH o AS (SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) AS m,
           |  CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders),
