@@ -3240,12 +3240,21 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val B = 64
       val d38 = "decimal(38,0)"
+      // ONE md5 per row, then 64 per-resample draws by integer mixing
+      // (Knuth multiplicative + odd increment, mod 2^48) — 64 md5s/row
+      // was the whole query's cost at sf0.1 (9.9s -> ~1s); the mix is
+      // plain integer arithmetic the oracle replicates exactly
       val rows = T(s, d, "orders").select(col("o_orderkey"),
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
-        .select(col("o_orderkey"), col("cents"),
+        .withColumn("h0", conv(substring(
+          md5(concat(lit("bs:"), col("o_orderkey"))), 1, 12), 16, 10).cast("bigint"))
+        .select(col("cents"), col("h0"),
           explode(sequence(lit(1), lit(B))).as("b"))
-        .withColumn("u", conv(substring(
-          md5(concat_ws(":", col("b"), col("o_orderkey"))), 1, 12), 16, 10).cast("bigint"))
+        .withColumn("u", // split h0 so no product exceeds 2^56 (ANSI-safe)
+          pmod(pmod(col("h0"), lit(16777216L)) * lit(2654435761L)
+            + expr("h0 div 16777216") * lit(40503L)
+            + col("b") * pmod(col("h0"), lit(1000003L)) + col("b") * lit(97L),
+            lit(281474976710656L)))
       val m = when(col("u") < 103548857136060L, 0L)
         .when(col("u") < 207097714272121L, 1L)
         .when(col("u") < 258872142840152L, 2L)

@@ -2042,11 +2042,14 @@ object Oracles {
           |  / CAST(CAST(SUM(CAST(dur AS HUGEINT)) AS VARCHAR) AS DOUBLE) / 100.0 AS twap
           |FROM t WHERE dur IS NOT NULL GROUP BY event_type ORDER BY event_type""".stripMargin,
       "data_bootstrap_ci" ->
-        """WITH r AS (SELECT o_orderkey,
+        """WITH h AS (SELECT o_orderkey,
           |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-          |  unnest(range(1, 65)) AS b FROM orders),
+          |  CAST(('0x' || substr(md5('bs:' || CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h0
+          |  FROM orders),
+          |r AS (SELECT cents, h0, unnest(range(1, 65)) AS b FROM h),
           |u AS (SELECT cents, b,
-          |  CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT) AS u
+          |  ((h0 % 16777216) * 2654435761 + (h0 // 16777216) * 40503
+          |    + b * (h0 % 1000003) + b * 97) % 281474976710656 AS u
           |  FROM r),
           |m AS (SELECT cents, b,
           |  CASE WHEN u < 103548857136060 THEN 0 WHEN u < 207097714272121 THEN 1
