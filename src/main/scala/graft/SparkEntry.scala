@@ -2777,6 +2777,44 @@ object SparkEntry {
         .select(cols.map(col): _*)
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    "data_ablation" -> ((s, d) => {
+      // leave-one-source-out ablation: every corpus statistic with and
+      // WITHOUT each source, from one per-source aggregate + a broadcast
+      // global row — no per-ablation rescan (the mixture-analysis shape:
+      // which source moves the corpus mean?). Integer sums, exact ratios.
+      val per = TP(s, d, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("chars"),
+          sum(size(TextFunctions.tokens(col("text")))).as("toks"))
+        .localCheckpoint(eager = false) // per-source + global sides read it
+      val glob = per.agg(sum("n").as("gn"), sum("chars").as("gchars"),
+        sum("toks").as("gtoks"))
+      per.crossJoin(broadcast(glob)) // source-count × 1 row
+        .select(col("source"), col("n"),
+          (col("toks").cast("double") / col("n").cast("double")).as("mean_tokens"),
+          ((col("gtoks") - col("toks")).cast("double") /
+            (col("gn") - col("n")).cast("double")).as("mean_tokens_without"),
+          ((col("gchars") - col("chars")).cast("double") /
+            (col("gn") - col("n")).cast("double")).as("mean_chars_without"))
+        .orderBy("source")
+    }),
+    "events_ab_srm" -> ((s, d) => {
+      // sample-ratio-mismatch guard for the A/B split: |n_a − n_b| must
+      // sit within 4·sqrt(n) of an even split (binomial 4σ) or the
+      // assignment itself is broken and no readout can be trusted — the
+      // pre-test every experiment pipeline runs before events_ab_test
+      val arm = when(
+        conv(substring(md5(concat(lit("ab:"), col("user_id"))), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, "A").otherwise("B")
+      EV(s, d).select(arm.as("arm"))
+        .agg(
+          sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"))
+        .select(col("n_a"), col("n_b"),
+          (abs(col("n_a") - col("n_b")).cast("double") <=
+            lit(4.0) * sqrt((col("n_a") + col("n_b")).cast("double"))).as("srm_ok"))
+    }),
     "dedup_lsh_tuner" -> ((s, d) => {
       // LSH parameter planner: for every (bands, rows) within the k=64
       // signature budget, the S-curve catch probability 1-(1-s^r)^b at

@@ -168,8 +168,11 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // ORDER BY, off the checkpointed order projection
     "q49_otif" -> 2,          // orderkey fact-fact join shuffle + supplier agg;
                               // ORDER BY reuses the agg partitioning
-    "dedup_lsh_tuner" -> 1    // 100-row in-row grid + S-curve folds; the single
+    "dedup_lsh_tuner" -> 1,   // 100-row in-row grid + S-curve folds; the single
                               // exchange is the grid window's tiny sort
+    "data_ablation" -> 2,     // TP + per-source agg (checkpoint feeds global too) +
+                              // ORDER BY; global rides a broadcast NLJ
+    "events_ab_srm" -> 1      // one 1-row conditional agg
   )
 
   test("headline queries match their pinned shuffle counts") {

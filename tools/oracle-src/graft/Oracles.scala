@@ -157,6 +157,24 @@ object Oracles {
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
       "ann_ivf_index" ->
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+      "data_ablation" ->
+        s"""WITH per AS (SELECT source, COUNT(*) AS n, SUM(n_chars) AS chars,
+           |  SUM(len(list_filter($toks, t -> t <> ''))) AS toks
+           |  FROM documents GROUP BY source),
+           |g AS (SELECT SUM(n) AS gn, SUM(chars) AS gchars, SUM(toks) AS gtoks FROM per)
+           |SELECT source, n,
+           | CAST(toks AS DOUBLE) / CAST(n AS DOUBLE) AS mean_tokens,
+           | CAST(gtoks - toks AS DOUBLE) / CAST(gn - n AS DOUBLE) AS mean_tokens_without,
+           | CAST(gchars - chars AS DOUBLE) / CAST(gn - n AS DOUBLE) AS mean_chars_without
+           |FROM per, g ORDER BY source""".stripMargin,
+      "events_ab_srm" ->
+        """WITH e AS (SELECT CASE WHEN CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+          |    THEN 'A' ELSE 'B' END AS arm FROM events),
+          |m AS (SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          |             CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b FROM e)
+          |SELECT n_a, n_b,
+          | CAST(abs(n_a - n_b) AS DOUBLE) <= 4.0 * sqrt(CAST(n_a + n_b AS DOUBLE)) AS srm_ok
+          |FROM m""".stripMargin,
       "dedup_lsh_tuner" ->
         """WITH g AS (SELECT b.range AS b, r.range AS r FROM range(1, 17) b, range(1, 9) r
           |           WHERE b.range * r.range <= 64),
