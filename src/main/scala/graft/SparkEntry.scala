@@ -2777,6 +2777,38 @@ object SparkEntry {
         .select(cols.map(col): _*)
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    "pipeline_json_roundtrip" -> ((s, d) => {
+      // JSON source + sink end-to-end under the DuckDB gate: prices ride
+      // as DECIMAL(18,2) (JSON numbers render decimals exactly; raw
+      // doubles would round-trip through shortest-repr text), read back
+      // with an explicit schema, folded to one decimal-exact row
+      val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
+      T(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,2)").as("price"))
+        .write.mode("overwrite").json(s"$dir/out")
+      s.read.schema("o_orderkey BIGINT, price DECIMAL(18,2)").json(s"$dir/out")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).cast("bigint").as("key_sum"),
+          sum(col("price")).cast("decimal(38,2)").cast("double").as("price_sum"))
+    }),
+    "dedup_review_sample" -> ((s, d) => {
+      // human-review sampling of near-dup pairs: verified pairs bucket
+      // into similarity bands, each band contributes its top-2 pairs by
+      // an md5 ring (deterministic "random" pick, the data_sample
+      // contract) — the QA step before a dedup threshold ships
+      import org.apache.spark.sql.expressions.Window
+      val pairs = DedupOps
+        .minhashDupPairs(TP(s, d, "documents"), "text", "doc_id", threshold = 0.8,
+          shingleSize = 3, numBands = 16, rowsPerBand = 3)
+      val banded = pairs.withColumn("band",
+        (floor(col("jaccard") * 10) / 10).cast("double"))
+        .withColumn("pick", md5(concat_ws(":", col("a_id"), col("b_id"))))
+      val w = Window.partitionBy("band").orderBy("pick")
+      banded.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select(col("band"), col("a_id"), col("b_id"), col("jaccard"))
+        .orderBy("band", "a_id", "b_id")
+    }),
     "data_ablation" -> ((s, d) => {
       // leave-one-source-out ablation: every corpus statistic with and
       // WITHOUT each source, from one per-source aggregate + a broadcast

@@ -172,7 +172,10 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // exchange is the grid window's tiny sort
     "data_ablation" -> 2,     // TP + per-source agg (checkpoint feeds global too) +
                               // ORDER BY; global rides a broadcast NLJ
-    "events_ab_srm" -> 1      // one 1-row conditional agg
+    "events_ab_srm" -> 1,     // one 1-row conditional agg
+    "pipeline_json_roundtrip" -> 1, // json file scan + 1-row agg
+    "dedup_review_sample" -> 4 // band agg + per-band window + ORDER BY off the
+                              // minhash pair chain's checkpointed frames
   )
 
   test("headline queries match their pinned shuffle counts") {

@@ -157,6 +157,18 @@ object Oracles {
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
       "ann_ivf_index" ->
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+      "pipeline_json_roundtrip" ->
+        """SELECT COUNT(*) AS n_rows, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+          | CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS price_sum
+          |FROM orders""".stripMargin,
+      "dedup_review_sample" ->
+        s"""WITH p AS (${jaccardPairsSql(3, 0.8)}),
+           |b AS (SELECT floor(jaccard * 10) / 10 AS band, a_id, b_id, jaccard,
+           |  md5(CAST(a_id AS VARCHAR) || ':' || CAST(b_id AS VARCHAR)) AS pick FROM p),
+           |r AS (SELECT band, a_id, b_id, jaccard,
+           |  row_number() OVER (PARTITION BY band ORDER BY pick) AS rk FROM b)
+           |SELECT band, a_id, b_id, jaccard FROM r WHERE rk <= 2
+           |ORDER BY band, a_id, b_id""".stripMargin,
       "data_ablation" ->
         s"""WITH per AS (SELECT source, COUNT(*) AS n, SUM(n_chars) AS chars,
            |  SUM(len(list_filter($toks, t -> t <> ''))) AS toks
