@@ -3559,6 +3559,130 @@ object SparkEntry {
         .withColumn("pr", percent_rank().over(w))
         .withColumn("cd", cume_dist().over(w))
         .orderBy("s_suppkey")
+    }),
+    "events_chi2" -> ((s, d) => {
+      // chi-square independence test, event_type × day-of-week: observed
+      // counts are integers (dow from pure epoch-day arithmetic, the
+      // events_heatmap convention), margins come from windows over the
+      // CELL frame (|types|×7 rows), each cell's expected/contribution is
+      // a closed-form double, and the chi2 TOTAL is a fold-exact
+      // sequential sum over the (type,dow)-sorted contributions — a
+      // parallel double SUM would be order-nondeterministic. The
+      // seasonality-dependence gate a telemetry pipeline runs before
+      // assuming type-stationary traffic.
+      import org.apache.spark.sql.expressions.Window
+      val cells = EV(s, d)
+        .select(col("event_type"), expr("(ts_us div 86400000000 + 4) % 7").as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("obs"))
+      val c = cells
+        .withColumn("row_tot", sum("obs").over(Window.partitionBy("event_type")))
+        .withColumn("col_tot", sum("obs").over(Window.partitionBy("dow")))
+        .withColumn("n", sum("obs").over(Window.partitionBy()))
+        .withColumn("expected",
+          col("row_tot").cast("double") * col("col_tot").cast("double") / col("n").cast("double"))
+        .withColumn("contrib",
+          (col("obs").cast("double") - col("expected")) *
+            (col("obs").cast("double") - col("expected")) / col("expected"))
+        .localCheckpoint(eager = false) // cell frame + the fold both read it
+      val tot = c
+        .agg(sort_array(collect_list(struct(col("event_type"), col("dow"), col("contrib")))).as("arr"),
+          countDistinct("event_type").as("n_types"),
+          countDistinct("dow").as("n_dows"))
+        .select(
+          expr("aggregate(arr, cast(0.0 as double), (a, x) -> a + x.contrib)").as("chi2"),
+          ((col("n_types") - 1) * (col("n_dows") - 1)).cast("bigint").as("dof"))
+      c.crossJoin(broadcast(tot)) // 1-row summary attach
+        .select(col("event_type"), col("dow"), col("obs"), col("expected"),
+          col("contrib"), col("chi2"), col("dof"))
+        .orderBy("event_type", "dow")
+    }),
+    "quality_kappa" -> ((s, d) => {
+      // inter-annotator agreement: Cohen's kappa between two independent
+      // deterministic labelers (A: ≥400 chars; B: ≥70 spaces — a
+      // whitespace-token proxy). Confusion counts in ONE scan → one agg
+      // row; po/pe/kappa are closed-form doubles from integer counts.
+      // The QA step for comparing a heuristic labeler against a model
+      // labeler (or two annotator pools) before trusting either's labels.
+      val la = (col("n_chars") >= 400).cast("int")
+      val lb = ((length(col("text")) - length(regexp_replace(col("text"), " ", ""))) >= 70).cast("int")
+      T(s, d, "documents")
+        .select(la.as("la"), lb.as("lb"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("la") === 1 && col("lb") === 1, 1L).otherwise(0L)).as("n11"),
+          sum(when(col("la") === 1 && col("lb") === 0, 1L).otherwise(0L)).as("n10"),
+          sum(when(col("la") === 0 && col("lb") === 1, 1L).otherwise(0L)).as("n01"),
+          sum(when(col("la") === 0 && col("lb") === 0, 1L).otherwise(0L)).as("n00"))
+        .withColumn("po", (col("n11") + col("n00")).cast("double") / col("n").cast("double"))
+        .withColumn("pa1", (col("n11") + col("n10")).cast("double") / col("n").cast("double"))
+        .withColumn("pb1", (col("n11") + col("n01")).cast("double") / col("n").cast("double"))
+        .withColumn("pe",
+          col("pa1") * col("pb1") + (lit(1.0) - col("pa1")) * (lit(1.0) - col("pb1")))
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"), col("po"),
+          col("pe"), ((col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
+    }),
+    "events_cusum" -> ((s, d) => {
+      // CUSUM change-point detection on daily revenue per event type —
+      // ENTIRELY in integer cents: the recursion S_t = max(0, S_{t-1} +
+      // (x_t − mean − slack)) has the closed form S_t = P_t − min(0,
+      // min_{j≤t} P_j) over the deviation prefix sums, so two running
+      // windows on the calendar-sized daily frame replace the sequential
+      // loop. mean/slack are integer divisions on non-negative totals
+      // (truncated == floored, so Spark `div` and DuckDB `//` agree);
+      // the alarm threshold is 5× slack. Raw events shuffle ONCE into
+      // daily totals; everything after is calendar-sized.
+      import org.apache.spark.sql.expressions.Window
+      val daily = EV(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+          .cast("decimal(38,0)").cast("bigint").as("x"))
+      val wo = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("mu", expr("sum(x) over (partition by event_type) div count(*) over (partition by event_type)"))
+        .withColumn("slack", expr("abs(mu) div 20"))
+        .withColumn("y", col("x") - col("mu") - col("slack"))
+        .withColumn("p", sum("y").over(wo))
+        .withColumn("cusum", col("p") - least(lit(0L), min("p").over(wo)))
+        .withColumn("alarm", col("cusum") > col("slack") * 5)
+        .select(col("event_type"), col("day"), col("x"), col("cusum"), col("alarm"))
+        .orderBy("event_type", "day")
+    }),
+    "data_quantile_norm" -> ((s, d) => {
+      // cross-source quantile normalization of doc length: each source's
+      // score distribution maps onto the GLOBAL distribution by integer
+      // rank arithmetic on VALUE-DOMAIN frames (distinct (source,value)
+      // and distinct value — never a global row sort; n_chars has a
+      // bounded domain, so both frames broadcast at any corpus size).
+      // Ties take the min-rank, the target index is one exact integer
+      // division, the lookup is a range join between the two domain
+      // frames, and docs get their normalized score back by a broadcast
+      // (source,value) join. Removes per-source scoring bias before
+      // cross-source quality thresholds.
+      import org.apache.spark.sql.expressions.Window
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars").as("v"))
+        .localCheckpoint(eager = false) // domain frames + final join read it
+      val srcDom = docs.groupBy("source", "v").agg(count(lit(1)).as("cnt"))
+      val ws = Window.partitionBy("source").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val srcRank = srcDom
+        .withColumn("rank_min", coalesce(sum("cnt").over(ws), lit(0L)) + 1)
+        .withColumn("n_s", sum("cnt").over(Window.partitionBy("source")))
+      val globDom = docs.groupBy("v").agg(count(lit(1)).as("gcnt"))
+        .localCheckpoint(eager = false) // cumulative + total read it
+      val wg = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val glob = globDom // single-partition window on the DOMAIN frame only
+        .withColumn("cum_before", coalesce(sum("gcnt").over(wg), lit(0L)))
+      val nTot = globDom.agg(sum("gcnt").cast("bigint").as("n_g"))
+      val mapped = srcRank.crossJoin(broadcast(nTot)) // 1-row scalar attach
+        .withColumn("p", when(col("n_s") > 1,
+          expr("(rank_min - 1) * (n_g - 1) div (n_s - 1) + 1")).otherwise(lit(1L)))
+      val target = mapped.join(
+        broadcast(glob.select(col("v").as("v_norm"), col("cum_before"), col("gcnt"))),
+        col("p") > col("cum_before") && col("p") <= col("cum_before") + col("gcnt"))
+        .select(col("source"), col("v"), col("v_norm"))
+      docs.join(broadcast(target), Seq("source", "v"))
+        .select(col("doc_id"), col("source"), col("v"), col("v_norm"))
+        .orderBy("doc_id")
     })
   )
 

@@ -2205,7 +2205,78 @@ object Oracles {
           | percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
           |FROM supplier
           |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal)
-          |ORDER BY s_suppkey""".stripMargin
+          |ORDER BY s_suppkey""".stripMargin,
+      "events_chi2" ->
+        """WITH cells AS (SELECT event_type,
+          |  (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS dow,
+          |  COUNT(*) AS obs FROM events GROUP BY 1, 2),
+          |m AS (SELECT *, SUM(obs) OVER (PARTITION BY event_type) AS row_tot,
+          |  SUM(obs) OVER (PARTITION BY dow) AS col_tot, SUM(obs) OVER () AS n FROM cells),
+          |c AS (SELECT event_type, dow, obs,
+          |  CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+          |  (CAST(obs AS DOUBLE) - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+          |  * (CAST(obs AS DOUBLE) - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+          |  / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(n AS DOUBLE)) AS contrib
+          |  FROM m),
+          |t AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |    list(contrib ORDER BY event_type, dow)), (a, b) -> a + b) AS chi2,
+          |  CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof
+          |  FROM c)
+          |SELECT c.event_type, c.dow, c.obs, c.expected, c.contrib, t.chi2, t.dof
+          |FROM c, t ORDER BY event_type, dow""".stripMargin,
+      "quality_kappa" ->
+        """WITH l AS (SELECT CAST(n_chars >= 400 AS INT) AS la,
+          |  CAST(length(text) - length(replace(text, ' ', '')) >= 70 AS INT) AS lb
+          |  FROM documents),
+          |cm AS (SELECT COUNT(*) AS n,
+          |  SUM(CASE WHEN la = 1 AND lb = 1 THEN 1 ELSE 0 END) AS n11,
+          |  SUM(CASE WHEN la = 1 AND lb = 0 THEN 1 ELSE 0 END) AS n10,
+          |  SUM(CASE WHEN la = 0 AND lb = 1 THEN 1 ELSE 0 END) AS n01,
+          |  SUM(CASE WHEN la = 0 AND lb = 0 THEN 1 ELSE 0 END) AS n00 FROM l),
+          |p AS (SELECT CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
+          |  CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+          |  CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+          |  CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE) AS pa1,
+          |  CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE) AS pb1 FROM cm)
+          |SELECT n, n11, n10, n01, n00, po,
+          | pa1 * pb1 + (1.0 - pa1) * (1.0 - pb1) AS pe,
+          | (po - (pa1 * pb1 + (1.0 - pa1) * (1.0 - pb1)))
+          |   / (1.0 - (pa1 * pb1 + (1.0 - pa1) * (1.0 - pb1))) AS kappa
+          |FROM p""".stripMargin,
+      "events_cusum" ->
+        """WITH daily AS (SELECT event_type,
+          |  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+          |  FROM events GROUP BY 1, 2),
+          |m AS (SELECT *,
+          |  SUM(x) OVER (PARTITION BY event_type) // COUNT(*) OVER (PARTITION BY event_type) AS mu
+          |  FROM daily),
+          |y AS (SELECT *, abs(mu) // 20 AS slack, x - mu - abs(mu) // 20 AS dev FROM m),
+          |pf1 AS (SELECT *, SUM(dev) OVER (PARTITION BY event_type ORDER BY day
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf FROM y),
+          |p AS (SELECT *, MIN(pf) OVER (PARTITION BY event_type ORDER BY day
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn FROM pf1)
+          |SELECT event_type, day, x,
+          | CAST(pf - LEAST(0, mn) AS BIGINT) AS cusum,
+          | pf - LEAST(0, mn) > slack * 5 AS alarm
+          |FROM p ORDER BY event_type, day""".stripMargin,
+      "data_quantile_norm" ->
+        """WITH docs AS (SELECT doc_id, source, n_chars AS v FROM documents),
+          |sd AS (SELECT source, v, COUNT(*) AS cnt FROM docs GROUP BY 1, 2),
+          |sr AS (SELECT *, COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY v
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS rank_min,
+          |  SUM(cnt) OVER (PARTITION BY source) AS n_s FROM sd),
+          |gd AS (SELECT v, COUNT(*) AS gcnt FROM docs GROUP BY 1),
+          |g AS (SELECT *, COALESCE(SUM(gcnt) OVER (ORDER BY v
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM gd),
+          |n AS (SELECT SUM(gcnt) AS n_g FROM gd),
+          |mp AS (SELECT sr.source, sr.v,
+          |  CASE WHEN n_s > 1 THEN (rank_min - 1) * (n_g - 1) // (n_s - 1) + 1 ELSE 1 END AS p
+          |  FROM sr, n),
+          |t AS (SELECT mp.source, mp.v, g.v AS v_norm FROM mp JOIN g
+          |  ON mp.p > g.cum_before AND mp.p <= g.cum_before + g.gcnt)
+          |SELECT d.doc_id, d.source, d.v, t.v_norm
+          |FROM docs d JOIN t USING (source, v) ORDER BY doc_id""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
