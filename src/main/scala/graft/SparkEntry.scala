@@ -3683,6 +3683,89 @@ object SparkEntry {
       docs.join(broadcast(target), Seq("source", "v"))
         .select(col("doc_id"), col("source"), col("v"), col("v_norm"))
         .orderBy("doc_id")
+    }),
+    "dedup_cluster_radius" -> ((s, d) => {
+      // near-dup chain-length QA: hop distance of every clustered doc
+      // from its cluster representative (min doc_id) through the
+      // verified pair graph — the radius audit that catches
+      // transitive-merge drift (a≈b≈c chains where a and c share almost
+      // nothing). Pairs and components are the dedup_clusters frame;
+      // distances come from GraphOps.bfsDistances (frontier-layer BFS,
+      // one join+agg+anti-join per round, eccentricity rounds).
+      val pairs = DedupOps.minhashDupPairs(TP(s, d, "documents"), "text", "doc_id",
+          threshold = 0.7, shingleSize = 2, numBands = 32, rowsPerBand = 3)
+        .localCheckpoint() // CC and BFS both traverse the verified pair set
+      val comp = GraphOps.connectedComponents(pairs, "a_id", "b_id")
+      val dist = GraphOps.bfsDistances(pairs,
+        comp.select(col("cluster_id").as("id")).distinct(), "a_id", "b_id")
+      comp.join(dist, Seq("id"))
+        .select(col("id"), col("cluster_id"), col("dist"))
+        .orderBy("id")
+    }),
+    "events_survival" -> ((s, d) => {
+      // Kaplan-Meier survival of user lifetime (first→last event, in
+      // days), two cohorts by user parity; censoring = last event within
+      // 14 days of the corpus end. d_t/n_t are integers (n_t by a
+      // REVERSE running window over the duration-domain frame), each
+      // factor (n−d)/n is one exact double division, and S(t) is the
+      // fold-exact sequential product over the cohort's ordered factors
+      // (no libm pow — both engines replay the identical IEEE multiply
+      // chain). The retention curve for telemetry dashboards, exact
+      // enough to diff across runs.
+      import org.apache.spark.sql.expressions.Window
+      val users = EV(s, d).groupBy("user_id")
+        .agg(min("ts_us").as("first_us"), max("ts_us").as("last_us"))
+      val gmax = users.agg(max("last_us").as("gmax_us"))
+      val dur = users.crossJoin(broadcast(gmax)) // 1-row scalar attach
+        .select((col("user_id") % 2).as("cohort"),
+          expr("(last_us - first_us) div 86400000000").as("dur"),
+          (col("last_us") < col("gmax_us") - lit(14L * 86400000000L)).cast("int").as("churned"))
+      val cells = dur.groupBy("cohort", "dur")
+        .agg(count(lit(1)).as("n_here"), sum("churned").as("d_t"))
+      val wRev = Window.partitionBy("cohort").orderBy("dur")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val km = cells
+        .withColumn("n_t", sum("n_here").over(wRev))
+        .withColumn("factor",
+          (col("n_t") - col("d_t")).cast("double") / col("n_t").cast("double"))
+      km.groupBy("cohort")
+        .agg(sort_array(collect_list(
+          struct(col("dur"), col("n_t"), col("d_t"), col("factor")))).as("arr"))
+        .select(col("cohort"), col("arr"), posexplode(col("arr")).as(Seq("i", "x")))
+        .select(col("cohort"), col("x.dur").as("t"),
+          col("x.n_t").cast("bigint").as("n_at_risk"),
+          col("x.d_t").cast("bigint").as("d_events"),
+          expr("aggregate(slice(transform(arr, z -> z.factor), 1, i + 1), " +
+            "cast(1.0 as double), (p, q) -> p * q)").as("surv"))
+        .orderBy("cohort", "t")
+    }),
+    "dedup_blocking_eval" -> ((s, d) => {
+      // blocking-scheme evaluation: precision/recall of same-length-band
+      // candidate blocking (band = n_chars div 100) against the EXACT
+      // 2-gram Jaccard ≥ 0.7 truth set — WITHOUT materializing a single
+      // candidate pair: |candidates| is Σ C(band_size, 2) over the band
+      // histogram, and tp joins the (small) truth pair set to the
+      // doc→band map twice. Truth comes from AllPairs prefix filtering
+      // (exact, no LSH recall caveat). The step that picks a blocking
+      // key before committing a 100 TB dedup to it.
+      val docs = TP(s, d, "documents")
+      val bands = docs.select(col("doc_id"), expr("n_chars div 100").as("band"))
+        .localCheckpoint(eager = false) // histogram + two tp joins read it
+      val nCand = bands.groupBy("band").agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) div 2")).cast("bigint").as("n_cand"))
+      val truth = DedupOps.prefixFilterJaccardPairs(docs, "text", "doc_id",
+          threshold = 0.8, shingleSize = 3)
+        .select("a_id", "b_id")
+      val tp = truth
+        .join(bands.select(col("doc_id").as("a_id"), col("band").as("band_a")), Seq("a_id"))
+        .join(bands.select(col("doc_id").as("b_id"), col("band").as("band_b")), Seq("b_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_truth"),
+          sum(when(col("band_a") === col("band_b"), 1L).otherwise(0L)).as("tp"))
+      nCand.crossJoin(broadcast(tp)) // 1-row × 1-row
+        .withColumn("prec", col("tp").cast("double") / col("n_cand").cast("double"))
+        .withColumn("recall", col("tp").cast("double") / col("n_truth").cast("double"))
+        .select(col("n_cand"), col("n_truth"), col("tp"), col("prec"), col("recall"),
+          (lit(2.0) * col("prec") * col("recall") / (col("prec") + col("recall"))).as("f1"))
     })
   )
 

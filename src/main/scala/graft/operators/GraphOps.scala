@@ -137,6 +137,54 @@ object GraphOps {
       .groupBy("cluster_id")
       .agg(sort_array(collect_list(col("id"))).as("members"), count(lit(1)).as("n_members"))
 
+  /** Multi-source BFS min-hop distances over the undirected (aCol, bCol)
+    * edge graph, from the given seed nodes (one `id` column). Returns
+    * (id, dist) for every node reachable from a seed, dist = MINIMUM hop
+    * count (seeds get 0).
+    *
+    * Classic frontier-layer expansion: round k's frontier is exactly the
+    * set of nodes first reached at distance k (the anti-join against the
+    * settled set enforces the BFS invariant), so each round is one
+    * equi-join frontier×edges + one min-agg + one anti-join, and the
+    * loop runs `eccentricity` rounds — NOT O(V). Frontiers shrink as the
+    * component saturates; state is localCheckpointed per round (bounded
+    * lineage), and the loop exits on the first empty frontier. Per-node
+    * work is degree-proportional; no global collect anywhere.
+    */
+  def bfsDistances(
+      edges: DataFrame,
+      seeds: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 30
+  ): DataFrame = {
+    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint() // edge derivation runs once, not per BFS round
+    var settled = seeds.select(col("id")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    var frontier = settled
+    var it = 0
+    while (it < maxIter && !frontier.isEmpty) {
+      val next = frontier.join(und, frontier("id") === und("src"))
+        .groupBy(col("dst").as("nid"))
+        .agg(min(col("dist") + 1).as("ndist"))
+        .join(settled, col("nid") === settled("id"), "left_anti")
+        .select(col("nid").as("id"), col("ndist").as("dist"))
+        .localCheckpoint() // read twice: union into settled + next frontier
+      settled = settled.unionByName(next).localCheckpoint()
+      frontier = next
+      it += 1
+    }
+    if (it == maxIter)
+      log.warn(s"bfsDistances stopped at maxIter=$maxIter with a non-empty frontier — " +
+        "distances beyond this eccentricity are missing; raise maxIter")
+    log.info(s"bfsDistances converged after $it rounds")
+    settled
+  }
+
   /** Global triangle census of an undirected graph, via degree-ordered
     * wedge counting (the standard distributed algorithm — Suri & Vassilvitskii,
     * WWW'11 "Counting Triangles and the Curse of the Last Reducer").

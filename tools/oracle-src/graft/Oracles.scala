@@ -2276,7 +2276,68 @@ object Oracles {
           |t AS (SELECT mp.source, mp.v, g.v AS v_norm FROM mp JOIN g
           |  ON mp.p > g.cum_before AND mp.p <= g.cum_before + g.gcnt)
           |SELECT d.doc_id, d.source, d.v, t.v_norm
-          |FROM docs d JOIN t USING (source, v) ORDER BY doc_id""".stripMargin
+          |FROM docs d JOIN t USING (source, v) ORDER BY doc_id""".stripMargin,
+      "dedup_cluster_radius" ->
+        s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7),
+           |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+           |reach(id, r) AS (
+           | SELECT DISTINCT a AS id, a AS r FROM e
+           | UNION
+           | SELECT e.b AS id, reach.r AS r FROM reach JOIN e ON e.a = reach.id),
+           |c AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+           |walk(id, dd) AS (
+           | SELECT DISTINCT cluster_id AS id, 0 AS dd FROM c
+           | UNION
+           | SELECT e.b AS id, walk.dd + 1 AS dd FROM walk JOIN e ON e.a = walk.id
+           | WHERE walk.dd < 30)
+           |SELECT c.id, c.cluster_id, CAST(MIN(w.dd) AS BIGINT) AS dist
+           |FROM c JOIN walk w ON w.id = c.id
+           |GROUP BY c.id, c.cluster_id ORDER BY c.id""".stripMargin,
+      "events_survival" ->
+        """WITH u AS (SELECT user_id,
+          |  min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+          |  max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+          |  FROM events GROUP BY 1),
+          |g AS (SELECT max(last_us) AS gmax_us FROM u),
+          |dur AS (SELECT user_id % 2 AS cohort,
+          |  (last_us - first_us) // 86400000000 AS dur,
+          |  CAST(last_us < gmax_us - 14 * 86400000000 AS INT) AS churned FROM u, g),
+          |cells AS (SELECT cohort, dur, COUNT(*) AS n_here, SUM(churned) AS d_t
+          |  FROM dur GROUP BY 1, 2),
+          |k AS (SELECT *, SUM(n_here) OVER (PARTITION BY cohort ORDER BY dur
+          |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_t FROM cells),
+          |f AS (SELECT cohort, dur, CAST(n_t AS BIGINT) AS n_t, CAST(d_t AS BIGINT) AS d_t,
+          |  CAST(n_t - d_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS factor FROM k),
+          |a AS (SELECT cohort, list(factor ORDER BY dur) AS fl FROM f GROUP BY cohort),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY cohort ORDER BY dur) AS rn FROM f)
+          |SELECT r.cohort, r.dur AS t, r.n_t AS n_at_risk, r.d_t AS d_events,
+          | list_reduce(list_prepend(CAST(1.0 AS DOUBLE), a.fl[1:CAST(r.rn AS INT)]),
+          |   (p, q) -> p * q) AS surv
+          |FROM r JOIN a ON r.cohort = a.cohort ORDER BY r.cohort, t""".stripMargin,
+      "dedup_blocking_eval" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 3)}) AS s FROM t),
+           |tr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8),
+           |b AS (SELECT doc_id, n_chars // 100 AS band FROM documents),
+           |h AS (SELECT band, COUNT(*) AS c FROM b GROUP BY 1),
+           |nc AS (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_cand FROM h),
+           |tp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+           |  CAST(SUM(CASE WHEN ba.band = bb.band THEN 1 ELSE 0 END) AS BIGINT) AS tp
+           |  FROM tr JOIN b ba ON ba.doc_id = tr.a_id JOIN b bb ON bb.doc_id = tr.b_id)
+           |SELECT n_cand, n_truth, tp,
+           | CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE) AS prec,
+           | CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall,
+           | 2.0 * (CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE))
+           |     * (CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE))
+           |   / (CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE)
+           |     + CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE)) AS f1
+           |FROM nc, tp""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
