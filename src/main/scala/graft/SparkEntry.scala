@@ -3766,6 +3766,120 @@ object SparkEntry {
         .withColumn("recall", col("tp").cast("double") / col("n_truth").cast("double"))
         .select(col("n_cand"), col("n_truth"), col("tp"), col("prec"), col("recall"),
           (lit(2.0) * col("prec") * col("recall") / (col("prec") + col("recall"))).as("f1"))
+    }),
+    "quality_label_prop" -> ((s, d) => {
+      // one semi-supervised label-propagation round: docs with
+      // doc_id % 5 == 0 are "labeled" (their lang); every unlabeled doc
+      // adopts the MAJORITY label among its labeled near-dup neighbors
+      // (tie-break min label), with the vote margin emitted. One join
+      // against the dup-sized pair graph + one (doc,label) count + one
+      // per-doc argmax window — the relabeling pass a curation pipeline
+      // runs after clustering to spread scarce human labels.
+      import org.apache.spark.sql.expressions.Window
+      val docs = TP(s, d, "documents")
+      val pairs = DedupOps.minhashDupPairs(docs, "text", "doc_id", threshold = 0.7,
+        shingleSize = 2, numBands = 32, rowsPerBand = 3)
+      val und = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      val labeled = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("dst"), col("lang").as("label"))
+      val votes = und.join(labeled, "dst")
+        .filter(col("src") % 5 =!= 0)
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("n_votes"))
+      val w = Window.partitionBy("src").orderBy(col("n_votes").desc, col("label"))
+      votes
+        .withColumn("n_nbrs", sum("n_votes").over(Window.partitionBy("src")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("src").as("doc_id"), col("label").as("pred_label"),
+          col("n_votes"), col("n_nbrs").cast("bigint").as("n_nbrs"))
+        .orderBy("doc_id")
+    }),
+    "data_temperature_mix" -> ((s, d) => {
+      // temperature-flattened source mixture (τ = 1/2): target share_s ∝
+      // mass_s^τ — the pretraining rebalance that upweights small
+      // sources. τ = 1/2 keeps it EXACT: sqrt is correctly rounded in
+      // every IEEE engine (no libm pow), the one double is floored into
+      // integer micro-weights, and the allocation is the Neyman
+      // largest-remainder machinery (integral div + exact remainder
+      // ranks) on the SOURCE-COUNT-sized frame.
+      import org.apache.spark.sql.expressions.Window
+      val budget = 100000L
+      val m = T(s, d, "documents")
+        .select(col("source"),
+          size(TextFunctions.tokensFromNorm(TextFunctions.normText(col("text"))))
+            .cast("bigint").as("tok"))
+        .groupBy("source").agg(sum("tok").as("mass"))
+        .withColumn("w_micro",
+          floor(sqrt(col("mass").cast("double")) * lit(1e6)).cast("decimal(38,0)"))
+      val tot = m.agg(sum("w_micro").cast("decimal(38,0)").as("w_tot"),
+        sum("mass").cast("double").as("mass_tot"))
+      val alloc = m.crossJoin(broadcast(tot)) // source-count × 1 row
+        .withColumn("base", expr(s"CAST(($budget * w_micro) div w_tot AS BIGINT)"))
+        .withColumn("rem", lit(budget) * col("w_micro") - col("base") * col("w_tot"))
+      val w = Window.orderBy(col("rem").desc, col("source"))
+      val wAll = Window.orderBy("source")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      alloc
+        .withColumn("leftover", lit(budget) - sum("base").over(wAll))
+        .withColumn("rk", row_number().over(w))
+        .select(col("source"), col("mass"),
+          (col("mass").cast("double") / col("mass_tot")).as("share_before"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .cast("bigint").as("n_alloc"))
+        .withColumn("share_after", col("n_alloc").cast("double") / lit(budget.toDouble))
+        .orderBy("source")
+    }),
+    "text_retrieval_metrics" -> ((s, d) => {
+      // retrieval evaluation with NO libm on data: graded relevance = #
+      // query terms present (0..3); ranking = the text_bm25 contract
+      // truncated to 10; the 1/log2(i+1) rank discounts and their
+      // prefix sums are SHARED LITERALS (e-notation on the oracle side);
+      // DCG is a fold-exact sequential sum over the ranked gains; IDCG's
+      // ideal ordering needs only the three relevance-level COUNTS
+      // (closed-form prefix-sum slot fill — the corpus is never globally
+      // sorted); MRR is one exact integer-ratio double. The eval harness
+      // for comparing retrieval variants (BM25/hybrid/ANN) on one corpus.
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("merge", "join", "window")
+      val discSql = "array(1.0D, 0.6309297535714575D, 0.5D, 0.43067655807339306D, " +
+        "0.38685280723454163D, 0.3562071871080222D, 0.3333333333333333D, " +
+        "0.31546487678572877D, 0.3010299956639812D, 0.2890648263178879D)"
+      val pdSql = "array(0.0D, 1.0D, 1.6309297535714575D, 2.1309297535714578D, " +
+        "2.5616063116448506D, 2.9484591188793923D, 3.3046663059874146D, " +
+        "3.637999639320748D, 3.953464516106477D, 4.254494511770458D, 4.543559338088346D)"
+      val docs = TP(s, d, "documents")
+      val rel = docs.select(col("doc_id"),
+        size(array_intersect(
+          array_distinct(TextFunctions.tokensFromNorm(TextFunctions.normText(col("text")))),
+          array(terms.map(lit): _*))).cast("int").as("rel"))
+        .localCheckpoint(eager = false) // level counts + ranked join read it
+      val idcgRow = rel.agg(
+        sum(when(col("rel") === 3, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("rel") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("rel") === 1, 1L).otherwise(0L)).as("n1"))
+        .withColumn("m3", least(lit(10L), col("n3")))
+        .withColumn("m32", least(lit(10L), col("n3") + col("n2")))
+        .withColumn("m321", least(lit(10L), col("n3") + col("n2") + col("n1")))
+        .select(col("n3"), col("n2"), col("n1"),
+          expr(s"3.0D * element_at($pdSql, cast(m3 as int) + 1) + " +
+            s"2.0D * (element_at($pdSql, cast(m32 as int) + 1) - element_at($pdSql, cast(m3 as int) + 1)) + " +
+            s"1.0D * (element_at($pdSql, cast(m321 as int) + 1) - element_at($pdSql, cast(m32 as int) + 1))")
+            .as("idcg"))
+      val ranked = CorpusOps.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+      val dcgRow = rel.join(broadcast(ranked), "doc_id")
+        .agg(sort_array(collect_list(struct(col("rank"), col("rel")))).as("arr"),
+          min(when(col("rel") > 0, col("rank"))).as("mr"))
+        .select(
+          expr(s"aggregate(arr, cast(0.0 as double), (a, x) -> " +
+            s"a + cast(x.rel as double) * element_at($discSql, x.rank))").as("dcg"),
+          coalesce(lit(1.0) / col("mr").cast("double"), lit(0.0)).as("mrr"))
+      idcgRow.crossJoin(broadcast(dcgRow)) // 1-row × 1-row
+        .select(col("n3"), col("n2"), col("n1"), col("mrr"), col("dcg"), col("idcg"),
+          (col("dcg") / col("idcg")).as("ndcg"))
     })
   )
 

@@ -2337,7 +2337,90 @@ object Oracles {
            |     * (CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE))
            |   / (CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE)
            |     + CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE)) AS f1
-           |FROM nc, tp""".stripMargin
+           |FROM nc, tp""".stripMargin,
+      "quality_label_prop" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7),
+           |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b AS src, a AS dst FROM p),
+           |lab AS (SELECT doc_id AS dst, lang AS label FROM documents WHERE doc_id % 5 = 0),
+           |v AS (SELECT e.src, lab.label, COUNT(*) AS n_votes
+           |      FROM e JOIN lab USING (dst) WHERE e.src % 5 <> 0 GROUP BY 1, 2),
+           |r AS (SELECT *, SUM(n_votes) OVER (PARTITION BY src) AS n_nbrs,
+           |  row_number() OVER (PARTITION BY src ORDER BY n_votes DESC, label) AS rk FROM v)
+           |SELECT src AS doc_id, label AS pred_label, n_votes,
+           | CAST(n_nbrs AS BIGINT) AS n_nbrs
+           |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+      "data_temperature_mix" ->
+        s"""WITH m AS (SELECT source, CAST(SUM(len($toks)) AS BIGINT) AS mass
+           |  FROM documents GROUP BY source),
+           |wm AS (SELECT source, mass,
+           |  CAST(floor(sqrt(CAST(mass AS DOUBLE)) * 1e6) AS HUGEINT) AS w_micro FROM m),
+           |t AS (SELECT SUM(w_micro) AS w_tot, CAST(SUM(mass) AS DOUBLE) AS mass_tot FROM wm),
+           |a AS (SELECT source, mass, mass_tot, (100000 * w_micro) // w_tot AS base,
+           |  100000 * w_micro - ((100000 * w_micro) // w_tot) * w_tot AS rem
+           |  FROM wm, t),
+           |r AS (SELECT source, mass, mass_tot, base,
+           |  row_number() OVER (ORDER BY rem DESC, source) AS rk,
+           |  100000 - SUM(base) OVER () AS leftover
+           |  FROM a)
+           |SELECT source, mass,
+           | CAST(mass AS DOUBLE) / mass_tot AS share_before,
+           | CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS n_alloc,
+           | CAST(CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS DOUBLE)
+           |   / 1.0e5 AS share_after
+           |FROM r ORDER BY source""".stripMargin,
+      "text_retrieval_metrics" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+           |f AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           |      WHERE token <> '' AND NOT list_contains($stopAll, token)
+           |      GROUP BY doc_id, token),
+           |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM f GROUP BY doc_id),
+           |q AS (SELECT * FROM f WHERE token IN ('merge', 'join', 'window')),
+           |dft AS (SELECT token, COUNT(*) AS df FROM q GROUP BY token),
+           |tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS tot FROM f),
+           |nn AS (SELECT COUNT(*) AS n FROM documents),
+           |sc AS (SELECT q.doc_id,
+           |   ROUND(((CAST(nn.n AS DOUBLE) - dft.df + 0.5) / (dft.df + 0.5)) *
+           |         ((q.tf * 2.2) / (q.tf + 1.2 * (0.25 + 0.75 * dl.dl / (tot.tot / nn.n)))), 4) AS c
+           | FROM q JOIN dft USING (token) CROSS JOIN tot CROSS JOIN nn JOIN dl USING (doc_id)),
+           |agg AS (SELECT doc_id, CAST(CAST(CAST(SUM(CAST(c AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS score
+           | FROM sc GROUP BY doc_id),
+           |ranked AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+           | FROM (SELECT * FROM agg ORDER BY score DESC, doc_id LIMIT 10)),
+           |rel AS (SELECT doc_id,
+           |  CAST(len(list_intersect(list_distinct($toks), ['merge', 'join', 'window'])) AS INT) AS rel
+           |  FROM documents),
+           |cnt AS (SELECT
+           |  CAST(SUM(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+           |  CAST(SUM(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           |  CAST(SUM(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM rel),
+           |pdv AS (SELECT [0.0e0, 1.0e0, 1.6309297535714575e0, 2.1309297535714578e0,
+           |  2.5616063116448506e0, 2.9484591188793923e0, 3.3046663059874146e0,
+           |  3.637999639320748e0, 3.953464516106477e0, 4.254494511770458e0,
+           |  4.543559338088346e0] AS pd,
+           |  [1.0e0, 6.309297535714575e-1, 5.0e-1, 4.3067655807339306e-1,
+           |  3.8685280723454163e-1, 3.562071871080222e-1, 3.333333333333333e-1,
+           |  3.1546487678572877e-1, 3.010299956639812e-1, 2.890648263178879e-1] AS disc),
+           |ic AS (SELECT n3, n2, n1,
+           |  3.0e0 * pd[CAST(LEAST(10, n3) AS INT) + 1] +
+           |  2.0e0 * (pd[CAST(LEAST(10, n3 + n2) AS INT) + 1] - pd[CAST(LEAST(10, n3) AS INT) + 1]) +
+           |  1.0e0 * (pd[CAST(LEAST(10, n3 + n2 + n1) AS INT) + 1] - pd[CAST(LEAST(10, n3 + n2) AS INT) + 1]) AS idcg
+           |  FROM cnt, pdv),
+           |rr AS (SELECT ranked.rnk, rel.rel FROM ranked JOIN rel USING (doc_id)),
+           |dc AS (SELECT
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list(CAST(rr.rel AS DOUBLE) * ([1.0e0, 6.309297535714575e-1, 5.0e-1,
+           |      4.3067655807339306e-1, 3.8685280723454163e-1, 3.562071871080222e-1,
+           |      3.333333333333333e-1, 3.1546487678572877e-1, 3.010299956639812e-1,
+           |      2.890648263178879e-1])[CAST(rr.rnk AS INT)] ORDER BY rr.rnk)),
+           |    (x, y) -> x + y) AS dcg,
+           |  CASE WHEN MIN(CASE WHEN rr.rel > 0 THEN rr.rnk END) IS NULL THEN 0.0e0
+           |       ELSE 1.0e0 / CAST(MIN(CASE WHEN rr.rel > 0 THEN rr.rnk END) AS DOUBLE) END AS mrr
+           |  FROM rr)
+           |SELECT n3, n2, n1, mrr, dcg, idcg, dcg / idcg AS ndcg FROM ic, dc""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
