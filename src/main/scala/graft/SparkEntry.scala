@@ -3880,6 +3880,89 @@ object SparkEntry {
       idcgRow.crossJoin(broadcast(dcgRow)) // 1-row × 1-row
         .select(col("n3"), col("n2"), col("n1"), col("mrr"), col("dcg"), col("idcg"),
           (col("dcg") / col("idcg")).as("ndcg"))
+    }),
+    "dedup_clusters_incr" -> ((s, d) => {
+      // incremental CLUSTER-TABLE maintenance: yesterday's component
+      // labels (old corpus only) + today's probe pairs (new×all, via the
+      // persisted bucketed index) merged by running CC over label-edges
+      // ∪ delta-pairs — the old pair set is never re-derived and the old
+      // corpus text is never re-shingled. Label edges connect exactly
+      // the old components and labels only ever take component minima,
+      // so the result EQUALS a from-scratch clustering of the full
+      // corpus — which is precisely what the oracle recomputes.
+      val docs = TP(s, d, "documents")
+      val isNew = col("doc_id") % 4 === 0
+      val oldPairs = DedupOps.minhashDupPairs(docs.filter(!isNew), "text", "doc_id",
+        threshold = 0.7, shingleSize = 2, numBands = 32, rowsPerBand = 3)
+      val oldLabels = GraphOps.connectedComponents(oldPairs, "a_id", "b_id")
+        .localCheckpoint() // "yesterday's cluster table"
+      val idx = IncrementalDedupOps.buildIndex(docs.filter(!isNew), "text", "doc_id",
+        prefix = "graft_ccinc_idx", numBuckets = 4, shingleSize = 2, numBands = 32, rowsPerBand = 3)
+      val delta = IncrementalDedupOps.probe(docs.filter(isNew), "text", "doc_id", idx,
+        threshold = 0.7, shingleSize = 2, numBands = 32, rowsPerBand = 3)
+      val edges = oldLabels
+        .select(col("id").as("a_id"), col("cluster_id").as("b_id"))
+        .filter(col("a_id") =!= col("b_id"))
+        .unionByName(delta.select("a_id", "b_id"))
+      GraphOps.connectedComponents(edges, "a_id", "b_id").orderBy("id")
+    }),
+    "graph_sssp" -> ((s, d) => {
+      // bounded-hop weighted shortest paths (Bellman-Ford relaxation,
+      // fixed 4 rounds = min cost over ≤4-edge paths) on the sparse
+      // supplier–part lane graph (lanes with min-quantity ≤ 5); edge
+      // weight = cheapest quantity ever shipped on the lane, in integer
+      // cents. Nodes namespaced into one id space (2p / 2s+1). Fixed
+      // rounds ⇒ deterministic work, one join+min-agg per round.
+      val lanes = T(s, d, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg((min(col("l_quantity").cast("decimal(18,2)")) * 100)
+          .cast("bigint").as("w"))
+        .filter(col("w") <= 500)
+        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"),
+          col("w"))
+      val seeds = T(s, d, "supplier").filter(col("s_suppkey") % 100 === 1)
+        .select((col("s_suppkey") * 2 + 1).as("id"))
+      GraphOps.boundedShortestPaths(lanes, seeds, "src", "dst", "w", maxHops = 4)
+        .orderBy("id")
+    }),
+    "q50_skyline" -> ((s, d) => {
+      // Pareto frontier (skyline) of quantity vs price: a point survives
+      // iff no other line has ≥ on both dims with one strict. Computed
+      // on the QUANTITY-DOMAIN frame (≤50 rows: max price-cents per
+      // quantity, strictly-descending running max from the high end) —
+      // the fact table is scanned once and never globally sorted.
+      import org.apache.spark.sql.expressions.Window
+      val dom = T(s, d, "lineitem")
+        .select(col("l_quantity").cast("decimal(18,2)").as("qd"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint").as("pc"))
+        .groupBy("qd").agg(max("pc").as("max_pc"))
+      val w = Window.orderBy(col("qd").desc).rowsBetween(Window.unboundedPreceding, -1)
+      dom // domain-sized single-partition window only
+        .withColumn("hi", max("max_pc").over(w))
+        .filter(col("hi").isNull || col("max_pc") > col("hi"))
+        .select(col("qd").cast("double").as("quantity"), col("max_pc").as("price_cents"))
+        .orderBy("quantity")
+    }),
+    "q51_weighted_median" -> ((s, d) => {
+      // exact WEIGHTED median per return flag: the price at which half
+      // the total quantity mass sits at-or-below — cumulative integer
+      // weights over the (flag, price)-domain frame, never a row sort;
+      // the pick is min price with 2·cum ≥ total (lower weighted
+      // median, deterministic).
+      import org.apache.spark.sql.expressions.Window
+      val dom = T(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint").as("pc"),
+          (col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint").as("qc"))
+        .groupBy("l_returnflag", "pc").agg(sum("qc").as("wt"))
+      val wc = Window.partitionBy("l_returnflag").orderBy("pc")
+      dom
+        .withColumn("cum", sum("wt").over(wc))
+        .withColumn("tot", sum("wt").over(Window.partitionBy("l_returnflag")))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("l_returnflag")
+        .agg((min("pc").cast("double") / 100).as("wmedian_price"))
+        .orderBy("l_returnflag")
     })
   )
 

@@ -185,6 +185,45 @@ object GraphOps {
     settled
   }
 
+  /** Bounded-hop weighted shortest paths (Bellman-Ford relaxation) over
+    * the undirected weighted graph given by (srcCol, dstCol, wCol) edge
+    * rows, from the seed nodes (one `id` column). Returns (id, dist) =
+    * MINIMUM path cost over paths of AT MOST `maxHops` edges — the bound
+    * is part of the operator's contract (deterministic work, no
+    * convergence scan), which is what a lane/route analysis over a
+    * 100 TB edge log wants anyway: k-hop reachability cost, k small.
+    *
+    * Each round is one equi-join dist×edges + one min-agg (relax), state
+    * localCheckpointed per round; parallel edges collapse to their min
+    * weight once, up front. Unlike BFS, a settled node can improve in a
+    * later round (cheaper longer path), so there is no anti-join — the
+    * min-agg does the work.
+    */
+  def boundedShortestPaths(
+      edges: DataFrame,
+      seeds: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      wCol: String,
+      maxHops: Int
+  ): DataFrame = {
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), col(wCol).as("w"))
+      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst"), col(wCol).as("w")))
+      .groupBy("src", "dst").agg(min("w").as("w"))
+      .localCheckpoint() // derived once, joined every round
+    var dist = seeds.select(col("id")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      dist = dist.join(und, dist("id") === und("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+        .unionByName(dist)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Global triangle census of an undirected graph, via degree-ordered
     * wedge counting (the standard distributed algorithm — Suri & Vassilvitskii,
     * WWW'11 "Counting Triangles and the Curse of the Last Reducer").

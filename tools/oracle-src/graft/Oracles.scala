@@ -2420,7 +2420,40 @@ object Oracles {
            |  CASE WHEN MIN(CASE WHEN rr.rel > 0 THEN rr.rnk END) IS NULL THEN 0.0e0
            |       ELSE 1.0e0 / CAST(MIN(CASE WHEN rr.rel > 0 THEN rr.rnk END) AS DOUBLE) END AS mrr
            |  FROM rr)
-           |SELECT n3, n2, n1, mrr, dcg, idcg, dcg / idcg AS ndcg FROM ic, dc""".stripMargin
+           |SELECT n3, n2, n1, mrr, dcg, idcg, dcg / idcg AS ndcg FROM ic, dc""".stripMargin,
+      "graph_sssp" ->
+        """WITH RECURSIVE lanes AS (SELECT l_suppkey, l_partkey,
+          |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS w
+          |  FROM lineitem GROUP BY 1, 2),
+          |le AS (SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst, w
+          |  FROM lanes WHERE w <= 500),
+          |e AS (SELECT src, dst, w FROM le UNION ALL SELECT dst AS src, src AS dst, w FROM le),
+          |em AS (SELECT src, dst, MIN(w) AS w FROM e GROUP BY 1, 2),
+          |seeds AS (SELECT s_suppkey * 2 + 1 AS id FROM supplier WHERE s_suppkey % 100 = 1),
+          |walk(id, dd, hops) AS (
+          | SELECT id, CAST(0 AS BIGINT) AS dd, 0 AS hops FROM seeds
+          | UNION
+          | SELECT em.dst AS id, walk.dd + em.w AS dd, walk.hops + 1 AS hops
+          | FROM walk JOIN em ON em.src = walk.id WHERE walk.hops < 4)
+          |SELECT id, CAST(MIN(dd) AS BIGINT) AS dist FROM walk GROUP BY id ORDER BY id""".stripMargin,
+      "q50_skyline" ->
+        """WITH dom AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) AS qd,
+          |  MAX(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS max_pc
+          |  FROM lineitem GROUP BY 1),
+          |s AS (SELECT *, MAX(max_pc) OVER (ORDER BY qd DESC
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi FROM dom)
+          |SELECT CAST(qd AS DOUBLE) AS quantity, max_pc AS price_cents FROM s
+          |WHERE hi IS NULL OR max_pc > hi ORDER BY quantity""".stripMargin,
+      "q51_weighted_median" ->
+        """WITH dom AS (SELECT l_returnflag,
+          |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+          |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS wt
+          |  FROM lineitem GROUP BY 1, 2),
+          |c AS (SELECT *, SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY pc
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |  SUM(wt) OVER (PARTITION BY l_returnflag) AS tot FROM dom)
+          |SELECT l_returnflag, CAST(MIN(pc) AS DOUBLE) / 100 AS wmedian_price
+          |FROM c WHERE cum * 2 >= tot GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
@@ -2428,6 +2461,9 @@ object Oracles {
     m + ("events_intervals_typed" -> m("events_intervals")) +
       // different exact algorithm (AllPairs prefix filter vs MinHash-band
       // candidates), same output contract: the shared oracle IS the claim
-      ("dedup_prefix_filter" -> m("dedup_ngram_jaccard"))
+      ("dedup_prefix_filter" -> m("dedup_ngram_jaccard")) +
+      // incremental label maintenance must EQUAL from-scratch clustering
+      // of the full corpus — sharing the oracle IS the claim
+      ("dedup_clusters_incr" -> m("dedup_clusters"))
   }
 }
