@@ -3963,6 +3963,123 @@ object SparkEntry {
         .groupBy("l_returnflag")
         .agg((min("pc").cast("double") / 100).as("wmedian_price"))
         .orderBy("l_returnflag")
+    }),
+    "vec_matryoshka" -> ((s, d) => {
+      // Matryoshka truncation eval: per probe query, overlap between the
+      // exact top-5 by FULL-dim cosine and top-5 by first-16-dims cosine
+      // — the measurement that decides whether a truncated index (4×
+      // cheaper per vector) is good enough for first-stage retrieval.
+      // Both rankings use the brute-force contract (round-6 cosine, id
+      // tie-break); overlap is a semi join of the two 5-row-per-query
+      // sets. Queries broadcast; the corpus never self-joins.
+      val vecs = TP(s, d, "embeddings")
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+        .localCheckpoint(eager = false) // both rankings read it
+      val tr = vecs.select(col("vec_id"), slice(col("vec"), 1, 16).as("vec"))
+      val isQ = col("vec_id") < 8
+      val fullK = SimilarityOps.bruteForceTopK(vecs, vecs.filter(isQ), "vec_id", "vec", k = 5)
+      val trK = SimilarityOps.bruteForceTopK(tr, tr.filter(isQ), "vec_id", "vec", k = 5)
+      val hits = fullK.select(col("query_id"), col("neighbor_id"))
+        .join(trK.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+      fullK.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .na.fill(0L, Seq("n_overlap"))
+        .select(col("query_id"), col("n_overlap").cast("bigint").as("n_overlap"),
+          (col("n_overlap").cast("double") / 5.0).as("recall16"))
+        .orderBy("query_id")
+    }),
+    "vec_centroid_drift" -> ((s, d) => {
+      // embedding distribution monitoring: per label, L2 distance
+      // between two generations' centroids (vec_id parity split).
+      // Per-position sums are BINARY-quantized integers (×2³⁰, floor —
+      // power-of-two scaling is an exact double op, so there is no
+      // decimal rounding boundary for the engines to disagree on; a
+      // decimal(28,12) quantization hit a literal half-way case at
+      // sf0.01 where Spark rounds HALF_UP and DuckDB half-even);
+      // the squared-diff sum folds in POSITION ORDER (sequential — a
+      // parallel double SUM would be order-nondeterministic); the corpus
+      // shuffles once into (label, pos) cells.
+      val pe = TP(s, d, "embeddings")
+        .select(col("label").cast("long").as("label"), (col("vec_id") % 2).as("gen"),
+          posexplode(VectorFunctions.asDouble(col("embedding"))).as(Seq("pos", "x")))
+      val S = 1073741824.0 // 2^30
+      val xq = floor(col("x") * lit(S)).cast("long")
+      val cells = pe.groupBy("label", "pos")
+        .agg(
+          sum(when(col("gen") === 0, xq)).as("sa"),
+          sum(when(col("gen") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("gen") === 1, xq)).as("sb"),
+          sum(when(col("gen") === 1, 1L).otherwise(0L)).as("nb"))
+        .withColumn("dd",
+          col("sa").cast("double") / (col("na").cast("double") * lit(S)) -
+            col("sb").cast("double") / (col("nb").cast("double") * lit(S)))
+      cells.groupBy("label")
+        .agg(sort_array(collect_list(struct(col("pos"), col("dd")))).as("arr"),
+          max("na").as("n_a"), max("nb").as("n_b"))
+        .select(col("label"), col("n_a"), col("n_b"),
+          expr("sqrt(aggregate(arr, cast(0.0 as double), (a, p) -> a + p.dd * p.dd))")
+            .as("l2_drift"))
+        .orderBy("label")
+    }),
+    "data_tcloseness" -> ((s, d) => {
+      // t-closeness audit (completes the k-anon / l-div privacy triple):
+      // per QI class, the total-variation distance between the class's
+      // sensitive-value (mktsegment) distribution and the global one.
+      // The numerator stays INTEGER — Σ_seg |n_cs·n_g − n_gs·n_c| — one
+      // double division at the end; the class×segment grid is built from
+      // two domain-sized broadcast frames so zero-count cells exist.
+      val cust = T(s, d, "customer").select(
+        col("c_nationkey").cast("long").as("nation"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"),
+        col("c_mktsegment").as("seg"))
+        .localCheckpoint(eager = false) // class, global and cell counts read it
+      val cls = cust.groupBy("nation", "bal_band").agg(count(lit(1)).as("n_c"))
+      val glob = cust.groupBy("seg").agg(count(lit(1)).as("n_gs"))
+        .localCheckpoint(eager = false) // grid + total read it
+      val ng = glob.agg(sum("n_gs").cast("bigint").as("n_g"))
+      val cellCnt = cust.groupBy("nation", "bal_band", "seg").agg(count(lit(1)).as("n_cs"))
+      cls.crossJoin(broadcast(glob)).crossJoin(broadcast(ng))
+        .join(cellCnt, Seq("nation", "bal_band", "seg"), "left")
+        .na.fill(0L, Seq("n_cs"))
+        .withColumn("term", abs(col("n_cs") * col("n_g") - col("n_gs") * col("n_c")))
+        .groupBy("nation", "bal_band")
+        .agg(max("n_c").as("n"), sum("term").as("num"), max("n_g").as("ng"))
+        .select(col("nation"), col("bal_band"), col("n"),
+          (col("num").cast("double") /
+            (lit(2.0) * col("n").cast("double") * col("ng").cast("double"))).as("tvd"))
+        .withColumn("t_ok", col("tvd") <= 0.4)
+        .orderBy("nation", "bal_band")
+    }),
+    "events_stl" -> ((s, d) => {
+      // weekday seasonal decomposition (STL-lite): trend = centered
+      // 7-day MA, seasonal = per-dow mean of the detrended series,
+      // remainder = the rest — ALL intermediate state is integer cents
+      // scaled ×7 (detr7 = 7·x − Σ₇x), so the only doubles are three
+      // closed-form divisions per output row. Interior days only (full
+      // MA window). Everything after the one shuffle into daily totals
+      // is calendar-sized.
+      import org.apache.spark.sql.expressions.Window
+      val daily = EV(s, d)
+        .groupBy(expr("ts_us div 86400000000").as("day"))
+        .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+          .cast("decimal(38,0)").cast("bigint").as("x"))
+      val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+      val t = daily // calendar-sized single-partition windows only
+        .withColumn("wn", count(lit(1)).over(w7))
+        .withColumn("t7", sum("x").over(w7))
+        .filter(col("wn") === 7)
+        .withColumn("detr7", col("x") * 7 - col("t7"))
+        .withColumn("dow", expr("(day + 4) % 7"))
+        .localCheckpoint(eager = false) // seasonal means + final join read it
+      val seas = t.groupBy("dow").agg(sum("detr7").as("s7sum"), count(lit(1)).as("sn"))
+      t.join(broadcast(seas), "dow")
+        .select(col("day"), col("x"),
+          (col("t7").cast("double") / 7.0).as("trend"),
+          (col("s7sum").cast("double") / (lit(7.0) * col("sn").cast("double"))).as("seasonal"))
+        .withColumn("remainder", col("x").cast("double") - col("trend") - col("seasonal"))
+        .orderBy("day")
     })
   )
 

@@ -2453,7 +2453,83 @@ object Oracles {
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
           |  SUM(wt) OVER (PARTITION BY l_returnflag) AS tot FROM dom)
           |SELECT l_returnflag, CAST(MIN(pc) AS DOUBLE) / 100 AS wmedian_price
-          |FROM c WHERE cum * 2 >= tot GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+          |FROM c WHERE cum * 2 >= tot GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "vec_matryoshka" ->
+        s"""WITH basef AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+           |baset AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS vec FROM embeddings),
+           |sf2 AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |  ROUND($dotExpr / (${normExpr("a")} * ${normExpr("b")}), 6) AS cosine
+           |  FROM basef a JOIN basef b ON a.vec_id < 8 AND b.vec_id <> a.vec_id),
+           |rf AS (SELECT query_id, neighbor_id,
+           |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+           |  FROM sf2),
+           |st AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |  ROUND($dotExpr / (${normExpr("a")} * ${normExpr("b")}), 6) AS cosine
+           |  FROM baset a JOIN baset b ON a.vec_id < 8 AND b.vec_id <> a.vec_id),
+           |rt AS (SELECT query_id, neighbor_id,
+           |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+           |  FROM st),
+           |hits AS (SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+           |  FROM (SELECT query_id, neighbor_id FROM rf WHERE rank <= 5) f
+           |  JOIN (SELECT query_id, neighbor_id FROM rt WHERE rank <= 5) t
+           |    USING (query_id, neighbor_id)
+           |  GROUP BY f.query_id),
+           |q AS (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 8)
+           |SELECT q.query_id, CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+           | CAST(COALESCE(n_overlap, 0) AS DOUBLE) / 5.0 AS recall16
+           |FROM q LEFT JOIN hits USING (query_id) ORDER BY q.query_id""".stripMargin,
+      "vec_centroid_drift" ->
+        """WITH pe AS (SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS gen,
+          |  generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x
+          |  FROM embeddings),
+          |cells AS (SELECT label, pos,
+          |  CAST(SUM(CASE WHEN gen = 0 THEN CAST(floor(CAST(x AS DOUBLE) * 1073741824.0) AS BIGINT) END) AS BIGINT) AS sa,
+          |  SUM(CASE WHEN gen = 0 THEN 1 ELSE 0 END) AS na,
+          |  CAST(SUM(CASE WHEN gen = 1 THEN CAST(floor(CAST(x AS DOUBLE) * 1073741824.0) AS BIGINT) END) AS BIGINT) AS sb,
+          |  SUM(CASE WHEN gen = 1 THEN 1 ELSE 0 END) AS nb
+          |  FROM pe GROUP BY label, pos),
+          |dd AS (SELECT label, pos, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+          |  CAST(sa AS DOUBLE) / (CAST(na AS DOUBLE) * 1073741824.0)
+          |    - CAST(sb AS DOUBLE) / (CAST(nb AS DOUBLE) * 1073741824.0) AS dd FROM cells)
+          |SELECT label, MAX(na) AS n_a, MAX(nb) AS n_b,
+          | sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(dd * dd ORDER BY pos)),
+          |   (p, q) -> p + q)) AS l2_drift
+          |FROM dd GROUP BY label ORDER BY label""".stripMargin,
+      "data_tcloseness" ->
+        """WITH cust AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+          |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band, c_mktsegment AS seg
+          |  FROM customer),
+          |cls AS (SELECT nation, bal_band, COUNT(*) AS n_c FROM cust GROUP BY 1, 2),
+          |gl AS (SELECT seg, COUNT(*) AS n_gs FROM cust GROUP BY 1),
+          |ng AS (SELECT CAST(SUM(n_gs) AS BIGINT) AS n_g FROM gl),
+          |cellc AS (SELECT nation, bal_band, seg, COUNT(*) AS n_cs FROM cust GROUP BY 1, 2, 3),
+          |grid AS (SELECT cls.nation, cls.bal_band, cls.n_c, gl.seg, gl.n_gs, ng.n_g,
+          |  COALESCE(cellc.n_cs, 0) AS n_cs
+          |  FROM cls CROSS JOIN gl CROSS JOIN ng
+          |  LEFT JOIN cellc ON cellc.nation = cls.nation AND cellc.bal_band = cls.bal_band
+          |    AND cellc.seg = gl.seg),
+          |agg AS (SELECT nation, bal_band, CAST(MAX(n_c) AS BIGINT) AS n,
+          |  CAST(SUM(abs(n_cs * n_g - n_gs * n_c)) AS BIGINT) AS num,
+          |  CAST(MAX(n_g) AS BIGINT) AS ng FROM grid GROUP BY 1, 2)
+          |SELECT nation, bal_band, n,
+          | CAST(num AS DOUBLE) / (2.0 * CAST(n AS DOUBLE) * CAST(ng AS DOUBLE)) AS tvd,
+          | CAST(num AS DOUBLE) / (2.0 * CAST(n AS DOUBLE) * CAST(ng AS DOUBLE)) <= 0.4 AS t_ok
+          |FROM agg ORDER BY nation, bal_band""".stripMargin,
+      "events_stl" ->
+        """WITH daily AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+          |  FROM events GROUP BY 1),
+          |t AS (SELECT *, COUNT(*) OVER w AS wn, SUM(x) OVER w AS t7 FROM daily
+          |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+          |f AS (SELECT day, x, t7, x * 7 - t7 AS detr7, (day + 4) % 7 AS dow
+          |  FROM t WHERE wn = 7),
+          |seas AS (SELECT dow, SUM(detr7) AS s7sum, COUNT(*) AS sn FROM f GROUP BY dow)
+          |SELECT f.day, f.x,
+          | CAST(f.t7 AS DOUBLE) / 7.0 AS trend,
+          | CAST(seas.s7sum AS DOUBLE) / (7.0 * CAST(seas.sn AS DOUBLE)) AS seasonal,
+          | CAST(f.x AS DOUBLE) - CAST(f.t7 AS DOUBLE) / 7.0
+          |   - CAST(seas.s7sum AS DOUBLE) / (7.0 * CAST(seas.sn AS DOUBLE)) AS remainder
+          |FROM f JOIN seas USING (dow) ORDER BY f.day""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
