@@ -4080,6 +4080,51 @@ object SparkEntry {
           (col("s7sum").cast("double") / (lit(7.0) * col("sn").cast("double"))).as("seasonal"))
         .withColumn("remainder", col("x").cast("double") - col("trend") - col("seasonal"))
         .orderBy("day")
+    }),
+    "events_rolling_median" -> ((s, d) => {
+      // robust rolling stats: per event type, the 14-day trailing MEDIAN
+      // of daily revenue — the window's cents collect in-row (≤14 ints),
+      // array_sort + exact lower-median pick, all integer: the robust
+      // anomaly baseline a rolling z-score can't give (one outlier day
+      // moves a mean, not a median). Calendar-sized frame after the one
+      // shuffle into daily totals.
+      import org.apache.spark.sql.expressions.Window
+      val daily = EV(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+          .cast("decimal(38,0)").cast("bigint").as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-13, 0)
+      daily
+        .withColumn("ws", array_sort(collect_list("x").over(w)))
+        .withColumn("n_win", size(col("ws")).cast("bigint"))
+        .select(col("event_type"), col("day"), col("x"), col("n_win"),
+          element_at(col("ws"), expr("cast((n_win + 1) div 2 as int)")).as("med14"))
+        .orderBy("event_type", "day")
+    }),
+    "events_power_analysis" -> ((s, d) => {
+      // A/B sample-size planning per event type: n-per-arm =
+      // 2σ²(z_{α/2}+z_β)²/δ², α=.05 / power=.8 as LITERAL z constants,
+      // σ² from the decimal-exact value moments (the q24_stats
+      // contract), δ = 5% of the mean — closed-form doubles end-to-end,
+      // one scan. The planning step BEFORE events_ab_test is worth
+      // running.
+      val vd = col("value").cast("decimal(18,2)")
+      val k2 = "(1.959963984540054D + 0.8416212335729143D) * " +
+        "(1.959963984540054D + 0.8416212335729143D)"
+      EV(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(vd).cast("decimal(38,2)").cast("double").as("sx"),
+          sum((vd * vd).cast("decimal(38,4)")).cast("decimal(38,4)").cast("double").as("sxx"))
+        .withColumn("mean", col("sx") / col("n").cast("double"))
+        .withColumn("variance",
+          (col("sxx") - col("sx") * col("sx") / col("n").cast("double")) /
+            (col("n").cast("double") - lit(1.0)))
+        .withColumn("delta", lit(0.05) * col("mean"))
+        .select(col("event_type"), col("n"), col("mean"), col("variance"),
+          expr(s"cast(ceil(2.0D * variance * $k2 / (delta * delta)) as bigint)")
+            .as("n_required"))
+        .orderBy("event_type")
     })
   )
 

@@ -187,6 +187,61 @@ object StreamOps {
     }
   }
 
+  final case class CusumState(prefix: Long, minPrefix: Long)
+  final case class CusumOut(key: Long, seq: Long, cusum: Long, alarm: Boolean)
+
+  /** Streaming twin of the batch CUSUM closed form (events_cusum): per
+    * key, the deviation prefix sum P and its running minimum are TWO
+    * LONGS of state — S_t = P_t − min(0, minP_t). mu/slack are fixed
+    * parameters here (the batch query derives them from the full series;
+    * a live monitor pins them from yesterday's calibration), so the
+    * output is bit-identical to the batch recursion replayed with the
+    * same parameters REGARDLESS of micro-batch splits. Rows are applied
+    * in seq order within each batch (sorted locally — per-key daily
+    * frames are tiny); cross-batch order is the arrival contract.
+    */
+  class CusumProcessor(mu: Long, slack: Long, alarmMult: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SeqValue, CusumOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var st: ValueState[CusumState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CusumState]("cusum", Encoders.kryo[CusumState], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[SeqValue],
+        timerValues: TimerValues
+    ): Iterator[CusumOut] = {
+      var s = Option(st.get()).getOrElse(CusumState(0L, 0L))
+      val out = rows.toSeq.sortBy(_.seq).map { r =>
+        // the batch contract's DECIMAL(18,2) cast, as integer cents
+        val cents = BigDecimal(r.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .underlying.unscaledValue.longValueExact
+        val p = s.prefix + (cents - mu - slack)
+        s = CusumState(p, math.min(s.minPrefix, p))
+        val cusum = p - math.min(0L, s.minPrefix)
+        CusumOut(key, r.seq, cusum, cusum > slack * alarmMult)
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** Wire a keyed stream through [[CusumProcessor]]. */
+  def streamingCusum(
+      events: Dataset[SeqValue],
+      mu: Long,
+      slack: Long,
+      alarmMult: Long = 5L
+  ): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.key)
+      .transformWithState(new CusumProcessor(mu, slack, alarmMult),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Wire a keyed stream through [[RollingZScoreProcessor]]. */
   def streamingAnomalies(
       events: Dataset[SeqValue],

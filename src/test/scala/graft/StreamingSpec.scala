@@ -306,4 +306,45 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch, "streaming CMS state must equal the batch sketch")
     } finally q.stop()
   }
+
+  test("streaming CUSUM equals the batch closed form across a micro-batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mu = 1000L; val slack = 50L // fixed calibration, integer cents
+    // key 1: baseline days then a sustained level shift that must
+    // accumulate ACROSS the micro-batch boundary; key 2 stays at mu
+    val b1 = (1 to 6).map(i => StreamOps.SeqValue(1L, i.toLong, 10.0 + (i % 2)))
+    val b2 = (7 to 12).map(i => StreamOps.SeqValue(1L, i.toLong, 18.0)) ++
+      (1 to 4).map(i => StreamOps.SeqValue(2L, i.toLong, 10.0))
+    val input = MemoryStream[StreamOps.SeqValue]
+    val out = StreamOps.streamingCusum(input.toDS(), mu, slack)
+    val q = out.writeStream.format("memory").queryName("cusum_out").outputMode("append").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cusum_out")
+        .as[StreamOps.CusumOut].collect().toSeq.sortBy(o => (o.key, o.seq))
+      // batch closed form: S_t = P_t - min(0, running-min P) on the same
+      // fixed (mu, slack) — the events_cusum window shape
+      import org.apache.spark.sql.expressions.Window
+      val wo = Window.partitionBy("key").orderBy("seq")
+      val batch = (b1 ++ b2).toDF("key", "seq", "value")
+        .withColumn("x", (col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+        .withColumn("p", sum(col("x") - lit(mu) - lit(slack)).over(wo))
+        .withColumn("cusum", col("p") - least(lit(0L), min("p").over(wo)))
+        .select(col("key"), col("seq"), col("cusum"), (col("cusum") > lit(slack * 5)).as("alarm"))
+        .as[StreamOps.CusumOut].collect().toSeq.sortBy(o => (o.key, o.seq))
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(streamed.exists(_.alarm), "the sustained shift must trip the alarm")
+      assert(streamed.filter(_.key == 2L).forall(!_.alarm))
+    } finally {
+      q.stop()
+      if (prev.nonEmpty)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
+  }
 }

@@ -2529,7 +2529,33 @@ object Oracles {
           | CAST(seas.s7sum AS DOUBLE) / (7.0 * CAST(seas.sn AS DOUBLE)) AS seasonal,
           | CAST(f.x AS DOUBLE) - CAST(f.t7 AS DOUBLE) / 7.0
           |   - CAST(seas.s7sum AS DOUBLE) / (7.0 * CAST(seas.sn AS DOUBLE)) AS remainder
-          |FROM f JOIN seas USING (dow) ORDER BY f.day""".stripMargin
+          |FROM f JOIN seas USING (dow) ORDER BY f.day""".stripMargin,
+      "events_rolling_median" ->
+        """WITH daily AS (SELECT event_type,
+          |  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+          |  FROM events GROUP BY 1, 2),
+          |r AS (SELECT event_type, day, x,
+          |  list_sort(list(x) OVER (PARTITION BY event_type ORDER BY day
+          |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) AS ws
+          |  FROM daily)
+          |SELECT event_type, day, x, CAST(len(ws) AS BIGINT) AS n_win,
+          | ws[CAST((len(ws) + 1) // 2 AS INT)] AS med14
+          |FROM r ORDER BY event_type, day""".stripMargin,
+      "events_power_analysis" ->
+        """WITH m AS (SELECT event_type, COUNT(*) AS n,
+          |  CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sx,
+          |  CAST(CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sxx
+          |  FROM events GROUP BY event_type),
+          |p AS (SELECT event_type, CAST(n AS BIGINT) AS n,
+          |  sx / CAST(n AS DOUBLE) AS mean,
+          |  (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS variance
+          |  FROM m)
+          |SELECT event_type, n, mean, variance,
+          | CAST(ceil(2.0e0 * variance *
+          |   ((1.959963984540054e0 + 8.416212335729143e-1) * (1.959963984540054e0 + 8.416212335729143e-1))
+          |   / ((5.0e-2 * mean) * (5.0e-2 * mean))) AS BIGINT) AS n_required
+          |FROM p ORDER BY event_type""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
