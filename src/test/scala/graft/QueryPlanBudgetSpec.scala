@@ -174,8 +174,41 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // ORDER BY; global rides a broadcast NLJ
     "events_ab_srm" -> 1,     // one 1-row conditional agg
     "pipeline_json_roundtrip" -> 1, // json file scan + 1-row agg
-    "dedup_review_sample" -> 4 // band agg + per-band window + ORDER BY off the
+    "dedup_review_sample" -> 4, // band agg + per-band window + ORDER BY off the
                               // minhash pair chain's checkpointed frames
+    "events_chi2" -> 2,       // cell agg + ORDER BY; margins are windows on the lazily-
+                              // checkpointed cell frame, the chi2 total rides broadcast
+    "quality_kappa" -> 1,     // ONE scan → one 1-row confusion agg
+    "events_cusum" -> 3,      // daily agg + type-keyed window exchange + ORDER BY
+    "data_quantile_norm" -> 5, // (source,v) agg + source windows + global-domain window +
+                              // final ORDER BY off the checkpointed docs frame; domain
+                              // lookups ride broadcast
+    "events_survival" -> 6,   // user agg + cohort/dur cells + reverse window + cohort
+                              // collect + posexplode + ORDER BY; global max rides broadcast
+    "dedup_blocking_eval" -> 4, // band histogram agg + truth-side df/prefix aggs + 1-row
+                              // confusion agg off the checkpointed bands frame
+    "quality_label_prop" -> 8, // minhash band agg + bucket pair-gen + vote agg + argmax
+                              // window + ORDER BY across the pair-chain frames
+    "data_temperature_mix" -> 3, // source mass agg + 1-row weight total + source-count
+                              // windows + ORDER BY sharing the tiny frame's sort
+    "text_retrieval_metrics" -> 14, // bm25 chain (term/dl/df/total aggs + joins) + rel
+                              // scan + level counts + ranked join + fold aggs; small
+                              // frames ride broadcast
+    "graph_sssp" -> 1,        // lane agg; relax rounds hang off checkpointed frames,
+                              // ORDER BY reuses the last round's agg partitioning
+    "q50_skyline" -> 2,       // quantity-domain agg + single-partition domain window
+                              // (ORDER BY reuses its sort)
+    "q51_weighted_median" -> 3, // (flag,pc) agg + flag-keyed window + final flag agg
+                              // (ORDER BY reuses it)
+    "vec_matryoshka" -> 6,    // TP + two ranking windows + overlap semi join + query
+                              // distinct + ORDER BY; 5-row-per-query sets ride broadcast
+    "vec_centroid_drift" -> 4, // TP + (label,pos) cell agg + label collect agg + ORDER BY
+    "data_tcloseness" -> 4,   // class agg + cell agg + grid left join + final class agg;
+                              // segment/global frames ride broadcast
+    "events_stl" -> 0,        // daily agg + MA windows sit behind the lazy checkpoint;
+                              // seasonal join rides broadcast, ORDER BY reuses its layout
+    "events_rolling_median" -> 3, // daily agg + type-keyed window + ORDER BY
+    "events_power_analysis" -> 2 // one type-keyed moment agg + ORDER BY
   )
 
   test("headline queries match their pinned shuffle counts") {
