@@ -4125,6 +4125,72 @@ object SparkEntry {
           expr(s"cast(ceil(2.0D * variance * $k2 / (delta * delta)) as bigint)")
             .as("n_required"))
         .orderBy("event_type")
+    }),
+    "data_feature_store" -> ((s, d) => {
+      // feature-store assembly: one WIDE feature row per user — per-type
+      // event counts (conditional aggregation over the known type
+      // domain, NOT a pivot join), decimal-exact revenue total, and
+      // recency vs the corpus frontier — the export a training job joins
+      // against. ONE shuffle (user agg); the frontier rides a broadcast
+      // scalar.
+      val ev = EV(s, d).localCheckpoint(eager = false) // agg + frontier read it
+      val frontier = ev.agg(max("ts_us").as("f_us"))
+      ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
+          dsum(col("value"), 2).as("total_value"),
+          max("ts_us").as("last_us"))
+        .crossJoin(broadcast(frontier)) // 1-row scalar attach
+        .select(col("user_id"), col("n_events"), col("n_click"), col("n_view"),
+          col("n_purchase"), col("n_error"), col("total_value"),
+          expr("(f_us - last_us) div 86400000000").as("recency_days"))
+        .orderBy("user_id")
+    }),
+    "events_cumulative_users" -> ((s, d) => {
+      // cumulative unique-users curve, EXACT and scalable: each user
+      // contributes once at their first-seen day (a user-keyed min, not
+      // a distinct-per-window), then one cumulative sum over the
+      // DAY-DOMAIN frame. The growth metric every dashboard wants,
+      // without the count-distinct-per-day blowup. Days acquiring no new
+      // users don't emit a row (documented contract).
+      import org.apache.spark.sql.expressions.Window
+      val firstSeen = EV(s, d)
+        .groupBy("user_id").agg(min(expr("ts_us div 86400000000")).as("day"))
+      val perDay = firstSeen.groupBy("day").agg(count(lit(1)).as("new_users"))
+      perDay // day-domain single-partition window only
+        .withColumn("cum_users", sum("new_users").over(Window.orderBy("day")))
+        .orderBy("day")
+    }),
+    "events_outlier_iqr" -> ((s, d) => {
+      // IQR-fence outlier flags on daily revenue per type — ALL integer:
+      // quartiles are exact value-domain picks (smallest x with 4·cum ≥
+      // n / ≥ 3n), and the 1.5·IQR fences compare as 2·x vs 2·q ∓ 3·IQR
+      // (no fractional arithmetic ever materializes). The robust
+      // complement to the z-score anomaly family; winsorize caps,
+      // this FLAGS.
+      import org.apache.spark.sql.expressions.Window
+      val daily = EV(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+          .cast("decimal(38,0)").cast("bigint").as("x"))
+        .localCheckpoint(eager = false) // quartile domain + flag join read it
+      val dom = daily.groupBy("event_type", "x").agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy("event_type").orderBy("x")
+      val cums = dom
+        .withColumn("cum", sum("c").over(wc))
+        .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+      val q = cums.groupBy("event_type")
+        .agg(min(when(col("cum") * 4 >= col("n"), col("x"))).as("q1"),
+          min(when(col("cum") * 4 >= col("n") * 3, col("x"))).as("q3"))
+      daily.join(broadcast(q), "event_type")
+        .withColumn("iqr", col("q3") - col("q1"))
+        .select(col("event_type"), col("day"), col("x"), col("q1"), col("q3"),
+          (col("x") * 2 < col("q1") * 2 - col("iqr") * 3 ||
+            col("x") * 2 > col("q3") * 2 + col("iqr") * 3).as("is_outlier"))
+        .orderBy("event_type", "day")
     })
   )
 

@@ -208,7 +208,13 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "events_stl" -> 0,        // daily agg + MA windows sit behind the lazy checkpoint;
                               // seasonal join rides broadcast, ORDER BY reuses its layout
     "events_rolling_median" -> 3, // daily agg + type-keyed window + ORDER BY
-    "events_power_analysis" -> 2 // one type-keyed moment agg + ORDER BY
+    "events_power_analysis" -> 2, // one type-keyed moment agg + ORDER BY
+    "data_feature_store" -> 3, // ONE user agg (type counts are conditional sums, not a
+                              // pivot join) + 1-row frontier agg + ORDER BY
+    "events_cumulative_users" -> 3, // user first-seen agg + day agg + day-domain window
+                              // (ORDER BY reuses its sort)
+    "events_outlier_iqr" -> 3 // daily agg + domain windows + ORDER BY off the lazily-
+                              // checkpointed daily frame; quartiles ride broadcast
   )
 
   test("headline queries match their pinned shuffle counts") {

@@ -2555,7 +2555,50 @@ object Oracles {
           | CAST(ceil(2.0e0 * variance *
           |   ((1.959963984540054e0 + 8.416212335729143e-1) * (1.959963984540054e0 + 8.416212335729143e-1))
           |   / ((5.0e-2 * mean) * (5.0e-2 * mean))) AS BIGINT) AS n_required
-          |FROM p ORDER BY event_type""".stripMargin
+          |FROM p ORDER BY event_type""".stripMargin,
+      "data_feature_store" ->
+        """WITH e AS (SELECT user_id, event_type, value,
+          |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+          |f AS (SELECT MAX(ts_us) AS f_us FROM e),
+          |u AS (SELECT user_id, COUNT(*) AS n_events,
+          |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+          |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+          |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+          |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+          |  CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS total_value,
+          |  MAX(ts_us) AS last_us
+          |  FROM e GROUP BY user_id)
+          |SELECT user_id, n_events,
+          | CAST(n_click AS BIGINT) AS n_click, CAST(n_view AS BIGINT) AS n_view,
+          | CAST(n_purchase AS BIGINT) AS n_purchase, CAST(n_error AS BIGINT) AS n_error,
+          | total_value, (f.f_us - last_us) // 86400000000 AS recency_days
+          |FROM u, f ORDER BY user_id""".stripMargin,
+      "events_cumulative_users" ->
+        """WITH fs AS (SELECT user_id,
+          |  MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS day
+          |  FROM events GROUP BY user_id),
+          |pd AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY day)
+          |SELECT day, new_users,
+          | CAST(SUM(new_users) OVER (ORDER BY day
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+          |FROM pd ORDER BY day""".stripMargin,
+      "events_outlier_iqr" ->
+        """WITH daily AS (SELECT event_type,
+          |  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+          |  FROM events GROUP BY 1, 2),
+          |dom AS (SELECT event_type, x, COUNT(*) AS c FROM daily GROUP BY 1, 2),
+          |cums AS (SELECT *, SUM(c) OVER (PARTITION BY event_type ORDER BY x
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |  SUM(c) OVER (PARTITION BY event_type) AS n FROM dom),
+          |q AS (SELECT event_type,
+          |  MIN(CASE WHEN cum * 4 >= n THEN x END) AS q1,
+          |  MIN(CASE WHEN cum * 4 >= n * 3 THEN x END) AS q3
+          |  FROM cums GROUP BY event_type)
+          |SELECT daily.event_type, daily.day, daily.x, q.q1, q.q3,
+          | (daily.x * 2 < q.q1 * 2 - (q.q3 - q.q1) * 3 OR
+          |  daily.x * 2 > q.q3 * 2 + (q.q3 - q.q1) * 3) AS is_outlier
+          |FROM daily JOIN q USING (event_type) ORDER BY daily.event_type, daily.day""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
