@@ -4191,6 +4191,77 @@ object SparkEntry {
           (col("x") * 2 < col("q1") * 2 - col("iqr") * 3 ||
             col("x") * 2 > col("q3") * 2 + col("iqr") * 3).as("is_outlier"))
         .orderBy("event_type", "day")
+    }),
+    "q53_window_family" -> ((s, d) => {
+      // window-function conformance row: first/last/nth value with the
+      // explicit whole-partition frame, lag/lead with defaults — the
+      // SQL-surface corners the analytic queries don't exercise;
+      // nation-bounded sorts only, one window layout serves all five.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("s_nationkey").orderBy(col("s_acctbal"), col("s_suppkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+        .withColumn("first_bal", first("s_acctbal").over(wf))
+        .withColumn("last_bal", last("s_acctbal").over(wf))
+        .withColumn("second_bal", nth_value(col("s_acctbal"), 2).over(wf))
+        .withColumn("prev_bal", lag("s_acctbal", 1).over(w))
+        .withColumn("next_bal", lead("s_acctbal", 1).over(w))
+        .orderBy("s_suppkey")
+    }),
+    "events_error_wilson" -> ((s, d) => {
+      // per-day error rate with a Wilson score LOWER bound — the
+      // alerting metric that doesn't fire on tiny n: p̂ and the bound
+      // are closed-form doubles from integer counts with a LITERAL z
+      // (sqrt is correctly rounded everywhere; no other libm). One
+      // day-keyed agg.
+      val z = "1.959963984540054D"
+      EV(s, d)
+        .groupBy(expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("e"))
+        .withColumn("nn", col("n").cast("double"))
+        .withColumn("p", col("e").cast("double") / col("nn"))
+        .withColumn("wilson_low",
+          expr(s"(p + $z * $z / (2.0D * nn) - $z * sqrt(p * (1.0D - p) / nn " +
+            s"+ $z * $z / (4.0D * nn * nn))) / (1.0D + $z * $z / nn)"))
+        .select(col("day"), col("n"), col("e"), col("p").as("rate"),
+          col("wilson_low"), (col("wilson_low") > 0.15).as("alert"))
+        .orderBy("day")
+    }),
+    "vec_knn_eval" -> ((s, d) => {
+      // k-NN classifier eval: each probe's label predicted by majority
+      // vote of its 5 exact nearest neighbors (the brute-force cosine
+      // contract; vote ties break to the smaller label), reported as
+      // per-true-label accuracy — the embedding-quality gate (labels
+      // cluster ⇔ accuracy high). Probes are a bounded deterministic
+      // slice and ride broadcast; the corpus never self-joins.
+      import org.apache.spark.sql.expressions.Window
+      val vecs = TP(s, d, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          VectorFunctions.asDouble(col("embedding")).as("vec"))
+        .localCheckpoint(eager = false) // ranking + two label joins read it
+      val probes = vecs.filter(col("vec_id") % 40 === 0)
+      // label lookups join the corpus-sized map against the TINY knn /
+      // pred sides — no hint, AQE broadcasts the small side (the id→label
+      // map itself must never be broadcast at scale)
+      val knn = SimilarityOps.bruteForceTopK(vecs, probes, "vec_id", "vec", k = 5)
+        .join(vecs.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nbr_label")), "neighbor_id")
+      val wv = Window.partitionBy("query_id")
+        .orderBy(col("n_votes").desc, col("nbr_label"))
+      val pred = knn.groupBy("query_id", "nbr_label")
+        .agg(count(lit(1)).as("n_votes"))
+        .withColumn("rk", row_number().over(wv))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("nbr_label").as("pred"))
+      pred
+        .join(probes.select(col("vec_id").as("query_id"), col("label")), "query_id")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("acc", col("n_correct").cast("double") / col("n_probes").cast("double"))
+        .orderBy("label")
     })
   )
 

@@ -213,8 +213,13 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // pivot join) + 1-row frontier agg + ORDER BY
     "events_cumulative_users" -> 3, // user first-seen agg + day agg + day-domain window
                               // (ORDER BY reuses its sort)
-    "events_outlier_iqr" -> 3 // daily agg + domain windows + ORDER BY off the lazily-
+    "events_outlier_iqr" -> 3, // daily agg + domain windows + ORDER BY off the lazily-
                               // checkpointed daily frame; quartiles ride broadcast
+    "q53_window_family" -> 2, // ONE nation-keyed window layout serves all five functions
+                              // + ORDER BY
+    "events_error_wilson" -> 2, // one day-keyed agg + ORDER BY; Wilson bound is projection
+    "vec_knn_eval" -> 3       // knn vote agg + argmax window + final label agg off the
+                              // checkpointed vecs frame; probes/neighbors ride AQE broadcast
   )
 
   test("headline queries match their pinned shuffle counts") {

@@ -2598,7 +2598,55 @@ object Oracles {
           |SELECT daily.event_type, daily.day, daily.x, q.q1, q.q3,
           | (daily.x * 2 < q.q1 * 2 - (q.q3 - q.q1) * 3 OR
           |  daily.x * 2 > q.q3 * 2 + (q.q3 - q.q1) * 3) AS is_outlier
-          |FROM daily JOIN q USING (event_type) ORDER BY daily.event_type, daily.day""".stripMargin
+          |FROM daily JOIN q USING (event_type) ORDER BY daily.event_type, daily.day""".stripMargin,
+      "q53_window_family" ->
+        """SELECT s_suppkey, s_nationkey, s_acctbal,
+          | first_value(s_acctbal) OVER wf AS first_bal,
+          | last_value(s_acctbal) OVER wf AS last_bal,
+          | nth_value(s_acctbal, 2) OVER wf AS second_bal,
+          | lag(s_acctbal, 1) OVER w AS prev_bal,
+          | lead(s_acctbal, 1) OVER w AS next_bal
+          |FROM supplier
+          |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey),
+          | wf AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          |ORDER BY s_suppkey""".stripMargin,
+      "events_error_wilson" ->
+        """WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e
+          |  FROM events GROUP BY 1),
+          |p AS (SELECT day, CAST(n AS BIGINT) AS n, e, CAST(n AS DOUBLE) AS nn,
+          |  CAST(e AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM d),
+          |wl AS (SELECT *,
+          |  (p + 1.959963984540054e0 * 1.959963984540054e0 / (2.0e0 * nn)
+          |   - 1.959963984540054e0 * sqrt(p * (1.0e0 - p) / nn
+          |     + 1.959963984540054e0 * 1.959963984540054e0 / (4.0e0 * nn * nn)))
+          |  / (1.0e0 + 1.959963984540054e0 * 1.959963984540054e0 / nn) AS wilson_low
+          |  FROM p)
+          |SELECT day, n, e, p AS rate, wilson_low, wilson_low > 0.15 AS alert
+          |FROM wl ORDER BY day""".stripMargin,
+      "vec_knn_eval" ->
+        s"""WITH base AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+           |  embedding::DOUBLE[] AS vec FROM embeddings),
+           |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |  b.label AS nbr_label,
+           |  ROUND($dotExpr / (${normExpr("a")} * ${normExpr("b")}), 6) AS cosine
+           |  FROM base a JOIN base b ON a.vec_id % 40 = 0 AND b.vec_id <> a.vec_id),
+           |ranked AS (SELECT query_id, nbr_label,
+           |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+           |  FROM scored),
+           |votes AS (SELECT query_id, nbr_label, COUNT(*) AS n_votes
+           |  FROM ranked WHERE rank <= 5 GROUP BY 1, 2),
+           |pred AS (SELECT query_id, nbr_label AS pred FROM (SELECT *,
+           |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY n_votes DESC, nbr_label) AS rk
+           |  FROM votes) WHERE rk = 1),
+           |acc AS (SELECT base.label, COUNT(*) AS n_probes,
+           |  CAST(SUM(CASE WHEN pred.pred = base.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+           |  FROM pred JOIN base ON base.vec_id = pred.query_id GROUP BY base.label)
+           |SELECT label, n_probes, n_correct,
+           | CAST(n_correct AS DOUBLE) / CAST(n_probes AS DOUBLE) AS acc
+           |FROM acc ORDER BY label""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
