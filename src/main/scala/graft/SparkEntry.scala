@@ -4262,6 +4262,62 @@ object SparkEntry {
           sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"))
         .withColumn("acc", col("n_correct").cast("double") / col("n_probes").cast("double"))
         .orderBy("label")
+    }),
+    "data_fd_check" -> ((s, d) => {
+      // functional-dependency audit over a denormalized export: for each
+      // candidate FD (A → B), the count of A-values carrying more than
+      // one distinct B — the candidate pairs are STACKED IN-ROW (the
+      // data_expectations / fk-audit idiom) so the denormalized frame is
+      // scanned ONCE, then one (fd, key) agg + one fd agg. The
+      // key-inference gate before declaring uniqueness on a 100 TB
+      // extract. Expected: the three real FDs hold, the segment→nation
+      // candidate fails.
+      val den = T(s, d, "customer")
+        .join(T(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(T(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+      val stacked = den.select(explode(array(
+        struct(lit("custkey->name").as("fd"),
+          col("c_custkey").cast("string").as("k"), col("c_name").as("v")),
+        struct(lit("nationkey->nname").as("fd"),
+          col("c_nationkey").cast("string").as("k"), col("n_name").as("v")),
+        struct(lit("nationkey->rname").as("fd"),
+          col("c_nationkey").cast("string").as("k"), col("r_name").as("v")),
+        struct(lit("segment->nname").as("fd"),
+          col("c_mktsegment").as("k"), col("n_name").as("v")))).as("p"))
+        .select(col("p.fd").as("fd"), col("p.k").as("k"), col("p.v").as("v"))
+      stacked.groupBy("fd", "k").agg(countDistinct("v").as("nd"))
+        .groupBy("fd")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .withColumn("holds", col("n_violating") === 0)
+        .orderBy("fd")
+    }),
+    "events_holt" -> ((s, d) => {
+      // Holt double-exponential smoothing (level + trend) of daily
+      // revenue per event type with α = β = 1/2: the recursion folds
+      // SEQUENTIALLY over the day-ordered cents (struct state in Spark's
+      // aggregate, a 2-list state in the oracle's list_reduce — both
+      // replay the identical IEEE chain; halving is exact scaling), the
+      // forecast is level + 7·trend. The trend-aware successor to
+      // events_ewma; state per type is two doubles.
+      val daily = EV(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+          .cast("decimal(38,0)").cast("bigint").as("x"))
+      daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("arr"))
+        .select(col("event_type"), size(col("arr")).cast("bigint").as("n_days"),
+          expr("""aggregate(
+              slice(transform(arr, e -> cast(e.x as double)), 2, size(arr) - 1),
+              named_struct('l', cast(element_at(arr, 1).x as double), 'b', cast(0.0 as double)),
+              (a, x) -> named_struct(
+                'l', (x + a.l + a.b) / 2.0D,
+                'b', ((x + a.l + a.b) / 2.0D - a.l) / 2.0D + a.b / 2.0D),
+              a -> a)""").as("st"))
+        .select(col("event_type"), col("n_days"),
+          col("st.l").as("level"), col("st.b").as("trend"),
+          (col("st.l") + lit(7.0) * col("st.b")).as("forecast_7d"))
+        .orderBy("event_type")
     })
   )
 

@@ -218,8 +218,12 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "q53_window_family" -> 2, // ONE nation-keyed window layout serves all five functions
                               // + ORDER BY
     "events_error_wilson" -> 2, // one day-keyed agg + ORDER BY; Wilson bound is projection
-    "vec_knn_eval" -> 3       // knn vote agg + argmax window + final label agg off the
+    "vec_knn_eval" -> 3,      // knn vote agg + argmax window + final label agg off the
                               // checkpointed vecs frame; probes/neighbors ride AQE broadcast
+    "data_fd_check" -> 4,     // ONE denormalized scan (dims broadcast) + stacked (fd,key)
+                              // agg with countDistinct expand + fd agg + ORDER BY
+    "events_holt" -> 3        // daily agg + per-type collect agg + ORDER BY; the fold is
+                              // in-row
   )
 
   test("headline queries match their pinned shuffle counts") {

@@ -2646,7 +2646,37 @@ object Oracles {
            |  FROM pred JOIN base ON base.vec_id = pred.query_id GROUP BY base.label)
            |SELECT label, n_probes, n_correct,
            | CAST(n_correct AS DOUBLE) / CAST(n_probes AS DOUBLE) AS acc
-           |FROM acc ORDER BY label""".stripMargin
+           |FROM acc ORDER BY label""".stripMargin,
+      "data_fd_check" ->
+        """WITH den AS (SELECT * FROM customer
+          |  JOIN nation ON c_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey),
+          |stk AS (
+          | SELECT 'custkey->name' AS fd, CAST(c_custkey AS VARCHAR) AS k, c_name AS v FROM den
+          | UNION ALL SELECT 'nationkey->nname', CAST(c_nationkey AS VARCHAR), n_name FROM den
+          | UNION ALL SELECT 'nationkey->rname', CAST(c_nationkey AS VARCHAR), r_name FROM den
+          | UNION ALL SELECT 'segment->nname', c_mktsegment, n_name FROM den),
+          |g AS (SELECT fd, k, COUNT(DISTINCT v) AS nd FROM stk GROUP BY 1, 2)
+          |SELECT fd, COUNT(*) AS n_keys,
+          | CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+          | SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+          |FROM g GROUP BY fd ORDER BY fd""".stripMargin,
+      "events_holt" ->
+        """WITH daily AS (SELECT event_type,
+          |  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+          |  FROM events GROUP BY 1, 2),
+          |a AS (SELECT event_type, COUNT(*) AS n_days,
+          |  list(CAST(x AS DOUBLE) ORDER BY day) AS fl FROM daily GROUP BY 1),
+          |st AS (SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+          |  list_reduce(list_prepend([fl[1], CAST(0.0 AS DOUBLE)],
+          |    list_transform(fl[2:CAST(n_days AS INT)], v -> [v, CAST(0.0 AS DOUBLE)])),
+          |    (acc, e) -> [(e[1] + acc[1] + acc[2]) / 2.0e0,
+          |      ((e[1] + acc[1] + acc[2]) / 2.0e0 - acc[1]) / 2.0e0 + acc[2] / 2.0e0]) AS s
+          |  FROM a)
+          |SELECT event_type, n_days, s[1] AS level, s[2] AS trend,
+          | s[1] + 7.0e0 * s[2] AS forecast_7d
+          |FROM st ORDER BY event_type""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
