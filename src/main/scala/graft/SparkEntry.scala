@@ -4318,6 +4318,20 @@ object SparkEntry {
           col("st.l").as("level"), col("st.b").as("trend"),
           (col("st.l") + lit(7.0) * col("st.b")).as("forecast_7d"))
         .orderBy("event_type")
+    }),
+    "events_session_window_builtin" -> ((s, d) => {
+      // Spark's BUILT-IN session_window generator against the
+      // gaps-and-islands contract: per-user 30-min-gap sessions with
+      // count/start/end — a second implementation of the
+      // events_sessionize semantics, exercising the native
+      // SessionWindowing aggregation path batch-side. Built-in windows
+      // are [ts, ts+gap): an event arriving at EXACTLY the gap boundary
+      // opens a new session, so the oracle's island break is `>= gap`.
+      EV(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+        .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+        .orderBy("user_id", "start_us")
     })
   )
 

@@ -66,12 +66,46 @@ class SyntheticTable(rows: Long, parts: Int) extends Table with SupportsRead {
 }
 
 class SyntheticScanBuilder(rows: Long, parts: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 
   private var lo: Long = 0L
   private var hi: Long = rows // exclusive
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SyntheticTable.schema
+  private var pushedAgg: Option[Aggregation] = None
+
+  private def fieldName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+
+  /** Aggregate pushdown (partial): COUNT(*)/COUNT(col)/MIN(id)/MAX(id),
+    * optionally grouped by `bucket`, are answered in CLOSED FORM from
+    * the id range — a trillion-row `GROUP BY bucket COUNT(*)` plans
+    * O(partitions × 32) arithmetic rows and never generates data. Spark
+    * still runs the final merge aggregate over the per-partition rows
+    * (supportCompletePushDown = false) — exactly the partial/final
+    * split a real columnar source (parquet footers, etc.) exploits.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val groupOk = aggregation.groupByExpressions.length <= 1 &&
+      aggregation.groupByExpressions.forall(e => fieldName(e).contains("bucket"))
+    val aggsOk = aggregation.aggregateExpressions.nonEmpty &&
+      aggregation.aggregateExpressions.forall {
+        case _: CountStar => true
+        case c: Count => !c.isDistinct && fieldName(c.column).isDefined // all cols non-null
+        case m: Min => fieldName(m.column).contains("id")
+        case m: Max => fieldName(m.column).contains("id")
+        case _ => false
+      }
+    if (groupOk && aggsOk) { pushedAgg = Some(aggregation); true } else false
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (absorbed, residual) = filters.partition {
@@ -94,7 +128,95 @@ class SyntheticScanBuilder(rows: Long, parts: Int)
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new SyntheticScan(lo, hi, rows, parts, required)
+  override def build(): Scan = pushedAgg match {
+    case Some(a) => new SyntheticAggScan(lo, hi, rows, parts, a)
+    case None    => new SyntheticScan(lo, hi, rows, parts, required)
+  }
+}
+
+/** Scan produced when an aggregation was pushed: per input partition it
+  * emits the ≤32 (bucket, partial-agg…) rows computed arithmetically
+  * from the partition's id range. Output schema = group columns then one
+  * field per aggregate, positionally — the V2ScanRelationPushDown
+  * contract.
+  */
+class SyntheticAggScan(
+    lo: Long, hi: Long, rows: Long, parts: Int,
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+
+  private val grouped = agg.groupByExpressions.nonEmpty
+
+  override def readSchema(): StructType = {
+    val g = if (grouped) Seq(StructField("bucket", IntegerType, nullable = false)) else Nil
+    val as = agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_: Count, i)     => StructField(s"agg_$i", LongType, nullable = false)
+      case (_: Min, i)       => StructField(s"agg_$i", LongType, nullable = true)
+      case (_: Max, i)       => StructField(s"agg_$i", LongType, nullable = true)
+      case (other, _) => throw new IllegalStateException(s"unpushable aggregate $other")
+    }
+    StructType(g ++ as)
+  }
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SyntheticAggScan[lo=$lo, hi=$hi, grouped=$grouped, aggs=${agg.aggregateExpressions.length}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (rows + parts - 1) / parts)
+    (0 until parts).iterator
+      .map(p => SyntheticRange(math.max(lo, p * per), math.min(hi, (p + 1) * per)))
+      .filter(r => r.start < r.end)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticAggReaderFactory(agg, grouped)
+}
+
+class SyntheticAggReaderFactory(
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+    grouped: Boolean) extends PartitionReaderFactory {
+  import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = partition.asInstanceOf[SyntheticRange]
+    val aggs = agg.aggregateExpressions
+    // closed-form per-bucket stats over the contiguous id range
+    def bucketRows: Iterator[InternalRow] =
+      (0 until 32).iterator.flatMap { b =>
+        val first = r.start + (((b - (r.start % 32).toInt) % 32 + 32) % 32)
+        if (first >= r.end) Iterator.empty
+        else {
+          val cnt = (r.end - 1 - first) / 32 + 1
+          val last = first + (cnt - 1) * 32
+          val vals = aggs.map {
+            case _: CountStar => cnt
+            case _: Count     => cnt
+            case _: Min       => first
+            case _: Max       => last
+          }
+          Iterator.single(new GenericInternalRow(Array[Any](b) ++ vals))
+        }
+      }
+    def globalRow: Iterator[InternalRow] = {
+      val vals: Array[Any] = aggs.map {
+        case _: CountStar => r.end - r.start
+        case _: Count     => r.end - r.start
+        case _: Min       => r.start
+        case _: Max       => r.end - 1
+      }
+      Iterator.single(new GenericInternalRow(vals))
+    }
+    val it = if (grouped) bucketRows else globalRow
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = { if (it.hasNext) { cur = it.next(); true } else false }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
 }
 
 case class SyntheticRange(start: Long, end: Long) extends InputPartition

@@ -222,8 +222,10 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // checkpointed vecs frame; probes/neighbors ride AQE broadcast
     "data_fd_check" -> 4,     // ONE denormalized scan (dims broadcast) + stacked (fd,key)
                               // agg with countDistinct expand + fd agg + ORDER BY
-    "events_holt" -> 3        // daily agg + per-type collect agg + ORDER BY; the fold is
+    "events_holt" -> 3,       // daily agg + per-type collect agg + ORDER BY; the fold is
                               // in-row
+    "events_session_window_builtin" -> 2 // one user-keyed session agg + ORDER BY — the
+                              // native SessionWindowing path sorts within the agg
   )
 
   test("headline queries match their pinned shuffle counts") {

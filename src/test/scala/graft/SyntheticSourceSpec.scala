@@ -1,7 +1,7 @@
 package graft
 
 import graft.pipeline.Pipeline
-import graft.sources.v2.SyntheticTable
+import graft.sources.v2.{SyntheticAggScan, SyntheticScan, SyntheticTable}
 import org.apache.spark.sql.functions._
 
 class SyntheticSourceSpec extends SparkSpec {
@@ -43,6 +43,49 @@ class SyntheticSourceSpec extends SparkSpec {
     assert(df.distinct().count() == 32)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("tag"), s"pruned column must not be read:\n$plan")
+  }
+
+  test("aggregate pushdown: trillion-row grouped count/min/max answers from closed form") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val trillion = 1000000000000L
+    val df = synth(trillion, 64)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"))
+    // the plan must prove the pushdown BEFORE we dare execute: the scan's
+    // schema is the pushed (bucket, partials…) shape, not the row schema
+    val scans = df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty, "expected a BatchScanExec")
+    assert(scans.head.scan.isInstanceOf[SyntheticAggScan],
+      s"aggregation was not pushed: ${scans.head.scan.description()}")
+    val rows = df.orderBy("bucket").collect()
+    assert(rows.length == 32)
+    assert(rows.map(_.getLong(1)).sum == trillion) // counts merge exactly
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      assert(r.getLong(1) == trillion / 32)
+      assert(r.getLong(2) == b)                     // min id in bucket b
+      assert(r.getLong(3) == trillion - 32 + b)     // max id in bucket b
+    }
+  }
+
+  test("aggregate pushdown: ungrouped count matches, and unsupported aggs fall back") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val g = synth(1000000000L, 16).agg(count(lit(1)).as("n"))
+    val scans = g.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }
+    assert(scans.head.scan.isInstanceOf[SyntheticAggScan])
+    assert(g.collect().head.getLong(0) == 1000000000L)
+    // SUM(value) is not pushable — the source must decline and the row
+    // scan still answers correctly
+    val f = synth(10000, 4).agg(sum("value").as("s"), count(lit(1)).as("n"))
+    val fScans = f.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }
+    assert(fScans.head.scan.isInstanceOf[SyntheticScan],
+      "mixed unsupported aggregate must fall back to the row scan")
+    assert(f.collect().head.getLong(1) == 10000)
+    // pushdown composes with id-range filter pushdown
+    val fr = synth(100000, 100).filter(col("id") < 1000).groupBy("bucket").agg(count(lit(1)).as("n"))
+    val frScans = fr.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }
+    assert(frScans.head.scan.isInstanceOf[SyntheticAggScan])
+    assert(fr.collect().map(_.getLong(1)).sum == 1000)
   }
 
   test("synth:// URI scheme reads through the pipeline") {

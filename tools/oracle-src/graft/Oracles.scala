@@ -2676,7 +2676,18 @@ object Oracles {
           |  FROM a)
           |SELECT event_type, n_days, s[1] AS level, s[2] AS trend,
           | s[1] + 7.0e0 * s[2] AS forecast_7d
-          |FROM st ORDER BY event_type""".stripMargin
+          |FROM st ORDER BY event_type""".stripMargin,
+      "events_session_window_builtin" ->
+        """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+          |w AS (SELECT user_id, us,
+          |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+          |        OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000 THEN 1 ELSE 0 END AS ns
+          | FROM e),
+          |s AS (SELECT user_id, us,
+          |  CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+          | FROM w)
+          |SELECT user_id, COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us
+          |FROM s GROUP BY user_id, session_idx ORDER BY user_id, start_us""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
