@@ -409,6 +409,90 @@ object ScaleProbe {
             pmod(col("id") * 17L, lit(2000L)).as("s"),
             (pmod(col("id"), lit(3)) === 0).as("lab")),
           "g", "s", "lab").count()
+      },
+      "bfs_layers" -> { rows =>
+        // frontier-layer BFS over rows/8 disjoint 8-node chains, seeded
+        // at chain heads: 7 rounds, each a frontier×edges join + min-agg
+        // + anti-join — per-row cost must stay flat (work per round is
+        // one frontier layer, never the settled set re-traversed)
+        val edges = synth(rows).filter(pmod(col("id"), lit(8)) =!= 7)
+          .select(col("id").as("a"), (col("id") + 1).as("b"))
+        val seeds = synth(rows).filter(pmod(col("id"), lit(8)) === 0)
+          .select(col("id"))
+        graft.operators.GraphOps.bfsDistances(edges, seeds, "a", "b", maxIter = 9).count()
+      },
+      "sssp_relax" -> { rows =>
+        // bounded-hop Bellman-Ford over the same chain family with
+        // integer weights: fixed 7 relax rounds of join + min-agg; cost
+        // tracks edges×rounds with no convergence scans
+        val edges = synth(rows).filter(pmod(col("id"), lit(8)) =!= 7)
+          .select(col("id").as("a"), (col("id") + 1).as("b"),
+            (pmod(col("id"), lit(5)) + 1).as("w"))
+        val seeds = synth(rows).filter(pmod(col("id"), lit(8)) === 0)
+          .select(col("id"))
+        graft.operators.GraphOps.boundedShortestPaths(edges, seeds, "a", "b", "w", maxHops = 7)
+          .count()
+      },
+      "quantile_norm_domain" -> { rows =>
+        // cross-source quantile normalization shape: per-(source,value)
+        // and global value-domain frames (32×1000 / 1000 rows) carry the
+        // windows; the row-sized work is two hash aggs + one broadcast
+        // join back — per-row cost flat
+        import org.apache.spark.sql.expressions.Window
+        val docs = synth(rows).select(col("bucket").as("source"),
+          pmod(col("id") * 31L, lit(1000L)).as("v"))
+        val srcDom = docs.groupBy("source", "v").agg(count(lit(1)).as("cnt"))
+        val ws = Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val srcRank = srcDom
+          .withColumn("rank_min", coalesce(sum("cnt").over(ws), lit(0L)) + 1)
+          .withColumn("n_s", sum("cnt").over(Window.partitionBy("source")))
+        val glob = docs.groupBy("v").agg(count(lit(1)).as("gcnt"))
+          .withColumn("cum_before",
+            coalesce(sum("gcnt").over(Window.orderBy("v")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("v").as("gv"), col("cum_before"))
+        val target = srcRank.join(broadcast(glob),
+          srcRank("rank_min") > glob("cum_before"))
+          .groupBy("source", "v").agg(count(lit(1)).as("k"))
+        docs.join(broadcast(target), Seq("source", "v")).count()
+      },
+      "tcloseness_grid" -> { rows =>
+        // privacy-audit shape: row-sized cell/class aggs, then all work
+        // on the class×segment grid (1024×10) — per-row cost must track
+        // the two hash aggs only
+        val cust = synth(rows).select(pmod(col("id"), lit(1024L)).as("cls"),
+          col("tag").as("seg"))
+        val cls = cust.groupBy("cls").agg(count(lit(1)).as("n_c"))
+        val cell = cust.groupBy("cls", "seg").agg(count(lit(1)).as("n_cs"))
+        cls.join(cell, "cls").groupBy("cls")
+          .agg(sum("n_cs").as("chk")).count()
+      },
+      "fd_stack" -> { rows =>
+        // FD-audit shape: 4-way in-row stack explode + (fd,key) agg with
+        // distinct — cost tracks 4×rows through ONE scan, no re-reads
+        val den = synth(rows)
+        val stacked = den.select(explode(array(
+          struct(lit("a").as("fd"), col("id").cast("string").as("k"), col("tag").as("v")),
+          struct(lit("b").as("fd"), col("bucket").cast("string").as("k"), col("tag").as("v")),
+          struct(lit("c").as("fd"), col("tag").as("k"), col("tag").as("v")),
+          struct(lit("d").as("fd"), col("bucket").cast("string").as("k"),
+            col("id").cast("string").as("v")))).as("p"))
+          .select(col("p.fd").as("fd"), col("p.k").as("k"), col("p.v").as("v"))
+        stacked.groupBy("fd", "k").agg(countDistinct("v").as("nd"))
+          .groupBy("fd").agg(sum(when(col("nd") > 1, 1L).otherwise(0L)).as("viol"))
+          .count()
+      },
+      "session_window_native" -> { rows =>
+        // built-in session_window aggregation: user-keyed session agg
+        // over synthetic event times — the native SessionWindowing path
+        // must scale with rows (one shuffle + in-partition session sort)
+        synth(rows)
+          .select(pmod(col("id"), lit(65536L)).as("user_id"),
+            timestamp_micros(col("id") * 1000000L + pmod(col("id") * 7L, lit(900L)) * 1000000L).as("ts"))
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy().count().count()
       })
 
     val probes = only.fold(allProbes)(names => allProbes.filter(p => names.contains(p._1)))
