@@ -4332,6 +4332,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), min("ts_us").as("start_us"), max("ts_us").as("end_us"))
         .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
         .orderBy("user_id", "start_us")
+    }),
+    "q54_not_in_nulls" -> ((s, d) => {
+      // three-valued-logic conformance: `x NOT IN (subquery)` where the
+      // subquery yields a NULL is never TRUE (only FALSE/UNKNOWN), so
+      // the with-null variant returns 0 rows while the null-free variant
+      // filters normally — the classic silent-empty-result trap a SQL
+      // engine must reproduce exactly, here pinned as data.
+      val orders = T(s, d, "orders")
+      val inListNull = orders.filter(col("o_orderkey") < 100)
+        .select(expr("nullif(o_orderstatus, 'F')").as("st"))
+      val inListClean = orders.filter(col("o_orderkey") < 100)
+        .filter(col("o_orderstatus") =!= "F")
+        .select(col("o_orderstatus").as("st"))
+      // through the SQL path so Catalyst's NOT IN → null-aware anti join
+      // rewrite is the thing being exercised (a plain anti join has
+      // different null semantics)
+      orders.createOrReplaceTempView("graft_q54_orders")
+      inListNull.createOrReplaceTempView("graft_q54_null_list")
+      inListClean.createOrReplaceTempView("graft_q54_clean_list")
+      s.sql("""
+        SELECT 'with_null' AS variant, COUNT(*) AS n FROM graft_q54_orders
+        WHERE o_orderstatus NOT IN (SELECT st FROM graft_q54_null_list)
+        UNION ALL
+        SELECT 'no_null' AS variant, COUNT(*) AS n FROM graft_q54_orders
+        WHERE o_orderstatus NOT IN (SELECT st FROM graft_q54_clean_list)
+        ORDER BY variant""")
+    }),
+    "q55_join_hints" -> ((s, d) => {
+      // join-strategy hint suite: the SAME join+agg computed under
+      // broadcast, shuffle-hash and merge hints must agree exactly —
+      // three strategies, one contract (the plan spec pins that each
+      // hint actually selects its operator). The fourth row is the
+      // unhinted AQE choice.
+      def one(tag: String, dim: DataFrame) =
+        T(s, d, "lineitem").join(dim, col("l_orderkey") === col("o_orderkey"))
+          .agg(lit(tag).as("variant"), count(lit(1)).as("n"),
+            dsum(revenueTerm, 6).as("revenue"))
+      val dim = T(s, d, "orders").filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"))
+      one("1_broadcast", broadcast(dim))
+        .unionByName(one("2_shuffle_hash", dim.hint("shuffle_hash")))
+        .unionByName(one("3_merge", dim.hint("merge")))
+        .unionByName(one("4_aqe", dim))
+        .orderBy("variant")
     })
   )
 

@@ -82,6 +82,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(BucketOps.countExchanges(j) == 0, s"broadcast join must not shuffle the big side:\n$plan")
   }
 
+  test("q55_join_hints: each strategy hint selects its physical join operator") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"))
+    val dim = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter(col("o_orderstatus") === "O").select(col("o_orderkey"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val b = executedPlan(li.join(broadcast(dim), col("l_orderkey") === col("o_orderkey")))
+      assert(b.contains("BroadcastHashJoin"), s"broadcast hint ignored:\n$b")
+      val sh = executedPlan(li.join(dim.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey")))
+      assert(sh.contains("ShuffledHashJoin"), s"shuffle_hash hint ignored:\n$sh")
+      val m = executedPlan(li.join(dim.hint("merge"), col("l_orderkey") === col("o_orderkey")))
+      assert(m.contains("SortMergeJoin"), s"merge hint ignored:\n$m")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     val dir = java.nio.file.Files.createTempDirectory("bloom-audit").toString
     (0L until 200000L).map(i => (i, i % 1000, i * 1.0)).toDF("id", "k", "v")

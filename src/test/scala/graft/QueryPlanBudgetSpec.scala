@@ -224,8 +224,12 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // agg with countDistinct expand + fd agg + ORDER BY
     "events_holt" -> 3,       // daily agg + per-type collect agg + ORDER BY; the fold is
                               // in-row
-    "events_session_window_builtin" -> 2 // one user-keyed session agg + ORDER BY — the
+    "events_session_window_builtin" -> 2, // one user-keyed session agg + ORDER BY — the
                               // native SessionWindowing path sorts within the agg
+    "q54_not_in_nulls" -> 2,  // two null-aware anti joins over broadcast lists; one
+                              // 1-row agg per branch + union ORDER BY
+    "q55_join_hints" -> 5     // merge variant's 2 sorts + shuffle_hash exchange + union
+                              // ORDER BY; broadcast/AQE variants add none
   )
 
   test("headline queries match their pinned shuffle counts") {

@@ -307,6 +307,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native streaming session_window equals the batch session aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: two sessions (10-min pair, then a 50-min-later singleton);
+    // user 2: one singleton. The day-2 event only advances the watermark
+    // so every day-1 session closes and emits in append mode — its own
+    // session stays open and must NOT appear.
+    val base = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),
+      (1L, "2024-01-01 01:00:00"),
+      (2L, "2024-01-01 00:05:00"))
+    val close = Seq((9L, "2024-01-02 00:00:00"))
+    def sessionAgg(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts", to_timestamp(col("t")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"), col("n"))
+    val input = MemoryStream[(Long, String)]
+    val q = sessionAgg(input.toDS().toDF("user_id", "t"))
+      .writeStream.format("memory").queryName("sess_native_out").outputMode("append").start()
+    try {
+      input.addData(base: _*)
+      q.processAllAvailable()
+      input.addData(close: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sess_native_out")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = sessionAgg(base.toDF("user_id", "t"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(streamed.size == 3 && !streamed.exists(_._1 == 9L))
+    } finally q.stop()
+  }
+
   test("streaming CUSUM equals the batch closed form across a micro-batch split") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")

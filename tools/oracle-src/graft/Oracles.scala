@@ -2687,7 +2687,24 @@ object Oracles {
           |  CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
           | FROM w)
           |SELECT user_id, COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us
-          |FROM s GROUP BY user_id, session_idx ORDER BY user_id, start_us""".stripMargin
+          |FROM s GROUP BY user_id, session_idx ORDER BY user_id, start_us""".stripMargin,
+      "q54_not_in_nulls" ->
+        """WITH nl AS (SELECT nullif(o_orderstatus, 'F') AS st FROM orders WHERE o_orderkey < 100),
+          |cl AS (SELECT o_orderstatus AS st FROM orders
+          |       WHERE o_orderkey < 100 AND o_orderstatus <> 'F')
+          |SELECT 'with_null' AS variant, COUNT(*) AS n FROM orders
+          |WHERE o_orderstatus NOT IN (SELECT st FROM nl)
+          |UNION ALL
+          |SELECT 'no_null' AS variant, COUNT(*) AS n FROM orders
+          |WHERE o_orderstatus NOT IN (SELECT st FROM cl)
+          |ORDER BY variant""".stripMargin,
+      "q55_join_hints" ->
+        s"""WITH dim AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'),
+           |one AS (SELECT COUNT(*) AS n, $revenue AS revenue
+           |        FROM lineitem JOIN dim ON l_orderkey = o_orderkey)
+           |SELECT v.variant, one.n, one.revenue
+           |FROM one, (VALUES ('1_broadcast'), ('2_shuffle_hash'), ('3_merge'), ('4_aqe')) v(variant)
+           |ORDER BY v.variant""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
