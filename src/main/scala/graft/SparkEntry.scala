@@ -4359,6 +4359,39 @@ object SparkEntry {
         WHERE o_orderstatus NOT IN (SELECT st FROM graft_q54_clean_list)
         ORDER BY variant""")
     }),
+    "ann_ivf_sweep" -> ((s, d) => {
+      // probe-fraction planning sweep for the IVF index: recall-vs-
+      // brute-force at probe fractions {1/16, 1/8, 1/4, 1/2} of the
+      // √n-adaptive cell count (the ann_ivf sizing) must be MONOTONE
+      // non-decreasing and reach ≥ 0.8 at 1/2 — the scan-fraction knob a
+      // 100 TB ANN deployment tunes before committing an index.
+      // Driver-checked as invariants-as-data (cell assignment is
+      // engine-side, like ann_lsh/ann_ivf).
+      val vecs = TP(s, d, "embeddings")
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+        .localCheckpoint() // 5 rankings traverse it
+      val queries = vecs.filter(col("vec_id") < 8)
+      val k = 5
+      val nCells = math.max(4, math.sqrt(vecs.count().toDouble).toInt)
+      val bf = SimilarityOps.bruteForceTopK(vecs, queries, "vec_id", "vec", k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint() // joined against every sweep point
+      // the four sweep points as one 4-row frame via union
+      val rows = Seq(16, 8, 4, 2).zipWithIndex.map { case (denom, i) =>
+        val ivf = SimilarityOps.ivfTopK(vecs, queries, "vec_id", "vec", k,
+          nCells = nCells, nProbe = math.max(1, nCells / denom), iters = 4)
+          .select("query_id", "neighbor_id")
+        bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(lit(i + 1).as("nprobe"), (count(lit(1)).cast("double") / (8 * k)).as("recall"))
+      }.reduce(_.unionByName(_))
+      val arr = rows.agg(sort_array(collect_list(struct(col("nprobe"), col("recall")))).as("a"))
+      arr.select(
+        lit(8L).as("n_queries"),
+        expr("""aggregate(a, named_struct('ok', true, 'prev', cast(-1.0 as double)),
+            (acc, x) -> named_struct('ok', acc.ok and x.recall >= acc.prev, 'prev', x.recall),
+            acc -> acc.ok)""").as("monotone_ok"),
+        expr("element_at(a, 4).recall >= 0.8").as("recall8_ok"))
+    }),
     "q55_join_hints" -> ((s, d) => {
       // join-strategy hint suite: the SAME join+agg computed under
       // broadcast, shuffle-hash and merge hints must agree exactly —
@@ -4376,6 +4409,38 @@ object SparkEntry {
         .unionByName(one("3_merge", dim.hint("merge")))
         .unionByName(one("4_aqe", dim))
         .orderBy("variant")
+    }),
+    "data_cast_audit" -> ((s, d) => {
+      // cast-safety audit before a schema migration: for each proposed
+      // column conversion, the rows that would NULL OUT (try_cast
+      // failure) and the rows that would silently LOSE PRECISION —
+      // candidates stacked IN-ROW (the expectations idiom), ONE scan,
+      // one tiny agg. The contract gate before rewriting a 100 TB
+      // extract under a tightened schema.
+      T(s, d, "orders")
+        .select(explode(array(
+          struct(lit("totalprice->decimal(7,2)").as("cast_to"),
+            col("o_totalprice").isNotNull.as("nonnull"),
+            expr("try_cast(o_totalprice as decimal(7,2))").isNull.as("fails"),
+            expr("try_cast(o_totalprice as decimal(7,2)) is not null and " +
+              "cast(try_cast(o_totalprice as decimal(7,2)) as double) <> o_totalprice")
+              .as("lossy")),
+          struct(lit("orderkey->int").as("cast_to"),
+            col("o_orderkey").isNotNull.as("nonnull"),
+            expr("try_cast(o_orderkey as int)").isNull.as("fails"),
+            lit(false).as("lossy")),
+          struct(lit("status->int").as("cast_to"),
+            col("o_orderstatus").isNotNull.as("nonnull"),
+            expr("try_cast(o_orderstatus as int)").isNull.as("fails"),
+            lit(false).as("lossy")))).as("p"))
+        .select(col("p.cast_to").as("cast_to"), col("p.fails").as("fails"),
+          col("p.lossy").as("lossy"))
+        .groupBy("cast_to")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("fails"), 1L).otherwise(0L)).as("n_fail"),
+          sum(when(col("lossy"), 1L).otherwise(0L)).as("n_lossy"))
+        .withColumn("safe", col("n_fail") === 0 && col("n_lossy") === 0)
+        .orderBy("cast_to")
     })
   )
 

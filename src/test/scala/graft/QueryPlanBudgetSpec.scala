@@ -228,8 +228,12 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // native SessionWindowing path sorts within the agg
     "q54_not_in_nulls" -> 2,  // two null-aware anti joins over broadcast lists; one
                               // 1-row agg per branch + union ORDER BY
-    "q55_join_hints" -> 5     // merge variant's 2 sorts + shuffle_hash exchange + union
+    "q55_join_hints" -> 5,    // merge variant's 2 sorts + shuffle_hash exchange + union
                               // ORDER BY; broadcast/AQE variants add none
+    "ann_ivf_sweep" -> 20,    // 4 independent IVF builds (5 exchanges each: centroid
+                              // train + assign + probe) — a PLANNING sweep runs the
+                              // index pipeline once per sweep point by design
+    "data_cast_audit" -> 2    // ONE scan + stacked (cast_to) agg + ORDER BY
   )
 
   test("headline queries match their pinned shuffle counts") {

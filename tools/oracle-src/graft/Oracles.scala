@@ -2704,7 +2704,24 @@ object Oracles {
            |        FROM lineitem JOIN dim ON l_orderkey = o_orderkey)
            |SELECT v.variant, one.n, one.revenue
            |FROM one, (VALUES ('1_broadcast'), ('2_shuffle_hash'), ('3_merge'), ('4_aqe')) v(variant)
-           |ORDER BY v.variant""".stripMargin
+           |ORDER BY v.variant""".stripMargin,
+      "ann_ivf_sweep" ->
+        "SELECT CAST(8 AS BIGINT) AS n_queries, true AS monotone_ok, true AS recall8_ok",
+      "data_cast_audit" ->
+        """WITH stk AS (
+          | SELECT 'totalprice->decimal(7,2)' AS cast_to,
+          |   TRY_CAST(o_totalprice AS DECIMAL(7,2)) IS NULL AS fails,
+          |   TRY_CAST(o_totalprice AS DECIMAL(7,2)) IS NOT NULL AND
+          |     CAST(TRY_CAST(o_totalprice AS DECIMAL(7,2)) AS DOUBLE) <> o_totalprice AS lossy
+          | FROM orders
+          | UNION ALL SELECT 'orderkey->int', TRY_CAST(o_orderkey AS INT) IS NULL, false FROM orders
+          | UNION ALL SELECT 'status->int', TRY_CAST(o_orderstatus AS INT) IS NULL, false FROM orders)
+          |SELECT cast_to, COUNT(*) AS n,
+          | CAST(SUM(CASE WHEN fails THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+          | CAST(SUM(CASE WHEN lossy THEN 1 ELSE 0 END) AS BIGINT) AS n_lossy,
+          | SUM(CASE WHEN fails THEN 1 ELSE 0 END) = 0
+          |   AND SUM(CASE WHEN lossy THEN 1 ELSE 0 END) = 0 AS safe
+          |FROM stk GROUP BY cast_to ORDER BY cast_to""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
