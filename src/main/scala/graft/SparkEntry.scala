@@ -4441,6 +4441,52 @@ object SparkEntry {
           sum(when(col("lossy"), 1L).otherwise(0L)).as("n_lossy"))
         .withColumn("safe", col("n_fail") === 0 && col("n_lossy") === 0)
         .orderBy("cast_to")
+    }),
+    "diff_column_stats" -> ((s, d) => {
+      // CDC audit on top of the diff operator: per-column CHURN — for
+      // every changed (C) row, which value columns actually differ,
+      // stacked in-row and counted in one tiny agg alongside the
+      // N/C/I/D row totals. The "what drifted between snapshots" report
+      // a 100 TB refresh publishes next to its diff. One full-outer
+      // diff join; everything after is column-count-sized.
+      val left = T(s, d, "orders")
+      val right = left
+        .filter(col("o_orderkey") % 97 =!= 0) // deletions
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 10)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 11 === 0, lit("9-RECHECK"))
+            .otherwise(col("o_orderpriority")))
+      val diffed = DiffOps.diff(left, right, Seq("o_orderkey"))
+        .localCheckpoint(eager = false) // row totals + column stack read it
+      val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority")
+      val colStack = diffed.filter(col("diff") === "C")
+        .select(explode(array(cols.map(c =>
+          struct(lit(c).as("column_name"),
+            (!(col(s"left_$c") <=> col(s"right_$c"))).as("chg"))): _*)).as("p"))
+        .groupBy(col("p.column_name").as("column_name"))
+        .agg(sum(when(col("p.chg"), 1L).otherwise(0L)).as("n_changed"))
+      val totals = diffed.groupBy(col("diff").as("column_name"))
+        .agg(count(lit(1)).as("n_changed")) // N/C/I/D row counts share the shape
+      colStack.unionByName(totals).orderBy("column_name")
+    }),
+    "events_json_variant" -> ((s, d) => {
+      // Spark 4 VARIANT path over the props JSON: parse_json once,
+      // variant_get the field (vs events_json's regex extraction — same
+      // contract, the modern semi-structured type), plus a
+      // try_variant_get miss that must be NULL-safe. The oracle replays
+      // it with DuckDB's JSON extraction.
+      EV(s, d)
+        .withColumn("v", parse_json(col("props")))
+        .select(
+          expr("variant_get(v, '$.k', 'int')").as("k"),
+          expr("try_variant_get(v, '$.missing', 'int')").as("miss"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("miss").isNull, 1L).otherwise(0L)).as("n_miss_null"))
+        .orderBy("k")
     })
   )
 

@@ -233,7 +233,11 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "ann_ivf_sweep" -> 20,    // 4 independent IVF builds (5 exchanges each: centroid
                               // train + assign + probe) — a PLANNING sweep runs the
                               // index pipeline once per sweep point by design
-    "data_cast_audit" -> 2    // ONE scan + stacked (cast_to) agg + ORDER BY
+    "data_cast_audit" -> 2,   // ONE scan + stacked (cast_to) agg + ORDER BY
+    "diff_column_stats" -> 3, // full-outer diff join (SMJ sorts ride the lazily-
+                              // checkpointed diff frame) + column-stack agg + row-total
+                              // agg + union ORDER BY
+    "events_json_variant" -> 2 // one k agg + ORDER BY; variant parse is a projection
   )
 
   test("headline queries match their pinned shuffle counts") {

@@ -2721,7 +2721,38 @@ object Oracles {
           | CAST(SUM(CASE WHEN lossy THEN 1 ELSE 0 END) AS BIGINT) AS n_lossy,
           | SUM(CASE WHEN fails THEN 1 ELSE 0 END) = 0
           |   AND SUM(CASE WHEN lossy THEN 1 ELSE 0 END) = 0 AS safe
-          |FROM stk GROUP BY cast_to ORDER BY cast_to""".stripMargin
+          |FROM stk GROUP BY cast_to ORDER BY cast_to""".stripMargin,
+      "diff_column_stats" ->
+        """WITH l AS (SELECT * FROM orders),
+          |r AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+          |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10 ELSE o_totalprice END AS o_totalprice,
+          |  o_orderdate,
+          |  CASE WHEN o_orderkey % 11 = 0 THEN '9-RECHECK' ELSE o_orderpriority END AS o_orderpriority
+          |  FROM orders WHERE o_orderkey % 97 <> 0),
+          |j AS (SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS k,
+          |  l.o_orderkey IS NOT NULL AS el, r.o_orderkey IS NOT NULL AS er,
+          |  l.o_custkey AS lc, r.o_custkey AS rc,
+          |  l.o_orderstatus AS ls, r.o_orderstatus AS rs,
+          |  l.o_totalprice AS lp, r.o_totalprice AS rp,
+          |  l.o_orderdate AS ld, r.o_orderdate AS rd,
+          |  l.o_orderpriority AS lo, r.o_orderpriority AS ro
+          |  FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey),
+          |t AS (SELECT *, CASE WHEN el AND NOT er THEN 'D' WHEN er AND NOT el THEN 'I'
+          |  WHEN lc IS DISTINCT FROM rc OR ls IS DISTINCT FROM rs OR lp IS DISTINCT FROM rp
+          |    OR ld IS DISTINCT FROM rd OR lo IS DISTINCT FROM ro THEN 'C'
+          |  ELSE 'N' END AS d FROM j),
+          |colstk AS (
+          | SELECT 'o_custkey' AS column_name, CAST(SUM(CASE WHEN lc IS DISTINCT FROM rc THEN 1 ELSE 0 END) AS BIGINT) AS n_changed FROM t WHERE d = 'C'
+          | UNION ALL SELECT 'o_orderstatus', CAST(SUM(CASE WHEN ls IS DISTINCT FROM rs THEN 1 ELSE 0 END) AS BIGINT) FROM t WHERE d = 'C'
+          | UNION ALL SELECT 'o_totalprice', CAST(SUM(CASE WHEN lp IS DISTINCT FROM rp THEN 1 ELSE 0 END) AS BIGINT) FROM t WHERE d = 'C'
+          | UNION ALL SELECT 'o_orderdate', CAST(SUM(CASE WHEN ld IS DISTINCT FROM rd THEN 1 ELSE 0 END) AS BIGINT) FROM t WHERE d = 'C'
+          | UNION ALL SELECT 'o_orderpriority', CAST(SUM(CASE WHEN lo IS DISTINCT FROM ro THEN 1 ELSE 0 END) AS BIGINT) FROM t WHERE d = 'C'
+          | UNION ALL SELECT d, CAST(COUNT(*) AS BIGINT) FROM t GROUP BY d)
+          |SELECT column_name, n_changed FROM colstk ORDER BY column_name""".stripMargin,
+      "events_json_variant" ->
+        """SELECT CAST(json_extract(props, '$.k') AS INT) AS k, COUNT(*) AS n,
+          | CAST(COUNT(*) AS BIGINT) AS n_miss_null
+          |FROM events GROUP BY 1 ORDER BY k""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
