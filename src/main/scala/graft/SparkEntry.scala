@@ -4487,6 +4487,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(when(col("miss").isNull, 1L).otherwise(0L)).as("n_miss_null"))
         .orderBy("k")
+    }),
+    "q56_string_funcs" -> ((s, d) => {
+      // string-function conformance row over customer names: the
+      // portable core (upper/lower/substr/lpad/rpad/replace/reverse/
+      // length/instr/repeat/concat_ws) — every derived column is pure
+      // projection, one ORDER BY.
+      T(s, d, "customer")
+        .filter(col("c_custkey") <= 50)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_mktsegment")).as("lo"),
+          substring(col("c_name"), 3, 8).as("sub"),
+          lpad(col("c_name"), 24, "*").as("lp"),
+          rpad(col("c_mktsegment"), 12, ".").as("rp"),
+          regexp_replace(col("c_name"), "0", "#").as("repl"),
+          reverse(col("c_name")).as("rev"),
+          length(col("c_name")).cast("bigint").as("len"),
+          instr(col("c_name"), "1").cast("bigint").as("pos1"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("cw"))
+        .orderBy("c_custkey")
+    }),
+    "q57_null_ordering" -> ((s, d) => {
+      // null-ordering conformance: engines DISAGREE on default null
+      // placement (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST), so
+      // portable sorts must say it explicitly — rank under an explicit
+      // NULLS LAST ordering of a nullable key, plus the null count.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("st").asc_nulls_last, col("o_orderkey"))
+      T(s, d, "orders")
+        .filter(col("o_orderkey") <= 200)
+        .select(col("o_orderkey"), expr("nullif(o_orderstatus, 'F')").as("st"))
+        .withColumn("rk", row_number().over(w)) // 200-row bounded window
+        .orderBy("o_orderkey")
     })
   )
 

@@ -237,7 +237,9 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "diff_column_stats" -> 3, // full-outer diff join (SMJ sorts ride the lazily-
                               // checkpointed diff frame) + column-stack agg + row-total
                               // agg + union ORDER BY
-    "events_json_variant" -> 2 // one k agg + ORDER BY; variant parse is a projection
+    "events_json_variant" -> 2, // one k agg + ORDER BY; variant parse is a projection
+    "q56_string_funcs" -> 1,  // pure projection + ORDER BY
+    "q57_null_ordering" -> 1  // bounded single-partition rank window (ORDER BY reuses it)
   )
 
   test("headline queries match their pinned shuffle counts") {

@@ -2752,7 +2752,23 @@ object Oracles {
       "events_json_variant" ->
         """SELECT CAST(json_extract(props, '$.k') AS INT) AS k, COUNT(*) AS n,
           | CAST(COUNT(*) AS BIGINT) AS n_miss_null
-          |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+          |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+      "q56_string_funcs" ->
+        """SELECT c_custkey,
+          | upper(c_name) AS up, lower(c_mktsegment) AS lo,
+          | substr(c_name, 3, 8) AS sub,
+          | lpad(c_name, 24, '*') AS lp, rpad(c_mktsegment, 12, '.') AS rp,
+          | regexp_replace(c_name, '0', '#', 'g') AS repl,
+          | reverse(c_name) AS rev,
+          | CAST(length(c_name) AS BIGINT) AS len,
+          | CAST(strpos(c_name, '1') AS BIGINT) AS pos1,
+          | concat_ws('|', c_mktsegment, c_name) AS cw
+          |FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""".stripMargin,
+      "q57_null_ordering" ->
+        """SELECT o_orderkey, nullif(o_orderstatus, 'F') AS st,
+          | CAST(row_number() OVER (ORDER BY nullif(o_orderstatus, 'F') ASC NULLS LAST,
+          |   o_orderkey) AS BIGINT) AS rk
+          |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
