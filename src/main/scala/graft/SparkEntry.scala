@@ -4520,6 +4520,49 @@ object SparkEntry {
         .select(col("o_orderkey"), expr("nullif(o_orderstatus, 'F')").as("st"))
         .withColumn("rk", row_number().over(w)) // 200-row bounded window
         .orderBy("o_orderkey")
+    }),
+    "q58_date_funcs" -> ((s, d) => {
+      // calendar-function conformance: month/quarter/week truncation
+      // (ISO Monday weeks both engines), last_day, day arithmetic, and
+      // datediff — emitted as DATE columns (dates hash portably;
+      // timestamps would re-open the µs/NTZ can). Pure projection.
+      T(s, d, "orders")
+        .filter(col("o_orderkey") <= 100)
+        .select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("od"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("m_start"),
+          to_date(date_trunc("quarter", col("o_orderdate"))).as("q_start"),
+          to_date(date_trunc("week", col("o_orderdate"))).as("w_start"),
+          last_day(col("o_orderdate")).as("m_end"),
+          date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+          datediff(to_date(col("o_orderdate")), lit("2024-01-01").cast("date"))
+            .cast("bigint").as("days_since"))
+        .orderBy("o_orderkey")
+    }),
+    "vec_matryoshka_curve" -> ((s, d) => {
+      // recall-vs-dimension curve: top-5 overlap against the full-dim
+      // ranking at truncated dims {8, 16, 32, 64} — unlike the IVF
+      // sweep this is EXACT SQL-replayable math (truncated cosine is
+      // deterministic), so every point is oracle-checked, and dim=64
+      // must be a perfect 1.0. The dimension-budget planning curve for
+      // a Matryoshka-trained embedding fleet.
+      val vecs = TP(s, d, "embeddings")
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+        .localCheckpoint() // 5 rankings traverse it
+      val isQ = col("vec_id") < 8
+      val k = 5
+      val fullK = SimilarityOps.bruteForceTopK(vecs, vecs.filter(isQ), "vec_id", "vec", k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint() // joined against every curve point
+      Seq(8, 16, 32, 64).map { dim =>
+        val tr = vecs.select(col("vec_id"), slice(col("vec"), 1, dim).as("vec"))
+        val trK = SimilarityOps.bruteForceTopK(tr, tr.filter(isQ), "vec_id", "vec", k)
+          .select("query_id", "neighbor_id")
+        fullK.join(trK, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(lit(dim).as("dim"), count(lit(1)).cast("bigint").as("n_overlap"),
+            (count(lit(1)).cast("double") / (8 * k)).as("recall"))
+      }.reduce(_.unionByName(_))
+        .orderBy("dim")
     })
   )
 

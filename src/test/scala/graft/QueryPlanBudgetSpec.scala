@@ -239,7 +239,11 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // agg + union ORDER BY
     "events_json_variant" -> 2, // one k agg + ORDER BY; variant parse is a projection
     "q56_string_funcs" -> 1,  // pure projection + ORDER BY
-    "q57_null_ordering" -> 1  // bounded single-partition rank window (ORDER BY reuses it)
+    "q57_null_ordering" -> 1, // bounded single-partition rank window (ORDER BY reuses it)
+    "q58_date_funcs" -> 1,    // pure projection + ORDER BY
+    "vec_matryoshka_curve" -> 16 // 4 exact rankings (per-query window + hit agg each) +
+                              // union ORDER BY — a planning CURVE runs the ranking once
+                              // per dim point by design; queries ride broadcast
   )
 
   test("headline queries match their pinned shuffle counts") {

@@ -2768,7 +2768,37 @@ object Oracles {
         """SELECT o_orderkey, nullif(o_orderstatus, 'F') AS st,
           | CAST(row_number() OVER (ORDER BY nullif(o_orderstatus, 'F') ASC NULLS LAST,
           |   o_orderkey) AS BIGINT) AS rk
-          |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin
+          |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin,
+      "q58_date_funcs" ->
+        """SELECT o_orderkey,
+          | CAST(o_orderdate AS DATE) AS od,
+          | CAST(date_trunc('month', o_orderdate) AS DATE) AS m_start,
+          | CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
+          | CAST(date_trunc('week', o_orderdate) AS DATE) AS w_start,
+          | last_day(CAST(o_orderdate AS DATE)) AS m_end,
+          | CAST(o_orderdate AS DATE) + 30 AS plus30,
+          | CAST(date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+          |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin,
+      "vec_matryoshka_curve" ->
+        s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+           |rf AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |   ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+           |     ROUND($dotExpr / (${normExpr("a")} * ${normExpr("b")}), 6) DESC, b.vec_id) AS rank
+           |  FROM base a JOIN base b ON a.vec_id < 8 AND b.vec_id <> a.vec_id) WHERE rank <= 5),
+           |dims AS (SELECT CAST(d.range AS INT) AS dim FROM range(3, 7) d),
+           |tr AS (SELECT dims.dim, vec_id, (embedding::DOUBLE[])[1:(1 << dims.dim)] AS vec
+           |       FROM embeddings, dims),
+           |rt AS (SELECT dim, query_id, neighbor_id FROM (
+           |  SELECT a.dim, a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |   ROW_NUMBER() OVER (PARTITION BY a.dim, a.vec_id ORDER BY
+           |     ROUND($dotExpr / (${normExpr("a")} * ${normExpr("b")}), 6) DESC, b.vec_id) AS rank
+           |  FROM tr a JOIN tr b ON a.dim = b.dim AND a.vec_id < 8 AND b.vec_id <> a.vec_id)
+           |  WHERE rank <= 5)
+           |SELECT CAST(1 << dim AS INT) AS dim, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           | CAST(COUNT(*) AS DOUBLE) / 40.0 AS recall
+           |FROM rt JOIN rf USING (query_id, neighbor_id)
+           |GROUP BY dim ORDER BY dim""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
