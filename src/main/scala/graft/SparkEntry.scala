@@ -4563,6 +4563,29 @@ object SparkEntry {
             (count(lit(1)).cast("double") / (8 * k)).as("recall"))
       }.reduce(_.unionByName(_))
         .orderBy("dim")
+    }),
+    "q59_array_funcs" -> ((s, d) => {
+      // array-function conformance over token arrays (the order-stable
+      // subset: sort/distinct-sorted/contains/position/size/slice and an
+      // element-wise HOF) — array semantics are where engines silently
+      // diverge, so the portable core is pinned as data. Pure projection.
+      val tk = TextFunctions.tokensFromNorm(TextFunctions.normText(col("text")))
+      TP(s, d, "documents")
+        .filter(col("doc_id") <= 60)
+        .select(col("doc_id"), tk.as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("bigint").as("n_tok"),
+          // arrays emit as joined strings — array cells don't hash
+          // portably through the parquet/pandas compare (the
+          // vec_meanpool precedent)
+          concat_ws(",", sort_array(array_distinct(col("tk")))).as("sorted_vocab"),
+          array_contains(col("tk"), "the").as("has_the"),
+          array_position(col("tk"), "the").cast("bigint").as("pos_the"),
+          concat_ws(",", slice(col("tk"), 1, 3)).as("first3"),
+          expr("concat_ws(',', transform(slice(tk, 1, 3), x -> cast(length(x) as string)))")
+            .as("first3_lens"),
+          expr("size(filter(tk, x -> length(x) >= 6))").cast("bigint").as("n_long"))
+        .orderBy("doc_id")
     })
   )
 

@@ -52,7 +52,8 @@ object StreamOps {
       leftTsCol: String,
       rightTsCol: String,
       watermarkDelay: String,
-      maxDelay: String
+      maxDelay: String,
+      joinType: String = "inner"
   ): DataFrame = {
     val l = left.withWatermark(leftTsCol, watermarkDelay)
     val r = right.withWatermark(rightTsCol, watermarkDelay)
@@ -60,7 +61,9 @@ object StreamOps {
     val timeCond =
       r(rightTsCol) >= l(leftTsCol) &&
         r(rightTsCol) <= l(leftTsCol) + expr(s"INTERVAL $maxDelay")
-    keyCols.foldLeft(l.join(r, keyCond && timeCond, "inner"))((df, c) => df.drop(r(c)))
+    // left_outer emits the null-padded left row once its join window is
+    // fully past the watermark — the "click with no purchase" stream
+    keyCols.foldLeft(l.join(r, keyCond && timeCond, joinType))((df, c) => df.drop(r(c)))
   }
 
   final case class SessionEvent(key: Long, ts_us: Long)

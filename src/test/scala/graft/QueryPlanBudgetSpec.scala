@@ -241,9 +241,10 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "q56_string_funcs" -> 1,  // pure projection + ORDER BY
     "q57_null_ordering" -> 1, // bounded single-partition rank window (ORDER BY reuses it)
     "q58_date_funcs" -> 1,    // pure projection + ORDER BY
-    "vec_matryoshka_curve" -> 16 // 4 exact rankings (per-query window + hit agg each) +
+    "vec_matryoshka_curve" -> 16, // 4 exact rankings (per-query window + hit agg each) +
                               // union ORDER BY — a planning CURVE runs the ranking once
                               // per dim point by design; queries ride broadcast
+    "q59_array_funcs" -> 2    // TP + ORDER BY — every array op is a projection
   )
 
   test("headline queries match their pinned shuffle counts") {

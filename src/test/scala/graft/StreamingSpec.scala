@@ -307,6 +307,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits the null-padded row after the watermark closes it") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val joined = StreamOps.streamStreamJoin(
+      clicks.toDF().toDF("click_ts", "user"),
+      buys.toDF().toDF("buy_ts", "user", "amount"),
+      Seq("user"), "click_ts", "buy_ts",
+      watermarkDelay = "10 minutes", maxDelay = "5 minutes", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_left_out")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+      clicks.addData((ts(1), 1L), (ts(1), 2L))
+      buys.addData((ts(3), 1L, 9.99)) // user 2 never buys
+      q.processAllAvailable()
+      // advance both watermarks far past user 2's join window
+      clicks.addData((ts(59), 9L))
+      buys.addData((ts(59), 8L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_left_out").collect()
+        .map(r => (r.getAs[Long]("user"), Option(r.getAs[Any]("amount")))).toSet
+      assert(rows.contains((1L, Some(9.99))), s"matched row missing: $rows")
+      assert(rows.contains((2L, None)),
+        s"user 2's click must emit null-padded once the window closes: $rows")
+    } finally q.stop()
+  }
+
   test("native streaming session_window equals the batch session aggregation") {
     implicit val sqlCtx = spark.sqlContext
     // user 1: two sessions (10-min pair, then a 50-min-later singleton);

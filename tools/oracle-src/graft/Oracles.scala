@@ -2798,7 +2798,18 @@ object Oracles {
            |SELECT CAST(1 << dim AS INT) AS dim, CAST(COUNT(*) AS BIGINT) AS n_overlap,
            | CAST(COUNT(*) AS DOUBLE) / 40.0 AS recall
            |FROM rt JOIN rf USING (query_id, neighbor_id)
-           |GROUP BY dim ORDER BY dim""".stripMargin
+           |GROUP BY dim ORDER BY dim""".stripMargin,
+      "q59_array_funcs" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id <= 60)
+           |SELECT doc_id,
+           | CAST(len(tk) AS BIGINT) AS n_tok,
+           | array_to_string(list_sort(list_distinct(tk)), ',') AS sorted_vocab,
+           | list_contains(tk, 'the') AS has_the,
+           | CAST(COALESCE(list_position(tk, 'the'), 0) AS BIGINT) AS pos_the,
+           | array_to_string(tk[1:3], ',') AS first3,
+           | array_to_string(list_transform(tk[1:3], x -> CAST(length(x) AS VARCHAR)), ',') AS first3_lens,
+           | CAST(len(list_filter(tk, x -> length(x) >= 6)) AS BIGINT) AS n_long
+           |FROM t ORDER BY doc_id""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
