@@ -4586,6 +4586,55 @@ object SparkEntry {
             .as("first3_lens"),
           expr("size(filter(tk, x -> length(x) >= 6))").cast("bigint").as("n_long"))
         .orderBy("doc_id")
+    }),
+    "events_anova" -> ((s, d) => {
+      // one-way ANOVA across event types (does mean value differ by
+      // type?): per-group decimal-exact moment sums → closed-form
+      // between/within sums of squares and the F statistic — the
+      // k-group extension of the Welch A/B readout, one scan + a
+      // group-count-sized frame. The group sums fold into grand totals
+      // by a SORTED sequential fold (a parallel double SUM over groups
+      // would be order-nondeterministic).
+      val vd = col("value").cast("decimal(18,2)")
+      val g = EV(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(vd).cast("decimal(38,2)").cast("double").as("sx"),
+          sum((vd * vd).cast("decimal(38,4)")).cast("decimal(38,4)").cast("double").as("sxx"))
+      val tot = g
+        .agg(sort_array(collect_list(struct(col("event_type"), col("n"), col("sx"), col("sxx")))).as("a"))
+        .select(
+          expr("aggregate(a, 0L, (acc, x) -> acc + x.n)").as("n_tot"),
+          expr("aggregate(a, cast(0.0 as double), (acc, x) -> acc + x.sx)").as("sx_tot"),
+          expr("aggregate(a, cast(0.0 as double), (acc, x) -> acc + x.sxx)").as("sxx_tot"),
+          expr("aggregate(a, cast(0.0 as double), (acc, x) -> acc + x.sx * x.sx / cast(x.n as double))")
+            .as("ssb_raw"),
+          size(col("a")).cast("bigint").as("k"))
+      tot.select(col("k"), col("n_tot"),
+        (col("ssb_raw") - col("sx_tot") * col("sx_tot") / col("n_tot").cast("double")).as("ss_between"),
+        (col("sxx_tot") - col("ssb_raw")).as("ss_within"))
+        .select(col("k"), col("n_tot"), col("ss_between"), col("ss_within"),
+          ((col("ss_between") / (col("k") - 1).cast("double")) /
+            (col("ss_within") / (col("n_tot") - col("k")).cast("double"))).as("f_stat"))
+    }),
+    "data_dedup_idempotence" -> ((s, d) => {
+      // dedup idempotence proof AS DATA: applying the survivors pass to
+      // its own output must change nothing (pass 2 finds zero pairs) —
+      // the property that makes a nightly dedup safe to re-run on
+      // already-cleaned data. Emits pass-1/pass-2 counts and the
+      // equality verdict; the oracle recomputes pass 1 and states the
+      // invariant.
+      val docs = TP(s, d, "documents")
+      val p1 = DedupOps.applyPairDedup(docs, "doc_id",
+        DedupOps.minhashDupPairs(docs, "text", "doc_id", threshold = 0.7,
+          shingleSize = 2, numBands = 32, rowsPerBand = 3))
+        .localCheckpoint() // pass 2 re-shingles THIS output
+      val p2 = DedupOps.applyPairDedup(p1, "doc_id",
+        DedupOps.minhashDupPairs(p1, "text", "doc_id", threshold = 0.7,
+          shingleSize = 2, numBands = 32, rowsPerBand = 3))
+      p1.agg(count(lit(1)).as("n_pass1"))
+        .crossJoin(broadcast(p2.agg(count(lit(1)).as("n_pass2")))) // 1×1
+        .withColumn("idempotent", col("n_pass1") === col("n_pass2"))
     })
   )
 

@@ -244,7 +244,10 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "vec_matryoshka_curve" -> 16, // 4 exact rankings (per-query window + hit agg each) +
                               // union ORDER BY — a planning CURVE runs the ranking once
                               // per dim point by design; queries ride broadcast
-    "q59_array_funcs" -> 2    // TP + ORDER BY — every array op is a projection
+    "q59_array_funcs" -> 2,   // TP + ORDER BY — every array op is a projection
+    "events_anova" -> 2,      // one type-keyed moment agg + 1-row fold agg
+    "data_dedup_idempotence" -> 4 // pass-2 minhash band agg + bucket pair-gen + two
+                              // 1-row counts off the checkpointed pass-1 survivors
   )
 
   test("headline queries match their pinned shuffle counts") {

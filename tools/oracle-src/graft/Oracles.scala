@@ -2809,7 +2809,42 @@ object Oracles {
            | array_to_string(tk[1:3], ',') AS first3,
            | array_to_string(list_transform(tk[1:3], x -> CAST(length(x) AS VARCHAR)), ',') AS first3_lens,
            | CAST(len(list_filter(tk, x -> length(x) >= 6)) AS BIGINT) AS n_long
-           |FROM t ORDER BY doc_id""".stripMargin
+           |FROM t ORDER BY doc_id""".stripMargin,
+      "events_anova" ->
+        """WITH g AS (SELECT event_type, COUNT(*) AS n,
+          |  CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sx,
+          |  CAST(CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sxx
+          |  FROM events GROUP BY 1),
+          |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n_tot,
+          |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sx ORDER BY event_type)),
+          |    (p, q) -> p + q) AS sx_tot,
+          |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(sxx ORDER BY event_type)),
+          |    (p, q) -> p + q) AS sxx_tot,
+          |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |    list(sx * sx / CAST(n AS DOUBLE) ORDER BY event_type)), (p, q) -> p + q) AS ssb_raw
+          |  FROM g),
+          |s AS (SELECT k, n_tot,
+          |  ssb_raw - sx_tot * sx_tot / CAST(n_tot AS DOUBLE) AS ss_between,
+          |  sxx_tot - ssb_raw AS ss_within FROM t)
+          |SELECT k, n_tot, ss_between, ss_within,
+          | (ss_between / CAST(k - 1 AS DOUBLE)) / (ss_within / CAST(n_tot - k AS DOUBLE)) AS f_stat
+          |FROM s""".stripMargin,
+      "data_dedup_idempotence" ->
+        s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7),
+           |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+           |reach(id, r) AS (
+           | SELECT DISTINCT a AS id, a AS r FROM e
+           | UNION
+           | SELECT e.b AS id, reach.r AS r FROM reach JOIN e ON e.a = reach.id),
+           |c AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+           |n1 AS (SELECT (SELECT COUNT(*) FROM documents)
+           |  - (SELECT COUNT(*) FROM c WHERE id <> cluster_id) AS n)
+           |SELECT CAST(n AS BIGINT) AS n_pass1, CAST(n AS BIGINT) AS n_pass2,
+           | true AS idempotent FROM n1""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
