@@ -2016,21 +2016,24 @@ object SparkEntry {
     "text_zipf" -> ((s, d) => {
       // rank-frequency (Zipf) curve with cumulative corpus share — the
       // tokenizer-planning table ("how many vocab entries cover 95% of
-      // tokens"). Two aggs; the running sum is a single-partition window
-      // over the VOCAB-sized table (not the corpus), and the total rides
-      // back as a broadcast 1-row scalar.
-      import org.apache.spark.sql.expressions.Window
+      // tokens"). Two aggs; rank + running sum run on the two-level
+      // banding core with band (tf, 2-char token prefix) — a fixed-length
+      // prefix is a monotone coarsening of the in-tie token order, so the
+      // vocab (10⁸⁺ entries on a web corpus, mostly tf=1 ties) never
+      // funnels through one WindowExec task; total rides back broadcast.
       val tok = CorpusOps.docTermCounts(TP(s, d, "documents"), "doc_id", "text")
         .groupBy("token").agg(sum("tf").as("tf"))
+        .withColumn("pfx", substring(col("token"), 1, 2))
       val total = tok.agg(sum("tf").as("total"))
-      val byFreq = Window.orderBy(col("tf").desc, col("token").asc)
-      tok
-        .withColumn("rank", row_number().over(byFreq).cast("long"))
-        .withColumn("cum_tf",
-          sum("tf").over(byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      RankOps.bandedRankCum(tok,
+          bandCols = Seq("tf", "pfx"),
+          bandSort = Seq(col("tf").desc, col("pfx").asc),
+          rowSort = Seq(col("token").asc),
+          cumCols = Seq("tf"))
         .crossJoin(broadcast(total)) // 1-row scalar attach
         .select(col("rank"), col("token"), col("tf"),
-          (col("cum_tf").cast("double") / col("total").cast("double")).as("cum_share"))
+          ((col("cum_before_tf") + col("tf")).cast("double") /
+            col("total").cast("double")).as("cum_share"))
         .orderBy("rank")
     }),
     "vec_norm_audit" -> ((s, d) => {
@@ -2317,18 +2320,23 @@ object SparkEntry {
     "events_pareto" -> ((s, d) => {
       // activity concentration (Pareto report): per-user event counts
       // ranked desc, cumulative share of total — "do 20% of users
-      // produce 80% of events". The running sum is a window over the
-      // USER-count-sized aggregate; total rides back broadcast.
-      import org.apache.spark.sql.expressions.Window
+      // produce 80% of events". Rank + running sum run on the two-level
+      // banding core (RankOps.bandedRankCum: band (n, user_id div 4096),
+      // per-band counts, a band-count-sized offset window, ≤4096-row
+      // in-band windows) — no user-count single-partition WindowExec;
+      // total rides back broadcast.
       val uc = EV(s, d).groupBy("user_id").agg(count(lit(1)).as("n"))
+        .withColumn("sub", RankOps.idiv(col("user_id"), 4096))
       val tot = uc.agg(sum("n").as("total"))
-      val byN = Window.orderBy(col("n").desc, col("user_id").asc)
-      uc.withColumn("rank", row_number().over(byN).cast("long"))
-        .withColumn("cum_n",
-          sum("n").over(byN.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      RankOps.bandedRankCum(uc,
+          bandCols = Seq("n", "sub"),
+          bandSort = Seq(col("n").desc, col("sub").asc),
+          rowSort = Seq(col("user_id").asc),
+          cumCols = Seq("n"))
         .crossJoin(broadcast(tot)) // 1-row scalar attach
         .select(col("rank"), col("user_id"), col("n"),
-          (col("cum_n").cast("double") / col("total").cast("double")).as("cum_share"))
+          ((col("cum_before_n") + col("n")).cast("double") /
+            col("total").cast("double")).as("cum_share"))
         .orderBy("rank")
     }),
     "events_wow_change" -> ((s, d) => {
@@ -2414,10 +2422,13 @@ object SparkEntry {
     "q40_rfm" -> ((s, d) => {
       // RFM customer segmentation: recency (days since last order vs the
       // corpus max day), frequency (order count), monetary (decimal-exact
-      // spend), each quartiled by ntile(4) with a custkey tiebreak so the
-      // tiling is a total order (deterministic across engines). The
-      // windows run over the CUSTOMER-count-sized aggregate, not orders.
-      import org.apache.spark.sql.expressions.Window
+      // spend), each quartiled with a custkey tiebreak so the tiling is
+      // a total order (deterministic across engines). ntile(4) is
+      // computed CLOSED-FORM from a banded global rank (three
+      // RankOps.bandedRankCum passes — bounded-domain r_days/f_orders
+      // band with a custkey div 1024 sub-band; near-unique m_total bands
+      // on floor(m/1024) alone) + RankOps.ntileFromRank — replacing the
+      // three customer-count single-partition ntile sorts.
       val perCust = T(s, d, "orders")
         .groupBy(col("o_custkey").as("custkey"))
         .agg(max(datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")))
@@ -2425,11 +2436,21 @@ object SparkEntry {
              count(lit(1)).as("f_orders"),
              dsum(col("o_totalprice"), 2).as("m_total"))
       val maxDay = perCust.agg(max("last_day").as("max_day"))
-      perCust.crossJoin(broadcast(maxDay)) // 1-row scalar attach
+      val nCust = perCust.agg(count(lit(1)).as("n_cust"))
+      val base = perCust.crossJoin(broadcast(maxDay)) // 1-row scalar attach
         .withColumn("r_days", (col("max_day") - col("last_day")).cast("long"))
-        .withColumn("r_q", ntile(4).over(Window.orderBy(col("r_days").asc, col("custkey").asc)))
-        .withColumn("f_q", ntile(4).over(Window.orderBy(col("f_orders").desc, col("custkey").asc)))
-        .withColumn("m_q", ntile(4).over(Window.orderBy(col("m_total").desc, col("custkey").asc)))
+        .withColumn("sub", RankOps.idiv(col("custkey"), 1024))
+        .withColumn("mb", floor(col("m_total") / 1024.0).cast("long"))
+      val rRank = RankOps.bandedRankCum(base, Seq("r_days", "sub"),
+        Seq(col("r_days").asc, col("sub").asc), Seq(col("custkey").asc), Nil, "r_i")
+      val fRank = RankOps.bandedRankCum(rRank, Seq("f_orders", "sub"),
+        Seq(col("f_orders").desc, col("sub").asc), Seq(col("custkey").asc), Nil, "f_i")
+      val mRank = RankOps.bandedRankCum(fRank, Seq("mb"),
+        Seq(col("mb").desc), Seq(col("m_total").desc, col("custkey").asc), Nil, "m_i")
+      mRank.crossJoin(broadcast(nCust)) // 1-row scalar attach
+        .withColumn("r_q", RankOps.ntileFromRank(col("r_i"), col("n_cust"), 4))
+        .withColumn("f_q", RankOps.ntileFromRank(col("f_i"), col("n_cust"), 4))
+        .withColumn("m_q", RankOps.ntileFromRank(col("m_i"), col("n_cust"), 4))
         .select(col("custkey"), col("r_days"), col("f_orders"), col("m_total"),
           col("r_q"), col("f_q"), col("m_q"),
           concat(col("r_q"), col("f_q"), col("m_q")).as("segment"))
@@ -3049,17 +3070,21 @@ object SparkEntry {
       // write planning: pack per-key byte totals into target-sized output
       // bins with a greedy running-sum cut (bin = cum_before div target) —
       // the file-count planner a compaction job runs over the KEY-DOMAIN
-      // aggregate before any data moves. Integer-exact, one domain window.
-      import org.apache.spark.sql.expressions.Window
+      // aggregate before any data moves. Integer-exact; the running sum
+      // is the two-level banding core (band = key div 4096), NOT a
+      // key-domain single-partition window — the key domain grows with
+      // the data, so the old shape was the scale bug this repo documents.
       val target = 512 * 1024L // 512 KiB per output bin
       val sizes = T(s, d, "lineitem")
         .groupBy(col("l_orderkey").as("key"))
         .agg(sum(lit(96) + length(col("l_returnflag"))).as("bytes")) // est row cost
-      val w = Window.orderBy("key") // key-domain-sized frame
-      sizes
-        .withColumn("cum_before", coalesce(sum("bytes").over(
-          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("bin", expr(s"CAST(cum_before div ${target}L AS INT)"))
+        .withColumn("kb", RankOps.idiv(col("key"), 4096))
+      RankOps.bandedRankCum(sizes,
+          bandCols = Seq("kb"),
+          bandSort = Seq(col("kb").asc),
+          rowSort = Seq(col("key").asc),
+          cumCols = Seq("bytes"))
+        .withColumn("bin", RankOps.idiv(col("cum_before_bytes"), target).cast("int"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n_keys"), sum("bytes").cast("bigint").as("bin_bytes"))
         .orderBy("bin")
@@ -3117,25 +3142,29 @@ object SparkEntry {
     }),
     "text_vocab_coverage" -> ((s, d) => {
       // tokenizer-design curve: share of all token OCCURRENCES covered by
-      // the top-k vocabulary, at k checkpoints — token counts rank on the
-      // VOCAB-sized frame (the text_zipf window precedent), cumulative
-      // share is integer sums until one double division per checkpoint
-      import org.apache.spark.sql.expressions.Window
+      // the top-k vocabulary, at k checkpoints — rank + cumulative run on
+      // the two-level banding core with band (c, 2-char token prefix)
+      // (the text_zipf banding precedent — no vocab-sized
+      // single-partition window), integer sums until one double division
       val checkpoints = Seq(5, 10, 20, 30) // synthetic corpus vocab is ~31 tokens
       val counts = TP(s, d, "documents")
         .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
         .filter(col("tok") =!= "")
         .groupBy("tok").agg(count(lit(1)).as("c"))
-      val w = Window.orderBy(col("c").desc, col("tok")) // vocab-sized frame
-      val ranked = counts
-        .withColumn("rk", row_number().over(w))
-        .withColumn("cum", sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("pfx", substring(col("tok"), 1, 2))
       val tot = counts.agg(sum("c").cast("bigint").as("n_occ"),
         count(lit(1)).cast("bigint").as("n_vocab"))
-      ranked.filter(col("rk").isin(checkpoints.map(Integer.valueOf): _*))
+      RankOps.bandedRankCum(counts,
+          bandCols = Seq("c", "pfx"),
+          bandSort = Seq(col("c").desc, col("pfx").asc),
+          rowSort = Seq(col("tok").asc),
+          cumCols = Seq("c"),
+          rankName = "rk")
+        .filter(col("rk").isin(checkpoints.map(c => java.lang.Long.valueOf(c.toLong)): _*))
         .crossJoin(broadcast(tot)) // 1-row scalar attach
         .select(col("rk").cast("int").as("vocab_size"), col("n_vocab"),
-          (col("cum").cast("double") / col("n_occ").cast("double")).as("coverage"))
+          ((col("cum_before_c") + col("c")).cast("double") /
+            col("n_occ").cast("double")).as("coverage"))
         .orderBy("vocab_size")
     }),
     "q47_setops_all" -> ((s, d) => {
@@ -3237,21 +3266,24 @@ object SparkEntry {
     "q46_equidepth" -> ((s, d) => {
       // equi-DEPTH histogram (the q23 equi-width complement) WITHOUT a
       // global row sort: rows collapse to the (value → count) domain
-      // aggregate, the cumulative runs over that domain-sized grid, and
-      // bucket = floor(cum_before·nb / n) — exact integer assignment,
-      // deterministic bucket boundaries emitted as min/max per bucket
-      import org.apache.spark.sql.expressions.Window
+      // aggregate, the cumulative runs on the two-level banding core
+      // (band = v div 2^20 — ~$10k value slabs; o_totalprice cents are
+      // near-unique so the old domain-sized single-partition window grew
+      // with the data), and bucket = floor(cum_before·nb / n) — exact
+      // integer assignment, deterministic min/max bounds per bucket
       val nb = 10
       val counts = T(s, d, "orders")
         .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("v"))
         .groupBy("v").agg(count(lit(1)).as("c"))
-      val w = Window.orderBy("v") // value-domain-sized frame
+        .withColumn("vb", RankOps.idiv(col("v"), 1L << 20))
       val tot = counts.agg(sum("c").cast("bigint").as("n"))
-      counts
-        .withColumn("cum_before", coalesce(sum("c").over(
-          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      RankOps.bandedRankCum(counts,
+          bandCols = Seq("vb"),
+          bandSort = Seq(col("vb").asc),
+          rowSort = Seq(col("v").asc),
+          cumCols = Seq("c"))
         .crossJoin(broadcast(tot)) // 1-row scalar attach
-        .withColumn("bucket", expr(s"CAST((cum_before * $nb) div n AS INT)"))
+        .withColumn("bucket", expr(s"CAST((cum_before_c * $nb) div n AS INT)"))
         .groupBy("bucket")
         .agg(min("v").as("lo_cents"), max("v").as("hi_cents"),
           sum("c").cast("bigint").as("n_rows"))
@@ -3475,28 +3507,28 @@ object SparkEntry {
     }),
     "events_gini" -> ((s, d) => {
       // Gini concentration of spend across users: integer-exact
-      // numerator Σ(2i−n−1)·x_i over the USER-COUNT-sized ranked
-      // aggregate (the events_pareto window precedent) — invariant to
-      // tie order, one double division at the end
-      import org.apache.spark.sql.expressions.Window
+      // numerator Σ(2i−n−1)·x_i = 2Σi·x − (n+1)Σx with the rank i from
+      // the two-level banding core (band = x div 2^20 — cents spend is
+      // near-unique, so the band key is the value itself coarsened; ties
+      // stay in one band) — no user-count single-partition rank window;
+      // the final agg folds n in exactly, one double division at the end
       val d38 = "decimal(38,0)"
       val totals = EV(s, d)
         .groupBy("user_id")
         .agg((sum(col("value").cast("decimal(18,2)")) * 100)
           .cast(d38).cast("bigint").as("x"))
-      val w = Window.orderBy("x", "user_id")
-      val wAll = Window.orderBy("x", "user_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      totals
-        .withColumn("i", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("xb", RankOps.idiv(col("x"), 1L << 20))
+      RankOps.bandedRankCum(totals,
+          bandCols = Seq("xb"),
+          bandSort = Seq(col("xb").asc),
+          rowSort = Seq(col("x").asc, col("user_id").asc))
         .agg(
-          first(col("n")).cast("bigint").as("n_users"),
-          sum(((col("i") * 2 - col("n") - 1)).cast(d38) * col("x").cast(d38))
-            .cast(d38).as("num"),
+          count(lit(1)).cast("bigint").as("n_users"),
+          sum(col("rank").cast(d38) * col("x").cast(d38)).cast(d38).as("six"),
           sum(col("x").cast(d38)).cast(d38).as("sx"))
         .select(col("n_users"),
-          (col("num").cast("double") /
+          ((lit(2).cast(d38) * col("six") -
+            (col("n_users").cast(d38) + lit(1).cast(d38)) * col("sx")).cast("double") /
             (col("n_users").cast(d38) * col("sx")).cast("double")).as("gini"))
     }),
     "q44_joinsize" -> ((s, d) => {

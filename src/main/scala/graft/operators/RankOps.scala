@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftColumns
+
+/** Distributed global ranking / running sums via two-level banding — the
+  * scale-safe replacement for `Window.orderBy(...)` with no partition
+  * (which moves the whole input to ONE task: the
+  * "WARN WindowExec: No Partition Defined" plan, a straggler at 100×
+  * and an OOM at 100 TB).
+  *
+  * Shape (the `data_dense_ids` pattern, generalized): rows carry a band
+  * key that is a MONOTONE coarsening of the total order; per-band
+  * counts/sums aggregate distributedly (partial-agg, one shuffle); the
+  * only orderBy-window runs over the band-count-sized table (bands are
+  * chosen ~3 orders of magnitude smaller than the input — at exabyte
+  * scale, recurse the banding once more); band offsets broadcast back
+  * and in-band rank/cumsum windows are bounded by the band width.
+  *
+  * Correctness contract: sorting bands by `bandSort` then rows within a
+  * band by `rowSort` must reproduce the global `rowSort` order — i.e.
+  * r1 <rowSort r2 implies band(r1) <=bandSort band(r2). Callers pick
+  * band keys per column type: numeric tiebreak → `id div 1024`
+  * (dense_ids), bounded-domain leading column → the column itself,
+  * near-unique numeric value → `v div 2^k`, string order → a prefix.
+  */
+object RankOps {
+
+  /** Integer division `a div b` on a COMPUTED column (`expr("a div b")`
+    * only works on named ones): builds Catalyst IntegralDivide directly.
+    * Truncating division ≡ DuckDB `//` for the non-negative operands all
+    * callers use.
+    */
+  def idiv(a: Column, b: Long): Column =
+    GraftColumns.column(
+      IntegralDivide(GraftColumns.expression(a.cast("long")), Literal(b)))
+
+  /** Adds a global 1-based `rankName` column (row_number over `rowSort`)
+    * and, per c in `cumCols`, a `cum_before_c` running pre-sum (frame
+    * UNBOUNDED PRECEDING .. 1 PRECEDING — add the row's own value for an
+    * inclusive running sum), without any input-sized single-partition
+    * window. `bandCols` must already exist on `df` and satisfy the
+    * monotone-coarsening contract above. `cumCols` must be LongType
+    * (integer-exact sums; decimal/double callers pre-quantize).
+    */
+  def bandedRankCum(
+      df: DataFrame,
+      bandCols: Seq[String],
+      bandSort: Seq[Column],
+      rowSort: Seq[Column],
+      cumCols: Seq[String] = Nil,
+      rankName: String = "rank"): DataFrame = {
+    val aggs = count(lit(1)).cast("long").as("_bn") +:
+      cumCols.map(c => sum(col(c)).cast("long").as(s"_b_$c"))
+    val bands = df.groupBy(bandCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // The ONLY unpartitioned window: band-count-sized, ~1/1024th of the
+    // input by construction of the band keys.
+    val wb = Window.orderBy(bandSort: _*).rowsBetween(Window.unboundedPreceding, -1)
+    val withOffsets = cumCols.foldLeft(
+      bands.withColumn("_off_rk", coalesce(sum("_bn").over(wb), lit(0L)))) { (acc, c) =>
+      acc.withColumn(s"_off_$c", coalesce(sum(s"_b_$c").over(wb), lit(0L)))
+    }
+    val offCols = "_off_rk" +: cumCols.map(c => s"_off_$c")
+    val wIn = Window.partitionBy(bandCols.map(col): _*).orderBy(rowSort: _*)
+    val wInPre = wIn.rowsBetween(Window.unboundedPreceding, -1)
+    val joined = df.join(
+      broadcast(withOffsets.select((bandCols ++ offCols).map(col): _*)), bandCols)
+    val ranked = joined
+      .withColumn(rankName, (col("_off_rk") + row_number().over(wIn)).cast("long"))
+    cumCols.foldLeft(ranked) { (acc, c) =>
+      acc.withColumn(s"cum_before_$c",
+        col(s"_off_$c") + coalesce(sum(col(c)).over(wInPre), lit(0L)))
+    }.drop(offCols: _*)
+  }
+
+  /** Standard-SQL `ntile(k)` in closed form from a global rank `i`
+    * (1-based) and total count `n`: the first n mod k tiles take
+    * `n div k + 1` rows, the rest `n div k` — identical to Spark's and
+    * DuckDB's NTILE. All operands non-negative, so `div` (truncation)
+    * matches `//` (floor) across engines. Pair with [[bandedRankCum]]
+    * to replace a single-partition `ntile(k).over(Window.orderBy(...))`.
+    */
+  def ntileFromRank(i: Column, n: Column, k: Int): Column = {
+    def idivC(a: Column, b: Column): Column =
+      GraftColumns.column(IntegralDivide(
+        GraftColumns.expression(a.cast("long")), GraftColumns.expression(b.cast("long"))))
+    val q = idivC(n, lit(k))
+    val r = n - q * lit(k)
+    val cut = r * (q + lit(1))
+    when(i <= cut, idivC(i + q, q + lit(1)))
+      .otherwise(r + idivC(i - cut + q - lit(1), q))
+      .cast("int")
+  }
+}

@@ -51,8 +51,11 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // the 50-interval side is a BroadcastExchange (not counted)
     "quality_oov" -> 5,       // TP + term agg (ReuseExchange-shared with the vocab subtree)
                               // + vocab token agg + doc agg + ORDER BY; membership rides broadcast
-    "text_zipf" -> 5,         // TP + term agg + token agg + vocab-sized single-partition
-                              // window + ORDER BY; corpus total rides a broadcast NLJ
+    "text_zipf" -> 10,        // TP + term agg + token agg + banded-rank core ((tf,pfx)
+                              // band agg + band-count offset window + in-band window; the
+                              // token agg recurs under the band-agg subtree pre-AQE, deduped
+                              // by ReuseExchange at runtime) + ORDER BY; total rides a
+                              // broadcast NLJ
     "vec_norm_audit" -> 3,    // TP + bucket agg + ORDER BY — norms stay map-side
     "events_ewma" -> 2,       // one user-keyed sort serves all 16 lags + latest-row pick; ORDER BY
     "events_anomaly" -> 2,    // one user-keyed sort serves both moment windows; ORDER BY
@@ -70,8 +73,10 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "text_readability" -> 2,  // TP + ORDER BY — every feature is a map-side projection
     "events_streaks" -> 3,    // (user,day) distinct + streak agg reusing the island sort + ORDER BY
     "events_wow_change" -> 2, // week agg + week-count-sized lag window (ORDER BY reuses its sort)
-    "events_pareto" -> 3,     // user agg + user-count-sized rank window + 1-row total agg;
-                              // ORDER BY reuses the window's single-partition sort
+    "events_pareto" -> 7,     // user agg + 1-row total agg + banded-rank core ((n,sub)
+                              // band agg + band-count offset window + ≤4096-row in-band
+                              // window; user agg recurs pre-AQE, ReuseExchange dedupes)
+                              // + ORDER BY
     "data_label_balance" -> 4, // TP + label agg + 1-row total agg + ORDER BY; total rides broadcast
     "graph_triangles" -> 3,   // basket agg + degree agg + wedge/closing joins downstream of
                               // the lazily-checkpointed edge/oriented frames (their exchanges
@@ -89,8 +94,11 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "vec_centroid_affinity" -> 4, // TP + (label,pos) moment agg; norm/pair aggs + final ORDER BY
                               // hang off the checkpointed label×dim moments frame
     "events_ohlc" -> 2,       // (type,hour) partial-agged shuffle + ORDER BY
-    "q40_rfm" -> 4,           // custkey agg + 1-row max agg + shared single-partition window
-                              // exchange (3 ntile sorts) + ORDER BY; max rides broadcast
+    "q40_rfm" -> 19,          // custkey agg + 2 scalar aggs + 3 chained banded-rank
+                              // passes (each: band agg + band-count offset window +
+                              // in-band window; each pass's band-agg subtree repeats its
+                              // input lineage pre-AQE — ReuseExchange collapses them at
+                              // runtime, leaving ~12 live) + ORDER BY; scalars broadcast
     "events_trend" -> 3,      // (user,day) agg + user moment agg + ORDER BY — both aggs
                               // partial-agged so each shuffle moves combined rows
     "data_kanonymity" -> 2,   // QI-tuple agg + ORDER BY; class count bounded by QI domain
@@ -124,8 +132,9 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "data_neyman_alloc" -> 3, // stratum moment agg + 1-row weight total + stratum-count
                               // windows + ORDER BY sharing the tiny frame's sort
     "data_benford" -> 3,      // digit agg + 1-row total agg + ORDER BY; total rides broadcast
-    "events_gini" -> 2,       // user totals agg + user-count-sized rank window (the
-                              // pareto precedent); final agg is 1 row
+    "events_gini" -> 5,       // user totals agg + banded-rank core (xb band agg +
+                              // band-count offset window + in-band window; totals agg
+                              // recurs pre-AQE, ReuseExchange dedupes); final agg is 1 row
     "events_twap" -> 3,       // user-keyed dwell sort + type agg + ORDER BY
     "data_bootstrap_ci" -> 2, // ×64 in-row expand + ONE groupBy(b); rank picks run on
                               // the 64-row mean frame (final agg reuses its sort)
@@ -137,24 +146,29 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "data_ldiversity" -> 3,   // QI agg with countDistinct expand pair + ORDER BY
     "vec_pq" -> 2,            // TP + ORDER BY — codebook is a literal array, assignment
                               // is in-row HOF arithmetic; the corpus never shuffles
-    "q46_equidepth" -> 3,     // value-domain agg + 1-row total + bucket agg (ORDER BY
-                              // reuses the domain window's single-partition sort)
+    "q46_equidepth" -> 8,     // value-domain agg + 1-row total + banded-rank core (vb
+                              // band agg + band-count offset window + in-band window;
+                              // domain agg recurs pre-AQE, ReuseExchange dedupes) +
+                              // bucket agg + ORDER BY
     "data_kanon_suppress" -> 2, // QI class agg (broadcast back) + ORDER BY
     "events_quantile_by_type" -> 4, // (type,day) sketch agg + per-type merge + rank-check
                               // agg + ORDER BY; the 5-row estimate rides broadcast
     "pipeline_schema_evolution" -> 1, // two-generation mergeSchema union scan + 1-row agg
     "data_oversample" -> 4,   // TP + label join + final agg + ORDER BY; the histogram
                               // (behind a lazy checkpoint) feeds max + factors once
-    "text_vocab_coverage" -> 4, // TP + token agg + vocab-sized rank window + ORDER BY;
-                              // totals ride a broadcast NLJ
+    "text_vocab_coverage" -> 8, // TP + token agg + banded-rank core ((c,pfx) band agg +
+                              // band-count offset window + in-band window; token agg recurs
+                              // pre-AQE, ReuseExchange dedupes) + ORDER BY; totals ride a
+                              // broadcast NLJ
     "q47_setops_all" -> 3,    // intersectAll/exceptAll share one hash partitioning;
                               // per-branch aggs reuse it — 2 branch aggs + ORDER BY
     "ann_pq_adc" -> 7,        // TP×2 (codes + rerank fetch) + per-query ADC window +
                               // candidate join + rerank window + hit agg; queries/
                               // candidates ride broadcast
     "events_ab_test" -> 2,    // one 2-row moment agg; arms meet in a 1×1 broadcast NLJ
-    "write_bin_packing" -> 2, // key-size agg + bin agg (ORDER BY reuses the domain
-                              // window's single-partition sort)
+    "write_bin_packing" -> 7, // key-size agg + banded-rank core (kb band agg +
+                              // band-count offset window + in-band window; key-size agg
+                              // recurs pre-AQE, ReuseExchange dedupes) + bin agg + ORDER BY
     "text_rake" -> 3,         // TP + doc-keyed phrase window/agg + phrase score agg;
                               // word stats ride an AQE join off the checkpointed
                               // phrase frame, top-k is TakeOrdered
