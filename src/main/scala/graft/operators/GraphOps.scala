@@ -178,10 +178,13 @@ object GraphOps {
       frontier = next
       it += 1
     }
-    if (it == maxIter)
+    // only a TRUNCATED run warns: hitting maxIter on the round that also
+    // emptied the frontier is ordinary convergence (round-7 advisor)
+    if (it == maxIter && !frontier.isEmpty)
       log.warn(s"bfsDistances stopped at maxIter=$maxIter with a non-empty frontier — " +
         "distances beyond this eccentricity are missing; raise maxIter")
-    log.info(s"bfsDistances converged after $it rounds")
+    else
+      log.info(s"bfsDistances converged after $it rounds")
     settled
   }
 

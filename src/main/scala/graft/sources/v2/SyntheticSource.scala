@@ -165,10 +165,16 @@ class SyntheticAggScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val per = math.max(1L, (rows + parts - 1) / parts)
-    (0 until parts).iterator
+    val live: Array[InputPartition] = (0 until parts).iterator
       .map(p => SyntheticRange(math.max(lo, p * per), math.min(hi, (p + 1) * per)))
       .filter(r => r.start < r.end)
       .toArray
+    // An ungrouped aggregate must still see ONE partial row when the
+    // pushed filter empties the range: Spark rewrites the final merge of
+    // a pushed COUNT to SUM(partial), and SUM over zero rows is NULL —
+    // diverging from COUNT()=0 row-scan semantics. Emit one empty-range
+    // partition (count 0, min/max NULL) instead of zero partitions.
+    if (live.isEmpty && !grouped) Array[InputPartition](SyntheticRange(lo, lo)) else live
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -201,11 +207,12 @@ class SyntheticAggReaderFactory(
         }
       }
     def globalRow: Iterator[InternalRow] = {
+      val empty = r.end <= r.start // the empty-range partial: count 0, min/max NULL
       val vals: Array[Any] = aggs.map {
         case _: CountStar => r.end - r.start
         case _: Count     => r.end - r.start
-        case _: Min       => r.start
-        case _: Max       => r.end - 1
+        case _: Min       => if (empty) null else r.start
+        case _: Max       => if (empty) null else r.end - 1
       }
       Iterator.single(new GenericInternalRow(vals))
     }

@@ -463,4 +463,29 @@ class PlanAuditSpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("TP spread-repartition is GATED on input parallelism (round-7 verdict item 4)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    def roundRobins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect { // pre-AQE: adaptive wrapping hides children
+        case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[RoundRobinPartitioning] => e
+      }.size
+    // single-file testdata: the gate fires — compute spreads across cores
+    val single = SparkEntry.queries("text_tokens")(spark, "/root/testdata/sf0.001")
+    assert(roundRobins(single) == 1,
+      s"single-file input must keep the spread shuffle:\n${executedPlan(single)}")
+    // multi-file copy of the same table: natural scan parallelism — a
+    // production table must NOT inherit a raw-row shuffle
+    val dir = java.nio.file.Files.createTempDirectory("tp_gate").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val multi = SparkEntry.queries("text_tokens")(spark, dir)
+    assert(roundRobins(multi) == 0,
+      s"multi-file input must take the no-shuffle path:\n${executedPlan(multi)}")
+    // and the result is identical either way (same rows, same values)
+    val a = single.collect().map(_.toString).sorted
+    val b = multi.collect().map(_.toString).sorted
+    assert(a.sameElements(b), "gate must not change results")
+  }
 }

@@ -88,6 +88,20 @@ class SyntheticSourceSpec extends SparkSpec {
     assert(fr.collect().map(_.getLong(1)).sum == 1000)
   }
 
+  test("aggregate pushdown: ungrouped agg over an EMPTY pushed range is 0/NULL, not no-rows") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // id < 0 empties the range; the pushed COUNT's final merge is
+    // SUM(partial), so the source must emit one zero partial row or the
+    // global count comes back NULL (round-7 advisor finding)
+    val g = synth(100000, 8).filter(col("id") < 0)
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+    val scans = g.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }
+    assert(scans.head.scan.isInstanceOf[SyntheticAggScan])
+    val r = g.collect().head
+    assert(!r.isNullAt(0) && r.getLong(0) == 0L, s"empty-range COUNT must be 0, got $r")
+    assert(r.isNullAt(1) && r.isNullAt(2), s"empty-range MIN/MAX must be NULL, got $r")
+  }
+
   test("synth:// URI scheme reads through the pipeline") {
     val (p, _) = Pipeline.fromArgs(Seq(
       "--source", "synth:///?rows=500&partitions=4",

@@ -2752,7 +2752,7 @@ object Oracles {
       "events_json_variant" ->
         """SELECT CAST(json_extract(props, '$.k') AS INT) AS k, COUNT(*) AS n,
           | CAST(COUNT(*) AS BIGINT) AS n_miss_null
-          |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+          |FROM events GROUP BY 1 ORDER BY k NULLS LAST""".stripMargin,
       "q56_string_funcs" ->
         """SELECT c_custkey,
           | upper(c_name) AS up, lower(c_mktsegment) AS lo,
