@@ -33,10 +33,30 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __GRAFT_OUT__ lets an oracle read auxiliary parquet that Verify
+    // dumps next to the results (dedup_simhash's signature dump — the
+    // DuckDB side can't replay XXH64, but it CAN compute the quadratic
+    // hamming truth over the dumped signatures)
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_OUT__", outAbs))}" }
+      .mkString("{", ",", "}")
     // written up-front so a partial run still yields a usable compare set
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // auxiliary dumps referenced by oracles (skipped under a selective
+    // run that excludes their query)
+    if (only.forall(_.contains("dedup_simhash"))) {
+      try {
+        graft.operators.DedupOps
+          .simhashSignatures(spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id")
+          .select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.col("sig"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux_simhash_sigs")
+        System.err.println("[verify] _aux_simhash_sigs dumped")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] _aux_simhash_sigs failed: ${e.getMessage}")
+      }
+    }
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -38,8 +38,11 @@ class QueryAnalysisSpec extends SparkSpec {
 
   test("every query has an oracle twin or is documented rows-only") {
     // the driver records a weaker rows-only check for queries absent from
-    // oracleSql — keep that set explicit so a forgotten oracle is caught
-    val rowsOnlyByDesign = Set("dedup_simhash")
+    // oracleSql — keep that set explicit so a forgotten oracle is caught.
+    // Empty since round 8: dedup_simhash's pair set is oracle-checked
+    // against its own signature dump (recall-complete banding ⇒ the
+    // output IS the quadratic hamming ≤ 3 truth).
+    val rowsOnlyByDesign = Set.empty[String]
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
     assert(missing.isEmpty, s"queries without an oracle twin: ${missing.toSeq.sorted.mkString(", ")}")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

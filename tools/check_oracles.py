@@ -69,6 +69,7 @@ for name in sorted(oracle):
     else:
         print(f"OK       {name} ({len(spark_df)} rows)"); ok += 1
 print(f"\n{ok} ok, {fail} fail, {warn} typewarn; rows-only (no oracle): ", end="")
-all_q = {os.path.basename(p) for p in glob.glob(os.path.join(out_dir,'*')) if os.path.isdir(p)}
+all_q = {os.path.basename(p) for p in glob.glob(os.path.join(out_dir,'*'))
+         if os.path.isdir(p) and not os.path.basename(p).startswith('_aux')}
 print(sorted(all_q - set(oracle)))
 sys.exit(1 if fail else (2 if warn else 0))

@@ -474,6 +474,25 @@ object Oracles {
            | UNION ALL SELECT doc_id + 1000000, text FROM documents),
            |g AS (SELECT md5($norm) AS h, COUNT(*) AS m FROM doubled GROUP BY h)
            |SELECT CAST(SUM((m*(m-1))//2) AS BIGINT) AS n_exact_pairs, true AS all_covered FROM g""".stripMargin,
+      "synth_agg_pushdown_check" ->
+        """SELECT CAST(t.range AS INT) AS bucket, true AS count_ok, true AS min_ok,
+          | true AS max_ok, true AS plan_pushed
+          |FROM range(-1, 32) t ORDER BY bucket""".stripMargin,
+      "dedup_simhash" ->
+        // The XXH64-based signature itself is not portable to DuckDB, but
+        // the banded pair GENERATION is verifiable against it: 4×16-bit
+        // chunk banding is recall-complete for hamming ≤ 3 (pigeonhole),
+        // so the query's output must be EXACTLY the quadratic
+        // bit_count(xor) ≤ 3 pair set over the (id, sig) dump that
+        // Verify writes alongside the results (__GRAFT_OUT__ is
+        // substituted with the absolute out dir at dump time).
+        """WITH s AS (SELECT id, sig
+          |           FROM read_parquet('__GRAFT_OUT__/_aux_simhash_sigs/*.parquet'))
+          |SELECT a.id AS a_id, b.id AS b_id,
+          | CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+          |FROM s a JOIN s b ON a.id < b.id
+          |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+          |ORDER BY a_id, b_id""".stripMargin,
       "graph_pagerank_check" ->
         """WITH e AS (SELECT DISTINCT c_custkey % 25 AS src, CAST(c_nationkey AS BIGINT) AS dst
           |           FROM customer WHERE c_custkey % 25 <> c_nationkey),
