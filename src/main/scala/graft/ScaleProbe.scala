@@ -292,11 +292,16 @@ object ScaleProbe {
           threshold = 0.8, shingleSize = 3).count()
       },
       "triangle_census" -> { rows =>
-        // bounded-degree triangle chain (edges i→i+1, i→i+2 ⇒ ~rows
-        // triangles, max degree 4): cost must track the edge scan +
-        // wedge join, with no hot-vertex fanout by construction
-        val e1 = synth(rows).select(col("id").as("x"), (col("id") + 1L).as("y"))
-        val e2 = synth(rows).select(col("id").as("x"), (col("id") + 2L).as("y"))
+        // bounded-degree triangle chain on a rows/4-node line graph
+        // (edges v→v+1, v→v+2 ⇒ ~rows/4 triangles, max degree 4): cost
+        // must track the edge scan + wedge join, with no hot-vertex
+        // fanout by construction. Node count is rows/4 (not rows) so the
+        // probe's three materialized frames (edges/oriented/wedges) fit
+        // this single 16g JVM at the 20M top scale — at rows-sized node
+        // counts the 20M point measured GC-thrash, not the algorithm.
+        val v = graft.operators.RankOps.idiv(col("id"), 4)
+        val e1 = synth(rows).select(v.as("x"), (v + 1L).as("y"))
+        val e2 = synth(rows).select(v.as("x"), (v + 2L).as("y"))
         graft.operators.GraphOps.triangleStats(e1.unionAll(e2), "x", "y")
           .head().getAs[Long]("n_triangles")
       },
@@ -483,6 +488,46 @@ object ScaleProbe {
           .groupBy("fd").agg(sum(when(col("nd") > 1, 1L).otherwise(0L)).as("viol"))
           .count()
       },
+      "banded_global_rank" -> { rows =>
+        // the round-8 global-rank core (RankOps.bandedRankCum): rank +
+        // running sum over the FULL row set ordered (v desc, id asc) via
+        // two-level banding (bounded-domain v + id div 4096 sub-band).
+        // Per-row cost must stay flat — the shape it replaces
+        // (Window.orderBy with no partition) funnels every row through
+        // ONE sort task (see contrast_rank_1part for its number; the
+        // banded/1-part gap widens with rows and with executor count).
+        val df = synth(rows).select(col("id"),
+            pmod(col("id") * 31L, lit(1000L)).as("v"),
+            pmod(col("id"), lit(997L)).as("x"))
+          // sub-band width × v-domain ⇒ ~1024-row bands and a rows/1024
+          // band table: the sub granularity must be chosen relative to
+          // the leading band column's domain (1000 here), or the band
+          // table itself grows toward row count
+          .withColumn("sub", graft.operators.RankOps.idiv(col("id"), 1L << 20))
+        graft.operators.RankOps.bandedRankCum(df,
+          bandCols = Seq("v", "sub"),
+          bandSort = Seq(col("v").desc, col("sub").asc),
+          rowSort = Seq(col("id").asc),
+          cumCols = Seq("x"))
+          // aggregate OVER the rank columns: a bare count() would let
+          // column pruning delete the windows being measured
+          .agg(sum(col("rank") + col("cum_before_x"))).head().getLong(0)
+      },
+      "contrast_rank_1part" -> { rows =>
+        // CONTRAST, not a regression gate (excluded from the worst-
+        // retention line): the pre-round-8 single-partition global rank
+        // over the same input. All rows sort in one task — throughput is
+        // capped by one core however many executors exist; documented so
+        // the banded core's flatness is meaningful.
+        import org.apache.spark.sql.expressions.Window
+        val df = synth(rows).select(col("id"),
+          pmod(col("id") * 31L, lit(1000L)).as("v"),
+          pmod(col("id"), lit(997L)).as("x"))
+        val w = Window.orderBy(col("v").desc, col("id").asc)
+        df.withColumn("rank", row_number().over(w).cast("long"))
+          .withColumn("cum", sum("x").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .agg(sum(col("rank") + col("cum"))).head().getLong(0)
+      },
       "session_window_native" -> { rows =>
         // built-in session_window aggregation: user-keyed session agg
         // over synthetic event times — the native SessionWindowing path
@@ -510,7 +555,10 @@ object ScaleProbe {
       println(f"$name%-22s ${rates.map(r => f"$r%8.1f M/s").mkString("  ")}  (10x ratio ${ratio}%.2f)")
       (name, rates, ratio)
     }
-    val worst = lines.minBy(_._3)
+    // contrast_ probes exist to DOCUMENT a bad shape's number — they are
+    // expected to lose throughput and must not masquerade as a regression
+    val gated = lines.filterNot(_._1.startsWith("contrast_"))
+    val worst = gated.minBy(_._3)
     println(f"[scaleprobe] worst per-row throughput retention across ${scales.last / scales.head}x: " +
       f"${worst._1} ${worst._3 * 100}%.0f%%")
     spark.stop()

@@ -2380,19 +2380,17 @@ object SparkEntry {
     }),
     "q39_basket_affinity" -> ((s, d) => {
       // market-basket affinity: part pairs co-ordered in one order,
-      // expanded IN-ROW from the per-order part list (orders are
-      // bounded-small) — the events_cooccurrence idiom at order
-      // granularity; never a lineitem×lineitem self-join. Top-25 by
-      // support via TakeOrdered.
+      // expanded by the GUARDED basket idiom (boundedBucketPairs: in-row
+      // for baskets ≤1024 — TPC-H orders are ≤7 items — distributed
+      // overflow join above, so an adversarial 10⁵-item basket can never
+      // materialize m² structs in one row); never a lineitem×lineitem
+      // self-join. Top-25 by support via TakeOrdered.
       val baskets = T(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
         .groupBy("l_orderkey")
         .agg(sort_array(array_distinct(collect_list(col("l_partkey")))).as("parts"))
-      baskets
-        .select(explode(flatten(transform(col("parts"), a =>
-          filter(transform(col("parts"), b => struct(a.as("part_a"), b.as("part_b"))),
-            p => p.getField("part_a") < p.getField("part_b"))))).as("p"))
-        .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+      DedupOps.boundedBucketPairs(baskets, Seq("l_orderkey"), "parts")
+        .select(col("a").as("part_a"), col("b").as("part_b"))
         .groupBy("part_a", "part_b")
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
@@ -2526,19 +2524,19 @@ object SparkEntry {
     }),
     "graph_triangles" -> ((s, d) => {
       // triangle census of the part co-order graph (two parts linked when
-      // some order contains both): edges via in-row basket expansion (the
-      // q39 idiom — never a lineitem×lineitem self-join), triangles via
-      // degree-ordered wedge counting (GraphOps.triangleStats) — each
+      // some order contains both): edges via GUARDED basket expansion
+      // (DedupOps.boundedBucketPairs — in-row for baskets ≤1024, the
+      // distributed overflow join above; never a lineitem×lineitem
+      // self-join, never an unbounded m² in-row pair array), triangles
+      // via degree-ordered wedge counting (GraphOps.triangleStats) — each
       // triangle counted once at its min-(deg,id) vertex, out-degrees
       // O(√m) under the orientation so the wedge join has no hot key.
-      val edges = T(s, d, "lineitem")
+      val baskets = T(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
         .groupBy("l_orderkey")
         .agg(sort_array(array_distinct(collect_list(col("l_partkey")))).as("parts"))
-        .select(explode(flatten(transform(col("parts"), a =>
-          filter(transform(col("parts"), b => struct(a.as("pa"), b.as("pb"))),
-            p => p.getField("pa") < p.getField("pb"))))).as("p"))
-        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      val edges = DedupOps.boundedBucketPairs(baskets, Seq("l_orderkey"), "parts")
+        .select(col("a").as("pa"), col("b").as("pb"))
       GraphOps.triangleStats(edges, "pa", "pb")
     }),
     "dedup_prefix_filter" -> ((s, d) => {

@@ -132,6 +132,20 @@ object DedupOps {
     * a strict subset of the quadratic oracle's pair set on clusters of
     * >maxBucketSize near-identical docs.
     */
+  /** Public entry to the guarded pair expansion for basket-shaped data
+    * (market-basket affinity, co-order graphs): all within-bucket (a,b)
+    * pairs with a < b by the array's sort order, generated IN-ROW for
+    * buckets up to `maxBucketSize` and via the distributed overflow join
+    * above it — a 10⁵-item basket costs a bounded equi-join, never a
+    * 5·10⁹-struct row (round-7 verdict item 6). Exact: no dropped pairs.
+    */
+  def boundedBucketPairs(
+      buckets: DataFrame,
+      keyCols: Seq[String],
+      itemsCol: String,
+      maxBucketSize: Int = 1024
+  ): DataFrame = allBucketPairs(buckets, keyCols, itemsCol, maxBucketSize)
+
   private[operators] def allBucketPairs(
       buckets: DataFrame,
       keyCols: Seq[String],

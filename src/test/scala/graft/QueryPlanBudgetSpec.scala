@@ -69,7 +69,10 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "text_langid_eval" -> 4,  // TP + (lang,guess) agg + per-lang window + ORDER BY
     "q38_keyset_pagination" -> 0, // cursor filter pushed to scan + TakeOrderedAndProject — NO exchange
     "events_sequences" -> 2,  // user-keyed sort serves both lags + (t1,t2,t3) agg; top-k is TakeOrdered
-    "q39_basket_affinity" -> 2, // order-basket agg + pair agg (in-row expansion); top-k is TakeOrdered
+    "q39_basket_affinity" -> 1, // pair agg only: the guarded basket expansion
+                              // (boundedBucketPairs) lazily checkpoints the basket table,
+                              // so the basket agg sits below the truncation; top-k is
+                              // TakeOrdered
     "text_readability" -> 2,  // TP + ORDER BY — every feature is a map-side projection
     "events_streaks" -> 3,    // (user,day) distinct + streak agg reusing the island sort + ORDER BY
     "events_wow_change" -> 2, // week agg + week-count-sized lag window (ORDER BY reuses its sort)
@@ -78,9 +81,10 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // window; user agg recurs pre-AQE, ReuseExchange dedupes)
                               // + ORDER BY
     "data_label_balance" -> 4, // TP + label agg + 1-row total agg + ORDER BY; total rides broadcast
-    "graph_triangles" -> 3,   // basket agg + degree agg + wedge/closing joins downstream of
-                              // the lazily-checkpointed edge/oriented frames (their exchanges
-                              // sit below the checkpoint truncation, as in the dedup pins)
+    "graph_triangles" -> 6,   // degree agg + orientation join (2) + wedge join (2) +
+                              // totals agg; baskets + edges + oriented frames are lazily
+                              // checkpointed (their exchanges sit below the truncation),
+                              // the closing semi-join reuses the wedge partitioning
     "dedup_prefix_filter" -> 2, // df agg + prefix re-collect; candidate + verify joins hang off
                               // the checkpointed docs/bucket frames
     "q41_hotkey_join" -> 5,   // hot-key count agg + cold-path SMJ (2 sorts) + final agg +
