@@ -235,12 +235,16 @@ object SparkEntry {
         .orderBy("cohort")
     }),
     "q17_subquery" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("p_brand")
-      T(s, d, "part")
-        .withColumn("brand_avg",
-          sum(col("p_retailprice").cast("decimal(18,2)")).over(w).cast("decimal(38,2)").cast("double")
-            / count(lit(1)).over(w))
+      // correlated-subquery shape: each part vs its brand's average. The
+      // average comes from a partial-agged groupBy joined back (AQE
+      // broadcasts the |brands|-row table), NOT a partitionBy(p_brand)
+      // window — 25 brands over a 100 TB part table would funnel rows/25
+      // through single window tasks (round-8 window-key audit).
+      val part = T(s, d, "part")
+      val avgs = part.groupBy("p_brand").agg(
+        (sum(col("p_retailprice").cast("decimal(18,2)")).cast("decimal(38,2)").cast("double")
+          / count(lit(1))).as("brand_avg"))
+      part.join(broadcast(avgs), Seq("p_brand"))
         .filter(col("p_retailprice") > col("brand_avg"))
         .select("p_partkey", "p_brand", "p_retailprice")
         .orderBy("p_partkey")
@@ -352,12 +356,20 @@ object SparkEntry {
     }),
     "q25_ntile" -> ((s, d) => {
       // equi-height bucketing via NTILE — deterministic because the
-      // window order is total (acctbal desc, custkey tie-break)
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("c_mktsegment")
-        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-      T(s, d, "customer")
-        .withColumn("quartile", ntile(4).over(w))
+      // order is total (acctbal desc, custkey tie-break). 5 segments
+      // over a 100 TB customer table make partitionBy(segment) a hot
+      // partition, so the tile comes from the grouped banded rank
+      // (per-(segment, $256-balance-slab) bounded windows) + the
+      // closed-form ntile — same round-8 pattern as q40_rfm.
+      val cust = T(s, d, "customer")
+        .withColumn("bb", floor(col("c_acctbal").cast("double") / 256.0).cast("long"))
+      val ranked = RankOps.groupedBandedRank(cust,
+        groupCols = Seq("c_mktsegment"), bandCols = Seq("bb"),
+        bandSort = Seq(col("bb").desc),
+        rowSort = Seq(col("c_acctbal").desc, col("c_custkey").asc), rankName = "rk")
+      val totals = cust.groupBy("c_mktsegment").agg(count(lit(1)).as("n_seg"))
+      ranked.join(broadcast(totals), Seq("c_mktsegment"))
+        .withColumn("quartile", RankOps.ntileFromRank(col("rk"), col("n_seg"), 4))
         .groupBy("c_mktsegment", "quartile")
         .agg(count(lit(1)).as("n"), min("c_acctbal").as("min_bal"), max("c_acctbal").as("max_bal"))
         .orderBy("c_mktsegment", "quartile")
@@ -3589,15 +3601,31 @@ object SparkEntry {
         .orderBy("event_type")
     }),
     "q43_percentrank" -> ((s, d) => {
-      // rank-distribution window family: percent_rank + cume_dist of
-      // supplier balance WITHIN nation (nation-bounded frames, no
-      // global sort); both are exact integer-ratio doubles
+      // rank-distribution family: percent_rank + cume_dist of supplier
+      // balance WITHIN nation, reassembled CLOSED-FORM from the grouped
+      // banded rank (25 nations over a 100 TB supplier table make
+      // partitionBy(nation) a hot partition — round-8 window-key audit):
+      // row_number rk over (acctbal, suppkey); tie groups (nation,
+      // acctbal) are bounded, so min/max rk over them is a safe window;
+      // pr = (min_rk−1)/(n−1) (SQL RANK semantics), cd = max_rk/n.
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("s_nationkey").orderBy("s_acctbal")
-      T(s, d, "supplier")
+      val sup = T(s, d, "supplier")
         .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
-        .withColumn("pr", percent_rank().over(w))
-        .withColumn("cd", cume_dist().over(w))
+        .withColumn("bb", floor(col("s_acctbal").cast("double") / 256.0).cast("long"))
+      val ranked = RankOps.groupedBandedRank(sup,
+        groupCols = Seq("s_nationkey"), bandCols = Seq("bb"),
+        bandSort = Seq(col("bb").asc),
+        rowSort = Seq(col("s_acctbal").asc, col("s_suppkey").asc), rankName = "rk")
+      val totals = sup.groupBy("s_nationkey").agg(count(lit(1)).as("n_nat"))
+      val peers = Window.partitionBy("s_nationkey", "s_acctbal") // bounded tie groups
+      ranked.join(broadcast(totals), Seq("s_nationkey"))
+        .withColumn("min_rk", min("rk").over(peers))
+        .withColumn("max_rk", max("rk").over(peers))
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
+          when(col("n_nat") === 1, lit(0.0))
+            .otherwise((col("min_rk") - 1).cast("double") / (col("n_nat") - 1).cast("double"))
+            .as("pr"),
+          (col("max_rk").cast("double") / col("n_nat").cast("double")).as("cd"))
         .orderBy("s_suppkey")
     }),
     "events_chi2" -> ((s, d) => {

@@ -506,12 +506,15 @@ object CorpusOps {
     * across domains with different score distributions — the standard
     * fix for quality classifiers that systematically favor one domain.
     *
-    * Exact ranks need a per-key sort: fine when keys are plentiful
-    * (domains ≫ executors); a single key holding half the corpus funnels
-    * that half through one reducer's external sort. For that regime
-    * compute approximate per-key thresholds (approx_percentile over
-    * groupBy — partial-aggregated, no sort) and broadcast-join them
-    * instead; this operator is the exact, oracle-checkable form.
+    * Exact ranks per key WITHOUT a per-key sort partition: a single key
+    * can hold half a 100 TB corpus, so `Window.partitionBy(key)` is a
+    * hot partition exactly like no-partition-at-all. Instead the rank
+    * runs on the grouped banded core (RankOps.groupedBandedRank, band =
+    * key × 1/65536 score slice — in-band windows bounded by how many of
+    * a key's rows share a score slice; widen the band factor to recurse
+    * at extreme scale) and percent_rank is reassembled closed-form as
+    * (rank−1)/(n−1) — identical to the SQL definition when `tieCol`
+    * makes the order total (no rank ties), which callers must ensure.
     */
   def calibrateByKey(
       df: DataFrame,
@@ -521,8 +524,18 @@ object CorpusOps {
       outCol: String = "pct_rank"
   ): DataFrame = {
     require(!df.columns.contains(outCol), s"calibrateByKey: outCol '$outCol' already exists")
-    df.withColumn(outCol,
-      percent_rank().over(Window.partitionBy(col(keyCol)).orderBy(col(scoreCol), col(tieCol))))
+    val banded = df.withColumn("__qb", floor(col(scoreCol).cast("double") * 65536).cast("long"))
+    val ranked = RankOps.groupedBandedRank(banded,
+      groupCols = Seq(keyCol), bandCols = Seq("__qb"),
+      bandSort = Seq(col("__qb").asc),
+      rowSort = Seq(col(scoreCol).asc, col(tieCol).asc),
+      rankName = "__rk")
+    val totals = df.groupBy(keyCol).agg(count(lit(1)).as("__n"))
+    ranked.join(broadcast(totals), Seq(keyCol))
+      .withColumn(outCol,
+        when(col("__n") === 1, lit(0.0)) // SQL percent_rank of a 1-row partition
+          .otherwise((col("__rk") - 1).cast("double") / (col("__n") - 1).cast("double")))
+      .drop("__qb", "__rk", "__n")
   }
 
   /** BPE merge-step candidates: the top-`topK` adjacent CHARACTER pairs

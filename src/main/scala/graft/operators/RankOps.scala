@@ -76,6 +76,33 @@ object RankOps {
     }.drop(offCols: _*)
   }
 
+  /** Per-GROUP banded rank: like [[bandedRankCum]] but the rank restarts
+    * for every `groupCols` value — the scale-safe replacement for
+    * `Window.partitionBy(lowCardinalityKey).orderBy(...)` when one key
+    * can hold a data-proportional slice (a single SOURCE of a 100 TB
+    * corpus is a hot partition just like no-partition-at-all). The
+    * offset window partitions by group over the BAND table (per-group
+    * band-count-sized); in-band windows are bounded by band width.
+    * Same monotone-coarsening contract as bandedRankCum, per group.
+    */
+  def groupedBandedRank(
+      df: DataFrame,
+      groupCols: Seq[String],
+      bandCols: Seq[String],
+      bandSort: Seq[Column],
+      rowSort: Seq[Column],
+      rankName: String = "rank"): DataFrame = {
+    val all = groupCols ++ bandCols
+    val bands = df.groupBy(all.map(col): _*).agg(count(lit(1)).cast("long").as("_bn"))
+    val wb = Window.partitionBy(groupCols.map(col): _*).orderBy(bandSort: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bands.withColumn("_off_rk", coalesce(sum("_bn").over(wb), lit(0L)))
+    val wIn = Window.partitionBy(all.map(col): _*).orderBy(rowSort: _*)
+    df.join(broadcast(offsets.select((all :+ "_off_rk").map(col): _*)), all)
+      .withColumn(rankName, (col("_off_rk") + row_number().over(wIn)).cast("long"))
+      .drop("_off_rk")
+  }
+
   /** Standard-SQL `ntile(k)` in closed form from a global rank `i`
     * (1-based) and total count `n`: the first n mod k tiles take
     * `n div k + 1` rows, the rest `n div k` — identical to Spark's and

@@ -118,7 +118,11 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "data_ks_drift" -> 6,     // (slice,v) agg + grid agg + slice totals + grid×slice join +
                               // per-slice cum window + ORDER BY — all value-domain sized
     "q42_moments" -> 2,       // one hash agg with map-side partials + ORDER BY
-    "q43_percentrank" -> 2,   // nation-keyed window sort + ORDER BY
+    "q43_percentrank" -> 6,   // grouped-banded-rank core ((nation,bb) band agg +
+                              // per-nation band window + in-band window) + nation totals
+                              // agg + bounded peer window + ORDER BY; scan recurs
+                              // pre-AQE, ReuseExchange dedupes (round-8: replaced the
+                              // per-nation hot-partition rank window)
     "events_quantile_sketch" -> 3, // day-sketch agg + 1-row merge + rank-check agg;
                               // the 1-row estimate rides a broadcast NLJ (not counted)
     "events_cms_check" -> 3,  // day-sketch agg + 1-row merge + exact top-10 agg
@@ -264,8 +268,19 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // per dim point by design; queries ride broadcast
     "q59_array_funcs" -> 2,   // TP + ORDER BY — every array op is a projection
     "events_anova" -> 2,      // one type-keyed moment agg + 1-row fold agg
-    "data_dedup_idempotence" -> 4 // pass-2 minhash band agg + bucket pair-gen + two
+    "data_dedup_idempotence" -> 4, // pass-2 minhash band agg + bucket pair-gen + two
                               // 1-row counts off the checkpointed pass-1 survivors
+    "quality_calibrate" -> 8, // TP + grouped-banded-rank core ((source,qb) band agg +
+                              // per-source band window + in-band window) + per-source
+                              // totals agg + ORDER BY; TP/scan subtrees recur pre-AQE,
+                              // ReuseExchange dedupes at runtime (round-8: replaced the
+                              // per-source percent_rank hot-partition window)
+    "data_curriculum" -> 8,   // same calibrate core keyed by lang + the stage projection
+    "q17_subquery" -> 2,      // brand avg agg (broadcast back) + ORDER BY (round-8:
+                              // replaced the partitionBy(brand) window)
+    "q25_ntile" -> 6          // grouped-banded-rank core + segment totals agg +
+                              // (segment,quartile) agg + ORDER BY (round-8: replaced the
+                              // per-segment hot-partition ntile window)
   )
 
   test("headline queries match their pinned shuffle counts") {
