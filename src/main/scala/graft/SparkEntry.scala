@@ -4738,6 +4738,59 @@ object SparkEntry {
         col("lo").isNull.as("min_ok"), col("hi").isNull.as("max_ok"))
         .withColumn("plan_pushed", lit(pushed(e)))
       grouped.unionByName(emptyRow).orderBy("bucket")
+    }),
+    "q60_runtime_filter_check" -> ((s, d) => {
+      // Runtime bloom-filter join pruning (Spark's InjectRuntimeFilter):
+      // a selective dim-side predicate materializes a bloom filter that
+      // prunes the FACT side before its join shuffle — at 100 TB this is
+      // the difference between shuffling the whole fact table and
+      // shuffling the matching slice. Real sizes clear the default
+      // thresholds; here the plan is proven at toy thresholds (the AQE
+      // skew-split precedent) and the boolean rides the result:
+      // plan_filtered = optimized plan applies BloomFilterMightContain
+      // to l_orderkey under a shuffle join. The data result (revenue of
+      // high-priority orders by month) is computed with default confs.
+      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+      val confs = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "64MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      val planFiltered =
+        try {
+          confs.foreach { case (k, v) => s.conf.set(k, v) }
+          val probe = T(s, d, "lineitem")
+            .join(T(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy("o_orderpriority").agg(dsum(revenueTerm, 6).as("rev"))
+          probe.queryExecution.optimizedPlan.exists(
+            _.expressions.exists(_.exists(_.isInstanceOf[BloomFilterMightContain])))
+        } finally saved.foreach { case (k, v) =>
+          v.fold(s.conf.unset(k))(s.conf.set(k, _))
+        }
+      T(s, d, "lineitem")
+        .join(T(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(expr("CAST(substring(CAST(o_orderdate AS STRING), 1, 7) AS STRING)").as("month"))
+        .agg(count(lit(1)).as("n_items"), dsum(revenueTerm, 6).as("revenue"))
+        .withColumn("plan_filtered", lit(planFiltered))
+        .orderBy("month")
+    }),
+    "data_stratified_exact_k" -> ((s, d) => {
+      // EXACT-k deterministic sample per stratum (the rate-based
+      // data_stratified can't hit a headcount): within each lang, the k
+      // smallest md5(seed:doc_id) — per-key top-k rides
+      // InferWindowGroupLimit's map-side partial heap, so each task
+      // forwards ≤k rows per stratum and the low-cardinality stratum key
+      // never funnels raw rows (the data_domain_cap precedent);
+      // retry-stable, joins-free, exactly min(k, n_stratum) rows out.
+      val k = 40
+      val docs = TP(s, d, "documents").select(col("doc_id"), col("lang"),
+        md5(concat_ws(":", lit("sek"), col("doc_id").cast("string"))).as("pick"))
+      CorpusOps.capPerKey(docs, "lang", Seq(col("pick").asc, col("doc_id").asc), k)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     })
   )
 

@@ -474,6 +474,18 @@ object Oracles {
            | UNION ALL SELECT doc_id + 1000000, text FROM documents),
            |g AS (SELECT md5($norm) AS h, COUNT(*) AS m FROM doubled GROUP BY h)
            |SELECT CAST(SUM((m*(m-1))//2) AS BIGINT) AS n_exact_pairs, true AS all_covered FROM g""".stripMargin,
+      "q60_runtime_filter_check" ->
+        s"""SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+           | COUNT(*) AS n_items, $revenue AS revenue, true AS plan_filtered
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE o_orderpriority = '1-URGENT'
+           |GROUP BY 1 ORDER BY month""".stripMargin,
+      "data_stratified_exact_k" ->
+        """WITH p AS (SELECT doc_id, lang, md5('sek:' || CAST(doc_id AS VARCHAR)) AS pick
+          |           FROM documents),
+          |r AS (SELECT doc_id, lang,
+          |      row_number() OVER (PARTITION BY lang ORDER BY pick, doc_id) AS rk FROM p)
+          |SELECT doc_id, lang FROM r WHERE rk <= 40 ORDER BY doc_id""".stripMargin,
       "synth_agg_pushdown_check" ->
         """SELECT CAST(t.range AS INT) AS bucket, true AS count_ok, true AS min_ok,
           | true AS max_ok, true AS plan_pushed
