@@ -4791,6 +4791,74 @@ object SparkEntry {
       CorpusOps.capPerKey(docs, "lang", Seq(col("pick").asc, col("doc_id").asc), k)
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    }),
+    "graph_kcore_check" -> ((s, d) => {
+      // k-core of the bipartite order↔part graph (iterative peeling,
+      // GraphOps.kcore — the link-graph quality core: fringe nodes peel
+      // off, the densely-connected center survives). DuckDB cannot
+      // replay peeling-to-fixpoint (recursive CTEs can't re-aggregate),
+      // so the result row carries the DEFINING invariants computed
+      // independently from the original edges: every core node keeps
+      // induced degree ≥ k, NO non-core node has ≥ k core neighbors
+      // (maximality — else core∪{v} would also qualify), and kcore's own
+      // core_deg equals the recomputed induced degree.
+      val k = 3
+      val edges = T(s, d, "lineitem")
+        .select((col("l_orderkey") * 2).as("x"), (col("l_partkey") * 2 + 1).as("y"))
+        .distinct()
+        .localCheckpoint(eager = false) // core build + invariant recount read it
+      val core = GraphOps.kcore(edges, "x", "y", k)
+        .localCheckpoint(eager = false) // three invariant consumers
+      val und = edges.select(col("x").as("src"), col("y").as("dst"))
+        .unionByName(edges.select(col("y").as("src"), col("x").as("dst")))
+      val coreNbr = und
+        .join(core.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .groupBy("src").agg(count(lit(1)).as("n_core_nbr"))
+      val flagged = coreNbr.join(
+        core.select(col("node").as("src"), col("core_deg")), Seq("src"), "left")
+      flagged.agg(
+          min(when(col("core_deg").isNotNull, col("n_core_nbr"))).as("min_core_deg"),
+          max(when(col("core_deg").isNull, col("n_core_nbr"))).as("max_outside_nbr"),
+          sum(when(col("core_deg").isNotNull, 1L).otherwise(0L)).as("n_core"),
+          sum(when(col("core_deg") =!= col("n_core_nbr"), 1L).otherwise(0L)).as("n_inconsistent"))
+        .select(lit(k).as("k"),
+          (col("n_core") > 0).as("nonempty"),
+          (col("min_core_deg") >= k).as("core_min_deg_ok"),
+          (coalesce(col("max_outside_nbr"), lit(0L)) < k).as("maximality_ok"),
+          (coalesce(col("n_inconsistent"), lit(0L)) === 0).as("deg_consistent_ok"))
+    }),
+    "text_bigram_surprisal" -> ((s, d) => {
+      // LM-flavored corpus-familiarity score without logs: each doc's
+      // word bigrams are looked up in the corpus bigram-frequency table
+      // (domain-sized aggregate; AQE broadcasts it when small, shuffle-
+      // joins otherwise — the tfidf precedent). familiarity = mean
+      // corpus count of the doc's bigram occurrences — integer sums, one
+      // double division; LOW scores flag novel/garbled text, the cheap
+      // surprisal gate a curation pipeline runs before a real LM.
+      val bg = TP(s, d, "documents")
+        .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 2)).as("bigram"))
+        .filter(col("bigram") =!= "")
+      val corpus = bg.groupBy("bigram").agg(count(lit(1)).as("cf"))
+      bg.join(corpus, Seq("bigram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
+          sum("cf").cast("bigint").as("sum_cf"))
+        .withColumn("familiarity",
+          col("sum_cf").cast("double") / col("n_bigrams").cast("double"))
+        .orderBy("doc_id")
+    }),
+    "events_rate_limit" -> ((s, d) => {
+      // deterministic token-bucket rate limiting (capacity 5 tokens,
+      // refill 1 token/10 s) replayed per user over the event sequence —
+      // the admission decision is an ORDER-DEPENDENT integer fold
+      // (token-µs units, zero FP), expressed as the sequential-fold
+      // idiom both engines replay bit-identically: Spark aggregate()
+      // over the sorted per-user array ≡ DuckDB list_reduce. Per-user
+      // arrays are bounded by user activity (the events_* convention);
+      // the streaming twin of this shape is transformWithState.
+      RateLimitOps.tokenBucket(EV(s, d), "user_id", "ts_us", "event_id",
+          capUs = 50000000L /* 5 tokens × 10 s */, costUs = 10000000L /* 1 token */)
+        .orderBy("user_id")
     })
   )
 

@@ -284,4 +284,49 @@ object GraphOps {
         (lit(3.0) * col("n_triangles").cast("double") / col("n_wedges").cast("double"))
           .as("global_clustering"))
   }
+
+  /** k-core of an undirected graph: the maximal induced subgraph where
+    * every node keeps degree ≥ k — the standard link-graph quality core
+    * (spam/fringe pages peel off; the densely-linked center remains).
+    *
+    * Iterative peeling: drop all nodes with degree < k, recompute on the
+    * induced subgraph, repeat to fixpoint. Each round is one degree agg
+    * + two semi-joins over the surviving edge set (shrinking
+    * monotonically — round cost only ever goes down); state is
+    * localCheckpointed per round like connectedComponents, so lineage
+    * stays flat. Rounds are bounded by the peeling depth (≤ max degree;
+    * in practice a handful), with `maxIter` as the backstop. The
+    * fixpoint is verified by edge count, which the round has already
+    * materialized — no extra pass.
+    *
+    * Output: one row per core member — (node, core_deg) with core_deg
+    * its degree INSIDE the core (≥ k by construction).
+    */
+  def kcore(edges: DataFrame, aCol: String, bCol: String, k: Int, maxIter: Int = 50): DataFrame = {
+    val canon = edges
+      .filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .distinct()
+    var und = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var nEdges = und.count()
+    var it = 0
+    var done = nEdges == 0
+    while (it < maxIter && !done) {
+      val keep = und.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+        .localCheckpoint() // both semi-joins read it
+      val next = und
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      val n = next.count()
+      done = n == nEdges
+      und = next; nEdges = n; it += 1
+    }
+    if (it == maxIter && !done)
+      log.warn(s"kcore stopped at maxIter=$maxIter before fixpoint — result may over-include")
+    und.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
 }

@@ -474,6 +474,40 @@ object Oracles {
            | UNION ALL SELECT doc_id + 1000000, text FROM documents),
            |g AS (SELECT md5($norm) AS h, COUNT(*) AS m FROM doubled GROUP BY h)
            |SELECT CAST(SUM((m*(m-1))//2) AS BIGINT) AS n_exact_pairs, true AS all_covered FROM g""".stripMargin,
+      "graph_kcore_check" ->
+        // invariants-as-data (the pagerank_check pattern): peeling to
+        // fixpoint is not expressible in a recursive CTE, but the
+        // k-core's DEFINING properties are checked Spark-side against
+        // the raw edges and must all come back true
+        """SELECT 3 AS k, true AS nonempty, true AS core_min_deg_ok,
+          | true AS maximality_ok, true AS deg_consistent_ok""".stripMargin,
+      "text_bigram_surprisal" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |bg AS (SELECT doc_id, unnest(${shingles("tk", 2)}) AS bigram FROM t),
+           |b2 AS (SELECT doc_id, bigram FROM bg WHERE bigram <> ''),
+           |cf AS (SELECT bigram, COUNT(*) AS cf FROM b2 GROUP BY bigram)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           | CAST(SUM(cf) AS BIGINT) AS sum_cf,
+           | CAST(SUM(cf) AS DOUBLE) / COUNT(*) AS familiarity
+           |FROM b2 JOIN cf USING (bigram) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "events_rate_limit" ->
+        """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+          |           FROM events),
+          |l AS (SELECT user_id, COUNT(*) AS n_events,
+          |  list_reduce(
+          |    list_prepend([50000000, 0, 0]::BIGINT[],
+          |      list_transform(list(us ORDER BY us, event_id), x -> [x, 0, 0]::BIGINT[])),
+          |    (a, e) -> [
+          |      CASE WHEN least(50000000, a[1] + (e[1] - a[2])) >= 10000000
+          |           THEN least(50000000, a[1] + (e[1] - a[2])) - 10000000
+          |           ELSE least(50000000, a[1] + (e[1] - a[2])) END,
+          |      e[1],
+          |      a[3] + CASE WHEN least(50000000, a[1] + (e[1] - a[2])) >= 10000000
+          |             THEN 1 ELSE 0 END]) AS st
+          |  FROM e GROUP BY user_id)
+          |SELECT user_id, CAST(n_events AS BIGINT) AS n_events, st[3] AS n_admitted,
+          | CAST(n_events - st[3] AS BIGINT) AS n_throttled
+          |FROM l ORDER BY user_id""".stripMargin,
       "q60_runtime_filter_check" ->
         s"""SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
            | COUNT(*) AS n_items, $revenue AS revenue, true AS plan_filtered
