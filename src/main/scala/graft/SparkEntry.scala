@@ -4859,6 +4859,54 @@ object SparkEntry {
       RateLimitOps.tokenBucket(EV(s, d), "user_id", "ts_us", "event_id",
           capUs = 50000000L /* 5 tokens × 10 s */, costUs = 10000000L /* 1 token */)
         .orderBy("user_id")
+    }),
+    "ann_ivfpq" -> ((s, d) => {
+      // FULL IVF-PQ (the FAISS production layout): coarse cells choose
+      // WHICH corpus slice each query reads, residual-PQ codes prune
+      // WITHIN the probed cells by ADC, exact rerank on the surviving
+      // candidates only — three nested scan-fraction knobs
+      // (nProbe/nCells × nCandidates × k). Driver-checked by the ann_*
+      // recall-vs-brute-force invariant.
+      val vecs = TP(s, d, "embeddings")
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+      val queries = vecs.filter(col("vec_id") < 8)
+      val k = 5
+      val bf = SimilarityOps.bruteForceTopK(vecs, queries, "vec_id", "vec", k)
+        .select("query_id", "neighbor_id")
+      // candidate budget = corpus/4 inside a 5/8-probed index (the two
+      // multiplied scan fractions); recall bar 0.6 = the ann_pq_adc
+      // precedent (PQ at 16 codes/subspace is deliberately lossy)
+      val n = vecs.count()
+      // measured recall@5 0.85/0.85 at sf0.001/0.01 (deterministic) with
+      // 16 subspaces of 4 dims (finer residual quantization at the same
+      // 16-code budget) and 5 of 8 cells probed — bar 0.6 with margin
+      val ivfpq = SimilarityOps.ivfPqRerankTopK(vecs, queries, "vec_id", "vec", k,
+          nCells = 8, nProbe = 5, nCandidates = math.max(64, (n / 4).toInt),
+          subspaces = 16, codes = 16, iters = 4)
+        .select("query_id", "neighbor_id")
+      bf.join(ivfpq, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(
+          lit(8L).as("n_queries"),
+          (col("hits").cast("double") / (8 * k) >= 0.6).as("recall_ok"))
+    }),
+    "q61_recursive_cte" -> ((s, d) => {
+      // Spark 4 RECURSIVE CTE conformance: ancestor closure + chain
+      // depth over a synthetic decimal hierarchy (parent = key div 10 —
+      // the org-chart/category-tree shape). Scale posture: recursion
+      // depth is log₁₀(keyspace), each level one self-referencing step
+      // over the frontier — rows×depth total work, no quadratic blowup.
+      // DuckDB replays the identical recursion with `//` division.
+      T(s, d, "customer").createOrReplaceTempView("r8_cust")
+      s.sql("""
+        WITH RECURSIVE anc(node, anc, depth) AS (
+          SELECT c_custkey, c_custkey div 10, 1 FROM r8_cust
+          UNION ALL
+          SELECT node, anc div 10, depth + 1 FROM anc WHERE anc > 0
+        )
+        SELECT node, count(*) AS n_ancestors, max(depth) AS chain_len
+        FROM anc GROUP BY node ORDER BY node
+      """)
     })
   )
 

@@ -476,6 +476,78 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), col("adc"))
   }
 
+  /** Full IVF-PQ: coarse cells prune WHICH corpus slice each query
+    * reads (nProbe/nCells scan fraction), PQ codes over the cell
+    * RESIDUALS (vec − centroid — residuals are smaller than raw vectors,
+    * so the same codebook budget quantizes finer) prune WITHIN the
+    * probed cells via ADC, and only the surviving candidates are fetched
+    * at full precision for the exact rerank. Within one cell
+    * ‖q−c‖² = ‖r_q−r_c‖², so residual-ADC ranks exactly what raw-ADC
+    * would, at higher codebook resolution. The corpus never shuffles to
+    * be indexed: cell assignment, residual, and codes are all in-row
+    * against plan-literal centroids/codebooks (the FAISS IVF-PQ layout
+    * re-expressed as projections).
+    */
+  def ivfPqRerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      nCandidates: Int = 32,
+      subspaces: Int = 8,
+      codes: Int = 16,
+      iters: Int = 2
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = trainCentroids(corpus, idCol, vecCol, nCells, iters)
+    val centArr = typedLit(cents.map(_.toIndexedSeq).toIndexedSeq)
+    def residual(vec: Column, cell: Column): Column =
+      zip_with(vec, element_at(centArr, cell + 1), (x, y) => x - y)
+    val cu = unitVectors(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("unit").as("c_vec"))
+      .withColumn("cell", assignCell(col("c_vec"), cents))
+      .withColumn("resid", residual(col("c_vec"), col("cell")))
+    val sample = cu.orderBy(xxhash64(col("neighbor_id"), lit(7))).limit(codes)
+      .select("resid").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length == codes, s"corpus smaller than $codes codebook rows")
+    val dim = sample.head.length
+    require(dim % subspaces == 0, "dim must divide into subspaces")
+    val sub = dim / subspaces
+    val cbFlat = (for (j <- 0 until subspaces; c <- 0 until codes; kk <- 0 until sub)
+      yield sample(c)(j * sub + kk)).toArray
+    val coded = cu.select(col("neighbor_id"), col("cell"),
+      graft.functions.PqFunctions.pqCodes(col("resid"), cbFlat, subspaces, codes).as("codes"))
+    val qu = unitVectors(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("unit").as("q_vec"))
+      .withColumn("cell", explode(probeCells(col("q_vec"), cents, nProbe)))
+      .withColumn("q_resid", residual(col("q_vec"), col("cell")))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
+    val cands = coded
+      .join(broadcast(qu), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc",
+        graft.functions.PqFunctions.pqAdc(col("q_resid"), col("codes"), cbFlat, subspaces, codes))
+      .withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= nCandidates)
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id") // a pair can surface via 2 probed cells
+    val fullUnit = unitVectors(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("unit").as("c_vec"))
+    val q = unitVectors(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("unit").as("q_vec"))
+    val wTop = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands
+      .join(fullUnit, Seq("neighbor_id")) // candidate-sized full-precision fetch
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", round(dot(col("q_vec"), col("c_vec")), 6))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** PQ-ADC candidate generation + EXACT rerank — the production IVF-PQ
     * read path: the compressed codes prune the corpus to `nCandidates`
     * per query (8-byte rows, no full-precision reads), then ONLY the

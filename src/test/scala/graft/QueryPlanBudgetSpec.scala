@@ -278,9 +278,15 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "data_curriculum" -> 8,   // same calibrate core keyed by lang + the stage projection
     "q17_subquery" -> 2,      // brand avg agg (broadcast back) + ORDER BY (round-8:
                               // replaced the partitionBy(brand) window)
-    "q25_ntile" -> 6          // grouped-banded-rank core + segment totals agg +
+    "q25_ntile" -> 6,         // grouped-banded-rank core + segment totals agg +
                               // (segment,quartile) agg + ORDER BY (round-8: replaced the
                               // per-segment hot-partition ntile window)
+    "ann_ivfpq" -> 8,         // TP×2 (residual-code build + rerank fetch) + per-query
+                              // residual-ADC window + candidate dedup agg + rerank window
+                              // + hit agg; queries/centroids/codebooks ride broadcast —
+                              // the corpus never shuffles to be indexed
+    "q61_recursive_cte" -> 2  // one UnionLoop recursion (frontier re-shuffle internal to
+                              // the loop) + final group agg; depth = log₁₀(keyspace)
   )
 
   test("headline queries match their pinned shuffle counts") {

@@ -155,6 +155,8 @@ object Oracles {
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
       "ann_ivf" ->
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+      "ann_ivfpq" ->
+        "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
       "ann_ivf_index" ->
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
       "pipeline_json_roundtrip" ->
@@ -474,6 +476,14 @@ object Oracles {
            | UNION ALL SELECT doc_id + 1000000, text FROM documents),
            |g AS (SELECT md5($norm) AS h, COUNT(*) AS m FROM doubled GROUP BY h)
            |SELECT CAST(SUM((m*(m-1))//2) AS BIGINT) AS n_exact_pairs, true AS all_covered FROM g""".stripMargin,
+      "q61_recursive_cte" ->
+        """WITH RECURSIVE anc(node, anc, depth) AS (
+          |  SELECT c_custkey, c_custkey // 10, 1 FROM customer
+          |  UNION ALL
+          |  SELECT node, anc // 10, depth + 1 FROM anc WHERE anc > 0
+          |)
+          |SELECT node, count(*) AS n_ancestors, max(depth) AS chain_len
+          |FROM anc GROUP BY node ORDER BY node""".stripMargin,
       "graph_kcore_check" ->
         // invariants-as-data (the pagerank_check pattern): peeling to
         // fixpoint is not expressible in a recursive CTE, but the
