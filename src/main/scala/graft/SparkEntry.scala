@@ -4907,6 +4907,47 @@ object SparkEntry {
         SELECT node, count(*) AS n_ancestors, max(depth) AS chain_len
         FROM anc GROUP BY node ORDER BY node
       """)
+    }),
+    "q62_sql_udf" -> ((s, d) => {
+      // Spark 4 SQL scalar UDF conformance (CREATE TEMPORARY FUNCTION …
+      // RETURN expr): the body is INLINED into the plan by Catalyst, so
+      // the UDF costs nothing at 100 TB — same codegen'd decimal
+      // arithmetic as writing the expression by hand (unlike a JVM
+      // closure UDF, which would block codegen and predicate pushdown).
+      // DuckDB has no multi-statement oracle, so its twin inlines the
+      // identical expression — which is exactly the semantics claim.
+      s.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(
+          p DECIMAL(12,2), disc DECIMAL(12,2)) RETURNS DECIMAL(18,6)
+        RETURN p * (1 - disc)
+      """)
+      T(s, d, "lineitem").createOrReplaceTempView("r8_li_udf")
+      s.sql("""
+        SELECT l_returnflag,
+          CAST(CAST(SUM(graft_disc_price(l_extendedprice, l_discount)) AS DECIMAL(38,6)) AS DOUBLE) AS disc_revenue,
+          COUNT(*) AS n
+        FROM r8_li_udf
+        WHERE graft_disc_price(l_extendedprice, l_discount) > 1000
+        GROUP BY l_returnflag ORDER BY l_returnflag
+      """)
+    }),
+    "q63_pipe_syntax" -> ((s, d) => {
+      // Spark 4 SQL pipe-operator conformance (|> WHERE / AGGREGATE /
+      // post-agg WHERE / ORDER BY): pipe stages parse to the SAME
+      // logical plan as nested SQL — scan-filter pushdown and partial
+      // aggregation apply unchanged, so this is pure surface syntax
+      // with zero plan cost. DuckDB twin is the equivalent nested SQL.
+      T(s, d, "orders").createOrReplaceTempView("r8_ord_pipe")
+      s.sql("""
+        FROM r8_ord_pipe
+        |> WHERE o_orderstatus <> 'P'
+        |> AGGREGATE CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
+                     COUNT(*) AS n_orders
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        |> SELECT o_orderpriority, CAST(total AS DOUBLE) AS total, n_orders
+        |> ORDER BY o_orderpriority
+      """)
     })
   )
 

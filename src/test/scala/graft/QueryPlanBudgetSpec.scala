@@ -285,8 +285,12 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // residual-ADC window + candidate dedup agg + rerank window
                               // + hit agg; queries/centroids/codebooks ride broadcast —
                               // the corpus never shuffles to be indexed
-    "q61_recursive_cte" -> 2  // one UnionLoop recursion (frontier re-shuffle internal to
+    "q61_recursive_cte" -> 2, // one UnionLoop recursion (frontier re-shuffle internal to
                               // the loop) + final group agg; depth = log₁₀(keyspace)
+    "q62_sql_udf" -> 2,       // group agg + ORDER BY — the SQL UDF inlines to the same
+                              // plan as hand-written decimal arithmetic (no UDF node)
+    "q63_pipe_syntax" -> 2    // group agg + ORDER BY — pipe stages parse to the nested-
+                              // SQL plan, post-agg |> WHERE folds into the agg filter
   )
 
   test("headline queries match their pinned shuffle counts") {

@@ -484,6 +484,24 @@ object Oracles {
           |)
           |SELECT node, count(*) AS n_ancestors, max(depth) AS chain_len
           |FROM anc GROUP BY node ORDER BY node""".stripMargin,
+      "q62_sql_udf" ->
+        // Spark side computes through a SQL scalar UDF that Catalyst
+        // inlines; the twin IS the inlined expression
+        """SELECT l_returnflag,
+          | CAST(CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS disc_revenue,
+          | COUNT(*) AS n
+          |FROM lineitem
+          |WHERE CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6)) > 1000
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "q63_pipe_syntax" ->
+        // Spark side uses 4.x |> pipe operators; same plan as this SQL
+        """WITH agg AS (
+          | SELECT o_orderpriority,
+          |   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
+          |   COUNT(*) AS n_orders
+          | FROM orders WHERE o_orderstatus <> 'P' GROUP BY o_orderpriority)
+          |SELECT o_orderpriority, CAST(CAST(total AS VARCHAR) AS DOUBLE) AS total, n_orders
+          |FROM agg WHERE n_orders > 10 ORDER BY o_orderpriority""".stripMargin,
       "graph_kcore_check" ->
         // invariants-as-data (the pagerank_check pattern): peeling to
         // fixpoint is not expressible in a recursive CTE, but the
