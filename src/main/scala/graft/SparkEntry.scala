@@ -4948,6 +4948,45 @@ object SparkEntry {
         |> SELECT o_orderpriority, CAST(total AS DOUBLE) AS total, n_orders
         |> ORDER BY o_orderpriority
       """)
+    }),
+    "q64_trimmed_mean" -> ((s, d) => {
+      // per-group 10% two-sided trimmed mean (the robust-mean gate):
+      // 3 group keys over raw lineitem rows are exactly the hot-
+      // partition class, so the within-group rank comes from the
+      // grouped banded core ($2²⁰-cent slabs), trim bounds from exact
+      // group counts, and the mean is one fixed integer-cents double
+      // division. sum_cents stays BIGINT-exact to ~9·10¹⁶ cents.
+      val li = T(s, d, "lineitem").select(col("l_returnflag"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("bb", RankOps.idiv(col("cents"), 1L << 20))
+      val ranked = RankOps.groupedBandedRank(li,
+        groupCols = Seq("l_returnflag"), bandCols = Seq("bb"),
+        bandSort = Seq(col("bb").asc),
+        rowSort = Seq(col("cents").asc, col("l_orderkey").asc, col("l_linenumber").asc),
+        rankName = "rk")
+      val totals = li.groupBy("l_returnflag").agg(count(lit(1)).cast("long").as("n_g"))
+      ranked.join(broadcast(totals), Seq("l_returnflag"))
+        .filter(col("rk") > RankOps.idiv(col("n_g"), 10L) &&
+                col("rk") <= col("n_g") - RankOps.idiv(col("n_g"), 10L))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_kept"),
+             sum(col("cents")).cast("decimal(38,0)").cast("long").as("sum_cents"))
+        .withColumn("trimmed_mean_cents",
+          col("sum_cents").cast("double") / col("n_kept").cast("double"))
+        .orderBy("l_returnflag")
+    }),
+    "q65_spearman" -> ((s, d) => {
+      // exact tie-averaged Spearman rank correlation per group —
+      // monotone-association between quantity (bounded domain,
+      // broadcast rank table) and extendedprice (near-unique domain,
+      // banded rank table met in a shuffle join). No per-row rank
+      // window anywhere; see StatsOps.spearmanByGroup.
+      StatsOps.spearmanByGroup(T(s, d, "lineitem"), "l_returnflag",
+          col("l_quantity").cast("long"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+        .withColumnRenamed("g", "l_returnflag")
+        .orderBy("l_returnflag")
     })
   )
 

@@ -347,4 +347,65 @@ object StatsOps {
         "m4 / (m2 * m2) - 3.0 AS kurtosis_excess")
       .orderBy(groupCol)
   }
+
+  /** Exact tie-averaged Spearman rank correlation of (x, y) per group.
+    *
+    * Ranks are SQL-standard AVERAGE ranks (ties share the mean of their
+    * positions). To stay integer-exact AND scale-safe, the doubled rank
+    * a = 2·avgrank = 2·(rows strictly before) + ties + 1 is computed per
+    * DISTINCT VALUE — never through a per-row rank window — on the
+    * banded running-sum core ([[RankOps.bandedRankCum]] over the
+    * (group, value) table, band = value div 2^bandBits), so no
+    * value-domain-sized single partition exists anywhere. The earlier-
+    * groups offset is the group's MIN cumulative (an aggregate, not
+    * another window). Row-level rank moments Σa, Σb, Σa², Σb², Σab
+    * accumulate in DECIMAL(38,0) (exact to n ≈ 3·10¹²; a ≤ 2n); the
+    * Pearson-on-ranks combine is a FIXED double expression the DuckDB
+    * oracle mirrors token for token. Single-value groups yield NULL
+    * (0/0). `x` should be the bounded-domain variable (its value table
+    * is broadcast); `y` may be near-unique (value table meets the rows
+    * in a shuffle join).
+    */
+  def spearmanByGroup(
+      df: DataFrame,
+      groupCol: String,
+      x: Column,
+      y: Column,
+      bandBits: Int = 20): DataFrame = {
+    val rows = df
+      .select(col(groupCol).as("g"), x.cast("long").as("x"), y.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    def ar2(vcol: String): DataFrame = {
+      val vt = rows.groupBy("g", vcol).agg(count(lit(1)).cast("long").as("c"))
+        .withColumn("_band", RankOps.idiv(col(vcol), 1L << bandBits))
+      val cum = RankOps.bandedRankCum(vt,
+        bandCols = Seq("g", "_band"),
+        bandSort = Seq(col("g"), col("_band")),
+        rowSort = Seq(col("g"), col(vcol)),
+        cumCols = Seq("c"), rankName = "_vrk")
+      val gOff = cum.groupBy("g").agg(min("cum_before_c").as("_goff"))
+      cum.join(broadcast(gOff), Seq("g"))
+        .select(col("g"), col(vcol),
+          (lit(2L) * (col("cum_before_c") - col("_goff")) + col("c") + lit(1L))
+            .as(s"ar2_$vcol"))
+    }
+    val withA = rows
+      .join(broadcast(ar2("x")), Seq("g", "x"))
+      .join(ar2("y"), Seq("g", "y"))
+      .select(col("g"),
+        col("ar2_x").cast("decimal(19,0)").as("a"),
+        col("ar2_y").cast("decimal(19,0)").as("b"))
+    def dsum38(c: Column): Column = sum(c).cast("decimal(38,0)").cast("double")
+    val m = withA.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      dsum38(col("a")).as("sa"), dsum38(col("b")).as("sb"),
+      dsum38((col("a") * col("a")).cast("decimal(38,0)")).as("saa"),
+      dsum38((col("b") * col("b")).cast("decimal(38,0)")).as("sbb"),
+      dsum38((col("a") * col("b")).cast("decimal(38,0)")).as("sab"))
+    val n = col("n").cast("double")
+    m.select(col("g"), col("n"),
+      ((n * col("sab") - col("sa") * col("sb")) /
+        (sqrt(n * col("saa") - col("sa") * col("sa")) *
+          sqrt(n * col("sbb") - col("sb") * col("sb")))).as("spearman_rho"))
+  }
 }

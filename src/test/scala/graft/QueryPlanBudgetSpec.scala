@@ -289,8 +289,16 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // the loop) + final group agg; depth = log₁₀(keyspace)
     "q62_sql_udf" -> 2,       // group agg + ORDER BY — the SQL UDF inlines to the same
                               // plan as hand-written decimal arithmetic (no UDF node)
-    "q63_pipe_syntax" -> 2    // group agg + ORDER BY — pipe stages parse to the nested-
+    "q63_pipe_syntax" -> 2,   // group agg + ORDER BY — pipe stages parse to the nested-
                               // SQL plan, post-agg |> WHERE folds into the agg filter
+    "q64_trimmed_mean" -> 6,  // grouped-banded-rank core (value agg + band agg, offsets
+                              // broadcast back) + group totals agg + trimmed agg +
+                              // ORDER BY; no per-group raw-row window anywhere
+    "q65_spearman" -> 14      // two banded avg-rank cores (x and y value tables: value
+                              // agg + band agg + group-offset agg each) + row⋈y-ranks
+                              // shuffle join + moment agg + ORDER BY; x-ranks and all
+                              // band offsets ride broadcast — every shuffle is value-
+                              // table-sized except the one row-level (g,y) join
   )
 
   test("headline queries match their pinned shuffle counts") {

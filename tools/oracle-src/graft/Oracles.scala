@@ -502,6 +502,38 @@ object Oracles {
           | FROM orders WHERE o_orderstatus <> 'P' GROUP BY o_orderpriority)
           |SELECT o_orderpriority, CAST(CAST(total AS VARCHAR) AS DOUBLE) AS total, n_orders
           |FROM agg WHERE n_orders > 10 ORDER BY o_orderpriority""".stripMargin,
+      "q64_trimmed_mean" ->
+        """WITH v AS (SELECT l_returnflag, CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT) AS cents,
+          |                  l_orderkey, l_linenumber FROM lineitem),
+          |r AS (SELECT l_returnflag, cents,
+          |  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cents, l_orderkey, l_linenumber) AS rk,
+          |  COUNT(*) OVER (PARTITION BY l_returnflag) AS n_g
+          | FROM v)
+          |SELECT l_returnflag, COUNT(*) AS n_kept, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+          | CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS trimmed_mean_cents
+          |FROM r WHERE rk > n_g // 10 AND rk <= n_g - n_g // 10
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "q65_spearman" ->
+        // average ranks: 2*avgrank = 2*RANK (min rank) + ties - 1, kept
+        // integer; moment sums in DECIMAL(38,0); fixed double combine
+        // mirrors StatsOps.spearmanByGroup token for token
+        """WITH v AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+          |                  CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT) AS y FROM lineitem),
+          |r AS (SELECT g,
+          |  CAST(2*RANK() OVER (PARTITION BY g ORDER BY x) + COUNT(*) OVER (PARTITION BY g, x) - 1 AS DECIMAL(19,0)) AS a,
+          |  CAST(2*RANK() OVER (PARTITION BY g ORDER BY y) + COUNT(*) OVER (PARTITION BY g, y) - 1 AS DECIMAL(19,0)) AS b
+          | FROM v),
+          |m AS (SELECT g, COUNT(*) AS n,
+          |  CAST(CAST(CAST(SUM(a) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS sa,
+          |  CAST(CAST(CAST(SUM(b) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS sb,
+          |  CAST(CAST(CAST(SUM(CAST(a*a AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS saa,
+          |  CAST(CAST(CAST(SUM(CAST(b*b AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS sbb,
+          |  CAST(CAST(CAST(SUM(CAST(a*b AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS sab
+          | FROM r GROUP BY g)
+          |SELECT g AS l_returnflag, n,
+          | (CAST(n AS DOUBLE)*sab - sa*sb) /
+          |  (sqrt(CAST(n AS DOUBLE)*saa - sa*sa) * sqrt(CAST(n AS DOUBLE)*sbb - sb*sb)) AS spearman_rho
+          |FROM m ORDER BY l_returnflag""".stripMargin,
       "graph_kcore_check" ->
         // invariants-as-data (the pagerank_check pattern): peeling to
         // fixpoint is not expressible in a recursive CTE, but the
