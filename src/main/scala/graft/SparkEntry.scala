@@ -4987,6 +4987,29 @@ object SparkEntry {
           (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
         .withColumnRenamed("g", "l_returnflag")
         .orderBy("l_returnflag")
+    }),
+    "q66_jaro_winkler" -> ((s, d) => {
+      // blocked fuzzy similarity join on a NATIVE codegen Jaro-Winkler
+      // kernel (StringSimExpressions) that returns the similarity as an
+      // EXACT RATIONAL {num, den}: the ≥0.9 keep decision is an integer
+      // cross-multiplication — no floating-point threshold boundary
+      // anywhere. (The one cross-engine FP edge, DuckDB deciding the
+      // 0.7 Winkler boost on its double jaro, cannot affect a
+      // 0.9-filtered set: a 0.7-boundary pair scores ≤ 0.82.) The
+      // reported similarity is ONE final double division + round(6).
+      // Block key = p_brand fits the testdata; a web-scale corpus
+      // blocks on rarer keys (the dedup family's rare-shingle
+      // precedent). Map-side kernel inside codegen, one shuffle join.
+      val p = T(s, d, "part").select(col("p_partkey"), col("p_brand"), col("p_name"))
+      val a = p.select(col("p_brand"), col("p_partkey").as("p1"), col("p_name").as("n1"))
+      val b = p.select(col("p_brand"), col("p_partkey").as("p2"), col("p_name").as("n2"))
+      a.join(b, Seq("p_brand")).filter(col("p1") < col("p2"))
+        .withColumn("jw", graft.functions.StringSimFunctions.jaroWinklerParts(col("n1"), col("n2")))
+        .filter(element_at(col("jw"), 1) * 10 >= element_at(col("jw"), 2) * 9)
+        .select(col("p_brand"), col("p1"), col("p2"),
+          round(element_at(col("jw"), 1).cast("double") /
+            element_at(col("jw"), 2).cast("double"), 6).as("similarity"))
+        .orderBy("p_brand", "p1", "p2")
     })
   )
 

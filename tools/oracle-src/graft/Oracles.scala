@@ -534,6 +534,15 @@ object Oracles {
           | (CAST(n AS DOUBLE)*sab - sa*sb) /
           |  (sqrt(CAST(n AS DOUBLE)*saa - sa*sa) * sqrt(CAST(n AS DOUBLE)*sbb - sb*sb)) AS spearman_rho
           |FROM m ORDER BY l_returnflag""".stripMargin,
+      "q66_jaro_winkler" ->
+        // DuckDB's native jaro_winkler_similarity — semantics verified
+        // equal to StringSimKernel's exact rational (window, floor'd
+        // half-transpositions, prefix ≤ 4, 0.7 boost threshold)
+        """SELECT a.p_brand, a.p_partkey AS p1, b.p_partkey AS p2,
+          | round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS similarity
+          |FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+          |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
+          |ORDER BY a.p_brand, a.p_partkey, b.p_partkey""".stripMargin,
       "graph_kcore_check" ->
         // invariants-as-data (the pagerank_check pattern): peeling to
         // fixpoint is not expressible in a recursive CTE, but the
