@@ -49,6 +49,16 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // DAGScheduler logs a benign ERROR + full stack trace when a
+    // speculative/retried task reports accumulator updates after its
+    // stage completed ("updateAccumulators" race; the job itself
+    // succeeds — observed once in the round-8 tail, ~2 kB of trace that
+    // can push the JSON line out of the driver's parse window). FATAL
+    // keeps genuine scheduler failures visible through the job's own
+    // exception path, which runOnce catches and reports per-query.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.FATAL)
 
     def runOnce(name: String): Double = {
       spark.catalog.clearCache()

@@ -4955,7 +4955,10 @@ object SparkEntry {
       // partition class, so the within-group rank comes from the
       // grouped banded core ($2²⁰-cent slabs), trim bounds from exact
       // group counts, and the mean is one fixed integer-cents double
-      // division. sum_cents stays BIGINT-exact to ~9·10¹⁶ cents.
+      // division. The sum accumulates in DECIMAL(38,0) from the first
+      // row (a LongType sum would wrap silently past ~9·10¹⁶ cents —
+      // round-8 advisor item 5); the final long cast is the reported
+      // type, overflow-checked by ANSI.
       val li = T(s, d, "lineitem").select(col("l_returnflag"),
           (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("cents"),
           col("l_orderkey"), col("l_linenumber"))
@@ -4971,7 +4974,7 @@ object SparkEntry {
                 col("rk") <= col("n_g") - RankOps.idiv(col("n_g"), 10L))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_kept"),
-             sum(col("cents")).cast("decimal(38,0)").cast("long").as("sum_cents"))
+             sum(col("cents").cast("decimal(38,0)")).cast("long").as("sum_cents"))
         .withColumn("trimmed_mean_cents",
           col("sum_cents").cast("double") / col("n_kept").cast("double"))
         .orderBy("l_returnflag")
@@ -4997,18 +5000,13 @@ object SparkEntry {
       // 0.7 Winkler boost on its double jaro, cannot affect a
       // 0.9-filtered set: a 0.7-boundary pair scores ≤ 0.82.) The
       // reported similarity is ONE final double division + round(6).
-      // Block key = p_brand fits the testdata; a web-scale corpus
-      // blocks on rarer keys (the dedup family's rare-shingle
-      // precedent). Map-side kernel inside codegen, one shuffle join.
-      val p = T(s, d, "part").select(col("p_partkey"), col("p_brand"), col("p_name"))
-      val a = p.select(col("p_brand"), col("p_partkey").as("p1"), col("p_name").as("n1"))
-      val b = p.select(col("p_brand"), col("p_partkey").as("p2"), col("p_name").as("n2"))
-      a.join(b, Seq("p_brand")).filter(col("p1") < col("p2"))
-        .withColumn("jw", graft.functions.StringSimFunctions.jaroWinklerParts(col("n1"), col("n2")))
-        .filter(element_at(col("jw"), 1) * 10 >= element_at(col("jw"), 2) * 9)
-        .select(col("p_brand"), col("p1"), col("p2"),
-          round(element_at(col("jw"), 1).cast("double") /
-            element_at(col("jw"), 2).cast("double"), 6).as("similarity"))
+      // Candidate generation (DedupOps.jaroWinklerPairs): kernel runs
+      // over DISTINCT names blocked by word-level deletion-1 keys —
+      // never the within-brand quadratic (round-8 verdict item 2); the
+      // full-quadratic oracle certifies zero false negatives on-data.
+      DedupOps.jaroWinklerPairs(T(s, d, "part"), "p_name", "p_partkey", "p_brand", 9, 10)
+        .select(col("blk").as("p_brand"), col("a_id").as("p1"),
+          col("b_id").as("p2"), col("similarity"))
         .orderBy("p_brand", "p1", "p2")
     })
   )

@@ -57,17 +57,44 @@ object Verify {
         System.err.println(s"[verify] _aux_simhash_sigs failed: ${e.getMessage}")
       }
     }
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    // Queries run CONCURRENTLY on a bounded pool (round-8 verdict item
+    // 1: the serial dump took ~19-25 min — mostly per-query fixed cost
+    // and small stages underfilling the local[n] task slots, so modest
+    // cross-query parallelism recovers most of it). Isolation: each
+    // query gets its own `spark.newSession()` — separate temp-view
+    // catalog and session conf over the shared SparkContext (catalog
+    // TABLES are shared, but every index-building query uses a distinct
+    // `graft_*` prefix, audited). Failures stay per-query; the TOTAL
+    // line makes a partial/killed run visible to the driver's log.
+    val par = sys.env.get("SPARK_GRAFT_VERIFY_PAR").map(_.toInt)
+      .getOrElse(math.min(4, math.max(1, cpus.toInt / 2)))
+    val todo = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    val ok = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tAll = System.nanoTime()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    val tasks = todo.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val t0 = System.nanoTime()
+          try {
+            val session = spark.newSession()
+            fn(session, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+            ok.incrementAndGet()
+            System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
+          } catch { case e: Throwable =>
+            failed.incrementAndGet()
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
+      })
     }
+    tasks.foreach(_.get())
+    pool.shutdown()
+    System.err.println(
+      f"[verify] TOTAL ${todo.size} queries ${ok.get()} ok ${failed.get()} failed " +
+        f"${(System.nanoTime() - tAll) / 1e9}%.1fs (par=$par)")
     spark.stop()
   }
 }

@@ -39,7 +39,10 @@ object StringSimKernel {
     val l1 = s.length
     val l2 = t.length
     if (l1 == 0 || l2 == 0) return new GenericArrayData(Array(0L, 1L))
-    val window = math.max(l1, l2) / 2 - 1
+    // clamped at 0 (the commons-text/RapidFuzz convention): for two
+    // 1-char strings max/2-1 = -1 would find zero matches and score
+    // identical chars 0, where DuckDB's jaro_winkler('a','a') = 1.0
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
     val sMatch = new Array[Boolean](l1)
     val tMatch = new Array[Boolean](l2)
     var m = 0

@@ -513,8 +513,18 @@ object CorpusOps {
     * key × 1/65536 score slice — in-band windows bounded by how many of
     * a key's rows share a score slice; widen the band factor to recurse
     * at extreme scale) and percent_rank is reassembled closed-form as
-    * (rank−1)/(n−1) — identical to the SQL definition when `tieCol`
-    * makes the order total (no rank ties), which callers must ensure.
+    * (rank−1)/(n−1).
+    *
+    * Semantics = SQL `percent_rank() OVER (PARTITION BY key ORDER BY
+    * score, tie)`: the tie column is PART of the rank order (so tied
+    * scores get distinct, tie-ordered values — the oracle-pinned
+    * contract), which is exact iff (score, tie) is a total order within
+    * each key. That precondition was previously a doc note only
+    * (round-8 advisor item 3: a non-total tie order silently yields
+    * nondeterministic per-tie values); set
+    * `spark.graft.calibrate.checkTies=true` to enforce it with one
+    * duplicate-probe aggregation that FAILS on the first violating
+    * (key, score, tie) group.
     */
   def calibrateByKey(
       df: DataFrame,
@@ -530,6 +540,15 @@ object CorpusOps {
       bandSort = Seq(col("__qb").asc),
       rowSort = Seq(col(scoreCol).asc, col(tieCol).asc),
       rankName = "__rk")
+    if (df.sparkSession.conf
+        .getOption("spark.graft.calibrate.checkTies").exists(_.toBoolean)) {
+      val dup = df.groupBy(col(keyCol), col(scoreCol), col(tieCol))
+        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"calibrateByKey: ($keyCol, $scoreCol, $tieCol) is not a total order — " +
+          s"duplicate group ${dup.headOption.mkString} would make pct_rank " +
+          "values tie-order-dependent; add a discriminating tie column")
+    }
     val totals = df.groupBy(keyCol).agg(count(lit(1)).as("__n"))
     ranked.join(broadcast(totals), Seq(keyCol))
       .withColumn(outCol,

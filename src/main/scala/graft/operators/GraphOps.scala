@@ -294,8 +294,11 @@ object GraphOps {
     * + two semi-joins over the surviving edge set (shrinking
     * monotonically — round cost only ever goes down); state is
     * localCheckpointed per round like connectedComponents, so lineage
-    * stays flat. Rounds are bounded by the peeling depth (≤ max degree;
-    * in practice a handful), with `maxIter` as the backstop. The
+    * stays flat. Rounds = the graph's degeneracy-peeling depth, which
+    * is NOT bounded by max degree — a path graph at k=2 peels two
+    * nodes per round, Θ(n) rounds — so `maxIter` is a hard backstop
+    * and hitting it FAILS (an over-included "core" silently breaks the
+    * minimum-degree invariant downstream; round-8 advisor item 2). The
     * fixpoint is verified by edge count, which the round has already
     * materialized — no extra pass.
     *
@@ -326,7 +329,11 @@ object GraphOps {
       und = next; nEdges = n; it += 1
     }
     if (it == maxIter && !done)
-      log.warn(s"kcore stopped at maxIter=$maxIter before fixpoint — result may over-include")
+      throw new IllegalStateException(
+        s"kcore did not reach its fixpoint in maxIter=$maxIter rounds — " +
+          "the surviving subgraph would over-include nodes below degree " +
+          s"$k; raise maxIter (peeling depth is the graph's degeneracy " +
+          "round count, Θ(n) on path-like graphs)")
     und.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
 }

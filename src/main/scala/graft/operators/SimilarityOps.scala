@@ -118,13 +118,20 @@ object SimilarityOps {
   def probeCells(vec: Column, cents: Array[Array[Double]], nProbe: Int): Column =
     transform(slice(sort_array(cellScores(vec, cents), asc = false), 1, nProbe), x => x.getField("c"))
 
-  /** Spherical k-means centroids for IVF. Init = deterministic hash-order
-    * sample (TakeOrderedAndProject — no full sort); each Lloyd iteration is
-    * one distributed pass: assign via `assignCell` projection, mean via
-    * posexplode + groupBy(cell, pos), normalize on the driver (the collect
-    * is nCells × dim — bounded regardless of corpus size). Training reads
-    * at most `trainCap` vectors (hash-ordered, deterministic), because
-    * centroid quality needs a sample, not the corpus.
+  /** Spherical k-means centroids for IVF — the FAISS train/add split:
+    * ONE bounded collect pulls the hash-ordered training sample (at most
+    * `trainCap` unit vectors — deterministic and size-stable regardless
+    * of corpus size), Lloyd then iterates in driver memory, and only the
+    * corpus-sized operations (final cell assignment, query probing)
+    * stay distributed projections. Round 9: the previous shape ran each
+    * Lloyd ASSIGNMENT pass through Catalyst, which re-generated and
+    * re-JITed an nCells×dim literal kernel per pass — measured as the
+    * dominant cost of `ann_ivf` at sf0.1 (~10s of JIT compilation for a
+    * 2000-row corpus, the only >1.5× r7→r8 bench mover); driver Lloyd
+    * on the capped sample is ≤ trainCap·dim·nCells·iters flops with
+    * zero codegen, and the trained centroids are equivalent (same init,
+    * same argmax-tie convention as the Spark-side `assignCell` kernel,
+    * float summation order differs only within a pass's mean).
     */
   def trainCentroids(
       vectors: DataFrame,
@@ -134,33 +141,48 @@ object SimilarityOps {
       iters: Int = 2,
       trainCap: Int = 100000
   ): Array[Array[Double]] = {
-    val v = unitVectors(vectors, idCol, vecCol)
-      .orderBy(xxhash64(col("id"))).limit(trainCap)
-      .select("id", "unit")
-      .cache() // ≤ trainCap rows; read once per Lloyd pass, not re-scanned
-    try {
-      var cents: Array[Array[Double]] = v.orderBy(xxhash64(col("id"), lit(1))).limit(nCells)
-        .collect().map(_.getSeq[Double](1).toArray)
-      val dim = cents.head.length
-      for (_ <- 0 until iters) {
-        // one shuffle per pass; the collect is nCells × dim (cell, pos,
-        // mean) rows — bounded regardless of corpus size
-        val means = v
-          .withColumn("cell", assignCell(col("unit"), cents))
-          .select(col("cell"), posexplode(col("unit")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
-          .collect()
-        val sums = Array.fill(nCells)(new Array[Double](dim))
-        val seen = new Array[Boolean](nCells)
-        means.foreach { r => seen(r.getInt(0)) = true; sums(r.getInt(0))(r.getInt(1)) = r.getDouble(2) }
-        cents = cents.zipWithIndex.map { case (old, cIx) =>
-          val m = sums(cIx)
+    val sample = unitVectors(vectors, idCol, vecCol)
+      .orderBy(xxhash64(col("id")))
+      .limit(trainCap)
+      .select(col("unit"), xxhash64(col("id"), lit(1)).as("h2"))
+      .collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getLong(1)))
+    var cents: Array[Array[Double]] = sample.sortBy(_._2).take(nCells).map(_._1)
+    val dim = cents.head.length
+    val vecs = sample.map(_._1)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nCells)(new Array[Double](dim))
+      val counts = new Array[Long](nCells)
+      vecs.foreach { u =>
+        // argmax dot; ties pick the HIGHER cell index — the array_max
+        // over (score, cell) structs convention of the Spark-side
+        // assignCell kernel, so train- and index-time cells agree
+        var best = 0
+        var bestS = Double.NegativeInfinity
+        var c = 0
+        while (c < nCells) {
+          var s = 0.0
+          var i = 0
+          val ct = cents(c)
+          while (i < dim) { s += u(i) * ct(i); i += 1 }
+          if (s >= bestS) { bestS = s; best = c }
+          c += 1
+        }
+        val acc = sums(best)
+        var i = 0
+        while (i < dim) { acc(i) += u(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, cIx) =>
+        if (counts(cIx) == 0) old // empty cells keep their old centroid
+        else {
+          val m = sums(cIx).map(_ / counts(cIx))
           val n = math.sqrt(m.map(x => x * x).sum)
-          if (seen(cIx) && n > 0) m.map(_ / n) else old // empty cells keep their old centroid
+          if (n > 0) m.map(_ / n) else old
         }
       }
-      cents
-    } finally v.unpersist()
+    }
+    cents
   }
 
   /** IVF ANN: corpus vectors are assigned to their nearest centroid cell

@@ -58,6 +58,62 @@ object VectorIndexOps {
     IvfIndex(s"${prefix}_cells", s"${prefix}_centroids", nCells)
   }
 
+  /** Centroid readback: nCells × dim rows, corpus-size independent. */
+  private def readCentroids(spark: SparkSession, index: IvfIndex): Array[Array[Double]] =
+    spark.table(index.centroidsTable)
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** Append a new vector generation to a persisted IVF index under the
+    * index's FROZEN centroids: assignment is the same map-side
+    * broadcast-argmax projection as the build (new vectors never
+    * shuffle except the bucketed-write repartition), and
+    * [[BucketOps.appendBucketed]] lands the codes INSIDE each cell
+    * bucket — the Exchange-free probe layout survives the append, and a
+    * mismatched bucket spec is rejected loudly. Centroids drift as the
+    * corpus grows; the accepted IVF practice this mirrors (FAISS
+    * add-after-train) is periodic REBUILD (staged table swap in
+    * [[buildIvfIndex]]) when recall degrades, never incremental
+    * centroid mutation — probe results must be a pure function of the
+    * persisted tables.
+    */
+  def appendToIvfIndex(
+      newVectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: IvfIndex,
+      numBuckets: Int
+  ): Unit = {
+    val cents = readCentroids(newVectors.sparkSession, index)
+    val assigned = SimilarityOps.unitVectors(newVectors, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("unit"),
+        SimilarityOps.assignCell(col("unit"), cents).cast("int").as("cell"))
+    BucketOps.appendBucketed(assigned, index.cellsTable, numBuckets, Seq("cell"),
+      sortKeys = Seq("cell"))
+  }
+
+  /** STREAMING IVF index maintenance: a `foreachBatch` sink that folds
+    * each micro-batch of new vectors into the persisted index via
+    * [[appendToIvfIndex]], guarded by a commit-marker log so the
+    * micro-batch Structured Streaming replays after a restart are
+    * skipped (the appendBucketed write is not idempotent by itself; the
+    * marker makes the maintenance exactly-once for replayed batch ids —
+    * and a duplicate row from the crash-between-append-and-marker
+    * window is harmless to probes, which dedup (query, neighbor)).
+    * Pass to `writeStream.foreachBatch(...)`; same per-batch shape as
+    * the batch append, so stream-maintained ≡ batch-appended tables.
+    */
+  def ivfIndexMaintenanceSink(
+      index: IvfIndex,
+      idCol: String,
+      vecCol: String,
+      numBuckets: Int,
+      commitDir: String
+  ): (DataFrame, Long) => Unit =
+    graft.streaming.StreamOps.idempotentForeachBatch(commitDir, { (df, _) =>
+      appendToIvfIndex(df, idCol, vecCol, index, numBuckets)
+    })
+
   /** Top-k cosine neighbors for a query batch against the PERSISTED
     * index: queries fan out to their `nProbe` nearest cells and
     * broadcast; the index scan is bucket-pruned to the probed cells
@@ -76,9 +132,7 @@ object VectorIndexOps {
       nProbe: Int,
       excludeSelf: Boolean = true
   ): DataFrame = {
-    val cents: Array[Array[Double]] = spark.table(index.centroidsTable)
-      .orderBy("cell").collect() // nCells × dim — bounded, corpus-size independent
-      .map(_.getSeq[Double](1).toArray)
+    val cents: Array[Array[Double]] = readCentroids(spark, index)
     val q = SimilarityOps.unitVectors(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("unit").as("q_vec"))
       .withColumn("cell", explode(SimilarityOps.probeCells(col("q_vec"), cents, nProbe)))

@@ -294,6 +294,12 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "q64_trimmed_mean" -> 6,  // grouped-banded-rank core (value agg + band agg, offsets
                               // broadcast back) + group totals agg + trimmed agg +
                               // ORDER BY; no per-group raw-row window anywhere
+    "q66_jaro_winkler" -> 4,  // distinct-names agg + candidate-pair dedup agg ×2 (the
+                              // swapped-direction branch re-plans the vocab subtree;
+                              // ReuseExchange dedupes at runtime) + final ORDER BY — the
+                              // JW kernel runs only in vocabulary-sized subtrees, the
+                              // corpus expands through two (name, block) equi-joins
+                              // (round-9: replaced the within-brand quadratic)
     "q65_spearman" -> 14      // two banded avg-rank cores (x and y value tables: value
                               // agg + band agg + group-offset agg each) + row⋈y-ranks
                               // shuffle join + moment agg + ORDER BY; x-ranks and all

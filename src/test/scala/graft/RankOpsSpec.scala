@@ -61,6 +61,38 @@ class RankOpsSpec extends SparkSpec {
     assert(banded.except(expected).isEmpty && expected.except(banded).isEmpty)
   }
 
+  test("broadcast gate off (broadcastMaxBands=0) produces identical results") {
+    // round-8 verdict item 4: the forced broadcast hint is gated on
+    // spark.graft.bandedRank.broadcastMaxBands — the fallback plain
+    // join must be result-identical (AQE may still broadcast at
+    // runtime; only the FORCED hint is dropped)
+    val df = rows.toDF("id", "v", "w").repartition(7)
+      .withColumn("sub", RankOps.idiv(col("id"), 64))
+    def run(): org.apache.spark.sql.DataFrame = RankOps
+      .bandedRankCum(df, bandCols = Seq("v", "sub"),
+        bandSort = Seq(col("v").desc, col("sub").asc),
+        rowSort = Seq(col("id").asc), cumCols = Seq("w"))
+      .select(col("id"), col("rank"), col("cum_before_w"))
+    def runGrouped(): org.apache.spark.sql.DataFrame = RankOps
+      .groupedBandedRank(df, groupCols = Seq("v"), bandCols = Seq("sub"),
+        bandSort = Seq(col("sub").asc), rowSort = Seq(col("id").asc),
+        rankName = "rk")
+      .select(col("id"), col("rk"))
+    val (hinted, hintedG) = (run(), runGrouped())
+    spark.conf.set("spark.graft.bandedRank.broadcastMaxBands", "0")
+    try {
+      val (plain, plainG) = (run(), runGrouped())
+      assert(plain.except(hinted).isEmpty && hinted.except(plain).isEmpty)
+      assert(plainG.except(hintedG).isEmpty && hintedG.except(plainG).isEmpty)
+      // and the gate really did drop the hint from the logical plan
+      def hasHint(q: org.apache.spark.sql.DataFrame): Boolean =
+        q.queryExecution.analyzed.collectFirst {
+          case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+        }.nonEmpty
+      assert(hasHint(hinted) && !hasHint(plain))
+    } finally spark.conf.unset("spark.graft.bandedRank.broadcastMaxBands")
+  }
+
   test("ntileFromRank ≡ Spark ntile for every n in 1..40, k in 1..7") {
     for (k <- 1 to 7) {
       val n = 40

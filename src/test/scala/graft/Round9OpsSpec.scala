@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.StringSimKernel
+import graft.operators.{CorpusOps, DedupOps, GraphOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class Round9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jw(a: String, b: String): Double = {
+    val parts = StringSimKernel
+      .jaroWinklerParts(UTF8String.fromString(a), UTF8String.fromString(b))
+    parts.getLong(0).toDouble / parts.getLong(1).toDouble
+  }
+
+  test("jaro-winkler kernel: 1-char and short-string boundary cases (window clamp)") {
+    // round-8 advisor item 1: unclamped window max(l1,l2)/2-1 = -1 on
+    // 1-char pairs found zero matches — DuckDB scores 'a'~'a' = 1.0
+    assert(jw("a", "a") == 1.0)
+    assert(jw("a", "b") == 0.0)
+    assert(jw("ab", "ab") == 1.0)
+    assert(jw("a", "ab") > 0.0 && jw("a", "ab") < 1.0)
+    assert(jw("", "a") == 0.0)
+    assert(jw("", "") == 0.0) // the DuckDB convention: empty scores 0
+    // classic textbook probe: MARTHA/MARHTA = 0.961 (3 decimals)
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111) < 1e-6)
+  }
+
+  test("jaroWinklerPairs ≡ the naive within-block quadratic") {
+    // two-word names from a small vocab (the part.p_name shape), some
+    // identical, some one-word-apart, brands independent of names
+    // word1 from a pairwise-DISSIMILAR set, word2 from a cluster of
+    // near-variants: high-JW pairs then always share word1 (the
+    // deletion-1 contract family — two simultaneous word substitutions
+    // cannot reach 0.9 when word1 alternatives are this far apart)
+    val r = new scala.util.Random(11)
+    val w1 = Seq("amber", "slate", "indigo", "maroon")
+    val w2 = Seq("coral", "corol", "corral", "plum", "pluum")
+    val rows = (1 to 160).map { id =>
+      val n = s"${w1(r.nextInt(w1.size))} ${w2(r.nextInt(w2.size))}"
+      (id.toLong, n, s"B${r.nextInt(4)}")
+    }
+    val df = rows.toDF("id", "name", "blk").repartition(5)
+    val got = DedupOps.jaroWinklerPairs(df, "name", "id", "blk", 9, 10)
+      .select("blk", "a_id", "b_id", "similarity")
+    val a = df.select(col("blk"), col("id").as("a_id"), col("name").as("n1"))
+    val b = df.select(col("blk"), col("id").as("b_id"), col("name").as("n2"))
+    val naive = a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
+      .withColumn("p", graft.functions.StringSimFunctions.jaroWinklerParts(col("n1"), col("n2")))
+      .filter(element_at(col("p"), 1) * 10 >= element_at(col("p"), 2) * 9)
+      .select(col("blk"), col("a_id"), col("b_id"),
+        round(element_at(col("p"), 1).cast("double") /
+          element_at(col("p"), 2).cast("double"), 6).as("similarity"))
+    assert(got.except(naive).isEmpty && naive.except(got).isEmpty,
+      "deletion-1 word blocking must reproduce the full quadratic on " +
+        "one-word-apart vocab names")
+    assert(got.count() > 0, "probe must be non-trivial")
+  }
+
+  test("calibrateByKey checkTies: non-total (key, score, tie) fails loud") {
+    val ok = Seq((1L, "a", 0.5, 1L), (2L, "a", 0.5, 2L), (3L, "b", 0.1, 3L))
+      .toDF("doc", "k", "score", "tie")
+    // fine without the flag, fine with the flag on a total order
+    spark.conf.set("spark.graft.calibrate.checkTies", "true")
+    try {
+      assert(CorpusOps.calibrateByKey(ok, "k", "score", "tie").count() == 3)
+      val dup = Seq((1L, "a", 0.5, 7L), (2L, "a", 0.5, 7L))
+        .toDF("doc", "k", "score", "tie")
+      val e = intercept[IllegalArgumentException] {
+        CorpusOps.calibrateByKey(dup, "k", "score", "tie").count()
+      }
+      assert(e.getMessage.contains("not a total order"))
+      // and without the flag the legacy permissive path still runs
+      spark.conf.unset("spark.graft.calibrate.checkTies")
+      assert(CorpusOps.calibrateByKey(dup, "k", "score", "tie").count() == 2)
+    } finally spark.conf.unset("spark.graft.calibrate.checkTies")
+  }
+
+  test("kcore fails fast when maxIter stops before the fixpoint") {
+    // path graph at k=2 peels two endpoints per round: depth Θ(n), so
+    // maxIter=2 on a 12-node path cannot converge and must THROW (an
+    // over-included "core" would silently violate the min-degree
+    // invariant — round-8 advisor item 2)
+    val path = (1 to 11).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      GraphOps.kcore(path, "a", "b", 2, maxIter = 2).count()
+    }
+    assert(e.getMessage.contains("fixpoint"))
+    // with enough rounds the 2-core of a path is empty — and no throw
+    assert(GraphOps.kcore(path, "a", "b", 2, maxIter = 50).isEmpty)
+  }
+}

@@ -13,6 +13,14 @@ object Oracles {
   /** DuckDB-dialect twins of `queries`, aligned column-for-column. Keys
     * absent here (minhash/simhash/lsh/approx) get the driver's weaker
     * rows-only check — their semantics are pinned by ScalaTest instead.
+    *
+    * Cost convention (round 9): the quadratic shingle/pair CTEs (`sh`,
+    * `p`) are `AS MATERIALIZED` — DuckDB inlines plain CTEs, so a
+    * recursive closure referencing `p` re-ran the O(n²) jaccard join
+    * once PER ITERATION (dedup_cluster_radius measured 241s → 11s at
+    * sf0.001; the whole cluster family paid the same tax). The gate's
+    * DuckDB side is driver-budget, so oracle cost is a correctness-
+    * surface concern, not just politeness.
     */
   def sql: Map[String, String] = {
     // shared SQL fragments (DuckDB dialect)
@@ -31,7 +39,7 @@ object Oracles {
         s"ELSE list_transform(range(1, len($t)-${n - 2}), i -> array_to_string($t[i:i+${n - 1}], ' ')) END)"
     def jaccardPairsSql(n: Int, threshold: Double, extraWhere: String = "") =
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-         |sh AS (SELECT doc_id, list_distinct(${shingles("tk", n)}) AS s FROM t)
+         |sh AS MATERIALIZED (SELECT doc_id, list_distinct(${shingles("tk", n)}) AS s FROM t)
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          | ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 4) AS jaccard
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -694,8 +702,8 @@ object Oracles {
           |FROM fl JOIN s USING (c_mktsegment) ORDER BY c_custkey""".stripMargin,
       "data_survivors" ->
         s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
-           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
-           |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |sh AS MATERIALIZED (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |p AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
            |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7),
            |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
@@ -709,8 +717,8 @@ object Oracles {
            |ORDER BY d.doc_id""".stripMargin,
       "data_survivors_quality" ->
         s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
-           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
-           |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |sh AS MATERIALIZED (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |p AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
            |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7),
            |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
@@ -729,8 +737,8 @@ object Oracles {
            |ORDER BY doc_id""".stripMargin,
       "dedup_clusters" ->
         s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
-           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
-           |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |sh AS MATERIALIZED (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |p AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
            |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7),
            |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
@@ -1003,7 +1011,7 @@ object Oracles {
           |ORDER BY source, rn""".stripMargin,
       "dedup_containment" ->
         s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 3)}) AS s FROM t),
+           |sh AS MATERIALIZED (SELECT doc_id, list_distinct(${shingles("tk", 3)}) AS s FROM t),
            |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
            |dfq AS (SELECT g, COUNT(*) AS df FROM e GROUP BY g),
            |rare AS (SELECT e.doc_id, e.g FROM e JOIN dfq USING (g) WHERE df <= 20),
@@ -1198,7 +1206,7 @@ object Oracles {
       },
       "data_decontam_ngram" ->
         s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 5)}) AS s FROM t),
+           |sh AS MATERIALIZED (SELECT doc_id, list_distinct(${shingles("tk", 5)}) AS s FROM t),
            |e AS (SELECT doc_id AS bench_id, s AS es FROM sh WHERE doc_id % 97 = 0)
            |SELECT c.doc_id, e.bench_id,
            | CAST(len(list_intersect(c.s, e.es)) AS BIGINT) AS n_shared,
@@ -1539,8 +1547,8 @@ object Oracles {
           |FROM a WHERE rn = 1 GROUP BY cid ORDER BY cluster_id""".stripMargin,
       "dedup_cluster_stats" ->
         s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
-           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
-           |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |sh AS MATERIALIZED (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |p AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
            |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7),
            |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
@@ -1558,8 +1566,8 @@ object Oracles {
            |ORDER BY cluster_size""".stripMargin,
       "data_grouped_split" ->
         s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
-           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
-           |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |sh AS MATERIALIZED (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |p AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
            |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7),
            |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
@@ -1653,7 +1661,7 @@ object Oracles {
            |FROM nt LEFT JOIN no ON nt.doc_id = no.doc_id ORDER BY nt.doc_id""".stripMargin,
       "dedup_source_matrix" ->
         s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |sh AS MATERIALIZED (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
            |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
            |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7)
@@ -1838,7 +1846,7 @@ object Oracles {
           |GROUP BY t1, t2, t3 ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
       "data_contrastive_pairs" ->
         s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |sh AS MATERIALIZED (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
            |pos AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, 1 AS label
            |        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |        WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7),
@@ -1907,7 +1915,7 @@ object Oracles {
           |ORDER BY l_orderkey, l_linenumber, l_quantity, ship_day LIMIT 100""".stripMargin,
       "dedup_threshold_sweep" ->
         s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |sh AS MATERIALIZED (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
            |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            |      ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 4) AS j
            |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -2413,8 +2421,8 @@ object Oracles {
           |FROM docs d JOIN t USING (source, v) ORDER BY doc_id""".stripMargin,
       "dedup_cluster_radius" ->
         s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
-           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
-           |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |sh AS MATERIALIZED (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |p AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
            |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7),
            |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
@@ -2454,7 +2462,7 @@ object Oracles {
           |FROM r JOIN a ON r.cohort = a.cohort ORDER BY r.cohort, t""".stripMargin,
       "dedup_blocking_eval" ->
         s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 3)}) AS s FROM t),
+           |sh AS MATERIALIZED (SELECT doc_id, list_distinct(${shingles("tk", 3)}) AS s FROM t),
            |tr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
            |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8),
@@ -2474,8 +2482,8 @@ object Oracles {
            |FROM nc, tp""".stripMargin,
       "quality_label_prop" ->
         s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
-           |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |sh AS MATERIALIZED (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |p AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
            |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7),
            |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b AS src, a AS dst FROM p),
@@ -2965,8 +2973,8 @@ object Oracles {
           |FROM s""".stripMargin,
       "data_dedup_idempotence" ->
         s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
-           |sh AS (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
-           |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |sh AS MATERIALIZED (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |p AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
            |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7),
            |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
