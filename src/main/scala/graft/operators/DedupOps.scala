@@ -472,8 +472,16 @@ object DedupOps {
   }
 
   /** Docs to drop under greedy keep-smallest-id near-dup policy. */
-  def minhashDropIds(df: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame =
-    minhashDupPairs(df, textCol, idCol, threshold).select(col("b_id").as("drop_id")).distinct()
+  def minhashDropIds(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      shingleSize: Int = 3,
+      numBands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame =
+    minhashDupPairs(df, textCol, idCol, threshold, shingleSize, numBands, rowsPerBand)
+      .select(col("b_id").as("drop_id")).distinct()
 
   /** Per-doc 64-bit SimHash via the native `SimHash64` expression: one
     * map-side projection, no explode/groupBy shuffle, tight precompiled

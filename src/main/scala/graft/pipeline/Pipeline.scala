@@ -108,8 +108,60 @@ object Pipeline {
             val thr = p.getOrElse("threshold", "0.8").toDouble
             val drops = graft.operators.DedupOps.minhashDropIds(df, text, id, thr)
             df.join(drops, df(id) === drops("drop_id"), "left_anti")
+          case "incremental" =>
+            // the production daily-delta shape: probe this batch against
+            // a PERSISTED minhash index of everything kept so far (the
+            // base corpus is never re-signatured — IncrementalDedupOps),
+            // drop batch rows that near-dup an indexed doc (base always
+            // wins) or a smaller-id batch doc (the minhashDropIds
+            // keep-min convention), then fold the survivors into the
+            // index for tomorrow's run (update=false probes read-only).
+            // First run bootstraps: within-batch dedup + index build.
+            val thr = p.getOrElse("threshold", "0.8").toDouble
+            val prefix = p.getOrElse("index", "graft_dedup_index")
+            val buckets = p.getOrElse("buckets", "8").toInt
+            val shingleSize = p.getOrElse("shingle", "3").toInt
+            val numBands = p.getOrElse("bands", "8").toInt
+            val rowsPerBand = p.getOrElse("rows", "4").toInt
+            val update = p.getOrElse("update", "true").toBoolean
+            val spark = df.sparkSession
+            val I = graft.operators.IncrementalDedupOps
+            val idx = I.IndexTables(s"${prefix}_bands", s"${prefix}_sigs")
+            val kept = if (!spark.catalog.tableExists(idx.bands)) {
+              val drops = graft.operators.DedupOps.minhashDropIds(
+                df, text, id, thr, shingleSize, numBands, rowsPerBand)
+              df.join(drops, df(id) === drops("drop_id"), "left_anti")
+            } else {
+              val pairs = I.probe(df, text, id, idx, thr,
+                shingleSize, numBands, rowsPerBand)
+              val newIds = df.select(F.col(id).as("nid"))
+              val drops = pairs
+                .join(newIds.select(F.col("nid").as("a_id"), F.lit(true).as("a_new")),
+                  Seq("a_id"), "left")
+                .join(newIds.select(F.col("nid").as("b_id"), F.lit(true).as("b_new")),
+                  Seq("b_id"), "left")
+                .select(
+                  F.when(F.col("a_new").isNull, F.col("b_id"))
+                    .when(F.col("b_new").isNull, F.col("a_id"))
+                    .otherwise(F.col("b_id")).as("drop_id"))
+                .distinct()
+              df.join(drops, df(id) === drops("drop_id"), "left_anti")
+            }
+            if (update) {
+              // survivors must materialize BEFORE the index append so
+              // the probe's band join cannot observe its own writes
+              val stable = kept.localCheckpoint()
+              if (!spark.catalog.tableExists(idx.bands))
+                I.buildIndex(stable, text, id, prefix, buckets,
+                  shingleSize, numBands, rowsPerBand)
+              else
+                I.appendToIndex(stable, text, id, idx, buckets,
+                  shingleSize, numBands, rowsPerBand)
+              stable
+            } else kept
           case other =>
-            throw new IllegalArgumentException(s"dedup method '$other' not in: exact, minhash")
+            throw new IllegalArgumentException(
+              s"dedup method '$other' not in: exact, minhash, incremental")
         }
       }
     case "split" =>

@@ -86,6 +86,52 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 3))
   }
 
+  test("dedup:///?method=incremental probes and maintains a persisted index across runs") {
+    def enc(s: String) = s.replace(" ", "%20")
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "one two three four five six seven eight"
+    val uniq = Seq(
+      "red orange yellow green blue indigo violet",
+      "cat dog bird fish horse goat sheep cow",
+      "north south east west up down left right",
+      "spark scala parquet shuffle codegen catalyst tungsten")
+    val pfx = "graft_r9_pipedd"
+    graft.operators.BucketOps.dropTable(spark, s"${pfx}_bands")
+    graft.operators.BucketOps.dropTable(spark, s"${pfx}_sigs")
+    // day 1: 27,28 duplicate 21,22 → within-batch keep-min, index built
+    val day1 = Seq(21 -> t1, 22 -> t2) ++ uniq.zipWithIndex.map { case (t, i) => (23 + i) -> t } ++
+      Seq(27 -> t1, 28 -> t2)
+    val v1 = day1.map { case (i, t) => s"$i,${enc(t)}" }.mkString(";")
+    val (p1, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?header=id:int,text&values=$v1",
+      "--transform", s"dedup:///?method=incremental&text=text&id=id&index=$pfx&threshold=0.8"))
+    val kept1 = p1.resultView(spark, "sink").select("id").collect().map(_.getInt(0)).toSet
+    assert(kept1 == Set(21, 22, 23, 24, 25, 26), s"day-1 bootstrap keep-min: $kept1")
+    // day 2: 11 duplicates INDEXED doc 21 — base must win although
+    // 11 < 21 (the cross-pair drop is side-aware, not id-ordered);
+    // 13,14 duplicate each other within the batch → keep-min drops 14
+    val day2 = Seq(
+      11 -> t1,
+      12 -> "totally fresh words appear now here today",
+      13 -> "mango papaya guava lychee durian rambutan",
+      14 -> "mango papaya guava lychee durian rambutan")
+    val v2 = day2.map { case (i, t) => s"$i,${enc(t)}" }.mkString(";")
+    val (p2, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?header=id:int,text&values=$v2",
+      "--transform", s"dedup:///?method=incremental&text=text&id=id&index=$pfx&threshold=0.8"))
+    val kept2 = p2.resultView(spark, "sink").select("id").collect().map(_.getInt(0)).toSet
+    assert(kept2 == Set(12, 13), s"day-2 incremental: $kept2")
+    // the index folded in both days' survivors for tomorrow's run
+    val indexed = spark.table(s"${pfx}_sigs").select("id").collect().map(_.getInt(0)).toSet
+    assert(indexed == Set(21, 22, 23, 24, 25, 26, 12, 13), s"index ids: $indexed")
+    // read-only probe: update=false must not grow the index
+    val (p3, _) = Pipeline.fromArgs(Seq(
+      "--source", "values:///?header=id:int,text&values=31,brand%20new%20unseen%20sentence%20entirely",
+      "--transform", s"dedup:///?method=incremental&text=text&id=id&index=$pfx&update=false"))
+    assert(p3.resultView(spark, "sink").count() == 1)
+    assert(spark.table(s"${pfx}_sigs").count() == 8, "update=false must leave the index untouched")
+  }
+
   test("cap:///?key=... keeps k rows per key through the URI step") {
     val values = (1 to 20).map(i => s"$i,k${i % 2},${i * 10}").mkString(";")
     val (p, _) = Pipeline.fromArgs(Seq(

@@ -77,6 +77,57 @@ class Round9OpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.calibrate.checkTies")
   }
 
+  test("streaming IVF index maintenance ≡ batch append, and replay-safe") {
+    import graft.operators.VectorIndexOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // clustered corpus: 3 archetypes + deterministic per-id jitter
+    def vec(arch: Int, id: Long): Seq[Double] = {
+      val base = Array.fill(8)(0.05)
+      base(arch * 2) = 1.0
+      base((arch * 2 + 5) % 8) = 0.4
+      base(id.toInt % 8) += 0.13
+      base.toSeq
+    }
+    def rows(ids: Range) = ids.map(i => (i.toLong, vec(i % 3, i.toLong)))
+    val day0 = rows(0 until 30).toDF("id", "v")
+    val delta1 = rows(30 until 45)
+    val delta2 = rows(45 until 60)
+    // two independently-built indexes from the SAME day-0 corpus (the
+    // deterministic trainer gives identical centroids), one maintained
+    // by the stream, one by one batch append of the union
+    val live = VectorIndexOps.buildIvfIndex(day0, "id", "v", "graft_r9_sivf",
+      nCells = 3, numBuckets = 2, iters = 3)
+    val truth = VectorIndexOps.buildIvfIndex(day0, "id", "v", "graft_r9_sivf_b",
+      nCells = 3, numBuckets = 2, iters = 3)
+    VectorIndexOps.appendToIvfIndex((delta1 ++ delta2).toDF("id", "v"),
+      "id", "v", truth, numBuckets = 2)
+    val commitDir = java.nio.file.Files.createTempDirectory("graft-r9-ivf-commits").toString
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = in.toDF().toDF("id", "v").writeStream
+      .foreachBatch(VectorIndexOps.ivfIndexMaintenanceSink(
+        live, "id", "v", numBuckets = 2, commitDir = commitDir))
+      .start()
+    try {
+      in.addData(delta1: _*); q.processAllAvailable()
+      in.addData(delta2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // cell codes bit-identical to the batch append (same frozen centroids)
+    val a = spark.table(live.cellsTable).select(col("neighbor_id"), col("cell"))
+    val b = spark.table(truth.cellsTable).select(col("neighbor_id"), col("cell"))
+    assert(a.count() == 60 && a.except(b).isEmpty && b.except(a).isEmpty)
+    // a replayed micro-batch id must be skipped (commit marker)
+    val sink = VectorIndexOps.ivfIndexMaintenanceSink(
+      live, "id", "v", numBuckets = 2, commitDir = commitDir)
+    sink(delta1.toDF("id", "v"), 0L)
+    assert(spark.table(live.cellsTable).count() == 60, "replay of batch 0 must be a no-op")
+    // and probes against the maintained index equal probes of the truth
+    val queries = rows(0 until 4).toDF("id", "v")
+    val pa = VectorIndexOps.probeIvf(spark, queries, "id", "v", live, k = 3, nProbe = 2)
+    val pb = VectorIndexOps.probeIvf(spark, queries, "id", "v", truth, k = 3, nProbe = 2)
+    assert(pa.except(pb).isEmpty && pb.except(pa).isEmpty)
+  }
+
   test("kcore fails fast when maxIter stops before the fixpoint") {
     // path graph at k=2 peels two endpoints per round: depth Θ(n), so
     // maxIter=2 on a 12-node path cannot converge and must THROW (an

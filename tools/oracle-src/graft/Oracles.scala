@@ -632,6 +632,17 @@ object Oracles {
       "write_zorder_check" ->
         """SELECT CAST(4 AS BIGINT) AS n_files, true AS ranges_disjoint,
           | (SELECT COUNT(*) FROM part) AS n_rows""".stripMargin,
+      "write_zorder_skipping" ->
+        // invariants-as-data (the zorder_check pattern): the pruning
+        // booleans are the claim — z-order skips files on point queries
+        // AND on the second dimension alone, while the single-sort
+        // layout must touch every file for second-dimension probes
+        """SELECT CAST(8 AS BIGINT) AS n_files_z,
+          | CAST(8 AS BIGINT) AS n_files_sorted,
+          | (SELECT COUNT(*) FROM part) AS n_rows,
+          | true AS z_point_prunes, true AS z_zb_prunes,
+          | true AS sorted_zb_touches_all,
+          | true AS zorder_wins_second_dim""".stripMargin,
       "vec_meanpool" ->
         """WITH pe AS (SELECT vec_id % 50 AS grp,
           |  generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS x
