@@ -294,6 +294,12 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "q64_trimmed_mean" -> 6,  // grouped-banded-rank core (value agg + band agg, offsets
                               // broadcast back) + group totals agg + trimmed agg +
                               // ORDER BY; no per-group raw-row window anywhere
+    "ann_ivf" -> 9,           // round-9: centroid training is driver-side Lloyd over the
+                              // capped sample (zero per-pass Catalyst plans — the r8 cost
+                              // was per-iteration codegen re-JIT); the measured plan is
+                              // brute-force top-k (corpus agg + per-query window) ⊕ IVF
+                              // probe (assign projection + dedup agg + window) + recall
+                              // join + final 1-row agg
     "q66_jaro_winkler" -> 4,  // distinct-names agg + candidate-pair dedup agg ×2 (the
                               // swapped-direction branch re-plans the vocab subtree;
                               // ReuseExchange dedupes at runtime) + final ORDER BY — the
