@@ -83,6 +83,28 @@ object SparkEntry {
 
   private def revenueTerm: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
+  /** Shared input of `dedup_semantic` and its `_aux_semantic_cells`
+    * oracle dump (Verify) — base embeddings ∪ an index-shift perturbed
+    * copy (ids +100000): v'ᵢ = vᵢ + 0.05·v₍ᵢ₊₁ mod d₎. The shift is a
+    * norm-preserving permutation nearly orthogonal to v, so
+    * cos(v, v') ≈ 1/√1.0025 ≈ 0.9987 — a guaranteed semantic-dup pair
+    * per vector — while the perturbed unit vector differs enough that
+    * its centroid similarity does too, exercising the keep-the-outlier
+    * preference (not just the id tie-break). */
+  def semanticDedupInput(s: SparkSession, d: String): DataFrame = {
+    val base = TP(s, d, "embeddings")
+      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+    val dim = 64
+    base.unionByName(base
+      .withColumn("vec_id", col("vec_id") + 100000)
+      .withColumn("vec", transform(col("vec"), (x, i) =>
+        x + lit(0.05) * element_at(col("vec"), (i + 1) % dim + 1))))
+  }
+
+  /** The cells/cent_sims dump the `dedup_semantic` oracle replays. */
+  def semanticDedupCells(s: SparkSession, d: String): DataFrame =
+    SimilarityOps.semanticCells(semanticDedupInput(s, d), "vec_id", "vec", nCells = 16)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q3_join_topn")(spark, "/root/testdata/sf0.001")
@@ -473,6 +495,44 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
         .orderBy("h").limit(100)
         .orderBy("doc_id")
+    }),
+    "data_overlap_sketch" -> ((s, d) => {
+      // KMV distinct-value sketches with SET ALGEBRA (Beyer et al.
+      // SIGMOD'07): which parts shipped in each of two overlapping
+      // one-month windows, union/overlap estimated by composing the two
+      // sketches — the cross-crawl overlap question. One scan, k longs
+      // per partition per side, NO co-shuffle of the key sets (the
+      // exact columns exist for the oracle; the estimate booleans are
+      // the driver-checked claim, q20_approx convention). At sf0.001
+      // both windows are under k → the sketch is the distinct hash set
+      // and the estimates are exact; at sf0.01/0.1 the estimator path
+      // runs. Bounds are 3σ for k=256 (σ≈1/√(k−2)≈6.3%; intersection
+      // compounds ρ and union error → 25%).
+      import graft.functions.SketchAggregates._
+      val k = 256
+      val aWin = col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-02-01").cast("timestamp")
+      val bWin = col("l_shipdate") >= lit("1996-01-15").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-02-15").cast("timestamp")
+      val sk = T(s, d, "lineitem")
+        .filter(aWin || bWin)
+        .select(
+          kmvSketch(when(aWin, col("l_partkey")), k).as("ska"),
+          kmvSketch(when(bWin, col("l_partkey")), k).as("skb"),
+          countDistinct(when(aWin, col("l_partkey"))).as("exact_a"),
+          countDistinct(when(bWin, col("l_partkey"))).as("exact_b"),
+          countDistinct(col("l_partkey")).as("exact_union"))
+      def ok(est: Column, exact: Column, tol: Double): Column =
+        abs(est / exact.cast("double") - 1.0) <= tol
+      sk.select(
+          col("exact_a"), col("exact_b"), col("exact_union"),
+          (col("exact_a") + col("exact_b") - col("exact_union")).as("exact_overlap"),
+          ok(kmvEstimate(col("ska"), k), col("exact_a"), 0.19).as("est_a_ok"),
+          ok(kmvEstimate(col("skb"), k), col("exact_b"), 0.19).as("est_b_ok"),
+          ok(kmvEstimate(kmvUnion(col("ska"), col("skb"), k), k),
+            col("exact_union"), 0.19).as("est_union_ok"),
+          ok(kmvIntersectEstimate(col("ska"), col("skb"), k),
+            col("exact_a") + col("exact_b") - col("exact_union"), 0.25).as("est_overlap_ok"))
     }),
     "graph_pagerank_check" -> ((s, d) => {
       // driver-checkable PageRank invariants (decimal ranks have no cheap
@@ -977,6 +1037,19 @@ object SparkEntry {
       SimilarityOps
         .embeddingDupPairsLsh(vecs.unionByName(scaled), "vec_id", "vec", threshold = 0.999)
         .orderBy("a_id", "b_id")
+    }),
+
+    "dedup_semantic" -> ((s, d) => {
+      // SemDeDup (cluster-then-prune): spherical-k-means cells, within-cell
+      // cosine ≥ τ pairs, keep the member FARTHER from its centroid (the
+      // paper's diversity rule). Dup structure is synthesized (embeddings
+      // are noise — natural max cosine ≈0.51): an index-shift perturbed
+      // copy of every vector at cosine ≈0.9987 vs τ=0.99. Oracle = the
+      // same prune rule replayed in DuckDB over the _aux_semantic_cells
+      // dump (cells/cent_sims aren't SQL-replicable — simhash precedent).
+      SimilarityOps.semanticDedup(semanticDedupInput(s, d), "vec_id", "vec",
+          nCells = 16, tau = 0.99)
+        .orderBy("id")
     }),
 
     "vec_quantize" -> ((s, d) => {

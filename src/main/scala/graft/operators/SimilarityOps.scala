@@ -604,4 +604,81 @@ object SimilarityOps {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("l2"))
   }
+
+  // ----- SemDeDup — cluster-then-prune semantic deduplication -----
+
+  /** Per-vector (id, cell, cent_sim, unit) against freshly trained
+    * spherical-k-means centroids — the shared projection under
+    * [[semanticDedup]] and its oracle aux dump (the DuckDB side cannot
+    * replay the XXH64-seeded centroid training, but it CAN replay the
+    * within-cell prune rule over this dump — the `dedup_simhash`
+    * signature-dump precedent). `cent_sim` is the cosine to the
+    * assigned (unit-norm) centroid, rounded to 6 so both engines
+    * compare identical doubles. Pure map-side projection after the
+    * bounded centroid train: the corpus never shuffles to be assigned.
+    */
+  def semanticCells(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      iters: Int = 4
+  ): DataFrame = {
+    val cents = trainCentroids(vectors, idCol, vecCol, nCells, iters)
+    unitVectors(vectors, idCol, vecCol)
+      .withColumn("best", array_max(cellScores(col("unit"), cents)))
+      .select(
+        col("id"),
+        col("best").getField("c").as("cell"),
+        round(col("best").getField("s"), 6).as("cent_sim"),
+        col("unit"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings
+    * with spherical k-means, then prune WITHIN each cluster — a vector is
+    * dropped iff some same-cell vector with cosine ≥ `tau` is preferred,
+    * where the kept side is the one FARTHER from the centroid (lower
+    * `cent_sim`; ties keep the lower id). Keeping the outlier is the
+    * paper's diversity argument: the prototypical member of a semantic-dup
+    * group carries the least marginal training signal.
+    *
+    * Scale posture (the paper's own): candidate generation is
+    * cluster-blocked, never all-pairs — one shuffle on `cell`, quadratic
+    * work only within a cell. With the √n sizing rule (nCells ≈ √n) the
+    * expected cell is √n rows, so total pair work is O(n^1.5) spread over
+    * nCells independent groups; at the paper's scale (600M docs, 11k
+    * clusters) the same shape holds. Cross-cell near-dups are accepted
+    * misses by construction — that recall trade IS SemDeDup (the
+    * LSH-blocked [[embeddingDupPairsLsh]] is the recall-complete
+    * alternative at higher cost).
+    *
+    * Returns the SURVIVORS (id, cell, cent_sim), one row per kept vector.
+    */
+  def semanticDedup(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      tau: Double,
+      iters: Int = 4
+  ): DataFrame = {
+    val cells = semanticCells(vectors, idCol, vecCol, nCells, iters)
+    val a = cells.select(
+      col("cell"), col("id").as("a_id"), col("unit").as("a_vec"), col("cent_sim").as("a_cs"))
+    val b = cells.select(
+      col("cell"), col("id").as("b_id"), col("unit").as("b_vec"), col("cent_sim").as("b_cs"))
+    val dropped = a
+      .join(b, Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      // unit vectors → cosine is one native dot; round BEFORE the
+      // threshold so both engines gate on the identical 6-decimal value
+      .filter(round(dot(col("a_vec"), col("b_vec")), 6) >= tau)
+      .filter(col("b_cs") < col("a_cs") ||
+        (col("b_cs") === col("a_cs") && col("b_id") < col("a_id")))
+      .select(col("a_id").as("id"))
+      .distinct()
+    cells
+      .join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("cell"), col("cent_sim"))
+  }
 }

@@ -141,4 +141,78 @@ class Round9OpsSpec extends SparkSpec {
     // with enough rounds the 2-core of a path is empty — and no throw
     assert(GraphOps.kcore(path, "a", "b", 2, maxIter = 50).isEmpty)
   }
+
+  test("semanticDedup ≡ naive prune replay; keeps the outlier of each dup pair") {
+    import graft.operators.SimilarityOps
+    import graft.functions.VectorFunctions
+    // 40 base vectors in 4 loose groups + a near-copy of each base vector
+    // (cosine ≈0.998 — same dup structure the driver query synthesizes)
+    val r = new scala.util.Random(7)
+    val dim = 16
+    val base = (0 until 40).map { i =>
+      val center = Array.tabulate(dim)(j => if (j % 4 == i % 4) 1.0 else 0.0)
+      (i.toLong, center.map(x => x + 0.3 * r.nextGaussian()).toSeq)
+    }
+    val copies = base.map { case (id, v) =>
+      (id + 1000, v.zipWithIndex.map { case (x, j) => x + 0.05 * v((j + 1) % dim) })
+    }
+    val df = (base ++ copies).toDF("id", "vec").repartition(4)
+    val got = SimilarityOps.semanticDedup(df, "id", "vec", nCells = 4, tau = 0.99)
+    // naive replay of the published rule over the SAME cells projection
+    val cells = SimilarityOps.semanticCells(df, "id", "vec", nCells = 4)
+    val a = cells.select(col("cell"), col("id").as("a_id"), col("unit").as("av"), col("cent_sim").as("acs"))
+    val b = cells.select(col("cell"), col("id").as("b_id"), col("unit").as("bv"), col("cent_sim").as("bcs"))
+    val drops = a.join(b, Seq("cell")).filter(col("a_id") =!= col("b_id"))
+      .filter(round(VectorFunctions.dot(col("av"), col("bv")), 6) >= 0.99)
+      .filter(col("bcs") < col("acs") || (col("bcs") === col("acs") && col("b_id") < col("a_id")))
+      .select(col("a_id").as("id")).distinct()
+    val naive = cells.join(drops, Seq("id"), "left_anti").select("id", "cell", "cent_sim")
+    assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
+    val kept = got.count()
+    assert(kept > 0 && kept < 80, "some but not all must be pruned")
+    // keep-the-outlier: for every same-cell dup pair with distinct
+    // cent_sim, the survivor is the member with the LOWER cent_sim
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(VectorFunctions.dot(col("av"), col("bv")), 6) >= 0.99)
+      .filter(col("acs") =!= col("bcs"))
+      .withColumn("pref", when(col("acs") < col("bcs"), col("a_id")).otherwise(col("b_id")))
+      .withColumn("other", when(col("acs") < col("bcs"), col("b_id")).otherwise(col("a_id")))
+    assert(pairs.count() > 0, "distinct-cent_sim dup pairs must exist")
+    assert(pairs.join(got, pairs("other") === got("id"), "inner").isEmpty,
+      "the member closer to its centroid must never survive a dup pair")
+  }
+
+  test("kmv sketch: exact below k, partition-invariant, composable set estimates") {
+    import graft.functions.SketchAggregates._
+    val k = 64
+    // below k: the sketch IS the distinct hash set → estimates exact
+    val small = (1 to 40).flatMap(i => Seq(i, i)).toDF("v") // dups collapse
+    val e = small.select(kmvEstimate(kmvSketch(col("v"), k), k).as("e")).head().getDouble(0)
+    assert(e == 40.0)
+    // merge is partition-order-invariant: same sketch from 1 and 13 parts
+    val big = (1 to 5000).map(_ * 7).toDF("v")
+    val s1 = big.repartition(1).select(kmvSketch(col("v"), k)).head().getSeq[Long](0)
+    val s13 = big.repartition(13).select(kmvSketch(col("v"), k)).head().getSeq[Long](0)
+    assert(s1 == s13 && s1.length == k && s1 == s1.sorted)
+    // estimator accuracy at 5000 distinct, k=64: within 3σ ≈ 38%
+    val est = big.select(kmvEstimate(kmvSketch(col("v"), k), k).as("e")).head().getDouble(0)
+    assert(math.abs(est / 5000.0 - 1.0) < 0.38, s"estimate $est too far from 5000")
+    // set algebra: A = 1..3000, B = 2001..5000 → union 5000, overlap 1000
+    val ab = (1 to 5000).map(i => (i, if (i <= 3000) 1 else 0, if (i > 2000) 1 else 0))
+      .toDF("v", "ina", "inb")
+    val row = ab.select(
+      kmvSketch(when(col("ina") === 1, col("v")), k).as("a"),
+      kmvSketch(when(col("inb") === 1, col("v")), k).as("b"))
+    val out = row.select(
+      kmvEstimate(kmvUnion(col("a"), col("b"), k), k).as("u"),
+      kmvIntersectEstimate(col("a"), col("b"), k).as("i")).head()
+    assert(math.abs(out.getDouble(0) / 5000.0 - 1.0) < 0.38, s"union ${out.getDouble(0)}")
+    assert(math.abs(out.getDouble(1) / 1000.0 - 1.0) < 0.60, s"intersect ${out.getDouble(1)}")
+    // null inputs are skipped, not hashed to the xxhash64 seed
+    val withNull = Seq[(Integer, Integer)]((1, 1), (2, null), (3, null))
+      .toDF("v", "w")
+    val nsk = withNull.select(kmvSketch(col("w"), k)).head().getSeq[Long](0)
+    assert(nsk.length == 1, "two NULLs must contribute nothing to the sketch")
+  }
 }

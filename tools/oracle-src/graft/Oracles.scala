@@ -920,6 +920,24 @@ object Oracles {
         """SELECT doc_id, h FROM (
           |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents ORDER BY h LIMIT 100)
           |ORDER BY doc_id""".stripMargin,
+      "data_overlap_sketch" ->
+        // exact window/overlap cardinalities computed independently; the
+        // KMV estimates aren't SQL-replicable (XXH64) so their in-bounds
+        // claims are stated as constants (q20_approx convention)
+        """WITH w AS (
+          |  SELECT l_partkey,
+          |   l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01' AS in_a,
+          |   l_shipdate >= TIMESTAMP '1996-01-15' AND l_shipdate < TIMESTAMP '1996-02-15' AS in_b
+          |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-15')
+          |SELECT
+          | COUNT(DISTINCT CASE WHEN in_a THEN l_partkey END) AS exact_a,
+          | COUNT(DISTINCT CASE WHEN in_b THEN l_partkey END) AS exact_b,
+          | COUNT(DISTINCT l_partkey) AS exact_union,
+          | COUNT(DISTINCT CASE WHEN in_a THEN l_partkey END)
+          |  + COUNT(DISTINCT CASE WHEN in_b THEN l_partkey END)
+          |  - COUNT(DISTINCT l_partkey) AS exact_overlap,
+          | true AS est_a_ok, true AS est_b_ok, true AS est_union_ok, true AS est_overlap_ok
+          |FROM w""".stripMargin,
       "events_scd2" ->
         """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
           |           FROM events WHERE user_id % 10 = 0),
@@ -1044,6 +1062,27 @@ object Oracles {
            |FROM both_t a JOIN both_t b ON a.vec_id < b.vec_id
            |WHERE ROUND($dotExpr / (${normExpr("a")} * ${normExpr("b")}), 6) >= 0.999
            |ORDER BY a_id, b_id""".stripMargin,
+      "dedup_semantic" ->
+        // The k-means cells/cent_sims aren't SQL-replicable (XXH64-seeded
+        // training), but the SemDeDup PRUNE RULE is verifiable against
+        // them: over the (id, cell, cent_sim, unit) dump Verify writes,
+        // replay within-cell cosine ≥ τ and drop the member CLOSER to its
+        // centroid (higher cent_sim; ties drop the higher id). Survivors
+        // must match the engine's exactly. Cosine = one dot over the
+        // dumped unit vectors, summed left-to-right in both engines,
+        // rounded to 6 BEFORE the threshold on both sides.
+        """WITH cl AS (SELECT id, cell, cent_sim, unit
+          |            FROM read_parquet('__GRAFT_OUT__/_aux_semantic_cells/*.parquet')),
+          |drops AS (
+          | SELECT DISTINCT a.id
+          | FROM cl a JOIN cl b ON a.cell = b.cell AND a.id <> b.id
+          | WHERE ROUND(list_reduce(list_transform(list_zip(a.unit, b.unit),
+          |         p -> p[1]*p[2]), (x,y) -> x+y), 6) >= 0.99
+          |   AND (b.cent_sim < a.cent_sim
+          |        OR (b.cent_sim = a.cent_sim AND b.id < a.id)))
+          |SELECT id, cell, cent_sim FROM cl
+          |WHERE id NOT IN (SELECT id FROM drops)
+          |ORDER BY id""".stripMargin,
       "vec_quantize" ->
         """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
           |q AS (SELECT vec_id, vec, list_min(vec) AS lo, list_max(vec) AS hi FROM v),
