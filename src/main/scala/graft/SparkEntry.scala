@@ -3402,6 +3402,19 @@ object SparkEntry {
           (col("n") < k).as("suppressed"))
         .orderBy("c_custkey")
     }),
+    "data_dp_release" -> ((s, d) => {
+      // differentially-private segment aggregates: Laplace-noised count +
+      // clipped-sum release with an explicit ε ledger — the publishable
+      // complement of the k-anon/l-div/t-closeness audit triple. Noise is
+      // a seeded md5-uniform inverse-CDF draw (retry-stable, no RNG
+      // state), so the oracle replays the release bit-for-bit; only noisy
+      // values leave the operator. clip=$1000 (100k cents), ε=0.5+0.5.
+      val cust = T(s, d, "customer").select(col("c_mktsegment").as("segment"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+      PrivacyOps.dpRelease(cust, Seq("segment"), "cents", clip = 100000L,
+          epsCount = 0.5, epsSum = 0.5, releaseId = "rel-2026-08")
+        .orderBy("segment")
+    }),
     "events_twap" -> ((s, d) => {
       // time-weighted average price per event type: each observation is
       // weighted by how long it stayed current (the dwell span to the

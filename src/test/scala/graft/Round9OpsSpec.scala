@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.StringSimKernel
-import graft.operators.{CorpusOps, DedupOps, GraphOps}
+import graft.operators.{CorpusOps, DedupOps, GraphOps, PrivacyOps}
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -214,5 +214,35 @@ class Round9OpsSpec extends SparkSpec {
       .toDF("v", "w")
     val nsk = withNull.select(kmvSketch(col("w"), k)).head().getSeq[Long](0)
     assert(nsk.length == 1, "two NULLs must contribute nothing to the sketch")
+  }
+
+  test("dpRelease: clipped, noisy, partition-deterministic, no true columns") {
+    val rows = Seq(
+      ("a", 100L), ("a", 200L), ("a", -50L), ("a", 9999999L), // outlier clipped to 1000
+      ("b", 10L), ("b", 20L))
+    def release(parts: Int) = PrivacyOps.dpRelease(
+      rows.toDF("g", "cents").repartition(parts), Seq("g"), "cents",
+      clip = 1000L, epsCount = 0.5, epsSum = 1.0, releaseId = "t1")
+    val r1 = release(1).orderBy("g").collect()
+    val r7 = release(7).orderBy("g").collect()
+    // deterministic under repartitioning (seeded noise, no RNG state)
+    assert(r1.map(_.toSeq).toSeq == r7.map(_.toSeq).toSeq)
+    // released schema carries NO true aggregates
+    assert(release(1).columns.toSet ==
+      Set("g", "noisy_count", "noisy_sum", "eps_count", "eps_sum", "eps_total"))
+    val a = r1.find(_.getString(0) == "a").get
+    val trueClippedA = 100.0 + 200.0 - 50.0 + 1000.0 // outlier clipped
+    // clipping bounds the release: noise at b=1000 stays within ~15b
+    // of the CLIPPED sum with overwhelming probability, never near the
+    // unclipped 1e7 outlier
+    assert(math.abs(a.getAs[Double]("noisy_sum") - trueClippedA) < 20000.0)
+    // noise actually fired (a zero draw has probability ~0)
+    assert(a.getAs[Double]("noisy_count") != 4.0)
+    assert(a.getAs[Double]("eps_total") == 1.5)
+    // a different release id draws different noise
+    val r2 = PrivacyOps.dpRelease(rows.toDF("g", "cents"), Seq("g"), "cents",
+      1000L, 0.5, 1.0, "t2").orderBy("g").collect()
+    assert(r2.map(_.getAs[Double]("noisy_sum")).toSeq !=
+      r1.map(_.getAs[Double]("noisy_sum")).toSeq)
   }
 }

@@ -2254,6 +2254,26 @@ object Oracles {
           |FROM cust JOIN cl ON cust.segment = cl.segment AND cust.nation = cl.nation
           |  AND cust.bal_band = cl.bal_band
           |ORDER BY c_custkey""".stripMargin,
+      "data_dp_release" ->
+        // replay the deterministic Laplace release: identical md5 seed
+        // strings, identical uniform construction ((hash32+0.5)/2^32, never
+        // exactly 0.5), identical clip/scale constants, noise rounded to 6
+        // on both sides before the add (ln may differ by 1 ulp between
+        // engines; round-6 absorbs it)
+        """WITH g AS (
+          |  SELECT c_mktsegment AS segment, COUNT(*) AS n_true,
+          |   SUM(LEAST(GREATEST(CAST(CAST(c_acctbal AS DECIMAL(18,2))*100 AS BIGINT), -100000), 100000)) AS s_true
+          |  FROM customer GROUP BY 1),
+          |u AS (
+          |  SELECT segment, n_true, s_true,
+          |   (CAST(('0x' || substr(md5('rel-2026-08:count:' || segment), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0 - 0.5 AS cc,
+          |   (CAST(('0x' || substr(md5('rel-2026-08:sum:' || segment), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0 - 0.5 AS cs
+          |  FROM g)
+          |SELECT segment,
+          | ROUND(CAST(n_true AS DOUBLE) + ROUND(-2.0 * sign(cc) * ln(1.0 - 2.0*abs(cc)), 6), 6) AS noisy_count,
+          | ROUND(CAST(s_true AS DOUBLE) + ROUND(-200000.0 * sign(cs) * ln(1.0 - 2.0*abs(cs)), 6), 6) AS noisy_sum,
+          | 0.5 AS eps_count, 0.5 AS eps_sum, 1.0 AS eps_total
+          |FROM u ORDER BY segment""".stripMargin,
       "events_twap" ->
         """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
           |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
