@@ -3415,6 +3415,46 @@ object SparkEntry {
           epsCount = 0.5, epsSum = 0.5, releaseId = "rel-2026-08")
         .orderBy("segment")
     }),
+    "data_linkage" -> ((s, d) => {
+      // Fellegi–Sunter record linkage (LinkageOps) over a
+      // deterministically dirtied copy of customer: B keeps k%3∈{0,1}
+      // (k%3=0 rows get a last-char typo, ±cents jitter, and a 1-in-9
+      // mangled segment; k%3=1 are clean copies; k%3=2 exist only in A).
+      // Blocking: name chars 1..16 ('Customer#' + 7 digits) → ≤100-wide
+      // blocks, candidates = one equi-join, never all-pairs. Comparators
+      // are INTEGER predicates (levenshtein ≤ 1, equality, cents ≤ 100)
+      // and weights integer log-odds basis points, so the score is an
+      // exact integer sum the oracle replays. Emits match+possible bands.
+      val cents = (col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+      val aB = T(s, d, "customer").select(
+        col("c_custkey").as("a_id"), col("c_name").as("a_name"),
+        col("c_nationkey").cast("long").as("a_nation"), cents.as("a_cents"),
+        col("c_mktsegment").as("a_seg"),
+        substring(col("c_name"), 1, 16).as("blk"))
+      val k = col("c_custkey")
+      val bB = T(s, d, "customer").filter(k % 3 =!= 2).select(
+        (k + 1000000L).as("b_id"),
+        when(k % 3 === 0, concat(substring(col("c_name"), 1, 17), lit("x")))
+          .otherwise(col("c_name")).as("b_name"),
+        col("c_nationkey").cast("long").as("b_nation"),
+        (cents + when(k % 3 === 0, (k % 7 - 3) * 37).otherwise(lit(0L))).as("b_cents"),
+        when(k % 9 === 0, reverse(col("c_mktsegment")))
+          .otherwise(col("c_mktsegment")).as("b_seg"),
+        substring(col("c_name"), 1, 16).as("blk"))
+      LinkageOps.fellegiSunter(aB, bB, "blk", _ => Seq(
+          LinkageOps.FieldRule("name",
+            levenshtein(col("a_name"), col("b_name")) <= 1, 994L, -564L),
+          LinkageOps.FieldRule("nation", col("a_nation") === col("b_nation"), 457L, -426L),
+          LinkageOps.FieldRule("segment", col("a_seg") === col("b_seg"), 217L, -300L),
+          LinkageOps.FieldRule("acct",
+            abs(col("a_cents") - col("b_cents")) <= 100, 649L, -330L)),
+          matchBp = 800L, possibleBp = 0L)
+        .filter(col("decision") =!= "nonmatch")
+        .select(col("a_id"), col("b_id"), col("agree_name"), col("agree_nation"),
+          col("agree_segment"), col("agree_acct"), col("score_bp").cast("bigint").as("score_bp"),
+          col("decision"))
+        .orderBy("a_id", "b_id")
+    }),
     "events_twap" -> ((s, d) => {
       // time-weighted average price per event type: each observation is
       // weighted by how long it stayed current (the dwell span to the

@@ -245,4 +245,28 @@ class Round9OpsSpec extends SparkSpec {
     assert(r2.map(_.getAs[Double]("noisy_sum")).toSeq !=
       r1.map(_.getAs[Double]("noisy_sum")).toSeq)
   }
+
+  test("fellegiSunter: blocked candidates, integer score, decision bands") {
+    import graft.operators.LinkageOps
+    import graft.operators.LinkageOps.FieldRule
+    val a = Seq((1L, "blk1", "alice", 10L), (2L, "blk1", "bob", 20L),
+      (3L, "blk2", "carol", 30L)).toDF("a_id", "blk", "a_name", "a_v")
+    val b = Seq((11L, "blk1", "alice", 10L), (12L, "blk1", "bobb", 99L),
+      (13L, "blk3", "alice", 10L)).toDF("b_id", "blk", "b_name", "b_v")
+    val out = LinkageOps.fellegiSunter(a, b, "blk", _ => Seq(
+        FieldRule("name", levenshtein(col("a_name"), col("b_name")) <= 1, 900L, -500L),
+        FieldRule("v", col("a_v") === col("b_v"), 400L, -300L)),
+        matchBp = 1000L, possibleBp = 0L)
+      .select("a_id", "b_id", "agree_name", "agree_v", "score_bp", "decision")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // blocking: only blk1 pairs exist (2×2); blk2/blk3 singletons never pair
+    assert(out.keySet == Set((1L, 11L), (1L, 12L), (2L, 11L), (2L, 12L)))
+    val exact = out((1L, 11L)) // both fields agree: 900+400=1300 → match
+    assert(exact.getAs[Long]("score_bp") == 1300L && exact.getAs[String]("decision") == "match")
+    val fuzzy = out((2L, 12L)) // lev(bob,bobb)=1 agree, v disagree: 900-300=600 → possible
+    assert(fuzzy.getAs[Boolean]("agree_name") && !fuzzy.getAs[Boolean]("agree_v"))
+    assert(fuzzy.getAs[Long]("score_bp") == 600L && fuzzy.getAs[String]("decision") == "possible")
+    val none = out((2L, 11L)) // lev(bob,alice)>1, 20≠10: -500-300 → nonmatch
+    assert(none.getAs[Long]("score_bp") == -800L && none.getAs[String]("decision") == "nonmatch")
+  }
 }

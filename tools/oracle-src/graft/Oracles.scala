@@ -2274,6 +2274,38 @@ object Oracles {
           | ROUND(CAST(s_true AS DOUBLE) + ROUND(-200000.0 * sign(cs) * ln(1.0 - 2.0*abs(cs)), 6), 6) AS noisy_sum,
           | 0.5 AS eps_count, 0.5 AS eps_sum, 1.0 AS eps_total
           |FROM u ORDER BY segment""".stripMargin,
+      "data_linkage" ->
+        // replay the dirty-copy synthesis + blocked Fellegi–Sunter
+        // scoring: all comparators and weights are integer (levenshtein
+        // bound, equality, cents tolerance, basis-point log-odds), so
+        // the score is an exact integer sum both engines agree on
+        """WITH a AS (SELECT c_custkey AS a_id, c_name AS a_name,
+          |  CAST(c_nationkey AS BIGINT) AS a_nation,
+          |  CAST(CAST(c_acctbal AS DECIMAL(18,2))*100 AS BIGINT) AS a_cents,
+          |  c_mktsegment AS a_seg, substr(c_name, 1, 16) AS blk FROM customer),
+          |b AS (SELECT c_custkey + 1000000 AS b_id,
+          |  CASE WHEN c_custkey % 3 = 0 THEN substr(c_name, 1, 17) || 'x' ELSE c_name END AS b_name,
+          |  CAST(c_nationkey AS BIGINT) AS b_nation,
+          |  CAST(CAST(c_acctbal AS DECIMAL(18,2))*100 AS BIGINT)
+          |    + CASE WHEN c_custkey % 3 = 0 THEN ((c_custkey % 7) - 3) * 37 ELSE 0 END AS b_cents,
+          |  CASE WHEN c_custkey % 9 = 0 THEN reverse(c_mktsegment) ELSE c_mktsegment END AS b_seg,
+          |  substr(c_name, 1, 16) AS blk FROM customer WHERE c_custkey % 3 <> 2),
+          |p AS (SELECT a_id, b_id,
+          |  levenshtein(a_name, b_name) <= 1 AS agree_name,
+          |  a_nation = b_nation AS agree_nation,
+          |  a_seg = b_seg AS agree_segment,
+          |  abs(a_cents - b_cents) <= 100 AS agree_acct
+          |  FROM a JOIN b USING (blk)),
+          |s AS (SELECT *,
+          |  (CASE WHEN agree_name THEN 994 ELSE -564 END
+          |   + CASE WHEN agree_nation THEN 457 ELSE -426 END
+          |   + CASE WHEN agree_segment THEN 217 ELSE -300 END
+          |   + CASE WHEN agree_acct THEN 649 ELSE -330 END) AS sbp FROM p)
+          |SELECT a_id, b_id, agree_name, agree_nation, agree_segment, agree_acct,
+          | CAST(sbp AS BIGINT) AS score_bp,
+          | CASE WHEN sbp >= 800 THEN 'match' WHEN sbp >= 0 THEN 'possible'
+          |      ELSE 'nonmatch' END AS decision
+          |FROM s WHERE sbp >= 0 ORDER BY a_id, b_id""".stripMargin,
       "events_twap" ->
         """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
           |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
