@@ -3415,6 +3415,18 @@ object SparkEntry {
           epsCount = 0.5, epsSum = 0.5, releaseId = "rel-2026-08")
         .orderBy("segment")
     }),
+    "text_span_scrub" -> ((s, d) => {
+      // exact-substring dedup APPLY side (Lee et al. 2021): every 8-token
+      // span also present in a lower-id doc is removed from the higher-id
+      // doc (owner keeps its copy; within-doc repeats untouched — row
+      // 124's job). Linear coverage expand, no suffix array, no
+      // positions×starts product. Scrubbed text rides as md5 (the
+      // text_clean convention) so the compare stays value-sized.
+      CorpusOps.scrubDuplicatedSpans(TP(s, d, "documents"), "doc_id", "text", n = 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("scrubbed")).as("scrub_md5"))
+        .orderBy("doc_id")
+    }),
     "data_linkage" -> ((s, d) => {
       // Fellegi–Sunter record linkage (LinkageOps) over a
       // deterministically dirtied copy of customer: B keeps k%3∈{0,1}

@@ -321,6 +321,69 @@ object CorpusOps {
         coalesce(col("__nk"), lit(0L)).as("n_kept"))
   }
 
+  /** Cross-document repeated-SPAN scrubbing — the APPLY side of exact
+    * substring deduplication (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better": duplicated long spans dominate
+    * memorization; remove every occurrence except one). Row 77's
+    * `duplicatedSpanStats` measures the damage; this operator repairs it:
+    * any `n`-token span that also appears in a LOWER-id document (the
+    * keep-min-id owner convention shared with the dedup family) has its
+    * token positions removed; the owner keeps its copy, and within-doc
+    * repeats are deliberately untouched (row 124's job).
+    *
+    * Shape — LINEAR in corpus n-grams, never quadratic and never a
+    * suffix array (the paper's single-node structure doesn't shard):
+    *   1. positioned n-grams (doc, i, span) via posexplode — docs with
+    *      < n tokens produce none and are never scrubbed;
+    *   2. owner = min(doc_id) per span — partial-agg groupBy, the same
+    *      skew-safe df shape as duplicatedSpanStats;
+    *   3. non-owner occurrences expand to their n covered positions
+    *      (explode(sequence(i, i+n−1)) — n rows per duplicated n-gram,
+    *      NOT positions × starts);
+    *   4. distinct covered (doc, pos) anti-joins the position table and
+    *      the survivors re-join in order (the q30 sorted-struct concat).
+    * The hot boilerplate span contributes df rows to the expand —
+    * linear — and its owner join is 1:1 per occurrence; AQE's skew
+    * split covers the shuffle.
+    *
+    * Returns (id, n_tokens, n_removed, scrubbed) — scrubbed is the
+    * surviving tokens joined by ' ' ('' when fully covered). */
+  def scrubDuplicatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int
+  ): DataFrame = {
+    require(n >= 2, "scrubDuplicatedSpans: span length must be >= 2")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+    val meta = toks.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+    val pos = toks.select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+    val ng = toks.filter(size(col("tk")) >= n)
+      .select(col("doc_id"),
+        posexplode(TextFunctions.shinglesFromTokens(col("tk"), n)).as(Seq("i0", "s")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"), col("s"))
+    val owner = ng.groupBy("s").agg(min("doc_id").as("owner"))
+    val covered = ng.join(owner, "s")
+      .filter(col("owner") < col("doc_id"))
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
+      .distinct()
+    val kept = pos.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("p").as("p"), col("tok").as("t")))),
+            x => x.getField("t")),
+          " ").as("scrubbed"))
+    meta.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+  }
+
   /** BM25 top-k retrieval over the corpus for a bag of query terms — the
     * search/inspection primitive a curation pipeline uses to audit what
     * the corpus contains ("show me the strongest matches for X").

@@ -269,4 +269,34 @@ class Round9OpsSpec extends SparkSpec {
     val none = out((2L, 11L)) // lev(bob,alice)>1, 20≠10: -500-300 → nonmatch
     assert(none.getAs[Long]("score_bp") == -800L && none.getAs[String]("decision") == "nonmatch")
   }
+
+  test("scrubDuplicatedSpans: keep-first owner, within-doc repeats untouched") {
+    val span = (1 to 8).map(i => s"w$i").mkString(" ") // the shared 8-gram
+    val docs = Seq(
+      (1L, s"intro $span tail one"),           // owner: keeps the span
+      (2L, s"other lead-in $span closing"),    // duplicate: span scrubbed
+      (3L, s"$span mid $span"),                // dup of doc1 twice: both scrubbed
+      (4L, s"unique text with no repeats at all beyond eight tokens here"),
+      (5L, "short doc"),                       // < 8 tokens: never scrubbed
+      (6L, s"self $span again $span"))         // within doc6, span also in doc1 → scrubbed
+    val out = CorpusOps.scrubDuplicatedSpans(
+        docs.toDF("doc_id", "text").repartition(3), "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def scrubbed(id: Long) = out(id).getAs[String]("scrubbed")
+    def removed(id: Long) = out(id).getAs[Long]("n_removed")
+    // owner keeps everything
+    assert(removed(1L) == 0L && scrubbed(1L) == s"intro $span tail one")
+    // duplicate loses exactly the 8 span tokens
+    assert(removed(2L) == 8L && scrubbed(2L) == "other lead-in closing")
+    // two occurrences both covered; the 'mid' word survives
+    assert(removed(3L) == 16L && scrubbed(3L) == "mid")
+    assert(removed(4L) == 0L && removed(5L) == 0L)
+    // doc6: both copies covered (owner is doc1), framing words survive
+    assert(removed(6L) == 16L && scrubbed(6L) == "self again")
+    // a WITHIN-DOC-ONLY repeat with no external owner is untouched:
+    val selfOnly = Seq((7L, s"aa bb cc dd ee ff gg hh xx aa bb cc dd ee ff gg hh"))
+      .toDF("doc_id", "text")
+    val r7 = CorpusOps.scrubDuplicatedSpans(selfOnly, "doc_id", "text", 8).head()
+    assert(r7.getAs[Long]("n_removed") == 0L)
+  }
 }

@@ -2274,6 +2274,29 @@ object Oracles {
           | ROUND(CAST(s_true AS DOUBLE) + ROUND(-200000.0 * sign(cs) * ln(1.0 - 2.0*abs(cs)), 6), 6) AS noisy_sum,
           | 0.5 AS eps_count, 0.5 AS eps_sum, 1.0 AS eps_total
           |FROM u ORDER BY segment""".stripMargin,
+      "text_span_scrub" ->
+        // replay the exact-substring scrub: positioned 8-grams, min-id
+        // owner, covered-position expand, ordered rebuild of survivors
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |m AS (SELECT doc_id, tk, len(tk) AS n_tokens FROM t),
+           |ngu AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6),
+           |          i -> {'i': i, 's': array_to_string(tk[i:i+7], ' ')})) AS u
+           |        FROM m WHERE n_tokens >= 8),
+           |ng AS (SELECT doc_id, u.i AS i, u.s AS s FROM ngu),
+           |own AS (SELECT s, MIN(doc_id) AS owner FROM ng GROUP BY s),
+           |dup AS (SELECT ng.doc_id, ng.i FROM ng JOIN own USING (s) WHERE owner < ng.doc_id),
+           |cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + 8)) AS p FROM dup),
+           |posu AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+           |          q -> {'p': q, 'tok': tk[q]})) AS u FROM m),
+           |pos AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM posu),
+           |kept AS (SELECT pos.doc_id, COUNT(*) AS n_kept,
+           |         string_agg(tok, ' ' ORDER BY pos.p) AS txt
+           |         FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+           |         WHERE cov.p IS NULL GROUP BY pos.doc_id)
+           |SELECT m.doc_id, m.n_tokens,
+           | m.n_tokens - COALESCE(kept.n_kept, 0) AS n_removed,
+           | md5(COALESCE(kept.txt, '')) AS scrub_md5
+           |FROM m LEFT JOIN kept USING (doc_id) ORDER BY m.doc_id""".stripMargin,
       "data_linkage" ->
         // replay the dirty-copy synthesis + blocked Fellegi–Sunter
         // scoring: all comparators and weights are integer (levenshtein
