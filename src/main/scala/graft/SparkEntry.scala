@@ -95,10 +95,16 @@ object SparkEntry {
     val base = TP(s, d, "embeddings")
       .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
     val dim = 64
+    // O(d) synthesis: rotate-by-slice + one zip_with. The earlier
+    // `transform(vec, (x,i) -> x + 0.05*element_at(vec, (i+1)%d+1))`
+    // shape was O(d²) per row AND got re-inlined downstream (~21 ms/row
+    // measured); arithmetic here is bit-identical (same add/mul order).
     base.unionByName(base
       .withColumn("vec_id", col("vec_id") + 100000)
-      .withColumn("vec", transform(col("vec"), (x, i) =>
-        x + lit(0.05) * element_at(col("vec"), (i + 1) % dim + 1))))
+      .withColumn("vec", zip_with(
+        col("vec"),
+        concat(slice(col("vec"), 2, dim - 1), slice(col("vec"), 1, 1)),
+        (x, y) => x + lit(0.05) * y)))
   }
 
   /** The cells/cent_sims dump the `dedup_semantic` oracle replays. */

@@ -35,6 +35,13 @@ object VectorFunctions {
     sqrt(GraftColumns.column(DotProduct(vd, vd)))
   }
 
+  /** v / ‖v‖₂ as array<double> in one native pass (all-zero vectors pass
+    * through; see [[UnitNormalize]] for why this must not be a HOF). */
+  def unitNormalize(v: Column): Column = {
+    import org.apache.spark.sql.graft.GraftColumns
+    GraftColumns.column(UnitNormalize(GraftColumns.expression(v)))
+  }
+
   /** Cosine similarity; 0 when either vector is all-zero. */
   def cosine(a: Column, b: Column): Column = {
     val denom = norm(a) * norm(b)

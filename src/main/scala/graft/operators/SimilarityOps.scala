@@ -279,13 +279,14 @@ object SimilarityOps {
         max("n").as("n_vectors"))
   }
 
-  /** Unit-normalized (id, unit) projection: normalize ONCE per row so all
-    * per-pair work downstream is a single native dot product. */
+  /** Unit-normalized (id, unit) projection: normalize ONCE per row (a
+    * native single-pass kernel — the HOF `transform(v, x / norm(v))`
+    * shape re-evaluated the norm per ELEMENT after projection collapse,
+    * a dim× per-row blowup) so all per-pair work downstream is a single
+    * native dot product. */
   private[operators] def unitVectors(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
-    vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("nrm", norm(col("vec")))
-      .withColumn("unit", when(col("nrm") === 0, col("vec")).otherwise(transform(col("vec"), x => x / col("nrm"))))
-      .select("id", "unit")
+    vectors.select(col(idCol).as("id"),
+      graft.functions.VectorFunctions.unitNormalize(col(vecCol)).as("unit"))
 
   /** Embedding near-duplicate pairs blocked by random-hyperplane LSH —
     * the 100 TB path: no self-join, no label/metadata dependence.
@@ -346,11 +347,11 @@ object SimilarityOps {
       threshold: Double
   ): DataFrame = {
     // normalize ONCE per row so the per-pair work is a single dot product
-    // (norms recomputed per pair tripled the hot-loop cost)
-    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"), blockCol.as("block"))
-      .withColumn("nrm", norm(col("vec")))
-      .withColumn("unit", when(col("nrm") === 0, col("vec")).otherwise(transform(col("vec"), x => x / col("nrm"))))
-      .select("id", "unit", "block")
+    // (norms recomputed per pair tripled the hot-loop cost; the native
+    // kernel also keeps the norm out of per-element lambda re-evaluation)
+    val v = vectors.select(col(idCol).as("id"),
+      graft.functions.VectorFunctions.unitNormalize(col(vecCol)).as("unit"),
+      blockCol.as("block"))
     v.as("a")
       .join(v.as("b"), col("a.block") === col("b.block") && col("a.id") < col("b.id"))
       .select(
