@@ -14,6 +14,20 @@ object RunOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // STAGES=1: per-stage task metrics (the where-does-the-time-go view —
+    // a 1-task stage with high CPU is the single-file-scan / expression-
+    // blowup signature that found the dedup_semantic and data_linkage fixes)
+    if (sys.env.contains("STAGES"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val m = si.taskMetrics
+          if (m.executorRunTime > 300)
+            println(f"[stage ${si.stageId}%3d] tasks=${si.numTasks}%3d run=${m.executorRunTime / 1000.0}%8.1fs " +
+              f"cpu=${m.executorCpuTime / 1e9}%8.1fs recs=${m.inputMetrics.recordsRead}%9d " +
+              f"sread=${m.shuffleReadMetrics.recordsRead}%9d ${si.name.take(50)}")
+        }
+      })
     val names = if (args.isEmpty || args(0) == "all") SparkEntry.queries.keys.toSeq.sorted else args(0).split(",").toSeq
     import java.lang.management.ManagementFactory
     import scala.jdk.CollectionConverters._

@@ -43,6 +43,18 @@ object ScaleProbe {
       val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    // Payload-heavy shuffles (64-double unit vectors, exploded coverage
+    // rows) need the PRODUCTION partitioning posture — shuffle partitions
+    // proportional to bytes — or a fixed-count local run measures sort
+    // spill, not operator shape. AQE coalesces the small scale back down,
+    // so flatness claims stay honest.
+    def withScaledPartitions[A](rows: Long)(f: => A): A = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(cpus.toInt, (rows / 250000L).toInt).toString)
+      try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+
     // deterministic synthetic documents: 24 pseudo-words drawn from a
     // 5000-word vocabulary by id arithmetic — text-pipeline probes get
     // realistic shingle mass with zero I/O
@@ -538,6 +550,87 @@ object ScaleProbe {
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
           .agg(count(lit(1)).as("n"))
           .groupBy().count().count()
+      },
+      "semantic_prune" -> { rows =>
+        // SemDeDup's shuffle-bearing core (pruneCells) at CONSTANT cell
+        // width (25): one shuffle on cell, pair work = rows × width →
+        // flat per row (25 × 20M = 500M native 64-dim dots at the top
+        // scale — width bounds the budget, flatness is the claim). The
+        // full operator adds nCells dots/row for assignment; with the
+        // paper's nCells ≈ √n sizing total work is O(n^1.5) BY DESIGN —
+        // this pins the machinery that could silently regress to
+        // all-pairs.
+        withScaledPartitions(rows) {
+          val cells = synthVecs(rows).select(
+            col("id"),
+            (col("id") / lit(25L)).cast("long").as("cell"),
+            round(pmod(col("id") * 7L, lit(1000L)).cast("double") / 1000.0, 6).as("cent_sim"),
+            graft.functions.VectorFunctions.unitNormalize(col("vec")).as("unit"))
+          SimilarityOps.pruneCells(cells, tau = 0.99).groupBy().count().head().getLong(0)
+        }
+      },
+      "linkage_blocked" -> { rows =>
+        // Fellegi–Sunter candidate scoring at constant block width (8):
+        // one equi-join on the blocking key, comparators are map-side
+        // integer/levenshtein predicates over rows × width pairs
+        val side = synth(rows).select(col("id"),
+          (col("id") / lit(8L)).cast("long").as("blk"),
+          concat(lit("n"), pmod(col("id"), lit(9973L)).cast("string")).as("nm"),
+          pmod(col("id") * 31L, lit(25L)).as("nat"),
+          pmod(col("id") * 7L, lit(100000L)).as("cents"))
+        val a = side.select(col("id").as("a_id"), col("blk"), col("nm").as("a_nm"),
+          col("nat").as("a_nat"), col("cents").as("a_cents"))
+        val b = side.select(col("id").as("b_id"), col("blk"), col("nm").as("b_nm"),
+          col("nat").as("b_nat"), col("cents").as("b_cents"))
+        graft.operators.LinkageOps.fellegiSunter(a, b, "blk", _ => Seq(
+            graft.operators.LinkageOps.FieldRule("name",
+              levenshtein(col("a_nm"), col("b_nm")) <= 1, 994L, -564L),
+            graft.operators.LinkageOps.FieldRule("nation",
+              col("a_nat") === col("b_nat"), 457L, -426L),
+            graft.operators.LinkageOps.FieldRule("acct",
+              abs(col("a_cents") - col("b_cents")) <= 100, 649L, -330L)),
+            matchBp = 800L, possibleBp = 0L)
+          .filter(col("decision") === "match")
+          .groupBy().count().head().getLong(0)
+      },
+      "span_scrub_hot" -> { rows =>
+        // exact-substring scrub with a 10%-boilerplate slice: the shared
+        // 8-gram spans still have df ≈ 0.1·rows (a brutal hot key for the
+        // min-id ownership agg), while coverage explode stays ~0.7·rows
+        // (at 90% boiler the COVERAGE table itself is ~65·rows — a
+        // corpus that is mostly one duplicated span, not a probe of the
+        // scrub machinery). Partitions scale with rows: the anti-join
+        // sorts the positions table, which is ~17 rows per doc.
+        val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
+        val tail10 = concat_ws(" ",
+          transform(sequence(lit(1), lit(8)),
+            i => concat(lit("u"), (col("id") * 8 + i).cast("string"))))
+        val docs = synth(rows).select(col("id"),
+          when(pmod(col("id"), lit(10)) === 0, concat(lit(boiler + " "), tail10))
+            .otherwise(tail10).as("text"))
+        withScaledPartitions(rows) {
+          CorpusOps.scrubDuplicatedSpans(docs, "id", "text", n = 8)
+            .agg(sum(length(col("scrubbed"))), sum(col("n_removed"))).head()
+        }
+        rows
+      },
+      "kmv_slices" -> { rows =>
+        // mergeable per-slice KMV distinct sketches: map-side k-min fold,
+        // k longs per (partition, slice) — the overlap-estimation shape
+        synth(rows)
+          .groupBy(pmod(col("id"), lit(512L)).as("slice"))
+          .agg(graft.functions.SketchAggregates.kmvSketch(col("value"), 256).as("sk"))
+          .groupBy().count().head().getLong(0)
+      },
+      "dp_release" -> { rows =>
+        // DP aggregate release: one clipped groupBy agg + seeded-noise
+        // projection — nothing here may grow super-linearly
+        graft.operators.PrivacyOps.dpRelease(
+            synth(rows).select(pmod(col("id"), lit(512L)).as("segment"),
+              pmod(col("id") * 31L, lit(100000L)).as("v")),
+            Seq("segment"), "v", clip = 50000L, epsCount = 0.5, epsSum = 0.5,
+            releaseId = "probe")
+          .groupBy().count().head().getLong(0)
       })
 
     val probes = only.fold(allProbes)(names => allProbes.filter(p => names.contains(p._1)))

@@ -3444,7 +3444,11 @@ object SparkEntry {
       // and weights integer log-odds basis points, so the score is an
       // exact integer sum the oracle replays. Emits match+possible bands.
       val cents = (col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
-      val aB = T(s, d, "customer").select(
+      // TP on the STREAM side: the one-file customer scan is a single
+      // task, and all candidate-pair comparator work (5 levenshtein
+      // evaluations per pair across score + flags) lands on it — spread
+      // to session parallelism first (15.2 s -> ~1 s at sf0.1).
+      val aB = TP(s, d, "customer").select(
         col("c_custkey").as("a_id"), col("c_name").as("a_name"),
         col("c_nationkey").cast("long").as("a_nation"), cents.as("a_cents"),
         col("c_mktsegment").as("a_seg"),

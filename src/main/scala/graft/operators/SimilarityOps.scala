@@ -662,8 +662,14 @@ object SimilarityOps {
       nCells: Int,
       tau: Double,
       iters: Int = 4
-  ): DataFrame = {
-    val cells = semanticCells(vectors, idCol, vecCol, nCells, iters)
+  ): DataFrame =
+    pruneCells(semanticCells(vectors, idCol, vecCol, nCells, iters), tau)
+
+  /** The within-cell prune core of [[semanticDedup]] — split out so the
+    * scale probe can pin the shuffle-bearing machinery under its own
+    * (constant-width) cell assignment. Input: (id, cell, cent_sim, unit)
+    * rows; output: the survivors (id, cell, cent_sim). */
+  private[graft] def pruneCells(cells: DataFrame, tau: Double): DataFrame = {
     val a = cells.select(
       col("cell"), col("id").as("a_id"), col("unit").as("a_vec"), col("cent_sim").as("a_cs"))
     val b = cells.select(

@@ -306,11 +306,32 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // JW kernel runs only in vocabulary-sized subtrees, the
                               // corpus expands through two (name, block) equi-joins
                               // (round-9: replaced the within-brand quadratic)
-    "q65_spearman" -> 14      // two banded avg-rank cores (x and y value tables: value
+    "q65_spearman" -> 14,     // two banded avg-rank cores (x and y value tables: value
                               // agg + band agg + group-offset agg each) + row⋈y-ranks
                               // shuffle join + moment agg + ORDER BY; x-ranks and all
                               // band offsets ride broadcast — every shuffle is value-
                               // table-sized except the one row-level (g,y) join
+    "dedup_semantic" -> 7,    // 3× TP (union branches re-instantiated under column
+                              // pruning: a/b pair sides + anti-left) + anti-join id
+                              // hash ×2 (the LeftAnti distributes over the input union)
+                              // + dropped-distinct agg + ORDER BY; the within-cell pair
+                              // join itself broadcasts the b side at testdata scale (at
+                              // corpus scale it is ONE shuffle on cell — see the
+                              // semantic_prune scale probe)
+    "data_linkage" -> 2,      // TP spread (the one-file customer scan would otherwise
+                              // run all candidate comparators in ONE task — the round-9
+                              // 15 s fix) + final ORDER BY; blocked candidates ride a
+                              // broadcast hash join on blk, comparators are map-side
+    "data_overlap_sketch" -> 2, // two window-slice KMV sketch aggs collapse into one
+                              // partkey agg (partial+final) + single-partition estimate
+                              // row; k longs per partition per side — no key co-shuffle
+    "data_dp_release" -> 2,   // clipped segment agg + ORDER BY — the noise draw is a
+                              // seeded md5 projection over the released rows only
+    "text_span_scrub" -> 8    // 4× TP (positions / grams / meta / rebuild consumers of
+                              // the tokenize projection — map-side recompute over the
+                              // pruned scan is the right 100 TB trade vs checkpointing
+                              // a corpus-sized tokens table) + owner min-agg on gram +
+                              // coverage anti-join doc hash ×2 + ORDER BY
   )
 
   test("headline queries match their pinned shuffle counts") {

@@ -299,4 +299,38 @@ class Round9OpsSpec extends SparkSpec {
     val r7 = CorpusOps.scrubDuplicatedSpans(selfOnly, "doc_id", "text", 8).head()
     assert(r7.getAs[Long]("n_removed") == 0L)
   }
+
+  test("UnitNormalize ≡ the HOF normalize, zero-safe, float-accepting, null-propagating") {
+    import graft.functions.VectorFunctions
+    // The native kernel replaced transform(v, x / norm(v)) because the
+    // HOF shape re-evaluated the norm per ELEMENT after projection
+    // collapse (dedup_semantic's ~21 ms/row blowup). Identity contract:
+    // same left-to-right Σx² under sqrt, same per-element division.
+    val vecs = Seq(
+      (1L, Seq(3.0, 4.0)),
+      (2L, Seq(0.0, 0.0, 0.0)),              // all-zero passes through
+      (3L, Seq(-1.5, 2.5, 0.0, 1e-3)),
+      (4L, Seq(1.0))
+    ).toDF("id", "vec")
+    val hof = vecs
+      .withColumn("nrm", sqrt(aggregate(col("vec"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("u", when(col("nrm") === 0, col("vec"))
+        .otherwise(transform(col("vec"), x => x / col("nrm"))))
+      .select($"id", $"u")
+    val native = vecs.select($"id", VectorFunctions.unitNormalize($"vec").as("u"))
+    val h = hof.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val n = native.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(h.keySet == n.keySet)
+    h.foreach { case (k, hv) =>
+      assert(hv == n(k), s"id=$k: hof=$hv native=${n(k)}") // bit-identical
+    }
+    // float input accepted and widened (the embeddings table's type)
+    val f = Seq((1L, Seq(3.0f, 4.0f))).toDF("id", "vec")
+      .select(VectorFunctions.unitNormalize($"vec").as("u")).head().getSeq[Double](0)
+    assert(f == Seq(0.6, 0.8))
+    // null row propagates
+    val nl = Seq((1L, null.asInstanceOf[Seq[Double]])).toDF("id", "vec")
+      .select(VectorFunctions.unitNormalize($"vec").as("u")).head()
+    assert(nl.isNullAt(0))
+  }
 }
