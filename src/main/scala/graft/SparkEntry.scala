@@ -94,22 +94,55 @@ object SparkEntry {
   def semanticDedupInput(s: SparkSession, d: String): DataFrame = {
     val base = TP(s, d, "embeddings")
       .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+    base.unionByName(shiftPerturb(base, 1, 100000L))
+  }
+
+  /** v'ᵢ = vᵢ + 0.05·v₍ᵢ₊ₖ mod d₎ with ids offset — the near-dup
+    * synthesis shared by the semantic-dedup queries. O(d): rotate by
+    * slice/concat + one zip_with (the earlier per-element `element_at`
+    * shape was O(d²) per row AND got re-inlined downstream — measured
+    * ~21 ms/row); arithmetic is the plain add/mul order both engines
+    * reproduce. */
+  private def shiftPerturb(df: DataFrame, shift: Int, idOffset: Long): DataFrame = {
     val dim = 64
-    // O(d) synthesis: rotate-by-slice + one zip_with. The earlier
-    // `transform(vec, (x,i) -> x + 0.05*element_at(vec, (i+1)%d+1))`
-    // shape was O(d²) per row AND got re-inlined downstream (~21 ms/row
-    // measured); arithmetic here is bit-identical (same add/mul order).
-    base.unionByName(base
-      .withColumn("vec_id", col("vec_id") + 100000)
+    df.withColumn("vec_id", col("vec_id") + idOffset)
       .withColumn("vec", zip_with(
         col("vec"),
-        concat(slice(col("vec"), 2, dim - 1), slice(col("vec"), 1, 1)),
-        (x, y) => x + lit(0.05) * y)))
+        concat(slice(col("vec"), shift + 1, dim - shift), slice(col("vec"), 1, shift)),
+        (x, y) => x + lit(0.05) * y))
   }
 
   /** The cells/cent_sims dump the `dedup_semantic` oracle replays. */
   def semanticDedupCells(s: SparkSession, d: String): DataFrame =
     SimilarityOps.semanticCells(semanticDedupInput(s, d), "vec_id", "vec", nCells = 16)
+
+  /** Base/delta split for `dedup_semantic_incr`: the index bootstraps on
+    * vec_id % 3 ≠ 0; the delta is a shift-1 perturbed copy of EVERY
+    * vector (ids +100000 — the %3 ≠ 0 members have an index twin at
+    * cos ≈ 0.9987) plus a shift-2 perturbed copy of the %3 = 0 members
+    * (ids +200000 — twinned only WITHIN the delta at cos ≈ 0.9975, so
+    * the within-batch prune fires, not just the index probe). */
+  def semanticDedupIncrParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val emb = TP(s, d, "embeddings")
+      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = shiftPerturb(emb, 1, 100000L)
+      .unionByName(shiftPerturb(emb.filter(col("vec_id") % 3 === 0), 2, 200000L))
+    (base, delta)
+  }
+
+  /** The side-tagged cells dump the `dedup_semantic_incr` oracle replays
+    * (base cells feed its bootstrap-prune CTE, delta cells the probe;
+    * both sides assigned under the SAME base-trained frozen centroids,
+    * exactly as the engine's index build + probe do). */
+  def semanticDedupIncrCells(s: SparkSession, d: String): DataFrame = {
+    val (base, delta) = semanticDedupIncrParts(s, d)
+    val cents = SimilarityOps.trainCentroids(base, "vec_id", "vec", nCells = 16, iters = 4)
+    SimilarityOps.semanticCellsFrozen(base, "vec_id", "vec", cents)
+      .withColumn("side", lit("base"))
+      .unionByName(SimilarityOps.semanticCellsFrozen(delta, "vec_id", "vec", cents)
+        .withColumn("side", lit("delta")))
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1055,6 +1088,24 @@ object SparkEntry {
       // dump (cells/cent_sims aren't SQL-replicable — simhash precedent).
       SimilarityOps.semanticDedup(semanticDedupInput(s, d), "vec_id", "vec",
           nCells = 16, tau = 0.99)
+        .orderBy("id")
+    }),
+
+    "dedup_semantic_incr" -> ((s, d) => {
+      // incremental SemDeDup against a PERSISTED index (the daily-delta
+      // posture: the corpus is never rescanned): bootstrap a bucketed
+      // survivor-cells catalog table on the base split, then probe the
+      // delta under the index's frozen centroids. Fate labels: ANY
+      // same-cell index member at cos ≥ τ drops the delta row (the index
+      // is append-only — the keep-the-outlier preference is bootstrap-
+      // only), then the index-clean remainder self-prunes by the paper's
+      // rule. Oracle replays the whole sequential chain in DuckDB over
+      // the _aux_semantic_incr_cells dump.
+      val (base, delta) = semanticDedupIncrParts(s, d)
+      val idx = VectorIndexOps.buildSemDedupIndex(base, "vec_id", "vec",
+        "graft_sem_idx", nCells = 16, numBuckets = 8, tau = 0.99)
+      VectorIndexOps.probeSemDedupIndex(delta, "vec_id", "vec", idx,
+          update = false, numBuckets = 8)
         .orderBy("id")
     }),
 

@@ -66,6 +66,15 @@ object Verify {
         System.err.println(s"[verify] _aux_semantic_cells failed: ${e.getMessage}")
       }
     }
+    if (only.forall(_.contains("dedup_semantic_incr"))) {
+      try {
+        SparkEntry.semanticDedupIncrCells(spark, sfDir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux_semantic_incr_cells")
+        System.err.println("[verify] _aux_semantic_incr_cells dumped")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] _aux_semantic_incr_cells failed: ${e.getMessage}")
+      }
+    }
     // Queries run CONCURRENTLY on a bounded pool (round-8 verdict item
     // 1: the serial dump took ~19-25 min — mostly per-query fixed cost
     // and small stages underfilling the local[n] task slots, so modest

@@ -624,8 +624,20 @@ object SimilarityOps {
       vecCol: String,
       nCells: Int,
       iters: Int = 4
-  ): DataFrame = {
-    val cents = trainCentroids(vectors, idCol, vecCol, nCells, iters)
+  ): DataFrame =
+    semanticCellsFrozen(vectors, idCol, vecCol,
+      trainCentroids(vectors, idCol, vecCol, nCells, iters))
+
+  /** [[semanticCells]] under GIVEN (frozen) centroids — the assignment
+    * half, split out for the incremental path: a delta batch must land
+    * in the SAME cell geometry as the persisted index or the
+    * cluster-blocked prune silently loses cross-batch pairs. */
+  def semanticCellsFrozen(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Double]]
+  ): DataFrame =
     unitVectors(vectors, idCol, vecCol)
       .withColumn("best", array_max(cellScores(col("unit"), cents)))
       .select(
@@ -633,7 +645,6 @@ object SimilarityOps {
         col("best").getField("c").as("cell"),
         round(col("best").getField("s"), 6).as("cent_sim"),
         col("unit"))
-  }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings
     * with spherical k-means, then prune WITHIN each cluster — a vector is
@@ -669,13 +680,20 @@ object SimilarityOps {
     * scale probe can pin the shuffle-bearing machinery under its own
     * (constant-width) cell assignment. Input: (id, cell, cent_sim, unit)
     * rows; output: the survivors (id, cell, cent_sim). */
-  private[graft] def pruneCells(cells: DataFrame, tau: Double): DataFrame = {
+  private[graft] def pruneCells(cells: DataFrame, tau: Double): DataFrame =
+    cells
+      .join(cellDrops(cells, tau), Seq("id"), "left_anti")
+      .select(col("id"), col("cell"), col("cent_sim"))
+
+  /** The DROPPED ids of [[pruneCells]] — exposed separately because the
+    * incremental probe must label each delta row's fate, not just keep
+    * the survivors. */
+  private[graft] def cellDrops(cells: DataFrame, tau: Double): DataFrame = {
     val a = cells.select(
       col("cell"), col("id").as("a_id"), col("unit").as("a_vec"), col("cent_sim").as("a_cs"))
     val b = cells.select(
       col("cell"), col("id").as("b_id"), col("unit").as("b_vec"), col("cent_sim").as("b_cs"))
-    val dropped = a
-      .join(b, Seq("cell"))
+    a.join(b, Seq("cell"))
       .filter(col("a_id") =!= col("b_id"))
       // unit vectors → cosine is one native dot; round BEFORE the
       // threshold so both engines gate on the identical 6-decimal value
@@ -684,8 +702,5 @@ object SimilarityOps {
         (col("b_cs") === col("a_cs") && col("b_id") < col("a_id")))
       .select(col("a_id").as("id"))
       .distinct()
-    cells
-      .join(dropped, Seq("id"), "left_anti")
-      .select(col("id"), col("cell"), col("cent_sim"))
   }
 }

@@ -60,7 +60,10 @@ object VectorIndexOps {
 
   /** Centroid readback: nCells × dim rows, corpus-size independent. */
   private def readCentroids(spark: SparkSession, index: IvfIndex): Array[Array[Double]] =
-    spark.table(index.centroidsTable)
+    readCentroidsTable(spark, index.centroidsTable)
+
+  private def readCentroidsTable(spark: SparkSession, table: String): Array[Array[Double]] =
+    spark.table(table)
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
 
@@ -150,5 +153,112 @@ object VectorIndexOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  // ----- incremental SemDeDup — semantic dedup against a persisted index -----
+
+  final case class SemDedupIndex(
+      cellsTable: String, centroidsTable: String, nCells: Int, tau: Double)
+
+  /** Bootstrap a persisted SemDeDup index: train spherical-k-means
+    * centroids, assign + prune the corpus once
+    * ([[SimilarityOps.semanticCells]]/[[SimilarityOps.cellDrops]]),
+    * and land the SURVIVORS' (id, cell, cent_sim, unit) rows as a
+    * catalog table bucketed by cell — the persisted table IS the
+    * deduplicated corpus, and later delta batches probe it with no
+    * corpus re-scan and no index-side Exchange (the
+    * [[IncrementalDedupOps]] posture applied to embeddings). */
+  def buildSemDedupIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      prefix: String,
+      nCells: Int,
+      numBuckets: Int,
+      tau: Double,
+      iters: Int = 4
+  ): SemDedupIndex = {
+    val spark = corpus.sparkSession
+    val cents = SimilarityOps.trainCentroids(corpus, idCol, vecCol, nCells, iters)
+    val cells = SimilarityOps.semanticCellsFrozen(corpus, idCol, vecCol, cents)
+    val survivors = cells
+      .join(SimilarityOps.cellDrops(cells, tau), Seq("id"), "left_anti")
+      .select("id", "cell", "cent_sim", "unit")
+    BucketOps.writeBucketed(survivors, s"${prefix}_cells", numBuckets, Seq("cell"),
+      sortKeys = Seq("cell"))
+    import spark.implicits._
+    val centDf = cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+    BucketOps.dropTable(spark, s"${prefix}_centroids")
+    centDf.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(s"${prefix}_centroids")
+    SemDedupIndex(s"${prefix}_cells", s"${prefix}_centroids", nCells, tau)
+  }
+
+  /** Probe a delta batch against the persisted SemDeDup index and label
+    * each delta row's fate:
+    *  - `dropped_index`: ANY index member in the same cell at cosine ≥ τ
+    *    kills the delta row. The index is APPEND-ONLY, so the paper's
+    *    keep-the-outlier preference cannot apply across the boundary —
+    *    a delta doc farther from the centroid than its index twin is
+    *    still the one that goes (diversity preference is bootstrap-only;
+    *    the dedup contract is what survives incrementally).
+    *  - `dropped_delta`: among the index-clean remainder, the standard
+    *    within-batch SemDeDup prune (lower cent_sim preferred, ties to
+    *    the lower id).
+    *  - `survived`: everything else; with `update = true` the survivors'
+    *    cells are appended into the index under the SAME bucket spec, so
+    *    day-3 duplicates of day-2 survivors are caught and the
+    *    Exchange-free probe layout is preserved.
+    *
+    * Cell assignment uses the index's FROZEN centroids — delta vectors
+    * must land in the same cell geometry as the index or cross-batch
+    * pairs silently vanish. Scale: the delta shuffles once on cell; the
+    * index side is a bucket-pruned catalog read; pair work is
+    * cluster-blocked exactly like the batch operator.
+    */
+  def probeSemDedupIndex(
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: SemDedupIndex,
+      update: Boolean,
+      numBuckets: Int
+  ): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val spark = delta.sparkSession
+    val cents = readCentroidsTable(spark, index.centroidsTable)
+    val d = SimilarityOps.semanticCellsFrozen(delta, idCol, vecCol, cents)
+    val idx = spark.table(index.cellsTable)
+    val dropIdx = d
+      .select(col("cell"), col("id").as("d_id"), col("unit").as("d_vec"))
+      .join(idx.select(col("cell"), col("id").as("x_id"), col("unit").as("x_vec")),
+        Seq("cell"))
+      // the id guard makes a replayed/update-crossed probe self-match-free
+      .filter(col("d_id") =!= col("x_id"))
+      .filter(round(dot(col("d_vec"), col("x_vec")), 6) >= index.tau)
+      .select(col("d_id").as("id"))
+      .distinct()
+    val rem = d.join(dropIdx, Seq("id"), "left_anti")
+    val dropSelf = SimilarityOps.cellDrops(rem, index.tau)
+    val out = d.select("id", "cell", "cent_sim")
+      .join(dropIdx.withColumn("__di", lit(1)), Seq("id"), "left")
+      .join(dropSelf.withColumn("__ds", lit(1)), Seq("id"), "left")
+      .withColumn("verdict",
+        when(col("__di") === 1, lit("dropped_index"))
+          .when(col("__ds") === 1, lit("dropped_delta"))
+          .otherwise(lit("survived")))
+      .select("id", "cell", "cent_sim", "verdict")
+    if (!update) out
+    else {
+      // the append below MUTATES the index table this plan reads —
+      // verdicts must be pinned against the PRE-append index state
+      // (delta-sized, so the eager local checkpoint is bounded)
+      val pinned = out.localCheckpoint()
+      val survivors = rem.join(dropSelf, Seq("id"), "left_anti")
+        .select("id", "cell", "cent_sim", "unit")
+      BucketOps.appendBucketed(survivors, index.cellsTable, numBuckets, Seq("cell"),
+        sortKeys = Seq("cell"))
+      pinned
+    }
   }
 }

@@ -327,6 +327,13 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // row; k longs per partition per side — no key co-shuffle
     "data_dp_release" -> 2,   // clipped segment agg + ORDER BY — the noise draw is a
                               // seeded md5 projection over the released rows only
+    "dedup_semantic_incr" -> 9, // the PROBE plan only (the index build ran eagerly):
+                              // 3× TP (delta union branches re-instantiated under
+                              // column pruning across the vs-index join, the remainder
+                              // self-prune, and the verdict spine) + delta cell shuffle
+                              // + self-prune drop agg + two verdict left-join id hashes
+                              // + dropIdx distinct + ORDER BY; the INDEX side is the
+                              // bucketed catalog read — Exchange-free by layout
     "text_span_scrub" -> 8    // 4× TP (positions / grams / meta / rebuild consumers of
                               // the tokenize projection — map-side recompute over the
                               // pruned scan is the right 100 TB trade vs checkpointing

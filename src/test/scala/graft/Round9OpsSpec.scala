@@ -300,6 +300,45 @@ class Round9OpsSpec extends SparkSpec {
     assert(r7.getAs[Long]("n_removed") == 0L)
   }
 
+  test("incremental SemDeDup: index drops, within-batch prune, append catches day-3 dups") {
+    import graft.operators.VectorIndexOps
+    // nCells = 1 removes cell-geometry brittleness: every pair is
+    // compared, fate is decided purely by the cosine gate + preference.
+    val base = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),          // A
+      (2L, Seq(0.0, 1.0, 0.0, 0.0))           // B
+    ).toDF("id", "v")
+    val idx = VectorIndexOps.buildSemDedupIndex(base, "id", "v",
+      "graft_t_semidx", nCells = 1, numBuckets = 2, tau = 0.99)
+    assert(spark.table(idx.cellsTable).count() == 2, "no bootstrap dups in base")
+    // day 1: A' (near-dup of indexed A, cos≈0.99875) drops; C is new
+    val delta1 = Seq(
+      (10L, Seq(1.0, 0.05, 0.0, 0.0)),        // A' → dropped_index
+      (11L, Seq(0.0, 0.0, 1.0, 0.0))          // C  → survived (appended)
+    ).toDF("id", "v")
+    val f1 = VectorIndexOps.probeSemDedupIndex(delta1, "id", "v", idx,
+        update = true, numBuckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("verdict")).toMap
+    assert(f1 == Map(10L -> "dropped_index", 11L -> "survived"))
+    assert(spark.table(idx.cellsTable).count() == 3, "survivor C appended to the index")
+    // day 2: C' dups the DAY-1 SURVIVOR (only catchable because the
+    // append folded C in); D1/D2 dup each other but nothing indexed —
+    // exactly one goes by the within-batch preference
+    val delta2 = Seq(
+      (20L, Seq(0.0, 0.0, 1.0, 0.05)),        // C' → dropped_index (vs appended C)
+      (21L, Seq(1.0, 1.0, 0.0, 0.0)),         // D1
+      (22L, Seq(1.0, 1.0, 0.05, 0.0))         // D2
+    ).toDF("id", "v")
+    val f2 = VectorIndexOps.probeSemDedupIndex(delta2, "id", "v", idx,
+        update = false, numBuckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("verdict")).toMap
+    assert(f2(20L) == "dropped_index")
+    assert(Seq(f2(21L), f2(22L)).sorted == Seq("dropped_delta", "survived"),
+      s"exactly one of the D pair must go by preference, got $f2")
+    // update=false is a read-only probe
+    assert(spark.table(idx.cellsTable).count() == 3)
+  }
+
   test("UnitNormalize ≡ the HOF normalize, zero-safe, float-accepting, null-propagating") {
     import graft.functions.VectorFunctions
     // The native kernel replaced transform(v, x / norm(v)) because the

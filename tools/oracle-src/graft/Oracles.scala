@@ -1083,6 +1083,45 @@ object Oracles {
           |SELECT id, cell, cent_sim FROM cl
           |WHERE id NOT IN (SELECT id FROM drops)
           |ORDER BY id""".stripMargin,
+      "dedup_semantic_incr" ->
+        // Replay the engine's full sequential chain over the side-tagged
+        // cells dump: (1) bootstrap-prune the base side (index = base
+        // survivors), (2) a delta row with ANY same-cell index neighbor
+        // at cos ≥ τ is dropped_index (append-only contract — no
+        // preference across the boundary), (3) the remainder self-prunes
+        // by the SemDeDup rule (lower cent_sim preferred, ties keep the
+        // lower id) → dropped_delta, else survived.
+        """WITH cl AS (SELECT side, id, cell, cent_sim, unit
+          |            FROM read_parquet('__GRAFT_OUT__/_aux_semantic_incr_cells/*.parquet')),
+          |base AS (SELECT * FROM cl WHERE side = 'base'),
+          |delta AS (SELECT * FROM cl WHERE side = 'delta'),
+          |bdrops AS (
+          | SELECT DISTINCT a.id
+          | FROM base a JOIN base b ON a.cell = b.cell AND a.id <> b.id
+          | WHERE ROUND(list_reduce(list_transform(list_zip(a.unit, b.unit),
+          |         p -> p[1]*p[2]), (x,y) -> x+y), 6) >= 0.99
+          |   AND (b.cent_sim < a.cent_sim
+          |        OR (b.cent_sim = a.cent_sim AND b.id < a.id))),
+          |idx AS (SELECT * FROM base WHERE id NOT IN (SELECT id FROM bdrops)),
+          |di AS (
+          | SELECT DISTINCT d.id
+          | FROM delta d JOIN idx x ON d.cell = x.cell
+          | WHERE ROUND(list_reduce(list_transform(list_zip(d.unit, x.unit),
+          |         p -> p[1]*p[2]), (x2,y2) -> x2+y2), 6) >= 0.99),
+          |rem AS (SELECT * FROM delta WHERE id NOT IN (SELECT id FROM di)),
+          |ds AS (
+          | SELECT DISTINCT a.id
+          | FROM rem a JOIN rem b ON a.cell = b.cell AND a.id <> b.id
+          | WHERE ROUND(list_reduce(list_transform(list_zip(a.unit, b.unit),
+          |         p -> p[1]*p[2]), (x,y) -> x+y), 6) >= 0.99
+          |   AND (b.cent_sim < a.cent_sim
+          |        OR (b.cent_sim = a.cent_sim AND b.id < a.id)))
+          |SELECT d.id, d.cell, d.cent_sim,
+          |  CASE WHEN d.id IN (SELECT id FROM di) THEN 'dropped_index'
+          |       WHEN d.id IN (SELECT id FROM ds) THEN 'dropped_delta'
+          |       ELSE 'survived' END AS verdict
+          |FROM delta d
+          |ORDER BY d.id""".stripMargin,
       "vec_quantize" ->
         """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
           |q AS (SELECT vec_id, vec, list_min(vec) AS lo, list_max(vec) AS hi FROM v),
