@@ -622,6 +622,25 @@ object ScaleProbe {
           .agg(graft.functions.SketchAggregates.kmvSketch(col("value"), 256).as("sk"))
           .groupBy().count().head().getLong(0)
       },
+      "winnow_fingerprints" -> { rows =>
+        // winnowing selection core: positioned gram hash (md5 exactly
+        // once per gram — posexplode rows, never a re-inlinable HOF) +
+        // per-doc w-row min windows → one shuffle on the doc id; the
+        // downstream hash-bucket pair-gen shares the guarded
+        // allBucketPairs machinery probed elsewhere. 10% of docs share
+        // a planted 7-token run so selected-hash duplicate mass is real.
+        val run = (1 to 7).map(i => s"r$i").mkString(" ")
+        val tail16 = concat_ws(" ",
+          transform(sequence(lit(1), lit(16)),
+            i => concat(lit("u"), (col("id") * 16 + i).cast("string"))))
+        val docs = synth(rows).select(col("id"),
+          when(pmod(col("id"), lit(10)) === 0, concat(lit(run + " "), tail16))
+            .otherwise(tail16).as("text"))
+        withScaledPartitions(rows) {
+          graft.operators.DedupOps.winnowFingerprints(docs, "text", "id", k = 4, w = 4)
+            .groupBy().count().head().getLong(0)
+        }
+      },
       "dp_release" -> { rows =>
         // DP aggregate release: one clipped groupBy agg + seeded-noise
         // projection — nothing here may grow super-linearly

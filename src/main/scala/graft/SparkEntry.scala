@@ -5262,6 +5262,20 @@ object SparkEntry {
         // every file
         (col("s_zb") === col("s_cells")).as("sorted_zb_touches_all"),
         (col("z_zb") < col("s_zb")).as("zorder_wins_second_dim"))
+    }),
+    "dedup_winnowing" -> ((s, d) => {
+      // winnowing fingerprints (Schleimer et al. SIGMOD'03 / MOSS):
+      // shared-PASSAGE candidate pairs — docs sharing ≥2 selected gram
+      // hashes. Unlike MinHash (whole-doc similarity, probabilistic),
+      // winnowing GUARANTEES any shared run of ≥ w+k-1 = 7 tokens
+      // surfaces, at ~2/(w+1) fingerprint density. Selection is
+      // rightmost-min-per-window over a packed (40-bit md5 hash)·2²¹ +
+      // (2²¹−1−pos) key, so the oracle replays the whole rule with
+      // plain MIN window arithmetic. One shuffle on doc id (selection
+      // windows), one on fp hash (bucket pair-gen, overflow-guarded).
+      DedupOps.winnowDupPairs(TP(s, d, "documents"), "text", "doc_id",
+          k = 4, w = 4, minShared = 2)
+        .orderBy("a_id", "b_id")
     })
   )
 

@@ -646,4 +646,94 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    * the MOSS local fingerprinting scheme): over each document's
+    * positioned word k-gram hashes, every window of w consecutive grams
+    * selects its minimum hash (RIGHTMOST position on ties); the distinct
+    * selected (position, hash) pairs are the document's fingerprint.
+    *
+    * GUARANTEE (the reason winnowing exists next to MinHash): any shared
+    * token run of length ≥ w+k-1 between two documents selects at least
+    * one COMMON gram hash in both — detection of long-enough matches is
+    * certain, not probabilistic, while keeping only ~2/(w+1) of grams.
+    * MinHash (row 36) answers "how similar are two whole documents";
+    * winnowing answers "do these documents share any sufficiently long
+    * passage" — the plagiarism/code-clone/license-text question.
+    *
+    * Shape: one projection per gram (md5 exactly once per gram — the
+    * positioned rows come from posexplode, never a HOF that Catalyst
+    * could re-inline per window), one shuffle on the doc id for the
+    * per-doc selection windows (frames are w rows, docs bounded — never
+    * a global window). The min-selection key packs (hash, position)
+    * into ONE BIGINT — hash·2²¹ + (2²¹−1−pos) — so rightmost-tie-break
+    * argmin is a plain MIN any engine replays exactly; 40-bit hashes
+    * keep the packed key under 2⁶¹ (a collision only merges two
+    * fingerprints — candidates stay a superset, and the oracle replays
+    * the identical arithmetic, so exactness is unaffected).
+    * Contract: per-document gram count < 2²¹ (a 2M-token document; the
+    * chunking row splits longer ones upstream).
+    */
+  def winnowFingerprints(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 4,
+      w: Int = 4
+  ): DataFrame = {
+    require(k >= 1 && w >= 1, "winnowing needs k >= 1 and w >= 1")
+    val posCap = 1L << 21
+    val grams = df.select(
+      col(idCol).as("id"),
+      posexplode(shinglesFromTokens(tokens(col(textCol)), k)).as(Seq("pos", "gram")))
+    val keyed = grams.select(
+      col("id"),
+      col("pos"),
+      (conv(substring(md5(col("gram")), 1, 10), 16, 10).cast("long") * posCap +
+        (lit(posCap - 1) - col("pos"))).as("key"))
+    val wSel = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    val wDoc = Window.partitionBy("id")
+    keyed
+      .withColumn("sel", min(col("key")).over(wSel))
+      .withColumn("n_g", count(lit(1)).over(wDoc))
+      // valid window starts only: pos ≤ n_g − w (frames past the end are
+      // sub-windows of the last full one); a doc with fewer than w grams
+      // keeps its single all-grams window at pos 0
+      .filter(col("pos") <= greatest(col("n_g") - w, lit(0)))
+      .select(
+        col("id"),
+        (lit(posCap - 1) - pmod(col("sel"), lit(posCap))).as("fp_pos"),
+        expr(s"sel div $posCap").as("fp_hash"))
+      .distinct()
+  }
+
+  /** Shared-passage candidate pairs from winnowing fingerprints: docs
+    * sharing ≥ minShared distinct fingerprint HASHES, with the shared
+    * count. By the winnowing guarantee, every doc pair sharing a token
+    * run of ≥ w+k-1 appears (for minShared = 1). One shuffle on the
+    * fingerprint hash; pairs generated within hash buckets (overflow
+    * join above maxBucketSize — boilerplate fingerprints shared by half
+    * the corpus never materialize m² structs in one task); final count
+    * is a partial-agg groupBy on the pair.
+    */
+  def winnowDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 4,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxBucketSize: Int = 64
+  ): DataFrame = {
+    val buckets = winnowFingerprints(df, textCol, idCol, k, w)
+      .select(col("fp_hash"), col("id"))
+      .distinct()
+      .groupBy("fp_hash")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    allBucketPairs(buckets, Seq("fp_hash"), "ids", maxBucketSize)
+      .groupBy(col("a").as("a_id"), col("b").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -334,6 +334,11 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // + self-prune drop agg + two verdict left-join id hashes
                               // + dropIdx distinct + ORDER BY; the INDEX side is the
                               // bucketed catalog read — Exchange-free by layout
+    "dedup_winnowing" -> 2,   // pair-count agg + ORDER BY — measured BELOW the bucket
+                              // table's lazy localCheckpoint (allBucketPairs); the
+                              // upstream TP + per-doc selection-window sort + fp-hash
+                              // bucket agg run once at checkpoint materialization, and
+                              // the winnow_fingerprints scale probe covers their shape
     "text_span_scrub" -> 8    // 4× TP (positions / grams / meta / rebuild consumers of
                               // the tokenize projection — map-side recompute over the
                               // pruned scan is the right 100 TB trade vs checkpointing

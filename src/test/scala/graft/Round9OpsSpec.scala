@@ -372,4 +372,82 @@ class Round9OpsSpec extends SparkSpec {
       .select(VectorFunctions.unitNormalize($"vec").as("u")).head()
     assert(nl.isNullAt(0))
   }
+
+  // ---- winnowing (Schleimer et al. SIGMOD'03) --------------------------
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Reference winnowing: per-window rightmost-argmin selection, the
+    * definition straight from the paper. */
+  private def naiveWinnow(tokens: Seq[String], k: Int, w: Int): Set[(Long, Long)] = {
+    val grams =
+      if (tokens.size <= k) Seq(tokens.mkString(" "))
+      else tokens.sliding(k).map(_.mkString(" ")).toSeq
+    val hs = grams.map(g => java.lang.Long.parseLong(md5hex(g).take(10), 16))
+    val n = hs.size
+    (0 to math.max(n - w, 0)).map { j =>
+      val end = math.min(j + w - 1, n - 1)
+      var best = j
+      for (q <- j to end) if (hs(q) <= hs(best)) best = q // <= → rightmost tie
+      (best.toLong, hs(best))
+    }.toSet
+  }
+
+  test("winnowFingerprints ≡ the paper's per-window rightmost-argmin on random docs") {
+    val r = new scala.util.Random(7)
+    val vocab = Vector("ash", "birch", "cedar", "dune", "elm", "fern", "gorse", "hazel")
+    val docs = (1L to 40L).map { id =>
+      val len = 1 + r.nextInt(30) // covers <k, <w-grams, and long docs
+      (id, Seq.fill(len)(vocab(r.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = DedupOps.winnowFingerprints(df, "text", "doc_id", k = 4, w = 4)
+      .collect()
+      .map(row => (row.getLong(0), (row.getLong(1), row.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    docs.foreach { case (id, text) =>
+      val want = naiveWinnow(text.split(" ").toSeq, 4, 4)
+      assert(got.getOrElse(id, Set.empty) == want, s"doc $id: text='$text'")
+    }
+  }
+
+  test("winnowing guarantee: a shared run of ≥ w+k-1 tokens always yields a shared fingerprint") {
+    val r = new scala.util.Random(13)
+    val vocab = ('a' to 'z').map(c => s"$c$c$c")
+    val run = Seq("omega", "kappa", "sigma", "theta", "lambda", "gamma", "delta") // w+k-1 = 7
+    val docs = (1L to 20L).flatMap { i =>
+      def noise(n: Int) = Seq.fill(n)(vocab(r.nextInt(vocab.size)))
+      val a = (noise(r.nextInt(20)) ++ run ++ noise(r.nextInt(20))).mkString(" ")
+      val b = (noise(r.nextInt(20)) ++ run ++ noise(r.nextInt(20))).mkString(" ")
+      Seq((i * 2, a), (i * 2 + 1, b))
+    }
+    val pairs = DedupOps.winnowDupPairs(docs.toDF("doc_id", "text"), "text", "doc_id",
+        k = 4, w = 4, minShared = 1)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    (1L to 20L).foreach { i =>
+      assert(pairs.contains((i * 2, i * 2 + 1)),
+        s"planted pair (${i * 2}, ${i * 2 + 1}) missed — the winnowing guarantee is broken")
+    }
+  }
+
+  test("winnowDupPairs n_shared counts distinct shared hashes; overflow path agrees") {
+    // three docs: a/b share two distinct 7-token runs, c shares nothing
+    val runs = Seq(
+      Seq("one", "two", "three", "four", "five", "six", "seven"),
+      Seq("red", "blue", "green", "cyan", "plum", "jade", "rust"))
+    val a = (runs(0) ++ Seq("xq") ++ runs(1)).mkString(" ")
+    val b = (runs(1) ++ Seq("zk", "wf") ++ runs(0)).mkString(" ")
+    val c = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val got = DedupOps.winnowDupPairs(df, "text", "doc_id", k = 4, w = 4, minShared = 2)
+      .collect().map(row => ((row.getLong(0), row.getLong(1)), row.getLong(2))).toMap
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L)) >= 2, s"two shared runs must yield ≥2 shared fingerprints: $got")
+    // the distributed overflow path (maxBucketSize=1) emits the same pairs
+    val small = DedupOps.winnowDupPairs(df, "text", "doc_id", 4, 4, 2, maxBucketSize = 1)
+      .collect().map(row => ((row.getLong(0), row.getLong(1)), row.getLong(2))).toMap
+    assert(small == got)
+  }
 }

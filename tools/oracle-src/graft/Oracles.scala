@@ -3150,7 +3150,34 @@ object Oracles {
            |n1 AS (SELECT (SELECT COUNT(*) FROM documents)
            |  - (SELECT COUNT(*) FROM c WHERE id <> cluster_id) AS n)
            |SELECT CAST(n AS BIGINT) AS n_pass1, CAST(n AS BIGINT) AS n_pass2,
-           | true AS idempotent FROM n1""".stripMargin
+           | true AS idempotent FROM n1""".stripMargin,
+      "dedup_winnowing" ->
+        // replay the full winnowing selection rule: positioned word
+        // 4-grams (matching shinglesFromTokens's ≤k single-gram case),
+        // 40-bit md5 hash packed with the 2²¹-complement position so
+        // rightmost-min-per-window is a plain MIN, valid window starts
+        // pos ≤ max(n_g − w, 0), distinct selected hashes per doc, then
+        // the quadratic-truth shared-hash pair counts (≥ 2)
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |g0 AS (SELECT doc_id, CASE WHEN len(tk) <= 4 THEN [array_to_string(tk, ' ')]
+           |        ELSE list_transform(range(1, len(tk) - 2), i -> array_to_string(tk[i:i+3], ' ')) END AS gs
+           |       FROM t),
+           |gp AS (SELECT doc_id, unnest(list_transform(range(1, len(gs) + 1),
+           |        i -> {'p': i - 1, 's': gs[i]})) AS u FROM g0),
+           |ge AS (SELECT doc_id, u.p AS pos,
+           |        CAST(('0x' || substr(md5(u.s), 1, 10)) AS BIGINT) * 2097152
+           |          + (2097151 - u.p) AS key FROM gp),
+           |sel AS (SELECT doc_id, pos,
+           |         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+           |         count(*) OVER (PARTITION BY doc_id) AS n_g
+           |        FROM ge),
+           |fp AS (SELECT DISTINCT doc_id, sel // 2097152 AS fp_hash
+           |       FROM sel WHERE pos <= greatest(n_g - 4, 0))
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+           |FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2 HAVING count(*) >= 2
+           |ORDER BY a_id, b_id""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
