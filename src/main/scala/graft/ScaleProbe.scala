@@ -641,6 +641,20 @@ object ScaleProbe {
             .groupBy().count().head().getLong(0)
         }
       },
+      "dsir_fit_score" -> { rows =>
+        // DSIR fit+score: two exploded-gram partial aggs (bucket counts,
+        // per-doc weights) + a broadcast lr join — per-row cost must
+        // stay flat; target slice is 10% of docs
+        val text = concat_ws(" ",
+          transform(sequence(lit(1), lit(12)),
+            i => concat(lit("w"), pmod(col("id") * 7 + i, lit(5000L)).cast("string"))))
+        val docs = synth(rows).select(col("id"), text.as("text"))
+        withScaledPartitions(rows) {
+          graft.operators.SelectionOps.dsirScores(docs, "id", "text",
+              isTarget = pmod(col("id"), lit(10L)) === 0, buckets = 1024, seed = "sp")
+            .groupBy().count().head().getLong(0)
+        }
+      },
       "dp_release" -> { rows =>
         // DP aggregate release: one clipped groupBy agg + seeded-noise
         // projection — nothing here may grow super-linearly

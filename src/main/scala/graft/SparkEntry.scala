@@ -5276,6 +5276,26 @@ object SparkEntry {
       DedupOps.winnowDupPairs(TP(s, d, "documents"), "text", "doc_id",
           k = 4, w = 4, minShared = 2)
         .orderBy("a_id", "b_id")
+    }),
+    "data_dsir" -> ((s, d) => {
+      // DSIR importance resampling (Xie et al. 2023): select the 50
+      // raw-corpus docs that look most like the ENGLISH slice under
+      // hashed-bigram models — logw = Σ c_f·(ln θ_en − ln θ_raw)
+      // (per-bucket log-ratio rounded ONCE at the 1024-row bucket
+      // table then decimal-exact per-doc fold) + seeded md5-Gumbel
+      // top-k (≡ sampling without replacement ∝ w, retry-stable).
+      // Fit = one conditional-sum bucket agg; score = broadcast lr
+      // join + one doc agg; selection = TakeOrdered, no global sort.
+      val docs = TP(s, d, "documents")
+      val top = SelectionOps.dsirScores(docs, "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = 1024, seed = "dsir")
+        .orderBy(col("score").desc, col("id"))
+        .limit(50)
+      top.join(docs.select(col("doc_id"), col("lang")), top("id") === col("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          col("logw").cast("double").as("logw"),
+          col("score").cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
     })
   )
 

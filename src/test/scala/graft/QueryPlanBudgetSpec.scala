@@ -339,6 +339,13 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // upstream TP + per-doc selection-window sort + fp-hash
                               // bucket agg run once at checkpoint materialization, and
                               // the winnow_fingerprints scale probe covers their shape
+    "data_dsir" -> 8,         // 3× TP (gram subtree re-instantiated for the score pass,
+                              // the bucket-count pass, and the totals pass — ReuseExchange
+                              // dedupes the identical count subtrees at runtime) + bucket
+                              // agg ×2 + 1-row totals agg + per-doc weight agg + final
+                              // ORDER BY; the lr table and totals ride BROADCAST, the
+                              // top-50 rejoin is a broadcast of TakeOrderedAndProject —
+                              // every corpus-sized shuffle is a partial-agg gram fold
     "text_span_scrub" -> 8    // 4× TP (positions / grams / meta / rebuild consumers of
                               // the tokenize projection — map-side recompute over the
                               // pruned scan is the right 100 TB trade vs checkpointing

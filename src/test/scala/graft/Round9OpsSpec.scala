@@ -432,6 +432,42 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- DSIR importance resampling (Xie et al. 2023) --------------------
+
+  test("dsirScores ranks target-like docs above raw-typical docs") {
+    import graft.operators.SelectionOps
+    // target docs speak vocabulary A, the raw bulk vocabulary B; two
+    // held-out probes (neither in the target) — the A-speaking probe
+    // must carry the higher importance weight
+    val aText = "alpha beta gamma delta alpha beta gamma delta"
+    val bText = "nickel cobalt zinc iron nickel cobalt zinc iron"
+    val docs =
+      (1L to 10L).map(i => (i, aText, true)) ++ // target slice
+        (11L to 60L).map(i => (i, bText, false)) ++
+        Seq((100L, aText, false), (101L, bText, false)) // probes
+    val scored = SelectionOps.dsirScores(docs.toDF("id", "text", "is_t"),
+        "id", "text", isTarget = col("is_t"), buckets = 256, seed = "t")
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    assert(scored(100L) > scored(101L),
+      s"target-like probe must outweigh raw-typical probe: $scored")
+    // probe 100's weight equals the target docs' (same text, same fold)
+    assert(scored(100L) == scored(1L))
+  }
+
+  test("dsir logw is an exact decimal fold: identical across partitionings") {
+    import graft.operators.SelectionOps
+    val r = new scala.util.Random(5)
+    val vocab = Vector("v1", "v2", "v3", "v4", "v5", "v6", "v7", "v8")
+    val docs = (1L to 80L).map { i =>
+      (i, Seq.fill(6 + r.nextInt(20))(vocab(r.nextInt(vocab.size))).mkString(" "))
+    }
+    def run(parts: Int) = SelectionOps.dsirScores(
+        docs.toDF("id", "text").repartition(parts), "id", "text",
+        isTarget = col("id") % 3 === 0, buckets = 128, seed = "p")
+      .collect().map(r => (r.getLong(0), r.getDecimal(1), r.getDecimal(2))).toSet
+    assert(run(1) == run(13), "decimal weights must not depend on partitioning")
+  }
+
   test("winnowDupPairs n_shared counts distinct shared hashes; overflow path agrees") {
     // three docs: a/b share two distinct 7-token runs, c shares nothing
     val runs = Seq(

@@ -3177,7 +3177,38 @@ object Oracles {
            |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
            |FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
            |GROUP BY 1, 2 HAVING count(*) >= 2
-           |ORDER BY a_id, b_id""".stripMargin
+           |ORDER BY a_id, b_id""".stripMargin,
+      "data_dsir" ->
+        // replay DSIR end-to-end: hashed-bigram bucket counts with the
+        // target (lang='en') membership as a conditional sum, smoothed
+        // per-bucket log-ratio rounded to 6 and cast DECIMAL(18,6) (the
+        // only ln sites — ≤1024 of them), exact decimal per-doc fold,
+        // seeded md5-Gumbel, top-50 by score. Decimal→double via
+        // VARCHAR (DuckDB's direct decimal→double cast is not correctly
+        // rounded — the dsum convention).
+        s"""WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
+           |bg AS (SELECT doc_id, lang = 'en' AS is_t,
+           |        unnest(CASE WHEN len(tk) <= 2 THEN [array_to_string(tk, ' ')]
+           |          ELSE list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')) END) AS g
+           |       FROM t),
+           |bb AS (SELECT doc_id, is_t,
+           |        CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 1024 AS bucket FROM bg),
+           |cnt AS (SELECT bucket, count(*) AS c_r,
+           |        sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t FROM bb GROUP BY bucket),
+           |tot AS (SELECT sum(c_r) AS n_r, sum(c_t) AS n_t FROM cnt),
+           |lr AS (SELECT bucket,
+           |        CAST(ROUND(ln((c_t + 1.0) / (n_t + 1024)) - ln((c_r + 1.0) / (n_r + 1024)), 6)
+           |          AS DECIMAL(18,6)) AS lr FROM cnt, tot),
+           |w AS (SELECT doc_id, CAST(sum(lr) AS DECIMAL(38,6)) AS logw
+           |      FROM bb JOIN lr USING (bucket) GROUP BY doc_id),
+           |sc AS (SELECT doc_id, logw,
+           |        logw + CAST(ROUND(-ln(-ln((CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)), 6) AS DECIMAL(18,6)) AS score
+           |       FROM w)
+           |SELECT s.doc_id, d.lang,
+           | CAST(CAST(s.logw AS VARCHAR) AS DOUBLE) AS logw,
+           | CAST(CAST(s.score AS VARCHAR) AS DOUBLE) AS score
+           |FROM sc s JOIN documents d ON s.doc_id = d.doc_id
+           |ORDER BY s.score DESC, s.doc_id LIMIT 50""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
