@@ -655,6 +655,18 @@ object ScaleProbe {
             .groupBy().count().head().getLong(0)
         }
       },
+      "probe_fit_moments" -> { rows =>
+        // closed-form probe training: one map-side-combined moment agg
+        // + one broadcast eval agg — both single global aggregates, so
+        // per-row cost must be flat and the reduce side constant-size
+        val feats = synth(rows).select(col("id"),
+          pmod(col("id") * 13L, lit(200L)).as("x1"),
+          pmod(col("id") * 7L, lit(12L)).as("x2"),
+          (pmod(col("id"), lit(3L)) === 0).as("flag"))
+        graft.operators.StatsOps.linearProbeFit(feats,
+            col("x1"), col("x2"), when(col("flag"), 1L).otherwise(0L))
+          .head().getLong(0)
+      },
       "dp_release" -> { rows =>
         // DP aggregate release: one clipped groupBy agg + seeded-noise
         // projection — nothing here may grow super-linearly

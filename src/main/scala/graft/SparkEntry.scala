@@ -5296,6 +5296,24 @@ object SparkEntry {
           col("logw").cast("double").as("logw"),
           col("score").cast("double").as("score"))
         .orderBy(col("score").desc, col("doc_id"))
+    }),
+    "quality_model_fit" -> ((s, d) => {
+      // closed-form linear-probe TRAINING (StatsOps.linearProbeFit):
+      // is-English ≈ w0 + w1·n_tokens + w2·stopword_hits fit by normal
+      // equations from ONE sufficient-statistics pass (9 decimal-exact
+      // integer moments, map-side combined), Cramer solve + SSE as a
+      // fixed double expression on the 1-row stats, and a broadcast
+      // eval pass counting threshold-½ correct predictions — the
+      // inference twin is row 135; this is the TRAINING side, with no
+      // gradient loop and no driver-side data. (The synthetic corpus's
+      // lang is nearly independent of its text, so accuracy ≈ the class
+      // base rate here — honest; the spec proves exact recovery +
+      // accuracy 1.0 on a separable corpus.)
+      val docs = TP(s, d, "documents")
+      StatsOps.linearProbeFit(docs,
+        x1 = size(TextFunctions.tokens(col("text"))),
+        x2 = TextFunctions.tokenHits(col("text"), TextFunctions.stopwords("en")),
+        label = when(col("lang") === "en", 1L).otherwise(0L))
     })
   )
 

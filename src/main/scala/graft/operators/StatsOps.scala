@@ -408,4 +408,65 @@ object StatsOps {
         (sqrt(n * col("saa") - col("sa") * col("sa")) *
           sqrt(n * col("sbb") - col("sb") * col("sb")))).as("spearman_rho"))
   }
+
+  /** Distributed closed-form linear-probe TRAINING: fit
+    * y ≈ w0 + w1·x1 + w2·x2 by least squares (normal equations solved
+    * with Cramer's rule) plus an in-engine classifier eval at
+    * threshold ½ — the 100 TB way to train a linear model: ONE
+    * map-side-combined aggregate collects the 9 sufficient statistics
+    * (integer-feature moments summed DECIMAL-exact, order-independent),
+    * the 3×3 solve and SSE are a FIXED double expression over the 1-row
+    * stats (bit-identical on any engine mirroring the order — the
+    * exactStats/spearman convention), and the eval pass broadcasts the
+    * 1-row model back over the corpus for an integer-exact
+    * correct-prediction count. No gradient loop, no driver-side data,
+    * no per-row floats inside any sum. Inputs contract: x1, x2, y are
+    * integer-valued (counts / 0-1 labels) with |x| small enough that
+    * per-row products fit DECIMAL(38,0) — any count feature does.
+    */
+  def linearProbeFit(df: DataFrame, x1: Column, x2: Column, label: Column): DataFrame = {
+    val d0 = df.select(x1.cast("long").as("x1"), x2.cast("long").as("x2"),
+      label.cast("long").as("y"))
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    def dsum(c: Column) = sum(c).cast("decimal(38,0)").cast("double")
+    val m = d0.agg(
+      count(lit(1)).as("n_rows"),
+      dsum(d19(col("x1"))).as("sx1"), dsum(d19(col("x2"))).as("sx2"),
+      dsum(d19(col("y"))).as("sy"),
+      dsum(d19(col("x1")) * d19(col("x1"))).as("sx11"),
+      dsum(d19(col("x2")) * d19(col("x2"))).as("sx22"),
+      dsum(d19(col("x1")) * d19(col("x2"))).as("sx12"),
+      dsum(d19(col("x1")) * d19(col("y"))).as("sx1y"),
+      dsum(d19(col("x2")) * d19(col("y"))).as("sx2y"))
+    // Cramer on the symmetric normal matrix [[n,sx1,sx2],[sx1,sx11,sx12],
+    // [sx2,sx12,sx22]] against [sy,sx1y,sx2y]; expression order is the
+    // cross-engine contract — mirror it exactly in any oracle.
+    val a = col("n_rows").cast("double")
+    val (b, c0, dd, e, f) = (col("sx1"), col("sx2"), col("sx11"), col("sx12"), col("sx22"))
+    val (p, q, r) = (col("sy"), col("sx1y"), col("sx2y"))
+    val det = a * (dd * f - e * e) - b * (b * f - e * c0) + c0 * (b * e - dd * c0)
+    val model = m.select(col("n_rows"), col("sy"), col("sx1y"), col("sx2y"),
+        col("sx1"), col("sx2"), col("sx11"), col("sx12"), col("sx22"),
+        ((p * (dd * f - e * e) - b * (q * f - e * r) + c0 * (q * e - dd * r)) / det).as("w0"),
+        ((a * (q * f - e * r) - p * (b * f - e * c0) + c0 * (b * r - q * c0)) / det).as("w1"),
+        ((a * (dd * r - q * e) - b * (b * r - q * c0) + p * (b * e - dd * c0)) / det).as("w2"))
+      .select(col("n_rows"), col("w0"), col("w1"), col("w2"),
+        // SSE from the same statistics (y integer ⇒ Σy² = Σy only for
+        // 0/1 labels — keep the general Σy² = sy form ONLY for binary y;
+        // documented contract): Σ(y−ŷ)² = Σy² − 2wᵀXᵀy + wᵀXᵀXw
+        (col("sy") -
+          (lit(2.0) * (col("w0") * col("sy") + col("w1") * col("sx1y") + col("w2") * col("sx2y"))) +
+          (col("w0") * col("w0") * col("n_rows").cast("double") +
+            col("w1") * col("w1") * col("sx11") + col("w2") * col("w2") * col("sx22") +
+            lit(2.0) * col("w0") * col("w1") * col("sx1") +
+            lit(2.0) * col("w0") * col("w2") * col("sx2") +
+            lit(2.0) * col("w1") * col("w2") * col("sx12"))).as("sse"))
+    val pred = col("w0") + col("w1") * col("x1").cast("double") +
+      col("w2") * col("x2").cast("double")
+    val eval0 = d0.crossJoin(broadcast(model.select("w0", "w1", "w2")))
+      .agg(sum(when((pred > 0.5) === (col("y") === 1), 1L).otherwise(0L)).as("n_correct"))
+    model.crossJoin(broadcast(eval0)).select(
+      col("n_rows"), col("w0"), col("w1"), col("w2"), col("sse"), col("n_correct"),
+      (col("n_correct").cast("double") / col("n_rows").cast("double")).as("accuracy"))
+  }
 }

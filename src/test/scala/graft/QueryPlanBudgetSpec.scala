@@ -346,6 +346,11 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // ORDER BY; the lr table and totals ride BROADCAST, the
                               // top-50 rejoin is a broadcast of TakeOrderedAndProject —
                               // every corpus-sized shuffle is a partial-agg gram fold
+    "quality_model_fit" -> 3, // 2× TP (the moments pass and the broadcast-eval pass each
+                              // re-instantiate the feature projection — fit-then-eval is
+                              // two corpus scans by design) + ONE single-partition
+                              // exchange for the global moment agg; the Cramer solve,
+                              // SSE, and the model→eval rejoin all ride 1-row broadcasts
     "text_span_scrub" -> 8    // 4× TP (positions / grams / meta / rebuild consumers of
                               // the tokenize projection — map-side recompute over the
                               // pruned scan is the right 100 TB trade vs checkpointing

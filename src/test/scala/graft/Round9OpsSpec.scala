@@ -468,6 +468,37 @@ class Round9OpsSpec extends SparkSpec {
     assert(run(1) == run(13), "decimal weights must not depend on partitioning")
   }
 
+  // ---- closed-form linear probe training --------------------------------
+
+  test("linearProbeFit recovers the exact solution on a separable corpus") {
+    import graft.operators.StatsOps
+    // y ≡ x2 (binary flag), x1 independent noise: the least-squares
+    // optimum is exactly w = (0, 0, 1) → SSE ~ 0, accuracy 1.0
+    val r = new scala.util.Random(3)
+    val rows = (1 to 400).map { i => (i.toLong, 5L + r.nextInt(200), (i % 3 == 0))  }
+    val df = rows.toDF("id", "x1", "flag")
+    val fit = StatsOps.linearProbeFit(df, col("x1"), when(col("flag"), 1L).otherwise(0L),
+        when(col("flag"), 1L).otherwise(0L)).head()
+    assert(fit.getLong(0) == 400)
+    assert(math.abs(fit.getDouble(1)) < 1e-9, s"w0=${fit.getDouble(1)}")
+    assert(math.abs(fit.getDouble(2)) < 1e-12, s"w1=${fit.getDouble(2)}")
+    assert(math.abs(fit.getDouble(3) - 1.0) < 1e-9, s"w2=${fit.getDouble(3)}")
+    assert(math.abs(fit.getDouble(4)) < 1e-6, s"sse=${fit.getDouble(4)}")
+    assert(fit.getDouble(6) == 1.0, "separable data must classify perfectly")
+  }
+
+  test("linearProbeFit is bit-identical across partitionings (decimal moments)") {
+    import graft.operators.StatsOps
+    val r = new scala.util.Random(9)
+    val rows = (1 to 300).map { i =>
+      (i.toLong, r.nextInt(150).toLong, r.nextInt(12).toLong, (r.nextInt(2) == 0)) }
+    def run(parts: Int) = StatsOps.linearProbeFit(
+        rows.toDF("id", "a", "b", "flag").repartition(parts),
+        col("a"), col("b"), when(col("flag"), 1L).otherwise(0L))
+      .collect().map(_.toSeq).toSeq
+    assert(run(1) == run(17), "moments are decimal-exact → identical doubles")
+  }
+
   test("winnowDupPairs n_shared counts distinct shared hashes; overflow path agrees") {
     // three docs: a/b share two distinct 7-token runs, c shares nothing
     val runs = Seq(

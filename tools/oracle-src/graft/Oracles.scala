@@ -3208,7 +3208,43 @@ object Oracles {
            | CAST(CAST(s.logw AS VARCHAR) AS DOUBLE) AS logw,
            | CAST(CAST(s.score AS VARCHAR) AS DOUBLE) AS score
            |FROM sc s JOIN documents d ON s.doc_id = d.doc_id
-           |ORDER BY s.score DESC, s.doc_id LIMIT 50""".stripMargin
+           |ORDER BY s.score DESC, s.doc_id LIMIT 50""".stripMargin,
+      "quality_model_fit" ->
+        // replay the sufficient-statistics probe fit: integer moments
+        // (DuckDB sums in HUGEINT — exact like Spark's DECIMAL(38,0))
+        // routed to DOUBLE via VARCHAR (correct rounding), then the
+        // IDENTICAL Cramer/SSE/eval expression order as linearProbeFit
+        s"""WITH t AS (SELECT len($toks) AS x1,
+           |        len(list_filter($toks, x -> list_contains(${markers("en")}, x))) AS x2,
+           |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+           |m AS (SELECT count(*) AS n_rows,
+           |  CAST(CAST(sum(x1) AS VARCHAR) AS DOUBLE) AS sx1,
+           |  CAST(CAST(sum(x2) AS VARCHAR) AS DOUBLE) AS sx2,
+           |  CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+           |  CAST(CAST(sum(x1::HUGEINT * x1) AS VARCHAR) AS DOUBLE) AS sx11,
+           |  CAST(CAST(sum(x2::HUGEINT * x2) AS VARCHAR) AS DOUBLE) AS sx22,
+           |  CAST(CAST(sum(x1::HUGEINT * x2) AS VARCHAR) AS DOUBLE) AS sx12,
+           |  CAST(CAST(sum(x1::HUGEINT * y) AS VARCHAR) AS DOUBLE) AS sx1y,
+           |  CAST(CAST(sum(x2::HUGEINT * y) AS VARCHAR) AS DOUBLE) AS sx2y
+           |  FROM t),
+           |w AS (SELECT n_rows, sy, sx1y, sx2y, sx1, sx2, sx11, sx12, sx22,
+           |  (sy * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1y * sx22 - sx12 * sx2y) + sx2 * (sx1y * sx12 - sx11 * sx2y))
+           |    / (CAST(n_rows AS DOUBLE) * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)) AS w0,
+           |  (CAST(n_rows AS DOUBLE) * (sx1y * sx22 - sx12 * sx2y) - sy * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx2y - sx1y * sx2))
+           |    / (CAST(n_rows AS DOUBLE) * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)) AS w1,
+           |  (CAST(n_rows AS DOUBLE) * (sx11 * sx2y - sx1y * sx12) - sx1 * (sx1 * sx2y - sx1y * sx2) + sy * (sx1 * sx12 - sx11 * sx2))
+           |    / (CAST(n_rows AS DOUBLE) * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)) AS w2
+           |  FROM m),
+           |s2 AS (SELECT n_rows, w0, w1, w2,
+           |  sy - (2.0 * (w0 * sy + w1 * sx1y + w2 * sx2y)) +
+           |    (w0 * w0 * CAST(n_rows AS DOUBLE) + w1 * w1 * sx11 + w2 * w2 * sx22 +
+           |     2.0 * w0 * w1 * sx1 + 2.0 * w0 * w2 * sx2 + 2.0 * w1 * w2 * sx12) AS sse
+           |  FROM w),
+           |ev AS (SELECT sum(CASE WHEN ((w0 + w1 * CAST(x1 AS DOUBLE) + w2 * CAST(x2 AS DOUBLE)) > 0.5) = (y = 1)
+           |        THEN 1 ELSE 0 END) AS n_correct FROM t, s2)
+           |SELECT n_rows, w0, w1, w2, sse, CAST(n_correct AS BIGINT) AS n_correct,
+           | CAST(n_correct AS DOUBLE) / CAST(n_rows AS DOUBLE) AS accuracy
+           |FROM s2, ev""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
