@@ -5314,6 +5314,63 @@ object SparkEntry {
         x1 = size(TextFunctions.tokens(col("text"))),
         x2 = TextFunctions.tokenHits(col("text"), TextFunctions.stopwords("en")),
         label = when(col("lang") === "en", 1L).otherwise(0L))
+    }),
+    "data_url_canon" -> ((s, d) => {
+      // URL canonicalization + canonical-key dedup (the crawl-curation
+      // stage before any content dedup): scheme/host case, default
+      // ports, leading www., utm_* params, param order, fragments and
+      // trailing slashes all normalize away; docs sharing the canonical
+      // key collapse keep-min. URLs are SYNTHESIZED deterministically
+      // from doc_id/source (the linkage dirty-copy precedent) with all
+      // seven mess dimensions exercised, so the oracle replays the
+      // synthesis + canonicalization byte-for-byte. Shape: pure
+      // projection + one partial-agg groupBy on the canonical key.
+      val u = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
+        col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/docs/"), (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?utm_source=feed&id="), (col("doc_id") % 5).cast("string"),
+            lit("&utm_campaign=x")))
+          .otherwise(concat(lit("?id="), (col("doc_id") % 5).cast("string"))),
+        when(col("doc_id") % 5 === 0, lit("#sec2")).otherwise(lit("")))
+      T(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.canonicalizeUrl(u).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+        .orderBy("canonical_url")
+    }),
+    "text_ccnet_buckets" -> ((s, d) => {
+      // CCNet-style head/middle/tail corpus partitioning (Wenzek et al.
+      // 2020): per-LANGUAGE terciles of an LM-familiarity score (the
+      // log-free bigram corpus-familiarity of row 291 stands in for the
+      // wiki-LM perplexity), split at exact percent_rank thirds via the
+      // banded-rank calibrate core — never a per-language raw window.
+      // head = most familiar (CCNet keeps it), tail = least. Per
+      // (lang, bucket): doc count, bigram mass, exact avg familiarity.
+      val bg = TP(s, d, "documents")
+        .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 2)).as("bigram"))
+        .filter(col("bigram") =!= "")
+      val corpus = bg.groupBy("bigram").agg(count(lit(1)).as("cf"))
+      val fam = bg.join(corpus, Seq("bigram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("bigint").as("nb"), sum("cf").cast("bigint").as("scf"))
+        .withColumn("fam", col("scf").cast("double") / col("nb").cast("double"))
+      val scored = T(s, d, "documents").select(col("doc_id"), col("lang"))
+        .join(fam, Seq("doc_id"))
+      CorpusOps.calibrateByKey(scored, "lang", "fam", "doc_id", "pct")
+        .withColumn("bucket",
+          when(col("pct") * 3 >= 2, lit("head"))
+            .when(col("pct") * 3 >= 1, lit("middle"))
+            .otherwise(lit("tail")))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nb").cast("bigint").as("n_bigrams"),
+          (sum("scf").cast("bigint").cast("double") /
+            sum("nb").cast("bigint").cast("double")).as("avg_familiarity"))
+        .orderBy("lang", "bucket")
     })
   )
 

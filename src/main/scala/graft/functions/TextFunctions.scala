@@ -123,6 +123,31 @@ object TextFunctions {
   def minShingleFingerprint(c: Column, n: Int): Column =
     array_min(transform(shingles(c, n), s => md5(s)))
 
+  /** URL canonicalization (the CommonCrawl-style curation key): strips
+    * the fragment, lowercases scheme and host, drops default ports
+    * (:80/:443) and a leading "www.", collapses trailing slashes on the
+    * path ("" → "/"), removes `utm_*` tracking params, and sorts the
+    * remaining query params — so syntactic variants of one resource
+    * share one canonical key for exact dedup. Pure regex/array Column
+    * ops (anchored, non-global) that any engine replays byte-for-byte.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val host = regexp_replace(regexp_replace(hostPort, ":(443|80)$", ""), "^www\\.", "")
+    val pathq = regexp_replace(rest, "^[^/?]*", "")
+    val path0 = regexp_extract(pathq, "^([^?]*)", 1)
+    val path1 = regexp_replace(path0, "/+$", "")
+    val path = when(length(path1) === 0, lit("/")).otherwise(path1)
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"), p => length(p) > 0 && !p.startsWith("utm_"))
+    concat(scheme, lit("://"), host, path,
+      when(size(params) > 0, concat(lit("?"), array_join(array_sort(params), "&")))
+        .otherwise(lit("")))
+  }
+
   /** Stopword lists used by quality/langid scoring (small, embedded). */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "was"),

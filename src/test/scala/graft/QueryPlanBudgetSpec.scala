@@ -351,6 +351,13 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // two corpus scans by design) + ONE single-partition
                               // exchange for the global moment agg; the Cramer solve,
                               // SSE, and the model→eval rejoin all ride 1-row broadcasts
+    "data_url_canon" -> 2,    // canonical-key agg + ORDER BY — synthesis and
+                              // canonicalization are pure map-side projections
+    "text_ccnet_buckets" -> 13, // TP + bigram cf agg + per-doc fam agg + fam⋈lang doc
+                              // join + the groupedBandedRank calibrate core ((lang,band)
+                              // agg + offset agg + in-band window) + (lang,bucket) agg +
+                              // ORDER BY; totals/offsets ride broadcast — the zipf/q65
+                              // cost class, never a per-language raw window
     "text_span_scrub" -> 8    // 4× TP (positions / grams / meta / rebuild consumers of
                               // the tokenize projection — map-side recompute over the
                               // pruned scan is the right 100 TB trade vs checkpointing

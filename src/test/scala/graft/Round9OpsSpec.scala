@@ -468,6 +468,64 @@ class Round9OpsSpec extends SparkSpec {
     assert(run(1) == run(13), "decimal weights must not depend on partitioning")
   }
 
+  // ---- URL canonicalization ---------------------------------------------
+
+  test("canonicalizeUrl: case, ports, www, utm params, param order, fragment, slashes") {
+    import graft.functions.TextFunctions
+    val cases = Seq(
+      ("HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&id=2&b=1#frag",
+        "https://example.com/a/b?b=1&id=2"),
+      ("http://example.com:80/", "http://example.com/"),
+      ("https://example.com", "https://example.com/"),
+      ("https://sub.example.com/path?z=1&a=2", "https://sub.example.com/path?a=2&z=1"),
+      ("https://example.com/p?utm_campaign=only", "https://example.com/p"),
+      ("https://example.com:8080/p", "https://example.com:8080/p"), // non-default port kept
+      ("https://wwwx.example.com/p", "https://wwwx.example.com/p"), // only 'www.' strips
+      ("HTTP://A.B/Path/CASE/kept/", "http://a.b/Path/CASE/kept"))
+    val got = cases.map(_._1).toDF("u")
+      .select(TextFunctions.canonicalizeUrl($"u").as("c"))
+      .collect().map(_.getString(0)).toSeq
+    cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want) }
+  }
+
+  // ---- CCNet head/middle/tail buckets -------------------------------------
+
+  test("ccnet buckets: terciles per language, head more familiar than tail") {
+    import graft.operators.CorpusOps
+    // 30 docs per lang: 10 made of one shared common phrase (high
+    // familiarity), 20 of unique tokens (low); head must capture the
+    // common docs and avg familiarity must be monotone head ≥ tail
+    val common = "alpha beta gamma delta alpha beta gamma delta"
+    val r = new scala.util.Random(21)
+    val docs = (for {
+      lang <- Seq("aa", "bb")
+      i <- 1 to 30
+    } yield {
+      val id = (if (lang == "aa") 0 else 1000) + i
+      val text = if (i <= 10) common
+        else Seq.fill(8)(s"u${id}x${r.nextInt(1 << 20)}").mkString(" ")
+      (id.toLong, lang, text)
+    }).toDF("doc_id", "lang", "text")
+    import graft.functions.TextFunctions
+    val bg = docs.select($"doc_id", explode(TextFunctions.shingles($"text", 2)).as("b"))
+      .filter($"b" =!= "")
+    val cf = bg.groupBy("b").agg(count(lit(1)).as("cf"))
+    val fam = bg.join(cf, Seq("b")).groupBy("doc_id")
+      .agg((sum("cf").cast("double") / count(lit(1)).cast("double")).as("fam"))
+    val scored = docs.select($"doc_id", $"lang").join(fam, Seq("doc_id"))
+    val out = CorpusOps.calibrateByKey(scored, "lang", "fam", "doc_id", "pct")
+      .withColumn("bucket", when($"pct" * 3 >= 2, "head")
+        .when($"pct" * 3 >= 1, "middle").otherwise("tail"))
+    val byBucket = out.groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n"), avg("fam").as("af"))
+      .collect().map(r0 => (r0.getString(0), r0.getString(1)) -> (r0.getLong(2), r0.getDouble(3)))
+      .toMap
+    Seq("aa", "bb").foreach { l =>
+      assert(byBucket((l, "head"))._1 == 10L, s"$l head tercile size")
+      assert(byBucket((l, "head"))._2 > byBucket((l, "tail"))._2, s"$l monotone")
+    }
+  }
+
   // ---- closed-form linear probe training --------------------------------
 
   test("linearProbeFit recovers the exact solution on a separable corpus") {

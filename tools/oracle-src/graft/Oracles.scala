@@ -3244,7 +3244,65 @@ object Oracles {
            |        THEN 1 ELSE 0 END) AS n_correct FROM t, s2)
            |SELECT n_rows, w0, w1, w2, sse, CAST(n_correct AS BIGINT) AS n_correct,
            | CAST(n_correct AS DOUBLE) / CAST(n_rows AS DOUBLE) AS accuracy
-           |FROM s2, ev""".stripMargin
+           |FROM s2, ev""".stripMargin,
+      "data_url_canon" ->
+        // replay the synthesis + canonicalization byte-for-byte: all
+        // regexes are anchored/single-occurrence (Spark regexp_replace
+        // is global, DuckDB first-match — anchoring makes them agree)
+        """WITH s AS (SELECT doc_id,
+          |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END)
+          |  || source || '.Example.COM'
+          |  || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+          |  || '/docs/' || CAST(doc_id % 40 AS VARCHAR)
+          |  || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+          |  || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_campaign=x'
+          |      ELSE '?id=' || CAST(doc_id % 5 AS VARCHAR) END)
+          |  || (CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END) AS u
+          |  FROM documents),
+          |c1 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS nofrag FROM s),
+          |c2 AS (SELECT doc_id,
+          |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          |  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM c1),
+          |c3 AS (SELECT doc_id, scheme,
+          |  lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+          |  regexp_replace(rest, '^[^/?]*', '') AS pathq FROM c2),
+          |c4 AS (SELECT doc_id, scheme,
+          |  regexp_replace(regexp_replace(hostport, ':(443|80)$', ''), '^www\.', '') AS host,
+          |  regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS path1,
+          |  list_sort(list_filter(string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+          |    p -> len(p) > 0 AND NOT starts_with(p, 'utm_'))) AS params FROM c3),
+          |c5 AS (SELECT doc_id,
+          |  scheme || '://' || host
+          |  || (CASE WHEN len(path1) = 0 THEN '/' ELSE path1 END)
+          |  || (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END)
+          |  AS canonical_url FROM c4)
+          |SELECT canonical_url, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+          |FROM c5 GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+      "text_ccnet_buckets" ->
+        // replay the CCNet bucketing: bigram familiarity (integer cf
+        // sums, one double division), exact percent_rank per language
+        // over the (fam, doc_id) total order, tercile split at pct·3,
+        // integer-mass aggregates per (lang, bucket)
+        s"""WITH t AS (SELECT doc_id, lang, $toks AS tk FROM documents),
+           |bgu AS (SELECT doc_id, unnest(${shingles("tk", 2)}) AS bigram FROM t),
+           |bg AS (SELECT doc_id, bigram FROM bgu WHERE bigram <> ''),
+           |corpus AS (SELECT bigram, count(*) AS cf FROM bg GROUP BY bigram),
+           |f AS (SELECT doc_id, count(*) AS nb, CAST(sum(cf) AS BIGINT) AS scf
+           |      FROM bg JOIN corpus USING (bigram) GROUP BY doc_id),
+           |d AS (SELECT t.doc_id, t.lang, f.nb, f.scf,
+           |       CAST(f.scf AS DOUBLE) / CAST(f.nb AS DOUBLE) AS fam
+           |      FROM t JOIN f USING (doc_id)),
+           |p AS (SELECT lang, nb, scf,
+           |       percent_rank() OVER (PARTITION BY lang ORDER BY fam, doc_id) AS pct
+           |      FROM d),
+           |b AS (SELECT lang,
+           |       CASE WHEN pct * 3 >= 2 THEN 'head'
+           |            WHEN pct * 3 >= 1 THEN 'middle' ELSE 'tail' END AS bucket,
+           |       nb, scf FROM p)
+           |SELECT lang, bucket, count(*) AS n_docs,
+           | CAST(sum(nb) AS BIGINT) AS n_bigrams,
+           | CAST(CAST(sum(scf) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(nb) AS BIGINT) AS DOUBLE) AS avg_familiarity
+           |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
