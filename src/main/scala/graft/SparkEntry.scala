@@ -5371,6 +5371,26 @@ object SparkEntry {
           (sum("scf").cast("bigint").cast("double") /
             sum("nb").cast("bigint").cast("double")).as("avg_familiarity"))
         .orderBy("lang", "bucket")
+    }),
+    "multimodal_phash_dedup" -> ((s, d) => {
+      // perceptual-hash image dedup plumbing (aHash family): 63-sample
+      // grid → mean threshold → 63-bit signature → 9×7-bit banded
+      // candidates (recall GUARANTEED at hamming ≤ 8) → exact
+      // bit_count(xor) verify. The sampler is the documented env stub
+      // (codepoint at evenly-spaced positions — a real decoder yields
+      // the luma grid); near-dup structure is synthesized by an
+      // in-place 1-char edit (ids +100000) of every 5th payload, which
+      // moves only the samples landing on it. The oracle replays the
+      // grid/threshold/signature arithmetic and the QUADRATIC hamming
+      // truth — banding must find exactly that pair set.
+      val base = TP(s, d, "documents").select(col("doc_id"), col("text"))
+      val perturbed = base.filter(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        concat(substring(col("text"), 1, 4), lit("z"),
+          expr("substring(text, 6)")).as("text"))
+      MultimodalOps.phashDupPairs(base.unionByName(perturbed), "doc_id", "text",
+          maxHamming = 8)
+        .orderBy("a_id", "b_id")
     })
   )
 

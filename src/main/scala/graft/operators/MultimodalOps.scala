@@ -86,4 +86,73 @@ object MultimodalOps {
       "sampled_frames",
       sequence(lit(0), col("media_meta.n_frames") - 1, lit(stride))
     )
+
+  /** aHash-style perceptual signature over a payload column: 63 "luma"
+    * samples at evenly-spaced positions → threshold against the sample
+    * mean → a 63-bit BIGINT (bit i set iff sample_i > mean). A small
+    * LOCAL edit to the payload moves only the samples that land on it
+    * (plus mean-borderline bits), so near-identical media land within a
+    * few hamming bits — the property pHash-family image dedup runs on.
+    * The SAMPLER is the env stub (codepoint of the character at the
+    * sampled position — a real decoder yields the 8×8 luma grid); the
+    * grid→threshold→signature machinery is the production shape.
+    *
+    * Shape: the sample array is computed ONCE per row and posexploded
+    * (never an HOF that re-inlines the mean per element — the
+    * UnitNormalize lesson); mean + bit-fold are two partial-agg
+    * groupBys on the id, co-partitioned after the first shuffle.
+    * 63 bits (not 64) keeps the signature a positive BIGINT any engine
+    * shifts/xors exactly.
+    */
+  def aHashSignatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val n = greatest(length(col(payloadCol)), lit(1)).cast("long")
+    val sample = transform(
+      sequence(lit(0), lit(62)),
+      i => when(length(col(payloadCol)) === 0, 0L)
+        .otherwise(ascii(col(payloadCol).substr(
+          (lit(1) + floor(i * (n - lit(1)) / lit(62.0))).cast("int"), lit(1))).cast("long")))
+    val pix = df.select(col(idCol).as("id"), posexplode(sample).as(Seq("i", "pix")))
+    val sums = pix.groupBy("id").agg(sum("pix").as("sp"))
+    pix.join(sums, Seq("id"))
+      .select(col("id"),
+        when(col("pix") * 63 > col("sp"), expr("shiftleft(CAST(1 AS BIGINT), i)"))
+          .otherwise(lit(0L)).as("bitval"))
+      .groupBy("id")
+      .agg(sum("bitval").as("sig"))
+  }
+
+  /** Perceptual-hash near-dup pairs: (a_id, b_id, hamming ≤ maxHamming).
+    * Candidates via 9 bands × 7 bits over the 63-bit signature — with
+    * ≤ 8 differing bits at least one band is untouched, so recall at
+    * maxHamming ≤ 8 is GUARANTEED, not probabilistic; verification is
+    * one exact bit_count(a xor b) on candidate pairs. One shuffle on
+    * the (band, value) bucket, pair-gen inside buckets with the guarded
+    * overflow join (a solid-color signature shared by half the corpus
+    * never materializes m² structs in one task); signatures re-attach
+    * by id from the lazily-checkpointed sig table (never recomputed).
+    */
+  def phashDupPairs(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int = 8,
+      maxBucketSize: Int = 64
+  ): DataFrame = {
+    require(maxHamming <= 8, "9 bands × 7 bits guarantee recall only up to hamming 8")
+    val sigs = aHashSignatures(df, idCol, payloadCol).localCheckpoint(eager = false)
+    val bands = sigs.select(col("id"),
+      explode(expr(
+        "transform(sequence(0, 8), b -> struct(b, shiftright(sig, b * 7) & 127 AS v))"))
+        .as("bk"))
+    val buckets = bands
+      .groupBy(col("bk.b").as("band"), col("bk.v").as("v"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    DedupOps.boundedBucketPairs(buckets, Seq("band", "v"), "ids", maxBucketSize)
+      .distinct()
+      .join(sigs.select(col("id").as("a"), col("sig").as("siga")), Seq("a"))
+      .join(sigs.select(col("id").as("b"), col("sig").as("sigb")), Seq("b"))
+      .withColumn("hamming", expr("bit_count(siga ^ sigb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a").as("a_id"), col("b").as("b_id"), col("hamming").cast("int").as("hamming"))
+  }
 }

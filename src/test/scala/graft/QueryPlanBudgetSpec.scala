@@ -351,6 +351,11 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // two corpus scans by design) + ONE single-partition
                               // exchange for the global moment agg; the Cramer solve,
                               // SSE, and the model→eval rejoin all ride 1-row broadcasts
+    "multimodal_phash_dedup" -> 2, // candidate-pair distinct agg + ORDER BY —
+                              // measured BELOW the sig table's lazy localCheckpoint
+                              // (the upstream sample posexplode + two id aggs + band
+                              // bucket agg run once at materialization); the verify
+                              // sig re-attach joins broadcast at this scale
     "data_url_canon" -> 2,    // canonical-key agg + ORDER BY — synthesis and
                               // canonicalization are pure map-side projections
     "text_ccnet_buckets" -> 13, // TP + bigram cf agg + per-doc fam agg + fam⋈lang doc

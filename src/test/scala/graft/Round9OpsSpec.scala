@@ -526,6 +526,36 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- perceptual-hash dedup ----------------------------------------------
+
+  test("phashDupPairs ≡ the quadratic hamming truth; banding recall is complete ≤ 8") {
+    import graft.operators.MultimodalOps
+    val r = new scala.util.Random(31)
+    // random payloads + in-place 1-char edits of half of them
+    val base = (1L to 30L).map { id =>
+      (id, Seq.fill(40 + r.nextInt(80))(('a' + r.nextInt(26)).toChar).mkString) }
+    val edited = base.filter(_._1 % 2 == 0).map { case (id, t) =>
+      (id + 1000L, t.updated(7, 'Z')) }
+    val df = (base ++ edited).toDF("id", "payload")
+    val got = MultimodalOps.phashDupPairs(df, "id", "payload", maxHamming = 8)
+      .collect().map(r0 => ((r0.getLong(0), r0.getLong(1)), r0.getInt(2))).toMap
+    // quadratic truth from the signature table
+    val sigs = MultimodalOps.aHashSignatures(df, "id", "payload")
+      .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+    val want = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 8
+    } yield (a, b) -> h).toMap
+    assert(got == want, s"banding must find EXACTLY the quadratic pair set: " +
+      s"missing=${(want.keySet -- got.keySet).take(5)} extra=${(got.keySet -- want.keySet).take(5)}")
+    // identical payloads are hamming 0
+    val same = MultimodalOps.phashDupPairs(
+        Seq((1L, "same text here padded out"), (2L, "same text here padded out"))
+          .toDF("id", "payload"), "id", "payload")
+      .collect()
+    assert(same.length == 1 && same.head.getInt(2) == 0)
+  }
+
   // ---- closed-form linear probe training --------------------------------
 
   test("linearProbeFit recovers the exact solution on a separable corpus") {

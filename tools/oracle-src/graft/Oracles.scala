@@ -3302,7 +3302,33 @@ object Oracles {
            |SELECT lang, bucket, count(*) AS n_docs,
            | CAST(sum(nb) AS BIGINT) AS n_bigrams,
            | CAST(CAST(sum(scf) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(nb) AS BIGINT) AS DOUBLE) AS avg_familiarity
-           |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+           |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+      "multimodal_phash_dedup" ->
+        // replay the aHash grid/threshold/signature arithmetic and the
+        // QUADRATIC hamming truth — the engine's banded candidates +
+        // exact verify must produce exactly this pair set (9 bands of 7
+        // bits guarantee recall at hamming ≤ 8)
+        """WITH src AS (
+          |  SELECT doc_id AS id, text AS payload FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS id,
+          |    substr(text, 1, 4) || 'z' || substr(text, 6) AS payload
+          |  FROM documents WHERE doc_id % 5 = 0),
+          |nn AS (SELECT id, payload, greatest(length(payload), 1)::BIGINT AS n FROM src),
+          |px AS (SELECT id, i,
+          |        CASE WHEN length(payload) = 0 THEN 0
+          |          ELSE ascii(substr(payload, CAST(1 + floor(i * (n - 1) / 62.0) AS INT), 1))
+          |        END::BIGINT AS pix
+          |       FROM nn CROSS JOIN (SELECT unnest(range(0, 63)) AS i)),
+          |s AS (SELECT id, sum(pix) AS sp FROM px GROUP BY id),
+          |g AS (SELECT px.id,
+          |       sum(CASE WHEN pix * 63 > sp THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS sig
+          |      FROM px JOIN s USING (id) GROUP BY px.id)
+          |SELECT a.id AS a_id, b.id AS b_id,
+          | CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+          |FROM g a JOIN g b ON a.id < b.id
+          |WHERE bit_count(xor(a.sig, b.sig)) <= 8
+          |ORDER BY a_id, b_id""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
