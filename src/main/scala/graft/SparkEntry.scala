@@ -5391,6 +5391,35 @@ object SparkEntry {
       MultimodalOps.phashDupPairs(base.unionByName(perturbed), "doc_id", "text",
           maxHamming = 8)
         .orderBy("a_id", "b_id")
+    }),
+    "ann_mips" -> ((s, d) => {
+      // maximum-inner-product search: the EXACT brute-force MIPS top-5
+      // (argmax x·q over RAW unnormalized vectors — a large-norm item
+      // legitimately beats a better-angled small one, which is why
+      // cosine ANN can't answer it directly) is the oracled output;
+      // the asymmetric norm-augmentation reduction (append
+      // √(M²−‖x‖²); Bachrach et al. RecSys'14) turns it into a cosine
+      // problem the IVF index answers — its recall vs the exact set
+      // rides as an invariant boolean (the ann_lsh convention).
+      val vecs = TP(s, d, "embeddings")
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+      val queries = vecs.filter(col("vec_id") < 8)
+      val k = 5
+      val exact = SimilarityOps.bruteForceMipsTopK(vecs, queries, "vec_id", "vec", k)
+      // the augmented geometry concentrates low-norm vectors along the
+      // extra axis, so MIPS needs a higher probe fraction than plain
+      // cosine IVF for the same recall (12/16 = 75% of cells probed —
+      // the knob a production deployment trades against scan cost)
+      val approx = SimilarityOps.mipsTopK(vecs, queries, "vec_id", "vec", k,
+        nCells = 16, nProbe = 12)
+      val recall = exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      exact.crossJoin(broadcast(recall))
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"),
+          (col("hits").cast("double") / (8 * k) >= 0.8).as("mips_recall_ok"))
+        .orderBy("query_id", "rank")
     })
   )
 

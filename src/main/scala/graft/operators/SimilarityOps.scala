@@ -221,6 +221,75 @@ object SimilarityOps {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Exact maximum-inner-product top-k (brute force): MIPS is the
+    * retrieval primitive recommender / reward models actually need —
+    * argmax x·q, NOT cosine; a large-norm item can beat a better-angled
+    * small one, so the two rankings genuinely differ on unnormalized
+    * embeddings. Same shape as [[bruteForceTopK]] (corpus scan ⋈
+    * broadcast queries, per-query window top-k).
+    */
+  def bruteForceMipsTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c
+      .join(broadcast(q), if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("dot", round(graft.functions.VectorFunctions.dot(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dot")
+  }
+
+  /** Approximate MIPS via the asymmetric norm-augmentation reduction
+    * (Bachrach et al. RecSys'14 / Neyshabur & Srebro ICML'15): append
+    * one dimension — corpus x' = [x, √(M²−‖x‖²)] with M = max corpus
+    * norm (every x' then has norm exactly M), query q' = [q, 0] — and
+    * cos(x', q') = x·q / (M‖q‖) is strictly monotone in the inner
+    * product, so ANY cosine index answers MIPS. Here the transformed
+    * vectors feed the spherical-k-means IVF ([[ivfTopK]]); returned
+    * candidates are re-scored by the EXACT dot over the original
+    * vectors. Shape: one 1-row max-norm agg broadcast back, one
+    * augmentation projection, then the IVF plan — the corpus is never
+    * collected and never joined all-pairs.
+    */
+  def mipsTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 8,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    import graft.functions.VectorFunctions
+    val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      VectorFunctions.norm(col(vecCol)).as("nrm"))
+    val mRow = c0.agg(max(col("nrm")).as("m_norm"))
+    val caug = c0.crossJoin(broadcast(mRow)).select(col("id"),
+      concat(col("vec"),
+        array(sqrt(greatest(lit(0.0), col("m_norm") * col("m_norm") - col("nrm") * col("nrm")))))
+        .as("avec"))
+    val qaug = queries.select(col(idCol).as("id"), concat(col(vecCol), array(lit(0.0))).as("avec"))
+    val cand = ivfTopK(caug, qaug, "id", "avec", k, nCells, nProbe,
+        iters = 4, excludeSelf = excludeSelf)
+      .select(col("query_id"), col("neighbor_id"))
+    cand
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))),
+        Seq("query_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")), Seq("neighbor_id"))
+      .withColumn("dot", round(VectorFunctions.dot(col("q_vec"), col("c_vec")), 6))
+      .select("query_id", "neighbor_id", "dot")
+  }
+
   /** [[ivfTopK]] with the standard √n sizing rule applied for the
     * caller: nCells = ⌊√n⌋ (≥4), nProbe = nCells·probeFraction (≥2),
     * 4 Lloyd iterations. Costs one corpus `count()` (parquet metadata —

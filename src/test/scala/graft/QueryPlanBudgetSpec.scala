@@ -351,6 +351,12 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // two corpus scans by design) + ONE single-partition
                               // exchange for the global moment agg; the Cramer solve,
                               // SSE, and the model→eval rejoin all ride 1-row broadcasts
+    "ann_mips" -> 13,         // exact side (brute-force window over the corpus⋈broadcast
+                              // queries) ⊕ reduction side (1-row max-norm agg + augmented
+                              // IVF: TP re-instantiations under pruning, assign/dedup agg,
+                              // per-query window, exact-dot rescore joins) + recall
+                              // left-semi agg + final ORDER BY; queries/model rows all
+                              // ride broadcast — no corpus self-join anywhere
     "multimodal_phash_dedup" -> 2, // candidate-pair distinct agg + ORDER BY —
                               // measured BELOW the sig table's lazy localCheckpoint
                               // (the upstream sample posexplode + two id aggs + band

@@ -526,6 +526,34 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- MIPS (maximum inner product search) --------------------------------
+
+  test("MIPS ≠ cosine: a large-norm item wins the inner product; reduction finds it") {
+    import graft.operators.SimilarityOps
+    // neighbor 2 is perfectly aligned with the query but small;
+    // neighbor 3 is 30° off but 10× the norm → dot(3) > dot(2) while
+    // cosine(2) > cosine(3). MIPS must return 3 first.
+    val c = math.cos(math.Pi / 6); val s0 = math.sin(math.Pi / 6)
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)),               // the query
+      (2L, Seq(0.9, 0.0)),               // aligned, small
+      (3L, Seq(10.0 * c, 10.0 * s0)),    // off-angle, huge
+      (4L, Seq(0.0, 2.0))                // orthogonal
+    ).toDF("id", "vec")
+    val q = vecs.filter($"id" === 1)
+    val exact = SimilarityOps.bruteForceMipsTopK(vecs, q, "id", "vec", k = 2)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(exact == Seq(3L, 2L), s"MIPS order must be norm-aware: $exact")
+    val cosTop = SimilarityOps.bruteForceTopK(vecs, q, "id", "vec", k = 1)
+      .head().getLong(2)
+    assert(cosTop == 2L, "cosine prefers the aligned small vector — the rankings differ")
+    // the norm-augmentation reduction preserves the MIPS order exactly:
+    // with nProbe = nCells the IVF scan is exhaustive → recall 1.0
+    val red = SimilarityOps.mipsTopK(vecs, q, "id", "vec", k = 2, nCells = 2, nProbe = 2)
+      .orderBy($"dot".desc).collect().map(_.getLong(1)).toSeq
+    assert(red == Seq(3L, 2L), s"augmented-cosine order must equal dot order: $red")
+  }
+
   // ---- perceptual-hash dedup ----------------------------------------------
 
   test("phashDupPairs ≡ the quadratic hamming truth; banding recall is complete ≤ 8") {

@@ -3328,7 +3328,24 @@ object Oracles {
           | CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
           |FROM g a JOIN g b ON a.id < b.id
           |WHERE bit_count(xor(a.sig, b.sig)) <= 8
-          |ORDER BY a_id, b_id""".stripMargin
+          |ORDER BY a_id, b_id""".stripMargin,
+      "ann_mips" ->
+        // exact brute-force MIPS replay (raw dot products, the shared
+        // left-fold dotExpr, round 6, rightmost tie on neighbor_id);
+        // the reduction's IVF recall is engine-measured and stated as
+        // the invariant constant (the ann_lsh convention)
+        s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+           |scored AS (
+           | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |  ROUND($dotExpr, 6) AS dot
+           | FROM base a JOIN base b ON a.vec_id < 8 AND b.vec_id <> a.vec_id),
+           |ranked AS (
+           | SELECT query_id, neighbor_id, dot,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS INT) AS rank
+           | FROM scored)
+           |SELECT query_id, rank, neighbor_id, dot, true AS mips_recall_ok
+           |FROM ranked WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
