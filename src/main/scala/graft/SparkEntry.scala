@@ -5420,7 +5420,33 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"),
           (col("hits").cast("double") / (8 * k) >= 0.8).as("mips_recall_ok"))
         .orderBy("query_id", "rank")
-    })
+    }),
+    "data_active_learning" -> ((s, d) => {
+      // active-learning annotation selection (uncertainty sampling):
+      // refit the row-311 probe, broadcast the 1-row model, pick the 40
+      // docs closest to the ½ decision boundary — where the next
+      // labeling dollar goes. Selection is TakeOrdered on |pred − ½|
+      // with id tie-break; the model solve and the prediction are the
+      // same fixed double expressions the fit oracle replays.
+      val docs = TP(s, d, "documents")
+      val x1 = size(TextFunctions.tokens(col("text")))
+      val x2 = TextFunctions.tokenHits(col("text"), TextFunctions.stopwords("en"))
+      val label = when(col("lang") === "en", 1L).otherwise(0L)
+      val sel = SelectionOps.uncertaintySample(docs, "doc_id", x1, x2, label, k = 40)
+      sel.join(T(s, d, "documents").select(col("doc_id"), col("lang")),
+          sel("id") === col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("pred"), col("uncertainty"))
+        .orderBy(col("uncertainty").asc, col("doc_id").asc)
+    }),
+    "text_bpe_train" -> ((s, d) =>
+      // FULL BPE tokenizer training, 8 merges (CorpusOps.bpeTrain — the
+      // iterated version of row 151's single step): per-round tf-
+      // weighted pair counts over the VOCAB, lexicographic-min argmax
+      // tie-break, greedy left-to-right merge application as ONE literal
+      // string replace under the double-separator encoding — which is
+      // why DuckDB can replay the entire training loop verbatim
+      // (8 unrolled count→argmax→replace stages).
+      CorpusOps.bpeTrain(TP(s, d, "documents"), "text", steps = 8).orderBy("step"))
   )
 
   // ---------------------------------------------------------------- oracles

@@ -292,3 +292,57 @@ case class HyperplaneBucket(child: Expression, nBits: Int, seed: Int) extends Un
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
     copy(child = newChild)
 }
+
+/** Codepoints at `count` evenly-spaced character positions —
+  * out[i] = codepoint at char index ⌊i·(n−1)/(count−1)⌋, n = char count;
+  * empty string → all zeros. Bit-identical to the Column formulation
+  * `ascii(substr(payload, 1 + floor(i·(n−1)/(count−1)), 1))` (integer
+  * division equals the double floor while i·(n−1) < 2⁵³), which is what
+  * the DuckDB oracle replays.
+  *
+  * Why native: each `substr(pos, 1)` scans the UTF-8 bytes to `pos`, so
+  * the Column form costs O(count·n/2) per row — and the projection is
+  * consumed by TWO aggregates (mean + bit fold), doubling it. This
+  * kernel walks the string ONCE per row (positions are non-decreasing).
+  */
+object SampleCodepointsKernel {
+  def sample(s: UTF8String, count: Int): ArrayData = {
+    val str = s.toString
+    val out = new Array[Long](count)
+    val n = str.codePointCount(0, str.length)
+    if (n > 0) {
+      var i = 0
+      var charIdx = 0
+      var off = 0
+      while (i < count) {
+        val pos = (i.toLong * (n - 1) / (count - 1)).toInt
+        while (charIdx < pos) {
+          off += Character.charCount(str.codePointAt(off)); charIdx += 1
+        }
+        out(i) = str.codePointAt(off).toLong
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class SampleCodepoints(child: Expression, count: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sample_codepoints"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if count >= 2 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_sample_codepoints requires a string and count >= 2, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SampleCodepointsKernel.sample(input.asInstanceOf[UTF8String], count)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SampleCodepointsKernel.sample($c, $count)")
+
+  override protected def withNewChildInternal(newChild: Expression): SampleCodepoints =
+    copy(child = newChild)
+}

@@ -708,4 +708,62 @@ object CorpusOps {
       .orderBy(col("score").desc, col("phrase"))
       .limit(topK)
   }
+
+  /** FULL BPE tokenizer training (Sennrich et al. 2016) for `steps`
+    * merges — the iterated version of [[bpePairCounts]] (which is one
+    * step): each round counts tf-weighted adjacent symbol pairs over
+    * the VOCAB, picks the argmax (ties → lexicographic min pair — the
+    * deterministic contract), and applies the merge greedily
+    * left-to-right to every word.
+    *
+    * Merge application is ONE literal string replace per round via a
+    * double-separator encoding: symbols are joined by SEP·SEP with a
+    * single SEP at each end ("abc" → ␟a␟␟b␟␟c␟), and the merge (a,b)
+    * rewrites ␟a␟␟b␟ → ␟ab␟. A match consumes only the INNER separator
+    * of each boundary pair, so adjacent disjoint occurrences all merge
+    * in one pass while overlapping ones resolve greedily left-to-right
+    * ("aaaa" + (a,a) → [aa][aa]) — exactly classic BPE, and exactly
+    * what DuckDB's `replace` reproduces, making the whole training
+    * loop oracle-replayable. No end-of-word marker (documented
+    * simplification; add one by appending it to each word upstream).
+    *
+    * Scale posture: the corpus is scanned ONCE for the (word, tf)
+    * vocab; every round runs over the vocab (≪ corpus — the reason BPE
+    * trains on word counts), re-checkpointed per round so round k+1
+    * never replays k replaces; the per-round argmax is a bounded
+    * 1-row TakeOrdered collect (the centroid-training precedent).
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, steps: Int): DataFrame = {
+    val SEP = "\u001f"
+    val sp = docs.sparkSession
+    var vocab = docs.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("tf"))
+      .select(regexp_replace(col("word"), "(.)", SEP + "$1" + SEP).as("sym"), col("tf"))
+      .localCheckpoint(eager = false)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var exhausted = false
+    for (step <- 1 to steps if !exhausted) {
+      val pairs = vocab
+        .select(col("tf"), split(trim(col("sym"), SEP), SEP + SEP).as("arr"))
+        .filter(size(col("arr")) >= 2)
+        .select(col("tf"), explode(expr(
+          "transform(sequence(1, size(arr) - 1), i -> struct(arr[i - 1] AS a, arr[i] AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("tf").as("c"))
+      val top = pairs.orderBy(col("c").desc, col("a").asc, col("b").asc).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, a, b, c))
+        vocab = vocab
+          .withColumn("sym",
+            replace(col("sym"), lit(SEP + a + SEP + SEP + b + SEP), lit(SEP + a + b + SEP)))
+          .localCheckpoint(eager = false)
+      }
+    }
+    import sp.implicits._
+    merges.toSeq.toDF("step", "l_sym", "r_sym", "pair_tf")
+  }
 }

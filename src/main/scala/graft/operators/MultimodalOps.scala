@@ -87,49 +87,56 @@ object MultimodalOps {
       sequence(lit(0), col("media_meta.n_frames") - 1, lit(stride))
     )
 
-  /** aHash-style perceptual signature over a payload column: 63 "luma"
+  /** aHash-style perceptual signature over a payload column: 126 "luma"
     * samples at evenly-spaced positions → threshold against the sample
-    * mean → a 63-bit BIGINT (bit i set iff sample_i > mean). A small
-    * LOCAL edit to the payload moves only the samples that land on it
-    * (plus mean-borderline bits), so near-identical media land within a
-    * few hamming bits — the property pHash-family image dedup runs on.
-    * The SAMPLER is the env stub (codepoint of the character at the
-    * sampled position — a real decoder yields the 8×8 luma grid); the
-    * grid→threshold→signature machinery is the production shape.
+    * mean → a 126-bit signature as TWO positive BIGINTs (sig_hi = bits
+    * 0-62, sig_lo = bits 63-125; 63 bits per word keeps shifts/xors
+    * sign-free in any engine). A small LOCAL edit to the payload moves
+    * only the samples that land on it (plus mean-borderline bits), so
+    * near-identical media land within a few hamming bits — the property
+    * pHash-family image dedup runs on. 126 bits (not 63) is the
+    * CANDIDATE-SELECTIVITY choice: banded lookup needs ≥9 bands for the
+    * hamming-8 guarantee, and 14-bit bands are 128× more selective than
+    * 7-bit ones — on the synthetic corpus's correlated bit distribution
+    * that cut candidates 7.5M → the true-pair scale. The SAMPLER is the
+    * env stub (codepoint at the sampled position — a real decoder
+    * yields the luma grid); grid→threshold→signature is the production
+    * shape.
     *
     * Shape: the sample array is computed ONCE per row and posexploded
     * (never an HOF that re-inlines the mean per element — the
     * UnitNormalize lesson); mean + bit-fold are two partial-agg
     * groupBys on the id, co-partitioned after the first shuffle.
-    * 63 bits (not 64) keeps the signature a positive BIGINT any engine
-    * shifts/xors exactly.
     */
   def aHashSignatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
-    val n = greatest(length(col(payloadCol)), lit(1)).cast("long")
-    val sample = transform(
-      sequence(lit(0), lit(62)),
-      i => when(length(col(payloadCol)) === 0, 0L)
-        .otherwise(ascii(col(payloadCol).substr(
-          (lit(1) + floor(i * (n - lit(1)) / lit(62.0))).cast("int"), lit(1))).cast("long")))
+    // native single-pass sampler (SampleCodepoints) — the Column form
+    // ascii(substr(...)) re-scans the string to each position, O(126·n/2)
+    // per row × two aggregate consumers; bit-identical replacement
+    import org.apache.spark.sql.graft.GraftColumns
+    val sample = GraftColumns.column(graft.functions.SampleCodepoints(
+      GraftColumns.expression(col(payloadCol)), 126))
     val pix = df.select(col(idCol).as("id"), posexplode(sample).as(Seq("i", "pix")))
     val sums = pix.groupBy("id").agg(sum("pix").as("sp"))
     pix.join(sums, Seq("id"))
-      .select(col("id"),
-        when(col("pix") * 63 > col("sp"), expr("shiftleft(CAST(1 AS BIGINT), i)"))
-          .otherwise(lit(0L)).as("bitval"))
+      .select(col("id"), col("i"),
+        when(col("pix") * 126 > col("sp"), 1L).otherwise(0L).as("bit"))
       .groupBy("id")
-      .agg(sum("bitval").as("sig"))
+      .agg(
+        sum(when(col("i") < 63, expr("shiftleft(bit, i)")).otherwise(0L)).as("sig_hi"),
+        sum(when(col("i") >= 63, expr("shiftleft(bit, i - 63)")).otherwise(0L)).as("sig_lo"))
   }
 
   /** Perceptual-hash near-dup pairs: (a_id, b_id, hamming ≤ maxHamming).
-    * Candidates via 9 bands × 7 bits over the 63-bit signature — with
+    * Candidates via 9 bands × 14 bits over the 126-bit signature — with
     * ≤ 8 differing bits at least one band is untouched, so recall at
     * maxHamming ≤ 8 is GUARANTEED, not probabilistic; verification is
-    * one exact bit_count(a xor b) on candidate pairs. One shuffle on
+    * two exact bit_count(xor) words on candidate pairs. One shuffle on
     * the (band, value) bucket, pair-gen inside buckets with the guarded
     * overflow join (a solid-color signature shared by half the corpus
     * never materializes m² structs in one task); signatures re-attach
     * by id from the lazily-checkpointed sig table (never recomputed).
+    * Band 4 straddles the two words (bits 56-69) — extracted by the
+    * same shift/mask CASE any engine replays.
     */
   def phashDupPairs(
       df: DataFrame,
@@ -138,20 +145,23 @@ object MultimodalOps {
       maxHamming: Int = 8,
       maxBucketSize: Int = 64
   ): DataFrame = {
-    require(maxHamming <= 8, "9 bands × 7 bits guarantee recall only up to hamming 8")
+    require(maxHamming <= 8, "9 bands × 14 bits guarantee recall only up to hamming 8")
     val sigs = aHashSignatures(df, idCol, payloadCol).localCheckpoint(eager = false)
     val bands = sigs.select(col("id"),
       explode(expr(
-        "transform(sequence(0, 8), b -> struct(b, shiftright(sig, b * 7) & 127 AS v))"))
+        """transform(sequence(0, 8), b -> struct(b,
+          |  CASE WHEN b <= 3 THEN shiftright(sig_hi, b * 14) & 16383
+          |       WHEN b = 4 THEN (shiftright(sig_hi, 56) & 127) | ((sig_lo & 127) * 128)
+          |       ELSE shiftright(sig_lo, b * 14 - 63) & 16383 END AS v))""".stripMargin))
         .as("bk"))
     val buckets = bands
       .groupBy(col("bk.b").as("band"), col("bk.v").as("v"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
     DedupOps.boundedBucketPairs(buckets, Seq("band", "v"), "ids", maxBucketSize)
       .distinct()
-      .join(sigs.select(col("id").as("a"), col("sig").as("siga")), Seq("a"))
-      .join(sigs.select(col("id").as("b"), col("sig").as("sigb")), Seq("b"))
-      .withColumn("hamming", expr("bit_count(siga ^ sigb)"))
+      .join(sigs.select(col("id").as("a"), col("sig_hi").as("ha"), col("sig_lo").as("la")), Seq("a"))
+      .join(sigs.select(col("id").as("b"), col("sig_hi").as("hb"), col("sig_lo").as("lb")), Seq("b"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb) + bit_count(la ^ lb)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a").as("a_id"), col("b").as("b_id"), col("hamming").cast("int").as("hamming"))
   }

@@ -93,4 +93,33 @@ object SelectionOps {
       .select(col("id"), col("logw"),
         (col("logw") + col("gumbel")).as("score"))
   }
+
+  /** Active-learning ANNOTATION selection — uncertainty sampling
+    * (Lewis & Gale '94): fit the linear probe on the current labels
+    * ([[StatsOps.linearProbeModel]] — one sufficient-statistics pass),
+    * broadcast the 1-row model back, and pick the k rows whose
+    * prediction sits closest to the ½ decision boundary — the rows a
+    * labeling budget is best spent on. Selection is TakeOrdered on
+    * |pred − ½| (never a global sort); tie-break on the id keeps the
+    * pick deterministic when feature vectors repeat.
+    */
+  def uncertaintySample(
+      df: DataFrame,
+      idCol: String,
+      x1: Column,
+      x2: Column,
+      label: Column,
+      k: Int
+  ): DataFrame = {
+    val d0 = df.select(col(idCol).as("id"),
+      x1.cast("long").as("x1"), x2.cast("long").as("x2"))
+    val model = StatsOps.linearProbeModel(df, x1, x2, label).select("w0", "w1", "w2")
+    d0.crossJoin(broadcast(model))
+      .withColumn("pred", col("w0") + col("w1") * col("x1").cast("double") +
+        col("w2") * col("x2").cast("double"))
+      .withColumn("uncertainty", abs(col("pred") - lit(0.5)))
+      .orderBy(col("uncertainty").asc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("pred"), col("uncertainty"))
+  }
 }

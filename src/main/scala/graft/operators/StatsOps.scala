@@ -427,6 +427,22 @@ object StatsOps {
   def linearProbeFit(df: DataFrame, x1: Column, x2: Column, label: Column): DataFrame = {
     val d0 = df.select(x1.cast("long").as("x1"), x2.cast("long").as("x2"),
       label.cast("long").as("y"))
+    val model = linearProbeModel(df, x1, x2, label)
+    val pred = col("w0") + col("w1") * col("x1").cast("double") +
+      col("w2") * col("x2").cast("double")
+    val eval0 = d0.crossJoin(broadcast(model.select("w0", "w1", "w2")))
+      .agg(sum(when((pred > 0.5) === (col("y") === 1), 1L).otherwise(0L)).as("n_correct"))
+    model.crossJoin(broadcast(eval0)).select(
+      col("n_rows"), col("w0"), col("w1"), col("w2"), col("sse"), col("n_correct"),
+      (col("n_correct").cast("double") / col("n_rows").cast("double")).as("accuracy"))
+  }
+
+  /** The 1-row fitted model of [[linearProbeFit]] — (n_rows, w0, w1,
+    * w2, sse) — for consumers that apply the probe elsewhere
+    * (uncertainty sampling, scoring) without the eval pass. */
+  def linearProbeModel(df: DataFrame, x1: Column, x2: Column, label: Column): DataFrame = {
+    val d0 = df.select(x1.cast("long").as("x1"), x2.cast("long").as("x2"),
+      label.cast("long").as("y"))
     def d19(c: Column) = c.cast("decimal(19,0)")
     def dsum(c: Column) = sum(c).cast("decimal(38,0)").cast("double")
     val m = d0.agg(
@@ -445,7 +461,7 @@ object StatsOps {
     val (b, c0, dd, e, f) = (col("sx1"), col("sx2"), col("sx11"), col("sx12"), col("sx22"))
     val (p, q, r) = (col("sy"), col("sx1y"), col("sx2y"))
     val det = a * (dd * f - e * e) - b * (b * f - e * c0) + c0 * (b * e - dd * c0)
-    val model = m.select(col("n_rows"), col("sy"), col("sx1y"), col("sx2y"),
+    m.select(col("n_rows"), col("sy"), col("sx1y"), col("sx2y"),
         col("sx1"), col("sx2"), col("sx11"), col("sx12"), col("sx22"),
         ((p * (dd * f - e * e) - b * (q * f - e * r) + c0 * (q * e - dd * r)) / det).as("w0"),
         ((a * (q * f - e * r) - p * (b * f - e * c0) + c0 * (b * r - q * c0)) / det).as("w1"),
@@ -461,12 +477,5 @@ object StatsOps {
             lit(2.0) * col("w0") * col("w1") * col("sx1") +
             lit(2.0) * col("w0") * col("w2") * col("sx2") +
             lit(2.0) * col("w1") * col("w2") * col("sx12"))).as("sse"))
-    val pred = col("w0") + col("w1") * col("x1").cast("double") +
-      col("w2") * col("x2").cast("double")
-    val eval0 = d0.crossJoin(broadcast(model.select("w0", "w1", "w2")))
-      .agg(sum(when((pred > 0.5) === (col("y") === 1), 1L).otherwise(0L)).as("n_correct"))
-    model.crossJoin(broadcast(eval0)).select(
-      col("n_rows"), col("w0"), col("w1"), col("w2"), col("sse"), col("n_correct"),
-      (col("n_correct").cast("double") / col("n_rows").cast("double")).as("accuracy"))
   }
 }

@@ -357,6 +357,13 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // per-query window, exact-dot rescore joins) + recall
                               // left-semi agg + final ORDER BY; queries/model rows all
                               // ride broadcast — no corpus self-join anywhere
+    "data_active_learning" -> 4, // 2× TP (moments pass + scoring pass) + the global
+                              // moments exchange + final ORDER BY; the 1-row model and
+                              // the lang rejoin of TakeOrdered's 40 rows ride broadcast
+    "text_bpe_train" -> 1,    // measured plan = the driver-assembled 8-row merge table's
+                              // ORDER BY only; each training round is its own bounded
+                              // job (vocab agg + pair agg + 1-row TakeOrdered) over the
+                              // lazily-checkpointed vocab — the corpus is scanned ONCE
     "multimodal_phash_dedup" -> 2, // candidate-pair distinct agg + ORDER BY —
                               // measured BELOW the sig table's lazy localCheckpoint
                               // (the upstream sample posexplode + two id aggs + band

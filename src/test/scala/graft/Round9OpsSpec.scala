@@ -526,6 +526,50 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- BPE tokenizer training ---------------------------------------------
+
+  test("bpeTrain reproduces hand-computed merges incl. greedy overlap semantics") {
+    import graft.operators.CorpusOps
+    // corpus: "aaab aaab ab" → vocab {aaab: 2, ab: 1}
+    // step1: (a,a) count 4 (two per 'aaab' × tf 2) beats (a,b) count 3
+    //        greedy apply: a a a b → [aa] a b
+    // step2: (a,b) count 3 (aaab:2 + ab:1) beats (aa,a) count 2
+    // step3: (aa,ab) count 2
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got = CorpusOps.bpeTrain(docs, "text", steps = 3)
+      .orderBy("step").collect()
+      .map(r0 => (r0.getInt(0), r0.getString(1), r0.getString(2), r0.getLong(3))).toSeq
+    assert(got == Seq((1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)), s"got $got")
+    // overlap: "aaaa" + merge (a,a) must yield [aa][aa] (count 3 at
+    // step 1 — three adjacent pairs — then (aa,aa) count 1), and the
+    // loop stops gracefully when pairs run out
+    val got2 = CorpusOps.bpeTrain(Seq((1L, "aaaa")).toDF("doc_id", "text"), "text", steps = 5)
+      .orderBy("step").collect()
+      .map(r0 => (r0.getInt(0), r0.getString(1), r0.getString(2), r0.getLong(3))).toSeq
+    assert(got2 == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)), s"got $got2")
+  }
+
+  // ---- active-learning uncertainty sampling --------------------------------
+
+  test("uncertaintySample picks the rows nearest the decision boundary") {
+    import graft.operators.SelectionOps
+    // y ≡ (x2 = 1) exactly → w=(0,0,1), pred = x2 ∈ {0,1}: every row is
+    // maximally CERTAIN except planted rows with x2=0.5-ish... x2 is
+    // integer, so instead make y depend on x1 with noise-free split and
+    // check the selected rows are the ones with pred closest to ½
+    val rows = (1L to 100L).map { i => (i, i % 50, i % 7, if (i % 50 >= 25) 1L else 0L) }
+    val df = rows.toDF("id", "x1", "x2", "y")
+    val sel = SelectionOps.uncertaintySample(df, "id", col("x1"), col("x2"), col("y"), k = 10)
+      .collect()
+    assert(sel.length == 10)
+    // monotone feature → the boundary sits near x1 ≈ 24.5; the selected
+    // uncertainties are the 10 smallest overall
+    val all = SelectionOps.uncertaintySample(df, "id", col("x1"), col("x2"), col("y"), k = 100)
+      .collect().map(_.getDouble(2)).sorted
+    val picked = sel.map(_.getDouble(2)).sorted
+    assert(picked.toSeq == all.take(10).toSeq, "must select the k smallest uncertainties")
+  }
+
   // ---- MIPS (maximum inner product search) --------------------------------
 
   test("MIPS ≠ cosine: a large-norm item wins the inner product; reduction finds it") {
@@ -567,12 +611,13 @@ class Round9OpsSpec extends SparkSpec {
     val df = (base ++ edited).toDF("id", "payload")
     val got = MultimodalOps.phashDupPairs(df, "id", "payload", maxHamming = 8)
       .collect().map(r0 => ((r0.getLong(0), r0.getLong(1)), r0.getInt(2))).toMap
-    // quadratic truth from the signature table
+    // quadratic truth from the two-word signature table
     val sigs = MultimodalOps.aHashSignatures(df, "id", "payload")
-      .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+      .collect().map(r0 => r0.getLong(0) -> (r0.getLong(1), r0.getLong(2))).toMap
     val want = (for {
       a <- sigs.keys; b <- sigs.keys if a < b
-      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 8
+      h = java.lang.Long.bitCount(sigs(a)._1 ^ sigs(b)._1) +
+        java.lang.Long.bitCount(sigs(a)._2 ^ sigs(b)._2) if h <= 8
     } yield (a, b) -> h).toMap
     assert(got == want, s"banding must find EXACTLY the quadratic pair set: " +
       s"missing=${(want.keySet -- got.keySet).take(5)} extra=${(got.keySet -- want.keySet).take(5)}")

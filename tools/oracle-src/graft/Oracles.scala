@@ -54,6 +54,32 @@ object Oracles {
       TextFunctions.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
     def sL(l: String) = s"len(list_intersect(list_distinct($toks), ${markers(l)}))"
     val dotExpr = "list_reduce(list_transform(list_zip(a.vec, b.vec), p -> p[1]*p[2]), (x,y) -> x+y)"
+    // shared by quality_model_fit / data_active_learning: the probe
+    // feature table, HUGEINT moment sums routed to DOUBLE via VARCHAR
+    // (correct rounding), and the Cramer solve in linearProbeModel's
+    // exact expression order
+    val probeFitCtes =
+      s"""t AS (SELECT doc_id, lang, len($toks) AS x1,
+         |        len(list_filter($toks, x -> list_contains(${markers("en")}, x))) AS x2,
+         |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+         |m AS (SELECT count(*) AS n_rows,
+         |  CAST(CAST(sum(x1) AS VARCHAR) AS DOUBLE) AS sx1,
+         |  CAST(CAST(sum(x2) AS VARCHAR) AS DOUBLE) AS sx2,
+         |  CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+         |  CAST(CAST(sum(x1::HUGEINT * x1) AS VARCHAR) AS DOUBLE) AS sx11,
+         |  CAST(CAST(sum(x2::HUGEINT * x2) AS VARCHAR) AS DOUBLE) AS sx22,
+         |  CAST(CAST(sum(x1::HUGEINT * x2) AS VARCHAR) AS DOUBLE) AS sx12,
+         |  CAST(CAST(sum(x1::HUGEINT * y) AS VARCHAR) AS DOUBLE) AS sx1y,
+         |  CAST(CAST(sum(x2::HUGEINT * y) AS VARCHAR) AS DOUBLE) AS sx2y
+         |  FROM t),
+         |w AS (SELECT n_rows, sy, sx1y, sx2y, sx1, sx2, sx11, sx12, sx22,
+         |  (sy * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1y * sx22 - sx12 * sx2y) + sx2 * (sx1y * sx12 - sx11 * sx2y))
+         |    / (CAST(n_rows AS DOUBLE) * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)) AS w0,
+         |  (CAST(n_rows AS DOUBLE) * (sx1y * sx22 - sx12 * sx2y) - sy * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx2y - sx1y * sx2))
+         |    / (CAST(n_rows AS DOUBLE) * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)) AS w1,
+         |  (CAST(n_rows AS DOUBLE) * (sx11 * sx2y - sx1y * sx12) - sx1 * (sx1 * sx2y - sx1y * sx2) + sy * (sx1 * sx12 - sx11 * sx2))
+         |    / (CAST(n_rows AS DOUBLE) * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)) AS w2
+         |  FROM m)""".stripMargin
     def normExpr(side: String) =
       s"sqrt(list_reduce(list_transform($side.vec, x -> x*x), (x,y) -> x+y))"
 
@@ -3214,27 +3240,7 @@ object Oracles {
         // (DuckDB sums in HUGEINT — exact like Spark's DECIMAL(38,0))
         // routed to DOUBLE via VARCHAR (correct rounding), then the
         // IDENTICAL Cramer/SSE/eval expression order as linearProbeFit
-        s"""WITH t AS (SELECT len($toks) AS x1,
-           |        len(list_filter($toks, x -> list_contains(${markers("en")}, x))) AS x2,
-           |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
-           |m AS (SELECT count(*) AS n_rows,
-           |  CAST(CAST(sum(x1) AS VARCHAR) AS DOUBLE) AS sx1,
-           |  CAST(CAST(sum(x2) AS VARCHAR) AS DOUBLE) AS sx2,
-           |  CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
-           |  CAST(CAST(sum(x1::HUGEINT * x1) AS VARCHAR) AS DOUBLE) AS sx11,
-           |  CAST(CAST(sum(x2::HUGEINT * x2) AS VARCHAR) AS DOUBLE) AS sx22,
-           |  CAST(CAST(sum(x1::HUGEINT * x2) AS VARCHAR) AS DOUBLE) AS sx12,
-           |  CAST(CAST(sum(x1::HUGEINT * y) AS VARCHAR) AS DOUBLE) AS sx1y,
-           |  CAST(CAST(sum(x2::HUGEINT * y) AS VARCHAR) AS DOUBLE) AS sx2y
-           |  FROM t),
-           |w AS (SELECT n_rows, sy, sx1y, sx2y, sx1, sx2, sx11, sx12, sx22,
-           |  (sy * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1y * sx22 - sx12 * sx2y) + sx2 * (sx1y * sx12 - sx11 * sx2y))
-           |    / (CAST(n_rows AS DOUBLE) * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)) AS w0,
-           |  (CAST(n_rows AS DOUBLE) * (sx1y * sx22 - sx12 * sx2y) - sy * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx2y - sx1y * sx2))
-           |    / (CAST(n_rows AS DOUBLE) * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)) AS w1,
-           |  (CAST(n_rows AS DOUBLE) * (sx11 * sx2y - sx1y * sx12) - sx1 * (sx1 * sx2y - sx1y * sx2) + sy * (sx1 * sx12 - sx11 * sx2))
-           |    / (CAST(n_rows AS DOUBLE) * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)) AS w2
-           |  FROM m),
+        s"""WITH $probeFitCtes,
            |s2 AS (SELECT n_rows, w0, w1, w2,
            |  sy - (2.0 * (w0 * sy + w1 * sx1y + w2 * sx2y)) +
            |    (w0 * w0 * CAST(n_rows AS DOUBLE) + w1 * w1 * sx11 + w2 * w2 * sx22 +
@@ -3306,8 +3312,8 @@ object Oracles {
       "multimodal_phash_dedup" ->
         // replay the aHash grid/threshold/signature arithmetic and the
         // QUADRATIC hamming truth — the engine's banded candidates +
-        // exact verify must produce exactly this pair set (9 bands of 7
-        // bits guarantee recall at hamming ≤ 8)
+        // exact verify must produce exactly this pair set (9 bands of
+        // 14 bits guarantee recall at hamming ≤ 8)
         """WITH src AS (
           |  SELECT doc_id AS id, text AS payload FROM documents
           |  UNION ALL
@@ -3317,17 +3323,18 @@ object Oracles {
           |nn AS (SELECT id, payload, greatest(length(payload), 1)::BIGINT AS n FROM src),
           |px AS (SELECT id, i,
           |        CASE WHEN length(payload) = 0 THEN 0
-          |          ELSE ascii(substr(payload, CAST(1 + floor(i * (n - 1) / 62.0) AS INT), 1))
+          |          ELSE ascii(substr(payload, CAST(1 + floor(i * (n - 1) / 125.0) AS INT), 1))
           |        END::BIGINT AS pix
-          |       FROM nn CROSS JOIN (SELECT unnest(range(0, 63)) AS i)),
+          |       FROM nn CROSS JOIN (SELECT unnest(range(0, 126)) AS i)),
           |s AS (SELECT id, sum(pix) AS sp FROM px GROUP BY id),
           |g AS (SELECT px.id,
-          |       sum(CASE WHEN pix * 63 > sp THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS sig
+          |       sum(CASE WHEN pix * 126 > sp AND i < 63 THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS sig_hi,
+          |       sum(CASE WHEN pix * 126 > sp AND i >= 63 THEN (1::BIGINT << (i - 63)) ELSE 0::BIGINT END) AS sig_lo
           |      FROM px JOIN s USING (id) GROUP BY px.id)
           |SELECT a.id AS a_id, b.id AS b_id,
-          | CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+          | CAST(bit_count(xor(a.sig_hi, b.sig_hi)) + bit_count(xor(a.sig_lo, b.sig_lo)) AS INT) AS hamming
           |FROM g a JOIN g b ON a.id < b.id
-          |WHERE bit_count(xor(a.sig, b.sig)) <= 8
+          |WHERE bit_count(xor(a.sig_hi, b.sig_hi)) + bit_count(xor(a.sig_lo, b.sig_lo)) <= 8
           |ORDER BY a_id, b_id""".stripMargin,
       "ann_mips" ->
         // exact brute-force MIPS replay (raw dot products, the shared
@@ -3345,7 +3352,49 @@ object Oracles {
            | FROM scored)
            |SELECT query_id, rank, neighbor_id, dot, true AS mips_recall_ok
            |FROM ranked WHERE rank <= 5
-           |ORDER BY query_id, rank""".stripMargin
+           |ORDER BY query_id, rank""".stripMargin,
+      "data_active_learning" ->
+        // refit the probe (shared CTEs), score every doc with the same
+        // fixed double expression, take the 40 nearest the ½ boundary
+        s"""WITH $probeFitCtes,
+           |sc AS (SELECT doc_id, lang,
+           |        w0 + w1 * CAST(x1 AS DOUBLE) + w2 * CAST(x2 AS DOUBLE) AS pred
+           |       FROM t, w)
+           |SELECT doc_id, lang, pred, abs(pred - 0.5) AS uncertainty
+           |FROM sc ORDER BY uncertainty, doc_id LIMIT 40""".stripMargin,
+      "text_bpe_train" ->
+        // replay the FULL BPE training loop: 8 unrolled rounds of
+        // (tf-weighted pair count over the vocab → lexicographic-min
+        // argmax → greedy left-to-right merge as ONE literal replace
+        // under the double-separator encoding — ␟a␟␟b␟ → ␟ab␟ consumes
+        // only the inner boundary separators, so adjacent disjoint
+        // occurrences merge in one pass and overlaps resolve greedily,
+        // exactly like the engine)
+        {
+          val stages = (1 to 8).map { i =>
+            val prev = s"v${i - 1}"
+            s"""p$i AS (SELECT u.a AS a, u.b AS b, sum(tf) AS c
+               |  FROM (SELECT tf, unnest(list_transform(range(1, len(arr)),
+               |         j -> {'a': arr[j], 'b': arr[j+1]})) AS u
+               |        FROM (SELECT tf, string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS arr FROM $prev)
+               |        WHERE len(arr) >= 2)
+               |  GROUP BY 1, 2),
+               |m$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+               |v$i AS (SELECT replace(sym,
+               |    (SELECT chr(31) || a || chr(31) || chr(31) || b || chr(31) FROM m$i),
+               |    (SELECT chr(31) || a || b || chr(31) FROM m$i)) AS sym, tf FROM $prev)""".stripMargin
+          }.mkString(",\n")
+          val unions = (1 to 8).map(i =>
+            s"SELECT $i AS step, a AS l_sym, b AS r_sym, CAST(c AS BIGINT) AS pair_tf FROM m$i")
+            .mkString("\nUNION ALL ")
+          s"""WITH t AS (SELECT $toks AS tk FROM documents),
+             |w0t AS (SELECT tok AS word, count(*) AS tf
+             |        FROM (SELECT unnest(tk) AS tok FROM t) WHERE len(tok) > 0 GROUP BY tok),
+             |v0 AS (SELECT regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS sym, tf
+             |       FROM w0t),
+             |$stages
+             |SELECT * FROM ($unions) ORDER BY step""".stripMargin
+        }
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
