@@ -59,6 +59,13 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.scheduler.DAGScheduler",
       org.apache.logging.log4j.Level.FATAL)
+    // Same tail-hygiene class: AccumulatorContext WARNs ("attempted to
+    // access garbage collected accumulator") fire in bursts during GC of
+    // completed queries' metrics — ~300 lines in a full run, and any
+    // burst after the JSON print would crowd the parse window.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.util.AccumulatorContext",
+      org.apache.logging.log4j.Level.ERROR)
 
     def runOnce(name: String): Double = {
       spark.catalog.clearCache()

@@ -5446,7 +5446,13 @@ object SparkEntry {
       // string replace under the double-separator encoding — which is
       // why DuckDB can replay the entire training loop verbatim
       // (8 unrolled count→argmax→replace stages).
-      CorpusOps.bpeTrain(TP(s, d, "documents"), "text", steps = 8).orderBy("step"))
+      CorpusOps.bpeTrain(TP(s, d, "documents"), "text", steps = 8).orderBy("step")),
+    "text_bpe_encode" -> ((s, d) =>
+      // the APPLY side of BPE training: corpus compression under the 8
+      // learned merges — chars vs BPE tokens, tokens/word, all integer
+      // sums over the final vocab state (tf-weighted), two double
+      // divisions; tells you what the tokenizer BUYS on this corpus.
+      CorpusOps.bpeEncodeStats(TP(s, d, "documents"), "text", steps = 8))
   )
 
   // ---------------------------------------------------------------- oracles

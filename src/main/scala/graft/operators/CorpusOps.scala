@@ -733,8 +733,17 @@ object CorpusOps {
     * never replays k replaces; the per-round argmax is a bounded
     * 1-row TakeOrdered collect (the centroid-training precedent).
     */
-  def bpeTrain(docs: DataFrame, textCol: String, steps: Int): DataFrame = {
-    val SEP = "\u001f"
+  def bpeTrain(docs: DataFrame, textCol: String, steps: Int): DataFrame =
+    bpeTrainLoop(docs, textCol, steps)._1
+
+  private val BpeSep = "\u001f"
+
+  private def bpeTrainLoop(
+      docs: DataFrame,
+      textCol: String,
+      steps: Int
+  ): (DataFrame, DataFrame) = {
+    val SEP = BpeSep
     val sp = docs.sparkSession
     var vocab = docs.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
@@ -764,6 +773,34 @@ object CorpusOps {
       }
     }
     import sp.implicits._
-    merges.toSeq.toDF("step", "l_sym", "r_sym", "pair_tf")
+    (merges.toSeq.toDF("step", "l_sym", "r_sym", "pair_tf"), vocab)
+  }
+
+  /** The APPLY side of [[bpeTrain]]: encode the corpus under the
+    * learned merges and report the compression — total characters vs
+    * total BPE tokens, tokens/word — the statistic that tells you what
+    * a tokenizer buys on THIS corpus. Everything is an integer sum over
+    * the final vocab state (chars = symbol characters, tokens = symbol
+    * count, both tf-weighted); the two ratios are single double
+    * divisions. Same cost shape as training: vocab-sized rounds over a
+    * once-scanned corpus.
+    */
+  def bpeEncodeStats(docs: DataFrame, textCol: String, steps: Int): DataFrame = {
+    val SEP = BpeSep
+    val vocab = bpeTrainLoop(docs, textCol, steps)._2
+    vocab
+      .select(col("tf"),
+        size(split(trim(col("sym"), SEP), SEP + SEP)).cast("long").as("n_sym"),
+        length(replace(col("sym"), lit(SEP), lit(""))).cast("long").as("n_chars"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum("tf").as("total_occurrences"),
+        sum(col("n_chars") * col("tf")).as("total_chars"),
+        sum(col("n_sym") * col("tf")).as("total_tokens"))
+      .select(col("n_words"), col("total_occurrences"), col("total_chars"), col("total_tokens"),
+        (col("total_tokens").cast("double") / col("total_occurrences").cast("double"))
+          .as("tokens_per_word"),
+        (col("total_tokens").cast("double") / col("total_chars").cast("double"))
+          .as("compression"))
   }
 }

@@ -364,6 +364,9 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // ORDER BY only; each training round is its own bounded
                               // job (vocab agg + pair agg + 1-row TakeOrdered) over the
                               // lazily-checkpointed vocab — the corpus is scanned ONCE
+    "text_bpe_encode" -> 1,   // one single-partition exchange for the global stats agg
+                              // over the final (checkpointed) vocab state; training
+                              // rounds ran as their own bounded jobs (see text_bpe_train)
     "multimodal_phash_dedup" -> 2, // candidate-pair distinct agg + ORDER BY —
                               // measured BELOW the sig table's lazy localCheckpoint
                               // (the upstream sample posexplode + two id aggs + band

@@ -549,6 +549,21 @@ class Round9OpsSpec extends SparkSpec {
     assert(got2 == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)), s"got $got2")
   }
 
+  test("bpeEncodeStats reports exact corpus compression under the learned merges") {
+    import graft.operators.CorpusOps
+    // after 3 merges ((a,a), (a,b), (aa,ab)) on "aaab aaab ab":
+    // vocab {aaab→[aaab] (1 sym, 4 chars, tf 2), ab→[ab] (1 sym,
+    // 2 chars, tf 1)} — merge 3 fuses the whole word
+    val st = CorpusOps.bpeEncodeStats(Seq((1L, "aaab aaab ab")).toDF("doc_id", "text"),
+      "text", steps = 3).head()
+    assert(st.getLong(0) == 2)         // n_words
+    assert(st.getLong(1) == 3)         // total_occurrences
+    assert(st.getLong(2) == 10)        // total_chars
+    assert(st.getLong(3) == 3)         // total_tokens
+    assert(st.getDouble(4) == 1.0)     // tokens per word occurrence
+    assert(st.getDouble(5) == 0.3)     // 3 tokens / 10 chars
+  }
+
   // ---- active-learning uncertainty sampling --------------------------------
 
   test("uncertaintySample picks the rows nearest the decision boundary") {

@@ -54,6 +54,32 @@ object Oracles {
       TextFunctions.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
     def sL(l: String) = s"len(list_intersect(list_distinct($toks), ${markers(l)}))"
     val dotExpr = "list_reduce(list_transform(list_zip(a.vec, b.vec), p -> p[1]*p[2]), (x,y) -> x+y)"
+    // shared by text_bpe_train / text_bpe_encode: the 8 unrolled BPE
+    // training rounds (pair count → argmax → greedy replace under the
+    // double-separator encoding) ending at final vocab state v8
+    val bpeStages = (1 to 8).map { i =>
+      val prev = s"v${i - 1}"
+      s"""p$i AS (SELECT u.a AS a, u.b AS b, sum(tf) AS c
+         |  FROM (SELECT tf, unnest(list_transform(range(1, len(arr)),
+         |         j -> {'a': arr[j], 'b': arr[j+1]})) AS u
+         |        FROM (SELECT tf, string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS arr FROM $prev)
+         |        WHERE len(arr) >= 2)
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         |v$i AS MATERIALIZED (SELECT replace(sym,
+         |    (SELECT chr(31) || a || chr(31) || chr(31) || b || chr(31) FROM m$i),
+         |    (SELECT chr(31) || a || b || chr(31) FROM m$i)) AS sym, tf FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val bpeUnions = (1 to 8).map(i =>
+      s"SELECT $i AS step, a AS l_sym, b AS r_sym, CAST(c AS BIGINT) AS pair_tf FROM m$i")
+      .mkString("\nUNION ALL ")
+    val bpePrefix =
+      s"""WITH t0bpe AS (SELECT $toks AS tk FROM documents),
+         |w0t AS (SELECT tok AS word, count(*) AS tf
+         |        FROM (SELECT unnest(tk) AS tok FROM t0bpe) WHERE len(tok) > 0 GROUP BY tok),
+         |v0 AS (SELECT regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS sym, tf
+         |       FROM w0t),
+         |$bpeStages""".stripMargin
     // shared by quality_model_fit / data_active_learning: the probe
     // feature table, HUGEINT moment sums routed to DOUBLE via VARCHAR
     // (correct rounding), and the Cramer solve in linearProbeModel's
@@ -3370,31 +3396,21 @@ object Oracles {
         // only the inner boundary separators, so adjacent disjoint
         // occurrences merge in one pass and overlaps resolve greedily,
         // exactly like the engine)
-        {
-          val stages = (1 to 8).map { i =>
-            val prev = s"v${i - 1}"
-            s"""p$i AS (SELECT u.a AS a, u.b AS b, sum(tf) AS c
-               |  FROM (SELECT tf, unnest(list_transform(range(1, len(arr)),
-               |         j -> {'a': arr[j], 'b': arr[j+1]})) AS u
-               |        FROM (SELECT tf, string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS arr FROM $prev)
-               |        WHERE len(arr) >= 2)
-               |  GROUP BY 1, 2),
-               |m$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
-               |v$i AS (SELECT replace(sym,
-               |    (SELECT chr(31) || a || chr(31) || chr(31) || b || chr(31) FROM m$i),
-               |    (SELECT chr(31) || a || b || chr(31) FROM m$i)) AS sym, tf FROM $prev)""".stripMargin
-          }.mkString(",\n")
-          val unions = (1 to 8).map(i =>
-            s"SELECT $i AS step, a AS l_sym, b AS r_sym, CAST(c AS BIGINT) AS pair_tf FROM m$i")
-            .mkString("\nUNION ALL ")
-          s"""WITH t AS (SELECT $toks AS tk FROM documents),
-             |w0t AS (SELECT tok AS word, count(*) AS tf
-             |        FROM (SELECT unnest(tk) AS tok FROM t) WHERE len(tok) > 0 GROUP BY tok),
-             |v0 AS (SELECT regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS sym, tf
-             |       FROM w0t),
-             |$stages
-             |SELECT * FROM ($unions) ORDER BY step""".stripMargin
-        }
+        s"""$bpePrefix
+           |SELECT * FROM ($bpeUnions) ORDER BY step""".stripMargin,
+      "text_bpe_encode" ->
+        // the APPLY side: corpus compression stats over the final vocab
+        // state v8 of the same unrolled training chain
+        s"""$bpePrefix,
+           |st AS (SELECT tf,
+           |  CAST(len(string_split(trim(sym, chr(31)), chr(31) || chr(31))) AS BIGINT) AS n_sym,
+           |  CAST(length(replace(sym, chr(31), '')) AS BIGINT) AS n_chars FROM v8)
+           |SELECT count(*) AS n_words, CAST(sum(tf) AS BIGINT) AS total_occurrences,
+           | CAST(sum(n_chars * tf) AS BIGINT) AS total_chars,
+           | CAST(sum(n_sym * tf) AS BIGINT) AS total_tokens,
+           | CAST(CAST(sum(n_sym * tf) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS tokens_per_word,
+           | CAST(CAST(sum(n_sym * tf) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(n_chars * tf) AS BIGINT) AS DOUBLE) AS compression
+           |FROM st""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
