@@ -5452,7 +5452,36 @@ object SparkEntry {
       // learned merges — chars vs BPE tokens, tokens/word, all integer
       // sums over the final vocab state (tf-weighted), two double
       // divisions; tells you what the tokenizer BUYS on this corpus.
-      CorpusOps.bpeEncodeStats(TP(s, d, "documents"), "text", steps = 8))
+      CorpusOps.bpeEncodeStats(TP(s, d, "documents"), "text", steps = 8)),
+    "quality_ece" -> ((s, d) => {
+      // expected calibration error of the row-311 probe (Guo et al.
+      // 2017): 10 equal-width prediction bins, per-bin
+      // |mean confidence − positive rate|, n-weighted scalar ECE.
+      // Per-row confidences round to 9 decimals and sum as DECIMAL
+      // (order-independent); the ≤10-term ECE fold runs in bin order
+      // over a collected array (the anova convention).
+      val docs = TP(s, d, "documents")
+      StatsOps.probeCalibration(docs,
+          x1 = size(TextFunctions.tokens(col("text"))),
+          x2 = TextFunctions.tokenHits(col("text"), TextFunctions.stopwords("en")),
+          label = when(col("lang") === "en", 1L).otherwise(0L), bins = 10)
+        .orderBy("bin")
+    }),
+    "vec_bitext_mining" -> ((s, d) => {
+      // margin-based bitext mining (Artetxe & Schwenk ACL'19): mine
+      // cross-side pairs (side = label % 2 — the two-"language" split)
+      // whose cosine is high RELATIVE to both endpoints' top-4
+      // neighborhoods — the LASER/CCMatrix parallel-corpus criterion
+      // that plain cosine thresholds can't express (hub suppression).
+      // Exact cosines as DECIMAL(9,6), exact decimal neighborhood
+      // means, one fixed double ratio.
+      val vecs = TP(s, d, "embeddings").select(col("vec_id"),
+        VectorFunctions.asDouble(col("embedding")).as("vec"),
+        (col("label") % 2).as("side"))
+      SimilarityOps.bitextMarginPairs(vecs, "vec_id", "vec", "side",
+          k = 4, threshold = 1.1)
+        .orderBy("x_id", "y_id")
+    })
   )
 
   // ---------------------------------------------------------------- oracles

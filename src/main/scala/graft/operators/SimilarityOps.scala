@@ -290,6 +290,54 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "dot")
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL'19): mine
+    * cross-side pairs (x from side 0, y from side ≠ 0) whose cosine is
+    * high RELATIVE to each vector's own neighborhood —
+    * margin(x,y) = cos(x,y) / ((mean top-k cos of x) + (mean top-k cos
+    * of y)) / 2 — the ratio criterion that suppresses hub vectors plain
+    * cosine thresholds mis-mine. This is the parallel-corpus mining
+    * step of a multilingual pipeline (LASER/CCMatrix shape).
+    *
+    * Exactness: cosines round to 6 and ride as DECIMAL(9,6), so the
+    * top-k neighborhood means are exact decimal sums (order-independent)
+    * and the margin is one fixed double expression — fully
+    * oracle-replayable. Scale: this exact form scores ALL cross pairs
+    * (one broadcast/shuffle join) — the gate-scale truth; a web-scale
+    * deployment generates candidates with the ANN family first and
+    * feeds them to the same margin arithmetic.
+    */
+  def bitextMarginPairs(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      sideCol: String,
+      k: Int = 4,
+      threshold: Double = 1.05
+  ): DataFrame = {
+    import graft.functions.VectorFunctions
+    val u = vecs.select(col(idCol).as("id"), col(sideCol).as("side"),
+        VectorFunctions.unitNormalize(col(vecCol)).as("unit"))
+      .localCheckpoint(eager = false) // consumed by both sides
+    val xs = u.filter(col("side") === 0).select(col("id").as("x_id"), col("unit").as("xv"))
+    val ys = u.filter(col("side") =!= 0).select(col("id").as("y_id"), col("unit").as("yv"))
+    val cross = xs.join(broadcast(ys))
+      .select(col("x_id"), col("y_id"),
+        round(VectorFunctions.dot(col("xv"), col("yv")), 6).cast("decimal(9,6)").as("cos"))
+      .localCheckpoint(eager = false) // consumed 3× (x-means, y-means, pairs)
+    def kMean(keyCol: String, otherCol: String, out: String) = {
+      val w = Window.partitionBy(keyCol).orderBy(col("cos").desc, col(otherCol).asc)
+      cross.withColumn("r", row_number().over(w)).filter(col("r") <= k)
+        .groupBy(keyCol)
+        .agg((sum("cos").cast("decimal(18,6)").cast("double") / k).as(out))
+    }
+    cross
+      .join(kMean("x_id", "y_id", "mx"), Seq("x_id"))
+      .join(kMean("y_id", "x_id", "my"), Seq("y_id"))
+      .withColumn("margin", col("cos").cast("double") / ((col("mx") + col("my")) / 2))
+      .filter(col("margin") >= threshold)
+      .select(col("x_id"), col("y_id"), round(col("margin"), 6).as("margin"))
+  }
+
   /** [[ivfTopK]] with the standard √n sizing rule applied for the
     * caller: nCells = ⌊√n⌋ (≥4), nProbe = nCells·probeFraction (≥2),
     * 4 Lloyd iterations. Costs one corpus `count()` (parquet metadata —

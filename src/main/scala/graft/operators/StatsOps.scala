@@ -437,6 +437,56 @@ object StatsOps {
       (col("n_correct").cast("double") / col("n_rows").cast("double")).as("accuracy"))
   }
 
+  /** Expected calibration error of the fitted probe (Guo et al. 2017,
+    * the binned ECE): predictions bucketed into `bins` equal-width
+    * bins, per-bin |mean prediction − empirical positive rate|,
+    * n-weighted into the scalar ECE. Per-row predictions are rounded
+    * to 9 decimals and summed as DECIMAL so the per-bin confidence
+    * means are ORDER-INDEPENDENT (a raw double sum differs in last
+    * bits with partition merge order); bin ids, counts, and positive
+    * counts are exact integers. One model-fit pass + one broadcast
+    * scoring agg — the linearProbeFit cost shape. Returns per-bin rows
+    * (bin, n, frac_pos, avg_conf, gap) with the corpus ECE riding on
+    * every row.
+    */
+  def probeCalibration(
+      df: DataFrame,
+      x1: Column,
+      x2: Column,
+      label: Column,
+      bins: Int = 10
+  ): DataFrame = {
+    val d0 = df.select(x1.cast("long").as("x1"), x2.cast("long").as("x2"),
+      label.cast("long").as("y"))
+    val model = linearProbeModel(df, x1, x2, label).select("w0", "w1", "w2")
+    val pred = col("w0") + col("w1") * col("x1").cast("double") +
+      col("w2") * col("x2").cast("double")
+    val binned = d0.crossJoin(broadcast(model))
+      .select(col("y"),
+        // clamp into [0, bins-1]: probe output is unbounded
+        least(greatest(floor(pred * bins).cast("long"), lit(0L)), lit(bins - 1L)).as("bin"),
+        round(pred, 9).cast("decimal(20,9)").as("p9"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        sum("p9").cast("decimal(38,9)").cast("double").as("sum_conf"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("frac_pos"),
+        (col("sum_conf") / col("n").cast("double")).as("avg_conf"))
+      .withColumn("gap",
+        abs(col("avg_conf") - col("frac_pos")))
+    // the ECE fold is a ≤`bins`-element DOUBLE sum — made order-
+    // independent by folding the collected per-bin terms in BIN order
+    // (the events_anova list-fold convention)
+    val eceRow = binned
+      .select(struct(col("bin"), (col("gap") * col("n").cast("double")).as("gw"), col("n")).as("s"))
+      .agg(sort_array(collect_list(col("s"))).as("arr"))
+      .select(
+        expr("aggregate(arr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.gw)").as("gap_sum"),
+        expr("aggregate(arr, CAST(0 AS BIGINT), (acc, x) -> acc + x.n)").as("n_tot"))
+      .select((col("gap_sum") / col("n_tot").cast("double")).as("ece"))
+    binned.crossJoin(broadcast(eceRow))
+  }
+
   /** The 1-row fitted model of [[linearProbeFit]] — (n_rows, w0, w1,
     * w2, sse) — for consumers that apply the probe elsewhere
     * (uncertainty sampling, scoring) without the eval pass. */

@@ -372,6 +372,13 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // (the upstream sample posexplode + two id aggs + band
                               // bucket agg run once at materialization); the verify
                               // sig re-attach joins broadcast at this scale
+    "quality_ece" -> 5,       // 2× TP (moments + scoring passes) + global moments
+                              // exchange + bin agg + final ORDER BY; the model, the
+                              // bins-bounded ECE fold, and its broadcast back are free
+    "vec_bitext_mining" -> 5, // measured BELOW the two lazy checkpoints (unit vectors,
+                              // cross cosines): x-rank window + x-mean agg + y-rank
+                              // window + y-mean agg... the pair spine reuses the
+                              // cross table; + final ORDER BY
     "data_url_canon" -> 2,    // canonical-key agg + ORDER BY — synthesis and
                               // canonicalization are pure map-side projections
     "text_ccnet_buckets" -> 13, // TP + bigram cf agg + per-doc fam agg + fam⋈lang doc

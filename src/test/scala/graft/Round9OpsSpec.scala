@@ -585,6 +585,55 @@ class Round9OpsSpec extends SparkSpec {
     assert(picked.toSeq == all.take(10).toSeq, "must select the k smallest uncertainties")
   }
 
+  // ---- probe calibration (ECE) ---------------------------------------------
+
+  test("probeCalibration: a perfectly calibrated probe has ECE 0") {
+    import graft.operators.StatsOps
+    // y ≡ x2 → pred = x2 ∈ {0,1}: both occupied bins have
+    // avg_conf == frac_pos exactly → every gap 0 → ECE 0
+    val r = new scala.util.Random(41)
+    val rows = (1 to 200).map { i => (i.toLong, 5L + r.nextInt(50), (i % 3 == 0)) }
+    val df = rows.toDF("id", "x1", "flag")
+    val out = StatsOps.probeCalibration(df, col("x1"),
+        when(col("flag"), 1L).otherwise(0L), when(col("flag"), 1L).otherwise(0L), bins = 10)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r0 =>
+      assert(math.abs(r0.getAs[Double]("gap")) < 1e-9, s"gap must be 0: $r0")
+      assert(math.abs(r0.getAs[Double]("ece")) < 1e-9, s"ece must be 0: $r0")
+    }
+  }
+
+  // ---- bitext margin mining -------------------------------------------------
+
+  test("bitextMarginPairs: margin criterion suppresses the hub that plain cosine mines") {
+    import graft.operators.SimilarityOps
+    // side 0: x1 pairs with y1 (identical direction); x2 is a HUB that
+    // is moderately close to EVERY y — plain cosine at 0.8 would mine
+    // all (x2, y*) pairs, the margin criterion keeps only (x1, y1)
+    // because x2's whole neighborhood is equally close (ratio ≈ 1)
+    // both sides need ≥ k+1 members so top-4 neighborhoods are full
+    // (the mean divides by the fixed k)
+    val vecs = Seq(
+      (1L, 0, Seq(1.0, 0.0, 0.0, 0.0)),          // x1
+      (2L, 0, Seq(0.5, 0.5, 0.5, 0.5)),          // x2 = hub
+      (3L, 0, Seq(0.52, 0.48, 0.5, 0.5)),        // x3..x6: the hub region
+      (4L, 0, Seq(0.48, 0.52, 0.5, 0.5)),
+      (5L, 0, Seq(0.5, 0.5, 0.52, 0.48)),
+      (6L, 0, Seq(0.5, 0.5, 0.48, 0.52)),
+      (10L, 1, Seq(0.999, 0.01, 0.0, 0.0)),      // y1 ≈ x1
+      (11L, 1, Seq(0.5, 0.55, 0.45, 0.5)),       // y2..y5: the hub region
+      (12L, 1, Seq(0.45, 0.5, 0.55, 0.5)),
+      (13L, 1, Seq(0.55, 0.45, 0.5, 0.5)),
+      (14L, 1, Seq(0.5, 0.5, 0.55, 0.45))
+    ).toDF("id", "side", "vec")
+    val pairs = SimilarityOps.bitextMarginPairs(vecs, "id", "vec", "side",
+        k = 4, threshold = 1.1)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    assert(pairs.contains((1L, 10L)), s"the true pair must be mined: $pairs")
+    assert(!pairs.exists(_._1 == 2L), s"the hub's pairs must be suppressed: $pairs")
+  }
+
   // ---- MIPS (maximum inner product search) --------------------------------
 
   test("MIPS ≠ cosine: a large-norm item wins the inner product; reduction finds it") {

@@ -3410,7 +3410,54 @@ object Oracles {
            | CAST(sum(n_sym * tf) AS BIGINT) AS total_tokens,
            | CAST(CAST(sum(n_sym * tf) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS tokens_per_word,
            | CAST(CAST(sum(n_sym * tf) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(n_chars * tf) AS BIGINT) AS DOUBLE) AS compression
-           |FROM st""".stripMargin
+           |FROM st""".stripMargin,
+      "quality_ece" ->
+        // shared probe-fit CTEs; confidences rounded to 9 and summed in
+        // DECIMAL (order-independent); the ≤10-term ECE fold in bin
+        // order via list(ORDER BY bin) + list_reduce (≡ Spark's
+        // sort_array + aggregate: 0.0 + x = x exactly)
+        s"""WITH $probeFitCtes,
+           |sc AS (SELECT y,
+           |  least(greatest(CAST(floor((w0 + w1 * CAST(x1 AS DOUBLE) + w2 * CAST(x2 AS DOUBLE)) * 10) AS BIGINT), 0), 9) AS bin,
+           |  CAST(ROUND(w0 + w1 * CAST(x1 AS DOUBLE) + w2 * CAST(x2 AS DOUBLE), 9) AS DECIMAL(20,9)) AS p9
+           | FROM t, w),
+           |b AS (SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+           |   CAST(CAST(CAST(sum(p9) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS sum_conf
+           |  FROM sc GROUP BY bin),
+           |b3 AS (SELECT bin, n, n_pos,
+           |   CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+           |   sum_conf / CAST(n AS DOUBLE) AS avg_conf,
+           |   abs(sum_conf / CAST(n AS DOUBLE) - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) AS gap
+           |  FROM b),
+           |e AS (SELECT list_reduce(list(gap * CAST(n AS DOUBLE) ORDER BY bin), (x, y) -> x + y) AS gap_sum,
+           |        CAST(sum(n) AS BIGINT) AS n_tot FROM b3)
+           |SELECT b3.bin, b3.n, b3.n_pos, b3.frac_pos, b3.avg_conf, b3.gap,
+           | e.gap_sum / CAST(e.n_tot AS DOUBLE) AS ece
+           |FROM b3, e ORDER BY bin""".stripMargin,
+      "vec_bitext_mining" ->
+        // full replay: unit vectors, exact DECIMAL(9,6) cosines over the
+        // cross-side product, exact decimal top-4 neighborhood means,
+        // fixed-order double margin ratio, threshold 1.1
+        """WITH u AS (SELECT vec_id AS id, label % 2 AS side,
+          |    list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v FROM embeddings),
+          |nrm AS (SELECT id, side,
+          |    list_transform(v, e -> e / sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b))) AS unit
+          |  FROM u),
+          |xs AS (SELECT id AS x_id, unit AS xv FROM nrm WHERE side = 0),
+          |ys AS (SELECT id AS y_id, unit AS yv FROM nrm WHERE side <> 0),
+          |cross0 AS MATERIALIZED (SELECT x_id, y_id,
+          |  CAST(ROUND(list_reduce(list_transform(list_zip(xv, yv), p -> p[1]*p[2]), (a,b) -> a+b), 6) AS DECIMAL(9,6)) AS cos
+          |  FROM xs, ys),
+          |mx AS (SELECT x_id, CAST(CAST(CAST(sum(cos) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) / 4 AS mx FROM (
+          |  SELECT x_id, cos, row_number() OVER (PARTITION BY x_id ORDER BY cos DESC, y_id) AS r FROM cross0)
+          |  WHERE r <= 4 GROUP BY x_id),
+          |my AS (SELECT y_id, CAST(CAST(CAST(sum(cos) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) / 4 AS my FROM (
+          |  SELECT y_id, cos, row_number() OVER (PARTITION BY y_id ORDER BY cos DESC, x_id) AS r FROM cross0)
+          |  WHERE r <= 4 GROUP BY y_id),
+          |m AS (SELECT x_id, y_id, CAST(cos AS DOUBLE) / ((mx + my) / 2) AS margin
+          |      FROM cross0 JOIN mx USING (x_id) JOIN my USING (y_id))
+          |SELECT x_id, y_id, ROUND(margin, 6) AS margin FROM m
+          |WHERE margin >= 1.1 ORDER BY x_id, y_id""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
