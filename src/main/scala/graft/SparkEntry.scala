@@ -5481,6 +5481,44 @@ object SparkEntry {
       SimilarityOps.bitextMarginPairs(vecs, "vec_id", "vec", "side",
           k = 4, threshold = 1.1)
         .orderBy("x_id", "y_id")
+    }),
+    "data_kfold" -> ((s, d) => {
+      // stratified k-fold cross-validation assignment (k=5):
+      // within-stratum md5 rank (seeded, retry-stable) → fold = rank%k,
+      // so per-stratum fold sizes differ by ≤1 — EXACT balance, not
+      // md5-mod-k approximate. The per-lang rank rides the
+      // groupedBandedRank core (lang is 5 values — a raw per-lang
+      // window is the §5.1 anti-pattern). Emits per (lang, fold)
+      // counts + the per-lang balance invariant.
+      val docs = T(s, d, "documents").select(col("doc_id"), col("lang"),
+        md5(concat(lit("kf:"), col("doc_id").cast("string"))).as("h"))
+      val banded = docs.withColumn("hb",
+        conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
+      val ranked = RankOps.groupedBandedRank(banded, Seq("lang"), Seq("hb"),
+        Seq(col("hb").asc), Seq(col("h").asc, col("doc_id").asc), "rk")
+      val folds = ranked
+        .withColumn("fold", pmod(col("rk") - 1, lit(5L)))
+        .groupBy("lang", "fold").agg(count(lit(1)).as("n_docs"))
+      val bal = folds.groupBy("lang")
+        .agg((max("n_docs") - min("n_docs") <= 1).as("balanced"))
+      folds.join(broadcast(bal), Seq("lang"))
+        .select(col("lang"), col("fold"), col("n_docs"), col("balanced"))
+        .orderBy("lang", "fold")
+    }),
+    "q67_group_order_all" -> ((s, d) => {
+      // Spark 4 SQL-surface conformance: GROUP BY ALL (group on every
+      // non-aggregate select item) + ORDER BY ALL — pure syntax over
+      // the same aggregate plan; DuckDB supports both spellings, so
+      // the oracle runs the IDENTICAL text.
+      T(s, d, "lineitem").createOrReplaceTempView("r9_li_all")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS qty
+        FROM r9_li_all
+        GROUP BY ALL
+        ORDER BY ALL
+      """)
     })
   )
 

@@ -159,9 +159,23 @@ object Pipeline {
                   shingleSize, numBands, rowsPerBand)
               stable
             } else kept
+          case "winnow" =>
+            // shared-PASSAGE dedup (winnowing fingerprints, SURVEY row
+            // 309): cluster docs sharing ≥ `shared` selected gram hashes
+            // (a ≥ w+k−1-token shared run ALWAYS links — the MOSS
+            // guarantee) and keep each cluster's min id — the
+            // plagiarism/license-boilerplate cut whole-doc similarity
+            // dedup can't express.
+            val k = p.getOrElse("k", "4").toInt
+            val w = p.getOrElse("w", "4").toInt
+            val minShared = p.getOrElse("shared", "2").toInt
+            val pairs = graft.operators.DedupOps
+              .winnowDupPairs(df, text, id, k, w, minShared)
+              .select(F.col("a_id"), F.col("b_id"))
+            graft.operators.DedupOps.applyPairDedup(df, id, pairs)
           case other =>
             throw new IllegalArgumentException(
-              s"dedup method '$other' not in: exact, minhash, incremental")
+              s"dedup method '$other' not in: exact, minhash, winnow, incremental")
         }
       }
     case "split" =>

@@ -86,6 +86,22 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 3))
   }
 
+  test("dedup:///?method=winnow drops docs sharing a long passage, keeps min id") {
+    // docs 1 and 2 share a 7-token run (≥ w+k−1 → guaranteed link);
+    // doc 3 shares nothing. Cluster {1,2} keeps min id 1.
+    val run = "one two three four five six seven"
+    val rows = Seq(
+      s"1,$run eight nine",
+      s"2,zero $run",
+      "3,alpha beta gamma delta epsilon zeta eta")
+    val (p, _) = Pipeline.fromArgs(Seq(
+      "--source", "values:///?header=id:int,text&values=" +
+        rows.mkString(";").replace(" ", "%20"),
+      "--transform", "dedup:///?method=winnow&text=text&id=id&shared=1"))
+    val out = p.resultView(spark, "sink").orderBy("id").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 3))
+  }
+
   test("dedup:///?method=incremental probes and maintains a persisted index across runs") {
     def enc(s: String) = s.replace(" ", "%20")
     val t1 = "alpha beta gamma delta epsilon zeta eta theta"

@@ -372,6 +372,12 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // (the upstream sample posexplode + two id aggs + band
                               // bucket agg run once at materialization); the verify
                               // sig re-attach joins broadcast at this scale
+    "data_kfold" -> 6,        // the groupedBandedRank core over (lang, md5-band): band
+                              // agg + offset agg + in-band window + (lang,fold) agg +
+                              // per-lang balance agg + ORDER BY; never a raw per-lang
+                              // window (5-value key — the §5.1 anti-pattern)
+    "q67_group_order_all" -> 2, // GROUP BY ALL ≡ plain group agg + ORDER BY ALL sort —
+                              // surface syntax, zero extra plan cost
     "quality_ece" -> 5,       // 2× TP (moments + scoring passes) + global moments
                               // exchange + bin agg + final ORDER BY; the model, the
                               // bins-bounded ECE fold, and its broadcast back are free

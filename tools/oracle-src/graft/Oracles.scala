@@ -3457,7 +3457,25 @@ object Oracles {
           |m AS (SELECT x_id, y_id, CAST(cos AS DOUBLE) / ((mx + my) / 2) AS margin
           |      FROM cross0 JOIN mx USING (x_id) JOIN my USING (y_id))
           |SELECT x_id, y_id, ROUND(margin, 6) AS margin FROM m
-          |WHERE margin >= 1.1 ORDER BY x_id, y_id""".stripMargin
+          |WHERE margin >= 1.1 ORDER BY x_id, y_id""".stripMargin,
+      "data_kfold" ->
+        // within-stratum md5 rank → fold = rank % 5 (the banded-rank
+        // core ≡ plain row_number over the (h, doc_id) total order)
+        """WITH dmd AS (SELECT doc_id, lang,
+          |  md5('kf:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+          |r AS (SELECT lang, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk FROM dmd),
+          |f AS (SELECT lang, (rk - 1) % 5 AS fold FROM r),
+          |g AS (SELECT lang, fold, count(*) AS n_docs FROM f GROUP BY 1, 2),
+          |b AS (SELECT lang, max(n_docs) - min(n_docs) <= 1 AS balanced FROM g GROUP BY lang)
+          |SELECT g.lang, CAST(fold AS BIGINT) AS fold, n_docs, balanced
+          |FROM g JOIN b USING (lang) ORDER BY lang, fold""".stripMargin,
+      "q67_group_order_all" ->
+        // identical GROUP BY ALL / ORDER BY ALL spelling (DuckDB
+        // supports both); only the decimal→double cast takes the
+        // VARCHAR route
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          | CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS qty
+          |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
