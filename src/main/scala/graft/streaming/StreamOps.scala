@@ -374,6 +374,69 @@ object StreamOps {
         .parquet(outDir)
     })
 
+  /** Streaming CDC apply — the streaming twin of [[graft.operators.DiffOps.merge]]:
+    * maintain a MERGE'd snapshot table from a change stream. Each
+    * microbatch (a) collapses within-batch changes to the LAST per key
+    * by `orderCol` (CDC streams carry ordered change sequences — a key
+    * updated twice in one batch must land on its final state), then
+    * (b) full-outer-merges into the current snapshot (upsert + delete
+    * semantics) and (c) publishes a new snapshot GENERATION directory,
+    * flipping a pointer file only after the write succeeds. Replayed
+    * batch ids are complete no-ops (the commit-log discipline of
+    * [[idempotentForeachBatch]]), so a post-failure re-delivery cannot
+    * double-apply — exactly-once table maintenance over plain parquet.
+    *
+    * Single-writer contract: the streaming query serializes batches, so
+    * the read-merge-publish cycle never races itself; a transactional
+    * format (Delta/Iceberg) replaces the pointer flip in production,
+    * everything else is unchanged. Old generations are retained (time
+    * travel / debugging); compact or vacuum them out of band.
+    */
+  def cdcApplySink(
+      snapshotDir: String,
+      commitDir: String,
+      keyCols: Seq[String],
+      orderCol: String,
+      deleteCol: Option[String] = None
+  ): (DataFrame, Long) => Unit =
+    idempotentForeachBatch(commitDir, { (batch, batchId) =>
+      val spark = batch.sparkSession
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val snapRoot = new org.apache.hadoop.fs.Path(snapshotDir)
+      val fs = snapRoot.getFileSystem(hconf)
+      val ptr = new org.apache.hadoop.fs.Path(snapRoot, "_LATEST")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+        .orderBy(col(orderCol).desc)
+      val latest = batch.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val snapCols = batch.columns.toSeq.filterNot(deleteCol.contains)
+      val base =
+        if (fs.exists(ptr)) {
+          val in = fs.open(ptr)
+          val cur = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+          spark.read.parquet(cur)
+        } else
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            org.apache.spark.sql.types.StructType(
+              batch.schema.fields.filter(f => snapCols.contains(f.name))))
+      val merged = graft.operators.DiffOps.merge(base, latest, keyCols, deleteCol)
+      val gen = new org.apache.hadoop.fs.Path(snapRoot, s"gen-$batchId").toString
+      merged.write.mode("overwrite").parquet(gen)
+      val out = fs.create(ptr, true)
+      try out.write(gen.getBytes("UTF-8")) finally out.close()
+    })
+
+  /** Read the current snapshot maintained by [[cdcApplySink]]. */
+  def readSnapshot(spark: SparkSession, snapshotDir: String): DataFrame = {
+    val snapRoot = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = snapRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(snapRoot, "_LATEST")
+    val in = fs.open(ptr)
+    val cur = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    spark.read.parquet(cur)
+  }
+
   /** TEST-ONLY convenience: replay a batch DataFrame as a file-source
     * stream so streaming operators can be unit-tested without external
     * services. The temp-dir write happens on the driver path — never use
