@@ -667,6 +667,34 @@ object ScaleProbe {
             col("x1"), col("x2"), when(col("flag"), 1L).otherwise(0L))
           .head().getLong(0)
       },
+      "phash_signatures" -> { rows =>
+        // aHash signature core: native single-pass 126-sample kernel +
+        // two partial-agg groupBys on the id (mean, bit fold) — per-row
+        // cost must stay flat; payloads ~150 chars
+        val text = concat_ws(" ",
+          transform(sequence(lit(1), lit(20)),
+            i => concat(lit("w"), pmod(col("id") * 13 + i, lit(9973L)).cast("string"))))
+        val docs = synth(rows).select(col("id"), text.as("payload"))
+        withScaledPartitions(rows) {
+          graft.operators.MultimodalOps.aHashSignatures(docs, "id", "payload")
+            .groupBy().count().head().getLong(0)
+        }
+      },
+      "bpe_round" -> { rows =>
+        // one BPE training round's cost core over a corpus-scan-derived
+        // vocab: tokenize → (word, tf) agg → pair expansion + pair agg.
+        // The vocab is rows-bounded here (worst case: every word
+        // distinct), so flat per-row cost proves a round is linear in
+        // the vocab — the loop multiplies by a CONSTANT step count.
+        val text = concat_ws(" ",
+          transform(sequence(lit(1), lit(8)),
+            i => concat(lit("tok"), pmod(col("id") * 31 + i * 7, lit(50000L)).cast("string"))))
+        val docs = synth(rows).select(col("id"), text.as("text"))
+        withScaledPartitions(rows) {
+          graft.operators.CorpusOps.bpeTrain(docs, "text", steps = 1)
+            .groupBy().count().head().getLong(0)
+        }
+      },
       "dp_release" -> { rows =>
         // DP aggregate release: one clipped groupBy agg + seeded-noise
         // projection — nothing here may grow super-linearly
