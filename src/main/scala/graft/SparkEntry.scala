@@ -5519,6 +5519,32 @@ object SparkEntry {
         GROUP BY ALL
         ORDER BY ALL
       """)
+    }),
+    "vec_binary_quant" -> ((s, d) => {
+      // 1-bit quantization retrieval eval (the 64×-compression tier
+      // below int8/PQ): sign-bit hamming ranking + the cos(π·h/d)
+      // angle estimator, judged against exact cosine — per query, the
+      // hamming top-5's recall of the cosine top-5 and the mean
+      // estimator error. Hamming is an exact in-row integer fold;
+      // estimator/error round to 6 and errors sum as decimals.
+      val vecs = TP(s, d, "embeddings")
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+      SimilarityOps.binaryQuantEval(vecs, vecs.filter(col("vec_id") < 8),
+          "vec_id", "vec", k = 5)
+        .orderBy("query_id")
+    }),
+    "data_psi" -> ((s, d) => {
+      // Population Stability Index (the scorecard-monitoring standard,
+      // completing the drift family: token drift row 134, KS row 201,
+      // chi² row 242): binned (p−q)·ln(p/q) between two deterministic
+      // event slices over the value domain in cents, Laplace-smoothed,
+      // per-bin term rounded ONCE and folded in bin order.
+      DriftOps.psi(
+        EV(s, d).select((col("event_id") % 2 === 0).as("is_base"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents")),
+        isBaseline = col("is_base"), measure = col("cents"),
+        bins = 10, lo = 0L, hi = 100000L)
+        .orderBy("bin")
     })
   )
 

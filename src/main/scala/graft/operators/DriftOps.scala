@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -201,5 +201,49 @@ object DriftOps {
         (col("ks_num").cast("double") /
           (col("n").cast(d38) * col("n_all").cast(d38)).cast("double")).as("ks"))
       .orderBy("slice")
+  }
+
+  /** Population Stability Index — the scorecard-monitoring standard:
+    * PSI = Σ_bins (p_b − q_b)·ln(p_b/q_b) between a BASELINE and a
+    * CURRENT distribution over `bins` equal-width bins of an integer
+    * measure on [lo, hi] (outliers clamp into the edge bins — PSI's
+    * convention; KS (above) is the binless alternative). Laplace +1
+    * smoothing keeps empty bins finite: p_b = (n_b+1)/(N+bins).
+    *
+    * Exactness: bin ids and counts are integers; each bin's
+    * (p−q)·ln(p/q) term rounds to 9 ONCE (≤ `bins` rounding sites) and
+    * the ≤`bins`-term PSI fold runs in bin order over a collected
+    * array. Shape: one conditional-sum groupBy over the measure (both
+    * sides counted in one scan), bins-sized everything after.
+    */
+  def psi(
+      df: DataFrame,
+      isBaseline: Column,
+      measure: Column,
+      bins: Int,
+      lo: Long,
+      hi: Long
+  ): DataFrame = {
+    require(bins >= 2 && hi > lo, "psi needs bins >= 2 and hi > lo")
+    val width = (hi - lo + bins - 1) / bins // ceil so hi lands in the last bin
+    val bin = least(greatest(
+      ((measure.cast("long") - lo) / width).cast("long"), lit(0L)), lit(bins - 1L))
+    val counts = df
+      .groupBy(bin.as("bin"))
+      .agg(sum(when(isBaseline, 1L).otherwise(0L)).as("n_base"),
+        sum(when(isBaseline, 0L).otherwise(1L)).as("n_cur"))
+    val tot = counts.agg(sum("n_base").cast("bigint").as("nb"),
+      sum("n_cur").cast("bigint").as("nc"))
+    val terms = counts.crossJoin(broadcast(tot))
+      .withColumn("p", (col("n_base") + 1).cast("double") / (col("nb") + bins).cast("double"))
+      .withColumn("q", (col("n_cur") + 1).cast("double") / (col("nc") + bins).cast("double"))
+      .withColumn("term", round((col("p") - col("q")) * log(col("p") / col("q")), 9))
+    val psiRow = terms
+      .select(struct(col("bin"), col("term")).as("s"))
+      .agg(sort_array(collect_list(col("s"))).as("arr"))
+      .select(expr("aggregate(arr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)").as("psi"))
+    terms
+      .select(col("bin"), col("n_base"), col("n_cur"), col("p"), col("q"), col("term"))
+      .crossJoin(broadcast(psiRow))
   }
 }

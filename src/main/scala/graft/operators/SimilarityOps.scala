@@ -338,6 +338,51 @@ object SimilarityOps {
       .select(col("x_id"), col("y_id"), round(col("margin"), 6).as("margin"))
   }
 
+  /** 1-bit (sign) quantization retrieval eval: the 64×-compression
+    * regime below int8 (row 69) and PQ (row 220) — store only sign
+    * bits, rank by hamming distance, estimate the angle back via
+    * cos(π·h/d). Emits, per query: how many of the exact cosine top-k
+    * the hamming top-k recovers, and the mean |cos(π·h/d) − cosine|
+    * estimator error over its hamming top-k — the storage-vs-recall
+    * evidence for choosing a quantization tier. Everything is exact:
+    * hamming is an integer in-row fold over the pair, the estimator
+    * rounds to 6 (cos() 1-ulp cross-engine skew absorbed at ≤ n·k
+    * sites), errors sum as DECIMAL.
+    */
+  def binaryQuantEval(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5
+  ): DataFrame = {
+    import graft.functions.VectorFunctions
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val dim = 64
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("size(filter(zip_with(q_vec, c_vec, (a, b) -> (a > 0d) != (b > 0d)), x -> x))")
+          .cast("int").as("hamming"),
+        round(VectorFunctions.cosine(col("q_vec"), col("c_vec")), 6).as("cosine"))
+    val wh = Window.partitionBy("query_id").orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val hTop = scored.withColumn("r", row_number().over(wh)).filter(col("r") <= k)
+      .withColumn("est",
+        round(cos(lit(3.141592653589793e0) * col("hamming") / dim), 6))
+      .withColumn("err", round(abs(col("est") - col("cosine")), 6).cast("decimal(9,6)"))
+    val wc = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val cTop = scored.withColumn("r", row_number().over(wc)).filter(col("r") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = hTop.select("query_id", "neighbor_id")
+      .join(cTop, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    hTop.groupBy("query_id")
+      .agg((sum("err").cast("decimal(18,6)").cast("double") / k).as("mean_est_err"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"), col("mean_est_err"))
+  }
+
   /** [[ivfTopK]] with the standard √n sizing rule applied for the
     * caller: nCells = ⌊√n⌋ (≥4), nProbe = nCells·probeFraction (≥2),
     * 4 Lloyd iterations. Costs one corpus `count()` (parquet metadata —

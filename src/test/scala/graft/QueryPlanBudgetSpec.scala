@@ -372,6 +372,12 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // (the upstream sample posexplode + two id aggs + band
                               // bucket agg run once at materialization); the verify
                               // sig re-attach joins broadcast at this scale
+    "vec_binary_quant" -> 9,  // TP ×2 (corpus + query side under pruning) + the two
+                              // per-query rank windows (hamming asc / cosine desc) +
+                              // hits semi agg + err agg + rejoin + ORDER BY; queries
+                              // ride broadcast, the pair scoring is map-side
+    "data_psi" -> 4,          // bin conditional-sum agg + 1-row totals + the ≤10-row
+                              // term collect + ORDER BY; PSI fold and totals broadcast
     "data_kfold" -> 6,        // the groupedBandedRank core over (lang, md5-band): band
                               // agg + offset agg + in-band window + (lang,fold) agg +
                               // per-lang balance agg + ORDER BY; never a raw per-lang

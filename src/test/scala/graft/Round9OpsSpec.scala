@@ -585,6 +585,43 @@ class Round9OpsSpec extends SparkSpec {
     assert(picked.toSeq == all.take(10).toSeq, "must select the k smallest uncertainties")
   }
 
+  // ---- 1-bit quantization eval ---------------------------------------------
+
+  test("binaryQuantEval: sign-hamming recovers exact neighbors on separated clusters") {
+    import graft.operators.SimilarityOps
+    // two tight clusters in orthogonal orthants: within-cluster hamming
+    // 0-1, cross-cluster ~d/2 → hamming top-k == cosine top-k, and the
+    // cos(π·h/d) estimate of an identical-sign pair is exactly 1
+    val r = new scala.util.Random(17)
+    def jitter(base: Seq[Double]) = base.map(_ + (r.nextDouble() - 0.5) * 0.05)
+    val a = Seq.fill(32)(1.0) ++ Seq.fill(32)(-1.0)
+    val b = Seq.fill(32)(-1.0) ++ Seq.fill(32)(1.0)
+    val vecs = ((1L to 6L).map(i => (i, jitter(a))) ++ (11L to 16L).map(i => (i, jitter(b))))
+      .toDF("id", "vec")
+    val out = SimilarityOps.binaryQuantEval(vecs, vecs.filter($"id" === 1), "id", "vec", k = 5)
+      .head()
+    assert(out.getLong(1) == 5L, s"all 5 exact neighbors must be recovered: $out")
+    assert(out.getDouble(2) < 0.05, s"estimator error must be small in-cluster: $out")
+  }
+
+  // ---- PSI drift -------------------------------------------------------------
+
+  test("psi: identical distributions score ~0, a shifted one scores large") {
+    import graft.operators.DriftOps
+    val same = (1L to 2000L).map(i => (i % 2 == 0, (i % 100) * 10))
+    val psiSame = DriftOps.psi(same.toDF("is_base", "v"), $"is_base", $"v",
+      bins = 10, lo = 0L, hi = 1000L).head().getAs[Double]("psi")
+    assert(math.abs(psiSame) < 0.01, s"identical halves must score ~0: $psiSame")
+    // current slice shifted up by 40% of the domain
+    val shifted = (1L to 2000L).map { i =>
+      val base = i % 2 == 0
+      (base, (if (base) (i % 100) * 10 else (i % 100) * 10 + 400))
+    }
+    val psiShift = DriftOps.psi(shifted.toDF("is_base", "v"), $"is_base", $"v",
+      bins = 10, lo = 0L, hi = 1000L).head().getAs[Double]("psi")
+    assert(psiShift > 0.25, s"a 40%-domain shift must trip the PSI>0.25 alarm bar: $psiShift")
+  }
+
   // ---- probe calibration (ECE) ---------------------------------------------
 
   test("probeCalibration: a perfectly calibrated probe has ECE 0") {

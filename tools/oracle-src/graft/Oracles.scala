@@ -3475,7 +3475,48 @@ object Oracles {
         // VARCHAR route
         """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
           | CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS qty
-          |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin
+          |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin,
+      "vec_binary_quant" ->
+        // full replay: sign-bit hamming (integer list fold), exact
+        // cosines, cos(π·h/64) estimator rounded 6, decimal error sums
+        s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+           |p AS MATERIALIZED (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |  CAST(len(list_filter(list_zip(a.vec, b.vec), z -> (z[1] > 0) <> (z[2] > 0))) AS INT) AS hamming,
+           |  ROUND($dotExpr / (${normExpr("a")} * ${normExpr("b")}), 6) AS cosine
+           | FROM base a JOIN base b ON a.vec_id < 8 AND b.vec_id <> a.vec_id),
+           |ht AS (SELECT query_id, neighbor_id,
+           |   CAST(ROUND(abs(ROUND(cos(3.141592653589793e0 * hamming / 64), 6) - cosine), 6) AS DECIMAL(9,6)) AS err
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS r FROM p)
+           |  WHERE r <= 5),
+           |ct AS (SELECT query_id, neighbor_id
+           |  FROM (SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS r FROM p)
+           |  WHERE r <= 5),
+           |hits AS (SELECT ht.query_id, count(*) AS hits FROM ht JOIN ct USING (query_id, neighbor_id) GROUP BY 1),
+           |e AS (SELECT query_id,
+           |  CAST(CAST(CAST(sum(err) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) / 5 AS mean_est_err
+           | FROM ht GROUP BY query_id)
+           |SELECT e.query_id, CAST(COALESCE(hits, 0) AS BIGINT) AS hits, mean_est_err
+           |FROM e LEFT JOIN hits USING (query_id) ORDER BY query_id""".stripMargin,
+      "data_psi" ->
+        // binned PSI replay: integer bins/counts, Laplace smoothing,
+        // per-bin term rounded to 9 (ln skew absorbed at ≤10 sites),
+        // bin-order list fold
+        """WITH e AS (SELECT event_id % 2 = 0 AS is_base,
+          |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+          |b AS (SELECT least(greatest(cents // 10000, 0), 9) AS bin,
+          |   CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+          |   CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+          |  FROM e GROUP BY 1),
+          |t AS (SELECT CAST(sum(n_base) AS BIGINT) AS nb, CAST(sum(n_cur) AS BIGINT) AS nc FROM b),
+          |tm AS (SELECT bin, n_base, n_cur,
+          |   CAST(n_base + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE) AS p,
+          |   CAST(n_cur + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE) AS q
+          |  FROM b, t),
+          |tm2 AS (SELECT bin, n_base, n_cur, p, q,
+          |   ROUND((p - q) * ln(p / q), 9) AS term FROM tm),
+          |s AS (SELECT list_reduce(list(term ORDER BY bin), (x, y) -> x + y) AS psi FROM tm2)
+          |SELECT bin, n_base, n_cur, p, q, term, psi FROM tm2, s ORDER BY bin""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
