@@ -5545,6 +5545,28 @@ object SparkEntry {
         isBaseline = col("is_base"), measure = col("cents"),
         bins = 10, lo = 0L, hi = 100000L)
         .orderBy("bin")
+    }),
+    "events_ab_cuped" -> ((s, d) => {
+      // CUPED-adjusted experiment readout (Deng et al. WSDM'13 — the
+      // variance-reduction step the plain A/B readout of row 229
+      // lacks): per-user pre-period spend (first 15 days from the
+      // corpus's own t₀) is the covariate, post-period spend the
+      // metric; θ and the adjusted arm means derive ENTIRELY from
+      // decimal-exact integer moments. Arm split = the ab: md5
+      // convention shared with events_ab_test/events_ab_srm.
+      val ev = EV(s, d).select(col("user_id"), col("ts_us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val t0 = ev.agg(min("ts_us").as("tmin"))
+      val cut = lit(15L * 86400000000L)
+      val perUser = ev.crossJoin(broadcast(t0))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("ts_us") < col("tmin") + cut, col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("ts_us") >= col("tmin") + cut, col("cents")).otherwise(0L)).as("y"))
+        .withColumn("arm",
+          when(conv(substring(md5(concat(lit("ab:"), col("user_id"))), 1, 8), 16, 10)
+            .cast("bigint") % 2 === 0, "A").otherwise("B"))
+      StatsOps.cupedAdjust(perUser, "arm", col("x"), col("y")).orderBy("arm")
     })
   )
 

@@ -437,6 +437,63 @@ object StatsOps {
       (col("n_correct").cast("double") / col("n_rows").cast("double")).as("accuracy"))
   }
 
+  /** CUPED variance reduction for experiment readouts (Deng et al.
+    * WSDM'13 — the industry-standard A/B sensitivity boost): adjust the
+    * experiment metric with a PRE-period covariate,
+    * Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X) pooled across arms, so
+    * between-user variance explained by pre-behavior cancels out of the
+    * arm comparison. Everything derives from EXACT integer-moment sums
+    * (Σx, Σy, Σxy, Σx², Σy² per arm, pooled by addition): the adjusted
+    * arm means ȳ_a − θ(x̄_a − x̄) and the variance-reduction ratio
+    * 1 − ρ² are fixed double expressions over the 1-row stats — no
+    * per-row doubles in any sum, one partial-agg groupBy total.
+    * Inputs contract: x, y integer-valued (cents/counts).
+    *
+    * Pooled θ assumes RANDOMIZED assignment (X ⟂ arm), per the paper;
+    * under covariate imbalance the pooled covariance absorbs part of
+    * the treatment effect — compute θ from pre-experiment data alone
+    * in that case and apply the same adjusted-mean formula.
+    */
+  def cupedAdjust(df: DataFrame, armCol: String, x: Column, y: Column): DataFrame = {
+    val d0 = df.select(col(armCol).as("arm"), x.cast("long").as("x"), y.cast("long").as("y"))
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    def dsum(c: Column) = sum(c).cast("decimal(38,0)").cast("double")
+    val m = d0.groupBy("arm").agg(
+      count(lit(1)).as("n"),
+      dsum(d19(col("x"))).as("sx"), dsum(d19(col("y"))).as("sy"),
+      dsum(d19(col("x")) * d19(col("x"))).as("sxx"),
+      dsum(d19(col("y")) * d19(col("y"))).as("syy"),
+      dsum(d19(col("x")) * d19(col("y"))).as("sxy"))
+      .localCheckpoint(eager = false) // arms-sized; read by pooled + per-arm
+    // pooled moments fold in ARM order (arms-sized double sums — the
+    // list-fold order-independence convention)
+    val pooled = m
+      .select(struct(col("arm"), col("n"), col("sx"), col("sy"),
+        col("sxx"), col("syy"), col("sxy")).as("s"))
+      .agg(sort_array(collect_list(col("s"))).as("a"))
+      .select(
+        expr("aggregate(a, CAST(0 AS BIGINT), (acc, v) -> acc + v.n)").as("pn"),
+        expr("aggregate(a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.sx)").as("psx"),
+        expr("aggregate(a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.sy)").as("psy"),
+        expr("aggregate(a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.sxx)").as("psxx"),
+        expr("aggregate(a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.syy)").as("psyy"),
+        expr("aggregate(a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.sxy)").as("psxy"))
+      .select(col("pn"), (col("psx") / col("pn").cast("double")).as("xbar"),
+        // θ = cov/var and ρ² = cov²/(var_x·var_y) via the n-scaled sums
+        ((col("pn").cast("double") * col("psxy") - col("psx") * col("psy")) /
+          (col("pn").cast("double") * col("psxx") - col("psx") * col("psx"))).as("theta"),
+        (((col("pn").cast("double") * col("psxy") - col("psx") * col("psy")) *
+          (col("pn").cast("double") * col("psxy") - col("psx") * col("psy"))) /
+          ((col("pn").cast("double") * col("psxx") - col("psx") * col("psx")) *
+            (col("pn").cast("double") * col("psyy") - col("psy") * col("psy")))).as("rho2"))
+    m.crossJoin(broadcast(pooled)).select(
+      col("arm"), col("n"),
+      (col("sy") / col("n").cast("double")).as("mean_y"),
+      (col("sy") / col("n").cast("double") -
+        col("theta") * (col("sx") / col("n").cast("double") - col("xbar"))).as("mean_y_adj"),
+      col("theta"), (lit(1.0) - col("rho2")).as("var_ratio"))
+  }
+
   /** Expected calibration error of the fitted probe (Guo et al. 2017,
     * the binned ECE): predictions bucketed into `bins` equal-width
     * bins, per-bin |mean prediction − empirical positive rate|,

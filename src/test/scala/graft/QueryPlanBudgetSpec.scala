@@ -372,6 +372,9 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // (the upstream sample posexplode + two id aggs + band
                               // bucket agg run once at materialization); the verify
                               // sig re-attach joins broadcast at this scale
+    "events_ab_cuped" -> 2,   // per-user pre/post agg + per-arm moment agg (the 1-row
+                              // tmin and pooled-fold rows ride broadcast; ORDER BY of 2
+                              // rows collapses into the arm agg's exchange)
     "vec_binary_quant" -> 9,  // TP ×2 (corpus + query side under pruning) + the two
                               // per-query rank windows (hamming asc / cosine desc) +
                               // hits semi agg + err agg + rejoin + ORDER BY; queries

@@ -585,6 +585,32 @@ class Round9OpsSpec extends SparkSpec {
     assert(picked.toSeq == all.take(10).toSeq, "must select the k smallest uncertainties")
   }
 
+  // ---- CUPED --------------------------------------------------------------
+
+  test("cupedAdjust preserves the arm effect and collapses variance under randomization") {
+    import graft.operators.StatsOps
+    // randomized assignment (same covariate distribution both arms),
+    // y = 2x + small idiosyncratic noise + 4·1{B}: the adjusted
+    // difference must equal the true effect (θ·(x̄_B−x̄_A)=0 exactly by
+    // balance) while 1−ρ² collapses because x explains nearly all
+    // variance — the sensitivity boost CUPED exists for
+    val rows = (1L to 200L).flatMap { i =>
+      val x = 100 + (i % 50) * 3
+      val noise = (i % 7).toInt - 3
+      Seq(("A", x, 2 * x + noise), ("B", x, 2 * x + noise + 4))
+    }
+    val out = StatsOps.cupedAdjust(rows.toDF("arm", "x", "y"), "arm", col("x"), col("y"))
+      .collect().map(r0 => r0.getString(0) ->
+        (r0.getAs[Double]("mean_y"), r0.getAs[Double]("mean_y_adj"), r0.getAs[Double]("var_ratio")))
+      .toMap
+    val rawDiff = out("B")._1 - out("A")._1
+    val adjDiff = out("B")._2 - out("A")._2
+    assert(math.abs(rawDiff - 4.0) < 1e-9, s"raw diff: $rawDiff")
+    assert(math.abs(adjDiff - 4.0) < 1e-9,
+      s"balanced covariate ⇒ adjustment shifts both arms equally: $adjDiff")
+    assert(out("A")._3 < 0.05, s"x must explain nearly all variance: ${out("A")._3}")
+  }
+
   // ---- 1-bit quantization eval ---------------------------------------------
 
   test("binaryQuantEval: sign-hamming recovers exact neighbors on separated clusters") {

@@ -3516,7 +3516,43 @@ object Oracles {
           |tm2 AS (SELECT bin, n_base, n_cur, p, q,
           |   ROUND((p - q) * ln(p / q), 9) AS term FROM tm),
           |s AS (SELECT list_reduce(list(term ORDER BY bin), (x, y) -> x + y) AS psi FROM tm2)
-          |SELECT bin, n_base, n_cur, p, q, term, psi FROM tm2, s ORDER BY bin""".stripMargin
+          |SELECT bin, n_base, n_cur, p, q, term, psi FROM tm2, s ORDER BY bin""".stripMargin,
+      "events_ab_cuped" ->
+        // full CUPED replay: per-user pre/post integer sums, md5 arm
+        // split, HUGEINT moments routed to DOUBLE via VARCHAR, pooled
+        // folds in arm order, identical θ/ρ²/mean expression order
+        """WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+          |   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+          |t0 AS (SELECT min(ts_us) AS tmin FROM ev),
+          |pu AS (SELECT user_id,
+          |   CAST(sum(CASE WHEN ts_us < tmin + 1296000000000 THEN cents ELSE 0 END) AS BIGINT) AS x,
+          |   CAST(sum(CASE WHEN ts_us >= tmin + 1296000000000 THEN cents ELSE 0 END) AS BIGINT) AS y
+          |  FROM ev, t0 GROUP BY user_id),
+          |aa AS (SELECT CASE WHEN CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+          |    THEN 'A' ELSE 'B' END AS arm, x, y FROM pu),
+          |m AS (SELECT arm, count(*) AS n,
+          |   CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+          |   CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+          |   CAST(CAST(sum(x::HUGEINT * x) AS VARCHAR) AS DOUBLE) AS sxx,
+          |   CAST(CAST(sum(y::HUGEINT * y) AS VARCHAR) AS DOUBLE) AS syy,
+          |   CAST(CAST(sum(x::HUGEINT * y) AS VARCHAR) AS DOUBLE) AS sxy
+          |  FROM aa GROUP BY arm),
+          |p AS (SELECT CAST(sum(n) AS BIGINT) AS pn,
+          |   list_reduce(list(sx ORDER BY arm), (a, b) -> a + b) AS psx,
+          |   list_reduce(list(sy ORDER BY arm), (a, b) -> a + b) AS psy,
+          |   list_reduce(list(sxx ORDER BY arm), (a, b) -> a + b) AS psxx,
+          |   list_reduce(list(syy ORDER BY arm), (a, b) -> a + b) AS psyy,
+          |   list_reduce(list(sxy ORDER BY arm), (a, b) -> a + b) AS psxy
+          |  FROM m),
+          |p2 AS (SELECT pn, psx / CAST(pn AS DOUBLE) AS xbar,
+          |   (CAST(pn AS DOUBLE) * psxy - psx * psy) / (CAST(pn AS DOUBLE) * psxx - psx * psx) AS theta,
+          |   ((CAST(pn AS DOUBLE) * psxy - psx * psy) * (CAST(pn AS DOUBLE) * psxy - psx * psy))
+          |     / ((CAST(pn AS DOUBLE) * psxx - psx * psx) * (CAST(pn AS DOUBLE) * psyy - psy * psy)) AS rho2
+          |  FROM p)
+          |SELECT arm, n, sy / CAST(n AS DOUBLE) AS mean_y,
+          | sy / CAST(n AS DOUBLE) - theta * (sx / CAST(n AS DOUBLE) - xbar) AS mean_y_adj,
+          | theta, 1.0 - rho2 AS var_ratio
+          |FROM m, p2 ORDER BY arm""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
