@@ -5567,6 +5567,34 @@ object SparkEntry {
           when(conv(substring(md5(concat(lit("ab:"), col("user_id"))), 1, 8), 16, 10)
             .cast("bigint") % 2 === 0, "A").otherwise("B"))
       StatsOps.cupedAdjust(perUser, "arm", col("x"), col("y")).orderBy("arm")
+    }),
+    "text_entropy" -> ((s, d) => {
+      // per-document token Shannon entropy — the gibberish/diversity
+      // signal (low H = repeated tokens, H ≈ ln n = all-distinct) in
+      // the form H = ln(n) − (1/n)·Σ c·ln(c): ln sites are the
+      // DISTINCT (doc, token) counts only, each rounded ONCE to 9 and
+      // folded c-weighted in exact decimal — never a per-token-
+      // occurrence rounding. Shape: one (doc, token) partial agg + one
+      // doc agg; efficiency = H / ln(n) normalizes across lengths.
+      val tc = TP(s, d, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      tc.groupBy("doc_id")
+        .agg(sum("c").cast("bigint").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum((col("c").cast("decimal(19,0)") *
+            round(log(col("c").cast("double")), 9).cast("decimal(18,9)")))
+            .cast("decimal(38,9)").cast("double").as("clnc"))
+        .filter(col("n_tokens") > 1)
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          // ln(n) itself carries cross-engine 1-ulp skew → round(9)
+          // both outputs (one more absorption site per doc)
+          round(log(col("n_tokens").cast("double")) -
+            col("clnc") / col("n_tokens").cast("double"), 9).as("entropy"))
+        .withColumn("efficiency",
+          round(col("entropy") / round(log(col("n_tokens").cast("double")), 9), 9))
+        .orderBy("doc_id")
     })
   )
 

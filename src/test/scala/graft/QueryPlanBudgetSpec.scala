@@ -372,6 +372,8 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // (the upstream sample posexplode + two id aggs + band
                               // bucket agg run once at materialization); the verify
                               // sig re-attach joins broadcast at this scale
+    "text_entropy" -> 4,      // TP + (doc, token) partial agg + per-doc fold agg +
+                              // ORDER BY — ln sites live on the distinct-count rows
     "events_ab_cuped" -> 2,   // per-user pre/post agg + per-arm moment agg (the 1-row
                               // tmin and pooled-fold rows ride broadcast; ORDER BY of 2
                               // rows collapses into the arm agg's exchange)

@@ -3552,7 +3552,23 @@ object Oracles {
           |SELECT arm, n, sy / CAST(n AS DOUBLE) AS mean_y,
           | sy / CAST(n AS DOUBLE) - theta * (sx / CAST(n AS DOUBLE) - xbar) AS mean_y_adj,
           | theta, 1.0 - rho2 AS var_ratio
-          |FROM m, p2 ORDER BY arm""".stripMargin
+          |FROM m, p2 ORDER BY arm""".stripMargin,
+      "text_entropy" ->
+        // H = ln(n) − (1/n)Σ c·ln(c): ln rounded once per DISTINCT
+        // (doc, token) count, c-weighted decimal fold, fixed doubles
+        s"""WITH tc AS (SELECT doc_id, tok, count(*) AS c
+           |  FROM (SELECT doc_id, unnest($toks) AS tok FROM documents)
+           |  WHERE tok <> '' GROUP BY doc_id, tok),
+           |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           |   count(*) AS n_distinct,
+           |   CAST(CAST(CAST(sum(c::DECIMAL(19,0) * CAST(ROUND(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)))
+           |     AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS clnc
+           |  FROM tc GROUP BY doc_id)
+           |SELECT doc_id, n_tokens, n_distinct,
+           | ROUND(ln(CAST(n_tokens AS DOUBLE)) - clnc / CAST(n_tokens AS DOUBLE), 9) AS entropy,
+           | ROUND(ROUND(ln(CAST(n_tokens AS DOUBLE)) - clnc / CAST(n_tokens AS DOUBLE), 9)
+           |   / ROUND(ln(CAST(n_tokens AS DOUBLE)), 9), 9) AS efficiency
+           |FROM a WHERE n_tokens > 1 ORDER BY doc_id""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
