@@ -668,6 +668,25 @@ object Oracles {
           |FROM s a JOIN s b ON a.id < b.id
           |WHERE bit_count(xor(a.sig, b.sig)) <= 3
           |ORDER BY a_id, b_id""".stripMargin,
+      // The three _aux_* dumps are oracle INPUTS (Verify writes them next
+      // to the query results; the dedup_simhash / dedup_semantic* oracles
+      // above read them back). The driver scans every dump dir as a query,
+      // so each gets an IDENTITY oracle — both sides read the same file —
+      // making the artifact green instead of `no_oracle`/lexsort red rows
+      // (round-9 verdict item 1). `unit` is dumped as a JSON string for
+      // pandas sortability; consumers CAST it back to DOUBLE[].
+      "_aux_simhash_sigs" ->
+        """SELECT id, sig
+          |FROM read_parquet('__GRAFT_OUT__/_aux_simhash_sigs/*.parquet')
+          |ORDER BY id""".stripMargin,
+      "_aux_semantic_cells" ->
+        """SELECT id, cell, cent_sim, unit
+          |FROM read_parquet('__GRAFT_OUT__/_aux_semantic_cells/*.parquet')
+          |ORDER BY id""".stripMargin,
+      "_aux_semantic_incr_cells" ->
+        """SELECT side, id, cell, cent_sim, unit
+          |FROM read_parquet('__GRAFT_OUT__/_aux_semantic_incr_cells/*.parquet')
+          |ORDER BY side, id""".stripMargin,
       "graph_pagerank_check" ->
         """WITH e AS (SELECT DISTINCT c_custkey % 25 AS src, CAST(c_nationkey AS BIGINT) AS dst
           |           FROM customer WHERE c_custkey % 25 <> c_nationkey),
@@ -1123,7 +1142,7 @@ object Oracles {
         // must match the engine's exactly. Cosine = one dot over the
         // dumped unit vectors, summed left-to-right in both engines,
         // rounded to 6 BEFORE the threshold on both sides.
-        """WITH cl AS (SELECT id, cell, cent_sim, unit
+        """WITH cl AS (SELECT id, cell, cent_sim, CAST(unit AS DOUBLE[]) AS unit
           |            FROM read_parquet('__GRAFT_OUT__/_aux_semantic_cells/*.parquet')),
           |drops AS (
           | SELECT DISTINCT a.id
@@ -1143,7 +1162,7 @@ object Oracles {
         // preference across the boundary), (3) the remainder self-prunes
         // by the SemDeDup rule (lower cent_sim preferred, ties keep the
         // lower id) → dropped_delta, else survived.
-        """WITH cl AS (SELECT side, id, cell, cent_sim, unit
+        """WITH cl AS (SELECT side, id, cell, cent_sim, CAST(unit AS DOUBLE[]) AS unit
           |            FROM read_parquet('__GRAFT_OUT__/_aux_semantic_incr_cells/*.parquet')),
           |base AS (SELECT * FROM cl WHERE side = 'base'),
           |delta AS (SELECT * FROM cl WHERE side = 'delta'),
