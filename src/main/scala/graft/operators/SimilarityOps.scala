@@ -849,13 +849,32 @@ object SimilarityOps {
 
   /** The DROPPED ids of [[pruneCells]] — exposed separately because the
     * incremental probe must label each delta row's fate, not just keep
-    * the survivors. */
+    * the survivors.
+    *
+    * Oversized-cell guard (round-9 verdict item 2): the within-cell
+    * quadratic is SemDeDup's contract, but a degenerate embedding
+    * distribution (k-means collapse — e.g. mostly-zero vectors landing in
+    * one cell) concentrates the whole m² on ONE join key, i.e. one task.
+    * Cells above `spark.graft.semdedup.cellCap` (default 4096) are
+    * therefore SUB-BANDED: each row gets a deterministic chunk
+    * c = xxhash64(id) mod k, the left side replicates over all right
+    * chunks and vice versa, and the join key becomes (cell, ca, cb) — the
+    * identical pair set, spread over k² independent tasks (the
+    * both-sides-replication skew split, `allBucketPairs`' overflow spirit
+    * applied to a keyed self-join). k = `spark.graft.semdedup.cellSplits`
+    * (default 16) bounds replication at k× on the oversized slice only.
+    * Results are bit-identical to the unguarded join (pair set equality —
+    * each unordered pair meets in exactly one (chunk(a), chunk(b)) task).
+    */
   private[graft] def cellDrops(cells: DataFrame, tau: Double): DataFrame = {
-    val a = cells.select(
+    val conf = cells.sparkSession.conf
+    val cellCap = conf.get("spark.graft.semdedup.cellCap", "4096").toInt
+    val splits = conf.get("spark.graft.semdedup.cellSplits", "16").toInt
+    def aSide(df: DataFrame) = df.select(
       col("cell"), col("id").as("a_id"), col("unit").as("a_vec"), col("cent_sim").as("a_cs"))
-    val b = cells.select(
+    def bSide(df: DataFrame) = df.select(
       col("cell"), col("id").as("b_id"), col("unit").as("b_vec"), col("cent_sim").as("b_cs"))
-    a.join(b, Seq("cell"))
+    def prune(pairs: DataFrame): DataFrame = pairs
       .filter(col("a_id") =!= col("b_id"))
       // unit vectors → cosine is one native dot; round BEFORE the
       // threshold so both engines gate on the identical 6-decimal value
@@ -863,6 +882,36 @@ object SimilarityOps {
       .filter(col("b_cs") < col("a_cs") ||
         (col("b_cs") === col("a_cs") && col("b_id") < col("a_id")))
       .select(col("a_id").as("id"))
-      .distinct()
+    // Oversized-cell detection is an EAGER bounded job (nCells result
+    // rows by the √n sizing rule): the well-conditioned common case then
+    // keeps the exact pre-guard plan — no new Exchange, plan pins and
+    // scale-probe shapes unchanged.
+    val oversized: Array[Int] = cells.groupBy("cell").agg(count(lit(1)).as("__csz"))
+      .filter(col("__csz") > cellCap).select("cell").collect().map(_.getInt(0))
+    if (oversized.isEmpty)
+      prune(aSide(cells).join(bSide(cells), Seq("cell"))).distinct()
+    else {
+      // A k-means collapse concentrated >cellCap rows on one join key —
+      // the whole m² would land in ONE task. Sub-band the degenerate
+      // cells: chunk c = xxhash64(id) mod k per row, each side
+      // replicated over the other side's k chunks, join key
+      // (cell, ca, cb) — the identical ordered-pair set (each pair meets
+      // in exactly one (chunk(a), chunk(b)) task), spread over k²
+      // independent tasks at k× replication of the oversized slice only
+      // (the allBucketPairs overflow guard's shape, applied to the keyed
+      // self-join — round-9 verdict item 2).
+      val ok = cells.filter(!col("cell").isin(oversized.map(Int.box): _*))
+      val big = cells.filter(col("cell").isin(oversized.map(Int.box): _*))
+      val chunks = sequence(lit(0), lit(splits - 1))
+      val bigA = aSide(big)
+        .withColumn("ca", pmod(xxhash64(col("a_id")), lit(splits)))
+        .withColumn("cb", explode(chunks))
+      val bigB = bSide(big)
+        .withColumn("cb", pmod(xxhash64(col("b_id")), lit(splits)))
+        .withColumn("ca", explode(chunks))
+      prune(aSide(ok).join(bSide(ok), Seq("cell")))
+        .unionByName(prune(bigA.join(bigB, Seq("cell", "ca", "cb"))))
+        .distinct()
+    }
   }
 }
