@@ -754,7 +754,7 @@ object CorpusOps {
     var exhausted = false
     for (step <- 1 to steps if !exhausted) {
       val pairs = vocab
-        .select(col("tf"), split(trim(col("sym"), SEP), SEP + SEP).as("arr"))
+        .select(col("tf"), split(btrim(col("sym"), lit(SEP)), SEP + SEP).as("arr"))
         .filter(size(col("arr")) >= 2)
         .select(col("tf"), explode(expr(
           "transform(sequence(1, size(arr) - 1), i -> struct(arr[i - 1] AS a, arr[i] AS b))"))
@@ -790,7 +790,7 @@ object CorpusOps {
     val vocab = bpeTrainLoop(docs, textCol, steps)._2
     vocab
       .select(col("tf"),
-        size(split(trim(col("sym"), SEP), SEP + SEP)).cast("long").as("n_sym"),
+        size(split(btrim(col("sym"), lit(SEP)), SEP + SEP)).cast("long").as("n_sym"),
         length(replace(col("sym"), lit(SEP), lit(""))).cast("long").as("n_chars"))
       .agg(
         count(lit(1)).as("n_words"),

@@ -56,14 +56,24 @@ object StreamOps {
       joinType: String = "inner"
   ): DataFrame = {
     val l = left.withWatermark(leftTsCol, watermarkDelay)
-    val r = right.withWatermark(rightTsCol, watermarkDelay)
-    val keyCond = keyCols.map(c => l(c) === r(c)).reduce(_ && _)
+    // The right side's key columns are RENAMED before the join: when both
+    // inputs descend from the same frame (the batch twin's one-scan
+    // click/purchase split), l(c) === r(c) resolves both sides to the
+    // SAME attribute — a trivially-true predicate Spark only rescues via
+    // plan-id disambiguation, with a WARN per construction. Distinct
+    // names make the equi-join unambiguous by construction (the
+    // events_funnel_conv p_uid precedent, applied inside the operator so
+    // every caller is safe).
+    val r = keyCols.foldLeft(right.withWatermark(rightTsCol, watermarkDelay))(
+      (df, c) => df.withColumnRenamed(c, s"__r_$c"))
+    val keyCond = keyCols.map(c => l(c) === r(s"__r_$c")).reduce(_ && _)
     val timeCond =
       r(rightTsCol) >= l(leftTsCol) &&
         r(rightTsCol) <= l(leftTsCol) + expr(s"INTERVAL $maxDelay")
     // left_outer emits the null-padded left row once its join window is
     // fully past the watermark — the "click with no purchase" stream
-    keyCols.foldLeft(l.join(r, keyCond && timeCond, joinType))((df, c) => df.drop(r(c)))
+    keyCols.foldLeft(l.join(r, keyCond && timeCond, joinType))(
+      (df, c) => df.drop(s"__r_$c"))
   }
 
   final case class SessionEvent(key: Long, ts_us: Long)
