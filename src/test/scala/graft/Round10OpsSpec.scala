@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.SimilarityOps
+import graft.operators.{CorpusOps, SimilarityOps}
 import org.apache.spark.sql.functions._
 
 /** Round-10 operator specs. */
@@ -32,5 +32,29 @@ class Round10OpsSpec extends SparkSpec {
       spark.conf.unset("spark.graft.semdedup.cellCap")
       spark.conf.unset("spark.graft.semdedup.cellSplits")
     }
+  }
+
+  test("driver-side BPE trainer ≡ the unrolled distributed rounds, merge for merge") {
+    // overlap-heavy corpus: repeated runs force the greedy left-to-right
+    // application corner ("aaaa" + (a,a) → [aa][aa]) and tf-weighted ties
+    val docs = Seq(
+      (1L, "the cat sat on the mat with the catapult"),
+      (2L, "aaaa aaa banana bandana the theme there"),
+      (3L, "low lower lowest newer newest widest wide"),
+      (4L, "the the the cat cat mat aaaa theme")
+    ).toDF("doc_id", "text").repartition(2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("step")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val distributed = rows(CorpusOps.bpeTrain(docs, "text", steps = 12))
+    val driverSide = rows(CorpusOps.bpeTrainDriverSide(docs, "text", steps = 12))
+    assert(driverSide == distributed)
+    assert(distributed.size == 12)
+    // the maxVocab guard fails loud, not silently-truncated
+    val e = intercept[IllegalArgumentException](
+      CorpusOps.bpeTrainDriverSide(docs, "text", steps = 2, maxVocab = 3))
+    assert(e.getMessage.contains("maxVocab"))
   }
 }
