@@ -173,9 +173,90 @@ object Pipeline {
               .winnowDupPairs(df, text, id, k, w, minShared)
               .select(F.col("a_id"), F.col("b_id"))
             graft.operators.DedupOps.applyPairDedup(df, id, pairs)
+          case "semantic" =>
+            // SemDeDup over an embedding column (SURVEY rows 303/308 as a
+            // URI step): batch mode prunes within spherical-k-means cells;
+            // with `index=<prefix>` the minhash-incremental posture applies
+            // to embeddings — first run bootstraps the persisted survivor
+            // index, later runs probe it under the frozen centroids and
+            // (update=true) fold survivors in. Output = the input rows
+            // that survive (semi-join on id — the embedding column passes
+            // through untouched, whatever its float/double element type).
+            val vecC = p.getOrElse("vec", "vec")
+            val tau = p.getOrElse("tau", "0.99").toDouble
+            val nCells = p.getOrElse("cells", "16").toInt
+            val V = graft.operators.VectorIndexOps
+            val spark = df.sparkSession
+            val vecs = df.select(F.col(id).as("__v_id"),
+              graft.functions.VectorFunctions.asDouble(F.col(vecC)).as("__v_vec"))
+            val keep = p.get("index") match {
+              case None =>
+                graft.operators.SimilarityOps
+                  .semanticDedup(vecs, "__v_id", "__v_vec", nCells, tau)
+                  .select(F.col("id").as("__keep_id"))
+              case Some(prefix) =>
+                val buckets = p.getOrElse("buckets", "8").toInt
+                val update = p.getOrElse("update", "true").toBoolean
+                if (!spark.catalog.tableExists(s"${prefix}_cells")) {
+                  val idx = V.buildSemDedupIndex(vecs, "__v_id", "__v_vec",
+                    prefix, nCells, buckets, tau)
+                  spark.table(idx.cellsTable).select(F.col("id").as("__keep_id"))
+                } else {
+                  val idx = V.SemDedupIndex(
+                    s"${prefix}_cells", s"${prefix}_centroids", nCells, tau)
+                  V.probeSemDedupIndex(vecs, "__v_id", "__v_vec", idx, update, buckets)
+                    .filter(F.col("verdict") === "survived")
+                    .select(F.col("id").as("__keep_id"))
+                }
+            }
+            df.join(keep, df(id) === F.col("__keep_id"), "left_semi")
           case other =>
             throw new IllegalArgumentException(
-              s"dedup method '$other' not in: exact, minhash, winnow, incremental")
+              s"dedup method '$other' not in: exact, minhash, winnow, incremental, semantic")
+        }
+      }
+    case "ann" =>
+      df => {
+        // Persisted-IVF ANN as a URI step (SURVEY row 180's index surfaced
+        // to the CLI): `ann:///<prefix>?mode=build|append|probe`. Build
+        // trains centroids from the input rows and lands the bucketed
+        // cells+centroids catalog tables (input passes through unchanged —
+        // the indexed corpus IS the view); append folds a new generation
+        // in under the frozen centroids; probe treats the input as the
+        // QUERY batch and returns (query_id, rank, neighbor_id, cosine).
+        // Default mode: probe when the index exists, else build — the
+        // dedup-incremental bootstrap convention.
+        val p = uri.queryParams
+        val prefix = uri.relPath
+        require(prefix.nonEmpty, "ann: index table prefix path is empty")
+        val id = p.getOrElse("id", "id")
+        val vecC = p.getOrElse("vec", "vec")
+        val V = graft.operators.VectorIndexOps
+        val spark = df.sparkSession
+        val vecs = df.select(F.col(id).as("__v_id"),
+          graft.functions.VectorFunctions.asDouble(F.col(vecC)).as("__v_vec"))
+        val exists = spark.catalog.tableExists(s"${prefix}_cells")
+        def indexOf: V.IvfIndex = {
+          require(exists, s"ann: no persisted index at '$prefix'")
+          V.IvfIndex(s"${prefix}_cells", s"${prefix}_centroids",
+            spark.table(s"${prefix}_centroids").count().toInt)
+        }
+        p.getOrElse("mode", if (exists) "probe" else "build").toLowerCase match {
+          case "build" =>
+            V.buildIvfIndex(vecs, "__v_id", "__v_vec", prefix,
+              p.getOrElse("cells", "16").toInt, p.getOrElse("buckets", "8").toInt)
+            df
+          case "append" =>
+            V.appendToIvfIndex(vecs, "__v_id", "__v_vec", indexOf,
+              p.getOrElse("buckets", "8").toInt)
+            df
+          case "probe" =>
+            V.probeIvf(spark, vecs, "__v_id", "__v_vec", indexOf,
+              p.getOrElse("k", "5").toInt, p.getOrElse("nprobe", "2").toInt,
+              p.getOrElse("excludeSelf", "true").toBoolean)
+          case other =>
+            throw new IllegalArgumentException(
+              s"ann mode '$other' not in: build, append, probe")
         }
       }
     case "split" =>
@@ -241,7 +322,7 @@ object Pipeline {
     case other =>
       throw new IllegalArgumentException(
         s"transform scheme '$other' not in: identity, sql, sql-file, flatten, flatten-explode, " +
-          "diff, dedup, split, sample, decontam, quality, cap, chunk")
+          "diff, dedup, ann, split, sample, decontam, quality, cap, chunk")
   }
 
   /** Parse reference-style CLI args:

@@ -148,6 +148,96 @@ class PipelineSpec extends SparkSpec {
     assert(spark.table(s"${pfx}_sigs").count() == 8, "update=false must leave the index untouched")
   }
 
+  // values:// carries only scalars, so the vector tests assemble the
+  // embedding column with an inline sql:// step — itself an e2e check
+  // that array columns flow through the URI pipeline.
+  private def vecSql(dims: Seq[String]) =
+    "sql:///" + java.net.URLEncoder.encode(
+      s"SELECT id, array(${dims.mkString(", ")}) AS vec FROM source", "UTF-8")
+
+  test("dedup:///?method=semantic prunes embedding near-dups through the URI step") {
+    // three axes + a 0.05-perturbed near-copy of two of them
+    // (cosine ≈ 0.99875 ≥ τ=0.99); id 3 has no dup
+    val values = Seq(
+      "1,1.0,0.0,0.0", "2,0.0,1.0,0.0", "3,0.0,0.0,1.0",
+      "11,1.0,0.05,0.0", "12,0.05,1.0,0.0").mkString(";")
+    val (p, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?header=id:int,x:double,y:double,z:double&values=$values",
+      "--transform", "source+v+" + vecSql(Seq("x", "y", "z")),
+      "--transform", "v+out+dedup:///?method=semantic&id=id&vec=vec&cells=1&tau=0.99"))
+    val kept = p.resultView(spark, "out").select("id").collect().map(_.getInt(0)).toSet
+    assert(kept.size == 3, s"one of each dup pair + the unique: $kept")
+    assert(kept.contains(3))
+    assert(kept.intersect(Set(1, 11)).size == 1 && kept.intersect(Set(2, 12)).size == 1)
+    // survivors keep their ORIGINAL columns (semi-join passthrough)
+    assert(p.resultView(spark, "out").columns.toSeq == Seq("id", "vec"))
+  }
+
+  test("dedup:///?method=semantic&index= bootstraps and probes a persisted index") {
+    val pfx = "graft_r10_pipesem"
+    graft.operators.BucketOps.dropTable(spark, s"${pfx}_cells")
+    graft.operators.BucketOps.dropTable(spark, s"${pfx}_centroids")
+    val hdr = "header=id:int,x:double,y:double,z:double"
+    // day 1: two axes, no dups — index bootstraps with both
+    val (p1, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?$hdr&values=1,1.0,0.0,0.0;2,0.0,1.0,0.0",
+      "--transform", "source+v+" + vecSql(Seq("x", "y", "z")),
+      "--transform", s"v+out+dedup:///?method=semantic&id=id&vec=vec&cells=1&tau=0.99&index=$pfx"))
+    assert(p1.resultView(spark, "out").collect().map(_.getInt(0)).toSet == Set(1, 2))
+    // day 2: 11 duplicates INDEXED 1 (dropped_index); 13 is fresh →
+    // survives and (update=true default) folds into the index
+    val (p2, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?$hdr&values=11,1.0,0.05,0.0;13,0.0,0.0,1.0",
+      "--transform", "source+v+" + vecSql(Seq("x", "y", "z")),
+      "--transform", s"v+out+dedup:///?method=semantic&id=id&vec=vec&cells=1&tau=0.99&index=$pfx"))
+    assert(p2.resultView(spark, "out").collect().map(_.getInt(0)).toSet == Set(13))
+    val indexed = spark.table(s"${pfx}_cells").select("id").collect().map(_.getInt(0)).toSet
+    assert(indexed == Set(1, 2, 13), s"index after day 2: $indexed")
+    // day 3: a dup of day-2 survivor 13 is caught by the appended index
+    val (p3, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?$hdr&values=23,0.0,0.05,1.0",
+      "--transform", "source+v+" + vecSql(Seq("x", "y", "z")),
+      "--transform", s"v+out+dedup:///?method=semantic&id=id&vec=vec&cells=1&tau=0.99&index=$pfx&update=false"))
+    assert(p3.resultView(spark, "out").isEmpty)
+    assert(spark.table(s"${pfx}_cells").count() == 3, "update=false must not grow the index")
+  }
+
+  test("ann:///<prefix> builds, probes, and appends a persisted IVF index as URI steps") {
+    val pfx = "graft_r10_pipeann"
+    graft.operators.BucketOps.dropTable(spark, s"${pfx}_cells")
+    graft.operators.BucketOps.dropTable(spark, s"${pfx}_centroids")
+    val hdr = "header=id:int,x:double,y:double&values="
+    // corpus: two tight groups around e1 and e2 — first run bootstraps
+    val corpus = "1,1.0,0.0;2,0.95,0.05;3,0.0,1.0;4,0.05,0.95"
+    val (pb, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?$hdr$corpus",
+      "--transform", "source+v+" + vecSql(Seq("x", "y")),
+      "--transform", s"v+out+ann:///$pfx?cells=2&buckets=2&id=id&vec=vec"))
+    // build mode passes the corpus through unchanged
+    assert(pb.resultView(spark, "out").count() == 4)
+    assert(spark.table(s"${pfx}_centroids").count() == 2)
+    // probe: the query near e1 must rank its tight neighbors first;
+    // nprobe=2 probes every cell → exact top-k
+    val (pq, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?${hdr}100,1.0,0.02",
+      "--transform", "source+v+" + vecSql(Seq("x", "y")),
+      "--transform", s"v+out+ann:///$pfx?k=2&nprobe=2&id=id&vec=vec"))
+    val top = pq.resultView(spark, "out").orderBy("rank").collect()
+    assert(top.map(_.getAs[Int]("neighbor_id")).toSeq == Seq(1, 2), s"got ${top.toSeq}")
+    assert(top.head.getAs[Int]("rank") == 1)
+    // append a new generation, then probe finds it at rank 1
+    val (pa, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?${hdr}5,1.0,0.02",
+      "--transform", "source+v+" + vecSql(Seq("x", "y")),
+      "--transform", s"v+out+ann:///$pfx?mode=append&buckets=2&id=id&vec=vec"))
+    assert(pa.resultView(spark, "out").count() == 1)
+    val (pq2, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?${hdr}100,1.0,0.02",
+      "--transform", "source+v+" + vecSql(Seq("x", "y")),
+      "--transform", s"v+out+ann:///$pfx?k=1&nprobe=2&id=id&vec=vec"))
+    assert(pq2.resultView(spark, "out").head().getAs[Int]("neighbor_id") == 5)
+  }
+
   test("cap:///?key=... keeps k rows per key through the URI step") {
     val values = (1 to 20).map(i => s"$i,k${i % 2},${i * 10}").mkString(";")
     val (p, _) = Pipeline.fromArgs(Seq(
