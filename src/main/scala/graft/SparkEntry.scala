@@ -1109,6 +1109,42 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "dedup_semantic_drift" -> ((s, d) => {
+      // the SemDeDup index drift monitor (the rebuild trigger for the
+      // frozen-centroid contract — rebuildSemDedupIndex is the escape
+      // hatch it arms): two staleness signals over the SAME side-tagged
+      // cells the incremental probe computes, (1) assignment-quality
+      // drift = base mean cent_sim − delta mean cent_sim (decimal-exact
+      // sums, one double division each, round 9), (2) cell-occupancy
+      // shift = integer-exact L1 distance between the two cell
+      // distributions in ppm of its [0,2] range (cross-multiplied
+      // BIGINT shares — the data_drift convention; cells missing on one
+      // side coalesce to 0). rebuild fires on literal thresholds both
+      // engines compare identically. Oracle replays the whole report
+      // over the _aux_semantic_incr_cells dump.
+      val cells = semanticDedupIncrCells(s, d)
+      val occ = cells.groupBy("cell").agg(
+        sum(when(col("side") === "base", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("side") === "delta", 1L).otherwise(0L)).as("n_d"))
+      val totals = cells.groupBy().agg(
+        sum(when(col("side") === "base", 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("side") === "delta", 1L).otherwise(0L)).as("n_delta"),
+        dsum(when(col("side") === "base", col("cent_sim")), 6).as("sum_b"),
+        dsum(when(col("side") === "delta", col("cent_sim")), 6).as("sum_d"))
+      occ.crossJoin(broadcast(totals))
+        .groupBy("n_base", "n_delta", "sum_b", "sum_d")
+        .agg(sum(abs(col("n_b") * col("n_delta") - col("n_d") * col("n_base")))
+          .as("l1_num"))
+        .select(
+          col("n_base"), col("n_delta"),
+          round(col("sum_b") / col("n_base"), 9).as("base_mean_sim"),
+          round(col("sum_d") / col("n_delta"), 9).as("delta_mean_sim"),
+          round(col("sum_b") / col("n_base") - col("sum_d") / col("n_delta"), 9)
+            .as("sim_drift"),
+          expr("l1_num * 1000000L div (2L * n_base * n_delta)").as("occ_l1_ppm"))
+        .withColumn("rebuild",
+          abs(col("sim_drift")) > 0.005 || col("occ_l1_ppm") > 100000L)
+    }),
     "vec_quantize" -> ((s, d) => {
       // int8 scalar quantization of the embedding table (4× storage cut)
       // + reconstruction error, both engines computing the identical
@@ -3484,6 +3520,21 @@ object SparkEntry {
           md5(col("scrubbed")).as("scrub_md5"))
         .orderBy("doc_id")
     }),
+    "text_span_scrub_winnow" -> ((s, d) => {
+      // memory-bounded span scrub (row 307's long-n variant): only the
+      // ~2n/w winnowing-SELECTED grams are positioned and owned (min
+      // doc id per selected hash), each shared selection scrubs its
+      // k-token extent. With w ≤ k the extents tile a shared run's
+      // interior (≤ w−1 edge tokens survive per side) at 1/w of the
+      // positioned-gram memory — the price of the bound. Oracle replays
+      // the full winnowing selection (the dedup_winnowing fragment) +
+      // ownership + coverage rebuild; scrubbed rides as md5.
+      CorpusOps.scrubWinnowedSpans(TP(s, d, "documents"), "doc_id", "text",
+          k = 4, w = 4)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("scrubbed")).as("scrub_md5"))
+        .orderBy("doc_id")
+    }),
     "data_linkage" -> ((s, d) => {
       // Fellegi–Sunter record linkage (LinkageOps) over a
       // deterministically dirtied copy of customer: B keeps k%3∈{0,1}
@@ -5393,6 +5444,44 @@ object SparkEntry {
           expr("substring(text, 6)")).as("text"))
       MultimodalOps.phashDupPairs(base.unionByName(perturbed), "doc_id", "text",
           maxHamming = 8)
+        .orderBy("a_id", "b_id")
+    }),
+    "dedup_cross_modal" -> ((s, d) => {
+      // cross-modal duplicate agreement (round-9 verdict item 8): the
+      // SAME synthesized corpus viewed through two modalities — 3-gram
+      // MinHash text near-dup (recall-complete banding at j ≥ 0.8, the
+      // dedup_ngram_jaccard params) ⊕ aHash media near-dup over the
+      // payload (9×14-bit bands, hamming ≤ 8, the multimodal_phash_dedup
+      // machinery). Every pair flagged by EITHER modality is emitted
+      // with both verdicts; the disagreement rows are the curation
+      // signal (text_only ≈ caption edit on the same image class,
+      // media_only ≈ re-encoded payload under a rewritten caption).
+      // Corpus: base docs ∪ a 1-char in-place edit of every 5th doc —
+      // the edit moves only the phash samples landing on it (media dup
+      // survives) while 3-gram jaccard depends on doc length (short
+      // docs fall below 0.8 → media_only rows appear naturally).
+      // Oracle: both quadratic truths replayed in DuckDB, full-outer
+      // joined on the pair.
+      val base = TP(s, d, "documents").select(col("doc_id"), col("text"))
+      val perturbed = base.filter(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        concat(substring(col("text"), 1, 4), lit("z"),
+          expr("substring(text, 6)")).as("text"))
+      val corpus = base.unionByName(perturbed)
+      val textPairs = DedupOps.minhashDupPairs(corpus, "text", "doc_id",
+          threshold = 0.8, shingleSize = 3, numBands = 16, rowsPerBand = 3)
+        .select(col("a_id"), col("b_id"), lit(true).as("text_dup"))
+      val mediaPairs = MultimodalOps.phashDupPairs(corpus, "doc_id", "text",
+          maxHamming = 8)
+        .select(col("a_id"), col("b_id"), lit(true).as("media_dup"))
+      textPairs.join(mediaPairs, Seq("a_id", "b_id"), "full_outer")
+        .select(col("a_id"), col("b_id"),
+          coalesce(col("text_dup"), lit(false)).as("text_dup"),
+          coalesce(col("media_dup"), lit(false)).as("media_dup"))
+        .withColumn("modality",
+          when(col("text_dup") && col("media_dup"), lit("both"))
+            .when(col("text_dup"), lit("text_only"))
+            .otherwise(lit("media_only")))
         .orderBy("a_id", "b_id")
     }),
     "ann_mips" -> ((s, d) => {

@@ -75,7 +75,7 @@ object Verify {
         System.err.println(s"[verify] _aux_semantic_cells failed: ${e.getMessage}")
       }
     }
-    if (only.forall(_.contains("dedup_semantic_incr"))) {
+    if (only.forall(o => o.contains("dedup_semantic_incr") || o.contains("dedup_semantic_drift"))) {
       try {
         SparkEntry.semanticDedupIncrCells(spark, sfDir)
           .withColumn("unit", org.apache.spark.sql.functions.to_json(

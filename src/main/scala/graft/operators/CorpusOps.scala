@@ -384,6 +384,61 @@ object CorpusOps {
         coalesce(col("scrubbed"), lit("")).as("scrubbed"))
   }
 
+  /** Memory-bounded span scrubbing via winnowing-selected owners
+    * (round-9 verdict item 8): [[scrubDuplicatedSpans]] positions EVERY
+    * corpus n-gram — linear, but the positioned-gram table is
+    * tokens-sized. This variant positions only the ~2n/w
+    * winnowing-SELECTED grams ([[DedupOps.winnowFingerprints]]), owns
+    * each selected hash by min doc id, and scrubs the k-token extent of
+    * every selected gram whose hash an earlier doc also selected.
+    *
+    * Coverage guarantee (requires w ≤ k): inside a cross-doc shared run
+    * of ≥ w+k−1 tokens, consecutive selections sit ≤ w gram positions
+    * apart (every w-window selects, and selection depends only on run
+    * content for windows fully inside the run), so the k-wide extents
+    * tile the interior with no gaps; at most w−1 tokens survive at each
+    * run edge. A doc that merely CONTAINS a shared gram without
+    * selecting it is not scrubbed for it — the selected-gram subsample
+    * IS the memory bound (1/w of positions), and the edge slack is the
+    * price of it; [[scrubDuplicatedSpans]] remains the exact-coverage
+    * tool where the positioned-gram table fits.
+    *
+    * Same output contract as [[scrubDuplicatedSpans]]:
+    * (id, n_tokens, n_removed, scrubbed). */
+  def scrubWinnowedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      w: Int = 4
+  ): DataFrame = {
+    require(w <= k, "scrubWinnowedSpans: interior coverage needs w <= k")
+    val fps = DedupOps.winnowFingerprints(docs, textCol, idCol, k, w)
+    val owner = fps.groupBy("fp_hash").agg(min("id").as("owner"))
+    val covered = fps.join(owner, "fp_hash")
+      .filter(col("owner") < col("id"))
+      .select(col("id").as("doc_id"),
+        explode(sequence(col("fp_pos"), col("fp_pos") + (k - 1))).as("p0"))
+      .distinct()
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+    val meta = toks.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+    val pos = toks.select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "tok")))
+    val kept = pos.join(covered, Seq("doc_id", "p0"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("p0").as("p"), col("tok").as("t")))),
+            x => x.getField("t")),
+          " ").as("scrubbed"))
+    meta.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+  }
+
   /** BM25 top-k retrieval over the corpus for a bag of query terms — the
     * search/inspection primitive a curation pipeline uses to audit what
     * the corpus contains ("show me the strongest matches for X").

@@ -261,4 +261,36 @@ object VectorIndexOps {
       pinned
     }
   }
+
+  /** The frozen-centroid contract's escape hatch (round-9 verdict item
+    * 8): [[probeSemDedupIndex]] assigns every delta under the BOOTSTRAP
+    * centroids, so as the corpus drifts, (a) cells go stale — rising
+    * occupancy skew, falling cent_sim — and (b) near-dup pairs that a
+    * fresh geometry would co-locate straddle cell boundaries and are
+    * silently missed (SemDeDup's cross-cell recall trade, aggravated by
+    * drift). When the drift monitor trips (`dedup_semantic_drift`),
+    * REBUILD: retrain centroids on the persisted survivors, reassign,
+    * re-prune (pairs the stale geometry separated are caught HERE), and
+    * land the new generation as a staged table swap — a failed rebuild
+    * leaves the old index serving. The FAISS retrain-don't-mutate
+    * posture: probe results stay a pure function of the persisted
+    * tables; the survivor read is pinned to a checkpoint first because
+    * the swap rewrites the very table the plan reads (the writeBucketed
+    * contract).
+    */
+  def rebuildSemDedupIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      index: SemDedupIndex,
+      nCells: Int,
+      numBuckets: Int,
+      iters: Int = 4
+  ): SemDedupIndex = {
+    require(index.cellsTable.endsWith("_cells"),
+      s"rebuild expects a <prefix>_cells table, got ${index.cellsTable}")
+    val prefix = index.cellsTable.stripSuffix("_cells")
+    val survivors = spark.table(index.cellsTable)
+      .select(col("id"), col("unit")).localCheckpoint()
+    buildSemDedupIndex(survivors, "id", "unit", prefix, nCells, numBuckets,
+      index.tau, iters)
+  }
 }

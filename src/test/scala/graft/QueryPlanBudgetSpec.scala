@@ -403,11 +403,27 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // agg + offset agg + in-band window) + (lang,bucket) agg +
                               // ORDER BY; totals/offsets ride broadcast — the zipf/q65
                               // cost class, never a per-language raw window
-    "text_span_scrub" -> 8    // 4× TP (positions / grams / meta / rebuild consumers of
+    "text_span_scrub" -> 8,   // 4× TP (positions / grams / meta / rebuild consumers of
                               // the tokenize projection — map-side recompute over the
                               // pruned scan is the right 100 TB trade vs checkpointing
                               // a corpus-sized tokens table) + owner min-agg on gram +
                               // coverage anti-join doc hash ×2 + ORDER BY
+    "dedup_cross_modal" -> 5, // text side: band-bucket agg + two verify-join doc hashes
+                              // (the shingle-set attach); media side: phash pair-gen
+                              // below its lazy sig checkpoint + band agg; + final ORDER
+                              // BY — the pair-level full outer rides the text side's
+                              // hash partitioning, both small dims broadcast
+    "dedup_semantic_drift" -> 6, // the occ branch (cell agg) + totals 1-row agg + the
+                              // report agg + ORDER-less single row; both branches
+                              // re-instantiate the frozen-assign projection's scan under
+                              // column pruning (map-side — the training collect ran
+                              // eagerly, once) — a count > 6 means a corpus-sized join
+                              // crept into what must stay two aggs over one projection
+    "text_span_scrub_winnow" -> 8 // the winnowing selection window sort + fp distinct agg
+                              // + owner min-agg on fp_hash + coverage anti-join doc hash
+                              // ×2 + TP consumers of the tokenize projection + ORDER BY —
+                              // same shape as text_span_scrub but the positioned table is
+                              // the 1/w-selected fingerprints, not every gram
   )
 
   test("headline queries match their pinned shuffle counts") {

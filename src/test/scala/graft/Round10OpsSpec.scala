@@ -34,6 +34,85 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("rebuildSemDedupIndex: retrain catches the cross-cell dup the frozen geometry missed") {
+    import graft.operators.{BucketOps, VectorIndexOps}
+    val pfx = "graft_r10_semrebuild"
+    BucketOps.dropTable(spark, s"${pfx}_cells")
+    BucketOps.dropTable(spark, s"${pfx}_centroids")
+    // a STALE index: ids 1 and 2 are near-dups (cos ≈ 0.9988) that the
+    // bootstrap geometry placed in DIFFERENT cells — the cross-cell miss
+    // drift aggravates; id 3 is orthogonal to both
+    val v1 = Seq(1.0, 0.0, 0.0, 0.0)
+    val n2 = math.sqrt(1.0 + 0.05 * 0.05)
+    val v2 = Seq(1.0 / n2, 0.05 / n2, 0.0, 0.0)
+    val v3 = Seq(0.0, 0.0, 1.0, 0.0)
+    val cells = Seq((1L, 0, 1.0, v1), (2L, 1, 0.9, v2), (3L, 1, 0.8, v3))
+      .toDF("id", "cell", "cent_sim", "unit")
+    BucketOps.writeBucketed(cells, s"${pfx}_cells", 2, Seq("cell"), Seq("cell"))
+    Seq((0, v1), (1, v3)).toDF("cell", "centroid")
+      .write.format("parquet").saveAsTable(s"${pfx}_centroids")
+    val idx = VectorIndexOps.SemDedupIndex(s"${pfx}_cells", s"${pfx}_centroids", 2, 0.99)
+    // the stale geometry cannot see the 1-2 pair: both survive a probe-
+    // free world — rebuild at nCells=1 co-locates and prunes one of them
+    val rebuilt = VectorIndexOps.rebuildSemDedupIndex(spark, idx, nCells = 1, numBuckets = 2)
+    val kept = spark.table(rebuilt.cellsTable).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept.size == 2 && kept.contains(3L) && kept.intersect(Set(1L, 2L)).size == 1,
+      s"rebuild must collapse the cross-cell dup: kept $kept")
+    // the rebuilt generation serves probes: a near-copy of survivor 3
+    // lands in its cell and is dropped against the index
+    val probe = Seq((9L, Seq(0.0, 0.05, 1.0, 0.0))).toDF("id", "v")
+    val fate = VectorIndexOps
+      .probeSemDedupIndex(probe, "id", "v", rebuilt, update = false, numBuckets = 2)
+      .head()
+    assert(fate.getAs[String]("verdict") == "dropped_index")
+  }
+
+  test("scrubWinnowedSpans: interior of a shared run scrubbed, ≤ w−1 edge tokens survive") {
+    // doc 1 owns the 12-token run; doc 2 embeds it between unique
+    // framing tokens. k = w = 4 ⇒ the run's interior tiles completely:
+    // at least 12 − 2·3 = 6 tokens scrubbed, never more than the run.
+    val run = (1 to 12).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run own tail words"),
+      (2L, s"lead in tokens $run closing pair"),
+      (3L, "fully unrelated vocabulary nothing shared at all here"))
+      .toDF("doc_id", "text").repartition(2)
+    val out = CorpusOps.scrubWinnowedSpans(docs, "doc_id", "text", k = 4, w = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_removed") == 0L, "the owner keeps its copy")
+    assert(out(3L).getAs[Long]("n_removed") == 0L, "unshared docs untouched")
+    val removed2 = out(2L).getAs[Long]("n_removed")
+    assert(removed2 >= 6L && removed2 <= 12L,
+      s"interior coverage with ≤ w−1 slack per edge: removed $removed2")
+    // no framing token is ever scrubbed (extents stay inside the run)
+    val scrubbed2 = out(2L).getAs[String]("scrubbed")
+    Seq("lead", "in", "tokens", "closing", "pair").foreach(t =>
+      assert(scrubbed2.split(" ").contains(t), s"framing token '$t' must survive"))
+  }
+
+  test("cross-modal pair verdicts: exact copy = both; length-shifting edit = text_only") {
+    import graft.operators.{DedupOps, MultimodalOps}
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (1L, base),
+      (2L, base), // byte-identical → dup in both modalities
+      // one token swapped for one of a DIFFERENT length: 3-gram jaccard
+      // stays ≥ 0.8 (3 of ~34 shingles change) but every phash sample
+      // after the edit shifts position → hamming blows past 8
+      (3L, base.replace("omicron", "extraordinarily-long-replacement-token")))
+      .toDF("doc_id", "text")
+    val textPairs = DedupOps.minhashDupPairs(docs, "text", "doc_id", threshold = 0.8,
+        shingleSize = 3, numBands = 16, rowsPerBand = 3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mediaPairs = MultimodalOps.phashDupPairs(docs, "doc_id", "text", maxHamming = 8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(textPairs.contains((1L, 2L)) && mediaPairs.contains((1L, 2L)), "exact copy: both")
+    assert(textPairs.contains((1L, 3L)), "token swap keeps jaccard high")
+    assert(!mediaPairs.contains((1L, 3L)), "length shift moves every later sample")
+  }
+
   test("driver-side BPE trainer ≡ the unrolled distributed rounds, merge for merge") {
     // overlap-heavy corpus: repeated runs force the greedy left-to-right
     // application corner ("aaaa" + (a,a) → [aa][aa]) and tf-weighted ties

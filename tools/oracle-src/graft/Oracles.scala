@@ -1193,6 +1193,32 @@ object Oracles {
           |       ELSE 'survived' END AS verdict
           |FROM delta d
           |ORDER BY d.id""".stripMargin,
+      "dedup_semantic_drift" ->
+        // the drift report replayed over the side-tagged cells dump:
+        // decimal-exact mean cent_sims, integer-exact occupancy L1 in
+        // ppm (cross-multiplied BIGINT shares), literal thresholds
+        """WITH cl AS (SELECT side, cell, cent_sim
+          |            FROM read_parquet('__GRAFT_OUT__/_aux_semantic_incr_cells/*.parquet')),
+          |occ AS (SELECT cell,
+          |  SUM(CASE WHEN side = 'base' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+          |  SUM(CASE WHEN side = 'delta' THEN 1 ELSE 0 END)::BIGINT AS n_d
+          | FROM cl GROUP BY cell),
+          |tot AS (SELECT
+          |  SUM(CASE WHEN side = 'base' THEN 1 ELSE 0 END)::BIGINT AS n_base,
+          |  SUM(CASE WHEN side = 'delta' THEN 1 ELSE 0 END)::BIGINT AS n_delta,
+          |  CAST(CAST(CAST(SUM(CASE WHEN side = 'base' THEN CAST(cent_sim AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_b,
+          |  CAST(CAST(CAST(SUM(CASE WHEN side = 'delta' THEN CAST(cent_sim AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_d
+          | FROM cl),
+          |l1 AS (SELECT SUM(ABS(n_b * n_delta - n_d * n_base))::BIGINT AS l1_num
+          |       FROM occ, tot)
+          |SELECT n_base, n_delta,
+          | ROUND(sum_b / n_base, 9) AS base_mean_sim,
+          | ROUND(sum_d / n_delta, 9) AS delta_mean_sim,
+          | ROUND(sum_b / n_base - sum_d / n_delta, 9) AS sim_drift,
+          | l1_num * 1000000 // (2 * n_base * n_delta) AS occ_l1_ppm,
+          | (ABS(ROUND(sum_b / n_base - sum_d / n_delta, 9)) > 0.005
+          |  OR l1_num * 1000000 // (2 * n_base * n_delta) > 100000) AS rebuild
+          |FROM tot, l1""".stripMargin,
       "vec_quantize" ->
         """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
           |q AS (SELECT vec_id, vec, list_min(vec) AS lo, list_max(vec) AS hi FROM v),
@@ -2407,6 +2433,46 @@ object Oracles {
            | m.n_tokens - COALESCE(kept.n_kept, 0) AS n_removed,
            | md5(COALESCE(kept.txt, '')) AS scrub_md5
            |FROM m LEFT JOIN kept USING (doc_id) ORDER BY m.doc_id""".stripMargin,
+      "text_span_scrub_winnow" ->
+        // replay the winnowing selection (the dedup_winnowing fragment,
+        // WITH recovered positions this time), min-doc-id ownership of
+        // each selected hash, k-extent coverage for non-owner
+        // selections, ordered survivor rebuild (text_span_scrub's
+        // rebuild idiom)
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |m AS (SELECT doc_id, tk, len(tk) AS n_tokens FROM t),
+           |g0 AS (SELECT doc_id, CASE WHEN len(tk) <= 4 THEN [array_to_string(tk, ' ')]
+           |        ELSE list_transform(range(1, len(tk) - 2), i -> array_to_string(tk[i:i+3], ' ')) END AS gs
+           |       FROM t),
+           |gp AS (SELECT doc_id, unnest(list_transform(range(1, len(gs) + 1),
+           |        i -> {'p': i - 1, 's': gs[i]})) AS u FROM g0),
+           |ge AS (SELECT doc_id, u.p AS pos,
+           |        CAST(('0x' || substr(md5(u.s), 1, 10)) AS BIGINT) * 2097152
+           |          + (2097151 - u.p) AS key FROM gp),
+           |sel AS (SELECT doc_id, pos,
+           |         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+           |         count(*) OVER (PARTITION BY doc_id) AS n_g
+           |        FROM ge),
+           |fp AS (SELECT DISTINCT doc_id, 2097151 - (sel % 2097152) AS fp_pos,
+           |        sel // 2097152 AS fp_hash
+           |       FROM sel WHERE pos <= greatest(n_g - 4, 0)),
+           |own AS (SELECT fp_hash, MIN(doc_id) AS owner FROM fp GROUP BY fp_hash),
+           |cov AS (SELECT DISTINCT f.doc_id, f.fp_pos + x.x AS p
+           |        FROM fp f JOIN own USING (fp_hash)
+           |        CROSS JOIN (SELECT unnest(range(0, 4)) AS x) x
+           |        WHERE own.owner < f.doc_id),
+           |posu AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+           |          q -> {'p': q - 1, 'tok': tk[q]})) AS u FROM m),
+           |pos AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM posu),
+           |kept AS (SELECT pos.doc_id, COUNT(*) AS n_kept,
+           |         string_agg(tok, ' ' ORDER BY pos.p) AS txt
+           |         FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+           |         WHERE cov.p IS NULL GROUP BY pos.doc_id)
+           |SELECT m.doc_id, m.n_tokens,
+           | m.n_tokens - COALESCE(kept.n_kept, 0) AS n_removed,
+           | md5(COALESCE(kept.txt, '')) AS scrub_md5
+           |FROM m LEFT JOIN kept USING (doc_id) ORDER BY m.doc_id""".stripMargin,
       "data_linkage" ->
         // replay the dirty-copy synthesis + blocked Fellegi–Sunter
         // scoring: all comparators and weights are integer (levenshtein
@@ -3381,6 +3447,48 @@ object Oracles {
           |FROM g a JOIN g b ON a.id < b.id
           |WHERE bit_count(xor(a.sig_hi, b.sig_hi)) + bit_count(xor(a.sig_lo, b.sig_lo)) <= 8
           |ORDER BY a_id, b_id""".stripMargin,
+      "dedup_cross_modal" ->
+        // both quadratic truths over the SAME synthesized corpus — the
+        // string-shingle jaccard (dedup_ngram_jaccard convention) and
+        // the aHash grid/threshold/signature hamming replay
+        // (multimodal_phash_dedup fragment) — full-outer joined on the
+        // pair; booleans coalesce, the modality label is derived
+        s"""WITH src AS (
+           |  SELECT doc_id AS id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000 AS id,
+           |    substr(text, 1, 4) || 'z' || substr(text, 6) AS text
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |tk AS (SELECT id, $toks AS tk FROM src),
+           |shg AS MATERIALIZED (SELECT id, list_distinct(${shingles("tk", 3)}) AS s FROM tk),
+           |tp AS (
+           |  SELECT a.id AS a_id, b.id AS b_id
+           |  FROM shg a JOIN shg b ON a.id < b.id
+           |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.8),
+           |nn AS (SELECT id, text AS payload, greatest(length(text), 1)::BIGINT AS n FROM src),
+           |px AS (SELECT id, i,
+           |        CASE WHEN length(payload) = 0 THEN 0
+           |          ELSE ascii(substr(payload, CAST(1 + floor(i * (n - 1) / 125.0) AS INT), 1))
+           |        END::BIGINT AS pix
+           |       FROM nn CROSS JOIN (SELECT unnest(range(0, 126)) AS i)),
+           |ps AS (SELECT id, sum(pix) AS sp FROM px GROUP BY id),
+           |g AS (SELECT px.id,
+           |       sum(CASE WHEN pix * 126 > sp AND i < 63 THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS sig_hi,
+           |       sum(CASE WHEN pix * 126 > sp AND i >= 63 THEN (1::BIGINT << (i - 63)) ELSE 0::BIGINT END) AS sig_lo
+           |      FROM px JOIN ps USING (id) GROUP BY px.id),
+           |mp AS (
+           |  SELECT a.id AS a_id, b.id AS b_id
+           |  FROM g a JOIN g b ON a.id < b.id
+           |  WHERE bit_count(xor(a.sig_hi, b.sig_hi)) + bit_count(xor(a.sig_lo, b.sig_lo)) <= 8)
+           |SELECT COALESCE(tp.a_id, mp.a_id) AS a_id,
+           |  COALESCE(tp.b_id, mp.b_id) AS b_id,
+           |  tp.a_id IS NOT NULL AS text_dup,
+           |  mp.a_id IS NOT NULL AS media_dup,
+           |  CASE WHEN tp.a_id IS NOT NULL AND mp.a_id IS NOT NULL THEN 'both'
+           |       WHEN tp.a_id IS NOT NULL THEN 'text_only'
+           |       ELSE 'media_only' END AS modality
+           |FROM tp FULL OUTER JOIN mp ON tp.a_id = mp.a_id AND tp.b_id = mp.b_id
+           |ORDER BY a_id, b_id""".stripMargin,
       "ann_mips" ->
         // exact brute-force MIPS replay (raw dot products, the shared
         // left-fold dotExpr, round 6, rightmost tie on neighbor_id);
