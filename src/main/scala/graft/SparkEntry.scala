@@ -5687,6 +5687,80 @@ object SparkEntry {
         .withColumn("efficiency",
           round(col("entropy") / round(log(col("n_tokens").cast("double")), 9), 9))
         .orderBy("doc_id")
+    }),
+
+    // ----- round 10: rule battery / semantic decontam / coreset / weighted-k -----
+    "text_gopher_rules" -> ((s, d) => {
+      // Gopher-style quality-rule battery (Rae et al. 2021): per-RULE
+      // marginal failure surface — every rule on every doc in ONE scan
+      // (in-row verdict stack), integer-exact thresholds everywhere
+      // (mean-word-length bounds cross-multiplied, top-token share as
+      // count·5 ≤ n, ppm by integer division) — the curation run's
+      // published rule report. Complements data_funnel (first-fail
+      // attribution) and data_expectations (table contract).
+      CorpusOps.gopherReport(TP(s, d, "documents"), "text")
+    }),
+    "data_semantic_decontam" -> ((s, d) => {
+      // EMBEDDING-space benchmark decontamination (the semantic twin of
+      // data_decontam's n-gram overlap — catches paraphrased eval items
+      // n-grams miss): train docs with cosine ≥ τ to ANY eval vector
+      // are reported with their best-matching eval item. Eval side =
+      // vec_id < 8 (ann convention) + synthesized contamination (a
+      // shift-perturbed copy of each eval vector at cos ≈ 0.9987,
+      // ids +100000, planted in the train side); natural max cosine in
+      // the noise embeddings is ≈ 0.51, so τ = 0.9 isolates the
+      // plants. Eval broadcast, corpus scan map-side, one train-id agg.
+      val vecs = TP(s, d, "embeddings")
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+      val eval_ = vecs.filter(col("vec_id") < 8)
+      val planted = shiftPerturb(eval_, 1, 100000L)
+      val train = vecs.filter(col("vec_id") >= 8).unionByName(planted)
+      train
+        .join(broadcast(eval_.select(col("vec_id").as("eval_id"), col("vec").as("ev"))))
+        .withColumn("cosine", round(VectorFunctions.cosine(col("vec"), col("ev")), 6))
+        .filter(col("cosine") >= 0.9)
+        .groupBy(col("vec_id").as("train_id"))
+        .agg(max(struct(col("cosine"), (-col("eval_id")).as("neg_eval")))
+          .as("best"))
+        .select(col("train_id"),
+          (-col("best.neg_eval")).cast("long").as("eval_id"),
+          col("best.cosine").as("cosine"))
+        .orderBy("train_id")
+    }),
+    "data_kcenter" -> ((s, d) => {
+      // greedy k-center coreset selection (Gonzalez; the Sener &
+      // Savarese active-learning rule): the 8 most mutually-spread
+      // exemplars of the embedding table, each round one map-side
+      // min-distance pass + a 1-row TakeOrdered (centers are driver
+      // literals — the trainCentroids shape). radius is nonincreasing;
+      // its tail bounds the corpus covering radius. Oracle: 8 unrolled
+      // argmax-min-distance CTE stages over the same round-6 cosine.
+      val vecs = TP(s, d, "embeddings")
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+      SimilarityOps.kCenterGreedy(vecs, "vec_id", "vec", k = 8)
+        .withColumn("radius", round(col("radius"), 6))
+        .orderBy("step")
+    }),
+    "data_weighted_exact_k" -> ((s, d) => {
+      // exact-k weighted sampling WITHOUT replacement, integer-exact:
+      // the Efraimidis–Spirakis pairwise law P(i beats j) = wᵢ/(wᵢ+wⱼ)
+      // realized as key = MIN over w replicas of md5(seed, id, r) —
+      // min-of-w-uniforms replaces u^(1/w), so there is NO ln/pow
+      // anywhere and both engines rank identical hex strings (the
+      // md5-ring convention). Weights here: 1 + doc_id mod 4 (a stand-in
+      // for quality-tier weights). Top-k by key, k = 60.
+      val w = TP(s, d, "documents")
+        .select(col("doc_id"), (lit(1) + pmod(col("doc_id"), lit(4))).cast("int").as("weight"))
+      w.select(col("doc_id"), col("weight"),
+          explode(sequence(lit(0), col("weight") - 1)).as("r"))
+        .select(col("doc_id"), col("weight"),
+          md5(concat(lit("wk10_"), col("doc_id"), lit("_"), col("r"))).as("u"))
+        .groupBy("doc_id", "weight")
+        .agg(min("u").as("key"))
+        .orderBy(col("key").asc)
+        .limit(60)
+        .select("doc_id", "weight", "key")
+        .orderBy("doc_id")
     })
   )
 

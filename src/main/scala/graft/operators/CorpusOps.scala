@@ -384,6 +384,73 @@ object CorpusOps {
         coalesce(col("scrubbed"), lit("")).as("scrubbed"))
   }
 
+  /** Gopher-style quality-rule battery (Rae et al. 2021 §A1.1.1,
+    * thresholds adapted to the corpus at hand): per-document verdicts
+    * for each rule, aggregated into the per-rule failure report a
+    * curation run publishes next to its output. Distinct from
+    * [[filterFunnel]] (first-failing-rule attribution) and
+    * [[AuditOps.expectations]] (table-level contract): this is the
+    * per-RULE marginal failure surface — every rule evaluated on every
+    * doc, so overlapping failures are visible instead of masked by rule
+    * order.
+    *
+    * All thresholds are integer-exact (mean-word-length bounds are
+    * cross-multiplied, the top-token share is count·5 ≤ n — no
+    * division anywhere), so the report replays bit-for-bit in any
+    * engine. ONE corpus scan: per-doc metrics computed once, rule
+    * verdicts stacked in-row and exploded, one rule-keyed partial agg
+    * (plus the any_rule summary row from the same stack).
+    *
+    * Returns (rule, n_docs, n_fail, fail_ppm) — fail_ppm by integer
+    * division.
+    */
+  def gopherReport(
+      docs: DataFrame,
+      textCol: String,
+      minWords: Int = 20,
+      maxWords: Int = 80,
+      minMeanLen: Int = 3,
+      maxMeanLen: Int = 7,
+      maxWordLen: Int = 7,
+      stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+  ): DataFrame = {
+    val tk = TextFunctions.tokens(col(textCol))
+    val m = docs.select(
+      size(tk).cast("long").as("n_words"),
+      length(array_join(tk, "")).cast("long").as("n_letters"),
+      coalesce(array_max(transform(tk, t => length(t))), lit(0)).cast("long")
+        .as("max_len"),
+      size(filter(tk, t => array_contains(
+        array(stopwords.map(lit): _*), t))).cast("long").as("n_stop"),
+      coalesce(array_max(transform(array_distinct(tk),
+        t => size(filter(tk, x => x === t)))), lit(0)).cast("long").as("top_tok"))
+    val verdicts = m.select(explode(array(
+      struct(lit("word_count").as("rule"),
+        (col("n_words") < minWords || col("n_words") > maxWords).as("fail")),
+      struct(lit("mean_word_len").as("rule"),
+        (col("n_letters") < col("n_words") * minMeanLen ||
+          col("n_letters") > col("n_words") * maxMeanLen).as("fail")),
+      struct(lit("max_word_len").as("rule"),
+        (col("max_len") > maxWordLen).as("fail")),
+      struct(lit("stopwords_min2").as("rule"),
+        (col("n_stop") < 2).as("fail")),
+      struct(lit("top_token_share").as("rule"),
+        (col("top_tok") * 5 > col("n_words")).as("fail")),
+      struct(lit("any_rule").as("rule"),
+        (col("n_words") < minWords || col("n_words") > maxWords ||
+          col("n_letters") < col("n_words") * minMeanLen ||
+          col("n_letters") > col("n_words") * maxMeanLen ||
+          col("max_len") > maxWordLen ||
+          col("n_stop") < 2 ||
+          col("top_tok") * 5 > col("n_words")).as("fail")))).as("v"))
+    verdicts
+      .groupBy(col("v.rule").as("rule"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("v.fail"), 1L).otherwise(0L)).as("n_fail"))
+      .withColumn("fail_ppm", expr("n_fail * 1000000L div n_docs"))
+      .orderBy("rule")
+  }
+
   /** Memory-bounded span scrubbing via winnowing-selected owners
     * (round-9 verdict item 8): [[scrubDuplicatedSpans]] positions EVERY
     * corpus n-gram — linear, but the positioned-gram table is

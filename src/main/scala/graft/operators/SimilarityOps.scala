@@ -808,6 +808,56 @@ object SimilarityOps {
         round(col("best").getField("s"), 6).as("cent_sim"),
         col("unit"))
 
+  /** Greedy k-center coreset selection (Gonzalez 1985; the diversity
+    * half of coreset-based data selection — Sener & Savarese ICLR'18 use
+    * exactly this rule for active learning): starting from the min-id
+    * vector, repeatedly pick the point FARTHEST from the chosen set
+    * (max over corpus of min cosine-distance to centers; ties → min id).
+    * The selected k are the most mutually-spread exemplars — the
+    * opposite pole from dedup, same distance machinery.
+    *
+    * Scale posture: the trainCentroids/BPE train-loop shape — centers
+    * live driver-side as literals (k rows), each round is ONE map-side
+    * min-distance projection over the corpus plus a 1-row TakeOrdered
+    * collect; k rounds = k linear passes, no pairwise materialization.
+    * Distance = 1 − round(cosine, 6) on RAW vectors (the ann_bruteforce
+    * cross-engine convention), so every pick replays exactly.
+    *
+    * Returns (step, center_id, radius): radius = the max-min-distance
+    * that selected the step's center (0 for step 1 by convention) — a
+    * nonincreasing sequence whose tail is the corpus covering radius.
+    */
+  def kCenterGreedy(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, "kCenterGreedy needs k >= 1")
+    val sp = vectors.sparkSession
+    val v = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .localCheckpoint(eager = false)
+    val first = v.orderBy("id").limit(1).collect()(0)
+    var centers = Vector((first.getLong(0), first.getSeq[Double](1), 0.0))
+    for (_ <- 2 to k) {
+      val minDist = centers
+        .map { case (_, c, _) =>
+          lit(1.0) - round(cosine(col("vec"), typedLit(c)), 6)
+        }
+        .reduce((a, b) => least(a, b))
+      val pick = v.select(col("id"), minDist.as("d"))
+        .orderBy(col("d").desc, col("id").asc)
+        .limit(1).collect()(0)
+      val pv = v.filter(col("id") === pick.getLong(0)).select("vec")
+        .collect()(0).getSeq[Double](0)
+      centers = centers :+ ((pick.getLong(0), pv, pick.getDouble(1)))
+    }
+    import sp.implicits._
+    centers.zipWithIndex
+      .map { case ((id, _, r), i) => (i + 1, id, r) }
+      .toDF("step", "center_id", "radius")
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings
     * with spherical k-means, then prune WITHIN each cluster — a vector is
     * dropped iff some same-cell vector with cosine ≥ `tau` is preferred,

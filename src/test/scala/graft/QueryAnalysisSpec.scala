@@ -45,7 +45,11 @@ class QueryAnalysisSpec extends SparkSpec {
     val rowsOnlyByDesign = Set.empty[String]
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
     assert(missing.isEmpty, s"queries without an oracle twin: ${missing.toSeq.sorted.mkString(", ")}")
-    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    // the _aux_* keys are identity oracles for Verify's oracle-INPUT
+    // dumps (round-10: they make the driver's scan of those dump dirs
+    // compare green instead of erroring) — deliberately query-less
+    val auxDumps = Set("_aux_simhash_sigs", "_aux_semantic_cells", "_aux_semantic_incr_cells")
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet -- auxDumps
     assert(orphaned.isEmpty, s"oracles without a query: ${orphaned.toSeq.sorted.mkString(", ")}")
   }
 }

@@ -419,6 +419,15 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // column pruning (map-side — the training collect ran
                               // eagerly, once) — a count > 6 means a corpus-sized join
                               // crept into what must stay two aggs over one projection
+    "text_gopher_rules" -> 3, // TP + rule-keyed agg (verdict stack is an in-row explode
+                              // over one scan) + ORDER BY — a count > 3 means a rule
+                              // became its own scan instead of a stacked verdict
+    "data_weighted_exact_k" -> 2, // TP + (doc, weight) min-key agg; the top-k is
+                              // TakeOrdered and the final doc_id sort runs on 60 rows —
+                              // the replica explode stays map-side
+    "data_semantic_decontam" -> 4, // 2× TP (train union branches re-instantiated under
+                              // column pruning) + train-id best-match agg + ORDER BY;
+                              // the 8-row eval side rides broadcast
     "text_span_scrub_winnow" -> 8 // the winnowing selection window sort + fp distinct agg
                               // + owner min-agg on fp_hash + coverage anti-join doc hash
                               // ×2 + TP consumers of the tokenize projection + ORDER BY —

@@ -113,6 +113,43 @@ class Round10OpsSpec extends SparkSpec {
     assert(!mediaPairs.contains((1L, 3L)), "length shift moves every later sample")
   }
 
+  test("gopherReport: each rule fires on its designed failure, any_rule is the union") {
+    val twenty = (1 to 20).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      // 24 distinct 1-7 char words incl. two stopwords → passes all
+      (1L, "the quick brown fox jumps over a lazy dog while seven other " +
+        "animals watch from nearby hills during sunny spring days without any worry"),
+      (2L, "short doc"),                              // word_count + stopwords + top-share
+      (3L, s"$twenty extraordinarily"),               // max_word_len (15 > 7) + no stopwords
+      (4L, ("dup " * 30).trim + " the a end filler")  // top_token_share (30·5 > 34)
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.gopherReport(docs, "text")
+      .collect().map(x => x.getString(0) -> x.getLong(2)).toMap
+    assert(r("word_count") == 1L, s"doc 2 only: $r")
+    assert(r("max_word_len") == 1L, s"doc 3 only: $r")
+    assert(r("stopwords_min2") == 2L, s"docs 2 and 3: $r")
+    assert(r("top_token_share") == 2L, s"docs 2 and 4: $r")
+    assert(r("mean_word_len") == 0L, s"none: $r")
+    assert(r("any_rule") == 3L, s"docs 2, 3, 4: $r")
+  }
+
+  test("kCenterGreedy: farthest-first order, nonincreasing radius, min-id start") {
+    val vecs = Seq(
+      (10L, Seq(1.0, 0.0)),                    // e1 — min id, the seed
+      (20L, Seq(0.0, 1.0)),                    // orthogonal: farthest from e1
+      (30L, Seq(math.sqrt(0.5), math.sqrt(0.5))), // the midpoint
+      (40L, Seq(0.99, 0.1))                    // hugs e1 — picked last
+    ).toDF("id", "v").repartition(2)
+    val rows = SimilarityOps.kCenterGreedy(vecs, "id", "v", k = 4)
+      .orderBy("step").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(10L, 20L, 30L, 40L))
+    assert(rows.head.getDouble(2) == 0.0)
+    val radii = rows.tail.map(_.getDouble(2))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"radius must be nonincreasing: ${radii.toSeq}")
+    assert(math.abs(radii(0) - 1.0) < 1e-9) // e2 ⊥ e1
+  }
+
   test("driver-side BPE trainer ≡ the unrolled distributed rounds, merge for merge") {
     // overlap-heavy corpus: repeated runs force the greedy left-to-right
     // application corner ("aaaa" + (a,a) → [aa][aa]) and tf-weighted ties

@@ -109,7 +109,86 @@ object Oracles {
     def normExpr(side: String) =
       s"sqrt(list_reduce(list_transform($side.vec, x -> x*x), (x,y) -> x+y))"
 
+    // k-center replay: 8 unrolled argmax-min-distance stages (the
+    // bpeStages convention), each a 1-row CTE (id, v, r) with distance
+    // 1 − round(raw-vector cosine, 6) to every earlier center
+    val kcStages: String = {
+      def normOf(e: String) =
+        s"sqrt(list_reduce(list_transform($e, x -> x*x), (x,y) -> x+y))"
+      def dist(cRef: String) =
+        s"(1 - ROUND(list_reduce(list_transform(list_zip(b.vec, (SELECT v FROM $cRef)), p -> p[1]*p[2]), (x,y) -> x+y)" +
+          s" / (${normOf("b.vec")} * ${normOf(s"(SELECT v FROM $cRef)")}), 6))"
+      val first = "c1 AS (SELECT id, vec AS v, 0.0 AS r FROM base ORDER BY id LIMIT 1)"
+      val rest = (2 to 8).map { t =>
+        val minDist = (1 until t).map(i => dist(s"c$i")).mkString("LEAST(", ", ", ")")
+        s"c$t AS (SELECT b.id, b.vec AS v, $minDist AS r FROM base b ORDER BY r DESC, b.id LIMIT 1)"
+      }
+      (first +: rest).mkString(",\n")
+    }
+
     val m = Map(
+      "text_gopher_rules" ->
+        // integer-exact rule battery: every threshold cross-multiplied
+        // or a plain count compare, ppm by integer division
+        s"""WITH t AS (SELECT $toks AS tk FROM documents),
+           |m AS (SELECT len(tk)::BIGINT AS n_words,
+           | len(array_to_string(tk, ''))::BIGINT AS n_letters,
+           | COALESCE(list_max(list_transform(tk, t -> len(t))), 0)::BIGINT AS max_len,
+           | len(list_filter(tk, t -> list_contains(['the','a','of','to','and','in','is','it'], t)))::BIGINT AS n_stop,
+           | COALESCE(list_max(list_transform(list_distinct(tk), t -> len(list_filter(tk, x -> x = t)))), 0)::BIGINT AS top_tok
+           | FROM t),
+           |v AS (SELECT unnest([
+           |  {'rule': 'word_count', 'fail': n_words < 20 OR n_words > 80},
+           |  {'rule': 'mean_word_len', 'fail': n_letters < 3*n_words OR n_letters > 7*n_words},
+           |  {'rule': 'max_word_len', 'fail': max_len > 7},
+           |  {'rule': 'stopwords_min2', 'fail': n_stop < 2},
+           |  {'rule': 'top_token_share', 'fail': top_tok*5 > n_words},
+           |  {'rule': 'any_rule', 'fail': n_words < 20 OR n_words > 80
+           |     OR n_letters < 3*n_words OR n_letters > 7*n_words
+           |     OR max_len > 7 OR n_stop < 2 OR top_tok*5 > n_words}]) AS u
+           | FROM m)
+           |SELECT u.rule AS rule, COUNT(*)::BIGINT AS n_docs,
+           | SUM(CASE WHEN u.fail THEN 1 ELSE 0 END)::BIGINT AS n_fail,
+           | SUM(CASE WHEN u.fail THEN 1 ELSE 0 END)::BIGINT * 1000000 // COUNT(*)::BIGINT AS fail_ppm
+           |FROM v GROUP BY u.rule ORDER BY rule""".stripMargin,
+      "data_semantic_decontam" ->
+        // replay the plant synthesis (shift-1 perturbation, the
+        // dedup_semantic input formula) + brute-force raw-vector cosine
+        // vs the 8 eval vectors, best match per contaminated train doc
+        s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+           |ev AS (SELECT vec_id AS eval_id, vec AS evec FROM base WHERE vec_id < 8),
+           |planted AS (SELECT vec_id + 100000 AS vec_id,
+           |  list_transform(list_zip(vec, vec[2:64] || vec[1:1]), p -> p[1] + 0.05*p[2]) AS vec
+           | FROM base WHERE vec_id < 8),
+           |train AS (SELECT vec_id, vec FROM base WHERE vec_id >= 8
+           |          UNION ALL SELECT vec_id, vec FROM planted),
+           |scored AS (SELECT t.vec_id AS train_id, e.eval_id,
+           |  ROUND(list_reduce(list_transform(list_zip(t.vec, e.evec), p -> p[1]*p[2]), (x,y) -> x+y)
+           |    / (sqrt(list_reduce(list_transform(t.vec, x -> x*x), (x,y) -> x+y))
+           |       * sqrt(list_reduce(list_transform(e.evec, x -> x*x), (x,y) -> x+y))), 6) AS cosine
+           | FROM train t CROSS JOIN ev e),
+           |hits AS (SELECT train_id, eval_id, cosine,
+           |  ROW_NUMBER() OVER (PARTITION BY train_id ORDER BY cosine DESC, eval_id ASC) AS rk
+           | FROM scored WHERE cosine >= 0.9)
+           |SELECT train_id, eval_id, cosine FROM hits WHERE rk = 1
+           |ORDER BY train_id""".stripMargin,
+      "data_kcenter" ->
+        s"""WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+           |$kcStages
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS INT) AS step, (SELECT id FROM c1) AS center_id, ROUND((SELECT r FROM c1), 6) AS radius
+           |${(2 to 8).map(t => s"  UNION ALL SELECT CAST($t AS INT), (SELECT id FROM c$t), ROUND((SELECT r FROM c$t), 6)").mkString("\n")}
+           |) ORDER BY step""".stripMargin,
+      "data_weighted_exact_k" ->
+        // Efraimidis–Spirakis via min-of-w md5 draws: no ln, no pow —
+        // both engines rank identical fixed-length hex strings
+        """WITH w AS (SELECT doc_id, CAST(1 + doc_id % 4 AS INT) AS weight FROM documents),
+          |k AS (SELECT doc_id, weight,
+          |  MIN(md5('wk10_' || doc_id || '_' || r)) AS key
+          | FROM w CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rr
+          | WHERE r < weight GROUP BY doc_id, weight),
+          |top AS (SELECT * FROM k ORDER BY key LIMIT 60)
+          |SELECT doc_id, weight, key FROM top ORDER BY doc_id""".stripMargin,
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
           | CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty,
