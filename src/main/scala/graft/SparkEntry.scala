@@ -5741,6 +5741,59 @@ object SparkEntry {
         .withColumn("radius", round(col("radius"), 6))
         .orderBy("step")
     }),
+    "vec_maxsim" -> ((s, d) => {
+      // late-interaction multi-vector retrieval (ColBERT MaxSim,
+      // Khattab & Zaharia SIGIR'20): score(q, doc) = Σ over the query's
+      // token vectors of MAX over the doc's chunk vectors of cosine —
+      // token-level matching mean-pooling (vec_meanpool) blurs away.
+      // Queries: vec_id < 8 as two 4-token queries (qid = id mod 2,
+      // broadcast); docs: the remaining vectors in vec_id mod 50 chunk
+      // groups. Per-token maxes fold in a decimal-exact sum (round-6
+      // cosines ⇒ exact at 6dp, order-independent), top-3 per query.
+      val vecs = TP(s, d, "embeddings")
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+      val q = vecs.filter(col("vec_id") < 8)
+        .select(pmod(col("vec_id"), lit(2)).as("qid"), col("vec_id").as("tid"),
+          col("vec").as("qv"))
+      val docs = vecs.filter(col("vec_id") >= 8)
+        .select(pmod(col("vec_id"), lit(50)).as("grp"), col("vec").as("cv"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("qid").orderBy(col("maxsim").desc, col("grp").asc)
+      docs.join(broadcast(q))
+        .withColumn("cos", round(VectorFunctions.cosine(col("cv"), col("qv")), 6))
+        .groupBy("qid", "grp", "tid").agg(max("cos").as("mx"))
+        .groupBy("qid", "grp").agg(dsum(col("mx"), 6).as("maxsim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("qid", "rank", "grp", "maxsim")
+        .orderBy("qid", "rank")
+    }),
+    "events_funnel_steps" -> ((s, d) => {
+      // multi-step ORDERED funnel (view → click → purchase): each
+      // step's timestamp is the user's earliest qualifying event
+      // at-or-after the previous step's — the k-step generalization of
+      // events_funnel_conv's 2-step chain. Per step one user-keyed agg
+      // + one join that reuses the user partitioning; counts and
+      // retention ppm (integer division vs step 1) are the output.
+      val e = EV(s, d).select(col("user_id"), col("ts_us"), col("event_type"))
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("ts_us") >= col("t1"))
+        .groupBy("user_id").agg(min("ts_us").as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts_us") >= col("t2"))
+        .groupBy("user_id").agg(min("ts_us").as("t3"))
+      def c(df: DataFrame, step: Int, t: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(step).as("step"), lit(t).as("event_type"), col("n_users"))
+      val all = c(s1, 1, "view").unionByName(c(s2, 2, "click"))
+        .unionByName(c(s3, 3, "purchase"))
+      all.crossJoin(broadcast(c(s1, 1, "view").select(col("n_users").as("n1"))))
+        .select(col("step"), col("event_type"), col("n_users"),
+          expr("n_users * 1000000L div n1").as("retention_ppm"))
+        .orderBy("step")
+    }),
     "data_weighted_exact_k" -> ((s, d) => {
       // exact-k weighted sampling WITHOUT replacement, integer-exact:
       // the Efraimidis–Spirakis pairwise law P(i beats j) = wᵢ/(wᵢ+wⱼ)

@@ -428,6 +428,13 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "data_semantic_decontam" -> 4, // 2× TP (train union branches re-instantiated under
                               // column pruning) + train-id best-match agg + ORDER BY;
                               // the 8-row eval side rides broadcast
+    "vec_maxsim" -> 6,        // 2× TP (query/doc branches) + (qid,grp,tid) max agg +
+                              // (qid,grp) decimal-sum agg + per-query rank window +
+                              // ORDER BY; the 8-row query side rides broadcast so the
+                              // chunk corpus never shuffles to be scored
+    "events_funnel_steps" -> 7, // 3 user-keyed step aggs + 2 event-side join hashes
+                              // (step joins reuse the previous agg's user partitioning
+                              // on one side) + the 1-row count union + ORDER BY
     "text_span_scrub_winnow" -> 8 // the winnowing selection window sort + fp distinct agg
                               // + owner min-agg on fp_hash + coverage anti-join doc hash
                               // ×2 + TP consumers of the tokenize projection + ORDER BY —

@@ -179,6 +179,39 @@ object Oracles {
            |  SELECT CAST(1 AS INT) AS step, (SELECT id FROM c1) AS center_id, ROUND((SELECT r FROM c1), 6) AS radius
            |${(2 to 8).map(t => s"  UNION ALL SELECT CAST($t AS INT), (SELECT id FROM c$t), ROUND((SELECT r FROM c$t), 6)").mkString("\n")}
            |) ORDER BY step""".stripMargin,
+      "vec_maxsim" ->
+        // full MaxSim replay: per-(query-token, doc-group) max of
+        // round-6 raw-vector cosines, decimal-exact per-query-doc sum
+        // (the dsum VARCHAR convention), top-3 by score then group
+        """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+          |q AS (SELECT vec_id % 2 AS qid, vec_id AS tid, vec AS qv FROM base WHERE vec_id < 8),
+          |d AS (SELECT vec_id % 50 AS grp, vec AS cv FROM base WHERE vec_id >= 8),
+          |scored AS (SELECT qid, grp, tid,
+          |  MAX(ROUND(list_reduce(list_transform(list_zip(cv, qv), p -> p[1]*p[2]), (x,y) -> x+y)
+          |    / (sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y))
+          |       * sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y))), 6)) AS mx
+          | FROM d CROSS JOIN q GROUP BY qid, grp, tid),
+          |agg AS (SELECT qid, grp,
+          |  CAST(CAST(CAST(SUM(CAST(mx AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS maxsim
+          | FROM scored GROUP BY qid, grp),
+          |r AS (SELECT qid, grp, maxsim,
+          |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY maxsim DESC, grp) AS INT) AS rank
+          | FROM agg)
+          |SELECT qid, rank, grp, maxsim FROM r WHERE rank <= 3
+          |ORDER BY qid, rank""".stripMargin,
+      "events_funnel_steps" ->
+        """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type FROM events),
+          |s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+          |s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+          |       WHERE e.event_type = 'click' AND e.ts_us >= s1.t1 GROUP BY e.user_id),
+          |s3 AS (SELECT e.user_id, MIN(e.ts_us) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+          |       WHERE e.event_type = 'purchase' AND e.ts_us >= s2.t2 GROUP BY e.user_id),
+          |c AS (SELECT 1 AS step, 'view' AS event_type, COUNT(*)::BIGINT AS n_users FROM s1
+          |      UNION ALL SELECT 2, 'click', COUNT(*)::BIGINT FROM s2
+          |      UNION ALL SELECT 3, 'purchase', COUNT(*)::BIGINT FROM s3)
+          |SELECT step, event_type, n_users,
+          | n_users * 1000000 // (SELECT n_users FROM c WHERE step = 1) AS retention_ppm
+          |FROM c ORDER BY step""".stripMargin,
       "data_weighted_exact_k" ->
         // Efraimidis–Spirakis via min-of-w md5 draws: no ln, no pow —
         // both engines rank identical fixed-length hex strings
