@@ -66,6 +66,16 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.util.AccumulatorContext",
       org.apache.logging.log4j.Level.ERROR)
+    // Remaining benign WARN classes observed in full-run logs (round 10):
+    // SparkStringUtils' plan-string truncation note and BlockManager's
+    // "block already exists; not re-adding" (localCheckpoint replay).
+    // Both are informational; ERROR keeps genuine failures visible.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.util.SparkStringUtils",
+      org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.storage.BlockManager",
+      org.apache.logging.log4j.Level.ERROR)
 
     def runOnce(name: String): Double = {
       spark.catalog.clearCache()

@@ -5741,6 +5741,41 @@ object SparkEntry {
         .withColumn("radius", round(col("radius"), 6))
         .orderBy("step")
     }),
+    "dedup_winnow_incremental" -> ((s, d) => {
+      // incremental shared-PASSAGE dedup against a persisted
+      // fingerprint index (the daily-delta posture applied to
+      // winnowing — whole-doc MinHash misses a license block pasted
+      // into otherwise-unique docs; the fp index catches any shared
+      // run ≥ w+k−1 tokens against the kept corpus without
+      // re-fingerprinting it). Bootstrap on doc_id % 3 ≠ 0, probe the
+      // % 3 = 0 delta: dropped_index (≥ 2 selected hashes shared with
+      // an indexed doc — the index always wins), dropped_delta
+      // (within-batch winnow keep-min via connected components),
+      // survived. Index side of the probe join is bucketed on fp_hash
+      // → Exchange-free. Oracle replays the whole sequential chain
+      // (winnowing selection is md5 — no aux dump needed).
+      val docs = TP(s, d, "documents")
+      val base = docs.filter(col("doc_id") % 3 =!= 0)
+      val delta = docs.filter(col("doc_id") % 3 === 0)
+      val tbl = IncrementalDedupOps.buildWinnowIndex(
+        base, "text", "doc_id", "graft_winc_idx", numBuckets = 8)
+      val dropIdx = IncrementalDedupOps
+        .probeWinnowIndex(delta, "text", "doc_id", tbl, minShared = 2)
+        .select(col("batch_id").as("doc_id")).distinct()
+      val rem = delta.join(dropIdx, Seq("doc_id"), "left_anti")
+      val selfPairs = DedupOps.winnowDupPairs(rem, "text", "doc_id", 4, 4, minShared = 2)
+        .select("a_id", "b_id")
+      val survivors = DedupOps.applyPairDedup(rem, "doc_id", selfPairs).select("doc_id")
+      delta.select("doc_id")
+        .join(dropIdx.withColumn("__di", lit(1)), Seq("doc_id"), "left")
+        .join(survivors.withColumn("__sv", lit(1)), Seq("doc_id"), "left")
+        .withColumn("verdict",
+          when(col("__di") === 1, lit("dropped_index"))
+            .when(col("__sv") === 1, lit("survived"))
+            .otherwise(lit("dropped_delta")))
+        .select("doc_id", "verdict")
+        .orderBy("doc_id")
+    }),
     "vec_maxsim" -> ((s, d) => {
       // late-interaction multi-vector retrieval (ColBERT MaxSim,
       // Khattab & Zaharia SIGIR'20): score(q, doc) = Σ over the query's

@@ -175,4 +175,80 @@ object IncrementalDedupOps {
       .filter(col("jaccard") >= threshold)
       .select(col("a").as("a_id"), col("b").as("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  // ----- incremental winnowing (shared-PASSAGE) index -----
+  // The same daily-delta posture applied to winnowing fingerprints
+  // ([[DedupOps.winnowFingerprints]]): whole-doc MinHash misses a long
+  // license block pasted into otherwise-unique docs; the fingerprint
+  // index catches any shared run ≥ w+k−1 tokens against the ENTIRE kept
+  // corpus without re-fingerprinting it. Index = one catalog table
+  // `<prefix>_fps` (fp_hash, id) bucketed by fp_hash, so the probe's
+  // hash join plans with no Exchange on the corpus side. (k, w,
+  // minShared) are part of the index contract, exactly like the MinHash
+  // band parameters.
+
+  /** Fingerprint the base corpus once and persist the bucketed index.
+    * Returns the fps table name. */
+  def buildWinnowIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      prefix: String,
+      numBuckets: Int,
+      k: Int = 4,
+      w: Int = 4
+  ): String = {
+    val fps = DedupOps.winnowFingerprints(df, textCol, idCol, k, w)
+      .select("fp_hash", "id").distinct()
+    BucketOps.writeBucketed(fps, s"${prefix}_fps", numBuckets, Seq("fp_hash"),
+      sortKeys = Seq("fp_hash"))
+    s"${prefix}_fps"
+  }
+
+  /** Fold a batch's fingerprints into the index (bucket-spec-preserving
+    * append — a mismatched spec is rejected loudly by appendBucketed). */
+  def appendToWinnowIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      fpsTable: String,
+      numBuckets: Int,
+      k: Int = 4,
+      w: Int = 4
+  ): Unit = {
+    val fps = DedupOps.winnowFingerprints(df, textCol, idCol, k, w)
+      .select("fp_hash", "id").distinct()
+    BucketOps.appendBucketed(fps, fpsTable, numBuckets, Seq("fp_hash"),
+      sortKeys = Seq("fp_hash"))
+  }
+
+  /** Probe a batch against the persisted fingerprint index: batch docs
+    * sharing ≥ `minShared` distinct selected hashes with an INDEXED doc
+    * (the MOSS link — guaranteed for any shared token run ≥ w+k−1 at
+    * minShared = 1). Returns (idx_id, batch_id, n_shared). The batch's
+    * fingerprints are computed once (checkpointed) and the index side
+    * scans Exchange-free; within-batch pairs are the caller's
+    * [[DedupOps.winnowDupPairs]] over the same batch. */
+  def probeWinnowIndex(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      fpsTable: String,
+      minShared: Int = 2,
+      k: Int = 4,
+      w: Int = 4
+  ): DataFrame = {
+    val spark = batch.sparkSession
+    val newFps = DedupOps.winnowFingerprints(batch, textCol, idCol, k, w)
+      .select(col("fp_hash"), col("id").as("batch_id"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    newFps
+      .join(spark.table(fpsTable).select(col("fp_hash"), col("id").as("idx_id")),
+        Seq("fp_hash"))
+      .filter(col("idx_id") =!= col("batch_id"))
+      .groupBy("idx_id", "batch_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -238,7 +238,12 @@ object VectorIndexOps {
       .filter(round(dot(col("d_vec"), col("x_vec")), 6) >= index.tau)
       .select(col("d_id").as("id"))
       .distinct()
-    val rem = d.join(dropIdx, Seq("id"), "left_anti")
+    // rem is DELTA-sized (bounded) and fans out to three consumers —
+    // the guard's cell-count job (round 10), the within-batch pair
+    // join, and the survivor append — each of which would otherwise
+    // re-execute the index-probe join lineage; one eager checkpoint
+    // caps that at a single execution
+    val rem = d.join(dropIdx, Seq("id"), "left_anti").localCheckpoint()
     val dropSelf = SimilarityOps.cellDrops(rem, index.tau)
     val out = d.select("id", "cell", "cent_sim")
       .join(dropIdx.withColumn("__di", lit(1)), Seq("id"), "left")

@@ -165,14 +165,45 @@ object Pipeline {
             // (a ≥ w+k−1-token shared run ALWAYS links — the MOSS
             // guarantee) and keep each cluster's min id — the
             // plagiarism/license-boilerplate cut whole-doc similarity
-            // dedup can't express.
+            // dedup can't express. With `index=<prefix>` (row 339) the
+            // incremental posture applies: first run bootstraps the
+            // persisted fingerprint index; later runs drop batch docs
+            // sharing ≥ `shared` selected hashes with an indexed doc
+            // (index wins), self-dedup the remainder, and (update=true)
+            // fold survivors' fingerprints in.
             val k = p.getOrElse("k", "4").toInt
             val w = p.getOrElse("w", "4").toInt
             val minShared = p.getOrElse("shared", "2").toInt
-            val pairs = graft.operators.DedupOps
-              .winnowDupPairs(df, text, id, k, w, minShared)
-              .select(F.col("a_id"), F.col("b_id"))
-            graft.operators.DedupOps.applyPairDedup(df, id, pairs)
+            def selfDedup(batch: DataFrame): DataFrame = {
+              val pairs = graft.operators.DedupOps
+                .winnowDupPairs(batch, text, id, k, w, minShared)
+                .select(F.col("a_id"), F.col("b_id"))
+              graft.operators.DedupOps.applyPairDedup(batch, id, pairs)
+            }
+            p.get("index") match {
+              case None => selfDedup(df)
+              case Some(prefix) =>
+                val I = graft.operators.IncrementalDedupOps
+                val buckets = p.getOrElse("buckets", "8").toInt
+                val update = p.getOrElse("update", "true").toBoolean
+                val spark = df.sparkSession
+                val tbl = s"${prefix}_fps"
+                if (!spark.catalog.tableExists(tbl)) {
+                  val kept = selfDedup(df).localCheckpoint()
+                  I.buildWinnowIndex(kept, text, id, prefix, buckets, k, w)
+                  kept
+                } else {
+                  val dropIdx = I.probeWinnowIndex(df, text, id, tbl, minShared, k, w)
+                    .select(F.col("batch_id").as("__drop_id")).distinct()
+                  val kept = selfDedup(
+                    df.join(dropIdx, df(id) === F.col("__drop_id"), "left_anti"))
+                  if (update) {
+                    val stable = kept.localCheckpoint()
+                    I.appendToWinnowIndex(stable, text, id, tbl, buckets, k, w)
+                    stable
+                  } else kept
+                }
+            }
           case "semantic" =>
             // SemDeDup over an embedding column (SURVEY rows 303/308 as a
             // URI step): batch mode prunes within spherical-k-means cells;

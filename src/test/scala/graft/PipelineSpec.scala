@@ -148,6 +148,39 @@ class PipelineSpec extends SparkSpec {
     assert(spark.table(s"${pfx}_sigs").count() == 8, "update=false must leave the index untouched")
   }
 
+  test("dedup:///?method=winnow&index= maintains a persisted fingerprint index") {
+    def enc(s: String) = s.replace(" ", "%20")
+    val run = "one two three four five six seven eight nine"
+    val pfx = "graft_r10_pipewin"
+    graft.operators.BucketOps.dropTable(spark, s"${pfx}_fps")
+    // day 1: 2 shares the run with 1 → keep-min drops 2; 3 unique
+    val day1 = Seq(1 -> s"$run tail words here",
+      2 -> s"lead in $run", 3 -> "alpha beta gamma delta epsilon zeta eta")
+    val (p1, _) = Pipeline.fromArgs(Seq(
+      "--source", "values:///?header=id:int,text&values=" +
+        day1.map { case (i, t) => s"$i,${enc(t)}" }.mkString(";"),
+      "--transform", s"dedup:///?method=winnow&text=text&id=id&shared=1&index=$pfx"))
+    assert(p1.resultView(spark, "sink").collect().map(_.getInt(0)).toSet == Set(1, 3))
+    // day 2: 11 embeds the INDEXED run (index wins though 11 < 1's id
+    // ordering is irrelevant across the boundary); 12 fresh → kept +
+    // folded in
+    val day2 = Seq(11 -> s"closing $run again",
+      12 -> "totally fresh words appear now here today")
+    val (p2, _) = Pipeline.fromArgs(Seq(
+      "--source", "values:///?header=id:int,text&values=" +
+        day2.map { case (i, t) => s"$i,${enc(t)}" }.mkString(";"),
+      "--transform", s"dedup:///?method=winnow&text=text&id=id&shared=1&index=$pfx"))
+    assert(p2.resultView(spark, "sink").collect().map(_.getInt(0)).toSet == Set(12))
+    // day 3: a dup of day-2 survivor 12 is caught; update=false frozen
+    val n0 = spark.table(s"${pfx}_fps").count()
+    val (p3, _) = Pipeline.fromArgs(Seq(
+      "--source", "values:///?header=id:int,text&values=21," +
+        enc("totally fresh words appear now here today extended"),
+      "--transform", s"dedup:///?method=winnow&text=text&id=id&shared=1&index=$pfx&update=false"))
+    assert(p3.resultView(spark, "sink").isEmpty)
+    assert(spark.table(s"${pfx}_fps").count() == n0, "update=false must not grow the index")
+  }
+
   // values:// carries only scalars, so the vector tests assemble the
   // embedding column with an inline sql:// step — itself an e2e check
   // that array columns flow through the URI pipeline.

@@ -327,13 +327,15 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // row; k longs per partition per side — no key co-shuffle
     "data_dp_release" -> 2,   // clipped segment agg + ORDER BY — the noise draw is a
                               // seeded md5 projection over the released rows only
-    "dedup_semantic_incr" -> 9, // the PROBE plan only (the index build ran eagerly):
-                              // 3× TP (delta union branches re-instantiated under
-                              // column pruning across the vs-index join, the remainder
-                              // self-prune, and the verdict spine) + delta cell shuffle
-                              // + self-prune drop agg + two verdict left-join id hashes
-                              // + dropIdx distinct + ORDER BY; the INDEX side is the
-                              // bucketed catalog read — Exchange-free by layout
+    "dedup_semantic_incr" -> 7, // the PROBE plan only (the index build ran eagerly):
+                              // 2× TP (delta union branches under the vs-index join
+                              // and the verdict spine; the remainder self-prune now
+                              // reads the round-10 `rem` checkpoint, which also feeds
+                              // the guard's cell count and the survivor append — one
+                              // lineage execution instead of three) + delta cell
+                              // shuffle + self-prune drop agg + two verdict left-join
+                              // id hashes + dropIdx distinct + ORDER BY; the INDEX
+                              // side is the bucketed catalog read — Exchange-free
     "dedup_winnowing" -> 2,   // pair-count agg + ORDER BY — measured BELOW the bucket
                               // table's lazy localCheckpoint (allBucketPairs); the
                               // upstream TP + per-doc selection-window sort + fp-hash
@@ -428,6 +430,12 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "data_semantic_decontam" -> 4, // 2× TP (train union branches re-instantiated under
                               // column pruning) + train-id best-match agg + ORDER BY;
                               // the 8-row eval side rides broadcast
+    "dedup_winnow_incremental" -> 10, // delta-side winnowing selection window sort + fp
+                              // distinct agg + probe-pair agg + dropIdx distinct + rem
+                              // anti-join hash + rem winnow selection sort + fp agg +
+                              // bucket agg + component/survivor id hashes + ORDER BY;
+                              // the index side of the probe join is bucketed on fp_hash
+                              // — Exchange-free (measured below the fp checkpoint)
     "vec_maxsim" -> 6,        // 2× TP (query/doc branches) + (qid,grp,tid) max agg +
                               // (qid,grp) decimal-sum agg + per-query rank window +
                               // ORDER BY; the 8-row query side rides broadcast so the

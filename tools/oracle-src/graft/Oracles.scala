@@ -179,6 +179,51 @@ object Oracles {
            |  SELECT CAST(1 AS INT) AS step, (SELECT id FROM c1) AS center_id, ROUND((SELECT r FROM c1), 6) AS radius
            |${(2 to 8).map(t => s"  UNION ALL SELECT CAST($t AS INT), (SELECT id FROM c$t), ROUND((SELECT r FROM c$t), 6)").mkString("\n")}
            |) ORDER BY step""".stripMargin,
+      "dedup_winnow_incremental" ->
+        // replay the full sequential chain: winnowing selection (the
+        // dedup_winnowing fragment) split into base/delta sides,
+        // ≥2-shared-hash index drops (index wins), then keep-min
+        // connected components over the remainder (the data_survivors
+        // closure pattern)
+        s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |g0 AS (SELECT doc_id, CASE WHEN len(tk) <= 4 THEN [array_to_string(tk, ' ')]
+           |        ELSE list_transform(range(1, len(tk) - 2), i -> array_to_string(tk[i:i+3], ' ')) END AS gs
+           |       FROM t),
+           |gp AS (SELECT doc_id, unnest(list_transform(range(1, len(gs) + 1),
+           |        i -> {'p': i - 1, 's': gs[i]})) AS u FROM g0),
+           |ge AS (SELECT doc_id, u.p AS pos,
+           |        CAST(('0x' || substr(md5(u.s), 1, 10)) AS BIGINT) * 2097152
+           |          + (2097151 - u.p) AS key FROM gp),
+           |sel AS (SELECT doc_id, pos,
+           |         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+           |         count(*) OVER (PARTITION BY doc_id) AS n_g
+           |        FROM ge),
+           |fp AS MATERIALIZED (SELECT DISTINCT doc_id, sel // 2097152 AS fp_hash
+           |       FROM sel WHERE pos <= greatest(n_g - 4, 0)),
+           |dip AS (SELECT d.doc_id AS did, b.doc_id AS bid, COUNT(*) AS n
+           |        FROM (SELECT * FROM fp WHERE doc_id % 3 = 0) d
+           |        JOIN (SELECT * FROM fp WHERE doc_id % 3 <> 0) b USING (fp_hash)
+           |        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           |di AS (SELECT DISTINCT did AS doc_id FROM dip),
+           |rem AS (SELECT doc_id FROM documents
+           |        WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT doc_id FROM di)),
+           |rfp AS (SELECT fp.doc_id, fp.fp_hash FROM fp JOIN rem USING (doc_id)),
+           |p AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
+           |     FROM rfp a JOIN rfp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+           |     GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+           |reach(id, r) AS (
+           | SELECT DISTINCT a AS id, a AS r FROM e
+           | UNION
+           | SELECT e.b AS id, reach.r AS r FROM reach JOIN e ON e.a = reach.id),
+           |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+           |drops AS (SELECT id FROM lab WHERE cluster_id <> id)
+           |SELECT d.doc_id,
+           | CASE WHEN d.doc_id IN (SELECT doc_id FROM di) THEN 'dropped_index'
+           |      WHEN d.doc_id IN (SELECT id FROM drops) THEN 'dropped_delta'
+           |      ELSE 'survived' END AS verdict
+           |FROM documents d WHERE d.doc_id % 3 = 0 ORDER BY d.doc_id""".stripMargin,
       "vec_maxsim" ->
         // full MaxSim replay: per-(query-token, doc-group) max of
         // round-6 raw-vector cosines, decimal-exact per-query-doc sum
