@@ -3579,6 +3579,108 @@ object SparkEntry {
           col("decision"))
         .orderBy("a_id", "b_id")
     }),
+    "data_entity_golden" -> ((s, d) => {
+      // the APPLY side of record linkage (row 306 produces pairs; this
+      // resolves them): two independently-dirtied copies of customer
+      // (B: k%3-based edits — the data_linkage synthesis; C: k%5-based)
+      // are FS-matched against A, match pairs close into entities
+      // (connected components, entity_id = min member), and each
+      // entity emits a GOLDEN record by majority survivorship — per
+      // attribute the most frequent value, ties to the lexicographic
+      // min (a 3-member entity with one dirty copy repairs by 2-1
+      // vote; numeric attributes ride as digit strings, cast back).
+      // All comparators/weights integer, the vote integer — exact.
+      import org.apache.spark.sql.expressions.Window
+      val cents = (col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+      val k = col("c_custkey")
+      val aB = TP(s, d, "customer").select(
+        col("c_custkey").as("a_id"), col("c_name").as("a_name"),
+        col("c_nationkey").cast("long").as("a_nation"), cents.as("a_cents"),
+        col("c_mktsegment").as("a_seg"),
+        substring(col("c_name"), 1, 16).as("blk"))
+      def dirty(off: Long, m1: Int, m2: Int, jmod: Int, jmul: Int) =
+        T(s, d, "customer").filter(k % 3 =!= 2).select(
+          (k + off).as("b_id"),
+          when(k % m1 === 0, concat(substring(col("c_name"), 1, 17), lit("x")))
+            .otherwise(col("c_name")).as("b_name"),
+          col("c_nationkey").cast("long").as("b_nation"),
+          (cents + when(k % m1 === 0, (k % jmod - jmod / 2) * jmul)
+            .otherwise(lit(0L))).as("b_cents"),
+          when(k % m2 === 0, reverse(col("c_mktsegment")))
+            .otherwise(col("c_mktsegment")).as("b_seg"),
+          substring(col("c_name"), 1, 16).as("blk"))
+      def matchesTo(side: DataFrame) =
+        LinkageOps.fellegiSunter(aB, side, "blk", _ => Seq(
+            LinkageOps.FieldRule("name",
+              levenshtein(col("a_name"), col("b_name")) <= 1, 994L, -564L),
+            LinkageOps.FieldRule("nation", col("a_nation") === col("b_nation"), 457L, -426L),
+            LinkageOps.FieldRule("segment", col("a_seg") === col("b_seg"), 217L, -300L),
+            LinkageOps.FieldRule("acct",
+              abs(col("a_cents") - col("b_cents")) <= 100, 649L, -330L)),
+            matchBp = 800L, possibleBp = 0L)
+          .filter(col("decision") === "match").select("a_id", "b_id")
+      val bSide = dirty(1000000L, 3, 9, 7, 37)
+      val cSide = dirty(2000000L, 5, 15, 11, 23)
+      val edges = matchesTo(bSide).unionByName(matchesTo(cSide))
+      val labels = GraphOps.connectedComponents(edges, "a_id", "b_id")
+      def rec(df: DataFrame) = df.select(col("b_id").as("rec_id"),
+        col("b_name").as("name"), col("b_nation").as("nation"),
+        col("b_cents").as("cents"), col("b_seg").as("seg"))
+      val records = rec(aB.select(col("a_id").as("b_id"), col("a_name").as("b_name"),
+          col("a_nation").as("b_nation"), col("a_cents").as("b_cents"),
+          col("a_seg").as("b_seg")))
+        .unionByName(rec(bSide.drop("blk"))).unionByName(rec(cSide.drop("blk")))
+      val tagged = records
+        .join(labels.select(col("id").as("rec_id"), col("cluster_id")), Seq("rec_id"), "left")
+        .withColumn("entity_id", coalesce(col("cluster_id"), col("rec_id")))
+      val stacked = tagged.select(col("entity_id"), explode(array(
+          struct(lit("name").as("attr"), col("name").as("v")),
+          struct(lit("nation").as("attr"), col("nation").cast("string").as("v")),
+          struct(lit("cents").as("attr"), col("cents").cast("string").as("v")),
+          struct(lit("seg").as("attr"), col("seg").as("v")))).as("p"))
+        .select(col("entity_id"), col("p.attr").as("attr"), col("p.v").as("v"))
+      val w = Window.partitionBy("entity_id", "attr")
+        .orderBy(col("c").desc, col("v").asc)
+      val picked = stacked.groupBy("entity_id", "attr", "v")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      val golden = picked.groupBy("entity_id").agg(
+        max(when(col("attr") === "name", col("v"))).as("name"),
+        max(when(col("attr") === "nation", col("v"))).cast("long").as("nation"),
+        max(when(col("attr") === "cents", col("v"))).cast("long").as("cents"),
+        max(when(col("attr") === "seg", col("v"))).as("seg"))
+      tagged.groupBy("entity_id").agg(count(lit(1)).as("n_records"))
+        .join(golden, Seq("entity_id"))
+        .select("entity_id", "n_records", "name", "nation", "cents", "seg")
+        .orderBy("entity_id")
+    }),
+    "data_local_dp" -> ((s, d) => {
+      // LOCAL differential privacy by randomized response (Warner 1965;
+      // the RAPPOR building block) — the collector never sees a true
+      // bit, unlike row 305's central-DP release: each user's
+      // "purchased?" bit flips with probability f = 1/4 (ε = ln 3 per
+      // bit) via a seeded md5 coin (the dp_release seeded-noise
+      // convention — deterministic, hence oracle-replayable), and the
+      // debiased estimate p̂ = (rate − f)/(1 − 2f) is emitted as the
+      // INTEGER numerator est_x2 = 4·reported − N (= 2·estimated
+      // count; exact in both engines, no division). True count rides
+      // along to show the estimator lands near it. The sensitive bit:
+      // "heavy purchaser" (≥ 15 purchase events) — a genuinely split
+      // population at the testdata SFs (6/15 and 50/150).
+      val users = EV(s, d).groupBy("user_id")
+        .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 15L)
+          .cast("long").as("truth"))
+      val coin = conv(substring(md5(concat(lit("rr:"), col("user_id"))), 1, 12), 16, 10)
+        .cast("long")
+      users
+        .withColumn("report",
+          when(coin < lit(70368744177664L), lit(1L) - col("truth")) // 2^46 = 2^48/4
+            .otherwise(col("truth")))
+        .agg(count(lit(1)).as("n_users"), sum("truth").as("n_true"),
+          sum("report").as("n_reported"))
+        .select(col("n_users"), col("n_true"), col("n_reported"),
+          (lit(4L) * col("n_reported") - col("n_users")).as("est_x2"))
+    }),
     "events_twap" -> ((s, d) => {
       // time-weighted average price per event type: each observation is
       // weighted by how long it stayed current (the dwell span to the

@@ -430,6 +430,15 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "data_semantic_decontam" -> 4, // 2× TP (train union branches re-instantiated under
                               // column pruning) + train-id best-match agg + ORDER BY;
                               // the 8-row eval side rides broadcast
+    "data_entity_golden" -> 10, // TP comparator spread + the components' label join hash
+                              // + entity tag join + vote (entity,attr,v) agg + pick
+                              // window + golden pivot agg + sizes agg + final join +
+                              // ORDER BY; both FS candidate joins ride broadcast on blk
+                              // and the closure's per-round work ran eagerly (bounded
+                              // rounds) — a jump here means a match join stopped
+                              // broadcasting
+    "data_local_dp" -> 2,     // per-user truth agg + the 1-row report agg — the coin
+                              // and flip are pure projections
     "dedup_winnow_incremental" -> 10, // delta-side winnowing selection window sort + fp
                               // distinct agg + probe-pair agg + dropIdx distinct + rem
                               // anti-join hash + rem winnow selection sort + fp agg +

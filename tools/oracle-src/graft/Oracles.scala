@@ -2662,6 +2662,78 @@ object Oracles {
           | CASE WHEN sbp >= 800 THEN 'match' WHEN sbp >= 0 THEN 'possible'
           |      ELSE 'nonmatch' END AS decision
           |FROM s WHERE sbp >= 0 ORDER BY a_id, b_id""".stripMargin,
+      "data_entity_golden" ->
+        // replay both dirty-copy syntheses + the FS match band, close
+        // match pairs into entities (the reach closure pattern), then
+        // the per-attribute majority vote with lexicographic-min ties
+        // (numerics ride as digit strings, cast back)
+        """WITH RECURSIVE
+          |a AS (SELECT c_custkey AS a_id, c_name AS a_name,
+          |  CAST(c_nationkey AS BIGINT) AS a_nation,
+          |  CAST(CAST(c_acctbal AS DECIMAL(18,2))*100 AS BIGINT) AS a_cents,
+          |  c_mktsegment AS a_seg, substr(c_name, 1, 16) AS blk FROM customer),
+          |cp AS (SELECT c_custkey AS k, c_name, CAST(c_nationkey AS BIGINT) AS nation,
+          |  CAST(CAST(c_acctbal AS DECIMAL(18,2))*100 AS BIGINT) AS cents,
+          |  c_mktsegment AS seg, substr(c_name, 1, 16) AS blk
+          |  FROM customer WHERE c_custkey % 3 <> 2),
+          |b AS (SELECT k + 1000000 AS b_id,
+          |  CASE WHEN k % 3 = 0 THEN substr(c_name, 1, 17) || 'x' ELSE c_name END AS b_name,
+          |  nation AS b_nation,
+          |  cents + CASE WHEN k % 3 = 0 THEN ((k % 7) - 3) * 37 ELSE 0 END AS b_cents,
+          |  CASE WHEN k % 9 = 0 THEN reverse(seg) ELSE seg END AS b_seg, blk FROM cp),
+          |c AS (SELECT k + 2000000 AS b_id,
+          |  CASE WHEN k % 5 = 0 THEN substr(c_name, 1, 17) || 'x' ELSE c_name END AS b_name,
+          |  nation AS b_nation,
+          |  cents + CASE WHEN k % 5 = 0 THEN ((k % 11) - 5) * 23 ELSE 0 END AS b_cents,
+          |  CASE WHEN k % 15 = 0 THEN reverse(seg) ELSE seg END AS b_seg, blk FROM cp),
+          |bc AS (SELECT * FROM b UNION ALL SELECT * FROM c),
+          |m AS (SELECT a_id, b_id FROM a JOIN bc USING (blk)
+          |  WHERE (CASE WHEN levenshtein(a_name, b_name) <= 1 THEN 994 ELSE -564 END
+          |   + CASE WHEN a_nation = b_nation THEN 457 ELSE -426 END
+          |   + CASE WHEN a_seg = b_seg THEN 217 ELSE -300 END
+          |   + CASE WHEN abs(a_cents - b_cents) <= 100 THEN 649 ELSE -330 END) >= 800),
+          |e AS (SELECT a_id AS x, b_id AS y FROM m UNION ALL SELECT b_id, a_id FROM m),
+          |reach(id, r) AS (
+          | SELECT DISTINCT x AS id, x AS r FROM e
+          | UNION
+          | SELECT e.y AS id, reach.r AS r FROM reach JOIN e ON e.x = reach.id),
+          |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+          |recs AS (
+          | SELECT a_id AS rec_id, a_name AS name, a_nation AS nation, a_cents AS cents, a_seg AS seg FROM a
+          | UNION ALL SELECT b_id, b_name, b_nation, b_cents, b_seg FROM bc),
+          |tagged AS (SELECT COALESCE(lab.cluster_id, recs.rec_id) AS entity_id, recs.*
+          |           FROM recs LEFT JOIN lab ON lab.id = recs.rec_id),
+          |stacked AS (SELECT entity_id, u.attr AS attr, u.v AS v FROM (
+          | SELECT entity_id, unnest([
+          |   {'attr': 'name', 'v': name},
+          |   {'attr': 'nation', 'v': CAST(nation AS VARCHAR)},
+          |   {'attr': 'cents', 'v': CAST(cents AS VARCHAR)},
+          |   {'attr': 'seg', 'v': seg}]) AS u FROM tagged)),
+          |cnt AS (SELECT entity_id, attr, v, COUNT(*) AS c FROM stacked GROUP BY 1, 2, 3),
+          |pick AS (SELECT entity_id, attr, v,
+          |  ROW_NUMBER() OVER (PARTITION BY entity_id, attr ORDER BY c DESC, v ASC) AS rk FROM cnt),
+          |golden AS (SELECT entity_id,
+          |  MAX(CASE WHEN attr = 'name' THEN v END) AS name,
+          |  CAST(MAX(CASE WHEN attr = 'nation' THEN v END) AS BIGINT) AS nation,
+          |  CAST(MAX(CASE WHEN attr = 'cents' THEN v END) AS BIGINT) AS cents,
+          |  MAX(CASE WHEN attr = 'seg' THEN v END) AS seg
+          | FROM pick WHERE rk = 1 GROUP BY entity_id),
+          |sizes AS (SELECT entity_id, COUNT(*)::BIGINT AS n_records FROM tagged GROUP BY entity_id)
+          |SELECT s2.entity_id, s2.n_records, g.name, g.nation, g.cents, g.seg
+          |FROM sizes s2 JOIN golden g USING (entity_id)
+          |ORDER BY s2.entity_id""".stripMargin,
+      "data_local_dp" ->
+        """WITH u AS (SELECT user_id,
+          |  (SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15)::BIGINT AS truth
+          | FROM events GROUP BY user_id),
+          |r AS (SELECT truth,
+          |  CASE WHEN CAST(('0x' || substr(md5('rr:' || CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT)
+          |            < 70368744177664 THEN 1 - truth ELSE truth END AS report
+          | FROM u)
+          |SELECT COUNT(*)::BIGINT AS n_users, SUM(truth)::BIGINT AS n_true,
+          | SUM(report)::BIGINT AS n_reported,
+          | (4 * SUM(report) - COUNT(*))::BIGINT AS est_x2
+          |FROM r""".stripMargin,
       "events_twap" ->
         """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
           |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
