@@ -240,6 +240,76 @@ object StreamOps {
     }
   }
 
+  final case class PsiOut(key: Long, n_cur: Long, psi: Double, alarm: Boolean)
+
+  /** Streaming twin of the batch PSI drift monitor ([[graft.operators
+    * .DriftOps.psi]]): the BASELINE histogram is a fixed constructor
+    * parameter (pinned from a calibration window — the CusumProcessor
+    * mu/slack convention), the per-key CURRENT histogram is `bins`
+    * longs of state, and each micro-batch emits the updated smoothed
+    * PSI. Histogram folding is order-independent, so the emitted PSI
+    * after the last batch is bit-identical to the batch computation
+    * over the same rows REGARDLESS of micro-batch splits — and equals
+    * DriftOps.psi's scalar when given the same baseline (identical
+    * per-bin arithmetic: +1 smoothing, (p−q)·ln(p/q) rounded to 9
+    * half-up, summed in ascending bin order; Math.log both sides).
+    */
+  class PsiProcessor(
+      baseline: Array[Long], bins: Int, lo: Long, hi: Long, threshold: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SeqValue, PsiOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    require(baseline.length == bins && bins >= 2 && hi > lo,
+      "streaming PSI: baseline length must equal bins; bins >= 2; hi > lo")
+    @transient private var st: ValueState[Array[Long]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Array[Long]]("psiBins",
+        Encoders.kryo[Array[Long]], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[SeqValue],
+        timerValues: TimerValues
+    ): Iterator[PsiOut] = {
+      val counts = Option(st.get()).getOrElse(Array.fill(bins)(0L))
+      val width = (hi - lo + bins - 1) / bins
+      rows.foreach { r =>
+        val cents = BigDecimal(r.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .underlying.unscaledValue.longValueExact
+        val b = math.min(math.max((cents - lo) / width, 0L), (bins - 1).toLong).toInt
+        counts(b) += 1
+      }
+      st.update(counts)
+      val nb = baseline.sum; val nc = counts.sum
+      var acc = 0.0
+      var i = 0
+      while (i < bins) {
+        val p = (baseline(i) + 1).toDouble / (nb + bins).toDouble
+        val q = (counts(i) + 1).toDouble / (nc + bins).toDouble
+        acc += java.math.BigDecimal.valueOf((p - q) * math.log(p / q))
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+        i += 1
+      }
+      Iterator.single(PsiOut(key, nc, acc, acc > threshold))
+    }
+  }
+
+  /** Wire a keyed stream through [[PsiProcessor]]. */
+  def streamingPsi(
+      events: Dataset[SeqValue],
+      baseline: Array[Long],
+      bins: Int,
+      lo: Long,
+      hi: Long,
+      threshold: Double = 0.2
+  ): Dataset[PsiOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.key)
+      .transformWithState(new PsiProcessor(baseline, bins, lo, hi, threshold),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Wire a keyed stream through [[CusumProcessor]]. */
   def streamingCusum(
       events: Dataset[SeqValue],

@@ -369,6 +369,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PSI equals the batch DriftOps.psi and is micro-batch-split invariant") {
+    import graft.operators.DriftOps
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val bins = 5; val lo = 0L; val hi = 10000L // cents; width 2000
+    // baseline calibration: 4 rows mid-bin in each of the 5 bins
+    val baseVals = for (v <- Seq(5.0, 25.0, 45.0, 65.0, 85.0); _ <- 1 to 4) yield v
+    val baseHist = Array(4L, 4L, 4L, 4L, 4L)
+    // current: skewed into the top bin — drift the monitor must flag
+    val curVals = Seq(81.0, 83.0, 85.0, 87.0, 5.0, 45.0, 89.0, 91.0)
+    def runStream(batches: Seq[Seq[Double]]): StreamOps.PsiOut = {
+      val input = MemoryStream[StreamOps.SeqValue]
+      val name = s"psi_out_${batches.size}"
+      val q = StreamOps.streamingPsi(input.toDS(), baseHist, bins, lo, hi, threshold = 0.2)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        var seq = 0L
+        batches.foreach { b =>
+          input.addData(b.map { v => seq += 1; StreamOps.SeqValue(1L, seq, v) }: _*)
+          q.processAllAvailable()
+        }
+        spark.table(name).as[StreamOps.PsiOut].collect().maxBy(_.n_cur)
+      } finally q.stop()
+    }
+    try {
+      val split = runStream(Seq(curVals.take(3), curVals.drop(3)))
+      val oneShot = runStream(Seq(curVals))
+      assert(split.psi == oneShot.psi && split.n_cur == oneShot.n_cur,
+        "histogram state is order/split independent")
+      // batch twin over baseline ∪ current rows, identical arithmetic
+      val rows = baseVals.map((_, true)) ++ curVals.map((_, false))
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+      val batchPsi = DriftOps.psi(rows.toDF("value", "is_base"), col("is_base"),
+          cents, bins, lo, hi)
+        .select("psi").head().getDouble(0)
+      assert(split.psi == batchPsi, s"stream ${split.psi} != batch $batchPsi")
+      assert(split.alarm, "the top-bin skew must trip the 0.2 threshold")
+    } finally {
+      if (prev.nonEmpty)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
+  }
+
   test("streaming CUSUM equals the batch closed form across a micro-batch split") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
