@@ -5878,6 +5878,40 @@ object SparkEntry {
         .select("doc_id", "verdict")
         .orderBy("doc_id")
     }),
+    "dedup_shared_spans" -> ((s, d) => {
+      // near-dup pair EXPLAINABILITY: winnow-linked pairs annotated
+      // with WHERE they overlap — shared selected fingerprints whose
+      // position offset is constant (diag = posA − posB) trace one
+      // contiguous shared run, so the best diagonal's extent
+      // (max−min+k tokens) is the passage-length evidence a reviewer
+      // reads before trusting a drop. Pair-gen for the position pairs
+      // rides the guarded in-bucket machinery (boilerplate hashes
+      // shared corpus-wide never materialize m² in one task); the
+      // linked-pair set comes from the same guarded winnowDupPairs the
+      // dedup uses, so the report covers exactly the pairs that link.
+      val docs = TP(s, d, "documents")
+      val fps = DedupOps.winnowFingerprints(docs, "text", "doc_id", k = 4, w = 4)
+      val buckets = fps
+        .select(col("fp_hash"), struct(col("id"), col("fp_pos")).as("item"))
+        .groupBy("fp_hash").agg(sort_array(collect_list(col("item"))).as("items"))
+      val posPairs = DedupOps.boundedBucketPairs(buckets, Seq("fp_hash"), "items", 64)
+        .select(col("a.id").as("a_id"), col("a.fp_pos").as("pa"),
+          col("b.id").as("b_id"), col("b.fp_pos").as("pb"))
+        .filter(col("a_id") < col("b_id"))
+      val diags = posPairs
+        .groupBy(col("a_id"), col("b_id"), (col("pa") - col("pb")).as("diag"))
+        .agg(count(lit(1)).as("diag_cnt"),
+          (max(col("pa")) - min(col("pa")) + lit(4L)).as("span_tokens"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("a_id", "b_id")
+        .orderBy(col("span_tokens").desc, col("diag_cnt").desc, col("diag").asc)
+      val best = diags.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      DedupOps.winnowDupPairs(docs, "text", "doc_id", 4, 4, minShared = 2)
+        .join(best, Seq("a_id", "b_id"))
+        .select(col("a_id"), col("b_id"), col("n_shared"),
+          col("diag"), col("diag_cnt"), col("span_tokens"))
+        .orderBy("a_id", "b_id")
+    }),
     "vec_maxsim" -> ((s, d) => {
       // late-interaction multi-vector retrieval (ColBERT MaxSim,
       // Khattab & Zaharia SIGIR'20): score(q, doc) = Σ over the query's

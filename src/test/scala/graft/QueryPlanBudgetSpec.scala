@@ -445,6 +445,11 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // bucket agg + component/survivor id hashes + ORDER BY;
                               // the index side of the probe join is bucketed on fp_hash
                               // — Exchange-free (measured below the fp checkpoint)
+    "dedup_shared_spans" -> 4, // position-bucket agg + per-diagonal agg + the linked-pair
+                              // join hash + ORDER BY — the fingerprint selection sort and
+                              // winnowDupPairs' own bucket agg sit below their lazy
+                              // checkpoints (allBucketPairs), so the report adds one
+                              // diag agg over the already-guarded pair machinery
     "vec_maxsim" -> 6,        // 2× TP (query/doc branches) + (qid,grp,tid) max agg +
                               // (qid,grp) decimal-sum agg + per-query rank window +
                               // ORDER BY; the 8-row query side rides broadcast so the

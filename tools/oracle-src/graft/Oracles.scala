@@ -224,6 +224,42 @@ object Oracles {
            |      WHEN d.doc_id IN (SELECT id FROM drops) THEN 'dropped_delta'
            |      ELSE 'survived' END AS verdict
            |FROM documents d WHERE d.doc_id % 3 = 0 ORDER BY d.doc_id""".stripMargin,
+      "dedup_shared_spans" ->
+        // replay winnowing selection WITH positions, the linked-pair
+        // set (distinct shared hashes ≥ 2 — the dedup_winnowing
+        // fragment), and per-diagonal position-pair stats; best
+        // diagonal by (span, count, diag) — identical tie order
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |g0 AS (SELECT doc_id, CASE WHEN len(tk) <= 4 THEN [array_to_string(tk, ' ')]
+           |        ELSE list_transform(range(1, len(tk) - 2), i -> array_to_string(tk[i:i+3], ' ')) END AS gs
+           |       FROM t),
+           |gp AS (SELECT doc_id, unnest(list_transform(range(1, len(gs) + 1),
+           |        i -> {'p': i - 1, 's': gs[i]})) AS u FROM g0),
+           |ge AS (SELECT doc_id, u.p AS pos,
+           |        CAST(('0x' || substr(md5(u.s), 1, 10)) AS BIGINT) * 2097152
+           |          + (2097151 - u.p) AS key FROM gp),
+           |sel AS (SELECT doc_id, pos,
+           |         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+           |         count(*) OVER (PARTITION BY doc_id) AS n_g
+           |        FROM ge),
+           |fp AS MATERIALIZED (SELECT DISTINCT doc_id,
+           |        2097151 - (sel % 2097152) AS fp_pos, sel // 2097152 AS fp_hash
+           |       FROM sel WHERE pos <= greatest(n_g - 4, 0)),
+           |ns AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |        COUNT(DISTINCT a.fp_hash)::BIGINT AS n_shared
+           |       FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+           |       GROUP BY 1, 2 HAVING COUNT(DISTINCT a.fp_hash) >= 2),
+           |dg AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.fp_pos - b.fp_pos AS diag,
+           |        COUNT(*)::BIGINT AS diag_cnt,
+           |        (MAX(a.fp_pos) - MIN(a.fp_pos) + 4)::BIGINT AS span_tokens
+           |       FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+           |       GROUP BY 1, 2, 3),
+           |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id, b_id
+           |          ORDER BY span_tokens DESC, diag_cnt DESC, diag ASC) AS rk FROM dg)
+           |SELECT ns.a_id, ns.b_id, ns.n_shared, best.diag, best.diag_cnt, best.span_tokens
+           |FROM ns JOIN best ON ns.a_id = best.a_id AND ns.b_id = best.b_id AND best.rk = 1
+           |ORDER BY ns.a_id, ns.b_id""".stripMargin,
       "vec_maxsim" ->
         // full MaxSim replay: per-(query-token, doc-group) max of
         // round-6 raw-vector cosines, decimal-exact per-query-doc sum
