@@ -5878,6 +5878,76 @@ object SparkEntry {
         .select("doc_id", "verdict")
         .orderBy("doc_id")
     }),
+    "events_scd2_join" -> ((s, d) => {
+      // temporal dimension enrichment — the AS-OF join against SCD2
+      // validity intervals (the warehouse pattern rows 104/53 compose
+      // into): purchases of the row-104 cohort are stamped with the
+      // user's non-purchase activity STATE at purchase time
+      // (valid_from ≤ ts < valid_to, open tail = ∞). Bucketized range
+      // join — never a cross product; intervals are disjoint per user
+      // by construction so each purchase matches at most once.
+      import org.apache.spark.sql.expressions.Window
+      val e = EV(s, d).filter(col("user_id") % 10 === 0)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      // the open tail closes at the corpus horizon (max ts + 1) rather
+      // than Long.MaxValue: the bucketized join explodes each interval
+      // into its covered buckets, so an unbounded tail would sequence
+      // ~2.5e9 bucket ids — horizon rides a broadcast 1-row crossJoin
+      val horizon = e.agg((max("ts_us") + lit(1L)).as("__h"))
+      val iv = e.filter(col("event_type") =!= "purchase")
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+        .crossJoin(broadcast(horizon))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts_us").as("valid_from"),
+          coalesce(col("valid_to"), col("__h")).as("valid_to"))
+      // p_uid duplicates the key: rangeJoin's keyed output carries BOTH
+      // sides' user_id (the events_funnel_conv disambiguation pattern)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("user_id").as("p_uid"),
+          col("event_id"), col("ts_us"))
+      JoinOps.rangeJoin(purchases, iv, Seq("user_id"), "ts_us",
+          "valid_from", "valid_to", bucketWidth = 3600000000L)
+        .select(col("p_uid").as("user_id"), col("event_id"), col("ts_us"),
+          col("state"), col("valid_from").as("state_since_us"))
+        .orderBy("user_id", "event_id")
+    }),
+    "data_dup_weights" -> ((s, d) => {
+      // SOFT dedup — near-dup-aware loss weights instead of dropping:
+      // every doc keeps its row but its training weight is divided by
+      // its near-dup cluster size (weight_ppm = 10⁶ div n_members;
+      // singletons keep 10⁶), so a 5-way duplicated passage
+      // contributes one document's worth of gradient in aggregate.
+      // Same pair parameters as dedup_clusters; integer-exact.
+      val docs = TP(s, d, "documents")
+      val pairs = DedupOps.minhashDupPairs(docs, "text", "doc_id",
+        threshold = 0.7, shingleSize = 2, numBands = 32, rowsPerBand = 3)
+      val labels = GraphOps.connectedComponents(pairs, "a_id", "b_id")
+      val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      docs.select(col("doc_id"))
+        .join(labels.select(col("id").as("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .join(sizes, Seq("cluster_id"), "left")
+        .withColumn("n_members", coalesce(col("n_members"), lit(1L)))
+        .select(col("doc_id"), col("cluster_id"), col("n_members"),
+          expr("1000000L div n_members").as("weight_ppm"))
+        .orderBy("doc_id")
+    }),
+    "q68_offset" -> ((s, d) => {
+      // LIMIT/OFFSET pagination conformance (the ANSI page-2 shape —
+      // row 179's keyset pagination is the scale-correct alternative;
+      // this row pins the literal syntax both engines agree on):
+      // page 3 of orders by price desc, key tie-break
+      T(s, d, "orders").createOrReplaceTempView("r10_ord_off")
+      s.sql("""
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM r10_ord_off
+        ORDER BY price DESC, o_orderkey
+        LIMIT 10 OFFSET 20
+      """)
+    }),
     "dedup_shared_spans" -> ((s, d) => {
       // near-dup pair EXPLAINABILITY: winnow-linked pairs annotated
       // with WHERE they overlap — shared selected fingerprints whose

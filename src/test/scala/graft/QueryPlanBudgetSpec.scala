@@ -445,6 +445,15 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // bucket agg + component/survivor id hashes + ORDER BY;
                               // the index side of the probe join is bucketed on fp_hash
                               // — Exchange-free (measured below the fp checkpoint)
+    "events_scd2_join" -> 3,  // one user-keyed window sort builds the intervals + the
+                              // point↔interval bucket-join hash + ORDER BY; the horizon
+                              // is a broadcast 1-row crossJoin and purchases reuse the
+                              // user partitioning where AQE allows
+    "data_dup_weights" -> 6,  // TP + band-bucket agg (pairs below the allBucketPairs
+                              // checkpoint) + component label/size join hashes ×3 +
+                              // ORDER BY — the weights themselves are a projection
+    "q68_offset" -> 0,        // TakeOrdered absorbs ORDER BY + LIMIT/OFFSET whole —
+                              // pagination without a single Exchange
     "dedup_shared_spans" -> 4, // position-bucket agg + per-diagonal agg + the linked-pair
                               // join hash + ORDER BY — the fingerprint selection sort and
                               // winnowDupPairs' own bucket agg sit below their lazy

@@ -224,6 +224,50 @@ object Oracles {
            |      WHEN d.doc_id IN (SELECT id FROM drops) THEN 'dropped_delta'
            |      ELSE 'survived' END AS verdict
            |FROM documents d WHERE d.doc_id % 3 = 0 ORDER BY d.doc_id""".stripMargin,
+      "events_scd2_join" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+          |           FROM events WHERE user_id % 10 = 0),
+          |h AS (SELECT MAX(ts_us) + 1 AS hz FROM e),
+          |ch AS (SELECT user_id, event_type, ts_us, event_id,
+          |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+          |       FROM e WHERE event_type <> 'purchase'),
+          |iv AS (SELECT user_id, event_type AS state, ts_us AS valid_from,
+          |        COALESCE(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id),
+          |                 (SELECT hz FROM h)) AS valid_to
+          |       FROM ch WHERE prev IS NULL OR prev <> event_type),
+          |p AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'purchase')
+          |SELECT p.user_id, p.event_id, p.ts_us, iv.state, iv.valid_from AS state_since_us
+          |FROM p JOIN iv ON p.user_id = iv.user_id
+          | AND p.ts_us >= iv.valid_from AND p.ts_us < iv.valid_to
+          |ORDER BY p.user_id, p.event_id""".stripMargin,
+      "data_dup_weights" ->
+        // jaccard pairs at the dedup_clusters parameters + reach closure
+        // (the data_survivors pattern) + integer ppm weights
+        s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sh AS MATERIALIZED (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |p AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
+           |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7),
+           |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+           |reach(id, r) AS (
+           | SELECT DISTINCT a AS id, a AS r FROM e
+           | UNION
+           | SELECT e.b AS id, reach.r AS r FROM reach JOIN e ON e.a = reach.id),
+           |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+           |sz AS (SELECT cluster_id, COUNT(*)::BIGINT AS n FROM lab GROUP BY cluster_id)
+           |SELECT d.doc_id,
+           | COALESCE(lab.cluster_id, d.doc_id) AS cluster_id,
+           | COALESCE(sz.n, 1)::BIGINT AS n_members,
+           | 1000000 // COALESCE(sz.n, 1) AS weight_ppm
+           |FROM documents d
+           |LEFT JOIN lab ON lab.id = d.doc_id
+           |LEFT JOIN sz ON sz.cluster_id = lab.cluster_id
+           |ORDER BY d.doc_id""".stripMargin,
+      "q68_offset" ->
+        """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+          |FROM orders
+          |ORDER BY price DESC, o_orderkey
+          |LIMIT 10 OFFSET 20""".stripMargin,
       "dedup_shared_spans" ->
         // replay winnowing selection WITH positions, the linked-pair
         // set (distinct shared hashes ≥ 2 — the dedup_winnowing
