@@ -641,6 +641,41 @@ object ScaleProbe {
             .groupBy().count().head().getLong(0)
         }
       },
+      "winnow_index_probe" -> { rows =>
+        // the row-339 daily-delta shape: fingerprint the base ONCE into
+        // the bucketed (fp_hash, id) catalog, probe a 1:20 delta with
+        // the index side Exchange-free. Duplicate classes are BOUNDED
+        // (the incremental_probe lesson): every 10th base doc embeds a
+        // 7-token run keyed by its id-div-200 group (≤ 20 docs per
+        // class), and half the delta probes one class each — so true
+        // index hits are linear in the delta, and the probe measures
+        // the operator, not a quadratic corpus. A corpus-wide
+        // boilerplate fingerprint would make the TRUE pair set itself
+        // quadratic — no pair-emitting operator can beat its own
+        // output size; cap classes upstream (row 76's domain cap) if
+        // the corpus has one.
+        def runOf(g: Column) = concat_ws(" ",
+          transform(sequence(lit(1), lit(7)),
+            j => concat(lit("r"), g.cast("string"), lit("x"), j.cast("string"))))
+        val tail16 = concat_ws(" ",
+          transform(sequence(lit(1), lit(16)),
+            i => concat(lit("u"), (col("id") * 16 + i).cast("string"))))
+        val nGroups = math.max(1L, rows / 200)
+        val base = synth(rows).select(col("id"),
+          when(pmod(col("id"), lit(10)) === 0,
+            concat(runOf(expr("id div 200")), lit(" "), tail16))
+            .otherwise(tail16).as("text"))
+        val batch = synth(rows / 20).select(
+          (col("id") + 3000000000L).as("id"),
+          when(pmod(col("id"), lit(2)) === 0,
+            concat(runOf(pmod(col("id") * 7, lit(nGroups))), lit(" "), tail16))
+            .otherwise(tail16).as("text"))
+        val nBuckets = math.max(8, (rows / 125000).toInt)
+        val tbl = graft.operators.IncrementalDedupOps.buildWinnowIndex(
+          base, "text", "id", "probe_winc_idx", numBuckets = nBuckets)
+        graft.operators.IncrementalDedupOps.probeWinnowIndex(
+          batch, "text", "id", tbl, minShared = 1).count()
+      },
       "dsir_fit_score" -> { rows =>
         // DSIR fit+score: two exploded-gram partial aggs (bucket counts,
         // per-doc weights) + a broadcast lr join — per-row cost must
