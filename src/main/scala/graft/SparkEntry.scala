@@ -3593,11 +3593,17 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val cents = (col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
       val k = col("c_custkey")
+      // 17-char block prefix (10-wide blocks): data_linkage's 16-char
+      // convention costs 100-wide blocks, and this query pays it TWICE
+      // (two dirty copies) with a levenshtein per candidate — 3M
+      // comparator evaluations measured as the suite's slowest stage.
+      // Recall is unaffected: both sides derive blk from the SOURCE
+      // name, so narrowing the block never separates a true pair here.
       val aB = TP(s, d, "customer").select(
         col("c_custkey").as("a_id"), col("c_name").as("a_name"),
         col("c_nationkey").cast("long").as("a_nation"), cents.as("a_cents"),
         col("c_mktsegment").as("a_seg"),
-        substring(col("c_name"), 1, 16).as("blk"))
+        substring(col("c_name"), 1, 17).as("blk"))
       def dirty(off: Long, m1: Int, m2: Int, jmod: Int, jmul: Int) =
         T(s, d, "customer").filter(k % 3 =!= 2).select(
           (k + off).as("b_id"),
@@ -3608,7 +3614,7 @@ object SparkEntry {
             .otherwise(lit(0L))).as("b_cents"),
           when(k % m2 === 0, reverse(col("c_mktsegment")))
             .otherwise(col("c_mktsegment")).as("b_seg"),
-          substring(col("c_name"), 1, 16).as("blk"))
+          substring(col("c_name"), 1, 17).as("blk"))
       def matchesTo(side: DataFrame) =
         LinkageOps.fellegiSunter(aB, side, "blk", _ => Seq(
             LinkageOps.FieldRule("name",
@@ -5903,14 +5909,11 @@ object SparkEntry {
         .select(col("user_id"), col("event_type").as("state"),
           col("ts_us").as("valid_from"),
           coalesce(col("valid_to"), col("__h")).as("valid_to"))
-      // p_uid duplicates the key: rangeJoin's keyed output carries BOTH
-      // sides' user_id (the events_funnel_conv disambiguation pattern)
       val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("user_id").as("p_uid"),
-          col("event_id"), col("ts_us"))
+        .select(col("user_id"), col("event_id"), col("ts_us"))
       JoinOps.rangeJoin(purchases, iv, Seq("user_id"), "ts_us",
           "valid_from", "valid_to", bucketWidth = 3600000000L)
-        .select(col("p_uid").as("user_id"), col("event_id"), col("ts_us"),
+        .select(col("user_id"), col("event_id"), col("ts_us"),
           col("state"), col("valid_from").as("state_since_us"))
         .orderBy("user_id", "event_id")
     }),

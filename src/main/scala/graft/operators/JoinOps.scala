@@ -234,16 +234,27 @@ object JoinOps {
     // tells the RangeJoinBucketing optimizer rule this join is already
     // bucketized (its guard skips conditions referencing __graft_*).
     val lb = left.withColumn("__graft_lbucket", expr(s"CAST($pointCol AS BIGINT) div $bucketWidth"))
-    val rb = right.withColumn(
+    // right-side key columns are RENAMED before the join: when both
+    // frames descend from one scan (events enriched against intervals
+    // built from the same events), lb(c) === rb(c) resolves to the SAME
+    // attribute — the trivially-true-predicate hazard the
+    // streamStreamJoin round-10 fix closed; distinct names make the
+    // equi-join unambiguous by construction. Renamed keys are dropped
+    // from the output (the left side's survive).
+    val rb0 = right.withColumn(
       "__graft_rbucket",
       explode(sequence(
         expr(s"CAST($startCol AS BIGINT) div $bucketWidth"),
         expr(s"CAST($endCol AS BIGINT) div $bucketWidth")))
     )
-    val keyCond = keyCols.map(c => lb(c) === rb(c)).reduceOption(_ && _).getOrElse(lit(true))
-    lb.join(rb, keyCond && lb("__graft_lbucket") === rb("__graft_rbucket") &&
-        col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
-      .drop("__graft_lbucket", "__graft_rbucket")
+    val rb = keyCols.foldLeft(rb0)((df, c) => df.withColumnRenamed(c, s"__graft_rk_$c"))
+    val keyCond = keyCols.map(c => lb(c) === rb(s"__graft_rk_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    keyCols.foldLeft(
+      lb.join(rb, keyCond && lb("__graft_lbucket") === rb("__graft_rbucket") &&
+          col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+        .drop("__graft_lbucket", "__graft_rbucket"))(
+      (df, c) => df.drop(s"__graft_rk_$c"))
   }
 
   /** Interval×interval overlap join — [lS,lE) vs [rS,rE) half-open — with

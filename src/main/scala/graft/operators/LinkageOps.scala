@@ -46,11 +46,17 @@ object LinkageOps {
     val cand = a.join(b, blockCol)
     val rs = rules(cand)
     require(rs.nonEmpty, "fellegiSunter: at least one field rule")
-    val score = rs.map(r => when(r.agree, lit(r.wAgreeBp)).otherwise(lit(r.wDisagreeBp)))
-      .reduce(_ + _)
     val flagged = rs.foldLeft(cand) { (df, r) =>
       df.withColumn(s"agree_${r.name}", r.agree)
     }
+    // the score reads the FLAG columns, not the agree expressions — a
+    // comparator like levenshtein would otherwise be evaluated twice
+    // per pair (once in the score's CASE, once as the flag; Catalyst
+    // does not CSE across the two sites — measured 2× comparator CPU
+    // on the round-10 entity-resolution double-pass)
+    val score = rs.map(r =>
+        when(col(s"agree_${r.name}"), lit(r.wAgreeBp)).otherwise(lit(r.wDisagreeBp)))
+      .reduce(_ + _)
     flagged
       .withColumn("score_bp", score)
       .withColumn("decision",

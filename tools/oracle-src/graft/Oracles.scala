@@ -2751,10 +2751,10 @@ object Oracles {
           |a AS (SELECT c_custkey AS a_id, c_name AS a_name,
           |  CAST(c_nationkey AS BIGINT) AS a_nation,
           |  CAST(CAST(c_acctbal AS DECIMAL(18,2))*100 AS BIGINT) AS a_cents,
-          |  c_mktsegment AS a_seg, substr(c_name, 1, 16) AS blk FROM customer),
+          |  c_mktsegment AS a_seg, substr(c_name, 1, 17) AS blk FROM customer),
           |cp AS (SELECT c_custkey AS k, c_name, CAST(c_nationkey AS BIGINT) AS nation,
           |  CAST(CAST(c_acctbal AS DECIMAL(18,2))*100 AS BIGINT) AS cents,
-          |  c_mktsegment AS seg, substr(c_name, 1, 16) AS blk
+          |  c_mktsegment AS seg, substr(c_name, 1, 17) AS blk
           |  FROM customer WHERE c_custkey % 3 <> 2),
           |b AS (SELECT k + 1000000 AS b_id,
           |  CASE WHEN k % 3 = 0 THEN substr(c_name, 1, 17) || 'x' ELSE c_name END AS b_name,
