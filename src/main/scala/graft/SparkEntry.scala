@@ -5938,6 +5938,51 @@ object SparkEntry {
           expr("1000000L div n_members").as("weight_ppm"))
         .orderBy("doc_id")
     }),
+    "data_profile_drift" -> ((s, d) => {
+      // generation-over-generation profile drift — the ingestion canary
+      // that pairs with row 172's single-table profile: per column,
+      // yesterday-vs-today row counts, exact distincts, and
+      // decimal-exact means, with integer/rounded drift verdicts
+      // (distinct shift > 10% cross-multiplied; mean shift > $1 on
+      // round-6 exact means). Generations stand in as the two
+      // o_orderkey parities; ONE scan, conditional aggregates, in-row
+      // stack.
+      val g = pmod(col("o_orderkey"), lit(2))
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+      def dmean(side: Int, num: Column, n: Column) = round(
+        sum(when(g === side, num).otherwise(lit(null)).cast("decimal(18,0)"))
+          .cast("decimal(38,0)").cast("double") / n / 100.0, 6)
+      val cols = Seq(
+        ("o_totalprice", Some(cents)),
+        ("o_custkey", Some(col("o_custkey").cast("bigint") * 100)),
+        ("o_orderstatus", None),
+        ("o_orderpriority", None))
+      val aggCols: Seq[Column] =
+        Seq(sum(when(g === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(g === 1, 1L).otherwise(0L)).as("n_b")) ++
+          cols.flatMap { case (n, num) =>
+            val src = col(n)
+            Seq(
+              countDistinct(when(g === 0, src)).as(s"nda_$n"),
+              countDistinct(when(g === 1, src)).as(s"ndb_$n")) ++
+              num.toSeq.flatMap(c => Seq(
+                dmean(0, c, sum(when(g === 0, 1L).otherwise(0L))).as(s"ma_$n"),
+                dmean(1, c, sum(when(g === 1, 1L).otherwise(0L))).as(s"mb_$n")))
+          }
+      val agg = T(s, d, "orders").agg(aggCols.head, aggCols.tail: _*)
+      agg.select(expr(
+        "stack(" + cols.size + ", " +
+          cols.map { case (n, num) =>
+            val m = if (num.isDefined) s"ma_$n, mb_$n"
+              else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+            s"'$n', n_a, n_b, nda_$n, ndb_$n, $m"
+          }.mkString(", ") +
+          ") AS (column_name, n_a, n_b, nd_a, nd_b, mean_a, mean_b)"))
+        .withColumn("drift",
+          abs(col("nd_b") - col("nd_a")) * 10L > col("nd_a") ||
+            abs(coalesce(col("mean_b"), lit(0.0)) - coalesce(col("mean_a"), lit(0.0))) > 1.0)
+        .orderBy("column_name")
+    }),
     "q68_offset" -> ((s, d) => {
       // LIMIT/OFFSET pagination conformance (the ANSI page-2 shape —
       // row 179's keyset pagination is the scale-correct alternative;

@@ -454,6 +454,9 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // ORDER BY — the weights themselves are a projection
     "q68_offset" -> 0,        // TakeOrdered absorbs ORDER BY + LIMIT/OFFSET whole —
                               // pagination without a single Exchange
+    "data_profile_drift" -> 2, // ONE scan: the 8-way conditional count-distinct Expand's
+                              // partial/final pair (+ the 4-row stack is a projection);
+                              // a count > 2 means a generation became its own scan
     "dedup_shared_spans" -> 4, // position-bucket agg + per-diagonal agg + the linked-pair
                               // join hash + ORDER BY — the fingerprint selection sort and
                               // winnowDupPairs' own bucket agg sit below their lazy

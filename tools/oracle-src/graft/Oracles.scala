@@ -263,6 +263,43 @@ object Oracles {
            |LEFT JOIN lab ON lab.id = d.doc_id
            |LEFT JOIN sz ON sz.cluster_id = lab.cluster_id
            |ORDER BY d.doc_id""".stripMargin,
+      "data_profile_drift" ->
+        // conditional per-generation stats in one pass; means via the
+        // decimal→VARCHAR→double convention, round 6; verdicts
+        // cross-multiplied / on rounded means
+        """WITH o AS (SELECT *, o_orderkey % 2 AS g,
+          |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          | FROM orders),
+          |a AS (SELECT
+          |  SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+          |  SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+          |  COUNT(DISTINCT CASE WHEN g = 0 THEN o_totalprice END)::BIGINT AS nda_tp,
+          |  COUNT(DISTINCT CASE WHEN g = 1 THEN o_totalprice END)::BIGINT AS ndb_tp,
+          |  ROUND(CAST(CAST(CAST(SUM(CASE WHEN g = 0 THEN cents END) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+          |    / SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) / 100.0, 6) AS ma_tp,
+          |  ROUND(CAST(CAST(CAST(SUM(CASE WHEN g = 1 THEN cents END) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+          |    / SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) / 100.0, 6) AS mb_tp,
+          |  COUNT(DISTINCT CASE WHEN g = 0 THEN o_custkey END)::BIGINT AS nda_ck,
+          |  COUNT(DISTINCT CASE WHEN g = 1 THEN o_custkey END)::BIGINT AS ndb_ck,
+          |  ROUND(CAST(CAST(CAST(SUM(CASE WHEN g = 0 THEN CAST(o_custkey AS BIGINT) * 100 END) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+          |    / SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) / 100.0, 6) AS ma_ck,
+          |  ROUND(CAST(CAST(CAST(SUM(CASE WHEN g = 1 THEN CAST(o_custkey AS BIGINT) * 100 END) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+          |    / SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) / 100.0, 6) AS mb_ck,
+          |  COUNT(DISTINCT CASE WHEN g = 0 THEN o_orderstatus END)::BIGINT AS nda_os,
+          |  COUNT(DISTINCT CASE WHEN g = 1 THEN o_orderstatus END)::BIGINT AS ndb_os,
+          |  COUNT(DISTINCT CASE WHEN g = 0 THEN o_orderpriority END)::BIGINT AS nda_op,
+          |  COUNT(DISTINCT CASE WHEN g = 1 THEN o_orderpriority END)::BIGINT AS ndb_op
+          | FROM o),
+          |st AS (
+          | SELECT 'o_totalprice' AS column_name, n_a, n_b, nda_tp AS nd_a, ndb_tp AS nd_b,
+          |        ma_tp AS mean_a, mb_tp AS mean_b FROM a
+          | UNION ALL SELECT 'o_custkey', n_a, n_b, nda_ck, ndb_ck, ma_ck, mb_ck FROM a
+          | UNION ALL SELECT 'o_orderstatus', n_a, n_b, nda_os, ndb_os, NULL, NULL FROM a
+          | UNION ALL SELECT 'o_orderpriority', n_a, n_b, nda_op, ndb_op, NULL, NULL FROM a)
+          |SELECT column_name, n_a, n_b, nd_a, nd_b, mean_a, mean_b,
+          | (abs(nd_b - nd_a) * 10 > nd_a
+          |  OR abs(COALESCE(mean_b, 0.0) - COALESCE(mean_a, 0.0)) > 1.0) AS drift
+          |FROM st ORDER BY column_name""".stripMargin,
       "q68_offset" ->
         """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
           |FROM orders
