@@ -73,9 +73,26 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.util.SparkStringUtils",
       org.apache.logging.log4j.Level.ERROR)
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.storage.BlockManager",
-      org.apache.logging.log4j.Level.ERROR)
+    // BlockManager keeps WARN (round-10 advisor: demoting the whole
+    // logger would also hide real storage-layer degradation — failed
+    // replication, memory pressure, disk fallback — under the published
+    // timings); only the specific benign replay notice is DENY-filtered.
+    try {
+      val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+        .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+      val cfg = ctx.getConfiguration
+      val f = org.apache.logging.log4j.core.filter.RegexFilter.createFilter(
+        ".*already exists on this machine; not re-adding it.*", null, java.lang.Boolean.FALSE,
+        org.apache.logging.log4j.core.Filter.Result.DENY,
+        org.apache.logging.log4j.core.Filter.Result.NEUTRAL)
+      val lc = new org.apache.logging.log4j.core.config.LoggerConfig(
+        "org.apache.spark.storage.BlockManager", org.apache.logging.log4j.Level.WARN, true)
+      lc.addFilter(f)
+      cfg.addLogger("org.apache.spark.storage.BlockManager", lc)
+      ctx.updateLoggers()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BlockManager log filter not installed: ${e.getMessage}")
+    }
 
     def runOnce(name: String): Double = {
       spark.catalog.clearCache()

@@ -657,19 +657,25 @@ object ScaleProbe {
         def runOf(g: Column) = concat_ws(" ",
           transform(sequence(lit(1), lit(7)),
             j => concat(lit("r"), g.cast("string"), lit("x"), j.cast("string"))))
-        val tail16 = concat_ws(" ",
+        // per-side unique filler: the batch tail MUST derive from the
+        // OFFSET id (the incremental_probe +2e9 disjoint-seed
+        // convention) — a shared pre-offset seed would give every delta
+        // doc a 16-token run matching its base twin, turning every row
+        // into a true index hit instead of only the designed half
+        def tail16(idExpr: Column) = concat_ws(" ",
           transform(sequence(lit(1), lit(16)),
-            i => concat(lit("u"), (col("id") * 16 + i).cast("string"))))
+            i => concat(lit("u"), (idExpr * 16 + i).cast("string"))))
         val nGroups = math.max(1L, rows / 200)
         val base = synth(rows).select(col("id"),
           when(pmod(col("id"), lit(10)) === 0,
-            concat(runOf(expr("id div 200")), lit(" "), tail16))
-            .otherwise(tail16).as("text"))
+            concat(runOf(expr("id div 200")), lit(" "), tail16(col("id"))))
+            .otherwise(tail16(col("id"))).as("text"))
+        val batchTail = tail16(col("id") + 3000000000L)
         val batch = synth(rows / 20).select(
           (col("id") + 3000000000L).as("id"),
           when(pmod(col("id"), lit(2)) === 0,
-            concat(runOf(pmod(col("id") * 7, lit(nGroups))), lit(" "), tail16))
-            .otherwise(tail16).as("text"))
+            concat(runOf(pmod(col("id") * 7, lit(nGroups))), lit(" "), batchTail))
+            .otherwise(batchTail).as("text"))
         val nBuckets = math.max(8, (rows / 125000).toInt)
         val tbl = graft.operators.IncrementalDedupOps.buildWinnowIndex(
           base, "text", "id", "probe_winc_idx", numBuckets = nBuckets)

@@ -6103,6 +6103,17 @@ object SparkEntry {
         .limit(60)
         .select("doc_id", "weight", "key")
         .orderBy("doc_id")
+    }),
+    "_gate_meta" -> ((s, d) => {
+      // gate sentinel (round-10 verdict item 8): one deterministic row
+      // (engine version, total query count) dumped by Verify like any
+      // query and trivially oracled — an empty driver artifact is now
+      // distinguishable from a truncated or complete one at a glance.
+      // Sorts FIRST ('_' < lowercase), so even a truncated alphabetical
+      // compare carries it. queries is a def; .size here re-materializes
+      // the closure map once at run time (cheap, no recursion).
+      import s.implicits._
+      Seq(("graft-0.1.0", queries.size.toLong)).toDF("engine", "n_queries")
     })
   )
 

@@ -845,12 +845,12 @@ object SimilarityOps {
           lit(1.0) - round(cosine(col("vec"), typedLit(c)), 6)
         }
         .reduce((a, b) => least(a, b))
-      val pick = v.select(col("id"), minDist.as("d"))
+      // one 1-row TakeOrdered job per round: the argmax row carries its
+      // own vector, so no second lookup scan is needed
+      val pick = v.select(col("id"), col("vec"), minDist.as("d"))
         .orderBy(col("d").desc, col("id").asc)
         .limit(1).collect()(0)
-      val pv = v.filter(col("id") === pick.getLong(0)).select("vec")
-        .collect()(0).getSeq[Double](0)
-      centers = centers :+ ((pick.getLong(0), pv, pick.getDouble(1)))
+      centers = centers :+ ((pick.getLong(0), pick.getSeq[Double](1), pick.getDouble(2)))
     }
     import sp.implicits._
     centers.zipWithIndex
@@ -892,10 +892,16 @@ object SimilarityOps {
     * scale probe can pin the shuffle-bearing machinery under its own
     * (constant-width) cell assignment. Input: (id, cell, cent_sim, unit)
     * rows; output: the survivors (id, cell, cent_sim). */
-  private[graft] def pruneCells(cells: DataFrame, tau: Double): DataFrame =
-    cells
-      .join(cellDrops(cells, tau), Seq("id"), "left_anti")
+  private[graft] def pruneCells(cells: DataFrame, tau: Double): DataFrame = {
+    // lazy localCheckpoint so the corpus-wide unit-vector assignment
+    // executes ONCE: cellDrops' eager oversized-cell detection, the
+    // anti-join's left side, and the pair generation all read the same
+    // materialized blocks (the probe path checkpoints `rem` for exactly
+    // this fan-out; the batch entry point was the one missing it)
+    val c = cells.localCheckpoint(eager = false)
+    c.join(cellDrops(c, tau), Seq("id"), "left_anti")
       .select(col("id"), col("cell"), col("cent_sim"))
+  }
 
   /** The DROPPED ids of [[pruneCells]] — exposed separately because the
     * incremental probe must label each delta row's fate, not just keep

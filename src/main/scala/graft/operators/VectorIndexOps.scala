@@ -180,7 +180,11 @@ object VectorIndexOps {
   ): SemDedupIndex = {
     val spark = corpus.sparkSession
     val cents = SimilarityOps.trainCentroids(corpus, idCol, vecCol, nCells, iters)
+    // lazy localCheckpoint: detection count + anti-join left + pair gen
+    // all read one materialization of the assignment scan (pruneCells'
+    // fan-out note applies identically here)
     val cells = SimilarityOps.semanticCellsFrozen(corpus, idCol, vecCol, cents)
+      .localCheckpoint(eager = false)
     val survivors = cells
       .join(SimilarityOps.cellDrops(cells, tau), Seq("id"), "left_anti")
       .select("id", "cell", "cent_sim", "unit")
@@ -191,6 +195,31 @@ object VectorIndexOps {
       .toDF("cell", "centroid")
     BucketOps.dropTable(spark, s"${prefix}_centroids")
     centDf.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(s"${prefix}_centroids")
+    // build-time contract persisted WITH the index: a later probe that
+    // reconstructs the index from per-run params could silently prune at
+    // a different τ than the bootstrap — (tau, n_cells) travel with the
+    // tables and [[semDedupIndexOf]] fails loudly on any mismatch
+    BucketOps.dropTable(spark, s"${prefix}_meta")
+    Seq((nCells, tau)).toDF("n_cells", "tau")
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(s"${prefix}_meta")
+    SemDedupIndex(s"${prefix}_cells", s"${prefix}_centroids", nCells, tau)
+  }
+
+  /** Reconstruct a persisted SemDeDup index from its own metadata — the
+    * ann-path `indexOf` convention applied here: nothing about the index
+    * geometry comes from per-run parameters. Fails loudly on a pre-meta
+    * index (re-bootstrap it) or a meta/centroids row-count disagreement. */
+  def semDedupIndexOf(spark: SparkSession, prefix: String): SemDedupIndex = {
+    require(spark.catalog.tableExists(s"${prefix}_meta"),
+      s"semantic index '$prefix' has no ${prefix}_meta table — " +
+        "re-bootstrap the index (its build-time tau/cells are unknown)")
+    val row = spark.table(s"${prefix}_meta").head()
+    val nCells = row.getAs[Int]("n_cells")
+    val tau = row.getAs[Double]("tau")
+    val centroidRows = spark.table(s"${prefix}_centroids").count().toInt
+    require(centroidRows == nCells,
+      s"semantic index '$prefix' corrupt: meta n_cells=$nCells but " +
+        s"${prefix}_centroids has $centroidRows rows")
     SemDedupIndex(s"${prefix}_cells", s"${prefix}_centroids", nCells, tau)
   }
 

@@ -233,8 +233,15 @@ object Pipeline {
                     prefix, nCells, buckets, tau)
                   spark.table(idx.cellsTable).select(F.col("id").as("__keep_id"))
                 } else {
-                  val idx = V.SemDedupIndex(
-                    s"${prefix}_cells", s"${prefix}_centroids", nCells, tau)
+                  // the probe's geometry comes from the PERSISTED index,
+                  // never per-run defaults (a run omitting tau must not
+                  // silently prune at 0.99 against a τ=0.9 bootstrap);
+                  // explicit URI params must agree or fail loudly
+                  val idx = V.semDedupIndexOf(spark, prefix)
+                  p.get("tau").foreach(t => require(t.toDouble == idx.tau,
+                    s"dedup semantic: URI tau=$t conflicts with index '$prefix' built at tau=${idx.tau}"))
+                  p.get("cells").foreach(c => require(c.toInt == idx.nCells,
+                    s"dedup semantic: URI cells=$c conflicts with index '$prefix' built at cells=${idx.nCells}"))
                   V.probeSemDedupIndex(vecs, "__v_id", "__v_vec", idx, update, buckets)
                     .filter(F.col("verdict") === "survived")
                     .select(F.col("id").as("__keep_id"))

@@ -311,13 +311,13 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // shuffle join + moment agg + ORDER BY; x-ranks and all
                               // band offsets ride broadcast — every shuffle is value-
                               // table-sized except the one row-level (g,y) join
-    "dedup_semantic" -> 7,    // 3× TP (union branches re-instantiated under column
-                              // pruning: a/b pair sides + anti-left) + anti-join id
-                              // hash ×2 (the LeftAnti distributes over the input union)
-                              // + dropped-distinct agg + ORDER BY; the within-cell pair
-                              // join itself broadcasts the b side at testdata scale (at
-                              // corpus scale it is ONE shuffle on cell — see the
-                              // semantic_prune scale probe)
+    "dedup_semantic" -> 3,    // the round-11 pruneCells lazy localCheckpoint: the
+                              // assignment scan materializes ONCE and the pair sides /
+                              // anti-left all read its blocks (was 7 with 3× TP
+                              // re-instantiation) — anti-join id hash + dropped-distinct
+                              // agg + ORDER BY remain; the within-cell pair join itself
+                              // broadcasts the b side at testdata scale (at corpus scale
+                              // it is ONE shuffle on cell — see the semantic_prune probe)
     "data_linkage" -> 2,      // TP spread (the one-file customer scan would otherwise
                               // run all candidate comparators in ONE task — the round-9
                               // 15 s fix) + final ORDER BY; blocked candidates ride a

@@ -109,19 +109,32 @@ object Oracles {
     def normExpr(side: String) =
       s"sqrt(list_reduce(list_transform($side.vec, x -> x*x), (x,y) -> x+y))"
 
-    // k-center replay: 8 unrolled argmax-min-distance stages (the
-    // bpeStages convention), each a 1-row CTE (id, v, r) with distance
-    // 1 − round(raw-vector cosine, 6) to every earlier center
+    // k-center replay: 8 unrolled argmax-min-distance stages as a
+    // RUNNING min-distance chain — each center is a MATERIALIZED 1-row
+    // CTE carrying its precomputed norm, each m$t folds the new
+    // center's distance into the running LEAST with ONE linear pass
+    // (center referenced as a CROSS JOIN column, never a correlated
+    // scalar subquery re-evaluated per list element). min is
+    // associative, so the fold is value-identical to LEAST over all
+    // earlier centers; distance stays 1 − round(raw-vector cosine, 6).
     val kcStages: String = {
-      def normOf(e: String) =
-        s"sqrt(list_reduce(list_transform($e, x -> x*x), (x,y) -> x+y))"
-      def dist(cRef: String) =
-        s"(1 - ROUND(list_reduce(list_transform(list_zip(b.vec, (SELECT v FROM $cRef)), p -> p[1]*p[2]), (x,y) -> x+y)" +
-          s" / (${normOf("b.vec")} * ${normOf(s"(SELECT v FROM $cRef)")}), 6))"
-      val first = "c1 AS (SELECT id, vec AS v, 0.0 AS r FROM base ORDER BY id LIMIT 1)"
+      def dot(a: String, b: String) =
+        s"list_reduce(list_transform(list_zip($a, $b), p -> p[1]*p[2]), (x,y) -> x+y)"
+      val first =
+        s"""c1 AS MATERIALIZED (SELECT id, vec AS v, nrm AS cn, 0.0 AS r FROM base ORDER BY id LIMIT 1),
+           |m1 AS MATERIALIZED (SELECT b.id, b.vec, b.nrm,
+           |  (1 - ROUND(${dot("b.vec", "c.v")} / (b.nrm * c.cn), 6)) AS md
+           | FROM base b CROSS JOIN c1 c)""".stripMargin
       val rest = (2 to 8).map { t =>
-        val minDist = (1 until t).map(i => dist(s"c$i")).mkString("LEAST(", ", ", ")")
-        s"c$t AS (SELECT b.id, b.vec AS v, $minDist AS r FROM base b ORDER BY r DESC, b.id LIMIT 1)"
+        val p = t - 1
+        val pick =
+          s"c$t AS MATERIALIZED (SELECT id, vec AS v, nrm AS cn, md AS r FROM m$p ORDER BY md DESC, id LIMIT 1)"
+        if (t == 8) pick
+        else
+          s"""$pick,
+             |m$t AS MATERIALIZED (SELECT m.id, m.vec, m.nrm,
+             |  LEAST(m.md, 1 - ROUND(${dot("m.vec", "c.v")} / (m.nrm * c.cn), 6)) AS md
+             | FROM m$p m CROSS JOIN c$t c)""".stripMargin
       }
       (first +: rest).mkString(",\n")
     }
@@ -173,7 +186,9 @@ object Oracles {
            |SELECT train_id, eval_id, cosine FROM hits WHERE rk = 1
            |ORDER BY train_id""".stripMargin,
       "data_kcenter" ->
-        s"""WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        s"""WITH base AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+           |  sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x), (x,y) -> x+y)) AS nrm
+           | FROM embeddings),
            |$kcStages
            |SELECT * FROM (
            |  SELECT CAST(1 AS INT) AS step, (SELECT id FROM c1) AS center_id, ROUND((SELECT r FROM c1), 6) AS radius
@@ -4052,6 +4067,10 @@ object Oracles {
       ("dedup_prefix_filter" -> m("dedup_ngram_jaccard")) +
       // incremental label maintenance must EQUAL from-scratch clustering
       // of the full corpus — sharing the oracle IS the claim
-      ("dedup_clusters_incr" -> m("dedup_clusters"))
+      ("dedup_clusters_incr" -> m("dedup_clusters")) +
+      // gate sentinel (round-10 verdict item 8): both sides count the
+      // SAME def queries map, so the literal stays mechanical
+      ("_gate_meta" ->
+        s"SELECT 'graft-0.1.0' AS engine, CAST(${SparkEntry.queries.size} AS BIGINT) AS n_queries")
   }
 }
