@@ -6104,6 +6104,70 @@ object SparkEntry {
         .select("doc_id", "weight", "key")
         .orderBy("doc_id")
     }),
+    "vec_silhouette" -> ((s, d) =>
+      // simplified-silhouette cell-quality audit (O(n·k) centroid
+      // silhouette): k=8 deterministic centroids (the kmeansStep
+      // smallest-id convention), round-6 squared-euclidean two-min fold
+      // per vector, per-cell decimal-exact mean of round-6 s values.
+      // The audit behind SemDeDup/IVF cell sizing — mean s ≈ 0 says the
+      // cells don't separate. Pure broadcast projection + one groupBy.
+      ClusterOps.silhouetteReport(TP(s, d, "embeddings"), "vec_id", "embedding", k = 8)),
+    "text_c4_rules" -> ((s, d) =>
+      // C4 cleanliness battery (Raffel et al. 2020 §2.2 doc-level):
+      // terminal punctuation / sentence count / word count / lorem
+      // ipsum / '{' / policy boilerplate, one scan, integer-exact ppm
+      CorpusOps.c4Report(TP(s, d, "documents"), "text")),
+    "dedup_bbit_minhash" -> ((s, d) =>
+      // b-bit MinHash estimation audit (Li & König 2010, b=1, m=32):
+      // Ĵ = 2·agree/m − 1 from 1-bit md5-minhash signatures vs the
+      // exact Jaccard on the SAME verified dup pairs (threshold-0.7
+      // band candidates) — the 64×-signature-compression trade
+      // quantified per pair. Signatures only for pair members.
+      DedupOps.bbitMinhashEval(TP(s, d, "documents"), "text", "doc_id")),
+    "q69_agg_filter" -> ((s, d) => {
+      // ANSI aggregate FILTER clause conformance (the SQL:2003 syntax
+      // both engines parse natively — the CASE-in-agg q12 row pins the
+      // rewrite; this row pins the literal syntax): per return flag,
+      // selective counts/sums under independent predicates, one scan.
+      T(s, d, "lineitem").createOrReplaceTempView("r11_li_filter")
+      s.sql("""
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+               SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                 FILTER (WHERE l_discount > 0.05) AS qty_discounted,
+               COUNT(DISTINCT l_suppkey) FILTER (WHERE l_tax = 0) AS n_notax_supp
+        FROM r11_li_filter
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """)
+    }),
+    "ann_ivfpq_index" -> ((s, d) => {
+      // the PERSISTED IVF-PQ index (row 293's query-side operator as
+      // catalog tables — FAISS IndexIVFPQ): build lands coded cells +
+      // centroids + a one-row codebook table; probe ADC-prunes over
+      // the (neighbor_id, cell, codes) columns of the probed cells
+      // only, then exact-reranks the surviving candidates. Same
+      // parameters and recall bar as ann_ivfpq; probe ≡ the in-query
+      // ivfPqRerankTopK is spec-pinned in Round11OpsSpec.
+      val vecs = TP(s, d, "embeddings")
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+      val n = vecs.count()
+      val idx = VectorIndexOps.buildIvfPqIndex(vecs, "vec_id", "vec",
+        "graft_ivfpq_idx", nCells = 8, numBuckets = 4, subspaces = 16, codes = 16)
+      val queries = vecs.filter(col("vec_id") < 8)
+      val k = 5
+      val bf = SimilarityOps.bruteForceTopK(vecs, queries, "vec_id", "vec", k)
+        .select("query_id", "neighbor_id")
+      val got = VectorIndexOps.probeIvfPq(s, queries, "vec_id", "vec", idx, k,
+          nProbe = 5, nCandidates = math.max(64, (n / 4).toInt))
+        .select("query_id", "neighbor_id")
+      bf.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(
+          lit(8L).as("n_queries"),
+          (col("hits").cast("double") / (8 * k) >= 0.6).as("recall_ok"))
+    }),
     "_gate_meta" -> ((s, d) => {
       // gate sentinel (round-10 verdict item 8): one deterministic row
       // (engine version, total query count) dumped by Verify like any

@@ -100,6 +100,58 @@ object ClusterOps {
       .orderBy("cluster_id")
   }
 
+  /** Simplified-silhouette clustering-quality audit: the O(n·k)
+    * centroid-silhouette (a = squared distance to the OWN centroid,
+    * b = min squared distance to any OTHER centroid,
+    * s = (b−a)/max(a,b), 0 when both are 0) — the corpus-scale stand-in
+    * for Rousseeuw's O(n²) silhouette, and the audit that tells a
+    * SemDeDup/IVF operator whether its cells actually separate (mean s
+    * near 0 or negative ⇒ k is wrong or the space is degenerate).
+    *
+    * Centroids follow [[kmeansStep]]'s deterministic convention (the k
+    * smallest-id vectors as a broadcast 1-row literal array); distances
+    * are round-6 squared euclidean and the per-vector s is rounded to 6
+    * before the decimal-exact mean, so every comparison replays
+    * cross-engine. One broadcast cross join + one groupBy — a pure
+    * map-side projection over the corpus, zero pair work. Returns
+    * (cluster_id, n_members, mean_silhouette).
+    */
+  def silhouetteReport(embeddings: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val v = embeddings.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+    val cents = v.orderBy("vec_id").limit(k)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"))).as("cents"))
+    // two-min fold over the broadcast centroid array — order-independent
+    // despite collect_list's nondeterministic order: (d1, c1) is the
+    // lexicographic min over (dist, cid) and d2 the min of the remaining
+    // distance multiset, both order-free. Invariant d1 ≤ d2 throughout.
+    val best = aggregate(
+      col("cents"),
+      struct(lit(Double.MaxValue).as("d1"), lit(Long.MaxValue).as("c1"),
+        lit(Double.MaxValue).as("d2")),
+      (acc, c) => {
+        val d = round(
+          aggregate(zip_with(col("v"), c.getField("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (s, e) => s + e),
+          6)
+        when(d < acc.getField("d1") ||
+          (d === acc.getField("d1") && c.getField("cid") < acc.getField("c1")),
+          struct(d.as("d1"), c.getField("cid").as("c1"), acc.getField("d1").as("d2")))
+          .otherwise(struct(acc.getField("d1").as("d1"), acc.getField("c1").as("c1"),
+            least(acc.getField("d2"), d).as("d2")))
+      })
+    v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), best.as("b"))
+      .select(col("b.c1").as("cluster_id"),
+        when(greatest(col("b.d1"), col("b.d2")) === 0d, lit(0d))
+          .otherwise(round((col("b.d2") - col("b.d1")) /
+            greatest(col("b.d1"), col("b.d2")), 6)).as("s"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("s").cast("decimal(18,6)")).cast("decimal(38,6)").cast("double")
+          / count(lit(1)), 6).as("mean_silhouette"))
+      .orderBy("cluster_id")
+  }
+
   /** Cluster-size histogram of a near-dup component frame
     * ((id, cluster_id) rows from [[GraphOps.connectedComponents]]):
     * (cluster_size, n_clusters), INCLUDING the size-1 row for documents

@@ -736,4 +736,73 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** b-bit MinHash estimation audit (Li & König WWW'10, b = 1): how well
+    * does keeping only the LOWEST BIT of each of `m` MinHash values — a
+    * 64×-compressed signature, the storage trick that makes
+    * billion-doc signature tables fit — estimate Jaccard on real dup
+    * pairs? For b=1 the estimator is Ĵ = 2·(agree/m) − 1 (E[agree] =
+    * (1+J)/2 as the universe grows). Pairs come from the standard
+    * recall-complete band candidates + exact verify
+    * ([[minhashDupPairs]]); the audited signatures are md5-derived
+    * (hash_i = md5(i ":" shingle), min over the doc's shingles) so the
+    * DuckDB twin replays every bit. Returns per pair
+    * (a_id, b_id, n_agree, est_jaccard, exact_jaccard, abs_err) —
+    * est_jaccard = (2·n_agree − m)/m is exact in binary for m a power
+    * of two, so only the jaccard ratio is rounded.
+    *
+    * Scale: signatures are computed ONLY for docs that appear in a
+    * verified pair (semi-join first); the explode is |pair docs| ×
+    * shingles × m, partial-aggregated to (id, i) minima — the corpus
+    * itself is touched once by the candidate pass.
+    */
+  def bbitMinhashEval(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.7,
+      shingleSize: Int = 2,
+      numBands: Int = 32,
+      rowsPerBand: Int = 3,
+      m: Int = 32
+  ): DataFrame = {
+    val pairs = minhashDupPairs(docs, textCol, idCol, threshold, shingleSize,
+        numBands, rowsPerBand)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint(eager = false) // feeds the id set + both final joins
+    val ids = pairs.select(col("a_id").as("id"))
+      .unionByName(pairs.select(col("b_id").as("id"))).distinct()
+    val sh = docs.join(ids, docs(idCol) === ids("id"), "left_semi")
+      .select(col(idCol).as("id"),
+        shinglesFromTokens(tokens(col(textCol)), shingleSize).as("gs"))
+      .localCheckpoint(eager = false) // feeds bit sigs AND exact-jaccard sets
+    val bits = sh.select(col("id"), explode(col("gs")).as("g"))
+      .select(col("id"), col("g"), explode(sequence(lit(0), lit(m - 1))).as("i"))
+      .select(col("id"), col("i"),
+        conv(substring(md5(concat(col("i").cast("string"), lit(":"), col("g"))), 1, 15),
+          16, 10).cast("long").as("hv"))
+      .groupBy("id", "i")
+      .agg(min("hv").as("mh"))
+      .select(col("id"), col("i"), pmod(col("mh"), lit(2L)).cast("int").as("bit"))
+      .groupBy("id")
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("bit")))),
+        e => e.getField("bit")).as("bits"))
+    val sets = sh.select(col("id"), array_distinct(col("gs")).as("s"))
+    pairs
+      .join(bits.select(col("id").as("a_id"), col("bits").as("a_bits")), Seq("a_id"))
+      .join(bits.select(col("id").as("b_id"), col("bits").as("b_bits")), Seq("b_id"))
+      .join(sets.select(col("id").as("a_id"), col("s").as("a_s")), Seq("a_id"))
+      .join(sets.select(col("id").as("b_id"), col("s").as("b_s")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        aggregate(zip_with(col("a_bits"), col("b_bits"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (s, e) => s + e).as("n_agree"),
+        round(size(array_intersect(col("a_s"), col("b_s"))).cast("double")
+          / size(array_union(col("a_s"), col("b_s"))), 6).as("exact_jaccard"))
+      .withColumn("est_jaccard",
+        (col("n_agree") * 2 - m).cast("double") / lit(m.toDouble))
+      .withColumn("abs_err", round(abs(col("est_jaccard") - col("exact_jaccard")), 6))
+      .select("a_id", "b_id", "n_agree", "est_jaccard", "exact_jaccard", "abs_err")
+      .orderBy("a_id", "b_id")
+  }
 }

@@ -251,4 +251,61 @@ object IncrementalDedupOps {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** STREAMING winnowing-index dedup + maintenance — the daily-delta
+    * posture of [[buildWinnowIndex]]/[[probeWinnowIndex]] run as a
+    * `foreachBatch` sink (the IVF-maintenance and CDC-apply exactly-once
+    * precedents composed). Each micro-batch:
+    *   1. probes the persisted fingerprint index — batch docs sharing
+    *      ≥ `minShared` selected hashes with an indexed doc drop
+    *      (index wins, the incremental contract);
+    *   2. self-dedups the remainder (within-batch shared-passage pairs →
+    *      keep-min-id components);
+    *   3. lands survivor ROWS in the batch-keyed exactly-once parquet
+    *      layout (`__batch_id=<n>` dynamic-partition overwrite —
+    *      idempotent per batch);
+    *   4. folds survivors' fingerprints into the index under the SAME
+    *      bucket spec (appendBucketed rejects a mismatch loudly), so the
+    *      next batch's probe still plans Exchange-free on the index side.
+    *
+    * Replayed batch ids are complete no-ops (commit marker written after
+    * all writes). The crash window between the fingerprint append and
+    * the marker can leave duplicate (fp_hash, id) rows on a replay; that
+    * only INFLATES later probes' n_shared — over-dropping near-dup
+    * candidates, never letting one through — and the batch-keyed
+    * survivor write stays idempotent regardless (the IVF sink's
+    * at-least-once note, with the failure direction made explicit).
+    * Stream-maintained index ≡ the batch [[appendToWinnowIndex]] chain
+    * over the same deltas — pinned in StreamingSpec.
+    */
+  def winnowIndexDedupSink(
+      fpsTable: String,
+      textCol: String,
+      idCol: String,
+      numBuckets: Int,
+      outDir: String,
+      commitDir: String,
+      minShared: Int = 2,
+      k: Int = 4,
+      w: Int = 4
+  ): (DataFrame, Long) => Unit =
+    graft.streaming.StreamOps.idempotentForeachBatch(commitDir, { (batch, batchId) =>
+      // eager checkpoint: the micro-batch frame feeds the probe, the
+      // self-dedup pair gen, the survivor write AND the index append —
+      // and the append must not evaluate a plan that still reads the
+      // table being appended to (writeBucketed deadlock contract)
+      val stable = batch.localCheckpoint()
+      val dropIdx = probeWinnowIndex(stable, textCol, idCol, fpsTable, minShared, k, w)
+        .select(col("batch_id").as("__drop_id")).distinct()
+      val clean = stable.join(dropIdx, stable(idCol) === col("__drop_id"), "left_anti")
+      val pairs = DedupOps.winnowDupPairs(clean, textCol, idCol, k, w, minShared)
+        .select(col("a_id"), col("b_id"))
+      val kept = DedupOps.applyPairDedup(clean, idCol, pairs).localCheckpoint()
+      kept.withColumn("__batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(outDir)
+      appendToWinnowIndex(kept, textCol, idCol, fpsTable, numBuckets, k, w)
+    })
 }

@@ -155,6 +155,174 @@ object VectorIndexOps {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  // ----- persisted IVF-PQ — the FAISS production layout as catalog tables -----
+
+  final case class IvfPqIndex(
+      cellsTable: String, centroidsTable: String, codebookTable: String,
+      nCells: Int, subspaces: Int, codes: Int)
+
+  /** Persist a FULL IVF-PQ index ([[SimilarityOps.ivfPqRerankTopK]]'s
+    * layout as catalog tables — FAISS's IndexIVFPQ): coarse centroids
+    * choose WHICH slice a probe reads, residual-PQ codes prune WITHIN
+    * the probed cells by ADC, full-precision units are fetched only for
+    * surviving candidates. Three tables:
+    *  - `<prefix>_cells` (neighbor_id, unit, cell, codes) — bucketBy(cell);
+    *    the ADC stage reads only (neighbor_id, cell, codes) — parquet
+    *    column pruning makes that scan bytes-per-vector ≈ the code size,
+    *    which is the entire point of PQ at 100 TB;
+    *  - `<prefix>_centroids` (cell, centroid) — the IVF readback;
+    *  - `<prefix>_codebook` (subspaces, n_codes, cb) — ONE row holding
+    *    the flattened residual codebook + its geometry, so a probe
+    *    reconstructs the index contract from the tables alone (the
+    *    `_meta` posture — per-run params can never silently diverge).
+    * Residuals (unit − centroid) quantize finer than raw vectors at the
+    * same code budget, and within one cell ‖q−c‖² = ‖r_q−r_c‖², so
+    * residual-ADC ranks exactly what raw-ADC would. */
+  def buildIvfPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      prefix: String,
+      nCells: Int,
+      numBuckets: Int,
+      subspaces: Int = 16,
+      codes: Int = 16,
+      iters: Int = 4
+  ): IvfPqIndex = {
+    val spark = corpus.sparkSession
+    val cents = SimilarityOps.trainCentroids(corpus, idCol, vecCol, nCells, iters)
+    val centArr = typedLit(cents.map(_.toIndexedSeq).toIndexedSeq)
+    // lazy checkpoint: the codebook sample AND the coded write both read
+    // one materialization of the assignment+residual projection
+    val cu = SimilarityOps.unitVectors(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("unit"))
+      .withColumn("cell", SimilarityOps.assignCell(col("unit"), cents).cast("int"))
+      .withColumn("resid",
+        zip_with(col("unit"), element_at(centArr, col("cell") + 1), (x, y) => x - y))
+      .localCheckpoint(eager = false)
+    val sample = cu.orderBy(xxhash64(col("neighbor_id"), lit(7))).limit(codes)
+      .select("resid").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length == codes, s"corpus smaller than $codes codebook rows")
+    val dim = sample.head.length
+    require(dim % subspaces == 0, s"dim $dim must divide into $subspaces subspaces")
+    val sub = dim / subspaces
+    val cbFlat = (for (j <- 0 until subspaces; c <- 0 until codes; kk <- 0 until sub)
+      yield sample(c)(j * sub + kk)).toArray
+    val coded = cu.select(col("neighbor_id"), col("unit"), col("cell"),
+      graft.functions.PqFunctions.pqCodes(col("resid"), cbFlat, subspaces, codes).as("codes"))
+    BucketOps.writeBucketed(coded, s"${prefix}_cells", numBuckets, Seq("cell"),
+      sortKeys = Seq("cell"))
+    import spark.implicits._
+    val centDf = cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+    BucketOps.dropTable(spark, s"${prefix}_centroids")
+    centDf.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(s"${prefix}_centroids")
+    BucketOps.dropTable(spark, s"${prefix}_codebook")
+    Seq((subspaces, codes, cbFlat.toSeq)).toDF("subspaces", "n_codes", "cb")
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(s"${prefix}_codebook")
+    IvfPqIndex(s"${prefix}_cells", s"${prefix}_centroids", s"${prefix}_codebook",
+      nCells, subspaces, codes)
+  }
+
+  /** Reconstruct a persisted IVF-PQ index from its own tables — nothing
+    * about the geometry comes from per-run parameters. */
+  def ivfPqIndexOf(spark: SparkSession, prefix: String): IvfPqIndex = {
+    require(spark.catalog.tableExists(s"${prefix}_codebook"),
+      s"ivfpq index '$prefix' has no ${prefix}_codebook table")
+    val row = spark.table(s"${prefix}_codebook").head()
+    val nCells = spark.table(s"${prefix}_centroids").count().toInt
+    IvfPqIndex(s"${prefix}_cells", s"${prefix}_centroids", s"${prefix}_codebook",
+      nCells, row.getAs[Int]("subspaces"), row.getAs[Int]("n_codes"))
+  }
+
+  private def readCodebook(spark: SparkSession, index: IvfPqIndex): Array[Double] =
+    spark.table(index.codebookTable).head().getAs[Seq[Double]]("cb").toArray
+
+  /** Append a new vector generation under the index's FROZEN centroids
+    * AND frozen codebook (the FAISS add-after-train contract — probe
+    * results stay a pure function of the persisted tables; retrain via
+    * [[buildIvfPqIndex]]'s staged swap when recall degrades). */
+  def appendToIvfPqIndex(
+      newVectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: IvfPqIndex,
+      numBuckets: Int
+  ): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = readCentroidsTable(spark, index.centroidsTable)
+    val cb = readCodebook(spark, index)
+    val centArr = typedLit(cents.map(_.toIndexedSeq).toIndexedSeq)
+    val coded = SimilarityOps.unitVectors(newVectors, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("unit"))
+      .withColumn("cell", SimilarityOps.assignCell(col("unit"), cents).cast("int"))
+      .withColumn("resid",
+        zip_with(col("unit"), element_at(centArr, col("cell") + 1), (x, y) => x - y))
+      .select(col("neighbor_id"), col("unit"), col("cell"),
+        graft.functions.PqFunctions.pqCodes(col("resid"), cb, index.subspaces, index.codes)
+          .as("codes"))
+    BucketOps.appendBucketed(coded, index.cellsTable, numBuckets, Seq("cell"),
+      sortKeys = Seq("cell"))
+  }
+
+  /** Probe the persisted IVF-PQ index: nProbe nearest cells per query,
+    * stage-1 ADC over ONLY the (neighbor_id, cell, codes) columns of the
+    * probed cells (column-pruned, bucket-pruned scan) → top `nCandidates`
+    * per query, stage-2 exact rerank fetching full-precision units for
+    * the candidates alone (second bucket-pruned scan + hash join — the
+    * Spark analogue of FAISS's full-precision refine lookup). Scoring
+    * contract identical to [[probeIvf]]: round-6 cosine, id tie-break.
+    * Same math as [[SimilarityOps.ivfPqRerankTopK]] — spec-pinned equal
+    * on the same corpus/params. */
+  def probeIvfPq(
+      spark: SparkSession,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: IvfPqIndex,
+      k: Int,
+      nProbe: Int,
+      nCandidates: Int,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val cents = readCentroidsTable(spark, index.centroidsTable)
+    val cb = readCodebook(spark, index)
+    val centArr = typedLit(cents.map(_.toIndexedSeq).toIndexedSeq)
+    val q = SimilarityOps.unitVectors(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("unit").as("q_vec"))
+      .withColumn("cell", explode(SimilarityOps.probeCells(col("q_vec"), cents, nProbe)))
+      .withColumn("q_resid",
+        zip_with(col("q_vec"), element_at(centArr, col("cell") + 1), (x, y) => x - y))
+    val probedCells = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val cand = spark.table(index.cellsTable)
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+      .select("neighbor_id", "cell", "codes") // unit pruned out of this scan
+      .join(broadcast(q.select("query_id", "cell", "q_resid")), Seq("cell"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("adc", graft.functions.PqFunctions.pqAdc(
+        col("q_resid"), col("codes"), cb, index.subspaces, index.codes))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))))
+      .filter(col("__rk") <= nCandidates)
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id") // ivfPqRerankTopK parity
+    val units = spark.table(index.cellsTable)
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+      .select(col("neighbor_id"), col("unit"))
+    val qv = q.select("query_id", "q_vec").dropDuplicates("query_id")
+    val dotQ = aggregate(zip_with(col("q_vec"), col("unit"), (a, b) => a * b),
+      lit(0.0), (s, e) => s + e)
+    val scored = cand
+      .join(units, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), round(dotQ, 6).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   // ----- incremental SemDeDup — semantic dedup against a persisted index -----
 
   final case class SemDedupIndex(

@@ -279,7 +279,30 @@ object Pipeline {
           V.IvfIndex(s"${prefix}_cells", s"${prefix}_centroids",
             spark.table(s"${prefix}_centroids").count().toInt)
         }
-        p.getOrElse("mode", if (exists) "probe" else "build").toLowerCase match {
+        val mode = p.getOrElse("mode", if (exists) "probe" else "build").toLowerCase
+        // kind=pq routes to the persisted IVF-PQ layout (SURVEY row 293's
+        // query-side operator as catalog tables): extra codebook table,
+        // ADC-pruned probe with full-precision rerank on candidates only
+        if (p.get("kind").map(_.toLowerCase).contains("pq")) mode match {
+          case "build" =>
+            V.buildIvfPqIndex(vecs, "__v_id", "__v_vec", prefix,
+              p.getOrElse("cells", "16").toInt, p.getOrElse("buckets", "8").toInt,
+              p.getOrElse("subspaces", "16").toInt, p.getOrElse("codes", "16").toInt)
+            df
+          case "append" =>
+            V.appendToIvfPqIndex(vecs, "__v_id", "__v_vec",
+              V.ivfPqIndexOf(spark, prefix), p.getOrElse("buckets", "8").toInt)
+            df
+          case "probe" =>
+            V.probeIvfPq(spark, vecs, "__v_id", "__v_vec",
+              V.ivfPqIndexOf(spark, prefix),
+              p.getOrElse("k", "5").toInt, p.getOrElse("nprobe", "2").toInt,
+              p.getOrElse("ncandidates", "64").toInt,
+              p.getOrElse("excludeSelf", "true").toBoolean)
+          case other =>
+            throw new IllegalArgumentException(
+              s"ann mode '$other' not in: build, append, probe")
+        } else mode match {
           case "build" =>
             V.buildIvfIndex(vecs, "__v_id", "__v_vec", prefix,
               p.getOrElse("cells", "16").toInt, p.getOrElse("buckets", "8").toInt)
@@ -305,9 +328,65 @@ object Pipeline {
       }
     case "sample" =>
       df => {
+        // curation SELECTION as a URI step. Methods (default uniform —
+        // the pre-round-11 contract unchanged):
+        //   uniform:    ?keep=K            md5-bucket filter, K/16 kept
+        //   stratified: ?by=C&rates=a:4,b:2[&default=D]  per-stratum 16ths
+        //   mixture:    ?by=C&targets=a:0.5,b:0.25       target fractions
+        //   budget:     ?by=C&tokens=COL&budget=N[&seed=S] per-stratum
+        //               token budget in seeded md5 order (rows semi-join
+        //               back so the full row survives)
+        //   kcenter:    ?vec=V&k=K        greedy k-center exemplars
+        //   dsir:       ?text=T&target=<url-encoded bool SQL>&k=K
+        //               [&buckets=B&seed=S]  importance-resample top-k
+        // Every method is a deterministic filter/semi-join — retry-stable,
+        // no RNG — so a failed pipeline re-run selects the identical rows.
         val p = uri.queryParams
-        graft.operators.SplitOps.deterministicSample(df, p.getOrElse("id", "id"),
-          p.getOrElse("keep", "2").toInt)
+        val id = p.getOrElse("id", "id")
+        val S = graft.operators.SplitOps
+        def rateMap[T](spec: String, cast: String => T): Map[String, T] =
+          spec.split(",").iterator.filter(_.nonEmpty).map { kv =>
+            kv.split(":") match {
+              case Array(s, v) => s -> cast(v)
+              case _ => throw new IllegalArgumentException(s"sample: bad rate spec '$kv'")
+            }
+          }.toMap
+        p.getOrElse("method", "uniform").toLowerCase match {
+          case "uniform" =>
+            S.deterministicSample(df, id, p.getOrElse("keep", "2").toInt)
+          case "stratified" =>
+            S.stratifiedSample(df, id, p("by"), rateMap(p("rates"), _.toInt),
+              p.getOrElse("default", "0").toInt)
+          case "mixture" =>
+            S.mixtureSample(df, id, p("by"), rateMap(p("targets"), _.toDouble))
+          case "budget" =>
+            val admitted = S.tokenBudgetSample(df, id, p("by"),
+                F.col(p.getOrElse("tokens", "n_tokens")),
+                p("budget").toLong, p.getOrElse("seed", "budget"))
+              .select(F.col(id).as("__keep_id"))
+            df.join(admitted, df(id) === F.col("__keep_id"), "left_semi")
+          case "kcenter" =>
+            val vecs = df.select(F.col(id).as("__v_id"),
+              graft.functions.VectorFunctions.asDouble(F.col(p.getOrElse("vec", "vec")))
+                .as("__v_vec"))
+            val centers = graft.operators.SimilarityOps
+              .kCenterGreedy(vecs, "__v_id", "__v_vec", p.getOrElse("k", "8").toInt)
+              .select(F.col("center_id").as("__keep_id"))
+            df.join(centers, df(id) === F.col("__keep_id"), "left_semi")
+          case "dsir" =>
+            val top = graft.operators.SelectionOps
+              .dsirScores(df, id, p.getOrElse("text", "text"),
+                isTarget = F.expr(p("target")),
+                buckets = p.getOrElse("buckets", "1024").toInt,
+                seed = p.getOrElse("seed", "dsir"))
+              .orderBy(F.col("score").desc, F.col("id"))
+              .limit(p.getOrElse("k", "50").toInt)
+              .select(F.col("id").as("__keep_id"))
+            df.join(top, df(id) === F.col("__keep_id"), "left_semi")
+          case other =>
+            throw new IllegalArgumentException(
+              s"sample method '$other' not in: uniform, stratified, mixture, budget, kcenter, dsir")
+        }
       }
     case "decontam" =>
       df => {

@@ -271,6 +271,42 @@ class PipelineSpec extends SparkSpec {
     assert(pq2.resultView(spark, "out").head().getAs[Int]("neighbor_id") == 5)
   }
 
+  test("ann:///<prefix>?kind=pq builds, probes, and appends a persisted IVF-PQ index") {
+    val pfx = "graft_r11_pipepq"
+    for (s <- Seq("_cells", "_centroids", "_codebook"))
+      graft.operators.BucketOps.dropTable(spark, s"$pfx$s")
+    val hdr = "header=id:int,x:double,y:double&values="
+    // 6 corpus rows in two tight groups (codebook needs ≥ codes rows)
+    val corpus = "1,1.0,0.0;2,0.95,0.05;3,0.9,0.02;4,0.0,1.0;5,0.05,0.95;6,0.02,0.9"
+    val (pb, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?$hdr$corpus",
+      "--transform", "source+v+" + vecSql(Seq("x", "y")),
+      "--transform", s"v+out+ann:///$pfx?kind=pq&cells=2&buckets=2&subspaces=2&codes=4&id=id&vec=vec"))
+    assert(pb.resultView(spark, "out").count() == 6) // build passes through
+    assert(spark.table(s"${pfx}_codebook").count() == 1)
+    assert(spark.table(s"${pfx}_cells").columns.contains("codes"))
+    // probe: near-e1 query ranks the e1 group first (nprobe=2 = every cell)
+    val (pq, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?${hdr}100,1.0,0.01",
+      "--transform", "source+v+" + vecSql(Seq("x", "y")),
+      "--transform", s"v+out+ann:///$pfx?kind=pq&k=2&nprobe=2&ncandidates=6&id=id&vec=vec"))
+    val top = pq.resultView(spark, "out").orderBy("rank").collect()
+    assert(top.length == 2 && top.head.getAs[Int]("rank") == 1)
+    assert(top.map(_.getAs[Int]("neighbor_id")).toSet.subsetOf(Set(1, 2, 3)),
+      s"near-e1 query must rank the e1 group: ${top.toSeq}")
+    // append under frozen geometry, then the new twin wins at rank 1
+    val (pa, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?${hdr}7,1.0,0.01",
+      "--transform", "source+v+" + vecSql(Seq("x", "y")),
+      "--transform", s"v+out+ann:///$pfx?kind=pq&mode=append&buckets=2&id=id&vec=vec"))
+    assert(pa.resultView(spark, "out").count() == 1)
+    val (pq2, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?${hdr}100,1.0,0.01",
+      "--transform", "source+v+" + vecSql(Seq("x", "y")),
+      "--transform", s"v+out+ann:///$pfx?kind=pq&k=1&nprobe=2&ncandidates=7&id=id&vec=vec"))
+    assert(pq2.resultView(spark, "out").head().getAs[Int]("neighbor_id") == 7)
+  }
+
   test("cap:///?key=... keeps k rows per key through the URI step") {
     val values = (1 to 20).map(i => s"$i,k${i % 2},${i * 10}").mkString(";")
     val (p, _) = Pipeline.fromArgs(Seq(
@@ -295,6 +331,75 @@ class PipelineSpec extends SparkSpec {
       "--transform", "cap:///?key=grp&order=score:dsc&k=2"))
     val e = intercept[IllegalArgumentException](bad.resultView(spark, "sink").collect())
     assert(e.getMessage.contains("asc"))
+  }
+
+  test("sample:/// methods select deterministic subsets through the URI step") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{SelectionOps, SplitOps}
+    // uniform ≡ the direct operator (the pre-round-11 default unchanged)
+    val uVals = (1 to 32).map(i => s"$i,t$i").mkString(";")
+    val (pu, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?header=id:int,text&values=$uVals",
+      "--transform", "sample:///?method=uniform&keep=4&id=id"))
+    val gotU = pu.resultView(spark, "sink").select("id").collect().map(_.getInt(0)).toSet
+    val uDf = (1 to 32).map(i => (i, s"t$i")).toDF("id", "text")
+    val expU = SplitOps.deterministicSample(uDf, "id", 4)
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(gotU == expU && gotU.nonEmpty && gotU.size < 32)
+    // stratified: en keeps 16/16, de keeps 0/16
+    val sVals = (1 to 20).map(i => s"$i,${if (i % 2 == 0) "en" else "de"}").mkString(";")
+    val (ps, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?header=id:int,lang&values=$sVals",
+      "--transform", "sample:///?method=stratified&id=id&by=lang&rates=en:16,de:0"))
+    val gotS = ps.resultView(spark, "sink").collect()
+    assert(gotS.length == 10 && gotS.forall(_.getString(1) == "en"))
+    // budget: 10 tokens per stratum at 4 tokens/doc → 2 docs per stratum,
+    // full rows survive (semi-join back), picks ≡ the direct operator
+    val bRows = (1 to 12).map(i => (i, if (i <= 6) "en" else "de", 4))
+    val bVals = bRows.map { case (i, l, t) => s"$i,$l,$t" }.mkString(";")
+    val (pb2, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?header=id:int,lang,n_tokens:int&values=$bVals",
+      "--transform", "sample:///?method=budget&id=id&by=lang&tokens=n_tokens&budget=10&seed=s1"))
+    val outB = pb2.resultView(spark, "sink")
+    assert(outB.columns.toSeq == Seq("id", "lang", "n_tokens"))
+    val gotB = outB.select("id").collect().map(_.getInt(0)).toSet
+    val expB = SplitOps.tokenBudgetSample(bRows.toDF("id", "lang", "n_tokens"),
+        "id", "lang", col("n_tokens"), 10L, "s1")
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(gotB == expB && gotB.size == 4)
+    // kcenter: first pick = min id 1, farthest-by-cosine = the orthogonal 3
+    val (pk, _) = Pipeline.fromArgs(Seq(
+      "--source", "values:///?header=id:int,x:double,y:double&values=" +
+        "1,1.0,0.0;2,0.9,0.1;3,0.0,1.0;4,0.1,0.9",
+      "--transform", "source+v+" + vecSql(Seq("x", "y")),
+      "--transform", "v+out+sample:///?method=kcenter&id=id&vec=vec&k=2"))
+    val gotK = pk.resultView(spark, "out").select("id").collect().map(_.getInt(0)).toSet
+    assert(gotK == Set(1, 3))
+    // dsir: importance-resampled top-k toward the en slice ≡ direct call
+    val dRows = Seq(
+      (1, "en", "alpha beta gamma delta"),
+      (2, "en", "alpha beta gamma delta"),
+      (3, "de", "eins zwei drei vier"),
+      (4, "de", "eins zwei drei vier"),
+      (5, "de", "alpha beta gamma delta"))
+    val dVals = dRows.map { case (i, l, t) => s"$i,$l,${t.replace(" ", "%20")}" }.mkString(";")
+    val (pd, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?header=id:int,lang,text&values=$dVals",
+      "--transform", "sample:///?method=dsir&id=id&text=text&target=" +
+        java.net.URLEncoder.encode("lang = 'en'", "UTF-8") + "&k=2&buckets=64&seed=t"))
+    val gotD = pd.resultView(spark, "sink").select("id").collect().map(_.getInt(0)).toSet
+    val expD = SelectionOps.dsirScores(dRows.toDF("id", "lang", "text"),
+        "id", "text", col("lang") === "en", 64, "t")
+      .orderBy(col("score").desc, col("id")).limit(2)
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(gotD == expD && gotD.size == 2)
+    // unknown method fails loudly with the supported list
+    val (px, _) = Pipeline.fromArgs(Seq(
+      "--source", "values:///?header=id:int&values=1",
+      "--transform", "sample:///?method=bogus"))
+    val e = intercept[IllegalArgumentException] { px.resultView(spark, "sink") }
+    assert(e.getMessage.contains("kcenter"))
   }
 
   test("csv sink+source roundtrip via text:// with tsv delimiter") {

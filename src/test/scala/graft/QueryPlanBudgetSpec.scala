@@ -469,6 +469,18 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "events_funnel_steps" -> 7, // 3 user-keyed step aggs + 2 event-side join hashes
                               // (step joins reuse the previous agg's user partitioning
                               // on one side) + the 1-row count union + ORDER BY
+    "vec_silhouette" -> 4,    // 1-row centroid collect_list agg (limit-k literal) +
+                              // per-cell groupBy (partial+final) + ORDER BY; the
+                              // distance fold itself is a pure broadcast projection —
+                              // zero corpus pair work
+    "text_c4_rules" -> 3,     // explode-verdict stack → rule groupBy (partial agg
+                              // before the 7-key exchange) + 1-row ppm projection +
+                              // ORDER BY — one corpus scan for all 7 rules
+    "dedup_bbit_minhash" -> 3, // post-candidate plan (pairs ride the lazy checkpoint):
+                              // (id,i) min-hash agg + per-id bit collect + final sort;
+                              // bits/sets joins broadcast (pair-member-sized)
+    "q69_agg_filter" -> 3,    // COUNT(DISTINCT) FILTER expands: partial + distinct
+                              // exchange + final, then ORDER BY rides the same keys
     "text_span_scrub_winnow" -> 8 // the winnowing selection window sort + fp distinct agg
                               // + owner min-agg on fp_hash + coverage anti-join doc hash
                               // ×2 + TP consumers of the tokenize projection + ORDER BY —

@@ -508,6 +508,8 @@ object Oracles {
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
       "ann_ivf_index" ->
         "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
+      "ann_ivfpq_index" ->
+        "SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok",
       "pipeline_json_roundtrip" ->
         """SELECT COUNT(*) AS n_rows, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
           | CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS price_sum
@@ -4056,7 +4058,97 @@ object Oracles {
            | ROUND(ln(CAST(n_tokens AS DOUBLE)) - clnc / CAST(n_tokens AS DOUBLE), 9) AS entropy,
            | ROUND(ROUND(ln(CAST(n_tokens AS DOUBLE)) - clnc / CAST(n_tokens AS DOUBLE), 9)
            |   / ROUND(ln(CAST(n_tokens AS DOUBLE)), 9), 9) AS efficiency
-           |FROM a WHERE n_tokens > 1 ORDER BY doc_id""".stripMargin
+           |FROM a WHERE n_tokens > 1 ORDER BY doc_id""".stripMargin,
+      "vec_silhouette" ->
+        // simplified silhouette: k=8 smallest-id centroids, round-6
+        // squared euclidean, own = lexicographic-(d2,cid) min row,
+        // other = min over the remaining rows, per-cell decimal mean
+        """WITH base AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+          |c AS MATERIALIZED (SELECT vec_id AS cid, vec AS cv FROM base ORDER BY vec_id LIMIT 8),
+          |d AS (SELECT b.vec_id, c.cid,
+          |  ROUND(list_reduce(list_transform(list_zip(b.vec, c.cv), p -> (p[1]-p[2])*(p[1]-p[2])), (x,y) -> x+y), 6) AS d2
+          | FROM base b CROSS JOIN c),
+          |r AS (SELECT vec_id, cid, d2,
+          |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM d),
+          |s AS (SELECT o.vec_id, o.cid AS cluster_id,
+          |  CASE WHEN greatest(o.d2, n.d2) = 0 THEN 0.0
+          |       ELSE ROUND((n.d2 - o.d2) / greatest(o.d2, n.d2), 6) END AS s
+          | FROM (SELECT * FROM r WHERE rk = 1) o
+          | JOIN (SELECT vec_id, min(d2) AS d2 FROM r WHERE rk > 1 GROUP BY vec_id) n USING (vec_id))
+          |SELECT cluster_id, COUNT(*)::BIGINT AS n_members,
+          | ROUND(CAST(CAST(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
+          |   / COUNT(*), 6) AS mean_silhouette
+          |FROM s GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+      "text_c4_rules" ->
+        // C4 battery: string predicates + integer ppm, one scan
+        s"""WITH m AS (SELECT
+           |  right(trim(text), 1) AS last_ch,
+           |  (length(text) - length(translate(text, '.!?', '')))::BIGINT AS n_sent,
+           |  len($toks)::BIGINT AS n_words,
+           |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+           |  contains(text, '{') AS has_brace,
+           |  (contains(lower(text), 'cookie policy') OR contains(lower(text), 'privacy policy')
+           |    OR contains(lower(text), 'terms of use')) AS has_policy
+           | FROM documents),
+           |v AS (SELECT unnest([
+           |  {'rule': 'ends_terminal', 'fail': last_ch NOT IN ('.', '!', '?', '"')},
+           |  {'rule': 'min_sentences', 'fail': n_sent < 3},
+           |  {'rule': 'min_words', 'fail': n_words < 5},
+           |  {'rule': 'lorem_ipsum', 'fail': has_lorem},
+           |  {'rule': 'curly_brace', 'fail': has_brace},
+           |  {'rule': 'policy_phrase', 'fail': has_policy},
+           |  {'rule': 'any_rule', 'fail': last_ch NOT IN ('.', '!', '?', '"') OR n_sent < 3
+           |     OR n_words < 5 OR has_lorem OR has_brace OR has_policy}]) AS u
+           | FROM m)
+           |SELECT u.rule AS rule, COUNT(*)::BIGINT AS n_docs,
+           | SUM(CASE WHEN u.fail THEN 1 ELSE 0 END)::BIGINT AS n_fail,
+           | SUM(CASE WHEN u.fail THEN 1 ELSE 0 END)::BIGINT * 1000000 // COUNT(*)::BIGINT AS fail_ppm
+           |FROM v GROUP BY u.rule ORDER BY rule""".stripMargin,
+      "dedup_bbit_minhash" ->
+        // b=1-bit minhash audit: the jaccardPairsSql pair set (n=2,
+        // τ=0.7), md5-derived 32-hash signatures replayed bit-for-bit,
+        // est = (2·agree − 32)/32 exact in binary, jaccard rounded 6
+        // the distinct-shingle set is materialized ONCE per doc in sh
+        // (the jaccardPairsSql shape) — a list_distinct inside the join
+        // predicate would re-evaluate per PAIR and cost ~100s; min over
+        // distinct elements equals min over raw, so the bit stage can
+        // unnest the same deduped set
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sh AS MATERIALIZED (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |p AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |  ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+           |    / len(list_distinct(a.s || b.s)), 6) AS exact_jaccard
+           | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           | WHERE len(list_intersect(a.s, b.s))::DOUBLE
+           |    / len(list_distinct(a.s || b.s)) >= 0.7),
+           |ids AS (SELECT DISTINCT id FROM
+           |  (SELECT a_id AS id FROM p UNION ALL SELECT b_id AS id FROM p)),
+           |ex AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id IN (SELECT id FROM ids)),
+           |hv AS (SELECT e.doc_id, u.i,
+           |  CAST(('0x' || substr(md5(concat(u.i, ':', e.g)), 1, 15)) AS BIGINT) AS hv
+           | FROM ex e CROSS JOIN (SELECT unnest(range(0, 32)) AS i) u),
+           |bits AS (SELECT doc_id, i, CAST(min(hv) % 2 AS INT) AS bit
+           | FROM hv GROUP BY doc_id, i),
+           |ag AS (SELECT p.a_id, p.b_id,
+           |  SUM(CASE WHEN ba.bit = bb.bit THEN 1 ELSE 0 END)::BIGINT AS n_agree
+           | FROM p
+           | JOIN bits ba ON ba.doc_id = p.a_id
+           | JOIN bits bb ON bb.doc_id = p.b_id AND bb.i = ba.i
+           | GROUP BY 1, 2)
+           |SELECT ag.a_id, ag.b_id, ag.n_agree,
+           | (2 * ag.n_agree - 32) / 32.0 AS est_jaccard,
+           | p.exact_jaccard,
+           | ROUND(abs((2 * ag.n_agree - 32) / 32.0 - p.exact_jaccard), 6) AS abs_err
+           |FROM ag JOIN p USING (a_id, b_id) ORDER BY a_id, b_id""".stripMargin,
+      "q69_agg_filter" ->
+        """SELECT l_returnflag,
+          | COUNT(*)::BIGINT AS n_rows,
+          | (COUNT(*) FILTER (WHERE l_quantity > 25))::BIGINT AS n_bulk,
+          | SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_discount > 0.05) AS qty_discounted,
+          | (COUNT(DISTINCT l_suppkey) FILTER (WHERE l_tax = 0))::BIGINT AS n_notax_supp
+          |FROM lineitem
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
