@@ -569,6 +569,27 @@ object ScaleProbe {
           SimilarityOps.pruneCells(cells, tau = 0.99).groupBy().count().head().getLong(0)
         }
       },
+      "ivfpq_index" -> { rows =>
+        // persisted IVF-PQ end-to-end at corpus = rows/10: ONE corpus
+        // pass (unit + assign + residual-code projection over plan
+        // literals) + the bucketed coded write, then a 64-query probe
+        // whose ADC stage scans only the codes column of nProbe/nCells
+        // of the index before the candidate-sized exact rerank. Build
+        // cost per corpus row must stay flat; the probe is
+        // corpus-fraction-bounded by construction (the claim is that
+        // NOTHING in the path regresses to a full-precision corpus
+        // scan at query time).
+        withScaledPartitions(rows / 10) {
+          val corpus = synthVecs(rows / 10)
+          val idx = graft.operators.VectorIndexOps.buildIvfPqIndex(
+            corpus, "id", "vec", "probe_ivfpq_idx", nCells = 64,
+            numBuckets = math.max(8, (rows / 1250000L).toInt),
+            subspaces = 16, codes = 16)
+          val queries = corpus.filter(col("id") < 64)
+          graft.operators.VectorIndexOps.probeIvfPq(spark, queries, "id", "vec",
+            idx, k = 10, nProbe = 4, nCandidates = 256).count()
+        }
+      },
       "linkage_blocked" -> { rows =>
         // Fellegi–Sunter candidate scoring at constant block width (8):
         // one equi-join on the blocking key, comparators are map-side

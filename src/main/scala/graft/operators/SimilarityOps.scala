@@ -141,7 +141,20 @@ object SimilarityOps {
       iters: Int = 2,
       trainCap: Int = 100000
   ): Array[Array[Double]] = {
-    val sample = unitVectors(vectors, idCol, vecCol)
+    val u = unitVectors(vectors, idCol, vecCol)
+    // TakeOrdered returns min(partitionRows, cap) rows from EVERY
+    // partition, so the naive orderBy+limit collect is cap × partitions
+    // at the driver — observed 64 × 17 MiB > maxResultSize on a 2M-row
+    // probe, and gigabytes on a real cluster. A deterministic hash gate
+    // first thins the corpus to ≈ 4×cap rows, bounding the collect by
+    // the sample size instead of the partition count. For n ≤ 4×cap the
+    // gate keeps every row, so the sample — and every centroid, cell
+    // assignment, and aux dump downstream — is bit-identical to the
+    // ungated selection at all oracle scales (sf ≤ 0.1).
+    val gate = math.max(1L, u.count() / (4L * trainCap))
+    val gated = if (gate == 1L) u
+      else u.filter(pmod(xxhash64(col("id"), lit(2)), lit(gate)) === 0)
+    val sample = gated
       .orderBy(xxhash64(col("id")))
       .limit(trainCap)
       .select(col("unit"), xxhash64(col("id"), lit(1)).as("h2"))
