@@ -6142,6 +6142,30 @@ object SparkEntry {
         ORDER BY l_returnflag
       """)
     }),
+    "text_fim" -> ((s, d) =>
+      // fill-in-the-middle transform (Bavarian et al. 2022): PSM
+      // re-serialization at md5-deterministic cut points — prefix,
+      // middle, suffix all non-empty; pure map-only projection
+      CorpusOps.fimTransform(TP(s, d, "documents"), "doc_id", "text")),
+    "data_epoch_plan" -> ((s, d) =>
+      // training-mixture epoch plan: target ppm weights × a 2.5M-token
+      // budget vs available tokens per language — epochs_ppm > 1e6
+      // flags the sources the recipe would repeat (integer-exact)
+      SelectionOps.epochPlan(TP(s, d, "documents"), "lang",
+        size(graft.functions.TextFunctions.tokens(col("text"))),
+        Map("en" -> 500000L, "de" -> 150000L, "fr" -> 150000L,
+          "es" -> 100000L, "zh" -> 100000L), totalBudget = 2500000L)),
+    "text_distinct_n" -> ((s, d) =>
+      // distinct-1/distinct-2 diversity per language slice (Li et al.
+      // 2016): total vs distinct n-grams, share in ppm — the cheap
+      // template-collapse signal before pairwise dedup runs
+      CorpusOps.distinctNReport(TP(s, d, "documents"), "text", "lang")),
+    "text_kn_bigram" -> ((s, d) =>
+      // interpolated Kneser-Ney bigram components (d=3/4), top-30 pairs:
+      // integer count components + ONE fixed-order double probability
+      // rounded 6 — the n-gram-LM-training core, LM-pipeline-shaped
+      // (pair groupBy + marginals + 1-row type count)
+      CorpusOps.knBigramTopK(TP(s, d, "documents"), "text", topK = 30)),
     "ann_ivfpq_index" -> ((s, d) => {
       // the PERSISTED IVF-PQ index (row 293's query-side operator as
       // catalog tables — FAISS IndexIVFPQ): build lands coded cells +

@@ -503,6 +503,109 @@ object CorpusOps {
       .orderBy("rule")
   }
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, arXiv:2207.14255
+    * — the FIM objective's data side): each doc is split into
+    * prefix/middle/suffix at DETERMINISTIC md5-derived cut points (the
+    * md5-ring convention — a pipeline re-run emits identical training
+    * rows) and re-serialized in PSM order
+    * `<PRE> prefix <SUF> suffix <MID> middle`. Docs under `minTokens`
+    * pass through untransformed as too short to cut (not emitted here —
+    * callers union them back if wanted). Every part is guaranteed
+    * non-empty: p ∈ [1, n−2], m ∈ [1, n−p−1], suffix = n−p−m ≥ 1.
+    * Pure projection — no shuffle; at 100 TB this is a map-only pass.
+    */
+  def fimTransform(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int = 4
+  ): DataFrame = {
+    require(minTokens >= 3, "fim needs at least 3 tokens to cut")
+    val base = docs
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .filter(col("n") >= minTokens)
+    def h(tag: String) =
+      conv(substring(md5(concat(lit(s"fim_${tag}_"), col("id").cast("string"))), 1, 15),
+        16, 10).cast("long")
+    base
+      .withColumn("p", (lit(1L) + pmod(h("a"), (col("n") - 2).cast("long"))).cast("int"))
+      .withColumn("m", (lit(1L) + pmod(h("b"), (col("n") - col("p") - 1).cast("long"))).cast("int"))
+      .select(col("id"),
+        col("n").cast("long").as("n_tokens"),
+        col("p").cast("long").as("n_prefix"),
+        col("m").cast("long").as("n_middle"),
+        concat(
+          lit("<PRE> "), array_join(slice(col("tk"), lit(1), col("p")), " "),
+          lit(" <SUF> "), array_join(slice(col("tk"), col("p") + col("m") + 1,
+            col("n") - col("p") - col("m")), " "),
+          lit(" <MID> "), array_join(slice(col("tk"), col("p") + 1, col("m")), " "))
+          .as("fim_text"))
+      .orderBy("id")
+  }
+
+  /** Distinct-n generation-diversity report (the distinct-1/distinct-2
+    * ratios of Li et al. 2016 applied per corpus slice): per (lang, n)
+    * — total n-grams, distinct n-grams, and the distinct share in ppm.
+    * A slice whose distinct-2 collapses is template/boilerplate-heavy;
+    * the cheap corpus-level signal before the pairwise dedup machinery
+    * runs. One scan per n, partial-aggregated counts; the distinct
+    * count shuffles the gram domain once (exact by contract — swap in
+    * approx_count_distinct where ±2% is acceptable at 100 TB).
+    */
+  def distinctNReport(docs: DataFrame, textCol: String, langCol: String): DataFrame = {
+    val tk = TextFunctions.tokens(col(textCol))
+    def grams(n: Int) = docs.select(col(langCol).as("lang"), lit(n).as("n"),
+        explode(if (n == 1) tk else TextFunctions.shinglesFromTokens(tk, n)).as("g"))
+      .filter(col("g") =!= "")
+    grams(1).unionByName(grams(2))
+      .groupBy("lang", "n")
+      .agg(count(lit(1)).as("total"), countDistinct(col("g")).as("n_distinct"))
+      .withColumn("distinct_ppm", expr("n_distinct * 1000000L div total"))
+      .orderBy("lang", "n")
+  }
+
+  /** Interpolated Kneser-Ney bigram model components, top-k bigrams by
+    * count (Kneser & Ney 1995; the d = 3/4 textbook discount): for each
+    * (w1, w2) —
+    *   p_kn = (c − d)/c(w1·) + d·N₁₊(w1·)/c(w1·) · N₁₊(·w2)/|bigram types|
+    * with every component emitted as its exact integer (pair count,
+    * left-context totals/types, right continuation types, corpus type
+    * count) and the probability computed ONCE in a fixed double
+    * evaluation order, rounded to 6 — the cross-engine-replayable core
+    * of n-gram LM training. Counts are the standard partial-aggregated
+    * LM pipeline: one pair groupBy + two marginal aggs + a 1-row type
+    * count; the derivation joins are type-table-sized, never
+    * corpus-sized.
+    */
+  def knBigramTopK(docs: DataFrame, textCol: String, topK: Int = 30): DataFrame = {
+    val tk = TextFunctions.tokens(col(textCol))
+    val pairsCol = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bg = docs.select(explode(pairsCol).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      // one materialization feeds the pair table + both marginals + the
+      // type count (the pruneCells fan-out pattern)
+      .localCheckpoint(eager = false)
+    val byW1 = bg.groupBy("w1").agg(sum("c").as("c_w1"), count(lit(1)).as("n1p_w1"))
+    val byW2 = bg.groupBy("w2").agg(count(lit(1)).as("n1p_w2"))
+    val nTypes = bg.agg(count(lit(1)).as("n_types"))
+    bg.join(byW1, Seq("w1")).join(byW2, Seq("w2")).crossJoin(broadcast(nTypes))
+      .withColumn("p_kn", round(
+        (col("c") - 0.75) / col("c_w1") +
+          lit(0.75) * col("n1p_w1") / col("c_w1")
+            * (col("n1p_w2").cast("double") / col("n_types")), 6))
+      .orderBy(col("c").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("c").as("n_pair"),
+        col("c_w1").as("n_left_total"), col("n1p_w1").as("n_left_types"),
+        col("n1p_w2").as("n_right_types"), col("n_types"), col("p_kn"))
+      .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+  }
+
   /** Memory-bounded span scrubbing via winnowing-selected owners
     * (round-9 verdict item 8): [[scrubDuplicatedSpans]] positions EVERY
     * corpus n-gram — linear, but the positioned-gram table is

@@ -122,4 +122,35 @@ object SelectionOps {
       .limit(k)
       .select(col("id"), col("pred"), col("uncertainty"))
   }
+
+  /** Training-mixture epoch plan (the Llama-style data-recipe table):
+    * given target mixture weights (ppm) and a total token budget, report
+    * per source — available tokens, the target token allocation, and
+    * epochs_ppm = how many passes over the source the allocation implies
+    * (>1 000 000 ppm means the source repeats; the overfitting-risk
+    * column a data recipe is judged by). Integer-exact throughout
+    * (ppm × budget div 10⁶, then ×10⁶ div available). One tiny
+    * aggregation (stratum-cardinality rows), no corpus shuffle.
+    */
+  def epochPlan(
+      docs: DataFrame,
+      stratumCol: String,
+      tokens: Column,
+      weightsPpm: Map[String, Long],
+      totalBudget: Long
+  ): DataFrame = {
+    require(weightsPpm.nonEmpty && weightsPpm.values.forall(_ > 0))
+    val w = weightsPpm.foldLeft(lit(null).cast("long")) { case (acc, (s, p)) =>
+      when(col(stratumCol) === s, lit(p)).otherwise(acc)
+    }
+    docs
+      .filter(col(stratumCol).isin(weightsPpm.keys.toSeq: _*))
+      .select(col(stratumCol).as("source"), w.as("w_ppm"), tokens.cast("long").as("t"))
+      .groupBy("source", "w_ppm")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("available_tokens"))
+      .withColumn("target_tokens", expr(s"w_ppm * ${totalBudget}L div 1000000"))
+      .withColumn("epochs_ppm", expr("target_tokens * 1000000L div available_tokens"))
+      .withColumn("oversampled", col("epochs_ppm") > 1000000L)
+      .orderBy("source")
+  }
 }

@@ -293,6 +293,67 @@ object StreamOps {
     }
   }
 
+  final case class TokenRow(shard: Long, tok: String)
+  final case class HeavyHittersOut(shard: Long, n_rows: Long, items: Map[String, Long])
+
+  /** STREAMING Misra-Gries heavy hitters (the mergeable
+    * [[graft.functions.SketchAggregates.misraGries]] aggregate's
+    * ≤ k-counter state as transformWithState): per shard key, the
+    * candidate map updates with the classic decrement-all rule — the
+    * identical per-row transition the batch TypedImperativeAggregate
+    * applies, so the MG GUARANTEES carry over verbatim: every token
+    * with true shard count > n_shard/(k+1) is present, and each
+    * estimate undercounts by at most n_shard/(k+1). (Bit-equality with
+    * a batch run is NOT the contract — MG's candidate set is
+    * row-order-dependent in both engines equally; the spec pins the
+    * guarantees and the shard-merge, which are order-free.) Shard maps
+    * merge downstream with the batch aggregate's count-sum + cut rule
+    * — the sketch stays mergeable across the stream/batch boundary.
+    * State per shard is ≤ k entries; each micro-batch emits the
+    * shard's refreshed candidates.
+    */
+  class MgProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TokenRow, HeavyHittersOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    require(k >= 1, "streaming MG needs k >= 1")
+    @transient private var st: ValueState[(Long, Map[String, Long])] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Map[String, Long])]("mgState",
+        Encoders.kryo[(Long, Map[String, Long])], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[TokenRow],
+        timerValues: TimerValues
+    ): Iterator[HeavyHittersOut] = {
+      val (n0, m0) = Option(st.get()).getOrElse((0L, Map.empty[String, Long]))
+      val buf = scala.collection.mutable.HashMap.from(m0)
+      var n = n0
+      rows.foreach { r =>
+        n += 1
+        buf.get(r.tok) match {
+          case Some(c) => buf(r.tok) = c + 1
+          case None if buf.size < k => buf(r.tok) = 1L
+          case None =>
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            buf.foreach { case (t, c) => if (c == 1L) dead += t else buf(t) = c - 1 }
+            dead.foreach(buf.remove)
+        }
+      }
+      st.update((n, buf.toMap))
+      Iterator.single(HeavyHittersOut(key, n, buf.toMap))
+    }
+  }
+
+  /** Wire a sharded token stream through [[MgProcessor]]. */
+  def streamingHeavyHitters(tokens: Dataset[TokenRow], k: Int): Dataset[HeavyHittersOut] = {
+    import tokens.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    tokens
+      .groupByKey(_.shard)
+      .transformWithState(new MgProcessor(k), TimeMode.None(), OutputMode.Append())
+  }
+
   /** Wire a keyed stream through [[PsiProcessor]]. */
   def streamingPsi(
       events: Dataset[SeqValue],

@@ -469,6 +469,16 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "events_funnel_steps" -> 7, // 3 user-keyed step aggs + 2 event-side join hashes
                               // (step joins reuse the previous agg's user partitioning
                               // on one side) + the 1-row count union + ORDER BY
+    "text_fim" -> 2,          // pure map-only transform; the 2 = final ORDER BY range
+                              // exchange + its TakeOrdered-side partial (the dump sort
+                              // only — at scale the transform itself is exchange-free)
+    "data_epoch_plan" -> 3,   // stratum-cardinality groupBy (partial+final) + 1-row
+                              // plan arithmetic + ORDER BY — the corpus never co-shuffles
+    "text_distinct_n" -> 4,   // union of two gram explodes → (lang,n) count-distinct
+                              // expand (partial + distinct exchange + final) + ORDER BY
+    "text_kn_bigram" -> 3,    // post-checkpoint LM derivation: w1/w2 marginal aggs +
+                              // top-k sort; the pair groupBy rides the lazy checkpoint,
+                              // marginal joins broadcast (type-table-sized)
     "vec_silhouette" -> 4,    // 1-row centroid collect_list agg (limit-k literal) +
                               // per-cell groupBy (partial+final) + ORDER BY; the
                               // distance fold itself is a pure broadcast projection —

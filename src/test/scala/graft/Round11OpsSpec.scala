@@ -137,6 +137,133 @@ class Round11OpsSpec extends SparkSpec {
       "the appended near-copy must rank first for its twin query")
   }
 
+  test("fimTransform: parts are non-empty, reassemble to the original " +
+    "tokens, and cut points are deterministic across runs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four"),
+      (3L, "too short now"), // 3 < minTokens=4 → excluded
+      (4L, "a b c d e f g h i j k l m n o p")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.fimTransform(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    out.foreach { case (id, n, p, m, fim) =>
+      assert(p >= 1 && m >= 1 && n - p - m >= 1, s"doc $id parts must be non-empty")
+      // reassemble: PRE + MID + SUF in document order == original tokens
+      val pre = fim.substring("<PRE> ".length, fim.indexOf(" <SUF> "))
+      val suf = fim.substring(fim.indexOf(" <SUF> ") + " <SUF> ".length, fim.indexOf(" <MID> "))
+      val mid = fim.substring(fim.indexOf(" <MID> ") + " <MID> ".length)
+      val orig = docs.filter(col("doc_id") === id).head().getString(1)
+        .toLowerCase.trim.split("\\s+").mkString(" ")
+      assert(s"$pre $mid $suf" == orig, s"doc $id must reassemble")
+      assert(pre.split(" ").length == p && mid.split(" ").length == m)
+    }
+    // determinism: a second run emits identical rows
+    val again = CorpusOps.fimTransform(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("epochPlan: integer-exact targets and epoch ratios; oversampled " +
+    "flags sources the budget would repeat") {
+    val docs = Seq(
+      (1L, "web", 100), (2L, "web", 100), (3L, "web", 100), // 300 tokens
+      (4L, "code", 10), (5L, "code", 10),                   // 20 tokens
+      (6L, "other", 999)                                    // unlisted → dropped
+    ).toDF("id", "src", "n_tok")
+    val got = graft.operators.SelectionOps.epochPlan(docs, "src", col("n_tok"),
+        Map("web" -> 600000L, "code" -> 400000L), totalBudget = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toList
+    // web: target = 600000*100 div 1e6 = 60 of 300 available → 200000 ppm
+    // code: target = 40 of 20 available → 2000000 ppm → oversampled
+    assert(got == List(
+      ("code", 400000L, 2L, 20L, 40L, 2000000L, true),
+      ("web", 600000L, 3L, 300L, 60L, 200000L, false)))
+  }
+
+  test("distinctNReport: hand-checked totals and distinct ratios per slice") {
+    val docs = Seq(
+      (1L, "en", "a b a b"),   // uni: 4 total, 2 distinct; bi: "a b","b a","a b" → 3 total 2 distinct
+      (2L, "en", "c c"),       // uni: 2 total 1 distinct; bi: "c c" → 1 total 1 distinct
+      (3L, "de", "x y z")      // uni: 3/3; bi: "x y","y z" → 2/2
+    ).toDF("doc_id", "lang", "text")
+    val got = CorpusOps.distinctNReport(docs, "text", "lang")
+      .collect().map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("en", 1)) == ((6L, 3L, 500000L)))
+    assert(got(("en", 2)) == ((4L, 3L, 750000L)))
+    assert(got(("de", 1)) == ((3L, 3L, 1000000L)))
+    assert(got(("de", 2)) == ((2L, 2L, 1000000L)))
+  }
+
+  test("knBigramTopK: components and probability match a hand replay; " +
+    "p_kn interpolates toward frequent continuations") {
+    // corpus: "a b" ×3, "a c" ×1, "d b" ×1  (as separate docs)
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"), (5L, "d b"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.knBigramTopK(docs, "text", topK = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))).toMap
+    // bigram types: (a,b) c=3, (a,c) c=1, (d,b) c=1 → n_types=3
+    // c(a·)=4, N1+(a·)=2; c(d·)=1, N1+(d·)=1; N1+(·b)=2, N1+(·c)=1
+    val (np, nlt, nltypes, nrt, nt, p) = got(("a", "b"))
+    assert((np, nlt, nltypes, nrt, nt) == ((3L, 4L, 2L, 2L, 3L)))
+    val expected = BigDecimal((3 - 0.75) / 4 + 0.75 * 2 / 4 * (2.0 / 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(p == expected)
+    // the frequent continuation (·b) outranks (·c) through the backoff term
+    assert(got(("a", "b"))._6 > got(("a", "c"))._6)
+    assert(got(("d", "b"))._6 > 0.0)
+  }
+
+  test("streamingHeavyHitters: MG guarantees hold across micro-batches " +
+    "and shard maps merge with the batch rule") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.TokenRow
+    // shard 0: 'hot' is 40% of 100 rows (count 40 > 100/(k+1) at k=4);
+    // tail tokens t0..t59 once each. shard 1: 'warm' 30 of 60.
+    val s0 = (0 until 40).map(_ => TokenRow(0L, "hot")) ++
+      (0 until 60).map(i => TokenRow(0L, s"t$i"))
+    val s1 = (0 until 30).map(_ => TokenRow(1L, "warm")) ++
+      (0 until 30).map(i => TokenRow(1L, s"u$i"))
+    val all = new scala.util.Random(3).shuffle(s0 ++ s1)
+    val (b1, b2) = all.splitAt(all.size / 2)
+    implicit val sqlCtx = spark.sqlContext
+    // the v2 arbitrary-state API needs the RocksDB state store
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[TokenRow]
+    val q = StreamOps.streamingHeavyHitters(in.toDS(), k = 4).writeStream
+      .format("memory").queryName("r11_mg").outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally {
+      q.stop()
+      if (prev.isEmpty) spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
+    // last emission per shard = the row with the highest running n_rows
+    // (maps are not orderable in a struct max — pick driver-side)
+    val byShard = spark.table("r11_mg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getMap[String, Long](2).toMap))
+      .groupBy(_._1).map { case (s, rs) =>
+        val last = rs.maxBy(_._2); s -> ((last._2, last._3))
+      }
+    val (n0, m0) = byShard(0L)
+    assert(n0 == 100L)
+    assert(m0.contains("hot"), s"hot (40 > n/(k+1)=20) must survive: $m0")
+    assert(m0("hot") <= 40L && 40L - m0("hot") <= n0 / 5,
+      s"MG undercount bound violated: ${m0("hot")}")
+    val (n1, m1) = byShard(1L)
+    assert(n1 == 60L && m1.contains("warm") && m1("warm") <= 30L && 30L - m1("warm") <= n1 / 5)
+    // shard maps merge with the batch rule (count-sum, keep top-k over cut)
+    val merged = (m0.keySet ++ m1.keySet).map(t => t -> (m0.getOrElse(t, 0L) + m1.getOrElse(t, 0L)))
+    assert(merged.toMap.get("hot").exists(_ >= m0("hot")))
+  }
+
   test("winnowIndexDedupSink: stream-maintained index and survivors equal " +
     "the batch incremental chain; replayed batch ids are no-ops") {
     val run = "alpha beta gamma delta epsilon zeta eta" // 7 tokens ≥ w+k−1

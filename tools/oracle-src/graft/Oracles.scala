@@ -4140,6 +4140,61 @@ object Oracles {
            | p.exact_jaccard,
            | ROUND(abs((2 * ag.n_agree - 32) / 32.0 - p.exact_jaccard), 6) AS abs_err
            |FROM ag JOIN p USING (a_id, b_id) ORDER BY a_id, b_id""".stripMargin,
+      "text_fim" ->
+        // FIM replay: md5-ring cut points (p ∈ [1,n−2], m ∈ [1,n−p−1]),
+        // 1-based inclusive slices mirror Spark's slice(start, len)
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |b AS (SELECT doc_id AS id, tk, len(tk)::BIGINT AS n FROM t WHERE len(tk) >= 4),
+           |c AS (SELECT id, tk, n,
+           |  1 + CAST(('0x' || substr(md5('fim_a_' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) % (n - 2) AS p
+           | FROM b),
+           |c2 AS (SELECT id, tk, n, p,
+           |  1 + CAST(('0x' || substr(md5('fim_b_' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) % (n - p - 1) AS m
+           | FROM c)
+           |SELECT id, n AS n_tokens, p AS n_prefix, m AS n_middle,
+           | '<PRE> ' || array_to_string(tk[1:p], ' ')
+           | || ' <SUF> ' || array_to_string(tk[p+m+1:n], ' ')
+           | || ' <MID> ' || array_to_string(tk[p+1:p+m], ' ') AS fim_text
+           |FROM c2 ORDER BY id""".stripMargin,
+      "data_epoch_plan" ->
+        // integer-exact mixture plan: ppm weights × 2.5M budget
+        s"""WITH t AS (SELECT lang AS source,
+           |  (CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 150000 WHEN 'fr' THEN 150000
+           |             WHEN 'es' THEN 100000 WHEN 'zh' THEN 100000 END)::BIGINT AS w_ppm,
+           |  len($toks)::BIGINT AS t FROM documents
+           |  WHERE lang IN ('en','de','fr','es','zh'))
+           |SELECT source, w_ppm, COUNT(*)::BIGINT AS n_docs, SUM(t)::BIGINT AS available_tokens,
+           | w_ppm * 2500000 // 1000000 AS target_tokens,
+           | (w_ppm * 2500000 // 1000000) * 1000000 // SUM(t)::BIGINT AS epochs_ppm,
+           | (w_ppm * 2500000 // 1000000) * 1000000 // SUM(t)::BIGINT > 1000000 AS oversampled
+           |FROM t GROUP BY source, w_ppm ORDER BY source""".stripMargin,
+      "text_distinct_n" ->
+        s"""WITH t AS (SELECT lang, $toks AS tk FROM documents),
+           |u AS (SELECT lang, 1 AS n, unnest(tk) AS g FROM t),
+           |b AS (SELECT lang, 2 AS n, unnest(${shingles("tk", 2)}) AS g FROM t),
+           |a AS (SELECT * FROM u WHERE g <> '' UNION ALL SELECT * FROM b WHERE g <> '')
+           |SELECT lang, n, COUNT(*)::BIGINT AS total, COUNT(DISTINCT g)::BIGINT AS n_distinct,
+           | COUNT(DISTINCT g)::BIGINT * 1000000 // COUNT(*)::BIGINT AS distinct_ppm
+           |FROM a GROUP BY lang, n ORDER BY lang, n""".stripMargin,
+      "text_kn_bigram" ->
+        // Kneser-Ney replay: integer components; the probability's
+        // double literals in E-NOTATION (7.5e-1) so DuckDB parses DOUBLE
+        // not DECIMAL, and the evaluation order mirrors the engine
+        s"""WITH t AS (SELECT $toks AS tk FROM documents),
+           |bg AS MATERIALIZED (SELECT u.a AS w1, u.b AS w2, COUNT(*)::BIGINT AS c FROM
+           |  (SELECT unnest(list_transform(range(1, len(tk)), i -> {'a': tk[i], 'b': tk[i+1]})) AS u
+           |   FROM t WHERE len(tk) >= 2)
+           | GROUP BY 1, 2),
+           |m1 AS (SELECT w1, SUM(c)::BIGINT AS c_w1, COUNT(*)::BIGINT AS n1p_w1 FROM bg GROUP BY w1),
+           |m2 AS (SELECT w2, COUNT(*)::BIGINT AS n1p_w2 FROM bg GROUP BY w2),
+           |nt AS (SELECT COUNT(*)::BIGINT AS n_types FROM bg),
+           |top AS (SELECT bg.w1, bg.w2, bg.c, m1.c_w1, m1.n1p_w1, m2.n1p_w2, nt.n_types
+           |  FROM bg JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN nt
+           |  ORDER BY bg.c DESC, bg.w1, bg.w2 LIMIT 30)
+           |SELECT w1, w2, c AS n_pair, c_w1 AS n_left_total, n1p_w1 AS n_left_types,
+           | n1p_w2 AS n_right_types, n_types,
+           | ROUND((c - 7.5e-1) / c_w1 + 7.5e-1 * n1p_w1 / c_w1 * (CAST(n1p_w2 AS DOUBLE) / n_types), 6) AS p_kn
+           |FROM top ORDER BY n_pair DESC, w1, w2""".stripMargin,
       "q69_agg_filter" ->
         """SELECT l_returnflag,
           | COUNT(*)::BIGINT AS n_rows,
