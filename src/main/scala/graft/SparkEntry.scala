@@ -6166,6 +6166,76 @@ object SparkEntry {
       // rounded 6 — the n-gram-LM-training core, LM-pipeline-shaped
       // (pair groupBy + marginals + 1-row type count)
       CorpusOps.knBigramTopK(TP(s, d, "documents"), "text", topK = 30)),
+    "text_span_corrupt" -> ((s, d) =>
+      // T5-style span corruption (Raffel et al. 2020): per 20-token
+      // block one md5-placed 3-token span → numbered sentinel; target
+      // = sentinels + masked spans. Map-only multi-span sibling of
+      // text_fim; ~15% of tokens mask at the defaults.
+      CorpusOps.spanCorrupt(TP(s, d, "documents"), "doc_id", "text")),
+    "data_ess" -> ((s, d) => {
+      // effective sample size of the soft-dedup loss weights (row 345
+      // composed with Kish 1965 / Kong 1992): ESS = (Σw)²/Σw² — how
+      // many "effective" documents the weighted corpus still carries
+      // after near-dup down-weighting. int64→double conversion is IEEE
+      // round-to-nearest in BOTH engines, so the double division
+      // replays exactly even past 2^53. Σw² stays in BIGINT — exact
+      // below ~9.2M docs at ppm weights; a 100 TB run would widen the
+      // partial sums to DECIMAL(38,0), same plan shape.
+      val docs = TP(s, d, "documents")
+      val pairs = DedupOps.minhashDupPairs(docs, "text", "doc_id",
+        threshold = 0.7, shingleSize = 2, numBands = 32, rowsPerBand = 3)
+      val labels = GraphOps.connectedComponents(pairs, "a_id", "b_id")
+      val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      val w = docs.select(col("doc_id"))
+        .join(labels.select(col("id").as("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .join(sizes, Seq("cluster_id"), "left")
+        .withColumn("w", expr("1000000L div coalesce(n_members, 1L)"))
+      w.agg(count(lit(1)).as("n_docs"), sum("w").as("sum_w"),
+          sum(expr("w * w")).as("sum_w2"))
+        .select(col("n_docs"), col("sum_w"), col("sum_w2"),
+          round((col("sum_w").cast("double") * col("sum_w").cast("double"))
+            / col("sum_w2").cast("double"), 6).as("ess"),
+          round((col("sum_w").cast("double") * col("sum_w").cast("double"))
+            / col("sum_w2").cast("double") / col("n_docs"), 6).as("ess_share"))
+    }),
+    "q70_ignore_nulls" -> ((s, d) => {
+      // IGNORE NULLS window conformance (lag / running last_value /
+      // nth_value with explicit null gaps — the gap-fill idiom's
+      // literal syntax; row 82's resample+ffill is the operator form)
+      T(s, d, "orders").createOrReplaceTempView("r11_ord_in")
+      s.sql("""
+        SELECT o_custkey, o_orderkey, price,
+               LAG(price) IGNORE NULLS OVER w AS prev_price,
+               LAST_VALUE(price) IGNORE NULLS OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried,
+               NTH_VALUE(price, 2) IGNORE NULLS OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_seen
+        FROM (SELECT o_custkey, o_orderkey,
+                CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                     ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+              FROM r11_ord_in WHERE o_custkey % 50 = 0)
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+      """)
+    }),
+    "q71_interval_months" -> ((s, d) => {
+      // calendar INTERVAL arithmetic conformance: add_months with
+      // month-END CLAMPING (Jan 31 + 1 mo = Feb 28/29 in both
+      // engines), last_day, and a quarter-start truncation — the
+      // contract-renewal/billing-cycle date math class
+      T(s, d, "orders").createOrReplaceTempView("r11_ord_iv")
+      s.sql("""
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+               ADD_MONTHS(CAST(o_orderdate AS DATE), CAST(o_orderkey % 12 AS INT)) AS renewal,
+               LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(DATE_TRUNC('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS quarter_start
+        FROM r11_ord_iv WHERE o_orderkey % 37 = 0
+        ORDER BY o_orderkey
+      """)
+    }),
     "ann_ivfpq_index" -> ((s, d) => {
       // the PERSISTED IVF-PQ index (row 293's query-side operator as
       // catalog tables — FAISS IndexIVFPQ): build lands coded cells +

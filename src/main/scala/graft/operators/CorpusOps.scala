@@ -544,6 +544,57 @@ object CorpusOps {
       .orderBy("id")
   }
 
+  /** T5-style span-corruption transform (Raffel et al. 2020 §3.1.4 —
+    * the denoising objective's data side, multi-span where [[fimTransform]]
+    * is single-cut): tokens are partitioned into `blockSize`-token
+    * blocks; every block of ≥ `minBlockTokens` tokens gets one
+    * `spanLen`-token span masked at an md5-deterministic offset and
+    * replaced by a numbered sentinel `<X_b>`; the target is the
+    * sentinel-prefixed masked spans in order. Short tail blocks pass
+    * through unmasked. ~spanLen/blockSize (15% at defaults) of tokens
+    * mask, retry-stable, and the whole transform is one in-row
+    * projection — map-only at 100 TB, like FIM.
+    */
+  def spanCorrupt(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockSize: Int = 20,
+      spanLen: Int = 3,
+      minBlockTokens: Int = 8
+  ): DataFrame = {
+    require(minBlockTokens > spanLen && blockSize >= minBlockTokens)
+    val base = docs
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .filter(col("n") >= 1)
+      .withColumn("nb", expr("(n + " + (blockSize - 1) + ") div " + blockSize))
+    val parts = transform(sequence(lit(0), col("nb").cast("int") - 1), b => {
+      val bt = slice(col("tk"), b * blockSize + 1, lit(blockSize))
+      val L = size(bt)
+      val h = conv(substring(md5(concat_ws("_", lit("t5"),
+        col("id").cast("string"), b.cast("string"))), 1, 15), 16, 10).cast("long")
+      val s = pmod(h, (L - spanLen).cast("long")).cast("int")
+      val sentinel = concat(lit("<X_"), b.cast("string"), lit(">"))
+      when(L >= minBlockTokens,
+        struct(
+          concat(slice(bt, lit(1), s), array(sentinel),
+            slice(bt, s + spanLen + 1, L - s - spanLen)).as("corr"),
+          concat(array(sentinel), slice(bt, s + 1, lit(spanLen))).as("tgt")))
+        .otherwise(struct(bt.as("corr"), array().cast("array<string>").as("tgt")))
+    })
+    base
+      .withColumn("parts", parts)
+      .select(col("id"), col("n").cast("long").as("n_tokens"),
+        size(flatten(transform(col("parts"), p => p.getField("tgt"))))
+          .cast("long").as("n_target_tokens"),
+        array_join(flatten(transform(col("parts"), p => p.getField("corr"))), " ")
+          .as("corrupted"),
+        array_join(flatten(transform(col("parts"), p => p.getField("tgt"))), " ")
+          .as("target"))
+      .orderBy("id")
+  }
+
   /** Distinct-n generation-diversity report (the distinct-1/distinct-2
     * ratios of Li et al. 2016 applied per corpus slice): per (lang, n)
     * — total n-grams, distinct n-grams, and the distinct share in ppm.

@@ -469,6 +469,15 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "events_funnel_steps" -> 7, // 3 user-keyed step aggs + 2 event-side join hashes
                               // (step joins reuse the previous agg's user partitioning
                               // on one side) + the 1-row count union + ORDER BY
+    "text_span_corrupt" -> 2, // map-only like text_fim: ORDER BY range exchange + its
+                              // partial only — the T5 masking itself adds no shuffle
+    "data_ess" -> 6,          // the dup-weights chain (band agg + pair agg + CC label
+                              // agg + cluster-size agg + weight join spine) folded to a
+                              // 1-row aggregate; pair gen rides the bucketed band path
+    "q70_ignore_nulls" -> 2,  // one window sort per custkey partition (both frames
+                              // share it) + final ORDER BY riding the same keys
+    "q71_interval_months" -> 1, // pure projection + TakeOrdered — calendar arithmetic
+                              // is map-side
     "text_fim" -> 2,          // pure map-only transform; the 2 = final ORDER BY range
                               // exchange + its TakeOrdered-side partial (the dump sort
                               // only — at scale the transform itself is exchange-free)

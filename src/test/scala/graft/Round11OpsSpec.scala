@@ -165,6 +165,29 @@ class Round11OpsSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("spanCorrupt: sentinels splice back to the original tokens, short " +
+    "blocks pass through, masking is deterministic") {
+    val longDoc = (1 to 40).map(i => s"w$i").mkString(" ") // 2 full blocks
+    val shortDoc = "just five little tokens here"          // 5 < 8 → unmasked
+    val docs = Seq((1L, longDoc), (2L, shortDoc)).toDF("doc_id", "text")
+    val got = CorpusOps.spanCorrupt(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+    val (id1, n1, t1, corr1, tgt1) = got(0)
+    assert(id1 == 1L && n1 == 40L && t1 == 8L) // 2 blocks × (sentinel + 3 masked)
+    // splice: replace each <X_b> in corrupted with its target span
+    val spans = tgt1.split("<X_\\d+> ").filter(_.nonEmpty).map(_.trim)
+    var rebuilt = corr1
+    "<X_(\\d+)>".r.findAllMatchIn(corr1).map(_.group(1).toInt).toList.zip(spans)
+      .foreach { case (b, span) => rebuilt = rebuilt.replace(s"<X_$b>", span) }
+    assert(rebuilt == longDoc.toLowerCase, s"splice must rebuild: $rebuilt")
+    val (_, n2, t2, corr2, tgt2) = got(1)
+    assert(n2 == 5L && t2 == 0L && tgt2 == "" && corr2 == shortDoc)
+    // determinism
+    val again = CorpusOps.spanCorrupt(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getString(4)))
+    assert(again.toSeq == got.map(g => (g._1, g._4, g._5)).toSeq)
+  }
+
   test("epochPlan: integer-exact targets and epoch ratios; oversampled " +
     "flags sources the budget would repeat") {
     val docs = Seq(

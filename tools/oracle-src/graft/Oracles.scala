@@ -4195,6 +4195,79 @@ object Oracles {
            | n1p_w2 AS n_right_types, n_types,
            | ROUND((c - 7.5e-1) / c_w1 + 7.5e-1 * n1p_w1 / c_w1 * (CAST(n1p_w2 AS DOUBLE) / n_types), 6) AS p_kn
            |FROM top ORDER BY n_pair DESC, w1, w2""".stripMargin,
+      "text_span_corrupt" ->
+        // T5 replay: block structs → (s, L) level → CASE-masked parts;
+        // s guarded with greatest(L−3, 1) since it is computed outside
+        // the CASE (values only consumed when L ≥ 8, where both agree)
+        s"""WITH t AS (SELECT doc_id AS id, $toks AS tk FROM documents),
+           |b AS (SELECT id, tk, len(tk)::BIGINT AS n FROM t WHERE len(tk) >= 1),
+           |p AS (SELECT id, n, list_transform(
+           |  list_transform(
+           |    list_transform(range(0, (n + 19) // 20),
+           |      b -> {'b': b, 'bt': tk[b*20+1 : least((b+1)*20, n)]}),
+           |    x -> {'b': x.b, 'bt': x.bt, 'L': len(x.bt),
+           |          's': CAST(('0x' || substr(md5(concat('t5_', id, '_', x.b)), 1, 15)) AS BIGINT)
+           |               % greatest(len(x.bt) - 3, 1)}),
+           |  y -> CASE WHEN y.L >= 8 THEN
+           |         {'corr': y.bt[1:y.s] || [concat('<X_', y.b, '>')] || y.bt[y.s+4:y.L],
+           |          'tgt': [concat('<X_', y.b, '>')] || y.bt[y.s+1:y.s+3]}
+           |       ELSE {'corr': y.bt, 'tgt': []::VARCHAR[]} END) AS parts
+           | FROM b)
+           |SELECT id, n AS n_tokens,
+           | len(flatten(list_transform(parts, q -> q.tgt)))::BIGINT AS n_target_tokens,
+           | array_to_string(flatten(list_transform(parts, q -> q.corr)), ' ') AS corrupted,
+           | array_to_string(flatten(list_transform(parts, q -> q.tgt)), ' ') AS target
+           |FROM p ORDER BY id""".stripMargin,
+      "data_ess" ->
+        // the data_dup_weights chain folded to one ESS row; the double
+        // divisions replay exactly (int64→double is IEEE round-to-
+        // nearest in both engines)
+        s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sh AS MATERIALIZED (SELECT doc_id, list_distinct(${shingles("tk", 2)}) AS s FROM t),
+           |p AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
+           |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.7),
+           |e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+           |reach(id, r) AS (
+           | SELECT DISTINCT a AS id, a AS r FROM e
+           | UNION
+           | SELECT e.b AS id, reach.r AS r FROM reach JOIN e ON e.a = reach.id),
+           |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+           |sz AS (SELECT cluster_id, COUNT(*)::BIGINT AS n FROM lab GROUP BY cluster_id),
+           |w AS (SELECT 1000000 // COALESCE(sz.n, 1) AS w
+           |      FROM documents d
+           |      LEFT JOIN lab ON lab.id = d.doc_id
+           |      LEFT JOIN sz ON sz.cluster_id = lab.cluster_id),
+           |a AS (SELECT COUNT(*)::BIGINT AS n_docs, SUM(w)::BIGINT AS s,
+           |             SUM(w * w)::BIGINT AS q FROM w)
+           |SELECT n_docs, s AS sum_w, q AS sum_w2,
+           | ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(q AS DOUBLE), 6) AS ess,
+           | ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(q AS DOUBLE) / n_docs, 6) AS ess_share
+           |FROM a""".stripMargin,
+      "q70_ignore_nulls" ->
+        // DuckDB's IGNORE NULLS sits INSIDE the call parens; Spark's
+        // after them — same semantics, per-dialect spelling
+        """SELECT o_custkey, o_orderkey, price,
+          | LAG(price IGNORE NULLS) OVER w AS prev_price,
+          | LAST_VALUE(price IGNORE NULLS) OVER
+          |   (PARTITION BY o_custkey ORDER BY o_orderkey
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried,
+          | NTH_VALUE(price, 2 IGNORE NULLS) OVER
+          |   (PARTITION BY o_custkey ORDER BY o_orderkey
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_seen
+          |FROM (SELECT o_custkey, o_orderkey,
+          |        CASE WHEN o_orderkey % 3 = 0 THEN NULL
+          |             ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+          |      FROM orders WHERE o_custkey % 50 = 0)
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin,
+      "q71_interval_months" ->
+        """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+          | CAST(CAST(o_orderdate AS DATE) + to_months(CAST(o_orderkey % 12 AS INT)) AS DATE) AS renewal,
+          | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+          | CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS quarter_start
+          |FROM orders WHERE o_orderkey % 37 = 0
+          |ORDER BY o_orderkey""".stripMargin,
       "q69_agg_filter" ->
         """SELECT l_returnflag,
           | COUNT(*)::BIGINT AS n_rows,
