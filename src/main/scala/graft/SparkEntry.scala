@@ -6262,6 +6262,164 @@ object SparkEntry {
           lit(8L).as("n_queries"),
           (col("hits").cast("double") / (8 * k) >= 0.6).as("recall_ok"))
     }),
+    "events_mann_whitney" -> ((s, d) => {
+      // Mann-Whitney U per event_type — the NONPARAMETRIC experiment
+      // readout beside Welch's t (events_ab_test) and CUPED
+      // (events_ab_cuped); arms use the shared "ab:" md5 convention.
+      // 2·U and the tie term are exact integers off the banded rank
+      // cum (no per-row rank window); z is one fixed closed-form
+      // double. See StatsOps.mannWhitneyByGroup.
+      val arm = when(
+        conv(substring(md5(concat(lit("ab:"), col("user_id"))), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, "A").otherwise("B")
+      val ev = EV(s, d).select(col("event_type"), arm.as("arm"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      StatsOps.mannWhitneyByGroup(ev, "event_type", "arm", col("cents"), "A")
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")
+    }),
+    "quality_pr_curve" -> ((s, d) => {
+      // exact precision-recall curve of the hashed linear quality model
+      // at predicting English, per source — one (tp, fp, fn, p, r, f1)
+      // point per DISTINCT integer milli-score threshold (the aucExact
+      // score-domain posture: the cumulative window runs over distinct
+      // scores, never rows). The operating-point picker every
+      // quality-filter deployment needs next to the scalar AUC row.
+      val docs = TP(s, d, "documents")
+      val scored = CorpusOps.linearModelScore(docs, "doc_id", "text", dim = 64)
+      val labeled = docs
+        .select(col("doc_id"), col("source"), (col("lang") === "en").as("is_en"))
+        .join(scored.select("doc_id", "score_milli"), Seq("doc_id"))
+      StatsOps.prCurve(labeled, "source", "score_milli", "is_en")
+        .orderBy(col("source"), col("threshold").desc)
+    }),
+    "text_code_detect" -> ((s, d) => {
+      // code-vs-prose partitioning (CorpusOps.codeProseReport): a mixed
+      // crawl must route code away from stopword/langid-based curation.
+      // The corpus is all prose, so the code class is SYNTHESIZED
+      // in-query for doc_id % 5 = 0 (the data_entity_golden dirty-copy
+      // precedent): a 3-line indented def-block prepended to the text.
+      // The battery must flag exactly the synthesized docs.
+      val docs = TP(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("def process_"), col("doc_id"), lit("(x):\n    y = x * 2;\n    return {'k': y};\n# "),
+            col("text"))).otherwise(col("text")).as("text"))
+      CorpusOps.codeProseReport(docs, "doc_id", "text").orderBy("doc_id")
+    }),
+    "multimodal_audio_vad" -> ((s, d) => {
+      // energy-based voice-activity detection over the audio payload
+      // (documents.text bytes as the opaque binary, the multimodal_*
+      // convention): per-frame energies → threshold → gaps-and-islands
+      // segment merge → per-clip {frames, voiced, segments, longest,
+      // ratio}. Frame-energy kernel is the documented env stub
+      // (md5-derived); the sequence/explode/island plumbing is the
+      // production shape. See MultimodalOps.vadReport.
+      val withBin = T(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+      MultimodalOps.vadReport(withBin, "doc_id", "bin").orderBy("doc_id")
+    }),
+    "text_mmr" -> ((s, d) => {
+      // MMR diversity re-ranking (Carbonell & Goldstein SIGIR'98) over
+      // the embedding corpus: queries = vec_id < 6, pool = top-16 by
+      // cosine, greedy top-5 at λ=0.7 — the post-ANN re-rank step of a
+      // RAG retrieval stack. Greedy runs per query group over ≤16
+      // candidates (O(k²) local work, parallel across queries); the
+      // DuckDB twin unrolls the 5 greedy stages over the same
+      // round-6 cosines. See SimilarityOps.mmrRerank.
+      val vecs = TP(s, d, "embeddings")
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+      SimilarityOps.mmrRerank(vecs, vecs.filter(col("vec_id") < 6), "vec_id", "vec",
+          poolK = 16, selectK = 5, lambda = 0.7)
+        .orderBy("query_id", "mmr_rank")
+    }),
+    "q72_try_arith" -> ((s, d) => {
+      // ANSI error-safe arithmetic conformance: try_divide (÷0 → NULL),
+      // try_cast (malformed → NULL), try_element_at (out-of-bounds →
+      // NULL) — the ingestion-hardening trio that keeps a 100 TB batch
+      // alive when a handful of rows are dirty, without FAILFAST or a
+      // permissive-mode rescan. Aggregated to null counts + a guarded
+      // sum so the row count stays O(groups).
+      T(s, d, "lineitem").createOrReplaceTempView("r11_li_try")
+      s.sql("""
+        WITH t AS (
+          SELECT l_returnflag,
+                 try_divide(CAST(l_extendedprice AS DOUBLE), CAST(l_linenumber - 3 AS DOUBLE)) AS dv,
+                 try_cast(CASE WHEN l_linenumber % 2 = 0 THEN CAST(CAST(l_quantity AS BIGINT) AS STRING) ELSE 'n/a' END AS INT) AS tc,
+                 try_element_at(array(1, 2, 3), CAST(l_linenumber AS INT)) AS el
+          FROM r11_li_try)
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               COUNT(CASE WHEN dv IS NULL THEN 1 END) AS n_div_null,
+               COUNT(CASE WHEN tc IS NULL THEN 1 END) AS n_cast_null,
+               COUNT(CASE WHEN el IS NULL THEN 1 END) AS n_elem_null,
+               CAST(SUM(tc) AS BIGINT) AS sum_cast
+        FROM t GROUP BY l_returnflag ORDER BY l_returnflag
+      """)
+    }),
+    "q73_lateral_alias" -> ((s, d) => {
+      // lateral column alias conformance (Spark 3.4+/ANSI surface): a
+      // SELECT item referencing a SIBLING alias (x → y → z chains)
+      // parses into the same nested-projection plan — pure syntax, zero
+      // plan cost; the DuckDB twin spells the expansion out.
+      T(s, d, "orders").createOrReplaceTempView("r11_ord_lca")
+      s.sql("""
+        SELECT o_orderkey, CAST(base AS DOUBLE) AS base,
+               CAST(doubled AS DOUBLE) AS doubled,
+               CAST(tripled AS DOUBLE) AS tripled
+        FROM (SELECT o_orderkey,
+                     CAST(o_totalprice AS DECIMAL(18,2)) AS base,
+                     base * 2 AS doubled,
+                     doubled + base AS tripled
+              FROM r11_ord_lca WHERE o_orderkey % 53 = 0)
+        ORDER BY o_orderkey
+      """)
+    }),
+    "events_decay_trend" -> ((s, d) => {
+      // exponentially-decayed trending counts per event type: integer
+      // per-day counts as the (mergeable) state, decay applied only at
+      // read as a PINNED ascending-age fold of n·0.5^age — exact
+      // power-of-two weights, so batch, the streaming twin
+      // (StreamOps.DecayTrendProcessor) and the DuckDB twin produce
+      // the identical double. See StatsOps.decayedTrend.
+      StatsOps.decayedTrend(EV(s, d), "event_type", "ts_us")
+        .withColumnRenamed("k", "event_type")
+        .orderBy("event_type")
+    }),
+    "quality_krippendorff" -> ((s, d) => {
+      // Krippendorff's alpha over a synthesized 3-rater annotation
+      // table (the dirty-copy precedent): each rater covers ~80% of
+      // docs (md5 presence), labels = lang with ~14% md5-noise — the
+      // missing-data agreement readout quality_kappa cannot give.
+      // Integer-exact coincidence algebra; ONE double division.
+      val langs = array(lit("en"), lit("de"), lit("es"), lit("fr"), lit("zh"))
+      def h(r: Int) =
+        conv(substring(md5(concat(lit(s"kr$r:"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long")
+      val docs = T(s, d, "documents").select(col("doc_id"), col("lang"))
+      val ratings = (1 to 3).map { r =>
+        docs.select(col("doc_id"), lit(r).as("rater"),
+            when(h(r) % 7 === 0,
+              element_at(langs, ((h(r) / 35) % 5).cast("int") + 1))
+              .otherwise(col("lang")).as("lab"),
+            h(r).as("__h"))
+          .filter(col("__h") % 5 =!= 0)
+          .drop("__h")
+      }.reduce(_ unionByName _)
+      StatsOps.krippendorffAlpha(ratings, "doc_id", "rater", "lab")
+    }),
+    "q74_execute_immediate" -> ((s, d) => {
+      // EXECUTE IMMEDIATE + named parameter marker conformance (the
+      // SQL-scripting surface): the statement string is planned like
+      // the inline query — pushdown/partial agg unchanged, pure
+      // syntax. DuckDB twin is the substituted plain SQL.
+      T(s, d, "orders").createOrReplaceTempView("r11_ord_ei")
+      s.sql("""EXECUTE IMMEDIATE
+        'SELECT o_orderpriority, COUNT(*) AS n_orders,
+                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
+         FROM r11_ord_ei WHERE o_totalprice > :t
+         GROUP BY o_orderpriority ORDER BY o_orderpriority'
+        USING 150000.0 AS t""")
+    }),
     "_gate_meta" -> ((s, d) => {
       // gate sentinel (round-10 verdict item 8): one deterministic row
       // (engine version, total query count) dumped by Verify like any

@@ -1217,4 +1217,44 @@ object CorpusOps {
         (col("total_tokens").cast("double") / col("total_chars").cast("double"))
           .as("compression"))
   }
+
+  /** Code-vs-prose detection — the corpus-PARTITIONING rule battery a
+    * mixed crawl needs before language-specific curation (code docs
+    * must not be judged by stopword ratios, prose must not be judged
+    * by indentation). Heuristic features, all integer-exact:
+    *   - `sym_cnt`: count of code-punctuation chars `{}[]();=#<>*+`
+    *   - `kw_hits`: \b-bounded programming-keyword matches
+    *   - `indent_lines`: lines starting with a 4-space indent
+    *   - `snake_ids`: snake_case identifier matches
+    * `is_code` = (sym_ratio > 0.03 AND kw_hits ≥ 2) OR indent_ratio ≥
+    * 0.2 — the symbol path catches dense one-liners, the indent path
+    * catches block-structured sources of any length. One projection,
+    * no shuffle; every feature is a codegen'd expression, so the
+    * classifier runs at scan speed on 100 TB. Ratios are fixed double
+    * expressions over the exact integers (oracle-replayable).
+    */
+  def codeProseReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("long")
+    val symCnt = (length(t) - length(regexp_replace(t, "[{}\\[\\]();=#<>*+]", "")))
+      .cast("long")
+    val kwHits = size(regexp_extract_all(lower(t),
+      lit("\\b(def|return|import|class|function|const|var|if|else|for|while)\\b"),
+      lit(0))).cast("long")
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    val indentLines = size(filter(lines, l => l.startsWith("    "))).cast("long")
+    val snakeIds = size(regexp_extract_all(t, lit("[a-z]+_[a-z0-9]+"), lit(0))).cast("long")
+    docs
+      .select(col(idCol), nChars.as("n_chars"), symCnt.as("sym_cnt"),
+        kwHits.as("kw_hits"), nLines.as("n_lines"),
+        indentLines.as("indent_lines"), snakeIds.as("snake_ids"))
+      .withColumn("sym_ratio",
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(col("sym_cnt").cast("double") / col("n_chars").cast("double")))
+      .withColumn("indent_ratio",
+        col("indent_lines").cast("double") / col("n_lines").cast("double"))
+      .withColumn("is_code",
+        (col("sym_ratio") > 0.03 && col("kw_hits") >= 2) || col("indent_ratio") >= 0.2)
+  }
 }

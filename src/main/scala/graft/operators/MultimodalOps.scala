@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -164,5 +165,56 @@ object MultimodalOps {
       .withColumn("hamming", expr("bit_count(ha ^ hb) + bit_count(la ^ lb)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a").as("a_id"), col("b").as("b_id"), col("hamming").cast("int").as("hamming"))
+  }
+
+  /** Energy-based voice-activity detection (VAD) over an audio payload
+    * column: per-frame energies → threshold → merge consecutive voiced
+    * frames into segments (gaps-and-islands) → per-doc segmentation
+    * report {n_frames, n_voiced, n_segments, longest_seg, voiced_ratio}.
+    * The speech-vs-silence split is the audio twin of text quality
+    * filtering — a curation pipeline drops silent clips and chunks the
+    * rest at segment boundaries.
+    *
+    * The FRAME-ENERGY kernel is the env stub (energy = 16 bits of
+    * md5(byte_len:frame) — a real decoder computes RMS over PCM
+    * windows; deterministic, oracle-replayable). Everything around it
+    * is the production shape: frames derive from a `sequence` (no
+    * driver loop), the payload is projected out before the explode so
+    * only (id, frame, energy) rows move, and the islands window
+    * partitions BY DOC (per-doc frame counts are bounded by clip
+    * length, so no hot partition at any corpus size).
+    */
+  def vadReport(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      threshold: Int = 32768): DataFrame = {
+    val bl = length(col(payloadCol)).cast("long")
+    val base = df.select(col(idCol).as("id"), bl.as("bl"),
+      (pmod(bl, lit(40)) + 10).cast("int").as("n_frames"))
+    val frames = base
+      .select(col("id"), col("bl"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .withColumn("energy",
+        conv(substring(md5(concat(col("bl").cast("string"), lit(":"),
+          col("frame_idx").cast("string"))), 1, 4), 16, 10).cast("long"))
+    val voiced = frames.filter(col("energy") >= threshold)
+    val w = Window.partitionBy("id").orderBy("frame_idx")
+    val segs = voiced
+      .withColumn("island", col("frame_idx") - row_number().over(w))
+      .groupBy("id", "island")
+      .agg(count(lit(1)).cast("long").as("seg_len"))
+      .groupBy("id")
+      .agg(sum("seg_len").cast("long").as("n_voiced"),
+        count(lit(1)).cast("long").as("n_segments"),
+        max("seg_len").cast("long").as("longest_seg"))
+    base
+      .join(segs, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_frames").cast("long").as("n_frames"),
+        coalesce(col("n_voiced"), lit(0L)).as("n_voiced"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest_seg"), lit(0L)).as("longest_seg"))
+      .withColumn("voiced_ratio",
+        col("n_voiced").cast("double") / col("n_frames").cast("double"))
   }
 }

@@ -983,4 +983,103 @@ object SimilarityOps {
         .distinct()
     }
   }
+
+  /** Maximal Marginal Relevance (MMR) re-ranking (Carbonell & Goldstein
+    * SIGIR'98): from each query's top-`poolK` relevance candidates,
+    * greedily select `selectK` maximizing
+    * λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s) — the
+    * diversity-aware top-k every RAG retrieval stack runs after ANN.
+    *
+    * Scale shape: candidate generation is the existing top-k machinery
+    * (broadcast queries, per-query window); the greedy step — inherently
+    * sequential in k — runs per QUERY GROUP over ≤ poolK rows via
+    * `groupByKey.flatMapGroups`, so memory is O(poolK²) per group and
+    * the stage parallelizes across queries (the 100 TB axis). Pairwise
+    * sims use the same left-to-right double dot and round-6 convention
+    * as [[bruteForceTopK]], so a DuckDB twin replays the greedy
+    * bit-for-bit; ties break on candidate id.
+    *
+    * `vecCol` must be array<double> (cast with VectorFunctions.asDouble).
+    */
+  def mmrRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      poolK: Int = 16,
+      selectK: Int = 5,
+      lambda: Double = 0.7): DataFrame = {
+    val pool = bruteForceTopK(corpus, queries, idCol, vecCol, poolK)
+    val withVec = pool
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("rel"), col("nvec"))
+    mmrFromPool(withVec, selectK, lambda)
+  }
+
+  /** The MMR greedy over an ALREADY-GENERATED candidate pool — columns
+    * (query_id: long, neighbor_id: long, rel: double, nvec:
+    * array<double>). Split out so the pool can come from any retriever:
+    * [[bruteForceTopK]] (the exact twin above) or an IVF/PQ index probe
+    * (the `ann:///?mode=rerank` CLI path — ANN pool → MMR is the
+    * production RAG shape).
+    */
+  def mmrFromPool(
+      withVec0: DataFrame,
+      selectK: Int,
+      lambda: Double): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val withVec = withVec0.select(col("query_id").cast("long"),
+      col("neighbor_id").cast("long"), col("rel").cast("double"), col("nvec"))
+    val out = withVec
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroups { (qid: Long, it: Iterator[Row]) =>
+        def dotA(a: Array[Double], b: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        def r6(x: Double): Double =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val cands = it
+          .map(r => (r.getLong(1), r.getDouble(2), r.getSeq[Double](3).toArray))
+          .toArray.sortBy(c => (-c._2, c._1))
+        val nc = cands.length
+        val norms = cands.map(c => math.sqrt(dotA(c._3, c._3)))
+        val sim = Array.tabulate(nc, nc) { (i, j) =>
+          if (i == j) 1.0
+          else {
+            val den = norms(i) * norms(j)
+            if (den == 0) 0.0 else r6(dotA(cands(i)._3, cands(j)._3) / den)
+          }
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double, Double)]
+        while (selected.length < math.min(selectK, nc)) {
+          var best = -1
+          var bestScore = 0.0
+          var i = 0
+          while (i < nc) {
+            if (!selected.contains(i)) {
+              val score =
+                if (selected.isEmpty) cands(i)._2
+                else {
+                  var ms = -1.0
+                  selected.foreach(j => if (sim(i)(j) > ms) ms = sim(i)(j))
+                  lambda * cands(i)._2 - (1.0 - lambda) * ms
+                }
+              if (best < 0 || score > bestScore ||
+                  (score == bestScore && cands(i)._1 < cands(best)._1)) {
+                best = i; bestScore = score
+              }
+            }
+            i += 1
+          }
+          selected += best
+          rows += ((qid, selected.length, cands(best)._1, cands(best)._2, r6(bestScore)))
+        }
+        rows.iterator
+      }(Encoders.product[(Long, Int, Long, Double, Double)])
+    out.toDF("query_id", "mmr_rank", "neighbor_id", "relevance", "mmr_score")
+  }
 }

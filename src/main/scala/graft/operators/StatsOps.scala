@@ -585,4 +585,198 @@ object StatsOps {
             lit(2.0) * col("w0") * col("w2") * col("sx2") +
             lit(2.0) * col("w1") * col("w2") * col("sx12"))).as("sse"))
   }
+
+  /** Mann-Whitney U test (two-sample Wilcoxon rank-sum) per group — the
+    * NONPARAMETRIC experiment readout next to Welch's t
+    * (events_ab_test) and CUPED (events_ab_cuped): no normality
+    * assumption, robust to the heavy-tailed spend metrics A/B tests
+    * actually run on. Exactness contract (the spearmanByGroup
+    * convention): 2×average-rank over the POOLED sample is an integer
+    * (`ar2 = 2·cum_before + c + 1` off the banded rank-cum — no per-row
+    * rank window anywhere), so 2·U_A = Σ_A ar2 − n_A(n_A+1) is an exact
+    * integer, as is the tie term Σ(t³−t); the tie-corrected normal
+    * z-statistic is then ONE fixed closed-form double expression over
+    * those integers — bit-identical on any engine mirroring the token
+    * order. Shape: one (g, v) tie-count partial agg, the banded rank
+    * cum (no hot partition), one join back, one hash aggregate.
+    */
+  def mannWhitneyByGroup(
+      df: DataFrame,
+      groupCol: String,
+      armCol: String,
+      value: Column,
+      armA: String,
+      bandBits: Int = 20): DataFrame = {
+    val rows = df
+      .select(col(groupCol).as("g"), col(armCol).as("arm"), value.cast("long").as("v"))
+      .filter(col("v").isNotNull && col("arm").isNotNull)
+    val vt = rows.groupBy("g", "v").agg(count(lit(1)).cast("long").as("c"))
+      .withColumn("_band", RankOps.idiv(col("v"), 1L << bandBits))
+    val cum = RankOps.bandedRankCum(vt,
+      bandCols = Seq("g", "_band"),
+      bandSort = Seq(col("g"), col("_band")),
+      rowSort = Seq(col("g"), col("v")),
+      cumCols = Seq("c"), rankName = "_vrk")
+    val gOff = cum.groupBy("g").agg(min("cum_before_c").as("_goff"))
+    val ar2 = cum.join(broadcast(gOff), Seq("g"))
+      .select(col("g"), col("v"),
+        (lit(2L) * (col("cum_before_c") - col("_goff")) + col("c") + lit(1L)).as("ar2"))
+    // tie term Σ_v (t³ − t), exact (decimal keeps 100 TB tie counts safe)
+    val ties = vt.groupBy("g").agg(
+      sum((col("c").cast("decimal(38,0)") * col("c") * col("c") - col("c"))
+        .cast("decimal(38,0)")).cast("decimal(38,0)").as("tsum"))
+    val agg = rows.join(ar2, Seq("g", "v"))
+      .groupBy("g")
+      .agg(
+        count(when(col("arm") === armA, 1)).as("n_a"),
+        count(when(col("arm") =!= armA, 1)).as("n_b"),
+        sum(when(col("arm") === armA, col("ar2")).otherwise(lit(0L))
+          .cast("decimal(38,0)")).cast("decimal(38,0)").as("r2_a"))
+      .join(ties, Seq("g"))
+    // 2·U_A exact integer; z = (U_A − μ)/σ with μ = n_A n_B/2 and
+    // σ² = (n_A n_B/12)·((n+1) − T/(n(n−1))). Token order mirrored by
+    // the DuckDB twin.
+    val u2 = (col("r2_a") - (col("n_a").cast("decimal(38,0)") * (col("n_a") + lit(1L))))
+      .cast("decimal(38,0)")
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val ua = u2.cast("double") / lit(2.0)
+    val mu = na * nb / lit(2.0)
+    val tieTerm = col("tsum").cast("double") / (n * (n - lit(1.0)))
+    val sig2 = na * nb / lit(12.0) * ((n + lit(1.0)) - tieTerm)
+    agg.select(col("g"), col("n_a"), col("n_b"), u2.cast("long").as("u2_a"),
+      col("tsum").cast("long").as("tie_term"),
+      ua.as("u_a"),
+      when(sig2 > 0, (ua - mu) / sqrt(sig2)).as("z"))
+  }
+
+  /** Exponentially-decayed event counts per key — the trending /
+    * freshness-weighted leaderboard signal. The STATE is plain integer
+    * per-(key, day) counts — mergeable across batches, shards and the
+    * stream/batch boundary (the events_agg_maint posture); the decay is
+    * applied only AT READ TIME as score = Σ_d n_d · 0.5^(age_d days).
+    * Exactness: 0.5^k is an exact power of two and the fold runs in
+    * PINNED ascending-age order over the per-key day list (bounded by
+    * the corpus's day span, never rows), so batch, stream and the
+    * DuckDB twin produce the identical double — no order-dependent
+    * float aggregate anywhere.
+    */
+  def decayedTrend(
+      df: DataFrame,
+      keyCol: String,
+      tsUsCol: String,
+      bucketUs: Long = 86400000000L): DataFrame = {
+    val b = df.select(col(keyCol).as("k"), RankOps.idiv(col(tsUsCol), bucketUs).as("d"))
+    val counts = b.groupBy("k", "d").agg(count(lit(1)).cast("long").as("n"))
+    val tmax = counts.agg(max("d").as("dmax"))
+    counts.crossJoin(broadcast(tmax)) // 1-row attach
+      .withColumn("age", (col("dmax") - col("d")).cast("int"))
+      .groupBy("k")
+      .agg(sum("n").cast("long").as("n_events"),
+        sort_array(collect_list(struct(col("age"), col("n")))).as("cells"))
+      .select(col("k"), col("n_events"),
+        aggregate(col("cells"), lit(0.0),
+          (acc, x) => acc + x("n").cast("double") *
+            pow(lit(0.5), x("age").cast("double"))).as("decayed"))
+  }
+
+  /** Krippendorff's alpha, nominal data (Krippendorff 2004) — the
+    * inter-annotator agreement metric that HANDLES MISSING RATINGS,
+    * which Cohen/Fleiss kappa (quality_kappa) cannot: any item with ≥ 2
+    * of the R raters contributes, pairs weighted 1/(mᵢ−1). Exactness:
+    * with the coincidence matrix scaled by 2 every contribution
+    * 2/(mᵢ−1) is an INTEGER for mᵢ ∈ {2, 3} (3 raters — require'd), so
+    * observed disagreement S_o2, the marginals n2_c and the expected
+    * term Σ_{c≠k} n2_c·n2_k are exact integers and
+    * alpha = 1 − S_o2·(n2−2) / Σ_{c≠k} n2_c·n2_k is ONE double
+    * division. Shape: one (item, label) partial agg, a per-item
+    * label-pair self-join (≤ R rows per item — bounded), two tiny
+    * label-domain aggs; nothing corpus-wide shuffles twice.
+    */
+  def krippendorffAlpha(
+      df: DataFrame,
+      itemCol: String,
+      raterCol: String,
+      labelCol: String): DataFrame = {
+    val ratings = df.select(col(itemCol).as("item"), col(raterCol).as("rater"),
+        col(labelCol).as("lab"))
+      .filter(col("lab").isNotNull)
+      .dropDuplicates("item", "rater")
+    // per-item label cells collected ONCE (≤ R entries — bounded by the
+    // rater count), the label-pair cross expanded IN ROW by a double
+    // explode: no per-item self-join, so the whole coincidence algebra
+    // costs 3 shuffles (dedup, (item,lab) agg, item agg) + tiny
+    // label-domain aggregates
+    val nic = ratings.groupBy("item", "lab").agg(count(lit(1)).cast("long").as("nc"))
+    val perItem = nic.groupBy("item")
+      .agg(sum("nc").cast("long").as("m"),
+        collect_list(struct(col("lab"), col("nc"))).as("cells"))
+      .filter(col("m") >= 2)
+      .localCheckpoint(eager = false) // feeds the pair expansion + n_items once
+    // o2[c,k] contributions: within an item, ordered label pairs
+    // (c ≠ k): nc·nk; diagonal: nc·(nc−1) — each × 2/(m−1) (an exact
+    // integer for m ∈ {2, 3})
+    val pairs = perItem
+      .select(col("m"), col("cells"), explode(col("cells")).as("a"))
+      .select(col("m"), col("a"), explode(col("cells")).as("b"))
+      .select(col("a.lab").as("c"), col("b.lab").as("k"),
+        (col("a.nc") * when(col("a.lab") === col("b.lab"), col("b.nc") - 1)
+          .otherwise(col("b.nc")) *
+          (lit(2L) / (col("m") - 1)).cast("long")).as("contrib"))
+    val o2 = pairs.groupBy("c", "k")
+      .agg(sum("contrib").cast("decimal(38,0)").as("o2"))
+      .localCheckpoint(eager = false) // feeds so2 + marg + n2 once
+    val so2 = o2.filter(col("c") =!= col("k"))
+      .agg(coalesce(sum("o2"), lit(0L)).cast("decimal(38,0)").as("s_o2"))
+    val marg = o2.groupBy("c").agg(sum("o2").cast("decimal(38,0)").as("n2_c"))
+    val de = marg.as("x").join(marg.as("y"), col("x.c") =!= col("y.c"))
+      .agg(sum(col("x.n2_c") * col("y.n2_c")).cast("decimal(38,0)").as("de2"))
+    val n2 = o2.agg(sum("o2").cast("decimal(38,0)").as("n2"))
+    val items = perItem.agg(count(lit(1)).cast("long").as("n_items"))
+    so2.crossJoin(broadcast(de)).crossJoin(broadcast(n2)) // 1-row × 1-row
+      .crossJoin(broadcast(items))
+      .select(col("n_items"),
+        (col("n2") / 2).cast("long").as("n_ratings_pairable"),
+        col("s_o2").cast("long").as("s_o2"),
+        col("de2").cast("long").as("de2"),
+        (lit(1.0) - (col("s_o2") * (col("n2") - 2)).cast("decimal(38,0)").cast("double")
+          / col("de2").cast("double")).as("alpha"))
+  }
+
+  /** Exact precision-recall curve per group: one point per DISTINCT
+    * score threshold ("predict positive at score ≥ s"), tp/fp/fn exact
+    * integers off a descending cumulative over the score-DOMAIN table
+    * (the aucExact posture: the window runs over distinct scores, never
+    * rows — a bounded-domain integer score keeps the window table tiny
+    * at any corpus size). precision/recall/f1 are fixed double
+    * expressions over the exact integers.
+    */
+  def prCurve(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      labelCol: String // boolean: true = positive
+  ): DataFrame = {
+    val counts = df
+      .groupBy(col(groupCol), col(scoreCol).as("s"))
+      .agg(
+        count(when(col(labelCol), 1)).as("p"),
+        count(when(!col(labelCol), 1)).as("q"))
+    val w = Window.partitionBy(groupCol).orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = df.groupBy(col(groupCol))
+      .agg(count(when(col(labelCol), 1)).as("n_pos"))
+    val prec = col("tp").cast("double") / (col("tp") + col("fp")).cast("double")
+    val rec = col("tp").cast("double") / col("n_pos").cast("double")
+    counts
+      .withColumn("tp", sum("p").over(w).cast("long"))
+      .withColumn("fp", sum("q").over(w).cast("long"))
+      .join(broadcast(tot), Seq(groupCol))
+      .select(col(groupCol), col("s").as("threshold"), col("tp"), col("fp"),
+        (col("n_pos") - col("tp")).cast("long").as("fn"),
+        prec.as("precision"), rec.as("recall"),
+        when(col("tp") === 0, lit(0.0))
+          .otherwise(lit(2.0) * prec * rec / (prec + rec)).as("f1"))
+  }
 }

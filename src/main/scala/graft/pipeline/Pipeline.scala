@@ -315,9 +315,26 @@ object Pipeline {
             V.probeIvf(spark, vecs, "__v_id", "__v_vec", indexOf,
               p.getOrElse("k", "5").toInt, p.getOrElse("nprobe", "2").toInt,
               p.getOrElse("excludeSelf", "true").toBoolean)
+          case "rerank" =>
+            // ANN pool → MMR diversity re-rank (the RAG retrieval
+            // shape): probe the persisted index for a `pool`-sized
+            // candidate set per query row, join the stored unit
+            // vectors back, greedy-select `k` at `lambda` —
+            // SimilarityOps.mmrFromPool over the index's own vectors.
+            val pool = V.probeIvf(spark, vecs, "__v_id", "__v_vec", indexOf,
+              p.getOrElse("pool", "16").toInt, p.getOrElse("nprobe", "2").toInt,
+              p.getOrElse("excludeSelf", "true").toBoolean)
+            val nvecs = spark.table(s"${prefix}_cells")
+              .select(F.col("neighbor_id"), F.col("unit").as("nvec"))
+            graft.operators.SimilarityOps.mmrFromPool(
+              pool.join(nvecs, Seq("neighbor_id"))
+                .select(F.col("query_id"), F.col("neighbor_id"),
+                  F.col("cosine").as("rel"), F.col("nvec")),
+              p.getOrElse("k", "5").toInt,
+              p.getOrElse("lambda", "0.7").toDouble)
           case other =>
             throw new IllegalArgumentException(
-              s"ann mode '$other' not in: build, append, probe")
+              s"ann mode '$other' not in: build, append, probe, rerank")
         }
       }
     case "split" =>

@@ -589,4 +589,53 @@ object StreamOps {
     df.write.mode("overwrite").parquet(dir)
     spark.readStream.schema(df.schema).parquet(dir)
   }
+
+  final case class DayEvent(key: String, day: Long)
+  final case class DecayOut(key: String, n_events: Long, decayed: Double)
+
+  /** STREAMING exponentially-decayed trending counts — the incremental
+    * twin of [[graft.operators.StatsOps.decayedTrend]]: state per key is
+    * the plain integer (day → count) map (mergeable, order-free), and
+    * the decayed score is computed only AT EMIT with the batch
+    * operator's exact read formula — ascending-age fold of
+    * n·0.5^age against the caller-supplied `asOfDay`. Because the
+    * STATE is integers and the fold order is pinned, a micro-batched
+    * stream emits the BIT-IDENTICAL double the batch query computes
+    * over the same rows — the PSI monitor's stream≡batch contract,
+    * applied to trending.
+    */
+  class DecayTrendProcessor(asOfDay: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, DayEvent, DecayOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var st: ValueState[Map[Long, Long]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Map[Long, Long]]("decayDayCounts",
+        Encoders.kryo[Map[Long, Long]], TTLConfig.NONE)
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[DayEvent],
+        timerValues: TimerValues
+    ): Iterator[DecayOut] = {
+      val m = scala.collection.mutable.HashMap.from(
+        Option(st.get()).getOrElse(Map.empty[Long, Long]))
+      rows.foreach(r => m(r.day) = m.getOrElse(r.day, 0L) + 1L)
+      st.update(m.toMap)
+      // the batch read formula, token for token: ascending age, double
+      // accumulate from 0.0, weight = 0.5^age (exact powers of two)
+      var acc = 0.0
+      m.toSeq.map { case (d, n) => ((asOfDay - d).toInt, n) }.sortBy(_._1)
+        .foreach { case (age, n) => acc += n.toDouble * math.pow(0.5, age.toDouble) }
+      Iterator.single(DecayOut(key, m.valuesIterator.sum, acc))
+    }
+  }
+
+  /** Wire a keyed day-event stream through [[DecayTrendProcessor]]. */
+  def streamingDecayedTrend(events: Dataset[DayEvent], asOfDay: Long): Dataset[DecayOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.key)
+      .transformWithState(new DecayTrendProcessor(asOfDay), TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -271,6 +271,33 @@ class PipelineSpec extends SparkSpec {
     assert(pq2.resultView(spark, "out").head().getAs[Int]("neighbor_id") == 5)
   }
 
+  test("ann:///<prefix>?mode=rerank runs MMR diversity re-ranking over the index pool") {
+    val pfx = "graft_r11_pipemmr"
+    graft.operators.BucketOps.dropTable(spark, s"${pfx}_cells")
+    graft.operators.BucketOps.dropTable(spark, s"${pfx}_centroids")
+    val hdr = "header=id:int,x:double,y:double&values="
+    // 1 = e1; 2 = near-copy of 1; 3 = e2 (orthogonal); 4 = mix
+    val corpus = "1,1.0,0.0;2,0.95,0.05;3,0.0,1.0;4,0.6,0.6"
+    val (pb, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?$hdr$corpus",
+      "--transform", "source+v+" + vecSql(Seq("x", "y")),
+      "--transform", s"v+out+ann:///$pfx?cells=1&buckets=2&id=id&vec=vec"))
+    assert(pb.resultView(spark, "out").count() == 4)
+    // rerank a query near e1: pool = all 4 (one cell), select 3 at
+    // λ=0.3 — diversity defers the near-copy (2) out of the top-3
+    val (pr, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?${hdr}100,1.0,0.02",
+      "--transform", "source+v+" + vecSql(Seq("x", "y")),
+      "--transform", s"v+out+ann:///$pfx?mode=rerank&pool=4&k=3&lambda=0.3&nprobe=1&id=id&vec=vec"))
+    val got = pr.resultView(spark, "out").orderBy("mmr_rank").collect()
+    assert(got.map(_.getAs[Int]("mmr_rank")).toSeq == Seq(1, 2, 3))
+    assert(got(0).getAs[Long]("neighbor_id") == 1L, "rank 1 = max relevance")
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L, 3L, 4L),
+      "the near-copy of 1 must be deferred by the diversity term")
+    // relevance carries the probe's cosine; mmr_score ≤ relevance
+    assert(got.forall(r => r.getAs[Double]("mmr_score") <= r.getAs[Double]("relevance") + 1e-12))
+  }
+
   test("ann:///<prefix>?kind=pq builds, probes, and appends a persisted IVF-PQ index") {
     val pfx = "graft_r11_pipepq"
     for (s <- Seq("_cells", "_centroids", "_codebook"))

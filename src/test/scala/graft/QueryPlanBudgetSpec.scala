@@ -478,6 +478,31 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // share it) + final ORDER BY riding the same keys
     "q71_interval_months" -> 1, // pure projection + TakeOrdered — calendar arithmetic
                               // is map-side
+    "events_mann_whitney" -> 10, // one banded avg-rank core (vt agg + band agg + global
+                              // band-table window + in-band window + gOff agg) + ties agg
+                              // + (g,v) join-back + final arm agg + ORDER BY — vs q65's 14
+                              // for TWO rank cores; no per-row rank window anywhere
+    "quality_pr_curve" -> 10, // the 5 of quality_model_score (hashed-feature scoring) +
+                              // label join + (source,score) counts agg + per-source
+                              // score-domain window + ORDER BY; totals ride a broadcast
+    "text_code_detect" -> 2,  // map-only battery: TP repartition + final ORDER BY — every
+                              // feature is a scan-speed projection, the 100 TB contract
+    "multimodal_audio_vad" -> 2, // per-clip islands window (bounded frames) reused by both
+                              // downstream aggs + ORDER BY; explode/energy are in-row
+    "text_mmr" -> 5,          // pool top-k window (query_id) + candidate-vector join +
+                              // groupByKey greedy + ORDER BY; queries broadcast into the
+                              // scored join so the corpus side never re-shuffles
+    "q72_try_arith" -> 2,     // agg (partial+final) + ORDER BY — try_* are row-local
+    "q73_lateral_alias" -> 1, // nested projection + TakeOrdered — alias chains are free
+    "events_decay_trend" -> 4, // (key,day) agg + 1-row max (single-partition) + per-key
+                              // agg + ORDER BY; the decay fold is an in-row aggregate()
+                              // over the bounded day list — never a float shuffle agg
+    "quality_krippendorff" -> 6, // dedup(item,rater) + (item,lab) agg + item agg (behind a
+                              // lazy checkpoint feeding pairs AND n_items) + (c,k) agg +
+                              // tiny label-domain aggs; the label-pair cross is an in-row
+                              // double explode — 23 → 6 after killing the per-item self-join
+    "q74_execute_immediate" -> 2, // the parameterized statement plans exactly like inline
+                              // SQL: agg + ORDER BY
     "text_fim" -> 2,          // pure map-only transform; the 2 = final ORDER BY range
                               // exchange + its TakeOrdered-side partial (the dump sort
                               // only — at scale the transform itself is exchange-free)

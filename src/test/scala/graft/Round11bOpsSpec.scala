@@ -1,0 +1,211 @@
+package graft
+
+import graft.operators.{CorpusOps, MultimodalOps, SimilarityOps, StatsOps}
+import org.apache.spark.sql.functions._
+
+/** Round-11 second-batch operators: Mann-Whitney U, PR curve,
+  * code-vs-prose detection, audio VAD, MMR re-ranking.
+  */
+class Round11bOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("mannWhitneyByGroup: exact U and tie-corrected z match a hand replay " +
+    "with ties, and an all-tied group yields null z") {
+    // group g1: A = {1, 2, 2}, B = {2, 3} — ties across arms at v=2
+    // group g2: all values equal → sigma = 0 → z null
+    val df = Seq(
+      ("g1", "A", 1L), ("g1", "A", 2L), ("g1", "A", 2L),
+      ("g1", "B", 2L), ("g1", "B", 3L),
+      ("g2", "A", 7L), ("g2", "A", 7L), ("g2", "B", 7L)
+    ).toDF("g", "arm", "v")
+    val got = StatsOps.mannWhitneyByGroup(df, "g", "arm", col("v"), "A")
+      .orderBy("g").collect()
+    // g1 pooled ranks: v=1 → 1; v=2 (3 ties) → avg 3; v=3 → 5
+    // R_A = 1 + 3 + 3 = 7 → 2R_A = 14; 2U_A = 14 − 3·4 = 2 → U_A = 1
+    // ties: t=3 at v=2 → T = 27 − 3 = 24
+    val g1 = got(0)
+    assert(g1.getAs[Long]("n_a") == 3 && g1.getAs[Long]("n_b") == 2)
+    assert(g1.getAs[Long]("u2_a") == 2L)
+    assert(g1.getAs[Long]("tie_term") == 24L)
+    assert(g1.getAs[Double]("u_a") == 1.0)
+    // z = (1 − 3) / sqrt(3·2/12 · (6 − 24/20)) = −2 / sqrt(2.4)
+    val expZ = (1.0 - 3.0) / math.sqrt(3.0 * 2.0 / 12.0 * (6.0 - 24.0 / 20.0))
+    assert(math.abs(g1.getAs[Double]("z") - expZ) < 1e-12)
+    val g2 = got(1)
+    // all tied: 2U_A = 2·ΣavgRank_A − n_a(n_a+1) = 2·(2+2) − 6 = 2
+    assert(g2.getAs[Long]("u2_a") == 2L)
+    assert(g2.isNullAt(g2.fieldIndex("z")))
+  }
+
+  test("mannWhitneyByGroup: no ties, U_A counts win pairs exactly") {
+    // A = {10, 30}, B = {20, 40}: pairs A>B = {(30,20)} → U_A = 1
+    val df = Seq(("g", "A", 10L), ("g", "A", 30L), ("g", "B", 20L), ("g", "B", 40L))
+      .toDF("g", "arm", "v")
+    val got = StatsOps.mannWhitneyByGroup(df, "g", "arm", col("v"), "A").collect()(0)
+    assert(got.getAs[Long]("u2_a") == 2L && got.getAs[Double]("u_a") == 1.0)
+    assert(got.getAs[Long]("tie_term") == 0L)
+  }
+
+  test("prCurve: one point per distinct threshold with exact tp/fp/fn and " +
+    "monotone recall") {
+    // scores: pos at {9, 7, 7, 3}, neg at {8, 7, 2}
+    val df = Seq((9, true), (7, true), (7, true), (3, true),
+      (8, false), (7, false), (2, false))
+      .map { case (s, l) => ("g", s, l) }.toDF("g", "s", "lab")
+    val got = StatsOps.prCurve(df, "g", "s", "lab")
+      .orderBy(col("threshold").desc).collect()
+    val byThr = got.map(r => r.getAs[Int]("threshold") ->
+      (r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"))).toMap
+    assert(byThr(9) == (1L, 0L, 3L))
+    assert(byThr(8) == (1L, 1L, 3L))
+    assert(byThr(7) == (3L, 2L, 1L))
+    assert(byThr(3) == (4L, 2L, 0L))
+    assert(byThr(2) == (4L, 3L, 0L))
+    // recall non-decreasing as threshold drops; final recall = 1
+    val recalls = got.map(_.getAs[Double]("recall"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a })
+    assert(recalls.last == 1.0)
+    // f1 at threshold 7: p = 3/5, r = 3/4 → 2pr/(p+r) = 2/3·... hand value
+    val p = 3.0 / 5.0; val r = 3.0 / 4.0
+    val f7 = got.find(_.getAs[Int]("threshold") == 7).get.getAs[Double]("f1")
+    assert(math.abs(f7 - 2.0 * p * r / (p + r)) < 1e-12)
+  }
+
+  test("codeProseReport: indented def-block flags as code, prose does not, " +
+    "dense symbol one-liner flags via the symbol path") {
+    val docs = Seq(
+      (1L, "plain prose with several ordinary words and no markup at all"),
+      (2L, "def process_x(x):\n    y = x * 2;\n    return {'k': y};\n# trailing comment"),
+      (3L, "x={a:1};y=[2];z=(3);if(x)return y;else{for(;;)var k=z;}") // dense symbols + keywords
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.codeProseReport(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(!got(0).getAs[Boolean]("is_code"))
+    assert(got(1).getAs[Boolean]("is_code")) // via indent_ratio = 2/4
+    assert(got(1).getAs[Long]("indent_lines") == 2L)
+    assert(got(1).getAs[Long]("kw_hits") >= 2L)
+    assert(got(2).getAs[Boolean]("is_code")) // via sym_ratio + keywords
+    assert(got(2).getAs[Double]("sym_ratio") > 0.03)
+    // snake_case identifier counted
+    assert(got(1).getAs[Long]("snake_ids") >= 1L)
+  }
+
+  test("vadReport: islands merge, zero-voiced docs survive with 0 fills, " +
+    "and counts replay the md5 energy kernel") {
+    val docs = Seq((1L, "abcdef"), (2L, "xy")).toDF("doc_id", "txt")
+      .select(col("doc_id"), encode(col("txt"), "UTF-8").as("bin"))
+    val got = MultimodalOps.vadReport(docs, "doc_id", "bin").orderBy("doc_id").collect()
+    // replay: energies from md5(s"$bl:$i") first 4 hex chars
+    def energies(bl: Int): Seq[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until (bl % 40 + 10)).map { i =>
+        val h = md.digest(s"$bl:$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(4)
+        java.lang.Long.parseLong(h, 16)
+      }
+    }
+    got.foreach { r =>
+      val bl = if (r.getAs[Long]("doc_id") == 1L) 6 else 2
+      val es = energies(bl)
+      val voiced = es.map(_ >= 32768L)
+      val segs = voiced.foldLeft(List.empty[Int]) {
+        case (acc, true) if acc.nonEmpty && acc.headOption.exists(_ > 0) => (acc.head + 1) :: acc.tail
+        case (acc, true) => 1 :: acc
+        case (acc, false) => 0 :: acc
+      }.filter(_ > 0)
+      assert(r.getAs[Long]("n_frames") == es.size.toLong)
+      assert(r.getAs[Long]("n_voiced") == voiced.count(identity).toLong)
+      assert(r.getAs[Long]("n_segments") == segs.size.toLong)
+      assert(r.getAs[Long]("longest_seg") == (if (segs.isEmpty) 0L else segs.max.toLong))
+    }
+  }
+
+  test("decayedTrend: exact power-of-two decay over per-day counts, " +
+    "ages anchored at the global max day") {
+    val day = 86400000000L
+    // key a: day 10 ×2, day 11 ×4, day 12 ×1; key b: day 12 ×3
+    val rows = Seq.fill(2)(("a", 10L)) ++ Seq.fill(4)(("a", 11L)) ++
+      Seq(("a", 12L)) ++ Seq.fill(3)(("b", 12L))
+    val df = rows.zipWithIndex
+      .map { case ((k, d), i) => (k, d * day + i * 1000L) }
+      .toDF("k", "ts_us")
+    val got = StatsOps.decayedTrend(df, "k", "ts_us").orderBy("k").collect()
+    // a: 1·0.5^0 + 4·0.5^1 + 2·0.5^2 = 3.5 ; b: 3·0.5^0 = 3.0
+    assert(got(0).getAs[Long]("n_events") == 7L)
+    assert(got(0).getAs[Double]("decayed") == 3.5)
+    assert(got(1).getAs[Long]("n_events") == 3L)
+    assert(got(1).getAs[Double]("decayed") == 3.0)
+  }
+
+  test("krippendorffAlpha: the hand-computed nominal example (missing " +
+    "ratings, mixed m) yields alpha = 0.5 with exact integer components") {
+    // item 1: A,A; item 2: A,B; item 3: B,B,B; item 4: single rating (dropped)
+    val df = Seq(
+      (1L, 1, "A"), (1L, 2, "A"),
+      (2L, 1, "A"), (2L, 2, "B"),
+      (3L, 1, "B"), (3L, 2, "B"), (3L, 3, "B"),
+      (4L, 1, "A")
+    ).toDF("item", "rater", "lab")
+    val got = StatsOps.krippendorffAlpha(df, "item", "rater", "lab").collect()(0)
+    assert(got.getAs[Long]("n_items") == 3L)
+    assert(got.getAs[Long]("n_ratings_pairable") == 7L)
+    assert(got.getAs[Long]("s_o2") == 4L)
+    assert(got.getAs[Long]("de2") == 96L)
+    assert(got.getAs[Double]("alpha") == 0.5)
+  }
+
+  test("krippendorffAlpha: perfect agreement gives alpha = 1") {
+    val df = Seq((1L, 1, "x"), (1L, 2, "x"), (2L, 1, "y"), (2L, 2, "y"))
+      .toDF("item", "rater", "lab")
+    val got = StatsOps.krippendorffAlpha(df, "item", "rater", "lab").collect()(0)
+    assert(got.getAs[Long]("s_o2") == 0L)
+    assert(got.getAs[Double]("alpha") == 1.0)
+  }
+
+  test("mmrRerank: rank 1 = argmax relevance; later picks trade relevance " +
+    "against max-sim to selected (a redundant near-copy is deferred)") {
+    // query 0 at e1; candidates: 1 ≈ e1 (rel ~1), 2 = near-copy of 1,
+    // 3 = e2-ish (low rel, orthogonal), 4 = e1+e2 mix
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.99, 0.01, 0.0, 0.0)),
+      (2L, Seq(0.985, 0.012, 0.0, 0.0)), // near-duplicate of 1
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (4L, Seq(0.6, 0.6, 0.0, 0.0))
+    ).toDF("vec_id", "vec")
+    val got = SimilarityOps.mmrRerank(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "vec", poolK = 4, selectK = 3, lambda = 0.3)
+      .orderBy("mmr_rank").collect()
+    assert(got.map(_.getAs[Int]("mmr_rank")).toSeq == Seq(1, 2, 3))
+    assert(got(0).getAs[Long]("neighbor_id") == 1L) // top relevance
+    // at λ=0.3 diversity dominates: the near-copy of 1 (sim ≈ 1) is
+    // deferred out of the top-3 entirely — the orthogonal 3 and the
+    // mix 4 are picked instead
+    assert(!got.map(_.getAs[Long]("neighbor_id")).contains(2L))
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L, 3L, 4L))
+    // greedy replay in plain scala over the same rounded inputs
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      r6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val cands = Seq(1L, 2L, 3L, 4L).map { id =>
+      val v = vecs.filter(col("vec_id") === id).collect()(0).getSeq[Double](1)
+      (id, cos(q, v), v)
+    }
+    var selected = List.empty[(Long, Double, Seq[Double])]
+    (1 to 3).foreach { _ =>
+      val rem = cands.filterNot(c => selected.exists(_._1 == c._1))
+      val pick = rem.map { c =>
+        val score = if (selected.isEmpty) c._2
+        else 0.3 * c._2 - (1.0 - 0.3) * selected.map(s => cos(c._3, s._3)).max
+        (c, score)
+      }.minBy { case (c, sc) => (-sc, c._1) }
+      selected = selected :+ ((pick._1._1, pick._2, pick._1._3))
+    }
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == selected.map(_._1))
+  }
+}

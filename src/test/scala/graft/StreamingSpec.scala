@@ -507,4 +507,52 @@ class StreamingSpec extends SparkSpec {
       assert(s1 == want, "stream-maintained snapshot must equal the batch merge chain")
     } finally q.stop()
   }
+
+  test("streaming decayed trend equals the batch StatsOps.decayedTrend " +
+    "bit-exactly and is micro-batch-split invariant") {
+    import graft.operators.StatsOps
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // key a: day 10 ×2, 11 ×4, 12 ×1; key b: day 12 ×3 (asOf = 12)
+    val rows = Seq.fill(2)(("a", 10L)) ++ Seq.fill(4)(("a", 11L)) ++
+      Seq(("a", 12L)) ++ Seq.fill(3)(("b", 12L))
+    val asOf = rows.map(_._2).max
+    def runStream(batches: Seq[Seq[(String, Long)]]): Map[String, (Long, Double)] = {
+      val input = MemoryStream[StreamOps.DayEvent]
+      val name = s"decay_out_${batches.size}"
+      val q = StreamOps.streamingDecayedTrend(input.toDS(), asOf)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b =>
+          input.addData(b.map { case (k, d) => StreamOps.DayEvent(k, d) }: _*)
+          q.processAllAvailable()
+        }
+        // latest emit per key carries the full accumulated state
+        spark.table(name).as[StreamOps.DecayOut].collect()
+          .groupBy(_.key).map { case (k, os) =>
+            val last = os.maxBy(_.n_events)
+            k -> (last.n_events, last.decayed)
+          }
+      } finally q.stop()
+    }
+    try {
+      val split = runStream(Seq(rows.take(4), rows.drop(4)))
+      val oneShot = runStream(Seq(rows))
+      assert(split == oneShot, "integer day-count state is split-invariant")
+      // batch twin over the same rows as ts_us
+      val day = 86400000000L
+      val batch = StatsOps.decayedTrend(
+          rows.zipWithIndex.map { case ((k, d), i) => (k, d * day + i) }
+            .toDF("k", "ts_us"), "k", "ts_us")
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("n_events"), r.getAs[Double]("decayed"))).toMap
+      assert(split == batch, s"stream $split != batch $batch")
+      assert(split("a")._2 == 3.5 && split("b")._2 == 3.0)
+    } finally {
+      if (prev.nonEmpty)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
+  }
 }

@@ -109,6 +109,34 @@ object Oracles {
     def normExpr(side: String) =
       s"sqrt(list_reduce(list_transform($side.vec, x -> x*x), (x,y) -> x+y))"
 
+    // text_mmr greedy replay (SimilarityOps.mmrRerank): stage 1 =
+    // argmax relevance; each later stage anti-joins the selected set,
+    // folds MAX sim against it, and picks the argmax of
+    // 0.7·rel − (1.0−0.7)·msim with candidate-id tie-break — the same
+    // doubles in the same token order as the engine's per-group greedy.
+    val mmrDotCv =
+      "list_reduce(list_transform(list_zip(a.cvec, b.cvec), p -> p[1]*p[2]), (x,y) -> x+y)"
+    def mmrNormCv(side: String) =
+      s"sqrt(list_reduce(list_transform($side.cvec, x -> x*x), (x,y) -> x+y))"
+    val mmrStages = (2 to 5).map { t =>
+      s"""r$t AS (
+         |  SELECT c.query_id, c.cand_id, c.rel, MAX(s.sim) AS msim
+         |  FROM cand c
+         |  JOIN sims s ON s.query_id = c.query_id AND s.ca = c.cand_id
+         |  JOIN sel${t - 1} p ON p.query_id = s.query_id AND p.cand_id = s.cb
+         |  LEFT JOIN sel${t - 1} x ON x.query_id = c.query_id AND x.cand_id = c.cand_id
+         |  WHERE x.cand_id IS NULL
+         |  GROUP BY c.query_id, c.cand_id, c.rel),
+         |s$t AS (
+         |  SELECT query_id, cand_id, rel, $t AS mmr_rank,
+         |         ROUND(0.7*rel - (1.0 - 0.7)*msim, 6) AS mmr_score
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY 0.7*rel - (1.0 - 0.7)*msim DESC, cand_id) AS rn FROM r$t)
+         |  WHERE rn = 1),
+         |sel$t AS (SELECT query_id, cand_id FROM sel${t - 1}
+         |          UNION ALL SELECT query_id, cand_id FROM s$t)""".stripMargin
+    }.mkString(",\n")
+
     // k-center replay: 8 unrolled argmax-min-distance stages as a
     // RUNNING min-distance chain — each center is a MATERIALIZED 1-row
     // CTE carrying its precomputed norm, each m$t folds the new
@@ -4276,7 +4304,227 @@ object Oracles {
           | (COUNT(DISTINCT l_suppkey) FILTER (WHERE l_tax = 0))::BIGINT AS n_notax_supp
           |FROM lineitem
           |GROUP BY l_returnflag
-          |ORDER BY l_returnflag""".stripMargin
+          |ORDER BY l_returnflag""".stripMargin,
+      "events_mann_whitney" ->
+        // 2·avgrank = 2·RANK + ties − 1 (the q65_spearman identity);
+        // 2·U_A and Σ(t³−t) exact integers; the tie-corrected z mirrors
+        // StatsOps.mannWhitneyByGroup token for token
+        """WITH e AS (SELECT event_type AS g,
+          |  CASE WHEN CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+          |       THEN 'A' ELSE 'B' END AS arm,
+          |  CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS v FROM events),
+          |r AS (SELECT g, arm,
+          |  CAST(2*RANK() OVER (PARTITION BY g ORDER BY v)
+          |       + COUNT(*) OVER (PARTITION BY g, v) - 1 AS DECIMAL(19,0)) AS ar2
+          | FROM e),
+          |t AS (SELECT g, CAST(SUM(c*c*c - c) AS DECIMAL(38,0)) AS tsum
+          |      FROM (SELECT g, v, CAST(COUNT(*) AS DECIMAL(38,0)) AS c FROM e GROUP BY g, v)
+          |      GROUP BY g),
+          |a AS (SELECT g,
+          |  COUNT(CASE WHEN arm = 'A' THEN 1 END) AS n_a,
+          |  COUNT(CASE WHEN arm <> 'A' THEN 1 END) AS n_b,
+          |  CAST(SUM(CASE WHEN arm = 'A' THEN ar2 ELSE 0 END) AS DECIMAL(38,0)) AS r2_a
+          | FROM r GROUP BY g),
+          |u AS (SELECT g, n_a, n_b,
+          |  CAST(r2_a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS BIGINT) AS u2_a,
+          |  CAST(tsum AS BIGINT) AS tie_term
+          | FROM a JOIN t USING (g)),
+          |z AS (SELECT g, n_a, n_b, u2_a, tie_term,
+          |  CAST(u2_a AS DOUBLE) / 2.0 AS u_a,
+          |  CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+          |  CAST(n_a + n_b AS DOUBLE) AS nd
+          | FROM u)
+          |SELECT g AS event_type, n_a, n_b, u2_a, tie_term, u_a,
+          | CASE WHEN nad * nbd / 12.0 * ((nd + 1.0) - CAST(tie_term AS DOUBLE) / (nd * (nd - 1.0))) > 0
+          |      THEN (u_a - nad * nbd / 2.0)
+          |           / sqrt(nad * nbd / 12.0 * ((nd + 1.0) - CAST(tie_term AS DOUBLE) / (nd * (nd - 1.0))))
+          |      ELSE NULL END AS z
+          |FROM z ORDER BY event_type""".stripMargin,
+      "quality_pr_curve" ->
+        // score CTE = the quality_model_auc replay; curve = descending
+        // cumulative over the DISTINCT milli-score domain
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+           |f AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           |      WHERE token <> '' AND NOT list_contains($stopAll, token)
+           |      GROUP BY doc_id, token),
+           |b AS (SELECT doc_id,
+           |      CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 64 AS INT) AS bucket, tf
+           |      FROM f),
+           |fb AS (SELECT doc_id, bucket, CAST(SUM(tf) AS BIGINT) AS tf FROM b GROUP BY doc_id, bucket),
+           |w AS (SELECT doc_id, tf,
+           |      CAST(('0x' || substr(md5('w:' || bucket::VARCHAR), 1, 8)) AS BIGINT) % 2001 - 1000 AS w
+           |      FROM fb),
+           |sc AS (SELECT doc_id, CAST(SUM(tf * w) AS BIGINT) AS s FROM w GROUP BY doc_id),
+           |lab AS (SELECT d.source, sc.s, (d.lang = 'en') AS pos
+           |        FROM documents d JOIN sc ON d.doc_id = sc.doc_id),
+           |cnt AS (SELECT source, s, COUNT(*) FILTER (pos) AS p, COUNT(*) FILTER (NOT pos) AS q
+           |        FROM lab GROUP BY source, s),
+           |tot AS (SELECT source, CAST(SUM(p) AS BIGINT) AS n_pos FROM cnt GROUP BY source),
+           |cum AS (SELECT source, s,
+           |        CAST(SUM(p) OVER (PARTITION BY source ORDER BY s DESC
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+           |        CAST(SUM(q) OVER (PARTITION BY source ORDER BY s DESC
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+           |        FROM cnt)
+           |SELECT source, s AS threshold, tp, fp,
+           | CAST(n_pos - tp AS BIGINT) AS fn,
+           | CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+           | CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) AS recall,
+           | CASE WHEN tp = 0 THEN 0.0
+           |      ELSE 2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+           |             * (CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE))
+           |           / ((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+           |              + (CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE))) END AS f1
+           |FROM cum JOIN tot USING (source)
+           |ORDER BY source, threshold DESC""".stripMargin,
+      "text_code_detect" ->
+        """WITH d AS (SELECT doc_id,
+          |  CASE WHEN doc_id % 5 = 0
+          |       THEN 'def process_' || CAST(doc_id AS VARCHAR) || '(x):' || chr(10)
+          |            || '    y = x * 2;' || chr(10) || '    return {''k'': y};' || chr(10)
+          |            || '# ' || text
+          |       ELSE text END AS t
+          | FROM documents),
+          |f AS (SELECT doc_id,
+          |  CAST(len(t) AS BIGINT) AS n_chars,
+          |  CAST(len(t) - len(regexp_replace(t, '[{}\[\]();=#<>*+]', '', 'g')) AS BIGINT) AS sym_cnt,
+          |  CAST(len(regexp_extract_all(lower(t),
+          |    '\b(def|return|import|class|function|const|var|if|else|for|while)\b')) AS BIGINT) AS kw_hits,
+          |  CAST(len(str_split(t, chr(10))) AS BIGINT) AS n_lines,
+          |  CAST(len(list_filter(str_split(t, chr(10)), l -> l LIKE '    %')) AS BIGINT) AS indent_lines,
+          |  CAST(len(regexp_extract_all(t, '[a-z]+_[a-z0-9]+')) AS BIGINT) AS snake_ids
+          | FROM d)
+          |SELECT doc_id, n_chars, sym_cnt, kw_hits, n_lines, indent_lines, snake_ids,
+          | CASE WHEN n_chars = 0 THEN 0.0
+          |      ELSE CAST(sym_cnt AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS sym_ratio,
+          | CAST(indent_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS indent_ratio,
+          | ((CASE WHEN n_chars = 0 THEN 0.0
+          |        ELSE CAST(sym_cnt AS DOUBLE) / CAST(n_chars AS DOUBLE) END) > 0.03
+          |   AND kw_hits >= 2)
+          |  OR (CAST(indent_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)) >= 0.2 AS is_code
+          |FROM f ORDER BY doc_id""".stripMargin,
+      "multimodal_audio_vad" ->
+        // frame energies = the documented md5 env-stub kernel; islands
+        // by frame_idx − ROW_NUMBER; zero-voiced docs kept via the left
+        // join with 0 fills
+        """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS bl FROM documents),
+          |base AS (SELECT doc_id, bl, CAST(bl % 40 + 10 AS INT) AS n_frames FROM b),
+          |f AS (SELECT doc_id, bl, unnest(range(0, n_frames)) AS frame_idx FROM base),
+          |e AS (SELECT doc_id, frame_idx,
+          |  CAST(('0x' || substr(md5(CAST(bl AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)), 1, 4)) AS BIGINT) AS energy
+          | FROM f),
+          |v AS (SELECT doc_id, frame_idx FROM e WHERE energy >= 32768),
+          |isl AS (SELECT doc_id,
+          |  frame_idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS island
+          | FROM v),
+          |seg AS (SELECT doc_id, island, COUNT(*) AS seg_len FROM isl GROUP BY doc_id, island),
+          |agg AS (SELECT doc_id, CAST(SUM(seg_len) AS BIGINT) AS n_voiced,
+          |        CAST(COUNT(*) AS BIGINT) AS n_segments,
+          |        CAST(MAX(seg_len) AS BIGINT) AS longest_seg
+          |        FROM seg GROUP BY doc_id)
+          |SELECT base.doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+          | COALESCE(n_voiced, 0) AS n_voiced, COALESCE(n_segments, 0) AS n_segments,
+          | COALESCE(longest_seg, 0) AS longest_seg,
+          | CAST(COALESCE(n_voiced, 0) AS DOUBLE) / CAST(n_frames AS DOUBLE) AS voiced_ratio
+          |FROM base LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "text_mmr" ->
+        s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+           |q AS (SELECT vec_id, vec FROM base WHERE vec_id < 6),
+           |scored AS (
+           | SELECT a.vec_id AS query_id, b.vec_id AS cand_id, b.vec AS cvec,
+           |  ROUND($dotExpr / (${normExpr("a")} * ${normExpr("b")}), 6) AS rel
+           | FROM q a JOIN base b ON b.vec_id <> a.vec_id),
+           |cand AS (SELECT * FROM (
+           |  SELECT query_id, cand_id, cvec, rel,
+           |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rk
+           |  FROM scored) WHERE rk <= 16),
+           |sims AS (
+           | SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+           |  ROUND($mmrDotCv / (${mmrNormCv("a")} * ${mmrNormCv("b")}), 6) AS sim
+           | FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+           |s1 AS (SELECT query_id, cand_id, rel, 1 AS mmr_rank, rel AS mmr_score
+           |       FROM cand WHERE rk = 1),
+           |sel1 AS (SELECT query_id, cand_id FROM s1),
+           |$mmrStages
+           |SELECT query_id, mmr_rank, cand_id AS neighbor_id, rel AS relevance, mmr_score
+           |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+           |      UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5)
+           |ORDER BY query_id, mmr_rank""".stripMargin,
+      "q72_try_arith" ->
+        // TRY_CAST is native; ÷0 and out-of-bounds list index are
+        // NULL-safe by construction in the twin
+        """WITH t AS (SELECT l_returnflag,
+          |  CASE WHEN l_linenumber - 3 = 0 THEN NULL
+          |       ELSE CAST(l_extendedprice AS DOUBLE) / CAST(l_linenumber - 3 AS DOUBLE) END AS dv,
+          |  TRY_CAST(CASE WHEN l_linenumber % 2 = 0
+          |                THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+          |                ELSE 'n/a' END AS INT) AS tc,
+          |  ([1, 2, 3])[CAST(l_linenumber AS INT)] AS el
+          | FROM lineitem)
+          |SELECT l_returnflag, COUNT(*)::BIGINT AS n_rows,
+          | COUNT(CASE WHEN dv IS NULL THEN 1 END)::BIGINT AS n_div_null,
+          | COUNT(CASE WHEN tc IS NULL THEN 1 END)::BIGINT AS n_cast_null,
+          | COUNT(CASE WHEN el IS NULL THEN 1 END)::BIGINT AS n_elem_null,
+          | CAST(SUM(tc) AS BIGINT) AS sum_cast
+          |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "events_decay_trend" ->
+        // integer day counts; decay at read: ascending-age ordered fold
+        // of n·0.5^age prepending the 0.0 init — the engine's aggregate()
+        // fold token for token
+        """WITH e AS (SELECT event_type AS k,
+          |  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d FROM events),
+          |c AS (SELECT k, d, COUNT(*) AS n FROM e GROUP BY k, d),
+          |t AS (SELECT MAX(d) AS dmax FROM c),
+          |a AS (SELECT k, n, CAST(dmax - d AS INT) AS age FROM c CROSS JOIN t)
+          |SELECT k AS event_type, CAST(SUM(n) AS BIGINT) AS n_events,
+          | list_reduce(
+          |   list_prepend(0.0::DOUBLE,
+          |     list(CAST(n AS DOUBLE) * pow(0.5, CAST(age AS DOUBLE)) ORDER BY age)),
+          |   (x, y) -> x + y) AS decayed
+          |FROM a GROUP BY k ORDER BY event_type""".stripMargin,
+      "quality_krippendorff" ->
+        // ×2-scaled coincidence algebra: every 2/(m−1) is an integer for
+        // m ∈ {2,3}; alpha = 1 − S_o2·(n2−2)/Σ_{c≠k} n2_c·n2_k — one
+        // double division, mirroring StatsOps.krippendorffAlpha
+        """WITH r AS (SELECT doc_id, rr.r AS rater, lang,
+          |  CAST(('0x' || substr(md5('kr' || CAST(rr.r AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+          | FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS r) rr),
+          |rr2 AS (SELECT doc_id, rater,
+          |  CASE WHEN h % 7 = 0
+          |       THEN (['en','de','es','fr','zh'])[CAST((h // 35) % 5 AS INT) + 1]
+          |       ELSE lang END AS lab
+          | FROM r WHERE h % 5 <> 0),
+          |mi AS (SELECT doc_id, COUNT(*) AS m FROM rr2 GROUP BY doc_id HAVING COUNT(*) >= 2),
+          |nic AS (SELECT rr2.doc_id, lab, COUNT(*) AS nc, ANY_VALUE(m) AS m
+          |        FROM rr2 JOIN mi USING (doc_id) GROUP BY rr2.doc_id, lab),
+          |p AS (SELECT a.lab AS c, b.lab AS k,
+          |  a.nc * (CASE WHEN a.lab = b.lab THEN b.nc - 1 ELSE b.nc END) * (2 // (a.m - 1)) AS contrib
+          | FROM nic a JOIN nic b ON a.doc_id = b.doc_id),
+          |o2 AS (SELECT c, k, CAST(SUM(contrib) AS HUGEINT) AS o2 FROM p GROUP BY c, k),
+          |s AS (SELECT CAST(COALESCE(SUM(o2) FILTER (c <> k), 0) AS BIGINT) AS s_o2,
+          |             CAST(SUM(o2) AS BIGINT) AS n2 FROM o2),
+          |mg AS (SELECT c, CAST(SUM(o2) AS BIGINT) AS n2_c FROM o2 GROUP BY c),
+          |de AS (SELECT CAST(SUM(CAST(x.n2_c AS HUGEINT) * y.n2_c) AS BIGINT) AS de2
+          |       FROM mg x JOIN mg y ON x.c <> y.c),
+          |it AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM mi)
+          |SELECT n_items, CAST(n2 // 2 AS BIGINT) AS n_ratings_pairable, s_o2, de2,
+          | 1.0 - CAST(s_o2 * (n2 - 2) AS DOUBLE) / CAST(de2 AS DOUBLE) AS alpha
+          |FROM s CROSS JOIN de CROSS JOIN it""".stripMargin,
+      "q74_execute_immediate" ->
+        """SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+          | CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS total
+          |FROM orders WHERE o_totalprice > 150000.0
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "q73_lateral_alias" ->
+        // the twin spells the alias chain out; DOUBLE via the exact
+        // VARCHAR hop (decimal→double convention)
+        """WITH x AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS base
+          |           FROM orders WHERE o_orderkey % 53 = 0)
+          |SELECT o_orderkey,
+          | CAST(CAST(base AS VARCHAR) AS DOUBLE) AS base,
+          | CAST(CAST(base * 2 AS VARCHAR) AS DOUBLE) AS doubled,
+          | CAST(CAST(base * 2 + base AS VARCHAR) AS DOUBLE) AS tripled
+          |FROM x ORDER BY o_orderkey""".stripMargin
     )
     // the typed Dataset interval twin (SURVEY §2 row 94) shares the
     // Column-form query's oracle verbatim: identical output contract is
