@@ -6407,6 +6407,26 @@ object SparkEntry {
       }.reduce(_ unionByName _)
       StatsOps.krippendorffAlpha(ratings, "doc_id", "rater", "lab")
     }),
+    "events_ab_permutation" -> ((s, d) => {
+      // randomization test on per-user spend: the assumption-free
+      // p-value completing the A/B family (Welch t, Mann-Whitney,
+      // CUPED, SRM) — 64 deterministic md5 reassignments of the
+      // PER-USER totals, add-one Monte-Carlo p. The observed arm is
+      // the shared "ab:" convention. See StatsOps.randomizationTest.
+      val perUser = EV(s, d)
+        .groupBy("user_id")
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .cast("long").as("cents"))
+      StatsOps.randomizationTest(perUser, "user_id", "cents", "ab:", k = 64)
+    }),
+    "events_ams_f2" -> ((s, d) => {
+      // AMS tug-of-war F2 sketch vs the exact second moment of the
+      // user-id frequency vector — the O(1)-state join-size estimator
+      // (q44_joinsize is the exact twin); 32 integer Z-accumulators
+      // off ONE md5 per row, median-of-means combine. See
+      // StatsOps.amsF2Report.
+      StatsOps.amsF2Report(EV(s, d), "user_id")
+    }),
     "q74_execute_immediate" -> ((s, d) => {
       // EXECUTE IMMEDIATE + named parameter marker conformance (the
       // SQL-scripting surface): the statement string is planned like

@@ -744,6 +744,98 @@ object StatsOps {
           / col("de2").cast("double")).as("alpha"))
   }
 
+  /** Randomization (permutation-style) test for a two-arm experiment —
+    * the assumption-free p-value next to Welch-t / Mann-Whitney / CUPED:
+    * K deterministic md5 REASSIGNMENTS of the per-unit totals (Dwass
+    * 1957 random-reassignment variant; never the raw event rows), the
+    * |mean difference| statistic recomputed under each, and the
+    * add-one Monte-Carlo estimator p = (1 + #{k: |Δₖ| ≥ |Δ_obs|})/(K+1)
+    * (Phipson & Smyth 2010 — never reports p = 0). Exactness: per-arm
+    * sums are exact decimals; each |Δ| is the same fixed two-division
+    * double on both engines; the ≥ count is over identical doubles.
+    * Shape: one per-unit agg, a broadcast K-row cross (the K-fold blow-
+    * up rides the UNIT table, ≪ events), one (perm) agg — all
+    * map-side combinable; no window, no driver loop.
+    */
+  def randomizationTest(
+      perUnit: DataFrame, // (unitCol, valueCol: long)
+      unitCol: String,
+      valueCol: String,
+      obsPrefix: String,
+      k: Int = 64): DataFrame = {
+    val spark = perUnit.sparkSession
+    val perms = spark.range(0, k + 1).select(col("id").cast("int").as("perm"))
+    def bit(prefix: Column) =
+      conv(substring(md5(concat(prefix, col(unitCol).cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 2
+    val assigned = perUnit
+      .select(col(unitCol), col(valueCol).cast("long").as("__v"))
+      .crossJoin(broadcast(perms)) // K+1-row literal attach
+      .withColumn("__bit", bit(when(col("perm") === 0, lit(obsPrefix))
+        .otherwise(concat(lit("perm"), col("perm"), lit(":")))))
+    val stats = assigned.groupBy("perm")
+      .agg(
+        sum(when(col("__bit") === 0, col("__v")).otherwise(0L))
+          .cast("decimal(38,0)").cast("double").as("sa"),
+        count(when(col("__bit") === 0, 1)).cast("double").as("na"),
+        sum(when(col("__bit") === 1, col("__v")).otherwise(0L))
+          .cast("decimal(38,0)").cast("double").as("sb"),
+        count(when(col("__bit") === 1, 1)).cast("double").as("nb"))
+      .withColumn("stat",
+        when(col("na") > 0 && col("nb") > 0,
+          abs(col("sa") / col("na") - col("sb") / col("nb"))))
+    val obs = stats.filter(col("perm") === 0)
+      .select(col("stat").as("obs_stat"), (col("na") + col("nb")).cast("long").as("n_units"))
+    stats.filter(col("perm") > 0)
+      .crossJoin(broadcast(obs)) // 1-row attach
+      .agg(
+        max("n_units").as("n_units"),
+        max("obs_stat").as("obs_diff"),
+        count(when(col("stat") >= col("obs_stat"), 1)).cast("long").as("n_ge"))
+      .select(col("n_units"), col("obs_diff"), col("n_ge"),
+        ((col("n_ge") + 1).cast("double") / lit((k + 1).toDouble)).as("p_value"))
+  }
+
+  /** AMS "tug-of-war" sketch (Alon, Matias & Szegedy STOC'96) for the
+    * second frequency moment F2 = Σ_u f_u² — the join-size /
+    * self-join-size estimator that needs O(1) state instead of a
+    * per-key aggregate: 32 estimators share ONE md5 per row (bits
+    * 0..31 of a 60-bit hash word), each Zₑ = Σ ±1 accumulates as an
+    * EXACT INTEGER conditional sum (order/merge-free — the sketch
+    * merges across shards/batches by plain addition), and the estimate
+    * is the classic median-of-4-means-of-8 Zₑ². The exact F2 (one
+    * per-key agg) rides along for the error report — at 100 TB you'd
+    * keep only the sketch side. All doubles are fixed-order combines
+    * of exact integers.
+    */
+  def amsF2Report(df: DataFrame, keyCol: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("ams:"), col(keyCol).cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val signs = (0 until 32).map(e =>
+      sum(lit(1L) - lit(2L) * shiftright(col("__h"), e).bitwiseAND(lit(1L)))
+        .cast("long").as(s"z$e"))
+    val aggs = count(lit(1)).cast("long").as("n_events") +: signs
+    val zrow = df.select(h.as("__h")).agg(aggs.head, aggs.tail: _*)
+    // 4 group means of 8 squared Z's (exact integer sums / 8.0), then
+    // the even-median = mean of the two middle values
+    val means = (0 until 4).map { g =>
+      (0 until 8).map(i =>
+        (col(s"z${g * 8 + i}").cast("decimal(19,0)") * col(s"z${g * 8 + i}"))
+          .cast("decimal(38,0)"))
+        .reduce(_ + _).cast("decimal(38,0)").cast("double") / lit(8.0)
+    }
+    val est = zrow
+      .withColumn("__ms", sort_array(array(means: _*)))
+      .select(col("n_events"),
+        ((element_at(col("__ms"), 2) + element_at(col("__ms"), 3)) / lit(2.0)).as("est_f2"))
+    val exact = df.groupBy(col(keyCol)).agg(count(lit(1)).cast("long").as("f"))
+      .agg(sum((col("f").cast("decimal(19,0)") * col("f")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").cast("double").as("exact_f2"))
+    est.crossJoin(broadcast(exact)) // 1-row × 1-row
+      .select(col("n_events"), col("exact_f2"), col("est_f2"),
+        (abs(col("est_f2") - col("exact_f2")) / col("exact_f2")).as("rel_err"))
+  }
+
   /** Exact precision-recall curve per group: one point per DISTINCT
     * score threshold ("predict positive at score ≥ s"), tp/fp/fn exact
     * integers off a descending cumulative over the score-DOMAIN table

@@ -503,6 +503,12 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // double explode — 23 → 6 after killing the per-item self-join
     "q74_execute_immediate" -> 2, // the parameterized statement plans exactly like inline
                               // SQL: agg + ORDER BY
+    "events_ab_permutation" -> 4, // per-user agg + per-perm agg (the 65× blow-up rides the
+                              // USER table via a broadcast literal cross) + obs 1-row +
+                              // final 1-row agg — never the raw events ×65
+    "events_ams_f2" -> 3,     // ONE scan → 32 integer conditional sums in a single 1-row
+                              // agg + the exact-F2 per-key agg + its 1-row fold; the
+                              // sketch side is O(1) state, merge-free by addition
     "text_fim" -> 2,          // pure map-only transform; the 2 = final ORDER BY range
                               // exchange + its TakeOrdered-side partial (the dump sort
                               // only — at scale the transform itself is exchange-free)

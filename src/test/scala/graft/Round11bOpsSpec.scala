@@ -165,6 +165,59 @@ class Round11bOpsSpec extends SparkSpec {
     assert(got.getAs[Double]("alpha") == 1.0)
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("randomizationTest: output equals a plain-scala md5 replay and a " +
+    "huge injected effect drives p to the floor") {
+    def bit(prefix: String, u: Long): Long =
+      java.lang.Long.parseLong(md5hex(prefix + u).take(8), 16) % 2
+    val units = (1L to 50L).map(u => (u, u * 10))
+    val df = units.toDF("user_id", "cents")
+    val k = 16
+    val got = StatsOps.randomizationTest(df, "user_id", "cents", "ab:", k).collect()(0)
+    // scala replay
+    def stat(prefix: String): Double = {
+      val (a, b) = units.partition { case (u, _) => bit(prefix, u) == 0 }
+      math.abs(a.map(_._2).sum.toDouble / a.size - b.map(_._2).sum.toDouble / b.size)
+    }
+    val obs = stat("ab:")
+    val nGe = (1 to k).count(p => stat(s"perm$p:") >= obs)
+    assert(got.getAs[Long]("n_units") == 50L)
+    assert(got.getAs[Double]("obs_diff") == obs)
+    assert(got.getAs[Long]("n_ge") == nGe.toLong)
+    assert(got.getAs[Double]("p_value") == (nGe + 1).toDouble / (k + 1).toDouble)
+    // inject a massive arm-A effect: no random reassignment matches it
+    val boosted = units.map { case (u, v) =>
+      (u, if (bit("ab:", u) == 0) v + 1000000L else v)
+    }.toDF("user_id", "cents")
+    val p2 = StatsOps.randomizationTest(boosted, "user_id", "cents", "ab:", k)
+      .collect()(0)
+    assert(p2.getAs[Long]("n_ge") == 0L)
+    assert(p2.getAs[Double]("p_value") == 1.0 / (k + 1).toDouble)
+  }
+
+  test("amsF2Report: sketch and exact F2 equal a plain-scala md5 replay") {
+    // keys with skewed frequencies: f = (5, 3, 1, 1)
+    val keys = Seq.fill(5)(11L) ++ Seq.fill(3)(22L) ++ Seq(33L, 44L)
+    val df = keys.toDF("user_id")
+    val got = StatsOps.amsF2Report(df, "user_id").collect()(0)
+    assert(got.getAs[Long]("n_events") == 10L)
+    assert(got.getAs[Double]("exact_f2") == (25 + 9 + 1 + 1).toDouble)
+    // replay: one 60-bit hash word per key, sign_e = 1 − 2·bit_e
+    val z = Array.fill(32)(0L)
+    keys.foreach { u =>
+      val h = java.lang.Long.parseLong(md5hex("ams:" + u).take(15), 16)
+      (0 until 32).foreach(e => z(e) += 1L - 2L * ((h >> e) & 1L))
+    }
+    val ms = (0 until 4).map(g => (0 until 8).map(i => z(g * 8 + i) * z(g * 8 + i)).sum.toDouble / 8.0)
+      .sorted
+    val est = (ms(1) + ms(2)) / 2.0
+    assert(got.getAs[Double]("est_f2") == est)
+    assert(got.getAs[Double]("rel_err") == math.abs(est - 36.0) / 36.0)
+  }
+
   test("mmrRerank: rank 1 = argmax relevance; later picks trade relevance " +
     "against max-sim to selected (a redundant near-copy is deferred)") {
     // query 0 at e1; candidates: 1 ≈ e1 (rel ~1), 2 = near-copy of 1,

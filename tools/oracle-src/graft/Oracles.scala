@@ -4510,6 +4510,58 @@ object Oracles {
           |SELECT n_items, CAST(n2 // 2 AS BIGINT) AS n_ratings_pairable, s_o2, de2,
           | 1.0 - CAST(s_o2 * (n2 - 2) AS DOUBLE) / CAST(de2 AS DOUBLE) AS alpha
           |FROM s CROSS JOIN de CROSS JOIN it""".stripMargin,
+      "events_ab_permutation" ->
+        // 64 md5 reassignments of PER-USER totals; add-one Monte-Carlo
+        // p — StatsOps.randomizationTest token for token
+        """WITH pu AS (SELECT user_id,
+          |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS cents
+          | FROM events GROUP BY user_id),
+          |perms AS (SELECT unnest(range(0, 65)) AS perm),
+          |a AS (SELECT perm, cents,
+          |  CAST(('0x' || substr(md5(
+          |    (CASE WHEN perm = 0 THEN 'ab:' ELSE 'perm' || CAST(perm AS VARCHAR) || ':' END)
+          |    || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS bit
+          | FROM pu CROSS JOIN perms),
+          |st AS (SELECT perm,
+          |  CAST(CAST(SUM(CASE WHEN bit = 0 THEN cents ELSE 0 END) AS VARCHAR) AS DOUBLE) AS sa,
+          |  CAST(COUNT(CASE WHEN bit = 0 THEN 1 END) AS DOUBLE) AS na,
+          |  CAST(CAST(SUM(CASE WHEN bit = 1 THEN cents ELSE 0 END) AS VARCHAR) AS DOUBLE) AS sb,
+          |  CAST(COUNT(CASE WHEN bit = 1 THEN 1 END) AS DOUBLE) AS nb
+          | FROM a GROUP BY perm),
+          |s2 AS (SELECT perm,
+          |  CASE WHEN na > 0 AND nb > 0 THEN abs(sa/na - sb/nb) END AS stat, na, nb
+          | FROM st),
+          |o AS (SELECT stat AS obs_stat, CAST(na + nb AS BIGINT) AS n_units
+          |      FROM s2 WHERE perm = 0)
+          |SELECT n_units, obs_stat AS obs_diff,
+          | CAST(COUNT(CASE WHEN stat >= obs_stat THEN 1 END) AS BIGINT) AS n_ge,
+          | CAST(COUNT(CASE WHEN stat >= obs_stat THEN 1 END) + 1 AS DOUBLE) / 65.0 AS p_value
+          |FROM s2 CROSS JOIN o WHERE perm > 0
+          |GROUP BY n_units, obs_stat""".stripMargin,
+      "events_ams_f2" -> {
+        val zs = (0 until 32).map(e => s"SUM(1 - 2 * ((h >> $e) & 1)) AS z$e").mkString(",\n  ")
+        val ms = (0 until 4).map { g =>
+          val sq = (0 until 8).map(i => s"CAST(z${g * 8 + i} AS HUGEINT) * z${g * 8 + i}")
+            .mkString(" + ")
+          s"CAST(CAST($sq AS VARCHAR) AS DOUBLE) / 8.0 AS m$g"
+        }.mkString(",\n  ")
+        s"""WITH hh AS (SELECT CAST(('0x' || substr(md5('ams:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+           |            user_id FROM events),
+           |z AS (SELECT COUNT(*) AS n_events,
+           |  $zs
+           | FROM hh),
+           |m AS (SELECT n_events,
+           |  $ms
+           | FROM z),
+           |e AS (SELECT n_events,
+           |  (list_sort([m0, m1, m2, m3])[2] + list_sort([m0, m1, m2, m3])[3]) / 2.0 AS est_f2
+           | FROM m),
+           |x AS (SELECT CAST(CAST(SUM(CAST(f AS HUGEINT) * f) AS VARCHAR) AS DOUBLE) AS exact_f2
+           |      FROM (SELECT COUNT(*) AS f FROM events GROUP BY user_id))
+           |SELECT CAST(n_events AS BIGINT) AS n_events, exact_f2, est_f2,
+           | abs(est_f2 - exact_f2) / exact_f2 AS rel_err
+           |FROM e CROSS JOIN x""".stripMargin
+      },
       "q74_execute_immediate" ->
         """SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
           | CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS total
