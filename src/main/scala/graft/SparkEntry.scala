@@ -6427,6 +6427,19 @@ object SparkEntry {
       // StatsOps.amsF2Report.
       StatsOps.amsF2Report(EV(s, d), "user_id")
     }),
+    "events_kmeans1d" -> ((s, d) => {
+      // OPTIMAL 1-D k-means segmentation of the spend distribution
+      // (Ckmeans.1d.dp — provably-minimal within-cluster SSE, vs the
+      // heuristic equi-width/equi-depth bins of q23/q46): one
+      // distributed pass onto a 64-cell exact-integer grid, the O(B²k)
+      // DP on the ≤64 occupied cells driver-side. The DuckDB twin
+      // replays the DP forward AND the backtrack decision-for-decision.
+      // See StatsOps.kmeans1dOptimal.
+      val cents = EV(s, d).filter(col("value").isNotNull)
+        .select((col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      StatsOps.kmeans1dOptimal(cents, col("cents"), k = 4, buckets = 64)
+        .orderBy("cluster_id")
+    }),
     "q74_execute_immediate" -> ((s, d) => {
       // EXECUTE IMMEDIATE + named parameter marker conformance (the
       // SQL-scripting surface): the statement string is planned like

@@ -836,6 +836,84 @@ object StatsOps {
         (abs(col("est_f2") - col("exact_f2")) / col("exact_f2")).as("rel_err"))
   }
 
+  /** OPTIMAL 1-D k-means (the Ckmeans.1d.dp dynamic program, Wang &
+    * Song 2011) over a pre-bucketed value domain — the provably-best
+    * k-segmentation by within-cluster SSE, vs the heuristic bins of
+    * equi-width (q23) / equi-depth (q46): the classic two-level shape
+    * for 100 TB quantization. Stage 1 is ONE distributed pass folding
+    * the corpus onto a ≤ `buckets` equi-width grid with EXACT integer
+    * (count, Σv, Σv²) cells; stage 2 runs the O(B²k) DP on the
+    * occupied cells driver-side (a bounded ≤64-row collect — the
+    * trainCentroids contract). Segment costs are
+    * q − s·s/c on doubles converted ONCE from the exact integer
+    * prefix differences (IEEE-nearest on both engines), argmin ties
+    * break on the smaller split — so the DuckDB twin replays the DP
+    * and its backtrack decision-for-decision.
+    */
+  def kmeans1dOptimal(
+      df: DataFrame,
+      value: Column,
+      k: Int = 4,
+      buckets: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val v = df.select(value.cast("long").as("v")).filter(col("v").isNotNull)
+    val mm = v.agg(min("v").as("lo"), max("v").as("hi")).collect()(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val width = (hi - lo) / buckets + 1
+    val occ = v
+      .groupBy(RankOps.idiv(col("v") - lo, width).as("b"))
+      .agg(count(lit(1)).cast("long").as("c"),
+        sum(col("v").cast("decimal(19,0)")).cast("decimal(38,0)").as("s"),
+        sum((col("v").cast("decimal(19,0)") * col("v")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("q"))
+      .orderBy("b")
+      .collect() // ≤ `buckets` rows — bounded by construction
+    val n = occ.length
+    require(n >= k, s"kmeans1dOptimal: $n occupied cells < k=$k")
+    val b = occ.map(_.getLong(0))
+    val pc = new Array[Long](n + 1)
+    val ps = new Array[BigInt](n + 1); val pq = new Array[BigInt](n + 1)
+    ps(0) = BigInt(0); pq(0) = BigInt(0)
+    occ.zipWithIndex.foreach { case (r, i) =>
+      pc(i + 1) = pc(i) + r.getLong(1)
+      ps(i + 1) = ps(i) + BigInt(r.getDecimal(2).toBigInteger)
+      pq(i + 1) = pq(i) + BigInt(r.getDecimal(3).toBigInteger)
+    }
+    // cost(j+1..i), 1-based cells: doubles converted ONCE from exact ints
+    def cost(j: Int, i: Int): Double = {
+      val cd = (pc(i) - pc(j)).toDouble
+      val sd = BigDecimal(ps(i) - ps(j)).doubleValue
+      val qd = BigDecimal(pq(i) - pq(j)).doubleValue
+      qd - sd * sd / cd
+    }
+    // forward DP: best(t)(i) over cells 1..i with t clusters
+    val best = Array.ofDim[Double](k + 1, n + 1)
+    val arg = Array.ofDim[Int](k + 1, n + 1)
+    (1 to n).foreach(i => best(1)(i) = cost(0, i))
+    for (t <- 2 to k; i <- t to n) {
+      var bj = -1; var bv = 0.0
+      var j = t - 1
+      while (j <= i - 1) {
+        val cand = best(t - 1)(j) + cost(j, i)
+        if (bj < 0 || cand < bv) { bj = j; bv = cand } // tie → smaller j
+        j += 1
+      }
+      best(t)(i) = bv; arg(t)(i) = bj
+    }
+    // backtrack the k segment ends
+    val ends = new Array[Int](k + 1) // ends(0) = 0
+    ends(k) = n
+    for (t <- k until 1 by -1) ends(t - 1) = arg(t)(ends(t))
+    import spark.implicits._
+    (1 to k).map { t =>
+      val (j, i) = (ends(t - 1), ends(t))
+      val c = pc(i) - pc(j)
+      val s = ps(i) - ps(j)
+      (t, lo + b(j) * width, lo + b(i - 1) * width + width - 1,
+        c, BigDecimal(s).doubleValue / c.toDouble, cost(j, i))
+    }.toDF("cluster_id", "lo_value", "hi_value", "n", "mean", "sse")
+  }
+
   /** Exact precision-recall curve per group: one point per DISTINCT
     * score threshold ("predict positive at score ≥ s"), tp/fp/fn exact
     * integers off a descending cumulative over the score-DOMAIN table

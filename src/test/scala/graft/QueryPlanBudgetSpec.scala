@@ -509,6 +509,10 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "events_ams_f2" -> 3,     // ONE scan → 32 integer conditional sums in a single 1-row
                               // agg + the exact-F2 per-key agg + its 1-row fold; the
                               // sketch side is O(1) state, merge-free by addition
+    "events_kmeans1d" -> 1,   // the FINAL plan is the k-row driver-literal result +
+                              // ORDER BY; the distributed work (min/max + 64-cell grid
+                              // agg) runs eagerly at construction — two bounded passes,
+                              // DP on ≤64 cells driver-side (the trainCentroids contract)
     "text_fim" -> 2,          // pure map-only transform; the 2 = final ORDER BY range
                               // exchange + its TakeOrdered-side partial (the dump sort
                               // only — at scale the transform itself is exchange-free)

@@ -218,6 +218,26 @@ class Round11bOpsSpec extends SparkSpec {
     assert(got.getAs[Double]("rel_err") == math.abs(est - 36.0) / 36.0)
   }
 
+  test("kmeans1dOptimal: k well-separated groups land one-per-cluster with " +
+    "exact grid edges and SSE; the DP beats a greedy split where it must") {
+    val vals = Seq(0L, 1L, 100L, 101L, 200L, 201L, 300L, 301L).toDF("v")
+    val got = StatsOps.kmeans1dOptimal(vals, col("v"), k = 4, buckets = 64)
+      .orderBy("cluster_id").collect()
+    // width = (301-0)/64 + 1 = 5; cells 0, 20, 40, 60 — one per cluster
+    assert(got.map(_.getAs[Long]("n")).forall(_ == 2L))
+    assert(got.map(_.getAs[Long]("lo_value")).toSeq == Seq(0L, 100L, 200L, 300L))
+    assert(got.map(_.getAs[Long]("hi_value")).toSeq == Seq(4L, 104L, 204L, 304L))
+    // each pair {x, x+1}: sse = q − s²/c = 0.5
+    assert(got.map(_.getAs[Double]("sse")).forall(_ == 0.5))
+    assert(got(0).getAs[Double]("mean") == 0.5)
+    // optimality: {0,16} vs {160} (SSE 128) beats {0} vs {16,160} (10368)
+    val g2 = StatsOps.kmeans1dOptimal(Seq(0L, 16L, 160L).toDF("v"), col("v"), k = 2)
+      .orderBy("cluster_id").collect()
+    assert(g2(0).getAs[Long]("n") == 2L && g2(1).getAs[Long]("n") == 1L)
+    assert(g2(0).getAs[Double]("sse") == 128.0)
+    assert(g2(1).getAs[Double]("sse") == 0.0)
+  }
+
   test("mmrRerank: rank 1 = argmax relevance; later picks trade relevance " +
     "against max-sim to selected (a redundant near-copy is deferred)") {
     // query 0 at e1; candidates: 1 ≈ e1 (rel ~1), 2 = near-copy of 1,

@@ -4510,6 +4510,66 @@ object Oracles {
           |SELECT n_items, CAST(n2 // 2 AS BIGINT) AS n_ratings_pairable, s_o2, de2,
           | 1.0 - CAST(s_o2 * (n2 - 2) AS DOUBLE) / CAST(de2 AS DOUBLE) AS alpha
           |FROM s CROSS JOIN de CROSS JOIN it""".stripMargin,
+      "events_kmeans1d" -> {
+        // Ckmeans.1d.dp replay: prefix sums over the occupied grid,
+        // k=4 unrolled DP stages (argmin ties → smaller j, mirroring
+        // the scala loop's strict-< update), then the 3-step backtrack
+        def cost(pj: String, pi: String) =
+          s"CAST(CAST($pi.pq - $pj.pq AS VARCHAR) AS DOUBLE)" +
+            s" - CAST(CAST($pi.ps - $pj.ps AS VARCHAR) AS DOUBLE)" +
+            s" * CAST(CAST($pi.ps - $pj.ps AS VARCHAR) AS DOUBLE)" +
+            s" / CAST($pi.pc - $pj.pc AS DOUBLE)"
+        val stages = (2 to 4).map { t =>
+          s"""b$t AS (SELECT i, v AS best, j AS argj FROM (
+             |  SELECT pi.i AS i, pj.i AS j,
+             |    b${t - 1}.best + ${cost("pj", "pi")} AS v,
+             |    ROW_NUMBER() OVER (PARTITION BY pi.i
+             |      ORDER BY b${t - 1}.best + ${cost("pj", "pi")} ASC, pj.i ASC) AS rn
+             |  FROM pre pi JOIN pre pj ON pj.i BETWEEN ${t - 1} AND pi.i - 1
+             |  JOIN b${t - 1} ON b${t - 1}.i = pj.i
+             |  WHERE pi.i >= $t) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH v AS (SELECT CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS v
+           |           FROM events WHERE value IS NOT NULL),
+           |mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM v),
+           |g AS (SELECT (v - lo) // ((hi - lo) // 64 + 1) AS b, v, lo,
+           |             (hi - lo) // 64 + 1 AS width
+           |      FROM v CROSS JOIN mm),
+           |occ AS (SELECT b, ANY_VALUE(lo) AS lo, ANY_VALUE(width) AS width,
+           |        COUNT(*) AS c, SUM(CAST(v AS HUGEINT)) AS s,
+           |        SUM(CAST(v AS HUGEINT) * v) AS q
+           |        FROM g GROUP BY b),
+           |idx AS (SELECT b, lo, width, c, s, q,
+           |        CAST(ROW_NUMBER() OVER (ORDER BY b) AS BIGINT) AS i FROM occ),
+           |prn AS (SELECT i, b, lo, width,
+           |  SUM(c) OVER w AS pc, SUM(s) OVER w AS ps, SUM(q) OVER w AS pq
+           | FROM idx WINDOW w AS (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |pre AS (SELECT * FROM prn
+           |        UNION ALL SELECT 0, NULL, NULL, NULL, 0, 0, 0),
+           |b1 AS (SELECT pi.i AS i, ${cost("pj", "pi")} AS best
+           |       FROM pre pi JOIN pre pj ON pj.i = 0 WHERE pi.i >= 1),
+           |$stages,
+           |nn AS (SELECT MAX(i) AS n FROM pre),
+           |t4 AS (SELECT argj AS j3 FROM b4, nn WHERE b4.i = nn.n),
+           |t3 AS (SELECT argj AS j2 FROM b3, t4 WHERE b3.i = t4.j3),
+           |t2 AS (SELECT argj AS j1 FROM b2, t3 WHERE b2.i = t3.j2),
+           |ends AS (
+           |  SELECT 1 AS cluster_id, 0 AS j, t2.j1 AS i FROM t2
+           |  UNION ALL SELECT 2, t2.j1, t3.j2 FROM t2, t3
+           |  UNION ALL SELECT 3, t3.j2, t4.j3 FROM t3, t4
+           |  UNION ALL SELECT 4, t4.j3, nn.n FROM t4, nn)
+           |SELECT e.cluster_id,
+           | pl.lo + pl.b * pl.width AS lo_value,
+           | ph.lo + ph.b * ph.width + ph.width - 1 AS hi_value,
+           | CAST(ph.pc - pj.pc AS BIGINT) AS n,
+           | CAST(CAST(ph.ps - pj.ps AS VARCHAR) AS DOUBLE) / CAST(ph.pc - pj.pc AS DOUBLE) AS mean,
+           | ${cost("pj", "ph")} AS sse
+           |FROM ends e
+           |JOIN pre pj ON pj.i = e.j
+           |JOIN pre ph ON ph.i = e.i
+           |JOIN pre pl ON pl.i = e.j + 1
+           |ORDER BY e.cluster_id""".stripMargin
+      },
       "events_ab_permutation" ->
         // 64 md5 reassignments of PER-USER totals; add-one Monte-Carlo
         // p — StatsOps.randomizationTest token for token
