@@ -6440,6 +6440,38 @@ object SparkEntry {
       StatsOps.kmeans1dOptimal(cents, col("cents"), k = 4, buckets = 64)
         .orderBy("cluster_id")
     }),
+    "text_good_turing" -> ((s, d) => {
+      // Good-Turing smoothing components over the corpus token
+      // frequencies: count-of-counts N_r, adjusted r*, p_GT and the
+      // unseen mass P0 — the Katz-backoff ingredient next to the KN
+      // bigram row. See CorpusOps.goodTuringReport.
+      CorpusOps.goodTuringReport(TP(s, d, "documents"), "text", maxRows = 20)
+    }),
+    "data_rendezvous" -> ((s, d) => {
+      // rendezvous-hashing shard plan over the customer keys: the
+      // minimal-movement resharding contract (adding shard 9 moves
+      // ~1/9 of keys) measured ON DATA next to the balance report.
+      // See WriteOps.rendezvousPlan.
+      WriteOps.rendezvousPlan(T(s, d, "customer"), "c_custkey", nShards = 8)
+    }),
+    "events_holt_winters" -> ((s, d) => {
+      // Holt-Winters ADDITIVE SEASONAL smoothing (level + trend +
+      // day-of-week component, α=β=γ=1/2) of daily revenue per event
+      // type — the seasonality-aware successor to events_holt/ewma.
+      // Seasonal slots are CALENDAR-anchored (day % 7), so gaps in the
+      // series cannot shift the weekly pattern; init = l₀ = first
+      // observation, b₀ = 0, s ≡ 0 (the seasonal learns through γ —
+      // the gap-robust simplification, documented). State is a 9-double
+      // array folded in day order: halving is exact scaling and the op
+      // order is pinned, so the DuckDB list_reduce twin replays the
+      // chain bit-for-bit. Forecast(+7d) reuses the same dow slot.
+      val daily = EV(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+          .cast("decimal(38,0)").cast("bigint").as("x"))
+      StatsOps.holtWintersAdditive(daily, "event_type", "day", "x")
+        .orderBy("event_type")
+    }),
     "q74_execute_immediate" -> ((s, d) => {
       // EXECUTE IMMEDIATE + named parameter marker conformance (the
       // SQL-scripting surface): the statement string is planned like

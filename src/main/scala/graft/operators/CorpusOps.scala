@@ -1218,6 +1218,42 @@ object CorpusOps {
           .as("compression"))
   }
 
+  /** Good-Turing frequency smoothing components (Good 1953; the
+    * Katz-backoff ingredient): the count-of-counts table N_r over the
+    * corpus token frequencies, the adjusted count r* = (r+1)·N_{r+1}/N_r
+    * and the smoothed probability p_GT = r_star / N — plus the unseen
+    * mass P₀ = N₁/N every open-vocabulary LM needs. Exactness: N_r, r, N are
+    * exact integers off two partial-aggregated groupBys (token → r,
+    * r → N_r — the second is frequency-domain-sized, ≪ vocab); r* and
+    * p_GT are fixed double combines of those integers. The report keeps
+    * the `maxRows` SMALLEST frequencies present (not a literal r cutoff
+    * — the low-r head is where GT smoothing matters, wherever the
+    * corpus's frequency floor sits).
+    */
+  def goodTuringReport(docs: DataFrame, textCol: String, maxRows: Int = 20): DataFrame = {
+    val tf = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).cast("long").as("r"))
+    val cc = tf.groupBy("r").agg(count(lit(1)).cast("long").as("n_r"))
+      .localCheckpoint(eager = false) // feeds rows + the r+1 join + totals
+    val tot = cc.agg(
+      sum((col("r").cast("decimal(19,0)") * col("n_r")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").cast("double").as("n_tokens"),
+      sum(when(col("r") === 1, col("n_r")).otherwise(0L)).cast("double").as("n1"))
+    val next = cc.select((col("r") - 1).as("r"), col("n_r").as("n_r_next"))
+    cc.orderBy("r").limit(maxRows)
+      .join(next, Seq("r"), "left")
+      .crossJoin(broadcast(tot)) // 1-row attach
+      .select(col("r"), col("n_r"),
+        ((col("r") + 1).cast("double") * col("n_r_next").cast("double")
+          / col("n_r").cast("double")).as("r_star"),
+        ((col("r") + 1).cast("double") * col("n_r_next").cast("double")
+          / col("n_r").cast("double") / col("n_tokens")).as("p_gt"),
+        (col("n1") / col("n_tokens")).as("p0_unseen"))
+      .orderBy("r")
+  }
+
   /** Code-vs-prose detection — the corpus-PARTITIONING rule battery a
     * mixed crawl needs before language-specific curation (code docs
     * must not be judged by stopword ratios, prose must not be judged

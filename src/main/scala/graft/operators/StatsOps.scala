@@ -914,6 +914,54 @@ object StatsOps {
     }.toDF("cluster_id", "lo_value", "hi_value", "n", "mean", "sse")
   }
 
+  /** Holt-Winters ADDITIVE SEASONAL smoothing (level + trend + a
+    * 7-slot day-of-week component, α=β=γ=1/2) over a per-key daily
+    * series — the seasonality-aware successor to Holt/EWMA. Seasonal
+    * slots are CALENDAR-anchored (day % 7), so gaps in the series
+    * cannot shift the weekly pattern; init l₀ = first observation,
+    * b₀ = 0, s ≡ 0 (the seasonal learns through γ — the gap-robust
+    * simplification). State is a 9-double array [l, b, s0..s6] folded
+    * in day order inside ONE aggregate() expression: halving is exact
+    * scaling and the op order is pinned, so a DuckDB list_reduce twin
+    * replays the chain bit-for-bit. Forecast(+7d) reuses the same dow
+    * slot. Per-key state is 9 doubles; the fold is bounded by the
+    * day span, never rows.
+    */
+  def holtWintersAdditive(
+      daily: DataFrame, // (keyCol, dayCol: long, xCol: long)
+      keyCol: String,
+      dayCol: String,
+      xCol: String): DataFrame = {
+    val arr = daily.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(dayCol).as("day"), col(xCol).as("x"))))
+        .as("arr"))
+    arr
+      .select(col(keyCol), size(col("arr")).cast("bigint").as("n_days"),
+        expr("""aggregate(
+            slice(arr, 2, size(arr) - 1),
+            transform(sequence(0, 8),
+              i -> CASE WHEN i = 0 THEN cast(element_at(arr, 1).x as double)
+                        ELSE cast(0.0 as double) END),
+            (a, e) -> transform(a, (v, i) -> CASE
+              WHEN i = 0 THEN
+                (cast(e.x as double) - a[cast(e.day % 7 as int) + 2] + a[0] + a[1]) / 2.0D
+              WHEN i = 1 THEN
+                ((cast(e.x as double) - a[cast(e.day % 7 as int) + 2] + a[0] + a[1]) / 2.0D
+                  - a[0]) / 2.0D + a[1] / 2.0D
+              WHEN i = cast(e.day % 7 as int) + 2 THEN
+                (cast(e.x as double)
+                  - (cast(e.x as double) - a[cast(e.day % 7 as int) + 2] + a[0] + a[1]) / 2.0D)
+                  / 2.0D + a[cast(e.day % 7 as int) + 2] / 2.0D
+              ELSE v END),
+            a -> a)""").as("st"),
+        expr("cast(element_at(arr, size(arr)).day % 7 as int)").as("last_dow"))
+      .select(col(keyCol), col("n_days"),
+        col("st")(0).as("level"), col("st")(1).as("trend"),
+        element_at(col("st"), col("last_dow") + 3).as("s_last"),
+        (col("st")(0) + lit(7.0) * col("st")(1)
+          + element_at(col("st"), col("last_dow") + 3)).as("forecast_7d"))
+  }
+
   /** Exact precision-recall curve per group: one point per DISTINCT
     * score threshold ("predict positive at score ≥ s"), tp/fp/fn exact
     * integers off a descending cumulative over the score-DOMAIN table

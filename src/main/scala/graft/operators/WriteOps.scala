@@ -101,4 +101,38 @@ object WriteOps {
       .mode("overwrite")
       .parquet(path)
   }
+
+  /** Rendezvous (highest-random-weight) sharding plan (Thaler & Ravishankar
+    * 1998): key → argmax over shards of md5(shard:key) — the consistent
+    * routing scheme whose DEFINING property is minimal movement on
+    * resharding (adding shard N+1 moves only ~1/(N+1) of keys, vs
+    * ~N/(N+1) for mod-N). The report computes the assignment at
+    * `nShards` AND `nShards+1` in one pass (argmax over the hex hash
+    * string — no numeric conversion, ties impossible) and returns the
+    * balance + the measured moved fraction, so the 1/(N+1) contract is
+    * CHECKED ON DATA, not assumed. Shapes: one explode to keys×(N+1)
+    * rows, one max_by aggregate per key, tiny shard-domain aggs.
+    */
+  def rendezvousPlan(keys: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    val exploded = keys
+      .select(col(keyCol).cast("string").as("k"))
+      .select(col("k"), explode(sequence(lit(0), lit(nShards))).as("s"))
+      .withColumn("h", md5(concat(lit("rz"), col("s"), lit(":"), col("k"))))
+    val assigned = exploded.groupBy("k")
+      .agg(
+        max_by(col("s"), when(col("s") < nShards, col("h")).otherwise(lit("")))
+          .as("shard_n"),
+        max_by(col("s"), col("h")).as("shard_n1"))
+      .localCheckpoint(eager = false) // feeds balance + movement once
+    val moved = assigned.agg(
+      count(lit(1)).cast("long").as("n_keys"),
+      count(when(col("shard_n") =!= col("shard_n1"), 1)).cast("long").as("n_moved"))
+    val balance = assigned.groupBy("shard_n").agg(count(lit(1)).cast("long").as("c"))
+      .agg(min("c").cast("long").as("min_shard"), max("c").cast("long").as("max_shard"))
+    moved.crossJoin(broadcast(balance)) // 1-row × 1-row
+      .select(col("n_keys"), col("n_moved"),
+        (col("n_moved").cast("double") / col("n_keys").cast("double")).as("moved_frac"),
+        col("min_shard"), col("max_shard"),
+        (col("max_shard").cast("double") / col("min_shard").cast("double")).as("balance"))
+  }
 }

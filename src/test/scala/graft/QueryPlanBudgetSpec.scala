@@ -509,6 +509,13 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "events_ams_f2" -> 3,     // ONE scan → 32 integer conditional sums in a single 1-row
                               // agg + the exact-F2 per-key agg + its 1-row fold; the
                               // sketch side is O(1) state, merge-free by addition
+    "events_holt_winters" -> 3, // daily agg + per-key collect agg + ORDER BY; the whole
+                              // 9-double HW recursion is ONE in-row aggregate() fold
+    "text_good_turing" -> 1,  // the count-of-counts lineage (token agg + freq agg) rides
+                              // a lazy localCheckpoint shared by rows/next/totals — the
+                              // final plan is the 20-row head join + ORDER BY only
+    "data_rendezvous" -> 3,   // keys×9 explode → per-key max_by agg (behind a lazy
+                              // checkpoint feeding movement AND balance) + 1-row aggs
     "events_kmeans1d" -> 1,   // the FINAL plan is the k-row driver-literal result +
                               // ORDER BY; the distributed work (min/max + 64-cell grid
                               // agg) runs eagerly at construction — two bounded passes,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CorpusOps, MultimodalOps, SimilarityOps, StatsOps}
+import graft.operators.{CorpusOps, MultimodalOps, SimilarityOps, StatsOps, WriteOps}
 import org.apache.spark.sql.functions._
 
 /** Round-11 second-batch operators: Mann-Whitney U, PR curve,
@@ -216,6 +216,62 @@ class Round11bOpsSpec extends SparkSpec {
     val est = (ms(1) + ms(2)) / 2.0
     assert(got.getAs[Double]("est_f2") == est)
     assert(got.getAs[Double]("rel_err") == math.abs(est - 36.0) / 36.0)
+  }
+
+  test("goodTuringReport: count-of-counts and GT estimates on a hand corpus") {
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val got = CorpusOps.goodTuringReport(docs, "text").orderBy("r").collect()
+    // freqs: a=3, b=2, c=1 → N_1 = N_2 = N_3 = 1; N = 6
+    assert(got.map(r => (r.getAs[Long]("r"), r.getAs[Long]("n_r"))).toSeq ==
+      Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+    val r1 = got(0)
+    assert(r1.getAs[Double]("r_star") == 2.0) // (1+1)·N_2/N_1
+    assert(r1.getAs[Double]("p_gt") == 2.0 / 6.0)
+    assert(r1.getAs[Double]("p0_unseen") == 1.0 / 6.0)
+    assert(got(2).isNullAt(got(2).fieldIndex("r_star"))) // no N_4
+  }
+
+  test("rendezvousPlan: assignment matches a scala md5 argmax replay and " +
+    "resharding moves ~1/(N+1) of keys") {
+    val keys = (1L to 200L).toDF("k")
+    val got = WriteOps.rendezvousPlan(keys, "k", nShards = 8).collect()(0)
+    // scala replay
+    def shard(key: Long, n: Int): Int =
+      (0 until n).maxBy(s => md5hex(s"rz$s:$key"))
+    val moved = (1L to 200L).count(k => shard(k, 8) != shard(k, 9))
+    assert(got.getAs[Long]("n_keys") == 200L)
+    assert(got.getAs[Long]("n_moved") == moved.toLong)
+    assert(got.getAs[Double]("moved_frac") == moved / 200.0)
+    // the rendezvous contract: ≈1/9 ≈ 22 of 200 keys move — far below
+    // the ~8/9 a mod-N reshard would force
+    assert(got.getAs[Double]("moved_frac") < 0.25)
+    assert(got.getAs[Long]("min_shard") >= 1L)
+  }
+
+  test("holtWintersAdditive: the fold matches a scala replay, seasonal " +
+    "slots are calendar-anchored across a gap") {
+    // days 0..9 with day 6 MISSING; dow pattern: +100 on dow 0
+    val series = (0L to 9L).filter(_ != 6L).map(d => ("k", d, 10L * d + (if (d % 7 == 0) 100L else 0L)))
+    val df = series.toDF("k", "day", "x")
+    val got = StatsOps.holtWintersAdditive(df, "k", "day", "x").collect()(0)
+    // scala replay of the exact chain
+    val st = Array.fill(9)(0.0); st(0) = series.head._3.toDouble
+    series.tail.foreach { case (_, d, x) =>
+      val idx = (d % 7).toInt + 2
+      val xd = x.toDouble
+      val lNew = (xd - st(idx) + st(0) + st(1)) / 2.0
+      val bNew = (lNew - st(0)) / 2.0 + st(1) / 2.0
+      val sNew = (xd - lNew) / 2.0 + st(idx) / 2.0
+      st(0) = lNew; st(1) = bNew; st(idx) = sNew
+    }
+    val lastDow = (series.last._2 % 7).toInt
+    assert(got.getAs[Long]("n_days") == 9L)
+    assert(got.getAs[Double]("level") == st(0))
+    assert(got.getAs[Double]("trend") == st(1))
+    assert(got.getAs[Double]("s_last") == st(lastDow + 2))
+    assert(got.getAs[Double]("forecast_7d") == st(0) + 7.0 * st(1) + st(lastDow + 2))
+    // the dow-0 spike lands in seasonal slot 0, not smeared by the gap
+    assert(st(2) > 20.0)
   }
 
   test("kmeans1dOptimal: k well-separated groups land one-per-cluster with " +

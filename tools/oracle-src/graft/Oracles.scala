@@ -4510,6 +4510,69 @@ object Oracles {
           |SELECT n_items, CAST(n2 // 2 AS BIGINT) AS n_ratings_pairable, s_o2, de2,
           | 1.0 - CAST(s_o2 * (n2 - 2) AS DOUBLE) / CAST(de2 AS DOUBLE) AS alpha
           |FROM s CROSS JOIN de CROSS JOIN it""".stripMargin,
+      "events_holt_winters" ->
+        // the 9-double [l, b, s0..s6] state folded in day order via
+        // list_reduce — positions 1-based here vs Spark's 0-based
+        // brackets, values identical token for token
+        """WITH daily AS (SELECT event_type,
+          |  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+          | FROM events GROUP BY 1, 2),
+          |ser AS (SELECT event_type, COUNT(*) AS n_days,
+          |  list([CAST(day AS DOUBLE), CAST(x AS DOUBLE)] ORDER BY day) AS arr
+          | FROM daily GROUP BY 1),
+          |st AS (SELECT event_type, n_days,
+          |  list_reduce(
+          |    list_prepend(
+          |      [arr[1][2], 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[],
+          |      arr[2:]),
+          |    (a, e) -> list_transform(a, (v, i) -> CASE
+          |      WHEN i = 1 THEN
+          |        (e[2] - a[CAST(e[1] AS BIGINT) % 7 + 3] + a[1] + a[2]) / 2.0
+          |      WHEN i = 2 THEN
+          |        ((e[2] - a[CAST(e[1] AS BIGINT) % 7 + 3] + a[1] + a[2]) / 2.0
+          |          - a[1]) / 2.0 + a[2] / 2.0
+          |      WHEN i = CAST(e[1] AS BIGINT) % 7 + 3 THEN
+          |        (e[2]
+          |          - (e[2] - a[CAST(e[1] AS BIGINT) % 7 + 3] + a[1] + a[2]) / 2.0)
+          |          / 2.0 + a[CAST(e[1] AS BIGINT) % 7 + 3] / 2.0
+          |      ELSE v END)) AS st,
+          |  CAST(arr[len(arr)][1] AS BIGINT) % 7 AS last_dow
+          | FROM ser)
+          |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+          | st[1] AS level, st[2] AS trend, st[CAST(last_dow + 3 AS INT)] AS s_last,
+          | st[1] + 7.0 * st[2] + st[CAST(last_dow + 3 AS INT)] AS forecast_7d
+          |FROM st ORDER BY event_type""".stripMargin,
+      "text_good_turing" ->
+        s"""WITH tf AS (SELECT tok, COUNT(*) AS r FROM (
+           |  SELECT unnest($toks) AS tok FROM documents) WHERE tok <> '' GROUP BY tok),
+           |cc AS (SELECT r, COUNT(*) AS n_r FROM tf GROUP BY r),
+           |tot AS (SELECT CAST(CAST(SUM(CAST(r AS HUGEINT) * n_r) AS VARCHAR) AS DOUBLE) AS n_tokens,
+           |  CAST(SUM(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS DOUBLE) AS n1 FROM cc)
+           |SELECT cc.r, CAST(cc.n_r AS BIGINT) AS n_r,
+           | CAST(cc.r + 1 AS DOUBLE) * CAST(nx.n_r AS DOUBLE) / CAST(cc.n_r AS DOUBLE) AS r_star,
+           | CAST(cc.r + 1 AS DOUBLE) * CAST(nx.n_r AS DOUBLE) / CAST(cc.n_r AS DOUBLE) / n_tokens AS p_gt,
+           | n1 / n_tokens AS p0_unseen
+           |FROM (SELECT * FROM cc ORDER BY r LIMIT 20) cc
+           |LEFT JOIN cc nx ON nx.r = cc.r + 1 CROSS JOIN tot
+           |ORDER BY cc.r""".stripMargin,
+      "data_rendezvous" ->
+        """WITH k AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+          |e AS (SELECT k, s, md5('rz' || CAST(s AS VARCHAR) || ':' || k) AS h
+          |      FROM k CROSS JOIN (SELECT unnest(range(0, 9)) AS s)),
+          |a AS (SELECT k,
+          |  arg_max(s, CASE WHEN s < 8 THEN h ELSE '' END) AS shard_n,
+          |  arg_max(s, h) AS shard_n1
+          | FROM e GROUP BY k),
+          |mv AS (SELECT COUNT(*) AS n_keys,
+          |       COUNT(CASE WHEN shard_n <> shard_n1 THEN 1 END) AS n_moved FROM a),
+          |bal AS (SELECT MIN(c) AS min_shard, MAX(c) AS max_shard FROM (
+          |        SELECT shard_n, COUNT(*) AS c FROM a GROUP BY shard_n))
+          |SELECT CAST(n_keys AS BIGINT) AS n_keys, CAST(n_moved AS BIGINT) AS n_moved,
+          | CAST(n_moved AS DOUBLE) / CAST(n_keys AS DOUBLE) AS moved_frac,
+          | CAST(min_shard AS BIGINT) AS min_shard, CAST(max_shard AS BIGINT) AS max_shard,
+          | CAST(max_shard AS DOUBLE) / CAST(min_shard AS DOUBLE) AS balance
+          |FROM mv CROSS JOIN bal""".stripMargin,
       "events_kmeans1d" -> {
         // Ckmeans.1d.dp replay: prefix sums over the occupied grid,
         // k=4 unrolled DP stages (argmin ties → smaller j, mirroring
