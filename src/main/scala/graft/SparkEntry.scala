@@ -6472,6 +6472,26 @@ object SparkEntry {
       StatsOps.holtWintersAdditive(daily, "event_type", "day", "x")
         .orderBy("event_type")
     }),
+    "text_dispersion" -> ((s, d) => {
+      // Gries' DP corpus dispersion: which frequent tokens are EVENLY
+      // spread across sources vs concentrated ("bursty" — template
+      // artifacts, topical spikes) — the signal raw frequency cannot
+      // give. Exact integer numerators, one double division per token.
+      // See CorpusOps.dispersionReport.
+      CorpusOps.dispersionReport(TP(s, d, "documents"), "text", "source",
+        minCount = 50, k = 30)
+    }),
+    "q75_identifier_clause" -> ((s, d) => {
+      // IDENTIFIER() clause conformance (Spark 3.4+ templating surface:
+      // a string-typed table reference planned like the literal name —
+      // SQL-injection-safe dynamic table selection). DuckDB twin reads
+      // the table directly.
+      T(s, d, "orders").createOrReplaceTempView("r11_ord_idf")
+      s.sql("""SELECT o_orderpriority, COUNT(*) AS n_orders
+               FROM IDENTIFIER('r11_ord_idf')
+               WHERE o_orderstatus = 'F'
+               GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
     "q74_execute_immediate" -> ((s, d) => {
       // EXECUTE IMMEDIATE + named parameter marker conformance (the
       // SQL-scripting surface): the statement string is planned like

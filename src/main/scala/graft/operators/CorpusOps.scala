@@ -1254,6 +1254,55 @@ object CorpusOps {
       .orderBy("r")
   }
 
+  /** Corpus dispersion DP (Gries 2008): for each token,
+    * DP = Σ_parts |v_i − s_i| / 2 where v_i = the token's occurrence
+    * share in part i and s_i = part i's size share — 0 = perfectly
+    * even, →1 = concentrated in one part ("bursty"/topical; the signal
+    * separating glue words from template artifacts that raw frequency
+    * cannot). Exactness: |c_i/C − t_i/T| = |c_i·T − t_i·C| / (C·T), so
+    * the per-part numerators are EXACT INTEGERS summed in decimal and
+    * DP is ONE double division per token. Report = top `k` most
+    * dispersed tokens at a frequency floor (ties → token asc; the
+    * doubles compare identically cross-engine because the inputs and
+    * op order are identical). Shape: one (token, part) agg, a token
+    * agg, a broadcast part-domain attach, TakeOrdered top-k.
+    */
+  def dispersionReport(
+      docs: DataFrame,
+      textCol: String,
+      partCol: String,
+      minCount: Long = 50,
+      k: Int = 30): DataFrame = {
+    val tp = docs
+      .select(col(partCol).as("part"), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok", "part").agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint(eager = false) // feeds part totals + token totals + the dense join
+    val parts = tp.groupBy("part").agg(sum("c").cast("decimal(38,0)").as("t"))
+    val total = parts.agg(sum("t").cast("decimal(38,0)").as("tt"))
+    val tokens = tp.groupBy("tok").agg(sum("c").cast("decimal(38,0)").as("c_tot"))
+      .filter(col("c_tot") >= minCount)
+    // densify: every kept token × every part (part domain is tiny), so
+    // unobserved parts contribute |0·T − t_i·C| = t_i·C exactly
+    val dense = tokens
+      .crossJoin(broadcast(parts))
+      .join(tp, Seq("tok", "part"), "left")
+      .crossJoin(broadcast(total))
+    dense
+      .groupBy("tok", "c_tot")
+      .agg(sum(abs(
+        (coalesce(col("c"), lit(0L)).cast("decimal(19,0)") * col("tt"))
+          .cast("decimal(38,0)")
+          - (col("t") * col("c_tot")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")).cast("decimal(38,0)").as("num"))
+      .crossJoin(broadcast(total))
+      .select(col("tok"), col("c_tot").cast("long").as("n_occurrences"),
+        (col("num").cast("double")
+          / (lit(2).cast("decimal(19,0)") * col("c_tot") * col("tt"))
+            .cast("decimal(38,0)").cast("double")).as("dp"))
+      .orderBy(col("dp").desc, col("tok")).limit(k)
+  }
+
   /** Code-vs-prose detection — the corpus-PARTITIONING rule battery a
     * mixed crawl needs before language-specific curation (code docs
     * must not be judged by stopword ratios, prose must not be judged

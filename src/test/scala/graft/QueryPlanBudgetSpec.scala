@@ -516,6 +516,12 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // final plan is the 20-row head join + ORDER BY only
     "data_rendezvous" -> 3,   // keys×9 explode → per-key max_by agg (behind a lazy
                               // checkpoint feeding movement AND balance) + 1-row aggs
+    "text_dispersion" -> 6,   // (tok,part) agg rides a lazy checkpoint; token-floor agg
+                              // + dense broadcast cross + left join back + (tok) agg;
+                              // top-k is TakeOrdered — part domain broadcast, never
+                              // a corpus-side re-shuffle
+    "q75_identifier_clause" -> 2, // IDENTIFIER('t') plans exactly like the literal name:
+                              // agg + ORDER BY
     "events_kmeans1d" -> 1,   // the FINAL plan is the k-row driver-literal result +
                               // ORDER BY; the distributed work (min/max + 64-cell grid
                               // agg) runs eagerly at construction — two bounded passes,

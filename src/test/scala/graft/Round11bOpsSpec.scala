@@ -274,6 +274,29 @@ class Round11bOpsSpec extends SparkSpec {
     assert(st(2) > 20.0)
   }
 
+  test("dispersionReport: an evenly spread token scores near 0, a " +
+    "one-part-concentrated token scores near 1, exact rational values") {
+    // parts a/b each 6 tokens: "x" even (2+2), "y" only in part a (2),
+    // filler "f" even — sizes s_a = s_b = 1/2
+    val docs = Seq(
+      (1L, "a", "x x y y f f"),
+      (2L, "b", "x x f f f f")
+    ).toDF("doc_id", "source", "text")
+    val got = CorpusOps.dispersionReport(docs, "text", "source", minCount = 2, k = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_occurrences"), r.getAs[Double]("dp"))).toMap
+    // y: all 2 in part a → DP = (|1 − 1/2| + |0 − 1/2|)/2 = 1/2
+    assert(got("y") == (2L, 0.5))
+    // x: 2+2 of 4 → v = (1/2, 1/2) = s → DP = 0
+    assert(got("x")._2 == 0.0)
+    // f: 2 in a, 4 in b of 6 → DP = (|1/3−1/2| + |2/3−1/2|)/2 = 1/6
+    assert(math.abs(got("f")._2 - 1.0 / 6.0) < 1e-15)
+    // ranking: y (concentrated) first
+    val top = CorpusOps.dispersionReport(docs, "text", "source", minCount = 2, k = 1)
+      .collect()(0).getString(0)
+    assert(top == "y")
+  }
+
   test("kmeans1dOptimal: k well-separated groups land one-per-cluster with " +
     "exact grid edges and SSE; the DP beats a greedy split where it must") {
     val vals = Seq(0L, 1L, 100L, 101L, 200L, 201L, 300L, 301L).toDF("v")

@@ -4510,6 +4510,33 @@ object Oracles {
           |SELECT n_items, CAST(n2 // 2 AS BIGINT) AS n_ratings_pairable, s_o2, de2,
           | 1.0 - CAST(s_o2 * (n2 - 2) AS DOUBLE) / CAST(de2 AS DOUBLE) AS alpha
           |FROM s CROSS JOIN de CROSS JOIN it""".stripMargin,
+      "text_dispersion" ->
+        // dense token×part grid; |c_i·T − t_i·C| exact HUGEINTs; ONE
+        // double division per token — CorpusOps.dispersionReport
+        s"""WITH tp AS (SELECT source AS part, tok, COUNT(*) AS c FROM (
+           |  SELECT source, unnest($toks) AS tok FROM documents)
+           |  WHERE tok <> '' GROUP BY source, tok),
+           |parts AS (SELECT part, CAST(SUM(c) AS HUGEINT) AS t FROM tp GROUP BY part),
+           |tot AS (SELECT CAST(SUM(t) AS HUGEINT) AS tt FROM parts),
+           |tokens AS (SELECT tok, CAST(SUM(c) AS HUGEINT) AS c_tot FROM tp GROUP BY tok
+           |           HAVING SUM(c) >= 50),
+           |dense AS (SELECT tokens.tok, tokens.c_tot, parts.part, parts.t,
+           |                 COALESCE(tp.c, 0) AS c, tot.tt
+           |          FROM tokens CROSS JOIN parts
+           |          LEFT JOIN tp ON tp.tok = tokens.tok AND tp.part = parts.part
+           |          CROSS JOIN tot),
+           |dp AS (SELECT tok, c_tot,
+           |  SUM(abs(CAST(c AS HUGEINT) * tt - t * c_tot)) AS num,
+           |  ANY_VALUE(tt) AS tt
+           | FROM dense GROUP BY tok, c_tot)
+           |SELECT tok, CAST(c_tot AS BIGINT) AS n_occurrences,
+           | CAST(CAST(num AS VARCHAR) AS DOUBLE)
+           |  / CAST(CAST(2 * c_tot * tt AS VARCHAR) AS DOUBLE) AS dp
+           |FROM dp ORDER BY dp DESC, tok LIMIT 30""".stripMargin,
+      "q75_identifier_clause" ->
+        """SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
+          |FROM orders WHERE o_orderstatus = 'F'
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
       "events_holt_winters" ->
         // the 9-double [l, b, s0..s6] state folded in day order via
         // list_reduce — positions 1-based here vs Spark's 0-based
