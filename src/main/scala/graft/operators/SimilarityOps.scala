@@ -1039,18 +1039,22 @@ object SimilarityOps {
           while (i < a.length) { s += a(i) * b(i); i += 1 }
           s
         }
-        def r6(x: Double): Double =
-          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         val cands = it
           .map(r => (r.getLong(1), r.getDouble(2), r.getSeq[Double](3).toArray))
           .toArray.sortBy(c => (-c._2, c._1))
         val nc = cands.length
         val norms = cands.map(c => math.sqrt(dotA(c._3, c._3)))
+        // RAW doubles, deliberately un-rounded: the left-to-right dot
+        // and the score combine are bit-identical chains on any engine,
+        // while ROUNDING is the one op where Spark (shortest-repr
+        // BigDecimal) and DuckDB (×10⁶ double multiply) can disagree at
+        // a .5e-7 boundary — caught on-data at sf0.01 (0.20303949…:
+        // 0.203039 vs 0.20304). No rounding → no boundary class.
         val sim = Array.tabulate(nc, nc) { (i, j) =>
           if (i == j) 1.0
           else {
             val den = norms(i) * norms(j)
-            if (den == 0) 0.0 else r6(dotA(cands(i)._3, cands(j)._3) / den)
+            if (den == 0) 0.0 else dotA(cands(i)._3, cands(j)._3) / den
           }
         }
         val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -1076,7 +1080,7 @@ object SimilarityOps {
             i += 1
           }
           selected += best
-          rows += ((qid, selected.length, cands(best)._1, cands(best)._2, r6(bestScore)))
+          rows += ((qid, selected.length, cands(best)._1, cands(best)._2, bestScore))
         }
         rows.iterator
       }(Encoders.product[(Long, Int, Long, Double, Double)])

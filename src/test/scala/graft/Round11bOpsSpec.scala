@@ -10,7 +10,9 @@ class Round11bOpsSpec extends SparkSpec {
   import spark.implicits._
 
   private def r6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // valueOf (shortest-repr), mirroring Spark round() / the operator
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue
 
   test("mannWhitneyByGroup: exact U and tie-corrected z match a hand replay " +
     "with ties, and an all-tied group yields null z") {
@@ -338,15 +340,16 @@ class Round11bOpsSpec extends SparkSpec {
     // mix 4 are picked instead
     assert(!got.map(_.getAs[Long]("neighbor_id")).contains(2L))
     assert(got.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L, 3L, 4L))
-    // greedy replay in plain scala over the same rounded inputs
+    // greedy replay in plain scala: pool rel = Spark's rounded cosine,
+    // internal sims RAW (the operator's un-rounded contract)
     def dot(a: Seq[Double], b: Seq[Double]) =
       a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
     def cos(a: Seq[Double], b: Seq[Double]) =
-      r6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
     val q = Seq(1.0, 0.0, 0.0, 0.0)
     val cands = Seq(1L, 2L, 3L, 4L).map { id =>
       val v = vecs.filter(col("vec_id") === id).collect()(0).getSeq[Double](1)
-      (id, cos(q, v), v)
+      (id, r6(cos(q, v)), v)
     }
     var selected = List.empty[(Long, Double, Seq[Double])]
     (1 to 3).foreach { _ =>

@@ -114,6 +114,9 @@ object Oracles {
     // folds MAX sim against it, and picks the argmax of
     // 0.7·rel − (1.0−0.7)·msim with candidate-id tie-break — the same
     // doubles in the same token order as the engine's per-group greedy.
+    // sims and scores stay RAW (un-rounded): identical IEEE chains are
+    // bit-equal cross-engine, while round() itself is the one op where
+    // the engines can disagree at a .5e-7 boundary (seen at sf0.01).
     val mmrDotCv =
       "list_reduce(list_transform(list_zip(a.cvec, b.cvec), p -> p[1]*p[2]), (x,y) -> x+y)"
     def mmrNormCv(side: String) =
@@ -129,9 +132,9 @@ object Oracles {
          |  GROUP BY c.query_id, c.cand_id, c.rel),
          |s$t AS (
          |  SELECT query_id, cand_id, rel, $t AS mmr_rank,
-         |         ROUND(0.7*rel - (1.0 - 0.7)*msim, 6) AS mmr_score
+         |         7.0e-1*rel - (1.0e0 - 7.0e-1)*msim AS mmr_score
          |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |          ORDER BY 0.7*rel - (1.0 - 0.7)*msim DESC, cand_id) AS rn FROM r$t)
+         |          ORDER BY 7.0e-1*rel - (1.0e0 - 7.0e-1)*msim DESC, cand_id) AS rn FROM r$t)
          |  WHERE rn = 1),
          |sel$t AS (SELECT query_id, cand_id FROM sel${t - 1}
          |          UNION ALL SELECT query_id, cand_id FROM s$t)""".stripMargin
@@ -4440,7 +4443,7 @@ object Oracles {
            |  FROM scored) WHERE rk <= 16),
            |sims AS (
            | SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
-           |  ROUND($mmrDotCv / (${mmrNormCv("a")} * ${mmrNormCv("b")}), 6) AS sim
+           |  $mmrDotCv / (${mmrNormCv("a")} * ${mmrNormCv("b")}) AS sim
            | FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
            |s1 AS (SELECT query_id, cand_id, rel, 1 AS mmr_rank, rel AS mmr_score
            |       FROM cand WHERE rk = 1),
