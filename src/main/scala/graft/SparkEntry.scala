@@ -6492,6 +6492,22 @@ object SparkEntry {
                WHERE o_orderstatus = 'F'
                GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     }),
+    "quality_isotonic" -> ((s, d) => {
+      // isotonic calibration (PAV) of the hashed linear quality model
+      // at predicting English, per source — the NONPARAMETRIC
+      // calibrator beside quality_calibrate (percent-rank) and
+      // quality_ece: per-bin empirical rates replaced by the closest
+      // non-decreasing fit, violator merges decided by EXACT integer
+      // cross-multiplication. The twin replays via the minimax closed
+      // form (unique-solution property). See StatsOps.isotonicCalibration.
+      val docs = TP(s, d, "documents")
+      val scored = CorpusOps.linearModelScore(docs, "doc_id", "text", dim = 64)
+      val labeled = docs
+        .select(col("doc_id"), col("source"), (col("lang") === "en").as("is_en"))
+        .join(scored.select("doc_id", "score_milli"), Seq("doc_id"))
+      StatsOps.isotonicCalibration(labeled, "source", "score_milli", "is_en", bins = 16)
+        .orderBy("source", "bin")
+    }),
     "q74_execute_immediate" -> ((s, d) => {
       // EXECUTE IMMEDIATE + named parameter marker conformance (the
       // SQL-scripting surface): the statement string is planned like

@@ -962,6 +962,69 @@ object StatsOps {
           + element_at(col("st"), col("last_dow") + 3)).as("forecast_7d"))
   }
 
+  /** Isotonic calibration by Pool-Adjacent-Violators (Ayer et al. 1955;
+    * the NONPARAMETRIC calibrator next to the per-domain percent-rank
+    * of quality_calibrate and the ECE report): per group, the empirical
+    * positive-rate over score BINS is replaced by the closest
+    * non-decreasing fit. Stage 1 is one distributed pass folding rows
+    * onto (group, bin) exact-integer (n, n_pos) cells; stage 2 runs PAV
+    * on the ≤ `bins`-per-group cells driver-side (bounded collect, the
+    * kmeans1dOptimal contract) with EXACT violator tests
+    * (cross-multiplied longs — no float compare decides a merge). The
+    * fitted rate is pool_pos/pool_n converted once to double. The
+    * DuckDB twin exploits UNIQUENESS of the isotonic fit: it computes
+    * the same values by the minimax closed form
+    * ŷᵢ = max_{j≤i} min_{k≥i} avg(y_j..y_k) over the bin prefix sums —
+    * a different ALGORITHM, provably the same answer, so the replay is
+    * algorithm-independent evidence.
+    */
+  def isotonicCalibration(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,   // integer-valued
+      labelCol: String,   // boolean
+      bins: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    val mm = df.agg(min(col(scoreCol)).cast("long").as("lo"),
+      max(col(scoreCol)).cast("long").as("hi")).collect()(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val width = (hi - lo) / bins + 1
+    val cells = df
+      .groupBy(col(groupCol).as("g"),
+        RankOps.idiv(col(scoreCol).cast("long") - lo, width).as("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        count(when(col(labelCol), 1)).cast("long").as("n_pos"))
+      .orderBy("g", "bin")
+      .collect() // ≤ groups × bins rows — bounded by construction
+    val out = cells.groupBy(_.getString(0)).toSeq.flatMap { case (g, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // PAV pools: (binLo, binHi, n, pos); merge while prev.rate > next.rate,
+      // rate compare cross-multiplied exact
+      val pools = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      sorted.foreach { r =>
+        pools += ((r.getLong(1), r.getLong(1), r.getLong(2), r.getLong(3)))
+        while (pools.length >= 2 && {
+          val a = pools(pools.length - 2); val b = pools.last
+          a._4 * b._3 > b._4 * a._3 // pos_a/n_a > pos_b/n_b exactly
+        }) {
+          val b = pools.remove(pools.length - 1)
+          val a = pools.remove(pools.length - 1)
+          pools += ((a._1, b._2, a._3 + b._3, a._4 + b._4))
+        }
+      }
+      sorted.map { r =>
+        val bin = r.getLong(1)
+        val p = pools.find(p => p._1 <= bin && bin <= p._2).get
+        (g, bin, r.getLong(2), r.getLong(3),
+          r.getLong(3).toDouble / r.getLong(2).toDouble,
+          p._4.toDouble / p._3.toDouble)
+      }
+    }
+    import spark.implicits._
+    out.toDF("g", "bin", "n", "n_pos", "rate_raw", "rate_isotonic")
+      .withColumnRenamed("g", groupCol)
+  }
+
   /** Exact precision-recall curve per group: one point per DISTINCT
     * score threshold ("predict positive at score ≥ s"), tp/fp/fn exact
     * integers off a descending cumulative over the score-DOMAIN table

@@ -522,6 +522,9 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // a corpus-side re-shuffle
     "q75_identifier_clause" -> 2, // IDENTIFIER('t') plans exactly like the literal name:
                               // agg + ORDER BY
+    "quality_isotonic" -> 1,  // final plan = the bounded driver-literal PAV result +
+                              // ORDER BY; the distributed (group, bin) integer-cell agg
+                              // runs eagerly at construction (the kmeans1d posture)
     "events_kmeans1d" -> 1,   // the FINAL plan is the k-row driver-literal result +
                               // ORDER BY; the distributed work (min/max + 64-cell grid
                               // agg) runs eagerly at construction — two bounded passes,

@@ -299,6 +299,36 @@ class Round11bOpsSpec extends SparkSpec {
     assert(top == "y")
   }
 
+  test("isotonicCalibration: PAV merges violators into exact pooled rates, " +
+    "keeps monotone bins untouched, and the fit is non-decreasing") {
+    // bins 0/1/2 with raw rates 0.8 / 0.2 / 0.5 → PAV pools (0,1) at 0.5
+    val rows =
+      (1 to 5).map(i => ("s", 0, i <= 4)) ++
+        (1 to 5).map(i => ("s", 1, i <= 1)) ++
+        (1 to 4).map(i => ("s", 2, i <= 2)) ++
+        // second group, already monotone: untouched
+        (1 to 4).map(i => ("t", 0, i <= 1)) ++
+        (1 to 4).map(i => ("t", 2, i <= 3))
+    val df = rows.toDF("g", "score", "lab")
+    val got = StatsOps.isotonicCalibration(df, "g", "score", "lab", bins = 16)
+      .orderBy("g", "bin").collect()
+    val s = got.filter(_.getString(0) == "s")
+    assert(s.map(_.getAs[Double]("rate_raw")).toSeq == Seq(0.8, 0.2, 0.5))
+    assert(s.map(_.getAs[Double]("rate_isotonic")).toSeq == Seq(0.5, 0.5, 0.5))
+    val t = got.filter(_.getString(0) == "t")
+    assert(t.map(_.getAs[Double]("rate_isotonic")).toSeq == Seq(0.25, 0.75))
+    // the fit is non-decreasing within each group
+    Seq(s, t).foreach { grp =>
+      val ys = grp.map(_.getAs[Double]("rate_isotonic"))
+      assert(ys.zip(ys.tail).forall { case (a, b) => b >= a })
+    }
+    // PAV preserves the per-group positive mass: Σ n·ŷ = Σ n_pos
+    Seq(s, t).foreach { grp =>
+      val mass = grp.map(r => r.getAs[Long]("n") * r.getAs[Double]("rate_isotonic")).sum
+      assert(math.abs(mass - grp.map(_.getAs[Long]("n_pos")).sum) < 1e-9)
+    }
+  }
+
   test("kmeans1dOptimal: k well-separated groups land one-per-cluster with " +
     "exact grid edges and SSE; the DP beats a greedy split where it must") {
     val vals = Seq(0L, 1L, 100L, 101L, 200L, 201L, 300L, 301L).toDF("v")

@@ -4513,6 +4513,49 @@ object Oracles {
           |SELECT n_items, CAST(n2 // 2 AS BIGINT) AS n_ratings_pairable, s_o2, de2,
           | 1.0 - CAST(s_o2 * (n2 - 2) AS DOUBLE) / CAST(de2 AS DOUBLE) AS alpha
           |FROM s CROSS JOIN de CROSS JOIN it""".stripMargin,
+      "quality_isotonic" ->
+        // UNIQUENESS-based replay: the engine runs PAV; the twin computes
+        // the SAME fit by the minimax closed form over bin prefix sums
+        // (ŷᵢ = max_{j≤i} min_{k≥i} avg(j..k); IEEE double conversion is
+        // monotone, so the double max-min equals the rational optimum)
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+           |f AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           |      WHERE token <> '' AND NOT list_contains($stopAll, token)
+           |      GROUP BY doc_id, token),
+           |b AS (SELECT doc_id,
+           |      CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 64 AS INT) AS bucket, tf
+           |      FROM f),
+           |fb AS (SELECT doc_id, bucket, CAST(SUM(tf) AS BIGINT) AS tf FROM b GROUP BY doc_id, bucket),
+           |w AS (SELECT doc_id, tf,
+           |      CAST(('0x' || substr(md5('w:' || bucket::VARCHAR), 1, 8)) AS BIGINT) % 2001 - 1000 AS w
+           |      FROM fb),
+           |sc AS (SELECT doc_id, CAST(SUM(tf * w) AS BIGINT) AS s FROM w GROUP BY doc_id),
+           |lab AS (SELECT d.source AS g, sc.s AS score, (d.lang = 'en') AS pos
+           |        FROM documents d JOIN sc ON d.doc_id = sc.doc_id),
+           |mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM lab),
+           |cells AS (SELECT g, (score - lo) // ((hi - lo) // 16 + 1) AS bin,
+           |          COUNT(*) AS n, COUNT(CASE WHEN pos THEN 1 END) AS n_pos
+           |          FROM lab CROSS JOIN mm GROUP BY g, bin),
+           |idx AS (SELECT g, bin, n, n_pos,
+           |        CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY bin) AS BIGINT) AS i
+           |        FROM cells),
+           |pre AS (SELECT g, i, bin, n, n_pos,
+           |  SUM(n) OVER wi AS pc, SUM(n_pos) OVER wi AS pp
+           | FROM idx WINDOW wi AS (PARTITION BY g ORDER BY i
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |a AS (SELECT lo.g, lo.i AS j, hi.i AS k,
+           |  CAST(hi.pp - (lo.pp - lo.n_pos) AS DOUBLE)
+           |    / CAST(hi.pc - (lo.pc - lo.n) AS DOUBLE) AS v
+           | FROM pre lo JOIN pre hi ON lo.g = hi.g AND lo.i <= hi.i),
+           |y AS (SELECT x.g, x.i, MAX(mn) AS yhat FROM (
+           |  SELECT a.g, p.i, a.j, MIN(a.v) AS mn
+           |  FROM a JOIN pre p ON a.g = p.g AND a.j <= p.i AND a.k >= p.i
+           |  GROUP BY a.g, p.i, a.j) x GROUP BY x.g, x.i)
+           |SELECT pre.g AS source, pre.bin, pre.n, pre.n_pos,
+           | CAST(pre.n_pos AS DOUBLE) / CAST(pre.n AS DOUBLE) AS rate_raw,
+           | y.yhat AS rate_isotonic
+           |FROM pre JOIN y ON pre.g = y.g AND pre.i = y.i
+           |ORDER BY source, bin""".stripMargin,
       "text_dispersion" ->
         // dense token×part grid; |c_i·T − t_i·C| exact HUGEINTs; ONE
         // double division per token — CorpusOps.dispersionReport
