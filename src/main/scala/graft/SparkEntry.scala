@@ -6508,6 +6508,35 @@ object SparkEntry {
       StatsOps.isotonicCalibration(labeled, "source", "score_milli", "is_en", bins = 16)
         .orderBy("source", "bin")
     }),
+    "data_simpson" -> ((s, d) => {
+      // Simpson's-paradox monitor on the events stream: the sign of the
+      // (hour-of-day × spend) association per event type vs in the
+      // aggregate, reversal-flagged — integer covariance signs, no
+      // float in the verdict. See StatsOps.simpsonCheck.
+      StatsOps.simpsonCheck(
+        EV(s, d).select(col("event_type"),
+          expr("(ts_us div 3600000000) % 24").as("hod"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents")),
+        "event_type", col("hod"), col("cents"))
+        .withColumnRenamed("stratum", "event_type")
+        .orderBy("event_type")
+    }),
+    "quality_brier" -> ((s, d) => {
+      // Murphy decomposition of the Brier score over the isotonic-
+      // calibrated forecasts of quality_isotonic — REL/RES/UNC per
+      // source; the forecast-quality readout that separates "the model
+      // is miscalibrated" from "the model cannot discriminate". See
+      // StatsOps.brierDecomposition.
+      val docs = TP(s, d, "documents")
+      val scored = CorpusOps.linearModelScore(docs, "doc_id", "text", dim = 64)
+      val labeled = docs
+        .select(col("doc_id"), col("source"), (col("lang") === "en").as("is_en"))
+        .join(scored.select("doc_id", "score_milli"), Seq("doc_id"))
+      StatsOps.brierDecomposition(
+        StatsOps.isotonicCalibration(labeled, "source", "score_milli", "is_en", bins = 16),
+        "source")
+        .orderBy("source")
+    }),
     "q74_execute_immediate" -> ((s, d) => {
       // EXECUTE IMMEDIATE + named parameter marker conformance (the
       // SQL-scripting surface): the statement string is planned like

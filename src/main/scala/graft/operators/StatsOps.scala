@@ -1025,6 +1025,91 @@ object StatsOps {
       .withColumnRenamed("g", groupCol)
   }
 
+  /** Simpson's-paradox check: the SIGN of the x–y association inside
+    * every stratum vs in the aggregate, with a reversal flag — the
+    * classic confounding monitor a metrics pipeline runs before
+    * publishing a correlation (an aggregate trend that no stratum
+    * shows, or vice versa, means the stratum variable confounds).
+    * Exactness: the sign carrier is the scaled covariance
+    * n·Σxy − Σx·Σy as an EXACT decimal integer (order-independent
+    * partial-agg sums) — no variance normalization is needed for a
+    * sign, so no float enters the verdict. One (stratum) agg + a
+    * broadcast 1-row aggregate attach.
+    */
+  def simpsonCheck(
+      df: DataFrame,
+      stratumCol: String,
+      x: Column,
+      y: Column): DataFrame = {
+    val rows = df.select(col(stratumCol).as("stratum"),
+        x.cast("long").as("x"), y.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    def cov2(pre: String): Column =
+      (col(s"${pre}n").cast("decimal(38,0)") * col(s"${pre}sxy")
+        - col(s"${pre}sx") * col(s"${pre}sy")).cast("decimal(38,0)")
+    def aggs(pre: String) = Seq(
+      count(lit(1)).cast("decimal(19,0)").as(s"${pre}n"),
+      sum(col("x").cast("decimal(19,0)")).cast("decimal(38,0)").as(s"${pre}sx"),
+      sum(col("y").cast("decimal(19,0)")).cast("decimal(38,0)").as(s"${pre}sy"),
+      sum((col("x").cast("decimal(19,0)") * col("y")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as(s"${pre}sxy"))
+    val perStratum = rows.groupBy("stratum").agg(aggs("").head, aggs("").tail: _*)
+      .withColumn("cov2", cov2(""))
+    val overall = rows.agg(aggs("g_").head, aggs("g_").tail: _*)
+      .withColumn("g_cov2", cov2("g_"))
+      .select(signum(col("g_cov2")).cast("int").as("agg_sign"))
+    perStratum
+      .crossJoin(broadcast(overall)) // 1-row attach
+      .select(col("stratum"), col("n").cast("long").as("n"),
+        signum(col("cov2")).cast("int").as("stratum_sign"),
+        col("agg_sign"),
+        (signum(col("cov2")) =!= 0 && col("agg_sign") =!= 0 &&
+          signum(col("cov2")).cast("int") =!= col("agg_sign")).as("reversed"))
+  }
+
+  /** Murphy decomposition of the Brier score (Murphy 1973) for BINNED
+    * probability forecasts — REL − RES + UNC over the isotonic-
+    * calibrated per-bin forecasts of [[isotonicCalibration]]: REL
+    * (reliability — how far forecasts sit from observed bin rates; 0
+    * for the isotonic fit's own training data unless pooling moved
+    * them), RES (resolution — how much the bins separate outcomes),
+    * UNC (the irreducible ō(1−ō)). All terms are fixed double combines
+    * of the exact per-bin integers and the fitted rates. One pass over
+    * the bounded calibration table.
+    */
+  def brierDecomposition(
+      calib: DataFrame, // isotonicCalibration output (needs the bin column)
+      groupCol: String): DataFrame = {
+    // the float numerators fold in PINNED bin order (the decayedTrend /
+    // holt-winters convention) — a plain sum(double) would be
+    // merge-order-dependent and unreplayable
+    val withTot = calib
+      .groupBy(col(groupCol))
+      .agg(
+        sum("n").cast("long").as("n_total"),
+        sum("n_pos").cast("long").as("n_pos_total"),
+        sort_array(collect_list(struct(col("bin"), col("n"), col("n_pos"),
+          col("rate_isotonic").as("p")))).as("cells"))
+      .withColumn("rel_num", aggregate(col("cells"), lit(0.0),
+        (acc, c) => acc + c("n").cast("double")
+          * (c("p") - c("n_pos").cast("double") / c("n").cast("double"))
+          * (c("p") - c("n_pos").cast("double") / c("n").cast("double"))))
+      .withColumn("oo_num", aggregate(col("cells"), lit(0.0),
+        (acc, c) => acc + c("n").cast("double")
+          * (c("n_pos").cast("double") / c("n").cast("double"))
+          * (c("n_pos").cast("double") / c("n").cast("double"))))
+    val oBar = col("n_pos_total").cast("double") / col("n_total").cast("double")
+    withTot.select(col(groupCol), col("n_total"), col("n_pos_total"),
+      oBar.as("o_bar"),
+      (col("rel_num") / col("n_total").cast("double")).as("reliability"),
+      // RES = Σ n_k·(o_k − ō)²/N = Σ n_k·o_k²/N − ō²  (König–Huygens)
+      (col("oo_num") / col("n_total").cast("double") - oBar * oBar).as("resolution"),
+      (oBar * (lit(1.0) - oBar)).as("uncertainty"),
+      (col("rel_num") / col("n_total").cast("double")
+        - (col("oo_num") / col("n_total").cast("double") - oBar * oBar)
+        + oBar * (lit(1.0) - oBar)).as("brier"))
+  }
+
   /** Exact precision-recall curve per group: one point per DISTINCT
     * score threshold ("predict positive at score ≥ s"), tp/fp/fn exact
     * integers off a descending cumulative over the score-DOMAIN table

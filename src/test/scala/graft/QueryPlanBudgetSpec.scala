@@ -522,6 +522,11 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // a corpus-side re-shuffle
     "q75_identifier_clause" -> 2, // IDENTIFIER('t') plans exactly like the literal name:
                               // agg + ORDER BY
+    "data_simpson" -> 3,      // per-stratum decimal-moment agg + the 1-row aggregate-sign
+                              // attach (single-partition agg) + ORDER BY — signs only,
+                              // no float in the verdict
+    "quality_brier" -> 2,     // one bounded group-agg over the driver-literal calibration
+                              // table (ordered in-row folds) + ORDER BY
     "quality_isotonic" -> 1,  // final plan = the bounded driver-literal PAV result +
                               // ORDER BY; the distributed (group, bin) integer-cell agg
                               // runs eagerly at construction (the kmeans1d posture)

@@ -329,6 +329,38 @@ class Round11bOpsSpec extends SparkSpec {
     }
   }
 
+  test("simpsonCheck: a designed paradox flags every stratum (negative " +
+    "within, positive aggregate), integer signs only") {
+    val df = Seq(("A", 0L, 10L), ("A", 1L, 9L), ("B", 8L, 100L), ("B", 9L, 99L))
+      .toDF("s", "x", "y")
+    val got = StatsOps.simpsonCheck(df, "s", col("x"), col("y"))
+      .orderBy("stratum").collect()
+    assert(got.map(_.getAs[Int]("stratum_sign")).toSeq == Seq(-1, -1))
+    assert(got.forall(_.getAs[Int]("agg_sign") == 1))
+    assert(got.forall(_.getAs[Boolean]("reversed")))
+    // no paradox when the stratum agrees with the aggregate
+    val ok = StatsOps.simpsonCheck(
+      Seq(("A", 0L, 1L), ("A", 1L, 2L)).toDF("s", "x", "y"), "s", col("x"), col("y"))
+      .collect()(0)
+    assert(ok.getAs[Int]("stratum_sign") == 1 && !ok.getAs[Boolean]("reversed"))
+  }
+
+  test("brierDecomposition: hand Murphy terms — perfect calibration has " +
+    "REL 0, a constant forecast has RES-cancelling Brier ō(1−ō)") {
+    def calib(p0: Double, p1: Double) = Seq(
+      ("g", 0L, 4L, 1L, p0), ("g", 1L, 4L, 3L, p1)
+    ).toDF("g", "bin", "n", "n_pos", "rate_isotonic")
+    val perfect = StatsOps.brierDecomposition(calib(0.25, 0.75), "g").collect()(0)
+    assert(perfect.getAs[Double]("o_bar") == 0.5)
+    assert(perfect.getAs[Double]("reliability") == 0.0)
+    assert(perfect.getAs[Double]("resolution") == 0.0625)
+    assert(perfect.getAs[Double]("uncertainty") == 0.25)
+    assert(perfect.getAs[Double]("brier") == 0.1875)
+    val const = StatsOps.brierDecomposition(calib(0.5, 0.5), "g").collect()(0)
+    assert(const.getAs[Double]("reliability") == 0.0625)
+    assert(const.getAs[Double]("brier") == 0.25) // = ō(1−ō) at ō = 0.5
+  }
+
   test("kmeans1dOptimal: k well-separated groups land one-per-cluster with " +
     "exact grid edges and SSE; the DP beats a greedy split where it must") {
     val vals = Seq(0L, 1L, 100L, 101L, 200L, 201L, 300L, 301L).toDF("v")

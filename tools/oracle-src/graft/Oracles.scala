@@ -117,6 +117,43 @@ object Oracles {
     // sims and scores stay RAW (un-rounded): identical IEEE chains are
     // bit-equal cross-engine, while round() itself is the one op where
     // the engines can disagree at a .5e-7 boundary (seen at sf0.01).
+    // shared by quality_isotonic / quality_brier: the hashed-model score
+    // CTE + the minimax isotonic fit over (source, bin) integer cells
+    val isoCte =
+      s"""tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |f AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+         |      WHERE token <> '' AND NOT list_contains($stopAll, token)
+         |      GROUP BY doc_id, token),
+         |b AS (SELECT doc_id,
+         |      CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 64 AS INT) AS bucket, tf
+         |      FROM f),
+         |fb AS (SELECT doc_id, bucket, CAST(SUM(tf) AS BIGINT) AS tf FROM b GROUP BY doc_id, bucket),
+         |w AS (SELECT doc_id, tf,
+         |      CAST(('0x' || substr(md5('w:' || bucket::VARCHAR), 1, 8)) AS BIGINT) % 2001 - 1000 AS w
+         |      FROM fb),
+         |sc AS (SELECT doc_id, CAST(SUM(tf * w) AS BIGINT) AS s FROM w GROUP BY doc_id),
+         |lab AS (SELECT d.source AS g, sc.s AS score, (d.lang = 'en') AS pos
+         |        FROM documents d JOIN sc ON d.doc_id = sc.doc_id),
+         |mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM lab),
+         |cells AS (SELECT g, (score - lo) // ((hi - lo) // 16 + 1) AS bin,
+         |          COUNT(*) AS n, COUNT(CASE WHEN pos THEN 1 END) AS n_pos
+         |          FROM lab CROSS JOIN mm GROUP BY g, bin),
+         |idx AS (SELECT g, bin, n, n_pos,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY bin) AS BIGINT) AS i
+         |        FROM cells),
+         |pre AS (SELECT g, i, bin, n, n_pos,
+         |  SUM(n) OVER wi AS pc, SUM(n_pos) OVER wi AS pp
+         | FROM idx WINDOW wi AS (PARTITION BY g ORDER BY i
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |a AS (SELECT lo.g, lo.i AS j, hi.i AS k,
+         |  CAST(hi.pp - (lo.pp - lo.n_pos) AS DOUBLE)
+         |    / CAST(hi.pc - (lo.pc - lo.n) AS DOUBLE) AS v
+         | FROM pre lo JOIN pre hi ON lo.g = hi.g AND lo.i <= hi.i),
+         |y AS (SELECT x.g, x.i, MAX(mn) AS yhat FROM (
+         |  SELECT a.g, p.i, a.j, MIN(a.v) AS mn
+         |  FROM a JOIN pre p ON a.g = p.g AND a.j <= p.i AND a.k >= p.i
+         |  GROUP BY a.g, p.i, a.j) x GROUP BY x.g, x.i)""".stripMargin
+
     val mmrDotCv =
       "list_reduce(list_transform(list_zip(a.cvec, b.cvec), p -> p[1]*p[2]), (x,y) -> x+y)"
     def mmrNormCv(side: String) =
@@ -4518,44 +4555,66 @@ object Oracles {
         // the SAME fit by the minimax closed form over bin prefix sums
         // (ŷᵢ = max_{j≤i} min_{k≥i} avg(j..k); IEEE double conversion is
         // monotone, so the double max-min equals the rational optimum)
-        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
-           |f AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
-           |      WHERE token <> '' AND NOT list_contains($stopAll, token)
-           |      GROUP BY doc_id, token),
-           |b AS (SELECT doc_id,
-           |      CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 64 AS INT) AS bucket, tf
-           |      FROM f),
-           |fb AS (SELECT doc_id, bucket, CAST(SUM(tf) AS BIGINT) AS tf FROM b GROUP BY doc_id, bucket),
-           |w AS (SELECT doc_id, tf,
-           |      CAST(('0x' || substr(md5('w:' || bucket::VARCHAR), 1, 8)) AS BIGINT) % 2001 - 1000 AS w
-           |      FROM fb),
-           |sc AS (SELECT doc_id, CAST(SUM(tf * w) AS BIGINT) AS s FROM w GROUP BY doc_id),
-           |lab AS (SELECT d.source AS g, sc.s AS score, (d.lang = 'en') AS pos
-           |        FROM documents d JOIN sc ON d.doc_id = sc.doc_id),
-           |mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM lab),
-           |cells AS (SELECT g, (score - lo) // ((hi - lo) // 16 + 1) AS bin,
-           |          COUNT(*) AS n, COUNT(CASE WHEN pos THEN 1 END) AS n_pos
-           |          FROM lab CROSS JOIN mm GROUP BY g, bin),
-           |idx AS (SELECT g, bin, n, n_pos,
-           |        CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY bin) AS BIGINT) AS i
-           |        FROM cells),
-           |pre AS (SELECT g, i, bin, n, n_pos,
-           |  SUM(n) OVER wi AS pc, SUM(n_pos) OVER wi AS pp
-           | FROM idx WINDOW wi AS (PARTITION BY g ORDER BY i
-           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-           |a AS (SELECT lo.g, lo.i AS j, hi.i AS k,
-           |  CAST(hi.pp - (lo.pp - lo.n_pos) AS DOUBLE)
-           |    / CAST(hi.pc - (lo.pc - lo.n) AS DOUBLE) AS v
-           | FROM pre lo JOIN pre hi ON lo.g = hi.g AND lo.i <= hi.i),
-           |y AS (SELECT x.g, x.i, MAX(mn) AS yhat FROM (
-           |  SELECT a.g, p.i, a.j, MIN(a.v) AS mn
-           |  FROM a JOIN pre p ON a.g = p.g AND a.j <= p.i AND a.k >= p.i
-           |  GROUP BY a.g, p.i, a.j) x GROUP BY x.g, x.i)
+        s"""WITH $isoCte
            |SELECT pre.g AS source, pre.bin, pre.n, pre.n_pos,
            | CAST(pre.n_pos AS DOUBLE) / CAST(pre.n AS DOUBLE) AS rate_raw,
            | y.yhat AS rate_isotonic
            |FROM pre JOIN y ON pre.g = y.g AND pre.i = y.i
            |ORDER BY source, bin""".stripMargin,
+      "quality_brier" ->
+        // Murphy decomposition over the isotonic forecasts: the float
+        // numerators fold in PINNED bin order (list_reduce), exactly
+        // the engine's aggregate() chain
+        s"""WITH $isoCte,
+           |fin AS (SELECT pre.g, pre.bin, pre.n, pre.n_pos, y.yhat AS p
+           |        FROM pre JOIN y ON pre.g = y.g AND pre.i = y.i),
+           |agg AS (SELECT g,
+           |  CAST(SUM(n) AS BIGINT) AS n_total,
+           |  CAST(SUM(n_pos) AS BIGINT) AS n_pos_total,
+           |  list_reduce(list_prepend(0.0::DOUBLE, list(
+           |    CAST(n AS DOUBLE)
+           |      * (p - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+           |      * (p - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY bin)),
+           |    (xx, yy) -> xx + yy) AS rel_num,
+           |  list_reduce(list_prepend(0.0::DOUBLE, list(
+           |    CAST(n AS DOUBLE)
+           |      * (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+           |      * (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY bin)),
+           |    (xx, yy) -> xx + yy) AS oo_num
+           | FROM fin GROUP BY g)
+           |SELECT g AS source, n_total, n_pos_total,
+           | CAST(n_pos_total AS DOUBLE) / CAST(n_total AS DOUBLE) AS o_bar,
+           | rel_num / CAST(n_total AS DOUBLE) AS reliability,
+           | oo_num / CAST(n_total AS DOUBLE)
+           |  - (CAST(n_pos_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+           |    * (CAST(n_pos_total AS DOUBLE) / CAST(n_total AS DOUBLE)) AS resolution,
+           | (CAST(n_pos_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+           |  * (1.0e0 - CAST(n_pos_total AS DOUBLE) / CAST(n_total AS DOUBLE)) AS uncertainty,
+           | rel_num / CAST(n_total AS DOUBLE)
+           |  - (oo_num / CAST(n_total AS DOUBLE)
+           |     - (CAST(n_pos_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+           |       * (CAST(n_pos_total AS DOUBLE) / CAST(n_total AS DOUBLE)))
+           |  + (CAST(n_pos_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+           |    * (1.0e0 - CAST(n_pos_total AS DOUBLE) / CAST(n_total AS DOUBLE)) AS brier
+           |FROM agg ORDER BY source""".stripMargin,
+      "data_simpson" ->
+        """WITH r AS (SELECT event_type AS stratum,
+          |  (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS x,
+          |  CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS y FROM events),
+          |s AS (SELECT stratum, COUNT(*) AS n,
+          |  SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+          |  SUM(CAST(x AS HUGEINT) * y) AS sxy
+          | FROM r GROUP BY stratum),
+          |g AS (SELECT CAST(sign(CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y)
+          |        - SUM(CAST(x AS HUGEINT)) * SUM(CAST(y AS HUGEINT))) AS INT) AS agg_sign
+          |      FROM r)
+          |SELECT stratum AS event_type, CAST(n AS BIGINT) AS n,
+          | CAST(sign(CAST(n AS HUGEINT) * sxy - sx * sy) AS INT) AS stratum_sign,
+          | agg_sign,
+          | (CAST(sign(CAST(n AS HUGEINT) * sxy - sx * sy) AS INT) <> 0
+          |   AND agg_sign <> 0
+          |   AND CAST(sign(CAST(n AS HUGEINT) * sxy - sx * sy) AS INT) <> agg_sign) AS reversed
+          |FROM s CROSS JOIN g ORDER BY event_type""".stripMargin,
       "text_dispersion" ->
         // dense token×part grid; |c_i·T − t_i·C| exact HUGEINTs; ONE
         // double division per token — CorpusOps.dispersionReport
