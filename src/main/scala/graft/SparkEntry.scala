@@ -6508,6 +6508,15 @@ object SparkEntry {
       StatsOps.isotonicCalibration(labeled, "source", "score_milli", "is_en", bins = 16)
         .orderBy("source", "bin")
     }),
+    "data_wasserstein" -> ((s, d) => {
+      // Wasserstein-1 drift of each source's doc-length distribution vs
+      // the corpus — the "how much mass moved, how far" metric
+      // completing KS (data_ks_drift) and PSI (data_psi); exact integer
+      // CDF-gap × grid-gap products, one double division. See
+      // DriftOps.w1Distance.
+      DriftOps.w1Distance(
+        T(s, d, "documents").select("source", "n_chars"), "source", "n_chars")
+    }),
     "data_simpson" -> ((s, d) => {
       // Simpson's-paradox monitor on the events stream: the sign of the
       // (hour-of-day × spend) association per event type vs in the

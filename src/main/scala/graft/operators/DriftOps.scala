@@ -203,6 +203,56 @@ object DriftOps {
       .orderBy("slice")
   }
 
+  /** Wasserstein-1 (earth-mover's) distance of each slice vs the whole
+    * corpus on an integer measure — the "HOW MUCH mass moved, and how
+    * far" drift metric completing KS (max CDF gap, distance-blind) and
+    * PSI (binned, range-fixed): W1 = ∫|F_s − F_all| dx over the merged
+    * value grid. Exactness: the CDF gap numerator
+    * |cum_s·N_all − cum_all·N_s| and the grid gap (next_v − v) are
+    * exact integers; their products sum in DECIMAL (order-free), and
+    * W1 is ONE double division by N_s·N_all. Same shapes as
+    * [[ksDistance]]: the expansion is slices × value-domain grid,
+    * never rows.
+    */
+  def w1Distance(df: DataFrame, sliceCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val counts = df
+      .groupBy(col(sliceCol).as("slice"), col(valCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // grid + per-slice counts + totals all read it
+    val wAll = Window.orderBy("v")
+    val grid = counts.groupBy("v").agg(sum("c").as("cg"))
+      .withColumn("cum_all",
+        sum("cg").over(wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("next_v", lead("v", 1).over(wAll))
+    val nAll = grid.agg(sum("cg").cast("bigint").as("n_all"))
+    val slices = counts.groupBy("slice").agg(sum("c").cast("bigint").as("n_s"))
+    val wS = Window.partitionBy("slice").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sliceCounts = counts
+      .select(col("slice").as("slice2"), col("v").as("v2"), col("c"))
+    slices
+      .crossJoin(broadcast(grid.select("v", "cum_all", "next_v")))
+      .join(sliceCounts,
+        col("slice") === col("slice2") && col("v") === col("v2"), "left_outer")
+      .drop("slice2", "v2")
+      .withColumn("cum_s", coalesce(sum(coalesce(col("c"), lit(0L))).over(wS), lit(0L)))
+      .crossJoin(broadcast(nAll)) // 1-row scalar attach
+      .withColumn("term",
+        when(col("next_v").isNull, lit(0L).cast(d38)).otherwise(
+          (abs(col("cum_s").cast(d38) * col("n_all").cast(d38) -
+            col("cum_all").cast(d38) * col("n_s").cast(d38)).cast(d38)
+            * (col("next_v") - col("v")).cast("decimal(19,0)")).cast(d38)))
+      .groupBy("slice")
+      .agg(first("n_s").as("n"), first("n_all").as("n_all"),
+        sum("term").cast(d38).as("w1_num"))
+      .select(col("slice"), col("n"),
+        (col("w1_num").cast("double") /
+          (col("n").cast(d38) * col("n_all").cast(d38)).cast("double")).as("w1"))
+      .orderBy("slice")
+  }
+
   /** Population Stability Index — the scorecard-monitoring standard:
     * PSI = Σ_bins (p_b − q_b)·ln(p_b/q_b) between a BASELINE and a
     * CURRENT distribution over `bins` equal-width bins of an integer

@@ -522,6 +522,9 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // a corpus-side re-shuffle
     "q75_identifier_clause" -> 2, // IDENTIFIER('t') plans exactly like the literal name:
                               // agg + ORDER BY
+    "data_wasserstein" -> 6,  // the ksDistance shapes: slice totals + broadcast grid cross
+                              // + slice-count join-back + per-slice CDF window + final agg
+                              // + ORDER BY; the (slice,v) agg rides a lazy checkpoint
     "data_simpson" -> 3,      // per-stratum decimal-moment agg + the 1-row aggregate-sign
                               // attach (single-partition agg) + ORDER BY — signs only,
                               // no float in the verdict

@@ -361,6 +361,19 @@ class Round11bOpsSpec extends SparkSpec {
     assert(const.getAs[Double]("brier") == 0.25) // = ō(1−ō) at ō = 0.5
   }
 
+  test("w1Distance: exact earth-mover's distance vs the pooled corpus on " +
+    "a hand grid (5/3 and 5), zero for an identical slice") {
+    import graft.operators.DriftOps
+    val df = Seq(("A", 0L), ("A", 0L), ("A", 10L), ("B", 10L)).toDF("s", "v")
+    val got = DriftOps.w1Distance(df, "s", "v").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("w1")).toMap
+    assert(got("A") == 20.0 / 12.0) // |2·4 − 2·3|·10 / (3·4)
+    assert(got("B") == 5.0)         // |0·4 − 2·1|·10 / (1·4)
+    // a slice that IS the corpus distribution has W1 = 0
+    val same = Seq(("X", 1L), ("X", 2L)).toDF("s", "v")
+    assert(DriftOps.w1Distance(same, "s", "v").collect()(0).getAs[Double]("w1") == 0.0)
+  }
+
   test("kmeans1dOptimal: k well-separated groups land one-per-cluster with " +
     "exact grid edges and SSE; the DP beats a greedy split where it must") {
     val vals = Seq(0L, 1L, 100L, 101L, 200L, 201L, 300L, 301L).toDF("v")

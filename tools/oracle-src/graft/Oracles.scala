@@ -4597,6 +4597,33 @@ object Oracles {
            |  + (CAST(n_pos_total AS DOUBLE) / CAST(n_total AS DOUBLE))
            |    * (1.0e0 - CAST(n_pos_total AS DOUBLE) / CAST(n_total AS DOUBLE)) AS brier
            |FROM agg ORDER BY source""".stripMargin,
+      "data_wasserstein" ->
+        // W1 = Σ_grid |cum_s·N_all − cum_all·N_s|·(next_v − v) over the
+        // merged value grid / (N_s·N_all) — DriftOps.w1Distance
+        """WITH cnt AS (SELECT source AS slice, n_chars AS v, COUNT(*) AS c
+          |            FROM documents GROUP BY 1, 2),
+          |grid AS (SELECT v, SUM(c) AS cg FROM cnt GROUP BY v),
+          |g2 AS (SELECT v,
+          |  SUM(cg) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all,
+          |  LEAD(v) OVER (ORDER BY v) AS next_v FROM grid),
+          |na AS (SELECT CAST(SUM(cg) AS BIGINT) AS n_all FROM grid),
+          |sl AS (SELECT slice, CAST(SUM(c) AS BIGINT) AS n_s FROM cnt GROUP BY slice),
+          |x AS (SELECT sl.slice, sl.n_s, g2.v, g2.cum_all, g2.next_v,
+          |      COALESCE(cnt.c, 0) AS c
+          |      FROM sl CROSS JOIN g2
+          |      LEFT JOIN cnt ON cnt.slice = sl.slice AND cnt.v = g2.v),
+          |y AS (SELECT slice, n_s, v, cum_all, next_v,
+          |      SUM(c) OVER (PARTITION BY slice ORDER BY v
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s FROM x),
+          |t AS (SELECT slice, ANY_VALUE(n_s) AS n, ANY_VALUE(n_all) AS n_all,
+          |      SUM(CASE WHEN next_v IS NULL THEN 0
+          |          ELSE abs(CAST(cum_s AS HUGEINT) * n_all - CAST(cum_all AS HUGEINT) * n_s)
+          |               * (next_v - v) END) AS num
+          |      FROM y CROSS JOIN na GROUP BY slice)
+          |SELECT slice, n,
+          | CAST(CAST(num AS VARCHAR) AS DOUBLE)
+          |  / CAST(CAST(CAST(n AS HUGEINT) * n_all AS VARCHAR) AS DOUBLE) AS w1
+          |FROM t ORDER BY slice""".stripMargin,
       "data_simpson" ->
         """WITH r AS (SELECT event_type AS stratum,
           |  (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS x,
