@@ -6508,6 +6508,16 @@ object SparkEntry {
       StatsOps.isotonicCalibration(labeled, "source", "score_milli", "is_en", bins = 16)
         .orderBy("source", "bin")
     }),
+    "events_shapley" -> ((s, d) => {
+      // Shapley-value attribution of purchase conversions over the
+      // view/click/signup touch channels — the principled credit split
+      // beside first/last-touch (events_attribution); 6·φ exact
+      // integers, Σφ = v(all) − v(none) by construction. See
+      // StatsOps.shapleyAttribution.
+      StatsOps.shapleyAttribution(EV(s, d), "user_id", "event_type",
+          Seq("view", "click", "signup"), "purchase")
+        .orderBy("channel")
+    }),
     "data_wasserstein" -> ((s, d) => {
       // Wasserstein-1 drift of each source's doc-length distribution vs
       // the corpus — the "how much mass moved, how far" metric

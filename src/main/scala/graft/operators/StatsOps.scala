@@ -1110,6 +1110,50 @@ object StatsOps {
         + oBar * (lit(1.0) - oBar)).as("brier"))
   }
 
+  /** Shapley-value channel attribution (Shapley 1953 applied to
+    * marketing touch data — the PRINCIPLED credit split next to the
+    * first-/last-touch heuristics of events_attribution): coalition
+    * value v(S) = converted users reachable with channel set S (mask ⊆
+    * S), φ_i = Σ_S |S|!(n−1−|S|)!/n!·(v(S∪i) − v(S)). Wired for
+    * EXACTLY 3 channels so n! = 6 and 6·φ_i is an EXACT INTEGER — the
+    * one double is the final /6. Shape: one per-user agg folds the
+    * corpus to (mask, conv); the 8-row coalition table collects
+    * (bounded literal, the kmeans1d posture) and the 2³ enumeration is
+    * driver-side arithmetic. Efficiency property Σφ = v(N) − v(∅)
+    * holds by construction and is spec-pinned.
+    */
+  def shapleyAttribution(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      channels: Seq[String], // exactly 3
+      conversionType: String): DataFrame = {
+    require(channels.size == 3, "exact-sixth Shapley is wired for 3 channels")
+    val spark = events.sparkSession
+    val bits = channels.zipWithIndex
+    val aggCols = bits.map { case (c, i) =>
+      max(when(col(typeCol) === c, lit(1L << i)).otherwise(0L)).as(s"b$i")
+    } :+ max(when(col(typeCol) === conversionType, 1L).otherwise(0L)).as("conv")
+    val pu = events.groupBy(col(userCol)).agg(aggCols.head, aggCols.tail: _*)
+      .select((col("b0") + col("b1") + col("b2")).cast("int").as("mask"), col("conv"))
+    val cnt = pu.filter(col("conv") === 1).groupBy("mask")
+      .agg(count(lit(1)).cast("long").as("c"))
+      .collect() // ≤ 8 rows — bounded by construction
+    val cm = cnt.map(r => r.getInt(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    def v(s: Int): Long = (0 to 7).filter(m => (m & s) == m).map(cm).sum
+    def fact(k: Int): Long = (1 to k).map(_.toLong).product
+    val rows = bits.map { case (name, i) =>
+      val bit = 1 << i
+      val phi6 = (0 to 7).filter(s => (s & bit) == 0).map { s =>
+        val k = Integer.bitCount(s)
+        fact(k) * fact(2 - k) * (v(s | bit) - v(s))
+      }.sum
+      (name, phi6, phi6.toDouble / 6.0, v(7), v(0))
+    }
+    import spark.implicits._
+    rows.toDF("channel", "phi6", "phi", "v_all", "v_none")
+  }
+
   /** Exact precision-recall curve per group: one point per DISTINCT
     * score threshold ("predict positive at score ≥ s"), tp/fp/fn exact
     * integers off a descending cumulative over the score-DOMAIN table

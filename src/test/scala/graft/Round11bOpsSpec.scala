@@ -374,6 +374,27 @@ class Round11bOpsSpec extends SparkSpec {
     assert(DriftOps.w1Distance(same, "s", "v").collect()(0).getAs[Double]("w1") == 0.0)
   }
 
+  test("shapleyAttribution: hand coalition values give exact sixths and " +
+    "the efficiency property holds") {
+    // converted: u1{view}, u2{view,click}, u4{signup}, u5{} ; u3{click} no conv
+    val ev = Seq(
+      (1L, "view"), (1L, "purchase"),
+      (2L, "view"), (2L, "click"), (2L, "purchase"),
+      (3L, "click"),
+      (4L, "signup"), (4L, "purchase"),
+      (5L, "purchase")
+    ).toDF("user_id", "event_type")
+    val got = StatsOps.shapleyAttribution(ev, "user_id", "event_type",
+        Seq("view", "click", "signup"), "purchase")
+      .orderBy("channel").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("phi6"), r.getAs[Double]("phi"))).toMap
+    assert(got("view") == (9L, 1.5))
+    assert(got("click") == (3L, 0.5))
+    assert(got("signup") == (6L, 1.0))
+    // efficiency: Σφ = v(all) − v(none) = 4 − 1 = 3
+    assert(got.values.map(_._2).sum == 3.0)
+  }
+
   test("kmeans1dOptimal: k well-separated groups land one-per-cluster with " +
     "exact grid edges and SSE; the DP beats a greedy split where it must") {
     val vals = Seq(0L, 1L, 100L, 101L, 200L, 201L, 300L, 301L).toDF("v")

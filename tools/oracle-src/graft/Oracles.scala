@@ -4597,6 +4597,37 @@ object Oracles {
            |  + (CAST(n_pos_total AS DOUBLE) / CAST(n_total AS DOUBLE))
            |    * (1.0e0 - CAST(n_pos_total AS DOUBLE) / CAST(n_total AS DOUBLE)) AS brier
            |FROM agg ORDER BY source""".stripMargin,
+      "events_shapley" -> {
+        // 6·φ_i literal enumeration over the 8-row coalition-value
+        // table, mirroring StatsOps.shapleyAttribution's weights
+        // |S|!(2−|S|)! ∈ {2, 1, 1, 2}
+        val chans = Seq("view" -> 1, "click" -> 2, "signup" -> 4)
+        def vOf(s: Int) = s"(SELECT v FROM v WHERE s = $s)"
+        val rows = chans.map { case (name, bit) =>
+          val terms = (0 to 7).filter(s => (s & bit) == 0).map { s =>
+            val k = Integer.bitCount(s)
+            val w = (1 to k).product * (1 to (2 - k)).product
+            s"$w * (${vOf(s | bit)} - ${vOf(s)})"
+          }.mkString(" + ")
+          s"""SELECT '$name' AS channel, CAST($terms AS BIGINT) AS phi6,
+             |  CAST(CAST($terms AS BIGINT) AS DOUBLE) / 6.0 AS phi,
+             |  ${vOf(7)} AS v_all, ${vOf(0)} AS v_none""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH pu AS (SELECT user_id,
+           |  MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           |  + MAX(CASE WHEN event_type = 'click' THEN 2 ELSE 0 END)
+           |  + MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END) AS mask,
+           |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+           | FROM events GROUP BY user_id),
+           |cnt AS (SELECT mask, COUNT(*) AS c FROM pu WHERE conv = 1 GROUP BY mask),
+           |v AS (SELECT ss.s AS s, CAST(COALESCE(SUM(cnt.c), 0) AS BIGINT) AS v
+           |      FROM (SELECT unnest(range(0, 8)) AS s) ss
+           |      LEFT JOIN cnt ON (cnt.mask & ss.s) = cnt.mask
+           |      GROUP BY ss.s)
+           |SELECT * FROM (
+           |$rows
+           |) ORDER BY channel""".stripMargin
+      },
       "data_wasserstein" ->
         // W1 = Σ_grid |cum_s·N_all − cum_all·N_s|·(next_v − v) over the
         // merged value grid / (N_s·N_all) — DriftOps.w1Distance
