@@ -6508,6 +6508,24 @@ object SparkEntry {
       StatsOps.isotonicCalibration(labeled, "source", "score_milli", "is_en", bins = 16)
         .orderBy("source", "bin")
     }),
+    "quality_mcnemar" -> ((s, d) => {
+      // McNemar's paired test comparing TWO hashed linear models
+      // (dim 64 vs dim 32 — different feature collisions) at predicting
+      // English on the SAME docs, per source — the statistically-right
+      // model-swap decision next to the scalar AUCs. See
+      // StatsOps.mcnemar.
+      val docs = TP(s, d, "documents")
+      val base = docs.select(col("doc_id"), col("source"),
+        (col("lang") === "en").as("is_en"))
+      val a = CorpusOps.linearModelScore(docs, "doc_id", "text", dim = 64)
+        .select(col("doc_id"), col("kept").as("pred_a"))
+      val b = CorpusOps.linearModelScore(docs, "doc_id", "text", dim = 32)
+        .select(col("doc_id"), col("kept").as("pred_b"))
+      val j = base.join(a, Seq("doc_id")).join(b, Seq("doc_id"))
+      StatsOps.mcnemar(j, "source",
+          col("pred_a") === col("is_en"), col("pred_b") === col("is_en"))
+        .orderBy("source")
+    }),
     "events_shapley" -> ((s, d) => {
       // Shapley-value attribution of purchase conversions over the
       // view/click/signup touch channels — the principled credit split

@@ -1154,6 +1154,37 @@ object StatsOps {
     rows.toDF("channel", "phi6", "phi", "v_all", "v_none")
   }
 
+  /** McNemar's test for PAIRED classifier comparison (McNemar 1947) —
+    * the statistically-right way to decide a model SWAP on one eval
+    * set (two AUCs on the same items are correlated; the unpaired
+    * tests lie). Only the DISCORDANT counts matter: b = A right ∧ B
+    * wrong, c = A wrong ∧ B right; χ² = (b−c)²/(b+c) (with the
+    * |b−c|−1 continuity correction variant emitted alongside). All
+    * counts exact integers off ONE hash aggregate per group; the two
+    * statistics are fixed double combines.
+    */
+  def mcnemar(
+      df: DataFrame,
+      groupCol: String,
+      correctA: Column,
+      correctB: Column): DataFrame = {
+    val g = df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        count(when(correctA && correctB, 1)).cast("long").as("n_both"),
+        count(when(correctA && !correctB, 1)).cast("long").as("b"),
+        count(when(!correctA && correctB, 1)).cast("long").as("c"),
+        count(when(!correctA && !correctB, 1)).cast("long").as("n_neither"))
+    val bd = col("b").cast("double"); val cd = col("c").cast("double")
+    g.select(col(groupCol), col("n"), col("n_both"), col("b"), col("c"),
+      col("n_neither"),
+      when(col("b") + col("c") > 0,
+        (bd - cd) * (bd - cd) / (bd + cd)).as("chi2"),
+      when(col("b") + col("c") > 0,
+        (abs(bd - cd) - lit(1.0)) * (abs(bd - cd) - lit(1.0)) / (bd + cd))
+        .as("chi2_cc"))
+  }
+
   /** Exact precision-recall curve per group: one point per DISTINCT
     * score threshold ("predict positive at score ≥ s"), tp/fp/fn exact
     * integers off a descending cumulative over the score-DOMAIN table

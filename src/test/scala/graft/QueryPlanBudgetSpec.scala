@@ -522,6 +522,9 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // a corpus-side re-shuffle
     "q75_identifier_clause" -> 2, // IDENTIFIER('t') plans exactly like the literal name:
                               // agg + ORDER BY
+    "quality_mcnemar" -> 9, // two hashed-model score chains (each: (doc,token) agg +
+                              // (doc,bucket) agg + doc agg over a SHARED token-table
+                              // lineage) + the label join + per-source agg + ORDER BY
     "events_shapley" -> 1,    // final plan = the 3-row driver-literal Shapley result +
                               // ORDER BY; the per-user mask agg + 8-row coalition collect
                               // run eagerly at construction (the kmeans1d posture)

@@ -395,6 +395,23 @@ class Round11bOpsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 3.0)
   }
 
+  test("mcnemar: discordant-pair counts and both chi-square variants on a " +
+    "hand table; concordant-only data yields null chi2") {
+    // 10 items: both right ×4, A-only ×3, B-only ×1, both wrong ×2
+    val rows = Seq.fill(4)((true, true)) ++ Seq.fill(3)((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(2)((false, false))
+    val df = rows.map { case (a, b) => ("g", a, b) }.toDF("g", "ca", "cb")
+    val got = StatsOps.mcnemar(df, "g", col("ca"), col("cb")).collect()(0)
+    assert(got.getAs[Long]("b") == 3L && got.getAs[Long]("c") == 1L)
+    assert(got.getAs[Long]("n_both") == 4L && got.getAs[Long]("n_neither") == 2L)
+    assert(got.getAs[Double]("chi2") == 4.0 / 4.0)     // (3−1)²/4
+    assert(got.getAs[Double]("chi2_cc") == 1.0 / 4.0)  // (|2|−1)²/4
+    val conc = StatsOps.mcnemar(
+      Seq(("g", true, true), ("g", false, false)).toDF("g", "ca", "cb"),
+      "g", col("ca"), col("cb")).collect()(0)
+    assert(conc.isNullAt(conc.fieldIndex("chi2")))
+  }
+
   test("kmeans1dOptimal: k well-separated groups land one-per-cluster with " +
     "exact grid edges and SSE; the DP beats a greedy split where it must") {
     val vals = Seq(0L, 1L, 100L, 101L, 200L, 201L, 300L, 301L).toDF("v")

@@ -4597,6 +4597,44 @@ object Oracles {
            |  + (CAST(n_pos_total AS DOUBLE) / CAST(n_total AS DOUBLE))
            |    * (1.0e0 - CAST(n_pos_total AS DOUBLE) / CAST(n_total AS DOUBLE)) AS brier
            |FROM agg ORDER BY source""".stripMargin,
+      "quality_mcnemar" -> {
+        def scCte(dim: Int, name: String) =
+          s"""$name AS (SELECT doc_id, CAST(SUM(tf * w) AS BIGINT) AS s FROM (
+             |  SELECT doc_id, tf,
+             |    CAST(('0x' || substr(md5('w:' || CAST(bucket AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000 AS w
+             |  FROM (SELECT doc_id, bucket, CAST(SUM(tf) AS BIGINT) AS tf FROM (
+             |    SELECT doc_id,
+             |      CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % $dim AS INT) AS bucket, tf
+             |    FROM fq) GROUP BY doc_id, bucket)) GROUP BY doc_id)""".stripMargin
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+           |fq AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           |      WHERE token <> '' AND NOT list_contains($stopAll, token)
+           |      GROUP BY doc_id, token),
+           |${scCte(64, "sca")},
+           |${scCte(32, "scb")},
+           |j AS (SELECT d.source, (d.lang = 'en') AS y,
+           |        (sca.s > 0) AS pa, (scb.s > 0) AS pb
+           |      FROM documents d
+           |      JOIN sca ON d.doc_id = sca.doc_id
+           |      JOIN scb ON d.doc_id = scb.doc_id),
+           |g AS (SELECT source, COUNT(*) AS n,
+           |  COUNT(CASE WHEN pa = y AND pb = y THEN 1 END) AS n_both,
+           |  COUNT(CASE WHEN pa = y AND pb <> y THEN 1 END) AS b,
+           |  COUNT(CASE WHEN pa <> y AND pb = y THEN 1 END) AS c,
+           |  COUNT(CASE WHEN pa <> y AND pb <> y THEN 1 END) AS n_neither
+           | FROM j GROUP BY source)
+           |SELECT source, CAST(n AS BIGINT) AS n, CAST(n_both AS BIGINT) AS n_both,
+           | CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
+           | CAST(n_neither AS BIGINT) AS n_neither,
+           | CASE WHEN b + c > 0 THEN
+           |   (CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+           |     / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END AS chi2,
+           | CASE WHEN b + c > 0 THEN
+           |   (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0e0)
+           |     * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0e0)
+           |     / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END AS chi2_cc
+           |FROM g ORDER BY source""".stripMargin
+      },
       "events_shapley" -> {
         // 6·φ_i literal enumeration over the 8-row coalition-value
         // table, mirroring StatsOps.shapleyAttribution's weights
