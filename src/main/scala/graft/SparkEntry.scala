@@ -6134,8 +6134,8 @@ object SparkEntry {
         SELECT l_returnflag,
                COUNT(*) AS n_rows,
                COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
-               SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                 FILTER (WHERE l_discount > 0.05) AS qty_discounted,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                 FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_discounted,
                COUNT(DISTINCT l_suppkey) FILTER (WHERE l_tax = 0) AS n_notax_supp
         FROM r11_li_filter
         GROUP BY l_returnflag
@@ -6205,14 +6205,14 @@ object SparkEntry {
       // literal syntax; row 82's resample+ffill is the operator form)
       T(s, d, "orders").createOrReplaceTempView("r11_ord_in")
       s.sql("""
-        SELECT o_custkey, o_orderkey, price,
-               LAG(price) IGNORE NULLS OVER w AS prev_price,
-               LAST_VALUE(price) IGNORE NULLS OVER
+        SELECT o_custkey, o_orderkey, CAST(price AS DOUBLE) AS price,
+               CAST(LAG(price) IGNORE NULLS OVER w AS DOUBLE) AS prev_price,
+               CAST(LAST_VALUE(price) IGNORE NULLS OVER
                  (PARTITION BY o_custkey ORDER BY o_orderkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried,
-               NTH_VALUE(price, 2) IGNORE NULLS OVER
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS carried,
+               CAST(NTH_VALUE(price, 2) IGNORE NULLS OVER
                  (PARTITION BY o_custkey ORDER BY o_orderkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_seen
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS second_seen
         FROM (SELECT o_custkey, o_orderkey,
                 CASE WHEN o_orderkey % 3 = 0 THEN NULL
                      ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price

@@ -4,6 +4,22 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** DECIMAL-output tripwire (round-11 verdict item 2): paths of every
+    * DecimalType leaf in a to-be-dumped schema. The driver hashes
+    * CANONICAL value forms and DECIMAL canonicalizes differently
+    * between a Spark parquet dump and a DuckDB result (rounds 1 and 11
+    * both burned on this — SURVEY §4's rule is "emit DOUBLE"). The
+    * local value-compare can't see the class, so any hit here is a
+    * hard per-query failure, making the mistake impossible to commit. */
+  def decimalCols(dt: org.apache.spark.sql.types.DataType, path: String): Seq[String] = dt match {
+    case _: org.apache.spark.sql.types.DecimalType => Seq(path)
+    case s: org.apache.spark.sql.types.StructType =>
+      s.fields.toSeq.flatMap(f => decimalCols(f.dataType, s"$path.${f.name}"))
+    case a: org.apache.spark.sql.types.ArrayType => decimalCols(a.elementType, s"$path[]")
+    case m: org.apache.spark.sql.types.MapType =>
+      decimalCols(m.keyType, s"$path.key") ++ decimalCols(m.valueType, s"$path.value")
+    case _ => Nil
+  }
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir, only) = args match {
       case Array(s, o)       => (s, o, None)
@@ -110,7 +126,13 @@ object Verify {
           val t0 = System.nanoTime()
           try {
             val session = spark.newSession()
-            fn(session, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+            val df = fn(session, sfDir)
+            val decs = df.schema.fields.toSeq.flatMap(f => decimalCols(f.dataType, f.name))
+            if (decs.nonEmpty)
+              throw new IllegalStateException(
+                s"DECIMAL output tripwire: columns [${decs.mkString(", ")}] — " +
+                  "emit DOUBLE (SURVEY §4); the driver's canonical hash diverges on DECIMAL")
+            df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
             ok.incrementAndGet()
             System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
           } catch { case e: Throwable =>

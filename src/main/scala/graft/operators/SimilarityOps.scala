@@ -151,7 +151,12 @@ object SimilarityOps {
     // gate keeps every row, so the sample — and every centroid, cell
     // assignment, and aux dump downstream — is bit-identical to the
     // ungated selection at all oracle scales (sf ≤ 0.1).
-    val gate = math.max(1L, u.count() / (4L * trainCap))
+    // Gate from a column-pruned id-only count: unitVectors is a pure
+    // projection (row-preserving), so this is the SAME n as counting
+    // `u` — without running the per-row normalize math twice (the
+    // round-11 ANN-family bench regression: every centroid train paid
+    // a full unit-vector pass just to size the gate).
+    val gate = math.max(1L, vectors.select(col(idCol)).count() / (4L * trainCap))
     val gated = if (gate == 1L) u
       else u.filter(pmod(xxhash64(col("id"), lit(2)), lit(gate)) === 0)
     val sample = gated

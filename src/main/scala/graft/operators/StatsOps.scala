@@ -646,7 +646,7 @@ object StatsOps {
     val tieTerm = col("tsum").cast("double") / (n * (n - lit(1.0)))
     val sig2 = na * nb / lit(12.0) * ((n + lit(1.0)) - tieTerm)
     agg.select(col("g"), col("n_a"), col("n_b"), u2.cast("long").as("u2_a"),
-      col("tsum").cast("long").as("tie_term"),
+      col("tsum").cast("long").as("tie_sum"),
       ua.as("u_a"),
       when(sig2 > 0, (ua - mu) / sqrt(sig2)).as("z"))
   }
@@ -686,7 +686,9 @@ object StatsOps {
     * which Cohen/Fleiss kappa (quality_kappa) cannot: any item with ≥ 2
     * of the R raters contributes, pairs weighted 1/(mᵢ−1). Exactness:
     * with the coincidence matrix scaled by 2 every contribution
-    * 2/(mᵢ−1) is an INTEGER for mᵢ ∈ {2, 3} (3 raters — require'd), so
+    * 2/(mᵢ−1) is an INTEGER for mᵢ ∈ {2, 3}; items with mᵢ ≥ 4 would
+    * FLOOR to 0 and silently drop out, so the plan fails loudly
+    * (raise_error on max mᵢ > 3) instead of emitting a wrong alpha. So
     * observed disagreement S_o2, the marginals n2_c and the expected
     * term Σ_{c≠k} n2_c·n2_k are exact integers and
     * alpha = 1 − S_o2·(n2−2) / Σ_{c≠k} n2_c·n2_k is ONE double
@@ -733,15 +735,24 @@ object StatsOps {
     val de = marg.as("x").join(marg.as("y"), col("x.c") =!= col("y.c"))
       .agg(sum(col("x.n2_c") * col("y.n2_c")).cast("decimal(38,0)").as("de2"))
     val n2 = o2.agg(sum("o2").cast("decimal(38,0)").as("n2"))
-    val items = perItem.agg(count(lit(1)).cast("long").as("n_items"))
+    val items = perItem.agg(count(lit(1)).cast("long").as("n_items"),
+      max("m").cast("long").as("max_m"))
     so2.crossJoin(broadcast(de)).crossJoin(broadcast(n2)) // 1-row × 1-row
       .crossJoin(broadcast(items))
       .select(col("n_items"),
         (col("n2") / 2).cast("long").as("n_ratings_pairable"),
         col("s_o2").cast("long").as("s_o2"),
         col("de2").cast("long").as("de2"),
-        (lit(1.0) - (col("s_o2") * (col("n2") - 2)).cast("decimal(38,0)").cast("double")
-          / col("de2").cast("double")).as("alpha"))
+        // fail-loud ≥4-rater guard (round-11 advice): 2/(m−1) floors to
+        // 0 for m ≥ 4, which would silently DROP those items from the
+        // coincidence algebra — and the oracle shares the floor, so the
+        // gate could never catch a wrong alpha for a future caller
+        when(col("max_m") > 3, raise_error(concat(
+            lit("krippendorffAlpha: an item has "), col("max_m"),
+            lit(" raters; the integer-exact coincidence algebra supports at most 3"))))
+          .otherwise(lit(1.0) -
+            (col("s_o2") * (col("n2") - 2)).cast("decimal(38,0)").cast("double")
+            / col("de2").cast("double")).as("alpha"))
   }
 
   /** Randomization (permutation-style) test for a two-arm experiment —
@@ -985,6 +996,11 @@ object StatsOps {
       labelCol: String,   // boolean
       bins: Int = 16): DataFrame = {
     val spark = df.sparkSession
+    // the driver-side pool loop reads the group key as String; a
+    // non-string group would CCE at runtime, so say so at plan time
+    require(df.schema(groupCol).dataType == org.apache.spark.sql.types.StringType,
+      s"isotonicCalibration: groupCol '$groupCol' must be StringType " +
+        s"(got ${df.schema(groupCol).dataType.simpleString}) — cast upstream")
     val mm = df.agg(min(col(scoreCol)).cast("long").as("lo"),
       max(col(scoreCol)).cast("long").as("hi")).collect()(0)
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
@@ -1005,7 +1021,10 @@ object StatsOps {
         pools += ((r.getLong(1), r.getLong(1), r.getLong(2), r.getLong(3)))
         while (pools.length >= 2 && {
           val a = pools(pools.length - 2); val b = pools.last
-          a._4 * b._3 > b._4 * a._3 // pos_a/n_a > pos_b/n_b exactly
+          // pos_a/n_a > pos_b/n_b exactly; BigInt so per-bin counts
+          // above ~3e9 can't overflow the cross-product (driver-side,
+          // ≤ bins pools — cost is nil)
+          BigInt(a._4) * b._3 > BigInt(b._4) * a._3
         }) {
           val b = pools.remove(pools.length - 1)
           val a = pools.remove(pools.length - 1)

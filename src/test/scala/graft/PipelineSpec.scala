@@ -235,6 +235,44 @@ class PipelineSpec extends SparkSpec {
     assert(spark.table(s"${pfx}_cells").count() == 3, "update=false must not grow the index")
   }
 
+  test("dedup semantic probe: URI tau/cells conflicting with the persisted index fail loudly") {
+    val pfx = "graft_r12_pipesem_meta"
+    Seq("_cells", "_centroids", "_meta").foreach(s =>
+      graft.operators.BucketOps.dropTable(spark, s"$pfx$s"))
+    val hdr = "header=id:int,x:double,y:double,z:double"
+    val (p1, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?$hdr&values=1,1.0,0.0,0.0;2,0.0,1.0,0.0",
+      "--transform", "source+v+" + vecSql(Seq("x", "y", "z")),
+      "--transform", s"v+out+dedup:///?method=semantic&id=id&vec=vec&cells=1&tau=0.99&index=$pfx"))
+    assert(p1.resultView(spark, "out").collect().map(_.getInt(0)).toSet == Set(1, 2))
+    // a later run with a CONFLICTING tau must error, never silently
+    // prune at the wrong threshold (round-11 verdict item 3)
+    val (pBad, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?$hdr&values=11,1.0,0.05,0.0",
+      "--transform", "source+v+" + vecSql(Seq("x", "y", "z")),
+      "--transform", s"v+out+dedup:///?method=semantic&id=id&vec=vec&cells=1&tau=0.9&index=$pfx"))
+    val ex = intercept[IllegalArgumentException] {
+      pBad.resultView(spark, "out").collect()
+    }
+    assert(ex.getMessage.contains("tau"), s"message names the conflict: ${ex.getMessage}")
+    // conflicting cells likewise
+    val (pBad2, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?$hdr&values=11,1.0,0.05,0.0",
+      "--transform", "source+v+" + vecSql(Seq("x", "y", "z")),
+      "--transform", s"v+out+dedup:///?method=semantic&id=id&vec=vec&cells=7&tau=0.99&index=$pfx"))
+    val ex2 = intercept[IllegalArgumentException] {
+      pBad2.resultView(spark, "out").collect()
+    }
+    assert(ex2.getMessage.contains("cells"), s"message names the conflict: ${ex2.getMessage}")
+    // OMITTED params inherit the persisted geometry (safe, not an error)
+    val (pOk, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?$hdr&values=11,1.0,0.05,0.0;13,0.0,0.0,1.0",
+      "--transform", "source+v+" + vecSql(Seq("x", "y", "z")),
+      "--transform", s"v+out+dedup:///?method=semantic&id=id&vec=vec&index=$pfx&update=false"))
+    assert(pOk.resultView(spark, "out").collect().map(_.getInt(0)).toSet == Set(13),
+      "omitted tau/cells must probe at the index's persisted geometry")
+  }
+
   test("ann:///<prefix> builds, probes, and appends a persisted IVF index as URI steps") {
     val pfx = "graft_r10_pipeann"
     graft.operators.BucketOps.dropTable(spark, s"${pfx}_cells")

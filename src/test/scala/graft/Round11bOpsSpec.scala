@@ -31,7 +31,7 @@ class Round11bOpsSpec extends SparkSpec {
     val g1 = got(0)
     assert(g1.getAs[Long]("n_a") == 3 && g1.getAs[Long]("n_b") == 2)
     assert(g1.getAs[Long]("u2_a") == 2L)
-    assert(g1.getAs[Long]("tie_term") == 24L)
+    assert(g1.getAs[Long]("tie_sum") == 24L)
     assert(g1.getAs[Double]("u_a") == 1.0)
     // z = (1 − 3) / sqrt(3·2/12 · (6 − 24/20)) = −2 / sqrt(2.4)
     val expZ = (1.0 - 3.0) / math.sqrt(3.0 * 2.0 / 12.0 * (6.0 - 24.0 / 20.0))
@@ -48,7 +48,7 @@ class Round11bOpsSpec extends SparkSpec {
       .toDF("g", "arm", "v")
     val got = StatsOps.mannWhitneyByGroup(df, "g", "arm", col("v"), "A").collect()(0)
     assert(got.getAs[Long]("u2_a") == 2L && got.getAs[Double]("u_a") == 1.0)
-    assert(got.getAs[Long]("tie_term") == 0L)
+    assert(got.getAs[Long]("tie_sum") == 0L)
   }
 
   test("prCurve: one point per distinct threshold with exact tp/fp/fn and " +

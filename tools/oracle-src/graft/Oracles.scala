@@ -4315,14 +4315,14 @@ object Oracles {
       "q70_ignore_nulls" ->
         // DuckDB's IGNORE NULLS sits INSIDE the call parens; Spark's
         // after them — same semantics, per-dialect spelling
-        """SELECT o_custkey, o_orderkey, price,
-          | LAG(price IGNORE NULLS) OVER w AS prev_price,
-          | LAST_VALUE(price IGNORE NULLS) OVER
+        """SELECT o_custkey, o_orderkey, CAST(price AS DOUBLE) AS price,
+          | CAST(LAG(price IGNORE NULLS) OVER w AS DOUBLE) AS prev_price,
+          | CAST(LAST_VALUE(price IGNORE NULLS) OVER
           |   (PARTITION BY o_custkey ORDER BY o_orderkey
-          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried,
-          | NTH_VALUE(price, 2 IGNORE NULLS) OVER
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS carried,
+          | CAST(NTH_VALUE(price, 2 IGNORE NULLS) OVER
           |   (PARTITION BY o_custkey ORDER BY o_orderkey
-          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_seen
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS second_seen
           |FROM (SELECT o_custkey, o_orderkey,
           |        CASE WHEN o_orderkey % 3 = 0 THEN NULL
           |             ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
@@ -4340,7 +4340,7 @@ object Oracles {
         """SELECT l_returnflag,
           | COUNT(*)::BIGINT AS n_rows,
           | (COUNT(*) FILTER (WHERE l_quantity > 25))::BIGINT AS n_bulk,
-          | SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_discount > 0.05) AS qty_discounted,
+          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_discounted,
           | (COUNT(DISTINCT l_suppkey) FILTER (WHERE l_tax = 0))::BIGINT AS n_notax_supp
           |FROM lineitem
           |GROUP BY l_returnflag
@@ -4367,17 +4367,17 @@ object Oracles {
           | FROM r GROUP BY g),
           |u AS (SELECT g, n_a, n_b,
           |  CAST(r2_a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS BIGINT) AS u2_a,
-          |  CAST(tsum AS BIGINT) AS tie_term
+          |  CAST(tsum AS BIGINT) AS tie_sum
           | FROM a JOIN t USING (g)),
-          |z AS (SELECT g, n_a, n_b, u2_a, tie_term,
+          |z AS (SELECT g, n_a, n_b, u2_a, tie_sum,
           |  CAST(u2_a AS DOUBLE) / 2.0 AS u_a,
           |  CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
           |  CAST(n_a + n_b AS DOUBLE) AS nd
           | FROM u)
-          |SELECT g AS event_type, n_a, n_b, u2_a, tie_term, u_a,
-          | CASE WHEN nad * nbd / 12.0 * ((nd + 1.0) - CAST(tie_term AS DOUBLE) / (nd * (nd - 1.0))) > 0
+          |SELECT g AS event_type, n_a, n_b, u2_a, tie_sum, u_a,
+          | CASE WHEN nad * nbd / 12.0 * ((nd + 1.0) - CAST(tie_sum AS DOUBLE) / (nd * (nd - 1.0))) > 0
           |      THEN (u_a - nad * nbd / 2.0)
-          |           / sqrt(nad * nbd / 12.0 * ((nd + 1.0) - CAST(tie_term AS DOUBLE) / (nd * (nd - 1.0))))
+          |           / sqrt(nad * nbd / 12.0 * ((nd + 1.0) - CAST(tie_sum AS DOUBLE) / (nd * (nd - 1.0))))
           |      ELSE NULL END AS z
           |FROM z ORDER BY event_type""".stripMargin,
       "quality_pr_curve" ->
