@@ -91,6 +91,16 @@ object Verify {
         System.err.println(s"[verify] _aux_semantic_cells failed: ${e.getMessage}")
       }
     }
+    if (only.forall(_.contains("ann_ivfpq_drift"))) {
+      try {
+        SparkEntry.ivfPqDriftCellsDump(spark, sfDir)
+          .orderBy("side", "id")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_aux_ivfpq_drift_cells")
+        System.err.println("[verify] _aux_ivfpq_drift_cells dumped")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] _aux_ivfpq_drift_cells failed: ${e.getMessage}")
+      }
+    }
     if (only.forall(o => o.contains("dedup_semantic_incr") || o.contains("dedup_semantic_drift"))) {
       try {
         SparkEntry.semanticDedupIncrCells(spark, sfDir)

@@ -737,6 +737,47 @@ object DedupOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Near-dup pair EXPLAINABILITY (SURVEY row 343, CLI-surfaced round
+    * 12): winnow-linked pairs annotated with WHERE they overlap —
+    * shared selected fingerprints whose position offset is constant
+    * (diag = posA − posB) trace one contiguous shared run, so the best
+    * diagonal's extent (max−min+k tokens) is the passage-length
+    * evidence a reviewer reads before trusting a drop. Pair-gen for
+    * the position pairs rides the guarded in-bucket machinery
+    * (boilerplate hashes shared corpus-wide never materialize m² in
+    * one task); the linked-pair set comes from the same guarded
+    * [[winnowDupPairs]] the dedup uses, so the report covers exactly
+    * the pairs that link. */
+  def winnowSharedSpanEvidence(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 4,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxBucketSize: Int = 64
+  ): DataFrame = {
+    val fps = winnowFingerprints(docs, textCol, idCol, k, w)
+    val buckets = fps
+      .select(col("fp_hash"), struct(col("id"), col("fp_pos")).as("item"))
+      .groupBy("fp_hash").agg(sort_array(collect_list(col("item"))).as("items"))
+    val posPairs = boundedBucketPairs(buckets, Seq("fp_hash"), "items", maxBucketSize)
+      .select(col("a.id").as("a_id"), col("a.fp_pos").as("pa"),
+        col("b.id").as("b_id"), col("b.fp_pos").as("pb"))
+      .filter(col("a_id") < col("b_id"))
+    val diags = posPairs
+      .groupBy(col("a_id"), col("b_id"), (col("pa") - col("pb")).as("diag"))
+      .agg(count(lit(1)).as("diag_cnt"),
+        (max(col("pa")) - min(col("pa")) + lit(k.toLong)).as("span_tokens"))
+    val win = Window.partitionBy("a_id", "b_id")
+      .orderBy(col("span_tokens").desc, col("diag_cnt").desc, col("diag").asc)
+    val best = diags.withColumn("rk", row_number().over(win)).filter(col("rk") === 1)
+    winnowDupPairs(docs, textCol, idCol, k, w, minShared, maxBucketSize)
+      .join(best, Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"), col("n_shared"),
+        col("diag"), col("diag_cnt"), col("span_tokens"))
+  }
+
   /** b-bit MinHash estimation audit (Li & König WWW'10, b = 1): how well
     * does keeping only the LOWEST BIT of each of `m` MinHash values — a
     * 64×-compressed signature, the storage trick that makes

@@ -323,6 +323,130 @@ object VectorIndexOps {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Per-row staleness signals of a persisted IVF-PQ index over a
+    * side-tagged generation pair ('base' = the generation the index was
+    * trained on, 'delta' = a new one) — the IVF-PQ twin of the SemDeDup
+    * drift cells (round-11 verdict item 9): the append path
+    * ([[appendToIvfPqIndex]]) runs under FROZEN centroids AND a frozen
+    * codebook, so a drifted generation degrades BOTH halves: cell
+    * assignment quality (falling cent_sim, shifting occupancy) and
+    * residual quantization fidelity (rising self-ADC error — the
+    * codebook was trained on base residuals). One map-side projection:
+    * cell + cent_sim from the broadcast-literal centroids, qerr =
+    * pq_adc(resid, pq_codes(resid)) — the exact Σ‖r_j − cb_j[code_j]‖²
+    * each vector would carry into the index. Nothing shuffles.
+    *
+    * Output: (side, id, cell, cent_sim, qerr) — the dump the
+    * `ann_ivfpq_drift` oracle replays its report over.
+    */
+  def ivfPqDriftCells(
+      tagged: DataFrame, // (sideCol, idCol, vecCol)
+      sideCol: String,
+      idCol: String,
+      vecCol: String,
+      index: IvfPqIndex
+  ): DataFrame = {
+    val spark = tagged.sparkSession
+    val cents = readCentroidsTable(spark, index.centroidsTable)
+    val cb = readCodebook(spark, index)
+    val centArr = typedLit(cents.map(_.toIndexedSeq).toIndexedSeq)
+    import graft.functions.VectorFunctions.dot
+    tagged
+      .select(col(sideCol).as("side"), col(idCol).as("id"),
+        graft.functions.VectorFunctions.unitNormalize(col(vecCol)).as("unit"))
+      .withColumn("cell", SimilarityOps.assignCell(col("unit"), cents).cast("int"))
+      .withColumn("cent_sim",
+        round(dot(col("unit"), element_at(centArr, col("cell") + 1)), 6))
+      .withColumn("resid",
+        zip_with(col("unit"), element_at(centArr, col("cell") + 1), (x, y) => x - y))
+      .withColumn("qerr", round(graft.functions.PqFunctions.pqAdc(
+        col("resid"),
+        graft.functions.PqFunctions.pqCodes(col("resid"), cb, index.subspaces, index.codes),
+        cb, index.subspaces, index.codes), 9))
+      .select("side", "id", "cell", "cent_sim", "qerr")
+  }
+
+  /** The drift REPORT over [[ivfPqDriftCells]] rows: three staleness
+    * signals, each exact-integer or fixed-order double so both engines
+    * compare identically against the literal thresholds —
+    *  1. sim_drift = base mean cent_sim − delta mean cent_sim
+    *     (decimal-exact sums of the rounded per-row sims, one double
+    *     division each — the dedup_semantic_drift convention);
+    *  2. occ_l1_ppm = integer-exact L1 distance between the side cell
+    *     distributions in ppm of its [0,2] range (cross-multiplied
+    *     BIGINT shares);
+    *  3. qerr_ratio = delta mean qerr / base mean qerr (decimal-exact
+    *     sums, pinned two-division double) — the PQ-specific signal the
+    *     SemDeDup monitor has no analogue of: a ratio ≫ 1 means the
+    *     frozen codebook no longer spans the residual distribution and
+    *     ADC ranking quality (so probe recall) is silently degrading.
+    * `rebuild` fires when any signal crosses its threshold — the cue to
+    * run [[rebuildIvfPqIndex]].
+    */
+  def ivfPqDriftReport(
+      cells: DataFrame,
+      simDriftMax: Double = 0.005,
+      occL1PpmMax: Long = 100000L,
+      qerrRatioMax: Double = 1.5
+  ): DataFrame = {
+    val occ = cells.groupBy("cell").agg(
+      sum(when(col("side") === "base", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("side") === "delta", 1L).otherwise(0L)).as("n_d"))
+    val totals = cells.groupBy().agg(
+      sum(when(col("side") === "base", 1L).otherwise(0L)).as("n_base"),
+      sum(when(col("side") === "delta", 1L).otherwise(0L)).as("n_delta"),
+      sum(when(col("side") === "base", col("cent_sim")).cast("decimal(38,6)"))
+        .cast("decimal(38,6)").cast("double").as("sum_sim_b"),
+      sum(when(col("side") === "delta", col("cent_sim")).cast("decimal(38,6)"))
+        .cast("decimal(38,6)").cast("double").as("sum_sim_d"),
+      sum(when(col("side") === "base", col("qerr")).cast("decimal(38,9)"))
+        .cast("decimal(38,9)").cast("double").as("sum_qerr_b"),
+      sum(when(col("side") === "delta", col("qerr")).cast("decimal(38,9)"))
+        .cast("decimal(38,9)").cast("double").as("sum_qerr_d"))
+    occ.crossJoin(broadcast(totals))
+      .groupBy("n_base", "n_delta", "sum_sim_b", "sum_sim_d", "sum_qerr_b", "sum_qerr_d")
+      .agg(sum(abs(col("n_b") * col("n_delta") - col("n_d") * col("n_base")))
+        .as("l1_num"))
+      .select(
+        col("n_base"), col("n_delta"),
+        round(col("sum_sim_b") / col("n_base"), 9).as("base_mean_sim"),
+        round(col("sum_sim_d") / col("n_delta"), 9).as("delta_mean_sim"),
+        round(col("sum_sim_b") / col("n_base") - col("sum_sim_d") / col("n_delta"), 9)
+          .as("sim_drift"),
+        expr("l1_num * 1000000L div (2L * n_base * n_delta)").as("occ_l1_ppm"),
+        round(col("sum_qerr_b") / col("n_base"), 9).as("base_mean_qerr"),
+        round(col("sum_qerr_d") / col("n_delta"), 9).as("delta_mean_qerr"),
+        round((col("sum_qerr_d") / col("n_delta")) / (col("sum_qerr_b") / col("n_base")), 6)
+          .as("qerr_ratio"))
+      .withColumn("rebuild",
+        abs(col("sim_drift")) > simDriftMax || col("occ_l1_ppm") > occL1PpmMax ||
+          col("qerr_ratio") > qerrRatioMax)
+  }
+
+  /** The IVF-PQ frozen-geometry escape hatch ([[rebuildSemDedupIndex]]'s
+    * posture for the PQ index): when `ann_ivfpq_drift` trips, retrain
+    * BOTH the coarse centroids and the residual codebook on the
+    * persisted vectors and land the new generation as a staged table
+    * swap — a failed rebuild leaves the old index serving, and the
+    * vector read is pinned to a checkpoint first because the swap
+    * rewrites the very table the plan reads (the writeBucketed
+    * contract). */
+  def rebuildIvfPqIndex(
+      spark: SparkSession,
+      index: IvfPqIndex,
+      nCells: Int,
+      numBuckets: Int,
+      iters: Int = 4
+  ): IvfPqIndex = {
+    require(index.cellsTable.endsWith("_cells"),
+      s"rebuild expects a <prefix>_cells table, got ${index.cellsTable}")
+    val prefix = index.cellsTable.stripSuffix("_cells")
+    val vectors = spark.table(index.cellsTable)
+      .select(col("neighbor_id").as("id"), col("unit")).localCheckpoint()
+    buildIvfPqIndex(vectors, "id", "unit", prefix, nCells, numBuckets,
+      index.subspaces, index.codes, iters)
+  }
+
   // ----- incremental SemDeDup — semantic dedup against a persisted index -----
 
   final case class SemDedupIndex(

@@ -180,7 +180,18 @@ object Pipeline {
                 .select(F.col("a_id"), F.col("b_id"))
               graft.operators.DedupOps.applyPairDedup(batch, id, pairs)
             }
-            p.get("index") match {
+            // `evidence=true` (SURVEY row 343 surfaced to the CLI,
+            // round-11 verdict item 10): the step's OUTPUT becomes the
+            // human-review report — winnow-linked pairs with their best
+            // shared-diagonal extent — instead of the survivors, so the
+            // review step sits in the same pipeline surface as the drop
+            if (p.getOrElse("evidence", "false").toBoolean) {
+              require(p.get("index").isEmpty,
+                "dedup winnow: evidence=true reports on the batch itself; drop index=")
+              graft.operators.DedupOps
+                .winnowSharedSpanEvidence(df, text, id, k, w, minShared)
+                .orderBy("a_id", "b_id")
+            } else p.get("index") match {
               case None => selfDedup(df)
               case Some(prefix) =>
                 val I = graft.operators.IncrementalDedupOps

@@ -102,6 +102,35 @@ class PipelineSpec extends SparkSpec {
     assert(out.map(_.getInt(0)).toSeq == Seq(1, 3))
   }
 
+  test("dedup:///?method=winnow&evidence=true reports the shared-passage evidence instead of dropping") {
+    // same corpus as the drop test: the report must name pair (1,2)
+    // with a span covering the 7-token shared run, and doc 3 nowhere
+    val run = "one two three four five six seven"
+    val rows = Seq(
+      s"1,$run eight nine",
+      s"2,zero $run",
+      "3,alpha beta gamma delta epsilon zeta eta")
+    val (p, _) = Pipeline.fromArgs(Seq(
+      "--source", "values:///?header=id:int,text&values=" +
+        rows.mkString(";").replace(" ", "%20"),
+      "--transform", "dedup:///?method=winnow&text=text&id=id&shared=1&evidence=true"))
+    val out = p.resultView(spark, "sink").collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out(0)
+    assert(r.getAs[Int]("a_id") == 1 && r.getAs[Int]("b_id") == 2)
+    // the shared run is 7 tokens; winnowing selects ≥ 1 gram inside it
+    // on a constant diagonal, so the evidence span is 4..7 tokens
+    val span = r.getAs[Long]("span_tokens")
+    assert(span >= 4L && span <= 7L, s"span=$span")
+    // evidence composes with index= only as an error, never silently
+    val (pBad, _) = Pipeline.fromArgs(Seq(
+      "--source", "values:///?header=id:int,text&values=" +
+        rows.mkString(";").replace(" ", "%20"),
+      "--transform", "dedup:///?method=winnow&text=text&id=id&evidence=true&index=graft_r12_wevx"))
+    val ex = intercept[IllegalArgumentException] { pBad.resultView(spark, "sink").collect() }
+    assert(ex.getMessage.contains("evidence"))
+  }
+
   test("dedup:///?method=incremental probes and maintains a persisted index across runs") {
     def enc(s: String) = s.replace(" ", "%20")
     val t1 = "alpha beta gamma delta epsilon zeta eta theta"

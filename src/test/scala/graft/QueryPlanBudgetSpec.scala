@@ -565,6 +565,10 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // bits/sets joins broadcast (pair-member-sized)
     "q69_agg_filter" -> 3,    // COUNT(DISTINCT) FILTER expands: partial + distinct
                               // exchange + final, then ORDER BY rides the same keys
+    "ann_ivfpq_drift" -> 4,   // per-cell occupancy agg + 1-row totals agg + the post-cross
+                              // 6-key regroup + final single-row exchange; the index build
+                              // runs eagerly at construction, cells are a pure broadcast-
+                              // literal projection (no corpus pair work, no join)
     "text_span_scrub_winnow" -> 8 // the winnowing selection window sort + fp distinct agg
                               // + owner min-agg on fp_hash + coverage anti-join doc hash
                               // ×2 + TP consumers of the tokenize projection + ORDER BY —

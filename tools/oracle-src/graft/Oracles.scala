@@ -1046,6 +1046,44 @@ object Oracles {
         """SELECT side, id, cell, cent_sim, unit
           |FROM read_parquet('__GRAFT_OUT__/_aux_semantic_incr_cells/*.parquet')
           |ORDER BY side, id""".stripMargin,
+      "_aux_ivfpq_drift_cells" ->
+        """SELECT side, id, cell, cent_sim, qerr
+          |FROM read_parquet('__GRAFT_OUT__/_aux_ivfpq_drift_cells/*.parquet')
+          |ORDER BY side, id""".stripMargin,
+      "ann_ivfpq_drift" ->
+        // the IVF-PQ drift report replayed over the side-tagged cells
+        // dump: decimal-exact mean cent_sims and qerrs, integer-exact
+        // occupancy L1 in ppm, the pinned two-division qerr ratio,
+        // literal thresholds (the dedup_semantic_drift convention + the
+        // PQ-specific codebook-staleness signal)
+        """WITH cl AS (SELECT side, cell, cent_sim, qerr
+          |            FROM read_parquet('__GRAFT_OUT__/_aux_ivfpq_drift_cells/*.parquet')),
+          |occ AS (SELECT cell,
+          |  SUM(CASE WHEN side = 'base' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+          |  SUM(CASE WHEN side = 'delta' THEN 1 ELSE 0 END)::BIGINT AS n_d
+          | FROM cl GROUP BY cell),
+          |tot AS (SELECT
+          |  SUM(CASE WHEN side = 'base' THEN 1 ELSE 0 END)::BIGINT AS n_base,
+          |  SUM(CASE WHEN side = 'delta' THEN 1 ELSE 0 END)::BIGINT AS n_delta,
+          |  CAST(CAST(CAST(SUM(CASE WHEN side = 'base' THEN CAST(cent_sim AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_sim_b,
+          |  CAST(CAST(CAST(SUM(CASE WHEN side = 'delta' THEN CAST(cent_sim AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_sim_d,
+          |  CAST(CAST(CAST(SUM(CASE WHEN side = 'base' THEN CAST(qerr AS DECIMAL(18,9)) END) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS sum_qerr_b,
+          |  CAST(CAST(CAST(SUM(CASE WHEN side = 'delta' THEN CAST(qerr AS DECIMAL(18,9)) END) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS sum_qerr_d
+          | FROM cl),
+          |l1 AS (SELECT SUM(ABS(n_b * n_delta - n_d * n_base))::BIGINT AS l1_num
+          |       FROM occ, tot)
+          |SELECT n_base, n_delta,
+          | ROUND(sum_sim_b / n_base, 9) AS base_mean_sim,
+          | ROUND(sum_sim_d / n_delta, 9) AS delta_mean_sim,
+          | ROUND(sum_sim_b / n_base - sum_sim_d / n_delta, 9) AS sim_drift,
+          | l1_num * 1000000 // (2 * n_base * n_delta) AS occ_l1_ppm,
+          | ROUND(sum_qerr_b / n_base, 9) AS base_mean_qerr,
+          | ROUND(sum_qerr_d / n_delta, 9) AS delta_mean_qerr,
+          | ROUND((sum_qerr_d / n_delta) / (sum_qerr_b / n_base), 6) AS qerr_ratio,
+          | (ABS(ROUND(sum_sim_b / n_base - sum_sim_d / n_delta, 9)) > 0.005
+          |  OR l1_num * 1000000 // (2 * n_base * n_delta) > 100000
+          |  OR ROUND((sum_qerr_d / n_delta) / (sum_qerr_b / n_base), 6) > 1.5) AS rebuild
+          |FROM tot, l1""".stripMargin,
       "graph_pagerank_check" ->
         """WITH e AS (SELECT DISTINCT c_custkey % 25 AS src, CAST(c_nationkey AS BIGINT) AS dst
           |           FROM customer WHERE c_custkey % 25 <> c_nationkey),
