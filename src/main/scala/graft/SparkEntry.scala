@@ -6605,6 +6605,173 @@ object SparkEntry {
          GROUP BY o_orderpriority ORDER BY o_orderpriority'
         USING 150000.0 AS t""")
     }),
+    "q76_grouping_id" -> ((s, d) => {
+      // GROUPING()/GROUPING_ID() conformance: the subtotal-row
+      // DISCRIMINATORS every BI layer reads off a CUBE — q21 pins the
+      // cube shape, this row pins the indicator functions themselves
+      // (which NULLs are "all" vs data NULLs). DuckDB spells
+      // GROUPING_ID as multi-arg GROUPING(a, b) — same bitmask.
+      T(s, d, "lineitem").createOrReplaceTempView("r12_li_gid")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM r12_li_gid
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag, l_linestatus
+      """)
+    }),
+    "q77_timestamp_arith" -> ((s, d) => {
+      // TIMESTAMPADD/TIMESTAMPDIFF conformance (the SQL:2016 spellings
+      // of the q71 interval class, time-of-day precision): hour-grain
+      // add and day/hour-grain diffs against a fixed anchor. Output
+      // timestamps as epoch-µs (§4 rule: never raw timestamps).
+      T(s, d, "orders").createOrReplaceTempView("r12_ord_ts")
+      s.sql("""
+        SELECT o_orderkey,
+               UNIX_MICROS(TIMESTAMPADD(HOUR, CAST(o_orderkey % 48 AS INT),
+                 CAST(o_orderdate AS TIMESTAMP))) AS due_us,
+               TIMESTAMPDIFF(DAY, TIMESTAMP '1995-01-01 00:00:00',
+                 CAST(o_orderdate AS TIMESTAMP)) AS days_from_anchor,
+               TIMESTAMPDIFF(HOUR, CAST(o_orderdate AS TIMESTAMP),
+                 TIMESTAMPADD(HOUR, CAST(o_orderkey % 48 AS INT),
+                   CAST(o_orderdate AS TIMESTAMP))) AS lead_hours
+        FROM r12_ord_ts WHERE o_orderkey % 41 = 0
+        ORDER BY o_orderkey
+      """)
+    }),
+    "q78_regexp_funcs" -> ((s, d) => {
+      // regexp-function conformance over the shared RE subset both
+      // engines' RE dialects (Java util.regex vs RE2-ish) agree on —
+      // character classes, +, anchors-free extraction: extract the
+      // first number run, squash digit runs, count vowel runs, flag
+      // the pattern's presence. The text-cleanup workhorse functions.
+      T(s, d, "part").createOrReplaceTempView("r12_part_re")
+      s.sql("""
+        SELECT p_partkey,
+               regexp_extract(p_name, '([aeiou]+)', 1) AS first_vowels,
+               regexp_replace(p_name, '[aeiou]+', '_') AS squashed,
+               CAST(regexp_count(p_name, '[aeiou]+') AS BIGINT) AS vowel_runs,
+               (p_name RLIKE 'o[a-z]*e') AS has_oe_bridge
+        FROM r12_part_re WHERE p_partkey % 17 = 0
+        ORDER BY p_partkey
+      """)
+    }),
+    "events_nelson_aalen" -> ((s, d) => {
+      // Nelson-Aalen cumulative hazard H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ — the
+      // additive twin of row 247's Kaplan-Meier product (preferred for
+      // hazard-RATE reading and for small risk sets where the product
+      // compounds noise). Identical cohort/censoring construction;
+      // each increment is one exact double division off integer d/n,
+      // and H is the fold-exact SEQUENTIAL sum over the cohort's
+      // ordered increments (list_reduce twin in DuckDB — never a
+      // window sum, whose combine order differs between engines).
+      import org.apache.spark.sql.expressions.Window
+      val users = EV(s, d).groupBy("user_id")
+        .agg(min("ts_us").as("first_us"), max("ts_us").as("last_us"))
+      val gmax = users.agg(max("last_us").as("gmax_us"))
+      val dur = users.crossJoin(broadcast(gmax))
+        .select((col("user_id") % 2).as("cohort"),
+          expr("(last_us - first_us) div 86400000000").as("dur"),
+          (col("last_us") < col("gmax_us") - lit(14L * 86400000000L)).cast("int").as("churned"))
+      val cells = dur.groupBy("cohort", "dur")
+        .agg(count(lit(1)).as("n_here"), sum("churned").as("d_t"))
+      val wRev = Window.partitionBy("cohort").orderBy("dur")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val hz = cells
+        .withColumn("n_t", sum("n_here").over(wRev))
+        .withColumn("inc", col("d_t").cast("double") / col("n_t").cast("double"))
+      hz.groupBy("cohort")
+        .agg(sort_array(collect_list(
+          struct(col("dur"), col("n_t"), col("d_t"), col("inc")))).as("arr"))
+        .select(col("cohort"), col("arr"), posexplode(col("arr")).as(Seq("i", "x")))
+        .select(col("cohort"), col("x.dur").as("t"),
+          col("x.n_t").cast("bigint").as("n_at_risk"),
+          col("x.d_t").cast("bigint").as("d_events"),
+          col("x.inc").as("hazard"),
+          expr("aggregate(slice(transform(arr, z -> z.inc), 1, i + 1), " +
+            "cast(0.0 as double), (p, q) -> p + q)").as("cum_hazard"))
+        .orderBy("cohort", "t")
+    }),
+    "events_fdr_bh" -> ((s, d) => {
+      // Benjamini-Hochberg FDR across the per-event-type A/B slices —
+      // the multiple-comparisons guard beside the single-slice tests
+      // (Welch t / Mann-Whitney / CUPED / permutation): exact rational
+      // permutation p-values per slice, step-up decided by INTEGER
+      // cross-products at q = 0.1. See StatsOps.fdrBhRandomization.
+      val perUser = EV(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .cast("long").as("cents"))
+      StatsOps.fdrBhRandomization(perUser, "event_type", "user_id", "cents",
+          "ab:", k = 64, qNum = 1L, qDen = 10L)
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")
+    }),
+    "events_theil_sen" -> ((s, d) => {
+      // Theil-Sen robust trend per event type — the median of ALL
+      // pairwise daily-total slopes (breakdown point 29%), the outlier-
+      // immune twin of row 188's least-squares slope. Day pairs ride a
+      // bounded self-join of the DAILY table (≤ a few hundred rows per
+      // type — never the event rows); each slope is ONE double division
+      // of exact integer cents/day deltas; the median picks the middle
+      // row(s) by an integer rank under a deterministic total order
+      // (slope, then day pair), so both engines select the identical
+      // rows and average at most two doubles.
+      import org.apache.spark.sql.expressions.Window
+      val daily = EV(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .cast("long").as("cents"))
+      val a = daily.select(col("event_type"), col("day").as("da"), col("cents").as("va"))
+      val b = daily.select(col("event_type"), col("day").as("db"), col("cents").as("vb"))
+      val pairs = a.join(b, Seq("event_type")).filter(col("da") < col("db"))
+        .withColumn("slope",
+          (col("vb") - col("va")).cast("double") / (col("db") - col("da")).cast("double"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("slope"), col("da"), col("db"))
+      val ranked = pairs
+        .withColumn("rn", row_number().over(w))
+        .withColumn("np", count(lit(1)).over(Window.partitionBy("event_type")))
+      ranked
+        .groupBy("event_type")
+        .agg(max("np").cast("long").as("n_pairs"),
+          avg(when(col("rn") === expr("(np + 1) div 2") || col("rn") === expr("(np + 2) div 2"),
+            col("slope"))).as("ts_slope_cents_per_day"))
+        .orderBy("event_type")
+    }),
+    "graph_assortativity" -> ((s, d) =>
+      // degree assortativity of the synthetic customer→nation affiliation
+      // graph (hub-and-spoke by construction → strongly NEGATIVE — the
+      // crawl-graph shape where link-based quality propagation
+      // concentrates on hubs). Exact decimal moments over both edge
+      // orientations, one double division. See GraphOps.degreeAssortativity.
+      GraphOps.degreeAssortativity(
+        T(s, d, "customer").select((col("c_custkey") % 200).as("src"),
+          (col("c_nationkey").cast("long") + 200L).as("dst")),
+        "src", "dst")),
+    "quality_fleiss" -> ((s, d) => {
+      // Fleiss' kappa over the SAME synthesized annotation setup as
+      // row 375's Krippendorff alpha but with the FIXED 3-raters-per-
+      // item design Fleiss assumes (no coverage filter) — the
+      // agreement metric for a complete multi-rater pass; integer
+      // numerators, three fixed-order doubles. See StatsOps.fleissKappa.
+      val langs = array(lit("en"), lit("de"), lit("es"), lit("fr"), lit("zh"))
+      def h(r: Int) =
+        conv(substring(md5(concat(lit(s"kr$r:"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long")
+      val docs = T(s, d, "documents").select(col("doc_id"), col("lang"))
+      val ratings = (1 to 3).map { r =>
+        docs.select(col("doc_id"), lit(r).as("rater"),
+          when(h(r) % 7 === 0,
+            element_at(langs, ((h(r) / 35) % 5).cast("int") + 1))
+            .otherwise(col("lang")).as("lab"))
+      }.reduce(_ unionByName _)
+      StatsOps.fleissKappa(ratings, "doc_id", "rater", "lab")
+    }),
     "_gate_meta" -> ((s, d) => {
       // gate sentinel (round-10 verdict item 8): one deterministic row
       // (engine version, total query count) dumped by Verify like any

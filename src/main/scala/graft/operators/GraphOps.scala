@@ -305,6 +305,52 @@ object GraphOps {
     * Output: one row per core member — (node, core_deg) with core_deg
     * its degree INSIDE the core (≥ k by construction).
     */
+  /** Degree assortativity (Newman 2002 PRL 89.208701): the Pearson
+    * correlation of endpoint degrees across UNDIRECTED edges — positive
+    * = hubs link to hubs (social nets), negative = hub-and-spoke
+    * (the web, crawl graphs). A crawl-curation signal: a strongly
+    * disassortative domain graph means link-based quality propagation
+    * (PageRank-ish) concentrates on a few hubs.
+    *
+    * Exactness: each edge contributes its two endpoint degrees in BOTH
+    * orientations (the standard undirected convention — 2m samples), so
+    * every moment Σx, Σx², Σxy is an exact DECIMAL(38,0) integer off
+    * one degree agg + two broadcast joins; the numerator/denominator
+    * cross-products stay decimal-exact and ONE double division + sqrt
+    * finishes. Symmetric orientation makes Σx = Σy by construction, so
+    * only one marginal is carried. Shape: degree agg (one shuffle) +
+    * two broadcast-or-shuffle hash joins on the edge list + a 1-row agg
+    * — no windows, no iteration. */
+  def degreeAssortativity(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).cast("long").as("deg"))
+    val both = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+    // both orientations: (da,db) and (db,da) — 2m samples, Σx = Σy
+    val samples = both.select(col("da").as("x"), col("db").as("y"))
+      .unionAll(both.select(col("db").as("x"), col("da").as("y")))
+    samples.agg(
+        count(lit(1)).cast("long").as("n_samples"),
+        sum(col("x").cast("decimal(38,0)")).cast("decimal(38,0)").as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxy"))
+      .select(
+        (col("n_samples") / 2).cast("long").as("n_edges"),
+        col("sx").cast("long").as("sum_deg"),
+        col("sxy").cast("long").as("sum_xy"),
+        // r = (nΣxy − (Σx)²) / (nΣx² − (Σx)²): one division, no sqrt —
+        // the symmetric-orientation identity collapses both marginals
+        ((col("n_samples") * col("sxy") - col("sx") * col("sx"))
+          .cast("decimal(38,0)").cast("double")
+          / (col("n_samples") * col("sxx") - col("sx") * col("sx"))
+            .cast("decimal(38,0)").cast("double")).as("assortativity"))
+  }
+
   def kcore(edges: DataFrame, aCol: String, bCol: String, k: Int, maxIter: Int = 50): DataFrame = {
     val canon = edges
       .filter(col(aCol) =!= col(bCol))

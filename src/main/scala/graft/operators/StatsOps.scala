@@ -1239,4 +1239,131 @@ object StatsOps {
         when(col("tp") === 0, lit(0.0))
           .otherwise(lit(2.0) * prec * rec / (prec + rec)).as("f1"))
   }
+
+  /** Benjamini–Hochberg FDR control over PER-GROUP randomization tests
+    * (Benjamini & Hochberg 1995 step-up over [[randomizationTest]]'s
+    * Dwass-style exact p-values) — the multiple-comparisons guard a
+    * metrics platform needs the moment it reads more than one A/B
+    * slice: with m slices at α=0.05 each, ~m/20 false "wins" are
+    * expected; BH bounds the FALSE-DISCOVERY RATE at q instead.
+    *
+    * Exactness end to end: each p-value is the add-one Monte-Carlo
+    * rational (n_ge+1)/(K+1) (never 0, Phipson & Smyth 2010), so the
+    * BH step-up condition p_(i) ≤ i·q/m is decided as the INTEGER
+    * cross-product (n_ge+1)·m·qDen ≤ i·(K+1)·qNum — no float enters
+    * any verdict; the step-up cutoff is a window max over the ordered
+    * flags. Shape: one per-(group, unit) agg, the (K+1)-fold broadcast
+    * cross (rides the UNIT table), one (group, perm) agg, one group
+    * agg, then m-row window work — all map-side combinable until the
+    * m-row tail.
+    *
+    * Output per group: (group, obs_diff, n_ge, p_num, p_den, p_value,
+    * bh_rank, rejected) — rejected = this slice survives FDR-q.
+    */
+  def fdrBhRandomization(
+      perUnit: DataFrame, // (groupCol, unitCol, valueCol: long)
+      groupCol: String,
+      unitCol: String,
+      valueCol: String,
+      obsPrefix: String,
+      k: Int = 64,
+      qNum: Long = 1L,
+      qDen: Long = 10L): DataFrame = {
+    val spark = perUnit.sparkSession
+    val perms = spark.range(0, k + 1).select(col("id").cast("int").as("perm"))
+    def bit(prefix: Column) =
+      conv(substring(md5(concat(prefix, col(unitCol).cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 2
+    val assigned = perUnit
+      .select(col(groupCol).as("g"), col(unitCol), col(valueCol).cast("long").as("__v"))
+      .crossJoin(broadcast(perms))
+      .withColumn("__bit", bit(when(col("perm") === 0, lit(obsPrefix))
+        .otherwise(concat(lit("perm"), col("perm"), lit(":")))))
+    val stats = assigned.groupBy("g", "perm")
+      .agg(
+        sum(when(col("__bit") === 0, col("__v")).otherwise(0L))
+          .cast("decimal(38,0)").cast("double").as("sa"),
+        count(when(col("__bit") === 0, 1)).cast("double").as("na"),
+        sum(when(col("__bit") === 1, col("__v")).otherwise(0L))
+          .cast("decimal(38,0)").cast("double").as("sb"),
+        count(when(col("__bit") === 1, 1)).cast("double").as("nb"))
+      .withColumn("stat",
+        when(col("na") > 0 && col("nb") > 0,
+          abs(col("sa") / col("na") - col("sb") / col("nb"))))
+    val obs = stats.filter(col("perm") === 0)
+      .select(col("g"), col("stat").as("obs_diff"))
+    val p = stats.filter(col("perm") > 0)
+      .join(obs, Seq("g"))
+      .groupBy("g", "obs_diff")
+      .agg(count(when(col("stat") >= col("obs_diff"), 1)).cast("long").as("n_ge"))
+      .select(col("g"), col("obs_diff"), col("n_ge"),
+        (col("n_ge") + 1L).as("p_num"), lit((k + 1).toLong).as("p_den"))
+    // BH step-up on the m-row p table: rank ascending (ties broken by
+    // group name — deterministic), flag i where p_num·m·qDen ≤
+    // i·p_den·qNum, reject every rank ≤ the max flagged rank
+    val wAll = Window.orderBy(col("p_num"), col("g"))
+    val wSet = Window.partitionBy()
+    val ranked = p
+      .withColumn("m", count(lit(1)).over(wSet))
+      .withColumn("bh_rank", row_number().over(wAll))
+      .withColumn("__pass",
+        col("p_num") * col("m") * lit(qDen) <= col("bh_rank") * col("p_den") * lit(qNum))
+      .withColumn("__cut", max(when(col("__pass"), col("bh_rank")).otherwise(0L)).over(wSet))
+    ranked.select(col("g"), col("obs_diff"), col("n_ge"), col("p_num"), col("p_den"),
+      (col("p_num").cast("double") / col("p_den").cast("double")).as("p_value"),
+      col("bh_rank").cast("long").as("bh_rank"),
+      (col("bh_rank") <= col("__cut")).as("rejected"))
+  }
+
+  /** Fleiss' kappa (Fleiss 1971) — multi-rater agreement with a FIXED
+    * rater count n per item, completing the agreement family (Cohen's
+    * kappa: exactly 2 raters; Krippendorff's alpha: missing ratings).
+    * Exactness: P̄_o's numerator Σᵢⱼ n_ij² − N·n and P̄_e's numerator
+    * Σⱼ(Σᵢ n_ij)² are exact integers off two bounded aggs (items ×
+    * observed labels, then the label domain); P̄_o, P̄_e, and kappa =
+    * (P̄_o − P̄_e)/(1 − P̄_e) are three fixed-order double ops both
+    * engines replay. The fixed-n contract is require'd loudly
+    * (raise_error), not silently miscounted — the krippendorff m ≤ 3
+    * posture. */
+  def fleissKappa(
+      df: DataFrame,
+      itemCol: String,
+      raterCol: String,
+      labelCol: String): DataFrame = {
+    val ratings = df.select(col(itemCol).as("item"), col(raterCol).as("rater"),
+        col(labelCol).as("lab"))
+      .filter(col("lab").isNotNull)
+      .dropDuplicates("item", "rater")
+    val nij = ratings.groupBy("item", "lab").agg(count(lit(1)).cast("long").as("nij"))
+    val perItem = nij.groupBy("item")
+      .agg(sum("nij").cast("long").as("n"),
+        sum(col("nij") * col("nij")).cast("long").as("sq"))
+      .localCheckpoint(eager = false) // feeds totals + the fixed-n guard once
+    val labTot = nij.groupBy("lab").agg(sum("nij").cast("long").as("tot"))
+    val e = labTot.agg(sum((col("tot") * col("tot")).cast("decimal(38,0)"))
+      .cast("decimal(38,0)").as("sum_tot_sq"))
+    perItem.agg(
+        count(lit(1)).cast("long").as("n_items"),
+        min("n").cast("long").as("n_min"),
+        max("n").cast("long").as("n_raters"),
+        sum("sq").cast("decimal(38,0)").as("sum_sq"))
+      .crossJoin(broadcast(e))
+      .select(col("n_items"),
+        when(col("n_min") =!= col("n_raters"), raise_error(concat(
+            lit("fleissKappa: rater count varies across items ("), col("n_min"),
+            lit(".."), col("n_raters"),
+            lit(") — Fleiss assumes fixed n; use krippendorffAlpha for missing ratings"))))
+          .otherwise(col("n_raters")).as("n_raters"),
+        col("sum_sq").cast("long").as("sum_nij_sq"),
+        col("sum_tot_sq").cast("long").as("sum_cat_tot_sq"),
+        ((col("sum_sq") - col("n_items") * col("n_raters")).cast("double")
+          / (col("n_items") * col("n_raters") * (col("n_raters") - 1)).cast("double"))
+          .as("po"),
+        // (N·n)² as a double SQUARE of the exact long product — the
+        // long product of the 4 factors would overflow past N ≈ 1.7e9
+        (col("sum_tot_sq").cast("double")
+          / ((col("n_items") * col("n_raters")).cast("double")
+            * (col("n_items") * col("n_raters")).cast("double"))).as("pe"))
+      .withColumn("kappa", (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+  }
 }

@@ -565,6 +565,23 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // bits/sets joins broadcast (pair-member-sized)
     "q69_agg_filter" -> 3,    // COUNT(DISTINCT) FILTER expands: partial + distinct
                               // exchange + final, then ORDER BY rides the same keys
+    "q76_grouping_id" -> 2,   // cube Expand agg + ORDER BY
+    "q77_timestamp_arith" -> 1, // pure projection; the 1 = final ORDER BY
+    "q78_regexp_funcs" -> 1,  // pure projection; the 1 = final ORDER BY
+    "events_nelson_aalen" -> 6, // the events_survival chain verbatim (user agg +
+                              // cohort/dur cells + reverse window + cohort collect +
+                              // posexplode + ORDER BY) with an additive fold
+    "events_fdr_bh" -> 5,     // (type,user) agg + (type,perm) agg + type agg + the
+                              // m-row single-partition BH window + ORDER BY; the 65-perm
+                              // blow-up rides a broadcast cross on the USER table
+    "events_theil_sen" -> 3,  // daily agg (ReuseExchange serves both self-join sides)
+                              // + per-type rank window + final agg; ORDER BY rides the
+                              // agg's partitioning
+    "graph_assortativity" -> 5, // edge distinct + degree agg + two degree joins (SMJ
+                              // pre-AQE — deg is node-count-sized, correctly NOT
+                              // broadcast at graph scale) + 1-row moment agg
+    "quality_fleiss" -> 5,    // TP + (item,lab) agg + item agg + label-domain agg +
+                              // 1-row cross attach
     "ann_ivfpq_drift" -> 4,   // per-cell occupancy agg + 1-row totals agg + the post-cross
                               // 6-key regroup + final single-row exchange; the index build
                               // runs eagerly at construction, cells are a pure broadcast-

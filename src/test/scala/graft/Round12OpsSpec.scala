@@ -59,4 +59,61 @@ class Round12OpsSpec extends SparkSpec {
       s"qerr signal must clear after retrain: $rep2")
     Seq("_cells", "_centroids", "_codebook").foreach(s => BucketOps.dropTable(spark, s"$pfx$s"))
   }
+
+  test("fleissKappa: the Fleiss 1971 agreement algebra on a hand table; varying n fails loudly") {
+    import graft.operators.StatsOps
+    // 4 items × 3 raters, 2 categories. n_ij rows: item1 (3,0),
+    // item2 (2,1), item3 (1,2), item4 (3,0).
+    val ratings = Seq(
+      (1, 1, "a"), (1, 2, "a"), (1, 3, "a"),
+      (2, 1, "a"), (2, 2, "a"), (2, 3, "b"),
+      (3, 1, "a"), (3, 2, "b"), (3, 3, "b"),
+      (4, 1, "a"), (4, 2, "a"), (4, 3, "a")).toDF("item", "rater", "lab")
+    val r = StatsOps.fleissKappa(ratings, "item", "rater", "lab").collect()(0)
+    // sum nij² = 9 + (4+1) + (1+4) + 9 = 28; Po = (28−12)/(12·2) = 2/3
+    // tots: a=9, b=3 → sum_tot_sq = 90; Pe = 90/144 = 0.625
+    // kappa = (2/3 − 0.625)/(1 − 0.625) = 1/9
+    assert(r.getAs[Long]("n_items") == 4 && r.getAs[Long]("n_raters") == 3)
+    assert(r.getAs[Long]("sum_nij_sq") == 28 && r.getAs[Long]("sum_cat_tot_sq") == 90)
+    assert(math.abs(r.getAs[Double]("po") - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("pe") - 0.625) < 1e-12)
+    assert(math.abs(r.getAs[Double]("kappa") - 1.0 / 9.0) < 1e-12)
+    // a 4th rating on one item breaks the fixed-n contract LOUDLY
+    val uneven = ratings.unionByName(Seq((1, 4, "b")).toDF("item", "rater", "lab"))
+    val ex = intercept[Exception] {
+      StatsOps.fleissKappa(uneven, "item", "rater", "lab").collect()
+    }
+    assert(ex.getMessage.contains("fixed n"), ex.getMessage)
+  }
+
+  test("degreeAssortativity: hand-checked P4 path graph gives r = -0.5") {
+    import graft.operators.GraphOps
+    // path 1-2-3-4: degrees (1,2,2,1); 2m=6 samples → r = (6·16−100)/(6·18−100) = −0.5
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 1L) /* dup orientation collapses */)
+      .toDF("a", "b")
+    val r = GraphOps.degreeAssortativity(edges, "a", "b").collect()(0)
+    assert(r.getAs[Long]("n_edges") == 3)
+    assert(math.abs(r.getAs[Double]("assortativity") + 0.5) < 1e-12)
+  }
+
+  test("fdrBhRandomization: exact rational p-values and a downward-closed BH rejection set") {
+    import graft.operators.StatsOps
+    // two groups: 'signal' has a huge arm gap only if md5 splits happen
+    // to separate values — we assert the INVARIANTS, not a verdict:
+    // p = (n_ge+1)/65 ∈ [1/65, 1], ranks are a permutation, and the
+    // rejection set is downward-closed in rank (step-up contract)
+    val units = (1 to 40).map(i => ("g1", i.toLong, i.toLong * 100))
+      .union((1 to 40).map(i => ("g2", 1000L + i, 50L)))
+      .toDF("g", "unit", "v")
+    val out = StatsOps.fdrBhRandomization(units, "g", "unit", "v", "sp:", k = 64)
+      .collect()
+    assert(out.length == 2)
+    assert(out.forall(r => r.getAs[Long]("p_den") == 65L))
+    assert(out.forall { r =>
+      val n = r.getAs[Long]("p_num"); n >= 1L && n <= 65L })
+    assert(out.map(_.getAs[Long]("bh_rank")).sorted.toSeq == Seq(1L, 2L))
+    val byRank = out.sortBy(_.getAs[Long]("bh_rank"))
+    if (byRank(1).getAs[Boolean]("rejected"))
+      assert(byRank(0).getAs[Boolean]("rejected"), "step-up must be downward-closed")
+  }
 }

@@ -4776,6 +4776,160 @@ object Oracles {
         """SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
           |FROM orders WHERE o_orderstatus = 'F'
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "events_nelson_aalen" ->
+        // the survival CTE chain with the product fold swapped for the
+        // additive hazard fold (list_reduce — NEVER a window sum, whose
+        // combine order differs between engines)
+        """WITH u AS (SELECT user_id,
+          |  min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+          |  max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+          |  FROM events GROUP BY 1),
+          |g AS (SELECT max(last_us) AS gmax_us FROM u),
+          |dur AS (SELECT user_id % 2 AS cohort,
+          |  (last_us - first_us) // 86400000000 AS dur,
+          |  CAST(last_us < gmax_us - 14 * 86400000000 AS INT) AS churned FROM u, g),
+          |cells AS (SELECT cohort, dur, COUNT(*) AS n_here, SUM(churned) AS d_t
+          |  FROM dur GROUP BY 1, 2),
+          |k AS (SELECT *, SUM(n_here) OVER (PARTITION BY cohort ORDER BY dur
+          |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_t FROM cells),
+          |f AS (SELECT cohort, dur, CAST(n_t AS BIGINT) AS n_t, CAST(d_t AS BIGINT) AS d_t,
+          |  CAST(d_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS inc FROM k),
+          |a AS (SELECT cohort, list(inc ORDER BY dur) AS il FROM f GROUP BY cohort),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY cohort ORDER BY dur) AS rn FROM f)
+          |SELECT r.cohort, r.dur AS t, r.n_t AS n_at_risk, r.d_t AS d_events,
+          | r.inc AS hazard,
+          | list_reduce(list_prepend(CAST(0.0 AS DOUBLE), a.il[1:CAST(r.rn AS INT)]),
+          |   (p, q) -> p + q) AS cum_hazard
+          |FROM r JOIN a ON r.cohort = a.cohort ORDER BY r.cohort, t""".stripMargin,
+      "events_fdr_bh" ->
+        // per-slice permutation p + integer BH step-up: the randomization
+        // machinery token-mirrors StatsOps.fdrBhRandomization
+        """WITH pu AS (SELECT event_type AS g, user_id,
+          |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS v
+          | FROM events GROUP BY 1, 2),
+          |perms AS (SELECT range AS perm FROM range(0, 65)),
+          |asg AS (SELECT g, v, perm,
+          |  CAST(('0x' || substr(md5(
+          |    (CASE WHEN perm = 0 THEN 'ab:' ELSE 'perm' || perm || ':' END)
+          |    || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS bit
+          | FROM pu, perms),
+          |st AS (SELECT g, perm,
+          |  CAST(CAST(CAST(SUM(CASE WHEN bit = 0 THEN v ELSE 0 END) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS sa,
+          |  CAST(COUNT(CASE WHEN bit = 0 THEN 1 END) AS DOUBLE) AS na,
+          |  CAST(CAST(CAST(SUM(CASE WHEN bit = 1 THEN v ELSE 0 END) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS sb,
+          |  CAST(COUNT(CASE WHEN bit = 1 THEN 1 END) AS DOUBLE) AS nb
+          | FROM asg GROUP BY 1, 2),
+          |sstat AS (SELECT g, perm,
+          |  CASE WHEN na > 0 AND nb > 0 THEN ABS(sa / na - sb / nb) END AS stat FROM st),
+          |obs AS (SELECT g, stat AS obs_diff FROM sstat WHERE perm = 0),
+          |p AS (SELECT s.g, obs_diff,
+          |  COUNT(CASE WHEN s.stat >= obs_diff THEN 1 END)::BIGINT AS n_ge
+          | FROM sstat s JOIN obs USING (g) WHERE perm > 0 GROUP BY 1, 2),
+          |rk AS (SELECT g, obs_diff, n_ge, n_ge + 1 AS p_num, CAST(65 AS BIGINT) AS p_den,
+          |  COUNT(*) OVER () AS m,
+          |  row_number() OVER (ORDER BY n_ge + 1, g) AS bh_rank FROM p),
+          |cut AS (SELECT *, MAX(CASE WHEN p_num * m * 10 <= bh_rank * p_den * 1
+          |    THEN bh_rank ELSE 0 END) OVER () AS c FROM rk)
+          |SELECT g AS event_type, obs_diff, n_ge, p_num, p_den,
+          | CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE) AS p_value,
+          | CAST(bh_rank AS BIGINT) AS bh_rank, bh_rank <= c AS rejected
+          |FROM cut ORDER BY event_type""".stripMargin,
+      "events_theil_sen" ->
+        """WITH daily AS (SELECT event_type,
+          |  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+          |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS cents
+          | FROM events GROUP BY 1, 2),
+          |pr AS (SELECT a.event_type,
+          |  CAST(b.cents - a.cents AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope,
+          |  a.day AS da, b.day AS db
+          | FROM daily a JOIN daily b
+          |   ON a.event_type = b.event_type AND a.day < b.day),
+          |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+          |    ORDER BY slope, da, db) AS rn,
+          |  COUNT(*) OVER (PARTITION BY event_type) AS np FROM pr)
+          |SELECT event_type, CAST(MAX(np) AS BIGINT) AS n_pairs,
+          | AVG(CASE WHEN rn = (np + 1) // 2 OR rn = (np + 2) // 2 THEN slope END)
+          |   AS ts_slope_cents_per_day
+          |FROM rk GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "graph_assortativity" ->
+        """WITH e0 AS (SELECT c_custkey % 200 AS a, CAST(c_nationkey AS BIGINT) + 200 AS b
+          |            FROM customer),
+          |e AS (SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM e0 WHERE a <> b),
+          |deg AS (SELECT v, COUNT(*)::BIGINT AS deg FROM
+          |  (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v),
+          |bo AS (SELECT da.deg AS dda, db.deg AS ddb FROM e
+          |  JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+          |sm AS (SELECT dda AS x, ddb AS y FROM bo UNION ALL SELECT ddb, dda FROM bo),
+          |agg AS (SELECT COUNT(*)::BIGINT AS n_samples,
+          |  CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+          |  CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+          |  CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy FROM sm)
+          |SELECT n_samples // 2 AS n_edges, CAST(sx AS BIGINT) AS sum_deg,
+          | CAST(sxy AS BIGINT) AS sum_xy,
+          | CAST(CAST(n_samples * sxy - sx * sx AS DECIMAL(38,0)) AS DOUBLE)
+          |   / CAST(CAST(n_samples * sxx - sx * sx AS DECIMAL(38,0)) AS DOUBLE)
+          |   AS assortativity
+          |FROM agg""".stripMargin,
+      "quality_fleiss" ->
+        // the krippendorff 3-rater synthesis WITHOUT the coverage filter
+        // (Fleiss assumes complete fixed-n design); integer numerators
+        """WITH r AS (
+          |  SELECT doc_id, rr AS rater,
+          |   CASE WHEN CAST(('0x' || substr(md5('kr' || rr || ':' || doc_id), 1, 8)) AS BIGINT) % 7 = 0
+          |        THEN ['en','de','es','fr','zh']
+          |          [CAST((CAST(('0x' || substr(md5('kr' || rr || ':' || doc_id), 1, 8)) AS BIGINT) // 35) % 5 AS INT) + 1]
+          |        ELSE lang END AS lab
+          |  FROM documents, (SELECT range AS rr FROM range(1, 4))),
+          |nij AS (SELECT item, lab, COUNT(*)::BIGINT AS nij FROM
+          |  (SELECT DISTINCT doc_id AS item, rater, lab FROM r) GROUP BY 1, 2),
+          |pi AS (SELECT item, CAST(SUM(nij) AS BIGINT) AS n,
+          |  CAST(SUM(nij * nij) AS BIGINT) AS sq FROM nij GROUP BY item),
+          |lt AS (SELECT CAST(SUM(t * t) AS DECIMAL(38,0)) AS sum_tot_sq FROM
+          |  (SELECT lab, CAST(SUM(nij) AS DECIMAL(38,0)) AS t FROM nij GROUP BY lab)),
+          |it AS (SELECT COUNT(*)::BIGINT AS n_items, MAX(n)::BIGINT AS n_raters,
+          |  CAST(SUM(sq) AS DECIMAL(38,0)) AS sum_sq FROM pi),
+          |base AS (SELECT n_items, n_raters,
+          |  CAST(sum_sq AS BIGINT) AS sum_nij_sq,
+          |  CAST(sum_tot_sq AS BIGINT) AS sum_cat_tot_sq,
+          |  CAST(CAST(sum_sq AS BIGINT) - n_items * n_raters AS DOUBLE)
+          |    / CAST(n_items * n_raters * (n_raters - 1) AS DOUBLE) AS po,
+          |  CAST(CAST(sum_tot_sq AS BIGINT) AS DOUBLE)
+          |    / (CAST(n_items * n_raters AS DOUBLE) * CAST(n_items * n_raters AS DOUBLE)) AS pe
+          | FROM it, lt)
+          |SELECT n_items, n_raters, sum_nij_sq, sum_cat_tot_sq, po, pe,
+          | (po - pe) / (1.0 - pe) AS kappa FROM base""".stripMargin,
+      "q76_grouping_id" ->
+        // DuckDB spells GROUPING_ID as multi-arg GROUPING — same bitmask
+        """SELECT l_returnflag, l_linestatus,
+          | CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+          | CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+          | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          | COUNT(*)::BIGINT AS n_rows,
+          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem
+          |GROUP BY CUBE(l_returnflag, l_linestatus)
+          |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+      "q77_timestamp_arith" ->
+        """SELECT o_orderkey,
+          | epoch_us(CAST(o_orderdate AS TIMESTAMP)
+          |          + to_hours(CAST(o_orderkey % 48 AS INT))) AS due_us,
+          | CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+          |   CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS days_from_anchor,
+          | CAST(date_diff('hour', CAST(o_orderdate AS TIMESTAMP),
+          |   CAST(o_orderdate AS TIMESTAMP)
+          |   + to_hours(CAST(o_orderkey % 48 AS INT))) AS BIGINT) AS lead_hours
+          |FROM orders WHERE o_orderkey % 41 = 0
+          |ORDER BY o_orderkey""".stripMargin,
+      "q78_regexp_funcs" ->
+        // regexp_replace needs the 'g' flag (DuckDB default = first
+        // match; Spark = all); count = splits − 1 (no regexp_count)
+        """SELECT p_partkey,
+          | regexp_extract(p_name, '([aeiou]+)', 1) AS first_vowels,
+          | regexp_replace(p_name, '[aeiou]+', '_', 'g') AS squashed,
+          | CAST(len(regexp_split_to_array(p_name, '[aeiou]+')) - 1 AS BIGINT) AS vowel_runs,
+          | regexp_matches(p_name, 'o[a-z]*e') AS has_oe_bridge
+          |FROM part WHERE p_partkey % 17 = 0
+          |ORDER BY p_partkey""".stripMargin,
       "events_holt_winters" ->
         // the 9-double [l, b, s0..s6] state folded in day order via
         // list_reduce — positions 1-based here vs Spark's 0-based
