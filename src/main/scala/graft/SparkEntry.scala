@@ -6772,6 +6772,131 @@ object SparkEntry {
       }.reduce(_ unionByName _)
       StatsOps.fleissKappa(ratings, "doc_id", "rater", "lab")
     }),
+    "text_mojibake" -> ((s, d) => {
+      // encoding-quality audit (the crawl-ingest gate before any text
+      // op trusts the bytes): per source, docs carrying U+FFFD
+      // replacement chars, C0 control chars, or the 'Ã'-prefix
+      // UTF-8-read-as-Latin-1 mojibake signature — plus occurrence
+      // ppm of the char mass. The corpus is clean, so corruption is
+      // SYNTHESIZED deterministically (the dirty-copy precedent):
+      // doc_id % 7 → mojibake 'cafÃ©' marker, % 11 → U+FFFD, % 13 →
+      // a BEL control char; both engines replay the injection and the
+      // scan. Counts via length-delta after char strip — one
+      // projection, one (source) agg, integer everything.
+      val moji = "caf\u00c3\u00a9" // 'café' mis-decoded as Latin-1
+      val base = T(s, d, "documents").select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" " + moji)).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit("\ufffd")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit("\u0007")).otherwise(lit(""))).as("t"))
+      def occurrences(c: String) = length(col("t")) - length(regexp_replace(col("t"), c, ""))
+      val flagged = base.select(col("source"),
+        occurrences("\ufffd").as("n_repl"),
+        occurrences("\u0007").as("n_ctrl"),
+        occurrences("\u00c3").as("n_moji"),
+        length(col("t")).as("n_chars"))
+      flagged.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_repl") > 0, 1L).otherwise(0L)).as("docs_replacement"),
+          sum(when(col("n_ctrl") > 0, 1L).otherwise(0L)).as("docs_control"),
+          sum(when(col("n_moji") > 0, 1L).otherwise(0L)).as("docs_mojibake"),
+          sum(col("n_repl") + col("n_ctrl") + col("n_moji")).cast("long").as("bad_chars"),
+          sum("n_chars").cast("long").as("total_chars"))
+        .withColumn("bad_char_ppm", expr("bad_chars * 1000000L div total_chars"))
+        .orderBy("source")
+    }),
+    "data_blocklist" -> ((s, d) => {
+      // domain-suffix blocklist routing (the crawl-curation kill list —
+      // rule 'spamnet.io' must block every subdomain): hosts are
+      // SYNTHESIZED deterministically from doc_id (the url_canon
+      // precedent), then each host EXPLODES into its ≤4 label suffixes
+      // and hash-joins the blocklist on EQUALITY — the 100 TB form (a
+      // 1e6-rule list broadcast-joins; no per-rule LIKE scan, no
+      // prefix range join). Verdict keeps the LONGEST (most specific)
+      // matching rule, the standard most-specific-wins semantics.
+      val subs = array(lit("www"), lit("ads"), lit("cdn"), lit("mail"), lit("shop"))
+      val doms = array(lit("example.com"), lit("spamnet.io"), lit("news.org"))
+      val docs = T(s, d, "documents").select(col("doc_id"),
+        concat_ws(".",
+          element_at(subs, (col("doc_id") % 5).cast("int") + 1),
+          element_at(doms, (col("doc_id") % 3).cast("int") + 1)).as("host"))
+      val rules = s.createDataFrame(Seq(
+        Tuple1("spamnet.io"), Tuple1("ads.example.com"), Tuple1("mail.news.org")))
+        .toDF("rule")
+      val parts = split(col("host"), "\\.")
+      val sufs = docs.select(col("doc_id"), col("host"),
+        explode(transform(sequence(lit(1), size(parts)),
+          i => array_join(slice(parts, i, size(parts)), "."))).as("suffix"))
+      sufs.join(broadcast(rules), col("suffix") === col("rule"), "left")
+        .groupBy("doc_id", "host")
+        .agg(max(when(col("rule").isNotNull,
+          struct(length(col("rule")).as("l"), col("rule").as("r")))).as("m"))
+        .select(col("doc_id"), col("host"),
+          col("m").isNotNull.as("blocked"), col("m.r").as("matched_rule"))
+        .orderBy("doc_id")
+    }),
+    "text_heaps" -> ((s, d) => {
+      // Heaps'-law vocabulary growth curve (V = K·nᵝ): cumulative
+      // distinct vocabulary at 16 corpus prefixes in doc_id order —
+      // the sub-linear growth check that flags template/boilerplate
+      // corpora (vocab saturating early) before dedup runs. Relational
+      // form: each token type contributes at its FIRST-seen bucket
+      // (min over one token agg), cumulative sums are INTEGER window
+      // folds (order-independent — exact), ratios one division each.
+      import org.apache.spark.sql.expressions.Window
+      val docs = T(s, d, "documents")
+      val mx = docs.agg(max("doc_id").as("mx"))
+      val toks = docs.crossJoin(broadcast(mx))
+        .select(expr("(doc_id * 16) div (mx + 1)").as("bucket"),
+          explode(TextFunctions.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val occ = toks.groupBy("bucket").agg(count(lit(1)).cast("long").as("n_occ"))
+      val firstSeen = toks.groupBy("token").agg(min("bucket").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).cast("long").as("n_new_types"))
+      val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+      occ.join(firstSeen, Seq("bucket"), "left")
+        .withColumn("n_new_types", coalesce(col("n_new_types"), lit(0L)))
+        .withColumn("tokens_cum", sum("n_occ").over(w).cast("long"))
+        .withColumn("vocab_cum", sum("n_new_types").over(w).cast("long"))
+        .select(col("bucket"), col("n_occ"), col("n_new_types"),
+          col("tokens_cum"), col("vocab_cum"),
+          (col("vocab_cum").cast("double") / col("tokens_cum").cast("double"))
+            .as("type_token_ratio"))
+        .orderBy("bucket")
+    }),
+    "vec_sq_dim" -> ((s, d) => {
+      // per-DIMENSION trained scalar quantization (FAISS SQ8's train/
+      // apply split vs row 69's per-vector variant): corpus min/max per
+      // dim (64 bounded rows collected — the trainCentroids contract),
+      // codes/dequant against the trained grid, per-vector max and
+      // fold-ordered mean |err|. Dims the corpus holds constant map to
+      // code 0 (the quantize8 convention).
+      val vecs = TP(s, d, "embeddings")
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
+      val stats = vecs.select(posexplode(col("vec")).as(Seq("i", "x")))
+        .groupBy("i").agg(min("x").as("lo"), max("x").as("hi"))
+        .orderBy("i").collect() // dim rows — bounded by construction
+      val loA = typedLit(stats.map(_.getDouble(1)).toIndexedSeq)
+      val hiA = typedLit(stats.map(_.getDouble(2)).toIndexedSeq)
+      val codes = transform(col("vec"), (x, i) => {
+        val lo = element_at(loA, i + 1); val hi = element_at(hiA, i + 1)
+        when(hi - lo === 0d, 0).otherwise(round((x - lo) * 255d / (hi - lo)).cast("int"))
+      })
+      val errs = transform(col("vec"), (x, i) => {
+        val lo = element_at(loA, i + 1); val hi = element_at(hiA, i + 1)
+        abs(x - when(hi - lo === 0d, lo)
+          .otherwise(lo + when(hi - lo === 0d, 0)
+            .otherwise(round((x - lo) * 255d / (hi - lo)).cast("int")).cast("double")
+            * (hi - lo) / 255d))
+      })
+      vecs.select(col("vec_id"), codes.as("codes"), errs.as("errs"))
+        .select(col("vec_id"),
+          array_max(col("errs")).as("max_abs_err"),
+          (aggregate(col("errs"), lit(0.0), (a, e) => a + e)
+            / size(col("errs")).cast("double")).as("mean_abs_err"),
+          element_at(col("codes"), 1).as("code_d1"))
+        .orderBy("vec_id")
+    }),
     "_gate_meta" -> ((s, d) => {
       // gate sentinel (round-10 verdict item 8): one deterministic row
       // (engine version, total query count) dumped by Verify like any

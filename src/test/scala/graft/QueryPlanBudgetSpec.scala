@@ -582,6 +582,15 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // broadcast at graph scale) + 1-row moment agg
     "quality_fleiss" -> 5,    // TP + (item,lab) agg + item agg + label-domain agg +
                               // 1-row cross attach
+    "text_mojibake" -> 2,     // one projection + (source) agg + ORDER BY rides the agg keys;
+                              // injection and char strips are map-side
+    "data_blocklist" -> 2,    // suffix explode is in-row, rules join broadcasts; the 2 =
+                              // (doc,host) regroup + final ORDER BY
+    "text_heaps" -> 5,        // TP + 1-row max attach (broadcast) + bucket occurrence agg
+                              // + token first-seen agg pair + the 16-row cumulative window
+    "vec_sq_dim" -> 2,        // final plan: TP + ORDER BY — codes/errs are broadcast-
+                              // literal projections; the per-dim min/max train agg runs
+                              // eagerly at construction (the trainCentroids contract)
     "ann_ivfpq_drift" -> 4,   // per-cell occupancy agg + 1-row totals agg + the post-cross
                               // 6-key regroup + final single-row exchange; the index build
                               // runs eagerly at construction, cells are a pure broadcast-

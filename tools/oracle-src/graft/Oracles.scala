@@ -4776,6 +4776,77 @@ object Oracles {
         """SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
           |FROM orders WHERE o_orderstatus = 'F'
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "text_mojibake" ->
+        // the injection + scan replay: chr(195)=Ã, chr(169)=©,
+        // chr(65533)=U+FFFD, chr(7)=BEL; occurrences via length delta
+        // after a plain (non-regex) strip — the markers are single chars
+        """WITH b AS (SELECT doc_id, source,
+          |  text || (CASE WHEN doc_id % 7 = 0 THEN ' caf' || chr(195) || chr(169) ELSE '' END)
+          |       || (CASE WHEN doc_id % 11 = 0 THEN chr(65533) ELSE '' END)
+          |       || (CASE WHEN doc_id % 13 = 0 THEN chr(7) ELSE '' END) AS t
+          | FROM documents),
+          |f AS (SELECT source,
+          |  length(t) - length(replace(t, chr(65533), '')) AS n_repl,
+          |  length(t) - length(replace(t, chr(7), '')) AS n_ctrl,
+          |  length(t) - length(replace(t, chr(195), '')) AS n_moji,
+          |  length(t) AS n_chars FROM b)
+          |SELECT source, COUNT(*)::BIGINT AS n_docs,
+          | SUM(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_replacement,
+          | SUM(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_control,
+          | SUM(CASE WHEN n_moji > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_mojibake,
+          | SUM(n_repl + n_ctrl + n_moji)::BIGINT AS bad_chars,
+          | SUM(n_chars)::BIGINT AS total_chars,
+          | SUM(n_repl + n_ctrl + n_moji)::BIGINT * 1000000
+          |   // SUM(n_chars)::BIGINT AS bad_char_ppm
+          |FROM f GROUP BY source ORDER BY source""".stripMargin,
+      "data_blocklist" ->
+        """WITH d AS (SELECT doc_id,
+          |  ['www','ads','cdn','mail','shop'][CAST(doc_id % 5 AS INT) + 1] || '.' ||
+          |  ['example.com','spamnet.io','news.org'][CAST(doc_id % 3 AS INT) + 1] AS host
+          | FROM documents),
+          |rules AS (SELECT unnest(['spamnet.io','ads.example.com','mail.news.org']) AS rule),
+          |sufs AS (SELECT doc_id, host, unnest(list_transform(
+          |    range(1, len(string_split(host, '.')) + 1),
+          |    i -> array_to_string(string_split(host, '.')[i:], '.'))) AS suffix FROM d),
+          |j AS (SELECT s.doc_id, s.host, r.rule
+          |      FROM sufs s LEFT JOIN rules r ON s.suffix = r.rule)
+          |SELECT doc_id, host, COUNT(rule) > 0 AS blocked,
+          | arg_max(rule, length(rule)) AS matched_rule
+          |FROM j GROUP BY doc_id, host ORDER BY doc_id""".stripMargin,
+      "text_heaps" ->
+        s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+           |t AS (SELECT (doc_id * 16) // (mx + 1) AS bucket, unnest($toks) AS token
+           |      FROM documents, mx),
+           |tf AS (SELECT bucket, token FROM t WHERE token <> ''),
+           |occ AS (SELECT bucket, COUNT(*)::BIGINT AS n_occ FROM tf GROUP BY 1),
+           |fs AS (SELECT bucket, COUNT(*)::BIGINT AS n_new_types FROM
+           |  (SELECT token, MIN(bucket) AS bucket FROM tf GROUP BY token) GROUP BY bucket)
+           |SELECT bucket, n_occ, COALESCE(n_new_types, 0)::BIGINT AS n_new_types,
+           | CAST(SUM(n_occ) OVER w AS BIGINT) AS tokens_cum,
+           | CAST(SUM(COALESCE(n_new_types, 0)) OVER w AS BIGINT) AS vocab_cum,
+           | CAST(SUM(COALESCE(n_new_types, 0)) OVER w AS DOUBLE)
+           |   / CAST(SUM(n_occ) OVER w AS DOUBLE) AS type_token_ratio
+           |FROM occ LEFT JOIN fs USING (bucket)
+           |WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |ORDER BY bucket""".stripMargin,
+      "vec_sq_dim" ->
+        // per-dim trained grid; mean |err| is the same left fold in
+        // index order Spark's aggregate() runs
+        """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+          |e AS (SELECT vec_id, unnest(vec) AS x, generate_subscripts(vec, 1) AS i FROM v),
+          |st AS (SELECT i, min(x) AS lo, max(x) AS hi FROM e GROUP BY i),
+          |q AS (SELECT vec_id, i, x, lo, hi,
+          |  CASE WHEN hi - lo = 0 THEN 0
+          |       ELSE CAST(round((x - lo) * 255 / (hi - lo)) AS INT) END AS code
+          | FROM e JOIN st USING (i)),
+          |r AS (SELECT vec_id, i, code,
+          |  abs(x - CASE WHEN hi - lo = 0 THEN lo
+          |           ELSE lo + CAST(code AS DOUBLE) * (hi - lo) / 255 END) AS err FROM q)
+          |SELECT vec_id, max(err) AS max_abs_err,
+          | list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(err ORDER BY i)),
+          |   (p, z) -> p + z) / CAST(COUNT(*) AS DOUBLE) AS mean_abs_err,
+          | MAX(CASE WHEN i = 1 THEN code END) AS code_d1
+          |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin,
       "events_nelson_aalen" ->
         // the survival CTE chain with the product fold swapped for the
         // additive hazard fold (list_reduce — NEVER a window sum, whose
