@@ -6897,6 +6897,132 @@ object SparkEntry {
           element_at(col("codes"), 1).as("code_d1"))
         .orderBy("vec_id")
     }),
+    "q79_percentile_disc" -> ((s, d) => {
+      // PERCENTILE_DISC conformance (WITHIN GROUP ordered-set syntax):
+      // the DISCRETE quantile — an actual data element, no
+      // interpolation float — which is exactly why it's the safe
+      // cross-engine quantile (row 31's exact percentile pins the
+      // CONT form's interpolation separately). DuckDB's quantile_disc
+      // uses a different index rule (floor((n−1)p) vs Spark's
+      // smallest-cume_dist ≥ p), so the oracle replays Spark's ANSI
+      // definition via integer cume counts — same answer, provably.
+      T(s, d, "lineitem").createOrReplaceTempView("r12_li_pdisc")
+      s.sql("""
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+               PERCENTILE_DISC(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+               PERCENTILE_DISC(0.9)  WITHIN GROUP (ORDER BY l_extendedprice) AS p90
+        FROM r12_li_pdisc
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """)
+    }),
+    "graph_reciprocity" -> ((s, d) => {
+      // directed-edge reciprocity (what fraction of links are returned
+      // — the mutual-follow / backlink ratio; near 0 for crawl graphs,
+      // high for social): distinct directed edges, reciprocated =
+      // left-semi against the swapped edge set, ONE integer division.
+      val e = T(s, d, "customer")
+        .select((col("c_custkey") % 50).as("src"),
+          ((col("c_custkey") * 7 + col("c_nationkey")) % 50).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val recip = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      e.agg(count(lit(1)).cast("long").as("n_edges"))
+        .crossJoin(broadcast(recip.agg(count(lit(1)).cast("long").as("n_reciprocated"))))
+        .withColumn("reciprocity",
+          col("n_reciprocated").cast("double") / col("n_edges").cast("double"))
+    }),
+    "text_source_overlap" -> ((s, d) => {
+      // cross-source vocabulary Jaccard matrix (the redundancy signal
+      // before mixing sources into a training recipe — two sources
+      // sharing 90% of their vocab probably duplicate coverage):
+      // per-source DISTINCT token sets as (source, token) rows, pair
+      // intersections via ONE self-join on token (vocab-sized, never
+      // the corpus), |A∪B| = |A|+|B|−|A∩B| — all exact integers, one
+      // double division per pair.
+      val vocab = T(s, d, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .distinct()
+        .localCheckpoint(eager = false) // feeds sizes + both join sides once
+      val sizes = vocab.groupBy("source").agg(count(lit(1)).cast("long").as("v"))
+      val inter = vocab.select(col("source").as("sa"), col("token"))
+        .join(vocab.select(col("source").as("sb"), col("token")), Seq("token"))
+        .filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).cast("long").as("n_inter"))
+      inter
+        .join(sizes.select(col("source").as("sa"), col("v").as("va")), Seq("sa"))
+        .join(sizes.select(col("source").as("sb"), col("v").as("vb")), Seq("sb"))
+        .select(col("sa"), col("sb"), col("va"), col("vb"), col("n_inter"),
+          (col("va") + col("vb") - col("n_inter")).as("n_union"),
+          (col("n_inter").cast("double")
+            / (col("va") + col("vb") - col("n_inter")).cast("double")).as("jaccard"))
+        .orderBy("sa", "sb")
+    }),
+    "q80_posexplode" -> ((s, d) => {
+      // generator/table-function conformance: posexplode (0-based) and
+      // explode over a computed array, with the generator's ordinal
+      // participating in downstream arithmetic — DuckDB's unnest WITH
+      // ORDINALITY is 1-based, the oracle subtracts. The LATERAL VIEW
+      // class every nested-data pipeline leans on.
+      T(s, d, "part").createOrReplaceTempView("r12_part_pe")
+      s.sql("""
+        SELECT p_partkey, pos, word,
+               length(word) AS word_len,
+               pos * 100 + length(word) AS ordinal_code
+        FROM (SELECT p_partkey, p_name FROM r12_part_pe WHERE p_partkey % 29 = 0)
+        LATERAL VIEW POSEXPLODE(split(p_name, ' ')) t AS pos, word
+        ORDER BY p_partkey, pos
+      """)
+    }),
+    "data_fair_share" -> ((s, d) => {
+      // max-min fair allocation (progressive water-filling — the
+      // multi-tenant quota planner: small requests fully granted, the
+      // residual capacity split evenly among the big ones): tenants =
+      // order priorities, demand = order count, capacity = half of
+      // total demand. Closed form over the demand-sorted prefix: the
+      // water level L solves Σ min(dᵢ, L) = C; tenant i saturates iff
+      // dᵢ ≤ L. All candidates tested with INTEGER cross-products
+      // (prefix sums × remaining counts), the level itself emitted as
+      // exact num/den integers + one double division. One tiny agg +
+      // a priority-count-sized window — nothing corpus-wide.
+      import org.apache.spark.sql.expressions.Window
+      val dem = T(s, d, "orders").groupBy(col("o_orderpriority").as("tenant"))
+        .agg(count(lit(1)).cast("long").as("demand"))
+      val tot = dem.agg((sum("demand") / 2).cast("long").as("capacity"),
+        count(lit(1)).cast("long").as("n_tenants"))
+      val w = Window.orderBy(col("demand"), col("tenant"))
+      val wAll = Window.partitionBy()
+      val ranked = dem.crossJoin(broadcast(tot))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("prefix", sum("demand").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        // tenant rk saturates iff demand_rk·(remaining after granting
+        // the prefix IN FULL) ≤ capacity − prefix ... i.e. the water
+        // level is above demand_rk: (C − prefix_rk) ≥ d_rk·(n − rk)
+        .withColumn("saturated",
+          (col("capacity") - col("prefix")) >= col("demand") * (col("n_tenants") - col("rk")))
+      val level = ranked
+        .withColumn("sat_prefix",
+          max(when(col("saturated"), struct(col("rk"), col("prefix")))).over(wAll))
+        .withColumn("lvl_num",
+          col("capacity") - coalesce(col("sat_prefix.prefix"), lit(0L)))
+        .withColumn("lvl_den",
+          col("n_tenants") - coalesce(col("sat_prefix.rk"), lit(0L)))
+      level.select(col("tenant"), col("demand"), col("capacity"),
+          col("saturated"),
+          when(col("saturated"), col("demand"))
+            .otherwise(expr("lvl_num div lvl_den")).as("granted_floor"),
+          col("lvl_num"), col("lvl_den"),
+          when(col("saturated"), col("demand").cast("double"))
+            .otherwise(col("lvl_num").cast("double") / col("lvl_den").cast("double"))
+            .as("granted"))
+        .orderBy("tenant")
+    }),
     "_gate_meta" -> ((s, d) => {
       // gate sentinel (round-10 verdict item 8): one deterministic row
       // (engine version, total query count) dumped by Verify like any

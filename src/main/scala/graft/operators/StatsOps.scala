@@ -1240,6 +1240,44 @@ object StatsOps {
           .otherwise(lit(2.0) * prec * rec / (prec + rec)).as("f1"))
   }
 
+  /** Generic single-scan column profiler (the schema-agnostic form of
+    * the lineitem-specific `data_profile` query): per column — null
+    * count, exact distinct count, numeric min/max (dates as epoch
+    * days; non-numeric min/max null). ONE scan with a multi-column
+    * count-distinct Expand, results stacked in-row — the ingestion
+    * first-look every pipeline runs, surfaced to the CLI as
+    * `report:///?kind=profile`. */
+  def profileAllColumns(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cols = df.schema.fields.toSeq.map { f =>
+      val numeric: Option[Column] = f.dataType match {
+        case _: NumericType => Some(col(f.name).cast("double"))
+        case DateType => Some(datediff(col(f.name), lit("1970-01-01")).cast("double"))
+        case TimestampType | TimestampNTZType =>
+          Some((unix_micros(col(f.name).cast("timestamp")) / lit(86400000000L)).cast("double"))
+        case BooleanType => Some(col(f.name).cast("int").cast("double"))
+        case _ => None
+      }
+      (f.name, numeric)
+    }
+    val agg = df.agg(
+      count(lit(1)).as("__n_rows"),
+      cols.flatMap { case (n, numOpt) =>
+        Seq(
+          sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"__nn_$n"),
+          countDistinct(col(n)).as(s"__nd_$n"),
+          numOpt.map(c => min(c)).getOrElse(lit(null).cast("double")).as(s"__mn_$n"),
+          numOpt.map(c => max(c)).getOrElse(lit(null).cast("double")).as(s"__mx_$n"))
+      }: _*)
+    val stack = cols.map { case (n, _) =>
+      struct(lit(n).as("column"), col("__n_rows").cast("long").as("n_rows"),
+        col(s"__nn_$n").cast("long").as("n_nulls"),
+        col(s"__nd_$n").cast("long").as("n_distinct"),
+        col(s"__mn_$n").as("min_num"), col(s"__mx_$n").as("max_num"))
+    }
+    agg.select(explode(array(stack: _*)).as("r")).select("r.*")
+  }
+
   /** Benjamini–Hochberg FDR control over PER-GROUP randomization tests
     * (Benjamini & Hochberg 1995 step-up over [[randomizationTest]]'s
     * Dwass-style exact p-values) — the multiple-comparisons guard a

@@ -452,6 +452,31 @@ object Pipeline {
         }
         graft.operators.CorpusOps.capPerKey(df, p("key"), order, p.getOrElse("k", "1000").toInt)
       }
+    case "report" =>
+      df => {
+        // audit reports as pipeline steps (the winnow-evidence posture
+        // generalized): the step's OUTPUT is the report over the input
+        // view, so profiling sits in the same URI surface as the
+        // transforms it audits. kinds: profile (generic column
+        // profiler), skew (per-key heavy-hitter shares over `key=`).
+        val p = uri.queryParams
+        p.getOrElse("kind", "profile") match {
+          case "profile" => graft.operators.StatsOps.profileAllColumns(df)
+            .orderBy("column")
+          case "skew" =>
+            val key = p.getOrElse("key",
+              throw new IllegalArgumentException("report kind=skew needs key=<column>"))
+            val counts = df.groupBy(F.col(key).as("key"))
+              .agg(F.count(F.lit(1)).cast("long").as("n"))
+            val tot = counts.agg(F.sum("n").cast("long").as("total"))
+            counts.crossJoin(F.broadcast(tot))
+              .withColumn("share_ppm", F.expr("n * 1000000L div total"))
+              .orderBy(F.col("n").desc, F.col("key"))
+              .limit(p.getOrElse("k", "20").toInt)
+          case other =>
+            throw new IllegalArgumentException(s"report kind '$other' not in: profile, skew")
+        }
+      }
     case "chunk" =>
       df => {
         val p = uri.queryParams
@@ -467,7 +492,7 @@ object Pipeline {
     case other =>
       throw new IllegalArgumentException(
         s"transform scheme '$other' not in: identity, sql, sql-file, flatten, flatten-explode, " +
-          "diff, dedup, ann, split, sample, decontam, quality, cap, chunk")
+          "diff, dedup, ann, split, sample, decontam, quality, cap, chunk, report")
   }
 
   /** Parse reference-style CLI args:

@@ -131,6 +131,31 @@ class PipelineSpec extends SparkSpec {
     assert(ex.getMessage.contains("evidence"))
   }
 
+  test("report:///?kind=profile and kind=skew expose audit reports as pipeline steps") {
+    val values = "1,en,alpha;2,en,beta;3,de,gamma;4,,delta"
+    val (p, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?header=id:int,lang,text&values=$values",
+      "--transform", "report:///?kind=profile"))
+    val prof = p.resultView(spark, "sink").collect()
+      .map(r => r.getAs[String]("column") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"), r.getAs[Long]("n_distinct"))).toMap
+    assert(prof("id") == ((4L, 0L, 4L)))
+    // the values source parses an empty field as '' (not NULL) — the
+    // profiler counts it as a distinct value, nulls stay 0
+    assert(prof("lang") == ((4L, 0L, 3L)), prof.toString)
+    // numeric min/max only for numeric columns
+    val idRow = p.resultView(spark, "sink").filter(org.apache.spark.sql.functions.col("column") === "id").collect()(0)
+    assert(idRow.getAs[Double]("min_num") == 1.0 && idRow.getAs[Double]("max_num") == 4.0)
+    val langRow = p.resultView(spark, "sink").filter(org.apache.spark.sql.functions.col("column") === "lang").collect()(0)
+    assert(langRow.isNullAt(langRow.fieldIndex("min_num")))
+    // skew: key shares in ppm, heaviest first
+    val (p2, _) = Pipeline.fromArgs(Seq(
+      "--source", s"values:///?header=id:int,lang,text&values=$values",
+      "--transform", "report:///?kind=skew&key=lang"))
+    val skew = p2.resultView(spark, "sink").collect()
+    assert(skew.head.getAs[Long]("n") == 2L && skew.head.getAs[Long]("share_ppm") == 500000L)
+  }
+
   test("dedup:///?method=incremental probes and maintains a persisted index across runs") {
     def enc(s: String) = s.replace(" ", "%20")
     val t1 = "alpha beta gamma delta epsilon zeta eta theta"

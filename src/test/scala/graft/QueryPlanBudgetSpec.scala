@@ -582,6 +582,15 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // broadcast at graph scale) + 1-row moment agg
     "quality_fleiss" -> 5,    // TP + (item,lab) agg + item agg + label-domain agg +
                               // 1-row cross attach
+    "q79_percentile_disc" -> 2, // ordered-set agg + ORDER BY
+    "graph_reciprocity" -> 4, // edge distinct + swapped left-semi (reuses the distinct's
+                              // partitioning on one side) + two 1-row aggs
+    "text_source_overlap" -> 4, // (source,token) distinct rides a lazy checkpoint feeding
+                              // sizes agg + token self-join + pair agg + ORDER BY;
+                              // size joins broadcast (source-count-sized)
+    "q80_posexplode" -> 1,    // generator is a projection; the 1 = final ORDER BY
+    "data_fair_share" -> 3,   // tenant agg + 1-row totals + the tenant-count-sized
+                              // water-filling window (single-partition) + ORDER BY rides it
     "text_mojibake" -> 2,     // one projection + (source) agg + ORDER BY rides the agg keys;
                               // injection and char strips are map-side
     "data_blocklist" -> 2,    // suffix explode is in-row, rules join broadcasts; the 2 =

@@ -555,4 +555,48 @@ class StreamingSpec extends SparkSpec {
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     }
   }
+
+  test("dropDuplicatesWithinWatermark dedups late twins and expires state past the watermark") {
+    // the built-in bounded-state streaming dedup (Spark 3.5+) — the
+    // native conformance twin of the mapGroupsWithState/minhash dedup
+    // rows: duplicates of a key arriving WITHIN the watermark horizon
+    // are dropped even when their event times differ (the exactly-once
+    // ingest idempotence contract); state is evictable, unlike plain
+    // dropDuplicates on a stream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val out = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val q = out.writeStream.format("memory").queryName("ddww_out").outputMode("append").start()
+    try {
+      input.addData((ts(0), 1L), (ts(1), 1L), (ts(2), 2L))
+      q.processAllAvailable()
+      // a same-key twin 3 minutes later (different event time) is STILL
+      // a duplicate within the horizon
+      input.addData((ts(3), 1L))
+      q.processAllAvailable()
+      val got = spark.table("ddww_out").collect().map(_.getAs[Long]("k")).sorted.toSeq
+      assert(got == Seq(1L, 2L), s"one row per key within the horizon: $got")
+    } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow drains a backlog exactly once and stops on its own") {
+    // the batch-backfill-through-the-streaming-graph contract: process
+    // everything available, commit, terminate — the nightly-catchup
+    // mode every incremental pipeline needs beside continuous triggers
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.KeyedValue]
+    input.addData((1 to 10).map(i => StreamOps.KeyedValue(i.toLong % 3, i.toDouble)): _*)
+    val out = input.toDF().groupBy("key").agg(count(lit(1)).as("n"), sum("value").as("s"))
+    val q = out.writeStream.format("memory").queryName("avnow_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow must terminate by itself")
+    val got = spark.table("avnow_out").collect()
+      .map(r => r.getAs[Long]("key") -> (r.getAs[Long]("n"), r.getAs[Double]("s"))).toMap
+    assert(got == Map(0L -> ((3L, 18.0)), 1L -> ((4L, 22.0)), 2L -> ((3L, 15.0))), got.toString)
+  }
 }

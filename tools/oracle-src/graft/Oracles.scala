@@ -4776,6 +4776,80 @@ object Oracles {
         """SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
           |FROM orders WHERE o_orderstatus = 'F'
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "text_source_overlap" ->
+        s"""WITH t AS (SELECT source, unnest($toks) AS token FROM documents),
+           |vf AS (SELECT DISTINCT source, token FROM t WHERE token <> ''),
+           |sz AS (SELECT source, COUNT(*)::BIGINT AS v FROM vf GROUP BY source),
+           |inter AS (SELECT a.source AS sa, b.source AS sb, COUNT(*)::BIGINT AS n_inter
+           |  FROM vf a JOIN vf b ON a.token = b.token AND a.source < b.source
+           |  GROUP BY 1, 2)
+           |SELECT sa, sb, x.v AS va, y.v AS vb, n_inter,
+           | (x.v + y.v - n_inter)::BIGINT AS n_union,
+           | CAST(n_inter AS DOUBLE) / CAST(x.v + y.v - n_inter AS DOUBLE) AS jaccard
+           |FROM inter JOIN sz x ON sa = x.source JOIN sz y ON sb = y.source
+           |ORDER BY sa, sb""".stripMargin,
+      "q80_posexplode" ->
+        // DuckDB zips unnest + generate_subscripts (1-based — subtract)
+        """SELECT p_partkey,
+          | CAST(generate_subscripts(words, 1) - 1 AS INT) AS pos,
+          | unnest(words) AS word,
+          | CAST(length(unnest(words)) AS INT) AS word_len,
+          | CAST((generate_subscripts(words, 1) - 1) * 100
+          |   + length(unnest(words)) AS INT) AS ordinal_code
+          |FROM (SELECT p_partkey, string_split(p_name, ' ') AS words
+          |      FROM part WHERE p_partkey % 29 = 0)
+          |ORDER BY p_partkey, pos""".stripMargin,
+      "data_fair_share" ->
+        // progressive water-filling: the saturated set is a PREFIX of
+        // the demand-ascending order, so the boundary is two MAXes
+        """WITH dem AS (SELECT o_orderpriority AS tenant, COUNT(*)::BIGINT AS demand
+          |             FROM orders GROUP BY 1),
+          |tot AS (SELECT CAST(SUM(demand) // 2 AS BIGINT) AS capacity,
+          |               COUNT(*)::BIGINT AS n_tenants FROM dem),
+          |rk AS (SELECT tenant, demand, capacity, n_tenants,
+          |  row_number() OVER (ORDER BY demand, tenant) AS rk,
+          |  CAST(SUM(demand) OVER (ORDER BY demand, tenant
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix
+          | FROM dem, tot),
+          |st AS (SELECT *,
+          |  (capacity - prefix) >= demand * (n_tenants - rk) AS saturated FROM rk),
+          |bd AS (SELECT *,
+          |  MAX(CASE WHEN saturated THEN rk END) OVER () AS brk,
+          |  MAX(CASE WHEN saturated THEN prefix END) OVER () AS bprefix FROM st),
+          |lv AS (SELECT *, capacity - COALESCE(bprefix, 0) AS lvl_num,
+          |  n_tenants - COALESCE(brk, 0) AS lvl_den FROM bd)
+          |SELECT tenant, demand, capacity, saturated,
+          | CAST(CASE WHEN saturated THEN demand ELSE lvl_num // lvl_den END AS BIGINT)
+          |   AS granted_floor,
+          | CAST(lvl_num AS BIGINT) AS lvl_num, CAST(lvl_den AS BIGINT) AS lvl_den,
+          | CASE WHEN saturated THEN CAST(demand AS DOUBLE)
+          |      ELSE CAST(lvl_num AS DOUBLE) / CAST(lvl_den AS DOUBLE) END AS granted
+          |FROM lv ORDER BY tenant""".stripMargin,
+      "q79_percentile_disc" ->
+        // Spark's ANSI PERCENTILE_DISC = smallest value whose cume_dist
+        // ≥ p; replayed with INTEGER cume counts (cnt_le·den ≥ n·num)
+        // because DuckDB's quantile_disc uses the floor((n−1)p) index
+        // rule — a genuinely different element for some (n, p)
+        """WITH v AS (SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem),
+          |cd AS (SELECT g, x,
+          |  COUNT(*) OVER (PARTITION BY g ORDER BY x
+          |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cle,
+          |  COUNT(*) OVER (PARTITION BY g) AS n FROM v)
+          |SELECT g AS l_returnflag, MAX(n)::BIGINT AS n_rows,
+          | MIN(CASE WHEN cle * 4 >= n THEN x END) AS p25,
+          | MIN(CASE WHEN cle * 2 >= n THEN x END) AS p50,
+          | MIN(CASE WHEN cle * 10 >= n * 9 THEN x END) AS p90
+          |FROM cd GROUP BY g ORDER BY g""".stripMargin,
+      "graph_reciprocity" ->
+        """WITH e AS (SELECT DISTINCT c_custkey % 50 AS src,
+          |  (c_custkey * 7 + c_nationkey) % 50 AS dst FROM customer
+          | WHERE c_custkey % 50 <> (c_custkey * 7 + c_nationkey) % 50),
+          |r AS (SELECT COUNT(*)::BIGINT AS n_reciprocated FROM e a
+          |      WHERE EXISTS (SELECT 1 FROM e b WHERE b.src = a.dst AND b.dst = a.src))
+          |SELECT (SELECT COUNT(*)::BIGINT FROM e) AS n_edges, n_reciprocated,
+          | CAST(n_reciprocated AS DOUBLE) / CAST((SELECT COUNT(*) FROM e) AS DOUBLE)
+          |   AS reciprocity
+          |FROM r""".stripMargin,
       "text_mojibake" ->
         // the injection + scan replay: chr(195)=Ã, chr(169)=©,
         // chr(65533)=U+FFFD, chr(7)=BEL; occurrences via length delta
