@@ -6016,9 +6016,9 @@ object SparkEntry {
       // page 3 of orders by price desc, key tie-break
       T(s, d, "orders").createOrReplaceTempView("r10_ord_off")
       s.sql("""
-        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
         FROM r10_ord_off
-        ORDER BY price DESC, o_orderkey
+        ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey
         LIMIT 10 OFFSET 20
       """)
     }),

@@ -384,9 +384,12 @@ object Oracles {
           |  OR abs(COALESCE(mean_b, 0.0) - COALESCE(mean_a, 0.0)) > 1.0) AS drift
           |FROM st ORDER BY column_name""".stripMargin,
       "q68_offset" ->
-        """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        // DOUBLE output (the q69/q70 DECIMAL-canonicalization lesson —
+        // this row passed r11's hash by luck of its values; the Verify
+        // tripwire flagged it round 12); the sort stays decimal-exact
+        """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
           |FROM orders
-          |ORDER BY price DESC, o_orderkey
+          |ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey
           |LIMIT 10 OFFSET 20""".stripMargin,
       "dedup_shared_spans" ->
         // replay winnowing selection WITH positions, the linked-pair
