@@ -582,6 +582,10 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // broadcast at graph scale) + 1-row moment agg
     "quality_fleiss" -> 5,    // TP + (item,lab) agg + item agg + label-domain agg +
                               // 1-row cross attach
+    "events_markov_attribution" -> 2, // the measured FINAL plan: the 16-step integer
+                              // absorption chain rides lazily-checkpointed (types+2)²-
+                              // sized frames (their exchanges run once at checkpoint
+                              // materialization); 2 = the re/total regroup + ORDER BY
     "q79_percentile_disc" -> 2, // ordered-set agg + ORDER BY
     "graph_reciprocity" -> 4, // edge distinct + swapped left-semi (reuses the distinct's
                               // partitioning on one side) + two 1-row aggs

@@ -4779,6 +4779,55 @@ object Oracles {
         """SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
           |FROM orders WHERE o_orderstatus = 'F'
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "events_markov_attribution" -> {
+        // the 16-step integer absorption UNROLLED as p1..p16 CTEs
+        // (aggregates are illegal in a recursive term, and unrolling
+        // keeps every step a plain GROUP BY — bit-identical to the
+        // engine's 16 chained joins)
+        val steps = (1 to 16).map { i =>
+          s"""p$i AS MATERIALIZED (SELECT p.scenario, tr.t AS state,
+             |  CAST(SUM((p.ppm * tr.n) // tr.n_out) AS BIGINT) AS ppm
+             |  FROM p${i - 1} p JOIN tr ON p.scenario = tr.scenario AND p.state = tr.f
+             |  GROUP BY 1, 2)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           |  event_id, event_type FROM events),
+           |r AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY user_id
+           |  ORDER BY ts_us, event_id) AS rk FROM ev),
+           |pk AS (SELECT user_id, MIN(rk) AS prk FROM r
+           |       WHERE event_type = 'purchase' GROUP BY user_id),
+           |tc AS (SELECT r.* FROM r LEFT JOIN pk USING (user_id)
+           |       WHERE pk.prk IS NULL OR r.rk <= pk.prk),
+           |sq AS (SELECT user_id, event_type,
+           |  COALESCE(lag(event_type) OVER (PARTITION BY user_id
+           |    ORDER BY ts_us, event_id), 'start') AS f FROM tc),
+           |tn AS MATERIALIZED (SELECT f, event_type AS t, COUNT(*)::BIGINT AS n FROM sq
+           |       WHERE f <> 'purchase' GROUP BY 1, 2),
+           |tr0 AS (SELECT * FROM tn
+           |        UNION ALL SELECT 'purchase', 'purchase', CAST(1 AS BIGINT)),
+           |od AS (SELECT f, SUM(n)::BIGINT AS n_out FROM tr0 GROUP BY f),
+           |ch AS (SELECT DISTINCT c FROM
+           |  (SELECT f AS c FROM tn UNION ALL SELECT t FROM tn)
+           |  WHERE c NOT IN ('start', 'purchase')),
+           |sc AS (SELECT c AS scenario FROM ch UNION ALL SELECT 'full'),
+           |tr AS MATERIALIZED (SELECT sc.scenario, tr0.f, tr0.t, tr0.n, od.n_out
+           |       FROM tr0 CROSS JOIN sc JOIN od ON tr0.f = od.f
+           |       WHERE sc.scenario = 'full'
+           |          OR (tr0.f <> sc.scenario AND tr0.t <> sc.scenario)),
+           |p0 AS (SELECT scenario, 'start' AS state, CAST(1000000 AS BIGINT) AS ppm FROM sc),
+           |$steps,
+           |conv AS MATERIALIZED (SELECT scenario, ppm AS conv_ppm FROM p16 WHERE state = 'purchase'),
+           |fl AS (SELECT conv_ppm AS conv_full FROM conv WHERE scenario = 'full'),
+           |re AS MATERIALIZED (SELECT scenario AS channel, conv_full, conv_ppm AS conv_without_ppm,
+           |  CAST(1000000 - (conv_ppm * 1000000 // conv_full) AS BIGINT)
+           |    AS removal_effect_ppm
+           |  FROM conv CROSS JOIN fl WHERE scenario <> 'full')
+           |SELECT channel, conv_full, conv_without_ppm, removal_effect_ppm,
+           | CAST(removal_effect_ppm AS DOUBLE)
+           |   / CAST((SELECT SUM(removal_effect_ppm) FROM re) AS DOUBLE)
+           |   AS attribution_share
+           |FROM re ORDER BY channel""".stripMargin
+      },
       "text_source_overlap" ->
         s"""WITH t AS (SELECT source, unnest($toks) AS token FROM documents),
            |vf AS (SELECT DISTINCT source, token FROM t WHERE token <> ''),
