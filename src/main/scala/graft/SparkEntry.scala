@@ -7092,6 +7092,54 @@ object SparkEntry {
             .as("attribution_share"))
         .orderBy("channel")
     }),
+    "text_kn_ppl" -> ((s, d) =>
+      // per-doc LM cross-entropy under the corpus's own interpolated
+      // KN bigram (row 360's APPLY side — the CCNet-style perplexity
+      // quality gate; ppl = e^H, H emitted in nats): low H flags
+      // template-like docs, high H novel/garbled — both curation
+      // tails. Exact by the text_entropy ln convention: round-6 model
+      // probabilities, round-9 ln sites, decimal count-weighted fold.
+      CorpusOps.knBigramDocScores(TP(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+    "data_acceptance_sampling" -> ((s, d) => {
+      // double acceptance-sampling QA (the ANSI-Z1.4 shape applied to
+      // corpus shards): per source, a deterministic md5 stage-1 sample
+      // of 20 docs — accept at k₁ ≤ 1 bad, reject at k₁ ≥ 4, otherwise
+      // draw the DISJOINT md5 stage-2 sample of 40 and accept iff
+      // k₁+k₂ ≤ 4. 'bad' = n_chars < 150 (the length rule from the
+      // quality battery). All verdicts integer; the two-stage plan
+      // inspects ≤ 60 docs per shard however big the shard — the
+      // point of acceptance sampling at 100 TB.
+      import org.apache.spark.sql.expressions.Window
+      def h(seed: String) =
+        conv(substring(md5(concat(lit(seed), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long")
+      val docs = T(s, d, "documents").select(col("doc_id"), col("source"),
+        (col("n_chars") < 150).cast("int").as("bad"),
+        h("acc1:").as("h1"), h("acc2:").as("h2"))
+      val w1 = Window.partitionBy("source").orderBy(col("h1"), col("doc_id"))
+      val staged = docs.withColumn("r1", row_number().over(w1))
+        .withColumn("stage1", col("r1") <= 20)
+      val w2 = Window.partitionBy("source").orderBy(col("h2"), col("doc_id"))
+      val s2 = staged.filter(!col("stage1"))
+        .withColumn("r2", row_number().over(w2))
+        .withColumn("stage2", col("r2") <= 40)
+      val k1 = staged.filter(col("stage1")).groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n1"), sum("bad").cast("long").as("k1"))
+      val k2 = s2.filter(col("stage2")).groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n2"), sum("bad").cast("long").as("k2"))
+      k1.join(k2, Seq("source"), "left")
+        .select(col("source"), col("n1"), col("k1"),
+          coalesce(col("n2"), lit(0L)).as("n2"), coalesce(col("k2"), lit(0L)).as("k2"))
+        .withColumn("decided_at_stage",
+          when(col("k1") <= 1 || col("k1") >= 4, 1L).otherwise(2L))
+        .withColumn("accepted",
+          when(col("k1") <= 1, lit(true))
+            .when(col("k1") >= 4, lit(false))
+            .otherwise(col("k1") + col("k2") <= 4))
+        .orderBy("source")
+    }),
     "_gate_meta" -> ((s, d) => {
       // gate sentinel (round-10 verdict item 8): one deterministic row
       // (engine version, total query count) dumped by Verify like any

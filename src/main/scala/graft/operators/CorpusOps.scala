@@ -629,6 +629,52 @@ object CorpusOps {
     * count; the derivation joins are type-table-sized, never
     * corpus-sized.
     */
+  /** Per-document cross-entropy under the corpus-trained interpolated
+    * Kneser-Ney bigram LM — the APPLY side of [[knBigramTopK]] and the
+    * CCNet-style LM quality gate (Wenzek et al. 2020 score documents
+    * by LM perplexity; here the LM is the corpus's own, so LOW H =
+    * template-like, HIGH H = novel/garbled — both tails are curation
+    * signals). H is emitted in NATS (perplexity = e^H, monotone — the
+    * exp is left to the reader because a second libm site would add a
+    * rounding seam for zero information).
+    *
+    * Exactness (the text_entropy ln convention): every p_kn is the
+    * fixed-order double of the train side rounded ONCE to 6; each
+    * ln(p) is rounded ONCE to 9 and folded count-weighted in exact
+    * DECIMAL; one final division + round(9). Shape: ONE pair scan
+    * feeds both the per-doc counts and (re-aggregated) the corpus
+    * model; the doc→model join is bigram-type-sized on the build side
+    * (the tfidf unhinted-join posture). */
+  def knBigramDocScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = TextFunctions.tokens(col(textCol))
+    val pairsCol = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val docBg = docs.select(col(idCol).as("id"), explode(pairsCol).as("p"))
+      .groupBy(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).cast("long").as("m"))
+      .localCheckpoint(eager = false) // feeds the model AND the scoring join
+    val bg = docBg.groupBy("w1", "w2").agg(sum("m").cast("long").as("c"))
+      .localCheckpoint(eager = false)
+    val byW1 = bg.groupBy("w1").agg(sum("c").as("c_w1"), count(lit(1)).as("n1p_w1"))
+    val byW2 = bg.groupBy("w2").agg(count(lit(1)).as("n1p_w2"))
+    val nTypes = bg.agg(count(lit(1)).as("n_types"))
+    val model = bg.join(byW1, Seq("w1")).join(byW2, Seq("w2")).crossJoin(broadcast(nTypes))
+      .select(col("w1"), col("w2"), round(
+        (col("c") - 0.75) / col("c_w1") +
+          lit(0.75) * col("n1p_w1") / col("c_w1")
+            * (col("n1p_w2").cast("double") / col("n_types")), 6).as("p_kn"))
+    docBg.join(model, Seq("w1", "w2"))
+      .groupBy("id")
+      .agg(sum("m").cast("long").as("n_bigrams"),
+        sum(col("m").cast("decimal(19,0)") *
+          round(log(col("p_kn")), 9).cast("decimal(18,9)"))
+          .cast("decimal(38,9)").cast("double").as("sum_ln"))
+      .select(col("id"), col("n_bigrams"),
+        round(-col("sum_ln") / col("n_bigrams").cast("double"), 9).as("cross_entropy_nats"))
+  }
+
   def knBigramTopK(docs: DataFrame, textCol: String, topK: Int = 30): DataFrame = {
     val tk = TextFunctions.tokens(col(textCol))
     val pairsCol = when(size(tk) >= 2,

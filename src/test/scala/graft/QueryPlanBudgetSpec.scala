@@ -582,6 +582,12 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // broadcast at graph scale) + 1-row moment agg
     "quality_fleiss" -> 5,    // TP + (item,lab) agg + item agg + label-domain agg +
                               // 1-row cross attach
+    "text_kn_ppl" -> 5,       // scoring side: doc-pair table (lazy checkpoint) joins the
+                              // type-sized model (two marginal-agg exchanges + the model
+                              // join) + doc agg + ORDER BY; the pair scan runs once
+    "data_acceptance_sampling" -> 3, // one scan + two per-source sample windows (stage-2
+                              // reuses stage-1's partitioning) + verdict agg; ORDER BY
+                              // rides the agg keys
     "events_markov_attribution" -> 2, // the measured FINAL plan: the 16-step integer
                               // absorption chain rides lazily-checkpointed (types+2)²-
                               // sized frames (their exchanges run once at checkpoint

@@ -4779,6 +4779,47 @@ object Oracles {
         """SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
           |FROM orders WHERE o_orderstatus = 'F'
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "text_kn_ppl" ->
+        // the text_kn_bigram train replay WITHOUT the top-k cut, scored
+        // back onto each doc's pair counts; ln sites rounded 9, fold in
+        // exact DECIMAL (the text_entropy convention)
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |dbg AS MATERIALIZED (SELECT doc_id, u.a AS w1, u.b AS w2, COUNT(*)::BIGINT AS m FROM
+           |  (SELECT doc_id,
+           |     unnest(list_transform(range(1, len(tk)), i -> {'a': tk[i], 'b': tk[i+1]})) AS u
+           |   FROM t WHERE len(tk) >= 2)
+           | GROUP BY 1, 2, 3),
+           |bg AS MATERIALIZED (SELECT w1, w2, SUM(m)::BIGINT AS c FROM dbg GROUP BY 1, 2),
+           |m1 AS (SELECT w1, SUM(c)::BIGINT AS c_w1, COUNT(*)::BIGINT AS n1p_w1 FROM bg GROUP BY w1),
+           |m2 AS (SELECT w2, COUNT(*)::BIGINT AS n1p_w2 FROM bg GROUP BY w2),
+           |nt AS (SELECT COUNT(*)::BIGINT AS n_types FROM bg),
+           |mod AS MATERIALIZED (SELECT bg.w1, bg.w2,
+           |  ROUND((c - 7.5e-1) / c_w1 + 7.5e-1 * n1p_w1 / c_w1
+           |    * (CAST(n1p_w2 AS DOUBLE) / n_types), 6) AS p_kn
+           |  FROM bg JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN nt)
+           |SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+           | ROUND(-(CAST(CAST(SUM(CAST(m AS DECIMAL(19,0))
+           |     * CAST(ROUND(ln(p_kn), 9) AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS VARCHAR)::DOUBLE)
+           |   / CAST(SUM(m) AS DOUBLE), 9) AS cross_entropy_nats
+           |FROM dbg JOIN mod USING (w1, w2)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "data_acceptance_sampling" ->
+        """WITH d AS (SELECT doc_id, source, CAST(n_chars < 150 AS INT) AS bad,
+          |  CAST(('0x' || substr(md5('acc1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h1,
+          |  CAST(('0x' || substr(md5('acc2:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h2
+          | FROM documents),
+          |st AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY h1, doc_id) AS r1 FROM d),
+          |s2 AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY h2, doc_id) AS r2
+          |       FROM st WHERE r1 > 20),
+          |a1 AS (SELECT source, COUNT(*)::BIGINT AS n1, SUM(bad)::BIGINT AS k1
+          |       FROM st WHERE r1 <= 20 GROUP BY source),
+          |a2 AS (SELECT source, COUNT(*)::BIGINT AS n2, SUM(bad)::BIGINT AS k2
+          |       FROM s2 WHERE r2 <= 40 GROUP BY source)
+          |SELECT a1.source, n1, k1, COALESCE(n2, 0)::BIGINT AS n2, COALESCE(k2, 0)::BIGINT AS k2,
+          | CAST(CASE WHEN k1 <= 1 OR k1 >= 4 THEN 1 ELSE 2 END AS BIGINT) AS decided_at_stage,
+          | CASE WHEN k1 <= 1 THEN true WHEN k1 >= 4 THEN false
+          |      ELSE k1 + COALESCE(k2, 0) <= 4 END AS accepted
+          |FROM a1 LEFT JOIN a2 USING (source) ORDER BY source""".stripMargin,
       "events_markov_attribution" -> {
         // the 16-step integer absorption UNROLLED as p1..p16 CTEs
         // (aggregates are illegal in a recursive term, and unrolling
