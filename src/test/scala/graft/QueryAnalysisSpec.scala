@@ -48,7 +48,8 @@ class QueryAnalysisSpec extends SparkSpec {
     // the _aux_* keys are identity oracles for Verify's oracle-INPUT
     // dumps (round-10: they make the driver's scan of those dump dirs
     // compare green instead of erroring) — deliberately query-less
-    val auxDumps = Set("_aux_simhash_sigs", "_aux_semantic_cells", "_aux_semantic_incr_cells")
+    val auxDumps = Set("_aux_simhash_sigs", "_aux_semantic_cells", "_aux_semantic_incr_cells",
+      "_aux_ivfpq_drift_cells")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet -- auxDumps
     assert(orphaned.isEmpty, s"oracles without a query: ${orphaned.toSeq.sorted.mkString(", ")}")
   }
