@@ -184,6 +184,50 @@ object MultimodalOps {
     * partitions BY DOC (per-doc frame counts are bounded by clip
     * length, so no hot partition at any corpus size).
     */
+  /** Video shot-boundary detection (the classic histogram-difference
+    * detector — Zhang et al. 1993): per-frame 8-bin color histograms,
+    * L1 distance between CONSECUTIVE frames, a boundary where L1
+    * exceeds the threshold; per clip {frames, shots, mean shot length,
+    * max L1}. The decode kernel is the documented env STUB (no video
+    * libs in this container): histograms are md5-derived but
+    * SCENE-STRUCTURED — frames share a scene seed (scene = frame div
+    * scene_len) plus small per-frame jitter, so within-scene L1 is
+    * jitter-sized and scene cuts jump — giving the detector real
+    * signal to find. The sequence/lag/threshold plumbing is the
+    * production shape; swap `histBin` for a real decoder UDF at
+    * deploy. All integers; one explode + one per-clip window. */
+  def shotBoundaryReport(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      threshold: Int = 256): DataFrame = {
+    val bl = length(col(payloadCol)).cast("long")
+    val base = df.select(col(idCol).as("id"), bl.as("bl"),
+      (pmod(bl, lit(60)) + 20).cast("int").as("n_frames"),
+      (pmod(bl, lit(7)) + 5).cast("int").as("scene_len"))
+    def histBin(b: Int) = {
+      val scene = expr("frame_idx div scene_len").cast("int")
+      (conv(substring(md5(concat(col("bl"), lit(":s"), scene, lit(":"), lit(b))), 1, 2),
+        16, 10).cast("long") +
+        pmod(conv(substring(md5(concat(col("bl"), lit(":f"), col("frame_idx"), lit(":"), lit(b))),
+          1, 2), 16, 10).cast("long"), lit(16L))).as(s"h$b")
+    }
+    val frames = base
+      .select(col("id"), col("bl"), col("n_frames"), col("scene_len"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .select(Seq(col("id"), col("n_frames"), col("frame_idx")) ++
+        (0 until 8).map(histBin): _*)
+    val w = Window.partitionBy("id").orderBy("frame_idx")
+    val l1 = (0 until 8).map(b =>
+      abs(col(s"h$b") - lag(s"h$b", 1).over(w))).reduce(_ + _)
+    val scored = frames.withColumn("l1", l1)
+    scored.groupBy("id")
+      .agg(max("n_frames").cast("long").as("n_frames"),
+        (sum(when(col("l1") > threshold, 1L).otherwise(0L)) + 1L).cast("long").as("n_shots"),
+        max(coalesce(col("l1"), lit(0L))).cast("long").as("max_l1"))
+      .withColumn("mean_shot_len_milli", expr("n_frames * 1000L div n_shots"))
+  }
+
   def vadReport(
       df: DataFrame,
       idCol: String,

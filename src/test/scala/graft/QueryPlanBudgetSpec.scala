@@ -582,6 +582,10 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // broadcast at graph scale) + 1-row moment agg
     "quality_fleiss" -> 5,    // TP + (item,lab) agg + item agg + label-domain agg +
                               // 1-row cross attach
+    "multimodal_video_shots" -> 2, // frame expand is in-row; per-clip lag window + the
+                              // clip agg reusing its sort; ORDER BY rides the agg keys
+    "events_time_to_convert" -> 4, // first-view agg + first-buy agg (join broadcasts the
+                              // user frame) + cohort cume window + verdict agg/ORDER BY
     "text_kn_ppl" -> 5,       // scoring side: doc-pair table (lazy checkpoint) joins the
                               // type-sized model (two marginal-agg exchanges + the model
                               // join) + doc agg + ORDER BY; the pair scan runs once

@@ -4779,6 +4779,57 @@ object Oracles {
         """SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
           |FROM orders WHERE o_orderstatus = 'F'
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "multimodal_video_shots" ->
+        // the scene-structured stub replay: payload = UTF-8 byte length
+        // of text (DuckDB octet_length on the BLOB-equivalent encode);
+        // 8 per-frame md5 bins as scene seed + mod-16 jitter, L1 via
+        // eight lag columns over the frame order
+        {
+          val bins = (0 until 8).map { b =>
+            s"""(CAST(('0x' || substr(md5(bl || ':s' || (frame_idx // scene_len) || ':' || $b), 1, 2)) AS BIGINT)
+               | + CAST(('0x' || substr(md5(bl || ':f' || frame_idx || ':' || $b), 1, 2)) AS BIGINT) % 16) AS h$b""".stripMargin
+          }.mkString(",\n")
+          val l1 = (0 until 8).map(b =>
+            s"abs(h$b - lag(h$b) OVER (PARTITION BY id ORDER BY frame_idx))").mkString(" + ")
+          s"""WITH base AS (SELECT doc_id AS id, octet_length(encode(text)) AS bl,
+             |  CAST(octet_length(encode(text)) % 60 + 20 AS INT) AS n_frames,
+             |  CAST(octet_length(encode(text)) % 7 + 5 AS INT) AS scene_len
+             | FROM documents),
+             |fr AS (SELECT id, bl, n_frames, scene_len,
+             |  unnest(range(0, n_frames)) AS frame_idx FROM base),
+             |hs AS MATERIALIZED (SELECT id, n_frames, frame_idx,
+             |$bins
+             | FROM fr),
+             |sc AS (SELECT id, n_frames, frame_idx, $l1 AS l1 FROM hs)
+             |SELECT id AS doc_id, CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+             | CAST(SUM(CASE WHEN l1 > 256 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_shots,
+             | CAST(MAX(COALESCE(l1, 0)) AS BIGINT) AS max_l1,
+             | CAST(MAX(n_frames) AS BIGINT) * 1000
+             |   // CAST(SUM(CASE WHEN l1 > 256 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+             |   AS mean_shot_len_milli
+             |FROM sc GROUP BY id ORDER BY doc_id""".stripMargin
+        },
+      "events_time_to_convert" ->
+        """WITH pu AS (SELECT user_id,
+          |  MIN(CASE WHEN event_type = 'view'
+          |      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fv
+          | FROM events GROUP BY user_id),
+          |fb AS (SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS fp, MIN(pu.fv) AS fv2
+          | FROM events e JOIN pu USING (user_id)
+          | WHERE e.event_type = 'purchase' AND pu.fv IS NOT NULL
+          |   AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= pu.fv
+          | GROUP BY e.user_id),
+          |g AS (SELECT user_id % 2 AS cohort, fp - fv2 AS gap_us FROM fb),
+          |r AS (SELECT cohort, gap_us,
+          |  COUNT(*) OVER (PARTITION BY cohort ORDER BY gap_us
+          |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cle,
+          |  COUNT(*) OVER (PARTITION BY cohort) AS n FROM g)
+          |SELECT cohort, MAX(n)::BIGINT AS n_converted,
+          | MIN(CASE WHEN cle * 2 >= n THEN gap_us END) AS p50_gap_us,
+          | MIN(CASE WHEN cle * 10 >= n * 9 THEN gap_us END) AS p90_gap_us,
+          | CAST(CAST(CAST(SUM(CAST(gap_us AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+          |   / CAST(COUNT(*) AS DOUBLE) AS mean_gap_us
+          |FROM r GROUP BY cohort ORDER BY cohort""".stripMargin,
       "text_kn_ppl" ->
         // the text_kn_bigram train replay WITHOUT the top-k cut, scored
         // back onto each doc's pair counts; ln sites rounded 9, fold in
