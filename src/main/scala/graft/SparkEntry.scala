@@ -7183,6 +7183,70 @@ object SparkEntry {
             / count(lit(1)).cast("double")).as("mean_gap_us"))
         .orderBy("cohort")
     }),
+    "events_peaks" -> ((s, d) => {
+      // local-peak detection with prominence (the alerting/seasonality
+      // primitive beside CUSUM and the anomaly z-flags): a day is a
+      // peak iff its total STRICTLY exceeds every day within ±3 days;
+      // prominence-lite = value − max(neighborhood). Exact integer
+      // cents; edge days compare only against the observed side. One
+      // daily agg + two range windows sharing one per-type sort.
+      import org.apache.spark.sql.expressions.Window
+      val daily = EV(s, d)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .cast("long").as("cents"))
+      val wL = Window.partitionBy("event_type").orderBy("day").rangeBetween(-3, -1)
+      val wR = Window.partitionBy("event_type").orderBy("day").rangeBetween(1, 3)
+      daily
+        .withColumn("max_l", max("cents").over(wL))
+        .withColumn("max_r", max("cents").over(wR))
+        .filter((col("max_l").isNull || col("cents") > col("max_l")) &&
+          (col("max_r").isNull || col("cents") > col("max_r")))
+        .select(col("event_type"), col("day"), col("cents"),
+          (col("cents") - greatest(coalesce(col("max_l"), lit(0L)),
+            coalesce(col("max_r"), lit(0L)))).as("prominence_cents"))
+        .orderBy("event_type", "day")
+    }),
+    "vec_purity" -> ((s, d) => {
+      // cluster-label purity of a deterministic 5-seed nearest-seed
+      // partition over the embedding table (the clustering-quality
+      // audit beside silhouette (348) and centroid affinity (195) —
+      // purity is the INTEGER one: majority-label mass per cell, no
+      // logs, no float verdicts). Seeds = first 5 vectors by
+      // md5('seed:'||id) — replayable in SQL, unlike a Lloyd-trained
+      // geometry; assignment = argmax round-6 cosine, ties to the
+      // LOWER seed index (the ann tie convention).
+      val vecs = TP(s, d, "embeddings")
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"),
+          col("label"))
+      val seeds = vecs
+        .orderBy(conv(substring(md5(concat(lit("seed:"), col("vec_id"))), 1, 8), 16, 10)
+          .cast("long"), col("vec_id"))
+        .limit(5).select("vec_id", "vec").collect() // 5 rows — bounded
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      import graft.functions.VectorFunctions.dot
+      val nrm = sqrt(dot(col("vec"), col("vec")))
+      val scores = array(seeds.zipWithIndex.map { case ((_, sv), i) =>
+        val sl = typedLit(sv.toSeq)
+        val sn = math.sqrt(sv.map(x => x * x).sum)
+        struct(round(dot(col("vec"), sl) / (nrm * lit(sn)), 6).as("s"),
+          lit(4 - i).as("t"))
+      }.toIndexedSeq: _*)
+      val assigned = vecs.select(col("vec_id"), col("label"),
+        (lit(4) - array_max(scores).getField("t")).as("cell"))
+      val cellLab = assigned.groupBy("cell", "label")
+        .agg(count(lit(1)).cast("long").as("n"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("cell").orderBy(col("n").desc, col("label"))
+      cellLab
+        .withColumn("rk", row_number().over(w))
+        .groupBy("cell")
+        .agg(sum("n").cast("long").as("n_members"),
+          max(when(col("rk") === 1, col("label"))).as("majority_label"),
+          max(when(col("rk") === 1, col("n"))).cast("long").as("n_majority"))
+        .withColumn("purity_ppm", expr("n_majority * 1000000L div n_members"))
+        .orderBy("cell")
+    }),
     "_gate_meta" -> ((s, d) => {
       // gate sentinel (round-10 verdict item 8): one deterministic row
       // (engine version, total query count) dumped by Verify like any

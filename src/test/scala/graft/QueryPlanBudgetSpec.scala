@@ -582,6 +582,11 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // broadcast at graph scale) + 1-row moment agg
     "quality_fleiss" -> 5,    // TP + (item,lab) agg + item agg + label-domain agg +
                               // 1-row cross attach
+    "events_peaks" -> 3,      // daily agg + ONE per-type sort serving both range windows
+                              // + final ORDER BY
+    "vec_purity" -> 4,        // TP + (cell,label) agg + per-cell rank window + cell agg;
+                              // assignment is a broadcast-literal projection (5 seeds
+                              // collected at construction, the trainCentroids contract)
     "multimodal_video_shots" -> 2, // frame expand is in-row; per-clip lag window + the
                               // clip agg reusing its sort; ORDER BY rides the agg keys
     "events_time_to_convert" -> 4, // first-view agg + first-buy agg (join broadcasts the

@@ -4779,6 +4779,49 @@ object Oracles {
         """SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
           |FROM orders WHERE o_orderstatus = 'F'
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "events_peaks" ->
+        """WITH daily AS (SELECT event_type,
+          |  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+          |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS cents
+          | FROM events GROUP BY 1, 2),
+          |nb AS (SELECT *,
+          |  MAX(cents) OVER (PARTITION BY event_type ORDER BY day
+          |    RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING) AS max_l,
+          |  MAX(cents) OVER (PARTITION BY event_type ORDER BY day
+          |    RANGE BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS max_r FROM daily)
+          |SELECT event_type, day, cents,
+          | CAST(cents - GREATEST(COALESCE(max_l, 0), COALESCE(max_r, 0)) AS BIGINT)
+          |   AS prominence_cents
+          |FROM nb
+          |WHERE (max_l IS NULL OR cents > max_l) AND (max_r IS NULL OR cents > max_r)
+          |ORDER BY event_type, day""".stripMargin,
+      "vec_purity" -> {
+        def dotp(a: String, b: String) =
+          s"list_reduce(list_transform(list_zip($a, $b), p -> p[1]*p[2]), (x,y) -> x+y)"
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings),
+           |sd AS MATERIALIZED (SELECT
+           |  row_number() OVER (ORDER BY
+           |    CAST(('0x' || substr(md5('seed:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+           |    vec_id) - 1 AS c,
+           |  vec AS sv, sqrt(${dotp("vec", "vec")}) AS sn
+           | FROM v ORDER BY
+           |  CAST(('0x' || substr(md5('seed:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+           |  vec_id LIMIT 5),
+           |sc AS (SELECT v.vec_id, v.label, sd.c,
+           |  ROUND(${dotp("v.vec", "sd.sv")} / (sqrt(${dotp("v.vec", "v.vec")}) * sd.sn), 6) AS s
+           | FROM v CROSS JOIN sd),
+           |asg AS (SELECT vec_id, label, c AS cell FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rk FROM sc)
+           |  WHERE rk = 1),
+           |cl AS (SELECT cell, label, COUNT(*)::BIGINT AS n FROM asg GROUP BY 1, 2),
+           |rked AS (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY n DESC, label) AS rk
+           |         FROM cl)
+           |SELECT CAST(cell AS INT) AS cell, SUM(n)::BIGINT AS n_members,
+           | MAX(CASE WHEN rk = 1 THEN label END) AS majority_label,
+           | MAX(CASE WHEN rk = 1 THEN n END)::BIGINT AS n_majority,
+           | MAX(CASE WHEN rk = 1 THEN n END)::BIGINT * 1000000 // SUM(n)::BIGINT AS purity_ppm
+           |FROM rked GROUP BY cell ORDER BY cell""".stripMargin
+      },
       "multimodal_video_shots" ->
         // the scene-structured stub replay: payload = UTF-8 byte length
         // of text (DuckDB octet_length on the BLOB-equivalent encode);
