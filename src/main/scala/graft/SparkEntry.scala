@@ -7247,6 +7247,60 @@ object SparkEntry {
         .withColumn("purity_ppm", expr("n_majority * 1000000L div n_members"))
         .orderBy("cell")
     }),
+    "q81_bitwise_agg" -> ((s, d) => {
+      // bitwise-aggregate conformance (bit_and / bit_or / bit_xor +
+      // count_if): the flag-mask folding idiom — permission masks,
+      // feature-bit unions, parity checks — all order-independent
+      // integer folds, exact by construction.
+      T(s, d, "lineitem").createOrReplaceTempView("r12_li_bits")
+      s.sql("""
+        SELECT l_returnflag,
+               BIT_AND(CAST(l_suppkey AS BIGINT)) AS mask_and,
+               BIT_OR(CAST(l_suppkey AS BIGINT)) AS mask_or,
+               BIT_XOR(CAST(l_suppkey AS BIGINT)) AS parity_xor,
+               COUNT_IF(l_quantity > 25) AS n_bulk
+        FROM r12_li_bits
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """)
+    }),
+    "quality_rater_accuracy" -> ((s, d) => {
+      // per-annotator accuracy vs gold with a Wilson LOWER bound (the
+      // per-rater diagnostic completing the agreement family — kappa/
+      // alpha say whether raters agree, THIS says which rater to
+      // retrain; the bound keeps small-n raters from ranking high on
+      // luck). Same synthesized 3-rater table as row 375 (md5-noised
+      // lang labels, ~80% coverage); gold = the true lang. Integer
+      // counts, literal z, sqrt-only math (the events_error_wilson
+      // convention).
+      val langs = array(lit("en"), lit("de"), lit("es"), lit("fr"), lit("zh"))
+      def h(r: Int) =
+        conv(substring(md5(concat(lit(s"kr$r:"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long")
+      val docs = T(s, d, "documents").select(col("doc_id"), col("lang"))
+      val ratings = (1 to 3).map { r =>
+        docs.select(col("doc_id"), lit(r).as("rater"), col("lang"),
+            when(h(r) % 7 === 0,
+              element_at(langs, ((h(r) / 35) % 5).cast("int") + 1))
+              .otherwise(col("lang")).as("lab"),
+            h(r).as("__h"))
+          .filter(col("__h") % 5 =!= 0)
+          .drop("__h")
+      }.reduce(_ unionByName _)
+      val z = "1.959963984540054D"
+      ratings.groupBy("rater")
+        .agg(count(lit(1)).cast("long").as("n_rated"),
+          sum(when(col("lab") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("nn", col("n_rated").cast("double"))
+        .withColumn("p", col("n_correct").cast("double") / col("nn"))
+        .withColumn("wilson_low",
+          expr(s"(p + $z * $z / (2.0D * nn) - $z * sqrt(p * (1.0D - p) / nn " +
+            s"+ $z * $z / (4.0D * nn * nn))) / (1.0D + $z * $z / nn)"))
+        .select(col("rater"), col("n_rated"), col("n_correct"),
+          col("p").as("accuracy"), col("wilson_low"),
+          (col("wilson_low") >= 0.8).as("meets_bar"))
+        .orderBy("rater")
+    }),
     "_gate_meta" -> ((s, d) => {
       // gate sentinel (round-10 verdict item 8): one deterministic row
       // (engine version, total query count) dumped by Verify like any

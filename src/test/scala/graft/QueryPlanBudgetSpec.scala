@@ -582,6 +582,8 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // broadcast at graph scale) + 1-row moment agg
     "quality_fleiss" -> 5,    // TP + (item,lab) agg + item agg + label-domain agg +
                               // 1-row cross attach
+    "q81_bitwise_agg" -> 2,   // flag-keyed agg + ORDER BY
+    "quality_rater_accuracy" -> 2, // 3-rater union scan + rater agg + ORDER BY rides it
     "events_peaks" -> 3,      // daily agg + ONE per-type sort serving both range windows
                               // + final ORDER BY
     "vec_purity" -> 4,        // TP + (cell,label) agg + per-cell rank window + cell agg;

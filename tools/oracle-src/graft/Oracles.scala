@@ -4779,6 +4779,40 @@ object Oracles {
         """SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
           |FROM orders WHERE o_orderstatus = 'F'
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "q81_bitwise_agg" ->
+        """SELECT l_returnflag,
+          | CAST(BIT_AND(CAST(l_suppkey AS BIGINT)) AS BIGINT) AS mask_and,
+          | CAST(BIT_OR(CAST(l_suppkey AS BIGINT)) AS BIGINT) AS mask_or,
+          | CAST(BIT_XOR(CAST(l_suppkey AS BIGINT)) AS BIGINT) AS parity_xor,
+          | COUNT(CASE WHEN l_quantity > 25 THEN 1 END)::BIGINT AS n_bulk
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "quality_rater_accuracy" ->
+        // the krippendorff 3-rater synthesis scored against the gold
+        // lang; Wilson with the literal z (sqrt-only libm)
+        """WITH r AS (
+          |  SELECT doc_id, rr AS rater, lang,
+          |   CASE WHEN CAST(('0x' || substr(md5('kr' || rr || ':' || doc_id), 1, 8)) AS BIGINT) % 7 = 0
+          |        THEN ['en','de','es','fr','zh']
+          |          [CAST((CAST(('0x' || substr(md5('kr' || rr || ':' || doc_id), 1, 8)) AS BIGINT) // 35) % 5 AS INT) + 1]
+          |        ELSE lang END AS lab,
+          |   CAST(('0x' || substr(md5('kr' || rr || ':' || doc_id), 1, 8)) AS BIGINT) AS h
+          |  FROM documents, (SELECT range AS rr FROM range(1, 4))),
+          |f AS (SELECT rater, COUNT(*)::BIGINT AS n_rated,
+          |  SUM(CASE WHEN lab = lang THEN 1 ELSE 0 END)::BIGINT AS n_correct
+          | FROM r WHERE h % 5 <> 0 GROUP BY rater),
+          |w AS (SELECT rater, n_rated, n_correct,
+          |  CAST(n_rated AS DOUBLE) AS nn,
+          |  CAST(n_correct AS DOUBLE) / CAST(n_rated AS DOUBLE) AS p FROM f)
+          |SELECT CAST(rater AS INT) AS rater, n_rated, n_correct, p AS accuracy,
+          | (p + 1.959963984540054e0 * 1.959963984540054e0 / (2.0 * nn)
+          |    - 1.959963984540054e0 * sqrt(p * (1.0 - p) / nn
+          |      + 1.959963984540054e0 * 1.959963984540054e0 / (4.0 * nn * nn)))
+          |   / (1.0 + 1.959963984540054e0 * 1.959963984540054e0 / nn) AS wilson_low,
+          | (p + 1.959963984540054e0 * 1.959963984540054e0 / (2.0 * nn)
+          |    - 1.959963984540054e0 * sqrt(p * (1.0 - p) / nn
+          |      + 1.959963984540054e0 * 1.959963984540054e0 / (4.0 * nn * nn)))
+          |   / (1.0 + 1.959963984540054e0 * 1.959963984540054e0 / nn) >= 0.8 AS meets_bar
+          |FROM w ORDER BY rater""".stripMargin,
       "events_peaks" ->
         """WITH daily AS (SELECT event_type,
           |  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
