@@ -582,6 +582,10 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // broadcast at graph scale) + 1-row moment agg
     "quality_fleiss" -> 5,    // TP + (item,lab) agg + item agg + label-domain agg +
                               // 1-row cross attach
+    "events_dgim" -> 1,       // the ranked/counted event table rides ONE lazy checkpoint
+                              // (its per-type sort runs once at materialization); grid,
+                              // bucket join and verdict aggs all reuse tiny frames — the
+                              // 1 is the est/exact join's final exchange
     "q81_bitwise_agg" -> 2,   // flag-keyed agg + ORDER BY
     "quality_rater_accuracy" -> 2, // 3-rater union scan + rater agg + ORDER BY rides it
     "events_peaks" -> 3,      // daily agg + ONE per-type sort serving both range windows

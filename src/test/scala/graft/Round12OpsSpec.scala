@@ -96,6 +96,48 @@ class Round12OpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("assortativity") + 0.5) < 1e-12)
   }
 
+  test("DGIM closed form equals the sequential cascade simulation for n = 1..512") {
+    // the identity events_dgim rides: after n ones, the cascade-merge
+    // bucket sizes are n's digits in the redundant base-2 system with
+    // digits ∈ {1,2}, and r_i = (n+1)/2^i − 1 yields d_i = 2 − r_i%2
+    // with the digit's newest-member position n − r_i·2^i + (t−1)·2^i + 1
+    def closedForm(n: Long): Seq[(Long, Long)] = // (size, newestPos) newest-first
+      (0 until 40).flatMap { i =>
+        val p2 = 1L << i
+        val r = (n + 1) / p2 - 1
+        if (r < 1) Seq.empty
+        else (1 to (2 - (r % 2).toInt)).map(t => (p2, n - r * p2 + (t - 1) * p2 + 1))
+      }
+    def simulate(n: Long): Seq[(Long, Long)] = {
+      // buckets newest-first as (size, newestPos); merging combines the
+      // two OLDEST of a size into one of 2·size keeping the NEWER's
+      // newest position (the DGIM merge rule)
+      var bk = Vector.empty[(Long, Long)]
+      for (pos <- 1L to n) {
+        // new one arrives: existing buckets age by one position
+        bk = (1L, 1L) +: bk.map { case (sz, np) => (sz, np + 1) }
+        var sz = 1L
+        var done = false
+        while (!done) {
+          val idx = bk.zipWithIndex.filter(_._1._1 == sz).map(_._2)
+          if (idx.length >= 3) {
+            val (a, b) = (idx(idx.length - 2), idx(idx.length - 1)) // two oldest
+            val merged = (sz * 2, bk(a)._2) // newer of the two = a
+            bk = (bk.take(a) :+ merged) ++ bk.drop(b + 1)
+            sz *= 2
+          } else done = true
+        }
+      }
+      bk.map { case (s2, np) => (s2, np) }
+    }
+    for (n <- 1L to 512L) {
+      val cf = closedForm(n).sortBy(_._2)
+      val sim = simulate(n).sortBy(_._2)
+      assert(cf == sim, s"n=$n closed=$cf sim=$sim")
+      assert(cf.map(_._1).sum == n, s"sizes must sum to n=$n")
+    }
+  }
+
   test("fdrBhRandomization: exact rational p-values and a downward-closed BH rejection set") {
     import graft.operators.StatsOps
     // two groups: 'signal' has a huge arm gap only if md5 splits happen

@@ -4779,6 +4779,37 @@ object Oracles {
         """SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
           |FROM orders WHERE o_orderstatus = 'F'
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "events_dgim" ->
+        // the closed-form DGIM state replayed: rᵢ = (n+1)//2ⁱ − 1,
+        // dᵢ = 2 − rᵢ%2, newest-member position n − rᵢ·2ⁱ + (t−1)·2ⁱ + 1
+        """WITH ev AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+          |            FROM events),
+          |o AS MATERIALIZED (SELECT *,
+          |  row_number() OVER (PARTITION BY event_type ORDER BY ts_us DESC, event_id DESC) AS rn,
+          |  COUNT(*) OVER (PARTITION BY event_type) AS n,
+          |  MAX(ts_us) OVER (PARTITION BY event_type) AS mx FROM ev),
+          |hd AS (SELECT DISTINCT event_type, n, mx FROM o),
+          |g AS (SELECT event_type, n, mx, i, t, (CAST(1 AS BIGINT) << i) AS p2,
+          |  (n + 1) // (CAST(1 AS BIGINT) << i) - 1 AS r
+          | FROM hd, (SELECT unnest(range(0, 40)) AS i), (SELECT unnest([1, 2]) AS t)),
+          |bkt AS (SELECT event_type, n, mx, p2,
+          |  n - r * p2 + (t - 1) * p2 + 1 AS np
+          | FROM g WHERE r >= 1 AND t <= 2 - r % 2),
+          |bts AS (SELECT b.*, o.ts_us AS bts FROM bkt b
+          |        JOIN o ON b.event_type = o.event_type AND b.np = o.rn),
+          |inc AS (SELECT * FROM bts WHERE bts >= mx - 7 * 86400000000),
+          |est AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_ones,
+          |  COUNT(*)::BIGINT AS n_buckets_in, CAST(SUM(p2) AS BIGINT) AS sum_sz,
+          |  CAST(arg_max(p2, np) AS BIGINT) AS oldest_sz
+          | FROM inc GROUP BY event_type),
+          |ex AS (SELECT event_type, COUNT(*)::BIGINT AS exact_in_window
+          |       FROM o WHERE ts_us >= mx - 7 * 86400000000 GROUP BY event_type)
+          |SELECT est.event_type, n_ones, n_buckets_in,
+          | CAST(sum_sz - oldest_sz // 2 AS BIGINT) AS dgim_est, exact_in_window,
+          | CAST(abs(sum_sz - oldest_sz // 2 - exact_in_window) AS BIGINT) AS abs_err,
+          | oldest_sz,
+          | abs(sum_sz - oldest_sz // 2 - exact_in_window) * 2 <= oldest_sz AS bound_ok
+          |FROM est JOIN ex USING (event_type) ORDER BY event_type""".stripMargin,
       "q81_bitwise_agg" ->
         """SELECT l_returnflag,
           | CAST(BIT_AND(CAST(l_suppkey AS BIGINT)) AS BIGINT) AS mask_and,
