@@ -638,4 +638,70 @@ object StreamOps {
       .groupByKey(_.key)
       .transformWithState(new DecayTrendProcessor(asOfDay), TimeMode.None(), OutputMode.Append())
   }
+
+  final case class DgimEvent(key: Long, tsUs: Long)
+  final case class DgimOut(key: Long, nOnes: Long, nBuckets: Long, est: Long, oldestSz: Long)
+
+  /** STREAMING DGIM (the incremental side of the batch `events_dgim`
+    * query's closed-form state): per key, the classic O(log²N)
+    * exponential-bucket list as transformWithState — each arriving
+    * event prepends a size-1 bucket and cascade-merges (two OLDEST of
+    * a size → one of 2·size keeping the NEWER timestamp, the Datar et
+    * al. rule); buckets entirely older than the trailing window expire
+    * from state. The batch query PROVES (property spec, n = 1..512)
+    * that this cascade equals the closed-form digit decomposition —
+    * so stream state ≡ batch state on the same prefix is a THEOREM,
+    * and the spec pins it on data. Per micro-batch the processor
+    * emits (n seen, included buckets, est = Σsz − oldest/2, oldest).
+    * Intra-batch rows are folded in (tsUs) order; cross-batch order
+    * is the source's watermark contract, as with every DGIM deploy. */
+  class DgimProcessor(windowUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, DgimEvent, DgimOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var st: ValueState[(Long, List[(Long, Long)])] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, List[(Long, Long)])]("dgimBuckets",
+        Encoders.kryo[(Long, List[(Long, Long)])], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[DgimEvent],
+        timerValues: TimerValues
+    ): Iterator[DgimOut] = {
+      val (n0, bk0) = Option(st.get()).getOrElse((0L, List.empty[(Long, Long)]))
+      var bk = bk0.toVector // newest-first (ts, size)
+      var n = n0
+      rows.toSeq.sortBy(_.tsUs).foreach { r =>
+        n += 1
+        bk = (r.tsUs, 1L) +: bk
+        var sz = 1L
+        var done = false
+        while (!done) {
+          val idx = bk.zipWithIndex.filter(_._1._2 == sz).map(_._2)
+          if (idx.length >= 3) {
+            val (a, b) = (idx(idx.length - 2), idx(idx.length - 1))
+            val merged = (bk(a)._1, sz * 2) // newer of the two oldest
+            bk = (bk.take(a) :+ merged) ++ bk.drop(b + 1)
+            sz *= 2
+          } else done = true
+        }
+      }
+      val maxTs = bk.headOption.map(_._1).getOrElse(0L)
+      val cutoff = maxTs - windowUs
+      bk = bk.filter(_._1 >= cutoff) // DGIM expiry: gone buckets never return
+      st.update((n, bk.toList))
+      val sum = bk.map(_._2).sum
+      val oldest = bk.lastOption.map(_._2).getOrElse(0L)
+      Iterator.single(DgimOut(key, n, bk.length.toLong, sum - oldest / 2, oldest))
+    }
+  }
+
+  /** Wire a keyed event stream through [[DgimProcessor]]. */
+  def streamingDgim(events: Dataset[DgimEvent], windowUs: Long): Dataset[DgimOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.key)
+      .transformWithState(new DgimProcessor(windowUs), TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -556,6 +556,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming DGIM: incremental cascade state equals the closed-form digits across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamOps.DgimEvent]
+    val winUs = 1000000L * 3600 // huge: nothing expires in this test
+    val out = StreamOps.streamingDgim(input.toDS(), winUs)
+    val q = out.writeStream.format("memory").queryName("dgim_out").outputMode("append").start()
+    try {
+      // 25 events for key 1 split across two micro-batches (ts ascending)
+      input.addData((1L to 13L).map(i => StreamOps.DgimEvent(1L, i * 1000L)): _*)
+      q.processAllAvailable()
+      input.addData((14L to 25L).map(i => StreamOps.DgimEvent(1L, i * 1000L)): _*)
+      q.processAllAvailable()
+      val last = spark.table("dgim_out").collect()
+        .map(r => (r.getAs[Long]("nOnes"), r.getAs[Long]("nBuckets"),
+          r.getAs[Long]("est"), r.getAs[Long]("oldestSz")))
+        .maxBy(_._1)
+      // closed form at n = 25 (the batch query's identity): buckets =
+      // digits of 25 in the {1,2} base-2 system — r_i = 26/2^i − 1:
+      // d_0 = 1, d_1 = 2, d_2 = 1, d_3 = 2 → sizes 1,2,2,4,8,8 (n=25 ✓);
+      // nothing expires, so est = 25 − 8/2 = 21, oldest = 8, 6 buckets
+      assert(last == ((25L, 6L, 21L, 8L)), s"got $last")
+    } finally {
+      q.stop()
+      if (prev.isEmpty) spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
+  }
+
   test("dropDuplicatesWithinWatermark dedups late twins and expires state past the watermark") {
     // the built-in bounded-state streaming dedup (Spark 3.5+) — the
     // native conformance twin of the mapGroupsWithState/minhash dedup
