@@ -717,6 +717,36 @@ object ScaleProbe {
             .groupBy().count().head().getLong(0)
         }
       },
+      "dgim_closed_form" -> { rows =>
+        // the events_dgim core: per-key recency ranking (ONE sort per
+        // key — the only rows-sized work) + the log-sized closed-form
+        // digit grid joined back for bucket timestamps. Per-row cost
+        // must stay flat: the grid is 40×2 rows per key regardless of
+        // n, so everything after the rank window is key-count-sized.
+        import org.apache.spark.sql.expressions.Window
+        val keys = 512L
+        val ev = synth(rows).select(pmod(col("id"), lit(keys)).as("k"),
+          (col("id") * 1000L).as("ts_us"), col("id").as("event_id"))
+        val w = Window.partitionBy("k").orderBy(col("ts_us").desc, col("event_id").desc)
+        val ones = ev.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("k")))
+          .withColumn("mx", max("ts_us").over(Window.partitionBy("k")))
+          .localCheckpoint(eager = false)
+        val grid = ones.select(col("k"), col("n"), col("mx")).distinct()
+          .select(col("k"), col("n"), col("mx"),
+            explode(sequence(lit(0), lit(39))).as("i"))
+          .withColumn("p2", expr("shiftleft(1L, i)"))
+          .withColumn("r", expr("(n + 1) div p2 - 1"))
+          .filter(col("r") >= 1)
+          .select(col("*"), explode(sequence(lit(1), lit(2))).as("t"))
+          .filter(col("t") <= lit(2) - pmod(col("r"), lit(2)))
+          .withColumn("np", col("n") - col("r") * col("p2") + (col("t") - 1) * col("p2") + 1)
+        withScaledPartitions(rows) {
+          grid.join(ones.select(col("k"), col("rn").as("np"), col("ts_us").as("bts")),
+              Seq("k", "np"))
+            .groupBy().count().head().getLong(0)
+        }
+      },
       "probe_fit_moments" -> { rows =>
         // closed-form probe training: one map-side-combined moment agg
         // + one broadcast eval agg — both single global aggregates, so
