@@ -7062,34 +7062,44 @@ object SparkEntry {
         .filter(col("scenario") =!= "start" && col("scenario") =!= "purchase")
         .distinct()
         .unionAll(Seq("full").toDF("scenario"))
-      val tr = tr0.crossJoin(scenarios)
-        .filter(col("scenario") === "full" ||
-          (col("f") =!= col("scenario") && col("t") =!= col("scenario")))
-        .join(outdeg, Seq("f"))
-        .localCheckpoint(eager = false) // read by all 16 steps
-      var p = scenarios.select(col("scenario"), lit("start").as("state"),
-        lit(1000000L).as("ppm"))
-      for (_ <- 1 to 16)
-        p = p.join(tr, Seq("scenario"))
-          .filter(col("state") === col("f"))
-          .groupBy(col("scenario"), col("t"))
-          .agg(expr("sum((ppm * n) div n_out)").as("ppm"))
-          .withColumnRenamed("t", "state")
-      val conv = p.filter(col("state") === "purchase")
-        .select(col("scenario"), col("ppm").as("conv_ppm"))
-        .localCheckpoint(eager = false) // full row + channel rows + share total
-      val full = conv.filter(col("scenario") === "full")
-        .select(col("conv_ppm").as("conv_full"))
-      val re = conv.filter(col("scenario") =!= "full")
-        .crossJoin(broadcast(full))
-        .withColumn("removal_effect_ppm",
-          lit(1000000L) - expr("conv_ppm * 1000000L div conv_full"))
-      val tot = re.agg(sum("removal_effect_ppm").cast("long").as("re_total"))
-      re.crossJoin(broadcast(tot))
-        .select(col("scenario").as("channel"), col("conv_full"),
-          col("conv_ppm").as("conv_without_ppm"), col("removal_effect_ppm"),
-          (col("removal_effect_ppm").cast("double") / col("re_total").cast("double"))
-            .as("attribution_share"))
+      // the (types+2)²-row transition matrix is BOUNDED, so the 16
+      // integer steps fold driver-side (the kmeans1d/isotonic
+      // contract) — the chained-DataFrame form planned ~32 sequential
+      // tiny stages and cost 17 s of pure scheduling at sf0.1; the
+      // integer arithmetic is IDENTICAL per (scenario, state), and
+      // integer addition is order-independent, so the DuckDB unrolled
+      // twin still replays bit-for-bit
+      val edges = tr0.join(outdeg, Seq("f"))
+        .select("f", "t", "n", "n_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val channels = edges.flatMap(e => Seq(e._1, e._2))
+        .filter(c => c != "start" && c != "purchase").distinct.sorted
+      def absorb(drop: Option[String]): Long = {
+        val live = edges.filter(e => drop.forall(c => e._1 != c && e._2 != c))
+        var p = Map("start" -> 1000000L)
+        for (_ <- 1 to 16) {
+          val nx = scala.collection.mutable.HashMap.empty[String, Long]
+          live.foreach { case (f, t, en, nOut) =>
+            p.get(f).foreach(m => nx(t) = nx.getOrElse(t, 0L) + (m * en) / nOut)
+          }
+          p = nx.toMap
+        }
+        p.getOrElse("purchase", 0L)
+      }
+      val convFull = absorb(None)
+      require(convFull > 0,
+        "events_markov_attribution: no absorption mass reaches 'purchase' in 16 steps")
+      val rows = channels.map { c =>
+        val convC = absorb(Some(c))
+        (c, convFull, convC, 1000000L - (convC * 1000000L) / convFull)
+      }
+      val reTotal = rows.map(_._4).sum
+      import s.implicits._
+      rows.toSeq
+        .map { case (c, cf, cw, re) =>
+          (c, cf, cw, re, re.toDouble / reTotal.toDouble) }
+        .toDF("channel", "conv_full", "conv_without_ppm", "removal_effect_ppm",
+          "attribution_share")
         .orderBy("channel")
     }),
     "text_kn_ppl" -> ((s, d) =>

@@ -603,10 +603,11 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "data_acceptance_sampling" -> 3, // one scan + two per-source sample windows (stage-2
                               // reuses stage-1's partitioning) + verdict agg; ORDER BY
                               // rides the agg keys
-    "events_markov_attribution" -> 2, // the measured FINAL plan: the 16-step integer
-                              // absorption chain rides lazily-checkpointed (types+2)²-
-                              // sized frames (their exchanges run once at checkpoint
-                              // materialization); 2 = the re/total regroup + ORDER BY
+    "events_markov_attribution" -> 1, // the FINAL plan is the channel-count-sized
+                              // driver-literal result (the 16 integer absorption steps
+                              // fold driver-side over the collected bounded transition
+                              // matrix — the kmeans1d contract; the chained-DataFrame
+                              // form cost 17 s of pure stage scheduling); 1 = ORDER BY
     "q79_percentile_disc" -> 2, // ordered-set agg + ORDER BY
     "graph_reciprocity" -> 4, // edge distinct + swapped left-semi (reuses the distinct's
                               // partitioning on one side) + two 1-row aggs

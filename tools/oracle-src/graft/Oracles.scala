@@ -5016,7 +5016,9 @@ object Oracles {
            |          OR (tr0.f <> sc.scenario AND tr0.t <> sc.scenario)),
            |p0 AS (SELECT scenario, 'start' AS state, CAST(1000000 AS BIGINT) AS ppm FROM sc),
            |$steps,
-           |conv AS MATERIALIZED (SELECT scenario, ppm AS conv_ppm FROM p16 WHERE state = 'purchase'),
+           |conv AS MATERIALIZED (SELECT sc.scenario, COALESCE(p.ppm, 0) AS conv_ppm FROM sc
+           |        LEFT JOIN (SELECT scenario, ppm FROM p16 WHERE state = 'purchase') p
+           |        ON sc.scenario = p.scenario),
            |fl AS (SELECT conv_ppm AS conv_full FROM conv WHERE scenario = 'full'),
            |re AS MATERIALIZED (SELECT scenario AS channel, conv_full, conv_ppm AS conv_without_ppm,
            |  CAST(1000000 - (conv_ppm * 1000000 // conv_full) AS BIGINT)
