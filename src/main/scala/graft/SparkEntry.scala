@@ -6928,6 +6928,7 @@ object SparkEntry {
           ((col("c_custkey") * 7 + col("c_nationkey")) % 50).as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
+        .localCheckpoint(eager = false) // both semi-join sides + edge count read it
       val recip = e.join(
         e.select(col("dst").as("src"), col("src").as("dst")),
         Seq("src", "dst"), "left_semi")
@@ -7118,26 +7119,28 @@ object SparkEntry {
       // of 20 docs — accept at k₁ ≤ 1 bad, reject at k₁ ≥ 4, otherwise
       // draw the DISJOINT md5 stage-2 sample of 40 and accept iff
       // k₁+k₂ ≤ 4. 'bad' = n_chars < 150 (the length rule from the
-      // quality battery). All verdicts integer; the two-stage plan
-      // inspects ≤ 60 docs per shard however big the shard — the
-      // point of acceptance sampling at 100 TB.
-      import org.apache.spark.sql.expressions.Window
+      // quality battery). All verdicts integer. Both draws are rank
+      // PREDICATES over capPerKey (InferWindowGroupLimit's map-side
+      // partial heap — the data_stratified_exact_k core), so each task
+      // forwards ≤ 20/40 rows per source and NO full per-source sort
+      // ever runs; stage 2 excludes stage 1 by a broadcast anti-join of
+      // the ≤ 20·|sources| stage-1 ids (round-12 verdict item 1 — the
+      // prior form ranked as a COLUMN, full-sorting every shard twice
+      // to inspect 60 docs).
       def h(seed: String) =
         conv(substring(md5(concat(lit(seed), col("doc_id").cast("string"))), 1, 8), 16, 10)
           .cast("long")
       val docs = T(s, d, "documents").select(col("doc_id"), col("source"),
         (col("n_chars") < 150).cast("int").as("bad"),
         h("acc1:").as("h1"), h("acc2:").as("h2"))
-      val w1 = Window.partitionBy("source").orderBy(col("h1"), col("doc_id"))
-      val staged = docs.withColumn("r1", row_number().over(w1))
-        .withColumn("stage1", col("r1") <= 20)
-      val w2 = Window.partitionBy("source").orderBy(col("h2"), col("doc_id"))
-      val s2 = staged.filter(!col("stage1"))
-        .withColumn("r2", row_number().over(w2))
-        .withColumn("stage2", col("r2") <= 40)
-      val k1 = staged.filter(col("stage1")).groupBy("source")
+      val s1 = CorpusOps.capPerKey(docs, "source",
+        Seq(col("h1").asc, col("doc_id").asc), 20)
+      val s2 = CorpusOps.capPerKey(
+        docs.join(broadcast(s1.select("doc_id")), Seq("doc_id"), "left_anti"),
+        "source", Seq(col("h2").asc, col("doc_id").asc), 40)
+      val k1 = s1.groupBy("source")
         .agg(count(lit(1)).cast("long").as("n1"), sum("bad").cast("long").as("k1"))
-      val k2 = s2.filter(col("stage2")).groupBy("source")
+      val k2 = s2.groupBy("source")
         .agg(count(lit(1)).cast("long").as("n2"), sum("bad").cast("long").as("k2"))
       k1.join(k2, Seq("source"), "left")
         .select(col("source"), col("n1"), col("k1"),
@@ -7171,7 +7174,14 @@ object SparkEntry {
       // INTEGER cross-products (the q79 convention — an actual gap
       // value, no interpolation float), plus decimal-exact mean. The
       // funnel-latency readout beside row 105's conversion-rate form.
-      import org.apache.spark.sql.expressions.Window
+      // Ranks ride the groupedBandedRank core over ~1-second gap bands
+      // (gap_us div 2²⁰ — the q43 rewrite): the 2-value cohort key
+      // never partitions a raw converted-user-sized window (round-12
+      // verdict item 2 — the prior form's rangeBetween cume put every
+      // converted user into one of TWO hot partitions); for a value v
+      // the max row rank among its ties equals the range-cume count of
+      // gaps ≤ v, so min-when over row ranks selects the identical
+      // p50/p90 VALUES the cume form (and the oracle) selects.
       val perUser = EV(s, d).groupBy("user_id")
         .agg(min(when(col("event_type") === "view", col("ts_us"))).as("fv"))
       val firstBuy = EV(s, d).filter(col("event_type") === "purchase")
@@ -7179,16 +7189,19 @@ object SparkEntry {
         .filter(col("fv").isNotNull && col("ts_us") >= col("fv"))
         .groupBy("user_id").agg(min("ts_us").as("fp"), min("fv").as("fv2"))
       val gaps = firstBuy
-        .select((col("user_id") % 2).as("cohort"), (col("fp") - col("fv2")).as("gap_us"))
-      val wc = Window.partitionBy("cohort").orderBy("gap_us")
-        .rangeBetween(Window.unboundedPreceding, 0)
-      val ranked = gaps
-        .withColumn("cle", count(lit(1)).over(wc))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("cohort")))
-      ranked.groupBy("cohort")
+        .select(col("user_id"), (col("user_id") % 2).as("cohort"),
+          (col("fp") - col("fv2")).as("gap_us"))
+        .withColumn("band", RankOps.idiv(col("gap_us"), 1L << 20))
+        .localCheckpoint(eager = false) // band agg + rank join + n agg read it
+      val ranked = RankOps.groupedBandedRank(gaps, Seq("cohort"), Seq("band"),
+        bandSort = Seq(col("band").asc),
+        rowSort = Seq(col("gap_us").asc, col("user_id").asc), rankName = "rk")
+      val nPerCohort = gaps.groupBy("cohort").agg(count(lit(1)).cast("long").as("n"))
+      ranked.join(broadcast(nPerCohort), Seq("cohort"))
+        .groupBy("cohort")
         .agg(max("n").cast("long").as("n_converted"),
-          min(when(col("cle") * 2 >= col("n"), col("gap_us"))).as("p50_gap_us"),
-          min(when(col("cle") * 10 >= col("n") * 9, col("gap_us"))).as("p90_gap_us"),
+          min(when(col("rk") * 2 >= col("n"), col("gap_us"))).as("p50_gap_us"),
+          min(when(col("rk") * 10 >= col("n") * 9, col("gap_us"))).as("p90_gap_us"),
           (sum(col("gap_us").cast("decimal(28,0)")).cast("decimal(38,0)").cast("double")
             / count(lit(1)).cast("double")).as("mean_gap_us"))
         .orderBy("cohort")
@@ -7324,17 +7337,22 @@ object SparkEntry {
       // 40×2-row-per-key integer grid joined back for bucket
       // timestamps. est = Σ included sizes − oldest/2; the realized
       // error is PROVEN ≤ oldest/2 per key as data (bound_ok).
+      // Keyed per USER — DGIM's realistic deployment key (per
+      // user/session stream) and the HIGH-card shape the ScaleProbe
+      // twin certifies at 512 keys (round-12 verdict item 3: the
+      // event_type demo key put the rows-sized recency rank on ~5 hot
+      // partitions; probe and query now agree on key cardinality).
       val winUs = 7L * 86400000000L
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("event_type")
+      val w = Window.partitionBy("user_id")
         .orderBy(col("ts_us").desc, col("event_id").desc)
-      val ones = EV(s, d).select(col("event_type"), col("ts_us"), col("event_id"))
+      val ones = EV(s, d).select(col("user_id"), col("ts_us"), col("event_id"))
         .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-        .withColumn("mx", max("ts_us").over(Window.partitionBy("event_type")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+        .withColumn("mx", max("ts_us").over(Window.partitionBy("user_id")))
         .localCheckpoint(eager = false) // grid join + exact count + cutoff
-      val grid = ones.select(col("event_type"), col("n"), col("mx")).distinct()
-        .select(col("event_type"), col("n"), col("mx"),
+      val grid = ones.select(col("user_id"), col("n"), col("mx")).distinct()
+        .select(col("user_id"), col("n"), col("mx"),
           explode(sequence(lit(0), lit(39))).as("i"))
         .withColumn("p2", expr("shiftleft(1L, i)"))
         .withColumn("r", expr("(n + 1) div p2 - 1"))
@@ -7343,23 +7361,23 @@ object SparkEntry {
         .filter(col("t") <= lit(2) - pmod(col("r"), lit(2)))
         .withColumn("np", col("n") - col("r") * col("p2") + (col("t") - 1) * col("p2") + 1)
       val buckets = grid.join(
-        ones.select(col("event_type"), col("rn").as("np"), col("ts_us").as("bts")),
-        Seq("event_type", "np"))
+        ones.select(col("user_id"), col("rn").as("np"), col("ts_us").as("bts")),
+        Seq("user_id", "np"))
       val included = buckets.filter(col("bts") >= col("mx") - winUs)
-      val est = included.groupBy("event_type")
+      val est = included.groupBy("user_id")
         .agg(max("n").cast("long").as("n_ones"),
           count(lit(1)).cast("long").as("n_buckets_in"),
           sum("p2").cast("long").as("sum_sz"),
           max(struct(col("np"), col("p2"))).getField("p2").as("oldest_sz"))
         .withColumn("dgim_est", col("sum_sz") - expr("oldest_sz div 2"))
       val exact = ones.filter(col("ts_us") >= col("mx") - winUs)
-        .groupBy("event_type").agg(count(lit(1)).cast("long").as("exact_in_window"))
-      est.join(exact, Seq("event_type"))
+        .groupBy("user_id").agg(count(lit(1)).cast("long").as("exact_in_window"))
+      est.join(exact, Seq("user_id"))
         .withColumn("abs_err", abs(col("dgim_est") - col("exact_in_window")))
         .withColumn("bound_ok", col("abs_err") * 2 <= col("oldest_sz"))
-        .select("event_type", "n_ones", "n_buckets_in", "dgim_est",
+        .select("user_id", "n_ones", "n_buckets_in", "dgim_est",
           "exact_in_window", "abs_err", "oldest_sz", "bound_ok")
-        .orderBy("event_type")
+        .orderBy("user_id")
     }),
     "_gate_meta" -> ((s, d) => {
       // gate sentinel (round-10 verdict item 8): one deterministic row

@@ -639,7 +639,12 @@ object CorpusOps {
     * rounding seam for zero information).
     *
     * Exactness (the text_entropy ln convention): every p_kn is the
-    * fixed-order double of the train side rounded ONCE to 6; each
+    * fixed-order double of the train side rounded ONCE to 6 and then
+    * FLOORED at 1e-6 — a rare continuation of a very frequent context
+    * (c_w1 ≳ 5e5) can round to exactly 0, where Spark's log returns
+    * NULL (the bigram would silently drop from the fold) and DuckDB's
+    * ln errors; the clamp keeps both engines finite and identical, and
+    * caps any bigram's surprisal at ~13.8 nats; each
     * ln(p) is rounded ONCE to 9 and folded count-weighted in exact
     * DECIMAL; one final division + round(9). Shape: ONE pair scan
     * feeds both the per-doc counts and (re-aggregated) the corpus
@@ -661,10 +666,10 @@ object CorpusOps {
     val byW2 = bg.groupBy("w2").agg(count(lit(1)).as("n1p_w2"))
     val nTypes = bg.agg(count(lit(1)).as("n_types"))
     val model = bg.join(byW1, Seq("w1")).join(byW2, Seq("w2")).crossJoin(broadcast(nTypes))
-      .select(col("w1"), col("w2"), round(
+      .select(col("w1"), col("w2"), greatest(round(
         (col("c") - 0.75) / col("c_w1") +
           lit(0.75) * col("n1p_w1") / col("c_w1")
-            * (col("n1p_w2").cast("double") / col("n_types")), 6).as("p_kn"))
+            * (col("n1p_w2").cast("double") / col("n_types")), 6), lit(1e-6)).as("p_kn"))
     docBg.join(model, Seq("w1", "w2"))
       .groupBy("id")
       .agg(sum("m").cast("long").as("n_bigrams"),

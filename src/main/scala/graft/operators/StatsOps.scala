@@ -1296,7 +1296,10 @@ object StatsOps {
     * m-row tail.
     *
     * Output per group: (group, obs_diff, n_ge, p_num, p_den, p_value,
-    * bh_rank, rejected) — rejected = this slice survives FDR-q.
+    * bh_rank, rejected) — rejected = this slice survives FDR-q. A group
+    * whose observed md5 split left an arm empty (obs_diff NULL) is
+    * reported with every verdict column NULL and does not enter m or
+    * the ranking — never spuriously rejected.
     */
   def fdrBhRandomization(
       perUnit: DataFrame, // (groupCol, unitCol, valueCol: long)
@@ -1330,10 +1333,18 @@ object StatsOps {
           abs(col("sa") / col("na") - col("sb") / col("nb"))))
     val obs = stats.filter(col("perm") === 0)
       .select(col("g"), col("stat").as("obs_diff"))
-    val p = stats.filter(col("perm") > 0)
+    val p0 = stats.filter(col("perm") > 0)
       .join(obs, Seq("g"))
       .groupBy("g", "obs_diff")
       .agg(count(when(col("stat") >= col("obs_diff"), 1)).cast("long").as("n_ge"))
+      .localCheckpoint(eager = false) // m-row table feeds the ranked + degenerate branches
+    // A group whose OBSERVED split left one arm empty has obs_diff NULL:
+    // every 'stat >= obs_diff' is NULL, n_ge = 0, and the add-one p would
+    // be 1/(K+1) — the MOST significant rank, so a degenerate slice could
+    // be spuriously FDR-rejected (round-12 advisor item 4). Such groups
+    // are EXCLUDED from m and the step-up and emitted with NULL verdict
+    // columns instead — visible, never ranked.
+    val p = p0.filter(col("obs_diff").isNotNull)
       .select(col("g"), col("obs_diff"), col("n_ge"),
         (col("n_ge") + 1L).as("p_num"), lit((k + 1).toLong).as("p_den"))
     // BH step-up on the m-row p table: rank ascending (ties broken by
@@ -1347,10 +1358,17 @@ object StatsOps {
       .withColumn("__pass",
         col("p_num") * col("m") * lit(qDen) <= col("bh_rank") * col("p_den") * lit(qNum))
       .withColumn("__cut", max(when(col("__pass"), col("bh_rank")).otherwise(0L)).over(wSet))
-    ranked.select(col("g"), col("obs_diff"), col("n_ge"), col("p_num"), col("p_den"),
+    val decided = ranked.select(col("g"), col("obs_diff"), col("n_ge"),
+      col("p_num"), col("p_den"),
       (col("p_num").cast("double") / col("p_den").cast("double")).as("p_value"),
       col("bh_rank").cast("long").as("bh_rank"),
       (col("bh_rank") <= col("__cut")).as("rejected"))
+    val degenerate = p0.filter(col("obs_diff").isNull)
+      .select(col("g"), lit(null).cast("double").as("obs_diff"),
+        lit(null).cast("long").as("n_ge"), lit(null).cast("long").as("p_num"),
+        lit(null).cast("long").as("p_den"), lit(null).cast("double").as("p_value"),
+        lit(null).cast("long").as("bh_rank"), lit(null).cast("boolean").as("rejected"))
+    decided.unionByName(degenerate)
   }
 
   /** Fleiss' kappa (Fleiss 1971) — multi-rater agreement with a FIXED

@@ -403,17 +403,23 @@ object VectorIndexOps {
         .cast("decimal(38,9)").cast("double").as("sum_qerr_b"),
       sum(when(col("side") === "delta", col("qerr")).cast("decimal(38,9)"))
         .cast("decimal(38,9)").cast("double").as("sum_qerr_d"))
+    // the occupancy-L1 cross-products in DECIMAL(38,0): n_b·n_delta is
+    // Long-marginal near 2e9 vectors a side, and l1_num (≤ 2·n_base·
+    // n_delta) times the ppm scale overflows Long at ~2M a side — Spark
+    // would wrap SILENTLY while DuckDB errors, corrupting the rebuild
+    // verdict exactly at production scale (round-12 advisor item 2)
     occ.crossJoin(broadcast(totals))
       .groupBy("n_base", "n_delta", "sum_sim_b", "sum_sim_d", "sum_qerr_b", "sum_qerr_d")
-      .agg(sum(abs(col("n_b") * col("n_delta") - col("n_d") * col("n_base")))
-        .as("l1_num"))
+      .agg(sum(abs(col("n_b").cast("decimal(38,0)") * col("n_delta")
+          - col("n_d").cast("decimal(38,0)") * col("n_base")))
+        .cast("decimal(38,0)").as("l1_num"))
       .select(
         col("n_base"), col("n_delta"),
         round(col("sum_sim_b") / col("n_base"), 9).as("base_mean_sim"),
         round(col("sum_sim_d") / col("n_delta"), 9).as("delta_mean_sim"),
         round(col("sum_sim_b") / col("n_base") - col("sum_sim_d") / col("n_delta"), 9)
           .as("sim_drift"),
-        expr("l1_num * 1000000L div (2L * n_base * n_delta)").as("occ_l1_ppm"),
+        expr("(l1_num * 1000000) div (2L * n_base * n_delta)").as("occ_l1_ppm"),
         round(col("sum_qerr_b") / col("n_base"), 9).as("base_mean_qerr"),
         round(col("sum_qerr_d") / col("n_delta"), 9).as("delta_mean_qerr"),
         round((col("sum_qerr_d") / col("n_delta")) / (col("sum_qerr_b") / col("n_base")), 6)

@@ -649,12 +649,21 @@ object StreamOps {
     * a size → one of 2·size keeping the NEWER timestamp, the Datar et
     * al. rule); buckets entirely older than the trailing window expire
     * from state. The batch query PROVES (property spec, n = 1..512)
-    * that this cascade equals the closed-form digit decomposition —
-    * so stream state ≡ batch state on the same prefix is a THEOREM,
-    * and the spec pins it on data. Per micro-batch the processor
+    * that this cascade equals the closed-form digit decomposition, so
+    * stream state ≡ batch state on the PRE-EXPIRY prefix (while no
+    * bucket has yet aged out — the regime the spec tests). Once expiry
+    * removes buckets, later cascade merges see a shorter list than the
+    * closed form (which windows only at read time over full n), so the
+    * two states legitimately diverge; DGIM's estimate bound holds for
+    * both, which is the property that matters post-expiry. Per
+    * micro-batch the processor
     * emits (n seen, included buckets, est = Σsz − oldest/2, oldest).
-    * Intra-batch rows are folded in (tsUs) order; cross-batch order
-    * is the source's watermark contract, as with every DGIM deploy. */
+    * Intra-batch rows are folded in ascending-tsUs order; rows tied on
+    * tsUs commute (an insert is the indistinguishable tuple (tsUs, 1),
+    * so any order of equal elements walks the identical state sequence
+    * — no event-id tiebreak is needed for determinism); cross-batch
+    * order is the source's watermark contract, as with every DGIM
+    * deploy. */
   class DgimProcessor(windowUs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, DgimEvent, DgimOut] {
     import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}

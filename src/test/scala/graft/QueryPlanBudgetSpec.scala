@@ -571,9 +571,11 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "events_nelson_aalen" -> 6, // the events_survival chain verbatim (user agg +
                               // cohort/dur cells + reverse window + cohort collect +
                               // posexplode + ORDER BY) with an additive fold
-    "events_fdr_bh" -> 5,     // (type,user) agg + (type,perm) agg + type agg + the
-                              // m-row single-partition BH window + ORDER BY; the 65-perm
-                              // blow-up rides a broadcast cross on the USER table
+    "events_fdr_bh" -> 2,     // the m-row p table rides ONE lazy checkpoint (its
+                              // (type,user)/(type,perm)/type agg exchanges run once at
+                              // materialization, feeding both the ranked and the
+                              // NULL-obs_diff degenerate branch); the 2 = the m-row
+                              // single-partition BH window + ORDER BY
     "events_theil_sen" -> 3,  // daily agg (ReuseExchange serves both self-join sides)
                               // + per-type rank window + final agg; ORDER BY rides the
                               // agg's partitioning
@@ -583,7 +585,7 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "quality_fleiss" -> 5,    // TP + (item,lab) agg + item agg + label-domain agg +
                               // 1-row cross attach
     "events_dgim" -> 1,       // the ranked/counted event table rides ONE lazy checkpoint
-                              // (its per-type sort runs once at materialization); grid,
+                              // (its per-USER sort runs once at materialization); grid,
                               // bucket join and verdict aggs all reuse tiny frames — the
                               // 1 is the est/exact join's final exchange
     "q81_bitwise_agg" -> 2,   // flag-keyed agg + ORDER BY
@@ -595,22 +597,28 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // collected at construction, the trainCentroids contract)
     "multimodal_video_shots" -> 2, // frame expand is in-row; per-clip lag window + the
                               // clip agg reusing its sort; ORDER BY rides the agg keys
-    "events_time_to_convert" -> 4, // first-view agg + first-buy agg (join broadcasts the
-                              // user frame) + cohort cume window + verdict agg/ORDER BY
+    "events_time_to_convert" -> 6, // the gap table rides a lazy checkpoint (view/buy aggs
+                              // run once); banded-rank core = (cohort,band) cell agg +
+                              // cohort offset window over the CELL table + in-band
+                              // (cohort,band) window; + n-per-cohort agg + verdict agg +
+                              // ORDER BY — no raw window keyed by the 2-value cohort
     "text_kn_ppl" -> 5,       // scoring side: doc-pair table (lazy checkpoint) joins the
                               // type-sized model (two marginal-agg exchanges + the model
                               // join) + doc agg + ORDER BY; the pair scan runs once
-    "data_acceptance_sampling" -> 3, // one scan + two per-source sample windows (stage-2
-                              // reuses stage-1's partitioning) + verdict agg; ORDER BY
-                              // rides the agg keys
+    "data_acceptance_sampling" -> 4, // stage-1 rank-predicate exchange ×2 (k1 + the
+                              // anti-join build side re-plan the scan) + stage-2
+                              // exchange + ORDER BY; both k aggs reuse their window's
+                              // source partitioning, sample ids ride BroadcastExchanges
     "events_markov_attribution" -> 1, // the FINAL plan is the channel-count-sized
                               // driver-literal result (the 16 integer absorption steps
                               // fold driver-side over the collected bounded transition
                               // matrix — the kmeans1d contract; the chained-DataFrame
                               // form cost 17 s of pure stage scheduling); 1 = ORDER BY
     "q79_percentile_disc" -> 2, // ordered-set agg + ORDER BY
-    "graph_reciprocity" -> 4, // edge distinct + swapped left-semi (reuses the distinct's
-                              // partitioning on one side) + two 1-row aggs
+    "graph_reciprocity" -> 2, // the distinct edge set rides ONE lazy checkpoint (its
+                              // distinct exchange runs once, not once per semi-join
+                              // side); the 2 = the swapped semi-join's repartition +
+                              // the reciprocated 1-row agg; edge-count agg reuses
     "text_source_overlap" -> 4, // (source,token) distinct rides a lazy checkpoint feeding
                               // sizes agg + token self-join + pair agg + ORDER BY;
                               // size joins broadcast (source-count-sized)
@@ -647,6 +655,22 @@ class QueryPlanBudgetSpec extends SparkSpec {
       val off = report.filter { case (_, n, b) => n != b }
       assert(off.isEmpty,
         off.map { case (q, n, b) => s"$q: planned $n shuffles, pinned $b" }.mkString("; "))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("data_acceptance_sampling draws both stages through map-side WindowGroupLimit heaps") {
+    // round-12 verdict item 1: the rank must be a PREDICATE (filter on
+    // row_number ≤ k) so InferWindowGroupLimit installs the Partial
+    // (map-side) heap before each exchange — each task forwards ≤ k rows
+    // per source and no full per-source sort ever crosses the shuffle
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("data_acceptance_sampling")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("row_number(), 20, Partial"),
+        s"stage-1 draw lost its map-side group-limit heap:\n$plan")
+      assert(plan.contains("row_number(), 40, Partial"),
+        s"stage-2 draw lost its map-side group-limit heap:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 

@@ -1073,13 +1073,14 @@ object Oracles {
           |  CAST(CAST(CAST(SUM(CASE WHEN side = 'base' THEN CAST(qerr AS DECIMAL(18,9)) END) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS sum_qerr_b,
           |  CAST(CAST(CAST(SUM(CASE WHEN side = 'delta' THEN CAST(qerr AS DECIMAL(18,9)) END) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS sum_qerr_d
           | FROM cl),
-          |l1 AS (SELECT SUM(ABS(n_b * n_delta - n_d * n_base))::BIGINT AS l1_num
+          |l1 AS (SELECT SUM(ABS(CAST(n_b AS HUGEINT) * n_delta
+          |                       - CAST(n_d AS HUGEINT) * n_base)) AS l1_num
           |       FROM occ, tot)
           |SELECT n_base, n_delta,
           | ROUND(sum_sim_b / n_base, 9) AS base_mean_sim,
           | ROUND(sum_sim_d / n_delta, 9) AS delta_mean_sim,
           | ROUND(sum_sim_b / n_base - sum_sim_d / n_delta, 9) AS sim_drift,
-          | l1_num * 1000000 // (2 * n_base * n_delta) AS occ_l1_ppm,
+          | CAST(l1_num * 1000000 // (2 * n_base * n_delta) AS BIGINT) AS occ_l1_ppm,
           | ROUND(sum_qerr_b / n_base, 9) AS base_mean_qerr,
           | ROUND(sum_qerr_d / n_delta, 9) AS delta_mean_qerr,
           | ROUND((sum_qerr_d / n_delta) / (sum_qerr_b / n_base), 6) AS qerr_ratio,
@@ -4780,36 +4781,37 @@ object Oracles {
           |FROM orders WHERE o_orderstatus = 'F'
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
       "events_dgim" ->
-        // the closed-form DGIM state replayed: rᵢ = (n+1)//2ⁱ − 1,
+        // the closed-form DGIM state replayed PER USER (the high-card
+        // deployment key, matching the engine side): rᵢ = (n+1)//2ⁱ − 1,
         // dᵢ = 2 − rᵢ%2, newest-member position n − rᵢ·2ⁱ + (t−1)·2ⁱ + 1
-        """WITH ev AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+        """WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
           |            FROM events),
           |o AS MATERIALIZED (SELECT *,
-          |  row_number() OVER (PARTITION BY event_type ORDER BY ts_us DESC, event_id DESC) AS rn,
-          |  COUNT(*) OVER (PARTITION BY event_type) AS n,
-          |  MAX(ts_us) OVER (PARTITION BY event_type) AS mx FROM ev),
-          |hd AS (SELECT DISTINCT event_type, n, mx FROM o),
-          |g AS (SELECT event_type, n, mx, i, t, (CAST(1 AS BIGINT) << i) AS p2,
+          |  row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn,
+          |  COUNT(*) OVER (PARTITION BY user_id) AS n,
+          |  MAX(ts_us) OVER (PARTITION BY user_id) AS mx FROM ev),
+          |hd AS (SELECT DISTINCT user_id, n, mx FROM o),
+          |g AS (SELECT user_id, n, mx, i, t, (CAST(1 AS BIGINT) << i) AS p2,
           |  (n + 1) // (CAST(1 AS BIGINT) << i) - 1 AS r
           | FROM hd, (SELECT unnest(range(0, 40)) AS i), (SELECT unnest([1, 2]) AS t)),
-          |bkt AS (SELECT event_type, n, mx, p2,
+          |bkt AS (SELECT user_id, n, mx, p2,
           |  n - r * p2 + (t - 1) * p2 + 1 AS np
           | FROM g WHERE r >= 1 AND t <= 2 - r % 2),
           |bts AS (SELECT b.*, o.ts_us AS bts FROM bkt b
-          |        JOIN o ON b.event_type = o.event_type AND b.np = o.rn),
+          |        JOIN o ON b.user_id = o.user_id AND b.np = o.rn),
           |inc AS (SELECT * FROM bts WHERE bts >= mx - 7 * 86400000000),
-          |est AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_ones,
+          |est AS (SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_ones,
           |  COUNT(*)::BIGINT AS n_buckets_in, CAST(SUM(p2) AS BIGINT) AS sum_sz,
           |  CAST(arg_max(p2, np) AS BIGINT) AS oldest_sz
-          | FROM inc GROUP BY event_type),
-          |ex AS (SELECT event_type, COUNT(*)::BIGINT AS exact_in_window
-          |       FROM o WHERE ts_us >= mx - 7 * 86400000000 GROUP BY event_type)
-          |SELECT est.event_type, n_ones, n_buckets_in,
+          | FROM inc GROUP BY user_id),
+          |ex AS (SELECT user_id, COUNT(*)::BIGINT AS exact_in_window
+          |       FROM o WHERE ts_us >= mx - 7 * 86400000000 GROUP BY user_id)
+          |SELECT est.user_id, n_ones, n_buckets_in,
           | CAST(sum_sz - oldest_sz // 2 AS BIGINT) AS dgim_est, exact_in_window,
           | CAST(abs(sum_sz - oldest_sz // 2 - exact_in_window) AS BIGINT) AS abs_err,
           | oldest_sz,
           | abs(sum_sz - oldest_sz // 2 - exact_in_window) * 2 <= oldest_sz AS bound_ok
-          |FROM est JOIN ex USING (event_type) ORDER BY event_type""".stripMargin,
+          |FROM est JOIN ex USING (user_id) ORDER BY user_id""".stripMargin,
       "q81_bitwise_agg" ->
         """SELECT l_returnflag,
           | CAST(BIT_AND(CAST(l_suppkey AS BIGINT)) AS BIGINT) AS mask_and,
@@ -4941,7 +4943,9 @@ object Oracles {
       "text_kn_ppl" ->
         // the text_kn_bigram train replay WITHOUT the top-k cut, scored
         // back onto each doc's pair counts; ln sites rounded 9, fold in
-        // exact DECIMAL (the text_entropy convention)
+        // exact DECIMAL (the text_entropy convention); p_kn floored at
+        // 1e-6 like the engine side (a round-to-0 probability would be
+        // ln-NULL in Spark and an ln error here)
         s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
            |dbg AS MATERIALIZED (SELECT doc_id, u.a AS w1, u.b AS w2, COUNT(*)::BIGINT AS m FROM
            |  (SELECT doc_id,
@@ -4953,8 +4957,8 @@ object Oracles {
            |m2 AS (SELECT w2, COUNT(*)::BIGINT AS n1p_w2 FROM bg GROUP BY w2),
            |nt AS (SELECT COUNT(*)::BIGINT AS n_types FROM bg),
            |mod AS MATERIALIZED (SELECT bg.w1, bg.w2,
-           |  ROUND((c - 7.5e-1) / c_w1 + 7.5e-1 * n1p_w1 / c_w1
-           |    * (CAST(n1p_w2 AS DOUBLE) / n_types), 6) AS p_kn
+           |  GREATEST(ROUND((c - 7.5e-1) / c_w1 + 7.5e-1 * n1p_w1 / c_w1
+           |    * (CAST(n1p_w2 AS DOUBLE) / n_types), 6), 1e-6) AS p_kn
            |  FROM bg JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN nt)
            |SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
            | ROUND(-(CAST(CAST(SUM(CAST(m AS DECIMAL(19,0))
@@ -5221,18 +5225,25 @@ object Oracles {
           |sstat AS (SELECT g, perm,
           |  CASE WHEN na > 0 AND nb > 0 THEN ABS(sa / na - sb / nb) END AS stat FROM st),
           |obs AS (SELECT g, stat AS obs_diff FROM sstat WHERE perm = 0),
-          |p AS (SELECT s.g, obs_diff,
+          |p AS MATERIALIZED (SELECT s.g, obs_diff,
           |  COUNT(CASE WHEN s.stat >= obs_diff THEN 1 END)::BIGINT AS n_ge
           | FROM sstat s JOIN obs USING (g) WHERE perm > 0 GROUP BY 1, 2),
           |rk AS (SELECT g, obs_diff, n_ge, n_ge + 1 AS p_num, CAST(65 AS BIGINT) AS p_den,
           |  COUNT(*) OVER () AS m,
-          |  row_number() OVER (ORDER BY n_ge + 1, g) AS bh_rank FROM p),
+          |  row_number() OVER (ORDER BY n_ge + 1, g) AS bh_rank
+          | FROM p WHERE obs_diff IS NOT NULL),
           |cut AS (SELECT *, MAX(CASE WHEN p_num * m * 10 <= bh_rank * p_den * 1
           |    THEN bh_rank ELSE 0 END) OVER () AS c FROM rk)
           |SELECT g AS event_type, obs_diff, n_ge, p_num, p_den,
           | CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE) AS p_value,
           | CAST(bh_rank AS BIGINT) AS bh_rank, bh_rank <= c AS rejected
-          |FROM cut ORDER BY event_type""".stripMargin,
+          |FROM cut
+          |UNION ALL
+          |SELECT g, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+          | CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+          | CAST(NULL AS BOOLEAN)
+          |FROM p WHERE obs_diff IS NULL
+          |ORDER BY event_type""".stripMargin,
       "events_theil_sen" ->
         """WITH daily AS (SELECT event_type,
           |  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
