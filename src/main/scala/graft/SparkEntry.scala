@@ -2793,7 +2793,7 @@ object SparkEntry {
       val sketch = toks
         .agg(SketchAggregates.misraGries(col("tok"), 256).as("mg"),
           count(lit(1)).as("total"))
-        .localCheckpoint(eager = false) // feeds candidates + total
+        .transform(Ckpt.lazyCkpt) // feeds candidates + total
       val cands = sketch.select(explode(map_keys(col("mg"))).as("tok"))
       toks.join(broadcast(cands), Seq("tok"), "left_semi")
         .groupBy("tok").agg(count(lit(1)).as("n"))
@@ -2817,7 +2817,7 @@ object SparkEntry {
         .agg(sum(col("x").cast("double").cast("decimal(18,9)"))
                .cast("decimal(18,9)").as("sx"),
              count(lit(1)).as("nv"))
-        .localCheckpoint(eager = false) // feeds norms + both pair sides
+        .transform(Ckpt.lazyCkpt) // feeds norms + both pair sides
       val norms = moments.groupBy("label")
         .agg(sum(col("sx") * col("sx")).cast("decimal(38,18)").cast("string")
                .cast("double").as("norm2"),
@@ -3052,7 +3052,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("n_chars")).as("chars"),
           sum(size(TextFunctions.tokens(col("text")))).as("toks"))
-        .localCheckpoint(eager = false) // per-source + global sides read it
+        .transform(Ckpt.lazyCkpt) // per-source + global sides read it
       val glob = per.agg(sum("n").as("gn"), sum("chars").as("gchars"),
         sum("toks").as("gtoks"))
       per.crossJoin(broadcast(glob)) // source-count × 1 row
@@ -3119,7 +3119,7 @@ object SparkEntry {
       val ord = T(s, d, "orders").select(col("o_custkey"),
         (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"),
         col("o_totalprice").cast("decimal(18,2)").as("v"))
-        .localCheckpoint(eager = false) // cohort min + revenue rollup read it
+        .transform(Ckpt.lazyCkpt) // cohort min + revenue rollup read it
       val cohorts = ord.groupBy("o_custkey").agg(min("m").as("cohort_m"))
       val cells = ord.join(cohorts, Seq("o_custkey"))
         .groupBy(col("cohort_m"), (col("m") - col("cohort_m")).as("age"))
@@ -3165,7 +3165,7 @@ object SparkEntry {
       val threshold = 0.9
       val docs = TP(s, d, "documents")
       val terms = CorpusOps.docTermCounts(docs, "doc_id", "text")
-        .localCheckpoint(eager = false) // both dot sides + norms read it
+        .transform(Ckpt.lazyCkpt) // both dot sides + norms read it
       // blocking on rare word 3-GRAMS, not tokens: the unigram vocab is
       // dense (every token common), but shingles are selective — the
       // dedup_containment blocking contract; verification below is the
@@ -3230,7 +3230,7 @@ object SparkEntry {
         .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
         .agg((sum(col("value").cast("decimal(18,2)")) * 100)
           .cast("decimal(38,0)").cast("bigint").as("cents"))
-        .localCheckpoint(eager = false) // actual + lag-7 sides both read it
+        .transform(Ckpt.lazyCkpt) // actual + lag-7 sides both read it
       val lag7 = daily.select(col("event_type").as("et2"),
         (col("day") + 7).as("day2"), col("cents").as("pred"))
       daily.join(lag7,
@@ -3340,7 +3340,7 @@ object SparkEntry {
       // imbalance ratio. Report: class sizes before/after.
       val labels = TP(s, d, "embeddings").select(col("vec_id"), col("label"))
       val hist = labels.groupBy("label").agg(count(lit(1)).as("n_before"))
-        .localCheckpoint(eager = false) // max side + factor side both read it
+        .transform(Ckpt.lazyCkpt) // max side + factor side both read it
       val maxN = hist.agg(max("n_before").as("max_n"))
       val factors = hist.crossJoin(broadcast(maxN)) // label-count × 1 row
         .withColumn("factor", ceil(col("max_n").cast("double") / col("n_before").cast("double")).cast("int"))
@@ -3788,7 +3788,7 @@ object SparkEntry {
       val pairs = DedupOps
         .minhashDupPairs(TP(s, d, "documents"), "text", "doc_id", threshold = 0.8,
           shingleSize = 3, numBands = 16, rowsPerBand = 3)
-        .localCheckpoint(eager = false) // both symmetric halves read it
+        .transform(Ckpt.lazyCkpt) // both symmetric halves read it
       val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"), col("jaccard"))
         .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst"), col("jaccard")))
       val w = Window.partitionBy("src").orderBy(col("jaccard").desc, col("dst"))
@@ -3975,7 +3975,7 @@ object SparkEntry {
         .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
         .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
           .cast("double").as("tot"))
-        .localCheckpoint(eager = false) // both pair sides read it
+        .transform(Ckpt.lazyCkpt) // both pair sides read it
       val nxt = daily.select(col("event_type").as("et2"),
         (col("day") - 1).as("day2"), col("tot").as("tot_next"))
       val pairs = daily.join(nxt,
@@ -4035,7 +4035,7 @@ object SparkEntry {
         .withColumn("contrib",
           (col("obs").cast("double") - col("expected")) *
             (col("obs").cast("double") - col("expected")) / col("expected"))
-        .localCheckpoint(eager = false) // cell frame + the fold both read it
+        .transform(Ckpt.lazyCkpt) // cell frame + the fold both read it
       val tot = c
         .agg(sort_array(collect_list(struct(col("event_type"), col("dow"), col("contrib")))).as("arr"),
           countDistinct("event_type").as("n_types"),
@@ -4112,7 +4112,7 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val docs = T(s, d, "documents")
         .select(col("doc_id"), col("source"), col("n_chars").as("v"))
-        .localCheckpoint(eager = false) // domain frames + final join read it
+        .transform(Ckpt.lazyCkpt) // domain frames + final join read it
       val srcDom = docs.groupBy("source", "v").agg(count(lit(1)).as("cnt"))
       val ws = Window.partitionBy("source").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -4120,7 +4120,7 @@ object SparkEntry {
         .withColumn("rank_min", coalesce(sum("cnt").over(ws), lit(0L)) + 1)
         .withColumn("n_s", sum("cnt").over(Window.partitionBy("source")))
       val globDom = docs.groupBy("v").agg(count(lit(1)).as("gcnt"))
-        .localCheckpoint(eager = false) // cumulative + total read it
+        .transform(Ckpt.lazyCkpt) // cumulative + total read it
       val wg = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
       val glob = globDom // single-partition window on the DOMAIN frame only
         .withColumn("cum_before", coalesce(sum("gcnt").over(wg), lit(0L)))
@@ -4202,7 +4202,7 @@ object SparkEntry {
       // key before committing a 100 TB dedup to it.
       val docs = TP(s, d, "documents")
       val bands = docs.select(col("doc_id"), expr("n_chars div 100").as("band"))
-        .localCheckpoint(eager = false) // histogram + two tp joins read it
+        .transform(Ckpt.lazyCkpt) // histogram + two tp joins read it
       val nCand = bands.groupBy("band").agg(count(lit(1)).as("c"))
         .agg(sum(expr("c * (c - 1) div 2")).cast("bigint").as("n_cand"))
       val truth = DedupOps.prefixFilterJaccardPairs(docs, "text", "doc_id",
@@ -4306,7 +4306,7 @@ object SparkEntry {
         size(array_intersect(
           array_distinct(TextFunctions.tokensFromNorm(TextFunctions.normText(col("text")))),
           array(terms.map(lit): _*))).cast("int").as("rel"))
-        .localCheckpoint(eager = false) // level counts + ranked join read it
+        .transform(Ckpt.lazyCkpt) // level counts + ranked join read it
       val idcgRow = rel.agg(
         sum(when(col("rel") === 3, 1L).otherwise(0L)).as("n3"),
         sum(when(col("rel") === 2, 1L).otherwise(0L)).as("n2"),
@@ -4426,7 +4426,7 @@ object SparkEntry {
       // sets. Queries broadcast; the corpus never self-joins.
       val vecs = TP(s, d, "embeddings")
         .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
-        .localCheckpoint(eager = false) // both rankings read it
+        .transform(Ckpt.lazyCkpt) // both rankings read it
       val tr = vecs.select(col("vec_id"), slice(col("vec"), 1, 16).as("vec"))
       val isQ = col("vec_id") < 8
       val fullK = SimilarityOps.bruteForceTopK(vecs, vecs.filter(isQ), "vec_id", "vec", k = 5)
@@ -4486,10 +4486,10 @@ object SparkEntry {
         col("c_nationkey").cast("long").as("nation"),
         floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"),
         col("c_mktsegment").as("seg"))
-        .localCheckpoint(eager = false) // class, global and cell counts read it
+        .transform(Ckpt.lazyCkpt) // class, global and cell counts read it
       val cls = cust.groupBy("nation", "bal_band").agg(count(lit(1)).as("n_c"))
       val glob = cust.groupBy("seg").agg(count(lit(1)).as("n_gs"))
-        .localCheckpoint(eager = false) // grid + total read it
+        .transform(Ckpt.lazyCkpt) // grid + total read it
       val ng = glob.agg(sum("n_gs").cast("bigint").as("n_g"))
       val cellCnt = cust.groupBy("nation", "bal_band", "seg").agg(count(lit(1)).as("n_cs"))
       cls.crossJoin(broadcast(glob)).crossJoin(broadcast(ng))
@@ -4524,7 +4524,7 @@ object SparkEntry {
         .filter(col("wn") === 7)
         .withColumn("detr7", col("x") * 7 - col("t7"))
         .withColumn("dow", expr("(day + 4) % 7"))
-        .localCheckpoint(eager = false) // seasonal means + final join read it
+        .transform(Ckpt.lazyCkpt) // seasonal means + final join read it
       val seas = t.groupBy("dow").agg(sum("detr7").as("s7sum"), count(lit(1)).as("sn"))
       t.join(broadcast(seas), "dow")
         .select(col("day"), col("x"),
@@ -4585,7 +4585,7 @@ object SparkEntry {
       // recency vs the corpus frontier — the export a training job joins
       // against. ONE shuffle (user agg); the frontier rides a broadcast
       // scalar.
-      val ev = EV(s, d).localCheckpoint(eager = false) // agg + frontier read it
+      val ev = EV(s, d).transform(Ckpt.lazyCkpt) // agg + frontier read it
       val frontier = ev.agg(max("ts_us").as("f_us"))
       ev.groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
@@ -4628,7 +4628,7 @@ object SparkEntry {
         .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
         .agg((sum(col("value").cast("decimal(18,2)")) * 100)
           .cast("decimal(38,0)").cast("bigint").as("x"))
-        .localCheckpoint(eager = false) // quartile domain + flag join read it
+        .transform(Ckpt.lazyCkpt) // quartile domain + flag join read it
       val dom = daily.groupBy("event_type", "x").agg(count(lit(1)).as("c"))
       val wc = Window.partitionBy("event_type").orderBy("x")
       val cums = dom
@@ -4692,7 +4692,7 @@ object SparkEntry {
       val vecs = TP(s, d, "embeddings")
         .select(col("vec_id"), col("label").cast("long").as("label"),
           VectorFunctions.asDouble(col("embedding")).as("vec"))
-        .localCheckpoint(eager = false) // ranking + two label joins read it
+        .transform(Ckpt.lazyCkpt) // ranking + two label joins read it
       val probes = vecs.filter(col("vec_id") % 40 === 0)
       // label lookups join the corpus-sized map against the TINY knn /
       // pred sides — no hint, AQE broadcasts the small side (the id→label
@@ -4911,7 +4911,7 @@ object SparkEntry {
           when(col("o_orderkey") % 11 === 0, lit("9-RECHECK"))
             .otherwise(col("o_orderpriority")))
       val diffed = DiffOps.diff(left, right, Seq("o_orderkey"))
-        .localCheckpoint(eager = false) // row totals + column stack read it
+        .transform(Ckpt.lazyCkpt) // row totals + column stack read it
       val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
         "o_orderpriority")
       val colStack = diffed.filter(col("diff") === "C")
@@ -5190,9 +5190,9 @@ object SparkEntry {
       val edges = T(s, d, "lineitem")
         .select((col("l_orderkey") * 2).as("x"), (col("l_partkey") * 2 + 1).as("y"))
         .distinct()
-        .localCheckpoint(eager = false) // core build + invariant recount read it
+        .transform(Ckpt.lazyCkpt) // core build + invariant recount read it
       val core = GraphOps.kcore(edges, "x", "y", k)
-        .localCheckpoint(eager = false) // three invariant consumers
+        .transform(Ckpt.lazyCkpt) // three invariant consumers
       val und = edges.select(col("x").as("src"), col("y").as("dst"))
         .unionByName(edges.select(col("y").as("src"), col("x").as("dst")))
       val coreNbr = und
@@ -6928,7 +6928,7 @@ object SparkEntry {
           ((col("c_custkey") * 7 + col("c_nationkey")) % 50).as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .localCheckpoint(eager = false) // both semi-join sides + edge count read it
+        .transform(Ckpt.lazyCkpt) // both semi-join sides + edge count read it
       val recip = e.join(
         e.select(col("dst").as("src"), col("src").as("dst")),
         Seq("src", "dst"), "left_semi")
@@ -6949,7 +6949,7 @@ object SparkEntry {
         .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("token"))
         .filter(col("token") =!= "")
         .distinct()
-        .localCheckpoint(eager = false) // feeds sizes + both join sides once
+        .transform(Ckpt.lazyCkpt) // feeds sizes + both join sides once
       val sizes = vocab.groupBy("source").agg(count(lit(1)).cast("long").as("v"))
       val inter = vocab.select(col("source").as("sa"), col("token"))
         .join(vocab.select(col("source").as("sb"), col("token")), Seq("token"))
@@ -7055,7 +7055,7 @@ object SparkEntry {
       val trans = seqd.filter(col("f") =!= "purchase")
         .groupBy(col("f"), col("event_type").as("t"))
         .agg(count(lit(1)).cast("long").as("n"))
-        .localCheckpoint(eager = false) // feeds channels + tr0 + outdeg once
+        .transform(Ckpt.lazyCkpt) // feeds channels + tr0 + outdeg once
       val tr0 = trans.unionByName(Seq(("purchase", "purchase", 1L)).toDF("f", "t", "n"))
       val outdeg = tr0.groupBy("f").agg(sum("n").cast("long").as("n_out"))
       val scenarios = trans.select(col("f").as("scenario"))
@@ -7192,7 +7192,7 @@ object SparkEntry {
         .select(col("user_id"), (col("user_id") % 2).as("cohort"),
           (col("fp") - col("fv2")).as("gap_us"))
         .withColumn("band", RankOps.idiv(col("gap_us"), 1L << 20))
-        .localCheckpoint(eager = false) // band agg + rank join + n agg read it
+        .transform(Ckpt.lazyCkpt) // band agg + rank join + n agg read it
       val ranked = RankOps.groupedBandedRank(gaps, Seq("cohort"), Seq("band"),
         bandSort = Seq(col("band").asc),
         rowSort = Seq(col("gap_us").asc, col("user_id").asc), rankName = "rk")
@@ -7350,7 +7350,7 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
         .withColumn("mx", max("ts_us").over(Window.partitionBy("user_id")))
-        .localCheckpoint(eager = false) // grid join + exact count + cutoff
+        .transform(Ckpt.lazyCkpt) // grid join + exact count + cutoff
       val grid = ones.select(col("user_id"), col("n"), col("mx")).distinct()
         .select(col("user_id"), col("n"), col("mx"),
           explode(sequence(lit(0), lit(39))).as("i"))

@@ -177,7 +177,7 @@ object CorpusOps {
     val sh0 = docs.select(
       col(idCol).as("doc_id"),
       explode(DedupOps.hashedShingleSet(col(textCol), n)).as("h"))
-    val sh = if (materializeSignatures) sh0.localCheckpoint(eager = false) else sh0
+    val sh = if (materializeSignatures) sh0.transform(Ckpt.lazyCkpt) else sh0
     val dfTable = sh.groupBy("h").agg(count(lit(1)).as("df"))
     sh.join(dfTable, "h")
       .groupBy("doc_id")
@@ -297,7 +297,7 @@ object CorpusOps {
   ): DataFrame = {
     require(maxDf >= 1, "maxDf must be >= 1")
     val seg0 = docs.select(col(idCol), posexplode(col(segsCol)).as(Seq("__pos", "__seg")))
-    val seg = if (materializeSegments) seg0.localCheckpoint(eager = false) else seg0
+    val seg = if (materializeSegments) seg0.transform(Ckpt.lazyCkpt) else seg0
     val boiler = seg
       .groupBy(col(idCol), col("__seg")).agg(count(lit(1)).as("__c"))
       .groupBy("__seg").agg(count(lit(1)).as("__df"))
@@ -659,9 +659,9 @@ object CorpusOps {
     val docBg = docs.select(col(idCol).as("id"), explode(pairsCol).as("p"))
       .groupBy(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).cast("long").as("m"))
-      .localCheckpoint(eager = false) // feeds the model AND the scoring join
+      .transform(Ckpt.lazyCkpt) // feeds the model AND the scoring join
     val bg = docBg.groupBy("w1", "w2").agg(sum("m").cast("long").as("c"))
-      .localCheckpoint(eager = false)
+      .transform(Ckpt.lazyCkpt)
     val byW1 = bg.groupBy("w1").agg(sum("c").as("c_w1"), count(lit(1)).as("n1p_w1"))
     val byW2 = bg.groupBy("w2").agg(count(lit(1)).as("n1p_w2"))
     val nTypes = bg.agg(count(lit(1)).as("n_types"))
@@ -691,7 +691,7 @@ object CorpusOps {
       .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
       // one materialization feeds the pair table + both marginals + the
       // type count (the pruneCells fan-out pattern)
-      .localCheckpoint(eager = false)
+      .transform(Ckpt.lazyCkpt)
     val byW1 = bg.groupBy("w1").agg(sum("c").as("c_w1"), count(lit(1)).as("n1p_w1"))
     val byW2 = bg.groupBy("w2").agg(count(lit(1)).as("n1p_w2"))
     val nTypes = bg.agg(count(lit(1)).as("n_types"))
@@ -1072,7 +1072,7 @@ object CorpusOps {
         expr("transform(pt, x -> x.tok)").as("words"),
         size(col("pt")).as("plen"))
       .filter(size(col("words")) >= 2) // single words are freq noise in RAKE
-      .localCheckpoint(eager = false) // word-stat side + phrase side read it
+      .transform(Ckpt.lazyCkpt) // word-stat side + phrase side read it
     val wordStats = phrases
       .select(explode(col("words")).as("word"), col("plen"))
       .groupBy("word")
@@ -1128,7 +1128,7 @@ object CorpusOps {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("tf"))
       .select(regexp_replace(col("word"), "(.)", SEP + "$1" + SEP).as("sym"), col("tf"))
-      .localCheckpoint(eager = false)
+      .transform(Ckpt.lazyCkpt)
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var exhausted = false
     for (step <- 1 to steps if !exhausted) {
@@ -1148,7 +1148,7 @@ object CorpusOps {
         vocab = vocab
           .withColumn("sym",
             replace(col("sym"), lit(SEP + a + SEP + SEP + b + SEP), lit(SEP + a + b + SEP)))
-          .localCheckpoint(eager = false)
+          .transform(Ckpt.lazyCkpt)
       }
     }
     import sp.implicits._
@@ -1287,7 +1287,7 @@ object CorpusOps {
       .filter(col("tok") =!= "")
       .groupBy("tok").agg(count(lit(1)).cast("long").as("r"))
     val cc = tf.groupBy("r").agg(count(lit(1)).cast("long").as("n_r"))
-      .localCheckpoint(eager = false) // feeds rows + the r+1 join + totals
+      .transform(Ckpt.lazyCkpt) // feeds rows + the r+1 join + totals
     val tot = cc.agg(
       sum((col("r").cast("decimal(19,0)") * col("n_r")).cast("decimal(38,0)"))
         .cast("decimal(38,0)").cast("double").as("n_tokens"),
@@ -1328,7 +1328,7 @@ object CorpusOps {
       .select(col(partCol).as("part"), explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("tok", "part").agg(count(lit(1)).cast("long").as("c"))
-      .localCheckpoint(eager = false) // feeds part totals + token totals + the dense join
+      .transform(Ckpt.lazyCkpt) // feeds part totals + token totals + the dense join
     val parts = tp.groupBy("part").agg(sum("c").cast("decimal(38,0)").as("t"))
     val total = parts.agg(sum("t").cast("decimal(38,0)").as("tt"))
     val tokens = tp.groupBy("tok").agg(sum("c").cast("decimal(38,0)").as("c_tot"))

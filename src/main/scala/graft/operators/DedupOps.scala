@@ -162,7 +162,7 @@ object DedupOps {
     // local checkpoint (computed on first use inside the same action) is
     // the right trade at 100 TB. Caveat: executor loss invalidates local
     // checkpoint blocks; on a shared cluster prefer reliable checkpointing.
-    val sized = buckets.withColumn("__sz", size(col(itemsCol))).localCheckpoint(eager = false)
+    val sized = buckets.withColumn("__sz", size(col(itemsCol))).transform(Ckpt.lazyCkpt)
     val small = sized
       .filter(col("__sz").between(2, maxBucketSize))
       .select(explode(bucketPairs(col(itemsCol))).as("p"))
@@ -624,7 +624,7 @@ object DedupOps {
       .select(col(idCol).as("id"), hashedShingleSet(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       // consumed 3×: prefix generation + both verify sides
-      .localCheckpoint(eager = false)
+      .transform(Ckpt.lazyCkpt)
     val dfreq = docs.select(explode(col("sh")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
     val prefixes = docs
@@ -810,13 +810,13 @@ object DedupOps {
     val pairs = minhashDupPairs(docs, textCol, idCol, threshold, shingleSize,
         numBands, rowsPerBand)
       .select(col("a_id"), col("b_id"))
-      .localCheckpoint(eager = false) // feeds the id set + both final joins
+      .transform(Ckpt.lazyCkpt) // feeds the id set + both final joins
     val ids = pairs.select(col("a_id").as("id"))
       .unionByName(pairs.select(col("b_id").as("id"))).distinct()
     val sh = docs.join(ids, docs(idCol) === ids("id"), "left_semi")
       .select(col(idCol).as("id"),
         shinglesFromTokens(tokens(col(textCol)), shingleSize).as("gs"))
-      .localCheckpoint(eager = false) // feeds bit sigs AND exact-jaccard sets
+      .transform(Ckpt.lazyCkpt) // feeds bit sigs AND exact-jaccard sets
     val bits = sh.select(col("id"), explode(col("gs")).as("g"))
       .select(col("id"), col("g"), explode(sequence(lit(0), lit(m - 1))).as("i"))
       .select(col("id"), col("i"),

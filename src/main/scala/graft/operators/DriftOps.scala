@@ -68,7 +68,7 @@ object DriftOps {
       .agg(
         sum(when(col("slice") === ref, 1L).otherwise(0L)).as("tf_ref"),
         sum(when(col("slice") === cur, 1L).otherwise(0L)).as("tf_cur"))
-      .localCheckpoint(eager = false)
+      .transform(Ckpt.lazyCkpt)
     val totals = counts.agg(sum("tf_ref").as("tot_ref"), sum("tf_cur").as("tot_cur"))
     val dec = "decimal(38,0)"
     counts
@@ -173,7 +173,7 @@ object DriftOps {
     val counts = df
       .groupBy(col(sliceCol).as("slice"), col(valCol).as("v"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false) // grid + per-slice counts + totals all read it
+      .transform(Ckpt.lazyCkpt) // grid + per-slice counts + totals all read it
     val grid = counts.groupBy("v").agg(sum("c").as("cg"))
       .withColumn("cum_all",
         sum("cg").over(Window.orderBy("v")
@@ -220,7 +220,7 @@ object DriftOps {
     val counts = df
       .groupBy(col(sliceCol).as("slice"), col(valCol).as("v"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false) // grid + per-slice counts + totals all read it
+      .transform(Ckpt.lazyCkpt) // grid + per-slice counts + totals all read it
     val wAll = Window.orderBy("v")
     val grid = counts.groupBy("v").agg(sum("c").as("cg"))
       .withColumn("cum_all",

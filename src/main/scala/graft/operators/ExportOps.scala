@@ -50,7 +50,7 @@ object ExportOps {
       bucketHexChars: Int = 3,
       materializeInput: Boolean = false
   ): DataFrame = {
-    val src = if (materializeInput) df.localCheckpoint(eager = false) else df
+    val src = if (materializeInput) df.transform(Ckpt.lazyCkpt) else df
     val reserved = Set("__k", "__b", "__r", "__n", "__off")
     val clash = df.columns.filter(c => reserved(c))
     require(clash.isEmpty,

@@ -253,7 +253,7 @@ object GraphOps {
       .distinct()
       // feeds the degree agg, the orientation join, and the closing join —
       // materialize once instead of re-deriving the pair pipeline 3×
-      .localCheckpoint(eager = false)
+      .transform(Ckpt.lazyCkpt)
     val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val withDegs = e
@@ -265,7 +265,7 @@ object GraphOps {
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("v"),
       when(aFirst, key("db", "b")).otherwise(key("da", "a")).as("kv"))
-      .localCheckpoint(eager = false) // wedge join reads it twice + closing join once
+      .transform(Ckpt.lazyCkpt) // wedge join reads it twice + closing join once
     val wedges = oriented.as("o1")
       .join(oriented.as("o2"), col("o1.u") === col("o2.u") && col("o1.kv") < col("o2.kv"))
       .select(col("o1.v").as("wa"), col("o2.v").as("wb"))

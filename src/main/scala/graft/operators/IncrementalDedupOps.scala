@@ -57,7 +57,7 @@ object IncrementalDedupOps {
     val k = numBands * rowsPerBand
     // two writers below (bands, sigs) would each re-run the shingle scan;
     // the signatured table is the thing to compute once
-    val docs = signatured(base, textCol, idCol, shingleSize).localCheckpoint(eager = false)
+    val docs = signatured(base, textCol, idCol, shingleSize).transform(Ckpt.lazyCkpt)
     val bands = docs.select(
       col("id"),
       explode(DedupOps.bandKeys(DedupOps.minhashSigCol(col("sh"), k), numBands, rowsPerBand))
@@ -87,7 +87,7 @@ object IncrementalDedupOps {
       rowsPerBand: Int = 4
   ): Unit = {
     val k = numBands * rowsPerBand
-    val docs = signatured(batch, textCol, idCol, shingleSize).localCheckpoint(eager = false)
+    val docs = signatured(batch, textCol, idCol, shingleSize).transform(Ckpt.lazyCkpt)
     val bands = docs.select(
       col("id"),
       explode(DedupOps.bandKeys(DedupOps.minhashSigCol(col("sh"), k), numBands, rowsPerBand))
@@ -129,7 +129,7 @@ object IncrementalDedupOps {
     val spark = newBatch.sparkSession
     val k = numBands * rowsPerBand
     // one scan of the (small) new batch feeds band keys + both verify sides
-    val newDocs = signatured(newBatch, textCol, idCol, shingleSize).localCheckpoint(eager = false)
+    val newDocs = signatured(newBatch, textCol, idCol, shingleSize).transform(Ckpt.lazyCkpt)
     if (enforceDisjointIds) {
       val overlap = newDocs.select("id")
         .join(spark.table(index.sigs).select("id"), Seq("id"), "left_semi")
@@ -242,7 +242,7 @@ object IncrementalDedupOps {
     val newFps = DedupOps.winnowFingerprints(batch, textCol, idCol, k, w)
       .select(col("fp_hash"), col("id").as("batch_id"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .transform(Ckpt.lazyCkpt)
     newFps
       .join(spark.table(fpsTable).select(col("fp_hash"), col("id").as("idx_id")),
         Seq("fp_hash"))

@@ -147,7 +147,7 @@ object MultimodalOps {
       maxBucketSize: Int = 64
   ): DataFrame = {
     require(maxHamming <= 8, "9 bands × 14 bits guarantee recall only up to hamming 8")
-    val sigs = aHashSignatures(df, idCol, payloadCol).localCheckpoint(eager = false)
+    val sigs = aHashSignatures(df, idCol, payloadCol).transform(Ckpt.lazyCkpt)
     val bands = sigs.select(col("id"),
       explode(expr(
         """transform(sequence(0, 8), b -> struct(b,

@@ -119,17 +119,31 @@ object RankOps {
       bandSort: Seq[Column],
       rowSort: Seq[Column],
       rankName: String = "rank",
-      bandCountHint: Long = -1L): DataFrame = {
+      bandCountHint: Long = -1L,
+      cumCols: Seq[String] = Nil): DataFrame = {
     val all = groupCols ++ bandCols
-    val bands = df.groupBy(all.map(col): _*).agg(count(lit(1)).cast("long").as("_bn"))
+    val aggs = count(lit(1)).cast("long").as("_bn") +:
+      cumCols.map(c => sum(col(c)).cast("long").as(s"_b_$c"))
+    val bands = df.groupBy(all.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val wb = Window.partitionBy(groupCols.map(col): _*).orderBy(bandSort: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bands.withColumn("_off_rk", coalesce(sum("_bn").over(wb), lit(0L)))
+    val withOffsets = cumCols.foldLeft(
+      bands.withColumn("_off_rk", coalesce(sum("_bn").over(wb), lit(0L)))) { (acc, c) =>
+      acc.withColumn(s"_off_$c", coalesce(sum(s"_b_$c").over(wb), lit(0L)))
+    }
+    val offCols = "_off_rk" +: cumCols.map(c => s"_off_$c")
     val wIn = Window.partitionBy(all.map(col): _*).orderBy(rowSort: _*)
-    df.join(maybeBroadcast(offsets.select((all :+ "_off_rk").map(col): _*),
+    val wInPre = wIn.rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = df.join(maybeBroadcast(withOffsets.select((all ++ offCols).map(col): _*),
         bandCountHint), all)
       .withColumn(rankName, (col("_off_rk") + row_number().over(wIn)).cast("long"))
-      .drop("_off_rk")
+    // per c in cumCols: `cum_before_c` = per-GROUP running pre-sum under
+    // the same banded decomposition (add the row's own value for an
+    // inclusive running sum) — bandedRankCum's cumsum, per group
+    cumCols.foldLeft(ranked) { (acc, c) =>
+      acc.withColumn(s"cum_before_$c",
+        (col(s"_off_$c") + coalesce(sum(col(c)).over(wInPre), lit(0L))).cast("long"))
+    }.drop(offCols: _*)
   }
 
   /** Standard-SQL `ntile(k)` in closed form from a global rank `i`

@@ -335,13 +335,13 @@ object SimilarityOps {
     import graft.functions.VectorFunctions
     val u = vecs.select(col(idCol).as("id"), col(sideCol).as("side"),
         VectorFunctions.unitNormalize(col(vecCol)).as("unit"))
-      .localCheckpoint(eager = false) // consumed by both sides
+      .transform(Ckpt.lazyCkpt) // consumed by both sides
     val xs = u.filter(col("side") === 0).select(col("id").as("x_id"), col("unit").as("xv"))
     val ys = u.filter(col("side") =!= 0).select(col("id").as("y_id"), col("unit").as("yv"))
     val cross = xs.join(broadcast(ys))
       .select(col("x_id"), col("y_id"),
         round(VectorFunctions.dot(col("xv"), col("yv")), 6).cast("decimal(9,6)").as("cos"))
-      .localCheckpoint(eager = false) // consumed 3× (x-means, y-means, pairs)
+      .transform(Ckpt.lazyCkpt) // consumed 3× (x-means, y-means, pairs)
     def kMean(keyCol: String, otherCol: String, out: String) = {
       val w = Window.partitionBy(keyCol).orderBy(col("cos").desc, col(otherCol).asc)
       cross.withColumn("r", row_number().over(w)).filter(col("r") <= k)
@@ -854,7 +854,7 @@ object SimilarityOps {
     require(k >= 1, "kCenterGreedy needs k >= 1")
     val sp = vectors.sparkSession
     val v = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .localCheckpoint(eager = false)
+      .transform(Ckpt.lazyCkpt)
     val first = v.orderBy("id").limit(1).collect()(0)
     var centers = Vector((first.getLong(0), first.getSeq[Double](1), 0.0))
     for (_ <- 2 to k) {
@@ -916,7 +916,7 @@ object SimilarityOps {
     // anti-join's left side, and the pair generation all read the same
     // materialized blocks (the probe path checkpoints `rem` for exactly
     // this fan-out; the batch entry point was the one missing it)
-    val c = cells.localCheckpoint(eager = false)
+    val c = cells.transform(Ckpt.lazyCkpt)
     c.join(cellDrops(c, tau), Seq("id"), "left_anti")
       .select(col("id"), col("cell"), col("cent_sim"))
   }

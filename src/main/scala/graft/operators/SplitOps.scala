@@ -108,8 +108,15 @@ object SplitOps {
     * total would pass `budget` — "give me ~N tokens per language",
     * the unit a training mixture is actually specified in (row-count
     * sampling over-weights strata with short docs). Greedy prefix in a
-    * keyed pseudo-random order: engine-portable, replayable, and one
-    * window per stratum (parallel across strata — no global sort).
+    * keyed pseudo-random order: engine-portable and replayable.
+    *
+    * The running sum rides [[RankOps.groupedBandedRank]]'s cumCols over
+    * 256 md5-PREFIX bands (a monotone coarsening of the md5 order, so
+    * banded-then-in-band cumsum ≡ the flat per-stratum cumsum) — a
+    * stratum key is LOW-card (5 langs over a 100 TB corpus), so a flat
+    * `Window.partitionBy(stratum)` over raw docs is the §5.1
+    * hot-partition class (round-13 WindowKeyAudit's first catch; the
+    * hand audit had missed this site since round 9).
     * Returns (id, stratum, cum_tokens) of admitted docs.
     */
   def tokenBudgetSample(
@@ -120,12 +127,14 @@ object SplitOps {
       budget: Long,
       seed: String
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
-    val w = Window.partitionBy(stratumCol).orderBy(key, col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol), col(stratumCol), tokens.cast("long").as("__tok"))
-      .withColumn("cum_tokens", sum(col("__tok")).over(w).cast("long"))
+    val base = df.select(col(idCol), col(stratumCol), tokens.cast("long").as("__tok"))
+      .withColumn("__key", md5(concat_ws(":", lit(seed), col(idCol).cast("string"))))
+      .withColumn("__kb", substring(col("__key"), 1, 2))
+    RankOps.groupedBandedRank(base, Seq(stratumCol), Seq("__kb"),
+        bandSort = Seq(col("__kb").asc),
+        rowSort = Seq(col("__key").asc, col(idCol).asc),
+        rankName = "__rk", cumCols = Seq("__tok"))
+      .withColumn("cum_tokens", col("cum_before___tok") + col("__tok"))
       .filter(col("cum_tokens") <= budget)
       .select(col(idCol), col(stratumCol), col("cum_tokens"))
   }

@@ -464,7 +464,7 @@ object StatsOps {
       dsum(d19(col("x")) * d19(col("x"))).as("sxx"),
       dsum(d19(col("y")) * d19(col("y"))).as("syy"),
       dsum(d19(col("x")) * d19(col("y"))).as("sxy"))
-      .localCheckpoint(eager = false) // arms-sized; read by pooled + per-arm
+      .transform(Ckpt.lazyCkpt) // arms-sized; read by pooled + per-arm
     // pooled moments fold in ARM order (arms-sized double sums — the
     // list-fold order-independence convention)
     val pooled = m
@@ -715,7 +715,7 @@ object StatsOps {
       .agg(sum("nc").cast("long").as("m"),
         collect_list(struct(col("lab"), col("nc"))).as("cells"))
       .filter(col("m") >= 2)
-      .localCheckpoint(eager = false) // feeds the pair expansion + n_items once
+      .transform(Ckpt.lazyCkpt) // feeds the pair expansion + n_items once
     // o2[c,k] contributions: within an item, ordered label pairs
     // (c ≠ k): nc·nk; diagonal: nc·(nc−1) — each × 2/(m−1) (an exact
     // integer for m ∈ {2, 3})
@@ -728,7 +728,7 @@ object StatsOps {
           (lit(2L) / (col("m") - 1)).cast("long")).as("contrib"))
     val o2 = pairs.groupBy("c", "k")
       .agg(sum("contrib").cast("decimal(38,0)").as("o2"))
-      .localCheckpoint(eager = false) // feeds so2 + marg + n2 once
+      .transform(Ckpt.lazyCkpt) // feeds so2 + marg + n2 once
     val so2 = o2.filter(col("c") =!= col("k"))
       .agg(coalesce(sum("o2"), lit(0L)).cast("decimal(38,0)").as("s_o2"))
     val marg = o2.groupBy("c").agg(sum("o2").cast("decimal(38,0)").as("n2_c"))
@@ -1337,7 +1337,7 @@ object StatsOps {
       .join(obs, Seq("g"))
       .groupBy("g", "obs_diff")
       .agg(count(when(col("stat") >= col("obs_diff"), 1)).cast("long").as("n_ge"))
-      .localCheckpoint(eager = false) // m-row table feeds the ranked + degenerate branches
+      .transform(Ckpt.lazyCkpt) // m-row table feeds the ranked + degenerate branches
     // A group whose OBSERVED split left one arm empty has obs_diff NULL:
     // every 'stat >= obs_diff' is NULL, n_ge = 0, and the add-one p would
     // be 1/(K+1) — the MOST significant rank, so a degenerate slice could
@@ -1394,7 +1394,7 @@ object StatsOps {
     val perItem = nij.groupBy("item")
       .agg(sum("nij").cast("long").as("n"),
         sum(col("nij") * col("nij")).cast("long").as("sq"))
-      .localCheckpoint(eager = false) // feeds totals + the fixed-n guard once
+      .transform(Ckpt.lazyCkpt) // feeds totals + the fixed-n guard once
     val labTot = nij.groupBy("lab").agg(sum("nij").cast("long").as("tot"))
     val e = labTot.agg(sum((col("tot") * col("tot")).cast("decimal(38,0)"))
       .cast("decimal(38,0)").as("sum_tot_sq"))

@@ -199,7 +199,7 @@ object VectorIndexOps {
       .withColumn("cell", SimilarityOps.assignCell(col("unit"), cents).cast("int"))
       .withColumn("resid",
         zip_with(col("unit"), element_at(centArr, col("cell") + 1), (x, y) => x - y))
-      .localCheckpoint(eager = false)
+      .transform(Ckpt.lazyCkpt)
     val sample = cu.orderBy(xxhash64(col("neighbor_id"), lit(7))).limit(codes)
       .select("resid").collect().map(_.getSeq[Double](0).toArray)
     require(sample.length == codes, s"corpus smaller than $codes codebook rows")
@@ -482,7 +482,7 @@ object VectorIndexOps {
     // all read one materialization of the assignment scan (pruneCells'
     // fan-out note applies identically here)
     val cells = SimilarityOps.semanticCellsFrozen(corpus, idCol, vecCol, cents)
-      .localCheckpoint(eager = false)
+      .transform(Ckpt.lazyCkpt)
     val survivors = cells
       .join(SimilarityOps.cellDrops(cells, tau), Seq("id"), "left_anti")
       .select("id", "cell", "cent_sim", "unit")

@@ -123,7 +123,7 @@ object WriteOps {
         max_by(col("s"), when(col("s") < nShards, col("h")).otherwise(lit("")))
           .as("shard_n"),
         max_by(col("s"), col("h")).as("shard_n1"))
-      .localCheckpoint(eager = false) // feeds balance + movement once
+      .transform(Ckpt.lazyCkpt) // feeds balance + movement once
     val moved = assigned.agg(
       count(lit(1)).cast("long").as("n_keys"),
       count(when(col("shard_n") =!= col("shard_n1"), 1)).cast("long").as("n_moved"))

@@ -605,6 +605,9 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "text_kn_ppl" -> 5,       // scoring side: doc-pair table (lazy checkpoint) joins the
                               // type-sized model (two marginal-agg exchanges + the model
                               // join) + doc agg + ORDER BY; the pair scan runs once
+    "data_token_budget" -> 5, // TP + (lang, md5-prefix) band agg + per-lang offset window
+                              // over the 256-band table + in-band cumsum window + ORDER BY —
+                              // no raw per-lang window (round-13 WindowKeyAudit's first catch)
     "data_acceptance_sampling" -> 4, // stage-1 rank-predicate exchange ×2 (k1 + the
                               // anti-join build side re-plan the scan) + stage-2
                               // exchange + ORDER BY; both k aggs reuse their window's
