@@ -121,6 +121,18 @@ object Bench {
       }
       def coldBest: Double = best(cold)
       def warmBest: Double = best(warm)
+      /** Machine-readable contention verdict (round-12 verdict item 6):
+        * the same query on the same input varying > 5× across runs with
+        * the spread NOT attributable to GC is the noisy-neighbor
+        * signature this box has shown since round 2 — flag it so the
+        * driver's headline can stop penalizing external load (min-over-
+        * runs absorbs a contended run only when at least one run was
+        * clean; a fully-contended query's best is still inflated). */
+      def contended: Boolean = {
+        val runs = (Seq(cold, warm) ++ reruns).filter(_ >= 0)
+        runs.size >= 2 && runs.min > 0 &&
+          runs.max / runs.min > 5.0 && gc < (runs.max - runs.min) / 2
+      }
     }
     // pass 1: cold + warm per query
     val first = names.map { n =>
@@ -145,6 +157,12 @@ object Bench {
     def fmtP(prec: String, v: Double) = String.format(Locale.ROOT, prec, Double.box(v))
     val total = results.map(_.coldBest).filter(_ >= 0).sum
     val totalWarm = results.map(_.warmBest).filter(_ >= 0).sum
+    // contention-robust twin of `total`: queries whose every run was
+    // externally inflated (contended flag) are excluded, so round-over-
+    // round comparisons read total_clean + contended_n instead of
+    // absorbing noisy-neighbor load into the headline
+    val contendedQ = results.filter(_.contended).map(_.name)
+    val totalClean = results.filterNot(_.contended).map(_.coldBest).filter(_ >= 0).sum
     // the driver parses only the last ~2000 chars of the log: as the query
     // count grows, drop per-query precision before the line can overflow
     // (full precision is always in BENCH_DETAIL.json)
@@ -154,12 +172,12 @@ object Bench {
     // full detail for audit (warm/gc/original cold/reruns per query)
     val detail = results.map { r =>
       val rr = r.reruns.map(fmt).mkString("[", ",", "]")
-      s"""{"name":"${r.name}","cold":${fmt(r.cold)},"warm":${fmt(r.warm)},"gc":${fmt(r.gc)},"reruns":$rr,"cold_best":${fmt(r.coldBest)},"warm_best":${fmt(r.warmBest)}}"""
+      s"""{"name":"${r.name}","cold":${fmt(r.cold)},"warm":${fmt(r.warm)},"gc":${fmt(r.gc)},"reruns":$rr,"cold_best":${fmt(r.coldBest)},"warm_best":${fmt(r.warmBest)},"contended":${r.contended}}"""
     }.mkString("[\n", ",\n", "\n]")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath),
-      s"""{"sf":"$sfDir","total_cold_best":${fmt(total)},"total_warm_best":${fmt(totalWarm)},"median_warm":${fmt(medianWarm)},"rerun_threshold":${fmt(thresh)},"queries":$detail}\n""")
+      s"""{"sf":"$sfDir","total_cold_best":${fmt(total)},"total_warm_best":${fmt(totalWarm)},"total_clean":${fmt(totalClean)},"contended":${contendedQ.map("\"" + _ + "\"").mkString("[", ",", "]")},"median_warm":${fmt(medianWarm)},"rerun_threshold":${fmt(thresh)},"queries":$detail}\n""")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
 
     spark.stop()
@@ -167,7 +185,7 @@ object Bench {
     // ~2000-char log tail; degrade per-query precision on the WHOLE-line
     // length until it fits
     def line(qmap: String) =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qmap,"total_warm":${fmt(totalWarm)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qmap,"total_warm":${fmt(totalWarm)},"total_clean":${fmt(totalClean)},"contended_n":${contendedQ.size},"sf":"$sfDir"}"""
     // tier 4: when even %.0f over every query overflows the tail window,
     // keep the SLOWEST n queries (the ones a judge reads first) plus a
     // truncation marker instead of dropping the whole map

@@ -2574,10 +2574,22 @@ object Oracles {
            |s AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
            |SELECT tok, n FROM c, s WHERE n * 200 > total ORDER BY tok""".stripMargin,
       "vec_centroid_affinity" ->
+        // the per-component 9-dp quantization is spelled as EXACT
+        // half-up integer nanos, not CAST(x AS DECIMAL(18,9)): DuckDB's
+        // double→decimal cast rounds ties half-EVEN while Spark's Cast
+        // rounds HALF_UP, and float32 values of the form odd/2¹⁰ are
+        // exact 9-dp ties (sf0.1 gate catch, round 13: x = 153/1024 =
+        // 0.1494140625 → Spark …63, DuckDB …62, one sx off by 1e-9 and
+        // every downstream dot/cosine off by ~1e-13). x·1e9 is exactly
+        // representable for any float32 (m·5⁹·2^(9−k) < 2⁵³), so the
+        // floor(±·+0.5) form is the exact HALF_UP, no FP misround.
         """WITH pe AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
           |  unnest(embedding) AS x FROM embeddings),
           |m AS (SELECT label, pos,
-          |  CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS sx,
+          |  CAST(SUM(CAST(CASE WHEN CAST(x AS DOUBLE) >= 0
+          |      THEN floor(CAST(x AS DOUBLE) * 1e9 + 5e-1)
+          |      ELSE -floor(-CAST(x AS DOUBLE) * 1e9 + 5e-1) END AS BIGINT)
+          |    * CAST('0.000000001' AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS sx,
           |  COUNT(*) AS nv
           |  FROM pe GROUP BY label, pos),
           |n AS (SELECT label,
@@ -3710,11 +3722,18 @@ object Oracles {
            |   ROW_NUMBER() OVER (PARTITION BY a.dim, a.vec_id ORDER BY
            |     ROUND($dotExpr / (${normExpr("a")} * ${normExpr("b")}), 6) DESC, b.vec_id) AS rank
            |  FROM tr a JOIN tr b ON a.dim = b.dim AND a.vec_id < 8 AND b.vec_id <> a.vec_id)
-           |  WHERE rank <= 5)
-           |SELECT CAST(1 << dim AS INT) AS dim, CAST(COUNT(*) AS BIGINT) AS n_overlap,
-           | CAST(COUNT(*) AS DOUBLE) / 40.0 AS recall
-           |FROM rt JOIN rf USING (query_id, neighbor_id)
-           |GROUP BY dim ORDER BY dim""".stripMargin,
+           |  WHERE rank <= 5),
+           |ov AS (SELECT dim, COUNT(*)::BIGINT AS n
+           |       FROM rt JOIN rf USING (query_id, neighbor_id) GROUP BY dim)
+           |SELECT CAST(1 << dims.dim AS INT) AS dim,
+           | CAST(COALESCE(n, 0) AS BIGINT) AS n_overlap,
+           | CAST(COALESCE(n, 0) AS DOUBLE) / 40.0 AS recall
+           |FROM dims LEFT JOIN ov USING (dim) ORDER BY 1""".stripMargin,
+           // dims LEFT JOIN (not GROUP BY over the join): a dim with ZERO
+           // top-5 overlap must still emit its (dim, 0, 0.0) row — Spark's
+           // ungrouped agg always does; the inner-join GROUP BY dropped it
+           // (sf0.1 gate catch, round 13: dim=8 over 2000 vectors really
+           // does hit zero overlap)
       "q59_array_funcs" ->
         s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id <= 60)
            |SELECT doc_id,
