@@ -130,7 +130,10 @@ object Bench {
         * clean; a fully-contended query's best is still inflated). */
       def contended: Boolean = {
         val runs = (Seq(cold, warm) ++ reruns).filter(_ >= 0)
-        runs.size >= 2 && runs.min > 0 &&
+        // the absolute floor keeps sub-second queries from flagging on
+        // trivia (a 0.5 s cold vs 0.05 s warm sentinel is JIT, not a
+        // noisy neighbor — the first full run flagged _gate_meta)
+        runs.size >= 2 && runs.min > 0 && runs.max - runs.min > 1.0 &&
           runs.max / runs.min > 5.0 && gc < (runs.max - runs.min) / 2
       }
     }
