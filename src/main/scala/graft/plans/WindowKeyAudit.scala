@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Expression, Literal, Pmod, Remainder}
 import org.apache.spark.sql.catalyst.plans.logical._
 
 /** SURVEY §5.1's window key-cardinality audit as a STANDING gate
@@ -30,12 +31,13 @@ import org.apache.spark.sql.catalyst.plans.logical._
   *
   * X-ray contract: run with `spark.graft.ckpt.disabled=true` so lazy
   * localCheckpoints (Ckpt.lazyCkpt) don't truncate the visible plan —
-  * round 12's `events_dgim` finding hid exactly there. Known residual
-  * blind spots: EAGER checkpoints (correctness pins — their subtrees
-  * were planned before the audit sees them) and expressions that are
-  * low-card but reference a high-card column (pmod(user_id, 2) as an
-  * inline partition expression; the repo convention is to alias such
-  * keys to a named column first, which this audit then sees).
+  * round 12's `events_dgim` finding hid exactly there. Low-card
+  * EXPRESSIONS over high-card columns (pmod(user_id, 2)) are detected
+  * through [[isSmallModulo]], including when the analyzer extracts the
+  * inline expression into a `_wN` projection (traced by exprId to its
+  * defining Alias). Known residual blind spot: EAGER checkpoints
+  * (correctness pins — their subtrees were planned before the audit
+  * sees them; all are swap/replay pins, not window carriers).
   */
 object WindowKeyAudit {
 
@@ -127,12 +129,41 @@ object WindowKeyAudit {
     case other => other.children.flatMap(c => inputClasses(c, winKeys))
   }
 
+  /** Modulo-by-a-small-literal is low-card whatever column it hashes —
+    * `pmod(user_id, 2)` has 2 values however many users exist. The
+    * analyzer extracts inline window partition expressions into `_wN`
+    * projections, so the shape is detected through the defining Alias. */
+  private def isSmallModulo(e: Expression): Boolean = e match {
+    case p: Pmod      => smallLit(p.children(1))
+    case r: Remainder => smallLit(r.children(1))
+    case a: Alias     => isSmallModulo(a.child)
+    case c: Cast      => isSmallModulo(c.child)
+    case _            => false
+  }
+  private def smallLit(e: Expression): Boolean = e match {
+    case Literal(v: Int, _)  => v > 0 && v <= 64
+    case Literal(v: Long, _) => v > 0 && v <= 64
+    case _                   => false
+  }
+  private def definingExpr(p: LogicalPlan, a: Attribute): Option[Expression] =
+    p.collect { case proj: Project =>
+      proj.projectList.collectFirst { case al: Alias if al.exprId == a.exprId => al.child }
+    }.flatten.headOption
+
   /** Violations in one query's OPTIMIZED plan. */
   def findings(name: String, plan: LogicalPlan): Seq[String] =
     plan.collect {
       case w: Window if w.partitionSpec.nonEmpty =>
         val keys = w.partitionSpec.flatMap(_.references.map(_.name)).distinct
-        if (keys.forall(lowCardNames.contains) && !justified.contains(name)) {
+        val allLowCard = w.partitionSpec.forall { pe =>
+          pe.references.map(_.name).forall(lowCardNames.contains) ||
+            isSmallModulo(pe) ||
+            (pe.references.toSeq match {
+              case Seq(a) => definingExpr(w.child, a).exists(isSmallModulo)
+              case _      => false
+            })
+        }
+        if (allLowCard && !justified.contains(name)) {
           val classes = inputClasses(w.child, keys)
           if (classes.contains(DataSized))
             Seq(s"$name: Window.partitionBy(${keys.mkString(", ")}) over a " +

@@ -18,6 +18,32 @@ class WindowKeyAuditSpec extends SparkSpec {
     assert(out.isEmpty, s"${out.size} low-card RAW windows:\n${out.mkString("\n")}")
   }
 
+  test("the detector fires on a small-modulo key over a raw scan " +
+    "(the pmod(user_id, 2) shape, inline or aliased)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // inline: the analyzer extracts pmod into a _wN projection — the
+    // audit must trace it; aliased: plain name-invisible low-card key
+    val inline = raw.withColumn("rn",
+      row_number().over(Window.partitionBy(pmod(col("user_id"), lit(2)))
+        .orderBy(col("event_id"))))
+    val aliased = raw.withColumn("par2", pmod(col("user_id"), lit(2)))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("par2")
+          .orderBy(col("event_id"))))
+    Seq("inline" -> inline, "aliased" -> aliased).foreach { case (kind, df) =>
+      val out = graft.plans.WindowKeyAudit.findings(s"synthetic_$kind",
+        df.queryExecution.optimizedPlan)
+      assert(out.nonEmpty, s"$kind small-modulo hot window must be flagged")
+    }
+    // and a HIGH-card key over the same scan must NOT flag
+    val good = raw.withColumn("rn",
+      row_number().over(Window.partitionBy("user_id").orderBy(col("event_id"))))
+    assert(graft.plans.WindowKeyAudit
+      .findings("synthetic_good", good.queryExecution.optimizedPlan).isEmpty)
+  }
+
   test("every justified exception names a real query") {
     val unknown = WindowKeyAudit.justified.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"justified entries without a query: $unknown")
