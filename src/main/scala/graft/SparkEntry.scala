@@ -198,10 +198,13 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
     "q3_join_topn" -> ((s, d) => {
+      // customer is SCALE-PROPORTIONAL (sf·150k rows) — no explicit
+      // broadcast hint: AQE auto-broadcasts the segment slice while it
+      // fits its size-guarded threshold and shuffle-joins beyond it.
       val cust = T(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
       T(s, d, "lineitem")
         .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(dsum(revenueTerm, 6).as("revenue"))
         .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"), col("revenue"))
@@ -218,12 +221,16 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
     "q5_multijoin" -> ((s, d) => {
-      val dims = broadcast(
+      // nation/region are FIXED-domain (25/5 rows at every SF) — they
+      // keep explicit broadcast hints. customer is scale-proportional,
+      // so the assembled dim side carries NO hint: AQE auto-broadcasts
+      // it while small, shuffle-joins it at 100×.
+      val dims =
         T(s, d, "customer")
           .join(broadcast(T(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(T(s, d, "region").filter(col("r_name") === "ASIA")),
             col("n_regionkey") === col("r_regionkey"))
-          .select("c_custkey", "n_name"))
+          .select("c_custkey", "n_name")
       T(s, d, "lineitem")
         .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(dims, col("o_custkey") === col("c_custkey"))
@@ -1059,7 +1066,7 @@ object SparkEntry {
         shingleSize = 2, numBands = 32, rowsPerBand = 3)
       // materialize day-1 pairs BEFORE the append mutates the index the
       // lazy plan would re-read
-      val p1 = pairs1.localCheckpoint()
+      val p1 = pairs1.transform(Ckpt.eagerCkpt)
       IncrementalDedupOps.appendToIndex(day1, "text", "doc_id", idx,
         numBuckets = 4, shingleSize = 2, numBands = 32, rowsPerBand = 3)
       val pairs2 = IncrementalDedupOps.probe(docs.filter(m4 === 0), "text", "doc_id", idx,
@@ -1502,22 +1509,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "data_contam_report" -> ((s, d) => {
-      // per-eval-item contamination audit: every 50th doc is the eval
-      // set, the REST are training docs; for each eval item, count the
+      // per-eval-item contamination audit: docs 0..127 are the eval
+      // set (a benchmark is FIXED-SIZE — it does not grow with the
+      // corpus, so the stand-in is an id prefix, not a modulo sample,
+      // keeping the broadcast input bounded by construction), the REST
+      // are training docs; for each eval item, count the
       // training docs and distinct 8-grams leaking into it
       val all = TP(s, d, "documents")
-      val isBench = col("doc_id") % 50 === 0
+      val isBench = col("doc_id") < 128
       DecontamOps.contaminationReport(all.filter(!isBench), "text", "doc_id",
           all.filter(isBench), "text", "doc_id", n = 8)
         .orderBy("bench_id")
     }),
     "data_decontam" -> ((s, d) => {
-      // benchmark decontamination: every 50th doc stands in for an eval
-      // set; docs sharing any word 8-gram with it are contaminated
+      // benchmark decontamination: docs 0..127 stand in for an eval
+      // set (fixed-size id prefix — bounded broadcast by construction); docs sharing any word 8-gram with it are contaminated
       // (benchmark members trivially hit themselves — kept; the oracle
       // computes the same). Bench shingles broadcast; corpus scans once.
       val docs = TP(s, d, "documents")
-      val bench = docs.filter(col("doc_id") % 50 === 0).select(col("text"))
+      val bench = docs.filter(col("doc_id") < 128).select(col("text"))
       DecontamOps.contaminationHits(docs, "text", "doc_id", bench, "text", n = 8)
         .orderBy("doc_id")
     }),
@@ -1670,7 +1680,7 @@ object SparkEntry {
       // operator; the composition itself is what this query pins.
       val docs = TP(s, d, "documents")
       val deduped = DedupOps.exactKeepFirst(docs, "text", "doc_id")
-      val bench = docs.filter(col("doc_id") % 50 === 0).select(col("text"))
+      val bench = docs.filter(col("doc_id") < 128).select(col("text"))
       val clean = DecontamOps.decontaminated(deduped, "text", "doc_id", bench, "text", n = 8)
       val scored = clean
         .select(col("doc_id"), TextFunctions.normText(col("text")).as("norm"))
@@ -1724,11 +1734,11 @@ object SparkEntry {
     }),
     "data_decontam_ngram" -> ((s, d) => {
       // fractional n-gram-overlap contamination (GPT-3/PaLM-style):
-      // benchmark = every 97th doc; flag corpus docs sharing ≥50% of an
+      // benchmark = docs 0..63 (fixed-size id prefix); flag corpus docs sharing ≥50% of an
       // item's distinct 5-grams (the item itself scores 1.0 — that IS
       // the verbatim-inclusion signal)
       val docs = TP(s, d, "documents")
-      val bench = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id").as("bid"), col("text"))
+      val bench = docs.filter(col("doc_id") < 64).select(col("doc_id").as("bid"), col("text"))
       DecontamOps.ngramContamination(docs, "text", "doc_id", bench, "text", "bid",
           n = 5, minOverlap = 0.5)
         .orderBy("doc_id", "bench_id")
@@ -2443,8 +2453,11 @@ object SparkEntry {
       // list (custkey/user_id % 17 == 3) anti-joined through the
       // user-keyed tables, INCLUDING the FK cascade (forgotten customers
       // take their orders with them), with one audit row per table —
-      // the deletion manifest a compliance job must emit. Forget lists
-      // are tiny and broadcast; each table pays one anti join.
+      // the deletion manifest a compliance job must emit. Each table
+      // pays one anti join; the forget list carries NO broadcast hint —
+      // a real RTBF batch is usually small (AQE auto-broadcasts it,
+      // size-guarded) but nothing bounds it by construction, and the
+      // anti join stays correct at any size.
       def audit(name: String, before: DataFrame, after: DataFrame): DataFrame =
         before.agg(count(lit(1)).as("rows_before"))
           .crossJoin(after.agg(count(lit(1)).as("rows_after"))) // 1-row × 1-row
@@ -2454,9 +2467,9 @@ object SparkEntry {
       val eKept = e.filter(col("user_id") % 17 =!= 3)
       val cust = T(s, d, "customer")
       val fc = cust.filter(col("c_custkey") % 17 === 3).select(col("c_custkey"))
-      val cKept = cust.join(broadcast(fc), Seq("c_custkey"), "left_anti")
+      val cKept = cust.join(fc, Seq("c_custkey"), "left_anti")
       val ord = T(s, d, "orders")
-      val oKept = ord.join(broadcast(fc.select(col("c_custkey").as("o_custkey"))),
+      val oKept = ord.join(fc.select(col("c_custkey").as("o_custkey")),
         Seq("o_custkey"), "left_anti")
       audit("customer", cust, cKept)
         .unionByName(audit("events", e, eKept))
@@ -2755,16 +2768,21 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
     "q41_hotkey_join" -> ((s, d) => {
-      // manual hot-key split join: fact keys with > H rows take a
-      // broadcast path (the hot-key dim slice is small by construction),
-      // the long tail takes the ordinary shuffle path, and the union is
-      // invisible to the oracle (= plain join + agg). The pattern for
-      // skew KNOWN ahead of time — bucketed/pre-shuffled inputs AQE
-      // cannot re-split, or a maintained skewed-key stats table.
-      val H = 4
+      // manual hot-key split join: the K heaviest fact keys take a
+      // broadcast path, the long tail takes the ordinary shuffle path,
+      // and the union is invisible to the oracle (= plain join + agg —
+      // hot/cold is a PARTITION of keys, so ANY hot set yields the same
+      // union). The pattern for skew KNOWN ahead of time — bucketed /
+      // pre-shuffled inputs AQE cannot re-split, or a maintained
+      // skewed-key stats table. The hot set is a LIMIT-bounded top-K of
+      // heavy hitters (the data_skew_report TakeOrdered core), never a
+      // count-threshold filter: a threshold admits a fact-proportional
+      // key set (count>4 picks ~half of TPC-H orders) and the broadcast
+      // OOMs at 100×; top-K caps the broadcast at K rows by construction.
+      val K = 100
       val li = T(s, d, "lineitem").select(col("l_orderkey"), revenueTerm.as("rev"))
       val hotKeys = li.groupBy("l_orderkey").agg(count(lit(1)).as("n"))
-        .filter(col("n") > H).select("l_orderkey")
+        .orderBy(col("n").desc, col("l_orderkey")).limit(K).select("l_orderkey")
       val dim = T(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
       val hotDim = dim.join(broadcast(hotKeys),
         col("o_orderkey") === col("l_orderkey"), "left_semi")
@@ -4146,7 +4164,7 @@ object SparkEntry {
       // one join+agg+anti-join per round, eccentricity rounds).
       val pairs = DedupOps.minhashDupPairs(TP(s, d, "documents"), "text", "doc_id",
           threshold = 0.7, shingleSize = 2, numBands = 32, rowsPerBand = 3)
-        .localCheckpoint() // CC and BFS both traverse the verified pair set
+        .transform(Ckpt.eagerCkpt) // CC and BFS both traverse the verified pair set
       val comp = GraphOps.connectedComponents(pairs, "a_id", "b_id")
       val dist = GraphOps.bfsDistances(pairs,
         comp.select(col("cluster_id").as("id")).distinct(), "a_id", "b_id")
@@ -4347,7 +4365,7 @@ object SparkEntry {
       val oldPairs = DedupOps.minhashDupPairs(docs.filter(!isNew), "text", "doc_id",
         threshold = 0.7, shingleSize = 2, numBands = 32, rowsPerBand = 3)
       val oldLabels = GraphOps.connectedComponents(oldPairs, "a_id", "b_id")
-        .localCheckpoint() // "yesterday's cluster table"
+        .transform(Ckpt.eagerCkpt) // "yesterday's cluster table"
       val idx = IncrementalDedupOps.buildIndex(docs.filter(!isNew), "text", "doc_id",
         prefix = "graft_ccinc_idx", numBuckets = 4, shingleSize = 2, numBands = 32, rowsPerBand = 3)
       val delta = IncrementalDedupOps.probe(docs.filter(isNew), "text", "doc_id", idx,
@@ -4686,14 +4704,16 @@ object SparkEntry {
       // vote of its 5 exact nearest neighbors (the brute-force cosine
       // contract; vote ties break to the smaller label), reported as
       // per-true-label accuracy — the embedding-quality gate (labels
-      // cluster ⇔ accuracy high). Probes are a bounded deterministic
-      // slice and ride broadcast; the corpus never self-joins.
+      // cluster ⇔ accuracy high). Probes are an id-prefix-bounded
+      // deterministic slice (an eval set is FIXED-SIZE — it does not
+      // grow with the corpus) and ride broadcast; the corpus never
+      // self-joins.
       import org.apache.spark.sql.expressions.Window
       val vecs = TP(s, d, "embeddings")
         .select(col("vec_id"), col("label").cast("long").as("label"),
           VectorFunctions.asDouble(col("embedding")).as("vec"))
         .transform(Ckpt.lazyCkpt) // ranking + two label joins read it
-      val probes = vecs.filter(col("vec_id") % 40 === 0)
+      val probes = vecs.filter(col("vec_id") < 32)
       // label lookups join the corpus-sized map against the TINY knn /
       // pred sides — no hint, AQE broadcasts the small side (the id→label
       // map itself must never be broadcast at scale)
@@ -4821,13 +4841,13 @@ object SparkEntry {
       // engine-side, like ann_lsh/ann_ivf).
       val vecs = TP(s, d, "embeddings")
         .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
-        .localCheckpoint() // 5 rankings traverse it
+        .transform(Ckpt.eagerCkpt) // 5 rankings traverse it
       val queries = vecs.filter(col("vec_id") < 8)
       val k = 5
       val nCells = math.max(4, math.sqrt(vecs.count().toDouble).toInt)
       val bf = SimilarityOps.bruteForceTopK(vecs, queries, "vec_id", "vec", k)
         .select("query_id", "neighbor_id")
-        .localCheckpoint() // joined against every sweep point
+        .transform(Ckpt.eagerCkpt) // joined against every sweep point
       // the four sweep points as one 4-row frame via union
       val rows = Seq(16, 8, 4, 2).zipWithIndex.map { case (denom, i) =>
         val ivf = SimilarityOps.ivfTopK(vecs, queries, "vec_id", "vec", k,
@@ -5003,12 +5023,12 @@ object SparkEntry {
       // a Matryoshka-trained embedding fleet.
       val vecs = TP(s, d, "embeddings")
         .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("vec"))
-        .localCheckpoint() // 5 rankings traverse it
+        .transform(Ckpt.eagerCkpt) // 5 rankings traverse it
       val isQ = col("vec_id") < 8
       val k = 5
       val fullK = SimilarityOps.bruteForceTopK(vecs, vecs.filter(isQ), "vec_id", "vec", k)
         .select("query_id", "neighbor_id")
-        .localCheckpoint() // joined against every curve point
+        .transform(Ckpt.eagerCkpt) // joined against every curve point
       Seq(8, 16, 32, 64).map { dim =>
         val tr = vecs.select(col("vec_id"), slice(col("vec"), 1, dim).as("vec"))
         val trK = SimilarityOps.bruteForceTopK(tr, tr.filter(isQ), "vec_id", "vec", k)
@@ -5083,7 +5103,7 @@ object SparkEntry {
       val p1 = DedupOps.applyPairDedup(docs, "doc_id",
         DedupOps.minhashDupPairs(docs, "text", "doc_id", threshold = 0.7,
           shingleSize = 2, numBands = 32, rowsPerBand = 3))
-        .localCheckpoint() // pass 2 re-shingles THIS output
+        .transform(Ckpt.eagerCkpt) // pass 2 re-shingles THIS output
       val p2 = DedupOps.applyPairDedup(p1, "doc_id",
         DedupOps.minhashDupPairs(p1, "text", "doc_id", threshold = 0.7,
           shingleSize = 2, numBands = 32, rowsPerBand = 3))

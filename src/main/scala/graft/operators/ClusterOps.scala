@@ -53,7 +53,7 @@ object ClusterOps {
       aCol: String = "a_id",
       bCol: String = "b_id"
   ): DataFrame =
-    GraphOps.connectedComponents(pairs, aCol, bCol).localCheckpoint()
+    GraphOps.connectedComponents(pairs, aCol, bCol).transform(Ckpt.eagerCkpt)
 
   /** One Lloyd iteration of k-means over `vecCol`, fully relational and
     * engine-exact: initial centroids are the `k` vectors with smallest

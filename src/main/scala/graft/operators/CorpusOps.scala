@@ -213,7 +213,7 @@ object CorpusOps {
       checkpointTerms: Boolean = false
   ): DataFrame = {
     val terms0 = docTermCounts(docs, idCol, textCol)
-    val terms = if (checkpointTerms) terms0.localCheckpoint() else terms0
+    val terms = if (checkpointTerms) terms0.transform(Ckpt.eagerCkpt) else terms0
     val dfTable = terms.groupBy("token").agg(count(lit(1)).as("df"))
     tfidfRank(docs, idCol, terms, dfTable)
   }

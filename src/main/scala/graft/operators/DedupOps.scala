@@ -321,7 +321,7 @@ object DedupOps {
       materializeSignatures: Boolean = true
   ): DataFrame = {
     val docs0 = df.select(col(idCol).as("id"), hashedShingleSet(col(textCol), shingleSize).as("sh"))
-    val docs = if (materializeSignatures) docs0.localCheckpoint(false) else docs0
+    val docs = if (materializeSignatures) docs0.transform(Ckpt.lazyCkpt) else docs0
     val sh = docs.select(col("id"), explode(col("sh")).as("h"))
     // per-shingle df via two-level groupBy — map-side partial aggregation
     // bounds a hot boilerplate shingle to one row per map partition. (The
@@ -378,11 +378,11 @@ object DedupOps {
         transform(sequence(lit(1), length(col("s"))),
           i => concat(
             col("s").substr(lit(1), i - 1),
-            col("s").substr(i + 1, length(col("s")))))))).as("v"))
-    val buckets = variants.groupBy("v")
+            col("s").substr(i + 1, length(col("s")))))))).as("del_variant"))
+    val buckets = variants.groupBy("del_variant")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-    val cands = allBucketPairs(buckets, Seq("v"), "ids", maxBucketSize)
+    val cands = allBucketPairs(buckets, Seq("del_variant"), "ids", maxBucketSize)
       .select(col("a").as("a_id"), col("b").as("b_id"))
       .distinct()
     cands

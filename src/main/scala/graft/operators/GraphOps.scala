@@ -39,10 +39,10 @@ object GraphOps {
     val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint() // edge derivation (e.g. a full LSH dedup) runs once, not per round
+      .transform(Ckpt.eagerCkpt) // edge derivation (e.g. a full LSH dedup) runs once, not per round
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
-      .localCheckpoint()
+      .transform(Ckpt.eagerCkpt)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -55,7 +55,7 @@ object GraphOps {
       val hooked = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"), col("cluster_id").as("old_cid"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint() // consumed twice by the jump self-join: don't re-run the hook join
+        .transform(Ckpt.eagerCkpt) // consumed twice by the jump self-join: don't re-run the hook join
 
       // jump: adopt the label OF the label (labels only ever decrease, so
       // the parent's label is ≤ ours; this halves label-tree depth and
@@ -66,7 +66,7 @@ object GraphOps {
           col("l.cluster_id") === col("pid"), "left")
         .select(col("l.id").as("id"), jumped.as("cluster_id"),
           (jumped =!= col("l.old_cid")).as("__chg"))
-        .localCheckpoint()
+        .transform(Ckpt.eagerCkpt)
       // convergence check over the checkpoint blocks just written — a
       // pure local scan with early exit, not the next×labels shuffle
       // join the previous shape paid per round (round-5 verdict item)
@@ -105,10 +105,10 @@ object GraphOps {
   ): DataFrame = {
     val dec = "decimal(38,18)"
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+      .distinct().transform(Ckpt.eagerCkpt)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).transform(Ckpt.eagerCkpt)
     val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .unionByName(e.select(col("dst").as("id"))).distinct().transform(Ckpt.eagerCkpt)
     val n = nodes.count()
     val base = (BigDecimal(1) - damping) / BigDecimal(n) // scale-18 default is plenty
     var ranks = nodes.withColumn("rank", lit((BigDecimal(1) / BigDecimal(n)).setScale(18, BigDecimal.RoundingMode.HALF_UP)).cast(dec))
@@ -124,7 +124,7 @@ object GraphOps {
           (lit(base.setScale(18, BigDecimal.RoundingMode.HALF_UP)).cast(dec) +
             (lit(damping).cast("decimal(3,2)") * coalesce(col("in_sum"), lit(0).cast(dec))).cast(dec))
             .cast(dec).as("rank"))
-        .localCheckpoint()
+        .transform(Ckpt.eagerCkpt)
       i += 1
     }
     ranks
@@ -161,10 +161,10 @@ object GraphOps {
     val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint() // edge derivation runs once, not per BFS round
+      .transform(Ckpt.eagerCkpt) // edge derivation runs once, not per BFS round
     var settled = seeds.select(col("id")).distinct()
       .withColumn("dist", lit(0L))
-      .localCheckpoint()
+      .transform(Ckpt.eagerCkpt)
     var frontier = settled
     var it = 0
     while (it < maxIter && !frontier.isEmpty) {
@@ -173,8 +173,8 @@ object GraphOps {
         .agg(min(col("dist") + 1).as("ndist"))
         .join(settled, col("nid") === settled("id"), "left_anti")
         .select(col("nid").as("id"), col("ndist").as("dist"))
-        .localCheckpoint() // read twice: union into settled + next frontier
-      settled = settled.unionByName(next).localCheckpoint()
+        .transform(Ckpt.eagerCkpt) // read twice: union into settled + next frontier
+      settled = settled.unionByName(next).transform(Ckpt.eagerCkpt)
       frontier = next
       it += 1
     }
@@ -213,16 +213,16 @@ object GraphOps {
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), col(wCol).as("w"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst"), col(wCol).as("w")))
       .groupBy("src", "dst").agg(min("w").as("w"))
-      .localCheckpoint() // derived once, joined every round
+      .transform(Ckpt.eagerCkpt) // derived once, joined every round
     var dist = seeds.select(col("id")).distinct()
       .withColumn("dist", lit(0L))
-      .localCheckpoint()
+      .transform(Ckpt.eagerCkpt)
     for (_ <- 1 to maxHops) {
       dist = dist.join(und, dist("id") === und("src"))
         .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
         .unionByName(dist)
         .groupBy("id").agg(min("dist").as("dist"))
-        .localCheckpoint()
+        .transform(Ckpt.eagerCkpt)
     }
     dist
   }
@@ -358,18 +358,18 @@ object GraphOps {
       .distinct()
     var und = canon.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+      .transform(Ckpt.eagerCkpt)
     var nEdges = und.count()
     var it = 0
     var done = nEdges == 0
     while (it < maxIter && !done) {
       val keep = und.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("src")
-        .localCheckpoint() // both semi-joins read it
+        .transform(Ckpt.eagerCkpt) // both semi-joins read it
       val next = und
         .join(keep, Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-        .localCheckpoint()
+        .transform(Ckpt.eagerCkpt)
       val n = next.count()
       done = n == nEdges
       und = next; nEdges = n; it += 1

@@ -294,13 +294,13 @@ object IncrementalDedupOps {
       // self-dedup pair gen, the survivor write AND the index append —
       // and the append must not evaluate a plan that still reads the
       // table being appended to (writeBucketed deadlock contract)
-      val stable = batch.localCheckpoint()
+      val stable = batch.transform(Ckpt.eagerCkpt)
       val dropIdx = probeWinnowIndex(stable, textCol, idCol, fpsTable, minShared, k, w)
         .select(col("batch_id").as("__drop_id")).distinct()
       val clean = stable.join(dropIdx, stable(idCol) === col("__drop_id"), "left_anti")
       val pairs = DedupOps.winnowDupPairs(clean, textCol, idCol, k, w, minShared)
         .select(col("a_id"), col("b_id"))
-      val kept = DedupOps.applyPairDedup(clean, idCol, pairs).localCheckpoint()
+      val kept = DedupOps.applyPairDedup(clean, idCol, pairs).transform(Ckpt.eagerCkpt)
       kept.withColumn("__batch_id", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

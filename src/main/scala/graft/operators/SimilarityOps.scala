@@ -338,7 +338,13 @@ object SimilarityOps {
       .transform(Ckpt.lazyCkpt) // consumed by both sides
     val xs = u.filter(col("side") === 0).select(col("id").as("x_id"), col("unit").as("xv"))
     val ys = u.filter(col("side") =!= 0).select(col("id").as("y_id"), col("unit").as("yv"))
-    val cross = xs.join(broadcast(ys))
+    // The exact-baseline contract is quadratic (mutual-kNN margins need
+    // the full x×y cosine table; the scale path is the ANN family), but
+    // BOTH sides are corpus-sized, so the pair generation carries NO
+    // broadcast hint: Spark picks BroadcastNestedLoop itself while a
+    // side fits the size-guarded threshold, and a partitioned cartesian
+    // beyond it — slow is acceptable for a baseline, an OOM is not.
+    val cross = xs.join(ys)
       .select(col("x_id"), col("y_id"),
         round(VectorFunctions.dot(col("xv"), col("yv")), 6).cast("decimal(9,6)").as("cos"))
       .transform(Ckpt.lazyCkpt) // consumed 3× (x-means, y-means, pairs)

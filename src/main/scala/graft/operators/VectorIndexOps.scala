@@ -448,7 +448,7 @@ object VectorIndexOps {
       s"rebuild expects a <prefix>_cells table, got ${index.cellsTable}")
     val prefix = index.cellsTable.stripSuffix("_cells")
     val vectors = spark.table(index.cellsTable)
-      .select(col("neighbor_id").as("id"), col("unit")).localCheckpoint()
+      .select(col("neighbor_id").as("id"), col("unit")).transform(Ckpt.eagerCkpt)
     buildIvfPqIndex(vectors, "id", "unit", prefix, nCells, numBuckets,
       index.subspaces, index.codes, iters)
   }
@@ -570,7 +570,7 @@ object VectorIndexOps {
     // join, and the survivor append — each of which would otherwise
     // re-execute the index-probe join lineage; one eager checkpoint
     // caps that at a single execution
-    val rem = d.join(dropIdx, Seq("id"), "left_anti").localCheckpoint()
+    val rem = d.join(dropIdx, Seq("id"), "left_anti").transform(Ckpt.eagerCkpt)
     val dropSelf = SimilarityOps.cellDrops(rem, index.tau)
     val out = d.select("id", "cell", "cent_sim")
       .join(dropIdx.withColumn("__di", lit(1)), Seq("id"), "left")
@@ -585,7 +585,7 @@ object VectorIndexOps {
       // the append below MUTATES the index table this plan reads —
       // verdicts must be pinned against the PRE-append index state
       // (delta-sized, so the eager local checkpoint is bounded)
-      val pinned = out.localCheckpoint()
+      val pinned = out.transform(Ckpt.eagerCkpt)
       val survivors = rem.join(dropSelf, Seq("id"), "left_anti")
         .select("id", "cell", "cent_sim", "unit")
       BucketOps.appendBucketed(survivors, index.cellsTable, numBuckets, Seq("cell"),
@@ -621,7 +621,7 @@ object VectorIndexOps {
       s"rebuild expects a <prefix>_cells table, got ${index.cellsTable}")
     val prefix = index.cellsTable.stripSuffix("_cells")
     val survivors = spark.table(index.cellsTable)
-      .select(col("id"), col("unit")).localCheckpoint()
+      .select(col("id"), col("unit")).transform(Ckpt.eagerCkpt)
     buildSemDedupIndex(survivors, "id", "unit", prefix, nCells, numBuckets,
       index.tau, iters)
   }

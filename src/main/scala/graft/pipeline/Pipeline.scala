@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.operators.{DiffOps, FlattenOps}
+import graft.operators.{Ckpt, DiffOps, FlattenOps}
 import graft.sources.SourceRegistry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
@@ -150,7 +150,7 @@ object Pipeline {
             if (update) {
               // survivors must materialize BEFORE the index append so
               // the probe's band join cannot observe its own writes
-              val stable = kept.localCheckpoint()
+              val stable = kept.transform(Ckpt.eagerCkpt)
               if (!spark.catalog.tableExists(idx.bands))
                 I.buildIndex(stable, text, id, prefix, buckets,
                   shingleSize, numBands, rowsPerBand)
@@ -200,7 +200,7 @@ object Pipeline {
                 val spark = df.sparkSession
                 val tbl = s"${prefix}_fps"
                 if (!spark.catalog.tableExists(tbl)) {
-                  val kept = selfDedup(df).localCheckpoint()
+                  val kept = selfDedup(df).transform(Ckpt.eagerCkpt)
                   I.buildWinnowIndex(kept, text, id, prefix, buckets, k, w)
                   kept
                 } else {
@@ -209,7 +209,7 @@ object Pipeline {
                   val kept = selfDedup(
                     df.join(dropIdx, df(id) === F.col("__drop_id"), "left_anti"))
                   if (update) {
-                    val stable = kept.localCheckpoint()
+                    val stable = kept.transform(Ckpt.eagerCkpt)
                     I.appendToWinnowIndex(stable, text, id, tbl, buckets, k, w)
                     stable
                   } else kept

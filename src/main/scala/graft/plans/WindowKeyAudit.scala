@@ -35,9 +35,10 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * EXPRESSIONS over high-card columns (pmod(user_id, 2)) are detected
   * through [[isSmallModulo]], including when the analyzer extracts the
   * inline expression into a `_wN` projection (traced by exprId to its
-  * defining Alias). Known residual blind spot: EAGER checkpoints
-  * (correctness pins — their subtrees were planned before the audit
-  * sees them; all are swap/replay pins, not window carriers).
+  * defining Alias). EAGER checkpoints (correctness pins) are covered
+  * since round 14: every `Ckpt.eagerCkpt` site records its
+  * pre-checkpoint optimized plan when `spark.graft.ckpt.record=true`,
+  * and [[auditAll]] drains and audits those subtrees per query.
   */
 object WindowKeyAudit {
 
@@ -64,13 +65,13 @@ object WindowKeyAudit {
     "band", "bb", "bucket", "slab", "bin", "cell", "i", "t", "sub",
     "v", "value", "n_chars", "score_pct", "tf", "pfx", "dur", "dur_days",
     "offset", "age", "lag", "step", "perm", "fold", "b", "code", "q",
-    "gram_pos", "w", "hb")
+    "gram_pos", "w", "hb", "pos", "l_quantity")
 
   /** Names that make an aggregate's output DATA-PROPORTIONAL — a
     * frontier aggregate grouped by one of these can NOT be blessed as a
     * band table however its other keys look. */
   val highCardNames: Set[String] = Set(
-    "user_id", "doc_id", "id", "event_id", "query_id", "neighbor_id",
+    "user_id", "doc_id", "id", "event_id", "query_id", "neighbor_id", "vec_id",
     "a_id", "b_id", "cluster_id", "chunk_id", "item", "unit", "host",
     "token", "word", "gram", "shingle", "fp", "fp_hash", "src", "dst",
     "node", "c_custkey", "o_custkey", "s_suppkey", "l_suppkey",
@@ -175,19 +176,30 @@ object WindowKeyAudit {
         } else Nil
     }.flatten
 
-  /** Audit every SparkEntry query; returns all violations. */
+  /** Audit every SparkEntry query (final plan + every eagerly
+    * checkpointed subtree recorded through the Ckpt seam); returns all
+    * violations. */
   def auditAll(spark: SparkSession, sfDir: String): Seq[String] = {
     spark.conf.set("spark.graft.ckpt.disabled", "true")
+    spark.conf.set("spark.graft.ckpt.record", "true")
     try {
       graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
-        try findings(n, fn(spark, sfDir).queryExecution.optimizedPlan)
-        catch {
+        try {
+          graft.operators.Ckpt.drainRecorded()
+          val top = findings(n, fn(spark, sfDir).queryExecution.optimizedPlan)
+          val sub = graft.operators.Ckpt.drainRecorded().flatMap(p =>
+            findings(s"$n [ckpt subtree]", p))
+          top ++ sub
+        } catch {
           case e: Throwable =>
             Seq(s"$n: audit could not build/optimize — ${e.getClass.getSimpleName} " +
               String.valueOf(e.getMessage).linesIterator.take(1).mkString)
         }
       }
-    } finally spark.conf.set("spark.graft.ckpt.disabled", "false")
+    } finally {
+      spark.conf.set("spark.graft.ckpt.disabled", "false")
+      spark.conf.set("spark.graft.ckpt.record", "false")
+    }
   }
 
   def main(args: Array[String]): Unit = {

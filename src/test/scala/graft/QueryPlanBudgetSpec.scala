@@ -20,7 +20,12 @@ class QueryPlanBudgetSpec extends SparkSpec {
   private val budgets = Map(
     "q1_agg" -> 2,            // agg + final ORDER BY
     "q3_join_topn" -> 1,      // broadcast join (no shuffle) + agg; topN is TakeOrdered
-    "q5_multijoin" -> 2,      // 5-table join: dims broadcast, agg + ORDER BY only
+    "q5_multijoin" -> 4,      // 5-table join: nation/region broadcast; the
+                              // customer dim side carries NO static hint
+                              // (scale-proportional — BroadcastSizeAudit), so
+                              // the STATIC plan shows its equi-join exchanges;
+                              // AQE collapses them to a broadcast at runtime
+                              // while the dim side fits the size threshold
     "q6_selective_agg" -> 1,  // global agg single-partition exchange
     "q10_topk" -> 0,          // TakeOrderedAndProject — no exchange at all
     "dedup_exact" -> 3,       // TP repartition + hash agg + ORDER BY

@@ -1236,7 +1236,7 @@ object Oracles {
       "data_decontam" ->
         s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
            |shl AS (SELECT doc_id, unnest(list_distinct(${shingles("tk", 8)})) AS s FROM t),
-           |b AS (SELECT DISTINCT s FROM shl WHERE doc_id % 50 = 0)
+           |b AS (SELECT DISTINCT s FROM shl WHERE doc_id < 128)
            |SELECT doc_id, COUNT(*) AS n_hits FROM shl JOIN b USING (s)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "data_token_budget" ->
@@ -1251,8 +1251,8 @@ object Oracles {
       "data_contam_report" ->
         s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
            |shl AS (SELECT doc_id, unnest(list_distinct(${shingles("tk", 8)})) AS s FROM t),
-           |d AS (SELECT doc_id, s FROM shl WHERE doc_id % 50 <> 0),
-           |b AS (SELECT doc_id AS bench_id, s FROM shl WHERE doc_id % 50 = 0)
+           |d AS (SELECT doc_id, s FROM shl WHERE doc_id >= 128),
+           |b AS (SELECT doc_id AS bench_id, s FROM shl WHERE doc_id < 128)
            |SELECT bench_id, COUNT(DISTINCT d.doc_id) AS n_contaminating_docs,
            | COUNT(DISTINCT s) AS n_shared_grams
            |FROM b JOIN d USING (s) GROUP BY bench_id ORDER BY bench_id""".stripMargin,
@@ -1741,7 +1741,7 @@ object Oracles {
            |  FROM documents) WHERE rn = 1),
            |dt AS (SELECT doc_id, $toks AS tk FROM dedup),
            |dsh AS (SELECT doc_id, unnest(list_distinct(${shingles("tk", 8)})) AS s FROM dt),
-           |bt AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id % 50 = 0),
+           |bt AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 128),
            |b AS (SELECT DISTINCT unnest(list_distinct(${shingles("tk", 8)})) AS s FROM bt),
            |contaminated AS (SELECT DISTINCT doc_id FROM dsh JOIN b USING (s)),
            |clean AS (SELECT doc_id, text FROM dedup
@@ -1794,7 +1794,7 @@ object Oracles {
       "data_decontam_ngram" ->
         s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
            |sh AS MATERIALIZED (SELECT doc_id, list_distinct(${shingles("tk", 5)}) AS s FROM t),
-           |e AS (SELECT doc_id AS bench_id, s AS es FROM sh WHERE doc_id % 97 = 0)
+           |e AS (SELECT doc_id AS bench_id, s AS es FROM sh WHERE doc_id < 64)
            |SELECT c.doc_id, e.bench_id,
            | CAST(len(list_intersect(c.s, e.es)) AS BIGINT) AS n_shared,
            | CAST(len(e.es) AS BIGINT) AS bench_n,
@@ -3560,7 +3560,7 @@ object Oracles {
            |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
            |  b.label AS nbr_label,
            |  ROUND($dotExpr / (${normExpr("a")} * ${normExpr("b")}), 6) AS cosine
-           |  FROM base a JOIN base b ON a.vec_id % 40 = 0 AND b.vec_id <> a.vec_id),
+           |  FROM base a JOIN base b ON a.vec_id < 32 AND b.vec_id <> a.vec_id),
            |ranked AS (SELECT query_id, nbr_label,
            |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
            |  FROM scored),
