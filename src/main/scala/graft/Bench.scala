@@ -94,25 +94,32 @@ object Bench {
       System.err.println(s"[bench] BlockManager log filter not installed: ${e.getMessage}")
     }
 
-    def runOnce(name: String): Double = {
+    import scala.jdk.CollectionConverters._
+    def gcSec: Double =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum / 1000.0
+
+    // returns (wall seconds, GC seconds DURING this run) — the contended
+    // verdict needs GC attributed per run, not per pass (round-13
+    // advisor item 3: a GC-inflated pass-2 rerun compared against
+    // pass-1-only GC was misread as external contention)
+    def runOnce(name: String): (Double, Double) = {
       spark.catalog.clearCache()
+      val g0 = gcSec
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); return (-1.0, gcSec - g0) }
+      ((System.nanoTime() - t0) / 1e9, gcSec - g0)
     }
 
     // JVM/codegen warmup on a tiny sf so measured numbers reflect steady state
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    import scala.jdk.CollectionConverters._
-    def gcSec: Double =
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
-        .map(_.getCollectionTime).sum / 1000.0
-
     val names = SparkEntry.queries.keys.toSeq.sorted
-    case class M(name: String, cold: Double, warm: Double, gc: Double, reruns: Seq[Double] = Nil) {
+    case class M(name: String, cold: Double, warm: Double, gcCold: Double, gcWarm: Double,
+        reruns: Seq[Double] = Nil, rerunGc: Seq[Double] = Nil) {
+      def gc: Double = gcCold + gcWarm
       def best(orig: Double): Double = {
         val ok = reruns.filter(_ >= 0)
         if (orig < 0 && ok.nonEmpty) ok.min
@@ -129,31 +136,40 @@ object Bench {
         * runs absorbs a contended run only when at least one run was
         * clean; a fully-contended query's best is still inflated). */
       def contended: Boolean = {
-        val runs = (Seq(cold, warm) ++ reruns).filter(_ >= 0)
+        val runGc = (Seq(cold -> gcCold, warm -> gcWarm) ++ reruns.zip(rerunGc))
+          .filter(_._1 >= 0)
+        val runs = runGc.map(_._1)
+        // GC accumulated over ALL runs in the spread, so a GC-inflated
+        // pass-2 rerun reads as GC, not as external contention
+        val gcAll = runGc.map(_._2).sum
         // the absolute floor keeps sub-second queries from flagging on
         // trivia (a 0.5 s cold vs 0.05 s warm sentinel is JIT, not a
         // noisy neighbor — the first full run flagged _gate_meta)
         runs.size >= 2 && runs.min > 0 && runs.max - runs.min > 1.0 &&
-          runs.max / runs.min > 5.0 && gc < (runs.max - runs.min) / 2
+          runs.max / runs.min > 5.0 && gcAll < (runs.max - runs.min) / 2
       }
     }
     // pass 1: cold + warm per query
     val first = names.map { n =>
-      val g0 = gcSec
-      val c = runOnce(n)
-      val w = runOnce(n)
-      M(n, c, w, gcSec - g0)
+      val (c, g1) = runOnce(n)
+      val (w, g2) = runOnce(n)
+      M(n, c, w, g1, g2)
     }
     // pass 2: one full re-sweep of every query; min-over-runs absorbs the
     // uniform-inflation contention mode the targeted rerun cannot detect
-    val second = first.map { m => m.copy(reruns = Seq(runOnce(m.name))) }
+    val second = first.map { m =>
+      val (r, g) = runOnce(m.name)
+      m.copy(reruns = Seq(r), rerunGc = Seq(g))
+    }
     val warms = second.map(_.warmBest).filter(_ >= 0).sorted
     val medianWarm = if (warms.isEmpty) 0.0 else warms(warms.size / 2)
     val thresh = math.max(1.5, 3.0 * medianWarm)
     val results = second.map { m =>
-      if (m.coldBest > thresh || m.warmBest > thresh || m.cold < 0 || m.warm < 0)
-        m.copy(reruns = m.reruns ++ Seq(runOnce(m.name), runOnce(m.name)))
-      else m
+      if (m.coldBest > thresh || m.warmBest > thresh || m.cold < 0 || m.warm < 0) {
+        val (r1, g1) = runOnce(m.name)
+        val (r2, g2) = runOnce(m.name)
+        m.copy(reruns = m.reruns ++ Seq(r1, r2), rerunGc = m.rerunGc ++ Seq(g1, g2))
+      } else m
     }
 
     def fmt(v: Double) = String.format(Locale.ROOT, "%.2f", Double.box(v))

@@ -1166,15 +1166,17 @@ object SparkEntry {
         dsum(when(col("side") === "delta", col("cent_sim")), 6).as("sum_d"))
       occ.crossJoin(broadcast(totals))
         .groupBy("n_base", "n_delta", "sum_b", "sum_d")
-        .agg(sum(abs(col("n_b") * col("n_delta") - col("n_d") * col("n_base")))
-          .as("l1_num"))
+        .agg(sum(abs(col("n_b").cast("decimal(38,0)") * col("n_delta")
+            - col("n_d").cast("decimal(38,0)") * col("n_base")))
+          .cast("decimal(38,0)").as("l1_num")) // Long products wrap at ~3e9 cells·side
         .select(
           col("n_base"), col("n_delta"),
           round(col("sum_b") / col("n_base"), 9).as("base_mean_sim"),
           round(col("sum_d") / col("n_delta"), 9).as("delta_mean_sim"),
           round(col("sum_b") / col("n_base") - col("sum_d") / col("n_delta"), 9)
             .as("sim_drift"),
-          expr("l1_num * 1000000L div (2L * n_base * n_delta)").as("occ_l1_ppm"))
+          expr("(l1_num * 1000000) div (cast(n_base as decimal(38,0)) * n_delta * 2)")
+            .as("occ_l1_ppm")) // whole ratio in 38-digit ints (oracle: HUGEINT)
         .withColumn("rebuild",
           abs(col("sim_drift")) > 0.005 || col("occ_l1_ppm") > 100000L)
     }),

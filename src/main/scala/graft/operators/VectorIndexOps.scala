@@ -419,7 +419,13 @@ object VectorIndexOps {
         round(col("sum_sim_d") / col("n_delta"), 9).as("delta_mean_sim"),
         round(col("sum_sim_b") / col("n_base") - col("sum_sim_d") / col("n_delta"), 9)
           .as("sim_drift"),
-        expr("(l1_num * 1000000) div (2L * n_base * n_delta)").as("occ_l1_ppm"),
+        // denominator in DECIMAL too: 2·n_base·n_delta in Long wraps
+        // silently (non-ANSI) above ~2.1e9 vectors a side — inside the
+        // regime the l1_num decimal move was made for — while the
+        // DuckDB oracle's product errors; both sides now run the whole
+        // ratio in 38-digit integers (HUGEINT on the oracle side)
+        expr("(l1_num * 1000000) div (cast(n_base as decimal(38,0)) * n_delta * 2)")
+          .as("occ_l1_ppm"),
         round(col("sum_qerr_b") / col("n_base"), 9).as("base_mean_qerr"),
         round(col("sum_qerr_d") / col("n_delta"), 9).as("delta_mean_qerr"),
         round((col("sum_qerr_d") / col("n_delta")) / (col("sum_qerr_b") / col("n_base")), 6)

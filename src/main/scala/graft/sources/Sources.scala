@@ -78,7 +78,23 @@ class FormatEndpoint(
 ) extends DfSource
     with DfSink {
   private val passOptions =
-    options -- Seq("schema", "watermark", "trigger-interval", "partitionBy")
+    options -- Seq("schema", "watermark", "trigger-interval", "partitionBy", "mode")
+
+  /** The `mode` query param maps to a real SaveMode for EVERY format
+    * provider (previously it was forwarded as a writer option STRING,
+    * which DataFrameWriter ignores — a pipeline validated against the
+    * embedded delta backend with mode=append would silently OVERWRITE
+    * the table when the real connector is present). Unknown modes fail
+    * loudly instead of falling back to the default. */
+  private def resolvedMode: SaveMode = options.get("mode").map {
+    case "append"                  => SaveMode.Append
+    case "overwrite"               => SaveMode.Overwrite
+    case "ignore"                  => SaveMode.Ignore
+    case "error" | "errorifexists" => SaveMode.ErrorIfExists
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown write mode '$other' (append|overwrite|ignore|error)")
+  }.getOrElse(writeMode)
 
   private def schemaOpt: Option[StructType] =
     options.get("schema").map(s => DataType.fromJson(s).asInstanceOf[StructType])
@@ -116,7 +132,7 @@ class FormatEndpoint(
         // can actually drain a bounded replay before the JVM exits
         options.get("await-timeout").foreach(ms => q.awaitTermination(ms.toLong))
       } else {
-        val w0 = df.write.mode(writeMode).format(format).options(passOptions)
+        val w0 = df.write.mode(resolvedMode).format(format).options(passOptions)
         val w = options.get("partitionBy") match {
           case Some(cols) => w0.partitionBy(cols.split(",").toIndexedSeq: _*)
           case None       => w0

@@ -1080,12 +1080,12 @@ object Oracles {
           | ROUND(sum_sim_b / n_base, 9) AS base_mean_sim,
           | ROUND(sum_sim_d / n_delta, 9) AS delta_mean_sim,
           | ROUND(sum_sim_b / n_base - sum_sim_d / n_delta, 9) AS sim_drift,
-          | CAST(l1_num * 1000000 // (2 * n_base * n_delta) AS BIGINT) AS occ_l1_ppm,
+          | CAST(l1_num * 1000000 // (2 * CAST(n_base AS HUGEINT) * n_delta) AS BIGINT) AS occ_l1_ppm,
           | ROUND(sum_qerr_b / n_base, 9) AS base_mean_qerr,
           | ROUND(sum_qerr_d / n_delta, 9) AS delta_mean_qerr,
           | ROUND((sum_qerr_d / n_delta) / (sum_qerr_b / n_base), 6) AS qerr_ratio,
           | (ABS(ROUND(sum_sim_b / n_base - sum_sim_d / n_delta, 9)) > 0.005
-          |  OR l1_num * 1000000 // (2 * n_base * n_delta) > 100000
+          |  OR l1_num * 1000000 // (2 * CAST(n_base AS HUGEINT) * n_delta) > 100000
           |  OR ROUND((sum_qerr_d / n_delta) / (sum_qerr_b / n_base), 6) > 1.5) AS rebuild
           |FROM tot, l1""".stripMargin,
       "graph_pagerank_check" ->
@@ -1610,15 +1610,16 @@ object Oracles {
           |  CAST(CAST(CAST(SUM(CASE WHEN side = 'base' THEN CAST(cent_sim AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_b,
           |  CAST(CAST(CAST(SUM(CASE WHEN side = 'delta' THEN CAST(cent_sim AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_d
           | FROM cl),
-          |l1 AS (SELECT SUM(ABS(n_b * n_delta - n_d * n_base))::BIGINT AS l1_num
+          |l1 AS (SELECT SUM(ABS(CAST(n_b AS HUGEINT) * n_delta
+          |                       - CAST(n_d AS HUGEINT) * n_base)) AS l1_num
           |       FROM occ, tot)
           |SELECT n_base, n_delta,
           | ROUND(sum_b / n_base, 9) AS base_mean_sim,
           | ROUND(sum_d / n_delta, 9) AS delta_mean_sim,
           | ROUND(sum_b / n_base - sum_d / n_delta, 9) AS sim_drift,
-          | l1_num * 1000000 // (2 * n_base * n_delta) AS occ_l1_ppm,
+          | CAST(l1_num * 1000000 // (2 * CAST(n_base AS HUGEINT) * n_delta) AS BIGINT) AS occ_l1_ppm,
           | (ABS(ROUND(sum_b / n_base - sum_d / n_delta, 9)) > 0.005
-          |  OR l1_num * 1000000 // (2 * n_base * n_delta) > 100000) AS rebuild
+          |  OR l1_num * 1000000 // (2 * CAST(n_base AS HUGEINT) * n_delta) > 100000) AS rebuild
           |FROM tot, l1""".stripMargin,
       "vec_quantize" ->
         """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
