@@ -301,8 +301,14 @@ object CatalogProvider extends SchemeProvider {
 /** kafka://broker:port/topic?serde=json — Kafka endpoint; plans the
   * standard `kafka` format read/write wrapped in a serde
   * (ref KafkaDataFrameSource.scala:1-60). The connector jar is absent in
-  * this container, so read()/write() surface UnsupportedSourceInEnv.
-  */
+  * this container, so read()/write() surface UnsupportedSourceInEnv —
+  * unless `embedded=true` (or conf `spark.graft.kafka.embedded=true`)
+  * routes the topic to [[EmbeddedTopicLog]], the file-backed partitioned
+  * offset log that exercises append/offset/consumer-replay semantics
+  * in-container (the EmbeddedCommitLog posture applied to kafka; the
+  * serde layer is IDENTICAL on both paths). `dir=<path>` overrides the
+  * topic's directory (default: <java.io.tmpdir>/graft_kafka/<topic>);
+  * `partitions=N` sizes a topic created by its first append. */
 object KafkaProvider extends SchemeProvider {
   val schemes = Seq("kafka", "kafka-stream")
   override def apply(uri: ParsedUri): SparkSession => DfSource with DfSink = { spark =>
@@ -314,11 +320,28 @@ object KafkaProvider extends SchemeProvider {
     // way — the registry serde follows the topic it rides on)
     val serde = graft.sources.Serde(
       if (serdeName == "avro-registry") s"avro-registry:$topic" else serdeName)
-    val extra = uri.queryParams - "serde"
+    val embeddedKeys = Seq("embedded", "dir", "partitions", "maxFilesPerTrigger",
+      "checkpointLocation")
+    val extra = uri.queryParams -- ("serde" +: embeddedKeys)
     val isStream = uri.scheme == "kafka-stream"
+    def useEmbedded: Boolean =
+      uri.queryParams.get("embedded").contains("true") ||
+        spark.conf.getOption("spark.graft.kafka.embedded").contains("true")
+    def topicDir: String = uri.queryParams.getOrElse("dir",
+      java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_kafka", topic).toString)
+    def nPartitions: Int = uri.queryParams.get("partitions").map(_.toInt).getOrElse(2)
     new DfSource with DfSink {
       override def read(): DataFrame =
-        try {
+        if (useEmbedded) {
+          val base =
+            if (isStream)
+              EmbeddedTopicLog.readStream(spark, topicDir,
+                uri.queryParams.get("maxFilesPerTrigger")
+                  .map("maxFilesPerTrigger" -> _).toMap)
+            else EmbeddedTopicLog.read(spark, topicDir)
+          serde.deserialize(base)
+        } else try {
           val base =
             if (isStream)
               spark.readStream.format("kafka").option("kafka.bootstrap.servers", broker)
@@ -332,7 +355,25 @@ object KafkaProvider extends SchemeProvider {
             throw new UnsupportedSourceInEnv(uri.scheme, e)
         }
       override def write(df: DataFrame): Boolean =
-        try {
+        if (useEmbedded) {
+          val ser = serde.serialize(df)
+          if (ser.isStreaming) {
+            // microbatch appends: each batch lands as one offset-dense
+            // append per partition; AvailableNow drains a bounded source
+            // then returns, the CLI-friendly embedded contract
+            val q = ser.writeStream
+              .foreachBatch { (b: DataFrame, _: Long) =>
+                EmbeddedTopicLog.append(b, topicDir, topic, nPartitions); ()
+              }
+              .option("checkpointLocation", uri.queryParams.getOrElse(
+                "checkpointLocation",
+                java.nio.file.Files.createTempDirectory("graft_kafka_ckpt").toString))
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          } else EmbeddedTopicLog.append(ser, topicDir, topic, nPartitions)
+          true
+        } else try {
           serde.serialize(df).write.format("kafka")
             .option("kafka.bootstrap.servers", broker).option("topic", topic)
             .options(extra).save()

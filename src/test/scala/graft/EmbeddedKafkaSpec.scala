@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.pipeline.Pipeline
+import graft.sources.EmbeddedTopicLog
+import org.apache.spark.sql.functions._
+
+/** `kafka://` against the embedded file-backed topic log (round-13
+  * verdict item 5: the kafka connector jar cannot be vendored into this
+  * zero-egress image, so the scheme exercises REAL append / offset /
+  * consumer-replay semantics — dense per-partition offsets, the
+  * connector's exact record schema, checkpointed exactly-once stream
+  * replay — instead of stopping at unit-tested serde plumbing; the
+  * EmbeddedCommitLog posture applied to kafka). */
+class EmbeddedKafkaSpec extends SparkSpec {
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("graft_ekafka").toString
+    Files.deleteIfExists(Paths.get(d)) // the first append creates it
+    d
+  }
+
+  test("kafka:// e2e through the ETL pipeline: json serde roundtrip") {
+    val dir = freshDir()
+    val (w, _) = Pipeline.fromArgs(Seq(
+      "--source", "values:///?header=a:int,b&values=1,x;2,y;3,z",
+      "--sink", s"kafka://localhost:9092/t1?embedded=true&dir=$dir&serde=json"))
+    assert(w.run(spark), "embedded kafka write must succeed")
+    val (r, _) = Pipeline.fromArgs(Seq(
+      "--source", s"kafka://localhost:9092/t1?embedded=true&dir=$dir&serde=json"))
+    val rows = r.resultView(spark, "source").orderBy("a").collect()
+      .map(x => (x.getLong(x.fieldIndex("a")), x.getString(x.fieldIndex("b")))).toSeq
+    assert(rows == Seq((1L, "x"), (2L, "y"), (3L, "z")),
+      s"values must roundtrip through serde + topic log: $rows")
+  }
+
+  test("records carry the CONNECTOR's exact schema and dense per-partition offsets") {
+    import spark.implicits._
+    val dir = freshDir()
+    val frame = Seq("r1", "r2", "r3", "r4", "r5").toDF("s")
+      .select(to_json(struct(col("s"))).cast("binary").as("value"))
+    EmbeddedTopicLog.append(frame, dir, "t2", nPartitions = 2)
+    val recs = EmbeddedTopicLog.read(spark, dir)
+    assert(recs.schema.map(f => (f.name, f.dataType)) ==
+      EmbeddedTopicLog.recordSchema.map(f => (f.name, f.dataType)),
+      s"embedded records must surface the kafka connector schema: ${recs.schema}")
+    val offsets = recs.select("partition", "offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    offsets.foreach { case (p, os) =>
+      assert(os == (0L until os.size), s"partition $p offsets must be dense from 0: $os")
+    }
+    assert(offsets.values.map(_.size).sum == 5, "every record must land exactly once")
+  }
+
+  test("a second append CONTINUES each partition's offsets (no reuse, no gaps)") {
+    import spark.implicits._
+    val dir = freshDir()
+    def frame(tag: String) = Seq(s"$tag-1", s"$tag-2").toDF("s")
+      .select(to_json(struct(col("s"))).cast("binary").as("value"))
+    val b1 = EmbeddedTopicLog.append(frame("a"), dir, "t3", nPartitions = 1)
+    val b2 = EmbeddedTopicLog.append(frame("b"), dir, "t3", nPartitions = 1)
+    assert(b1(0) == (0L, 2L) && b2(0) == (2L, 2L),
+      s"append 2 must continue at the stored end: $b1 then $b2")
+    val offs = EmbeddedTopicLog.read(spark, dir)
+      .select("offset").collect().map(_.getLong(0)).sorted.toSeq
+    assert(offs == Seq(0L, 1L, 2L, 3L), s"offsets must be dense across appends: $offs")
+  }
+
+  test("kafka-stream consumer replay: a resumed checkpoint sees ONLY unseen appends") {
+    import spark.implicits._
+    val dir = freshDir()
+    val ckpt = Files.createTempDirectory("graft_ekafka_ckpt").toString
+    def push(tag: String): Unit =
+      EmbeddedTopicLog.append(
+        Seq(tag).toDF("s").select(to_json(struct(col("s"))).cast("binary").as("value")),
+        dir, "t4", nPartitions = 1)
+    push("m1"); push("m2")
+    // memory sink cannot recover a checkpoint; foreachBatch can — and it
+    // is the shape an embedded consumer would use anyway
+    def drain(): Seq[String] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val q = EmbeddedTopicLog.readStream(spark, dir, Map.empty)
+        .select(col("value").cast("string").as("v"))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => got.add(r.getString(0))); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq
+    }
+    val first = drain()
+    assert(first.size == 2, s"first drain must deliver both initial appends, got $first")
+    push("m3")
+    val second = drain() // same checkpoint = same consumer group
+    assert(second.size == 1 && second.head.contains("m3"),
+      s"the resumed consumer must replay ONLY the unseen append: $second")
+  }
+
+  test("kafka-stream sink drains a streaming frame into offset-dense appends") {
+    val srcDir = freshDir()
+    val dstDir = freshDir()
+    import spark.implicits._
+    (1 to 3).foreach(i => EmbeddedTopicLog.append(
+      Seq(s"in$i").toDF("s").select(to_json(struct(col("s"))).cast("binary").as("value")),
+      srcDir, "t5src", nPartitions = 1))
+    val schemaJson = java.net.URLEncoder.encode(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType))).json,
+      java.nio.charset.StandardCharsets.UTF_8)
+    val (p, _) = Pipeline.fromArgs(Seq(
+      "--source", s"kafka-stream://localhost:9092/t5src?embedded=true&dir=$srcDir&serde=json:$schemaJson",
+      "--sink", s"kafka-stream://localhost:9092/t5dst?embedded=true&dir=$dstDir&serde=json&partitions=1"))
+    assert(p.run(spark), "stream-to-stream embedded kafka pipeline must drain")
+    val out = EmbeddedTopicLog.read(spark, dstDir)
+      .select(col("value").cast("string")).collect().map(_.getString(0)).sorted.toSeq
+    assert(out.size == 3 && out.forall(_.contains("in")),
+      s"every source record must land in the sink topic: $out")
+    val offs = EmbeddedTopicLog.read(spark, dstDir)
+      .select("offset").collect().map(_.getLong(0)).sorted.toSeq
+    assert(offs == (0L until 3), s"sink offsets must be dense: $offs")
+  }
+
+  test("avro-registry serde through the embedded topic degrades at the codec, " +
+    "after the registry + framing path runs") {
+    val dir = freshDir()
+    spark.conf.set("spark.graft.schemaRegistry.clientFactory",
+      "graft.FakeRegistryFactory")
+    spark.conf.set("schema.registry.url", "mock://embedded")
+    try {
+      val (p, _) = Pipeline.fromArgs(Seq(
+        "--source", "values:///?header=a:int&values=1",
+        "--sink", s"kafka://localhost:9092/reg-topic?embedded=true&dir=$dir&serde=avro-registry"))
+      val e = intercept[Exception] { p.run(spark) }
+      assert(e.isInstanceOf[graft.sources.UnsupportedSourceInEnv] ||
+        String.valueOf(e.getMessage).toLowerCase.contains("avro"),
+        s"the avro BODY codec must degrade loudly (framing ran): $e")
+    } finally {
+      spark.conf.unset("spark.graft.schemaRegistry.clientFactory")
+      spark.conf.unset("schema.registry.url")
+    }
+  }
+
+  test("without the embedded opt-in, kafka:// still degrades loudly") {
+    val (p, _) = Pipeline.fromArgs(Seq(
+      "--source", "values:///?header=a:int&values=1",
+      "--sink", "kafka://localhost:9092/t9?serde=json"))
+    intercept[graft.sources.UnsupportedSourceInEnv] { p.run(spark) }
+  }
+}
