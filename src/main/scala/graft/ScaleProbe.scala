@@ -303,6 +303,25 @@ object ScaleProbe {
         graft.operators.DedupOps.prefixFilterJaccardPairs(docs, "text", "id",
           threshold = 0.8, shingleSize = 3).count()
       },
+      "tf_cosine" -> { rows =>
+        // the dedup_tf_cosine core (round-13 verdict item 7: the other
+        // standing top cost beside prefix_filter) on the same corpus
+        // recipe — id-div-2 twins ⇒ linear true-pair count, vocabulary
+        // ∝ rows ⇒ bounded rare-shingle df: per-row cost must track the
+        // df agg + two keyed posting joins, never a candidate blow-up
+        def textOf(seed: Column) = concat_ws(" ",
+          (0 until 16).map(j => concat(lit("w"), pmod(seed * (j + 5) + j, lit(rows)))): _*)
+        val docs = synth(rows).select(col("id"),
+          concat_ws(" ", textOf(expr("id div 2")),
+            when(pmod(col("id"), lit(2)) === 0, lit("even")).otherwise(lit("odd"))).as("text"))
+        // posting-table shuffles are payload-heavy (token×doc rows):
+        // production-posture partition counts, or the 20M point measures
+        // one task's hash-agg ceiling instead of the operator shape
+        withScaledPartitions(rows) {
+          graft.operators.DedupOps.tfCosinePairs(docs, "text", "id",
+            maxDf = 20, shingleSize = 3, threshold = 0.9).count()
+        }
+      },
       "triangle_census" -> { rows =>
         // bounded-degree triangle chain on a rows/4-node line graph
         // (edges v→v+1, v→v+2 ⇒ ~rows/4 triangles, max degree 4): cost

@@ -3181,40 +3181,13 @@ object SparkEntry {
       // product in integer tf arithmetic over two keyed posting joins,
       // norms from per-doc Σtf² — the one division per pair is the only
       // FP op, so pairs replay bit-for-bit vs the quadratic oracle
-      val maxDf = 20
-      val threshold = 0.9
-      val docs = TP(s, d, "documents")
-      val terms = CorpusOps.docTermCounts(docs, "doc_id", "text")
-        .transform(Ckpt.lazyCkpt) // both dot sides + norms read it
       // blocking on rare word 3-GRAMS, not tokens: the unigram vocab is
       // dense (every token common), but shingles are selective — the
-      // dedup_containment blocking contract; verification below is the
-      // FULL token-tf cosine, so blocking only bounds the pair set
-      val sh = docs.select(col("doc_id"),
-        explode(array_distinct(TextFunctions.shingles(col("text"), 3))).as("g"))
-      val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf)
-      val postings = sh.join(rare.select("g"), Seq("g"), "left_semi")
-      val cands = postings.select(col("g"), col("doc_id").as("a_id"))
-        .join(postings.select(col("g"), col("doc_id").as("b_id")), Seq("g"))
-        .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
-      val dots = cands
-        .join(terms.select(col("doc_id").as("a_id"), col("token"), col("tf").as("tf_a")),
-          Seq("a_id"))
-        .join(terms.select(col("doc_id").as("b_id"), col("token"), col("tf").as("tf_b")),
-          Seq("b_id", "token"))
-        .groupBy("a_id", "b_id")
-        .agg(sum(col("tf_a") * col("tf_b")).cast("bigint").as("dot"))
-      val norms = terms.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
-      dots
-        .join(norms.select(col("doc_id").as("a_id"), col("n2").as("n2a")), Seq("a_id"))
-        .join(norms.select(col("doc_id").as("b_id"), col("n2").as("n2b")), Seq("b_id"))
-        .select(col("a_id"), col("b_id"),
-          (col("dot").cast("double") /
-            (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
-            .as("cosine"))
-        .filter(col("cosine") >= threshold)
+      // dedup_containment blocking contract; verification is the FULL
+      // token-tf cosine, so blocking only bounds the pair set. Core in
+      // DedupOps.tfCosinePairs (shared with ScaleProbe's tf_cosine).
+      DedupOps.tfCosinePairs(TP(s, d, "documents"), "text", "doc_id",
+          maxDf = 20, shingleSize = 3, threshold = 0.9)
         .orderBy("a_id", "b_id")
     }),
     "data_dataset_card" -> ((s, d) => {
@@ -7345,6 +7318,85 @@ object SparkEntry {
           col("p").as("accuracy"), col("wilson_low"),
           (col("wilson_low") >= 0.8).as("meets_bar"))
         .orderBy("rater")
+    }),
+    "quality_conformal" -> ((s, d) => {
+      // Mondrian split-conformal calibration (Papadopoulos et al. 2002
+      // inductive conformal prediction; Vovk's taxonomy for the
+      // per-group form): wrap a FIXED token-count predictor
+      // (ŷ = (n_chars+3) div 7 — conformal wraps ANY point model, the
+      // guarantee needs only exchangeability) with per-lang prediction
+      // intervals at α = 1/10. Nonconformity = |y − ŷ| in whole
+      // tokens; calibration = md5 buckets 0-7 (8 of 16 — the
+      // data_split machinery), test = the rest. Per-lang threshold =
+      // the ⌈(n_cal+1)(1−α)⌉-th smallest calibration error — k in
+      // exact integers ((9(n+1)+9) div 10), picked as the min err
+      // whose cumulative count ≥ k over the (lang, err) VALUE-DOMAIN
+      // grid (the window rides the domain-sized aggregate, never a raw
+      // per-lang partition — the §5.1 class rule); k > n_cal ⇒ q NULL
+      // = the infinite interval, every test row covered. Test coverage
+      // in exact ppm: the marginal ≥ 1−α guarantee audited per group
+      // as data.
+      import org.apache.spark.sql.expressions.Window
+      // ONE corpus pass: everything folds into the (lang, err, is_cal)
+      // VALUE-DOMAIN grid via a map-side partial agg; the threshold
+      // pick, the calibration counts AND the test coverage all read the
+      // domain-sized grid — the corpus is never scanned or shuffled
+      // twice, and no per-lang partition ever holds raw rows
+      val grid3 = TP(s, d, "documents").select(
+          col("lang"),
+          abs(size(TextFunctions.tokens(col("text"))).cast("long")
+            - expr("cast((n_chars + 3) div 7 as bigint)")).as("err"),
+          (SplitOps.bucket16(col("doc_id")) < 8).as("is_cal"))
+        .groupBy("lang", "err", "is_cal")
+        .agg(count(lit(1)).as("cnt"))
+        .transform(Ckpt.lazyCkpt) // domain-sized; feeds 3 consumers
+      val calg = grid3.filter(col("is_cal"))
+      val nCal = calg.groupBy("lang").agg(sum("cnt").cast("long").as("n_cal"))
+        .withColumn("k", expr("(9 * (n_cal + 1) + 9) div 10"))
+      val wg = Window.partitionBy("lang").orderBy("err")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // every lang-keyed frame below is ≤|lang domain| rows — the
+      // broadcast hints are BroadcastSizeAudit-classified DomainSized
+      val qs = calg.withColumn("cum", sum("cnt").over(wg))
+        .join(broadcast(nCal), Seq("lang"))
+        .filter(col("cum") >= col("k"))
+        .groupBy("lang").agg(min("err").as("q"))
+      val thr = nCal.join(broadcast(qs), Seq("lang"), "left")
+      val cov = grid3.filter(!col("is_cal"))
+        .join(broadcast(thr.select("lang", "q")), Seq("lang"))
+        .groupBy("lang").agg(sum("cnt").cast("long").as("n_test"),
+          sum(when(col("q").isNull || col("err") <= col("q"), col("cnt"))
+            .otherwise(0L)).cast("long").as("covered"))
+      thr.join(broadcast(cov), Seq("lang"), "left")
+        .select(col("lang"), col("n_cal"), col("k"), col("q").cast("long").as("q"),
+          coalesce(col("n_test"), lit(0L)).as("n_test"),
+          coalesce(col("covered"), lit(0L)).as("covered"))
+        .withColumn("covered_ppm",
+          when(col("n_test") > 0,
+            expr("(covered * 1000000) div n_test")).cast("long"))
+        .orderBy("lang")
+    }),
+    "q82_named_window" -> ((s, d) => {
+      // named WINDOW clause conformance (SQL:2003 <window clause> —
+      // define the frame ONCE, consume it from many functions): rank,
+      // lag and a running integer-cent sum all ride window w, and
+      // Spark plans ONE Sort+Window pass for the shared spec — the
+      // clause's point at scale: N functions, one shuffle, one sort.
+      // Partition key o_custkey is high-card (§5.1-safe); the default
+      // RANGE frame is deterministic because (o_orderdate, o_orderkey)
+      // is unique per row, so no RANGE peers exist. DuckDB replays the
+      // identical clause.
+      T(s, d, "orders").createOrReplaceTempView("r14_orders")
+      s.sql("""
+        SELECT o_custkey, o_orderkey,
+               CAST(rank() OVER w AS BIGINT) AS rk,
+               lag(o_orderkey) OVER w AS prev_order,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    OVER w AS BIGINT) AS run_cents
+        FROM r14_orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, rk
+      """)
     }),
     "events_dgim" -> ((s, d) => {
       // DGIM sliding-window counting sketch (Datar-Gionis-Indyk-

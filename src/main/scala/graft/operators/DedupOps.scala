@@ -846,4 +846,53 @@ object DedupOps {
       .select("a_id", "b_id", "n_agree", "est_jaccard", "exact_jaccard", "abs_err")
       .orderBy("a_id", "b_id")
   }
+
+  /** EXACT tf-vector cosine similarity join (the dedup_tf_cosine core):
+    * candidates from shared RARE word 3-grams (df ≤ maxDf inverted
+    * index — the containment-blocking contract: common shingles never
+    * generate pairs), then the FULL dot product in integer tf arithmetic
+    * over two keyed posting joins, norms from per-doc Σtf². The one
+    * division per pair is the only FP op, so pairs replay bit-for-bit
+    * against a quadratic oracle. Shuffles: df agg + posting semi +
+    * candidate join + dot agg — all keyed, no self-cartesian; pair count
+    * is bounded by the df cap (ScaleProbe `tf_cosine` certifies per-row
+    * flatness at 10×).
+    */
+  def tfCosinePairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDf: Int = 20,
+      shingleSize: Int = 3,
+      threshold: Double = 0.9
+  ): DataFrame = {
+    val terms = CorpusOps.docTermCounts(docs, idCol, textCol)
+      .withColumnRenamed(idCol, "doc_id")
+      .transform(Ckpt.lazyCkpt) // both dot sides + norms read it
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(shingles(col(textCol), shingleSize))).as("g"))
+    val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val postings = sh.join(rare.select("g"), Seq("g"), "left_semi")
+    val cands = postings.select(col("g"), col("doc_id").as("a_id"))
+      .join(postings.select(col("g"), col("doc_id").as("b_id")), Seq("g"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val dots = cands
+      .join(terms.select(col("doc_id").as("a_id"), col("token"), col("tf").as("tf_a")),
+        Seq("a_id"))
+      .join(terms.select(col("doc_id").as("b_id"), col("token"), col("tf").as("tf_b")),
+        Seq("b_id", "token"))
+      .groupBy("a_id", "b_id")
+      .agg(sum(col("tf_a") * col("tf_b")).cast("bigint").as("dot"))
+    val norms = terms.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+    dots
+      .join(norms.select(col("doc_id").as("a_id"), col("n2").as("n2a")), Seq("a_id"))
+      .join(norms.select(col("doc_id").as("b_id"), col("n2").as("n2b")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

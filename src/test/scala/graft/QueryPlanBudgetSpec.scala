@@ -595,6 +595,13 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // 1 is the est/exact join's final exchange
     "q81_bitwise_agg" -> 2,   // flag-keyed agg + ORDER BY
     "quality_rater_accuracy" -> 2, // 3-rater union scan + rater agg + ORDER BY rides it
+    "quality_conformal" -> 8, // ONE corpus pass lives inside the lazy-checkpointed
+                              // (lang, err, is_cal) grid; all 8 exchanges move
+                              // DOMAIN-sized frames (per-lang sums ×3 consumers, the
+                              // threshold window, coverage agg, final ORDER BY) — the
+                              // lang joins ride DomainSized broadcast hints
+    "q82_named_window" -> 2,  // ONE shared Sort+Window for all three OVER w functions
+                              // (the named-window clause's point) + final ORDER BY
     "events_peaks" -> 3,      // daily agg + ONE per-type sort serving both range windows
                               // + final ORDER BY
     "vec_purity" -> 4,        // TP + (cell,label) agg + per-cell rank window + cell agg;

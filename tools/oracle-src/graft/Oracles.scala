@@ -4866,6 +4866,43 @@ object Oracles {
           |      + 1.959963984540054e0 * 1.959963984540054e0 / (4.0 * nn * nn)))
           |   / (1.0 + 1.959963984540054e0 * 1.959963984540054e0 / nn) >= 0.8 AS meets_bar
           |FROM w ORDER BY rater""".stripMargin,
+      "quality_conformal" ->
+        // Mondrian split-conformal: fixed predictor (n_chars+3) div 7,
+        // per-lang k-th smallest |err| threshold (k = ceil(0.9(n+1)) in
+        // exact integers), coverage ppm on the md5-complement test side
+        s"""WITH s AS (SELECT lang, len($toks)::BIGINT AS y,
+           |  CAST((n_chars + 3) // 7 AS BIGINT) AS yhat,
+           |  substr(md5(doc_id::VARCHAR), 1, 1) < '8' AS is_cal FROM documents),
+           |e AS (SELECT lang, is_cal, abs(y - yhat) AS err FROM s),
+           |n AS (SELECT lang, COUNT(*)::BIGINT AS n_cal,
+           |  CAST((9 * (COUNT(*) + 1) + 9) // 10 AS BIGINT) AS k
+           | FROM e WHERE is_cal GROUP BY lang),
+           |g AS (SELECT lang, err, COUNT(*) AS cnt FROM e WHERE is_cal GROUP BY lang, err),
+           |c AS (SELECT lang, err, SUM(cnt) OVER (PARTITION BY lang ORDER BY err) AS cum FROM g),
+           |q AS (SELECT c.lang, CAST(MIN(c.err) AS BIGINT) AS q
+           | FROM c JOIN n USING (lang) WHERE c.cum >= n.k GROUP BY c.lang),
+           |t AS (SELECT e.lang, COUNT(*)::BIGINT AS n_test,
+           |  SUM(CASE WHEN q.q IS NULL OR e.err <= q.q THEN 1 ELSE 0 END)::BIGINT AS covered
+           | FROM e JOIN n USING (lang) LEFT JOIN q ON q.lang = e.lang
+           | WHERE NOT e.is_cal GROUP BY e.lang)
+           |SELECT n.lang, n.n_cal, n.k, q.q,
+           | COALESCE(t.n_test, 0)::BIGINT AS n_test,
+           | COALESCE(t.covered, 0)::BIGINT AS covered,
+           | CASE WHEN COALESCE(t.n_test, 0) > 0
+           |      THEN CAST((t.covered * 1000000) // t.n_test AS BIGINT) END AS covered_ppm
+           |FROM n LEFT JOIN q ON q.lang = n.lang LEFT JOIN t ON t.lang = n.lang
+           |ORDER BY n.lang""".stripMargin,
+      "q82_named_window" ->
+        // identical named-WINDOW clause text; (o_orderdate, o_orderkey)
+        // unique per row so the default RANGE frame has no peers
+        """SELECT o_custkey, o_orderkey,
+          | CAST(rank() OVER w AS BIGINT) AS rk,
+          | lag(o_orderkey) OVER w AS prev_order,
+          | CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+          |      OVER w AS BIGINT) AS run_cents
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |ORDER BY o_custkey, rk""".stripMargin,
       "events_peaks" ->
         """WITH daily AS (SELECT event_type,
           |  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
