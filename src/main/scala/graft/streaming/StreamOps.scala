@@ -568,6 +568,50 @@ object StreamOps {
       try out.write(gen.getBytes("UTF-8")) finally out.close()
     })
 
+  /** Streaming CDC apply into an embedded COMMIT-LOG table — the
+    * kafka→delta pipeline composed end-to-end: a change stream
+    * (typically `kafka://…?embedded=true`) maintains a
+    * `delta://…?embedded=true` table with ONE atomic versioned commit
+    * per micro-batch. Within-batch changes collapse to the last per
+    * key (`orderCol` desc — a key changed twice in one batch lands on
+    * its final state), merge via [[graft.operators.DiffOps.merge]]
+    * into the table's CURRENT snapshot (upsert + delete), and land as
+    * an OVERWRITE commit: atomic create-new, so a concurrent reader
+    * never sees a half-applied batch, and `versionAsOf` exposes the
+    * exact per-batch history for free. The batch-id commit log makes
+    * redelivery a complete no-op BEFORE any staging I/O — exactly-once
+    * from topic offset to table version. The merged plan READS the
+    * table's current files while the write STAGES new ones;
+    * EmbeddedCommitLog never deletes old generations at commit time,
+    * so the read-while-write is safe (the staged-swap contract).
+    */
+  def cdcCommitLogSink(
+      tableDir: String,
+      commitDir: String,
+      keyCols: Seq[String],
+      orderCol: String,
+      deleteCol: Option[String] = None
+  ): (DataFrame, Long) => Unit =
+    idempotentForeachBatch(commitDir, { (batch, batchId) =>
+      val spark = batch.sparkSession
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+        .orderBy(col(orderCol).desc)
+      val latest = batch.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val snapCols = batch.columns.toSeq.filterNot(deleteCol.contains)
+      val hasTable = java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(tableDir, "_graft_log"))
+      val base =
+        if (hasTable) graft.sources.EmbeddedCommitLog.read(spark, tableDir, None)
+        else spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          org.apache.spark.sql.types.StructType(
+            batch.schema.fields.filter(f => snapCols.contains(f.name))))
+      val merged = graft.operators.DiffOps.merge(base, latest, keyCols, deleteCol)
+      graft.sources.EmbeddedCommitLog.write(merged, tableDir, overwrite = true)
+      ()
+    })
+
   /** Read the current snapshot maintained by [[cdcApplySink]]. */
   def readSnapshot(spark: SparkSession, snapshotDir: String): DataFrame = {
     val snapRoot = new org.apache.hadoop.fs.Path(snapshotDir)

@@ -153,4 +153,61 @@ class EmbeddedKafkaSpec extends SparkSpec {
       "--sink", "kafka://localhost:9092/t9?serde=json"))
     intercept[graft.sources.UnsupportedSourceInEnv] { p.run(spark) }
   }
+
+  test("kafka→delta CDC e2e: topic changes maintain a versioned " +
+    "commit-log table exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
+    import graft.sources.EmbeddedCommitLog
+    import graft.streaming.StreamOps
+    val topicDir = freshDir()
+    val tableDir = Files.createTempDirectory("graft_cdc_table").toString + "/t"
+    val commitDir = Files.createTempDirectory("graft_cdc_commits").toString
+    val ckpt = Files.createTempDirectory("graft_cdc_ckpt").toString
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType), StructField("seq", LongType),
+      StructField("del", BooleanType)))
+    def push(rows: Seq[(Long, String, Long, Boolean)]): Unit =
+      EmbeddedTopicLog.append(
+        rows.toDF("k", "v", "seq", "del")
+          .select(to_json(struct(col("k"), col("v"), col("seq"), col("del")))
+            .cast("binary").as("value")),
+        topicDir, "cdc", nPartitions = 1)
+    def drain(): Unit = {
+      val q = EmbeddedTopicLog.readStream(spark, topicDir, Map.empty)
+        .select(from_json(col("value").cast("string"), schema).as("r"))
+        .select("r.*")
+        .writeStream
+        .foreachBatch(StreamOps.cdcCommitLogSink(
+          tableDir, commitDir, Seq("k"), "seq", Some("del")))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def snap(v: Option[Int]): Map[Long, String] =
+      EmbeddedCommitLog.read(spark, tableDir, v).collect()
+        .map(r => r.getLong(r.fieldIndex("k")) -> r.getString(r.fieldIndex("v")))
+        .toMap
+    push(Seq((1L, "v1", 1L, false), (2L, "v2", 2L, false)))
+    drain()
+    assert(snap(None) == Map(1L -> "v1", 2L -> "v2"),
+      s"batch 1 must land as the initial snapshot: ${snap(None)}")
+    // batch 2: update k2, delete k1, insert k3 TWICE (last per key wins)
+    push(Seq((2L, "v2b", 3L, false), (1L, "", 4L, true),
+      (3L, "v3a", 5L, false), (3L, "v3b", 6L, false)))
+    drain() // resumed checkpoint = the consumer sees ONLY the unseen append
+    assert(snap(None) == Map(2L -> "v2b", 3L -> "v3b"),
+      s"upsert+delete+within-batch-collapse must apply: ${snap(None)}")
+    // the per-batch history is versioned: versionAsOf 0 = the batch-1 state
+    assert(snap(Some(0)) == Map(1L -> "v1", 2L -> "v2"),
+      s"time travel to the pre-batch-2 commit: ${snap(Some(0))}")
+    // redelivered batch id = complete no-op BEFORE any staging I/O
+    val nVersions = EmbeddedCommitLog.commits(tableDir).size
+    StreamOps.cdcCommitLogSink(tableDir, commitDir, Seq("k"), "seq", Some("del"))(
+      Seq((9L, "ghost", 99L, false)).toDF("k", "v", "seq", "del"), 0L)
+    assert(EmbeddedCommitLog.commits(tableDir).size == nVersions &&
+      snap(None) == Map(2L -> "v2b", 3L -> "v3b"),
+      "a replayed batch id must not commit a new version or change the table")
+  }
 }
