@@ -7376,6 +7376,36 @@ object SparkEntry {
             expr("(covered * 1000000) div n_test")).cast("long"))
         .orderBy("lang")
     }),
+    "q83_sql_scripting" -> ((s, d) => {
+      // Spark 4 SQL scripting conformance (the ISO 9075-4 SQL/PSM-style
+      // compound surface: BEGIN / DECLARE / SET / WHILE — the
+      // stored-procedure migration path): an exponential threshold
+      // search over orders — the smallest power-of-two cents bound T
+      // covering ≥90% of orders. Control flow runs on the DRIVER,
+      // bounded by log₂(price domain) ≈ 26 iterations; every data step
+      // is ONE plain distributed aggregate — the scripting contract at
+      // scale (loops never touch rows, queries never loop). DuckDB has
+      // no SQL/PSM, so the oracle replays the SAME monotone fixed point
+      // declaratively over a powers-of-two domain table.
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      T(s, d, "orders").createOrReplaceTempView("r14s_orders")
+      s.sql("""
+        BEGIN
+          DECLARE t BIGINT DEFAULT 1024;
+          DECLARE n_total BIGINT DEFAULT 0;
+          DECLARE n_below BIGINT DEFAULT 0;
+          SET n_total = (SELECT count(*) FROM r14s_orders);
+          SET n_below = (SELECT count(*) FROM r14s_orders
+            WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) <= 1024);
+          WHILE n_below * 10 < n_total * 9 DO
+            SET t = t * 2;
+            SET n_below = (SELECT count(*) FROM r14s_orders
+              WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) <= t);
+          END WHILE;
+          SELECT t AS t_cents, n_below, n_total;
+        END
+      """)
+    }),
     "q82_named_window" -> ((s, d) => {
       // named WINDOW clause conformance (SQL:2003 <window clause> —
       // define the frame ONCE, consume it from many functions): rank,

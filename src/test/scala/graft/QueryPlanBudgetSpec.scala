@@ -602,6 +602,9 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // lang joins ride DomainSized broadcast hints
     "q82_named_window" -> 2,  // ONE shared Sort+Window for all three OVER w functions
                               // (the named-window clause's point) + final ORDER BY
+    "q83_sql_scripting" -> 0, // the returned frame is the script's final
+                              // variables-only SELECT (OneRowRelation); each loop
+                              // step's aggregate ran as its own bounded query
     "events_peaks" -> 3,      // daily agg + ONE per-type sort serving both range windows
                               // + final ORDER BY
     "vec_purity" -> 4,        // TP + (cell,label) agg + per-cell rank window + cell agg;

@@ -4892,6 +4892,21 @@ object Oracles {
            |      THEN CAST((t.covered * 1000000) // t.n_test AS BIGINT) END AS covered_ppm
            |FROM n LEFT JOIN q ON q.lang = n.lang LEFT JOIN t ON t.lang = n.lang
            |ORDER BY n.lang""".stripMargin,
+      "q83_sql_scripting" ->
+        // the WHILE loop's monotone fixed point, declaratively: the
+        // minimal power-of-two t with coverage ≥ 90% (n_below monotone
+        // in t, so min-over-domain ≡ the doubling loop's exit value)
+        """WITH o AS MATERIALIZED (
+          |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          |  FROM orders),
+          |tot AS (SELECT COUNT(*)::BIGINT AS n_total FROM o),
+          |p AS (SELECT CAST(power(2, i) AS BIGINT) AS t
+          |      FROM (SELECT unnest(range(10, 40)) AS i)),
+          |c AS (SELECT p.t, SUM(CASE WHEN o.cents <= p.t THEN 1 ELSE 0 END)::BIGINT AS n_below
+          |      FROM p CROSS JOIN o GROUP BY p.t),
+          |sel AS (SELECT c.t, c.n_below FROM c, tot
+          |        WHERE c.n_below * 10 >= tot.n_total * 9 ORDER BY c.t LIMIT 1)
+          |SELECT sel.t AS t_cents, sel.n_below, tot.n_total FROM sel, tot""".stripMargin,
       "q82_named_window" ->
         // identical named-WINDOW clause text; (o_orderdate, o_orderkey)
         // unique per row so the default RANGE frame has no peers
