@@ -7376,6 +7376,52 @@ object SparkEntry {
             expr("(covered * 1000000) div n_test")).cast("long"))
         .orderBy("lang")
     }),
+    "events_sax" -> ((s, d) => {
+      // SAX symbolic aggregate approximation (Lin-Keogh-Wei-Lonardi
+      // DMKD'07): each type's daily cents series → 7-day PAA frames →
+      // alphabet-4 symbols against the N(0,1) quartile breakpoints
+      // ±0.6744897501960817 (literal), z-normalized by the series' OWN
+      // decimal-exact moments; the per-type SAX WORD assembles in frame
+      // order. The time-series motif/indexing primitive at corpus
+      // scale: a 100 TB event log compresses to |types|·|frames|
+      // symbols in ONE daily-agg pass + domain-grid folds — doubles
+      // enter only at the fixed IEEE (paa−μ) vs β·σ comparisons,
+      // mirrored token-for-token by the oracle. All cents sums are
+      // < 2⁵³ so the decimal→double casts are exact.
+      val daily = EV(s, d).groupBy(col("event_type"),
+          expr("ts_us div 86400000000").as("day"))
+        .agg(sum(expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"))
+          .cast("decimal(38,0)").as("cents"))
+        .transform(Ckpt.lazyCkpt) // moments + frames both read it
+      val mom = daily.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("cents")).cast("decimal(38,0)").cast("double").as("sx"),
+          sum(col("cents") * col("cents")).cast("decimal(38,0)")
+            .cast("double").as("sxx"))
+        .withColumn("mean", col("sx") / col("n").cast("double"))
+        .withColumn("sd", sqrt((col("sxx") - col("sx") * col("sx")
+          / col("n").cast("double")) / (col("n").cast("double") - 1)))
+      val paa = daily.groupBy(col("event_type"), expr("day div 7").as("frame"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("cents")).cast("decimal(38,0)").cast("double").as("fsum"))
+        .withColumn("paa", col("fsum") / col("n_days").cast("double"))
+      val beta = "6.744897501960817e-1"
+      val sym = paa
+        .join(broadcast(mom.select("event_type", "mean", "sd")), Seq("event_type"))
+        .withColumn("sym",
+          when(col("paa") - col("mean") < expr(s"-$beta") * col("sd"), "a")
+            .when(col("paa") - col("mean") < lit(0.0), "b")
+            .when(col("paa") - col("mean") < expr(s"$beta") * col("sd"), "c")
+            .otherwise("d"))
+      val word = sym.groupBy("event_type").agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("frame"), col("sym")))),
+          x => x.getField("sym")), "").as("sax_word"))
+      sym.join(broadcast(word), Seq("event_type"))
+        .select(col("event_type"), col("frame"), col("n_days"),
+          col("paa"), col("sym"), col("sax_word"))
+        .orderBy("event_type", "frame")
+    }),
     "q83_sql_scripting" -> ((s, d) => {
       // Spark 4 SQL scripting conformance (the ISO 9075-4 SQL/PSM-style
       // compound surface: BEGIN / DECLARE / SET / WHILE — the

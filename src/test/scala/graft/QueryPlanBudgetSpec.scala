@@ -605,6 +605,10 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "q83_sql_scripting" -> 0, // the returned frame is the script's final
                               // variables-only SELECT (OneRowRelation); each loop
                               // step's aggregate ran as its own bounded query
+    "events_sax" -> 6,        // ONE raw pass (daily agg, lazy-checkpointed) + the
+                              // moment/PAA/word aggs + final ORDER BY — all over
+                              // the day/frame DOMAIN grids; mom and word attach
+                              // as DomainSized broadcasts
     "events_peaks" -> 3,      // daily agg + ONE per-type sort serving both range windows
                               // + final ORDER BY
     "vec_purity" -> 4,        // TP + (cell,label) agg + per-cell rank window + cell agg;

@@ -4892,6 +4892,36 @@ object Oracles {
            |      THEN CAST((t.covered * 1000000) // t.n_test AS BIGINT) END AS covered_ppm
            |FROM n LEFT JOIN q ON q.lang = n.lang LEFT JOIN t ON t.lang = n.lang
            |ORDER BY n.lang""".stripMargin,
+      "events_sax" ->
+        // SAX replay: same decimal daily cents, same moment formulas,
+        // same literal quartile breakpoints in e-notation
+        """WITH daily AS MATERIALIZED (
+          |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+          |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DECIMAL(38,0)) AS cents
+          |  FROM events GROUP BY 1, 2),
+          |mom AS (SELECT event_type, COUNT(*) AS n,
+          |  CAST(CAST(CAST(SUM(cents) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS sx,
+          |  CAST(CAST(CAST(SUM(cents * cents) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS sxx
+          | FROM daily GROUP BY 1),
+          |m2 AS (SELECT event_type, sx / CAST(n AS DOUBLE) AS mean,
+          |  sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS sd
+          | FROM mom),
+          |paa AS (SELECT event_type, day // 7 AS frame, COUNT(*)::BIGINT AS n_days,
+          |  CAST(CAST(CAST(SUM(cents) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS fsum
+          | FROM daily GROUP BY 1, 2),
+          |p2 AS (SELECT event_type, frame, n_days,
+          |  fsum / CAST(n_days AS DOUBLE) AS paa FROM paa),
+          |symt AS (SELECT p2.event_type, frame, n_days, paa,
+          |  CASE WHEN paa - mean < -6.744897501960817e-1 * sd THEN 'a'
+          |       WHEN paa - mean < 0e0 THEN 'b'
+          |       WHEN paa - mean < 6.744897501960817e-1 * sd THEN 'c'
+          |       ELSE 'd' END AS sym
+          | FROM p2 JOIN m2 USING (event_type)),
+          |w AS (SELECT event_type, string_agg(sym, '' ORDER BY frame) AS sax_word
+          |      FROM symt GROUP BY 1)
+          |SELECT s.event_type, s.frame, s.n_days, s.paa, s.sym, w.sax_word
+          |FROM symt s JOIN w USING (event_type)
+          |ORDER BY s.event_type, s.frame""".stripMargin,
       "q83_sql_scripting" ->
         // the WHILE loop's monotone fixed point, declaratively: the
         // minimal power-of-two t with coverage ≥ 90% (n_below monotone
