@@ -7376,6 +7376,48 @@ object SparkEntry {
             expr("(covered * 1000000) div n_test")).cast("long"))
         .orderBy("lang")
     }),
+    "graph_louvain_step" -> ((s, d) => {
+      // one SYNCHRONOUS Louvain phase-1 sweep from singletons (Blondel
+      // et al. 2008 §2 — the community-detection inner primitive): on
+      // the weighted part co-order graph (w = orders containing both
+      // parts), every node evaluates moving into each neighbor's
+      // singleton community. The modularity gain of i→{j} is
+      // w_ij/m − k_i·k_j/(2m²), and 2m² > 0 makes the WHOLE argmax
+      // INTEGER-exact: compare gain_num = 2m·w_ij − k_i·k_j (longs —
+      // fine to k ~ 10⁹; the full-Louvain loop would coarsen long
+      // before that). Deterministic tie-break (max gain_num, then min
+      // candidate id); move only on gain_num > 0. Scale: m and the
+      // degrees are edge-table aggregates, the per-node argmax a
+      // HIGH-card window over each node's neighbor list — two shuffles
+      // beyond the guarded basket pair-gen; no iteration here by
+      // design (phase 2 coarsens, then this sweep repeats on a graph
+      // that collapsed in size).
+      import org.apache.spark.sql.expressions.Window
+      val baskets = T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(array_distinct(collect_list(col("l_partkey")))).as("parts"))
+      val w = DedupOps.boundedBucketPairs(baskets, Seq("l_orderkey"), "parts")
+        .groupBy("a", "b").agg(count(lit(1)).cast("long").as("w"))
+        .transform(Ckpt.lazyCkpt) // m + both directed scans read it
+      val m = w.agg(sum("w").cast("long").as("m"))
+      val dir = w.select(col("a").as("i"), col("b").as("j"), col("w"))
+        .unionByName(w.select(col("b").as("i"), col("a").as("j"), col("w")))
+      val deg = dir.groupBy("i").agg(sum("w").cast("long").as("k"))
+      val cand = dir
+        .join(deg, Seq("i"))
+        .join(deg.select(col("i").as("j"), col("k").as("k_j")), Seq("j"))
+        .crossJoin(broadcast(m))
+        .withColumn("gain_num",
+          lit(2L) * col("m") * col("w") - col("k") * col("k_j"))
+      val wn = Window.partitionBy("i").orderBy(col("gain_num").desc, col("j").asc)
+      cand.withColumn("rn", row_number().over(wn)).filter(col("rn") === 1)
+        .select(col("i").as("node"), col("k"),
+          when(col("gain_num") > 0, col("j")).otherwise(col("i")).as("community"),
+          col("gain_num").as("best_gain_num"),
+          (col("gain_num") > 0).as("moved"))
+        .orderBy("node")
+    }),
     "events_sax" -> ((s, d) => {
       // SAX symbolic aggregate approximation (Lin-Keogh-Wei-Lonardi
       // DMKD'07): each type's daily cents series → 7-day PAA frames →

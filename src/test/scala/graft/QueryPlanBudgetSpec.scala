@@ -609,6 +609,9 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // moment/PAA/word aggs + final ORDER BY — all over
                               // the day/frame DOMAIN grids; mom and word attach
                               // as DomainSized broadcasts
+    "graph_louvain_step" -> 7, // weighted-edge agg rides the lazy ckpt; degree agg
+                              // + two deg joins + the per-node argmax window +
+                              // ORDER BY; m attaches as a 1-row broadcast
     "events_peaks" -> 3,      // daily agg + ONE per-type sort serving both range windows
                               // + final ORDER BY
     "vec_purity" -> 4,        // TP + (cell,label) agg + per-cell rank window + cell agg;

@@ -4892,6 +4892,28 @@ object Oracles {
            |      THEN CAST((t.covered * 1000000) // t.n_test AS BIGINT) END AS covered_ppm
            |FROM n LEFT JOIN q ON q.lang = n.lang LEFT JOIN t ON t.lang = n.lang
            |ORDER BY n.lang""".stripMargin,
+      "graph_louvain_step" ->
+        // full replay: weighted co-order pairs, degrees, the integer
+        // gain numerator 2m·w − k_i·k_j, argmax with the same tie-break
+        """WITH o AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          |e AS MATERIALIZED (
+          |  SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*)::BIGINT AS w
+          |  FROM o a JOIN o b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2),
+          |m AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM e),
+          |dir AS (SELECT a AS i, b AS j, w FROM e
+          |        UNION ALL SELECT b AS i, a AS j, w FROM e),
+          |d AS (SELECT i, CAST(SUM(w) AS BIGINT) AS k FROM dir GROUP BY i),
+          |c AS (SELECT dir.i, dir.j, di.k,
+          |        2 * m.m * dir.w - di.k * dj.k AS gain_num
+          |      FROM dir JOIN d di ON di.i = dir.i
+          |      JOIN d dj ON dj.i = dir.j CROSS JOIN m),
+          |r AS (SELECT *, ROW_NUMBER() OVER
+          |        (PARTITION BY i ORDER BY gain_num DESC, j) AS rn FROM c)
+          |SELECT i AS node, k,
+          | CASE WHEN gain_num > 0 THEN j ELSE i END AS community,
+          | CAST(gain_num AS BIGINT) AS best_gain_num, gain_num > 0 AS moved
+          |FROM r WHERE rn = 1 ORDER BY node""".stripMargin,
       "events_sax" ->
         // SAX replay: same decimal daily cents, same moment formulas,
         // same literal quartile breakpoints in e-notation
