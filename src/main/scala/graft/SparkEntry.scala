@@ -83,6 +83,19 @@ object SparkEntry {
 
   private def revenueTerm: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
+  /** Weighted part co-order edges (a < b, w = orders containing both
+    * parts) — shared by the Louvain rows: GUARDED basket pair-gen
+    * (never a lineitem×lineitem self-join, the graph_triangles
+    * contract), then one weight aggregate. */
+  private def coOrderPartEdges(s: SparkSession, d: String): DataFrame = {
+    val baskets = T(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(array_distinct(collect_list(col("l_partkey")))).as("parts"))
+    DedupOps.boundedBucketPairs(baskets, Seq("l_orderkey"), "parts")
+      .groupBy("a", "b").agg(count(lit(1)).cast("long").as("w"))
+  }
+
   /** Shared input of `dedup_semantic` and its `_aux_semantic_cells`
     * oracle dump (Verify) — base embeddings ∪ an index-shift perturbed
     * copy (ids +100000): v'ᵢ = vᵢ + 0.05·v₍ᵢ₊₁ mod d₎. The shift is a
@@ -7392,31 +7405,54 @@ object SparkEntry {
       // beyond the guarded basket pair-gen; no iteration here by
       // design (phase 2 coarsens, then this sweep repeats on a graph
       // that collapsed in size).
-      import org.apache.spark.sql.expressions.Window
-      val baskets = T(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-        .groupBy("l_orderkey")
-        .agg(sort_array(array_distinct(collect_list(col("l_partkey")))).as("parts"))
-      val w = DedupOps.boundedBucketPairs(baskets, Seq("l_orderkey"), "parts")
-        .groupBy("a", "b").agg(count(lit(1)).cast("long").as("w"))
-        .transform(Ckpt.lazyCkpt) // m + both directed scans read it
+      GraphOps.louvainSweep(coOrderPartEdges(s, d)).orderBy("node")
+    }),
+    "graph_louvain_coarsen" -> ((s, d) => {
+      // Louvain PHASE 2 on the sweep's assignment (the outer-loop
+      // contraction that makes the full algorithm tractable at scale —
+      // the next sweep runs on a graph that collapsed in size): edges
+      // re-keyed to their endpoints' communities, intra-community
+      // weight becomes self-loops, and the partition's MODULARITY is
+      // emitted as exact integers — Q·4m² = Σ_c(4m·in_c − tot_c²)
+      // (in_c = intra-community weight counted once, tot_c = Σ degrees
+      // in c), so the quality of the sweep's move set is DATA, not a
+      // float: the one double (q = q_num/q_den) is a single division.
+      // Scale: the assignment attaches to the edge table by two
+      // high-card joins, the coarse graph and the per-community sums
+      // are plain aggregates — nothing here exceeds the sweep's cost.
+      val w = coOrderPartEdges(s, d).transform(Ckpt.lazyCkpt)
+      val assign = GraphOps.louvainSweep(w).select("node", "k", "community")
+        .transform(Ckpt.lazyCkpt) // two edge-side joins + tot_c read it
+      val keyed = w
+        .join(assign.select(col("node").as("a"), col("community").as("ca")), Seq("a"))
+        .join(assign.select(col("node").as("b"), col("community").as("cb")), Seq("b"))
+      val coarse = keyed.groupBy(
+          least(col("ca"), col("cb")).as("cx"),
+          greatest(col("ca"), col("cb")).as("cy"))
+        .agg(sum("w").cast("long").as("w"))
       val m = w.agg(sum("w").cast("long").as("m"))
-      val dir = w.select(col("a").as("i"), col("b").as("j"), col("w"))
-        .unionByName(w.select(col("b").as("i"), col("a").as("j"), col("w")))
-      val deg = dir.groupBy("i").agg(sum("w").cast("long").as("k"))
-      val cand = dir
-        .join(deg, Seq("i"))
-        .join(deg.select(col("i").as("j"), col("k").as("k_j")), Seq("j"))
+      val inW = coarse.filter(col("cx") === col("cy"))
+        .agg(coalesce(sum("w"), lit(0L)).cast("long").as("internal_w"))
+      val tot = assign.groupBy("community").agg(sum("k").cast("long").as("tot"))
+      val inC = keyed.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community")).agg(sum("w").cast("long").as("in_c"))
+      val qterms = tot.join(inC, Seq("community"), "left")
         .crossJoin(broadcast(m))
-        .withColumn("gain_num",
-          lit(2L) * col("m") * col("w") - col("k") * col("k_j"))
-      val wn = Window.partitionBy("i").orderBy(col("gain_num").desc, col("j").asc)
-      cand.withColumn("rn", row_number().over(wn)).filter(col("rn") === 1)
-        .select(col("i").as("node"), col("k"),
-          when(col("gain_num") > 0, col("j")).otherwise(col("i")).as("community"),
-          col("gain_num").as("best_gain_num"),
-          (col("gain_num") > 0).as("moved"))
-        .orderBy("node")
+        .select((lit(4L) * col("m") * coalesce(col("in_c"), lit(0L))
+          - col("tot") * col("tot")).as("term"))
+        .agg(sum("term").cast("long").as("q_num"))
+      assign.agg(count(lit(1)).as("n_nodes"),
+          count_distinct(col("community")).as("n_communities"))
+        .crossJoin(broadcast(w.agg(count(lit(1)).as("n_edges"))))
+        .crossJoin(broadcast(coarse.agg(count(lit(1)).as("n_coarse_edges"))))
+        .crossJoin(broadcast(inW))
+        .crossJoin(broadcast(m))
+        .crossJoin(broadcast(qterms))
+        .select(col("n_nodes"), col("n_communities"), col("n_edges"),
+          col("n_coarse_edges"), col("internal_w"), col("m"), col("q_num"),
+          (lit(4L) * col("m") * col("m")).as("q_den"),
+          (col("q_num").cast("double") /
+            (lit(4L) * col("m") * col("m")).cast("double")).as("q"))
     }),
     "events_sax" -> ((s, d) => {
       // SAX symbolic aggregate approximation (Lin-Keogh-Wei-Lonardi

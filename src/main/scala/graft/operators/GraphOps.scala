@@ -382,4 +382,38 @@ object GraphOps {
           "round count, Θ(n) on path-like graphs)")
     und.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
+
+  /** One SYNCHRONOUS Louvain phase-1 sweep from singleton communities
+    * (Blondel et al. 2008 §2) over a weighted undirected edge table
+    * `(a, b, w)` with a < b: every node evaluates moving into each
+    * neighbor's singleton community; since 2m² > 0, the modularity-gain
+    * argmax is INTEGER-exact on `gain_num = 2m·w_ij − k_i·k_j` (longs —
+    * fine to k ~ 10⁹; the outer Louvain loop coarsens long before
+    * that). Deterministic tie-break (max gain_num, then min candidate
+    * id); a node moves only on gain_num > 0, else keeps its own id.
+    * Returns (node, k, community, best_gain_num, moved). Scale: m and
+    * the degrees are edge aggregates, the per-node argmax a HIGH-card
+    * window over each node's neighbor list — two shuffles beyond
+    * whatever produced the edges.
+    */
+  def louvainSweep(wEdges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = wEdges.transform(Ckpt.lazyCkpt) // m + both directed scans
+    val m = w.agg(sum("w").cast("long").as("m"))
+    val dir = w.select(col("a").as("i"), col("b").as("j"), col("w"))
+      .unionByName(w.select(col("b").as("i"), col("a").as("j"), col("w")))
+    val deg = dir.groupBy("i").agg(sum("w").cast("long").as("k"))
+    val cand = dir
+      .join(deg, Seq("i"))
+      .join(deg.select(col("i").as("j"), col("k").as("k_j")), Seq("j"))
+      .crossJoin(broadcast(m))
+      .withColumn("gain_num",
+        lit(2L) * col("m") * col("w") - col("k") * col("k_j"))
+    val wn = Window.partitionBy("i").orderBy(col("gain_num").desc, col("j").asc)
+    cand.withColumn("rn", row_number().over(wn)).filter(col("rn") === 1)
+      .select(col("i").as("node"), col("k"),
+        when(col("gain_num") > 0, col("j")).otherwise(col("i")).as("community"),
+        col("gain_num").as("best_gain_num"),
+        (col("gain_num") > 0).as("moved"))
+  }
 }

@@ -612,6 +612,10 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "graph_louvain_step" -> 7, // weighted-edge agg rides the lazy ckpt; degree agg
                               // + two deg joins + the per-node argmax window +
                               // ORDER BY; m attaches as a 1-row broadcast
+    "graph_louvain_coarsen" -> 19, // sweep internals + the two HIGH-card edge×assign
+                              // joins + coarse/tot/in_c aggs + six 1-row summary
+                              // aggregates (each a tiny partial→single exchange);
+                              // every non-edge frame is community- or 1-row-sized
     "events_peaks" -> 3,      // daily agg + ONE per-type sort serving both range windows
                               // + final ORDER BY
     "vec_purity" -> 4,        // TP + (cell,label) agg + per-cell rank window + cell agg;

@@ -4914,6 +4914,44 @@ object Oracles {
           | CASE WHEN gain_num > 0 THEN j ELSE i END AS community,
           | CAST(gain_num AS BIGINT) AS best_gain_num, gain_num > 0 AS moved
           |FROM r WHERE rn = 1 ORDER BY node""".stripMargin,
+      "graph_louvain_coarsen" ->
+        // replay the sweep (same integer argmax), then the contraction
+        // and the integer modularity numerator Q·4m² = Σ(4m·in_c − tot²)
+        """WITH o AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          |e AS MATERIALIZED (
+          |  SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*)::BIGINT AS w
+          |  FROM o a JOIN o b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2),
+          |m AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM e),
+          |dir AS (SELECT a AS i, b AS j, w FROM e
+          |        UNION ALL SELECT b AS i, a AS j, w FROM e),
+          |d AS (SELECT i, CAST(SUM(w) AS BIGINT) AS k FROM dir GROUP BY i),
+          |c AS (SELECT dir.i, dir.j, di.k,
+          |        2 * m.m * dir.w - di.k * dj.k AS gain_num
+          |      FROM dir JOIN d di ON di.i = dir.i
+          |      JOIN d dj ON dj.i = dir.j CROSS JOIN m),
+          |r AS (SELECT *, ROW_NUMBER() OVER
+          |        (PARTITION BY i ORDER BY gain_num DESC, j) AS rn FROM c),
+          |asg AS MATERIALIZED (SELECT i AS node, k,
+          |        CASE WHEN gain_num > 0 THEN j ELSE i END AS community
+          |      FROM r WHERE rn = 1),
+          |ke AS MATERIALIZED (SELECT e.w, ca.community AS ca, cb.community AS cb
+          |      FROM e JOIN asg ca ON ca.node = e.a JOIN asg cb ON cb.node = e.b),
+          |coarse AS (SELECT least(ca, cb) AS cx, greatest(ca, cb) AS cy,
+          |        CAST(SUM(w) AS BIGINT) AS w FROM ke GROUP BY 1, 2),
+          |tot AS (SELECT community, CAST(SUM(k) AS BIGINT) AS tot FROM asg GROUP BY 1),
+          |inc AS (SELECT ca AS community, CAST(SUM(w) AS BIGINT) AS in_c
+          |        FROM ke WHERE ca = cb GROUP BY 1),
+          |q AS (SELECT CAST(SUM(4 * m.m * COALESCE(in_c, 0) - tot * tot) AS BIGINT) AS q_num
+          |      FROM tot LEFT JOIN inc USING (community) CROSS JOIN m)
+          |SELECT (SELECT COUNT(*) FROM asg)::BIGINT AS n_nodes,
+          | (SELECT COUNT(DISTINCT community) FROM asg)::BIGINT AS n_communities,
+          | (SELECT COUNT(*) FROM e)::BIGINT AS n_edges,
+          | (SELECT COUNT(*) FROM coarse)::BIGINT AS n_coarse_edges,
+          | (SELECT COALESCE(CAST(SUM(w) AS BIGINT), 0) FROM coarse WHERE cx = cy) AS internal_w,
+          | m.m, q.q_num, CAST(4 * m.m * m.m AS BIGINT) AS q_den,
+          | CAST(q.q_num AS DOUBLE) / CAST(4 * m.m * m.m AS DOUBLE) AS q
+          |FROM m CROSS JOIN q""".stripMargin,
       "events_sax" ->
         // SAX replay: same decimal daily cents, same moment formulas,
         // same literal quartile breakpoints in e-notation
