@@ -7389,6 +7389,21 @@ object SparkEntry {
             expr("(covered * 1000000) div n_test")).cast("long"))
         .orderBy("lang")
     }),
+    "q84_explode_outer" -> ((s, d) => {
+      // explode_outer / LATERAL VIEW OUTER conformance: rows whose
+      // generator input is EMPTY survive with one NULL element — the
+      // left-join-shaped generator semantics; plain explode silently
+      // DROPS those parent rows (the classic silent-loss bug in
+      // flattening pipelines — n_arr in the output makes the parity
+      // auditable). Long tokens (> 7 chars) leave many docs with an
+      // empty array, so both branches are exercised.
+      TP(s, d, "documents").select(col("doc_id"),
+          filter(TextFunctions.tokens(col("text")),
+            x => length(x) > 7).as("arr"))
+        .select(col("doc_id"), size(col("arr")).as("n_arr"),
+          explode_outer(col("arr")).as("tok"))
+        .orderBy(col("doc_id"), col("tok").asc_nulls_first)
+    }),
     "graph_louvain_step" -> ((s, d) => {
       // one SYNCHRONOUS Louvain phase-1 sweep from singletons (Blondel
       // et al. 2008 §2 — the community-detection inner primitive): on

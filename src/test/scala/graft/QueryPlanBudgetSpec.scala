@@ -612,6 +612,8 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "graph_louvain_step" -> 7, // weighted-edge agg rides the lazy ckpt; degree agg
                               // + two deg joins + the per-node argmax window +
                               // ORDER BY; m attaches as a 1-row broadcast
+    "q84_explode_outer" -> 2, // TP repartition + final ORDER BY; the generator is
+                              // in-stage (no shuffle of its own)
     "graph_louvain_coarsen" -> 19, // sweep internals + the two HIGH-card edge×assign
                               // joins + coarse/tot/in_c aggs + six 1-row summary
                               // aggregates (each a tiny partial→single exchange);

@@ -4914,6 +4914,14 @@ object Oracles {
           | CASE WHEN gain_num > 0 THEN j ELSE i END AS community,
           | CAST(gain_num AS BIGINT) AS best_gain_num, gain_num > 0 AS moved
           |FROM r WHERE rn = 1 ORDER BY node""".stripMargin,
+      "q84_explode_outer" ->
+        // outer-generator emulation: empty arrays become [NULL] before
+        // unnest — exactly explode_outer's one-null-row contract
+        s"""WITH t AS (SELECT doc_id,
+           |  list_filter($toks, x -> len(x) > 7) AS arr FROM documents)
+           |SELECT doc_id, CAST(len(arr) AS INT) AS n_arr,
+           | unnest(CASE WHEN len(arr) = 0 THEN [NULL]::VARCHAR[] ELSE arr END) AS tok
+           |FROM t ORDER BY doc_id, tok""".stripMargin,
       "graph_louvain_coarsen" ->
         // replay the sweep (same integer argmax), then the contraction
         // and the integer modularity numerator Q·4m² = Σ(4m·in_c − tot²)
