@@ -4836,10 +4836,17 @@ object SparkEntry {
       val bf = SimilarityOps.bruteForceTopK(vecs, queries, "vec_id", "vec", k)
         .select("query_id", "neighbor_id")
         .transform(Ckpt.eagerCkpt) // joined against every sweep point
+      // train + assign ONCE: centroids and corpus cell assignment do not
+      // depend on nProbe, so the sweep's four points share one index
+      // (previously each point re-trained and re-assigned — 4× the
+      // corpus-side work for identical cells; guide §1.2 step 1)
+      val cents = SimilarityOps.trainCentroids(vecs, "vec_id", "vec", nCells, iters = 4)
+      val assigned = SimilarityOps.ivfAssign(vecs, "vec_id", "vec", cents)
+        .transform(Ckpt.eagerCkpt) // 4 probe points traverse it
       // the four sweep points as one 4-row frame via union
       val rows = Seq(16, 8, 4, 2).zipWithIndex.map { case (denom, i) =>
-        val ivf = SimilarityOps.ivfTopK(vecs, queries, "vec_id", "vec", k,
-          nCells = nCells, nProbe = math.max(1, nCells / denom), iters = 4)
+        val ivf = SimilarityOps.ivfProbe(assigned, queries, "vec_id", "vec", cents,
+          k, nProbe = math.max(1, nCells / denom))
           .select("query_id", "neighbor_id")
         bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
           .agg(lit(i + 1).as("nprobe"), (count(lit(1)).cast("double") / (8 * k)).as("recall"))
@@ -7169,7 +7176,10 @@ object SparkEntry {
       // shots, mean shot length, max L1}. Decode is the documented
       // scene-structured env stub; the explode/lag/threshold plumbing
       // is the production shape. See MultimodalOps.shotBoundaryReport.
-      val withBin = T(s, d, "documents")
+      // TP: the per-frame histogram projection (16 md5 calls per frame,
+      // ~50 frames/doc) runs map-side above this scan — on the 1-task
+      // single-file read it was serial (3.1 s of this query's 3.8 s)
+      val withBin = TP(s, d, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
       MultimodalOps.shotBoundaryReport(withBin, "doc_id", "bin")
         .withColumnRenamed("id", "doc_id")
@@ -7527,19 +7537,35 @@ object SparkEntry {
       // no SQL/PSM, so the oracle replays the SAME monotone fixed point
       // declaratively over a powers-of-two domain table.
       s.conf.set("spark.sql.scripting.enabled", "true")
-      T(s, d, "orders").createOrReplaceTempView("r14s_orders")
+      // The WHILE loop's predicate n_below(T=2^k) is monotone in k, so
+      // the search only ever needs the ceil-log2 HISTOGRAM of the cents
+      // column: bucket kb = smallest k with cents ≤ 2^k (integer-exact
+      // via bit length — length(bin(cents−1)) = floor(log2(cents−1))+1
+      // for cents > 1024, clamped to the loop's 1024 start). Materialize
+      // that ≤ ~45-row grid ONCE and let every loop iteration count over
+      // it, instead of the previous one full orders scan per doubling
+      // (~16 scans at sf0.1; at 100 TB each scan is the whole fact
+      // table). cents ≤ 2^k ⟺ kb ≤ k, so every SET lands the identical
+      // value and the unchanged DuckDB oracle proves equivalence.
+      val q83hist = T(s, d, "orders")
+        .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+        .select(when(col("cents") <= 1024L, lit(10))
+          .otherwise(length(bin(col("cents") - 1))).as("kb"))
+        .groupBy("kb").agg(count(lit(1)).as("c"))
+        .transform(Ckpt.eagerCkpt) // the WHILE loop queries it per iteration
+      q83hist.createOrReplaceTempView("r14s_orders_hist")
       s.sql("""
         BEGIN
           DECLARE t BIGINT DEFAULT 1024;
+          DECLARE kcur INT DEFAULT 10;
           DECLARE n_total BIGINT DEFAULT 0;
           DECLARE n_below BIGINT DEFAULT 0;
-          SET n_total = (SELECT count(*) FROM r14s_orders);
-          SET n_below = (SELECT count(*) FROM r14s_orders
-            WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) <= 1024);
+          SET n_total = (SELECT sum(c) FROM r14s_orders_hist);
+          SET n_below = (SELECT coalesce(sum(c), 0) FROM r14s_orders_hist WHERE kb <= 10);
           WHILE n_below * 10 < n_total * 9 DO
             SET t = t * 2;
-            SET n_below = (SELECT count(*) FROM r14s_orders
-              WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) <= t);
+            SET kcur = kcur + 1;
+            SET n_below = (SELECT coalesce(sum(c), 0) FROM r14s_orders_hist WHERE kb <= kcur);
           END WHILE;
           SELECT t AS t_cents, n_below, n_total;
         END

@@ -219,6 +219,11 @@ object DedupOps {
   ): DataFrame = {
     val cands = minhashCandidates(df, textCol, idCol, shingleSize, numBands, rowsPerBand)
     val docs = df.select(col(idCol).as("id"), hashedShingleSet(col(textCol), shingleSize).as("sh"))
+    // NO pair-keyed repartition here (unlike the prefix-filter verify):
+    // minhash candidate sets are band-bounded and the per-pair verify is
+    // cheap, so the broadcast-join chain fuses into one already-parallel
+    // stage; inserting exchanges here measurably HURT the CC-consuming
+    // queries (union branches stopped fusing) with nothing to win
     cands
       .join(docs.as("da"), col("a_id") === col("da.id"))
       .join(docs.as("db"), col("b_id") === col("db.id"))
@@ -639,8 +644,19 @@ object DedupOps {
     val cands = allBucketPairs(buckets, Seq("g"), "recs", maxBucketSize)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
+    // Explicit pair-keyed repartitions before the verify joins: the
+    // exact-Jaccard verify is per-PAIR compute-bound (two ~n-element
+    // array ops per row) while the bare pair list is bytes-tiny, so
+    // AQE's byte-based coalesce planned both attach joins at 1 task
+    // (measured 5.3 s serial of this query's 6.7 s at sf0.1).
+    // REPARTITION_BY_NUM shuffles are exempt from AQE coalescing;
+    // defaultParallelism keeps the fan-out scale-adaptive (guide §2.5:
+    // partition by the unit of WORK, not bytes).
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     cands
+      .repartition(par, col("a_id"))
       .join(docs.select(col("id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
+      .repartition(par, col("b_id"))
       .join(docs.select(col("id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
       .withColumn("jaccard", jaccardSets(col("sha"), col("shb")))
       .filter(col("jaccard") >= threshold)
@@ -866,11 +882,24 @@ object DedupOps {
       shingleSize: Int = 3,
       threshold: Double = 0.9
   ): DataFrame = {
-    val terms = CorpusOps.docTermCounts(docs, idCol, textCol)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // Per-doc sorted (token, tf) array + Σtf², ONE frame serving both
+    // pair sides. The dot was previously a pairs×terms posting join +
+    // SUM through two Exchanges (~|pairs|·|terms/doc| rows — 1.1M at
+    // sf0.1, the suite's top cost); attaching the sorted term vector
+    // per side and merging in-row (native TfDotProduct) is the same
+    // integer arithmetic with no posting shuffle at all (guide §2.3:
+    // aggregate before you shuffle / §8: move small proxies, not rows).
+    // Arrays are bounded by per-document token count (per-entity key).
+    val tvecs = CorpusOps.docTermCounts(docs, idCol, textCol)
       .withColumnRenamed(idCol, "doc_id")
-      .transform(Ckpt.lazyCkpt) // both dot sides + norms read it
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("token"), col("tf")))).as("ts"),
+        sum(col("tf") * col("tf")).as("n2"))
+      .transform(Ckpt.lazyCkpt) // both pair sides read it
     val sh = docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(shingles(col(textCol), shingleSize))).as("g"))
+      .transform(Ckpt.lazyCkpt) // df agg + postings semi-join both read it
     val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     val postings = sh.join(rare.select("g"), Seq("g"), "left_semi")
@@ -878,21 +907,27 @@ object DedupOps {
       .join(postings.select(col("g"), col("doc_id").as("b_id")), Seq("g"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val dots = cands
-      .join(terms.select(col("doc_id").as("a_id"), col("token"), col("tf").as("tf_a")),
+    // Explicit pair-keyed repartitions: the verify is per-PAIR compute-
+    // bound while the bare pair list is bytes-tiny, so AQE's byte-based
+    // coalesce would plan the attach joins near-serial. REPARTITION_BY_NUM
+    // is exempt from coalescing; defaultParallelism keeps it scale-adaptive.
+    cands
+      .repartition(par, col("a_id"))
+      .join(tvecs.select(col("doc_id").as("a_id"), col("ts").as("ta"), col("n2").as("n2a")),
         Seq("a_id"))
-      .join(terms.select(col("doc_id").as("b_id"), col("token"), col("tf").as("tf_b")),
-        Seq("b_id", "token"))
-      .groupBy("a_id", "b_id")
-      .agg(sum(col("tf_a") * col("tf_b")).cast("bigint").as("dot"))
-    val norms = terms.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
-    dots
-      .join(norms.select(col("doc_id").as("a_id"), col("n2").as("n2a")), Seq("a_id"))
-      .join(norms.select(col("doc_id").as("b_id"), col("n2").as("n2b")), Seq("b_id"))
+      .repartition(par, col("b_id"))
+      .join(tvecs.select(col("doc_id").as("b_id"), col("ts").as("tb"), col("n2").as("n2b")),
+        Seq("b_id"))
       .select(col("a_id"), col("b_id"),
-        (col("dot").cast("double") /
+        (tfDot(col("ta"), col("tb")).cast("double") /
           (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
           .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Native in-row integer dot of two sorted (token, tf) term arrays —
+    * see [[graft.functions.TfDotProduct]]. */
+  private def tfDot(a: Column, b: Column): Column =
+    GraftColumns.column(graft.functions.TfDotProduct(
+      GraftColumns.expression(a), GraftColumns.expression(b)))
 }

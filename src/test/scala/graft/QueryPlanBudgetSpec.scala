@@ -90,8 +90,11 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // totals agg; baskets + edges + oriented frames are lazily
                               // checkpointed (their exchanges sit below the truncation),
                               // the closing semi-join reuses the wedge partitioning
-    "dedup_prefix_filter" -> 2, // df agg + prefix re-collect; candidate + verify joins hang off
-                              // the checkpointed docs/bucket frames
+    "dedup_prefix_filter" -> 4, // df agg + prefix re-collect + the two explicit pair-keyed
+                              // verify repartitions (REPARTITION_BY_NUM — exempt from AQE
+                              // coalescing so the per-pair exact-Jaccard verify keeps
+                              // core-count parallelism; r14 optimization); candidate +
+                              // verify joins hang off the checkpointed docs/bucket frames
     "q41_hotkey_join" -> 5,   // hot-key count agg + cold-path SMJ (2 sorts) + final agg +
                               // ORDER BY; hot path is all BroadcastHashJoin (not counted)
     "data_dense_ids" -> 4,    // band-count agg + band-sized offset window + in-band window
@@ -187,8 +190,10 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // phrase frame, top-k is TakeOrdered
     "events_forecast_baseline" -> 2, // daily agg (lazy checkpoint feeds actual + lag-7
                               // sides) + ORDER BY; the day+7 join is calendar-sized
-    "dedup_tf_cosine" -> 7,   // TP + shingle df agg + pair-distinct agg + two posting
-                              // joins + dot agg + ORDER BY off the checkpointed terms
+    "dedup_tf_cosine" -> 5,   // TP + shingle df agg + pair-distinct agg + ORDER BY + the
+                              // two pair-keyed verify repartitions; the old posting-join
+                              // dot (2 more exchanges + SUM agg) is now the in-row native
+                              // TfDotProduct over checkpointed sorted term vectors (r14)
     "data_dataset_card" -> 3, // TP + ONE agg (distinct-hash expand pair) + ORDER BY;
                               // metric rows are an in-row stack
     "q48_cohort_ltv" -> 4,    // customer cohort agg + cell agg + cohort-month window +
@@ -212,8 +217,9 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // lookups ride broadcast
     "events_survival" -> 6,   // user agg + cohort/dur cells + reverse window + cohort
                               // collect + posexplode + ORDER BY; global max rides broadcast
-    "dedup_blocking_eval" -> 4, // band histogram agg + truth-side df/prefix aggs + 1-row
-                              // confusion agg off the checkpointed bands frame
+    "dedup_blocking_eval" -> 6, // band histogram agg + truth-side df/prefix aggs (incl.
+                              // the truth path's two pair-keyed verify repartitions,
+                              // r14) + 1-row confusion agg off the checkpointed bands
     "quality_label_prop" -> 8, // minhash band agg + bucket pair-gen + vote agg + argmax
                               // window + ORDER BY across the pair-chain frames
     "data_temperature_mix" -> 3, // source mass agg + 1-row weight total + source-count
@@ -257,9 +263,10 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // 1-row agg per branch + union ORDER BY
     "q55_join_hints" -> 5,    // merge variant's 2 sorts + shuffle_hash exchange + union
                               // ORDER BY; broadcast/AQE variants add none
-    "ann_ivf_sweep" -> 20,    // 4 independent IVF builds (5 exchanges each: centroid
-                              // train + assign + probe) — a PLANNING sweep runs the
-                              // index pipeline once per sweep point by design
+    "ann_ivf_sweep" -> 20,    // ONE shared train+assign (r14: centroids and cell
+                              // assignment don't depend on nProbe, so the 4 sweep
+                              // points probe one eagerly-checkpointed index; the 4
+                              // probe pipelines keep their window/agg exchanges)
     "data_cast_audit" -> 2,   // ONE scan + stacked (cast_to) agg + ORDER BY
     "diff_column_stats" -> 3, // full-outer diff join (SMJ sorts ride the lazily-
                               // checkpointed diff frame) + column-stack agg + row-total
@@ -623,8 +630,10 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "vec_purity" -> 4,        // TP + (cell,label) agg + per-cell rank window + cell agg;
                               // assignment is a broadcast-literal projection (5 seeds
                               // collected at construction, the trainCentroids contract)
-    "multimodal_video_shots" -> 2, // frame expand is in-row; per-clip lag window + the
-                              // clip agg reusing its sort; ORDER BY rides the agg keys
+    "multimodal_video_shots" -> 3, // TP (the md5 histogram projection was serial on the
+                              // 1-task single-file scan — r14) + per-clip lag window +
+                              // clip agg reusing its sort; ORDER BY rides the agg keys;
+                              // frame expand is in-row
     "events_time_to_convert" -> 6, // the gap table rides a lazy checkpoint (view/buy aggs
                               // run once); banded-rank core = (cohort,band) cell agg +
                               // cohort offset window over the CELL table + in-band
