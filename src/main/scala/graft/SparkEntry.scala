@@ -72,6 +72,14 @@ object SparkEntry {
     if (spread) df.repartition(s.sparkContext.defaultParallelism) else df
   }
 
+  /** The TP spread applied to a PROJECTED frame (r14): same
+    * parallelism-starvation gate, but the caller projects to the needed
+    * columns FIRST so the spread shuffle carries only those bytes. For
+    * queries whose per-row map work (md5 batteries, in-row expands,
+    * try_cast stacks) dwarfs the scan, the 1-task single-file read
+    * otherwise serializes the whole computation. */
+  private def SP(df: DataFrame): DataFrame = graft.operators.Par.spread(df)
+
   /** SUM of a per-row term, decimal-exact internally (cast term →
     * DECIMAL(18,s), sum — order-independent, bit-exact), emitted as DOUBLE:
     * the decimal→double conversion is correctly rounded and deterministic
@@ -192,7 +200,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- relational core -----
     "q1_agg" -> ((s, d) => {
-      T(s, d, "lineitem")
+      // SP: six decimal-sum partials ran serial on the 1-task scan
+      SP(T(s, d, "lineitem").select("l_returnflag", "l_linestatus",
+          "l_quantity", "l_extendedprice", "l_discount"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           dsum(col("l_quantity"), 2).as("sum_qty"),
@@ -328,7 +338,7 @@ object SparkEntry {
         .orderBy("event_type")
     }),
     "q15_rollup" -> ((s, d) => {
-      T(s, d, "lineitem")
+      SP(T(s, d, "lineitem").select("l_returnflag", "l_linestatus", "l_quantity"))
         .rollup("l_returnflag", "l_linestatus")
         .agg(grouping_id().as("gid"), count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
@@ -416,7 +426,7 @@ object SparkEntry {
     "q21_cube" -> ((s, d) => {
       // CUBE: all four grouping-set combinations in one pass (Expand +
       // single shuffle), gid disambiguates the null-vs-subtotal rows
-      T(s, d, "lineitem")
+      SP(T(s, d, "lineitem").select("l_returnflag", "l_linestatus", "l_quantity"))
         .cube("l_returnflag", "l_linestatus")
         .agg(grouping_id().as("gid"), count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
@@ -446,7 +456,9 @@ object SparkEntry {
       // independent), closed-form combine in a FIXED double expression
       // the oracle mirrors token-for-token. Spark's native corr/stddev
       // accumulate doubles in partition order → not oracle-able.
-      StatsOps.exactStats(T(s, d, "lineitem"), Seq("l_returnflag"),
+      StatsOps.exactStats(
+          SP(T(s, d, "lineitem").select("l_returnflag", "l_quantity", "l_extendedprice")),
+          Seq("l_returnflag"),
           col("l_quantity"), col("l_extendedprice"), scale = 2)
         .orderBy("l_returnflag")
     }),
@@ -1994,7 +2006,8 @@ object SparkEntry {
     "q35_mad" -> ((s, d) => {
       // robust spread: per-status median absolute deviation (two exact
       // percentile passes; the outlier gate stddev can't provide)
-      StatsOps.madByKey(T(s, d, "orders"), "o_orderstatus", "o_totalprice")
+      StatsOps.madByKey(SP(T(s, d, "orders").select("o_orderstatus", "o_totalprice")),
+          "o_orderstatus", "o_totalprice")
         .orderBy("o_orderstatus")
     }),
 
@@ -2517,6 +2530,10 @@ object SparkEntry {
       val pos = DedupOps.minhashDupPairs(docs, "text", "doc_id", threshold = 0.7,
           shingleSize = 2, numBands = 32, rowsPerBand = 3)
         .select(col("a_id"), col("b_id"), lit(1).as("label"))
+        // EAGER: consumed by the union's pos branch AND the negatives'
+        // anti join, whose stages launch concurrently — unpinned, the
+        // whole minhash pipeline evaluated twice (the query's main cost)
+        .transform(Ckpt.eagerCkpt)
       val h = md5(concat(lit("neg:"), col("doc_id").cast("string")))
       val w = Window.partitionBy(substring(h, 1, 1)).orderBy(h, col("doc_id"))
       val neg = docs.select(col("doc_id"))
@@ -2760,9 +2777,10 @@ object SparkEntry {
       // (DedupOps.boundedBucketPairs — in-row for baskets ≤1024, the
       // distributed overflow join above; never a lineitem×lineitem
       // self-join, never an unbounded m² in-row pair array), triangles
-      // via degree-ordered wedge counting (GraphOps.triangleStats) — each
-      // triangle counted once at its min-(deg,id) vertex, out-degrees
-      // O(√m) under the orientation so the wedge join has no hot key.
+      // via degree-ordered compact-forward counting (GraphOps
+      // .triangleStats) — each triangle counted once at its lowest
+      // oriented edge as a sorted-adjacency intersection; out-degrees
+      // O(√m) under the orientation so no adjacency array is hot.
       val baskets = T(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
         .groupBy("l_orderkey")
@@ -3756,8 +3774,10 @@ object SparkEntry {
       // (Knuth multiplicative + odd increment, mod 2^48) — 64 md5s/row
       // was the whole query's cost at sf0.1 (9.9s -> ~1s); the mix is
       // plain integer arithmetic the oracle replicates exactly
-      val rows = T(s, d, "orders").select(col("o_orderkey"),
-        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+      // SP: the md5 + ×64 expand + mix ran serial on the 1-task scan
+      // (2.5 s of this query's ~2.9 s at sf0.1)
+      val rows = SP(T(s, d, "orders").select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents")))
         .withColumn("h0", conv(substring(
           md5(concat(lit("bs:"), col("o_orderkey"))), 1, 12), 16, 10).cast("bigint"))
         .select(col("cents"), col("h0"),
@@ -4408,10 +4428,10 @@ object SparkEntry {
       // the pick is min price with 2·cum ≥ total (lower weighted
       // median, deterministic).
       import org.apache.spark.sql.expressions.Window
-      val dom = T(s, d, "lineitem")
+      val dom = SP(T(s, d, "lineitem") // decimal casts + partial agg off the 1-task scan
         .select(col("l_returnflag"),
           (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint").as("pc"),
-          (col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint").as("qc"))
+          (col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint").as("qc")))
         .groupBy("l_returnflag", "pc").agg(sum("qc").as("wt"))
       val wc = Window.partitionBy("l_returnflag").orderBy("pc")
       dom
@@ -4884,7 +4904,9 @@ object SparkEntry {
       // candidates stacked IN-ROW (the expectations idiom), ONE scan,
       // one tiny agg. The contract gate before rewriting a 100 TB
       // extract under a tightened schema.
-      T(s, d, "orders")
+      // SP: the 3-cast try_cast battery ran serial on the 1-task scan
+      // (3.0 s of this query's ~3.4 s at sf0.1)
+      SP(T(s, d, "orders").select("o_totalprice", "o_orderkey", "o_orderstatus"))
         .select(explode(array(
           struct(lit("totalprice->decimal(7,2)").as("cast_to"),
             col("o_totalprice").isNotNull.as("nonnull"),
@@ -6010,7 +6032,11 @@ object SparkEntry {
                 dmean(0, c, sum(when(g === 0, 1L).otherwise(0L))).as(s"ma_$n"),
                 dmean(1, c, sum(when(g === 1, 1L).otherwise(0L))).as(s"mb_$n")))
           }
-      val agg = T(s, d, "orders").agg(aggCols.head, aggCols.tail: _*)
+      // SP: 8 conditional countDistincts expand every row 8× before the
+      // partial agg — serial on the 1-task scan
+      val agg = SP(T(s, d, "orders")
+          .select("o_orderkey", "o_totalprice", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .agg(aggCols.head, aggCols.tail: _*)
       agg.select(expr(
         "stack(" + cols.size + ", " +
           cols.map { case (n, num) =>
@@ -6921,7 +6947,11 @@ object SparkEntry {
       // uses a different index rule (floor((n−1)p) vs Spark's
       // smallest-cume_dist ≥ p), so the oracle replays Spark's ANSI
       // definition via integer cume counts — same answer, provably.
-      T(s, d, "lineitem").createOrReplaceTempView("r12_li_pdisc")
+      // SP'd view: the three PERCENTILE_DISC buffers accumulate the whole
+      // column per group inside the partial aggregate — serial on the
+      // 1-task single-file scan (7.6 s of serial CPU measured at sf0.1)
+      SP(T(s, d, "lineitem").select("l_returnflag", "l_extendedprice"))
+        .createOrReplaceTempView("r12_li_pdisc")
       s.sql("""
         SELECT l_returnflag,
                COUNT(*) AS n_rows,

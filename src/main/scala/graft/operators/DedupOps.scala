@@ -628,8 +628,11 @@ object DedupOps {
     val docs = df
       .select(col(idCol).as("id"), hashedShingleSet(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      // consumed 3×: prefix generation + both verify sides
-      .transform(Ckpt.lazyCkpt)
+      // consumed 3×: prefix generation + both verify sides — EAGER
+      // because those consumers' stages launch concurrently; a lazy
+      // checkpoint raced its first materialization and re-ran the
+      // shingling per branch (measured 3× the scan CPU)
+      .transform(Ckpt.eagerCkpt)
     val dfreq = docs.select(explode(col("sh")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
     val prefixes = docs
@@ -896,17 +899,27 @@ object DedupOps {
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("token"), col("tf")))).as("ts"),
         sum(col("tf") * col("tf")).as("n2"))
-      .transform(Ckpt.lazyCkpt) // both pair sides read it
+      // EAGER: the two attach sides build their broadcast/shuffle inputs
+      // concurrently — a lazy checkpoint races its first materialization
+      // and tokenizes the corpus twice
+      .transform(Ckpt.eagerCkpt)
     val sh = docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(shingles(col(textCol), shingleSize))).as("g"))
-      .transform(Ckpt.lazyCkpt) // df agg + postings semi-join both read it
+      // EAGER for the same reason: the df agg and the postings side are
+      // concurrent AQE stages
+      .transform(Ckpt.eagerCkpt)
     val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     val postings = sh.join(rare.select("g"), Seq("g"), "left_semi")
-    val cands = postings.select(col("g"), col("doc_id").as("a_id"))
-      .join(postings.select(col("g"), col("doc_id").as("b_id")), Seq("g"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    // pairs INSIDE g-buckets via the guarded collect/expand core (one
+    // exchange on g) instead of a postings self-join (two g exchanges +
+    // a join); rare-bucket sizes are ≤ maxDf by construction, so every
+    // bucket takes the in-row path and the pair set is identical
+    val buckets = postings.groupBy("g")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    val cands = allBucketPairs(buckets, Seq("g"), "ids", math.max(maxDf, 2))
+      .select(col("a").as("a_id"), col("b").as("b_id"))
+      .distinct()
     // Explicit pair-keyed repartitions: the verify is per-PAIR compute-
     // bound while the bare pair list is bytes-tiny, so AQE's byte-based
     // coalesce would plan the attach joins near-serial. REPARTITION_BY_NUM

@@ -269,18 +269,30 @@ object GraphOps {
     val aFirst = key("da", "a") < key("db", "b")
     val oriented = withDegs.select(
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
-      when(aFirst, col("b")).otherwise(col("a")).as("v"),
-      when(aFirst, key("db", "b")).otherwise(key("da", "a")).as("kv"))
-      .transform(Ckpt.lazyCkpt) // wedge join reads it twice + closing join once
-    val wedges = oriented.as("o1")
-      .join(oriented.as("o2"), col("o1.u") === col("o2.u") && col("o1.kv") < col("o2.kv"))
-      .select(col("o1.v").as("wa"), col("o2.v").as("wb"))
-    // semi join FILTERS wedge rows (no dedup): distinct centers u sharing
-    // the same (v,w) endpoints are distinct wedge rows, so each closed
-    // wedge row is exactly one triangle
-    val tri = wedges
-      .join(oriented.select(col("u").as("wa"), col("v").as("wb")), Seq("wa", "wb"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+      when(aFirst, col("b")).otherwise(col("a")).as("v"))
+      .transform(Ckpt.lazyCkpt) // adjacency agg + both attach joins read it
+    // Compact-forward counting (r14 rewrite of the wedge join): a
+    // triangle with orientation keys k_u < k_v < k_w carries oriented
+    // edges u→v, u→w, v→w, so it is counted EXACTLY once — at its lowest
+    // edge (u,v), as the common out-neighbor w of u and v. Attaching each
+    // endpoint's sorted out-neighbor list to its edges and summing
+    // |N⁺(u) ∩ N⁺(v)| in-row replaces the old plan's wedge
+    // MATERIALIZATION (Σ d⁺² rows — 42M at sf0.1 — generated, shuffled
+    // and semi-join-probed) with the same Σ d⁺² work as packed array
+    // elements inside |E| rows and zero extra shuffles past the two
+    // attach joins. Out-degrees are O(√m) under the (deg, id)
+    // orientation, so no adjacency array is more than √m long (the
+    // ArrayAggAudit per-entity bound) and no intersection is hot.
+    val adj = oriented.groupBy("u")
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+      .transform(Ckpt.lazyCkpt) // both attach joins read it
+    val tri = oriented
+      .join(adj.select(col("u"), col("nbrs").as("na")), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nb")), Seq("v"))
+      // coalesce: an intersection-free graph sums over zero rows (NULL)
+      // where the old wedge COUNT returned 0 — keep the 0
+      .agg(coalesce(sum(size(array_intersect(col("na"), col("nb")))), lit(0L))
+        .cast("bigint").as("n_triangles"))
     val totals = deg.agg(
       count(lit(1)).as("n_nodes"),
       expr("sum(deg) div 2").as("n_edges"),

@@ -375,9 +375,15 @@ object StatsOps {
     val rows = df
       .select(col(groupCol).as("g"), x.cast("long").as("x"), y.cast("long").as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
-      // three consumers (x value table, y value table, the row-level
-      // moment join) — materialize the 3-long projection once instead
-      // of re-scanning the fact table per consumer
+      // spread: the scan is a 1-task single-file read, and all four
+      // consumers (x/y value tables, the moment join's probe side, the
+      // group offsets) otherwise re-ran the whole serial scan — their
+      // stages launch concurrently, so even a lazy checkpoint raced its
+      // own first materialization (measured 4×). Above the spread
+      // EXCHANGE the race is harmless: shuffle output is written once
+      // and every consumer re-reads it, so the lazy pin (which keeps
+      // the subtree visible to the plan audits) is the right one.
+      .transform(Par.spread)
       .transform(Ckpt.lazyCkpt)
     def ar2(vcol: String): DataFrame = {
       val vt = rows.groupBy("g", vcol).agg(count(lit(1)).cast("long").as("c"))

@@ -18,7 +18,7 @@ class QueryPlanBudgetSpec extends SparkSpec {
   // exchange and, for documents-based queries, TP's explicit single-file
   // parallelism repartition)
   private val budgets = Map(
-    "q1_agg" -> 2,            // agg + final ORDER BY
+    "q1_agg" -> 3,            // SP spread (r14) + agg + final ORDER BY
     "q3_join_topn" -> 1,      // broadcast join (no shuffle) + agg; topN is TakeOrdered
     "q5_multijoin" -> 4,      // 5-table join: nation/region broadcast; the
                               // customer dim side carries NO static hint
@@ -42,7 +42,7 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // here means the single-scan shape regressed to a join
     "events_agg_maint" -> 5,  // 3 day-slice aggs + one merge-side exchange + ORDER BY;
                               // both full-outer merges otherwise reuse the aggs' hash partitioning
-    "q35_mad" -> 3,           // median agg + deviation agg (med table broadcast back) + ORDER BY
+    "q35_mad" -> 4,           // SP spread (r14) + median agg + deviation agg (med table broadcast back) + ORDER BY
     "events_hopping" -> 2,    // window() is a generator (projection) — agg + ORDER BY only
     "events_debounce" -> 2,   // per-key lag window + ORDER BY
     "events_cooccurrence" -> 3, // user agg + pair agg + ORDER BY (pair expansion is in-row)
@@ -86,10 +86,12 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // window; user agg recurs pre-AQE, ReuseExchange dedupes)
                               // + ORDER BY
     "data_label_balance" -> 4, // TP + label agg + 1-row total agg + ORDER BY; total rides broadcast
-    "graph_triangles" -> 6,   // degree agg + orientation join (2) + wedge join (2) +
-                              // totals agg; baskets + edges + oriented frames are lazily
-                              // checkpointed (their exchanges sit below the truncation),
-                              // the closing semi-join reuses the wedge partitioning
+    "graph_triangles" -> 5,   // degree agg + orientation join (2) + adjacency agg +
+                              // totals agg (r14: the wedge-materializing self-join +
+                              // closing semi-join became in-row sorted-adjacency
+                              // intersection counting — one attach join reuses the
+                              // adjacency agg's partitioning); baskets/edges/oriented
+                              // frames are lazily checkpointed below the truncation
     "dedup_prefix_filter" -> 4, // df agg + prefix re-collect + the two explicit pair-keyed
                               // verify repartitions (REPARTITION_BY_NUM — exempt from AQE
                               // coalescing so the per-pair exact-Jaccard verify keeps
@@ -152,7 +154,7 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // band-count offset window + in-band window; totals agg
                               // recurs pre-AQE, ReuseExchange dedupes); final agg is 1 row
     "events_twap" -> 3,       // user-keyed dwell sort + type agg + ORDER BY
-    "data_bootstrap_ci" -> 2, // ×64 in-row expand + ONE groupBy(b); rank picks run on
+    "data_bootstrap_ci" -> 3, // SP spread (r14) + ×64 in-row expand + ONE groupBy(b); rank picks run on
                               // the 64-row mean frame (final agg reuses its sort)
     "dedup_best_match" -> 5,  // minhash band agg + bucket pair-gen + symmetric-union
                               // best window + mutual self-join + ORDER BY, all off the
@@ -190,7 +192,7 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // phrase frame, top-k is TakeOrdered
     "events_forecast_baseline" -> 2, // daily agg (lazy checkpoint feeds actual + lag-7
                               // sides) + ORDER BY; the day+7 join is calendar-sized
-    "dedup_tf_cosine" -> 5,   // TP + shingle df agg + pair-distinct agg + ORDER BY + the
+    "dedup_tf_cosine" -> 4,   // TP + shingle df agg + g-bucket pair collect + pair-distinct agg + ORDER BY + the
                               // two pair-keyed verify repartitions; the old posting-join
                               // dot (2 more exchanges + SUM agg) is now the in-row native
                               // TfDotProduct over checkpointed sorted term vectors (r14)
@@ -231,7 +233,7 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // ORDER BY reuses the last round's agg partitioning
     "q50_skyline" -> 2,       // quantity-domain agg + single-partition domain window
                               // (ORDER BY reuses its sort)
-    "q51_weighted_median" -> 3, // (flag,pc) agg + flag-keyed window + final flag agg
+    "q51_weighted_median" -> 4, // SP spread (r14) + (flag,pc) agg + flag-keyed window + final flag agg
                               // (ORDER BY reuses it)
     "vec_matryoshka" -> 6,    // TP + two ranking windows + overlap semi join + query
                               // distinct + ORDER BY; 5-row-per-query sets ride broadcast
@@ -267,7 +269,7 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // assignment don't depend on nProbe, so the 4 sweep
                               // points probe one eagerly-checkpointed index; the 4
                               // probe pipelines keep their window/agg exchanges)
-    "data_cast_audit" -> 2,   // ONE scan + stacked (cast_to) agg + ORDER BY
+    "data_cast_audit" -> 3,   // SP spread (r14) + ONE scan + stacked (cast_to) agg + ORDER BY
     "diff_column_stats" -> 3, // full-outer diff join (SMJ sorts ride the lazily-
                               // checkpointed diff frame) + column-stack agg + row-total
                               // agg + union ORDER BY
@@ -466,7 +468,7 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // ORDER BY — the weights themselves are a projection
     "q68_offset" -> 0,        // TakeOrdered absorbs ORDER BY + LIMIT/OFFSET whole —
                               // pagination without a single Exchange
-    "data_profile_drift" -> 2, // ONE scan: the 8-way conditional count-distinct Expand's
+    "data_profile_drift" -> 3, // SP spread (r14) + ONE scan: the 8-way conditional count-distinct Expand's
                               // partial/final pair (+ the 4-row stack is a projection);
                               // a count > 2 means a generation became its own scan
     "dedup_shared_spans" -> 4, // position-bucket agg + per-diagonal agg + the linked-pair
@@ -654,7 +656,7 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // fold driver-side over the collected bounded transition
                               // matrix — the kmeans1d contract; the chained-DataFrame
                               // form cost 17 s of pure stage scheduling); 1 = ORDER BY
-    "q79_percentile_disc" -> 2, // ordered-set agg + ORDER BY
+    "q79_percentile_disc" -> 3, // SP spread (r14: the three PERCENTILE_DISC buffers were serial on the 1-task scan) + ordered-set agg + ORDER BY
     "graph_reciprocity" -> 2, // the distinct edge set rides ONE lazy checkpoint (its
                               // distinct exchange runs once, not once per semi-join
                               // side); the 2 = the swapped semi-join's repartition +
