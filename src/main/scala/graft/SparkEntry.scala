@@ -5259,6 +5259,11 @@ object SparkEntry {
       val bg = TP(s, d, "documents")
         .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 2)).as("bigram"))
         .filter(col("bigram") =!= "")
+        // EAGER (r14): the corpus-frequency agg and the familiarity join
+        // consume this concurrently, and their column-pruned Exchanges
+        // don't canonicalize equal — unpinned, the shingle explode ran
+        // twice (two full 32-task scan stages in the profile)
+        .transform(Ckpt.eagerCkpt)
       val corpus = bg.groupBy("bigram").agg(count(lit(1)).as("cf"))
       bg.join(corpus, Seq("bigram"))
         .groupBy("doc_id")
@@ -5578,6 +5583,11 @@ object SparkEntry {
       val bg = TP(s, d, "documents")
         .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 2)).as("bigram"))
         .filter(col("bigram") =!= "")
+        // EAGER (r14): the corpus-frequency agg and the familiarity join
+        // consume this concurrently, and their column-pruned Exchanges
+        // don't canonicalize equal — unpinned, the shingle explode ran
+        // twice (two full 32-task scan stages in the profile)
+        .transform(Ckpt.eagerCkpt)
       val corpus = bg.groupBy("bigram").agg(count(lit(1)).as("cf"))
       val fam = bg.join(corpus, Seq("bigram"))
         .groupBy("doc_id")
