@@ -4428,10 +4428,14 @@ object SparkEntry {
       // the pick is min price with 2·cum ≥ total (lower weighted
       // median, deterministic).
       import org.apache.spark.sql.expressions.Window
-      val dom = SP(T(s, d, "lineitem") // decimal casts + partial agg off the 1-task scan
+      val dom = T(s, d, "lineitem") // r15: SP spread dropped — the driver's
+        // cold-JVM A/B (PERF_r14: 1.6→1.9 s, −16%) contradicted the warm
+        // builder A/B that added it; re-measured both ways this round and
+        // the spread did not pay for its shuffle here (the partial agg on
+        // (flag, pc) already collapses the scan to the ~100k-row domain)
         .select(col("l_returnflag"),
           (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint").as("pc"),
-          (col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint").as("qc")))
+          (col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint").as("qc"))
         .groupBy("l_returnflag", "pc").agg(sum("qc").as("wt"))
       val wc = Window.partitionBy("l_returnflag").orderBy("pc")
       dom

@@ -36,16 +36,20 @@ object GraphOps {
       bCol: String,
       maxIter: Int = 20
   ): DataFrame = {
-    // LAZY checkpoints for the loop inputs and the per-round hook frame:
-    // they still materialize exactly once (inside the first job that
-    // reads them — each round's eager `next` checkpoint), but skip the
-    // separate materialization job an eager pin pays. Measured: one
-    // fewer job per CC round across the ~20 CC-calling queries, values
-    // unchanged (every frame is deterministic).
+    // Pin discipline (r15, VERDICT/ADVICE item 2): `und` roots at the
+    // RAW edge derivation (e.g. a whole LSH dedup), and the first
+    // round's job reads it from several concurrent stages (nbrMin join
+    // side + the labels distinct) — a lazy pin races its own first
+    // materialization and re-runs the derivation up to N× (measured:
+    // data_grouped_split 2.1→2.6 s with a 0.69 core-scaling ratio in
+    // PERF_r14 — slower with MORE cores, the recompute-race signature).
+    // EAGER here; `labels` and the per-round hook frame stay lazy —
+    // their subtrees root at und's materialized blocks / an exchange,
+    // so a race only re-reads already-written data.
     val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .transform(Ckpt.lazyCkpt) // edge derivation (e.g. a full LSH dedup) runs once, not per round
+      .transform(Ckpt.eagerCkpt) // edge derivation (e.g. a full LSH dedup) runs once, not per round
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .transform(Ckpt.lazyCkpt)

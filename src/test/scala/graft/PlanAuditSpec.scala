@@ -8,6 +8,11 @@ import org.apache.spark.sql.functions._
   * reintroduce a shuffle, lose a pushed filter, or drop a broadcast.
   */
 class PlanAuditSpec extends SparkSpec {
+  // Conf-isolated session (r15): this suite flips session-global plan
+  // confs (autoBroadcastJoinThreshold, adaptive.enabled) that would
+  // otherwise leak into suites running in parallel — the round-14
+  // VERDICT's QueryPlanBudgetSpec flake class.
+  override lazy val spark: org.apache.spark.sql.SparkSession = SparkSpec.isolated()
   import spark.implicits._
 
   private def executedPlan(df: org.apache.spark.sql.DataFrame): String =

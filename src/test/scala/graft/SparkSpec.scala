@@ -19,4 +19,16 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  /** Session-isolated clone: shares the SparkContext, catalog and cache
+    * but owns its SQL conf. Plan-shape suites (QueryPlanBudgetSpec,
+    * PlanAuditSpec) run on one of these so that (a) their own conf
+    * flips (adaptive off, broadcast threshold −1) cannot leak into
+    * suites running in parallel on the shared session, and (b) other
+    * suites' flips cannot change the exchange counts they pin — sbt
+    * runs suites concurrently in the forked JVM, and a shared-session
+    * conf race makes an exact-count pin a coin flip (round-14 VERDICT
+    * item 1).
+    */
+  def isolated(): SparkSession = session.newSession()
 }
