@@ -1082,18 +1082,28 @@ object SparkEntry {
       // the quadratic pair set touching day1∪day2 — which fails if the
       // append loses rows or breaks the band layout. base = doc_id%4∈
       // {1,2}, day1 = %4==3, day2 = %4==0.
+      // r15 (guide §1.2/§2.6): day-1 was shingled twice (probe + append)
+      // — one eager signature pin now feeds both; and the base index
+      // build overlaps the day-1 signature job (independent chains).
+      // The probe→append→probe ordering itself is the contract under
+      // test and stays strictly sequential.
       val docs = TP(s, d, "documents")
       val m4 = col("doc_id") % 4
-      val idx = IncrementalDedupOps.buildIndex(docs.filter(m4.isin(1, 2)), "text", "doc_id",
-        prefix = "graft_inc2_idx", numBuckets = 4, shingleSize = 2, numBands = 32, rowsPerBand = 3)
-      val day1 = docs.filter(m4 === 3)
-      val pairs1 = IncrementalDedupOps.probe(day1, "text", "doc_id", idx, threshold = 0.7,
-        shingleSize = 2, numBands = 32, rowsPerBand = 3)
+      val (idx, day1Sh) = Par.concurrently(
+        IncrementalDedupOps.buildIndex(docs.filter(m4.isin(1, 2)), "text", "doc_id",
+          prefix = "graft_inc2_idx", numBuckets = 4, shingleSize = 2, numBands = 32,
+          rowsPerBand = 3),
+        docs.filter(m4 === 3)
+          .select(col("doc_id").as("id"),
+            DedupOps.hashedShingleSet(col("text"), 2).as("sh"))
+          .transform(Ckpt.eagerCkpt))
+      val pairs1 = IncrementalDedupOps.probeOf(day1Sh, idx, threshold = 0.7,
+        numBands = 32, rowsPerBand = 3)
       // materialize day-1 pairs BEFORE the append mutates the index the
       // lazy plan would re-read
       val p1 = pairs1.transform(Ckpt.eagerCkpt)
-      IncrementalDedupOps.appendToIndex(day1, "text", "doc_id", idx,
-        numBuckets = 4, shingleSize = 2, numBands = 32, rowsPerBand = 3)
+      IncrementalDedupOps.appendToIndexOf(day1Sh, idx,
+        numBuckets = 4, numBands = 32, rowsPerBand = 3)
       val pairs2 = IncrementalDedupOps.probe(docs.filter(m4 === 0), "text", "doc_id", idx,
         threshold = 0.7, shingleSize = 2, numBands = 32, rowsPerBand = 3)
       p1.unionByName(pairs2).orderBy("a_id", "b_id")
@@ -1783,6 +1793,11 @@ object SparkEntry {
             TextFunctions.punctCountFromNorm(col("norm")),
             TextFunctions.tokenHitsFromTokens(col("tk"), TextFunctions.allStopwords))
             .as("quality_score"))
+        // EAGER (r15): the calibrate core consumes this 3× (band agg,
+        // rank join, totals) with concurrent stages — unpinned, the
+        // tokenize+score scan ran per consumer; the pinned frame is 3
+        // narrow columns, not the corpus
+        .transform(Ckpt.eagerCkpt)
       CorpusOps.calibrateByKey(scored, "source", "quality_score", "doc_id")
         .withColumn("kept", (col("pct_rank") >= 0.8).cast("int"))
         .orderBy("doc_id")
@@ -1997,6 +2012,9 @@ object SparkEntry {
             TextFunctions.punctCountFromNorm(col("norm")),
             TextFunctions.tokenHitsFromTokens(col("tk"), TextFunctions.allStopwords))
             .as("quality_score"))
+        // EAGER (r15): same rationale as quality_calibrate — 3 calibrate
+        // consumers, 3 narrow columns pinned, tokenization runs once
+        .transform(Ckpt.eagerCkpt)
       CorpusOps.calibrateByKey(scored, "lang", "quality_score", "doc_id")
         .withColumn("stage", least(floor(col("pct_rank") * 3), lit(2L)).cast("int"))
         .withColumn("sort_key", md5(concat_ws(":", lit("cur"), col("doc_id").cast("string"))))
@@ -3697,15 +3715,22 @@ object SparkEntry {
         .select(col("entity_id"), col("p.attr").as("attr"), col("p.v").as("v"))
       val w = Window.partitionBy("entity_id", "attr")
         .orderBy(col("c").desc, col("v").asc)
-      val picked = stacked.groupBy("entity_id", "attr", "v")
+      // r15 (§1.2): n_records used to re-evaluate the whole records⋈labels
+      // join as a second consumer of `tagged`; every record carries a
+      // non-null name, so the member count is the name-attr count mass in
+      // the SAME (entity, attr, v) table the vote reads — one evaluation.
+      val counts = stacked.groupBy("entity_id", "attr", "v")
         .agg(count(lit(1)).as("c"))
+        .transform(Ckpt.lazyCkpt) // vote pick + member count read it
+      val picked = counts
         .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       val golden = picked.groupBy("entity_id").agg(
         max(when(col("attr") === "name", col("v"))).as("name"),
         max(when(col("attr") === "nation", col("v"))).cast("long").as("nation"),
         max(when(col("attr") === "cents", col("v"))).cast("long").as("cents"),
         max(when(col("attr") === "seg", col("v"))).as("seg"))
-      tagged.groupBy("entity_id").agg(count(lit(1)).as("n_records"))
+      counts.filter(col("attr") === "name")
+        .groupBy("entity_id").agg(sum("c").as("n_records"))
         .join(golden, Seq("entity_id"))
         .select("entity_id", "n_records", "name", "nation", "cents", "seg")
         .orderBy("entity_id")
@@ -4368,14 +4393,25 @@ object SparkEntry {
       // the old components and labels only ever take component minima,
       // so the result EQUALS a from-scratch clustering of the full
       // corpus — which is precisely what the oracle recomputes.
+      // r15 (guide §1.2/§2.6): the old corpus was shingled THREE times
+      // (pair-gen signatures, verify sets, index build) — one eager
+      // signature pin now feeds all three; and the two independent
+      // driver chains over it (yesterday's CC vs the index build, two
+      // staged bucketed writes) ran back to back — they overlap now.
+      // The former eager pin on oldLabels was redundant: CC's output IS
+      // the last round's checkpoint (minus a projected column).
       val docs = TP(s, d, "documents")
       val isNew = col("doc_id") % 4 === 0
-      val oldPairs = DedupOps.minhashDupPairs(docs.filter(!isNew), "text", "doc_id",
-        threshold = 0.7, shingleSize = 2, numBands = 32, rowsPerBand = 3)
-      val oldLabels = GraphOps.connectedComponents(oldPairs, "a_id", "b_id")
-        .transform(Ckpt.eagerCkpt) // "yesterday's cluster table"
-      val idx = IncrementalDedupOps.buildIndex(docs.filter(!isNew), "text", "doc_id",
-        prefix = "graft_ccinc_idx", numBuckets = 4, shingleSize = 2, numBands = 32, rowsPerBand = 3)
+      val oldSh = docs.filter(!isNew)
+        .select(col("doc_id").as("id"),
+          DedupOps.hashedShingleSet(col("text"), 2).as("sh"))
+        .transform(Ckpt.eagerCkpt)
+      val (oldLabels, idx) = Par.concurrently(
+        GraphOps.connectedComponents(
+          DedupOps.minhashDupPairsOf(oldSh, threshold = 0.7, numBands = 32, rowsPerBand = 3),
+          "a_id", "b_id"),
+        IncrementalDedupOps.buildIndexOf(oldSh,
+          prefix = "graft_ccinc_idx", numBuckets = 4, numBands = 32, rowsPerBand = 3))
       val delta = IncrementalDedupOps.probe(docs.filter(isNew), "text", "doc_id", idx,
         threshold = 0.7, shingleSize = 2, numBands = 32, rowsPerBand = 3)
       val edges = oldLabels
@@ -5120,15 +5156,26 @@ object SparkEntry {
       // already-cleaned data. Emits pass-1/pass-2 counts and the
       // equality verdict; the oracle recomputes pass 1 and states the
       // invariant.
+      // r15 (guide §1.2): the two passes shingled the corpus FOUR times
+      // (signature + verify per pass) and eagerly checkpointed the full
+      // pass-1 text. The shingle set is a pure per-document function of
+      // unchanged text, so pass 2's "re-shingling of its own output" is
+      // byte-identical to the pass-1 signatures filtered to the
+      // survivors — one eager (id, sh) pin feeds both passes, and only
+      // id sets flow between them. Same counts, same verdict.
       val docs = TP(s, d, "documents")
-      val p1 = DedupOps.applyPairDedup(docs, "doc_id",
-        DedupOps.minhashDupPairs(docs, "text", "doc_id", threshold = 0.7,
-          shingleSize = 2, numBands = 32, rowsPerBand = 3))
-        .transform(Ckpt.eagerCkpt) // pass 2 re-shingles THIS output
-      val p2 = DedupOps.applyPairDedup(p1, "doc_id",
-        DedupOps.minhashDupPairs(p1, "text", "doc_id", threshold = 0.7,
-          shingleSize = 2, numBands = 32, rowsPerBand = 3))
-      p1.agg(count(lit(1)).as("n_pass1"))
+      val docsSh = docs
+        .select(col("doc_id").as("id"), DedupOps.hashedShingleSet(col("text"), 2).as("sh"))
+        .transform(Ckpt.eagerCkpt)
+      def dropsOf(sh: DataFrame) = GraphOps.connectedComponents(
+          DedupOps.minhashDupPairsOf(sh, threshold = 0.7, numBands = 32, rowsPerBand = 3),
+          "a_id", "b_id")
+        .filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("__drop_id"))
+      val sh1 = docsSh.join(dropsOf(docsSh), col("id") === col("__drop_id"), "left_anti")
+        .transform(Ckpt.eagerCkpt) // pass-2 input: the survivors' signatures
+      val p2 = sh1.join(dropsOf(sh1), col("id") === col("__drop_id"), "left_anti")
+      sh1.agg(count(lit(1)).as("n_pass1"))
         .crossJoin(broadcast(p2.agg(count(lit(1)).as("n_pass2")))) // 1×1
         .withColumn("idempotent", col("n_pass1") === col("n_pass2"))
     }),
@@ -5420,7 +5467,12 @@ object SparkEntry {
       // window anywhere; see StatsOps.spearmanByGroup.
       StatsOps.spearmanByGroup(T(s, d, "lineitem"), "l_returnflag",
           col("l_quantity").cast("long"),
-          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+          // r15: price cents span ~10^7, so the default 2^20 band gave
+          // ~10 bands/flag — the in-band rank windows ran as a handful
+          // of ~100k-row sorts. 2^14 yields ~600 balanced bands/flag:
+          // same exact ranks, far smaller per-band sorts.
+          bandBits = 14)
         .withColumnRenamed("g", "l_returnflag")
         .orderBy("l_returnflag")
     }),
@@ -5599,6 +5651,10 @@ object SparkEntry {
         .withColumn("fam", col("scf").cast("double") / col("nb").cast("double"))
       val scored = T(s, d, "documents").select(col("doc_id"), col("lang"))
         .join(fam, Seq("doc_id"))
+        // EAGER (r15): the calibrate core consumes this 3× (band agg,
+        // rank join, totals) — unpinned, the cf-join + per-doc fam agg
+        // re-ran per consumer; the pinned frame is 5 narrow columns
+        .transform(Ckpt.eagerCkpt)
       CorpusOps.calibrateByKey(scored, "lang", "fam", "doc_id", "pct")
         .withColumn("bucket",
           when(col("pct") * 3 >= 2, lit("head"))
@@ -5939,17 +5995,27 @@ object SparkEntry {
       // survived. Index side of the probe join is bucketed on fp_hash
       // → Exchange-free. Oracle replays the whole sequential chain
       // (winnowing selection is md5 — no aux dump needed).
+      // r15 (guide §1.2/§2.6): the delta was fingerprinted TWICE (index
+      // probe + within-batch pair gen) — winnowing selection is a pure
+      // per-document function, so fps(rem) ≡ fps(delta) filtered to the
+      // remainder ids; one eager fingerprint pin feeds both, and the pin
+      // job overlaps the independent index build (staged bucketed write).
       val docs = TP(s, d, "documents")
       val base = docs.filter(col("doc_id") % 3 =!= 0)
       val delta = docs.filter(col("doc_id") % 3 === 0)
-      val tbl = IncrementalDedupOps.buildWinnowIndex(
-        base, "text", "doc_id", "graft_winc_idx", numBuckets = 8)
+      val (tbl, deltaFps) = Par.concurrently(
+        IncrementalDedupOps.buildWinnowIndex(
+          base, "text", "doc_id", "graft_winc_idx", numBuckets = 8),
+        DedupOps.winnowFingerprints(delta, "text", "doc_id", 4, 4)
+          .select(col("fp_hash"), col("id")).distinct()
+          .transform(Ckpt.eagerCkpt))
       val dropIdx = IncrementalDedupOps
-        .probeWinnowIndex(delta, "text", "doc_id", tbl, minShared = 2)
+        .probeWinnowIndexOf(deltaFps, tbl, minShared = 2)
         .select(col("batch_id").as("doc_id")).distinct()
-      val rem = delta.join(dropIdx, Seq("doc_id"), "left_anti")
-      val selfPairs = DedupOps.winnowDupPairs(rem, "text", "doc_id", 4, 4, minShared = 2)
+      val remFps = deltaFps.join(dropIdx, col("id") === col("doc_id"), "left_anti")
+      val selfPairs = DedupOps.winnowDupPairsOf(remFps, minShared = 2)
         .select("a_id", "b_id")
+      val rem = delta.select("doc_id").join(dropIdx, Seq("doc_id"), "left_anti")
       val survivors = DedupOps.applyPairDedup(rem, "doc_id", selfPairs).select("doc_id")
       delta.select("doc_id")
         .join(dropIdx.withColumn("__di", lit(1)), Seq("doc_id"), "left")
@@ -7489,33 +7555,45 @@ object SparkEntry {
       // Scale: the assignment attaches to the edge table by two
       // high-card joins, the coarse graph and the per-community sums
       // are plain aggregates — nothing here exceeds the sweep's cost.
-      val w = coOrderPartEdges(s, d).transform(Ckpt.lazyCkpt)
+      // r15 restructure (guide §1.2/§2.3): the edge×assign join (`keyed`,
+      // the only edge-sized frame here) was aggregated THREE times
+      // (coarse graph, in_c per community, and — via w — m and n_edges),
+      // and six 1-row aggregates each planned their own subtree. Every
+      // statistic is derivable from ONE edge-sized aggregate: the coarse
+      // graph with per-coarse-edge counts. Every node in `w` gets an
+      // assignment (louvainSweep covers both endpoints), so the inner
+      // joins lose no edge and Σcoarse.w = m, Σcoarse.n_e = n_edges;
+      // cx = cy rows carry exactly the intra-community mass (in_c and
+      // internal_w). All sums are longs — order-independent, so the
+      // emitted integers (and the single q division) are bit-identical.
+      val w = coOrderPartEdges(s, d).transform(Ckpt.eagerCkpt)
       val assign = GraphOps.louvainSweep(w).select("node", "k", "community")
-        .transform(Ckpt.lazyCkpt) // two edge-side joins + tot_c read it
+        .transform(Ckpt.eagerCkpt) // two edge-side joins + tot_c read it
       val keyed = w
         .join(assign.select(col("node").as("a"), col("community").as("ca")), Seq("a"))
         .join(assign.select(col("node").as("b"), col("community").as("cb")), Seq("b"))
       val coarse = keyed.groupBy(
           least(col("ca"), col("cb")).as("cx"),
           greatest(col("ca"), col("cb")).as("cy"))
-        .agg(sum("w").cast("long").as("w"))
-      val m = w.agg(sum("w").cast("long").as("m"))
-      val inW = coarse.filter(col("cx") === col("cy"))
-        .agg(coalesce(sum("w"), lit(0L)).cast("long").as("internal_w"))
+        .agg(sum("w").cast("long").as("w"), count(lit(1)).cast("long").as("n_e"))
+        .transform(Ckpt.lazyCkpt) // community²-bounded; totals + in_c + q read it
+      val totals = coarse.agg(
+        sum("w").cast("long").as("m"),
+        sum("n_e").cast("long").as("n_edges"),
+        count(lit(1)).as("n_coarse_edges"),
+        coalesce(sum(when(col("cx") === col("cy"), col("w"))), lit(0L))
+          .cast("long").as("internal_w"))
       val tot = assign.groupBy("community").agg(sum("k").cast("long").as("tot"))
-      val inC = keyed.filter(col("ca") === col("cb"))
-        .groupBy(col("ca").as("community")).agg(sum("w").cast("long").as("in_c"))
+      val inC = coarse.filter(col("cx") === col("cy"))
+        .select(col("cx").as("community"), col("w").as("in_c"))
       val qterms = tot.join(inC, Seq("community"), "left")
-        .crossJoin(broadcast(m))
+        .crossJoin(broadcast(totals.select(col("m"))))
         .select((lit(4L) * col("m") * coalesce(col("in_c"), lit(0L))
           - col("tot") * col("tot")).as("term"))
         .agg(sum("term").cast("long").as("q_num"))
       assign.agg(count(lit(1)).as("n_nodes"),
           count_distinct(col("community")).as("n_communities"))
-        .crossJoin(broadcast(w.agg(count(lit(1)).as("n_edges"))))
-        .crossJoin(broadcast(coarse.agg(count(lit(1)).as("n_coarse_edges"))))
-        .crossJoin(broadcast(inW))
-        .crossJoin(broadcast(m))
+        .crossJoin(broadcast(totals))
         .crossJoin(broadcast(qterms))
         .select(col("n_nodes"), col("n_communities"), col("n_edges"),
           col("n_coarse_edges"), col("internal_w"), col("m"), col("q_num"),

@@ -193,9 +193,27 @@ object DedupOps {
       numBands: Int = 8,
       rowsPerBand: Int = 4,
       maxBucketSize: Int = 64
+  ): DataFrame =
+    minhashCandidatesOf(
+      df.select(col(idCol).as("id"), hashedShingleSet(col(textCol), shingleSize).as("sh")),
+      numBands, rowsPerBand, maxBucketSize)
+
+  /** [[minhashCandidates]] over a PRECOMPUTED `(id, sh)` hashed-shingle
+    * frame — the shared-signature entry (r15): composite incremental
+    * queries shingle the same corpus slice for pair generation, the
+    * verify join AND the persisted index build; one pinned signature
+    * frame feeds all three instead of re-running the tokenize+hash scan
+    * per consumer. Plan-identical to the textCol path when handed the
+    * bare projection. */
+  def minhashCandidatesOf(
+      docsSh: DataFrame,
+      numBands: Int,
+      rowsPerBand: Int,
+      maxBucketSize: Int = 64
   ): DataFrame = {
     val k = numBands * rowsPerBand
-    val banded = minhashSignatures(df, textCol, idCol, shingleSize, k)
+    val banded = docsSh
+      .select(col("id"), minhashSigCol(col("sh"), k).as("sig"))
       .select(col("id"), explode(bandKeys(col("sig"), numBands, rowsPerBand)).as("band_key"))
     val buckets = banded
       .groupBy("band_key")
@@ -216,9 +234,21 @@ object DedupOps {
       shingleSize: Int = 3,
       numBands: Int = 8,
       rowsPerBand: Int = 4
+  ): DataFrame =
+    minhashDupPairsOf(
+      df.select(col(idCol).as("id"), hashedShingleSet(col(textCol), shingleSize).as("sh")),
+      threshold, numBands, rowsPerBand)
+
+  /** [[minhashDupPairs]] over a precomputed `(id, sh)` frame — see
+    * [[minhashCandidatesOf]]. */
+  def minhashDupPairsOf(
+      docsSh: DataFrame,
+      threshold: Double,
+      numBands: Int,
+      rowsPerBand: Int
   ): DataFrame = {
-    val cands = minhashCandidates(df, textCol, idCol, shingleSize, numBands, rowsPerBand)
-    val docs = df.select(col(idCol).as("id"), hashedShingleSet(col(textCol), shingleSize).as("sh"))
+    val cands = minhashCandidatesOf(docsSh, numBands, rowsPerBand)
+    val docs = docsSh
     // NO pair-keyed repartition here (unlike the prefix-filter verify):
     // minhash candidate sets are band-bounded and the per-pair verify is
     // cheap, so the broadcast-join chain fuses into one already-parallel
@@ -325,8 +355,13 @@ object DedupOps {
       maxBucketSize: Int = 64,
       materializeSignatures: Boolean = true
   ): DataFrame = {
+    // EAGER (r15): three consumers (the shingle explode + both verify
+    // attach sides) launch concurrent stages — the lazy pin raced its
+    // own first materialization and re-ran the shingle scan per
+    // consumer (profiled: the raw scan appeared twice at sf0.1); the
+    // eager pin also gives the planner real sizes for the attach sides
     val docs0 = df.select(col(idCol).as("id"), hashedShingleSet(col(textCol), shingleSize).as("sh"))
-    val docs = if (materializeSignatures) docs0.transform(Ckpt.lazyCkpt) else docs0
+    val docs = if (materializeSignatures) docs0.transform(Ckpt.eagerCkpt) else docs0
     val sh = docs.select(col("id"), explode(col("sh")).as("h"))
     // per-shingle df via two-level groupBy — map-side partial aggregation
     // bounds a hot boilerplate shingle to one row per map partition. (The
@@ -744,8 +779,22 @@ object DedupOps {
       w: Int = 4,
       minShared: Int = 2,
       maxBucketSize: Int = 64
+  ): DataFrame =
+    winnowDupPairsOf(
+      winnowFingerprints(df, textCol, idCol, k, w).select(col("fp_hash"), col("id")),
+      minShared, maxBucketSize)
+
+  /** [[winnowDupPairs]] over a PRECOMPUTED `(fp_hash, id)` fingerprint
+    * frame (r15 shared-fingerprint entry): winnowing selection is a pure
+    * per-document function of the text, so a batch's fingerprints can be
+    * computed once and feed both the index probe and the within-batch
+    * pair generation — fps(subset) ≡ fps(all).filter(id ∈ subset). */
+  def winnowDupPairsOf(
+      fps: DataFrame,
+      minShared: Int = 2,
+      maxBucketSize: Int = 64
   ): DataFrame = {
-    val buckets = winnowFingerprints(df, textCol, idCol, k, w)
+    val buckets = fps
       .select(col("fp_hash"), col("id"))
       .distinct()
       .groupBy("fp_hash")

@@ -54,18 +54,38 @@ object IncrementalDedupOps {
       numBands: Int = 8,
       rowsPerBand: Int = 4
   ): IndexTables = {
+    // the two writers below (bands, sigs) run CONCURRENTLY and would
+    // each re-run (and race) the shingle scan under a lazy pin — EAGER
+    // materializes the signatured frame once before either starts
+    val docs = signatured(base, textCol, idCol, shingleSize).transform(Ckpt.eagerCkpt)
+    buildIndexOf(docs, prefix, numBuckets, numBands, rowsPerBand)
+  }
+
+  /** [[buildIndex]] over a PRECOMPUTED `(id, sh)` signature frame (r15
+    * shared-signature entry — composite queries that also pair-generate
+    * over the same corpus slice pin the signatures once and feed both).
+    * The two bucketed writes target INDEPENDENT tables over one
+    * materialized frame, so they run concurrently (guide §2.6) instead
+    * of serializing two staged swaps; callers must hand a CHECKPOINTED
+    * frame (both writers race its materialization otherwise).
+    */
+  def buildIndexOf(
+      docsSh: DataFrame,
+      prefix: String,
+      numBuckets: Int,
+      numBands: Int,
+      rowsPerBand: Int
+  ): IndexTables = {
     val k = numBands * rowsPerBand
-    // two writers below (bands, sigs) would each re-run the shingle scan;
-    // the signatured table is the thing to compute once
-    val docs = signatured(base, textCol, idCol, shingleSize).transform(Ckpt.lazyCkpt)
-    val bands = docs.select(
+    val bands = docsSh.select(
       col("id"),
       explode(DedupOps.bandKeys(DedupOps.minhashSigCol(col("sh"), k), numBands, rowsPerBand))
         .as("band_key"))
     val t = IndexTables(s"${prefix}_bands", s"${prefix}_sigs")
-    BucketOps.writeBucketed(bands.select("band_key", "id"), t.bands, numBuckets,
-      keys = Seq("band_key"), sortKeys = Seq("band_key"))
-    BucketOps.writeBucketed(docs, t.sigs, numBuckets, keys = Seq("id"), sortKeys = Seq("id"))
+    Par.concurrently(
+      BucketOps.writeBucketed(bands.select("band_key", "id"), t.bands, numBuckets,
+        keys = Seq("band_key"), sortKeys = Seq("band_key")),
+      BucketOps.writeBucketed(docsSh, t.sigs, numBuckets, keys = Seq("id"), sortKeys = Seq("id")))
     t
   }
 
@@ -86,15 +106,31 @@ object IncrementalDedupOps {
       numBands: Int = 8,
       rowsPerBand: Int = 4
   ): Unit = {
+    // EAGER: the two concurrent appends below would race a lazy pin's
+    // first materialization and re-run the batch shingle scan twice
+    val docs = signatured(batch, textCol, idCol, shingleSize).transform(Ckpt.eagerCkpt)
+    appendToIndexOf(docs, index, numBuckets, numBands, rowsPerBand)
+  }
+
+  /** [[appendToIndex]] over a precomputed `(id, sh)` frame — the daily
+    * job's probe and append share one batch signature pass (r15). The
+    * two appends target independent tables, so they run concurrently. */
+  def appendToIndexOf(
+      docsSh: DataFrame,
+      index: IndexTables,
+      numBuckets: Int,
+      numBands: Int,
+      rowsPerBand: Int
+  ): Unit = {
     val k = numBands * rowsPerBand
-    val docs = signatured(batch, textCol, idCol, shingleSize).transform(Ckpt.lazyCkpt)
-    val bands = docs.select(
+    val bands = docsSh.select(
       col("id"),
       explode(DedupOps.bandKeys(DedupOps.minhashSigCol(col("sh"), k), numBands, rowsPerBand))
         .as("band_key"))
-    BucketOps.appendBucketed(bands.select("band_key", "id"), index.bands, numBuckets,
-      keys = Seq("band_key"), sortKeys = Seq("band_key"))
-    BucketOps.appendBucketed(docs, index.sigs, numBuckets, keys = Seq("id"), sortKeys = Seq("id"))
+    Par.concurrently(
+      BucketOps.appendBucketed(bands.select("band_key", "id"), index.bands, numBuckets,
+        keys = Seq("band_key"), sortKeys = Seq("band_key")),
+      BucketOps.appendBucketed(docsSh, index.sigs, numBuckets, keys = Seq("id"), sortKeys = Seq("id")))
   }
 
   /** Verified near-dup pairs (a_id < b_id, exact Jaccard ≥ threshold)
@@ -126,10 +162,27 @@ object IncrementalDedupOps {
       maxBucketSize: Int = 64,
       enforceDisjointIds: Boolean = true
   ): DataFrame = {
-    val spark = newBatch.sparkSession
-    val k = numBands * rowsPerBand
     // one scan of the (small) new batch feeds band keys + both verify sides
     val newDocs = signatured(newBatch, textCol, idCol, shingleSize).transform(Ckpt.lazyCkpt)
+    probeOf(newDocs, index, threshold, numBands, rowsPerBand, maxBucketSize, enforceDisjointIds)
+  }
+
+  /** [[probe]] over a PRECOMPUTED `(id, sh)` signature frame of the new
+    * batch (r15 shared-signature entry): the daily job signatures its
+    * batch once for the probe AND the subsequent index append. The frame
+    * should be checkpointed by the caller (it feeds band keys + both
+    * verify sides + the disjointness guard). */
+  def probeOf(
+      newDocs: DataFrame,
+      index: IndexTables,
+      threshold: Double,
+      numBands: Int,
+      rowsPerBand: Int,
+      maxBucketSize: Int = 64,
+      enforceDisjointIds: Boolean = true
+  ): DataFrame = {
+    val spark = newDocs.sparkSession
+    val k = numBands * rowsPerBand
     if (enforceDisjointIds) {
       val overlap = newDocs.select("id")
         .join(spark.table(index.sigs).select("id"), Seq("id"), "left_semi")
@@ -238,12 +291,26 @@ object IncrementalDedupOps {
       k: Int = 4,
       w: Int = 4
   ): DataFrame = {
-    val spark = batch.sparkSession
     val newFps = DedupOps.winnowFingerprints(batch, textCol, idCol, k, w)
-      .select(col("fp_hash"), col("id").as("batch_id"))
+      .select(col("fp_hash"), col("id"))
       .distinct()
       .transform(Ckpt.lazyCkpt)
+    probeWinnowIndexOf(newFps, fpsTable, minShared)
+  }
+
+  /** [[probeWinnowIndex]] over a PRECOMPUTED `(fp_hash, id)` fingerprint
+    * frame of the batch (r15 shared-fingerprint entry): winnowing
+    * selection is a pure per-document function, so the daily job
+    * fingerprints its batch once and feeds both this probe and the
+    * within-batch [[DedupOps.winnowDupPairsOf]] pair generation. */
+  def probeWinnowIndexOf(
+      newFps: DataFrame,
+      fpsTable: String,
+      minShared: Int = 2
+  ): DataFrame = {
+    val spark = newFps.sparkSession
     newFps
+      .select(col("fp_hash"), col("id").as("batch_id"))
       .join(spark.table(fpsTable).select(col("fp_hash"), col("id").as("idx_id")),
         Seq("fp_hash"))
       .filter(col("idx_id") =!= col("batch_id"))

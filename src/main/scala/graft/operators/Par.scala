@@ -26,4 +26,32 @@ object Par {
     }
     if (doIt) df.repartition(s.sparkContext.defaultParallelism) else df
   }
+
+  /** Run two INDEPENDENT driver-side action chains concurrently (guide
+    * §2.6: actions are only sequential because driver code calls them
+    * sequentially). The composite index queries are driver-sequenced
+    * chains of bounded jobs — an index build waiting on an unrelated
+    * CC loop leaves the cluster idle; submitting both lets the second
+    * chain's tasks back-fill the first's stragglers. `b` runs on a
+    * fresh thread (Spark job-group/description properties are
+    * inheritable), `a` on the caller's; exceptions from either
+    * propagate after both finish. Use ONLY for chains with no data or
+    * catalog dependency on each other — and never when either side
+    * mutates a table the other reads (the writeBucketed swap contract).
+    */
+  def concurrently[A, B](a: => A, b: => B): (A, B) = {
+    @volatile var bOut: Either[Throwable, B] = null
+    val t = new Thread(() => {
+      bOut = try Right(b) catch { case e: Throwable => Left(e) }
+    }, "graft-par-concurrently")
+    t.setDaemon(true)
+    t.start()
+    val aOut = try Right(a) catch { case e: Throwable => Left(e) }
+    t.join()
+    (aOut, bOut) match {
+      case (Right(ra), Right(rb)) => (ra, rb)
+      case (Left(ea), _)          => throw ea
+      case (_, Left(eb))          => throw eb
+    }
+  }
 }

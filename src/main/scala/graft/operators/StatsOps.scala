@@ -399,8 +399,23 @@ object StatsOps {
           (lit(2L) * (col("cum_before_c") - col("_goff")) + col("c") + lit(1L))
             .as(s"ar2_$vcol"))
     }
+    // x is the bounded-domain variable by this function's contract, so
+    // its VALUE TABLE is domain-sized (|g|·|x-domain| rows) — the
+    // banded decomposition is machinery without a purpose there (r15:
+    // it cost 4 extra scheduled stages per call). One per-g cumulative
+    // window over the tiny vt computes the identical doubled rank:
+    // 2·(rows strictly before within g) + ties + 1, all longs.
+    def ar2Domain(vcol: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val vt = rows.groupBy("g", vcol).agg(count(lit(1)).cast("long").as("c"))
+      val wc = Window.partitionBy("g").orderBy(col(vcol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      vt.select(col("g"), col(vcol),
+        (lit(2L) * coalesce(sum("c").over(wc), lit(0L)) + col("c") + lit(1L))
+          .as(s"ar2_$vcol"))
+    }
     val withA = rows
-      .join(broadcast(ar2("x")), Seq("g", "x"))
+      .join(broadcast(ar2Domain("x")), Seq("g", "x"))
       .join(ar2("y"), Seq("g", "y"))
       .select(col("g"),
         col("ar2_x").cast("decimal(19,0)").as("a"),

@@ -484,28 +484,35 @@ object VectorIndexOps {
   ): SemDedupIndex = {
     val spark = corpus.sparkSession
     val cents = SimilarityOps.trainCentroids(corpus, idCol, vecCol, nCells, iters)
-    // lazy localCheckpoint: detection count + anti-join left + pair gen
-    // all read one materialization of the assignment scan (pruneCells'
-    // fan-out note applies identically here)
+    // EAGER pin (r15): the assignment scan roots at the raw corpus and
+    // feeds the anti-join left side + the pair gen, whose stages launch
+    // CONCURRENTLY inside the survivor write — a lazy pin raced its own
+    // first materialization and re-ran the corpus×centroid assignment
+    // per consumer (the r14 GraphOps race class).
     val cells = SimilarityOps.semanticCellsFrozen(corpus, idCol, vecCol, cents)
-      .transform(Ckpt.lazyCkpt)
+      .transform(Ckpt.eagerCkpt)
     val survivors = cells
       .join(SimilarityOps.cellDrops(cells, tau), Seq("id"), "left_anti")
       .select("id", "cell", "cent_sim", "unit")
-    BucketOps.writeBucketed(survivors, s"${prefix}_cells", numBuckets, Seq("cell"),
-      sortKeys = Seq("cell"))
     import spark.implicits._
     val centDf = cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
-    BucketOps.dropTable(spark, s"${prefix}_centroids")
-    centDf.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(s"${prefix}_centroids")
-    // build-time contract persisted WITH the index: a later probe that
-    // reconstructs the index from per-run params could silently prune at
-    // a different τ than the bootstrap — (tau, n_cells) travel with the
-    // tables and [[semDedupIndexOf]] fails loudly on any mismatch
-    BucketOps.dropTable(spark, s"${prefix}_meta")
-    Seq((nCells, tau)).toDF("n_cells", "tau")
-      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(s"${prefix}_meta")
+    // the survivor write and the two tiny metadata writes target
+    // independent tables over already-materialized inputs — overlap the
+    // driver-sequenced chain (guide §2.6)
+    Par.concurrently(
+      BucketOps.writeBucketed(survivors, s"${prefix}_cells", numBuckets, Seq("cell"),
+        sortKeys = Seq("cell")), {
+        BucketOps.dropTable(spark, s"${prefix}_centroids")
+        centDf.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(s"${prefix}_centroids")
+        // build-time contract persisted WITH the index: a later probe that
+        // reconstructs the index from per-run params could silently prune at
+        // a different τ than the bootstrap — (tau, n_cells) travel with the
+        // tables and [[semDedupIndexOf]] fails loudly on any mismatch
+        BucketOps.dropTable(spark, s"${prefix}_meta")
+        Seq((nCells, tau)).toDF("n_cells", "tau")
+          .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(s"${prefix}_meta")
+      })
     SemDedupIndex(s"${prefix}_cells", s"${prefix}_centroids", nCells, tau)
   }
 

@@ -300,14 +300,19 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // per dim point by design; queries ride broadcast
     "q59_array_funcs" -> 2,   // TP + ORDER BY — every array op is a projection
     "events_anova" -> 2,      // one type-keyed moment agg + 1-row fold agg
-    "data_dedup_idempotence" -> 17, // pass-2 minhash band agg + bucket pair-gen + two
-                              // 1-row counts off the checkpointed pass-1 survivors
-    "quality_calibrate" -> 8, // TP + grouped-banded-rank core ((source,qb) band agg +
+    "data_dedup_idempotence" -> 15, // r15: one eager (id, sh) pin feeds BOTH passes
+                              // (the corpus was shingled 4x before); pass-2 band agg +
+                              // pair-gen + CC subtrees + two 1-row counts off the
+                              // checkpointed survivor signatures
+    "quality_calibrate" -> 6, // TP + grouped-banded-rank core ((source,qb) band agg +
                               // per-source band window + in-band window) + per-source
-                              // totals agg + ORDER BY; TP/scan subtrees recur pre-AQE,
-                              // ReuseExchange dedupes at runtime (round-8: replaced the
-                              // per-source percent_rank hot-partition window)
-    "data_curriculum" -> 8,   // same calibrate core keyed by lang + the stage projection
+                              // totals agg + ORDER BY (round-8: replaced the per-source
+                              // percent_rank hot-partition window; r15: the scored
+                              // projection is eager-pinned, so the tokenize scan subtree
+                              // is counted once instead of recurring per consumer)
+    "data_curriculum" -> 6,   // same calibrate core keyed by lang + the stage projection
+                              // (r15: the scored projection is eager-pinned — the
+                              // tokenize scan subtree is counted once, not per consumer)
     "q17_subquery" -> 2,      // brand avg agg (broadcast back) + ORDER BY (round-8:
                               // replaced the partitionBy(brand) window)
     "q25_ntile" -> 6,         // grouped-banded-rank core + segment totals agg +
@@ -338,11 +343,12 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // JW kernel runs only in vocabulary-sized subtrees, the
                               // corpus expands through two (name, block) equi-joins
                               // (round-9: replaced the within-brand quadratic)
-    "q65_spearman" -> 14,     // two banded avg-rank cores (x and y value tables: value
-                              // agg + band agg + group-offset agg each) + row⋈y-ranks
-                              // shuffle join + moment agg + ORDER BY; x-ranks and all
-                              // band offsets ride broadcast — every shuffle is value-
-                              // table-sized except the one row-level (g,y) join
+    "q65_spearman" -> 10,     // r15: x (bounded domain by contract) ranks via ONE
+                              // per-g window over its domain-sized value table — the
+                              // banded core's 4 extra exchanges dropped; y keeps the
+                              // banded core (value agg + band agg + group-offset agg)
+                              // + row⋈y-ranks shuffle join + moment agg + ORDER BY;
+                              // x-ranks and band offsets ride broadcast
     "dedup_semantic" -> 3,    // the round-11 pruneCells lazy localCheckpoint: the
                               // assignment scan materializes ONCE and the pair sides /
                               // anti-left all read its blocks (was 7 with 3× TP
@@ -359,7 +365,10 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // row; k longs per partition per side — no key co-shuffle
     "data_dp_release" -> 2,   // clipped segment agg + ORDER BY — the noise draw is a
                               // seeded md5 projection over the released rows only
-    "dedup_semantic_incr" -> 14, // the PROBE plan only (the index build ran eagerly):
+    "dedup_semantic_incr" -> 15, // (r15: +1 — the index build's
+                              // assignment pin went eager for the concurrent-writer
+                              // race, so its subtree is now recorded and counted)
+                              // the PROBE plan only (the index build ran eagerly):
                               // 2× TP (delta union branches under the vs-index join
                               // and the verdict spine; the remainder self-prune now
                               // reads the round-10 `rem` checkpoint, which also feeds
@@ -432,7 +441,7 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // cross table; + final ORDER BY
     "data_url_canon" -> 2,    // canonical-key agg + ORDER BY — synthesis and
                               // canonicalization are pure map-side projections
-    "text_ccnet_buckets" -> 12, // TP + bigram cf agg + per-doc fam agg + fam⋈lang doc
+    "text_ccnet_buckets" -> 9, // TP + bigram cf agg + per-doc fam agg + fam⋈lang doc
                               // join + the groupedBandedRank calibrate core ((lang,band)
                               // agg + offset agg + in-band window) + (lang,bucket) agg +
                               // ORDER BY; totals/offsets ride broadcast — the zipf/q65
@@ -462,7 +471,11 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "data_semantic_decontam" -> 4, // 2× TP (train union branches re-instantiated under
                               // column pruning) + train-id best-match agg + ORDER BY;
                               // the 8-row eval side rides broadcast
-    "data_entity_golden" -> 15, // TP comparator spread + the components' label join hash
+    "data_entity_golden" -> 9, // (r15: the vote and the member count both read ONE
+                              // pinned (entity, attr, v) counts table — the second
+                              // records⋈labels evaluation and its recurring FS-join
+                              // subtrees are gone)
+                              // TP comparator spread + the components' label join hash
                               // + entity tag join + vote (entity,attr,v) agg + pick
                               // window + golden pivot agg + sizes agg + final join +
                               // ORDER BY; both FS candidate joins ride broadcast on blk
@@ -471,12 +484,13 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // broadcasting
     "data_local_dp" -> 2,     // per-user truth agg + the 1-row report agg — the coin
                               // and flip are pure projections
-    "dedup_winnow_incremental" -> 15, // delta-side winnowing selection window sort + fp
-                              // distinct agg + probe-pair agg + dropIdx distinct + rem
-                              // anti-join hash + rem winnow selection sort + fp agg +
-                              // bucket agg + component/survivor id hashes + ORDER BY;
-                              // the index side of the probe join is bucketed on fp_hash
-                              // — Exchange-free (measured below the fp checkpoint)
+    "dedup_winnow_incremental" -> 17, // r15: the delta is fingerprinted ONCE (eager
+                              // pin — its selection sort + distinct now counted, +2;
+                              // the former second winnow pass over rem is gone) + probe
+                              // pair agg + dropIdx distinct + remFps anti-join + bucket
+                              // agg + component/survivor id hashes + ORDER BY; the
+                              // index side of the probe join is bucketed on fp_hash —
+                              // Exchange-free
     "events_scd2_join" -> 3,  // one user-keyed window sort builds the intervals + the
                               // point↔interval bucket-join hash + ORDER BY; the horizon
                               // is a broadcast 1-row crossJoin and purchases reuse the
@@ -641,10 +655,16 @@ class QueryPlanBudgetSpec extends SparkSpec {
                               // ORDER BY; m attaches as a 1-row broadcast
     "q84_explode_outer" -> 2, // TP repartition + final ORDER BY; the generator is
                               // in-stage (no shuffle of its own)
-    "graph_louvain_coarsen" -> 19, // sweep internals + the two HIGH-card edge×assign
-                              // joins + coarse/tot/in_c aggs + six 1-row summary
-                              // aggregates (each a tiny partial→single exchange);
-                              // every non-edge frame is community- or 1-row-sized
+    "graph_louvain_coarsen" -> 14, // (r15 second pass: w and the
+                              // sweep assignment are EAGER pins — their subtrees are
+                              // recorded and counted, +7 vs the lazy-pin counting)
+                              // // r15: ONE edge-sized aggregate (the coarse graph
+                              // with per-edge counts) now feeds every statistic — the
+                              // second keyed-edge agg, the separate m/n_edges scans and
+                              // three of six 1-row aggregates are gone; 7 = tot agg +
+                              // totals/qterms/assign-summary 1-row aggs + final joins
+                              // (the sweep + keyed-join subtrees sit below lazy pins,
+                              // per the data_drift counting convention)
     "events_peaks" -> 3,      // daily agg + ONE per-type sort serving both range windows
                               // + final ORDER BY
     "vec_purity" -> 4,        // TP + (cell,label) agg + per-cell rank window + cell agg;
