@@ -50,4 +50,23 @@ object Ckpt {
   /** Plans recorded by [[eagerCkpt]] since the last drain (audit use). */
   def drainRecorded(): Seq[LogicalPlan] =
     recorded.synchronized { val out = recorded.toList; recorded.clear(); out }
+
+  private val meterId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** [[eagerCkpt]] that additionally evaluates aggregate `metrics` DURING
+    * the materialization job via `Dataset.observe` (guide §1.2: an
+    * iterative loop's convergence scan is free when it rides the
+    * checkpoint write instead of running as a second job over the blocks
+    * just written — one full pass over the loop state per round, gone).
+    * Returns the pinned frame plus the observed metrics row. Metrics
+    * must be aggregates that never need a post-scan (count/sum/min/max).
+    */
+  def eagerCkptMetered[T](ds: Dataset[T], metrics: org.apache.spark.sql.Column*): (Dataset[T], org.apache.spark.sql.Row) = {
+    val name = s"__graft_ckpt_meter_${meterId.incrementAndGet()}"
+    val obs = ds.observe(name, metrics.head, metrics.tail: _*)
+    if (ds.sparkSession.conf.getOption("spark.graft.ckpt.record").contains("true"))
+      recorded.synchronized { recorded += obs.queryExecution.optimizedPlan }
+    val pinned = obs.localCheckpoint()
+    (pinned, obs.queryExecution.observedMetrics(name))
+  }
 }

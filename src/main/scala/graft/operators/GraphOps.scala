@@ -71,16 +71,18 @@ object GraphOps {
       // the parent's label is ≤ ours; this halves label-tree depth and
       // turns O(diameter) convergence into O(log diameter))
       val jumped = least(col("l.cluster_id"), coalesce(col("pcid"), col("l.cluster_id")))
-      val next = hooked.as("l")
-        .join(hooked.select(col("id").as("pid"), col("cluster_id").as("pcid")).as("p"),
-          col("l.cluster_id") === col("pid"), "left")
-        .select(col("l.id").as("id"), jumped.as("cluster_id"),
-          (jumped =!= col("l.old_cid")).as("__chg"))
-        .transform(Ckpt.eagerCkpt)
-      // convergence check over the checkpoint blocks just written — a
-      // pure local scan with early exit, not the next×labels shuffle
-      // join the previous shape paid per round (round-5 verdict item)
-      converged = next.filter(col("__chg")).isEmpty
+      // convergence count rides the checkpoint's own materialization job
+      // via observe (guide §1.2) — r15: the previous shape paid a SECOND
+      // job per round scanning the blocks just written; at cluster scale
+      // that is a full pass over the loop state per round, gone
+      val (next, meter) = Ckpt.eagerCkptMetered(
+        hooked.as("l")
+          .join(hooked.select(col("id").as("pid"), col("cluster_id").as("pcid")).as("p"),
+            col("l.cluster_id") === col("pid"), "left")
+          .select(col("l.id").as("id"), jumped.as("cluster_id"),
+            (jumped =!= col("l.old_cid")).as("__chg")),
+        count(when(col("__chg"), 1)))
+      converged = meter.getLong(0) == 0L
       labels = next.drop("__chg")
       it += 1
     }
@@ -117,9 +119,12 @@ object GraphOps {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().transform(Ckpt.eagerCkpt)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).transform(Ckpt.eagerCkpt)
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct().transform(Ckpt.eagerCkpt)
-    val n = nodes.count()
+    // node count rides the checkpoint job via observe (guide §1.2, r15)
+    val (nodes, nodeMeter) = Ckpt.eagerCkptMetered(
+      e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct(),
+      count(lit(1)))
+    val n = nodeMeter.getLong(0)
     val base = (BigDecimal(1) - damping) / BigDecimal(n) // scale-18 default is plenty
     var ranks = nodes.withColumn("rank", lit((BigDecimal(1) / BigDecimal(n)).setScale(18, BigDecimal.RoundingMode.HALF_UP)).cast(dec))
     var i = 0
@@ -172,25 +177,33 @@ object GraphOps {
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .transform(Ckpt.eagerCkpt) // edge derivation runs once, not per BFS round
-    var settled = seeds.select(col("id")).distinct()
-      .withColumn("dist", lit(0L))
-      .transform(Ckpt.eagerCkpt)
-    var frontier = settled
+    // frontier sizes ride each round's checkpoint job via observe (guide
+    // §1.2, r15) — the loop-top isEmpty was a second per-round job over
+    // the frontier blocks just written
+    val (seeded, seedMeter) = Ckpt.eagerCkptMetered(
+      seeds.select(col("id")).distinct().withColumn("dist", lit(0L)),
+      count(lit(1)))
+    var settled = seeded
+    var frontier = seeded
+    var frontierN = seedMeter.getLong(0)
     var it = 0
-    while (it < maxIter && !frontier.isEmpty) {
-      val next = frontier.join(und, frontier("id") === und("src"))
-        .groupBy(col("dst").as("nid"))
-        .agg(min(col("dist") + 1).as("ndist"))
-        .join(settled, col("nid") === settled("id"), "left_anti")
-        .select(col("nid").as("id"), col("ndist").as("dist"))
-        .transform(Ckpt.eagerCkpt) // read twice: union into settled + next frontier
+    while (it < maxIter && frontierN > 0) {
+      // read twice: union into settled + next frontier
+      val (next, meter) = Ckpt.eagerCkptMetered(
+        frontier.join(und, frontier("id") === und("src"))
+          .groupBy(col("dst").as("nid"))
+          .agg(min(col("dist") + 1).as("ndist"))
+          .join(settled, col("nid") === settled("id"), "left_anti")
+          .select(col("nid").as("id"), col("ndist").as("dist")),
+        count(lit(1)))
       settled = settled.unionByName(next).transform(Ckpt.eagerCkpt)
       frontier = next
+      frontierN = meter.getLong(0)
       it += 1
     }
     // only a TRUNCATED run warns: hitting maxIter on the round that also
     // emptied the frontier is ordinary convergence (round-7 advisor)
-    if (it == maxIter && !frontier.isEmpty)
+    if (it == maxIter && frontierN > 0)
       log.warn(s"bfsDistances stopped at maxIter=$maxIter with a non-empty frontier — " +
         "distances beyond this eccentricity are missing; raise maxIter")
     else
@@ -378,21 +391,27 @@ object GraphOps {
       .filter(col(aCol) =!= col(bCol))
       .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
       .distinct()
-    var und = canon.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
-      .transform(Ckpt.eagerCkpt)
-    var nEdges = und.count()
+    // surviving-edge counts ride each round's checkpoint job via observe
+    // (guide §1.2, r15): the fixpoint test was a second per-round count
+    // job over the edge blocks just written
+    val (und0, undMeter) = Ckpt.eagerCkptMetered(
+      canon.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(canon.select(col("b").as("src"), col("a").as("dst"))),
+      count(lit(1)))
+    var und = und0
+    var nEdges = undMeter.getLong(0)
     var it = 0
     var done = nEdges == 0
     while (it < maxIter && !done) {
       val keep = und.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("src")
         .transform(Ckpt.eagerCkpt) // both semi-joins read it
-      val next = und
-        .join(keep, Seq("src"), "left_semi")
-        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-        .transform(Ckpt.eagerCkpt)
-      val n = next.count()
+      val (next, meter) = Ckpt.eagerCkptMetered(
+        und
+          .join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi"),
+        count(lit(1)))
+      val n = meter.getLong(0)
       done = n == nEdges
       und = next; nEdges = n; it += 1
     }
