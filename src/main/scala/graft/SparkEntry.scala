@@ -6644,6 +6644,10 @@ object SparkEntry {
       val labeled = docs
         .select(col("doc_id"), col("source"), (col("lang") === "en").as("is_en"))
         .join(scored.select("doc_id", "score_milli"), Seq("doc_id"))
+        // EAGER (r15): isotonicCalibration evaluates its input twice
+        // (min/max collect + cell collect) — unpinned, the hashed-
+        // featurization scan ran per pass; the pin is 4 narrow columns
+        .transform(Ckpt.eagerCkpt)
       StatsOps.isotonicCalibration(labeled, "source", "score_milli", "is_en", bins = 16)
         .orderBy("source", "bin")
     }),
@@ -6708,6 +6712,10 @@ object SparkEntry {
       val labeled = docs
         .select(col("doc_id"), col("source"), (col("lang") === "en").as("is_en"))
         .join(scored.select("doc_id", "score_milli"), Seq("doc_id"))
+        // EAGER (r15): isotonicCalibration evaluates its input twice
+        // (min/max collect + cell collect) — unpinned, the hashed-
+        // featurization scan ran per pass; the pin is 4 narrow columns
+        .transform(Ckpt.eagerCkpt)
       StatsOps.brierDecomposition(
         StatsOps.isotonicCalibration(labeled, "source", "score_milli", "is_en", bins = 16),
         "source")

@@ -433,12 +433,12 @@ object GraphOps {
     * that). Deterministic tie-break (max gain_num, then min candidate
     * id); a node moves only on gain_num > 0, else keeps its own id.
     * Returns (node, k, community, best_gain_num, moved). Scale: m and
-    * the degrees are edge aggregates, the per-node argmax a HIGH-card
-    * window over each node's neighbor list — two shuffles beyond
-    * whatever produced the edges.
+    * the degrees are edge aggregates, the per-node argmax a partial-
+    * aggregating max(struct) over each node's neighbor list — two
+    * shuffles beyond whatever produced the edges, and a hot node's
+    * candidates collapse map-side before the exchange.
     */
   def louvainSweep(wEdges: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = wEdges.transform(Ckpt.lazyCkpt) // m + both directed scans
     val m = w.agg(sum("w").cast("long").as("m"))
     val dir = w.select(col("a").as("i"), col("b").as("j"), col("w"))
@@ -450,11 +450,20 @@ object GraphOps {
       .crossJoin(broadcast(m))
       .withColumn("gain_num",
         lit(2L) * col("m") * col("w") - col("k") * col("k_j"))
-    val wn = Window.partitionBy("i").orderBy(col("gain_num").desc, col("j").asc)
-    cand.withColumn("rn", row_number().over(wn)).filter(col("rn") === 1)
-      .select(col("i").as("node"), col("k"),
-        when(col("gain_num") > 0, col("j")).otherwise(col("i")).as("community"),
-        col("gain_num").as("best_gain_num"),
-        (col("gain_num") > 0).as("moved"))
+    // (r15) argmax as a partial-aggregating max(struct) instead of a
+    // row_number window: the window shuffled EVERY candidate row and
+    // sorted each node's full neighbor list; the aggregate reduces a
+    // node's candidates to one row map-side before the exchange, so a
+    // hot node's cost is bounded by its per-partition degree at any
+    // scale. Tie-break unchanged: max gain_num, then min j (as max −j);
+    // k rides along (constant per node, never decides the comparison).
+    cand
+      .groupBy(col("i").as("node"))
+      .agg(max(struct(col("gain_num"), (-col("j")).as("nj"), col("k"))).as("best"))
+      .select(col("node"), col("best.k").as("k"),
+        when(col("best.gain_num") > 0, -col("best.nj")).otherwise(col("node"))
+          .as("community"),
+        col("best.gain_num").as("best_gain_num"),
+        (col("best.gain_num") > 0).as("moved"))
   }
 }

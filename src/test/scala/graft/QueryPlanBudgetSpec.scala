@@ -580,11 +580,17 @@ class QueryPlanBudgetSpec extends SparkSpec {
     "data_simpson" -> 3,      // per-stratum decimal-moment agg + the 1-row aggregate-sign
                               // attach (single-partition agg) + ORDER BY — signs only,
                               // no float in the verdict
-    "quality_brier" -> 2,     // one bounded group-agg over the driver-literal calibration
-                              // table (ordered in-row folds) + ORDER BY
-    "quality_isotonic" -> 1,  // final plan = the bounded driver-literal PAV result +
+    "quality_brier" -> 7,     // one bounded group-agg over the driver-literal calibration
+                              // table (ordered in-row folds) + ORDER BY; +5 (r15): the
+                              // labeled frame is an EAGER pin (isotonicCalibration reads
+                              // it twice) and its recorded featurize⋈label subtree is
+                              // now counted once
+    "quality_isotonic" -> 6,  // final plan = the bounded driver-literal PAV result +
                               // ORDER BY; the distributed (group, bin) integer-cell agg
-                              // runs eagerly at construction (the kmeans1d posture)
+                              // runs eagerly at construction (the kmeans1d posture);
+                              // +5 (r15): the labeled frame is an EAGER pin (the PAV
+                              // core reads it twice) and its recorded featurize⋈label
+                              // subtree is now counted once
     "events_kmeans1d" -> 1,   // the FINAL plan is the k-row driver-literal result +
                               // ORDER BY; the distributed work (min/max + 64-cell grid
                               // agg) runs eagerly at construction — two bounded passes,
